@@ -1,0 +1,118 @@
+"""Typed IO boundary: readers and writers.
+
+Reference behaviors covered (SURVEY.md §2.1):
+
+- S3 CSV scan — the committed golden ``clean_va_price.csv`` starts with
+  two blank lines before the header; pandas skips blank lines by
+  default, Spark does not, so the reader handles it explicitly.
+- S6 CSV sink — single-file output for golden parity (tiny results
+  only; large results keep their natural partitioning).
+- Parquet star-schema loading for /root/testdata, with a helper that
+  registers every table as a temp view so queries can be written in
+  pure SQL too.
+
+Scale notes: parquet readers here rely on Catalyst pushdown (filters,
+column pruning, partition pruning) — callers express predicates on the
+DataFrame and the scan narrows automatically. ``with_row_order`` is the
+one deliberately non-declarative piece: Spark has no implicit row
+order, but the reference's duplicate-key semantics are file-order
+dependent (SURVEY.md §1.4), so parity paths thread an explicit
+monotonically-increasing ingest column instead.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from cdc_2025_spark.schemas import STAR_SCHEMAS, TABLE_NAMES
+
+ROW_ORDER_COL = "_row_order"
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan with explicit schema (S3).
+
+    ``mode=DROPMALFORMED`` is NOT used; blank leading lines (present in
+    the reference golden CSVs) parse as all-null rows, which we drop
+    only when every column is null — matching pandas' skip-blank-lines
+    default without risking real data.
+    """
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    df = reader.csv(path)
+    return df.na.drop(how="all")
+
+
+def with_row_order(df: DataFrame) -> DataFrame:
+    """Attach a monotonically increasing ``_row_order`` column.
+
+    Values are increasing within and across partitions in partition
+    order, which for a single-file CSV read equals file order — exactly
+    the property the reference's first-match-wins lookups depend on
+    (src/features/resilience.py:34-35).
+    """
+    return df.withColumn(ROW_ORDER_COL, F.monotonically_increasing_id())
+
+
+def write_single_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """S6: single-file CSV sink for golden-parity outputs (small data).
+
+    Writes via coalesce(1) into a temp dir, then moves the part file to
+    ``path``. Only for results that fit on one node — large outputs
+    should use ``df.write`` with natural partitioning.
+    """
+    tmp = tempfile.mkdtemp(prefix="cdc_csv_")
+    try:
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .option("header", header)
+            .option("emptyValue", "")
+            # Spark's CSV WRITER trims whitespace by default; the
+            # Industry hierarchy is indentation-encoded (SURVEY.md
+            # §1.4), so preserve it.
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
+            .csv(tmp)
+        )
+        part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        shutil.move(part, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema table from a testdata scale-factor dir."""
+    if name not in STAR_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_star_schema(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every star-schema table and register temp views.
+
+    Registering views lets operators be written either as DataFrame
+    chains or ``spark.sql`` — both produce the same Catalyst plan.
+    """
+    tables = {}
+    for name in TABLE_NAMES:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        tables[name] = df
+    return tables

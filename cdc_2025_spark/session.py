@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs ``local[N]``; the conf below is written for a real
+cluster (AQE on, skew-join handling, broadcast threshold, Arrow for
+the few pandas-UDF operators). Nothing here is cluster-manager
+specific, so the same factory works under YARN/K8s with a different
+``master``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "cdc-2025-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Defaults target correctness + scale hygiene:
+
+    - AQE enabled: runtime shuffle-partition coalescing, skew-join
+      splitting, and broadcast-join demotion/promotion — the primary
+      defense for the 100 TB design goal where static planning guesses
+      wrong.
+    - Arrow enabled for the pandas-UDF operators (similarity search,
+      multimodal decode) — vectorized JVM<->Python transfer.
+    - Shuffle partitions default small locally (overridable); on a real
+      cluster AQE coalesces from a high initial number, so the static
+      value matters little.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
