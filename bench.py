@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes to completion (count() of the result — forces the
+full plan without driver-side materialization of wide rows). A warmup
+query amortizes JVM/codegen startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cdc_2025_spark.queries import QUERIES  # noqa: E402
+from cdc_2025_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_volume",
+    "topk_customers_by_spend",
+    "agg_rollup_nation_segment",
+    "window_top3_orders_per_customer",
+    "window_sessionize_events",
+    "asof_last_signup_before_purchase",
+    "resilience_nation_revenue",
+    "scalar_json_props_extract",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_lsh_pairs",
+    "sim_topk_bruteforce",
+    "text_quality_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="cdc-2025-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: touch the biggest table so JVM/codegen/IO caches are hot
+    QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""SimHash near-dup detection: 64-bit locality-sensitive fingerprints
+whose Hamming distance tracks cosine similarity of the token bags
+(Charikar 2002, public knowledge).
+
+Construction (pure expressions, no UDFs): for each bit position p, sum
++1/-1 over tokens according to bit p of xxhash64(token); bit p of the
+fingerprint is 1 iff the sum is positive.
+
+Candidate generation at scale uses the pigeonhole principle: split the
+64 bits into ``max_distance + 1`` chunks; any pair within Hamming
+distance d must agree exactly on >= 1 chunk, so grouping by (chunk
+index, chunk value) finds all such pairs with one shuffle — no
+quadratic self-join. Exact Hamming then filters false positives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_2025_spark.functions.text import tokens
+
+
+def simhash(text: Column | str, n_bits: int = 64) -> Column:
+    """64-bit SimHash of the whitespace token multiset."""
+    col = F.col(text) if isinstance(text, str) else text
+    toks = tokens(F.lower(col))
+
+    # NB: capture the bit position via closure, NOT a lambda default
+    # arg — pyspark's higher-order-function wrapper dispatches on
+    # lambda arity and would feed a Column into the extra parameter.
+    def bit_term(p: int):
+        return lambda acc, t: acc + F.when(
+            F.shiftright(F.xxhash64(t), p).bitwiseAND(1) == 1, 1
+        ).otherwise(-1)
+
+    bit_sums = [F.aggregate(toks, F.lit(0), bit_term(p)) for p in range(n_bits)]
+    out = F.lit(0).cast("long")
+    for p, s in enumerate(bit_sums):
+        # two's complement for the sign bit: 1 << 63 overflows long
+        weight = (1 << p) if p < 63 else -(1 << 63)
+        out = out + F.when(s > 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 3,
+) -> DataFrame:
+    """Pairs (id_a < id_b, hamming) with Hamming(simhash) <= max_distance.
+
+    Banded by max_distance+1 16-bit chunks (pigeonhole-exact for
+    d <= 3 on 64 bits), then exact bit_count(xor) filter.
+    """
+    n_chunks = max_distance + 1
+    chunk_bits = 64 // n_chunks
+    fps = docs.select(
+        F.col(id_col).alias("id"), simhash(text_col).alias("fp")
+    )
+    chunks = fps.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned("fp", i * chunk_bits)
+                        .bitwiseAND((1 << chunk_bits) - 1)
+                        .alias("val"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "fp", "ck.chunk", "ck.val")
+
+    a = chunks.select(
+        "chunk", "val", F.col("id").alias("id_a"), F.col("fp").alias("fp_a")
+    )
+    b = chunks.select(
+        "chunk", "val", F.col("id").alias("id_b"), F.col("fp").alias("fp_b")
+    )
+    return (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_distance)
+    )

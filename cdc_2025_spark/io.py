@@ -98,10 +98,27 @@ def write_single_csv(df: DataFrame, path: str, header: bool = True) -> None:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one star-schema table from a testdata scale-factor dir."""
+    """Read one star-schema table from a testdata scale-factor dir.
+
+    events.parquet carries TIMESTAMP(NANOS), which Spark's reader
+    rejects outright; the session-settable legacy conf reads it as
+    long nanoseconds, converted here to a micro-truncated timestamp —
+    the same truncation DuckDB applies, so oracle comparisons agree.
+    """
     if name not in STAR_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer `div`, not float division: nano longs exceed
+            # double's 53-bit exact range, float rounding would shift
+            # some timestamps by 1us vs DuckDB's truncation
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_star_schema(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

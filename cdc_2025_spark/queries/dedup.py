@@ -1,0 +1,104 @@
+"""Dedup queries over the documents table, one per family
+(exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine).
+
+The exact families carry DuckDB oracles; the hash-based families
+(MinHash, SimHash — xxhash64 is not reproducible in DuckDB SQL) are
+rows-only for the driver and validated in tests/test_dedup.py against
+the exact ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_2025_spark.dedup import (
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from cdc_2025_spark.dedup.exact import vocab_key
+from cdc_2025_spark.io import read_table
+from cdc_2025_spark.queries.registry import query
+
+JACCARD_K = 3
+JACCARD_THRESHOLD = 0.35
+
+
+@query(
+    "dedup_exact_vocab_groups",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(
+             string_split_regex(trim(lower(text)), '\\s+'))), ' '))
+               AS content_key,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_vocab_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups on the normalized-vocabulary key (sorted
+    distinct token set): group size + canonical min-id survivor.
+    One map-side-hashed shuffle; zero skew (hash keys)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dup_groups(docs, "doc_id", vocab_key("text"))
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sets AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) <= {JACCARD_K}
+               THEN [array_to_string(ws, ' ')]
+               ELSE [array_to_string(ws[i:i+{JACCARD_K - 1}], ' ')
+                     for i in range(1, len(ws) - {JACCARD_K} + 2)]
+               END) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS ws
+            FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+               AS jaccard
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard near-dup pairs via the inverted-index
+    self-join (dedup/jaccard.py). The oracle brute-forces the same
+    measure over the document cross product — identical result set,
+    quadratic cost (fine at oracle scale, exactly what the inverted
+    index avoids at engine scale)."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(
+        docs, k=JACCARD_K, threshold=JACCARD_THRESHOLD
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query("dedup_minhash_lsh_pairs")
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) + LSH(16x8) candidates, exact-verified at the same
+    threshold as the exact query — recall measured against it in
+    tests/test_dedup.py. Rows-only driver check (xxhash64 family not
+    expressible in DuckDB)."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(
+        docs, k=JACCARD_K, threshold=JACCARD_THRESHOLD
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query("dedup_simhash_pairs")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 pairs within Hamming distance 6 via banded chunks +
+    exact Hamming filter. Rows-only driver check."""
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_distance=6)

@@ -1,0 +1,188 @@
+"""Similarity search over the embeddings table.
+
+- brute-force cosine top-k (the exact baseline; broadcast the query
+  set, scan the corpus once)
+- all-pairs above a cosine threshold (near-dup detection)
+- random-hyperplane LSH bucketing (the scale path: candidates from
+  sign-bit bands, exact cosine re-rank) — rows-only driver check,
+  recall pinned in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_2025_spark.functions.embeddings import cosine
+from cdc_2025_spark.io import read_table
+from cdc_2025_spark.queries.registry import query
+
+N_QUERY_VECS = 5
+TOP_K = 10
+PAIR_THRESHOLD = 0.4
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, emb AS qemb FROM e
+          WHERE vec_id < {N_QUERY_VECS}),
+    scored AS (
+      SELECT qid, vec_id,
+             list_cosine_similarity(qemb, emb) AS cos
+      FROM q CROSS JOIN e
+      WHERE qid <> vec_id
+    ), ranked AS (
+      SELECT qid, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT qid, vec_id, ROUND(cos, 4) AS cos, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= {TOP_K}
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for the first 5 vectors.
+
+    Scale shape: the query set broadcasts (BroadcastNestedLoopJoin
+    over a tiny side), the corpus streams through once, and the
+    per-query top-k is a WindowGroupLimit — no corpus shuffle at all
+    when k is small. This is the correct baseline ANN validators
+    measure recall against."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid", "vec_id", cosine("qemb", "emb").alias("cos")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id", F.round("cos", 4).alias("cos"), "rn")
+    )
+
+
+@query(
+    "sim_pairs_above_threshold",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.emb, b.emb) >= {PAIR_THRESHOLD}
+    """,
+)
+def sim_pairs_above_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vector pairs with cosine >= 0.4 (embedding near-dup pass).
+
+    At engine scale this self-join is replaced by the LSH query below;
+    here it doubles as that query's ground truth."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine("emb_a", "emb_b"))
+        .filter(F.col("cos") >= PAIR_THRESHOLD)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane via splitmix64 — maps
+    (plane, coord) to [-1, 1). Library-free, reproducible anywhere."""
+    out = []
+    for j in range(dim):
+        z = (plane_idx * 1_000_003 + j * 0x9E3779B97F4A7C15 + 0x243F6A8885A308D3) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z = z ^ (z >> 31)
+        out.append((z / 2**63) - 1.0)
+    return out
+
+
+@query("sim_lsh_bucketed_pairs")
+def sim_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 16 sign bits -> 4 bands of 4 bits ->
+    bucket-join candidates -> exact cosine filter at the same 0.4
+    threshold. Precision 1.0 by construction; recall vs
+    sim_pairs_above_threshold pinned in tests/test_similarity.py.
+
+    Scale: one shuffle of (band, bucket, id) instead of the corpus
+    cross product; hyperplanes are compile-time literals so the sign
+    computation rides the scan."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dim, n_planes, n_bands = 64, 16, 4
+    rpb = n_planes // n_bands
+    signs = []
+    for p in range(n_planes):
+        plane = _hyperplane(dim, p)
+        proj = F.aggregate(
+            F.zip_with(
+                "emb",
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        signs.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
+    sig = emb.withColumn(
+        "bits", F.array(*signs)
+    )
+    bands = sig.select(
+        "vec_id",
+        "emb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.array_join(
+                            F.transform(
+                                F.slice("bits", i * rpb + 1, rpb),
+                                lambda x: x.cast("string"),
+                            ),
+                            "",
+                        ).alias("bucket"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "emb", "bk.band", "bk.bucket")
+    a = bands.select(
+        "band", "bucket", F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a")
+    )
+    b = bands.select(
+        "band", "bucket", F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b")
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "emb_a", "emb_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos", cosine("emb_a", "emb_b"))
+        .filter(F.col("cos") >= PAIR_THRESHOLD)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    )
