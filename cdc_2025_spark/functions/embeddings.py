@@ -6,6 +6,7 @@ for wide batches where Arrow + numpy beats codegen'd loops.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
@@ -42,7 +43,6 @@ def make_cosine_udf():
     loops. Same NULL contract as cosine(). Built lazily because
     pandas_udf type resolution needs an active SparkSession."""
     import numpy as np  # noqa: PLC0415
-    import pandas as pd  # noqa: PLC0415
 
     @pandas_udf("double")
     def cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:

@@ -1,0 +1,22 @@
+"""Structured-Streaming surface: CDC apply-changes, windowed
+aggregation with watermarks, and streaming sessionization.
+
+CDC capture itself is external (Debezium -> Kafka, or file drops from
+an upstream extractor); this package consumes the change stream
+(BASELINE.json: "Structured Streaming + CDC source").
+"""
+
+from cdc_2025_spark.streaming.cdc import apply_changes_batch, cdc_upsert_stream
+from cdc_2025_spark.streaming.windows import (
+    session_window_counts,
+    sliding_window_stats,
+    tumbling_window_stats,
+)
+
+__all__ = [
+    "apply_changes_batch",
+    "cdc_upsert_stream",
+    "session_window_counts",
+    "sliding_window_stats",
+    "tumbling_window_stats",
+]

@@ -1,0 +1,123 @@
+"""Dedup accuracy tests: the hash-based families (MinHash-LSH,
+SimHash) are measured against exact ground truth; exact dedup
+semantics pinned on literal frames (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_2025_spark.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from cdc_2025_spark.dedup.exact import content_key, vocab_key
+from cdc_2025_spark.io import read_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents").cache()
+
+
+def test_exact_dedup_literal(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello  World"),
+            (2, "hello world"),  # same after normalization
+            (3, "something else"),
+            (4, "HELLO WORLD "),
+        ],
+        "doc_id long, text string",
+    )
+    groups = exact_dup_groups(df, "doc_id", content_key("text")).collect()
+    sizes = sorted(g["n_docs"] for g in groups)
+    assert sizes == [1, 3]
+    canon = {g["n_docs"]: g["canonical_id"] for g in groups}
+    assert canon[3] == 1  # min id survives
+
+    kept = exact_dedup(df, "doc_id", content_key("text"))
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_vocab_key_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "b a c"), (2, "c b a"), (3, "a b c d")],
+        "doc_id long, text string",
+    )
+    groups = exact_dup_groups(df, "doc_id", vocab_key("text")).collect()
+    assert sorted(g["n_docs"] for g in groups) == [1, 2]
+
+
+def test_minhash_lsh_recall_and_precision(docs):
+    """LSH output must be a subset of exact pairs (precision 1.0 by
+    construction) with high recall at the configured S-curve."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.35).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, k=3, threshold=0.35).collect()
+    }
+    assert approx <= exact
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        # threshold 0.35 sits below the (16x8) S-curve midpoint ~0.71;
+        # low-J pairs may be missed, but the corpus's near-dups are
+        # high-J so observed recall should be solid
+        assert recall >= 0.5, f"recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_minhash_deterministic(docs):
+    a = sorted(
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs).collect()
+    )
+    b = sorted(
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs).collect()
+    )
+    assert a == b
+
+
+def test_simhash_pairs_symmetric_bounds(docs):
+    pairs = simhash_pairs(docs, max_distance=6).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert 0 <= r["hamming"] <= 6
+
+
+def test_simhash_exactness_of_banding(spark):
+    """Banded candidate generation must find ALL pairs within the
+    distance bound (pigeonhole) — verify against brute force on a
+    small slice."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark query engine fast scan"),
+            (2, "spark query engine fast scan"),  # identical -> dist 0
+            (3, "spark query engine slow scan"),
+            (4, "completely different words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    from cdc_2025_spark.dedup.simhash import simhash
+
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select("doc_id", simhash("text").alias("fp")).collect()
+    }
+    want = set()
+    ids = sorted(fps)
+    for i in ids:
+        for j in ids:
+            if i < j and bin(fps[i] ^ fps[j]).count("1") <= 6:
+                want.add((i, j))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(docs, max_distance=6).collect()
+    }
+    assert got == want
+    assert (1, 2) in got  # identical docs always pair

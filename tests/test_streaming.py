@@ -1,0 +1,217 @@
+"""Streaming tests: file-source replay of the events table through the
+windowed operators, and CDC apply-changes upsert/delete semantics —
+deterministic via availableNow triggers (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from datetime import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from cdc_2025_spark.io import read_table
+from cdc_2025_spark.streaming import (
+    apply_changes_batch,
+    cdc_upsert_stream,
+    session_window_counts,
+    tumbling_window_stats,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="cdc_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture()
+def event_files(spark, sf_dir, tmpdir):
+    """Replay the events table as 3 parquet files in timestamp order —
+    a file-drop CDC-ish source."""
+    ev = read_table(spark, sf_dir, "events").orderBy("ts")
+    src = os.path.join(tmpdir, "src")
+    total = ev.count()
+    third = total // 3
+    pdf = ev.toPandas()
+    os.makedirs(src)
+    for i in range(3):
+        lo = i * third
+        hi = total if i == 2 else (i + 1) * third
+        chunk = spark.createDataFrame(pdf.iloc[lo:hi], EVENTS_SCHEMA)
+        chunk.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"chunk{i}")
+        )
+    # flatten: file source wants a directory of files
+    flat = os.path.join(tmpdir, "flat")
+    os.makedirs(flat)
+    n = 0
+    for i in range(3):
+        d = os.path.join(src, f"chunk{i}")
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(d, f), os.path.join(flat, f"{i}-{n}.parquet"))
+                n += 1
+    return flat
+
+
+def test_tumbling_window_stream_matches_batch(spark, sf_dir, event_files, tmpdir):
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(event_files)
+    out = tumbling_window_stats(stream, "1 hour", "2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("select * from tumbling_test").collect()
+    # append mode emits only FINALIZED windows (closed by watermark);
+    # compare those against the batch computation
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert len(got) > 0
+    for r in got:
+        key = (r["window_start"], r["event_type"])
+        assert key in want
+        assert (r["n"], r["total_value"]) == want[key], key
+
+
+def test_session_window_stream_runs(spark, event_files, tmpdir):
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(event_files)
+    out = session_window_counts(stream, "30 minutes", "2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from session_test").collect()
+    assert len(rows) > 0
+    assert all(r["n_events"] >= 1 for r in rows)
+    assert all(r["session_end"] > r["session_start"] for r in rows)
+
+
+CHANGES_SCHEMA = (
+    "k long, op string, op_ts timestamp, _seq long, name string, amount double"
+)
+
+
+def test_apply_changes_batch_semantics(spark):
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, amount double"
+    )
+    changes = spark.createDataFrame(
+        [
+            # update k=1 twice in-batch: later op_ts wins
+            (1, "U", datetime(2024, 1, 1, 0, 0, 1), 1, "a1", 11.0),
+            (1, "U", datetime(2024, 1, 1, 0, 0, 2), 2, "a2", 12.0),
+            # delete k=2
+            (2, "D", datetime(2024, 1, 1, 0, 0, 1), 3, None, None),
+            # insert k=3; same op_ts tie broken by _seq
+            (3, "I", datetime(2024, 1, 1, 0, 0, 1), 4, "c-old", 30.0),
+            (3, "U", datetime(2024, 1, 1, 0, 0, 1), 5, "c-new", 31.0),
+        ],
+        CHANGES_SCHEMA,
+    )
+    out = {
+        r["k"]: (r["name"], r["amount"])
+        for r in apply_changes_batch(snap, changes, ["k"]).collect()
+    }
+    assert out == {1: ("a2", 12.0), 3: ("c-new", 31.0)}
+
+
+def test_cdc_upsert_stream_end_to_end(spark, tmpdir):
+    src = os.path.join(tmpdir, "changes")
+    os.makedirs(src)
+    b1 = spark.createDataFrame(
+        [
+            (1, "I", datetime(2024, 1, 1, 0, 0, 0), 1, "one", 1.0),
+            (2, "I", datetime(2024, 1, 1, 0, 0, 0), 2, "two", 2.0),
+        ],
+        CHANGES_SCHEMA,
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    snap_path = os.path.join(tmpdir, "snapshot")
+    q = cdc_upsert_stream(
+        stream,
+        snap_path,
+        ["k"],
+        checkpoint_path=os.path.join(tmpdir, "ckpt3"),
+    )
+    q.awaitTermination(120)
+    got = {
+        r["k"]: r["name"] for r in spark.read.parquet(snap_path).collect()
+    }
+    assert got == {1: "one", 2: "two"}
+
+    # second batch: update + delete, restart stream (new files only)
+    b2 = spark.createDataFrame(
+        [
+            (1, "U", datetime(2024, 1, 1, 0, 1, 0), 3, "ONE", 1.5),
+            (2, "D", datetime(2024, 1, 1, 0, 1, 0), 4, None, None),
+            (3, "I", datetime(2024, 1, 1, 0, 1, 0), 5, "three", 3.0),
+        ],
+        CHANGES_SCHEMA,
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(b1.schema).parquet(src)
+    q2 = cdc_upsert_stream(
+        stream2,
+        snap_path,
+        ["k"],
+        checkpoint_path=os.path.join(tmpdir, "ckpt3"),
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r["k"]: (r["name"], r["amount"])
+        for r in spark.read.parquet(snap_path).collect()
+    }
+    assert got2 == {1: ("ONE", 1.5), 3: ("three", 3.0)}

@@ -1,0 +1,95 @@
+"""Unit tests for the text-analysis expression library, including a
+Python reimplementation oracle for the rolling fingerprint (which has
+no SQL oracle)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_2025_spark.functions.text import (
+    bpe_ish_token_count,
+    lang_id,
+    quality_score,
+    rolling_fingerprint,
+    shingles,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog"),
+            (2, "der hund und die katze ist da"),
+            (3, "el perro y la casa que los gatos"),
+            (4, "xyzzy plugh"),
+            (5, ""),
+            (6, "  spaced   out   tokens  "),
+            (7, "mixed123 tokens, with punct!"),
+        ],
+        "id long, text string",
+    )
+
+
+def collect_map(df, col):
+    return {r["id"]: r[col] for r in df.select("id", col).collect()}
+
+
+def test_token_count(tdf):
+    got = collect_map(tdf.withColumn("n", token_count("text")), "n")
+    assert got[1] == 8
+    assert got[5] == 0
+    assert got[6] == 3
+    assert got[7] == 4
+
+
+def test_bpe_ish_token_count(tdf):
+    got = collect_map(tdf.withColumn("n", bpe_ish_token_count("text")), "n")
+    # "mixed123 tokens, with punct!" -> mixed,123,tokens,',',with,punct,'!'
+    assert got[7] == 7
+    assert got[5] == 0
+
+
+def test_lang_id(tdf):
+    got = collect_map(tdf.withColumn("l", lang_id("text")), "l")
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "es"
+    assert got[4] == "und"
+
+
+def test_quality_score_bounds(tdf):
+    got = collect_map(tdf.withColumn("q", quality_score("text")), "q")
+    for _id, q in got.items():
+        assert 0.0 <= q <= 1.0
+
+
+def test_rolling_fingerprint_matches_python(tdf):
+    BASE, MOD = 31, 2**31 - 1
+
+    def py_fp(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * BASE + (ord(ch) if ord(ch) < 128 else 0)) % MOD
+        return acc
+
+    got = collect_map(
+        tdf.withColumn("fp", rolling_fingerprint("text")), "fp"
+    )
+    rows = {r["id"]: r["text"] for r in tdf.collect()}
+    for _id, text in rows.items():
+        assert got[_id] == py_fp(text), (_id, text)
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b")], "id long, text string"
+    )
+    got = {
+        r["id"]: r["sh"]
+        for r in df.select("id", shingles("text", 3).alias("sh")).collect()
+    }
+    assert got[1] == ["a b c", "b c d", "c d e", "d e f"]
+    assert got[2] == ["a b"]
