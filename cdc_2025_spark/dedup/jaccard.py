@@ -30,13 +30,35 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Pairs (id_a < id_b, jaccard) with shingle-Jaccard >= threshold."""
-    sets = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(text_col, k)).alias("sh"),
-    ).withColumn("set_size", F.size("sh"))
+    """Pairs (id_a < id_b, jaccard) with shingle-Jaccard >= threshold.
 
-    inv = sets.select("id", "set_size", F.explode("sh").alias("shingle"))
+    Two deliberate physical choices:
+    - repartition by id before shingling: document corpora often
+      arrive as few large files, and the shingle expressions are the
+      dominant per-row cost — spread them across the cluster instead
+      of inheriting the file layout.
+    - join on xxhash64(shingle), not the shingle string: the shuffle
+      carries 8-byte keys instead of ~5-word strings (a 64-bit
+      collision among corpus shingles is ~|shingles|^2 / 2^64 —
+      negligible against float tolerance).
+    """
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    sets = (
+        docs.repartition(n_part, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(shingles(text_col, k)).alias("sh"),
+        )
+        .withColumn("set_size", F.size("sh"))
+        # persist: the shingle construction is the dominant per-row
+        # cost and this subplan feeds both sides of the self-join —
+        # without it Catalyst re-evaluates it per consumer
+        .persist()
+    )
+
+    inv = sets.select(
+        "id", "set_size", F.explode("sh").alias("shingle_str")
+    ).select("id", "set_size", F.xxhash64("shingle_str").alias("shingle"))
     if max_doc_freq is not None:
         df_counts = inv.groupBy("shingle").agg(F.count("*").alias("df"))
         inv = inv.join(

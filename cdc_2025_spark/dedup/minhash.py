@@ -46,6 +46,17 @@ def _hash_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
     ]
 
 
+def shingle_sets(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, sh) distinct-shingle sets, spread across the cluster."""
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n_part, id_col).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(text_col, k)).alias("sh"),
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -53,12 +64,11 @@ def minhash_signatures(
     k: int = 5,
     n_hashes: int = 128,
     seed: int = 42,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """(id, signature array<long>[n_hashes]) per document."""
-    sets = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(text_col, k)).alias("sh"),
-    )
+    if sets is None:
+        sets = shingle_sets(docs, id_col, text_col, k)
     # closure factory, not lambda default args: pyspark dispatches
     # higher-order lambdas on arity
     def perm(a: int, b: int):
@@ -91,7 +101,12 @@ def minhash_lsh_pairs(
     geometry.
     """
     r = n_hashes // n_bands
-    sigs = minhash_signatures(docs, id_col, text_col, k, n_hashes, seed)
+    # one shingle-set computation, persisted, feeding signatures AND
+    # candidate verification — the expression is the dominant map cost
+    sets = shingle_sets(docs, id_col, text_col, k).persist()
+    sigs = minhash_signatures(
+        docs, id_col, text_col, k, n_hashes, seed, sets=sets
+    )
     bands = sigs.select(
         "id",
         F.explode(
@@ -127,10 +142,6 @@ def minhash_lsh_pairs(
     # Verify ONLY the candidate pairs: join their shingle sets back and
     # compute exact Jaccard per pair — work proportional to
     # |candidates|, not |docs|^2 (that full join is what LSH avoids).
-    sets = docs.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(text_col, k)).alias("sh"),
-    )
     sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (

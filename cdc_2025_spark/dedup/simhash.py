@@ -58,7 +58,10 @@ def simhash_pairs(
     """
     n_chunks = max_distance + 1
     chunk_bits = 64 // n_chunks
-    fps = docs.select(
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    # repartition before fingerprinting: 64 aggregate expressions per
+    # row must not inherit a single-file partition layout
+    fps = docs.repartition(n_part, id_col).select(
         F.col(id_col).alias("id"), simhash(text_col).alias("fp")
     )
     chunks = fps.select(

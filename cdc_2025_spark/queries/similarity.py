@@ -52,8 +52,12 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k is a WindowGroupLimit — no corpus shuffle at all
     when k is small. This is the correct baseline ANN validators
     measure recall against."""
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
     )
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
@@ -90,8 +94,12 @@ def sim_pairs_above_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At engine scale this self-join is replaced by the LSH query below;
     here it doubles as that query's ground truth."""
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
     )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
@@ -127,8 +135,12 @@ def sim_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle of (band, bucket, id) instead of the corpus
     cross product; hyperplanes are compile-time literals so the sign
     computation rides the scan."""
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
     )
     dim, n_planes, n_bands = 64, 16, 4
     rpb = n_planes // n_bands
