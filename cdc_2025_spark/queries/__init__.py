@@ -22,6 +22,7 @@ from cdc_2025_spark.queries.registry import ORACLES, QUERIES, query
 
 # Importing the modules populates the registry.
 from cdc_2025_spark.queries import (  # noqa: E402,F401
+    analytics,
     dedup,
     relational,
     resilience_star,

@@ -1,0 +1,396 @@
+"""Analytic operator breadth: statistical aggregates, exact
+percentiles, ranking variants, correlated subqueries, deterministic
+hash sampling, histograms, and additional TPC-H-shaped joins
+(SURVEY.md §7 step 4: "operator breadth to pass the DuckDB oracle").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_2025_spark.io import read_table
+from cdc_2025_spark.queries.registry import query
+
+
+def _r4(c):
+    return F.round(c, 4)
+
+
+@query(
+    "stats_moments_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(AVG(c_acctbal), 4)         AS mean_bal,
+           ROUND(STDDEV_SAMP(c_acctbal), 4) AS sd_bal,
+           ROUND(VAR_SAMP(c_acctbal), 4)    AS var_bal,
+           ROUND(MIN(c_acctbal), 4)         AS min_bal,
+           ROUND(MAX(c_acctbal), 4)         AS max_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def stats_moments_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev/variance — single partial-aggregable pass."""
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        _r4(F.avg("c_acctbal")).alias("mean_bal"),
+        _r4(F.stddev_samp("c_acctbal")).alias("sd_bal"),
+        _r4(F.var_samp("c_acctbal")).alias("var_bal"),
+        _r4(F.min("c_acctbal")).alias("min_bal"),
+        _r4(F.max("c_acctbal")).alias("max_bal"),
+    )
+
+
+@query(
+    "stats_corr_price_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 4)      AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+           CAST(COUNT(*) AS BIGINT)                          AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_corr_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate aggregates (corr/covar) over the fact table."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _r4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        _r4(F.covar_samp("l_quantity", "l_extendedprice")).alias(
+            "covar_qty_price"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "stats_percentiles_order_value",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def stats_percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (linear interpolation — Spark `percentile`
+    and DuckDB `quantile_cont` share the definition). The approximate
+    twin below is the 100 TB path."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        _r4(F.percentile("o_totalprice", F.lit(0.5))).alias("p50"),
+        _r4(F.percentile("o_totalprice", F.lit(0.9))).alias("p90"),
+        _r4(F.percentile("o_totalprice", F.lit(0.99))).alias("p99"),
+    )
+
+
+@query("stats_approx_percentiles")
+def stats_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-sketch-style, mergeable) — the scale
+    path where exact percentile's full sort-per-group is not viable.
+    Rows-only check; accuracy vs exact pinned in tests."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_percentile(
+            "o_totalprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+        ).alias("approx_p50_p90")
+    )
+
+
+@query(
+    "window_ranking_variants",
+    oracle="""
+    SELECT n_name,
+           CAST(rnk AS INTEGER)  AS rnk,
+           CAST(drnk AS INTEGER) AS drnk,
+           CAST(tile AS INTEGER) AS tile,
+           ROUND(pr, 4)          AS pr,
+           ROUND(total_bal, 4)   AS total_bal
+    FROM (
+      SELECT n_name,
+             SUM(c_acctbal) AS total_bal,
+             RANK()         OVER (ORDER BY SUM(c_acctbal) DESC) AS rnk,
+             DENSE_RANK()   OVER (ORDER BY SUM(c_acctbal) DESC) AS drnk,
+             NTILE(4)       OVER (ORDER BY SUM(c_acctbal) DESC) AS tile,
+             PERCENT_RANK() OVER (ORDER BY SUM(c_acctbal) DESC) AS pr
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    """,
+)
+def window_ranking_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / percent_rank over an aggregate.
+
+    A global (unpartitioned) window is a deliberate single-partition
+    sort — fine over |nations| rows; the engine never does this over
+    fact-table cardinality."""
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    per_nation = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("c_acctbal").alias("total_bal"))
+    )
+    w = Window.orderBy(F.col("total_bal").desc())
+    return per_nation.select(
+        "n_name",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("tile"),
+        _r4(F.percent_rank().over(w)).alias("pr"),
+        _r4(F.col("total_bal")).alias("total_bal"),
+    )
+
+
+@query(
+    "window_first_last_order",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)  OVER w AS last_order,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with an explicit full frame (the default
+    frame would make last_value = current row)."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        F.first_value("o_orderkey").over(w).alias("first_order"),
+        F.last_value("o_orderkey").over(w).alias("last_order"),
+        F.count("*").over(w).alias("n_orders"),
+    ).distinct()
+
+
+@query(
+    "subquery_correlated_max_order",
+    oracle="""
+    SELECT c_custkey, c_name,
+           (SELECT MAX(o_totalprice) FROM orders
+            WHERE o_custkey = c_custkey) AS max_order
+    FROM customer
+    WHERE c_acctbal > 9000
+    """,
+)
+def subquery_correlated_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — expressed via spark.sql to
+    exercise the SQL front end; Catalyst decorrelates it into a left
+    outer aggregate join (same plan the DataFrame form would build)."""
+    from cdc_2025_spark.io import load_star_schema
+
+    load_star_schema(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT MAX(o_totalprice) FROM orders
+                WHERE o_custkey = c_custkey) AS max_order
+        FROM customer
+        WHERE c_acctbal > 9000
+        """
+    )
+
+
+@query(
+    "subquery_in_top_nations",
+    oracle="""
+    SELECT c_custkey, c_nationkey
+    FROM customer
+    WHERE c_nationkey IN (
+      SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name IN ('ASIA', 'EUROPE')
+    )
+    """,
+)
+def subquery_in_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery: customers in Asian/European nations (plans as a
+    broadcast left-semi join over the tiny dim chain)."""
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    keys = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+        F.col("n_nationkey").alias("c_nationkey")
+    )
+    return cust.join(keys, "c_nationkey", "left_semi").select(
+        "c_custkey", "c_nationkey"
+    )
+
+
+@query(
+    "sample_hash_deterministic",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 10 = 0
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample via md5-bucket of the key — the
+    engine-portable, seed-free sampling operator (rand()-based samples
+    can never be oracle-checked; hash samples are reproducible across
+    engines AND across reruns at 100 TB)."""
+    orders = read_table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    return orders.filter(bucket == 0).agg(
+        F.count("*").alias("n"), _r4(F.sum("o_totalprice")).alias("revenue")
+    )
+
+
+@query(
+    "histogram_order_values",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INTEGER) AS bucket
+      FROM orders
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket
+    """,
+)
+def histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram — one aggregate over a computed bucket;
+    the building block for distribution profiling at scale."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "bucket", F.floor(F.col("o_totalprice") / 50000.0).cast("int")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: top customers by returned-item revenue."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _r4(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q2ish_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, l_suppkey, unit_cost,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY unit_cost, l_suppkey) AS rn
+      FROM costs
+    )
+    SELECT b.l_partkey AS partkey, s_name,
+           b.unit_cost AS unit_cost
+    FROM best b JOIN supplier ON b.l_suppkey = s_suppkey
+    WHERE rn = 1
+    """,
+)
+def q2ish_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped: cheapest supplier per part (argmin via
+    window over a pre-aggregate, then broadcast-join the dim)."""
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    supp = read_table(spark, sf_dir, "supplier")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = costs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    # unit_cost is NOT rounded: min over identical IEEE quotients is
+    # bit-deterministic in both engines, whereas ROUND(x, 4) lands on
+    # half-boundaries for decimal-friendly price/qty data and the two
+    # engines' rounding implementations disagree there.
+    return best.join(supp, best.l_suppkey == supp.s_suppkey).select(
+        F.col("l_partkey").alias("partkey"),
+        "s_name",
+        F.col("unit_cost"),
+    )
+
+
+@query(
+    "sql_api_grouping_sets",
+    oracle="""
+    SELECT n_name, o_orderstatus,
+           ROUND(SUM(o_totalprice), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderstatus), ())
+    """,
+)
+def sql_api_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the engine's SQL front end —
+    the registered-view path (io.load_star_schema) is itself part of
+    the API surface."""
+    from cdc_2025_spark.io import load_star_schema
+
+    load_star_schema(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, o_orderstatus,
+               ROUND(SUM(o_totalprice), 4) AS revenue,
+               COUNT(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (o_orderstatus), ())
+        """
+    )
