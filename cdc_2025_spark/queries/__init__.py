@@ -28,6 +28,7 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
     resilience_star,
     similarity,
     text,
+    tpch,
     windows,
 )
 

@@ -112,6 +112,77 @@ def sim_pairs_above_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+@query("sim_ivf_topk")
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is
+    partitioned into N_CENTROIDS cells by nearest centroid; a query
+    probes only its N_PROBE closest cells and ranks exactly within
+    them — the classic ANN scale path (a 100 TB corpus scans
+    nprobe/nlist of itself per query instead of all of it).
+
+    Centroids are deterministic — the first N_CENTROIDS corpus
+    vectors — so results are stable across runs/engines without a
+    k-means iteration (a real deployment would k-means them; the
+    assignment/probe/re-rank plumbing is identical). Rows-only driver
+    check; recall vs sim_topk_bruteforce pinned in
+    tests/test_similarity.py.
+
+    Plan shape: both the centroid set (16 rows) and the probe map
+    (5 queries × 4 cells) broadcast; the corpus is scored against 16
+    broadcast centroids in one codegen pass (argmax via max_by — no
+    shuffle), then the candidate join is a broadcast hash join on
+    cell id. The only shuffle is the final per-query top-k window
+    over candidates (~nprobe/nlist of the corpus)."""
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+    )
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    # assign every vector to its nearest centroid (argmax cosine)
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cid", cosine("emb", "cemb")).alias("cell"),
+            F.first("emb").alias("emb"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    # per-query probe list: its N_PROBE nearest centroids
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("qcos").desc(), F.col("cid")
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .select("qid", "qemb", "cid", cosine("qemb", "cemb").alias("qcos"))
+        .withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= N_PROBE)
+        .select("qid", "qemb", F.col("cid").alias("cell"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", cosine("qemb", "emb").alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id", F.round("cos", 4).alias("cos"), "rn")
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random hyperplane via splitmix64 — maps
     (plane, coord) to [-1, 1). Library-free, reproducible anywhere."""

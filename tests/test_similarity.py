@@ -13,6 +13,7 @@ from cdc_2025_spark.functions.embeddings import cosine, make_cosine_udf
 from cdc_2025_spark.io import read_table
 from cdc_2025_spark.queries.similarity import (
     PAIR_THRESHOLD,
+    sim_ivf_topk,
     sim_lsh_bucketed_pairs,
     sim_pairs_above_threshold,
     sim_topk_bruteforce,
@@ -63,6 +64,26 @@ def test_lsh_subset_and_recall(spark, sf_dir):
         # 4 bands x 4 bits at cos>=0.4: P[share a band] is modest per
         # pair; assert a sane floor rather than a tuned figure
         assert recall >= 0.3, f"recall {recall:.2f} of {len(exact)}"
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    exact = {}
+    for r in sim_topk_bruteforce(spark, sf_dir).collect():
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+    approx = {}
+    for r in sim_ivf_topk(spark, sf_dir).collect():
+        approx.setdefault(r["qid"], set()).add(r["vec_id"])
+    # every query must return a full-ish candidate list, and IVF
+    # scores are exact cosines, so any returned neighbor that IS in
+    # the probed cells ranks identically to brute force
+    recalls = []
+    for qid, want in exact.items():
+        got = approx.get(qid, set())
+        assert got, f"IVF returned nothing for query {qid}"
+        recalls.append(len(got & want) / len(want))
+    # nprobe=4 of nlist=16 probes 25% of cells but neighbors cluster
+    # into the same cells as the query; assert a sane floor
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
 
 
 def test_cosine_udf_matches_codegen(spark):
