@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cdc_2025_spark.functions.text import shingles
+from cdc_2025_spark.dedup.minhash import shingle_sets
 
 
 def ngram_jaccard_pairs(
@@ -32,23 +32,15 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard) with shingle-Jaccard >= threshold.
 
-    Two deliberate physical choices:
-    - repartition by id before shingling: document corpora often
-      arrive as few large files, and the shingle expressions are the
-      dominant per-row cost — spread them across the cluster instead
-      of inheriting the file layout.
-    - join on xxhash64(shingle), not the shingle string: the shuffle
-      carries 8-byte keys instead of ~5-word strings (a 64-bit
-      collision among corpus shingles is ~|shingles|^2 / 2^64 —
-      negligible against float tolerance).
+    Shingle sets come pre-hashed to longs from dedup.minhash
+    (shared construction): the inverted-index shuffle carries 8-byte
+    keys, and set sizes/intersections are over long arrays. The
+    repartition inside shingle_sets spreads the shingle expressions —
+    the dominant per-row cost — across the cluster regardless of
+    source file layout.
     """
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
     sets = (
-        docs.repartition(n_part, id_col)
-        .select(
-            F.col(id_col).alias("id"),
-            F.array_distinct(shingles(text_col, k)).alias("sh"),
-        )
+        shingle_sets(docs, id_col, text_col, k)
         .withColumn("set_size", F.size("sh"))
         # persist: the shingle construction is the dominant per-row
         # cost and this subplan feeds both sides of the self-join —
@@ -56,9 +48,7 @@ def ngram_jaccard_pairs(
         .persist()
     )
 
-    inv = sets.select(
-        "id", "set_size", F.explode("sh").alias("shingle_str")
-    ).select("id", "set_size", F.xxhash64("shingle_str").alias("shingle"))
+    inv = sets.select("id", "set_size", F.explode("sh").alias("shingle"))
     if max_doc_freq is not None:
         df_counts = inv.groupBy("shingle").agg(F.count("*").alias("df"))
         inv = inv.join(

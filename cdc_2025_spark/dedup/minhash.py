@@ -1,23 +1,29 @@
 """MinHash + LSH banding near-dup detection — the 100 TB dedup path.
 
-Signatures are computed entirely as array expressions (no explode, no
-Python): for each of ``n_hashes`` permutations,
-``min over shingles of pmod(a_i * xxhash64(shingle) + b_i, P)``.
-The hash family is deterministic (fixed seeds), so results are stable
-across runs and cluster layouts.
+Pipeline (all JVM-side, no Python on the executor path):
 
-LSH: the signature splits into ``n_bands`` bands of ``r`` rows; two
-docs are candidates iff some band hashes identically. With J the true
-Jaccard, P[candidate] = 1 - (1 - J^r)^b — the (b, r) choice below
-(16 bands x 8 rows, 128 hashes) puts the S-curve threshold at
-(1/16)^(1/8) ~ 0.71.
+1. shingle once, hash each shingle to a long (xxhash64) at
+   construction — every downstream stage (signatures, verification)
+   works on 8-byte keys, never re-touching strings;
+2. signatures via explode + 128 codegen'd ``min`` aggregates:
+   ``min over shingles of pmod(a_i * h + b_i, P)``. Grouped min-agg
+   is whole-stage-codegen'd and partially aggregated map-side,
+   unlike higher-order array transforms (interpreted per element);
+3. LSH banding: the 128 signature columns split into ``n_bands``
+   bands of ``r``; the band bucket is a single multi-argument
+   ``xxhash64(s_j..s_{j+r-1})`` — no array slicing or string joins.
+
+The hash family is deterministic (fixed seeds), so results are stable
+across runs and cluster layouts. With J the true Jaccard,
+P[candidate] = 1 - (1 - J^r)^b — 16 bands x 8 rows puts the S-curve
+threshold at (1/16)^(1/8) ~ 0.71. This is the textbook MMDS ch.3
+construction (public knowledge), re-expressed in Spark aggregates.
 
 Scale: cost is |docs| x n_hashes map-side work + one shuffle of
 (band_hash -> id) pairs; bucket sizes are bounded by real duplicate
-clusters, and candidate verification (exact Jaccard via
-dedup.jaccard) touches only candidate ids, not the corpus cross
-product. This is the textbook MMDS ch.3 construction (public
-knowledge), re-expressed in Spark array expressions.
+clusters, and candidate verification (exact Jaccard on the hashed
+shingle sets) touches only candidate ids, not the corpus cross
+product.
 """
 
 from __future__ import annotations
@@ -49,12 +55,29 @@ def _hash_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
 def shingle_sets(
     docs: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
-    """(id, sh) distinct-shingle sets, spread across the cluster."""
+    """(id, sh) distinct HASHED shingle sets (array<long>), spread
+    across the cluster. Hashing at construction means the shuffle and
+    every set operation downstream carries 8-byte keys instead of
+    ~k-word strings (a 64-bit collision among corpus shingles is
+    ~|shingles|^2 / 2^64 — negligible against float tolerance)."""
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     return docs.repartition(n_part, id_col).select(
         F.col(id_col).alias("id"),
-        F.array_distinct(shingles(text_col, k)).alias("sh"),
+        F.array_distinct(
+            F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
+        ).alias("sh"),
     )
+
+
+def _signature_cols(n_hashes: int, seed: int, h: str) -> list:
+    """The n_hashes permuted-min aggregate expressions over a hashed
+    shingle column ``h``. Built as SQL expression strings: one py4j
+    round trip per aggregate instead of ~6 (measurably faster driver
+    plan construction for wide signatures)."""
+    return [
+        F.expr(f"min(pmod({a}L * {h} + {b}L, {MERSENNE_P}L)) AS _s{i}")
+        for i, (a, b) in enumerate(_hash_params(n_hashes, seed))
+    ]
 
 
 def minhash_signatures(
@@ -67,20 +90,29 @@ def minhash_signatures(
     sets: DataFrame | None = None,
 ) -> DataFrame:
     """(id, signature array<long>[n_hashes]) per document."""
+    wide = _signature_wide(docs, id_col, text_col, k, n_hashes, seed, sets)
+    return wide.select(
+        "id", F.array(*[f"_s{i}" for i in range(n_hashes)]).alias("signature")
+    )
+
+
+def _signature_wide(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    n_hashes: int,
+    seed: int,
+    sets: DataFrame | None = None,
+) -> DataFrame:
+    """(id, _s0.._s{n-1}) signature columns: explode the hashed sets
+    and run one codegen'd hash-aggregate with n_hashes min buffers —
+    partial aggregation happens map-side, so the shuffle carries one
+    row per document regardless of shingle count."""
     if sets is None:
         sets = shingle_sets(docs, id_col, text_col, k)
-    # closure factory, not lambda default args: pyspark dispatches
-    # higher-order lambdas on arity
-    def perm(a: int, b: int):
-        return lambda s: F.pmod(
-            F.lit(a) * F.xxhash64(s) + F.lit(b), F.lit(MERSENNE_P)
-        )
-
-    sig_cols = [
-        F.array_min(F.transform("sh", perm(a, b)))
-        for a, b in _hash_params(n_hashes, seed)
-    ]
-    return sets.select("id", F.array(*sig_cols).alias("signature"))
+    ex = sets.select("id", F.explode("sh").alias("h"))
+    return ex.groupBy("id").agg(*_signature_cols(n_hashes, seed, "h"))
 
 
 def minhash_lsh_pairs(
@@ -96,18 +128,18 @@ def minhash_lsh_pairs(
     """Near-dup pairs (id_a < id_b, jaccard) whose EXACT shingle
     Jaccard >= threshold, found via LSH candidates then verified.
 
-    Verification joins candidates back to exact Jaccard, so precision
-    is 1.0; recall follows the LSH S-curve for the (bands, rows)
-    geometry.
+    Verification joins candidates back to exact Jaccard over the
+    hashed shingle sets, so precision is 1.0; recall follows the LSH
+    S-curve for the (bands, rows) geometry.
     """
     r = n_hashes // n_bands
     # one shingle-set computation, persisted, feeding signatures AND
     # candidate verification — the expression is the dominant map cost
     sets = shingle_sets(docs, id_col, text_col, k).persist()
-    sigs = minhash_signatures(
-        docs, id_col, text_col, k, n_hashes, seed, sets=sets
-    )
-    bands = sigs.select(
+    wide = _signature_wide(docs, id_col, text_col, k, n_hashes, seed, sets)
+    # band bucket = one multi-arg xxhash64 over the band's signature
+    # columns — pure codegen, no array materialization
+    bands = wide.select(
         "id",
         F.explode(
             F.array(
@@ -115,13 +147,7 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(j).alias("band"),
                         F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("signature", j * r + 1, r),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
+                            *[F.col(f"_s{j * r + i}") for i in range(r)]
                         ).alias("bucket"),
                     )
                     for j in range(n_bands)
