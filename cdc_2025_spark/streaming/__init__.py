@@ -1,5 +1,6 @@
 """Structured-Streaming surface: CDC apply-changes, windowed
-aggregation with watermarks, and streaming sessionization.
+aggregation with watermarks, streaming sessionization, and arbitrary
+per-key state (applyInPandasWithState).
 
 CDC capture itself is external (Debezium -> Kafka, or file drops from
 an upstream extractor); this package consumes the change stream
@@ -7,6 +8,7 @@ an upstream extractor); this package consumes the change stream
 """
 
 from cdc_2025_spark.streaming.cdc import apply_changes_batch, cdc_upsert_stream
+from cdc_2025_spark.streaming.stateful import stateful_user_totals
 from cdc_2025_spark.streaming.windows import (
     session_window_counts,
     sliding_window_stats,
@@ -18,5 +20,6 @@ __all__ = [
     "cdc_upsert_stream",
     "session_window_counts",
     "sliding_window_stats",
+    "stateful_user_totals",
     "tumbling_window_stats",
 ]

@@ -27,6 +27,7 @@ from cdc_2025_spark.streaming import (
     apply_changes_batch,
     cdc_upsert_stream,
     session_window_counts,
+    stateful_user_totals,
     tumbling_window_stats,
 )
 
@@ -136,6 +137,50 @@ def test_session_window_stream_runs(spark, event_files, tmpdir):
     assert len(rows) > 0
     assert all(r["n_events"] >= 1 for r in rows)
     assert all(r["session_end"] > r["session_start"] for r in rows)
+
+
+def test_stateful_user_totals_matches_batch(spark, sf_dir, event_files, tmpdir):
+    """applyInPandasWithState running totals: after the stream drains,
+    the LAST emitted row per user must equal the batch groupBy."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(event_files)
+    out = stateful_user_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("select * from stateful_test").collect()
+    assert emitted
+    # update mode re-emits a user's row per touching batch; running
+    # totals only grow, so the final state is the max per user
+    final: dict = {}
+    for r in emitted:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"], r["last_ts"])
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    want = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["last_ts"])
+        for r in batch.collect()
+    }
+    assert set(final) == set(want)
+    for uid, (n, total, last_ts) in want.items():
+        got_n, got_total, got_last = final[uid]
+        assert got_n == n, uid
+        assert abs(got_total - total) < 1e-6, uid
+        assert got_last == last_ts, uid
 
 
 CHANGES_SCHEMA = (
