@@ -12,6 +12,7 @@ changes.
 
 from cdc_2025_spark.multimodal.media import (
     MEDIA_SCHEMA,
+    extract_audio_chunk_features,
     extract_image_features,
     make_synthetic_media,
     sample_video_frames,
@@ -19,6 +20,7 @@ from cdc_2025_spark.multimodal.media import (
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "extract_audio_chunk_features",
     "extract_image_features",
     "make_synthetic_media",
     "sample_video_frames",

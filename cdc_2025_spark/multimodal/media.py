@@ -130,6 +130,70 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     return imgs.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+    ]
+)
+
+
+def extract_audio_chunk_features(
+    media: DataFrame, chunk_ms: int = 1000
+) -> DataFrame:
+    """Per-chunk audio loudness features (RMS + peak), one output row
+    per ``chunk_ms`` of meta.duration_ms.
+
+    Same two-phase shape as frame sampling: chunk cardinality is
+    JVM-side explode (Catalyst sees it), the decode kernel is the
+    stubbed Python stage. The STUB treats the payload as raw unsigned
+    8-bit PCM cycled over chunks — real deployments swap in
+    soundfile/ffmpeg decode behind the identical (payload, chunk_idx)
+    -> features contract.
+    """
+    auds = media.filter(F.col("kind") == "audio").select(
+        "media_id",
+        "payload",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    (F.col("meta.duration_ms") / chunk_ms).cast("int") - 1,
+                    F.lit(0),
+                ),
+            )
+        ).alias("chunk_idx"),
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            rms, peak = [], []
+            for p, i in zip(pdf["payload"], pdf["chunk_idx"]):
+                buf = np.frombuffer(bytes(p), dtype=np.uint8).astype(
+                    np.float64
+                )
+                # stub "decode": rotate the buffer per chunk so chunks
+                # differ deterministically; center to [-1, 1]
+                samples = (np.roll(buf, -int(i)) - 128.0) / 128.0
+                rms.append(float(np.sqrt(np.mean(samples**2))))
+                peak.append(float(np.abs(samples).max()))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "chunk_idx": pdf["chunk_idx"],
+                    "rms": rms,
+                    "peak": peak,
+                }
+            )
+
+    return auds.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
 def sample_video_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Frame sampling contract: one output row per sampled frame.
 
