@@ -1,0 +1,66 @@
+"""Physical-plan-shape pins: the scale properties the engine promises
+(pushdown, pruning, broadcast, distributed top-k) must be visible in
+the optimized plan, not just asserted in docstrings. Conservative
+assertions only — plan details that AQE/stats may legitimately change
+are not pinned.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from cdc_2025_spark.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_filter_pushdown_and_column_pruning(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    # all three predicates reach the parquet scan
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_shipdate" in p
+    assert "LessThan(l_quantity,24.0)" in p
+    # scan reads only the 4 referenced columns of 11
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_partkey" not in read and "l_returnflag" not in read
+    assert "l_extendedprice" in read
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    for name in ("topk_customers_by_spend", "q18_large_orders"):
+        assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, name), name
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q5_regional_volume")
+    assert "BroadcastHashJoin" in p
+    # the tiny dim chain must never plan a cartesian product
+    assert "CartesianProduct" not in p
+
+
+def test_range_join_broadcasts_window_side(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "range_join_event_windows")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_semi_join_for_exists(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in p
+
+
+@pytest.mark.parametrize(
+    "name", ["q1_pricing_summary", "q3_shipping_priority"]
+)
+def test_no_python_udfs_on_relational_paths(spark, sf_dir, name):
+    p = plan_of(spark, sf_dir, name)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
