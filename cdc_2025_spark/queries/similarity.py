@@ -183,6 +183,38 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_kmeans_cell_profile")
+def sim_kmeans_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (functions/kmeans.py) over the
+    embeddings: 3 iterations, k=8, then per-cell population and mean
+    within-cell distance. Iterative/non-SQL-expressible — rows-only
+    driver check; objective monotonicity and determinism pinned in
+    tests/test_kmeans.py."""
+    from cdc_2025_spark.functions.kmeans import (
+        _sq_dist,
+        assign_cells,
+        lloyd_kmeans,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = lloyd_kmeans(emb, k=8, n_iter=3)
+    vecs = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    assigned = assign_cells(vecs, cents)
+    return (
+        assigned.join(F.broadcast(cents), assigned.cell == cents.cid)
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg(F.sqrt(_sq_dist("emb", "cemb"))), 4).alias(
+                "mean_dist"
+            ),
+        )
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random hyperplane via splitmix64 — maps
     (plane, coord) to [-1, 1). Library-free, reproducible anywhere."""

@@ -1,0 +1,49 @@
+"""Lloyd's k-means: objective monotonicity, determinism, and
+assignment sanity over the embeddings table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_2025_spark.functions.kmeans import (
+    assign_cells,
+    lloyd_kmeans,
+    within_cluster_sse,
+)
+from cdc_2025_spark.io import read_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_sse_monotonically_decreases(spark, emb):
+    sses = [
+        within_cluster_sse(emb, lloyd_kmeans(emb, k=8, n_iter=i))
+        for i in (1, 2, 4)
+    ]
+    assert sses[0] >= sses[1] >= sses[2]
+    assert sses[2] > 0
+
+
+def test_deterministic_across_runs(spark, emb):
+    a = {r["cid"]: r["cemb"] for r in lloyd_kmeans(emb, k=8, n_iter=2).collect()}
+    b = {r["cid"]: r["cemb"] for r in lloyd_kmeans(emb, k=8, n_iter=2).collect()}
+    assert a == b
+
+
+def test_assignment_covers_corpus_once(spark, emb):
+    cents = lloyd_kmeans(emb, k=8, n_iter=2)
+    vecs = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    assigned = assign_cells(vecs, cents)
+    n = emb.count()
+    assert assigned.count() == n  # every vector exactly one cell
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert cells  # at least one non-empty cell
+    cent_ids = {r["cid"] for r in cents.select("cid").collect()}
+    assert cells <= cent_ids
