@@ -23,6 +23,7 @@ from cdc_2025_spark.queries.registry import ORACLES, QUERIES, query
 # Importing the modules populates the registry.
 from cdc_2025_spark.queries import (  # noqa: E402,F401
     analytics,
+    arrays,
     behavior,
     dedup,
     relational,
