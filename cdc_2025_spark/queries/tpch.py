@@ -402,6 +402,103 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13: order-count distribution INCLUDING zero-order
+    customers (the left outer join is the point — an inner join would
+    silently drop the zero bucket)."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from below-one-fifth-of-average-quantity
+    orders of one brand. The correlated AVG decorrelates into a
+    per-part pre-aggregate joined back — expressed directly in that
+    decorrelated form (one lineitem scan for the avg, one for the
+    probe; the brand filter shrinks the probe side first)."""
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    li = read_table(spark, sf_dir, "lineitem")
+    # per-part avg over ALL lineitems (the subquery is correlated on
+    # partkey only, not on the brand filter)
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap")
+    )
+    probe = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (
+        probe.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(_r4(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q22_dormant_rich_customers",
+    oracle="""
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c_acctbal), 4) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: above-average-balance customers with no
+    orders, per nation. Scalar avg broadcasts as a 1-row cross join;
+    NOT EXISTS plans as a left-anti join on the orders key set."""
+    cust = read_table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            _r4(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+@query(
     "range_join_event_windows",
     oracle="""
     WITH w AS (
