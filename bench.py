@@ -25,16 +25,23 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_regional_volume",
+    "q6_forecast_revenue",
+    "q13_customer_order_distribution",
+    "q18_large_orders",
     "topk_customers_by_spend",
     "agg_rollup_nation_segment",
     "window_top3_orders_per_customer",
     "window_sessionize_events",
     "asof_last_signup_before_purchase",
+    "range_join_event_windows",
+    "funnel_signup_purchase",
+    "cohort_daily_retention",
     "resilience_nation_revenue",
     "scalar_json_props_extract",
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_lsh_pairs",
     "sim_topk_bruteforce",
+    "sim_ivf_topk",
     "text_quality_scores",
 ]
 
