@@ -32,6 +32,7 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
     text,
     tpch,
     windows,
+    windows2,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]
