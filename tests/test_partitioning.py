@@ -51,6 +51,66 @@ def test_date_partitioned_write_prunes_on_read(spark, sf_dir, tmpdir):
     assert n_days > 1  # the pruning actually skipped something
 
 
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmpdir):
+    """Bucketing both join sides on the join key 8-ways lets the join
+    run exchange-free — the co-located-join layout for repeated
+    fact-fact joins at 100 TB (SURVEY.md §7.7)."""
+    warehouse = os.path.join(tmpdir, "warehouse")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    try:
+        (
+            orders.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .option("path", os.path.join(warehouse, "orders_b"))
+            .saveAsTable("orders_b")
+        )
+        (
+            li.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .option("path", os.path.join(warehouse, "lineitem_b"))
+            .saveAsTable("lineitem_b")
+        )
+        # disable broadcast: at test scale the small side would
+        # broadcast and hide the bucket layout the test asserts (at
+        # 100 TB neither side broadcasts — SMJ is the real plan)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ob = spark.table("orders_b")
+        lb = spark.table("lineitem_b")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain()  # simple mode: each node printed once
+        plan = buf.getvalue()
+        # SortMergeJoin with NO exchange under either side: the scan's
+        # bucket layout satisfies the join distribution directly. The
+        # single remaining Exchange is the post-join groupBy.
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange") == 1, (
+            f"bucketed join should not shuffle its inputs:\n{plan}"
+        )
+        # and the result matches the unbucketed join
+        want = (
+            orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
 def test_aqe_coalesces_small_shuffle(spark, sf_dir):
     """With AQE on, a small groupBy must not produce hundreds of tiny
     output partitions — runtime coalescing is part of the session

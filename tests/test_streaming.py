@@ -27,6 +27,7 @@ from cdc_2025_spark.streaming import (
     apply_changes_batch,
     cdc_upsert_stream,
     session_window_counts,
+    sliding_window_stats,
     stateful_user_totals,
     tumbling_window_stats,
 )
@@ -137,6 +138,35 @@ def test_session_window_stream_runs(spark, event_files, tmpdir):
     assert len(rows) > 0
     assert all(r["n_events"] >= 1 for r in rows)
     assert all(r["session_end"] > r["session_start"] for r in rows)
+
+
+def test_sliding_window_stream_matches_batch(spark, sf_dir, event_files, tmpdir):
+    """Each event lands in duration/slide windows; finalized windows
+    must match the batch twin."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(event_files)
+    out = sliding_window_stats(stream, "1 hour", "30 minutes", "2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt_slide"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sliding_test").collect()
+    assert got
+    batch = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("window.start").alias("window_start"), "n", "avg_value")
+    )
+    want = {r["window_start"]: (r["n"], r["avg_value"]) for r in batch.collect()}
+    for r in got:
+        assert want[r["window_start"]] == (r["n"], r["avg_value"]), (
+            r["window_start"]
+        )
 
 
 def test_stateful_user_totals_matches_batch(spark, sf_dir, event_files, tmpdir):
