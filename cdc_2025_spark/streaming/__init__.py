@@ -7,7 +7,11 @@ an upstream extractor); this package consumes the change stream
 (BASELINE.json: "Structured Streaming + CDC source").
 """
 
-from cdc_2025_spark.streaming.cdc import apply_changes_batch, cdc_upsert_stream
+from cdc_2025_spark.streaming.cdc import (
+    apply_changes_batch,
+    cdc_source,
+    cdc_upsert_stream,
+)
 from cdc_2025_spark.streaming.stateful import stateful_user_totals
 from cdc_2025_spark.streaming.windows import (
     session_window_counts,
@@ -17,6 +21,7 @@ from cdc_2025_spark.streaming.windows import (
 
 __all__ = [
     "apply_changes_batch",
+    "cdc_source",
     "cdc_upsert_stream",
     "session_window_counts",
     "sliding_window_stats",

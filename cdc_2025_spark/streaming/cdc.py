@@ -70,6 +70,47 @@ def apply_changes_batch(
     return kept.unionByName(upserts)
 
 
+def cdc_source(
+    spark,
+    source: str,
+    schema=None,
+    path: str | None = None,
+    kafka_bootstrap: str | None = None,
+    kafka_topic: str | None = None,
+    rows_per_second: int = 100,
+) -> DataFrame:
+    """Uniform change-stream reader: 'parquet'/'json' file drops,
+    'rate' (synthetic, for load tests), or 'kafka' (Debezium-style
+    topics; requires the Kafka connector on the classpath — not
+    present in this container, exercised in real deployments only).
+
+    All three return the same unstarted streaming DataFrame shape the
+    rest of the CDC pipeline consumes; file and rate paths are tested
+    (tests/test_streaming.py), kafka is constructed identically.
+    """
+    if source in ("parquet", "json"):
+        if schema is None or path is None:
+            raise ValueError("file sources need schema and path")
+        return getattr(
+            spark.readStream.schema(schema), source
+        )(path)
+    if source == "rate":
+        return spark.readStream.format("rate").option(
+            "rowsPerSecond", str(rows_per_second)
+        ).load()
+    if source == "kafka":
+        if not (kafka_bootstrap and kafka_topic):
+            raise ValueError("kafka source needs bootstrap servers and topic")
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", kafka_bootstrap)
+            .option("subscribe", kafka_topic)
+            .option("startingOffsets", "earliest")
+            .load()
+        )
+    raise ValueError(f"unknown CDC source {source!r}")
+
+
 def cdc_upsert_stream(
     changes_stream: DataFrame,
     snapshot_path: str,

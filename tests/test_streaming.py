@@ -213,6 +213,36 @@ def test_stateful_user_totals_matches_batch(spark, sf_dir, event_files, tmpdir):
         assert got_last == last_ts, uid
 
 
+def test_cdc_source_rate_and_files(spark, event_files, tmpdir):
+    """cdc_source builds working file and rate streams (kafka is the
+    same construction against a connector this container lacks)."""
+    from cdc_2025_spark.streaming import cdc_source
+
+    file_stream = cdc_source(
+        spark, "parquet", schema=EVENTS_SCHEMA, path=event_files
+    )
+    assert file_stream.isStreaming
+
+    rate = cdc_source(spark, "rate", rows_per_second=50)
+    assert rate.isStreaming
+    q = (
+        rate.writeStream.format("memory")
+        .queryName("rate_test")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt_rate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("select * from rate_test").collect()
+    assert all(set(r.asDict()) == {"timestamp", "value"} for r in rows)
+
+    with pytest.raises(ValueError):
+        cdc_source(spark, "kafka")
+    with pytest.raises(ValueError):
+        cdc_source(spark, "parquet")
+
+
 CHANGES_SCHEMA = (
     "k long, op string, op_ts timestamp, _seq long, name string, amount double"
 )
