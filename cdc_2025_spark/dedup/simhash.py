@@ -45,6 +45,40 @@ def simhash(text: Column | str, n_bits: int = 64) -> Column:
     return out
 
 
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, fp) SimHash-64 per doc — same values as ``simhash()`` but
+    computed as explode + 64 codegen'd conditional sums: the token is
+    hashed ONCE per row (vs once per bit), and grouped sums get
+    map-side partial aggregation (higher-order ``aggregate`` lambdas
+    are interpreted per element — see dedup/minhash.py)."""
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    ex = (
+        docs.repartition(n_part, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .select("id", F.xxhash64("tok").alias("h"))
+    )
+    bit_aggs = [
+        F.expr(
+            f"sum(case when (h >> {p}) & 1 = 1 then 1 else -1 end) AS _b{p}"
+        )
+        for p in range(64)
+    ]
+    fp_terms = []
+    for p in range(64):
+        weight = (1 << p) if p < 63 else -(1 << 63)
+        fp_terms.append(f"(case when _b{p} > 0 then {weight}L else 0L end)")
+    return (
+        ex.groupBy("id")
+        .agg(*bit_aggs)
+        .select("id", F.expr(" + ".join(fp_terms)).alias("fp"))
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -58,12 +92,7 @@ def simhash_pairs(
     """
     n_chunks = max_distance + 1
     chunk_bits = 64 // n_chunks
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    # repartition before fingerprinting: 64 aggregate expressions per
-    # row must not inherit a single-file partition layout
-    fps = docs.repartition(n_part, id_col).select(
-        F.col(id_col).alias("id"), simhash(text_col).alias("fp")
-    )
+    fps = simhash_fingerprints(docs, id_col, text_col)
     chunks = fps.select(
         "id",
         "fp",
