@@ -154,6 +154,37 @@ def window_mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_trailing7d_customer_spend",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW),
+           4) AS trailing_7d
+    FROM orders
+    """,
+)
+def window_trailing7d_customer_spend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Value-RANGE window frame: each order's trailing-7-day spend for
+    its customer. Spark has no interval RANGE frames, so the date is
+    mapped to epoch-days and the frame is rangeBetween(-6, 0) — the
+    standard translation; same-day peers aggregate together in both
+    engines (that's what distinguishes RANGE from ROWS)."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.col("o_orderdate").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        _r4(F.sum("o_totalprice").over(w)).alias("trailing_7d"),
+    )
+
+
+@query(
     "text_top_terms",
     oracle="""
     WITH toks AS (
