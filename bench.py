@@ -59,11 +59,17 @@ def main() -> None:
     for t in ("orders", "customer", "events", "documents", "embeddings"):
         read_table(spark, sf_dir, t).count()
 
+    # best of 2: the first run of a query pays one-time JVM JIT /
+    # codegen compilation that a long-lived cluster amortizes away;
+    # min-of-2 tracks steady-state compute, which is what scales
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     print(
         json.dumps(

@@ -105,6 +105,67 @@ def test_melt_pivot_round_trip(spark, vals):
 
 @SETTINGS
 @given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["ind_a", "ind_b", "ind_c"]),
+            st.integers(min_value=2018, max_value=2023),
+            st.floats(min_value=0.1, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_resilience_metrics_match_sequential_model(spark, rows):
+    """Drawdown/recovery vs a straight sequential-python model of the
+    reference algorithm (resilience.py:29-66): first row in file order
+    per (group, year) wins; groups missing the base or shock year are
+    skipped per metric; recovery is the first year in the horizon at
+    or above base."""
+    from cdc_2025_spark.io import with_row_order
+    from cdc_2025_spark.reference.resilience import resilience_metrics
+
+    base, shock, horizon = 2019, 2020, 3
+    df = with_row_order(
+        spark.createDataFrame(rows, "Industry string, Year int, Real_Value double")
+    )
+    got = {
+        r["Industry"]: (r["Drawdown_2020"], r["Recovered_Years"])
+        for r in resilience_metrics(
+            df, base_year=base, shock_year=shock, horizon=horizon
+        ).collect()
+    }
+
+    # sequential model: first occurrence per (group, year) in row order
+    firsts: dict = {}
+    for i, (g, y, v) in enumerate(rows):
+        firsts.setdefault((g, y), v)
+    groups = {g for g, _, _ in rows}
+    want = {}
+    for g in sorted(groups):
+        vb = firsts.get((g, base))
+        if vb is None:
+            continue  # no base year -> absent entirely (resilience.py:36,55)
+        vs = firsts.get((g, shock))
+        dd = (vs - vb) / vb if vs is not None else None
+        rec = None
+        for y in range(base + 1, shock + horizon + 1):
+            vy = firsts.get((g, y))
+            if vy is not None and vy >= vb:
+                rec = y - base
+                break
+        want[g] = (dd, rec)
+    assert set(got) == set(want)
+    for g, (dd, rec) in want.items():
+        gdd, grec = got[g]
+        if dd is None:
+            assert gdd is None, g
+        else:
+            assert gdd is not None and abs(gdd - dd) < 1e-9, g
+        assert grec == rec, g
+
+
+@SETTINGS
+@given(
     left_keys=st.lists(st.integers(0, 3), min_size=0, max_size=10),
     right_keys=st.lists(st.integers(0, 3), min_size=0, max_size=10),
 )
