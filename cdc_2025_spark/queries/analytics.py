@@ -101,6 +101,32 @@ def stats_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sketch_hll_weekly_users")
+def sketch_hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: per-day HLL sketches of
+    user_id, union-merged into weekly distinct estimates WITHOUT
+    re-touching the raw events — the re-aggregation pattern that makes
+    rollup marts feasible at 100 TB (store sketches per partition,
+    merge for any coarser grain; exact distinct cannot re-aggregate).
+
+    Rows-only driver check (DuckDB's approx sketch differs); estimate
+    error vs exact distinct pinned in tests/test_analytics_accuracy.py.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy(F.weekofyear("day").alias("wk"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_users"
+            )
+        )
+        .select("wk", "approx_users")
+    )
+
+
 @query(
     "window_ranking_variants",
     oracle="""
