@@ -16,6 +16,7 @@ from cdc_2025_spark.streaming.stateful import stateful_user_totals
 from cdc_2025_spark.streaming.windows import (
     session_window_counts,
     sliding_window_stats,
+    stream_dedup,
     tumbling_window_stats,
 )
 
@@ -26,5 +27,6 @@ __all__ = [
     "session_window_counts",
     "sliding_window_stats",
     "stateful_user_totals",
+    "stream_dedup",
     "tumbling_window_stats",
 ]

@@ -61,6 +61,23 @@ def sliding_window_stats(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of a key arriving within
+    the watermark window (at-least-once sources -> effectively-once
+    pipelines). State holds one entry per key seen inside the
+    watermark horizon and is evicted as the watermark advances — the
+    bounded-state form of batch dropDuplicates, which at 100 TB of
+    stream history would otherwise need unbounded state."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def session_window_counts(
     events: DataFrame,
     gap: str = "30 minutes",

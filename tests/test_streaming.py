@@ -213,6 +213,42 @@ def test_stateful_user_totals_matches_batch(spark, sf_dir, event_files, tmpdir):
         assert got_last == last_ts, uid
 
 
+def test_stream_dedup_drops_watermark_repeats(spark, tmpdir):
+    """Duplicate event_ids arriving within the watermark must emit
+    exactly once."""
+    from cdc_2025_spark.streaming import stream_dedup
+
+    src = os.path.join(tmpdir, "dups")
+    os.makedirs(src)
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 10, "view", 1.0, "{}"),
+        (1, base, 10, "view", 1.0, "{}"),  # exact duplicate
+        (2, base, 11, "click", 2.0, "{}"),
+        (2, base, 11, "click", 2.0, "{}"),
+        (3, base, 12, "view", 3.0, "{}"),
+    ]
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    out = stream_dedup(stream, ["event_id"], "1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(
+        r["event_id"]
+        for r in spark.sql("select * from dedup_stream_test").collect()
+    )
+    assert got == [1, 2, 3]
+
+
 def test_cdc_source_rate_and_files(spark, event_files, tmpdir):
     """cdc_source builds working file and rate streams (kafka is the
     same construction against a connector this container lacks)."""
