@@ -402,6 +402,158 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name, o_year, ROUND(SUM(amount), 4) AS sum_profit
+    FROM (
+      SELECT n_name,
+             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - 0.6 * p_retailprice * l_quantity AS amount
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON o_orderkey = l_orderkey
+                JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%5%'
+    )
+    GROUP BY n_name, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped: profit per supplier nation per year for a part
+    subset (0.6 * p_retailprice stands in for ps_supplycost — no
+    partsupp table in the fixture). Part/supplier/nation broadcast;
+    lineitem ⋈ orders is the only big-big shuffle."""
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%5%")
+    ).select("p_partkey", "p_retailprice")
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("n_name", "o_year")
+        .agg(_r4(F.sum(amount)).alias("sum_profit"))
+    )
+
+
+@query(
+    "q20_promo_heavy_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > 100
+    )
+    """,
+)
+def q20_promo_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped: suppliers who moved >100 units of PROMO parts
+    in a year (shipped quantity stands in for availqty — no partsupp).
+    The HAVING pre-aggregate reduces lineitem to a supplier key list;
+    the final IN is a broadcast semi join into the supplier dim."""
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    return supp.join(
+        heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "q21_sole_late_suppliers",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped: suppliers solely responsible for a late
+    multi-supplier order (ship > order date + 60d standing in for
+    receipt > commit). EXISTS/NOT EXISTS decorrelate into one
+    per-order aggregate — supplier counts and late-supplier counts —
+    joined back once, replacing two correlated subquery scans."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "late",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).cast("int"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    # the qualifying rows: late lines of orders with >1 supplier where
+    # exactly one supplier (this one) shipped late
+    cand = (
+        lo.filter(F.col("late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        cand.join(F.broadcast(supp), cand.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+    )
+
+
+@query(
     "q13_customer_order_distribution",
     oracle="""
     SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
