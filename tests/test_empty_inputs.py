@@ -1,0 +1,80 @@
+"""Empty-input robustness: operators must return empty (or
+well-defined) results on empty frames, not throw — the behavior that
+matters when a partition, day, or filter comes back empty in a
+100 TB pipeline.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_2025_spark.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from cdc_2025_spark.functions.kmeans import lloyd_kmeans
+from cdc_2025_spark.reference.resilience import (
+    resilience_metrics,
+    trend_forecast,
+)
+from cdc_2025_spark.streaming import apply_changes_batch
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def test_dedup_families_empty(empty_docs):
+    assert ngram_jaccard_pairs(empty_docs).count() == 0
+    assert minhash_lsh_pairs(empty_docs).count() == 0
+    assert simhash_pairs(empty_docs).count() == 0
+
+
+def test_resilience_empty(spark):
+    empty = spark.createDataFrame(
+        [], "Industry string, Year int, Real_Value double"
+    )
+    assert resilience_metrics(empty).count() == 0
+    assert trend_forecast(empty, through_year=2030).count() == 0
+
+
+def test_forecast_past_through_year_yields_no_rows(spark):
+    df = spark.createDataFrame(
+        [("a", 2020, 1.0), ("a", 2021, 2.0)],
+        "Industry string, Year int, Real_Value double",
+    )
+    # through_year at/before the data: zero forecast rows, not a
+    # backwards sequence (F.sequence counts down when start > stop)
+    assert trend_forecast(df, through_year=2020).count() == 0
+
+
+def test_apply_changes_empty_batch(spark):
+    snap = spark.createDataFrame([(1, "a")], "k long, name string")
+    empty = spark.createDataFrame(
+        [], "k long, op string, op_ts timestamp, _seq long, name string"
+    )
+    out = apply_changes_batch(snap, empty, ["k"]).collect()
+    assert [(r["k"], r["name"]) for r in out] == [(1, "a")]
+
+
+def test_kmeans_fewer_vectors_than_k(spark):
+    tiny = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = lloyd_kmeans(tiny, k=8, n_iter=2).collect()
+    assert 1 <= len(cents) <= 2  # only as many cells as vectors
+
+
+def test_whitespace_only_documents_dedup(spark):
+    """Blank/whitespace docs must not crash shingling; identical
+    blanks pair as exact duplicates."""
+    df = spark.createDataFrame(
+        [(1, "   "), (2, ""), (3, "real text here")],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(df, k=3, threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
