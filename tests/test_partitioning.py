@@ -5,8 +5,6 @@ physical design the 100 TB deployment depends on (SURVEY.md §7.7).
 
 from __future__ import annotations
 
-import contextlib
-import io
 import os
 import shutil
 import tempfile
@@ -15,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from cdc_2025_spark.io import read_table
+from cdc_2025_spark.plans import plan_string
 
 
 @pytest.fixture()
@@ -35,10 +34,7 @@ def test_date_partitioned_write_prunes_on_read(spark, sf_dir, tmpdir):
     back = spark.read.parquet(path)
     one_day = back.filter(F.col("event_date") == "2024-01-05")
 
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        one_day.explain("formatted")
-    plan = buf.getvalue()
+    plan = plan_string(one_day)
     # the date predicate must become a partition filter on the scan,
     # not a post-scan row filter
     assert "PartitionFilters" in plan
@@ -83,10 +79,7 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmpdir):
             "o_orderpriority"
         ).count()
 
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            joined.explain()  # simple mode: each node printed once
-        plan = buf.getvalue()
+        plan = plan_string(joined, mode="simple")
         # SortMergeJoin with NO exchange under either side: the scan's
         # bucket layout satisfies the join distribution directly. The
         # single remaining Exchange is the post-join groupBy.

@@ -7,20 +7,14 @@ are not pinned.
 
 from __future__ import annotations
 
-import contextlib
-import io
-
 import pytest
 
+from cdc_2025_spark.plans import plan_string
 from cdc_2025_spark.queries import QUERIES
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
-    df = QUERIES[name](spark, sf_dir)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    return plan_string(QUERIES[name](spark, sf_dir))
 
 
 def test_q6_filter_pushdown_and_column_pruning(spark, sf_dir):
