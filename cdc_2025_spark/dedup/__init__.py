@@ -1,23 +1,28 @@
 """Deduplication operators for corpus-scale pipelines.
 
-Four families, trading exactness for scale:
+Four pairing families, trading exactness for scale, plus clustering:
 
 - exact: content-hash groupBy (md5 / normalized-vocabulary key)
 - ngram: exact k-shingle Jaccard via shingle-inverted-index self-join
 - minhash: MinHash signatures + LSH banding (the 100 TB path),
   candidates verified with exact Jaccard
 - simhash: 64-bit SimHash + banded Hamming candidate generation
+- cluster: connected components over pair edges -> duplicate clusters
+  with a canonical survivor per cluster
 
-Everything is pure DataFrame expressions (xxhash64, higher-order array
-functions) — no Python UDFs, no MLlib model state.
+Everything is pure DataFrame expressions (xxhash64, codegen'd
+aggregates) — no Python UDFs, no MLlib model state.
 """
 
+from cdc_2025_spark.dedup.cluster import connected_components, dup_clusters
 from cdc_2025_spark.dedup.exact import exact_dedup, exact_dup_groups
 from cdc_2025_spark.dedup.jaccard import ngram_jaccard_pairs
 from cdc_2025_spark.dedup.minhash import minhash_lsh_pairs, minhash_signatures
 from cdc_2025_spark.dedup.simhash import simhash, simhash_pairs
 
 __all__ = [
+    "connected_components",
+    "dup_clusters",
     "exact_dedup",
     "exact_dup_groups",
     "minhash_lsh_pairs",

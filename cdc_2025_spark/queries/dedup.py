@@ -83,6 +83,60 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+_JACCARD_SETS_SQL = f"""
+    sets AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) <= {JACCARD_K}
+               THEN [array_to_string(ws, ' ')]
+               ELSE [array_to_string(ws[i:i+{JACCARD_K - 1}], ' ')
+                     for i in range(1, len(ws) - {JACCARD_K} + 2)]
+               END) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS ws
+            FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= {JACCARD_THRESHOLD}
+    )
+"""
+
+
+@query(
+    "dedup_jaccard_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_SETS_SQL},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    comp AS (SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a)
+    SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(id) AS BIGINT) AS canonical_id
+    FROM comp GROUP BY comp
+    """,
+)
+def dedup_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the exact-Jaccard
+    pair edges (dedup/cluster.py min-label propagation), one row per
+    cluster with size + canonical min-id survivor. The oracle computes
+    the same closure with a recursive CTE — feasible at oracle scale,
+    which is exactly why the engine uses label propagation instead."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=JACCARD_K, threshold=JACCARD_THRESHOLD)
+    from cdc_2025_spark.dedup import dup_clusters
+
+    return dup_clusters(pairs)
+
+
 @query("dedup_minhash_lsh_pairs")
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(128) + LSH(16x8) candidates, exact-verified at the same

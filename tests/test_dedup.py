@@ -83,6 +83,40 @@ def test_minhash_deterministic(docs):
     assert a == b
 
 
+def test_connected_components_vs_union_find(spark):
+    """Min-label propagation vs a sequential union-find on graphs
+    with chains, stars, and singleton-free isolated pairs."""
+    from cdc_2025_spark.dedup import connected_components
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain -> comp 1
+        (10, 11), (10, 12), (10, 13),    # star -> comp 10
+        (20, 21),                        # pair -> comp 20
+        (4, 1),                          # cycle back into the chain
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["comp"] for r in connected_components(df).collect()
+    }
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    assert got == want
+    assert got[4] == 1 and got[13] == 10 and got[21] == 20
+
+
 def test_simhash_pairs_symmetric_bounds(docs):
     pairs = simhash_pairs(docs, max_distance=6).collect()
     for r in pairs:
