@@ -12,6 +12,10 @@ from cdc_2025_spark.streaming.cdc import (
     cdc_source,
     cdc_upsert_stream,
 )
+from cdc_2025_spark.streaming.joins import (
+    enrich_stream_with_dim,
+    signup_to_purchase_within,
+)
 from cdc_2025_spark.streaming.stateful import stateful_user_totals
 from cdc_2025_spark.streaming.windows import (
     session_window_counts,
@@ -24,7 +28,9 @@ __all__ = [
     "apply_changes_batch",
     "cdc_source",
     "cdc_upsert_stream",
+    "enrich_stream_with_dim",
     "session_window_counts",
+    "signup_to_purchase_within",
     "sliding_window_stats",
     "stateful_user_totals",
     "stream_dedup",

@@ -213,6 +213,74 @@ def test_stateful_user_totals_matches_batch(spark, sf_dir, event_files, tmpdir):
         assert got_last == last_ts, uid
 
 
+def test_stream_static_enrichment(spark, event_files, tmpdir):
+    from cdc_2025_spark.streaming import enrich_stream_with_dim
+
+    dim = spark.createDataFrame(
+        [("view", 1.0), ("click", 2.0), ("purchase", 10.0),
+         ("signup", 5.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(event_files)
+    out = enrich_stream_with_dim(stream, dim)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql(
+        "select count(*) n, count(weight) nw from enrich_test"
+    ).first()
+    assert rows["n"] > 0 and rows["n"] == rows["nw"]  # every row enriched
+
+
+def test_stream_stream_interval_join_matches_batch(
+    spark, sf_dir, event_files, tmpdir
+):
+    from cdc_2025_spark.streaming import signup_to_purchase_within
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(event_files)
+    out = signup_to_purchase_within(stream, "1 hour", "2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssjoin_test")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["signup_ts"], r["purchase_ts"])
+        for r in spark.sql("select * from ssjoin_test").collect()
+    }
+    ev = read_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("sts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    want = {
+        (r["u"], r["sts"], r["pts"])
+        for r in s.join(
+            p,
+            (F.col("u") == F.col("pu"))
+            & (F.col("pts") > F.col("sts"))
+            & (F.col("pts") <= F.col("sts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    # append-mode emits matches whose state the watermark has closed;
+    # everything emitted must be a true match, and coverage must be
+    # substantial (the tail inside the final watermark may be held)
+    assert got <= want
+    assert len(got) >= 0.8 * len(want), (len(got), len(want))
+
+
 def test_stream_dedup_drops_watermark_repeats(spark, tmpdir):
     """Duplicate event_ids arriving within the watermark must emit
     exactly once."""
