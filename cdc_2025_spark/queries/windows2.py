@@ -185,6 +185,127 @@ def window_trailing7d_customer_spend(
 
 
 @query(
+    "timeseries_gap_fill",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(d AS DATE) AS day
+      FROM generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                           INTERVAL 1 DAY) AS t(d)
+    ), daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(SUM(value), 4) AS v
+      FROM events
+      WHERE event_type IN ('signup', 'error')
+      GROUP BY event_type, CAST(ts AS DATE)
+    ), grid AS (
+      SELECT et.event_type, s.day, d.v
+      FROM spine s
+      CROSS JOIN (SELECT DISTINCT event_type FROM daily) et
+      LEFT JOIN daily d ON d.day = s.day AND d.event_type = et.event_type
+    )
+    SELECT event_type, day, v,
+           ROUND(COALESCE(v, LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 4)
+             AS v_filled
+    FROM grid
+    """,
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling over a generated date spine: days with no events
+    get the last observed value carried forward (last_value with
+    ignoreNulls over the preceding frame) — the standard
+    time-series densification before resampling/forecasting.
+
+    Scale shape: the spine is generated (sequence+explode, tiny), the
+    cross join is spine x |event types| (tiny), and the fill window
+    partitions by series — the fact table contributes only its daily
+    pre-aggregate."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "error")
+    )
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(_r4(F.sum("value")).alias("v"))
+    spine = spark.range(0, 30).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias(
+            "day"
+        )
+    )
+    types = daily.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types)).join(
+        daily, ["event_type", "day"], "left"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return grid.select(
+        "event_type",
+        "day",
+        "v",
+        _r4(
+            F.coalesce(
+                F.col("v"), F.last("v", ignorenulls=True).over(w)
+            )
+        ).alias("v_filled"),
+    )
+
+
+@query(
+    "stats_robust_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT c_mktsegment,
+             quantile_cont(c_acctbal, 0.5) AS med_bal
+      FROM customer GROUP BY c_mktsegment
+    ), mad AS (
+      SELECT c.c_mktsegment,
+             quantile_cont(abs(c.c_acctbal - m.med_bal), 0.5) AS mad_bal
+      FROM customer c JOIN med m ON c.c_mktsegment = m.c_mktsegment
+      GROUP BY c.c_mktsegment
+    )
+    SELECT c.c_mktsegment,
+           CAST(SUM(CASE WHEN abs(c.c_acctbal - m.med_bal)
+                              > 3 * 1.4826 * d.mad_bal
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer c
+      JOIN med m ON c.c_mktsegment = m.c_mktsegment
+      JOIN mad d ON c.c_mktsegment = d.c_mktsegment
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stats_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier counts per segment — the
+    contamination-resistant alternative to mean/stddev z-scores for
+    data-quality gates. Two grouped percentile passes + one scoring
+    pass, all on the same segment shuffle key."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_acctbal"
+    )
+    med = cust.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", F.lit(0.5)).alias("med_bal")
+    )
+    dev = cust.join(F.broadcast(med), "c_mktsegment")
+    mad = dev.groupBy("c_mktsegment").agg(
+        F.percentile(
+            F.abs(F.col("c_acctbal") - F.col("med_bal")), F.lit(0.5)
+        ).alias("mad_bal")
+    )
+    scored = dev.join(F.broadcast(mad), "c_mktsegment")
+    is_out = (
+        F.abs(F.col("c_acctbal") - F.col("med_bal"))
+        > 3 * 1.4826 * F.col("mad_bal")
+    ).cast("int")
+    return scored.groupBy("c_mktsegment").agg(
+        F.sum(is_out).alias("n_outliers"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
     "text_top_terms",
     oracle="""
     WITH toks AS (
