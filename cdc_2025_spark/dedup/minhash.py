@@ -155,6 +155,10 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bucket")
+    # persist: both sides of the bucket self-join read this subplan —
+    # without it the whole sets->signatures->banding pipeline executes
+    # twice
+    bands = bands.persist()
 
     left = bands.select("band", "bucket", F.col("id").alias("id_a"))
     right = bands.select("band", "bucket", F.col("id").alias("id_b"))

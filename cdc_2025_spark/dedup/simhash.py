@@ -110,6 +110,9 @@ def simhash_pairs(
             )
         ).alias("ck"),
     ).select("id", "fp", "ck.chunk", "ck.val")
+    # persist: both join sides read this subplan; without it the
+    # fingerprint aggregation executes twice
+    chunks = chunks.persist()
 
     a = chunks.select(
         "chunk", "val", F.col("id").alias("id_a"), F.col("fp").alias("fp_a")

@@ -284,6 +284,9 @@ def sim_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("vec_id", "emb", "bk.band", "bk.bucket")
+    # persist: both join sides read this subplan; without it the scan
+    # + 16 hyperplane projections execute twice
+    bands = bands.persist()
     a = bands.select(
         "band", "bucket", F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a")
     )
