@@ -105,6 +105,93 @@ def resilience_metrics(
     return out
 
 
+def resilience_metrics_grouped_map(
+    df: DataFrame,
+    group_col: str = "Industry",
+    year_col: str = "Year",
+    value_col: str = "Real_Value",
+    base_year: int = 2019,
+    shock_year: int = 2020,
+    horizon: int = 3,
+) -> DataFrame:
+    """The same metrics via applyInPandas (grouped-map pandas UDF) —
+    the general fallback for per-group logic that conditional
+    aggregates can't express (SURVEY.md §2.5 A3). Kept as the shape
+    witness and agreement-tested against ``resilience_metrics``;
+    the aggregate form is preferred on hot paths (Catalyst-optimized,
+    no Python serialization).
+
+    Each group's rows arrive as ONE pandas frame — per-group state,
+    sorting, even scipy calls are trivial here; cost is one Arrow
+    round trip per group batch and an un-prunable full-row transfer.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql.types import (  # noqa: PLC0415
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(group_col, StringType()),
+            StructField("Drawdown_2020", DoubleType()),
+            StructField("Recovered_Years", DoubleType()),
+        ]
+    )
+    has_order = ROW_ORDER_COL in df.columns
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pdf.sort_values([year_col, ROW_ORDER_COL])
+            if has_order
+            else pdf.sort_values([year_col, value_col])
+        )
+        firsts = g.drop_duplicates(subset=[year_col], keep="first")
+        by_year = dict(zip(firsts[year_col], firsts[value_col]))
+        vb = by_year.get(base_year)
+        if vb is None:
+            return pd.DataFrame(columns=schema.fieldNames())
+        vs = by_year.get(shock_year)
+        if vs is None:
+            dd = None
+        elif vb != 0:
+            dd = (vs - vb) / vb
+        else:
+            dd = float("inf") if vs > 0 else (float("-inf") if vs < 0 else float("nan"))
+        rec = None
+        for y in range(base_year + 1, shock_year + horizon + 1):
+            vy = by_year.get(y)
+            if vy is not None and vy >= vb:
+                rec = float(y - base_year)
+                break
+        # Explicitly-masked FloatingArray: plain float64 folds None
+        # into NaN, object dtype AND pd.array(dtype="Float64") fold
+        # NaN into NULL — only a mask set from `is None` round-trips
+        # None -> NULL while keeping NaN -> NaN through Arrow (the
+        # zero-base 0/0 branch is a real NaN in the golden mart).
+        import numpy as np  # noqa: PLC0415
+        from pandas.arrays import FloatingArray  # noqa: PLC0415
+
+        def nullable(x):
+            return FloatingArray(
+                np.array([0.0 if x is None else x], dtype="float64"),
+                np.array([x is None]),
+            )
+
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "Drawdown_2020": nullable(dd),
+                "Recovered_Years": nullable(rec),
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(per_group, schema)
+
+
 def top_k_worst_hit(metrics: DataFrame, k: int = 10) -> DataFrame:
     """T2: 10 worst drawdowns (streamlit_app.py:18).
 

@@ -175,6 +175,39 @@ def test_top_k_views_golden(fact):
     assert [float(y) for y in got_years] == want_years
 
 
+def test_grouped_map_agrees_with_aggregate_form(spark, fact):
+    """The applyInPandas fallback must produce identical metrics to
+    the conditional-aggregate form on the real reference fact table
+    (duplicate keys, missing years, inf/NaN zero-base branches)."""
+    import math
+
+    from cdc_2025_spark.reference.resilience import (
+        resilience_metrics,
+        resilience_metrics_grouped_map,
+    )
+
+    agg = {
+        r["Industry"]: (r["Drawdown_2020"], r["Recovered_Years"])
+        for r in resilience_metrics(fact).collect()
+    }
+    gm = {
+        r["Industry"]: (r["Drawdown_2020"], r["Recovered_Years"])
+        for r in resilience_metrics_grouped_map(fact).collect()
+    }
+    assert set(agg) == set(gm)
+    for k, (dd_a, rec_a) in agg.items():
+        dd_g, rec_g = gm[k]
+        if dd_a is None or dd_g is None:
+            assert dd_a is None and dd_g is None, k
+        elif math.isnan(dd_a) or math.isnan(dd_g):
+            assert math.isnan(dd_a) and math.isnan(dd_g), k
+        else:
+            assert math.isclose(dd_a, dd_g, rel_tol=1e-12), k
+        assert (rec_a is None) == (rec_g is None), k
+        if rec_a is not None:
+            assert float(rec_a) == float(rec_g), k
+
+
 def test_clean_merge_roundtrip(spark, fact):
     """Rebuild long nominal/price inputs from the golden fact table and
     re-run the merge+derive pipeline; the output must equal the golden
