@@ -101,6 +101,49 @@ def stats_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sample_stratified_by_segment",
+    oracle="""
+    WITH b AS (
+      SELECT c_mktsegment, c_acctbal,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           ROUND(SUM(c_acctbal), 4) AS bal_sum
+    FROM b
+    WHERE bucket < CASE WHEN c_mktsegment = 'BUILDING' THEN 30 ELSE 10 END
+    GROUP BY c_mktsegment
+    """,
+)
+def sample_stratified_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED sample: per-stratum rates (30% for
+    BUILDING, 10% elsewhere) via the same seed-free md5-bucket as
+    sample_hash_deterministic — reproducible across engines and
+    reruns, unlike sampleBy(fractions, seed) whose Bernoulli draws
+    never match another engine. The rate CASE rides the scan; no
+    shuffle before the per-stratum aggregate."""
+    cust = read_table(spark, sf_dir, "customer")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 100
+    )
+    rate = F.when(F.col("c_mktsegment") == "BUILDING", 30).otherwise(10)
+    return (
+        cust.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            _r4(F.sum("c_acctbal")).alias("bal_sum"),
+        )
+    )
+
+
 @query("sketch_hll_weekly_users")
 def sketch_hll_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches: per-day HLL sketches of
