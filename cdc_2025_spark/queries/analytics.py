@@ -102,6 +102,33 @@ def stats_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_order_array_per_customer",
+    oracle="""
+    SELECT o_custkey,
+           list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+           CAST(len(list(o_orderkey)) AS INTEGER) AS n_orders
+    FROM orders
+    WHERE o_custkey < 50
+    GROUP BY o_custkey
+    """,
+)
+def agg_order_array_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: each customer's order keys as a SORTED
+    array (collect_list has no deterministic order across partitions
+    — array_sort after collection is the portable spelling; DuckDB's
+    list(... ORDER BY) is its native one). Nested-result queries are
+    the denormalization step before feature stores / document
+    assembly."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 50
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.count("*").cast("int").alias("n_orders"),
+    )
+
+
+@query(
     "sample_stratified_by_segment",
     oracle="""
     WITH b AS (
