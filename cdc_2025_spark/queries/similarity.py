@@ -147,7 +147,13 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
     )
-    # assign every vector to its nearest centroid (argmax cosine)
+    # assign every vector to its nearest centroid (argmax cosine).
+    # NB: the dedup/minhash explode+agg rewrite was tried here and
+    # measured SLOWER — per-row cosine against 16 broadcast centroids
+    # is one narrow pipeline stage, while explode-to-dims adds an
+    # aggregate exchange plus a join back to re-attach the vector.
+    # Higher-order-lambda interpretation only loses when it replaces
+    # partial-aggregable work, not when it rides a broadcast map.
     assigned = (
         emb.join(F.broadcast(cents))
         .groupBy("vec_id")
