@@ -554,6 +554,35 @@ def q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q11ish_part_value_share",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS val
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, ROUND(val, 4) AS val
+    FROM pv
+    WHERE val > (SELECT SUM(val) * 0.0005 FROM pv)
+    """,
+)
+def q11ish_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped: parts whose traded value exceeds a fraction
+    of the global total — a scalar subquery over the SAME aggregate
+    feeding the filter (Spark reuses the exchange for both
+    consumers; the threshold broadcasts as a 1-row cross join)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val")
+    )
+    thresh = pv.agg((F.sum("val") * 0.0005).alias("cut"))
+    return (
+        pv.crossJoin(F.broadcast(thresh))
+        .filter(F.col("val") > F.col("cut"))
+        .select("l_partkey", _r4("val").alias("val"))
+    )
+
+
+@query(
     "q13_customer_order_distribution",
     oracle="""
     SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
