@@ -58,3 +58,23 @@ def test_semi_join_for_exists(spark, sf_dir):
 def test_no_python_udfs_on_relational_paths(spark, sf_dir, name):
     p = plan_of(spark, sf_dir, name)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+@pytest.mark.parametrize(
+    ("name", "max_exchanges"),
+    [
+        ("q1_pricing_summary", 1),       # one grouped agg
+        ("q6_forecast_revenue", 1),      # one global agg
+        ("funnel_signup_purchase", 2),   # user agg + global rollup
+        ("resilience_nation_revenue", 4),
+        ("topk_customers_by_spend", 2),
+    ],
+)
+def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
+    """Exchange-count ceilings: a regression that adds a shuffle to
+    these queries is a scale regression even if results stay right
+    (each Exchange is a full materialization at 100 TB)."""
+    from cdc_2025_spark.plans import exchange_count
+
+    n = exchange_count(QUERIES[name](spark, sf_dir))
+    assert n <= max_exchanges, f"{name}: {n} exchanges"
