@@ -6,9 +6,11 @@ Pipeline (all JVM-side, no Python on the executor path):
    construction — every downstream stage (signatures, verification)
    works on 8-byte keys, never re-touching strings;
 2. signatures via explode + 128 codegen'd ``min`` aggregates:
-   ``min over shingles of pmod(a_i * h + b_i, P)``. Grouped min-agg
+   ``min over shingles of xxhash64(h, seed, i)``. Grouped min-agg
    is whole-stage-codegen'd and partially aggregated map-side,
    unlike higher-order array transforms (interpreted per element);
+   the xxhash64-with-index family is ANSI-overflow-free (no modular
+   multiply of 61-bit coefficients);
 3. LSH banding: the 128 signature columns split into ``n_bands``
    bands of ``r``; the band bucket is a single multi-argument
    ``xxhash64(s_j..s_{j+r-1})`` — no array slicing or string joins.
@@ -33,24 +35,6 @@ from pyspark.sql import functions as F
 
 from cdc_2025_spark.functions.text import shingles
 
-MERSENNE_P = (1 << 61) - 1
-
-
-def _hash_params(n_hashes: int, seed: int) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs via a splitmix64-style mix of the
-    seed — library-free and reproducible."""
-    params = []
-    state = seed & 0xFFFFFFFFFFFFFFFF
-    for _ in range(n_hashes * 2):
-        state = (state + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
-        z = state
-        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-        params.append((z ^ (z >> 31)) % MERSENNE_P)
-    return [
-        (params[2 * i] | 1, params[2 * i + 1]) for i in range(n_hashes)
-    ]
-
 
 def shingle_sets(
     docs: DataFrame, id_col: str, text_col: str, k: int
@@ -73,10 +57,17 @@ def _signature_cols(n_hashes: int, seed: int, h: str) -> list:
     """The n_hashes permuted-min aggregate expressions over a hashed
     shingle column ``h``. Built as SQL expression strings: one py4j
     round trip per aggregate instead of ~6 (measurably faster driver
-    plan construction for wide signatures)."""
+    plan construction for wide signatures).
+
+    Hash family: ``min(xxhash64(h, seed, i))`` — the per-index literal
+    makes each i an independent 64-bit permutation surrogate. Unlike
+    an affine ``(a*h + b) mod P`` family, this never multiplies two
+    ~2^61 longs, so it is exact under ANSI arithmetic (no bigint
+    overflow) and identical with ANSI off; equally valid for MinHash
+    (any uniform hash family works, MMDS ch.3)."""
     return [
-        F.expr(f"min(pmod({a}L * {h} + {b}L, {MERSENNE_P}L)) AS _s{i}")
-        for i, (a, b) in enumerate(_hash_params(n_hashes, seed))
+        F.expr(f"min(xxhash64({h}, {seed}, {i})) AS _s{i}")
+        for i in range(n_hashes)
     ]
 
 

@@ -92,12 +92,21 @@ def stats_percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame
 def stats_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-sketch-style, mergeable) — the scale
     path where exact percentile's full sort-per-group is not viable.
-    Rows-only check; accuracy vs exact pinned in tests."""
+    Rows-only check; accuracy vs exact pinned in tests.
+
+    The sketch returns an array; driver-facing output projects it to
+    scalar p50/p90 columns (top-level arrays are not sortable by the
+    driver's pandas canonicalizer — pinned in test_oracle_parity)."""
     orders = read_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
+    approx = orders.groupBy("o_orderpriority").agg(
         F.approx_percentile(
             "o_totalprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
-        ).alias("approx_p50_p90")
+        ).alias("approx")
+    )
+    return approx.select(
+        "o_orderpriority",
+        F.element_at("approx", 1).alias("approx_p50"),
+        F.element_at("approx", 2).alias("approx_p90"),
     )
 
 
@@ -105,7 +114,8 @@ def stats_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_order_array_per_customer",
     oracle="""
     SELECT o_custkey,
-           list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+           array_to_string(list(o_orderkey ORDER BY o_orderkey), ',')
+               AS order_keys,
            CAST(len(list(o_orderkey)) AS INTEGER) AS n_orders
     FROM orders
     WHERE o_custkey < 50
@@ -118,12 +128,23 @@ def agg_order_array_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     — array_sort after collection is the portable spelling; DuckDB's
     list(... ORDER BY) is its native one). Nested-result queries are
     the denormalization step before feature stores / document
-    assembly."""
+    assembly.
+
+    Driver-facing output serializes the array to a ','-joined string
+    (numeric sort first, THEN cast to string — lexical sort would
+    misorder) because the driver canonicalizer cannot sort top-level
+    array columns; the array-typed variant stays under tests."""
     orders = read_table(spark, sf_dir, "orders").filter(
         F.col("o_custkey") < 50
     )
     return orders.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("order_keys"),
         F.count("*").cast("int").alias("n_orders"),
     )
 

@@ -65,7 +65,12 @@ def melt_wide(wide: DataFrame, value_name: str) -> DataFrame:
     value_cols = [c for c in wide.columns if c != "Industry"]
     melted = wide.unpivot(
         ids=["Industry"],
-        values=[F.col(f"`{c}`").cast("double").alias(c) for c in value_cols],
+        values=[
+            # try_cast: invalid -> NULL under ANSI too (pd.to_numeric
+            # errors="coerce" semantics must not depend on session mode)
+            F.col(f"`{c}`").try_cast("double").alias(c)
+            for c in value_cols
+        ],
         variableColumnName="Year",
         valueColumnName=value_name,
     )
@@ -95,10 +100,11 @@ def clean_merge(
     derived = cleaned.withColumn(
         "Real_Value", F.col("Nominal_Value") * (F.lit(100.0) / F.col("Price_Index"))
     )
-    # pd.to_numeric(errors="coerce") ≡ non-ANSI cast-to-double (invalid -> NULL)
-    year_ok = derived.withColumn("Year", F.col("Year").cast("double")).na.drop(
-        subset=["Year"]
-    )
+    # pd.to_numeric(errors="coerce") ≡ try_cast-to-double (invalid ->
+    # NULL, in ANSI and non-ANSI sessions alike)
+    year_ok = derived.withColumn(
+        "Year", F.col("Year").try_cast("double")
+    ).na.drop(subset=["Year"])
     typed = year_ok.withColumn("Year", F.col("Year").cast("int"))
     return typed.filter(
         (F.col("Year") >= year_min) & (F.col("Year") <= year_max)

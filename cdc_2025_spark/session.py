@@ -54,7 +54,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.ansi.enabled", "false")
+        # ANSI ON: matches the Spark 4 default and the verification
+        # driver's session. Round 1 shipped ansi=false locally and a
+        # bigint overflow (minhash affine hash) surfaced only under the
+        # driver — correctness must not depend on session mode, so the
+        # engine runs what the driver runs. Coercion boundaries that
+        # need invalid->NULL semantics use try_cast explicitly.
+        .config("spark.sql.ansi.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

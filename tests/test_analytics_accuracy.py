@@ -38,7 +38,7 @@ def test_hll_weekly_estimates_near_exact(spark, sf_dir):
 
 def test_approx_percentile_within_envelope(spark, sf_dir):
     rows = {
-        r["o_orderpriority"]: r["approx_p50_p90"]
+        r["o_orderpriority"]: (r["approx_p50"], r["approx_p90"])
         for r in QUERIES["stats_approx_percentiles"](spark, sf_dir).collect()
     }
     orders = read_table(spark, sf_dir, "orders")

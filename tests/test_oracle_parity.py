@@ -94,6 +94,28 @@ def test_oracle_match(spark, duck, name):
     assert not mismatches, f"{name}: value mismatches {mismatches}"
 
 
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_driver_sortable_output_types(spark, name):
+    """The driver canonicalizes EVERY registered query (including
+    rows-only ones) via pandas ``sort_values`` over all columns, which
+    raises ``TypeError: unhashable type`` on array/map cells — this
+    killed two queries in round 1. Pin: no top-level container types
+    in any driver-facing output; serialize arrays (array_join /
+    element_at) at the query boundary instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = QUERIES[name](spark, SF_DIR)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: driver-unsortable container columns {bad} — "
+        "project to scalars (element_at / array_join) before returning"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(spark, name):
     """Queries without oracles must still execute and return a stable
