@@ -24,6 +24,14 @@ from cdc_2025_spark.queries.registry import query
 
 JACCARD_K = 3
 JACCARD_THRESHOLD = 0.35
+# Stop-shingle guard: the inverted-index self-join is quadratic in
+# per-shingle document frequency, so the registered queries always
+# pass a df cap — one ubiquitous shingle must not turn the pairing
+# into a cross join at corpus scale. 1000 is far above the testdata
+# max df (25 at sf0.1), so oracle results are bit-identical while the
+# pruning operator stays pinned in the plan (test_dedup.py pins the
+# actual pruning on a synthetic stop-shingle corpus).
+JACCARD_MAX_DF = 1000
 
 
 @query(
@@ -78,7 +86,10 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     index avoids at engine scale)."""
     docs = read_table(spark, sf_dir, "documents")
     out = ngram_jaccard_pairs(
-        docs, k=JACCARD_K, threshold=JACCARD_THRESHOLD
+        docs,
+        k=JACCARD_K,
+        threshold=JACCARD_THRESHOLD,
+        max_doc_freq=JACCARD_MAX_DF,
     )
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
@@ -131,7 +142,12 @@ def dedup_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same closure with a recursive CTE — feasible at oracle scale,
     which is exactly why the engine uses label propagation instead."""
     docs = read_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, k=JACCARD_K, threshold=JACCARD_THRESHOLD)
+    pairs = ngram_jaccard_pairs(
+        docs,
+        k=JACCARD_K,
+        threshold=JACCARD_THRESHOLD,
+        max_doc_freq=JACCARD_MAX_DF,
+    )
     from cdc_2025_spark.dedup import dup_clusters
 
     return dup_clusters(pairs)

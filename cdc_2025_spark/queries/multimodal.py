@@ -1,0 +1,59 @@
+"""Driver-visible multimodal query: runs the image/audio/video stub
+kernels (multimodal/media.py) end to end under the driver.
+
+Rows-only by design — the decode stages are mapInPandas kernels, not
+SQL — but fully deterministic: synthetic payloads are sha256-seeded,
+and every output metric is an order-insensitive aggregate, so the
+driver's repeated runs hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_2025_spark.multimodal.media import (
+    extract_audio_chunk_features,
+    extract_image_features,
+    make_synthetic_media,
+    sample_video_frames,
+)
+from cdc_2025_spark.queries.registry import query
+
+
+@query("multimodal_feature_rollup")
+def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind rollup over all three media pipelines (image features,
+    audio chunk loudness, video frame samples): one row per kind with
+    scalar aggregate metrics.
+
+    Exercises the real distributed plumbing — Arrow-batched
+    mapInPandas decode, JVM-side explode for chunk/frame cardinality —
+    over deterministic synthetic payloads (the decode kernels are
+    documented stubs; real codecs slot in behind the same contracts).
+    ``sf_dir`` is unused: media rows are generated, not read, since
+    the testdata lake has no media table.
+    """
+    images = make_synthetic_media(spark, n=64, kind="image")
+    audio = make_synthetic_media(spark, n=32, kind="audio")
+    video = make_synthetic_media(spark, n=16, kind="video")
+
+    img = extract_image_features(images).agg(
+        F.lit("image").alias("kind"),
+        F.count("*").alias("n_rows"),
+        F.round(F.avg(F.element_at("features", 1)), 4).alias("avg_metric"),
+        F.max("n_bytes").cast("double").alias("max_metric"),
+    )
+    aud = extract_audio_chunk_features(audio, chunk_ms=1000).agg(
+        F.lit("audio").alias("kind"),
+        F.count("*").alias("n_rows"),
+        F.round(F.avg("rms"), 4).alias("avg_metric"),
+        F.round(F.max("peak"), 4).alias("max_metric"),
+    )
+    vid = sample_video_frames(video, every_ms=500).agg(
+        F.lit("video").alias("kind"),
+        F.count("*").alias("n_rows"),
+        F.round(F.avg("frame_idx"), 4).alias("avg_metric"),
+        F.count_distinct("frame_sha256").cast("double").alias("max_metric"),
+    )
+    return img.unionByName(aud).unionByName(vid)

@@ -78,11 +78,16 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAIR_SAMPLE_PCT = 25
+
+
 @query(
     "sim_pairs_above_threshold",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-               FROM embeddings)
+               FROM embeddings
+               WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 100 < {PAIR_SAMPLE_PCT})
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cos
     FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -90,10 +95,22 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_pairs_above_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All vector pairs with cosine >= 0.4 (embedding near-dup pass).
+    """Exact pairwise cosine >= 0.4 over a deterministic 25% hash
+    sample — the AUDIT operator, not the scale path.
 
-    At engine scale this self-join is replaced by the LSH query below;
-    here it doubles as that query's ground truth."""
+    The pairwise self-join is inherently O(n²), so the registered form
+    gates its input with the same seed-free md5-bucket sample the
+    sampling queries use (engine-portable, reproducible); it exists to
+    ground-truth `sim_lsh_bucketed_pairs`, which is the registered
+    full-corpus near-dup operator (banded LSH, no cross product). The
+    ungated form stays available to tests via ``sample_pct=100``.
+    """
+    return _pairs_above_threshold(spark, sf_dir, PAIR_SAMPLE_PCT)
+
+
+def _pairs_above_threshold(
+    spark: SparkSession, sf_dir: str, sample_pct: int = 100
+) -> DataFrame:
     emb = (
         read_table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
@@ -101,6 +118,18 @@ def sim_pairs_above_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
         )
     )
+    if sample_pct < 100:
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.col("vec_id").cast("string")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+        emb = emb.filter(bucket < sample_pct)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
     return (

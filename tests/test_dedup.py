@@ -73,6 +73,39 @@ def test_minhash_lsh_recall_and_precision(docs):
         assert recall >= 0.5, f"recall {recall:.2f} over {len(exact)} pairs"
 
 
+def test_jaccard_max_doc_freq_prunes_stop_shingles(spark):
+    """The df cap must actually drop ubiquitous shingles before the
+    inverted-index self-join: docs that overlap ONLY through a
+    stop-shingle (df > cap) must not pair, while genuinely similar
+    pairs survive. This pins the guard the registered queries pass
+    (queries/dedup.py JACCARD_MAX_DF) — without it one common shingle
+    makes the self-join quadratic in corpus size."""
+    boiler = "terms of service apply"
+    rows = [(i, f"unique body {i} alpha {boiler}") for i in range(20)]
+    # one true near-dup pair sharing real content
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog " + boiler),
+        (101, "the quick brown fox jumps over the lazy dog today " + boiler),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.2).collect()
+    }
+    capped_pairs = ngram_jaccard_pairs(
+        docs, k=3, threshold=0.2, max_doc_freq=5
+    )
+    capped = {(r["id_a"], r["id_b"]) for r in capped_pairs.collect()}
+    # uncapped: 190 boilerplate-shingle pairs + the real near-dup
+    assert (100, 101) in uncapped and len(uncapped) > 100
+    # capped: ONLY the real near-dup pair survives
+    assert capped == {(100, 101)}
+    # the pruning is in the PLAN: the df-cap filter join appears
+    plan = capped_pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "df#" in plan
+
+
 def test_minhash_deterministic(docs):
     a = sorted(
         (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs).collect()

@@ -13,6 +13,7 @@ from cdc_2025_spark.functions.embeddings import cosine, make_cosine_udf
 from cdc_2025_spark.io import read_table
 from cdc_2025_spark.queries.similarity import (
     PAIR_THRESHOLD,
+    _pairs_above_threshold,
     sim_ivf_topk,
     sim_lsh_bucketed_pairs,
     sim_pairs_above_threshold,
@@ -52,8 +53,11 @@ def test_topk_matches_numpy(spark, sf_dir, emb_np):
 
 
 def test_lsh_subset_and_recall(spark, sf_dir):
+    # ungated (sample_pct=100) ground truth — the registered query is
+    # hash-sample-gated and would miss cross-sample pairs
     exact = {
-        (r["id_a"], r["id_b"]) for r in sim_pairs_above_threshold(spark, sf_dir).collect()
+        (r["id_a"], r["id_b"])
+        for r in _pairs_above_threshold(spark, sf_dir, 100).collect()
     }
     approx = {
         (r["id_a"], r["id_b"]) for r in sim_lsh_bucketed_pairs(spark, sf_dir).collect()
