@@ -97,6 +97,39 @@ def write_single_csv(df: DataFrame, path: str, header: bool = True) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def write_single_excel(
+    df: DataFrame,
+    path: str,
+    sheet_name: str = "Sheet1",
+    max_rows: int = 100_000,
+) -> None:
+    """S5: single-file Excel sink — the reference's ``to_excel`` export
+    boundary (CDCPROJECT notebook nb:1977,1996).
+
+    Driver-side by definition (Excel is an export format for small
+    result tables, not a lake format): collects to pandas behind an
+    explicit row-count guard and writes one sheet. Delegates to
+    ``pandas.to_excel`` when an engine (openpyxl/xlsxwriter) is
+    installed; otherwise uses the built-in minimal OOXML writer
+    (cdc_2025_spark.excel), which preserves leading whitespace — the
+    Industry column is indentation-encoded.
+    """
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"refusing to export {n} rows to a single Excel sheet "
+            f"(max_rows={max_rows}); write parquet for large results"
+        )
+    pdf = df.toPandas()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    try:
+        pdf.to_excel(path, sheet_name=sheet_name, index=False)
+    except (ImportError, ModuleNotFoundError):
+        from cdc_2025_spark.excel import write_xlsx  # noqa: PLC0415
+
+        write_xlsx(pdf, path, sheet_name=sheet_name)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table from a testdata scale-factor dir.
 

@@ -31,14 +31,18 @@ def ingest_excel_sheet(
 
     Mirrors ``pd.read_excel(path, sheet_name=..., skiprows=5)`` plus the
     positional first-column drop and second-column rename to Industry
-    (nb:247-253). Requires openpyxl; raises ImportError otherwise —
-    callers at scale land raw data as Parquet and skip this boundary.
+    (nb:247-253). Uses pandas' reader when an engine (openpyxl) is
+    installed, else the built-in OOXML reader — callers at scale land
+    raw data as Parquet and skip this boundary entirely.
     """
+    import pandas as pd  # noqa: PLC0415
+
     try:
-        import pandas as pd  # noqa: PLC0415
-    except ImportError as exc:  # pragma: no cover
-        raise ImportError("pandas required for Excel ingest boundary") from exc
-    pdf = pd.read_excel(path, sheet_name=sheet_name, skiprows=skiprows)
+        pdf = pd.read_excel(path, sheet_name=sheet_name, skiprows=skiprows)
+    except (ImportError, ModuleNotFoundError):
+        from cdc_2025_spark.excel import read_xlsx  # noqa: PLC0415
+
+        pdf = read_xlsx(path, skiprows=skiprows, sheet_name=sheet_name)
     return ingest_wide(spark, spark.createDataFrame(pdf))
 
 
