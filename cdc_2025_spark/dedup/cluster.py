@@ -51,6 +51,7 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
+    n_changed = 0
     for _ in range(max_iter):
         nbr_min = (
             und.join(labels, und.dst == labels.id)
@@ -77,6 +78,18 @@ def connected_components(
         if n_changed == 0:
             break
     und.unpersist()
+    if n_changed:
+        # Exhausting the round budget with labels still moving means
+        # some component's diameter exceeds max_iter — silently
+        # returning half-merged clusters would be WRONG output, so fail
+        # loudly. Long-diameter graphs should raise max_iter or switch
+        # to large-star/small-star contraction (O(log d) rounds, see
+        # module docstring).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds ({n_changed} labels still changing); raise "
+            "max_iter for long-chain graphs"
+        )
     return labels
 
 

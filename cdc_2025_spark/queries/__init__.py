@@ -62,7 +62,7 @@ _UNCHECKED_R1 = {
 # Registered for the first time in round 2.
 _NEW_R2 = {
     "multimodal_feature_rollup",
-    "sim_prefix_filtered_pairs",
+    "dedup_prefix_jaccard_pairs",
 }
 
 # The verification driver oracle-checks the first 50 registry entries

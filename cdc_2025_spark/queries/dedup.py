@@ -16,6 +16,7 @@ from cdc_2025_spark.dedup import (
     exact_dup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    prefix_jaccard_pairs,
     simhash_pairs,
 )
 from cdc_2025_spark.dedup.exact import vocab_key
@@ -90,6 +91,44 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=JACCARD_K,
         threshold=JACCARD_THRESHOLD,
         max_doc_freq=JACCARD_MAX_DF,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query(
+    "dedup_prefix_jaccard_pairs",
+    oracle=f"""
+    WITH sets AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) <= {JACCARD_K}
+               THEN [array_to_string(ws, ' ')]
+               ELSE [array_to_string(ws[i:i+{JACCARD_K - 1}], ' ')
+                     for i in range(1, len(ws) - {JACCARD_K} + 2)]
+               END) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS ws
+            FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+               AS jaccard
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+          >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact pair set as dedup_ngram_jaccard_pairs, computed via
+    df-ordered PREFIX filtering (dedup/prefix.py, Bayardo WWW'07): the
+    self-join touches only each set's rarest (1-t)-fraction prefix, so
+    candidate fan-out is bounded by rare-shingle df instead of the
+    corpus's most common phrase. Identical brute-force oracle — the
+    two exact paths must agree bit-for-bit."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = prefix_jaccard_pairs(
+        docs, k=JACCARD_K, threshold=JACCARD_THRESHOLD
     )
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
