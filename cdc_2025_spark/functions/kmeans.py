@@ -11,9 +11,19 @@ Each iteration is two declarative steps:
    (cell, dim), reassemble arrays — one shuffle of k*dim partial
    sums thanks to map-side aggregation, NOT a shuffle of the corpus.
 
-Initialization is deterministic (k lowest-id vectors), so results
-reproduce across runs and cluster layouts; swap in k-means|| sampling
-for quality-sensitive deployments.
+Two deterministic initializations:
+
+- ``init="lowest_id"``: the k lowest-id vectors — trivially
+  reproducible, quality-poor on clustered data;
+- ``init="parallel"``: k-means||-style oversampling (Bahmani et al.,
+  "Scalable K-Means++", VLDB 2012 — public) with the random draws
+  replaced by a hash threshold (accept x when
+  xxhash64(id, seed, round)/2^63 < l*d²(x)/φ), so the init is exactly
+  reproducible across runs and cluster layouts while keeping the
+  paper's d²-weighted sampling distribution in expectation across ids.
+  Candidates (≈ l·rounds rows) are weighted by attraction counts and
+  reduced to k driver-side via weight·d² greedy selection (the
+  kmeans++ argmax, deterministic).
 
 Scale: per iteration the corpus is read once; shuffled bytes are
 O(partitions * k * dim) regardless of corpus size. Driver holds only
@@ -69,15 +79,92 @@ def recenter(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _min_sq_dist(emb: DataFrame, centers: DataFrame) -> DataFrame:
+    """(id, emb, d2) — squared distance to the nearest of ``centers``
+    (broadcast; corpus never shuffles)."""
+    return (
+        emb.join(F.broadcast(centers))
+        .groupBy("id")
+        .agg(
+            F.first("emb").alias("emb"),
+            F.min(_sq_dist("emb", "cemb")).alias("d2"),
+        )
+    )
+
+
+def kmeans_parallel_init(
+    emb: DataFrame, k: int, rounds: int = 3, seed: int = 42
+) -> list[list[float]]:
+    """Deterministic k-means||-style seeding; returns k centers.
+
+    Each round every point is accepted iff
+    ``uniform_hash(id, seed, round) < l * d²(x) / φ`` with l = 2k —
+    the paper's oversampling step with its Bernoulli draw replaced by
+    a fixed hash, making the init reproducible. Runs ``rounds``
+    corpus passes; candidates stay ~l·rounds rows, weighted by
+    attraction counts, then reduced to k with the deterministic
+    weighted-kmeans++ greedy (argmax weight·d²) on the driver.
+    """
+    l = 2 * k  # noqa: E741 — the paper's oversampling factor name
+    first = emb.orderBy("id").limit(1).collect()[0]
+    cand_rows = [list(first["emb"])]
+    for r in range(rounds):
+        centers = emb.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(cand_rows)],
+            "cid int, cemb array<double>",
+        )
+        scored = _min_sq_dist(emb, centers)
+        phi = scored.agg(F.sum("d2")).first()[0]
+        if not phi:  # all points coincide with a candidate
+            break
+        # uniform in [0,1): top 63 bits of xxhash64 / 2^63
+        u = (
+            F.shiftrightunsigned(
+                F.xxhash64(F.col("id"), F.lit(seed), F.lit(r)), 1
+            )
+            / F.lit(float(1 << 63))
+        )
+        accepted = scored.filter(
+            u < F.lit(float(l)) * F.col("d2") / F.lit(float(phi))
+        ).select("emb")
+        cand_rows.extend(list(row["emb"]) for row in accepted.collect())
+    # weight candidates by how many points each attracts
+    centers = emb.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(cand_rows)],
+        "cid int, cemb array<double>",
+    )
+    weights = dict(
+        assign_cells(emb, centers)
+        .groupBy("cell")
+        .count()
+        .collect()
+    )
+    import numpy as np  # noqa: PLC0415
+
+    cand = np.asarray(cand_rows)
+    w = np.asarray([float(weights.get(i, 0)) for i in range(len(cand_rows))])
+    chosen = [int(w.argmax())]
+    d2 = ((cand - cand[chosen[0]]) ** 2).sum(axis=1)
+    while len(chosen) < min(k, len(cand_rows)):
+        nxt = int((w * d2).argmax())
+        if nxt in chosen:  # all remaining mass at distance 0
+            break
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((cand - cand[nxt]) ** 2).sum(axis=1))
+    return [cand_rows[i] for i in chosen]
+
+
 def lloyd_kmeans(
     vectors: DataFrame,
     k: int = 16,
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "lowest_id",
 ) -> DataFrame:
     """k-means centroids (cid, cemb array<double>) after ``n_iter``
-    Lloyd iterations from the deterministic k-lowest-id init.
+    Lloyd iterations from a deterministic init (``lowest_id`` or
+    ``parallel`` — see module docstring).
 
     The corpus is persisted across iterations (each reads it once);
     centroids stay distributed — nothing corpus-sized touches the
@@ -87,14 +174,23 @@ def lloyd_kmeans(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("emb"),
     ).persist()
-    cents = (
-        emb.orderBy("id")
-        .limit(k)
-        .select(
-            F.row_number().over(Window.orderBy("id")).alias("cid"),
-            F.col("emb").alias("cemb"),
+    if init == "parallel":
+        seeds = kmeans_parallel_init(emb, k)
+        cents = emb.sparkSession.createDataFrame(
+            [(i + 1, c) for i, c in enumerate(seeds)],
+            "cid int, cemb array<double>",
         )
-    )
+    elif init == "lowest_id":
+        cents = (
+            emb.orderBy("id")
+            .limit(k)
+            .select(
+                F.row_number().over(Window.orderBy("id")).alias("cid"),
+                F.col("emb").alias("cemb"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown init {init!r}")
     for _ in range(n_iter):
         # materialize current centroids driver-side: k rows, tiny —
         # this is the loop-carried state, not corpus data

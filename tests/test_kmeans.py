@@ -34,6 +34,33 @@ def test_deterministic_across_runs(spark, emb):
     assert a == b
 
 
+def test_parallel_init_beats_lowest_id(spark, emb):
+    """k-means|| seeding must reach a no-worse objective than the
+    k-lowest-id init at the same iteration budget (that spread is the
+    whole point of d²-weighted oversampling), and stay deterministic."""
+    sse_low = within_cluster_sse(
+        emb, lloyd_kmeans(emb, k=8, n_iter=2, init="lowest_id")
+    )
+    sse_par = within_cluster_sse(
+        emb, lloyd_kmeans(emb, k=8, n_iter=2, init="parallel")
+    )
+    assert sse_par <= sse_low * 1.001  # allow fp noise, not regressions
+    a = {
+        r["cid"]: r["cemb"]
+        for r in lloyd_kmeans(emb, k=8, n_iter=1, init="parallel").collect()
+    }
+    b = {
+        r["cid"]: r["cemb"]
+        for r in lloyd_kmeans(emb, k=8, n_iter=1, init="parallel").collect()
+    }
+    assert a == b
+
+
+def test_parallel_init_rejects_unknown(spark, emb):
+    with pytest.raises(ValueError, match="unknown init"):
+        lloyd_kmeans(emb, k=4, init="random")
+
+
 def test_assignment_covers_corpus_once(spark, emb):
     cents = lloyd_kmeans(emb, k=8, n_iter=2)
     vecs = emb.select(
