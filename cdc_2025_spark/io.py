@@ -97,6 +97,56 @@ def write_single_csv(df: DataFrame, path: str, header: bool = True) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSONL scan — the standard interchange format for LLM training
+    corpora (one JSON document per line, splittable, append-friendly).
+
+    Schema-EXPLICIT by policy: at 100 TB, schema inference is a full
+    extra pass over the data. Malformed lines are quarantined into
+    ``corrupt_col`` (PERMISSIVE mode) instead of failing the job or
+    vanishing — a corpus ingest must account for every input line.
+    Callers filter ``corrupt_col IS NULL`` for the clean stream and
+    ``IS NOT NULL`` for the quarantine stream — but must ``.cache()``
+    (or persist/write) the parsed frame first: Spark refuses plans
+    that reference only the corrupt column of a raw JSON scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+    """
+    reader = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        if corrupt_col not in [f.name for f in schema.fields]:
+            schema = schema.add(corrupt_col, "string")
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+) -> None:
+    """JSONL sink with optional hive-style partitioning — lines are
+    written by executors in parallel (no single-file collapse; corpus
+    exports are large by definition). ``compression='gzip'|'zstd'``
+    for wire formats; None keeps lines greppable."""
+    writer = df.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
+
+
 def write_single_excel(
     df: DataFrame,
     path: str,
