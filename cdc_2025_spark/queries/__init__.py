@@ -26,6 +26,7 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
     arrays,
     behavior,
     dedup,
+    llmdata,
     multimodal,
     relational,
     resilience_star,
@@ -63,6 +64,8 @@ _UNCHECKED_R1 = {
 _NEW_R2 = {
     "multimodal_feature_rollup",
     "dedup_prefix_jaccard_pairs",
+    "text_decontamination_overlap",
+    "text_pack_sequences",
 }
 
 # The verification driver oracle-checks the first 50 registry entries

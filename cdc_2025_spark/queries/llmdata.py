@@ -1,0 +1,154 @@
+"""Training-data curation operators beyond dedup: benchmark
+decontamination and sequence packing — both shaped for corpus scale
+(inverted-index join, per-bucket windows; no global sorts, no cross
+products).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_2025_spark.dedup.minhash import shingle_sets
+from cdc_2025_spark.functions.text import token_count
+from cdc_2025_spark.io import read_table
+from cdc_2025_spark.queries.registry import query
+
+EVAL_MAX_ID = 100
+CONTAIN_K = 3
+CONTAIN_THRESHOLD = 0.5
+
+
+@query(
+    "text_decontamination_overlap",
+    oracle=f"""
+    WITH sets AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) <= {CONTAIN_K}
+               THEN [array_to_string(ws, ' ')]
+               ELSE [array_to_string(ws[i:i+{CONTAIN_K - 1}], ' ')
+                     for i in range(1, len(ws) - {CONTAIN_K} + 2)]
+               END) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS ws
+            FROM documents)
+    ),
+    e AS (SELECT doc_id, sh FROM sets WHERE doc_id < {EVAL_MAX_ID}),
+    t AS (SELECT doc_id, sh FROM sets WHERE doc_id >= {EVAL_MAX_ID})
+    SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+           ROUND(len(list_intersect(e.sh, t.sh)) * 1.0 / len(e.sh), 4)
+               AS containment
+    FROM e JOIN t
+      ON len(list_intersect(e.sh, t.sh)) * 1.0 / len(e.sh)
+         >= {CONTAIN_THRESHOLD}
+    """,
+)
+def text_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION: find training documents whose
+    shingle sets contain >= 50% of an eval document's shingles
+    (containment |T∩E|/|E| — the train/test-overlap measure; public
+    practice in LLM corpus curation, e.g. n-gram overlap decontam in
+    the GPT-3/PaLM papers).
+
+    Shape: asymmetric inverted-index join on hashed shingles — eval
+    side is tiny (broadcastable), train side streams; work is
+    proportional to shared-shingle occurrences, never |E|x|T|. The
+    oracle brute-forces the same measure over the cross product.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    sets = shingle_sets(docs, "doc_id", "text", CONTAIN_K).persist()
+    ev = sets.filter(F.col("id") < EVAL_MAX_ID).select(
+        F.col("id").alias("eval_id"),
+        F.size("sh").alias("esize"),
+        F.explode("sh").alias("shingle"),
+    )
+    tr = sets.filter(F.col("id") >= EVAL_MAX_ID).select(
+        F.col("id").alias("train_id"), F.explode("sh").alias("shingle")
+    )
+    inter = (
+        F.broadcast(ev)
+        .join(tr, "shingle")
+        .groupBy("eval_id", "train_id", "esize")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.withColumn("containment", F.col("inter") / F.col("esize"))
+        .filter(F.col("containment") >= CONTAIN_THRESHOLD)
+        .select(
+            "eval_id",
+            "train_id",
+            F.round("containment", 4).alias("containment"),
+        )
+    )
+
+
+PACK_BUDGET = 256
+PACK_BUCKETS = 8
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+                 AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {PACK_BUCKETS} AS bucket
+      FROM documents
+    ),
+    packed AS (
+      SELECT bucket, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY bucket
+                           ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens)
+                        / {PACK_BUDGET}) AS BIGINT) AS pack_id
+      FROM tok
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM packed
+    GROUP BY bucket, pack_id
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING: assign documents to fixed-token-budget packs
+    (the batch-assembly step before LLM training) — greedy by running
+    token count within deterministic hash buckets.
+
+    Scale shape: packing is sequential by nature, so the corpus is
+    split into md5-hash buckets (engine-portable, like the sampling
+    queries) and the running sum is a WINDOW per bucket — each bucket
+    packs independently on its executor; there is NO global sort or
+    single-partition window. Pack utilization (docs/tokens per pack)
+    is the rollup a pipeline monitors for padding waste.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % PACK_BUCKETS
+    ).cast("int")
+    tok = docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bucket.alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = tok.withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET
+        ),
+    )
+    return packed.groupBy("bucket", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
