@@ -424,3 +424,67 @@ def test_cdc_upsert_stream_end_to_end(spark, tmpdir):
         for r in spark.read.parquet(snap_path).collect()
     }
     assert got2 == {1: ("ONE", 1.5), 3: ("three", 3.0)}
+
+
+def test_cdc_into_dedup_compose(spark, tmpdir):
+    """Pipeline composition: a CDC'd document corpus streamed into a
+    snapshot, then batch dedup over the snapshot — the 'continuously
+    ingested training corpus with dedup' shape. The dedup result over
+    the streamed snapshot must equal dedup over the known final
+    corpus state (updates change content groups; deletes remove
+    docs)."""
+    from cdc_2025_spark.dedup import exact_dup_groups
+    from cdc_2025_spark.dedup.exact import content_key
+
+    schema = (
+        "doc_id long, op string, op_ts timestamp, _seq long, text string"
+    )
+    src = os.path.join(tmpdir, "doc_changes")
+    os.makedirs(src)
+    t0 = datetime(2024, 1, 1)
+    changes = spark.createDataFrame(
+        [
+            (1, "I", t0, 1, "hello world"),
+            (2, "I", t0, 2, "HELLO   world"),  # dup of 1 (normalized)
+            (3, "I", t0, 3, "something else"),
+            (4, "I", t0, 4, "to be deleted"),
+            (2, "U", datetime(2024, 1, 2), 5, "now unique text"),
+            (4, "D", datetime(2024, 1, 2), 6, None),
+            (5, "I", datetime(2024, 1, 2), 7, "hello world"),  # new dup of 1
+        ],
+        schema,
+    )
+    changes.coalesce(1).write.mode("append").parquet(src)
+    snap_path = os.path.join(tmpdir, "doc_snapshot")
+    q = cdc_upsert_stream(
+        spark.readStream.schema(changes.schema).parquet(src),
+        snap_path,
+        ["doc_id"],
+        checkpoint_path=os.path.join(tmpdir, "ckpt_docs"),
+    )
+    q.awaitTermination(120)
+
+    snapshot = spark.read.parquet(snap_path)
+    expected_corpus = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "now unique text"),
+            (3, "something else"),
+            (5, "hello world"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["n_docs"], r["canonical_id"])
+        for r in exact_dup_groups(
+            snapshot, "doc_id", content_key("text")
+        ).collect()
+    }
+    want = {
+        (r["n_docs"], r["canonical_id"])
+        for r in exact_dup_groups(
+            expected_corpus, "doc_id", content_key("text")
+        ).collect()
+    }
+    assert got == want
+    assert (2, 1) in got  # docs 1 and 5 duplicate; min-id survivor
