@@ -60,6 +60,42 @@ def test_no_python_udfs_on_relational_paths(spark, sf_dir, name):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_decontamination_broadcasts_eval_side(spark, sf_dir):
+    """The eval shingle side is small by contract — it must broadcast
+    so the train corpus never shuffles for the join."""
+    p = plan_of(spark, sf_dir, "text_decontamination_overlap")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_prefix_jaccard_no_cartesian(spark, sf_dir):
+    """Prefix filtering must stay an equi-join on shingle hashes —
+    never a cross product, never Python."""
+    p = plan_of(spark, sf_dir, "dedup_prefix_jaccard_pairs")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pack_sequences_window_is_bucketed(spark, sf_dir):
+    """The running-sum window must partition by bucket: a global
+    (unpartitioned) window would serialize the whole corpus through
+    one task. 'Window' with a non-empty partition spec shows as
+    'windowspecdefinition(bucket...' in the optimized plan."""
+    df = QUERIES["text_pack_sequences"](spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(bucket" in logical
+    # and the physical plan has no single-partition exchange
+    assert "SinglePartition" not in plan_string(df)
+
+
+def test_sim_pairs_sample_gate_reaches_scan(spark, sf_dir):
+    """The 25% md5-bucket gate must filter BEFORE the self-join fans
+    out (it rides the scan-side projection, not post-join)."""
+    p = plan_of(spark, sf_dir, "sim_pairs_above_threshold")
+    # both join inputs carry the bucket filter below the join
+    assert p.count("% 100) < 25") >= 2
+
+
 @pytest.mark.parametrize(
     ("name", "max_exchanges"),
     [
