@@ -66,6 +66,7 @@ _NEW_R2 = {
     "dedup_prefix_jaccard_pairs",
     "text_decontamination_overlap",
     "text_pack_sequences",
+    "sample_weighted_by_tokens",
 }
 
 # The verification driver oracle-checks the first 50 registry entries

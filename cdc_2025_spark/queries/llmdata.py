@@ -82,6 +82,70 @@ def text_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEIGHT_CAP = 40
+WEIGHT_SCALE = 1_000_000
+
+
+@query(
+    "sample_weighted_by_tokens",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+                 AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {WEIGHT_SCALE} AS bucket
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_tokens) AS BIGINT) AS sampled_tokens
+    FROM w
+    WHERE bucket * {WEIGHT_CAP} <
+          LEAST(n_tokens, {WEIGHT_CAP}) * {WEIGHT_SCALE}
+    GROUP BY source
+    """,
+)
+def sample_weighted_by_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED deterministic sampling: each document is kept with
+    probability proportional to its (capped) token count — the
+    "sample long documents more" curation step, reproducible across
+    engines and reruns.
+
+    The Bernoulli draw is a seed-free md5 bucket compared with an
+    ALL-INTEGER inequality (``bucket * cap < w * scale`` ⇔ accept with
+    P = w/cap): float-pow formulations (Efraimidis-Spirakis keys) rank
+    near-ties differently across engines' libm and break hash parity,
+    so the integer form is the oracle-safe spelling. Rides the scan;
+    one aggregate shuffle.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % WEIGHT_SCALE
+    )
+    w = F.least(token_count("text"), F.lit(WEIGHT_CAP))
+    return (
+        docs.select(
+            "source",
+            token_count("text").alias("n_tokens"),
+            bucket.alias("bucket"),
+            w.alias("w"),
+        )
+        .filter(
+            F.col("bucket") * WEIGHT_CAP < F.col("w") * WEIGHT_SCALE
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_tokens").alias("sampled_tokens"),
+        )
+    )
+
+
 PACK_BUDGET = 256
 PACK_BUCKETS = 8
 
