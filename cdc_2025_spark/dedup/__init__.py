@@ -16,7 +16,11 @@ Everything is pure DataFrame expressions (xxhash64, codegen'd
 aggregates) — no Python UDFs, no MLlib model state.
 """
 
-from cdc_2025_spark.dedup.cluster import connected_components, dup_clusters
+from cdc_2025_spark.dedup.cluster import (
+    connected_components,
+    connected_components_star,
+    dup_clusters,
+)
 from cdc_2025_spark.dedup.exact import exact_dedup, exact_dup_groups
 from cdc_2025_spark.dedup.jaccard import ngram_jaccard_pairs
 from cdc_2025_spark.dedup.minhash import minhash_lsh_pairs, minhash_signatures
@@ -25,6 +29,7 @@ from cdc_2025_spark.dedup.simhash import simhash, simhash_pairs
 
 __all__ = [
     "connected_components",
+    "connected_components_star",
     "dup_clusters",
     "exact_dedup",
     "exact_dup_groups",

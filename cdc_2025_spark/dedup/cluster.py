@@ -93,15 +93,111 @@ def connected_components(
     return labels
 
 
+def _canon_hash(edges: DataFrame) -> tuple[int, int]:
+    """Cheap fixpoint probe: (count, sum of 31-bit pair hashes) —
+    hashes are reduced mod 2^31 BEFORE summing so the sum stays exact
+    under ANSI arithmetic up to ~2^32 edges."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 31))), F.lit(0)
+        ).alias("h"),
+    ).first()
+    return row["n"], row["h"]
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """(id, comp) via alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public): converges in O(log d) rounds vs label
+    propagation's O(d), the right choice for long-chain graphs.
+
+    large-star: for each node u, hang every LARGER neighbor off
+    m(u) = min(Γ(u) ∪ {u}); small-star: hang every smaller-or-equal
+    neighbor (and u) off the local min. Each step is one groupBy-min
+    plus one join per round — same primitives as label propagation,
+    strictly fewer rounds on high-diameter graphs. Fixpoint is
+    detected on a (count, hash) probe of the canonical edge set.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    vertices = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    state = _canon_hash(e)
+    for _ in range(max_iter):
+        # large-star over the undirected neighborhood
+        und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = und.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        e = (
+            und.join(mins, "u")
+            .filter((F.col("v") > F.col("u")) & (F.col("v") != F.col("m")))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: edges now point large->small; group by the large end
+        mins = e.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        grouped = e.join(mins, "u")
+        e = (
+            grouped.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(grouped.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_state = _canon_hash(e)
+        if new_state == state:
+            break
+        state = new_state
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds"
+        )
+    # e is now a star forest (child -> root); roots map to themselves
+    labels = vertices.join(
+        e.select(F.col("u").alias("id"), F.col("v").alias("root")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("root", "id").alias("comp"))
+    return labels
+
+
 def dup_clusters(
     pairs: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """Cluster summary from pair edges: (comp, n_docs, canonical_id)
     with canonical = min id — the survivor-selection contract shared
-    with exact dedup (dedup/exact.py)."""
-    cc = connected_components(pairs, src_col, dst_col)
+    with exact dedup (dedup/exact.py).
+
+    ``algorithm``: ``label_prop`` (default — near-dup clusters are
+    dense and shallow, diameter ~2-3) or ``star`` (large-star/
+    small-star, O(log d) rounds — pick for long-chain edge sets)."""
+    if algorithm == "star":
+        cc = connected_components_star(pairs, src_col, dst_col)
+    elif algorithm == "label_prop":
+        cc = connected_components(pairs, src_col, dst_col)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     return cc.groupBy("comp").agg(
         F.count("*").alias("n_docs"),
         F.min("id").alias("canonical_id"),

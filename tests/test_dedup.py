@@ -199,6 +199,48 @@ def test_connected_components_raises_when_unconverged(spark):
     assert got == {1}
 
 
+def test_star_contraction_matches_label_propagation(spark):
+    """Large-star/small-star must produce the same components as
+    label propagation on chains, stars, cycles, and a pseudo-random
+    graph."""
+    import random
+
+    from cdc_2025_spark.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(1, 8)]            # chain
+    edges += [(20, x) for x in range(21, 26)]            # star
+    edges += [(30, 31), (31, 32), (32, 30)]              # cycle
+    edges += [
+        (rng.randrange(40, 80), rng.randrange(40, 80)) for _ in range(60)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    lp = {r["id"]: r["comp"] for r in connected_components(df, max_iter=100).collect()}
+    st = {r["id"]: r["comp"] for r in connected_components_star(df).collect()}
+    assert st == lp
+
+
+def test_star_contraction_handles_long_chains(spark):
+    """The O(log d) property in practice: a 120-node chain converges
+    within the default star round budget, where label propagation's
+    default budget (25 rounds) correctly refuses."""
+    from cdc_2025_spark.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(1, 120)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {r["comp"] for r in connected_components_star(df).collect()}
+    assert got == {1}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=25)
+
+
 def test_simhash_pairs_symmetric_bounds(docs):
     pairs = simhash_pairs(docs, max_distance=6).collect()
     for r in pairs:
