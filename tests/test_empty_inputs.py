@@ -33,6 +33,17 @@ def test_dedup_families_empty(empty_docs):
     assert simhash_pairs(empty_docs).count() == 0
 
 
+def test_prefix_and_star_empty(spark, empty_docs):
+    from cdc_2025_spark.dedup import (
+        connected_components_star,
+        prefix_jaccard_pairs,
+    )
+
+    assert prefix_jaccard_pairs(empty_docs).count() == 0
+    empty_edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components_star(empty_edges).count() == 0
+
+
 def test_resilience_empty(spark):
     empty = spark.createDataFrame(
         [], "Industry string, Year int, Real_Value double"
