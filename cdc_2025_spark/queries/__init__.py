@@ -67,6 +67,7 @@ _NEW_R2 = {
     "text_decontamination_overlap",
     "text_pack_sequences",
     "sample_weighted_by_tokens",
+    "dedup_incremental_new_docs",
 }
 
 # The verification driver oracle-checks the first 50 registry entries

@@ -192,6 +192,65 @@ def dedup_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs)
 
 
+INCREMENTAL_SPLIT_ID = 200
+
+
+@query(
+    "dedup_incremental_new_docs",
+    oracle=f"""
+    WITH sets AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) <= {JACCARD_K}
+               THEN [array_to_string(ws, ' ')]
+               ELSE [array_to_string(ws[i:i+{JACCARD_K - 1}], ' ')
+                     for i in range(1, len(ws) - {JACCARD_K} + 2)]
+               END) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS ws
+            FROM documents)
+    ),
+    old AS (SELECT * FROM sets WHERE doc_id < {INCREMENTAL_SPLIT_ID}),
+    new AS (SELECT * FROM sets WHERE doc_id >= {INCREMENTAL_SPLIT_ID})
+    SELECT DISTINCT new.doc_id AS doc_id, TRUE AS is_dup_of_corpus
+    FROM new JOIN old
+      ON len(list_intersect(new.sh, old.sh)) * 1.0 /
+         (len(new.sh) + len(old.sh) - len(list_intersect(new.sh, old.sh)))
+         >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup: which docs of an incoming batch (doc_id >=
+    split) near-duplicate the EXISTING corpus (doc_id < split)? The
+    admission check a continuously-ingested training corpus runs per
+    batch — only the batch is new work; the corpus side is the
+    pre-built shingle index.
+
+    Shape: the full exact pair set (inverted index, df-capped) is
+    filtered to cross-boundary pairs and semi-reduced to distinct new
+    ids — at deployment scale the same filter-join runs against a
+    persisted corpus index, cost proportional to the batch, not the
+    corpus. The oracle brute-forces the asymmetric cross product.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs,
+        k=JACCARD_K,
+        threshold=JACCARD_THRESHOLD,
+        max_doc_freq=JACCARD_MAX_DF,
+    )
+    # pairs have id_a < id_b, so a cross-boundary pair always has the
+    # new doc on the id_b side
+    crossing = pairs.filter(
+        (F.col("id_a") < INCREMENTAL_SPLIT_ID)
+        & (F.col("id_b") >= INCREMENTAL_SPLIT_ID)
+    )
+    return (
+        crossing.select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup_of_corpus", F.lit(True))
+    )
+
+
 @query("dedup_minhash_lsh_pairs")
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(128) + LSH(16x8) candidates, exact-verified at the same
