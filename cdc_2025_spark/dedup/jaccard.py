@@ -50,11 +50,20 @@ def ngram_jaccard_pairs(
 
     inv = sets.select("id", "set_size", F.explode("sh").alias("shingle"))
     if max_doc_freq is not None:
-        df_counts = inv.groupBy("shingle").agg(F.count("*").alias("df"))
-        inv = inv.join(
-            F.broadcast(df_counts.filter(F.col("df") <= max_doc_freq)),
-            "shingle",
+        # Broadcast the STOP-shingle set (df > cap), not the keep-set:
+        # the cap exists to drop a handful of ubiquitous shingles, so
+        # the stop-set is tiny by construction while the keep-set is
+        # ~every distinct shingle in the corpus — broadcasting the
+        # latter would itself be the OOM at corpus scale. A broadcast
+        # left-anti join gives the identical filtered index with a
+        # bounded build side.
+        stop = (
+            inv.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
         )
+        inv = inv.join(F.broadcast(stop), "shingle", "left_anti")
 
     a = inv.select(
         F.col("shingle"),

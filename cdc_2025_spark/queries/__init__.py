@@ -37,11 +37,14 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
     windows2,
 )
 
-# Names with no driver CORRECTNESS row in round 1 (the driver checked
-# registry positions 1-50 only; these sat at 51-90).
-_UNCHECKED_R1 = {
-    "sim_pairs_above_threshold", "sim_ivf_topk", "sim_kmeans_cell_profile",
-    "sim_lsh_bucketed_pairs",
+# Names the driver checked in round 2 (CORRECTNESS_r02.json) — all
+# green there, so they rotate to the BACK for round 3 and the round-1
+# green set (checked only in r1) rotates into the first-50 window,
+# keeping every query's last green row within two rounds.
+_CHECKED_R2 = {
+    "dedup_minhash_lsh_pairs", "stats_approx_percentiles",
+    "agg_order_array_per_customer", "sim_pairs_above_threshold",
+    "sim_ivf_topk", "sim_kmeans_cell_profile", "sim_lsh_bucketed_pairs",
     "text_token_stats", "text_quality_scores", "text_lang_id_confusion",
     "text_punct_and_bpe", "text_fingerprints",
     "q4_order_priority", "q6_forecast_revenue", "q7_nation_volume",
@@ -58,34 +61,37 @@ _UNCHECKED_R1 = {
     "window_cumulative_distribution", "window_mom_revenue_change",
     "window_trailing7d_customer_spend", "timeseries_gap_fill",
     "stats_robust_outliers", "text_top_terms", "events_user_type_entropy",
+    "dedup_prefix_jaccard_pairs", "dedup_incremental_new_docs",
+    "text_decontamination_overlap", "sample_weighted_by_tokens",
+    "text_pack_sequences", "multimodal_feature_rollup",
+    "stats_moments_by_segment",
 }
 
-# Registered for the first time in round 2.
-_NEW_R2 = {
-    "multimodal_feature_rollup",
-    "dedup_prefix_jaccard_pairs",
-    "text_decontamination_overlap",
-    "text_pack_sequences",
-    "sample_weighted_by_tokens",
-    "dedup_incremental_new_docs",
-}
+# Checked in r2 but materially CHANGED in round 3 (gained a DuckDB
+# oracle or a new plan) — must re-check despite the r2 green row.
+_RECHECK_R3 = [
+    "stats_approx_percentiles",   # rows-only -> oracle-backed in r3
+    "text_fingerprints",          # rows-only -> oracle-backed in r3
+    "dedup_ngram_jaccard_pairs",  # df-cap plan rewritten (anti-join)
+    "dedup_jaccard_clusters",     # consumes the rewritten pair plan
+]
+
+# Registered for the first time in round 3 — placed AFTER the
+# r1-green block so they never displace a query that hasn't had a
+# green row since round 1. (They'll rotate forward in round 4.)
+_NEW_R3: list[str] = []
 
 # The verification driver oracle-checks the first 50 registry entries
-# per round (insertion order). Round 1's alphabetical-module accident
-# left every tpch/windows/text query unverified, so the order is now
-# explicit: queries with no driver CORRECTNESS row yet (plus the three
-# fixed round-1 errors and anything newly added) rotate to the front;
-# the 44 already-green round-1 queries move behind them. Rotate again
-# next round if any remain unchecked.
+# per round (insertion order). Round 3 window: the re-check set, then
+# the 44 remaining queries whose only green row is from round 1
+# (48 total), then round-3 newcomers in the last window slots.
 _VERIFY_FIRST = [
-    # round-1 errors, now fixed — must re-check
-    "dedup_minhash_lsh_pairs",
-    "stats_approx_percentiles",
-    "agg_order_array_per_customer",
-    # driver-unchecked in round 1 (registry positions 51-90)
-    *[n for n in QUERIES if n in _UNCHECKED_R1],
-    # new this round (never checked)
-    *[n for n in QUERIES if n in _NEW_R2],
+    *_RECHECK_R3,
+    *[n for n in QUERIES
+      if n not in _CHECKED_R2
+      and n not in _RECHECK_R3
+      and n not in _NEW_R3],
+    *[n for n in QUERIES if n in _NEW_R3],
 ]
 
 

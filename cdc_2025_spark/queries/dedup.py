@@ -34,6 +34,32 @@ JACCARD_THRESHOLD = 0.35
 # actual pruning on a synthetic stop-shingle corpus).
 JACCARD_MAX_DF = 1000
 
+# Shared exact-pair index: dedup_ngram_jaccard_pairs,
+# dedup_jaccard_clusters and dedup_incremental_new_docs all consume
+# the SAME (k, threshold, df-cap) pair set, so a pipeline that runs
+# more than one of them should pay for shingling + the inverted-index
+# self-join once. Keyed on the SparkContext so a fresh session never
+# sees another session's persisted plan; persist() is lazy, so a
+# single-query run pays nothing extra.
+_PAIR_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark.sparkContext), sf_dir, JACCARD_K, JACCARD_THRESHOLD,
+           JACCARD_MAX_DF)
+    cached = _PAIR_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs,
+        k=JACCARD_K,
+        threshold=JACCARD_THRESHOLD,
+        max_doc_freq=JACCARD_MAX_DF,
+    ).persist()
+    _PAIR_CACHE[key] = pairs
+    return pairs
+
 
 @query(
     "dedup_exact_vocab_groups",
@@ -85,13 +111,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure over the document cross product — identical result set,
     quadratic cost (fine at oracle scale, exactly what the inverted
     index avoids at engine scale)."""
-    docs = read_table(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(
-        docs,
-        k=JACCARD_K,
-        threshold=JACCARD_THRESHOLD,
-        max_doc_freq=JACCARD_MAX_DF,
-    )
+    out = _shared_jaccard_pairs(spark, sf_dir)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -180,13 +200,7 @@ def dedup_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster with size + canonical min-id survivor. The oracle computes
     the same closure with a recursive CTE — feasible at oracle scale,
     which is exactly why the engine uses label propagation instead."""
-    docs = read_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        docs,
-        k=JACCARD_K,
-        threshold=JACCARD_THRESHOLD,
-        max_doc_freq=JACCARD_MAX_DF,
-    )
+    pairs = _shared_jaccard_pairs(spark, sf_dir)
     from cdc_2025_spark.dedup import dup_clusters
 
     return dup_clusters(pairs)
@@ -225,19 +239,14 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch — only the batch is new work; the corpus side is the
     pre-built shingle index.
 
-    Shape: the full exact pair set (inverted index, df-capped) is
-    filtered to cross-boundary pairs and semi-reduced to distinct new
-    ids — at deployment scale the same filter-join runs against a
-    persisted corpus index, cost proportional to the batch, not the
-    corpus. The oracle brute-forces the asymmetric cross product.
+    Shape: the full exact pair set (inverted index, df-capped, shared
+    + persisted via _shared_jaccard_pairs) is filtered to
+    cross-boundary pairs and semi-reduced to distinct new ids — at
+    deployment scale the same filter-join runs against a persisted
+    corpus index, cost proportional to the batch, not the corpus. The
+    oracle brute-forces the asymmetric cross product.
     """
-    docs = read_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        docs,
-        k=JACCARD_K,
-        threshold=JACCARD_THRESHOLD,
-        max_doc_freq=JACCARD_MAX_DF,
-    )
+    pairs = _shared_jaccard_pairs(spark, sf_dir)
     # pairs have id_a < id_b, so a cross-boundary pair always has the
     # new doc on the id_b side
     crossing = pairs.filter(
