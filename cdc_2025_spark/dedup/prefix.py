@@ -28,6 +28,22 @@ from pyspark.sql import functions as F
 from cdc_2025_spark.dedup.minhash import shingle_sets
 
 
+def prefix_length(n, threshold: float):
+    """Prefix length ``n - ceil(t*n) + 1`` as a Column, float-safe:
+    when t*n is mathematically integral but the double product rounds
+    one ulp high (e.g. 0.35*20 -> 7.000000000000001), a bare ceil
+    would overshoot and shorten the prefix by one — violating
+    candidate completeness for pairs with overlap exactly
+    t*max(|A|,|B|). The epsilon keeps ceil exact for every
+    representable integral product; it cannot undershoot, since the
+    nearest non-integral values of t*n are ~1e-2 away for real set
+    sizes, far above 1e-9."""
+    n = F.col(n) if isinstance(n, str) else n
+    return (
+        n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)) + F.lit(1)
+    ).cast("int")
+
+
 def prefix_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -54,9 +70,7 @@ def prefix_jaccard_pairs(
             ).alias("oh")
         )
     )
-    prefix_len = (
-        F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + F.lit(1)
-    ).cast("int")
+    prefix_len = prefix_length("n", threshold)
     pref = ordered.select(
         "id",
         F.explode(

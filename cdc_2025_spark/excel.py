@@ -63,7 +63,14 @@ def _cell_xml(ref: str, value) -> str:
     if isinstance(value, bool):
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
-        return f'<c r="{ref}"><v>{value!r}</v></c>'
+        # coerce to native Python first: numpy>=2 scalars repr as
+        # 'np.float64(1.5)', which would emit unparseable <v> cells
+        v = (
+            str(int(value))
+            if isinstance(value, int)
+            else repr(float(value))
+        )
+        return f'<c r="{ref}"><v>{v}</v></c>'
     text = escape(str(value))
     # xml:space preserve: the reference's Industry column is
     # indentation-encoded — leading spaces are data (SURVEY.md §1.4)

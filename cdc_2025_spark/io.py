@@ -124,7 +124,13 @@ def read_jsonl(
         if isinstance(schema, str):
             schema = StructType.fromDDL(schema)
         if corrupt_col not in [f.name for f in schema.fields]:
-            schema = schema.add(corrupt_col, "string")
+            # copy before extending: StructType.add mutates self, and
+            # callers often pass df.schema, which is cached on the
+            # source DataFrame — extending it in place would leak a
+            # phantom corrupt column into the caller's schema
+            schema = StructType(list(schema.fields)).add(
+                corrupt_col, "string"
+            )
         reader = reader.schema(schema)
     return reader.json(path)
 

@@ -185,6 +185,32 @@ def test_prefix_filter_prunes_candidates(spark):
     assert got == [] and want == []
 
 
+def test_prefix_length_float_safe(spark):
+    """The prefix length must equal n - ceil_exact(t*n) + 1 under
+    EXACT rational arithmetic for thresholds whose double product
+    rounds one ulp high at integral points (0.35*20 ->
+    7.000000000000001 would overshoot a bare ceil and drop a prefix
+    element)."""
+    import math
+    from fractions import Fraction
+
+    from cdc_2025_spark.dedup.prefix import prefix_length
+
+    ns = list(range(1, 201))
+    df = spark.createDataFrame([(n,) for n in ns], "n int")
+    # 0.07*100 = 7.000000000000001 in doubles — the one-ulp-high case
+    for t in (0.35, 0.5, 0.2, 0.7, 0.05, 0.65, 0.07):
+        got = {
+            r["n"]: r["p"]
+            for r in df.select(
+                "n", prefix_length("n", t).alias("p")
+            ).collect()
+        }
+        for n in ns:
+            exact = n - math.ceil(Fraction(str(t)) * n) + 1
+            assert got[n] == exact, (t, n, got[n], exact)
+
+
 def test_connected_components_raises_when_unconverged(spark):
     """A 6-chain needs ~5 propagation rounds; max_iter=2 must raise
     rather than silently return half-merged components."""

@@ -42,6 +42,27 @@ def test_roundtrip_types_and_whitespace(spark, tmp_path):
     assert math.isclose(back["Real"][2], 1e-3)
 
 
+def test_numeric_cells_coerced_to_native_repr(tmp_path):
+    """Numeric cells must format via native Python str/repr: under
+    numpy>=2, repr(np.float64(1.5)) is 'np.float64(1.5)', which would
+    emit unparseable <v> cells if itertuples ever yields numpy
+    scalars. Simulated with a float subclass carrying a numpy-2-style
+    repr so the pin holds regardless of installed numpy."""
+    import pandas as pd
+
+    class Np2Float(float):
+        def __repr__(self):
+            return f"np.float64({float.__repr__(self)})"
+
+    pdf = pd.DataFrame({"x": [Np2Float(1.5), Np2Float(-0.25)]})
+    # keep the subclass through pandas: object dtype
+    pdf["x"] = pdf["x"].astype(object)
+    path = str(tmp_path / "np2.xlsx")
+    write_xlsx(pdf, path)
+    back = read_xlsx(path)
+    assert list(back["x"]) == [1.5, -0.25]
+
+
 def test_sheet_name_resolution(spark, tmp_path):
     df = spark.createDataFrame([(1, "a")], "x int, y string")
     path = str(tmp_path / "named.xlsx")

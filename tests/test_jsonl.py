@@ -51,6 +51,21 @@ def test_corrupt_lines_quarantined_not_dropped(spark, tmp_path):
     assert any("not json" in r for r in raws)
 
 
+def test_read_jsonl_does_not_mutate_caller_schema(spark, sf_dir, tmp_path):
+    """StructType.add mutates in place; read_jsonl must copy before
+    extending, or passing df.schema (cached on the DataFrame) would
+    permanently leak a phantom _corrupt_record field into the SOURCE
+    DataFrame's schema."""
+    docs = read_table(spark, sf_dir, "documents")
+    before = [f.name for f in docs.schema.fields]
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    read_jsonl(spark, path, schema=docs.schema)
+    after = [f.name for f in docs.schema.fields]
+    assert after == before
+    assert "_corrupt_record" not in after
+
+
 def test_partitioned_write_layout(spark, sf_dir, tmp_path):
     docs = read_table(spark, sf_dir, "documents").withColumn(
         "lang_bucket", (F.col("doc_id") % 3).cast("int")

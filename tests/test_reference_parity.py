@@ -15,6 +15,7 @@ import csv
 import math
 import os
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -70,7 +71,11 @@ def reference_algorithm_metrics() -> dict[str, tuple[float | None, float | None]
             continue
         v19 = v19s[0]
         v20s = g.loc[g["Year"] == 2020, "Real_Value"].values
-        dd = (v20s[0] - v19) / v19 if len(v20s) else None
+        # np.errstate: a zero 2019 base yields inf/nan by design
+        # (matches the reference's pandas arithmetic); silenced so
+        # real warnings in the suite stay visible
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dd = (v20s[0] - v19) / v19 if len(v20s) else None
         rec = None
         for y in (2020, 2021, 2022, 2023):
             vals = g.loc[g["Year"] == y, "Real_Value"].values
