@@ -88,11 +88,26 @@ def stats_percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("stats_approx_percentiles")
+@query(
+    "stats_approx_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_disc(o_totalprice, 0.5) AS approx_p50,
+           quantile_disc(o_totalprice, 0.9) AS approx_p90
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
 def stats_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-sketch-style, mergeable) — the scale
     path where exact percentile's full sort-per-group is not viable.
-    Rows-only check; accuracy vs exact pinned in tests.
+
+    Oracle: at driver scale every group is smaller than the sketch
+    accuracy (10000), so Spark's summary stores all samples and its
+    rank rule coincides with DuckDB's quantile_disc — verified
+    hash-exact at sf0.01 (was rows-only through round 2). At larger
+    group sizes the sketch answer is approximate by design; the error
+    envelope is pinned in tests/test_analytics_accuracy.py.
 
     The sketch returns an array; driver-facing output projects it to
     scalar p50/p90 columns (top-level arrays are not sortable by the

@@ -164,10 +164,23 @@ def text_punct_and_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_fingerprints")
+@query(
+    "text_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
+               (acc, x) -> (acc*31 + x) % 2147483647) AS fingerprint
+    FROM documents
+    """,
+)
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling polynomial hash per document (content fingerprint).
-    Not SQL-portable -> rows-only driver check; exact values pinned in
+    """Rolling polynomial hash per document (content fingerprint):
+    fp = Horner(base 31, mod 2^31-1) over the char codepoints. The
+    mod keeps every intermediate < 2^36, so the same recurrence is
+    expressible overflow-free in DuckDB as a list_reduce over the
+    split chars — full hash-parity oracle (was rows-only through
+    round 2). Exact values additionally pinned in
     tests/test_text_functions.py against a Python reimplementation."""
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(
