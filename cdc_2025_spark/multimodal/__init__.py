@@ -2,26 +2,40 @@
 
 The engine treats image/audio/video as ``binary`` columns with a typed
 metadata struct, processed by Arrow-batched pandas UDFs over
-mapInPandas. The decode kernels are STUBS in this container (no
-image/audio libraries are installed) — deterministic fakes behind the
-same signatures, with the Spark-side contract (schema, batching,
-partitioning) fully real and tested. Swap ``_decode_image_bytes`` et
-al. for Pillow/torchaudio kernels in a real deployment; nothing else
-changes.
+mapInPandas. Two payload classes:
+
+- REAL kernels, dependency-free: uncompressed 24-bit BMP decode
+  (``decode_bmp``) and RIFF/WAVE PCM-16 decode (``decode_wav``) —
+  genuine bytes-to-pixels/samples paths exercised end to end.
+- STUB kernels for compressed codecs (no image/audio libraries are
+  installed in this container): deterministic fakes behind the same
+  signatures, raising loudly on real JPEG/PNG magic bytes. Swap in
+  Pillow/torchaudio kernels in a real deployment; the Spark-side
+  contract (schema, batching, partitioning) is identical.
 """
 
 from cdc_2025_spark.multimodal.media import (
     MEDIA_SCHEMA,
+    decode_bmp,
+    decode_wav,
     extract_audio_chunk_features,
     extract_image_features,
+    make_bmp,
+    make_real_media,
     make_synthetic_media,
+    make_wav,
     sample_video_frames,
 )
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "decode_bmp",
+    "decode_wav",
     "extract_audio_chunk_features",
     "extract_image_features",
+    "make_bmp",
+    "make_real_media",
     "make_synthetic_media",
+    "make_wav",
     "sample_video_frames",
 ]

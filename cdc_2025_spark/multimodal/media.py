@@ -82,15 +82,125 @@ def make_synthetic_media(
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _decode_image_bytes(payload: bytes) -> list[float]:
-    """STUB decode kernel. Real deployments replace this with
-    Pillow/libvips decode + a vision embedding; here it derives a
-    deterministic 8-dim feature vector from the payload bytes so the
-    distributed plumbing is testable end to end.
+def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
+    """Build a REAL uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    bottom-up, 4-byte row padding) with a deterministic
+    seeded-gradient pixel pattern — a genuine image payload with no
+    codec dependency, for exercising the non-stub decode path."""
+    row_bytes = (width * 3 + 3) & ~3
+    img_size = row_bytes * height
+    header = _struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + _struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835,
+        2835, 0, 0,
+    )
+    rows = []
+    # bottom-up storage (positive height): emit generator row h-1
+    # first so pixel (x, y) means y-from-top after decode
+    for y in reversed(range(height)):
+        row = bytearray()
+        for x in range(width):
+            row += bytes(
+                (
+                    (x * 7 + y * 3 + seed) % 256,        # B
+                    (x * 5 + y * 11 + seed * 2) % 256,   # G
+                    (x * 13 + y * 17 + seed * 3) % 256,  # R
+                )
+            )
+        row += b"\0" * (row_bytes - width * 3)
+        rows.append(bytes(row))
+    return header + b"".join(rows)
 
-    Raises NotImplementedError for payloads that look like real
-    encodings (magic bytes) to make accidental production use loud.
-    """
+
+def decode_bmp(payload: bytes):
+    """REAL decode kernel for uncompressed 24-bit BMP: returns an
+    (height, width, 3) uint8 RGB array. Handles bottom-up (positive
+    height) and top-down (negative height) layouts and 4-byte row
+    padding. Dependency-free (struct + numpy only)."""
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = _struct.unpack_from("<I", payload, 10)
+    hdr_size, width, height = _struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = _struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = height < 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    buf = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * height, offset=data_off
+    ).reshape(height, row_bytes)
+    bgr = buf[:, : width * 3].reshape(height, width, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1]  # BGR -> RGB
+
+
+def make_real_media(
+    spark: SparkSession, n_images: int = 8, n_audio: int = 8
+) -> DataFrame:
+    """Media rows with REAL payloads: uncompressed 24-bit BMPs and
+    RIFF/WAVE PCM-16 sines, both deterministic — the end-to-end
+    non-stub decode path (decode_bmp / decode_wav) with zero codec
+    dependencies."""
+    rows = []
+    for i in range(n_images):
+        w, h = 32 + (i % 4) * 8, 24 + (i % 3) * 8
+        rows.append(
+            (i, "image", bytearray(make_bmp(w, h, seed=i)), (w, h, 0, "bmp"))
+        )
+    for i in range(n_audio):
+        dur = 500 * (1 + i % 4)
+        wav = make_wav(
+            sample_rate=8000,
+            duration_ms=dur,
+            freq_hz=220.0 * (1 + i % 3),
+            amplitude=0.25 + 0.1 * (i % 5),
+        )
+        rows.append(
+            (
+                n_images + i,
+                "audio",
+                bytearray(wav),
+                (0, 0, dur, "pcm_s16le"),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_image_bytes(payload: bytes) -> list[float]:
+    """Image decode kernel. BMP payloads take the REAL path: header
+    parse + pixel decode + channel statistics. Compressed formats
+    (JPEG/PNG magic bytes) raise NotImplementedError to make
+    accidental production use loud — real deployments swap in
+    Pillow/libvips behind the same bytes -> features contract. Other
+    payloads take the deterministic stub path so the distributed
+    plumbing stays testable without codecs.
+
+    Feature vector (8-dim, all paths): BMP -> [width, height, mean
+    R/G/B in [0,1], std/min/max of gray in [0,1]]; stub -> seeded
+    words of the payload."""
+    if payload[:2] == b"BM":
+        import numpy as np  # noqa: PLC0415
+
+        rgb = decode_bmp(payload).astype(np.float64) / 255.0
+        gray = rgb.mean(axis=2)
+        return [
+            float(rgb.shape[1]),
+            float(rgb.shape[0]),
+            float(rgb[:, :, 0].mean()),
+            float(rgb[:, :, 1].mean()),
+            float(rgb[:, :, 2].mean()),
+            float(gray.std()),
+            float(gray.min()),
+            float(gray.max()),
+        ]
     if payload[:3] == b"\xff\xd8\xff" or payload[:8] == b"\x89PNG\r\n\x1a\n":
         raise NotImplementedError(
             "real image decoding requires Pillow; not available in this "
@@ -140,6 +250,69 @@ AUDIO_FEATURES_SCHEMA = StructType(
 )
 
 
+def make_wav(
+    sample_rate: int = 8000,
+    duration_ms: int = 1000,
+    freq_hz: float = 440.0,
+    amplitude: float = 0.5,
+) -> bytes:
+    """Build a REAL RIFF/WAVE file (PCM signed 16-bit mono): a pure
+    sine at ``freq_hz`` — a genuine audio payload with no codec
+    dependency, for exercising the non-stub decode path."""
+    import math  # noqa: PLC0415
+
+    n = sample_rate * duration_ms // 1000
+    samples = bytearray()
+    for i in range(n):
+        v = int(
+            amplitude * 32767 * math.sin(2 * math.pi * freq_hz * i / sample_rate)
+        )
+        samples += _struct.pack("<h", v)
+    data = bytes(samples)
+    fmt = _struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return (
+        _struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + _struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + _struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes):
+    """REAL decode kernel for RIFF/WAVE PCM 16-bit: walks the chunk
+    list (no fixed offsets — extra chunks like LIST are skipped),
+    returns (mono float64 samples in [-1, 1], sample_rate). Stereo is
+    averaged to mono. Dependency-free (struct + numpy only)."""
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = _struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = _struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM s16 supported (format={audio_format}, bits={bits})"
+        )
+    raw = np.frombuffer(
+        data, dtype="<i2", count=len(data) // 2
+    ).astype(np.float64) / 32768.0
+    if channels > 1:
+        raw = raw[: len(raw) - len(raw) % channels]
+        raw = raw.reshape(-1, channels).mean(axis=1)
+    return raw, sample_rate
+
+
 def extract_audio_chunk_features(
     media: DataFrame, chunk_ms: int = 1000
 ) -> DataFrame:
@@ -148,10 +321,12 @@ def extract_audio_chunk_features(
 
     Same two-phase shape as frame sampling: chunk cardinality is
     JVM-side explode (Catalyst sees it), the decode kernel is the
-    stubbed Python stage. The STUB treats the payload as raw unsigned
-    8-bit PCM cycled over chunks — real deployments swap in
-    soundfile/ffmpeg decode behind the identical (payload, chunk_idx)
-    -> features contract.
+    Python stage. RIFF/WAVE PCM-16 payloads take the REAL path
+    (decode_wav: chunk boundaries from the actual sample rate); other
+    payloads take the stub path (raw unsigned 8-bit PCM cycled over
+    chunks) so the plumbing stays testable without codecs. Compressed
+    codecs slot in behind the identical (payload, chunk_idx) ->
+    features contract.
     """
     auds = media.filter(F.col("kind") == "audio").select(
         "media_id",
@@ -174,12 +349,20 @@ def extract_audio_chunk_features(
         for pdf in batches:
             rms, peak = [], []
             for p, i in zip(pdf["payload"], pdf["chunk_idx"]):
-                buf = np.frombuffer(bytes(p), dtype=np.uint8).astype(
-                    np.float64
-                )
-                # stub "decode": rotate the buffer per chunk so chunks
-                # differ deterministically; center to [-1, 1]
-                samples = (np.roll(buf, -int(i)) - 128.0) / 128.0
+                raw = bytes(p)
+                if raw[:4] == b"RIFF":
+                    wav, sr = decode_wav(raw)
+                    spc = sr * chunk_ms // 1000
+                    samples = wav[int(i) * spc : (int(i) + 1) * spc]
+                    if samples.size == 0:
+                        samples = np.zeros(1)
+                else:
+                    buf = np.frombuffer(raw, dtype=np.uint8).astype(
+                        np.float64
+                    )
+                    # stub "decode": rotate the buffer per chunk so
+                    # chunks differ deterministically; center to [-1,1]
+                    samples = (np.roll(buf, -int(i)) - 128.0) / 128.0
                 rms.append(float(np.sqrt(np.mean(samples**2))))
                 peak.append(float(np.abs(samples).max()))
             yield pd.DataFrame(

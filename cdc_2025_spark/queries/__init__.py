@@ -74,6 +74,7 @@ _RECHECK_R3 = [
     "text_fingerprints",          # rows-only -> oracle-backed in r3
     "dedup_ngram_jaccard_pairs",  # df-cap plan rewritten (anti-join)
     "dedup_jaccard_clusters",     # consumes the rewritten pair plan
+    "multimodal_feature_rollup",  # gained real BMP/WAV kernel rows
 ]
 
 # Registered for the first time in round 3 — placed AFTER the

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from cdc_2025_spark.multimodal.media import (
     extract_audio_chunk_features,
     extract_image_features,
+    make_real_media,
     make_synthetic_media,
     sample_video_frames,
 )
@@ -29,14 +30,18 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exercises the real distributed plumbing — Arrow-batched
     mapInPandas decode, JVM-side explode for chunk/frame cardinality —
-    over deterministic synthetic payloads (the decode kernels are
-    documented stubs; real codecs slot in behind the same contracts).
-    ``sf_dir`` is unused: media rows are generated, not read, since
-    the testdata lake has no media table.
+    over BOTH payload classes: deterministic synthetic payloads
+    through the stub kernels (image/audio/video rows) AND real
+    decodable payloads through the non-stub kernels (image_bmp: 24-bit
+    BMP pixel decode; audio_wav: RIFF PCM-16 sample decode —
+    multimodal/media.py decode_bmp / decode_wav). ``sf_dir`` is
+    unused: media rows are generated, not read, since the testdata
+    lake has no media table.
     """
     images = make_synthetic_media(spark, n=64, kind="image")
     audio = make_synthetic_media(spark, n=32, kind="audio")
     video = make_synthetic_media(spark, n=16, kind="video")
+    real = make_real_media(spark, n_images=8, n_audio=8)
 
     img = extract_image_features(images).agg(
         F.lit("image").alias("kind"),
@@ -56,4 +61,23 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("frame_idx"), 4).alias("avg_metric"),
         F.count_distinct("frame_sha256").cast("double").alias("max_metric"),
     )
-    return img.unionByName(aud).unionByName(vid)
+    # real-kernel paths: BMP mean-gray spread and WAV sine RMS are
+    # closed-form checkable (test_multimodal.py pins both)
+    bmp = extract_image_features(real).agg(
+        F.lit("image_bmp").alias("kind"),
+        F.count("*").alias("n_rows"),
+        F.round(F.avg(F.element_at("features", 6)), 4).alias("avg_metric"),
+        F.round(F.max(F.element_at("features", 8)), 4).alias("max_metric"),
+    )
+    wav = extract_audio_chunk_features(real, chunk_ms=500).agg(
+        F.lit("audio_wav").alias("kind"),
+        F.count("*").alias("n_rows"),
+        F.round(F.avg("rms"), 4).alias("avg_metric"),
+        F.round(F.max("peak"), 4).alias("max_metric"),
+    )
+    return (
+        img.unionByName(aud)
+        .unionByName(vid)
+        .unionByName(bmp)
+        .unionByName(wav)
+    )

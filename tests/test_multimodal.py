@@ -65,6 +65,139 @@ def test_audio_chunk_features(spark):
     assert abs(r0["peak"] - float(np.abs(samples).max())) < 1e-12
 
 
+def test_bmp_roundtrip_exact_pixels():
+    """decode_bmp must invert make_bmp exactly: every RGB pixel equals
+    the generator formula, both bottom-up and top-down layouts, with
+    non-multiple-of-4 row widths (padding exercised)."""
+    import numpy as np
+    from cdc_2025_spark.multimodal.media import decode_bmp, make_bmp
+
+    w, h, seed = 33, 7, 5  # 33*3=99 bytes/row -> 1 pad byte
+    rgb = decode_bmp(make_bmp(w, h, seed=seed))
+    assert rgb.shape == (h, w, 3)
+    for y in (0, 3, h - 1):
+        for x in (0, 17, w - 1):
+            assert rgb[y, x, 0] == (x * 13 + y * 17 + seed * 3) % 256  # R
+            assert rgb[y, x, 1] == (x * 5 + y * 11 + seed * 2) % 256   # G
+            assert rgb[y, x, 2] == (x * 7 + y * 3 + seed) % 256        # B
+    # top-down variant: flip the height sign in the header, drop the
+    # row reversal — decoded output must be identical
+    bottom_up = bytearray(make_bmp(w, h, seed=seed))
+    import struct
+    struct.pack_into("<i", bottom_up, 22, -h)
+    top_down_rows = decode_bmp(bytes(bottom_up))
+    assert np.array_equal(top_down_rows, rgb[::-1])
+
+
+def test_bmp_features_through_spark(spark):
+    """The BMP path of extract_image_features must produce pixel-stat
+    features matching a local numpy recompute — the real (non-stub)
+    kernel end to end through mapInPandas."""
+    import numpy as np
+    from cdc_2025_spark.multimodal.media import (
+        decode_bmp,
+        make_bmp,
+        make_real_media,
+    )
+
+    media = make_real_media(spark, n_images=6, n_audio=0)
+    rows = {
+        r["media_id"]: r["features"]
+        for r in extract_image_features(media).collect()
+    }
+    assert len(rows) == 6
+    for i in range(6):
+        w, h = 32 + (i % 4) * 8, 24 + (i % 3) * 8
+        rgb = decode_bmp(make_bmp(w, h, seed=i)).astype(np.float64) / 255.0
+        gray = rgb.mean(axis=2)
+        want = [
+            float(w), float(h),
+            float(rgb[:, :, 0].mean()), float(rgb[:, :, 1].mean()),
+            float(rgb[:, :, 2].mean()),
+            float(gray.std()), float(gray.min()), float(gray.max()),
+        ]
+        got = rows[i]
+        assert all(abs(a - b) < 1e-12 for a, b in zip(got, want)), i
+
+
+def test_wav_roundtrip_and_chunk_rms(spark):
+    """decode_wav must recover the PCM sine (RMS ~= amplitude/sqrt(2))
+    and the Spark audio kernel must chunk by the REAL sample rate:
+    a 2000 ms 8 kHz file at chunk_ms=500 yields 4 chunks, each with
+    the sine RMS."""
+    import math
+    from cdc_2025_spark.multimodal.media import (
+        decode_wav,
+        make_real_media,
+        make_wav,
+    )
+
+    wav = make_wav(sample_rate=8000, duration_ms=2000, freq_hz=440.0,
+                   amplitude=0.5)
+    samples, sr = decode_wav(wav)
+    assert sr == 8000 and len(samples) == 16000
+    rms = math.sqrt(sum(s * s for s in samples) / len(samples))
+    assert abs(rms - 0.5 / math.sqrt(2)) < 1e-3
+    assert max(abs(s) for s in samples) <= 0.5 + 1e-6
+
+    media = make_real_media(spark, n_images=0, n_audio=4)
+    out = extract_audio_chunk_features(media, chunk_ms=500)
+    by_media = {}
+    for r in out.collect():
+        by_media.setdefault(r["media_id"], []).append(r)
+    for i in range(4):
+        dur = 500 * (1 + i % 4)
+        amp = 0.25 + 0.1 * (i % 5)
+        rs = by_media[i]
+        assert sorted(r["chunk_idx"] for r in rs) == list(range(dur // 500))
+        for r in rs:
+            assert abs(r["rms"] - amp / math.sqrt(2)) < 1e-2, (i, r)
+            assert r["peak"] <= amp + 1e-6
+
+
+def test_wav_decoder_skips_extra_chunks_and_mixes_stereo():
+    """Chunk-walker robustness: a LIST chunk before fmt/data is
+    skipped; stereo PCM averages to mono."""
+    import struct
+
+    import numpy as np
+    from cdc_2025_spark.multimodal.media import decode_wav
+
+    sr = 8000
+    left = np.full(100, 16384, dtype="<i2")
+    right = np.full(100, -16384, dtype="<i2")
+    inter = np.empty(200, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    data = inter.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, sr, sr * 4, 4, 16)
+    extra = b"junkdata"
+    payload = (
+        struct.pack("<4sI4s", b"RIFF", 0, b"WAVE")
+        + struct.pack("<4sI", b"LIST", len(extra)) + extra
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+    samples, got_sr = decode_wav(payload)
+    assert got_sr == sr and len(samples) == 100
+    assert np.allclose(samples, 0.0)  # L/R cancel
+
+
+def test_feature_rollup_includes_real_kernels(spark):
+    from cdc_2025_spark.queries.multimodal import multimodal_feature_rollup
+
+    out = multimodal_feature_rollup(spark, "")
+    rows = {r["kind"]: r for r in out.collect()}
+    assert set(rows) == {"image", "audio", "video", "image_bmp", "audio_wav"}
+    assert rows["image_bmp"]["n_rows"] == 8
+    # 8 wavs with durations 500*(1+i%4) ms at chunk_ms=500
+    assert rows["audio_wav"]["n_rows"] == sum(
+        (500 * (1 + i % 4)) // 500 for i in range(8)
+    )
+    # grey max of a full-range gradient ~1, sine peak < max amplitude
+    assert 0.0 < rows["image_bmp"]["avg_metric"] < 1.0
+    assert rows["audio_wav"]["max_metric"] <= 0.65 + 1e-6
+
+
 def test_video_frame_sampling_cardinality(spark):
     media = make_synthetic_media(spark, n=14, kind="video")
     frames = sample_video_frames(media, every_ms=500)
