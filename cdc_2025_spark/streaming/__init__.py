@@ -11,6 +11,7 @@ from cdc_2025_spark.streaming.cdc import (
     apply_changes_batch,
     cdc_source,
     cdc_upsert_stream,
+    snapshot_merger,
 )
 from cdc_2025_spark.streaming.joins import (
     enrich_stream_with_dim,
@@ -28,6 +29,7 @@ __all__ = [
     "apply_changes_batch",
     "cdc_source",
     "cdc_upsert_stream",
+    "snapshot_merger",
     "enrich_stream_with_dim",
     "session_window_counts",
     "signup_to_purchase_within",

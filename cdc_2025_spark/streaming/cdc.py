@@ -111,27 +111,32 @@ def cdc_source(
     raise ValueError(f"unknown CDC source {source!r}")
 
 
-def cdc_upsert_stream(
-    changes_stream: DataFrame,
+def snapshot_merger(
     snapshot_path: str,
     key_cols: list[str],
     ts_col: str = "op_ts",
-    checkpoint_path: str | None = None,
-    trigger_available_now: bool = True,
-) -> StreamingQuery:
-    """Run apply-changes over a streaming source into a parquet
-    snapshot at ``snapshot_path`` via foreachBatch.
-
-    Each microbatch reads the current snapshot, merges, and atomically
+):
+    """Build the foreachBatch merge function: each microbatch reads
+    the current parquet snapshot, applies the changes, and atomically
     replaces it (write to temp dir + swap) — the parquet stand-in for
     MERGE INTO on an ACID table.
+
+    IDEMPOTENT under microbatch replay: foreachBatch is at-least-once
+    (a batch whose effects landed but whose checkpoint commit didn't
+    is re-delivered after restart), and re-merging the same change
+    batch is a no-op — upserts rewrite identical rows, deletes
+    left-anti against already-absent keys. That idempotency is what
+    turns at-least-once delivery into exactly-once snapshot state;
+    pinned by the crash-restart test in tests/test_streaming.py.
+    Exposed separately from cdc_upsert_stream so deployments can swap
+    in a Delta/Iceberg MERGE INTO behind the same (batch, batch_id)
+    contract.
     """
     import os
     import shutil
 
-    spark = changes_stream.sparkSession
-
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
         snap = None
         if os.path.exists(snapshot_path):
             snap = spark.read.parquet(snapshot_path)
@@ -142,7 +147,29 @@ def cdc_upsert_stream(
             shutil.rmtree(snapshot_path)
         os.rename(tmp, snapshot_path)
 
-    writer = changes_stream.writeStream.foreachBatch(merge_batch).outputMode(
+    return merge_batch
+
+
+def cdc_upsert_stream(
+    changes_stream: DataFrame,
+    snapshot_path: str,
+    key_cols: list[str],
+    ts_col: str = "op_ts",
+    checkpoint_path: str | None = None,
+    trigger_available_now: bool = True,
+    merge_fn=None,
+) -> StreamingQuery:
+    """Run apply-changes over a streaming source into a parquet
+    snapshot at ``snapshot_path`` via foreachBatch (see
+    snapshot_merger for the per-batch contract and idempotency).
+
+    ``merge_fn`` overrides the default parquet merger — e.g. an ACID
+    MERGE INTO, or a fault-injecting wrapper in recovery tests.
+    """
+    if merge_fn is None:
+        merge_fn = snapshot_merger(snapshot_path, key_cols, ts_col)
+
+    writer = changes_stream.writeStream.foreachBatch(merge_fn).outputMode(
         "update"
     )
     if checkpoint_path:

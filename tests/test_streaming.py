@@ -426,6 +426,95 @@ def test_cdc_upsert_stream_end_to_end(spark, tmpdir):
     assert got2 == {1: ("ONE", 1.5), 3: ("three", 3.0)}
 
 
+def test_cdc_crash_restart_exactly_once(spark, tmpdir):
+    """Checkpoint recovery: kill the upsert query MID-STREAM — after a
+    microbatch's snapshot swap landed but BEFORE its checkpoint commit
+    — then restart from the same checkpoint. Structured Streaming
+    re-delivers the uncommitted batch (at-least-once), and the
+    idempotent merge makes the final snapshot state exactly-once:
+    every change applied, none applied twice, later batches intact.
+    """
+    from cdc_2025_spark.streaming import snapshot_merger
+
+    src = os.path.join(tmpdir, "changes")
+    os.makedirs(src)
+    snap_path = os.path.join(tmpdir, "snapshot")
+    ckpt = os.path.join(tmpdir, "ckpt_crash")
+
+    batches = [
+        [
+            (1, "I", datetime(2024, 1, 1, 0, 0, 0), 1, "one", 1.0),
+            (2, "I", datetime(2024, 1, 1, 0, 0, 0), 2, "two", 2.0),
+        ],
+        [
+            (1, "U", datetime(2024, 1, 1, 0, 1, 0), 3, "ONE", 1.5),
+            (3, "I", datetime(2024, 1, 1, 0, 1, 0), 4, "three", 3.0),
+        ],
+        [
+            (2, "D", datetime(2024, 1, 1, 0, 2, 0), 5, None, None),
+            (4, "I", datetime(2024, 1, 1, 0, 2, 0), 6, "four", 4.0),
+        ],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, CHANGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # one file per microbatch so the crash lands mid-stream
+    def make_stream():
+        return (
+            spark.readStream.schema(CHANGES_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    inner = snapshot_merger(snap_path, ["k"])
+    applied: list[int] = []
+
+    def crashing_merge(batch, batch_id):
+        inner(batch, batch_id)  # effects land...
+        applied.append(batch_id)
+        if batch_id == 1:
+            # ...then the "process dies" before the checkpoint commit
+            raise RuntimeError("injected crash after merge")
+
+    q = cdc_upsert_stream(
+        make_stream(), snap_path, ["k"], checkpoint_path=ckpt,
+        merge_fn=crashing_merge,
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    assert applied == [0, 1]
+    # batch 1's effects are on disk even though its commit was lost
+    mid = {r["k"]: r["name"] for r in spark.read.parquet(snap_path).collect()}
+    assert mid == {1: "ONE", 2: "two", 3: "three"}
+
+    # restart from the same checkpoint with the normal merger
+    replayed: list[int] = []
+
+    def recording_merge(batch, batch_id):
+        inner(batch, batch_id)
+        replayed.append(batch_id)
+
+    q2 = cdc_upsert_stream(
+        make_stream(), snap_path, ["k"], checkpoint_path=ckpt,
+        merge_fn=recording_merge,
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    # batch 1 was RE-delivered (its commit never landed), batch 0 not
+    assert replayed == [1, 2]
+    got = {
+        r["k"]: (r["name"], r["amount"])
+        for r in spark.read.parquet(snap_path).collect()
+    }
+    assert got == {
+        1: ("ONE", 1.5),
+        3: ("three", 3.0),
+        4: ("four", 4.0),
+    }
+
+
 def test_cdc_into_dedup_compose(spark, tmpdir):
     """Pipeline composition: a CDC'd document corpus streamed into a
     snapshot, then batch dedup over the snapshot — the 'continuously
