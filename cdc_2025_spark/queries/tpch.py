@@ -752,11 +752,12 @@ def skewjoin_salted_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hot key. Here the dim would broadcast anyway; the query pins the
     salting recipe (and its exact-result property) for the 100 TB case
     where the big side must shuffle, e.g. a skewed big-big join AQE
-    can't split because the key is in a groupBy downstream."""
-    n_salt = 16
-    events = read_table(spark, sf_dir, "events").withColumn(
-        "salt", F.pmod(F.hash("event_id"), F.lit(n_salt))
-    )
+    can't split because the key is in a groupBy downstream.
+    The recipe lives in functions/joins.py salted_join; its
+    partition-spread property is pinned in test_partitioning.py."""
+    from cdc_2025_spark.functions.joins import salted_join
+
+    events = read_table(spark, sf_dir, "events")
     weights = spark.createDataFrame(
         [
             ("view", 1.0),
@@ -766,9 +767,11 @@ def skewjoin_salted_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("error", 0.0),
         ],
         "event_type string, type_weight double",
-    ).withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+    )
     return (
-        events.join(weights, ["event_type", "salt"])
+        salted_join(
+            events, weights, ["event_type"], n_salt=16, salt_on="event_id"
+        )
         .groupBy("event_type", "type_weight")
         .agg(
             F.count("*").alias("n"),

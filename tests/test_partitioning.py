@@ -112,3 +112,56 @@ def test_aqe_coalesces_small_shuffle(spark, sf_dir):
     agg = ev.groupBy("event_type").count()
     parts = agg.rdd.getNumPartitions()
     assert parts <= 8, f"AQE should coalesce tiny shuffles, got {parts}"
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The salt must actually spread a pathological key: on a corpus
+    where 90% of rows share one key, the unsalted shuffle puts ~90% of
+    the data in one partition; the salted join's largest partition
+    must be bounded near the uniform share. Max-to-median pinned under
+    the salted plan. Broadcast + AQE disabled so the real shuffle
+    partitioning is observable (at scale the big side must shuffle —
+    that is the case salting exists for)."""
+    from cdc_2025_spark.functions.joins import salted_join
+
+    n = 40_000
+    big = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 97).cast("string")))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = big.select("k").distinct().withColumn("w", F.lit(1.0))
+
+    def partition_sizes(df):
+        return [
+            r["cnt"]
+            for r in df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        ]
+
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        plain = big.join(dim, ["k"])
+        salted = salted_join(big, dim, ["k"], n_salt=32, salt_on="v")
+        # identical result sets first
+        assert salted.count() == plain.count() == n
+
+        plain_sizes = partition_sizes(plain)
+        salted_sizes = sorted(partition_sizes(salted))
+        # unsalted: the hot key lands in ONE reducer
+        assert max(plain_sizes) >= int(0.9 * n)
+        # salted: largest partition bounded near the uniform share
+        ideal = n / int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert max(salted_sizes) <= 4 * ideal, (max(salted_sizes), ideal)
+        median = salted_sizes[len(salted_sizes) // 2]
+        assert max(salted_sizes) <= 6 * median, (max(salted_sizes), median)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
