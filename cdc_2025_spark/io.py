@@ -186,16 +186,37 @@ def write_single_excel(
         write_xlsx(pdf, path, sheet_name=sheet_name)
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# DataFrame-handle cache for the star-schema tables, keyed weakly by
+# session. spark.read.parquet is ~100-200 ms per call (file listing +
+# footer schema resolution in the JVM) and the testdata tables are
+# immutable, so re-resolving the same source for every query build is
+# pure driver overhead — the same reason real deployments read from a
+# catalog instead of paths. The cached object is only the UNRESOLVED
+# plan handle; no data is pinned (this is not .cache()/persist).
+from weakref import WeakKeyDictionary as _WeakKeyDictionary  # noqa: E402
+
+_TABLE_HANDLES = _WeakKeyDictionary()
+
+
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, use_cache: bool = True
+) -> DataFrame:
     """Read one star-schema table from a testdata scale-factor dir.
 
     events.parquet carries TIMESTAMP(NANOS), which Spark's reader
     rejects outright; the session-settable legacy conf reads it as
     long nanoseconds, converted here to a micro-truncated timestamp —
     the same truncation DuckDB applies, so oracle comparisons agree.
+
+    ``use_cache=False`` forces a fresh source resolution (only needed
+    if the files under ``sf_dir`` changed in place).
     """
     if name not in STAR_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    key = (os.path.abspath(sf_dir), name)
+    handles = _TABLE_HANDLES.setdefault(spark, {})
+    if use_cache and key in handles:
+        return handles[key]
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -206,8 +227,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # double's 53-bit exact range, float rounding would shift
             # some timestamps by 1us vs DuckDB's truncation
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    if use_cache:
+        handles[key] = df
+    return df
 
 
 def load_star_schema(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

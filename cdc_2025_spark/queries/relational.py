@@ -146,10 +146,17 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped six-way join with a co-location predicate.
 
-    Scale: region/nation/supplier/customer all broadcast (small dims);
-    only orders><lineitem shuffles. The c_nationkey = s_nationkey
-    equi-condition rides along the hash join rather than becoming a
-    post-filter.
+    Scale: the three dim tables (supplier x nation x region, region
+    pre-filtered to ASIA) are PRE-JOINED into one small broadcast
+    build, so the lineitem stream — the only large side — pays a
+    single hash probe instead of three chained ones. Catalyst can't
+    make this reordering itself without CBO stats (broadcast joins
+    aren't reassociated), so it's expressed structurally; result is
+    bit-identical to the flat six-way join (all inner joins on the
+    same keys). Only orders><customer/lineitem use further broadcast
+    joins; nothing but the final one-row-per-nation agg shuffles. The
+    c_nationkey = s_nationkey equi-condition rides along the hash join
+    rather than becoming a post-filter.
     """
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders").filter(
@@ -160,16 +167,19 @@ def q5_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = read_table(spark, sf_dir, "supplier")
     nation = read_table(spark, sf_dir, "nation")
     region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_supp = (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .join(
-            supp,
-            (li.l_suppkey == supp.s_suppkey)
-            & (cust.c_nationkey == supp.s_nationkey),
+            F.broadcast(asia_supp),
+            (li.l_suppkey == asia_supp.s_suppkey)
+            & (cust.c_nationkey == asia_supp.s_nationkey),
         )
-        .join(nation, supp.s_nationkey == nation.n_nationkey)
-        .join(region, nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
             _r4(
