@@ -80,7 +80,12 @@ _RECHECK_R3 = [
 # Registered for the first time in round 3 — placed AFTER the
 # r1-green block so they never displace a query that hasn't had a
 # green row since round 1. (They'll rotate forward in round 4.)
-_NEW_R3: list[str] = []
+_NEW_R3: list[str] = [
+    "dedup_embedding_neardup",
+    "text_repetition_scores",
+    "text_doc_entropy",
+    "text_pii_scrub",
+]
 
 # The verification driver oracle-checks the first 50 registry entries
 # per round (insertion order). Round 3 window: the re-check set, then

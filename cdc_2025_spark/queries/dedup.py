@@ -279,3 +279,80 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Hamming filter. Rows-only driver check."""
     docs = read_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, max_distance=6)
+
+
+# Embedding near-dup: cosine threshold chosen above the corpus's
+# ~0.38 99.9th-percentile pairwise cosine so the edge set is a real
+# near-dup graph (dozens of edges), not a clique.
+NEARDUP_COS_THRESHOLD = 0.42
+
+
+@query(
+    "dedup_embedding_neardup",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.emb, b.emb)
+              >= {NEARDUP_COS_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.a, g.dst FROM reach r JOIN edges g ON r.b = g.src
+    ),
+    comp AS (SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a)
+    SELECT v.vec_id,
+           CAST(COALESCE(c.comp, v.vec_id) AS BIGINT) AS canonical_id,
+           (v.vec_id = COALESCE(c.comp, v.vec_id)) AS keep
+    FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.id
+    """,
+)
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup: the keep/drop DECISION
+    table — every vector mapped to its cluster's canonical (min-id)
+    survivor, ``keep`` false for the dropped near-dups.
+
+    Completes the dedup-family set from the brief (exact / Jaccard /
+    MinHash / SimHash / embedding-cosine). Pair generation here is the
+    exact all-pairs form so the recursive-CTE oracle can pin the full
+    closure; at corpus scale the same decision table is built by
+    swapping the pair source for the banded random-hyperplane LSH
+    candidates (sim_lsh_bucketed_pairs) exact-verified per candidate —
+    the downstream components + survivor-join is unchanged and is the
+    scale path (one banded shuffle + O(diameter) label rounds, no
+    cross product). Cosine runs JVM-side (zip_with/aggregate, no
+    Python); components via min-label propagation (near-dup clusters
+    are shallow).
+    """
+    from cdc_2025_spark.dedup.cluster import connected_components
+    from cdc_2025_spark.functions.embeddings import cosine
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine("emb_a", "emb_b") >= NEARDUP_COS_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(pairs)
+    return (
+        emb.select("vec_id")
+        .join(cc, emb.vec_id == cc.id, "left")
+        .select(
+            "vec_id",
+            F.coalesce("comp", F.col("vec_id")).alias("canonical_id"),
+        )
+        .withColumn("keep", F.col("vec_id") == F.col("canonical_id"))
+    )

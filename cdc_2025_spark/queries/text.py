@@ -186,3 +186,246 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", rolling_fingerprint("text").alias("fingerprint")
     )
+
+
+# --- round-3 additions: repetition, entropy, PII scrub -------------
+
+# Gopher-style repetition signals are emitted as INTEGER sufficient
+# statistics (counts, not ratios): integer hashes are engine-exact,
+# while rounded small-int quotients can land on half-boundaries where
+# Spark (BigDecimal) and DuckDB (float) round differently. The
+# repetition flag therefore also compares in integer arithmetic
+# (5 * top_n > n_tokens  <=>  top fraction > 20%).
+@query(
+    "text_repetition_scores",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      FROM documents
+    ),
+    uni AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM toks, unnest(ws) AS u(tok)
+      GROUP BY 1, 2
+    ),
+    ustat AS (
+      SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+             MAX(c) AS top_c
+      FROM uni GROUP BY 1
+    ),
+    bgl AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) < 2 THEN []
+                  ELSE [array_to_string(ws[i:i+1], ' ')
+                        for i in range(1, len(ws))] END AS bgs
+      FROM toks
+    ),
+    bgu AS (
+      SELECT doc_id, bg, COUNT(*) AS c
+      FROM bgl, unnest(bgs) AS b(bg)
+      GROUP BY 1, 2
+    ),
+    bstat AS (
+      SELECT doc_id, MAX(c) AS top_bc, SUM(c) AS n_bigrams
+      FROM bgu GROUP BY 1
+    )
+    SELECT u.doc_id,
+           CAST(u.n_tokens AS BIGINT) AS n_tokens,
+           CAST(u.n_distinct AS BIGINT) AS n_distinct,
+           CAST(u.top_c AS BIGINT) AS top_unigram_n,
+           CAST(COALESCE(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(b.top_bc, 0) AS BIGINT) AS top_bigram_n,
+           (5 * u.top_c > u.n_tokens) AS is_repetitive
+    FROM ustat u LEFT JOIN bstat b USING (doc_id)
+    """,
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (Gopher-rule family): token
+    total, distinct-token count, top unigram/bigram frequencies, and
+    a >20%-top-unigram repetition flag.
+
+    Shape: explode -> two cascaded partial aggregates, both keyed by
+    doc_id (+token) — hash keys, no skew beyond document length, one
+    shuffle level per n-gram order; bigram construction is a JVM
+    zip_with over adjacent slices (no Python, no join). The canonical
+    pre-filter pass a training-data pipeline runs corpus-wide.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("ws")
+    )
+    ustat = (
+        toks.select("doc_id", F.explode("ws").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("count").alias("top_unigram_n"),
+        )
+    )
+    bg = F.expr(
+        "CASE WHEN size(ws) >= 2 THEN "
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),"
+        " (x, y) -> concat(x, ' ', y)) "
+        "ELSE array() END"
+    )
+    bstat = (
+        toks.select("doc_id", F.explode(bg).alias("bg2"))
+        .groupBy("doc_id", "bg2")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_bigrams"),
+            F.max("count").alias("top_bigram_n"),
+        )
+    )
+    return (
+        ustat.join(bstat, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            "top_unigram_n",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+            (5 * F.col("top_unigram_n") > F.col("n_tokens")).alias(
+                "is_repetitive"
+            ),
+        )
+    )
+
+
+@query(
+    "text_doc_entropy",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+      FROM documents
+    ),
+    uni AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM toks, unnest(ws) AS u(tok)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4)
+               AS entropy_nats
+    FROM uni GROUP BY doc_id
+    """,
+)
+def text_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy (nats) — the low-entropy /
+    boilerplate detector of the quality-filter family.
+
+    Uses the single-aggregate identity
+    H = ln(n) - (sum c·ln c)/n over token counts, so the whole op is
+    one explode + two partial aggregates keyed by doc_id — no second
+    pass to compute probabilities. Rounded AFTER aggregation (noise
+    ~1e-15, never at a 4-decimal boundary).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    uni = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .count()
+    )
+    return uni.groupBy("doc_id").agg(
+        F.sum("count").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(
+            F.log(F.sum("count"))
+            - F.sum(F.col("count") * F.log("count")) / F.sum("count"),
+            4,
+        ).alias("entropy_nats"),
+    )
+
+
+# The testdata corpus carries no raw PII, so the scrub query composes
+# a deterministic contact string from real customer fields and runs
+# the scrubber over that — the regex detect/redact operator is what's
+# under test, and every row exercises a real match.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"555-[0-9]{4}"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=rf"""
+    WITH t AS (
+      SELECT c_mktsegment,
+             c_name || ' <user' || CAST(c_custkey AS VARCHAR)
+               || '@example.com> call 555-'
+               || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               AS contact
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(len(regexp_extract_all(contact, '{PII_EMAIL}')))
+                AS BIGINT) AS n_emails,
+           CAST(SUM(len(regexp_extract_all(contact, '{PII_PHONE}')))
+                AS BIGINT) AS n_phones,
+           CAST(SUM(len(contact)) AS BIGINT) AS len_raw,
+           CAST(SUM(len(
+             regexp_replace(
+               regexp_replace(contact, '{PII_EMAIL}', '[EMAIL]', 'g'),
+               '{PII_PHONE}', '[PHONE]', 'g')
+           )) AS BIGINT) AS len_scrubbed
+    FROM t GROUP BY 1
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact rollup: composes a contact string per
+    customer, counts email/phone matches, and measures pre/post
+    redaction lengths per market segment.
+
+    Pure Catalyst expressions (concat/regexp_count/regexp_replace) —
+    scan-bound with one partial aggregate; regexes use the
+    Java-regex ∩ RE2 common dialect (character classes + bounded
+    quantifiers, no lookaround) so engine parity is structural.
+    """
+    cust = read_table(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" <user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com> call 555-"),
+        F.lpad(
+            F.pmod(F.col("c_custkey"), F.lit(10000)).cast("string"),
+            4,
+            "0",
+        ),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(contact, F.lit(PII_EMAIL), F.lit("[EMAIL]")),
+        F.lit(PII_PHONE),
+        F.lit("[PHONE]"),
+    )
+    return (
+        cust.select(
+            "c_mktsegment",
+            contact.alias("contact"),
+            scrubbed.alias("scrubbed"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.regexp_count("contact", F.lit(PII_EMAIL))).alias(
+                "n_emails"
+            ),
+            F.sum(F.regexp_count("contact", F.lit(PII_PHONE))).alias(
+                "n_phones"
+            ),
+            F.sum(F.length("contact")).alias("len_raw"),
+            F.sum(F.length("scrubbed")).alias("len_scrubbed"),
+        )
+    )
