@@ -305,3 +305,24 @@ def test_simhash_exactness_of_banding(spark):
     }
     assert got == want
     assert (1, 2) in got  # identical docs always pair
+
+
+def test_embedding_neardup_decision_invariants(spark, sf_dir):
+    """keep/drop decision table: canonical is a min-id cluster member,
+    every vector appears exactly once, dropped rows point at a kept
+    canonical, and keeps + drops partition the input."""
+    from cdc_2025_spark.queries.dedup import dedup_embedding_neardup
+
+    out = dedup_embedding_neardup(spark, sf_dir).toPandas()
+    n_vecs = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    )
+    assert len(out) == n_vecs
+    assert out["vec_id"].is_unique
+    # canonical is never a larger id (min-survivor contract)
+    assert (out["canonical_id"] <= out["vec_id"]).all()
+    assert (out["keep"] == (out["vec_id"] == out["canonical_id"])).all()
+    # every canonical id referenced by a dropped row is itself kept
+    kept = set(out.loc[out["keep"], "vec_id"])
+    dropped_canon = set(out.loc[~out["keep"], "canonical_id"])
+    assert dropped_canon <= kept

@@ -93,3 +93,49 @@ def test_shingles(spark):
     }
     assert got[1] == ["a b c", "b c d", "c d e", "d e f"]
     assert got[2] == ["a b"]
+
+
+def test_repetition_scores_degenerate_docs(spark):
+    """Single-token and fully-repeated docs: bigram stats coalesce to
+    zero for 1-token docs; a constant doc flags as repetitive with
+    distinct=1; an all-distinct doc does not flag."""
+    from cdc_2025_spark.queries.text import (
+        text_doc_entropy,
+        text_repetition_scores,
+    )
+    import tempfile, os
+
+    rows = [
+        (0, "solo", "en", "s", 4),
+        (1, "a a a a a a", "en", "s", 11),
+        (2, "v w x y z", "en", "s", 9),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        rep = (
+            text_repetition_scores(spark, d)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        ent = (
+            text_doc_entropy(spark, d)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+    assert rep.loc[0, "n_tokens"] == 1
+    assert rep.loc[0, "n_bigrams"] == 0 and rep.loc[0, "top_bigram_n"] == 0
+    # a 1-token doc IS flagged: its top unigram is 100% of the doc
+    assert bool(rep.loc[0, "is_repetitive"])
+    assert rep.loc[1, "n_distinct"] == 1 and bool(rep.loc[1, "is_repetitive"])
+    assert rep.loc[1, "top_bigram_n"] == 5
+    assert rep.loc[2, "n_distinct"] == 5 and not rep.loc[2, "is_repetitive"]
+    # entropy: constant doc -> 0; all-distinct doc -> ln(5)
+    import math
+
+    assert ent.loc[1, "entropy_nats"] == 0.0
+    assert abs(ent.loc[2, "entropy_nats"] - round(math.log(5), 4)) < 1e-9
+    assert ent.loc[0, "entropy_nats"] == 0.0
