@@ -85,6 +85,7 @@ _NEW_R3: list[str] = [
     "text_repetition_scores",
     "text_doc_entropy",
     "text_pii_scrub",
+    "llm_corpus_prep",
 ]
 
 # The verification driver oracle-checks the first 50 registry entries

@@ -216,3 +216,179 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
     )
+
+
+PREP_REP_FACTOR = 5  # drop when top unigram > 20% of the doc
+
+
+@query(
+    "llm_corpus_prep",
+    oracle=f"""
+    WITH tr AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents WHERE doc_id >= {EVAL_MAX_ID}
+    ),
+    uni AS (
+      SELECT doc_id, source, tok, COUNT(*) AS c
+      FROM tr, unnest(ws) AS u(tok) GROUP BY 1, 2, 3
+    ),
+    ustat AS (
+      SELECT doc_id, source, SUM(c) AS n_tokens, MAX(c) AS top_c
+      FROM uni GROUP BY 1, 2
+    ),
+    keyed AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(ws)), ' '))
+               AS ckey
+      FROM tr
+    ),
+    st AS (
+      SELECT u.*, k.ckey,
+             ({PREP_REP_FACTOR} * u.top_c > u.n_tokens) AS drop_rep
+      FROM ustat u JOIN keyed k USING (doc_id)
+    ),
+    canon AS (
+      SELECT ckey, MIN(doc_id) AS canonical_id
+      FROM st WHERE NOT drop_rep GROUP BY 1
+    ),
+    sets AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) <= {CONTAIN_K}
+               THEN [array_to_string(ws, ' ')]
+               ELSE [array_to_string(ws[i:i+{CONTAIN_K - 1}], ' ')
+                     for i in range(1, len(ws) - {CONTAIN_K} + 2)]
+               END) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS ws
+            FROM documents)
+    ),
+    e AS (SELECT doc_id, sh FROM sets WHERE doc_id < {EVAL_MAX_ID}),
+    t2 AS (SELECT doc_id, sh FROM sets WHERE doc_id >= {EVAL_MAX_ID}),
+    contam AS (
+      SELECT DISTINCT t2.doc_id FROM e JOIN t2
+        ON len(list_intersect(e.sh, t2.sh)) * 1.0 / len(e.sh)
+           >= {CONTAIN_THRESHOLD}
+    ),
+    labeled AS (
+      SELECT st.source, st.n_tokens,
+        CASE WHEN st.drop_rep THEN 'drop_repetitive'
+             WHEN st.doc_id != c.canonical_id THEN 'drop_duplicate'
+             WHEN st.doc_id IN (SELECT doc_id FROM contam)
+               THEN 'drop_contaminated'
+             ELSE 'kept' END AS status
+      FROM st LEFT JOIN canon c USING (ckey)
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_in,
+      CAST(SUM(CASE WHEN status = 'drop_repetitive' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_drop_repetitive,
+      CAST(SUM(CASE WHEN status = 'drop_duplicate' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_drop_duplicate,
+      CAST(SUM(CASE WHEN status = 'drop_contaminated' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_drop_contaminated,
+      CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN status = 'kept' THEN n_tokens ELSE 0 END)
+           AS BIGINT) AS kept_tokens
+    FROM labeled GROUP BY source
+    """,
+)
+def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus-prep pipeline: repetition filter -> exact
+    vocab dedup (min-id survivor among quality-passing docs) ->
+    benchmark decontamination, with per-source drop accounting and
+    kept-token totals — the composition a training-data run executes,
+    as ONE declarative plan.
+
+    Stage order is part of the contract: dedup canonicals are chosen
+    among quality survivors only, and decontamination applies to
+    dedup survivors only, so each drop is attributed to exactly one
+    stage. All outputs are integer counts (hash-exact across
+    engines).
+
+    Scale shape: every stage is a hash-keyed aggregate or an
+    asymmetric broadcast join (eval side tiny) — composing them adds
+    no new shuffle class; Catalyst pipelines the scans, and the
+    doc-level stats reuse one tokenization subplan.
+    """
+    from cdc_2025_spark.dedup.exact import vocab_key
+
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") >= EVAL_MAX_ID)
+    uni = (
+        train.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "source", "tok")
+        .count()
+    )
+    stats = uni.groupBy("doc_id", "source").agg(
+        F.sum("count").alias("n_tokens"), F.max("count").alias("top_c")
+    )
+    keyed = train.select("doc_id", vocab_key("text").alias("ckey"))
+    st = stats.join(keyed, "doc_id").withColumn(
+        "drop_rep",
+        PREP_REP_FACTOR * F.col("top_c") > F.col("n_tokens"),
+    )
+    canon = (
+        st.filter(~F.col("drop_rep"))
+        .groupBy("ckey")
+        .agg(F.min("doc_id").alias("canonical_id"))
+    )
+    sets = shingle_sets(docs, "doc_id", "text", CONTAIN_K)
+    ev = sets.filter(F.col("id") < EVAL_MAX_ID).select(
+        F.col("id").alias("eval_id"),
+        F.size("sh").alias("esize"),
+        F.explode("sh").alias("shingle"),
+    )
+    trs = sets.filter(F.col("id") >= EVAL_MAX_ID).select(
+        F.col("id").alias("doc_id"), F.explode("sh").alias("shingle")
+    )
+    contam = (
+        F.broadcast(ev)
+        .join(trs, "shingle")
+        .groupBy("eval_id", "doc_id", "esize")
+        .agg(F.count("*").alias("inter"))
+        .filter(
+            F.col("inter") / F.col("esize") >= CONTAIN_THRESHOLD
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("_contam", F.lit(True))
+    )
+    labeled = (
+        st.join(canon, "ckey", "left")
+        .join(contam, "doc_id", "left")
+        .withColumn(
+            "status",
+            F.when(F.col("drop_rep"), F.lit("drop_repetitive"))
+            .when(
+                F.col("doc_id") != F.col("canonical_id"),
+                F.lit("drop_duplicate"),
+            )
+            .when(F.col("_contam").isNotNull(), F.lit("drop_contaminated"))
+            .otherwise(F.lit("kept")),
+        )
+    )
+    kept = F.col("status") == "kept"
+    return labeled.groupBy("source").agg(
+        F.count("*").alias("n_in"),
+        F.sum(
+            F.when(F.col("status") == "drop_repetitive", 1).otherwise(0)
+        ).alias("n_drop_repetitive"),
+        F.sum(
+            F.when(F.col("status") == "drop_duplicate", 1).otherwise(0)
+        ).alias("n_drop_duplicate"),
+        F.sum(
+            F.when(F.col("status") == "drop_contaminated", 1).otherwise(0)
+        ).alias("n_drop_contaminated"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+            "kept_tokens"
+        ),
+    )
