@@ -114,3 +114,24 @@ def test_shuffle_budget(spark, sf_dir, name, max_exchanges):
 
     n = exchange_count(QUERIES[name](spark, sf_dir))
     assert n <= max_exchanges, f"{name}: {n} exchanges"
+
+
+def test_corpus_prep_broadcasts_eval_no_cartesian(spark, sf_dir):
+    """The composed prep pipeline must keep the decontamination
+    stage's asymmetric broadcast (eval side tiny) and introduce no
+    cross product or Python anywhere in the composition."""
+    p = plan_of(spark, sf_dir, "llm_corpus_prep")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pii_scrub_single_aggregate(spark, sf_dir):
+    """PII scrub is scan + one partial aggregate: exactly one
+    exchange, no Python."""
+    from cdc_2025_spark.plans import exchange_count
+
+    df = QUERIES["text_pii_scrub"](spark, sf_dir)
+    assert exchange_count(df) <= 1
+    p = plan_string(df)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
