@@ -15,6 +15,16 @@ Pipeline (all JVM-side, no Python on the executor path):
    bands of ``r``; the band bucket is a single multi-argument
    ``xxhash64(s_j..s_{j+r-1})`` — no array slicing or string joins.
 
+Why k independent hashes and not one-permutation hashing (OPH, Li et
+al. NIPS'12 — 1 hash/shingle bucketed into k bins): OPH wins when
+set size >> k, but this corpus averages ~50-260 shingles against
+k=128 — most bins would be EMPTY and the estimate would ride on
+densification (Shrivastava ICML'17), i.e. extra machinery for a
+regime OPH isn't built for. Switch the signature builder to OPH +
+optimal densification only when typical |set| is several times
+n_hashes (long documents, larger k-shingles); the banding and
+verification stages are unchanged by that swap.
+
 The hash family is deterministic (fixed seeds), so results are stable
 across runs and cluster layouts. With J the true Jaccard,
 P[candidate] = 1 - (1 - J^r)^b — 16 bands x 8 rows puts the S-curve
