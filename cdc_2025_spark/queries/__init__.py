@@ -86,6 +86,7 @@ _NEW_R3: list[str] = [
     "text_doc_entropy",
     "text_pii_scrub",
     "llm_corpus_prep",
+    "cdc_scd2_user_state_history",
 ]
 
 # The verification driver oracle-checks the first 50 registry entries

@@ -224,3 +224,50 @@ def asof_last_signup_before_purchase(
     return carried.filter(F.col("purchase_id").isNotNull()).select(
         F.col("purchase_id"), F.col("last_signup").alias("signup_id")
     )
+
+
+@query(
+    "cdc_scd2_user_state_history",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ),
+    v AS (
+      SELECT user_id, event_type, value, op,
+             ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM c
+    )
+    SELECT user_id, event_type, value, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM v WHERE op != 'D'
+    """,
+)
+def cdc_scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history of per-user state, driving the streaming
+    module's batch kernel (streaming/cdc.scd2_history) through the
+    driver's oracle gate: the events log becomes a change stream
+    (key = user_id, 'error' events are deletes, everything else
+    upserts state), and every version carries its validity interval.
+
+    One keyed window (lead over user_id) — the same plan shape the
+    incremental/streaming form applies per microbatch; no global
+    sort. The oracle is the identical LEAD formulation in DuckDB.
+    """
+    from cdc_2025_spark.streaming.cdc import scd2_history
+
+    ev = read_table(spark, sf_dir, "events")
+    changes = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("ts").alias("op_ts"),
+        F.col("event_id").alias("_seq"),
+    )
+    return scd2_history(changes, ["user_id"], "op_ts")

@@ -9,8 +9,12 @@ an upstream extractor); this package consumes the change stream
 
 from cdc_2025_spark.streaming.cdc import (
     apply_changes_batch,
+    apply_changes_scd2,
+    cdc_scd2_stream,
     cdc_source,
     cdc_upsert_stream,
+    scd2_history,
+    scd2_merger,
     snapshot_merger,
 )
 from cdc_2025_spark.streaming.joins import (
@@ -27,8 +31,12 @@ from cdc_2025_spark.streaming.windows import (
 
 __all__ = [
     "apply_changes_batch",
+    "apply_changes_scd2",
+    "cdc_scd2_stream",
     "cdc_source",
     "cdc_upsert_stream",
+    "scd2_history",
+    "scd2_merger",
     "snapshot_merger",
     "enrich_stream_with_dim",
     "session_window_counts",

@@ -177,3 +177,143 @@ def cdc_upsert_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- SCD Type-2: change HISTORY, not just the latest snapshot ------
+
+
+def scd2_history(
+    changes: DataFrame, key_cols: list[str], ts_col: str = "op_ts"
+) -> DataFrame:
+    """Full SCD Type-2 history from a complete change log: one row
+    per (key, version) with ``valid_from``/``valid_to`` interval and
+    ``is_current`` flag (the APPLY CHANGES ... STORED AS SCD TYPE 2
+    semantics of public DLT/warehouse tooling, re-expressed as one
+    keyed window).
+
+    - every I/U opens a version at its ``ts_col``;
+    - a version closes at the NEXT event for the key (U or D alike),
+      so deletes close the open interval without emitting a row, and
+      a later re-insert opens a fresh version;
+    - ``_seq``, if present, breaks op_ts ties (file/offset order).
+
+    Scale: one window keyed by the CDC key — no global sort; skew is
+    bounded by per-key change counts (hot keys are the CDC stream's
+    own skew, not an artifact of the plan).
+    """
+    order = [F.col(ts_col)]
+    if "_seq" in changes.columns:
+        order.append(F.col("_seq"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    keep = [
+        c for c in changes.columns if c not in ("op", ts_col, "_seq")
+    ]
+    return (
+        changes.withColumn("valid_to", F.lead(ts_col).over(w))
+        .filter(F.col("op") != "D")
+        .select(
+            *keep,
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
+def apply_changes_scd2(
+    history: DataFrame | None,
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "op_ts",
+) -> DataFrame:
+    """Incremental SCD2 merge: append the batch's versions and close
+    the previously-open version of every touched key at the batch's
+    first event for that key.
+
+    Contract (standard append-ordered CDC): batch events are newer
+    than anything in ``history`` for their key. IDEMPOTENT under
+    microbatch replay — a version is identified by (key, valid_from),
+    so re-applied batches anti-join away their already-appended rows,
+    and re-closing is a no-op because the touched rows are no longer
+    open. Sequential application over batch splits reproduces
+    ``scd2_history`` of the full log exactly (pinned by property
+    test).
+    """
+    batch_hist = scd2_history(changes, key_cols, ts_col)
+    if history is None:
+        return batch_hist
+    first_ts = changes.groupBy(*key_cols).agg(
+        F.min(ts_col).alias("_first_ts")
+    )
+    closed = (
+        history.join(first_ts, key_cols, "left")
+        .withColumn(
+            "valid_to",
+            # close only rows that PREDATE the batch: under replay the
+            # open row may belong to this same batch (valid_from >=
+            # the batch's first event) and must not be closed by it
+            F.when(
+                F.col("valid_to").isNull()
+                & F.col("_first_ts").isNotNull()
+                & (F.col("valid_from") < F.col("_first_ts")),
+                F.col("_first_ts"),
+            ).otherwise(F.col("valid_to")),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("_first_ts")
+    )
+    new_rows = batch_hist.join(
+        history.select(*key_cols, "valid_from"),
+        [*key_cols, "valid_from"],
+        "left_anti",
+    )
+    return closed.unionByName(new_rows)
+
+
+def scd2_merger(
+    history_path: str,
+    key_cols: list[str],
+    ts_col: str = "op_ts",
+):
+    """foreachBatch merge function for SCD2 history over a parquet
+    store — same atomic write-to-temp-and-swap contract (and the same
+    replay idempotency argument) as snapshot_merger; swap in an ACID
+    MERGE INTO on real deployments."""
+    import os
+    import shutil
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        hist = None
+        if os.path.exists(history_path):
+            hist = spark.read.parquet(history_path)
+        nxt = apply_changes_scd2(hist, batch, key_cols, ts_col)
+        tmp = history_path + f".tmp-{batch_id}"
+        nxt.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(history_path):
+            shutil.rmtree(history_path)
+        os.rename(tmp, history_path)
+
+    return merge_batch
+
+
+def cdc_scd2_stream(
+    changes_stream: DataFrame,
+    history_path: str,
+    key_cols: list[str],
+    ts_col: str = "op_ts",
+    checkpoint_path: str | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Run SCD2 apply-changes over a streaming source into a parquet
+    history table at ``history_path`` via foreachBatch."""
+    writer = changes_stream.writeStream.foreachBatch(
+        scd2_merger(history_path, key_cols, ts_col)
+    ).outputMode("update")
+    if checkpoint_path:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -577,3 +577,150 @@ def test_cdc_into_dedup_compose(spark, tmpdir):
     }
     assert got == want
     assert (2, 1) in got  # docs 1 and 5 duplicate; min-id survivor
+
+
+def test_scd2_history_semantics(spark):
+    """I/U open versions, D closes without emitting, re-insert after
+    delete opens a fresh interval, _seq breaks ties."""
+    from cdc_2025_spark.streaming import scd2_history
+
+    changes = spark.createDataFrame(
+        [
+            (1, "I", datetime(2024, 1, 1, 0, 0, 0), 1, "a", 1.0),
+            (1, "U", datetime(2024, 1, 1, 0, 1, 0), 2, "a2", 1.5),
+            (1, "D", datetime(2024, 1, 1, 0, 2, 0), 3, None, None),
+            (1, "I", datetime(2024, 1, 1, 0, 3, 0), 4, "a3", 2.0),
+            # key 2: tie on op_ts, _seq orders the versions
+            (2, "I", datetime(2024, 1, 1, 0, 0, 0), 5, "b", 9.0),
+            (2, "U", datetime(2024, 1, 1, 0, 0, 0), 6, "b2", 9.5),
+        ],
+        CHANGES_SCHEMA,
+    )
+    hist = scd2_history(changes, ["k"]).collect()
+    by_key_from = {
+        (r["k"], r["valid_from"]): r for r in hist
+    }
+    assert len(hist) == 5  # 3 for k=1 (D emits nothing), 2 for k=2
+    v1 = by_key_from[(1, datetime(2024, 1, 1, 0, 0, 0))]
+    assert v1["valid_to"] == datetime(2024, 1, 1, 0, 1, 0)
+    v2 = by_key_from[(1, datetime(2024, 1, 1, 0, 1, 0))]
+    # closed by the DELETE, not by the re-insert
+    assert v2["valid_to"] == datetime(2024, 1, 1, 0, 2, 0)
+    v3 = by_key_from[(1, datetime(2024, 1, 1, 0, 3, 0))]
+    assert v3["valid_to"] is None and v3["is_current"]
+    # tie: _seq=5 version closed by _seq=6 at the same instant
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    assert by_key_from[(2, t0)]["name"] in ("b", "b2")
+    currents = [r for r in hist if r["k"] == 2 and r["is_current"]]
+    assert len(currents) == 1 and currents[0]["name"] == "b2"
+
+
+def test_scd2_sequential_apply_matches_full_log(spark):
+    """Property: splitting the change log into batches and applying
+    incrementally reproduces the full-log history bit-for-bit, and
+    replaying a batch is a no-op (idempotency)."""
+    import random
+
+    from cdc_2025_spark.streaming import apply_changes_scd2, scd2_history
+
+    rng = random.Random(7)
+    rows = []
+    seq = 0
+    for t in range(40):
+        k = rng.randrange(5)
+        op = rng.choice(["I", "U", "U", "D"])
+        seq += 1
+        rows.append(
+            (
+                k,
+                op,
+                datetime(2024, 1, 1, 0, 0, t),
+                seq,
+                None if op == "D" else f"v{seq}",
+                None if op == "D" else float(seq),
+            )
+        )
+    log = spark.createDataFrame(rows, CHANGES_SCHEMA)
+    full = scd2_history(log, ["k"])
+
+    hist = None
+    batches = [
+        log.filter(F.col("op_ts") < datetime(2024, 1, 1, 0, 0, 15)),
+        log.filter(
+            (F.col("op_ts") >= datetime(2024, 1, 1, 0, 0, 15))
+            & (F.col("op_ts") < datetime(2024, 1, 1, 0, 0, 30))
+        ),
+        log.filter(F.col("op_ts") >= datetime(2024, 1, 1, 0, 0, 30)),
+    ]
+    for b in batches:
+        hist = apply_changes_scd2(hist, b, ["k"])
+    # replay the last batch: must change nothing
+    replayed = apply_changes_scd2(hist, batches[-1], ["k"])
+
+    def canon(df):
+        return sorted(
+            (r["k"], r["name"], r["amount"], r["valid_from"],
+             r["valid_to"], r["is_current"])
+            for r in df.collect()
+        )
+
+    assert canon(hist) == canon(full)
+    assert canon(replayed) == canon(full)
+
+
+def test_cdc_scd2_stream_end_to_end(spark, tmpdir):
+    """File-drop change stream -> SCD2 parquet history via
+    foreachBatch, across two availableNow runs sharing a
+    checkpoint."""
+    from cdc_2025_spark.streaming import cdc_scd2_stream
+
+    src = os.path.join(tmpdir, "changes")
+    os.makedirs(src)
+    b1 = spark.createDataFrame(
+        [
+            (1, "I", datetime(2024, 1, 1, 0, 0, 0), 1, "one", 1.0),
+            (2, "I", datetime(2024, 1, 1, 0, 0, 0), 2, "two", 2.0),
+        ],
+        CHANGES_SCHEMA,
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    hist_path = os.path.join(tmpdir, "history")
+    ckpt = os.path.join(tmpdir, "ckpt_scd2")
+    q = cdc_scd2_stream(
+        spark.readStream.schema(b1.schema).parquet(src),
+        hist_path,
+        ["k"],
+        checkpoint_path=ckpt,
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(hist_path).count() == 2
+
+    b2 = spark.createDataFrame(
+        [
+            (1, "U", datetime(2024, 1, 1, 0, 1, 0), 3, "ONE", 1.5),
+            (2, "D", datetime(2024, 1, 1, 0, 1, 0), 4, None, None),
+        ],
+        CHANGES_SCHEMA,
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    q2 = cdc_scd2_stream(
+        spark.readStream.schema(b1.schema).parquet(src),
+        hist_path,
+        ["k"],
+        checkpoint_path=ckpt,
+    )
+    q2.awaitTermination(120)
+    hist = {
+        (r["k"], r["valid_from"]): r
+        for r in spark.read.parquet(hist_path).collect()
+    }
+    assert len(hist) == 3  # two v1 rows + k=1's update (D emits none)
+    assert hist[(1, datetime(2024, 1, 1, 0, 0, 0))]["valid_to"] == datetime(
+        2024, 1, 1, 0, 1, 0
+    )
+    assert hist[(1, datetime(2024, 1, 1, 0, 1, 0))]["is_current"]
+    # k=2 deleted: its only version is closed, nothing current
+    assert hist[(2, datetime(2024, 1, 1, 0, 0, 0))]["valid_to"] == datetime(
+        2024, 1, 1, 0, 1, 0
+    )
+    assert not any(r["is_current"] for (k, _), r in hist.items() if k == 2)
