@@ -87,6 +87,8 @@ _NEW_R3: list[str] = [
     "text_pii_scrub",
     "llm_corpus_prep",
     "cdc_scd2_user_state_history",
+    "cdc_scd2_state_asof",
+    "sample_train_val_test_split",
 ]
 
 # The verification driver oracle-checks the first 50 registry entries

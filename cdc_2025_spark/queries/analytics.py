@@ -526,3 +526,59 @@ def sql_api_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((n_name), (o_orderstatus), ())
         """
     )
+
+
+@query(
+    "sample_train_val_test_split",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+               AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10 AS bucket
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket < 9 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM d GROUP BY 1, 2
+    """,
+)
+def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test corpus split on an
+    md5 bucket of doc_id — stable under reruns, engine-portable, and
+    independent of row order or partitioning (the properties a
+    corpus split must have so training and eval never see membership
+    drift). Emits per-(source, split) doc and token totals.
+
+    Rides the scan: the bucket is computed map-side, the only shuffle
+    is the final small rollup."""
+    from cdc_2025_spark.functions.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            "source",
+            split.alias("split"),
+            token_count("text").alias("n_tokens"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

@@ -271,3 +271,52 @@ def cdc_scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("_seq"),
     )
     return scd2_history(changes, ["user_id"], "op_ts")
+
+
+SCD2_ASOF_TS = "2024-01-15 00:00:00"
+
+
+@query(
+    "cdc_scd2_state_asof",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ),
+    v AS (
+      SELECT user_id, event_type, value, op,
+             ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM c
+    )
+    SELECT user_id, event_type, value, valid_from, valid_to
+    FROM v
+    WHERE op != 'D'
+      AND valid_from <= TIMESTAMP '{SCD2_ASOF_TS}'
+      AND (valid_to IS NULL OR valid_to > TIMESTAMP '{SCD2_ASOF_TS}')
+    """,
+)
+def cdc_scd2_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the SCD2 history: reconstruct every user's
+    state as of one instant — one covering-interval filter
+    (streaming/cdc.scd2_as_of), no window, no join; on a real
+    deployment valid_from/valid_to partition-prune the history scan.
+    Users whose last pre-instant event was a delete are absent, as
+    they were live."""
+    from cdc_2025_spark.streaming.cdc import scd2_as_of, scd2_history
+
+    ev = read_table(spark, sf_dir, "events")
+    changes = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("ts").alias("op_ts"),
+        F.col("event_id").alias("_seq"),
+    )
+    hist = scd2_history(changes, ["user_id"], "op_ts")
+    return scd2_as_of(hist, F.to_timestamp(F.lit(SCD2_ASOF_TS)))

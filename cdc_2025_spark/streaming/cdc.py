@@ -317,3 +317,17 @@ def cdc_scd2_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def scd2_as_of(history: DataFrame, ts) -> DataFrame:
+    """Point-in-time snapshot from an SCD2 history table: the version
+    of each key whose validity interval covers ``ts``
+    (valid_from <= ts < valid_to, open intervals unbounded). Keys
+    deleted before ``ts`` simply have no covering version. A
+    partition-pruning filter at scale (valid_from/valid_to are the
+    natural partition/zorder columns of a history table)."""
+    t = F.lit(ts)
+    return history.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).drop("is_current")
