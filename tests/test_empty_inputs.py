@@ -89,3 +89,25 @@ def test_whitespace_only_documents_dedup(spark):
     )
     pairs = ngram_jaccard_pairs(df, k=3, threshold=0.5).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_scd2_empty_and_empty_batch(spark):
+    """SCD2: empty change log yields empty history; an empty batch
+    applied to existing history is a strict no-op (nothing closed,
+    nothing appended)."""
+    from datetime import datetime
+
+    from cdc_2025_spark.streaming import apply_changes_scd2, scd2_history
+
+    schema = "k long, op string, op_ts timestamp, name string"
+    empty = spark.createDataFrame([], schema)
+    assert scd2_history(empty, ["k"]).count() == 0
+
+    log = spark.createDataFrame(
+        [(1, "I", datetime(2024, 1, 1), "a")], schema
+    )
+    hist = scd2_history(log, ["k"])
+    after = apply_changes_scd2(hist, empty, ["k"])
+    rows = after.collect()
+    assert len(rows) == 1
+    assert rows[0]["valid_to"] is None and rows[0]["is_current"]
