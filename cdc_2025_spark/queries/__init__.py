@@ -89,6 +89,7 @@ _NEW_R3: list[str] = [
     "cdc_scd2_user_state_history",
     "cdc_scd2_state_asof",
     "sample_train_val_test_split",
+    "sample_domain_mixture_weights",
 ]
 
 # The verification driver oracle-checks the first 50 registry entries

@@ -392,3 +392,60 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_tokens"
         ),
     )
+
+
+MIX_PPM = 1_000_000
+
+
+@query(
+    "sample_domain_mixture_weights",
+    oracle=f"""
+    WITH totals AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                  AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, total_tokens,
+           CAST((SELECT MIN(total_tokens) FROM totals) * {MIX_PPM}
+                // total_tokens AS BIGINT) AS weight_ppm,
+           CAST(total_tokens *
+                ((SELECT MIN(total_tokens) FROM totals) * {MIX_PPM}
+                 // total_tokens) // {MIX_PPM} AS BIGINT)
+               AS target_tokens
+    FROM totals
+    """,
+)
+def sample_domain_mixture_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Static domain-mixture reweighting: per-source sampling weights
+    that equalize the token contribution of every source to the
+    smallest domain's total (the uniform-mixture special case of
+    static domain reweighting à la DoReMi; weights feed the
+    deterministic samplers).
+
+    Weights are INTEGER parts-per-million via floor division —
+    float ratios round differently across engines' libm, ppm floor
+    division is exact everywhere. Shape: one scan + 20-row aggregate;
+    the scalar min broadcasts (crossJoin of a 1-row frame), so
+    nothing reshuffles.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    totals = docs.groupBy("source").agg(
+        F.sum(token_count("text")).alias("total_tokens")
+    )
+    tmin = totals.agg(F.min("total_tokens").alias("_tmin"))
+    return (
+        totals.crossJoin(F.broadcast(tmin))
+        .withColumn(
+            "weight_ppm",
+            F.expr(f"_tmin * {MIX_PPM} div total_tokens"),
+        )
+        .withColumn(
+            "target_tokens",
+            F.expr(f"total_tokens * weight_ppm div {MIX_PPM}"),
+        )
+        .select("source", "total_tokens", "weight_ppm", "target_tokens")
+    )
