@@ -90,6 +90,7 @@ _NEW_R3: list[str] = [
     "cdc_scd2_state_asof",
     "sample_train_val_test_split",
     "sample_domain_mixture_weights",
+    "dedup_repeated_spans",
 ]
 
 # The verification driver oracle-checks the first 50 registry entries

@@ -356,3 +356,58 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("keep", F.col("vec_id") == F.col("canonical_id"))
     )
+
+
+SPAN_K = 5
+SPAN_MIN_DOCS = 2
+
+
+@query(
+    "dedup_repeated_spans",
+    oracle=f"""
+    WITH sp AS (
+      SELECT doc_id, s.span
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS ws
+            FROM documents),
+           unnest(CASE WHEN len(ws) <= {SPAN_K}
+                  THEN [array_to_string(ws, ' ')]
+                  ELSE [array_to_string(ws[i:i+{SPAN_K - 1}], ' ')
+                        for i in range(1, len(ws) - {SPAN_K} + 2)]
+                  END) AS s(span)
+    )
+    SELECT span,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM sp GROUP BY span
+    HAVING COUNT(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+    """,
+)
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated SPANS (exact {SPAN_K}-token windows
+    occurring in >= {SPAN_MIN_DOCS} distinct documents) — the
+    span-removal primitive of C4/RefinedWeb-style curation, which
+    cuts boilerplate at sub-document granularity where whole-doc
+    dedup sees nothing.
+
+    Shape: one explode + a two-phase distinct-count aggregate keyed
+    by span — partial aggregation map-side, skew bounded by span
+    document frequency (which is exactly the signal being measured).
+    Spans, not hashes, are emitted so the result is directly
+    actionable as a removal list; swap in xxhash64(span) keys at
+    corpus scale to shrink the shuffle (same plan).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    from cdc_2025_spark.functions.text import shingles
+
+    sp = docs.select(
+        "doc_id", F.explode(shingles("text", SPAN_K)).alias("span")
+    )
+    return (
+        sp.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= SPAN_MIN_DOCS)
+    )
