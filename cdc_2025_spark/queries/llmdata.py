@@ -340,7 +340,9 @@ def llm_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ckey")
         .agg(F.min("doc_id").alias("canonical_id"))
     )
-    sets = shingle_sets(docs, "doc_id", "text", CONTAIN_K)
+    # persisted: the eval and train branches both read the shingle
+    # subplan (same reason text_decontamination_overlap persists it)
+    sets = shingle_sets(docs, "doc_id", "text", CONTAIN_K).persist()
     ev = sets.filter(F.col("id") < EVAL_MAX_ID).select(
         F.col("id").alias("eval_id"),
         F.size("sh").alias("esize"),
