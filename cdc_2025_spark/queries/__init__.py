@@ -79,7 +79,13 @@ _RECHECK_R3 = [
 
 # Registered for the first time in round 3 — placed AFTER the
 # r1-green block so they never displace a query that hasn't had a
-# green row since round 1. (They'll rotate forward in round 4.)
+# green row since round 1 (the verdict's explicit round-3 ask). The
+# recheck set (5) + r1-only set (45) fills the 50-slot window
+# exactly, so these newcomers sit just outside it this round: their
+# round-3 verification is tests/test_oracle_parity.py (every oracle,
+# run at sf0.001 in CI and re-run at sf0.01 — the driver's exact
+# scale — before each commit); they rotate into the driver window in
+# round 4.
 _NEW_R3: list[str] = [
     "dedup_embedding_neardup",
     "text_repetition_scores",
