@@ -47,6 +47,13 @@ def salted_join(
             f"salted_join supports inner/left, got {how!r} — semi/anti "
             "reduce to key-distinct joins that don't need salting"
         )
+    if SALT_COL in big.columns or SALT_COL in small.columns:
+        # withColumn would silently overwrite the caller's column and
+        # drop() would then erase it from the output
+        raise ValueError(
+            f"input already has a {SALT_COL!r} column; rename it "
+            "before salting"
+        )
     if salt_on is None:
         salt_src = F.xxhash64(*[F.col(c) for c in big.columns])
     else:

@@ -229,8 +229,10 @@ def read_table(
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(path)
-    if use_cache:
-        handles[key] = df
+    # always refresh: a use_cache=False caller is telling us the
+    # files changed, so the stale handle must not survive for the
+    # default-path callers either
+    handles[key] = df
     return df
 
 

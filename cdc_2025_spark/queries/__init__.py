@@ -80,12 +80,13 @@ _RECHECK_R3 = [
 # Registered for the first time in round 3 — placed AFTER the
 # r1-green block so they never displace a query that hasn't had a
 # green row since round 1 (the verdict's explicit round-3 ask). The
-# recheck set (5) + r1-only set (45) fills the 50-slot window
-# exactly, so these newcomers sit just outside it this round: their
-# round-3 verification is tests/test_oracle_parity.py (every oracle,
-# run at sf0.001 in CI and re-run at sf0.01 — the driver's exact
-# scale — before each commit); they rotate into the driver window in
-# round 4.
+# recheck set (5) + r1-only set (44) fills 49 slots, so exactly ONE
+# newcomer — dedup_embedding_neardup, listed first below — takes the
+# window's last slot; the other 9 sit just outside it this round.
+# Their round-3 verification is tests/test_oracle_parity.py (every
+# oracle, run at sf0.001 in CI and re-run at sf0.01 — the driver's
+# exact scale — before each commit); they rotate into the driver
+# window in round 4.
 _NEW_R3: list[str] = [
     "dedup_embedding_neardup",
     "text_repetition_scores",
@@ -100,16 +101,17 @@ _NEW_R3: list[str] = [
 ]
 
 # The verification driver oracle-checks the first 50 registry entries
-# per round (insertion order). Round 3 window: the re-check set, then
-# the 44 remaining queries whose only green row is from round 1
-# (48 total), then round-3 newcomers in the last window slots.
+# per round (insertion order). Round 3 window: the re-check set (5),
+# then the 44 remaining queries whose only green row is from round 1,
+# then round-3 newcomers in _NEW_R3 list order (first one lands in
+# the window's last slot).
 _VERIFY_FIRST = [
     *_RECHECK_R3,
     *[n for n in QUERIES
       if n not in _CHECKED_R2
       and n not in _RECHECK_R3
       and n not in _NEW_R3],
-    *[n for n in QUERIES if n in _NEW_R3],
+    *[n for n in _NEW_R3 if n in QUERIES],
 ]
 
 

@@ -38,16 +38,20 @@ JACCARD_MAX_DF = 1000
 # dedup_jaccard_clusters and dedup_incremental_new_docs all consume
 # the SAME (k, threshold, df-cap) pair set, so a pipeline that runs
 # more than one of them should pay for shingling + the inverted-index
-# self-join once. Keyed on the SparkContext so a fresh session never
-# sees another session's persisted plan; persist() is lazy, so a
-# single-query run pays nothing extra.
-_PAIR_CACHE: dict[tuple, DataFrame] = {}
+# self-join once. Keyed WEAKLY on the session object (the io.py
+# table-handle pattern): id()-based keys can collide when CPython
+# recycles a stopped context's address, and a strong-ref module dict
+# would pin every session's persisted plan for the process lifetime.
+# persist() is lazy, so a single-query run pays nothing extra.
+from weakref import WeakKeyDictionary as _WeakKeyDictionary  # noqa: E402
+
+_PAIR_CACHE: _WeakKeyDictionary = _WeakKeyDictionary()
 
 
 def _shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark.sparkContext), sf_dir, JACCARD_K, JACCARD_THRESHOLD,
-           JACCARD_MAX_DF)
-    cached = _PAIR_CACHE.get(key)
+    key = (sf_dir, JACCARD_K, JACCARD_THRESHOLD, JACCARD_MAX_DF)
+    per_session = _PAIR_CACHE.setdefault(spark, {})
+    cached = per_session.get(key)
     if cached is not None:
         return cached
     docs = read_table(spark, sf_dir, "documents")
@@ -57,7 +61,7 @@ def _shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=JACCARD_THRESHOLD,
         max_doc_freq=JACCARD_MAX_DF,
     ).persist()
-    _PAIR_CACHE[key] = pairs
+    per_session[key] = pairs
     return pairs
 
 
