@@ -326,3 +326,15 @@ def test_embedding_neardup_decision_invariants(spark, sf_dir):
     kept = set(out.loc[out["keep"], "vec_id"])
     dropped_canon = set(out.loc[~out["keep"], "canonical_id"])
     assert dropped_canon <= kept
+
+
+def test_shared_jaccard_pair_index_is_reused(spark, sf_dir):
+    """The three Jaccard consumers must pay for shingling + the
+    inverted-index self-join once per (session, sf_dir): the shared
+    builder returns the SAME persisted DataFrame on every call."""
+    from cdc_2025_spark.queries.dedup import _shared_jaccard_pairs
+
+    a = _shared_jaccard_pairs(spark, sf_dir)
+    b = _shared_jaccard_pairs(spark, sf_dir)
+    assert a is b
+    assert a.storageLevel.useMemory  # persisted, not rebuilt per call
