@@ -430,17 +430,19 @@ def sample_domain_mixture_weights(
 
     Weights are INTEGER parts-per-million via floor division —
     float ratios round differently across engines' libm, ppm floor
-    division is exact everywhere. Shape: one scan + 20-row aggregate;
-    the scalar min broadcasts (crossJoin of a 1-row frame), so
-    nothing reshuffles.
+    division is exact everywhere. Shape: ONE corpus scan + the
+    per-source aggregate; the scalar min comes from a global window
+    over the aggregate OUTPUT (cardinality = #domains, bounded small
+    by definition — a separate agg branch would rescan the corpus).
     """
     docs = read_table(spark, sf_dir, "documents")
     totals = docs.groupBy("source").agg(
         F.sum(token_count("text")).alias("total_tokens")
     )
-    tmin = totals.agg(F.min("total_tokens").alias("_tmin"))
     return (
-        totals.crossJoin(F.broadcast(tmin))
+        totals.withColumn(
+            "_tmin", F.min("total_tokens").over(Window.partitionBy())
+        )
         .withColumn(
             "weight_ppm",
             F.expr(f"_tmin * {MIX_PPM} div total_tokens"),

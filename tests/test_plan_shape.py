@@ -135,3 +135,24 @@ def test_pii_scrub_single_aggregate(spark, sf_dir):
     assert exchange_count(df) <= 1
     p = plan_string(df)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+@pytest.mark.parametrize(
+    ("name", "max_exchanges"),
+    [
+        ("cdc_scd2_user_state_history", 1),  # one keyed window
+        ("cdc_scd2_state_asof", 1),          # window + interval filter
+        ("dedup_repeated_spans", 2),         # two-phase distinct count
+        ("sample_train_val_test_split", 1),  # scan-side bucket + rollup
+        ("text_pii_scrub", 1),               # scan + one rollup
+        ("text_doc_entropy", 2),             # token counts + doc agg
+        ("sample_domain_mixture_weights", 2),  # agg + tiny global window
+    ],
+)
+def test_shuffle_budget_round3(spark, sf_dir, name, max_exchanges):
+    """Exchange ceilings for the round-3 operators — same contract as
+    test_shuffle_budget: an added shuffle is a scale regression."""
+    from cdc_2025_spark.plans import exchange_count
+
+    n = exchange_count(QUERIES[name](spark, sf_dir))
+    assert n <= max_exchanges, f"{name}: {n} exchanges"
