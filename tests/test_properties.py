@@ -184,3 +184,75 @@ def test_join_fanout_cardinality(spark, left_keys, right_keys):
     ca, cb = Counter(left_keys), Counter(right_keys)
     want = sum(ca[k] * cb[k] for k in ca)
     assert got == want
+
+
+def _scd2_reference(rows):
+    """Pure-Python SCD2: rows are (k, op, ts_off, _seq, value); a
+    version opens at every I/U and closes at the key's next event."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r[0]].append(r)
+    out = []
+    for k, evs in by_key.items():
+        evs.sort(key=lambda r: (r[2], r[3]))
+        for i, (kk, op, ts, seq, val) in enumerate(evs):
+            if op == "D":
+                continue
+            nxt = evs[i + 1][2] if i + 1 < len(evs) else None
+            out.append((kk, val, ts, nxt, nxt is None))
+    return sorted(out)
+
+
+@SETTINGS
+@given(changes=change_strategy, split=st.integers(min_value=0, max_value=3))
+def test_scd2_history_matches_reference_model(spark, changes, split):
+    """scd2_history == the sequential Python model, and incremental
+    apply at any ts split point reproduces the full-log result."""
+    from datetime import datetime, timedelta
+
+    from cdc_2025_spark.streaming import apply_changes_scd2, scd2_history
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (k, op, ts, seq, None if op == "D" else float(round(val, 3)))
+        for seq, (k, op, ts, val) in enumerate(changes)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [
+            (k, op, base + timedelta(seconds=ts), seq, val)
+            for (k, op, ts, seq, val) in rows
+        ],
+        "k long, op string, op_ts timestamp, _seq long, value double",
+    )
+    expected = [
+        (
+            k,
+            val,
+            base + timedelta(seconds=f),
+            None if t is None else base + timedelta(seconds=t),
+            cur,
+        )
+        for (k, val, f, t, cur) in _scd2_reference(rows)
+    ]
+
+    def canon(sdf):
+        return sorted(
+            (r["k"], r["value"], r["valid_from"], r["valid_to"],
+             r["is_current"])
+            for r in sdf.collect()
+        )
+
+    assert canon(scd2_history(df, ["k"])) == sorted(expected)
+
+    cut = base + timedelta(seconds=split)
+    early = df.filter(F.col("op_ts") < cut)
+    late = df.filter(F.col("op_ts") >= cut)
+    hist = None
+    for b in (early, late):
+        if b.count() > 0:
+            hist = apply_changes_scd2(hist, b, ["k"])
+    assert hist is not None and canon(hist) == sorted(expected)
