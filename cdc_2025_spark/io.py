@@ -248,3 +248,39 @@ def load_star_schema(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         tables[name] = df
     return tables
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink (Spark-native, no extra jars): the columnar
+    alternative when the downstream reader is Hive/Trino-first.
+    Same pushdown/pruning behavior class as parquet."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — predicate pushdown and column pruning work exactly
+    as with parquet (pinned in tests/test_io_formats.py)."""
+    return spark.read.orc(path)
+
+
+def read_text_corpus(
+    spark: SparkSession, path: str, whole_files: bool = False
+) -> DataFrame:
+    """Raw-text ingestion for corpus building: one row per LINE
+    (default — splittable, the shape line-oriented corpora ship in)
+    or one row per FILE (``whole_files=True`` — document-per-file
+    layouts; NOT splittable, each file is read by one task, so only
+    for many-small-file corpora).
+
+    Emits (source_file, text). No line numbers by design: a
+    distributed text scan has no intrinsic row order, and promising
+    one would require a per-file sort the data can't pay for at
+    scale — carry provenance in the path and content instead.
+    """
+    return spark.read.text(path, wholetext=whole_files).select(
+        F.input_file_name().alias("source_file"),
+        F.col("value").alias("text"),
+    )
