@@ -21,6 +21,11 @@ CASES = [
     "sample_weighted_by_tokens",  # md5-bucket integer inequality
     "text_pack_sequences",        # window cumsum + floor division
     "sample_stratified_by_segment",  # conv(md5) % bucketing
+    # round 3: integer-arithmetic newcomers
+    "sample_domain_mixture_weights",  # ppm floor division (div)
+    "text_repetition_scores",         # 5*top > n integer flag
+    "sample_train_val_test_split",    # conv(md5) % split buckets
+    "text_fingerprints",              # base-31 modular rolling hash
 ]
 
 
