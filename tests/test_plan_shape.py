@@ -144,7 +144,7 @@ def test_pii_scrub_single_aggregate(spark, sf_dir):
         ("cdc_scd2_state_asof", 1),          # window + interval filter
         ("dedup_repeated_spans", 2),         # two-phase distinct count
         ("sample_train_val_test_split", 1),  # scan-side bucket + rollup
-        ("text_pii_scrub", 1),               # scan + one rollup
+        # (text_pii_scrub's <=1 ceiling lives in its dedicated test)
         ("text_doc_entropy", 2),             # token counts + doc agg
         ("sample_domain_mixture_weights", 2),  # agg + tiny global window
     ],

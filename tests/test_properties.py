@@ -202,7 +202,15 @@ def _scd2_reference(rows):
                 continue
             nxt = evs[i + 1][2] if i + 1 < len(evs) else None
             out.append((kk, val, ts, nxt, nxt is None))
-    return sorted(out)
+    return sorted(out, key=_version_sort_key)
+
+
+def _version_sort_key(t):
+    """None-safe ordering for (k, val, valid_from, valid_to, cur)
+    tuples: two versions can tie on every field up to valid_to, and
+    plain tuple comparison would then compare None against a value."""
+    k, val, vfrom, vto, cur = t
+    return (k, val, vfrom, vto is None, vto or vfrom, cur)
 
 
 @SETTINGS
@@ -241,12 +249,16 @@ def test_scd2_history_matches_reference_model(spark, changes, split):
 
     def canon(sdf):
         return sorted(
-            (r["k"], r["value"], r["valid_from"], r["valid_to"],
-             r["is_current"])
-            for r in sdf.collect()
+            (
+                (r["k"], r["value"], r["valid_from"], r["valid_to"],
+                 r["is_current"])
+                for r in sdf.collect()
+            ),
+            key=_version_sort_key,
         )
 
-    assert canon(scd2_history(df, ["k"])) == sorted(expected)
+    expected = sorted(expected, key=_version_sort_key)
+    assert canon(scd2_history(df, ["k"])) == expected
 
     cut = base + timedelta(seconds=split)
     early = df.filter(F.col("op_ts") < cut)
@@ -255,4 +267,4 @@ def test_scd2_history_matches_reference_model(spark, changes, split):
     for b in (early, late):
         if b.count() > 0:
             hist = apply_changes_scd2(hist, b, ["k"])
-    assert hist is not None and canon(hist) == sorted(expected)
+    assert hist is not None and canon(hist) == expected
