@@ -37,58 +37,22 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
     windows2,
 )
 
-# Names the driver checked in round 2 (CORRECTNESS_r02.json) — all
-# green there, so they rotate to the BACK for round 3 and the round-1
-# green set (checked only in r1) rotates into the first-50 window,
-# keeping every query's last green row within two rounds.
-_CHECKED_R2 = {
-    "dedup_minhash_lsh_pairs", "stats_approx_percentiles",
-    "agg_order_array_per_customer", "sim_pairs_above_threshold",
-    "sim_ivf_topk", "sim_kmeans_cell_profile", "sim_lsh_bucketed_pairs",
-    "text_token_stats", "text_quality_scores", "text_lang_id_confusion",
-    "text_punct_and_bpe", "text_fingerprints",
-    "q4_order_priority", "q6_forecast_revenue", "q7_nation_volume",
-    "q8_market_share", "q14_promo_revenue", "q15_top_supplier",
-    "q18_large_orders", "q19_bracketed_revenue", "q9_product_profit",
-    "q20_promo_heavy_suppliers", "q21_sole_late_suppliers",
-    "q11ish_part_value_share", "q13_customer_order_distribution",
-    "q17_small_quantity_revenue", "q22_dormant_rich_customers",
-    "range_join_event_windows", "skewjoin_salted_event_types",
-    "window_top3_orders_per_customer", "window_event_gaps",
-    "window_running_spend", "window_sessionize_events",
-    "asof_last_signup_before_purchase",
-    "q12_priority_by_linestatus", "q16_supplier_count_by_parttype",
-    "window_cumulative_distribution", "window_mom_revenue_change",
-    "window_trailing7d_customer_spend", "timeseries_gap_fill",
-    "stats_robust_outliers", "text_top_terms", "events_user_type_entropy",
-    "dedup_prefix_jaccard_pairs", "dedup_incremental_new_docs",
-    "text_decontamination_overlap", "sample_weighted_by_tokens",
-    "text_pack_sequences", "multimodal_feature_rollup",
-    "stats_moments_by_segment",
-}
-
-# Checked in r2 but materially CHANGED in round 3 (gained a DuckDB
-# oracle or a new plan) — must re-check despite the r2 green row.
-_RECHECK_R3 = [
-    "stats_approx_percentiles",   # rows-only -> oracle-backed in r3
-    "text_fingerprints",          # rows-only -> oracle-backed in r3
-    "dedup_ngram_jaccard_pairs",  # df-cap plan rewritten (anti-join)
-    "dedup_jaccard_clusters",     # consumes the rewritten pair plan
-    "multimodal_feature_rollup",  # gained real BMP/WAV kernel rows
-]
-
-# Registered for the first time in round 3 — placed AFTER the
-# r1-green block so they never displace a query that hasn't had a
-# green row since round 1 (the verdict's explicit round-3 ask). The
-# recheck set (5) + r1-only set (44) fills 49 slots, so exactly ONE
-# newcomer — dedup_embedding_neardup, listed first below — takes the
-# window's last slot; the other 9 sit just outside it this round.
-# Their round-3 verification is tests/test_oracle_parity.py (every
-# oracle, run at sf0.001 in CI and re-run at sf0.01 — the driver's
-# exact scale — before each commit); they rotate into the driver
-# window in round 4.
-_NEW_R3: list[str] = [
-    "dedup_embedding_neardup",
+# Round-4 window (the driver oracle-checks the FIRST 50 registry
+# entries per round, insertion order). Composition, per the round-3
+# verdict's top ask:
+#
+#   1. The 9 round-3 newcomers that have NEVER had a driver
+#      CORRECTNESS row (their only verification so far is the local
+#      tests/test_oracle_parity.py run at sf0.01).
+#   2. Queries materially CHANGED in round 4, which must re-check
+#      despite a previous green row.
+#   3. 38 queries whose most recent green row is round 2 — the
+#      oldest-evidence block — in stable registry order.
+#
+# Everything checked green in round 3 rotates to the back; the 8
+# r2-green queries that don't fit (named in _DEFER_TO_R5) plus the
+# r3-green block form the natural round-5 window.
+_NEVER_CHECKED = [
     "text_repetition_scores",
     "text_doc_entropy",
     "text_pii_scrub",
@@ -100,18 +64,47 @@ _NEW_R3: list[str] = [
     "dedup_repeated_spans",
 ]
 
-# The verification driver oracle-checks the first 50 registry entries
-# per round (insertion order). Round 3 window: the re-check set (5),
-# then the 44 remaining queries whose only green row is from round 1,
-# then round-3 newcomers in _NEW_R3 list order (first one lands in
-# the window's last slot).
+_RECHECK_R4 = [
+    "dedup_simhash_pairs",        # rows-only -> DuckDB popcount oracle in r4
+    "sim_ivf_topk",               # centroids: first-16 placeholder -> k-means
+    "multimodal_feature_rollup",  # gained PNG decode rows in r4
+]
+
+# Most recent green row is round 2 (CORRECTNESS_r02.json). 46 such
+# queries exist after removing sim_ivf_topk (rechecked above); the
+# first 38 in registry order fill the window.
+_R2_GREEN = [
+    "stats_moments_by_segment", "agg_order_array_per_customer",
+    "dedup_prefix_jaccard_pairs", "dedup_incremental_new_docs",
+    "dedup_minhash_lsh_pairs", "text_decontamination_overlap",
+    "sample_weighted_by_tokens", "text_pack_sequences",
+    "sim_pairs_above_threshold", "sim_kmeans_cell_profile",
+    "sim_lsh_bucketed_pairs", "text_token_stats", "text_quality_scores",
+    "text_lang_id_confusion", "text_punct_and_bpe",
+    "q4_order_priority", "q6_forecast_revenue", "q7_nation_volume",
+    "q8_market_share", "q14_promo_revenue", "q15_top_supplier",
+    "q18_large_orders", "q19_bracketed_revenue", "q9_product_profit",
+    "q20_promo_heavy_suppliers", "q21_sole_late_suppliers",
+    "q11ish_part_value_share", "q13_customer_order_distribution",
+    "q17_small_quantity_revenue", "q22_dormant_rich_customers",
+    "range_join_event_windows", "skewjoin_salted_event_types",
+    "window_top3_orders_per_customer", "window_event_gaps",
+    "window_running_spend", "window_sessionize_events",
+    "asof_last_signup_before_purchase", "q12_priority_by_linestatus",
+]
+
+_DEFER_TO_R5 = [
+    "q16_supplier_count_by_parttype", "window_cumulative_distribution",
+    "window_mom_revenue_change", "window_trailing7d_customer_spend",
+    "timeseries_gap_fill", "stats_robust_outliers", "text_top_terms",
+    "events_user_type_entropy",
+]
+
 _VERIFY_FIRST = [
-    *_RECHECK_R3,
-    *[n for n in QUERIES
-      if n not in _CHECKED_R2
-      and n not in _RECHECK_R3
-      and n not in _NEW_R3],
-    *[n for n in _NEW_R3 if n in QUERIES],
+    *_NEVER_CHECKED,
+    *_RECHECK_R4,
+    *_R2_GREEN,
+    *_DEFER_TO_R5,
 ]
 
 
