@@ -8,6 +8,8 @@ an upstream extractor); this package consumes the change stream
 """
 
 from cdc_2025_spark.streaming.cdc import (
+    _recover_store,
+    _swap_store,
     apply_changes_batch,
     apply_changes_scd2,
     cdc_scd2_stream,

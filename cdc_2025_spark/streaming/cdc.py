@@ -111,6 +111,55 @@ def cdc_source(
     raise ValueError(f"unknown CDC source {source!r}")
 
 
+def _recover_store(path: str) -> None:
+    """Restore a parquet store to a consistent state after a crash
+    inside ``_swap_store``'s rename window.
+
+    Possible on-disk states and their meaning:
+    - live only                      -> healthy, nothing to do
+    - live + live.old                -> crash AFTER the new live landed
+                                        but before the backup was
+                                        deleted: drop the stale backup
+    - live.old only (live missing)   -> crash BETWEEN the two renames:
+                                        roll back to the pre-batch
+                                        state; the interrupted batch
+                                        was never checkpoint-committed,
+                                        so the stream re-delivers it
+                                        (at-least-once) and the merge
+                                        re-applies it idempotently
+    """
+    import os
+    import shutil
+
+    old = path + ".old"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+
+
+def _swap_store(path: str, tmp: str) -> None:
+    """Replace the live store with ``tmp`` without ever passing
+    through a no-live-dir state: rename live aside, rename tmp in,
+    then delete the backup. A crash at any point leaves either the
+    old or the new store recoverable via ``_recover_store`` — unlike
+    rmtree(live)+rename(tmp), whose crash window silently loses all
+    prior state and makes a restart treat the next batch as initial.
+    """
+    import os
+    import shutil
+
+    old = path + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def snapshot_merger(
     snapshot_path: str,
     key_cols: list[str],
@@ -118,7 +167,8 @@ def snapshot_merger(
 ):
     """Build the foreachBatch merge function: each microbatch reads
     the current parquet snapshot, applies the changes, and atomically
-    replaces it (write to temp dir + swap) — the parquet stand-in for
+    replaces it (write to temp dir + rename-aside swap, see
+    ``_swap_store``/``_recover_store``) — the parquet stand-in for
     MERGE INTO on an ACID table.
 
     IDEMPOTENT under microbatch replay: foreachBatch is at-least-once
@@ -127,25 +177,24 @@ def snapshot_merger(
     batch is a no-op — upserts rewrite identical rows, deletes
     left-anti against already-absent keys. That idempotency is what
     turns at-least-once delivery into exactly-once snapshot state;
-    pinned by the crash-restart test in tests/test_streaming.py.
+    pinned by the crash-restart tests in tests/test_streaming.py
+    (including a crash injected INSIDE the swap window).
     Exposed separately from cdc_upsert_stream so deployments can swap
     in a Delta/Iceberg MERGE INTO behind the same (batch, batch_id)
     contract.
     """
     import os
-    import shutil
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        _recover_store(snapshot_path)
         snap = None
         if os.path.exists(snapshot_path):
             snap = spark.read.parquet(snapshot_path)
         nxt = apply_changes_batch(snap, batch, key_cols, ts_col)
         tmp = snapshot_path + f".tmp-{batch_id}"
         nxt.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(snapshot_path):
-            shutil.rmtree(snapshot_path)
-        os.rename(tmp, snapshot_path)
+        _swap_store(snapshot_path, tmp)
 
     return merge_batch
 
@@ -183,7 +232,10 @@ def cdc_upsert_stream(
 
 
 def scd2_history(
-    changes: DataFrame, key_cols: list[str], ts_col: str = "op_ts"
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "op_ts",
+    keep_seq: bool = False,
 ) -> DataFrame:
     """Full SCD Type-2 history from a complete change log: one row
     per (key, version) with ``valid_from``/``valid_to`` interval and
@@ -196,13 +248,20 @@ def scd2_history(
       so deletes close the open interval without emitting a row, and
       a later re-insert opens a fresh version;
     - ``_seq``, if present, breaks op_ts ties (file/offset order).
+    - ``keep_seq=True`` persists the opening event's ``_seq`` as a
+      ``valid_from_seq`` column, so a version is identified by
+      (key, valid_from, valid_from_seq). The incremental merge
+      (``apply_changes_scd2``) needs that to close/replay-detect
+      correctly when equal-op_ts changes span microbatch boundaries;
+      batch one-shot callers can leave it off.
 
     Scale: one window keyed by the CDC key — no global sort; skew is
     bounded by per-key change counts (hot keys are the CDC stream's
     own skew, not an artifact of the plan).
     """
+    has_seq = "_seq" in changes.columns
     order = [F.col(ts_col)]
-    if "_seq" in changes.columns:
+    if has_seq:
         order.append(F.col("_seq"))
     from pyspark.sql import Window
 
@@ -210,12 +269,17 @@ def scd2_history(
     keep = [
         c for c in changes.columns if c not in ("op", ts_col, "_seq")
     ]
+    version_id: list = [F.col(ts_col).alias("valid_from")]
+    if keep_seq:
+        if not has_seq:
+            raise ValueError("keep_seq=True requires a _seq column")
+        version_id.append(F.col("_seq").alias("valid_from_seq"))
     return (
         changes.withColumn("valid_to", F.lead(ts_col).over(w))
         .filter(F.col("op") != "D")
         .select(
             *keep,
-            F.col(ts_col).alias("valid_from"),
+            *version_id,
             "valid_to",
             F.col("valid_to").isNull().alias("is_current"),
         )
@@ -233,22 +297,53 @@ def apply_changes_scd2(
     first event for that key.
 
     Contract (standard append-ordered CDC): batch events are newer
-    than anything in ``history`` for their key. IDEMPOTENT under
-    microbatch replay — a version is identified by (key, valid_from),
-    so re-applied batches anti-join away their already-appended rows,
-    and re-closing is a no-op because the touched rows are no longer
-    open. Sequential application over batch splits reproduces
-    ``scd2_history`` of the full log exactly (pinned by property
-    test).
+    than anything in ``history`` for their key — newer by (op_ts,
+    _seq) when the change stream carries ``_seq``, by op_ts alone
+    otherwise. With ``_seq`` the history persists ``valid_from_seq``
+    and both the close condition and replay detection compare the
+    full (ts, seq) pair, so equal-op_ts changes that span microbatch
+    boundaries close/dedupe exactly as the full-log ``scd2_history``
+    would. IDEMPOTENT under microbatch replay — a version is
+    identified by (key, valid_from[, valid_from_seq]), so re-applied
+    batches anti-join away their already-appended rows, and
+    re-closing is a no-op because under replay the open row never
+    strictly predates the batch's first event. Sequential application
+    over batch splits reproduces ``scd2_history`` of the full log
+    exactly (pinned by property test, including same-timestamp
+    updates interleaved across batch boundaries).
     """
-    batch_hist = scd2_history(changes, key_cols, ts_col)
+    has_seq = "_seq" in changes.columns
+    batch_hist = scd2_history(changes, key_cols, ts_col, keep_seq=has_seq)
     if history is None:
         return batch_hist
-    first_ts = changes.groupBy(*key_cols).agg(
-        F.min(ts_col).alias("_first_ts")
-    )
+    if has_seq != ("valid_from_seq" in history.columns):
+        raise ValueError(
+            "history and change batch disagree on sequence tracking: "
+            "either both carry _seq/valid_from_seq or neither"
+        )
+    if has_seq:
+        first = changes.groupBy(*key_cols).agg(
+            F.min(F.struct(F.col(ts_col), F.col("_seq"))).alias("_first")
+        ).select(
+            *key_cols,
+            F.col(f"_first.{ts_col}").alias("_first_ts"),
+            F.col("_first._seq").alias("_first_seq"),
+        )
+        # strictly-before in (ts, seq) lexicographic order
+        predates = F.struct(
+            F.col("valid_from"), F.col("valid_from_seq")
+        ) < F.struct(F.col("_first_ts"), F.col("_first_seq"))
+        version_key = [*key_cols, "valid_from", "valid_from_seq"]
+        helper_cols = ["_first_ts", "_first_seq"]
+    else:
+        first = changes.groupBy(*key_cols).agg(
+            F.min(ts_col).alias("_first_ts")
+        )
+        predates = F.col("valid_from") < F.col("_first_ts")
+        version_key = [*key_cols, "valid_from"]
+        helper_cols = ["_first_ts"]
     closed = (
-        history.join(first_ts, key_cols, "left")
+        history.join(first, key_cols, "left")
         .withColumn(
             "valid_to",
             # close only rows that PREDATE the batch: under replay the
@@ -257,16 +352,16 @@ def apply_changes_scd2(
             F.when(
                 F.col("valid_to").isNull()
                 & F.col("_first_ts").isNotNull()
-                & (F.col("valid_from") < F.col("_first_ts")),
+                & predates,
                 F.col("_first_ts"),
             ).otherwise(F.col("valid_to")),
         )
         .withColumn("is_current", F.col("valid_to").isNull())
-        .drop("_first_ts")
+        .drop(*helper_cols)
     )
     new_rows = batch_hist.join(
-        history.select(*key_cols, "valid_from"),
-        [*key_cols, "valid_from"],
+        history.select(*version_key),
+        version_key,
         "left_anti",
     )
     return closed.unionByName(new_rows)
@@ -278,23 +373,21 @@ def scd2_merger(
     ts_col: str = "op_ts",
 ):
     """foreachBatch merge function for SCD2 history over a parquet
-    store — same atomic write-to-temp-and-swap contract (and the same
-    replay idempotency argument) as snapshot_merger; swap in an ACID
-    MERGE INTO on real deployments."""
+    store — same rename-aside swap + crash recovery contract (and the
+    same replay idempotency argument) as snapshot_merger; swap in an
+    ACID MERGE INTO on real deployments."""
     import os
-    import shutil
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        _recover_store(history_path)
         hist = None
         if os.path.exists(history_path):
             hist = spark.read.parquet(history_path)
         nxt = apply_changes_scd2(hist, batch, key_cols, ts_col)
         tmp = history_path + f".tmp-{batch_id}"
         nxt.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(history_path):
-            shutil.rmtree(history_path)
-        os.rename(tmp, history_path)
+        _swap_store(history_path, tmp)
 
     return merge_batch
 

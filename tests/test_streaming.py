@@ -724,3 +724,102 @@ def test_cdc_scd2_stream_end_to_end(spark, tmpdir):
         2024, 1, 1, 0, 1, 0
     )
     assert not any(r["is_current"] for (k, _), r in hist.items() if k == 2)
+
+
+def test_swap_crash_window_recovery(spark, tmpdir):
+    """A crash INSIDE the swap (between the two renames, or after the
+    new live landed but before the backup delete) must never lose the
+    store: _recover_store rolls back / cleans up, and re-merging the
+    interrupted batch (at-least-once redelivery) converges to the
+    correct state. The old rmtree+rename swap failed this: the crash
+    window left NO live dir and a restart silently treated the next
+    batch as initial state."""
+    from cdc_2025_spark.streaming import snapshot_merger
+
+    snap_path = os.path.join(tmpdir, "snap")
+    merge = snapshot_merger(snap_path, ["k"])
+    b1 = spark.createDataFrame(
+        [
+            (1, "I", datetime(2024, 1, 1, 0, 0, 0), 1, "one", 1.0),
+            (2, "I", datetime(2024, 1, 1, 0, 0, 0), 2, "two", 2.0),
+        ],
+        CHANGES_SCHEMA,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (1, "U", datetime(2024, 1, 1, 0, 1, 0), 3, "ONE", 1.5),
+            (3, "I", datetime(2024, 1, 1, 0, 1, 0), 4, "three", 3.0),
+        ],
+        CHANGES_SCHEMA,
+    )
+    merge(b1, 0)
+
+    # Crash state A: between rename(live -> live.old) and
+    # rename(tmp -> live) during b2's merge — live is MISSING.
+    os.rename(snap_path, snap_path + ".old")
+    assert not os.path.exists(snap_path)
+    merge(b2, 1)  # redelivered batch: recovery rolls back, then merges
+    got = {
+        r["k"]: (r["name"], r["amount"])
+        for r in spark.read.parquet(snap_path).collect()
+    }
+    assert got == {1: ("ONE", 1.5), 2: ("two", 2.0), 3: ("three", 3.0)}
+    assert not os.path.exists(snap_path + ".old")
+
+    # Crash state B: new live landed but the backup delete didn't run.
+    # The stale backup must be dropped, the live store left intact.
+    b3 = spark.createDataFrame(
+        [(2, "D", datetime(2024, 1, 1, 0, 2, 0), 5, None, None)],
+        CHANGES_SCHEMA,
+    )
+    os.makedirs(snap_path + ".old")
+    merge(b3, 2)
+    got = {
+        r["k"]: (r["name"], r["amount"])
+        for r in spark.read.parquet(snap_path).collect()
+    }
+    assert got == {1: ("ONE", 1.5), 3: ("three", 3.0)}
+    assert not os.path.exists(snap_path + ".old")
+
+
+def test_scd2_same_ts_across_batch_boundary(spark):
+    """The replay-safety guard must not mask a REAL same-timestamp
+    successor arriving in a later batch: two updates to one key with
+    equal op_ts split across microbatches close/dedupe by (ts, _seq),
+    reproducing the full-log history exactly — including the
+    degenerate zero-length interval for the superseded version — and
+    replaying either batch stays a no-op."""
+    from cdc_2025_spark.streaming import apply_changes_scd2, scd2_history
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    t1 = datetime(2024, 1, 1, 0, 1, 0)
+    rows = [
+        (1, "I", t0, 1, "a", 1.0),
+        (1, "U", t0, 2, "a2", 2.0),   # same ts, later seq, SAME batch
+        (1, "U", t1, 3, "a3", 3.0),
+        (1, "U", t1, 4, "a4", 4.0),   # same ts, later seq, NEXT batch
+        (2, "I", t1, 5, "b", 9.0),
+    ]
+    log = spark.createDataFrame(rows, CHANGES_SCHEMA)
+    full = scd2_history(log, ["k"], keep_seq=True)
+
+    b1 = log.filter(F.col("_seq") <= 3)
+    b2 = log.filter(F.col("_seq") > 3)
+    hist = apply_changes_scd2(None, b1, ["k"])
+    hist = apply_changes_scd2(hist, b2, ["k"])
+
+    def canon(df):
+        return sorted(
+            (r["k"], r["name"], r["valid_from"], r["valid_from_seq"],
+             r["valid_to"], r["is_current"])
+            for r in df.collect()
+        )
+
+    assert canon(hist) == canon(full)
+    # the (t1, seq=3) version opened in b1 was closed by b2's
+    # same-timestamp successor — a strict-ts guard would miss this
+    v3 = [r for r in hist.collect() if r["valid_from_seq"] == 3][0]
+    assert v3["valid_to"] == t1 and not v3["is_current"]
+    # idempotency: replaying either batch changes nothing
+    assert canon(apply_changes_scd2(hist, b1, ["k"])) == canon(full)
+    assert canon(apply_changes_scd2(hist, b2, ["k"])) == canon(full)
