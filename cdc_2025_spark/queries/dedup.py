@@ -394,12 +394,20 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts boilerplate at sub-document granularity where whole-doc
     dedup sees nothing.
 
-    Shape: one explode + a two-phase distinct-count aggregate keyed
-    by span — partial aggregation map-side, skew bounded by span
-    document frequency (which is exactly the signal being measured).
-    Spans, not hashes, are emitted so the result is directly
-    actionable as a removal list; swap in xxhash64(span) keys at
-    corpus scale to shrink the shuffle (same plan).
+    Shape: one explode + a two-phase distinct-count aggregate KEYED
+    BY xxhash64(span), not the span string — the shuffle sorts and
+    compares 8-byte keys instead of {SPAN_K}-token strings, and the
+    distinct phase's (key, doc_id) pairs shrink accordingly. The span
+    itself rides along as a min() exemplar aggregate (resolved in the
+    partial phase, so each map partition emits it once per distinct
+    span) and is re-emitted in the result, which stays a directly
+    actionable removal list. Partial aggregation map-side; skew is
+    bounded by span document frequency (exactly the signal being
+    measured). A 64-bit hash collision would merge two unrelated
+    spans — at ~2^32 distinct spans the expected collision count is
+    ~0.5 (birthday bound), the standard trade every hash-keyed
+    shuffle in this repo makes; output equality with the string-keyed
+    form is pinned by test on the fixture corpus.
     """
     docs = read_table(spark, sf_dir, "documents")
     from cdc_2025_spark.functions.text import shingles
@@ -408,10 +416,13 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(shingles("text", SPAN_K)).alias("span")
     )
     return (
-        sp.groupBy("span")
+        sp.withColumn("_h", F.xxhash64("span"))
+        .groupBy("_h")
         .agg(
+            F.min("span").alias("span"),
             F.countDistinct("doc_id").alias("n_docs"),
             F.count("*").alias("n_occurrences"),
         )
         .filter(F.col("n_docs") >= SPAN_MIN_DOCS)
+        .select("span", "n_docs", "n_occurrences")
     )

@@ -338,3 +338,36 @@ def test_shared_jaccard_pair_index_is_reused(spark, sf_dir):
     b = _shared_jaccard_pairs(spark, sf_dir)
     assert a is b
     assert a.storageLevel.useMemory  # persisted, not rebuilt per call
+
+
+def test_repeated_spans_hash_key_equals_string_key(spark, sf_dir):
+    """dedup_repeated_spans aggregates on xxhash64(span) (8-byte
+    shuffle key) with the span recovered via a min() exemplar — its
+    output must be bit-identical to the straightforward string-keyed
+    aggregate, and the hashed key must actually be in the plan."""
+    from cdc_2025_spark.functions.text import shingles
+    from cdc_2025_spark.io import read_table
+    from cdc_2025_spark.queries.dedup import (
+        SPAN_K,
+        SPAN_MIN_DOCS,
+        dedup_repeated_spans,
+    )
+
+    got_df = dedup_repeated_spans(spark, sf_dir)
+    plan = got_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64(span" in plan  # the aggregate key, not a literal
+
+    sp = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(shingles("text", SPAN_K)).alias("span")
+    )
+    ref = (
+        sp.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= SPAN_MIN_DOCS)
+    )
+    got = sorted(map(tuple, got_df.collect()))
+    want = sorted(map(tuple, ref.collect()))
+    assert got == want and len(got) > 0
