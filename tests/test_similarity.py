@@ -85,9 +85,13 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
         got = approx.get(qid, set())
         assert got, f"IVF returned nothing for query {qid}"
         recalls.append(len(got & want) / len(want))
-    # nprobe=4 of nlist=16 probes 25% of cells but neighbors cluster
-    # into the same cells as the query; assert a sane floor
-    assert sum(recalls) / len(recalls) >= 0.4, recalls
+    # Recorded baselines at sf0.001 (deterministic, measured r4):
+    #   first-16-vectors placeholder centroids: 0.88 (nprobe=4),
+    #   0.90 (nprobe=6); k-means centroids (lowest_id init, 3
+    #   iterations, nprobe=6): 0.96 — the k-means quantizer must keep
+    #   beating both placeholder configs, with slack for future data
+    #   regen (everything here is hash-deterministic per corpus).
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
 
 
 def test_cosine_udf_matches_codegen(spark):
