@@ -43,6 +43,17 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "sim_ivf_topk",
     "text_quality_scores",
+    # round-3 newcomers, tracked from r4 on so every registered family
+    # has a wall-time history against the 2x-baseline bar
+    "text_repetition_scores",
+    "text_doc_entropy",
+    "text_pii_scrub",
+    "llm_corpus_prep",
+    "cdc_scd2_user_state_history",
+    "cdc_scd2_state_asof",
+    "sample_train_val_test_split",
+    "sample_domain_mixture_weights",
+    "dedup_repeated_spans",
 ]
 
 
