@@ -410,11 +410,9 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     form is pinned by test on the fixture corpus.
     """
     docs = read_table(spark, sf_dir, "documents")
-    from cdc_2025_spark.functions.text import shingles
+    from cdc_2025_spark.functions.text import exploded_spans
 
-    sp = docs.select(
-        "doc_id", F.explode(shingles("text", SPAN_K)).alias("span")
-    )
+    sp = exploded_spans(docs, SPAN_K)
     return (
         sp.withColumn("_h", F.xxhash64("span"))
         .groupBy("_h")
