@@ -158,10 +158,23 @@ def exploded_spans(
     Documents with <= k tokens (including empty text, whose token
     array is [""]) yield one whole-text span, exactly like
     ``shingles``: the pos==0 row's concat_ws skips the NULL leads.
+
+    NULL-text divergence (deliberate, untriggered by the fixture
+    corpus, whose text is non-null): posexplode of a NULL token array
+    emits no rows, so NULL-text docs vanish here, while
+    ``explode(shingles(NULL))`` emits one NULL-span row (size(NULL) is
+    -1, taking the n <= k branch). Equivalent to filtering
+    ``text_col IS NOT NULL`` first — dedup semantics treat a NULL doc
+    as having no content to match on.
     """
+    if k < 1:
+        raise ValueError(f"span width k must be >= 1, got {k}")
     toks = docs.select(
         id_col, F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "tok")
     )
+    if k == 1:
+        # no leads to wait on: every token is its own span
+        return toks.select(id_col, F.col("tok").alias("span"))
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("tok", i).over(w) for i in range(1, k)]
     return (

@@ -142,18 +142,148 @@ def decode_bmp(payload: bytes):
     return bgr[:, :, ::-1]  # BGR -> RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib  # noqa: PLC0415
+
+    return (
+        _struct.pack(">I", len(data))
+        + ctype
+        + data
+        + _struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def make_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Build a REAL PNG (8-bit RGB, color type 2, filter 0 scanlines,
+    zlib-compressed IDAT) with the SAME deterministic seeded-gradient
+    pixel pattern as ``make_bmp`` — so BMP and PNG payloads of the
+    same (width, height, seed) decode to pixel-identical images.
+    stdlib-only (struct + zlib)."""
+    import zlib  # noqa: PLC0415
+
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter type 0 (None) per scanline
+        for x in range(width):
+            raw += bytes(
+                (
+                    (x * 13 + y * 17 + seed * 3) % 256,  # R
+                    (x * 5 + y * 11 + seed * 2) % 256,   # G
+                    (x * 7 + y * 3 + seed) % 256,        # B
+                )
+            )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes):
+    """REAL decode kernel for PNG (stdlib zlib inflate + per-scanline
+    unfilter, filters 0-4 incl. Paeth): returns an (height, width, 3)
+    uint8 RGB array. Supports 8-bit color types 2 (RGB) and 6 (RGBA,
+    alpha dropped), non-interlaced — the shapes a training-data lake
+    actually stores; exotic ones raise loudly rather than decode
+    wrongly. Dependency-free (struct + zlib + numpy)."""
+    import zlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = _struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = _struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    width, height, depth, ctype_i, _comp, _filt, interlace = ihdr
+    if depth != 8 or ctype_i not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit RGB/RGBA non-interlaced PNG supported "
+            f"(depth={depth}, color_type={ctype_i}, interlace={interlace})"
+        )
+    bpp = 3 if ctype_i == 2 else 4
+    stride = width * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("IDAT length does not match dimensions")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:  # Up: fully vectorized
+            rec = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth: sequential in x
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    pred = _paeth(int(a), int(b), int(c))
+                rec[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(height, width, bpp)[:, :, :3].copy()
+
+
 def make_real_media(
-    spark: SparkSession, n_images: int = 8, n_audio: int = 8
+    spark: SparkSession, n_images: int = 8, n_audio: int = 8, n_png: int = 0
 ) -> DataFrame:
-    """Media rows with REAL payloads: uncompressed 24-bit BMPs and
-    RIFF/WAVE PCM-16 sines, both deterministic — the end-to-end
-    non-stub decode path (decode_bmp / decode_wav) with zero codec
-    dependencies."""
+    """Media rows with REAL payloads: uncompressed 24-bit BMPs,
+    zlib-compressed PNGs, and RIFF/WAVE PCM-16 sines, all
+    deterministic — the end-to-end non-stub decode paths (decode_bmp /
+    decode_png / decode_wav) with zero codec dependencies. PNG row i
+    carries the same pixel pattern as BMP row i (same width/height/seed
+    formula), so the two containers are feature-identical."""
     rows = []
     for i in range(n_images):
         w, h = 32 + (i % 4) * 8, 24 + (i % 3) * 8
         rows.append(
             (i, "image", bytearray(make_bmp(w, h, seed=i)), (w, h, 0, "bmp"))
+        )
+    for i in range(n_png):
+        w, h = 32 + (i % 4) * 8, 24 + (i % 3) * 8
+        rows.append(
+            (
+                n_images + n_audio + i,
+                "image",
+                bytearray(make_png(w, h, seed=i)),
+                (w, h, 0, "png"),
+            )
         )
     for i in range(n_audio):
         dur = 500 * (1 + i % 4)
@@ -175,21 +305,27 @@ def make_real_media(
 
 
 def _decode_image_bytes(payload: bytes) -> list[float]:
-    """Image decode kernel. BMP payloads take the REAL path: header
-    parse + pixel decode + channel statistics. Compressed formats
-    (JPEG/PNG magic bytes) raise NotImplementedError to make
-    accidental production use loud — real deployments swap in
-    Pillow/libvips behind the same bytes -> features contract. Other
-    payloads take the deterministic stub path so the distributed
-    plumbing stays testable without codecs.
+    """Image decode kernel. BMP and PNG payloads take REAL paths:
+    header parse + pixel decode (stdlib zlib inflate + unfilter for
+    PNG) + channel statistics. JPEG magic bytes raise
+    NotImplementedError to make accidental production use loud — real
+    deployments swap in Pillow/libvips behind the same bytes ->
+    features contract. Other payloads take the deterministic stub path
+    so the distributed plumbing stays testable without codecs.
 
-    Feature vector (8-dim, all paths): BMP -> [width, height, mean
-    R/G/B in [0,1], std/min/max of gray in [0,1]]; stub -> seeded
-    words of the payload."""
+    Feature vector (8-dim, all paths): BMP/PNG -> [width, height, mean
+    R/G/B in [0,1], std/min/max of gray in [0,1]] (pixel-identical
+    payloads yield identical features regardless of container format);
+    stub -> seeded words of the payload."""
+    rgb = None
     if payload[:2] == b"BM":
+        rgb = decode_bmp(payload)
+    elif payload[:8] == _PNG_SIG:
+        rgb = decode_png(payload)
+    if rgb is not None:
         import numpy as np  # noqa: PLC0415
 
-        rgb = decode_bmp(payload).astype(np.float64) / 255.0
+        rgb = rgb.astype(np.float64) / 255.0
         gray = rgb.mean(axis=2)
         return [
             float(rgb.shape[1]),
@@ -201,9 +337,9 @@ def _decode_image_bytes(payload: bytes) -> list[float]:
             float(gray.min()),
             float(gray.max()),
         ]
-    if payload[:3] == b"\xff\xd8\xff" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+    if payload[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
-            "real image decoding requires Pillow; not available in this "
+            "real JPEG decoding requires Pillow; not available in this "
             "container — swap _decode_image_bytes for a real kernel"
         )
     out = []

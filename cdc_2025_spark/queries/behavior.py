@@ -130,10 +130,13 @@ def interevent_timing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = ev.withColumn(
-        "gap_s",
-        F.col("ts").cast("double") - F.lag("ts").over(w).cast("double"),
-    )
+    # cast through timestamp_ltz: parquet timestamps written without
+    # UTC adjustment read back as TIMESTAMP_NTZ (Spark 4 inference),
+    # which cannot cast straight to double; ltz->double is epoch
+    # seconds and the NTZ->LTZ shift cancels in the difference
+    epoch = F.col("ts").cast("timestamp_ltz").cast("double")
+    lag_epoch = F.lag("ts").over(w).cast("timestamp_ltz").cast("double")
+    gaps = ev.withColumn("gap_s", epoch - lag_epoch)
     return gaps.groupBy("event_type").agg(
         F.count("gap_s").alias("n_gaps"),
         F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),

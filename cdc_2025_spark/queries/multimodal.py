@@ -34,7 +34,10 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the stub kernels (image/audio/video rows) AND real
     decodable payloads through the non-stub kernels (image_bmp: 24-bit
     BMP pixel decode; audio_wav: RIFF PCM-16 sample decode —
-    multimodal/media.py decode_bmp / decode_wav). ``sf_dir`` is
+    multimodal/media.py decode_bmp / decode_wav), plus image_png:
+    stdlib-zlib PNG inflate + unfilter carrying the SAME pixel
+    patterns as image_bmp, so those two rows' avg/max metrics must
+    agree exactly (pinned in test_multimodal.py). ``sf_dir`` is
     unused: media rows are generated, not read, since the testdata
     lake has no media table.
     """
@@ -42,6 +45,7 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio = make_synthetic_media(spark, n=32, kind="audio")
     video = make_synthetic_media(spark, n=16, kind="video")
     real = make_real_media(spark, n_images=8, n_audio=8)
+    real_png = make_real_media(spark, n_images=0, n_audio=0, n_png=8)
 
     img = extract_image_features(images).agg(
         F.lit("image").alias("kind"),
@@ -69,6 +73,12 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.element_at("features", 6)), 4).alias("avg_metric"),
         F.round(F.max(F.element_at("features", 8)), 4).alias("max_metric"),
     )
+    png = extract_image_features(real_png).agg(
+        F.lit("image_png").alias("kind"),
+        F.count("*").alias("n_rows"),
+        F.round(F.avg(F.element_at("features", 6)), 4).alias("avg_metric"),
+        F.round(F.max(F.element_at("features", 8)), 4).alias("max_metric"),
+    )
     wav = extract_audio_chunk_features(real, chunk_ms=500).agg(
         F.lit("audio_wav").alias("kind"),
         F.count("*").alias("n_rows"),
@@ -79,5 +89,6 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         img.unionByName(aud)
         .unionByName(vid)
         .unionByName(bmp)
+        .unionByName(png)
         .unionByName(wav)
     )

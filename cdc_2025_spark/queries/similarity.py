@@ -167,7 +167,15 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[tuple]:
     split true neighbor sets across more cells) and 5 iters
     (0.90/0.90); the embeddings are unit-norm so euclidean Lloyd's ==
     spherical k-means and no metric mismatch exists with the cosine
-    cell assignment below."""
+    cell assignment below.
+
+    In-session caveat (same as dedup._PAIR_CACHE): the key is
+    (sf_dir, k, iters), not a corpus fingerprint — if the parquet at
+    sf_dir is REGENERATED within one session, stale centroids are
+    served. Bench/driver runs use one corpus per session, and a stale
+    quantizer only degrades recall (never correctness of the exact
+    re-rank within probed cells); restart the session after swapping
+    corpora in place."""
     from cdc_2025_spark.functions.kmeans import lloyd_kmeans
 
     key = (sf_dir, N_CENTROIDS, KMEANS_ITER)
@@ -201,8 +209,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=6 scanned fraction (~36%) and 0.88/0.92 at its original
     nprobe=4 — k-means is the only config that clears 0.92.
 
-    Plan shape: both the centroid set (16 rows) and the probe map
-    (5 queries × 4 cells) broadcast; the corpus is scored against 16
+    Plan shape: both the centroid set (N_CENTROIDS rows) and the probe
+    map (N_QUERY_VECS queries × N_PROBE cells) broadcast; the corpus is
+    scored against 16
     broadcast centroids in one codegen pass (argmax via max_by — no
     shuffle), then the candidate join is a broadcast hash join on
     cell id. The only shuffle is the final per-query top-k window

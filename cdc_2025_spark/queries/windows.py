@@ -78,10 +78,16 @@ def window_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Gaps are integer MICROSECONDS (unix_micros) — second-truncating
     unix_timestamp would disagree with the oracle's epoch_us on
-    sub-second components."""
+    sub-second components. The ts column casts through timestamp_ltz
+    first: parquet timestamps written without UTC adjustment read back
+    as TIMESTAMP_NTZ (Spark 4 inference), which unix_micros rejects;
+    the session timezone is pinned UTC (session.py) so the cast is an
+    identity clock mapping, and differences cancel any shift anyway."""
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    gap = F.unix_micros(F.col("ts").cast("timestamp_ltz")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp_ltz")
+    )
     return (
         ev.withColumn("gap_us", gap)
         .filter(F.col("gap_us").isNotNull())
@@ -158,7 +164,9 @@ def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    gap = F.unix_micros(F.col("ts").cast("timestamp_ltz")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp_ltz")
+    )
     marked = ev.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0),

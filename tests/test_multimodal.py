@@ -182,13 +182,149 @@ def test_wav_decoder_skips_extra_chunks_and_mixes_stereo():
     assert np.allclose(samples, 0.0)  # L/R cancel
 
 
+def test_png_roundtrip_exact_pixels():
+    """decode_png must invert make_png exactly, and must decode the
+    same pixels as the BMP of the same (w, h, seed) — the two
+    containers share one generator formula."""
+    import numpy as np
+    from cdc_2025_spark.multimodal.media import decode_bmp, decode_png, make_bmp, make_png
+
+    w, h, seed = 33, 7, 5
+    rgb = decode_png(make_png(w, h, seed=seed))
+    assert rgb.shape == (h, w, 3)
+    for y in (0, 3, h - 1):
+        for x in (0, 17, w - 1):
+            assert rgb[y, x, 0] == (x * 13 + y * 17 + seed * 3) % 256  # R
+            assert rgb[y, x, 1] == (x * 5 + y * 11 + seed * 2) % 256   # G
+            assert rgb[y, x, 2] == (x * 7 + y * 3 + seed) % 256        # B
+    assert np.array_equal(rgb, decode_bmp(make_bmp(w, h, seed=seed)))
+
+
+def test_png_decoder_all_filter_types():
+    """Hand-built PNG exercising every scanline filter (None, Sub, Up,
+    Average, Paeth): the unfilter pass must reconstruct the reference
+    pixels bit-exactly. Reference filtering is computed forward here
+    (encode), so decode must be its exact inverse."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from cdc_2025_spark.multimodal.media import _PNG_SIG, _png_chunk, decode_png
+
+    rng_rows = [
+        [((x * 31 + y * 7 + c * 3) % 251) for x in range(6) for c in range(3)]
+        for y in range(5)
+    ]
+    bpp, stride = 3, 18
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raw = bytearray()
+    for y, ftype in enumerate((0, 1, 2, 3, 4)):
+        raw.append(ftype)
+        cur = rng_rows[y]
+        prev = rng_rows[y - 1] if y else [0] * stride
+        for i in range(stride):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1, 4: paeth(a, b, c)}[ftype]
+            raw.append((cur[i] - pred) % 256)
+    ihdr = struct.pack(">IIBBBBB", 6, 5, 8, 2, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = decode_png(payload)
+    want = np.array(rng_rows, dtype=np.uint8).reshape(5, 6, 3)
+    assert np.array_equal(got, want)
+
+
+def test_png_decoder_rgba_and_rejects_exotic():
+    """RGBA (color type 6) decodes with alpha dropped; 16-bit depth and
+    interlace raise NotImplementedError rather than decoding wrongly."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+    from cdc_2025_spark.multimodal.media import _PNG_SIG, _png_chunk, decode_png
+
+    # 2x2 RGBA, filter 0 rows
+    pix = [
+        [10, 20, 30, 255, 40, 50, 60, 128],
+        [70, 80, 90, 0, 100, 110, 120, 64],
+    ]
+    raw = bytearray()
+    for row in pix:
+        raw.append(0)
+        raw += bytes(row)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = decode_png(payload)
+    want = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(got, want)
+
+    bad_ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", bad_ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\0" * 26))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_png(bad)
+
+
+def test_png_features_match_bmp_through_spark(spark):
+    """PNG and BMP payloads of the same pixels must produce IDENTICAL
+    feature vectors through the distributed mapInPandas kernel — the
+    decode-container boundary must not leak into features."""
+    from cdc_2025_spark.multimodal.media import make_real_media
+
+    bmp_media = make_real_media(spark, n_images=6, n_audio=0)
+    png_media = make_real_media(spark, n_images=0, n_audio=0, n_png=6)
+    bmp_rows = {
+        r["media_id"]: r["features"]
+        for r in extract_image_features(bmp_media).collect()
+    }
+    png_rows = {
+        r["media_id"]: r["features"]  # n_images=n_audio=0 -> ids from 0
+        for r in extract_image_features(png_media).collect()
+    }
+    assert len(bmp_rows) == len(png_rows) == 6
+    for i in range(6):
+        assert bmp_rows[i] == png_rows[i], i
+
+
 def test_feature_rollup_includes_real_kernels(spark):
     from cdc_2025_spark.queries.multimodal import multimodal_feature_rollup
 
     out = multimodal_feature_rollup(spark, "")
     rows = {r["kind"]: r for r in out.collect()}
-    assert set(rows) == {"image", "audio", "video", "image_bmp", "audio_wav"}
+    assert set(rows) == {
+        "image", "audio", "video", "image_bmp", "image_png", "audio_wav"
+    }
     assert rows["image_bmp"]["n_rows"] == 8
+    assert rows["image_png"]["n_rows"] == 8
+    # same pixels, different container: metrics must agree exactly
+    assert rows["image_png"]["avg_metric"] == rows["image_bmp"]["avg_metric"]
+    assert rows["image_png"]["max_metric"] == rows["image_bmp"]["max_metric"]
     # 8 wavs with durations 500*(1+i%4) ms at chunk_ms=500
     assert rows["audio_wav"]["n_rows"] == sum(
         (500 * (1 + i % 4)) // 500 for i in range(8)

@@ -139,3 +139,44 @@ def test_repetition_scores_degenerate_docs(spark):
     assert ent.loc[1, "entropy_nats"] == 0.0
     assert abs(ent.loc[2, "entropy_nats"] - round(math.log(5), 4)) < 1e-9
     assert ent.loc[0, "entropy_nats"] == 0.0
+
+
+@pytest.mark.parametrize("k", [1, 2, 5])
+def test_exploded_spans_matches_shingles_explode(spark, k):
+    """exploded_spans must emit exactly the multiset of
+    explode(shingles(text, k)) for every k >= 1 — including k=1 (no
+    window leads at all) and docs shorter than k (one whole-text
+    span). NULL text deliberately diverges (documented) and is
+    excluded here."""
+    from cdc_2025_spark.functions.text import exploded_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "one two"),
+            (3, "single"),
+            (4, ""),
+            (5, "a b c d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["span"])
+        for r in exploded_spans(docs, k=k).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["span"])
+        for r in docs.select(
+            "doc_id",
+            F.explode(shingles(F.col("text"), k=k)).alias("span"),
+        ).collect()
+    )
+    assert got == want
+
+
+def test_exploded_spans_rejects_bad_k(spark):
+    from cdc_2025_spark.functions.text import exploded_spans
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        exploded_spans(docs, k=0)
