@@ -700,12 +700,17 @@ def range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation, so this is a true range join, not a date_trunc
     groupBy.
 
-    Scale shape: the window list is tiny and broadcast, so Spark plans
-    BroadcastNestedLoopJoin with the range predicate evaluated inside
-    codegen — the events side streams through once, never shuffles.
-    (With two large sides this becomes a bucketed-by-time-bin join:
-    explode each interval into its overlapping bins, equi-join on bin,
-    re-filter exactly — the same pattern dedup/minhash.py uses.)"""
+    Scale shape: bin-bucketed broadcast HASH join
+    (functions/intervals.py): windows explode to their overlapping
+    4-hour bins (1 row each here), each event probes its single bin,
+    the range predicate re-checks exactly. O(1) per event instead of
+    the O(|windows|) BroadcastNestedLoopJoin Spark would otherwise
+    plan — the difference between 175 interval tests and one hash
+    probe per row, at any scale; the events side still never
+    shuffles. Equivalence to the naive nested-loop form is pinned in
+    test_plan_shape.py."""
+    from cdc_2025_spark.functions.intervals import binned_interval_join
+
     events = read_table(spark, sf_dir, "events")
     # generate_series is endpoint-INCLUSIVE: 29 days * 6/day + 1 = 175
     windows = spark.range(0, 175).select(
@@ -716,16 +721,12 @@ def range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "w_end", F.col("w_start") + F.make_interval(mins=F.lit(90))
     ).filter(F.col("w_start") <= F.lit("2024-01-30").cast("timestamp"))
-    return (
-        events.join(
-            F.broadcast(windows),
-            (events.ts >= windows.w_start) & (events.ts < windows.w_end),
-        )
-        .groupBy("w_start")
-        .agg(
-            F.count("event_id").alias("n_events"),
-            _r4(F.sum("value")).alias("total_value"),
-        )
+    joined = binned_interval_join(
+        events, windows, "ts", "w_start", "w_end", bin_seconds=4 * 3600
+    )
+    return joined.groupBy("w_start").agg(
+        F.count("event_id").alias("n_events"),
+        _r4(F.sum("value")).alias("total_value"),
     )
 
 

@@ -41,10 +41,50 @@ def test_dim_joins_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
-def test_range_join_broadcasts_window_side(spark, sf_dir):
+def test_range_join_plans_binned_hash_join(spark, sf_dir):
+    """The range join must plan as a bin-bucketed broadcast HASH join
+    (O(1) probe per fact row), never the nested-loop fallback that
+    tests every window per row."""
     p = plan_of(spark, sf_dir, "range_join_event_windows")
-    assert "BroadcastNestedLoopJoin" in p
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_binned_interval_join_matches_nested_loop(spark, sf_dir):
+    """Exactness of the bin-bucketed range join: identical rows to the
+    naive broadcast-nested-loop formulation on the same inputs,
+    including a deliberately bin-straddling interval layout (windows
+    longer than the bin width -> multi-bin explode)."""
+    from pyspark.sql import functions as F
+
+    from cdc_2025_spark.functions.intervals import binned_interval_join
+    from cdc_2025_spark.io import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    # 7-hour windows every 5 hours: overlap each other AND straddle
+    # the 2-hour bins (each explodes to 4-5 bins)
+    windows = (
+        spark.range(0, 60)
+        .select(
+            (
+                F.lit("2024-01-01").cast("timestamp")
+                + F.make_interval(hours=F.lit(5) * F.col("id"))
+            ).alias("w_start")
+        )
+        .withColumn("w_end", F.col("w_start") + F.make_interval(hours=F.lit(7)))
+    )
+    binned = binned_interval_join(
+        events, windows, "ts", "w_start", "w_end", bin_seconds=2 * 3600
+    ).select("event_id", "w_start")
+    ts = F.col("ts").cast("timestamp_ltz")
+    naive = events.join(
+        F.broadcast(windows),
+        (ts >= F.col("w_start")) & (ts < F.col("w_end")),
+    ).select("event_id", "w_start")
+    got = sorted((r["event_id"], r["w_start"]) for r in binned.collect())
+    want = sorted((r["event_id"], r["w_start"]) for r in naive.collect())
+    assert got == want and len(got) > 0
 
 
 def test_semi_join_for_exists(spark, sf_dir):
