@@ -45,8 +45,33 @@ def simhash(text: Column | str, n_bits: int = 64) -> Column:
     return out
 
 
+def _token_hash(hash_fn: str):
+    """64-bit token hash column for the simhash bit source.
+
+    - ``xxhash64``: Spark's native xxhash64 — cheapest, JVM-codegen'd;
+      the default scale path. Not reproducible in other engines.
+    - ``md5``: first 16 hex chars of md5(token) packed into a signed
+      64-bit value (hi<<32 | lo). ~2x the hash cost of xxhash64 but
+      bit-for-bit reproducible in any engine with md5 + hex parsing
+      (DuckDB oracle: same two 8-hex-char halves) — Charikar's
+      construction only needs a uniform bit source, so LSH quality is
+      identical. Used by the registered query so the driver can
+      hash-match it end to end.
+    """
+    if hash_fn == "xxhash64":
+        return F.xxhash64("tok")
+    if hash_fn == "md5":
+        hi = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long")
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+    raise ValueError(f"unknown simhash hash_fn {hash_fn!r}")
+
+
 def simhash_fingerprints(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, fp) SimHash-64 per doc — same values as ``simhash()`` but
     computed as explode + 64 codegen'd conditional sums: the token is
@@ -60,7 +85,7 @@ def simhash_fingerprints(
             F.col(id_col).alias("id"),
             F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
         )
-        .select("id", F.xxhash64("tok").alias("h"))
+        .select("id", _token_hash(hash_fn).alias("h"))
     )
     bit_aggs = [
         F.expr(
@@ -84,6 +109,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_distance: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Pairs (id_a < id_b, hamming) with Hamming(simhash) <= max_distance.
 
@@ -92,7 +118,7 @@ def simhash_pairs(
     """
     n_chunks = max_distance + 1
     chunk_bits = 64 // n_chunks
-    fps = simhash_fingerprints(docs, id_col, text_col)
+    fps = simhash_fingerprints(docs, id_col, text_col, hash_fn=hash_fn)
     chunks = fps.select(
         "id",
         "fp",

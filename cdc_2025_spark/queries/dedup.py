@@ -1,10 +1,12 @@
 """Dedup queries over the documents table, one per family
 (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine).
 
-The exact families carry DuckDB oracles; the hash-based families
-(MinHash, SimHash — xxhash64 is not reproducible in DuckDB SQL) are
-rows-only for the driver and validated in tests/test_dedup.py against
-the exact ground truth.
+The exact families carry DuckDB oracles. SimHash does too: its
+registered query uses the md5 bit source (dedup/simhash.py), which
+both engines can compute, so the whole fingerprint->Hamming pipeline
+hash-matches. MinHash stays rows-only for the driver (xxhash64 is not
+reproducible in DuckDB SQL) and is validated in tests/test_dedup.py
+against the exact ground truth.
 """
 
 from __future__ import annotations
@@ -277,12 +279,73 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
-@query("dedup_simhash_pairs")
+def _simhash_oracle(max_distance: int) -> str:
+    """DuckDB SQL mirroring the FULL md5-simhash pipeline: tokenize,
+    64-bit token hash from the first 16 md5 hex chars (two 8-hex
+    halves — BIGINT-safe in both engines), the 64 +1/-1 bit sums, the
+    two's-complement fingerprint (bit-63 weight added LAST so every
+    partial sum stays in BIGINT range), then brute-force
+    bit_count(xor) <= d over all pairs. The banding in the Spark plan
+    is pigeonhole-exact, so candidate generation needs no mirroring —
+    brute force IS the semantics."""
+    bit_sums = ",\n             ".join(
+        "SUM(CASE WHEN ({src} >> {sh}) & 1 = 1 THEN 1 ELSE -1 END)"
+        " AS _b{p}".format(
+            src="lo" if p < 32 else "hi", sh=p if p < 32 else p - 32, p=p
+        )
+        for p in range(64)
+    )
+    fp_terms = "\n           + ".join(
+        f"(CASE WHEN _b{p} > 0 THEN CAST({w} AS BIGINT) ELSE 0 END)"
+        for p, w in (
+            (p, (1 << p) if p < 63 else "-9223372036854775807 - 1")
+            for p in range(64)
+        )
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), th AS (
+      SELECT id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+             CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+      FROM tok
+    ), bits AS (
+      SELECT id,
+             {bit_sums}
+      FROM th GROUP BY id
+    ), fp AS (
+      SELECT id,
+             CAST({fp_terms} AS BIGINT) AS fp
+      FROM bits
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.id < b.id
+    WHERE bit_count(xor(a.fp, b.fp)) <= {max_distance}
+    """
+
+
+SIMHASH_MAX_DISTANCE = 6
+
+
+@query("dedup_simhash_pairs", oracle=_simhash_oracle(SIMHASH_MAX_DISTANCE))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 pairs within Hamming distance 6 via banded chunks +
-    exact Hamming filter. Rows-only driver check."""
+    exact Hamming filter.
+
+    Uses the md5 bit source (dedup/simhash.py _token_hash) so the
+    ENTIRE pipeline — tokenization, per-token 64-bit hash, bit sums,
+    fingerprint, Hamming pairs — is hash-matched against a DuckDB
+    oracle (previously rows-only: xxhash64 has no DuckDB twin).
+    xxhash64 remains the default bit source for the library function
+    (cheaper at corpus scale); the two variants are
+    construction-identical and both exactness-tested vs brute force in
+    tests/test_dedup.py."""
     docs = read_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_distance=6)
+    return simhash_pairs(docs, max_distance=SIMHASH_MAX_DISTANCE, hash_fn="md5")
 
 
 # Embedding near-dup: cosine threshold chosen above the corpus's

@@ -371,3 +371,61 @@ def test_repeated_spans_hash_key_equals_string_key(spark, sf_dir):
     got = sorted(map(tuple, got_df.collect()))
     want = sorted(map(tuple, ref.collect()))
     assert got == want and len(got) > 0
+
+
+def test_simhash_md5_matches_python_model(spark):
+    """The md5 bit-source variant (the oracle-checkable one the
+    registered query uses) must reproduce a pure-Python simhash model
+    exactly: md5-derived 64-bit token hash, +1/-1 bit sums,
+    two's-complement fingerprint — and its banded pairs must equal
+    brute force over the model fingerprints."""
+    import hashlib
+    import re
+
+    from cdc_2025_spark.dedup.simhash import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    rows = [
+        (1, "spark query engine fast scan"),
+        (2, "spark query engine fast scan"),
+        (3, "spark query engine slow scan"),
+        (4, "completely different words entirely here"),
+        (5, "Der Hund und die Katze"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def py_fp(text: str) -> int:
+        toks = re.split(r"\s+", text.strip().lower())
+        sums = [0] * 64
+        for t in toks:
+            hx = hashlib.md5(t.encode()).hexdigest()
+            h = (int(hx[:8], 16) << 32) | int(hx[8:16], 16)
+            for p in range(64):
+                sums[p] += 1 if (h >> p) & 1 else -1
+        fp = 0
+        for p in range(64):
+            if sums[p] > 0:
+                fp += (1 << p) if p < 63 else -(1 << 63)
+        return fp
+
+    want_fps = {i: py_fp(t) for i, t in rows}
+    got_fps = {
+        r["id"]: r["fp"]
+        for r in simhash_fingerprints(docs, hash_fn="md5").collect()
+    }
+    assert got_fps == want_fps
+
+    want_pairs = {
+        (i, j)
+        for i in want_fps
+        for j in want_fps
+        if i < j and bin((want_fps[i] ^ want_fps[j]) & ((1 << 64) - 1)).count("1") <= 6
+    }
+    got_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(docs, max_distance=6, hash_fn="md5").collect()
+    }
+    assert got_pairs == want_pairs
+    assert (1, 2) in got_pairs

@@ -1,0 +1,209 @@
+"""Scale smoke for the dedup/similarity family: synthesize a 10x
+corpus (sf0.1 -> "sf1") with the SAME duplicate structure, run the
+headline dedup/similarity/corpus-prep plans at both scales, and
+record wall time, candidate/pair counts, and per-stage shuffle + spill
+from the Spark status REST API.
+
+Corpus construction (deterministic, no RNG at runtime):
+
+- documents x10: replica r of doc d keeps doc structure but suffixes
+  every token with "~r" for r > 0. Within-replica near-dup structure
+  is EXACTLY the original corpus's (token identity is all the
+  shingle/jaccard/minhash pipeline sees), while cross-replica shingles
+  never collide — so the true pair count scales linearly with
+  replicas, and a quadratic blowup in candidates is a pipeline
+  regression, not a data artifact.
+- embeddings x10: replica r applies the r-th power of a fixed
+  64-cycle dimension permutation. Permutation preserves norms and all
+  within-replica pairwise cosines bit-for-bit (sum is commutative),
+  and decorrelates cross-replica vectors, so near-dup structure again
+  scales linearly.
+
+Usage: python tools/scale_smoke.py [--replicas 10]
+Writes the corpus under .scale/ (gitignored) and prints a markdown
+report (tee into SCALE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cdc_2025_spark.session import get_spark  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+SCALE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".scale", "sf1")
+
+QUERIES_UNDER_TEST = [
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_repeated_spans",
+    "llm_corpus_prep",
+    "sim_lsh_bucketed_pairs",
+    "sim_ivf_topk",
+]
+
+
+def build_corpus(spark, replicas: int) -> None:
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    n_docs = docs.count()
+    rep = spark.range(replicas).select(F.col("id").alias("_r"))
+    # token-suffix perturbation: replica 0 is the original corpus
+    scaled_docs = (
+        docs.crossJoin(rep)
+        .select(
+            (F.col("doc_id") + F.col("_r") * F.lit(n_docs)).alias("doc_id"),
+            F.when(F.col("_r") == 0, F.col("text"))
+            .otherwise(
+                F.array_join(
+                    F.transform(
+                        F.split(F.trim("text"), r"\s+"),
+                        lambda t: F.concat(t, F.lit("~"), F.col("_r")),
+                    ),
+                    " ",
+                )
+            )
+            .alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+    )
+    scaled_docs.repartition(8).write.mode("overwrite").parquet(
+        f"{SCALE_DIR}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    n_emb = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    # fixed full-cycle permutation p(i) = (i*29 + 1) mod dim (29 coprime
+    # with 64); replica r uses p^r — element j of the output is input
+    # element perm_r[j]
+    def perm_pow(r: int) -> list[int]:
+        p = list(range(dim))
+        for _ in range(r):
+            p = [(i * 29 + 1) % dim for i in p]
+        return p
+
+    reps = []
+    for r in range(replicas):
+        pr = perm_pow(r)
+        reps.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * n_emb)).alias("vec_id"),
+                F.array(
+                    *[F.col("embedding").getItem(pr[j]) for j in range(dim)]
+                ).alias("embedding"),
+                *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+            )
+        )
+    out = reps[0]
+    for df in reps[1:]:
+        out = out.unionByName(df)
+    out.repartition(8).write.mode("overwrite").parquet(
+        f"{SCALE_DIR}/embeddings.parquet"
+    )
+
+
+def stage_metrics(spark) -> dict:
+    """Per-run shuffle/spill totals + max single-stage shuffle write,
+    from the status REST API (UI must be enabled)."""
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+    ) as r:
+        stages = json.load(r)
+    return {
+        "n_stages": len(stages),
+        "shuffle_write_mb": round(
+            sum(s["shuffleWriteBytes"] for s in stages) / 1e6, 2
+        ),
+        "max_stage_shuffle_write_mb": round(
+            max((s["shuffleWriteBytes"] for s in stages), default=0) / 1e6, 2
+        ),
+        "disk_spill_mb": round(
+            sum(s["diskBytesSpilled"] for s in stages) / 1e6, 2
+        ),
+        "mem_spill_mb": round(
+            sum(s["memoryBytesSpilled"] for s in stages) / 1e6, 2
+        ),
+    }
+
+
+def run_suite(spark, sf_dir: str) -> dict:
+    from cdc_2025_spark.queries import QUERIES
+
+    out = {}
+    for name in QUERIES_UNDER_TEST:
+        t0 = time.perf_counter()
+        n = QUERIES[name](spark, sf_dir).count()
+        out[name] = {"sec": round(time.perf_counter() - t0, 2), "rows": n}
+        spark.catalog.clearCache()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--skip-build", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark(
+        app_name="scale-smoke",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if not args.skip_build:
+        build_corpus(spark, args.replicas)
+
+    t0 = time.perf_counter()
+    base = run_suite(spark, BASE_SF)
+    base_metrics = stage_metrics(spark)
+    t_base = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    scaled = run_suite(spark, SCALE_DIR)
+    all_metrics = stage_metrics(spark)
+    t_scaled = round(time.perf_counter() - t0, 2)
+    scaled_metrics = {
+        k: round(all_metrics[k] - base_metrics[k], 2)
+        if "mb" in k else all_metrics[k] - base_metrics[k]
+        for k in all_metrics
+    }
+    scaled_metrics["max_stage_shuffle_write_mb"] = all_metrics[
+        "max_stage_shuffle_write_mb"
+    ]
+
+    print(f"\n## Scale smoke: sf0.1 -> {args.replicas}x (\"sf1\"), local[32]\n")
+    print(
+        "| query | sf0.1 sec | sf0.1 rows | sf1 sec | sf1 rows |"
+        " time x | rows x |"
+    )
+    print("|---|---|---|---|---|---|---|")
+    for name in QUERIES_UNDER_TEST:
+        b, s = base[name], scaled[name]
+        tx = round(s["sec"] / b["sec"], 1) if b["sec"] else float("nan")
+        rx = round(s["rows"] / b["rows"], 1) if b["rows"] else float("nan")
+        print(
+            f"| {name} | {b['sec']} | {b['rows']} | {s['sec']} |"
+            f" {s['rows']} | {tx} | {rx} |"
+        )
+    print(f"\nwall: sf0.1 suite {t_base}s, sf1 suite {t_scaled}s")
+    print(f"sf0.1 stage metrics: {base_metrics}")
+    print(f"sf1 stage metrics (delta): {scaled_metrics}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
