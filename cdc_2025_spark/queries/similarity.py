@@ -313,12 +313,75 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return out
 
 
-@query("sim_lsh_bucketed_pairs")
+LSH_DIM, LSH_PLANES, LSH_BANDS = 64, 16, 4
+
+
+def _lsh_oracle() -> str:
+    """DuckDB SQL mirroring the FULL random-hyperplane LSH pipeline.
+
+    The hyperplanes are deterministic compile-time constants
+    (_hyperplane), so they inline as float literals (repr round-trips
+    doubles exactly). Each projection is written as an explicit
+    left-associated sum `0.0 + emb[1]*c1 + emb[2]*c2 + ...` to match
+    Spark's aggregate() fold order bit-for-bit — sign bits at
+    proj ~ 0 must not flip between engines. Banding, the
+    bucket-equality candidate join, DISTINCT, and the exact cosine
+    re-rank all mirror the Spark plan 1:1."""
+    rpb = LSH_PLANES // LSH_BANDS
+    sign_cols = []
+    for p in range(LSH_PLANES):
+        plane = _hyperplane(LSH_DIM, p)
+        terms = " + ".join(
+            f"emb[{j + 1}]*{plane[j]!r}" for j in range(LSH_DIM)
+        )
+        sign_cols.append(
+            f"(CASE WHEN 0.0 + {terms} >= 0 THEN '1' ELSE '0' END) AS b{p}"
+        )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT vec_id, {i} AS band, {bits} AS bucket FROM sig".format(
+            i=i,
+            bits="||".join(f"b{i * rpb + j}" for j in range(rpb)),
+        )
+        for i in range(LSH_BANDS)
+    )
+    sign_sql = ",\n             ".join(sign_cols)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    sig AS (
+      SELECT vec_id,
+             {sign_sql}
+      FROM e
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           ROUND(list_cosine_similarity(ea.emb, eb.emb), 4) AS cos
+    FROM cand
+    JOIN e ea ON ea.vec_id = id_a
+    JOIN e eb ON eb.vec_id = id_b
+    WHERE list_cosine_similarity(ea.emb, eb.emb) >= {PAIR_THRESHOLD}
+    """
+
+
+@query("sim_lsh_bucketed_pairs", oracle=_lsh_oracle())
 def sim_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH: 16 sign bits -> 4 bands of 4 bits ->
     bucket-join candidates -> exact cosine filter at the same 0.4
     threshold. Precision 1.0 by construction; recall vs
     sim_pairs_above_threshold pinned in tests/test_similarity.py.
+
+    Hash-matched end to end against a DuckDB oracle (previously
+    rows-only): the hyperplanes are compile-time constants, so the
+    oracle inlines them as literals and mirrors the projection fold
+    order exactly (see _lsh_oracle).
 
     Scale: one shuffle of (band, bucket, id) instead of the corpus
     cross product; hyperplanes are compile-time literals so the sign
@@ -330,7 +393,7 @@ def sim_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
         )
     )
-    dim, n_planes, n_bands = 64, 16, 4
+    dim, n_planes, n_bands = LSH_DIM, LSH_PLANES, LSH_BANDS
     rpb = n_planes // n_bands
     signs = []
     for p in range(n_planes):

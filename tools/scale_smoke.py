@@ -14,10 +14,15 @@ Corpus construction (deterministic, no RNG at runtime):
   replicas, and a quadratic blowup in candidates is a pipeline
   regression, not a data artifact.
 - embeddings x10: replica r applies the r-th power of a fixed
-  64-cycle dimension permutation. Permutation preserves norms and all
-  within-replica pairwise cosines bit-for-bit (sum is commutative),
-  and decorrelates cross-replica vectors, so near-dup structure again
-  scales linearly.
+  64-cycle dimension permutation PLUS per-(replica, dim) deterministic
+  sign flips. Both transforms preserve norms and all within-replica
+  pairwise cosines bit-for-bit (sum is commutative; signs square
+  away), so the replica's internal near-dup structure is the
+  original's. The sign flips are the load-bearing part for
+  cross-replica independence: permutation alone preserves any common
+  direction in the corpus (measured: pairs above threshold grew ~100x
+  instead of 10x without flips), while random signs drive expected
+  cross-replica cosine to ~0.
 
 Usage: python tools/scale_smoke.py [--replicas 10]
 Writes the corpus under .scale/ (gitignored) and prints a markdown
@@ -92,6 +97,13 @@ def build_corpus(spark, replicas: int) -> None:
             p = [(i * 29 + 1) % dim for i in p]
         return p
 
+    def sign(r: int, j: int) -> float:
+        if r == 0:
+            return 1.0  # replica 0 is the original corpus
+        z = (r * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9) & (2**64 - 1)
+        z = ((z ^ (z >> 31)) * 0x94D049BB133111EB) & (2**64 - 1)
+        return 1.0 if (z >> 40) & 1 else -1.0
+
     reps = []
     for r in range(replicas):
         pr = perm_pow(r)
@@ -99,7 +111,11 @@ def build_corpus(spark, replicas: int) -> None:
             emb.select(
                 (F.col("vec_id") + F.lit(r * n_emb)).alias("vec_id"),
                 F.array(
-                    *[F.col("embedding").getItem(pr[j]) for j in range(dim)]
+                    *[
+                        F.col("embedding").getItem(pr[j])
+                        * F.lit(sign(r, j)).cast("float")
+                        for j in range(dim)
+                    ]
                 ).alias("embedding"),
                 *[c for c in emb.columns if c not in ("vec_id", "embedding")],
             )
