@@ -386,6 +386,19 @@ def sim_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle of (band, bucket, id) instead of the corpus
     cross product; hyperplanes are compile-time literals so the sign
     computation rides the scan."""
+    return lsh_pairs(spark, sf_dir, threshold=PAIR_THRESHOLD)
+
+
+def lsh_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float
+) -> DataFrame:
+    """sim_lsh_bucketed_pairs body with the cosine threshold exposed:
+    deployments size the threshold to the corpus's pairwise-cosine
+    tail (see dedup.py NEARDUP_COS_THRESHOLD) — at 64 dims the null
+    cosine has sigma ~ 1/8, so a fixed low threshold on a 10x corpus
+    admits a quadratically growing noise tail no matter how the data
+    was generated (tools/scale_smoke.py runs this at 0.6 for exactly
+    that reason)."""
     emb = (
         read_table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
@@ -449,6 +462,6 @@ def sim_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.withColumn("cos", cosine("emb_a", "emb_b"))
-        .filter(F.col("cos") >= PAIR_THRESHOLD)
+        .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
     )

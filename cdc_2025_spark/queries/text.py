@@ -429,3 +429,80 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("scrubbed")).alias("len_scrubbed"),
         )
     )
+
+
+TFIDF_TOP_K = 3
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    ranked AS (
+      SELECT doc_id, term, tf,
+             tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) DESC,
+                        term
+             ) AS rnk
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           ROUND(tfidf, 4) AS tfidf, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the classic distributed
+    term-weighting pass (smoothed idf = ln((N+1)/(df+1)) + 1, sklearn
+    convention) used for keyword extraction and cheap topic signals
+    before training.
+
+    Scale shape: one (doc, term) shuffle for tf; the document-
+    frequency table is vocabulary-sized — orders of magnitude smaller
+    than the corpus — and BROADCAST to the tf rows (no second corpus
+    shuffle); the corpus-size scalar rides the same broadcast via
+    crossJoin. Top-k per doc is a WindowGroupLimit on the existing
+    doc_id partitioning. Ties rank by term (both engines), and
+    rounding happens after ranking, so the oracle hash-matches
+    exactly.
+    """
+    from cdc_2025_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    idf = (
+        df.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            (
+                F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+            ).alias("idf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf") * F.col("idf")).desc(), "term"
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .withColumn("tfidf", F.col("tf") * F.col("idf"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", _r4("tfidf").alias("tfidf"), "rnk")
+    )

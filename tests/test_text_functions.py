@@ -180,3 +180,38 @@ def test_exploded_spans_rejects_bad_k(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         exploded_spans(docs, k=0)
+
+
+def test_tfidf_smoothing_and_ranking(spark):
+    """TF-IDF pins: a term present in every doc gets idf exactly 1
+    (smoothed ln((N+1)/(N+1)) + 1), so its tfidf equals its tf; rarer
+    terms outrank ubiquitous ones at equal tf; ranks are 1..k dense
+    per doc."""
+    import math
+
+    from unittest import mock
+
+    from cdc_2025_spark.queries.text import text_tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 common common"),
+            (2, "common rare2 rare2"),
+            (3, "common filler words here"),
+        ],
+        "doc_id long, text string",
+    )
+    with mock.patch(
+        "cdc_2025_spark.queries.text.read_table", return_value=docs
+    ):
+        out = text_tfidf_top_terms(spark, "ignored").toPandas()
+    by_doc = {d: g for d, g in out.groupby("doc_id")}
+    for d, g in by_doc.items():
+        assert sorted(g["rnk"]) == list(range(1, len(g) + 1)), d
+    # doc 2: rare2 (tf=2, df=1) must beat common (tf=1, df=3)
+    d2 = by_doc[2].set_index("term")
+    assert d2.loc["rare2", "rnk"] == 1
+    want = 2 * (math.log(4 / 2) + 1)
+    assert abs(d2.loc["rare2", "tfidf"] - round(want, 4)) < 1e-9
+    # 'common' appears in all 3 docs -> idf == 1 -> tfidf == tf
+    assert d2.loc["common", "tfidf"] == 1.0
