@@ -40,8 +40,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent ANSI SQL per query; hash-based operators
-    (MinHash/SimHash/LSH, xxhash64-derived) are intentionally omitted
-    -> rows-only driver check, with recall/determinism pinned in
-    tests/ instead."""
+    """DuckDB-equivalent ANSI SQL per query. SimHash (md5 bit source)
+    and hyperplane LSH (literal planes) carry full oracles; the
+    intentionally-omitted rest are inherently non-SQL (xxhash64
+    MinHash, iterative k-means/IVF, approximate sketches, multimodal
+    decode) -> rows-only driver check, with recall/determinism pinned
+    in tests/ instead."""
     return dict(ORACLES)

