@@ -59,6 +59,7 @@ HEADLINE = [
     "sim_lsh_bucketed_pairs",
     "text_tfidf_top_terms",
     "interevent_timing_stats",
+    "decontam_embedding_crosssplit",
 ]
 
 

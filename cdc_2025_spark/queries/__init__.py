@@ -54,6 +54,7 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
 # of the r3 block that doesn't fit forms the natural round-6 front.
 _CHANGED_R5 = [
     "text_tfidf_top_terms",       # NEW in r5: never driver-checked
+    "decontam_embedding_crosssplit",  # NEW in r5: never driver-checked
     "dedup_simhash_pairs",        # rows-only -> md5 bit source + full oracle
     "sim_lsh_bucketed_pairs",     # rows-only -> literal-hyperplane oracle
     "range_join_event_windows",   # BNLJ -> bin-bucketed broadcast hash join

@@ -453,3 +453,78 @@ def sample_domain_mixture_weights(
         )
         .select("source", "total_tokens", "weight_ppm", "target_tokens")
     )
+
+
+DECONTAM_EVAL_PCT = 20
+DECONTAM_COS_THRESHOLD = 0.42
+
+
+@query(
+    "decontam_embedding_crosssplit",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM embeddings
+    ),
+    ev AS (SELECT vec_id, emb FROM e WHERE bucket < {DECONTAM_EVAL_PCT}),
+    tr AS (SELECT vec_id, emb FROM e WHERE bucket >= {DECONTAM_EVAL_PCT})
+    SELECT ev.vec_id AS eval_id, tr.vec_id AS train_id,
+           ROUND(list_cosine_similarity(ev.emb, tr.emb), 4) AS cos
+    FROM ev JOIN tr
+      ON list_cosine_similarity(ev.emb, tr.emb)
+         >= {DECONTAM_COS_THRESHOLD}
+    """,
+)
+def decontam_embedding_crosssplit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC decontamination: training vectors whose cosine to any
+    held-out (eval) vector crosses the near-dup threshold — the
+    embedding-space complement of the n-gram containment check above
+    (paraphrased contamination has low shingle overlap but high
+    embedding similarity; both checks run in real curation pipelines).
+
+    The split is the same seed-free md5 bucket the sampling operators
+    use (deterministic, engine-portable): bucket < 20 -> eval.
+
+    Scale shape: eval benchmarks are small by construction, so the
+    eval side BROADCASTS and the training corpus streams through one
+    scan with the cosine evaluated in codegen — no shuffle of the
+    train side at all (same plan family as sim_topk_bruteforce). For
+    an eval set too large to broadcast, swap in the banded LSH
+    (similarity.lsh_pairs) — same contract, candidates instead of the
+    full bipartite product.
+    """
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 100
+            ).alias("bucket"),
+        )
+    )
+    ev = emb.filter(F.col("bucket") < DECONTAM_EVAL_PCT).select(
+        F.col("vec_id").alias("eval_id"), F.col("emb").alias("eemb")
+    )
+    tr = emb.filter(F.col("bucket") >= DECONTAM_EVAL_PCT).select(
+        F.col("vec_id").alias("train_id"), F.col("emb").alias("temb")
+    )
+    from cdc_2025_spark.functions.embeddings import cosine
+
+    return (
+        F.broadcast(ev)
+        .crossJoin(tr)
+        .withColumn("cos", cosine("eemb", "temb"))
+        .filter(F.col("cos") >= DECONTAM_COS_THRESHOLD)
+        .select("eval_id", "train_id", F.round("cos", 4).alias("cos"))
+    )

@@ -420,6 +420,11 @@ def lsh_pairs(
     )
     dim = LSH_DIM
     rpb = n_planes // n_bands
+    # NB: flat unrolled 64-term sum expressions were tried here and
+    # overflow janino's method-size limit at 16 planes — whole-stage
+    # codegen bails and the interpreted fallback is SLOWER than the
+    # higher-order-lambda form below. Keep zip_with/aggregate, whose
+    # fold order also matches the oracle's left-associated sum.
     signs = []
     for p in range(n_planes):
         plane = _hyperplane(dim, p)
@@ -472,12 +477,35 @@ def lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
+    # exact re-rank with norms precomputed ONCE per vector: the 4-bit
+    # geometry admits ~23% of the cross product as candidates at
+    # sf0.1, and norm() inside cosine() would re-fold 128 interpreted
+    # array elements per PAIR — hoisting it per vector is bit-identical
+    # arithmetic (same expression, same input, evaluated once) and
+    # removes 2/3 of the per-pair lambda work (whole query ~3.4s ->
+    # ~2.0s steady-state at sf0.1)
+    from cdc_2025_spark.functions.embeddings import dot, norm
+
+    embn = emb.withColumn("nrm", norm("emb"))
+    ea = embn.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    eb = embn.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    d = dot("emb_a", "emb_b")
+    cos = F.when(
+        (F.col("nrm_a") > 0) & (F.col("nrm_b") > 0),
+        d / (F.col("nrm_a") * F.col("nrm_b")),
+    )
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
-        .withColumn("cos", cosine("emb_a", "emb_b"))
+        .withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
     )
