@@ -513,18 +513,31 @@ def decontam_embedding_crosssplit(
             ).alias("bucket"),
         )
     )
-    ev = emb.filter(F.col("bucket") < DECONTAM_EVAL_PCT).select(
-        F.col("vec_id").alias("eval_id"), F.col("emb").alias("eemb")
-    )
-    tr = emb.filter(F.col("bucket") >= DECONTAM_EVAL_PCT).select(
-        F.col("vec_id").alias("train_id"), F.col("emb").alias("temb")
-    )
-    from cdc_2025_spark.functions.embeddings import cosine
+    # norms hoisted per vector (bit-identical arithmetic — same
+    # expression evaluated once instead of per pair; see the LSH
+    # re-rank note in similarity.py): the bipartite scan evaluates
+    # |eval| x |train| cosines, so per-pair norm re-folds dominate
+    from cdc_2025_spark.functions.embeddings import dot, norm
 
+    embn = emb.withColumn("nrm", norm("emb"))
+    ev = embn.filter(F.col("bucket") < DECONTAM_EVAL_PCT).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("emb").alias("eemb"),
+        F.col("nrm").alias("enrm"),
+    )
+    tr = embn.filter(F.col("bucket") >= DECONTAM_EVAL_PCT).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("emb").alias("temb"),
+        F.col("nrm").alias("tnrm"),
+    )
+    cos = F.when(
+        (F.col("enrm") > 0) & (F.col("tnrm") > 0),
+        dot("eemb", "temb") / (F.col("enrm") * F.col("tnrm")),
+    )
     return (
         F.broadcast(ev)
         .crossJoin(tr)
-        .withColumn("cos", cosine("eemb", "temb"))
+        .withColumn("cos", cos)
         .filter(F.col("cos") >= DECONTAM_COS_THRESHOLD)
         .select("eval_id", "train_id", F.round("cos", 4).alias("cos"))
     )

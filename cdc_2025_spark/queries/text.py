@@ -483,7 +483,10 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    # df derives from tf, not from a second corpus pass: tf rows are
+    # unique per (doc, term), so count-per-term == distinct-doc count,
+    # and the aggregate rides tf's existing shuffle output
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     idf = (
         df.crossJoin(F.broadcast(n_docs))
