@@ -216,19 +216,25 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), then the candidate join is a broadcast hash join on
     cell id. The only shuffle is the final per-query top-k window
     over candidates (~nprobe/nlist of the corpus)."""
+    from cdc_2025_spark.functions.embeddings import dot, norm
+
     emb = (
         read_table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .select(
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
         )
+        .withColumn("nrm", norm("emb"))
     )
     cents = spark.createDataFrame(
         _ivf_centroids(spark, sf_dir), "cid int, cemb array<double>"
-    )
-    # assign every vector to its nearest centroid (argmax cosine).
+    ).withColumn("cnrm", norm("cemb"))
+    # assign every vector to its nearest centroid. Argmax cosine ==
+    # argmax dot/|centroid| (the row's own norm is a positive constant
+    # across its 16 candidates), so per-(row, centroid) work is one
+    # dot product — no norm re-folds in the assignment at all.
     # NB: the dedup/minhash explode+agg rewrite was tried here and
-    # measured SLOWER — per-row cosine against 16 broadcast centroids
+    # measured SLOWER — per-row scoring against 16 broadcast centroids
     # is one narrow pipeline stage, while explode-to-dims adds an
     # aggregate exchange plus a join back to re-attach the vector.
     # Higher-order-lambda interpretation only loses when it replaces
@@ -237,28 +243,47 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.join(F.broadcast(cents))
         .groupBy("vec_id")
         .agg(
-            F.max_by("cid", cosine("emb", "cemb")).alias("cell"),
+            F.max_by(
+                "cid", dot("emb", "cemb") / F.col("cnrm")
+            ).alias("cell"),
             F.first("emb").alias("emb"),
+            F.first("nrm").alias("nrm"),
         )
     )
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
     )
-    # per-query probe list: its N_PROBE nearest centroids
+    # per-query probe list: its N_PROBE nearest centroids (same
+    # scale-invariance: ordering by dot/|centroid| == by cosine)
     wq = Window.partitionBy("qid").orderBy(
         F.col("qcos").desc(), F.col("cid")
     )
     probes = (
         q.join(F.broadcast(cents))
-        .select("qid", "qemb", "cid", cosine("qemb", "cemb").alias("qcos"))
+        .select(
+            "qid",
+            "qemb",
+            "qnrm",
+            "cid",
+            (dot("qemb", "cemb") / F.col("cnrm")).alias("qcos"),
+        )
         .withColumn("prn", F.row_number().over(wq))
         .filter(F.col("prn") <= N_PROBE)
-        .select("qid", "qemb", F.col("cid").alias("cell"))
+        .select("qid", "qemb", "qnrm", F.col("cid").alias("cell"))
+    )
+    # exact re-rank: true cosine from hoisted norms — identical
+    # doubles to the inline cosine() (same expressions, once per
+    # vector), preserving the NULL contract for zero-norm vectors
+    rerank_cos = F.when(
+        (F.col("qnrm") > 0) & (F.col("nrm") > 0),
+        dot("qemb", "emb") / (F.col("qnrm") * F.col("nrm")),
     )
     scored = (
         assigned.join(F.broadcast(probes), "cell")
         .filter(F.col("qid") != F.col("vec_id"))
-        .select("qid", "vec_id", cosine("qemb", "emb").alias("cos"))
+        .select("qid", "vec_id", rerank_cos.alias("cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
