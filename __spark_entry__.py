@@ -40,10 +40,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent ANSI SQL per query. SimHash (md5 bit source)
-    and hyperplane LSH (literal planes) carry full oracles; the
-    intentionally-omitted rest are inherently non-SQL (xxhash64
-    MinHash, iterative k-means/IVF, approximate sketches, multimodal
+    """DuckDB-equivalent ANSI SQL per query. The hash-based dedup
+    and similarity operators carry FULL oracles via engine-portable
+    constructions (md5-simhash, Kirsch-Mitzenmacher minhash, literal
+    hyperplane LSH); the intentionally-omitted rest are inherently
+    non-SQL (iterative k-means/IVF, approximate sketches, multimodal
     decode) -> rows-only driver check, with recall/determinism pinned
     in tests/ instead."""
     return dict(ORACLES)

@@ -47,38 +47,76 @@ from cdc_2025_spark.functions.text import shingles
 
 
 def shingle_sets(
-    docs: DataFrame, id_col: str, text_col: str, k: int
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    family: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sh) distinct HASHED shingle sets (array<long>), spread
-    across the cluster. Hashing at construction means the shuffle and
-    every set operation downstream carries 8-byte keys instead of
-    ~k-word strings (a 64-bit collision among corpus shingles is
-    ~|shingles|^2 / 2^64 — negligible against float tolerance)."""
+    """(id, sh) distinct HASHED shingle sets, spread across the
+    cluster. Hashing at construction means the shuffle and every set
+    operation downstream carries small keys instead of ~k-word strings
+    (a 64-bit collision among corpus shingles is ~|shingles|^2 / 2^64
+    — negligible against float tolerance).
+
+    Families:
+    - ``xxhash64`` (default): array<long> keys — cheapest, JVM-native;
+      not reproducible outside Spark.
+    - ``md5_km``: array<string> of the first 16 md5 hex chars. ~2x the
+      per-shingle hash cost and 16-byte keys, but reproducible in any
+      engine with md5 — the two 8-hex halves also seed the
+      Kirsch-Mitzenmacher signature family (see _signature_cols), so
+      the ENTIRE minhash+LSH pipeline becomes oracle-checkable.
+    """
     n_part = docs.sparkSession.sparkContext.defaultParallelism
+    if family == "xxhash64":
+        hashed = F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
+    elif family == "md5_km":
+        hashed = F.transform(
+            shingles(text_col, k), lambda s: F.substring(F.md5(s), 1, 16)
+        )
+    else:
+        raise ValueError(f"unknown minhash family {family!r}")
     return docs.repartition(n_part, id_col).select(
         F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
-        ).alias("sh"),
+        F.array_distinct(hashed).alias("sh"),
     )
 
 
-def _signature_cols(n_hashes: int, seed: int, h: str) -> list:
+def _signature_cols(
+    n_hashes: int, seed: int, h: str, family: str = "xxhash64"
+) -> list:
     """The n_hashes permuted-min aggregate expressions over a hashed
     shingle column ``h``. Built as SQL expression strings: one py4j
     round trip per aggregate instead of ~6 (measurably faster driver
     plan construction for wide signatures).
 
-    Hash family: ``min(xxhash64(h, seed, i))`` — the per-index literal
-    makes each i an independent 64-bit permutation surrogate. Unlike
-    an affine ``(a*h + b) mod P`` family, this never multiplies two
-    ~2^61 longs, so it is exact under ANSI arithmetic (no bigint
-    overflow) and identical with ANSI off; equally valid for MinHash
-    (any uniform hash family works, MMDS ch.3)."""
-    return [
-        F.expr(f"min(xxhash64({h}, {seed}, {i})) AS _s{i}")
-        for i in range(n_hashes)
-    ]
+    Families (any uniform hash family is valid for MinHash, MMDS
+    ch.3):
+    - ``xxhash64``: ``min(xxhash64(h, seed, i))`` — the per-index
+      literal makes each i an independent 64-bit permutation
+      surrogate. Unlike an affine ``(a*h + b) mod P`` family, this
+      never multiplies two ~2^61 longs, so it is exact under ANSI
+      arithmetic (no bigint overflow) and identical with ANSI off.
+    - ``md5_km``: Kirsch-Mitzenmacher double hashing over the two
+      32-bit md5 halves carried by the hex key ``h``:
+      ``min(hi + i*lo)`` (Kirsch & Mitzenmacher, ESA'06 — public
+      knowledge; i*lo < 2^39 so every value stays far inside a signed
+      long under ANSI). Reproducible in DuckDB SQL, which is the
+      point: it makes the LSH candidate set oracle-checkable."""
+    if family == "xxhash64":
+        return [
+            F.expr(f"min(xxhash64({h}, {seed}, {i})) AS _s{i}")
+            for i in range(n_hashes)
+        ]
+    if family == "md5_km":
+        hi = f"cast(conv(substring({h}, 1, 8), 16, 10) as bigint)"
+        lo = f"cast(conv(substring({h}, 9, 8), 16, 10) as bigint)"
+        return [
+            F.expr(f"min({hi} + {i} * {lo}) AS _s{i}")
+            for i in range(n_hashes)
+        ]
+    raise ValueError(f"unknown minhash family {family!r}")
 
 
 def minhash_signatures(
@@ -89,9 +127,12 @@ def minhash_signatures(
     n_hashes: int = 128,
     seed: int = 42,
     sets: DataFrame | None = None,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """(id, signature array<long>[n_hashes]) per document."""
-    wide = _signature_wide(docs, id_col, text_col, k, n_hashes, seed, sets)
+    wide = _signature_wide(
+        docs, id_col, text_col, k, n_hashes, seed, sets, family
+    )
     return wide.select(
         "id", F.array(*[f"_s{i}" for i in range(n_hashes)]).alias("signature")
     )
@@ -105,15 +146,30 @@ def _signature_wide(
     n_hashes: int,
     seed: int,
     sets: DataFrame | None = None,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """(id, _s0.._s{n-1}) signature columns: explode the hashed sets
     and run one codegen'd hash-aggregate with n_hashes min buffers —
     partial aggregation happens map-side, so the shuffle carries one
     row per document regardless of shingle count."""
     if sets is None:
-        sets = shingle_sets(docs, id_col, text_col, k)
+        sets = shingle_sets(docs, id_col, text_col, k, family=family)
     ex = sets.select("id", F.explode("sh").alias("h"))
-    return ex.groupBy("id").agg(*_signature_cols(n_hashes, seed, "h"))
+    if family == "md5_km":
+        # hex -> (hi, lo) ONCE per exploded row, not once per
+        # aggregate: 2 conv calls instead of 256
+        ex = ex.select(
+            "id",
+            F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("lo"),
+        )
+        aggs = [
+            F.expr(f"min(hi + {i} * lo) AS _s{i}") for i in range(n_hashes)
+        ]
+        return ex.groupBy("id").agg(*aggs)
+    return ex.groupBy("id").agg(
+        *_signature_cols(n_hashes, seed, "h", family)
+    )
 
 
 def minhash_lsh_pairs(
@@ -125,6 +181,7 @@ def minhash_lsh_pairs(
     n_bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, jaccard) whose EXACT shingle
     Jaccard >= threshold, found via LSH candidates then verified.
@@ -136,10 +193,21 @@ def minhash_lsh_pairs(
     r = n_hashes // n_bands
     # one shingle-set computation, persisted, feeding signatures AND
     # candidate verification — the expression is the dominant map cost
-    sets = shingle_sets(docs, id_col, text_col, k).persist()
-    wide = _signature_wide(docs, id_col, text_col, k, n_hashes, seed, sets)
-    # band bucket = one multi-arg xxhash64 over the band's signature
-    # columns — pure codegen, no array materialization
+    sets = shingle_sets(docs, id_col, text_col, k, family=family).persist()
+    wide = _signature_wide(
+        docs, id_col, text_col, k, n_hashes, seed, sets, family
+    )
+    # band bucket over the band's signature columns — pure codegen, no
+    # array materialization. xxhash64 family: one multi-arg xxhash64
+    # (8-byte buckets — cheapest shuffle). md5_km family: comma-joined
+    # signature string, which DuckDB's array_to_string reproduces
+    # byte-for-byte (the oracle needs bucket equality, not the value)
+    def _bucket(j: int):
+        cols = [F.col(f"_s{j * r + i}") for i in range(r)]
+        if family == "md5_km":
+            return F.concat_ws(",", *cols)
+        return F.xxhash64(*cols)
+
     bands = wide.select(
         "id",
         F.explode(
@@ -147,9 +215,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(j).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"_s{j * r + i}") for i in range(r)]
-                        ).alias("bucket"),
+                        _bucket(j).alias("bucket"),
                     )
                     for j in range(n_bands)
                 ]

@@ -56,6 +56,7 @@ _CHANGED_R5 = [
     "text_tfidf_top_terms",       # NEW in r5: never driver-checked
     "decontam_embedding_crosssplit",  # NEW in r5: never driver-checked
     "dedup_simhash_pairs",        # rows-only -> md5 bit source + full oracle
+    "dedup_minhash_lsh_pairs",    # rows-only -> md5_km family + full oracle
     "sim_lsh_bucketed_pairs",     # rows-only -> literal-hyperplane oracle
     "range_join_event_windows",   # BNLJ -> bin-bucketed broadcast hash join
     "interevent_timing_stats",    # NTZ fix: ts cast through timestamp_ltz

@@ -1,12 +1,14 @@
 """Dedup queries over the documents table, one per family
 (exact / n-gram Jaccard / MinHash-LSH / SimHash / embedding-cosine).
 
-The exact families carry DuckDB oracles. SimHash does too: its
-registered query uses the md5 bit source (dedup/simhash.py), which
-both engines can compute, so the whole fingerprint->Hamming pipeline
-hash-matches. MinHash stays rows-only for the driver (xxhash64 is not
-reproducible in DuckDB SQL) and is validated in tests/test_dedup.py
-against the exact ground truth.
+Every family carries a DuckDB oracle. The hash-based ones use
+engine-portable constructions for their registered queries: SimHash
+derives its bit source from md5 (dedup/simhash.py) and MinHash uses
+Kirsch-Mitzenmacher signatures over the two md5 halves
+(dedup/minhash.py family="md5_km"), so fingerprints, signatures, LSH
+candidate sets, and verification all hash-match. The cheaper
+xxhash64 family remains the library default for corpus scale and is
+validated against exact ground truth in tests/test_dedup.py.
 """
 
 from __future__ import annotations
@@ -266,15 +268,88 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh_pairs")
+def _minhash_oracle(
+    k: int, threshold: float, n_hashes: int = 128, n_bands: int = 16
+) -> str:
+    """DuckDB SQL mirroring the FULL md5_km MinHash+LSH pipeline:
+    k-shingles -> 16-hex md5 keys -> Kirsch-Mitzenmacher signatures
+    min(hi + i*lo) -> banded bucket strings -> candidate pairs ->
+    exact Jaccard verification. Every stage is integer/string exact,
+    so the candidate set (not just the verified output) reproduces
+    bit-for-bit; only the final Jaccard is float, and it divides two
+    exact integer counts in both engines."""
+    r = n_hashes // n_bands
+    sig_cols = ",\n             ".join(
+        f"MIN(hi + {i} * lo) AS _s{i}" for i in range(n_hashes)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, array_to_string([{cols}], ',')"
+        " AS bucket FROM sig".format(
+            j=j, cols=", ".join(f"_s{j * r + i}" for i in range(r))
+        )
+        for j in range(n_bands)
+    )
+    return f"""
+    WITH ws AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) <= {k}
+               THEN [substr(md5(array_to_string(w, ' ')), 1, 16)]
+               ELSE [substr(md5(array_to_string(w[i:i+{k - 1}], ' ')), 1, 16)
+                     for i in range(1, len(w) - {k} + 2)]
+               END) AS s
+      FROM ws
+    ), hl AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) AS hi,
+             CAST(('0x' || substr(hx, 9, 8)) AS BIGINT) AS lo
+      FROM (SELECT doc_id, unnest(s) AS hx FROM sh)
+    ), sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM hl GROUP BY doc_id
+    ), bands AS (
+      {band_selects}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT id_a, id_b,
+             len(list_intersect(sa.s, sb.s)) * 1.0
+               / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+               AS jaccard
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard
+    FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=_minhash_oracle(JACCARD_K, JACCARD_THRESHOLD),
+)
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(128) + LSH(16x8) candidates, exact-verified at the same
     threshold as the exact query — recall measured against it in
-    tests/test_dedup.py. Rows-only driver check (xxhash64 family not
-    expressible in DuckDB)."""
+    tests/test_dedup.py.
+
+    Uses the md5_km hash family (dedup/minhash.py): shingle keys are
+    md5 hex prefixes and signatures are Kirsch-Mitzenmacher
+    ``min(hi + i*lo)``, both reproducible in DuckDB — so the driver
+    hash-matches the ENTIRE pipeline including the LSH candidate set
+    (previously rows-only: xxhash64 has no DuckDB twin). The xxhash64
+    family stays the library default for corpus scale (8-byte shingle
+    keys and band buckets vs 16-char strings)."""
     docs = read_table(spark, sf_dir, "documents")
     out = minhash_lsh_pairs(
-        docs, k=JACCARD_K, threshold=JACCARD_THRESHOLD
+        docs, k=JACCARD_K, threshold=JACCARD_THRESHOLD, family="md5_km"
     )
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 

@@ -74,6 +74,29 @@ def test_minhash_lsh_recall_and_precision(docs):
         assert recall >= 0.5, f"recall {recall:.2f} over {len(exact)} pairs"
 
 
+def test_minhash_md5_km_family_recall_and_precision(docs):
+    """The md5_km family (Kirsch-Mitzenmacher signatures from md5
+    halves — the oracle-checkable variant the registered query uses)
+    must satisfy the same contract as the xxhash64 default: subset of
+    exact pairs, solid recall at the S-curve. The hash family changes
+    WHICH borderline candidates band together, never the exactness of
+    verification."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.35).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, k=3, threshold=0.35, family="md5_km"
+        ).collect()
+    }
+    assert approx <= exact
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.5, f"recall {recall:.2f} over {len(exact)} pairs"
+
+
 def test_jaccard_max_doc_freq_prunes_stop_shingles(spark):
     """The df cap must actually drop ubiquitous shingles before the
     inverted-index self-join: docs that overlap ONLY through a
