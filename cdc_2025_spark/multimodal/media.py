@@ -376,6 +376,105 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     return imgs.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("duration_ms", IntegerType()),
+                    StructField("codec", StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _encode_bmp(rgb) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit
+    bottom-up BMP — the inverse of decode_bmp (round-trip pinned in
+    tests). Dependency-free (struct + numpy)."""
+    import numpy as np  # noqa: PLC0415
+
+    h, w = rgb.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    header = _struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + _struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    bgr = rgb[:, :, ::-1]  # RGB -> BGR
+    padded = np.zeros((h, row_bytes), dtype=np.uint8)
+    padded[:, : w * 3] = bgr.reshape(h, w * 3)
+    return header + padded[::-1].tobytes()  # bottom-up row order
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int
+) -> DataFrame:
+    """RESIZE operator: decode each image payload (BMP or PNG), scale
+    to (width, height) by nearest-neighbor sampling, re-encode as BMP
+    (the dependency-free container), and update meta. Deterministic:
+    out[y, x] = in[floor(y*h_in/h_out), floor(x*w_in/w_out)] — the
+    standard NN grid, vectorized per image with numpy index arrays.
+
+    Same Arrow-batched mapInPandas contract as the other decode
+    stages: one batch JVM->Python->JVM, constant memory per task.
+    Non-decodable payloads (stub/synthetic) pass through unchanged so
+    mixed corpora don't fail the whole batch."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                raw = bytes(p)
+                rgb = None
+                if raw[:2] == b"BM":
+                    rgb = decode_bmp(raw)
+                elif raw[:8] == _PNG_SIG:
+                    rgb = decode_png(raw)
+                if rgb is None:
+                    payloads.append(p)
+                    metas.append(m)
+                    continue
+                h_in, w_in = rgb.shape[:2]
+                ys = (np.arange(height) * h_in // height).clip(0, h_in - 1)
+                xs = (np.arange(width) * w_in // width).clip(0, w_in - 1)
+                out = rgb[ys][:, xs]
+                payloads.append(_encode_bmp(out))
+                metas.append(
+                    {
+                        "width": width,
+                        "height": height,
+                        "duration_ms": m["duration_ms"],
+                        "codec": "bmp",
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    imgs = media.filter(F.col("kind") == "image").select(
+        "media_id", "kind", "payload", "meta"
+    )
+    return imgs.mapInPandas(run, RESIZED_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

@@ -17,6 +17,7 @@ from cdc_2025_spark.multimodal.media import (
     extract_image_features,
     make_real_media,
     make_synthetic_media,
+    resize_images,
     sample_video_frames,
 )
 from cdc_2025_spark.queries.registry import query
@@ -79,6 +80,15 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.element_at("features", 6)), 4).alias("avg_metric"),
         F.round(F.max(F.element_at("features", 8)), 4).alias("max_metric"),
     )
+    # resize stage: decode -> nearest-neighbor 16x12 -> re-encode ->
+    # re-decode via the feature kernel; avg_metric is the mean width
+    # (must be exactly 16 for all rows), max_metric the max gray
+    resized = extract_image_features(resize_images(real, 16, 12)).agg(
+        F.lit("image_resized").alias("kind"),
+        F.count("*").alias("n_rows"),
+        F.round(F.avg(F.element_at("features", 1)), 4).alias("avg_metric"),
+        F.round(F.max(F.element_at("features", 8)), 4).alias("max_metric"),
+    )
     wav = extract_audio_chunk_features(real, chunk_ms=500).agg(
         F.lit("audio_wav").alias("kind"),
         F.count("*").alias("n_rows"),
@@ -90,5 +100,6 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(vid)
         .unionByName(bmp)
         .unionByName(png)
+        .unionByName(resized)
         .unionByName(wav)
     )

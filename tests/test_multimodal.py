@@ -318,9 +318,13 @@ def test_feature_rollup_includes_real_kernels(spark):
     out = multimodal_feature_rollup(spark, "")
     rows = {r["kind"]: r for r in out.collect()}
     assert set(rows) == {
-        "image", "audio", "video", "image_bmp", "image_png", "audio_wav"
+        "image", "audio", "video", "image_bmp", "image_png",
+        "image_resized", "audio_wav",
     }
     assert rows["image_bmp"]["n_rows"] == 8
+    # resize stage: every output is exactly 16 wide -> avg width 16
+    assert rows["image_resized"]["n_rows"] == 8
+    assert rows["image_resized"]["avg_metric"] == 16.0
     assert rows["image_png"]["n_rows"] == 8
     # same pixels, different container: metrics must agree exactly
     assert rows["image_png"]["avg_metric"] == rows["image_bmp"]["avg_metric"]
@@ -347,3 +351,62 @@ def test_video_frame_sampling_cardinality(spark):
         assert sorted(idxs) == list(range(want_frames)), mid
     # frame hashes unique per (media, idx)
     assert len({(r["media_id"], r["frame_sha256"]) for r in rows}) == len(rows)
+
+
+def test_bmp_encode_roundtrip():
+    """_encode_bmp must be decode_bmp's exact inverse, including row
+    padding (non-multiple-of-4 widths)."""
+    import numpy as np
+    from cdc_2025_spark.multimodal.media import _encode_bmp, decode_bmp, decode_png, make_png
+
+    rgb = decode_png(make_png(33, 7, seed=9))
+    assert np.array_equal(decode_bmp(_encode_bmp(rgb)), rgb)
+
+
+def test_resize_images_nearest_neighbor(spark):
+    """resize_images: output payloads are valid BMPs of the target
+    dims whose pixels equal the nearest-neighbor formula applied to
+    the source; PNG inputs resize identically to their BMP twins; meta
+    updates to the new dims with codec bmp."""
+    import numpy as np
+    from cdc_2025_spark.multimodal.media import (
+        decode_bmp,
+        make_bmp,
+        make_real_media,
+        resize_images,
+    )
+
+    media = make_real_media(spark, n_images=4, n_audio=0, n_png=4)
+    out = {
+        r["media_id"]: r
+        for r in resize_images(media, width=16, height=12).collect()
+    }
+    assert len(out) == 8
+    for i in range(4):
+        w_in, h_in = 32 + (i % 4) * 8, 24 + (i % 3) * 8
+        src = decode_bmp(make_bmp(w_in, h_in, seed=i))
+        ys = (np.arange(12) * h_in // 12).clip(0, h_in - 1)
+        xs = (np.arange(16) * w_in // 16).clip(0, w_in - 1)
+        want = src[ys][:, xs]
+        got_bmp = out[i]  # bmp row i
+        got_png = out[4 + i]  # png row i carries the same pixels
+        for r in (got_bmp, got_png):
+            rgb = decode_bmp(bytes(r["payload"]))
+            assert rgb.shape == (12, 16, 3)
+            assert np.array_equal(rgb, want), (i, r["media_id"])
+            assert r["meta"]["width"] == 16 and r["meta"]["height"] == 12
+            assert r["meta"]["codec"] == "bmp"
+
+
+def test_resize_passes_through_undecodable(spark):
+    """Synthetic (non-BMP/PNG) payloads pass through unchanged —
+    mixed corpora must not fail the batch."""
+    media = make_synthetic_media(spark, n=3, kind="image")
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    from cdc_2025_spark.multimodal.media import resize_images
+
+    out = {
+        r["media_id"]: bytes(r["payload"])
+        for r in resize_images(media, 8, 8).collect()
+    }
+    assert out == src
