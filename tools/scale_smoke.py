@@ -51,8 +51,10 @@ SCALE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 QUERIES_UNDER_TEST = [
     "dedup_ngram_jaccard_pairs",
     "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
     "dedup_repeated_spans",
     "llm_corpus_prep",
+    "text_tfidf_top_terms",
     "sim_lsh_bucketed_pairs",
     "sim_ivf_topk",
 ]
