@@ -410,3 +410,30 @@ def test_resize_passes_through_undecodable(spark):
         for r in resize_images(media, 8, 8).collect()
     }
     assert out == src
+
+
+def test_resize_mixed_batch_decodable_and_stub(spark):
+    """One Arrow batch holding BOTH decodable (BMP) and stub payloads:
+    decoded rows resize, stub rows pass through, and the mixed meta
+    column (dict for resized rows, original Row for passthrough rows)
+    serializes."""
+    from cdc_2025_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        decode_bmp,
+        make_bmp,
+        resize_images,
+    )
+
+    rows = [
+        (0, "image", bytearray(make_bmp(32, 24, seed=0)), (32, 24, 0, "bmp")),
+        (1, "image", bytearray(b"\x00" * 64), (8, 8, 0, "fake")),
+        (2, "image", bytearray(make_bmp(40, 24, seed=2)), (40, 24, 0, "bmp")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1)
+    out = {r["media_id"]: r for r in resize_images(media, 10, 6).collect()}
+    assert len(out) == 3
+    assert decode_bmp(bytes(out[0]["payload"])).shape == (6, 10, 3)
+    assert decode_bmp(bytes(out[2]["payload"])).shape == (6, 10, 3)
+    assert bytes(out[1]["payload"]) == b"\x00" * 64  # passthrough
+    assert out[1]["meta"]["codec"] == "fake"
+    assert out[0]["meta"]["codec"] == "bmp" and out[0]["meta"]["width"] == 10

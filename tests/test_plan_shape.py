@@ -196,3 +196,23 @@ def test_shuffle_budget_round3(spark, sf_dir, name, max_exchanges):
 
     n = exchange_count(QUERIES[name](spark, sf_dir))
     assert n <= max_exchanges, f"{name}: {n} exchanges"
+
+
+def test_tfidf_broadcasts_idf_table(spark, sf_dir):
+    """The document-frequency (idf) side is vocabulary-sized and must
+    broadcast — a second corpus-sized shuffle for the idf join would
+    be the classic TF-IDF scale mistake."""
+    p = plan_of(spark, sf_dir, "text_tfidf_top_terms")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_decontam_embedding_broadcasts_eval_side(spark, sf_dir):
+    """The eval split broadcasts; the training corpus must stream
+    through a single scan with no shuffle on its side (broadcast
+    nested-loop over the tiny eval set, same family as the brute-force
+    top-k baseline)."""
+    p = plan_of(spark, sf_dir, "decontam_embedding_crosssplit")
+    assert "BroadcastNestedLoopJoin" in p
+    # the train side must not be exchanged before the join
+    assert "CartesianProduct" not in p
