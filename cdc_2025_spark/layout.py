@@ -26,14 +26,31 @@ from pyspark.sql import functions as F
 Z_BITS = 16  # rank resolution per column; 2-3 cols -> 32/48-bit key
 
 
-def _bucket(col: Column, cmin: Column, cmax: Column, bits: int) -> Column:
+def _as_double(col: Column, dtype: str) -> Column:
+    """Numeric view of a z-order column. Dates count days; timestamps
+    (incl. TIMESTAMP_NTZ via the ltz identity cast under the pinned
+    UTC session) count epoch seconds — rank order is all that
+    matters, so any monotone mapping works."""
+    if dtype == "date":
+        return F.datediff(col, F.lit("1970-01-01").cast("date")).cast(
+            "double"
+        )
+    if dtype.startswith("timestamp"):
+        return col.cast("timestamp_ltz").cast("double")
+    return col.cast("double")
+
+
+def _bucket(col: Column, cmin: Column, cmax: Column, bits: int, dtype: str) -> Column:
     """Linear rank of ``col`` in [0, 2^bits): (v - min)/(max - min)
     scaled. Constant columns (max == min) bucket to 0. NULLs bucket to
     0 so they cluster in the first files rather than scattering."""
-    span = cmax.cast("double") - cmin.cast("double")
+    v = _as_double(col, dtype)
+    lo = _as_double(cmin, dtype)
+    hi = _as_double(cmax, dtype)
+    span = hi - lo
     scaled = F.when(
         span > 0,
-        ((col.cast("double") - cmin) / span * ((1 << bits) - 1)),
+        ((v - lo) / span * ((1 << bits) - 1)),
     ).otherwise(F.lit(0.0))
     return F.coalesce(
         F.least(
@@ -66,6 +83,7 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = Z_BITS) -> DataFrame:
         raise ValueError("zorder supports 1-4 columns")
     if bits * len(cols) > 63:
         raise ValueError("bits * n_cols must fit a signed long")
+    dtypes = dict(df.dtypes)
     stats = df.agg(
         *[F.min(c).alias(f"_min_{c}") for c in cols],
         *[F.max(c).alias(f"_max_{c}") for c in cols],
@@ -73,7 +91,11 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = Z_BITS) -> DataFrame:
     with_stats = df.crossJoin(F.broadcast(stats))
     ranks = [
         _bucket(
-            F.col(c), F.col(f"_min_{c}"), F.col(f"_max_{c}"), bits
+            F.col(c),
+            F.col(f"_min_{c}"),
+            F.col(f"_max_{c}"),
+            bits,
+            dtypes[c],
         )
         for c in cols
     ]

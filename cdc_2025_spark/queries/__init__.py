@@ -54,6 +54,8 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
 # of the r3 block that doesn't fit forms the natural round-6 front.
 _CHANGED_R5 = [
     "text_tfidf_top_terms",       # NEW in r5: never driver-checked
+    "sql_api_lateral_explode",    # NEW in r5: never driver-checked
+    "window_ntile_spend_quartiles",  # NEW in r5: never driver-checked
     "decontam_embedding_crosssplit",  # NEW in r5: never driver-checked
     "dedup_simhash_pairs",        # rows-only -> md5 bit source + full oracle
     "dedup_minhash_lsh_pairs",    # rows-only -> md5_km family + full oracle

@@ -582,3 +582,85 @@ def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "sql_api_lateral_explode",
+    oracle="""
+    SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT source,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+          FROM documents)
+    GROUP BY source, tok
+    HAVING COUNT(*) >= 20
+    """,
+)
+def sql_api_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode through the SQL front end — the HiveQL
+    table-generating-function surface (vs the DataFrame F.explode the
+    other text queries use). Per-(source, token) counts with a HAVING
+    floor; DuckDB mirrors via unnest."""
+    from cdc_2025_spark.io import load_star_schema
+
+    load_star_schema(spark, sf_dir)
+    return spark.sql(
+        r"""
+        SELECT source, tok, COUNT(*) AS n
+        FROM documents
+        LATERAL VIEW explode(split(trim(lower(text)), '\\s+')) t AS tok
+        GROUP BY source, tok
+        HAVING COUNT(*) >= 20
+        """
+    )
+
+
+@query(
+    "window_ntile_spend_quartiles",
+    oracle="""
+    WITH spend AS (
+      SELECT c_custkey, ROUND(SUM(o_totalprice), 4) AS total_spend
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    ), tiled AS (
+      SELECT c_custkey, total_spend,
+             CAST(NTILE(4) OVER (ORDER BY total_spend DESC, c_custkey)
+                  AS INTEGER) AS quartile
+      FROM spend
+    )
+    SELECT quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(total_spend), 4) AS quartile_spend,
+           ROUND(MIN(total_spend), 4) AS floor_spend
+    FROM tiled GROUP BY quartile
+    """,
+)
+def window_ntile_spend_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NTILE(4) customer spend quartiles (the missing ranking-family
+    member next to row_number/rank/dense_rank/percent_rank in
+    window_ranking_variants), rolled up per quartile.
+
+    Scale note: the unpartitioned NTILE needs a global sort of the
+    per-customer aggregate — a CUSTOMER-cardinality frame, orders of
+    magnitude smaller than the fact table, which is the standard shape
+    for global-quantile assignments (same reasoning as
+    stats_percentiles_order_value). Deterministic via the unique
+    c_custkey tiebreak; spend is rounded BEFORE tiling so both engines
+    order identical doubles."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    spend = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("total_spend"))
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), "c_custkey")
+    tiled = spend.withColumn("quartile", F.ntile(4).over(w))
+    return tiled.groupBy("quartile").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("total_spend"), 4).alias("quartile_spend"),
+        F.round(F.min("total_spend"), 4).alias("floor_spend"),
+    )

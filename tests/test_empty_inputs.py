@@ -111,3 +111,47 @@ def test_scd2_empty_and_empty_batch(spark):
     rows = after.collect()
     assert len(rows) == 1
     assert rows[0]["valid_to"] is None and rows[0]["is_current"]
+
+
+def test_round5_kernels_empty(spark, empty_docs):
+    """Round-5 operators on empty frames: md5-family dedup, interval
+    join, z-order key, TF-IDF-style explode paths, and resize all
+    yield empty results without throwing."""
+    from cdc_2025_spark.functions.intervals import binned_interval_join
+    from cdc_2025_spark.layout import zorder_key
+    from cdc_2025_spark.multimodal.media import MEDIA_SCHEMA, resize_images
+
+    assert minhash_lsh_pairs(empty_docs, family="md5_km").count() == 0
+    assert simhash_pairs(empty_docs, hash_fn="md5").count() == 0
+
+    empty_facts = spark.createDataFrame([], "event_id long, ts timestamp")
+    windows = (
+        spark.range(0, 3)
+        .select(
+            (
+                F.lit("2024-01-01").cast("timestamp")
+                + F.make_interval(hours=F.lit(4) * F.col("id"))
+            ).alias("w_start")
+        )
+        .withColumn("w_end", F.col("w_start") + F.make_interval(mins=F.lit(90)))
+    )
+    joined = binned_interval_join(
+        empty_facts, windows, "ts", "w_start", "w_end", bin_seconds=3600
+    )
+    assert joined.count() == 0
+    # and empty intervals against real facts
+    empty_iv = spark.createDataFrame(
+        [], "w_start timestamp, w_end timestamp"
+    )
+    facts = spark.createDataFrame(
+        [(1,)], "event_id long"
+    ).withColumn("ts", F.lit("2024-01-01 01:00:00").cast("timestamp"))
+    assert binned_interval_join(
+        facts, empty_iv, "ts", "w_start", "w_end", bin_seconds=3600
+    ).count() == 0
+
+    empty_xy = spark.createDataFrame([], "x long, y long")
+    assert zorder_key(empty_xy, ["x", "y"]).count() == 0
+
+    empty_media = spark.createDataFrame([], MEDIA_SCHEMA)
+    assert resize_images(empty_media, 8, 8).count() == 0

@@ -268,3 +268,31 @@ def test_scd2_history_matches_reference_model(spark, changes, split):
         if b.count() > 0:
             hist = apply_changes_scd2(hist, b, ["k"])
     assert hist is not None and canon(hist) == expected
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+@SETTINGS
+def test_png_bmp_codec_agreement(w, h, seed):
+    """Property: for ANY (w, h, seed) — including 1-pixel images and
+    widths straddling BMP's 4-byte row padding — the PNG and BMP
+    containers of the same generator pattern decode to identical
+    pixel arrays, and the BMP encoder round-trips the decoded PNG."""
+    import numpy as np
+
+    from cdc_2025_spark.multimodal.media import (
+        _encode_bmp,
+        decode_bmp,
+        decode_png,
+        make_bmp,
+        make_png,
+    )
+
+    png_rgb = decode_png(make_png(w, h, seed=seed))
+    bmp_rgb = decode_bmp(make_bmp(w, h, seed=seed))
+    assert png_rgb.shape == (h, w, 3)
+    assert np.array_equal(png_rgb, bmp_rgb)
+    assert np.array_equal(decode_bmp(_encode_bmp(png_rgb)), png_rgb)
