@@ -60,6 +60,8 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "interevent_timing_stats",
     "decontam_embedding_crosssplit",
+    "sql_api_lateral_explode",
+    "window_ntile_spend_quartiles",
 ]
 
 

@@ -823,3 +823,52 @@ def test_scd2_same_ts_across_batch_boundary(spark):
     # idempotency: replaying either batch changes nothing
     assert canon(apply_changes_scd2(hist, b1, ["k"])) == canon(full)
     assert canon(apply_changes_scd2(hist, b2, ["k"])) == canon(full)
+
+
+def test_stream_static_binned_interval_join_matches_batch(
+    spark, sf_dir, event_files, tmpdir
+):
+    """The bin-bucketed interval join (functions/intervals.py) is
+    stateless against a static interval table, so it composes directly
+    with a streaming fact side: streamed events joined to broadcast
+    observation windows must emit exactly the batch result."""
+    from cdc_2025_spark.functions.intervals import binned_interval_join
+
+    windows = (
+        spark.range(0, 175)
+        .select(
+            (
+                F.lit("2024-01-01").cast("timestamp")
+                + F.make_interval(hours=F.lit(4) * F.col("id"))
+            ).alias("w_start")
+        )
+        .withColumn(
+            "w_end", F.col("w_start") + F.make_interval(mins=F.lit(90))
+        )
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(event_files)
+    out = binned_interval_join(
+        stream, windows, "ts", "w_start", "w_end", bin_seconds=4 * 3600
+    ).select("event_id", "w_start")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("binned_iv_test")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt_biv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r["event_id"], r["w_start"])
+        for r in spark.sql("select * from binned_iv_test").collect()
+    }
+    ev = read_table(spark, sf_dir, "events")
+    want = {
+        (r["event_id"], r["w_start"])
+        for r in binned_interval_join(
+            ev, windows, "ts", "w_start", "w_end", bin_seconds=4 * 3600
+        ).select("event_id", "w_start").collect()
+    }
+    # stateless join, no watermark holdback: exact equality
+    assert got == want and len(got) > 0
