@@ -470,11 +470,12 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (sim_lsh_bucketed_pairs) exact-verified per candidate —
     the downstream components + survivor-join is unchanged and is the
     scale path (one banded shuffle + O(diameter) label rounds, no
-    cross product). Cosine runs JVM-side (zip_with/aggregate, no
-    Python); components via min-label propagation (near-dup clusters
-    are shallow).
+    cross product) — registered as ``dedup_embedding_neardup_lsh``
+    below; this exact form is its AUDIT TWIN (equality on the fixture
+    at a full-recall geometry is pinned in tests/test_dedup.py).
+    Cosine runs JVM-side (zip_with/aggregate, no Python); components
+    via min-label propagation (near-dup clusters are shallow).
     """
-    from cdc_2025_spark.dedup.cluster import connected_components
     from cdc_2025_spark.functions.embeddings import cosine
 
     emb = read_table(spark, sf_dir, "embeddings").select(
@@ -488,16 +489,114 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cosine("emb_a", "emb_b") >= NEARDUP_COS_THRESHOLD)
         .select("id_a", "id_b")
     )
+    return _neardup_decision(emb.select("vec_id"), pairs)
+
+
+def _neardup_decision(ids: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared keep/drop contract: min-id connected components over the
+    pair edges, every vector mapped to its cluster canonical, ``keep``
+    true only for the survivor. Vectors with no edge keep themselves."""
+    from cdc_2025_spark.dedup.cluster import connected_components
+
     cc = connected_components(pairs)
     return (
-        emb.select("vec_id")
-        .join(cc, emb.vec_id == cc.id, "left")
+        ids.join(cc, ids.vec_id == cc.id, "left")
         .select(
             "vec_id",
             F.coalesce("comp", F.col("vec_id")).alias("canonical_id"),
         )
         .withColumn("keep", F.col("vec_id") == F.col("canonical_id"))
     )
+
+
+def embedding_neardup_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    n_planes: int | None = None,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """dedup_embedding_neardup with the PAIR SOURCE swapped for banded
+    random-hyperplane LSH candidates (similarity.lsh_pairs), each
+    exact-cosine-verified at the same threshold — the scale path.
+    Geometry defaults to the registered 16/4; tests pass a
+    full-recall geometry (16 planes / 16 bands on the fixture) to pin
+    equality with the exact all-pairs form."""
+    from cdc_2025_spark.queries.similarity import (
+        LSH_BANDS,
+        LSH_PLANES,
+        lsh_pairs,
+    )
+
+    pairs = lsh_pairs(
+        spark,
+        sf_dir,
+        threshold=NEARDUP_COS_THRESHOLD,
+        n_planes=LSH_PLANES if n_planes is None else n_planes,
+        n_bands=LSH_BANDS if n_bands is None else n_bands,
+    ).select("id_a", "id_b")
+    ids = read_table(spark, sf_dir, "embeddings").select("vec_id")
+    return _neardup_decision(ids, pairs)
+
+
+def _neardup_lsh_oracle() -> str:
+    """Mirrors embedding_neardup_lsh end to end: the shared LSH
+    candidate CTEs (similarity.lsh_candidate_sql — literal
+    hyperplanes, fold-order-exact projections, so both engines emit
+    the SAME candidate set even below full recall), the exact-cosine
+    edge filter at NEARDUP_COS_THRESHOLD, then the recursive-CTE
+    connected-components closure and min-id decision table — the same
+    closure the exact twin's oracle uses."""
+    from cdc_2025_spark.queries.similarity import lsh_candidate_sql
+
+    return f"""
+    WITH RECURSIVE {lsh_candidate_sql()},
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN e ea ON ea.vec_id = id_a
+      JOIN e eb ON eb.vec_id = id_b
+      WHERE list_cosine_similarity(ea.emb, eb.emb)
+              >= {NEARDUP_COS_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.a, g.dst FROM reach r JOIN edges g ON r.b = g.src
+    ),
+    comp AS (SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a)
+    SELECT v.vec_id,
+           CAST(COALESCE(c.comp, v.vec_id) AS BIGINT) AS canonical_id,
+           (v.vec_id = COALESCE(c.comp, v.vec_id)) AS keep
+    FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.id
+    """
+
+
+@query("dedup_embedding_neardup_lsh", oracle=_neardup_lsh_oracle())
+def dedup_embedding_neardup_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding near-dup keep/drop decision table at SCALE: edges
+    come from the banded random-hyperplane LSH candidate join
+    (similarity.lsh_pairs, one (band, bucket, id) shuffle — no cross
+    product), each candidate exact-cosine-verified at the same
+    threshold as the exact twin, then the identical min-id
+    connected-components decision contract (_neardup_decision).
+
+    This is the registered 100 TB path: cost is one banded shuffle of
+    16-byte id rows + candidates-only verification + O(diameter)
+    label-propagation rounds, vs the exact twin's O(n²) cross join.
+    The exact twin (dedup_embedding_neardup) stays registered as the
+    audit operator; equality of the two decision tables on the
+    fixture at a full-recall geometry is pinned in
+    tests/test_dedup.py, and the oracle here mirrors the LSH
+    candidate generation exactly so the driver hash-checks this plan
+    at its registered 16/4 geometry (production geometry comes from
+    lsh_pairs_auto — see similarity.py)."""
+    return embedding_neardup_lsh(spark, sf_dir)
 
 
 SPAN_K = 5

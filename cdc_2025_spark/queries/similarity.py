@@ -341,8 +341,14 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
 LSH_DIM, LSH_PLANES, LSH_BANDS = 64, 16, 4
 
 
-def _lsh_oracle() -> str:
-    """DuckDB SQL mirroring the FULL random-hyperplane LSH pipeline.
+def lsh_candidate_sql(
+    n_planes: int = LSH_PLANES, n_bands: int = LSH_BANDS
+) -> str:
+    """DuckDB CTE block ``e, sig, bands, cand`` mirroring
+    ``lsh_pairs``' candidate generation 1:1 — shared by the
+    sim_lsh_bucketed_pairs oracle and the dedup_embedding_neardup_lsh
+    oracle (queries/dedup.py), which wraps ``cand`` in a
+    connected-components closure.
 
     The hyperplanes are deterministic compile-time constants
     (_hyperplane), so they inline as float literals (repr round-trips
@@ -350,11 +356,12 @@ def _lsh_oracle() -> str:
     left-associated sum `0.0 + emb[1]*c1 + emb[2]*c2 + ...` to match
     Spark's aggregate() fold order bit-for-bit — sign bits at
     proj ~ 0 must not flip between engines. Banding, the
-    bucket-equality candidate join, DISTINCT, and the exact cosine
-    re-rank all mirror the Spark plan 1:1."""
-    rpb = LSH_PLANES // LSH_BANDS
+    bucket-equality candidate join, and DISTINCT mirror the Spark
+    plan exactly, so both engines produce the SAME candidate set even
+    where the geometry's recall is < 1."""
+    rpb = n_planes // n_bands
     sign_cols = []
-    for p in range(LSH_PLANES):
+    for p in range(n_planes):
         plane = _hyperplane(LSH_DIM, p)
         terms = " + ".join(
             f"emb[{j + 1}]*{plane[j]!r}" for j in range(LSH_DIM)
@@ -367,11 +374,10 @@ def _lsh_oracle() -> str:
             i=i,
             bits="||".join(f"b{i * rpb + j}" for j in range(rpb)),
         )
-        for i in range(LSH_BANDS)
+        for i in range(n_bands)
     )
     sign_sql = ",\n             ".join(sign_cols)
-    return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+    return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
                FROM embeddings),
     sig AS (
       SELECT vec_id,
@@ -386,7 +392,15 @@ def _lsh_oracle() -> str:
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bucket = b.bucket
        AND a.vec_id < b.vec_id
-    )
+    )"""
+
+
+def _lsh_oracle() -> str:
+    """Full-pipeline oracle: shared candidate CTEs + the exact cosine
+    re-rank at PAIR_THRESHOLD (see lsh_candidate_sql for the
+    engine-parity reasoning)."""
+    return f"""
+    WITH {lsh_candidate_sql()}
     SELECT id_a, id_b,
            ROUND(list_cosine_similarity(ea.emb, eb.emb), 4) AS cos
     FROM cand

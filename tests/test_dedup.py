@@ -351,6 +351,61 @@ def test_embedding_neardup_decision_invariants(spark, sf_dir):
     assert dropped_canon <= kept
 
 
+def test_embedding_neardup_lsh_equals_exact_at_full_recall(spark, sf_dir):
+    """The scale path (LSH candidate edges -> same decision contract)
+    must produce the IDENTICAL decision table as the exact all-pairs
+    audit twin when the banding geometry has recall 1.0 on the
+    fixture (16 planes / 16 one-bit bands: every fixture edge at
+    cos >= 0.42 lands in a shared bucket — measured, and deterministic
+    because the hyperplanes are compile-time constants)."""
+    from cdc_2025_spark.queries.dedup import (
+        dedup_embedding_neardup,
+        embedding_neardup_lsh,
+    )
+
+    exact = {
+        tuple(r)
+        for r in dedup_embedding_neardup(spark, sf_dir).collect()
+    }
+    lsh = {
+        tuple(r)
+        for r in embedding_neardup_lsh(
+            spark, sf_dir, n_planes=16, n_bands=16
+        ).collect()
+    }
+    assert lsh == exact
+
+
+def test_embedding_neardup_lsh_registered_invariants(spark, sf_dir):
+    """The registered 16/4-geometry variant keeps the decision-table
+    contract even where banding recall < 1: one row per vector,
+    min-survivor canonicals, dropped rows point at kept canonicals,
+    and its edge set is a SUBSET of the exact twin's (LSH candidates
+    are exact-verified, so no false merges — only possibly missed
+    ones)."""
+    from cdc_2025_spark.queries.dedup import (
+        dedup_embedding_neardup,
+        dedup_embedding_neardup_lsh,
+    )
+
+    out = dedup_embedding_neardup_lsh(spark, sf_dir).toPandas()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(out) == n_vecs
+    assert out["vec_id"].is_unique
+    assert (out["canonical_id"] <= out["vec_id"]).all()
+    assert (out["keep"] == (out["vec_id"] == out["canonical_id"])).all()
+    kept = set(out.loc[out["keep"], "vec_id"])
+    assert set(out.loc[~out["keep"], "canonical_id"]) <= kept
+    # precision-1.0 guarantee: LSH edges are exact-verified, so any
+    # vector the LSH form drops has a true edge to a smaller id and
+    # must be dropped by the exact form too (canonical ids may differ
+    # when a missed edge splits a cluster, so compare drop sets)
+    exact = dedup_embedding_neardup(spark, sf_dir).toPandas()
+    assert set(out.loc[~out["keep"], "vec_id"]) <= set(
+        exact.loc[~exact["keep"], "vec_id"]
+    )
+
+
 def test_shared_jaccard_pair_index_is_reused(spark, sf_dir):
     """The three Jaccard consumers must pay for shingling + the
     inverted-index self-join once per (session, sf_dir): the shared
