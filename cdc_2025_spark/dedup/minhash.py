@@ -119,6 +119,19 @@ def _signature_cols(
     raise ValueError(f"unknown minhash family {family!r}")
 
 
+def _check_seed(family: str, seed: int) -> None:
+    """md5_km signatures min(hi + i*lo) contain no seed term at all —
+    a caller varying seed with that family would get byte-identical
+    output, which is exactly the kind of silent surprise that corrupts
+    an A/B of 'independent' dedup runs. Fail loudly instead."""
+    if family == "md5_km" and seed != 42:
+        raise ValueError(
+            "family='md5_km' is seed-free (Kirsch-Mitzenmacher over "
+            "fixed md5 halves); varying seed has no effect — use "
+            "family='xxhash64' for seeded signature families"
+        )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -129,7 +142,13 @@ def minhash_signatures(
     sets: DataFrame | None = None,
     family: str = "xxhash64",
 ) -> DataFrame:
-    """(id, signature array<long>[n_hashes]) per document."""
+    """(id, signature array<long>[n_hashes]) per document.
+
+    ``seed`` only varies the ``xxhash64`` family; ``md5_km``
+    signatures are seed-FREE (min(hi + i*lo) is fully determined by
+    the md5 halves), so passing a non-default seed with it raises
+    instead of silently returning identical output."""
+    _check_seed(family, seed)
     wide = _signature_wide(
         docs, id_col, text_col, k, n_hashes, seed, sets, family
     )
@@ -189,7 +208,11 @@ def minhash_lsh_pairs(
     Verification joins candidates back to exact Jaccard over the
     hashed shingle sets, so precision is 1.0; recall follows the LSH
     S-curve for the (bands, rows) geometry.
+
+    ``seed`` is rejected for the seed-free ``md5_km`` family — see
+    minhash_signatures.
     """
+    _check_seed(family, seed)
     r = n_hashes // n_bands
     # one shingle-set computation, persisted, feeding signatures AND
     # candidate verification — the expression is the dominant map cost

@@ -54,6 +54,12 @@ def binned_interval_join(
     filter, all inside one codegen stage.
     """
     bin_us = F.lit(bin_seconds * 1_000_000)
+    # Malformed (end <= start) intervals would make F.sequence count
+    # DOWN (Spark defaults step to -1 when stop < start), silently
+    # exploding an inverted interval into a huge build-side fan-out.
+    # They can match nothing under the half-open re-filter anyway, so
+    # drop them before the explode — they cost zero instead.
+    intervals = intervals.filter(F.col(end_col) > F.col(start_col))
     iv = intervals.withColumn(
         "_bin",
         F.explode(

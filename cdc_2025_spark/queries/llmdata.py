@@ -473,7 +473,15 @@ DECONTAM_COS_THRESHOLD = 0.42
     SELECT ev.vec_id AS eval_id, tr.vec_id AS train_id,
            ROUND(list_cosine_similarity(ev.emb, tr.emb), 4) AS cos
     FROM ev JOIN tr
-      ON list_cosine_similarity(ev.emb, tr.emb)
+      /* zero-norm guard mirroring the Spark side's F.when(nrm > 0):
+         DuckDB's list_cosine_similarity yields NaN for a zero vector
+         and NaN compares GREATER than everything, so without the
+         guard a zero vector would pass the threshold here while the
+         Spark side NULLs it out (registry collapses oracles to one
+         line, hence the block comment) */
+      ON list_dot_product(ev.emb, ev.emb) > 0
+     AND list_dot_product(tr.emb, tr.emb) > 0
+     AND list_cosine_similarity(ev.emb, tr.emb)
          >= {DECONTAM_COS_THRESHOLD}
     """,
 )

@@ -140,6 +140,25 @@ def test_minhash_deterministic(docs):
     assert a == b
 
 
+def test_minhash_md5_km_rejects_seed(docs):
+    """md5_km signatures are seed-free; a non-default seed must raise
+    instead of silently returning identical output."""
+    import pytest
+
+    from cdc_2025_spark.dedup.minhash import minhash_signatures
+
+    with pytest.raises(ValueError, match="seed-free"):
+        minhash_signatures(docs, family="md5_km", seed=7)
+    with pytest.raises(ValueError, match="seed-free"):
+        minhash_lsh_pairs(docs, family="md5_km", seed=7)
+    # xxhash64 stays seeded: different seeds, different signatures
+    s42 = minhash_signatures(docs, seed=42).collect()
+    s43 = minhash_signatures(docs, seed=43).collect()
+    assert {tuple(r.signature) for r in s42} != {
+        tuple(r.signature) for r in s43
+    }
+
+
 def test_connected_components_vs_union_find(spark):
     """Min-label propagation vs a sequential union-find on graphs
     with chains, stars, and singleton-free isolated pairs."""

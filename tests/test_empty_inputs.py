@@ -153,5 +153,21 @@ def test_round5_kernels_empty(spark, empty_docs):
     empty_xy = spark.createDataFrame([], "x long, y long")
     assert zorder_key(empty_xy, ["x", "y"]).count() == 0
 
+    # inverted (end <= start) intervals are dropped BEFORE the bin
+    # explode — without the guard F.sequence counts DOWN (step
+    # defaults to -1 when stop < start) and a badly inverted interval
+    # fans out to a huge build side before the re-filter kills it
+    inverted = spark.createDataFrame(
+        [("2024-06-01 00:00:00", "2024-01-01 00:00:00"),
+         ("2024-01-01 00:00:00", "2024-01-01 00:00:00")],
+        "s string, e string",
+    ).select(
+        F.col("s").cast("timestamp").alias("w_start"),
+        F.col("e").cast("timestamp").alias("w_end"),
+    )
+    assert binned_interval_join(
+        facts, inverted, "ts", "w_start", "w_end", bin_seconds=3600
+    ).count() == 0
+
     empty_media = spark.createDataFrame([], MEDIA_SCHEMA)
     assert resize_images(empty_media, 8, 8).count() == 0
