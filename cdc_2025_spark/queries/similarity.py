@@ -10,6 +10,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -78,16 +80,34 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PAIR_SAMPLE_PCT = 25
+PAIR_SAMPLE_PCT_CAP = 25
+# Audit pair budget: the sample admits ~sqrt(B) vectors, so the
+# audited cross product is bounded at ~B/2 pairs AT ANY CORPUS SIZE
+# (a fixed percentage would still grow quadratically). 125² keeps the
+# effective pct at exactly the former fixed 25 on the 500-vector
+# sf0.01 corpus, so the registered oracle output is unchanged there.
+AUDIT_PAIR_BUDGET = 125 * 125
+_AUDIT_NUM = 100.0 * math.sqrt(AUDIT_PAIR_BUDGET)  # = 12500.0 exactly
+
+
+def audit_sample_pct(corpus_count: int) -> float:
+    """Budget-derived audit sample percentage:
+    min(CAP, 100·√B / n) — shrinks ~1/n so the audited pair count
+    stays ≤ ~B/2 by construction. Pure mirror of the in-plan
+    expression (the registered query computes it inside the plan from
+    a broadcast COUNT, no driver action)."""
+    return min(float(PAIR_SAMPLE_PCT_CAP), _AUDIT_NUM / corpus_count)
 
 
 @query(
     "sim_pairs_above_threshold",
     oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-               FROM embeddings
-               WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
-                          AS BIGINT) % 100 < {PAIR_SAMPLE_PCT})
+    WITH n AS (SELECT COUNT(*) AS n FROM embeddings),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+          FROM embeddings, n
+          WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 100
+                < LEAST({float(PAIR_SAMPLE_PCT_CAP)}, {_AUDIT_NUM} / n.n))
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS cos
     FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -95,21 +115,44 @@ PAIR_SAMPLE_PCT = 25
     """,
 )
 def sim_pairs_above_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise cosine >= 0.4 over a deterministic 25% hash
-    sample — the AUDIT operator, not the scale path.
+    """Exact pairwise cosine >= 0.4 over a deterministic, BUDGETED
+    hash sample — the AUDIT operator, not the scale path.
 
     The pairwise self-join is inherently O(n²), so the registered form
-    gates its input with the same seed-free md5-bucket sample the
-    sampling queries use (engine-portable, reproducible); it exists to
-    ground-truth `sim_lsh_bucketed_pairs`, which is the registered
-    full-corpus near-dup operator (banded LSH, no cross product). The
-    ungated form stays available to tests via ``sample_pct=100``.
+    gates its input with the seed-free md5-bucket sample the sampling
+    queries use (engine-portable, reproducible), at a percentage
+    derived from a fixed PAIR BUDGET: pct = min(25, 100·√B/n), so the
+    audited pair count is bounded at ~B/2 no matter how large the
+    corpus grows (a fixed pct would still be quadratic). On the
+    sf0.01 corpus (n=500) the derived pct is exactly the former fixed
+    25, so the oracle stream is unchanged. It exists to ground-truth
+    `sim_lsh_bucketed_pairs`, the registered full-corpus near-dup
+    operator (banded LSH, no cross product). The ungated form stays
+    available to tests via ``sample_pct=100``.
     """
-    return _pairs_above_threshold(spark, sf_dir, PAIR_SAMPLE_PCT)
+    return _pairs_above_threshold(
+        spark, sf_dir, pair_budget=AUDIT_PAIR_BUDGET
+    )
+
+
+def _sample_bucket() -> F.Column:
+    """Seed-free md5 bucket 0..99 on vec_id (shared with the sampling
+    queries' construction — engine-portable, reproducible)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
 
 
 def _pairs_above_threshold(
-    spark: SparkSession, sf_dir: str, sample_pct: int = 100
+    spark: SparkSession,
+    sf_dir: str,
+    sample_pct: int = 100,
+    pair_budget: int | None = None,
 ) -> DataFrame:
     emb = (
         read_table(spark, sf_dir, "embeddings")
@@ -118,18 +161,22 @@ def _pairs_above_threshold(
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
         )
     )
-    if sample_pct < 100:
-        bucket = (
-            F.conv(
-                F.substring(
-                    F.md5(F.col("vec_id").cast("string")), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 100
+    if pair_budget is not None:
+        # pct derived IN-PLAN from a broadcast scalar count — no
+        # driver-side action, and the oracle mirrors the arithmetic
+        # (LEAST(cap, 100·√B / n)) exactly
+        cnt = emb.agg(F.count("*").alias("_n"))
+        pct = F.least(
+            F.lit(float(PAIR_SAMPLE_PCT_CAP)),
+            F.lit(100.0 * math.sqrt(pair_budget)) / F.col("_n"),
         )
-        emb = emb.filter(bucket < sample_pct)
+        emb = (
+            emb.crossJoin(F.broadcast(cnt))
+            .filter(_sample_bucket() < pct)
+            .drop("_n")
+        )
+    elif sample_pct < 100:
+        emb = emb.filter(_sample_bucket() < sample_pct)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
     return (
@@ -448,7 +495,10 @@ def lsh_pairs(
       constant. The registered query pins 16/4 (4-bit buckets, sized
       for the sf0.01-sf0.1 corpora and mirrored by the oracle);
       the sf1 smoke measured 4-bit buckets at 20k vectors producing
-      ~50M candidates, vs ~2M at 8-bit (n_planes=32).
+      ~50M candidates, vs ~2M at 8-bit (n_planes=32). Deployments
+      should not hand-tune these: ``lsh_auto_geometry`` derives both
+      from (corpus_count, threshold, recall_at) and ``lsh_pairs_auto``
+      wires it in.
     """
     emb = (
         read_table(spark, sf_dir, "embeddings")
@@ -547,4 +597,72 @@ def lsh_pairs(
         .withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    )
+
+
+LSH_TARGET_BUCKET = 128
+
+
+def lsh_auto_geometry(
+    corpus_count: int,
+    threshold: float,
+    recall_at: float,
+    target_bucket: int = LSH_TARGET_BUCKET,
+) -> tuple[int, int]:
+    """SCALE.md's LSH sizing rule as code: (n_planes, n_bands) for a
+    corpus of ``corpus_count`` vectors such that
+
+    - expected bucket size stays ~``target_bucket``:
+      bits_per_band = ceil(log2(n / target_bucket)) — the
+      within-bucket candidate count is quadratic IN THE BUCKET, so
+      holding bucket size constant keeps total candidates linear in
+      the corpus (measured at the sf1 smoke: ~50M candidates at 4-bit
+      buckets on 20k vectors vs ~2M at 8-bit);
+    - recall for a pair AT cosine ``threshold`` meets ``recall_at``:
+      the random-hyperplane S-curve gives band-match probability
+      p^bits with p = 1 - acos(threshold)/pi, so
+      n_bands = ceil(ln(1-recall_at) / ln(1-p^bits)). This is the
+      WORST-CASE recall — true near-dups sit above the threshold and
+      collide more often (the smoke measured 15/18 at a config whose
+      at-threshold prediction is 0.64).
+
+    The prediction inverts measured reality: the sf1 smoke's 32/4
+    config found 4/18 true pairs at cos 0.6 and the formula predicts
+    recall 0.222 there — so a 100 TB deployment states (threshold,
+    recall) and gets the geometry, instead of hand-tuning planes and
+    bands (tests pin both smoke configs; tools/scale_smoke.py calls
+    this)."""
+    if not 0.0 < recall_at < 1.0:
+        raise ValueError(f"recall_at must be in (0, 1), got {recall_at}")
+    if not -1.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (-1, 1), got {threshold}")
+    bits = max(
+        1, math.ceil(math.log2(max(corpus_count / target_bucket, 2.0)))
+    )
+    p = 1.0 - math.acos(threshold) / math.pi
+    p_band = p**bits
+    bands = max(
+        1, math.ceil(math.log(1.0 - recall_at) / math.log(1.0 - p_band))
+    )
+    return bits * bands, bands
+
+
+def lsh_pairs_auto(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    recall_at: float = 0.9,
+    target_bucket: int = LSH_TARGET_BUCKET,
+    corpus_count: int | None = None,
+) -> DataFrame:
+    """lsh_pairs with geometry derived by lsh_auto_geometry from the
+    corpus size (counted once if not supplied — at deployment scale
+    pass the known count to keep plan construction action-free)."""
+    if corpus_count is None:
+        corpus_count = read_table(spark, sf_dir, "embeddings").count()
+    n_planes, n_bands = lsh_auto_geometry(
+        corpus_count, threshold, recall_at, target_bucket
+    )
+    return lsh_pairs(
+        spark, sf_dir, threshold, n_planes=n_planes, n_bands=n_bands
     )

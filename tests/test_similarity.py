@@ -70,6 +70,83 @@ def test_lsh_subset_and_recall(spark, sf_dir):
         assert recall >= 0.3, f"recall {recall:.2f} of {len(exact)}"
 
 
+def test_lsh_auto_geometry_matches_measured_configs():
+    """The codified sizing rule must reproduce the scale smoke's two
+    measured-good configs at their operating points: 16/4 at the 2k
+    base corpus (recall target 0.6 at cos 0.6) and 32/4 at the 20k
+    replica corpus (the cost-capped point whose measured recall 4/18
+    the S-curve predicts as 0.222)."""
+    from cdc_2025_spark.queries.similarity import lsh_auto_geometry
+
+    assert lsh_auto_geometry(2000, threshold=0.6, recall_at=0.6) == (16, 4)
+    assert lsh_auto_geometry(20000, threshold=0.6, recall_at=0.22) == (32, 4)
+    # bits grow with corpus (bucket size held), bands with recall
+    for lo, hi in [(2_000, 2_000_000), (2_000_000, 2_000_000_000)]:
+        (pl, bl) = lsh_auto_geometry(lo, threshold=0.6, recall_at=0.5)
+        (ph, bh) = lsh_auto_geometry(hi, threshold=0.6, recall_at=0.5)
+        assert ph // bh > pl // bl
+    (_, b_lo) = lsh_auto_geometry(20000, threshold=0.6, recall_at=0.3)
+    (_, b_hi) = lsh_auto_geometry(20000, threshold=0.6, recall_at=0.9)
+    assert b_hi > b_lo
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_auto_geometry(1000, threshold=0.6, recall_at=1.0)
+    with pytest.raises(ValueError):
+        lsh_auto_geometry(1000, threshold=1.0, recall_at=0.5)
+
+
+def test_audit_sample_pct_is_budget_bounded():
+    """pct = min(25, 100·√B/n): fixed at the cap on small corpora
+    (sf0.01's 500 vectors keep the former 25 exactly, preserving the
+    registered oracle stream), then shrinks ~1/n so the audited pair
+    count is bounded by the budget at any corpus size."""
+    from cdc_2025_spark.queries.similarity import (
+        AUDIT_PAIR_BUDGET,
+        audit_sample_pct,
+    )
+
+    assert audit_sample_pct(500) == 25.0
+    assert audit_sample_pct(100) == 25.0  # capped
+    assert audit_sample_pct(2000) == 6.25
+    # ~1/n shrink: doubling n halves the pct once off the cap
+    assert audit_sample_pct(4000) == audit_sample_pct(2000) / 2
+    # audited pairs stay ≤ ~B/2 at any scale
+    for n in (1_000, 100_000, 10_000_000, 1_000_000_000):
+        sampled = audit_sample_pct(n) / 100 * n
+        assert sampled * (sampled - 1) / 2 <= AUDIT_PAIR_BUDGET / 2 + 1
+
+
+def test_audit_sample_in_plan_matches_formula(spark, sf_dir):
+    """The registered query's in-plan pct (broadcast scalar count)
+    must admit exactly the vectors the pure formula admits."""
+    import hashlib
+
+    import duckdb
+
+    from cdc_2025_spark.queries.similarity import audit_sample_pct
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    pct = audit_sample_pct(n)
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT vec_id FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchall()
+    ]
+    want = {
+        i
+        for i in ids
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < pct
+    }
+    got_pairs = sim_pairs_above_threshold(spark, sf_dir).collect()
+    got_ids = {r["id_a"] for r in got_pairs} | {r["id_b"] for r in got_pairs}
+    # every id in the output must come from the formula's sample
+    assert got_ids <= want
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     exact = {}
     for r in sim_topk_bruteforce(spark, sf_dir).collect():

