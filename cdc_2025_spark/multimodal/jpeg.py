@@ -1,0 +1,606 @@
+"""Dependency-free baseline JPEG codec (stdlib struct/math + numpy).
+
+Implements the baseline sequential DCT process of ITU-T T.81 (public
+spec): 8-bit samples, Huffman entropy coding, 4:4:4 or 4:2:0 chroma
+subsampling — the shapes a training-data lake actually stores. The
+quantization and Huffman tables are the spec's own Annex K "typical"
+tables (public constants; every libjpeg-compatible encoder ships
+them).
+
+Replaces the guarded NotImplementedError stub that round 5 left at
+multimodal/media.py:341 (reference parity: the reference repo has no
+media handling at all — this family exists for the LLM-pipeline brief,
+not reference parity): ``decode_jpeg`` slots behind the same
+bytes -> (h, w, 3) uint8 RGB contract as decode_bmp / decode_png, and
+``make_jpeg`` emits real compressed payloads carrying the same
+seeded-gradient pattern as make_bmp/make_png so parity is testable
+(tolerance-pinned — the DCT quantization is lossy by design).
+
+Progressive (SOF2), arithmetic coding, 12-bit, and restart intervals
+raise loudly instead of decoding wrongly — the same
+fail-loud-on-exotic contract the PNG kernel uses.
+
+Scale notes: the per-coefficient entropy decode is pure-Python and
+therefore the slow path of the decode kernel; it exists to make the
+Spark-side plumbing (Arrow batch shape, mapInPandas contract,
+mixed-codec batches) REAL and testable without Pillow/libjpeg in the
+container. A production deployment swaps the kernel body for
+Pillow/libvips behind the identical contract; nothing in the plan
+changes.
+"""
+
+from __future__ import annotations
+
+import math
+import struct as _struct
+
+# ---- public constants from ITU-T T.81 ------------------------------
+
+# zigzag scan order: zigzag index i holds natural (row-major) index
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_QUANT_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+_QUANT_CHROM = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# (bits[1..16], values) per Annex K; canonical code assignment
+_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+_DCT_MAT = None
+
+
+def _dct_mat():
+    """8x8 DCT-II basis C with C[u, x] = 0.5·α(u)·cos((2x+1)uπ/16):
+    forward = C·B·Cᵀ, inverse = Cᵀ·D·C. Cached module-level."""
+    global _DCT_MAT
+    if _DCT_MAT is None:
+        import numpy as np  # noqa: PLC0415
+
+        c = np.zeros((8, 8))
+        for u in range(8):
+            a = math.sqrt(0.5) if u == 0 else 1.0
+            for x in range(8):
+                c[u, x] = 0.5 * a * math.cos((2 * x + 1) * u * math.pi / 16)
+        _DCT_MAT = c
+    return _DCT_MAT
+
+
+def _scaled_quant(base: list[int], quality: int) -> list[int]:
+    """IJG quality scaling (public): 5000/Q below 50, 200-2Q above."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [min(255, max(1, (t * scale + 50) // 100)) for t in base]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, n_bits) by canonical assignment."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, value-bits) for a DC diff / AC coefficient."""
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _encode_block(zz, dc_prev, dc_codes, ac_codes, bw) -> int:
+    """Huffman-encode one zigzagged 64-coef block; returns its DC."""
+    diff = int(zz[0]) - dc_prev
+    s, bits = _magnitude(diff)
+    code, length = dc_codes[s]
+    bw.put(code, length)
+    if s:
+        bw.put(bits, s)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL: 16 zeros
+            bw.put(code, length)
+            run -= 16
+        s, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | s]
+        bw.put(code, length)
+        bw.put(bits, s)
+        run = 0
+    if last_nz != 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.put(code, length)
+    return int(zz[0])
+
+
+def _rgb_to_ycbcr(rgb):
+    import numpy as np  # noqa: PLC0415
+
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return y, cb, cr
+
+
+def _pad_edge(plane, mh: int, mw: int):
+    """Replicate-pad a 2-D plane to multiples of (mh, mw)."""
+    import numpy as np  # noqa: PLC0415
+
+    h, w = plane.shape
+    ph = (h + mh - 1) // mh * mh
+    pw = (w + mw - 1) // mw * mw
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def _quantized_blocks(plane, qtab):
+    """All 8x8 blocks of a padded plane -> zigzagged quantized int
+    coefs, vectorized: one einsum DCT over the full block grid."""
+    import numpy as np  # noqa: PLC0415
+
+    c = _dct_mat()
+    h, w = plane.shape
+    by, bx = h // 8, w // 8
+    blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
+    coefs = np.einsum("ux,ijxy,vy->ijuv", c, blocks, c)
+    q = np.asarray(qtab, dtype=np.float64).reshape(8, 8)
+    qd = np.rint(coefs / q).astype(np.int32).reshape(by, bx, 64)
+    return qd[:, :, _ZIGZAG]  # natural -> zigzag order
+
+
+def make_jpeg(
+    width: int,
+    height: int,
+    seed: int = 0,
+    subsampling: str = "4:2:0",
+    quality: int = 88,
+) -> bytes:
+    """Encode the SAME deterministic seeded-gradient pattern as
+    make_bmp/make_png as a real baseline JPEG — so the three
+    containers carry one image and cross-codec parity is testable
+    (exactly for BMP/PNG, tolerance-pinned for JPEG)."""
+    import numpy as np  # noqa: PLC0415
+
+    x = np.arange(width)[None, :]
+    y = np.arange(height)[:, None]
+    rgb = np.stack(
+        [
+            (x * 13 + y * 17 + seed * 3) % 256,
+            (x * 5 + y * 11 + seed * 2) % 256,
+            (x * 7 + y * 3 + seed) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    return encode_jpeg(rgb, subsampling=subsampling, quality=quality)
+
+
+def encode_jpeg(
+    rgb, subsampling: str = "4:2:0", quality: int = 88
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline sequential JFIF bytes."""
+    import numpy as np  # noqa: PLC0415
+
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub = subsampling == "4:2:0"
+    h, w = rgb.shape[:2]
+    qlum = _scaled_quant(_QUANT_LUM, quality)
+    qchrom = _scaled_quant(_QUANT_CHROM, quality)
+
+    yp, cb, cr = _rgb_to_ycbcr(rgb)
+    if sub:
+        yp = _pad_edge(yp, 16, 16)
+        cb = _pad_edge(cb, 16, 16)
+        cr = _pad_edge(cr, 16, 16)
+        # 2x2 mean subsample of the chroma planes
+        cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean(
+            axis=(1, 3)
+        )
+        cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean(
+            axis=(1, 3)
+        )
+    else:
+        yp = _pad_edge(yp, 8, 8)
+        cb = _pad_edge(cb, 8, 8)
+        cr = _pad_edge(cr, 8, 8)
+
+    zz_y = _quantized_blocks(yp, qlum)
+    zz_cb = _quantized_blocks(cb, qchrom)
+    zz_cr = _quantized_blocks(cr, qchrom)
+
+    dc_l, ac_l = _huff_codes(*_DC_LUM), _huff_codes(*_AC_LUM)
+    dc_c, ac_c = _huff_codes(*_DC_CHROM), _huff_codes(*_AC_CHROM)
+    bw = _BitWriter()
+    mcus_x = cb.shape[1] // 8
+    mcus_y = cb.shape[0] // 8
+    prev = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if sub:
+                for dy in range(2):
+                    for dx in range(2):
+                        prev[0] = _encode_block(
+                            zz_y[my * 2 + dy, mx * 2 + dx],
+                            prev[0], dc_l, ac_l, bw,
+                        )
+            else:
+                prev[0] = _encode_block(zz_y[my, mx], prev[0], dc_l, ac_l, bw)
+            prev[1] = _encode_block(zz_cb[my, mx], prev[1], dc_c, ac_c, bw)
+            prev[2] = _encode_block(zz_cr[my, mx], prev[2], dc_c, ac_c, bw)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return _struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, tab: list[int]) -> bytes:
+        zz = bytes(tab[_ZIGZAG[i]] for i in range(64))
+        return seg(0xFFDB, bytes([tid]) + zz)
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(
+            0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        )
+
+    samp_y = 0x22 if sub else 0x11
+    sof = seg(
+        0xFFC0,
+        _struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + _struct.pack(">HHBB", 1, 1, 0, 0))
+    return (
+        b"\xff\xd8"
+        + app0
+        + dqt(0, qlum)
+        + dqt(1, qchrom)
+        + sof
+        + dht(0, 0, *_DC_LUM)
+        + dht(1, 0, *_AC_LUM)
+        + dht(0, 1, *_DC_CHROM)
+        + dht(1, 1, *_AC_CHROM)
+        + sos
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00
+    unstuffing; raises on an unexpected marker mid-scan."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG scan")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} inside scan"
+                    )
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode_map(bits: list[int], vals: list[int]) -> dict:
+    """(length, code) -> symbol for bit-by-bit canonical decode."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _read_symbol(br: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG scan")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes):
+    """REAL decode kernel for baseline sequential JPEG (ITU-T T.81):
+    returns an (height, width, 3) uint8 RGB array. Supports 8-bit
+    Huffman-coded 1- or 3-component scans with 4:4:4 or 4:2:0 (or any
+    h/v in {1,2}) sampling. Progressive (SOF2), arithmetic coding,
+    hierarchical, 12-bit, and restart intervals raise
+    NotImplementedError — fail loud, never decode wrongly."""
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    scan_comps: list[tuple[int, int, int]] = []  # (id, dc_tid, ac_tid)
+    scan_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = _struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = list(body[off + 1 : off + 65])
+                nat = [0] * 64
+                for i in range(64):
+                    nat[_ZIGZAG[i]] = zz[i]
+                qtabs[tq] = nat
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                cls, tid = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                htabs[(cls, tid)] = _huff_decode_map(bits, vals)
+                off += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline ok
+            prec, h, w, nc = _struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+            sof = (h, w, nc)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF marker 0xFF{marker:02X}); only "
+                "baseline sequential Huffman is supported"
+            )
+        elif marker == 0xDD:  # DRI
+            (interval,) = _struct.unpack_from(">H", body, 0)
+            if interval:
+                raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cid, tids = body[1 + 2 * i], body[2 + 2 * i]
+                scan_comps.append((cid, tids >> 4, tids & 0xF))
+            scan_start = pos + 2 + length
+            break
+        pos += 2 + length
+    if sof is None or scan_start is None:
+        raise ValueError("missing SOF/SOS segment")
+    height, width, _ = sof
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    c = _dct_mat()
+    br = _BitReader(payload, scan_start)
+    planes = {}
+    for cid, ch, cv, _tq in comps:
+        planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8))
+    by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
+    pred = dict.fromkeys(planes, 0)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid, dc_tid, ac_tid in scan_comps:
+                ch, cv, tq = by_id[cid]
+                dc_tab = htabs[(0, dc_tid)]
+                ac_tab = htabs[(1, ac_tid)]
+                q = np.asarray(qtabs[tq], dtype=np.float64).reshape(8, 8)
+                for dy in range(cv):
+                    for dx in range(ch):
+                        zz = np.zeros(64)
+                        s = _read_symbol(br, dc_tab)
+                        diff = _extend(br.bits(s), s) if s else 0
+                        pred[cid] += diff
+                        zz[0] = pred[cid]
+                        i = 1
+                        while i < 64:
+                            sym = _read_symbol(br, ac_tab)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError(
+                                        f"bad AC symbol {sym:#x}"
+                                    )
+                                i += 16  # ZRL
+                                continue
+                            i += run
+                            if i > 63:
+                                raise ValueError("AC run past block end")
+                            zz[i] = _extend(br.bits(size), size)
+                            i += 1
+                        block = np.zeros(64)
+                        block[_ZIGZAG] = zz  # zigzag -> natural
+                        block = block.reshape(8, 8) * q
+                        pix = c.T @ block @ c + 128.0
+                        y0 = (my * cv + dy) * 8
+                        x0 = (mx * ch + dx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = pix
+
+    # upsample subsampled components to full MCU-grid resolution
+    full_h, full_w = mcus_y * vmax * 8, mcus_x * hmax * 8
+    out_planes = []
+    for cid, _dc, _ac in scan_comps:
+        ch, cv, _tq = by_id[cid]
+        p = planes[cid]
+        if ch != hmax:
+            p = np.repeat(p, hmax // ch, axis=1)
+        if cv != vmax:
+            p = np.repeat(p, vmax // cv, axis=0)
+        out_planes.append(p[:full_h, :full_w])
+    if len(out_planes) == 1:
+        y = out_planes[0][:height, :width]
+        g = np.clip(np.rint(y), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    y, cb, cr = (p[:height, :width] for p in out_planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)

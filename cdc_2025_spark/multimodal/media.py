@@ -261,14 +261,22 @@ def decode_png(payload: bytes):
 
 
 def make_real_media(
-    spark: SparkSession, n_images: int = 8, n_audio: int = 8, n_png: int = 0
+    spark: SparkSession,
+    n_images: int = 8,
+    n_audio: int = 8,
+    n_png: int = 0,
+    n_jpeg: int = 0,
 ) -> DataFrame:
     """Media rows with REAL payloads: uncompressed 24-bit BMPs,
-    zlib-compressed PNGs, and RIFF/WAVE PCM-16 sines, all
-    deterministic — the end-to-end non-stub decode paths (decode_bmp /
-    decode_png / decode_wav) with zero codec dependencies. PNG row i
+    zlib-compressed PNGs, baseline JPEGs (Huffman + DCT,
+    multimodal/jpeg.py — alternating 4:4:4 / 4:2:0 subsampling), and
+    RIFF/WAVE PCM-16 sines, all deterministic — the end-to-end
+    non-stub decode paths with zero codec dependencies. PNG/JPEG row i
     carries the same pixel pattern as BMP row i (same width/height/seed
-    formula), so the two containers are feature-identical."""
+    formula), so the containers are feature-identical (exactly for
+    PNG, tolerance-close for lossy JPEG)."""
+    from cdc_2025_spark.multimodal.jpeg import make_jpeg  # noqa: PLC0415
+
     rows = []
     for i in range(n_images):
         w, h = 32 + (i % 4) * 8, 24 + (i % 3) * 8
@@ -283,6 +291,23 @@ def make_real_media(
                 "image",
                 bytearray(make_png(w, h, seed=i)),
                 (w, h, 0, "png"),
+            )
+        )
+    for i in range(n_jpeg):
+        w, h = 32 + (i % 4) * 8, 24 + (i % 3) * 8
+        rows.append(
+            (
+                n_images + n_audio + n_png + i,
+                "image",
+                bytearray(
+                    make_jpeg(
+                        w,
+                        h,
+                        seed=i,
+                        subsampling="4:2:0" if i % 2 else "4:4:4",
+                    )
+                ),
+                (w, h, 0, "jpeg"),
             )
         )
     for i in range(n_audio):
@@ -305,23 +330,28 @@ def make_real_media(
 
 
 def _decode_image_bytes(payload: bytes) -> list[float]:
-    """Image decode kernel. BMP and PNG payloads take REAL paths:
-    header parse + pixel decode (stdlib zlib inflate + unfilter for
-    PNG) + channel statistics. JPEG magic bytes raise
-    NotImplementedError to make accidental production use loud — real
-    deployments swap in Pillow/libvips behind the same bytes ->
-    features contract. Other payloads take the deterministic stub path
-    so the distributed plumbing stays testable without codecs.
+    """Image decode kernel. BMP, PNG, and baseline JPEG payloads take
+    REAL paths: header parse + pixel decode (stdlib zlib inflate +
+    unfilter for PNG; Huffman entropy decode + dequant + IDCT for
+    JPEG — multimodal/jpeg.py) + channel statistics. Non-baseline
+    JPEG (progressive etc.) raises inside decode_jpeg — fail loud,
+    never decode wrongly. Other payloads take the deterministic stub
+    path so the distributed plumbing stays testable without codecs.
 
-    Feature vector (8-dim, all paths): BMP/PNG -> [width, height, mean
-    R/G/B in [0,1], std/min/max of gray in [0,1]] (pixel-identical
-    payloads yield identical features regardless of container format);
-    stub -> seeded words of the payload."""
+    Feature vector (8-dim, all paths): BMP/PNG/JPEG -> [width, height,
+    mean R/G/B in [0,1], std/min/max of gray in [0,1]]
+    (pixel-identical payloads yield identical features regardless of
+    container format; JPEG is tolerance-close, pinned in
+    test_multimodal.py); stub -> seeded words of the payload."""
+    from cdc_2025_spark.multimodal.jpeg import decode_jpeg  # noqa: PLC0415
+
     rgb = None
     if payload[:2] == b"BM":
         rgb = decode_bmp(payload)
     elif payload[:8] == _PNG_SIG:
         rgb = decode_png(payload)
+    elif payload[:3] == b"\xff\xd8\xff":
+        rgb = decode_jpeg(payload)
     if rgb is not None:
         import numpy as np  # noqa: PLC0415
 
@@ -337,11 +367,6 @@ def _decode_image_bytes(payload: bytes) -> list[float]:
             float(gray.min()),
             float(gray.max()),
         ]
-    if payload[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "real JPEG decoding requires Pillow; not available in this "
-            "container — swap _decode_image_bytes for a real kernel"
-        )
     out = []
     for j in range(8):
         chunk = payload[j * 4 : j * 4 + 4] or b"\0\0\0\0"
@@ -419,7 +444,8 @@ def _encode_bmp(rgb) -> bytes:
 def resize_images(
     media: DataFrame, width: int, height: int
 ) -> DataFrame:
-    """RESIZE operator: decode each image payload (BMP or PNG), scale
+    """RESIZE operator: decode each image payload (BMP, PNG, or
+    baseline JPEG), scale
     to (width, height) by nearest-neighbor sampling, re-encode as BMP
     (the dependency-free container), and update meta. Deterministic:
     out[y, x] = in[floor(y*h_in/h_out), floor(x*w_in/w_out)] — the
@@ -434,6 +460,10 @@ def resize_images(
         import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
+        from cdc_2025_spark.multimodal.jpeg import (  # noqa: PLC0415
+            decode_jpeg,
+        )
+
         for pdf in batches:
             payloads, metas = [], []
             for p, m in zip(pdf["payload"], pdf["meta"]):
@@ -443,6 +473,8 @@ def resize_images(
                     rgb = decode_bmp(raw)
                 elif raw[:8] == _PNG_SIG:
                     rgb = decode_png(raw)
+                elif raw[:3] == b"\xff\xd8\xff":
+                    rgb = decode_jpeg(raw)
                 if rgb is None:
                     payloads.append(p)
                     metas.append(m)

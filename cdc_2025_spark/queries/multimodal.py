@@ -38,8 +38,10 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal/media.py decode_bmp / decode_wav), plus image_png:
     stdlib-zlib PNG inflate + unfilter carrying the SAME pixel
     patterns as image_bmp, so those two rows' avg/max metrics must
-    agree exactly (pinned in test_multimodal.py). ``sf_dir`` is
-    unused: media rows are generated, not read, since the testdata
+    agree exactly (pinned in test_multimodal.py), plus image_jpeg:
+    real baseline-JPEG entropy decode + IDCT (multimodal/jpeg.py)
+    over the same patterns, tolerance-close to image_bmp. ``sf_dir``
+    is unused: media rows are generated, not read, since the testdata
     lake has no media table.
     """
     images = make_synthetic_media(spark, n=64, kind="image")
@@ -47,6 +49,7 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     video = make_synthetic_media(spark, n=16, kind="video")
     real = make_real_media(spark, n_images=8, n_audio=8)
     real_png = make_real_media(spark, n_images=0, n_audio=0, n_png=8)
+    real_jpeg = make_real_media(spark, n_images=0, n_audio=0, n_jpeg=8)
 
     img = extract_image_features(images).agg(
         F.lit("image").alias("kind"),
@@ -80,6 +83,17 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.element_at("features", 6)), 4).alias("avg_metric"),
         F.round(F.max(F.element_at("features", 8)), 4).alias("max_metric"),
     )
+    # baseline JPEG kernel (multimodal/jpeg.py: Huffman entropy decode
+    # + dequant + IDCT, alternating 4:4:4 / 4:2:0): same pixel
+    # patterns as image_bmp, so its metrics sit tolerance-close to
+    # that row's (DCT quantization is lossy; parity pinned in
+    # test_multimodal.py, determinism makes the driver hash stable)
+    jpeg = extract_image_features(real_jpeg).agg(
+        F.lit("image_jpeg").alias("kind"),
+        F.count("*").alias("n_rows"),
+        F.round(F.avg(F.element_at("features", 6)), 4).alias("avg_metric"),
+        F.round(F.max(F.element_at("features", 8)), 4).alias("max_metric"),
+    )
     # resize stage: decode -> nearest-neighbor 16x12 -> re-encode ->
     # re-decode via the feature kernel; avg_metric is the mean width
     # (must be exactly 16 for all rows), max_metric the max gray
@@ -100,6 +114,7 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(vid)
         .unionByName(bmp)
         .unionByName(png)
+        .unionByName(jpeg)
         .unionByName(resized)
         .unionByName(wav)
     )

@@ -32,11 +32,19 @@ def test_image_features_deterministic(spark):
 
 
 def test_real_codec_payload_raises(spark):
-    import pandas as pd
+    """JPEG magic now takes the REAL baseline path; malformed and
+    non-baseline streams must fail loud, never fall to the stub."""
+    from cdc_2025_spark.multimodal.jpeg import make_jpeg
     from cdc_2025_spark.multimodal.media import _decode_image_bytes
 
-    with pytest.raises(NotImplementedError):
+    # garbage after the magic: structurally invalid -> ValueError
+    with pytest.raises(ValueError):
         _decode_image_bytes(b"\xff\xd8\xff" + b"\x00" * 61)
+    # progressive (SOF2) -> NotImplementedError, not a wrong decode
+    baseline = make_jpeg(16, 16, seed=0)
+    progressive = baseline.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        _decode_image_bytes(progressive)
 
 
 def test_audio_chunk_features(spark):
@@ -312,6 +320,105 @@ def test_png_features_match_bmp_through_spark(spark):
         assert bmp_rows[i] == png_rows[i], i
 
 
+def test_jpeg_parity_vs_png_kernel():
+    """decode_jpeg(make_jpeg(...)) vs the EXACT PNG kernel on the same
+    synthetic image: JPEG's DCT quantization is lossy, so parity is
+    tolerance-pinned (max-abs pixel delta, not equality). 4:2:0 bounds
+    are wider: the seeded gradient wraps mod 256, and chroma
+    subsampling smears those sharp wrap edges by design. Bounds are
+    measured-plus-margin over 5 geometries x 2 subsamplings — a defect
+    in either the encoder or the decoder would have to cancel across
+    all ten to stay under them."""
+    import numpy as np
+
+    from cdc_2025_spark.multimodal.jpeg import decode_jpeg, make_jpeg
+    from cdc_2025_spark.multimodal.media import decode_png, make_png
+
+    bounds = {"4:4:4": (64, 10.0), "4:2:0": (220, 20.0)}
+    for sub, (max_bound, mean_bound) in bounds.items():
+        for (w, h, seed) in [
+            (32, 24, 0), (40, 32, 3), (17, 13, 5), (8, 8, 1), (64, 48, 7)
+        ]:
+            got = decode_jpeg(make_jpeg(w, h, seed=seed, subsampling=sub))
+            ref = decode_png(make_png(w, h, seed=seed))
+            assert got.shape == ref.shape == (h, w, 3)
+            d = np.abs(got.astype(int) - ref.astype(int))
+            assert d.max() <= max_bound, (sub, w, h, seed, d.max())
+            assert d.mean() <= mean_bound, (sub, w, h, seed, d.mean())
+
+
+def test_jpeg_constant_image_near_exact():
+    """A constant-color image is DC-only in every block: quantization
+    cost is at most the DC step, so round-trip error must be tiny and
+    identical across the whole plane."""
+    import numpy as np
+
+    from cdc_2025_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    for sub in ("4:4:4", "4:2:0"):
+        rgb = np.full((24, 32, 3), (90, 160, 40), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(rgb, subsampling=sub))
+        d = np.abs(out.astype(int) - rgb.astype(int))
+        assert d.max() <= 3, (sub, d.max())
+        # constant in, constant out: no block-boundary artifacts
+        assert (out == out[0, 0]).all(), sub
+
+
+def test_jpeg_odd_dimensions_and_grayscale_shape():
+    """Non-multiple-of-MCU dimensions crop correctly (encoder pads by
+    edge replication, decoder crops to SOF dims)."""
+    from cdc_2025_spark.multimodal.jpeg import decode_jpeg, make_jpeg
+
+    for sub in ("4:4:4", "4:2:0"):
+        for (w, h) in [(17, 13), (9, 25), (33, 31)]:
+            assert decode_jpeg(
+                make_jpeg(w, h, seed=2, subsampling=sub)
+            ).shape == (h, w, 3)
+
+
+def test_jpeg_features_close_to_bmp_through_spark(spark):
+    """JPEG payloads through the distributed mapInPandas kernel:
+    feature vectors must sit tolerance-close to the BMP rows carrying
+    the same pixel pattern (exact equality is impossible — lossy)."""
+    from cdc_2025_spark.multimodal.media import make_real_media
+
+    bmp_media = make_real_media(spark, n_images=6, n_audio=0)
+    jpg_media = make_real_media(spark, n_images=0, n_audio=0, n_jpeg=6)
+    bmp_rows = {
+        r["media_id"]: r["features"]
+        for r in extract_image_features(bmp_media).collect()
+    }
+    jpg_rows = {
+        r["media_id"]: r["features"]
+        for r in extract_image_features(jpg_media).collect()
+    }
+    assert len(bmp_rows) == len(jpg_rows) == 6
+    for i in range(6):
+        b, j = bmp_rows[i], jpg_rows[i]
+        assert b[:2] == j[:2], i  # dimensions exact
+        # channel means / gray std within a few gray levels; gray
+        # min/max are extremal stats where DCT ringing overshoots, so
+        # their bound is wider (~23/255)
+        for k in range(2, 6):
+            assert abs(b[k] - j[k]) < 0.04, (i, k, b[k], j[k])
+        for k in (6, 7):
+            assert abs(b[k] - j[k]) < 0.09, (i, k, b[k], j[k])
+
+
+def test_jpeg_resize_through_spark(spark):
+    """Mixed-codec resize batch: JPEG rows decode, scale, and
+    re-encode as BMP exactly like BMP/PNG rows."""
+    from cdc_2025_spark.multimodal.media import make_real_media, resize_images
+
+    media = make_real_media(spark, n_images=2, n_audio=0, n_jpeg=2)
+    out = {r["media_id"]: r for r in resize_images(media, 16, 12).collect()}
+    assert len(out) == 4
+    for r in out.values():
+        assert bytes(r["payload"])[:2] == b"BM"
+        assert r["meta"]["width"] == 16 and r["meta"]["height"] == 12
+        assert r["meta"]["codec"] == "bmp"
+
+
 def test_feature_rollup_includes_real_kernels(spark):
     from cdc_2025_spark.queries.multimodal import multimodal_feature_rollup
 
@@ -319,8 +426,17 @@ def test_feature_rollup_includes_real_kernels(spark):
     rows = {r["kind"]: r for r in out.collect()}
     assert set(rows) == {
         "image", "audio", "video", "image_bmp", "image_png",
-        "image_resized", "audio_wav",
+        "image_jpeg", "image_resized", "audio_wav",
     }
+    assert rows["image_jpeg"]["n_rows"] == 8
+    # lossy but close: gray-std avg and gray-max max within tolerance
+    # of the BMP row over the same patterns
+    assert abs(
+        rows["image_jpeg"]["avg_metric"] - rows["image_bmp"]["avg_metric"]
+    ) < 0.04
+    assert abs(
+        rows["image_jpeg"]["max_metric"] - rows["image_bmp"]["max_metric"]
+    ) < 0.09  # extremal stat; DCT ringing overshoots (see parity test)
     assert rows["image_bmp"]["n_rows"] == 8
     # resize stage: every output is exactly 16 wide -> avg width 16
     assert rows["image_resized"]["n_rows"] == 8
