@@ -15,15 +15,20 @@ Pipeline (all JVM-side, no Python on the executor path):
    bands of ``r``; the band bucket is a single multi-argument
    ``xxhash64(s_j..s_{j+r-1})`` — no array slicing or string joins.
 
-Why k independent hashes and not one-permutation hashing (OPH, Li et
-al. NIPS'12 — 1 hash/shingle bucketed into k bins): OPH wins when
-set size >> k, but this corpus averages ~50-260 shingles against
-k=128 — most bins would be EMPTY and the estimate would ride on
-densification (Shrivastava ICML'17), i.e. extra machinery for a
-regime OPH isn't built for. Switch the signature builder to OPH +
-optimal densification only when typical |set| is several times
-n_hashes (long documents, larger k-shingles); the banding and
-verification stages are unchanged by that swap.
+Why k independent hashes are the DEFAULT and not one-permutation
+hashing (OPH, Li et al. NIPS'12 — 1 hash/shingle bucketed into k
+bins): OPH wins when set size >> k, but this corpus averages ~50-260
+shingles against k=128 — most bins would be EMPTY and the estimate
+would ride on densification (Shrivastava ICML'17), i.e. extra
+machinery for a regime OPH isn't built for. ``family="oph"``
+implements exactly that switch for the long-document regime (typical
+|set| several times n_hashes): one xxhash64 per shingle instead of
+128, pmod binning, per-bin min, and optimal densification (each
+empty bin borrows from an independently hash-chosen random non-empty
+bin — the Shrivastava'17 scheme, whose estimator variance matches
+fresh minwise hashes as |set|/k grows). The banding and verification
+stages are UNCHANGED by the swap; signature-accuracy parity on long
+docs is pinned in tests/test_dedup.py.
 
 The hash family is deterministic (fixed seeds), so results are stable
 across runs and cluster layouts. With J the true Jaccard,
@@ -69,7 +74,7 @@ def shingle_sets(
       the ENTIRE minhash+LSH pipeline becomes oracle-checkable.
     """
     n_part = docs.sparkSession.sparkContext.defaultParallelism
-    if family == "xxhash64":
+    if family in ("xxhash64", "oph"):  # oph shares the long-key sets
         hashed = F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
     elif family == "md5_km":
         hashed = F.transform(
@@ -174,6 +179,8 @@ def _signature_wide(
     if sets is None:
         sets = shingle_sets(docs, id_col, text_col, k, family=family)
     ex = sets.select("id", F.explode("sh").alias("h"))
+    if family == "oph":
+        return _oph_wide(ex, n_hashes, seed)
     if family == "md5_km":
         # hex -> (hi, lo) ONCE per exploded row, not once per
         # aggregate: 2 conv calls instead of 256
@@ -188,6 +195,80 @@ def _signature_wide(
         return ex.groupBy("id").agg(*aggs)
     return ex.groupBy("id").agg(
         *_signature_cols(n_hashes, seed, "h", family)
+    )
+
+
+def _oph_wide(ex: DataFrame, n_hashes: int, seed: int) -> DataFrame:
+    """One-permutation hashing + optimal densification signature
+    columns (id, _s0.._s{n-1}) from exploded hashed shingles ``ex``.
+
+    OPH (Li, Owen & Zhang, NIPS'12): ONE seeded rehash per shingle
+    (vs n_hashes in the independent family — the whole point for long
+    documents), binned by pmod into n_hashes bins, min per bin. The
+    per-(id, bin) min aggregate partially aggregates map-side, so the
+    shuffle carries ≤ n_hashes rows per doc regardless of shingle
+    count.
+
+    Empty bins take OPTIMAL densification (Shrivastava, ICML'17):
+    each empty bin i borrows the value of an INDEPENDENTLY chosen
+    random non-empty bin — selected here as
+    argmin_{j non-empty} xxhash64(i, j, seed), which picks a uniform
+    random non-empty donor per empty bin, deterministically. (The
+    older NIPS'14 rotation scheme reuses one donor direction for runs
+    of empty bins, correlating them; independent choices are what
+    restores fresh-minhash variance.) The densification lambdas are
+    interpreted per element, but only run per DOC (not per shingle),
+    and in the long-document regime OPH targets, empty bins are rare
+    (P[empty] = (1-1/k)^|set| ~ e^-8 at |set|=8k).
+
+    Estimator: P[sig_a[i] == sig_b[i]] -> J for J the true Jaccard;
+    accuracy parity vs the independent family on long docs is pinned
+    in tests/test_dedup.py. Banding/verification are unchanged —
+    buckets hash the same _s{i} longs."""
+    kb = F.lit(n_hashes).cast("long")
+    # one seeded rehash drives BOTH bin assignment and in-bin order
+    # (the "one permutation"); pmod keeps it non-negative
+    v = F.xxhash64("h", F.lit(seed))
+    binned = (
+        ex.select("id", v.alias("v"), F.pmod(v, kb).alias("bin"))
+        .groupBy("id", "bin")
+        .agg(F.min("v").alias("mh"))
+    )
+    packed = binned.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bin", "mh"))
+        ).alias("_m")
+    )
+    idx = F.sequence(F.lit(0).cast("long"), kb - 1)
+    vals = F.transform(idx, lambda i: F.element_at("_m", i))
+    packed = packed.select("id", vals.alias("_vals"))
+    nonempty = F.filter(idx, lambda j: F.get("_vals", j).isNotNull())
+    empty_cnt = F.lit(n_hashes) - F.size(nonempty)
+    donor = lambda i: F.get(  # noqa: E731
+        F.col("_vals"),
+        F.aggregate(
+            nonempty,
+            F.struct(
+                F.lit(2**63 - 1).alias("h"), F.lit(-1).cast("long").alias("j")
+            ),
+            lambda acc, j: F.when(
+                F.xxhash64(i, j, F.lit(seed)) < acc["h"],
+                F.struct(
+                    F.xxhash64(i, j, F.lit(seed)).alias("h"), j.alias("j")
+                ),
+            ).otherwise(acc),
+        )["j"],
+    )
+    dens = F.transform(
+        idx,
+        lambda i: F.coalesce(F.get("_vals", i), donor(i)),
+    )
+    # skip the densification expression entirely for docs with no
+    # empty bins — the common case in the long-doc regime
+    sig = F.when(empty_cnt == 0, F.col("_vals")).otherwise(dens)
+    packed = packed.select("id", sig.alias("_sig"))
+    return packed.select(
+        "id", *[F.get("_sig", i).alias(f"_s{i}") for i in range(n_hashes)]
     )
 
 

@@ -140,7 +140,86 @@ def test_minhash_deterministic(docs):
     assert a == b
 
 
-def test_minhash_md5_km_rejects_seed(docs):
+def test_oph_signature_accuracy_on_long_docs(spark):
+    """One-permutation hashing + optimal densification
+    (family='oph') in its target regime (|shingle set| ~ 1500 ≥
+    8·n_hashes): the per-pair Jaccard estimate from signature
+    agreement must be AT LEAST as accurate as the independent
+    128-hash family's, at 1/128th the per-shingle hash work.
+    Deterministic: fixed docs, fixed hash families."""
+    from cdc_2025_spark.dedup.minhash import minhash_signatures, shingle_sets
+
+    vocab = [f"w{i:04d}" for i in range(5000)]
+
+    def mkdoc(start: int, n: int) -> str:
+        return " ".join(vocab[(start + j) % 5000] for j in range(n))
+
+    n_words = 1500
+    rows, pairs, did = [], [], 0
+    for shift in (50, 150, 400, 700, 1000, 1300):
+        rows.append((did, mkdoc(0, n_words)))
+        rows.append((did + 1, mkdoc(shift, n_words)))
+        pairs.append((did, did + 1))
+        did += 2
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = shingle_sets(docs_df, "doc_id", "text", 5)
+    sh = {r["id"]: set(r["sh"]) for r in sets.collect()}
+    exact = {
+        p: len(sh[p[0]] & sh[p[1]]) / len(sh[p[0]] | sh[p[1]])
+        for p in pairs
+    }
+
+    def mean_err(family: str) -> float:
+        sig = {
+            r["id"]: r["signature"]
+            for r in minhash_signatures(docs_df, family=family).collect()
+        }
+        errs = [
+            abs(
+                sum(x == y for x, y in zip(sig[a], sig[b])) / 128
+                - exact[(a, b)]
+            )
+            for a, b in pairs
+        ]
+        return sum(errs) / len(errs)
+
+    e_ind, e_oph = mean_err("xxhash64"), mean_err("oph")
+    assert e_oph <= e_ind + 1e-9, (e_oph, e_ind)
+    assert e_oph < 0.05  # absolute sanity floor
+    # measured on these fixed docs: 0.0105 vs 0.0271 — keep a margin
+    # so hash-family tweaks that genuinely degrade accuracy fail here
+
+
+def test_oph_banding_and_verification_unchanged(docs):
+    """family='oph' slots into minhash_lsh_pairs with the banding and
+    exact-Jaccard verification stages untouched: output pairs are
+    exact-verified (precision 1.0 vs brute-force shingle Jaccard)."""
+    from itertools import combinations
+
+    from cdc_2025_spark.dedup.minhash import minhash_lsh_pairs, shingle_sets
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, family="oph").collect()
+    }
+    sets = {
+        r["id"]: set(r["sh"])
+        for r in shingle_sets(docs, "doc_id", "text", 5).collect()
+    }
+    truth = {}
+    for a, b in combinations(sorted(sets), 2):
+        u = len(sets[a] | sets[b])
+        if u:
+            j = len(sets[a] & sets[b]) / u
+            if j >= 0.5:
+                truth[(a, b)] = j
+    # exact verification: every reported pair is a true pair with the
+    # exact Jaccard value (LSH recall may drop pairs, never adds)
+    for pair, j in got.items():
+        assert pair in truth and abs(j - truth[pair]) < 1e-9, pair
+    # the corpus's near-dups are high-J, well above the 16x8 S-curve
+    # midpoint ~0.71 — OPH banding should find most of them
+    assert truth and len(got) / len(truth) >= 0.5
     """md5_km signatures are seed-free; a non-default seed must raise
     instead of silently returning identical output."""
     import pytest
