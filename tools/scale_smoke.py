@@ -188,10 +188,161 @@ def run_suite(spark, sf_dir: str) -> dict:
     return out
 
 
+def build_cdc_log(spark, n_keys: int, n_files: int) -> str:
+    """Deterministic CDC change log: every key gets I -> U(+1h), every
+    7th key a D(+2h), every 21st a re-I(+3h) — ~2.2 events/key, split
+    into ``n_files`` parquet files BY KEY RANGE so each microbatch
+    carries a disjoint slice (the append-ordered contract
+    apply_changes_scd2 states: a key's events never span batches out
+    of order — here they never span batches at all, the common
+    compacted-topic layout). _seq is the in-key event index."""
+    log_dir = os.path.join(os.path.dirname(SCALE_DIR), "cdc_log")
+    base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    keys = spark.range(n_keys).select(F.col("id").alias("k"))
+    evs = []
+    ins = keys.select(
+        "k", F.lit("I").alias("op"), F.lit(0).alias("_off"),
+        F.lit(0).cast("long").alias("_seq"),
+    )
+    upd = keys.select(
+        "k", F.lit("U").alias("op"), F.lit(1).alias("_off"),
+        F.lit(1).cast("long").alias("_seq"),
+    )
+    dele = keys.filter(F.col("k") % 7 == 0).select(
+        "k", F.lit("D").alias("op"), F.lit(2).alias("_off"),
+        F.lit(2).cast("long").alias("_seq"),
+    )
+    reins = keys.filter(F.col("k") % 21 == 0).select(
+        "k", F.lit("I").alias("op"), F.lit(3).alias("_off"),
+        F.lit(3).cast("long").alias("_seq"),
+    )
+    evs = ins.unionByName(upd).unionByName(dele).unionByName(reins)
+    changes = evs.select(
+        "k",
+        "op",
+        (base + F.make_interval(hours=F.col("_off"))
+         + F.make_interval(secs=(F.col("k") % 3600).cast("double"))
+         ).alias("op_ts"),
+        "_seq",
+        F.concat(F.lit("state-"), ((F.col("k") + F.col("_off")) % 5)
+                 .cast("string")).alias("state"),
+        (F.col("k") % 1000).cast("double").alias("score"),
+    )
+    for i in range(n_files):
+        changes.filter(F.pmod(F.col("k"), F.lit(n_files)) == i).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{log_dir}/part={i}")
+    return log_dir
+
+
+def run_cdc_leg(spark, n_keys: int = 50_000, n_files: int = 10) -> dict:
+    """Streaming SCD2 apply-changes at scale, with a crash/restart
+    mid-run: one microbatch per file, merger crash injected after the
+    middle batch's store swap but before its checkpoint commit, then
+    restart from the same checkpoint. Validates exactly-once (history
+    == one-shot scd2_history of the full log; no duplicate versions;
+    <= 1 open version per key) and records throughput."""
+    import shutil
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    from cdc_2025_spark.streaming.cdc import (
+        cdc_scd2_stream,
+        scd2_history,
+        scd2_merger,
+    )
+
+    log_dir = build_cdc_log(spark, n_keys, n_files)
+    work = os.path.join(os.path.dirname(SCALE_DIR), "cdc_work")
+    shutil.rmtree(work, ignore_errors=True)
+    hist_path = os.path.join(work, "scd2_history")
+    ckpt = os.path.join(work, "ckpt")
+    schema = StructType([
+        StructField("k", LongType()),
+        StructField("op", StringType()),
+        StructField("op_ts", TimestampType()),
+        StructField("_seq", LongType()),
+        StructField("state", StringType()),
+        StructField("score", DoubleType()),
+    ])
+
+    def make_stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{log_dir}/part=*")
+        )
+
+    inner = scd2_merger(hist_path, ["k"])
+    crash_at = n_files // 2
+    crashed = {"done": False}
+
+    def crashing_merge(batch, batch_id):
+        inner(batch, batch_id)
+        if batch_id == crash_at and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash after merge")
+
+    t0 = time.perf_counter()
+    stream = (
+        make_stream().writeStream.foreachBatch(crashing_merge)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    crash_seen = False
+    try:
+        stream.awaitTermination()
+    except Exception:
+        crash_seen = True
+    assert crash_seen, "injected crash did not surface"
+    # restart from the same checkpoint with the normal merger —
+    # the crashed batch REPLAYS against an already-merged store
+    stream = cdc_scd2_stream(
+        make_stream(), hist_path, ["k"], checkpoint_path=ckpt
+    )
+    stream.awaitTermination()
+    wall = round(time.perf_counter() - t0, 2)
+
+    hist = spark.read.parquet(hist_path)
+    full_log = spark.read.parquet(f"{log_dir}/part=*")
+    n_events = full_log.count()
+    want = scd2_history(full_log, ["k"], keep_seq=True)
+    # exactly-once: streamed history == one-shot history of the log
+    diff = (
+        hist.exceptAll(want).count() + want.exceptAll(hist).count()
+    )
+    dup_versions = (
+        hist.groupBy("k", "valid_from", "valid_from_seq")
+        .count().filter(F.col("count") > 1).count()
+    )
+    multi_open = (
+        hist.filter(F.col("is_current"))
+        .groupBy("k").count().filter(F.col("count") > 1).count()
+    )
+    assert diff == 0, f"streamed vs one-shot history differs: {diff}"
+    assert dup_versions == 0 and multi_open == 0
+    return {
+        "n_events": n_events,
+        "n_versions": hist.count(),
+        "open_versions": hist.filter(F.col("is_current")).count(),
+        "wall_sec": wall,
+        "events_per_sec": round(n_events / wall),
+        "replay_diff_rows": diff,
+        "dup_versions": dup_versions,
+        "multi_open_keys": multi_open,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--only-cdc", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark(
@@ -202,6 +353,14 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if args.only_cdc:
+        cdc = run_cdc_leg(spark)
+        print("\n## Scale smoke: streaming SCD2/CDC leg, local[32]\n")
+        for k, v in cdc.items():
+            print(f"- {k}: {v}")
+        print(f"stage metrics: {stage_metrics(spark)}")
+        spark.stop()
+        return
     if not args.skip_build:
         build_corpus(spark, args.replicas)
 
@@ -240,6 +399,11 @@ def main() -> None:
     print(f"\nwall: sf0.1 suite {t_base}s, sf1 suite {t_scaled}s")
     print(f"sf0.1 stage metrics: {base_metrics}")
     print(f"sf1 stage metrics (delta): {scaled_metrics}")
+
+    cdc = run_cdc_leg(spark)
+    print("\n## Streaming SCD2/CDC leg (crash + restart mid-run)\n")
+    for k, v in cdc.items():
+        print(f"- {k}: {v}")
     spark.stop()
 
 
