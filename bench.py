@@ -62,6 +62,14 @@ HEADLINE = [
     "decontam_embedding_crosssplit",
     "sql_api_lateral_explode",
     "window_ntile_spend_quartiles",
+    # round-6: the previously-unbenched heavies (every expensive
+    # registered plan gets a tracked wall time), incl. the new
+    # LSH-edged near-dup scale path beside its exact audit twin
+    "dedup_embedding_neardup",
+    "dedup_embedding_neardup_lsh",
+    "text_decontamination_overlap",
+    "text_pack_sequences",
+    "multimodal_feature_rollup",
 ]
 
 

@@ -37,61 +37,33 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
     windows2,
 )
 
-# Round-5 window (the driver oracle-checks the FIRST 50 registry
+# Round-6 window (the driver oracle-checks the FIRST 50 registry
 # entries per round, insertion order). Composition:
 #
-#   1. Queries materially CHANGED in round 5, which must re-check
-#      despite a previous green row: the three NTZ-timestamp fixes
-#      (regenerated testdata reads ts as TIMESTAMP_NTZ), the
-#      bin-bucketed range-join rewrite, the md5-simhash variant whose
-#      new DuckDB oracle upgrades it from rows-only to hash-matched,
-#      and the multimodal rollup's new image_png row (rows-only).
-#   2. The 8 r2-green queries round 4 deferred (oldest evidence).
-#   3. The round-3-green block (rotated out during round 4), in
-#      stable order, to fill the window.
-#
-# Everything checked green in round 4 rotates to the back; the tail
-# of the r3 block that doesn't fit forms the natural round-6 front.
-_CHANGED_R5 = [
-    "text_tfidf_top_terms",       # NEW in r5: never driver-checked
-    "sql_api_lateral_explode",    # NEW in r5: never driver-checked
-    "window_ntile_spend_quartiles",  # NEW in r5: never driver-checked
-    "decontam_embedding_crosssplit",  # NEW in r5: never driver-checked
-    "dedup_simhash_pairs",        # rows-only -> md5 bit source + full oracle
-    "dedup_minhash_lsh_pairs",    # rows-only -> md5_km family + full oracle
-    "sim_lsh_bucketed_pairs",     # rows-only -> literal-hyperplane oracle
-    "range_join_event_windows",   # BNLJ -> bin-bucketed broadcast hash join
-    "interevent_timing_stats",    # NTZ fix: ts cast through timestamp_ltz
-    "window_event_gaps",          # NTZ fix
-    "window_sessionize_events",   # NTZ fix
-    "multimodal_feature_rollup",  # gained image_png decode rows in r5
+#   1. Queries materially CHANGED in round 6, which must (re)check
+#      despite a previous green row: the new LSH-edged near-dup
+#      decision table, the budget-derived audit-sample rewrite (same
+#      output at sf0.01, new in-plan pct arithmetic + oracle), the
+#      decontam oracle's zero-norm guard, the interval join's
+#      inverted-interval filter, and the rollup's new image_jpeg row.
+#   2. The 17 queries whose newest green is round 3 — the r5 window's
+#      natural tail (entries 31-47 of the old r3 block). After these
+#      check in r6, no registered query's newest CORRECTNESS row is
+#      older than round 4.
+#   3. The oldest r4-green queries, in their r4 order, filling the
+#      window: 5 + 17 + 28 = 50 (the window cuts inside _R4_GREEN at
+#      q15_top_supplier). The remaining 14 r4-green entries plus the
+#      r5-green block lead round 7.
+_CHANGED_R6 = [
+    "dedup_embedding_neardup_lsh",   # NEW in r6: never driver-checked
+    "sim_pairs_above_threshold",     # fixed pct -> budget-derived pct
+    "decontam_embedding_crosssplit",  # oracle zero-norm guard
+    "range_join_event_windows",      # inverted-interval guard in plan
+    "multimodal_feature_rollup",     # gained image_jpeg decode row
 ]
 
-_DEFERRED_FROM_R4 = [
-    "q16_supplier_count_by_parttype", "window_cumulative_distribution",
-    "window_mom_revenue_change", "window_trailing7d_customer_spend",
-    "timeseries_gap_fill", "stats_robust_outliers", "text_top_terms",
-    "events_user_type_entropy",
-]
-
-# Most recent green row is round 3 (CORRECTNESS_r03.json); the first
-# 36 fill the 50-slot window, the rest lead round 6.
-_R3_GREEN = [
-    "stats_approx_percentiles", "text_fingerprints",
-    "dedup_ngram_jaccard_pairs", "dedup_jaccard_clusters",
-    "stats_corr_price_quantity", "stats_percentiles_order_value",
-    "sample_stratified_by_segment", "sketch_hll_weekly_users",
-    "window_ranking_variants", "window_first_last_order",
-    "subquery_correlated_max_order", "subquery_in_top_nations",
-    "sample_hash_deterministic", "histogram_order_values",
-    "q10_returned_items", "q2ish_min_cost_supplier",
-    "sql_api_grouping_sets", "array_norm_stats_by_label",
-    "array_dimension_profile", "string_close_part_names",
-    "funnel_signup_purchase", "cohort_daily_retention",
-    "dedup_exact_vocab_groups", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_regional_volume",
-    "join_outer_customer_orders", "join_semi_customers_with_purchases",
-    "join_anti_customers_without_orders", "agg_rollup_nation_segment",
+# newest green is round 3 (CORRECTNESS_r03.json) — front of the line
+_R3_TAIL = [
     "agg_cube_status_priority", "agg_distinct_users_per_type",
     "agg_approx_distinct_users", "setop_nations_customers_vs_suppliers",
     "setop_except_nations", "setop_union_all_keys",
@@ -103,10 +75,33 @@ _R3_GREEN = [
     "dedup_embedding_neardup",
 ]
 
+# newest green is round 4; first 28 (r4 check order) fill the window
+_R4_GREEN = [
+    "text_repetition_scores", "text_doc_entropy", "text_pii_scrub",
+    "llm_corpus_prep", "cdc_scd2_user_state_history",
+    "cdc_scd2_state_asof", "sample_train_val_test_split",
+    "sample_domain_mixture_weights", "dedup_repeated_spans",
+    "sim_ivf_topk", "stats_moments_by_segment",
+    "agg_order_array_per_customer", "dedup_prefix_jaccard_pairs",
+    "dedup_incremental_new_docs", "text_decontamination_overlap",
+    "sample_weighted_by_tokens", "text_pack_sequences",
+    "sim_kmeans_cell_profile", "text_token_stats",
+    "text_quality_scores", "text_lang_id_confusion",
+    "text_punct_and_bpe", "q4_order_priority", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share", "q14_promo_revenue",
+    "q15_top_supplier", "q18_large_orders", "q19_bracketed_revenue",
+    "q9_product_profit", "q20_promo_heavy_suppliers",
+    "q21_sole_late_suppliers", "q11ish_part_value_share",
+    "q13_customer_order_distribution", "q17_small_quantity_revenue",
+    "q22_dormant_rich_customers", "skewjoin_salted_event_types",
+    "window_top3_orders_per_customer", "window_running_spend",
+    "asof_last_signup_before_purchase", "q12_priority_by_linestatus",
+]
+
 _VERIFY_FIRST = [
-    *_CHANGED_R5,
-    *_DEFERRED_FROM_R4,
-    *_R3_GREEN,
+    *_CHANGED_R6,
+    *_R3_TAIL,
+    *_R4_GREEN,
 ]
 
 
