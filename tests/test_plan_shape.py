@@ -51,6 +51,40 @@ def test_range_join_plans_binned_hash_join(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_neardup_lsh_plan_has_no_cross_product(spark, sf_dir):
+    """The round-6 point: the registered embedding near-dup SCALE path
+    must contain no cartesian/nested-loop join anywhere (its edges
+    come from the banded LSH equi-join), while the exact audit twin
+    is cross-product-by-design — both pinned so a regression in
+    either direction is loud."""
+    from cdc_2025_spark.queries.similarity import lsh_pairs
+
+    p = plan_string(lsh_pairs(spark, sf_dir, threshold=0.42))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the candidate generation is an equi-join on (band, bucket)
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or (
+        "BroadcastHashJoin" in p
+    )
+    # audit twin: the exact form IS the cross product (that is its job)
+    from cdc_2025_spark.functions.embeddings import cosine
+    from cdc_2025_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
+    exact_pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine("emb_a", "emb_b") >= 0.42)
+    )
+    pe = plan_string(exact_pairs)
+    assert "CartesianProduct" in pe or "BroadcastNestedLoopJoin" in pe
+
+
 def test_binned_interval_join_matches_nested_loop(spark, sf_dir):
     """Exactness of the bin-bucketed range join: identical rows to the
     naive broadcast-nested-loop formulation on the same inputs,
@@ -129,11 +163,14 @@ def test_pack_sequences_window_is_bucketed(spark, sf_dir):
 
 
 def test_sim_pairs_sample_gate_reaches_scan(spark, sf_dir):
-    """The 25% md5-bucket gate must filter BEFORE the self-join fans
-    out (it rides the scan-side projection, not post-join)."""
+    """The budget-derived md5-bucket gate must filter BEFORE the pair
+    self-join fans out. Since round 6 the pct is computed in-plan
+    (LEAST(cap, 100·√B / n) against a broadcast 1-row count), so the
+    gate shows up as the condition of each side's tiny count join —
+    both pair-join inputs must carry it below the fan-out."""
     p = plan_of(spark, sf_dir, "sim_pairs_above_threshold")
-    # both join inputs carry the bucket filter below the join
-    assert p.count("% 100) < 25") >= 2
+    assert p.count("least(25.0, (12500.0") >= 2
+    assert p.count("% 100) as double) < least") >= 2
 
 
 @pytest.mark.parametrize(
