@@ -177,12 +177,30 @@ def _pairs_above_threshold(
         )
     elif sample_pct < 100:
         emb = emb.filter(_sample_bucket() < sample_pct)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
+    # norms hoisted per vector (bit-identical to inline cosine();
+    # see the LSH re-rank note below) — the audit pair join is the
+    # one place a per-pair re-fold would still be quadratic work
+    from cdc_2025_spark.functions.embeddings import dot, norm
+
+    embn = emb.withColumn("nrm", norm("emb"))
+    a = embn.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = embn.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = F.when(
+        (F.col("nrm_a") > 0) & (F.col("nrm_b") > 0),
+        dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine("emb_a", "emb_b"))
+        .withColumn("cos", cos)
         .filter(F.col("cos") >= PAIR_THRESHOLD)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
     )
