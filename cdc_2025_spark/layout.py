@@ -128,3 +128,64 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    zorder_cols: list[str] | None = None,
+    bits: int = Z_BITS,
+) -> dict:
+    """Small-file compaction for a parquet table — the maintenance
+    operator every streaming sink needs (per-microbatch writers and
+    CDC mergers shed thousands of tiny files; each costs a task +
+    footer read at scan time and defeats row-group pruning). The
+    lake-format analog is Delta ``OPTIMIZE`` / Iceberg
+    ``rewrite_data_files``; this is the plain-parquet form.
+
+    Rewrites the table into ``ceil(total_bytes / target_file_mb)``
+    files — sized from the CURRENT compressed footprint, so output
+    files land near the target regardless of input skew. With
+    ``zorder_cols`` the rewrite simultaneously lays files out in
+    Morton order (write_zordered), making compaction the natural
+    place to restore clustering that per-batch appends destroyed.
+
+    Crash-safe via the same rename-aside swap contract as the CDC
+    snapshot store (streaming/cdc.py _swap_store/_recover_store): the
+    new layout is fully written beside the live table and swapped in
+    with renames, so a crash at any point leaves the old or the new
+    table intact — never a partial mix. A leftover ``.old`` backup
+    from a previous crash is recovered first. (On an object store
+    without atomic rename, use the table format's ACID rewrite
+    instead — that is exactly what the formats exist for.)
+
+    Returns ``{"files_before", "files_after", "total_mb"}``.
+    """
+    from cdc_2025_spark.streaming.cdc import _recover_store, _swap_store
+
+    _recover_store(path)
+    df = spark.read.parquet(path)
+    files_before = len(df.inputFiles())
+    # compressed footprint via the Hadoop FS API (portable across
+    # local/HDFS-style filesystems, unlike os.walk)
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    tmp = path + ".compact-tmp"
+    if zorder_cols:
+        write_zordered(df, tmp, zorder_cols, n_files=int(n_files), bits=bits)
+    else:
+        # repartition (round-robin), not coalesce: coalesce glues
+        # existing tiny partitions without rebalancing, reproducing
+        # the input skew in fewer, uneven files
+        df.repartition(int(n_files)).write.mode("overwrite").parquet(tmp)
+    _swap_store(path, tmp)
+    out = spark.read.parquet(path)
+    return {
+        "files_before": files_before,
+        "files_after": len(out.inputFiles()),
+        "total_mb": round(total_bytes / 1024 / 1024, 2),
+    }

@@ -153,3 +153,99 @@ def test_zorder_write_with_date_column(spark, sf_dir, tmpdir):
     assert sum(spans) / len(spans) < 0.55 * global_span
     back = spark.read.parquet(out)
     assert back.count() == orders.count()
+
+
+def test_compact_table_merges_small_files(spark, sf_dir, tmpdir):
+    """Compaction: a 64-tiny-file table collapses to the byte-sized
+    target file count with identical data, and the stats dict reports
+    the before/after truthfully."""
+    from cdc_2025_spark.io import read_table
+    from cdc_2025_spark.layout import compact_table
+
+    path = str(tmpdir.join("events_smallfiles"))
+    events = read_table(spark, sf_dir, "events")
+    events.repartition(64).write.parquet(path)
+    before = spark.read.parquet(path)
+    # materialize BEFORE compacting — the swap deletes these files
+    want = sorted(map(tuple, before.collect()), key=str)
+    n_files_in = len(before.inputFiles())
+    assert n_files_in >= 64
+
+    stats = compact_table(spark, path, target_file_mb=128)
+    after = spark.read.parquet(path)
+    assert stats["files_before"] == n_files_in
+    # sf0.001 events is well under 128 MB -> exactly one output file
+    assert stats["files_after"] == len(after.inputFiles()) == 1
+    got = sorted(map(tuple, after.collect()), key=str)
+    assert got == want
+
+
+def test_compact_table_with_zorder_restores_clustering(
+    spark, sf_dir, tmpdir
+):
+    """Compaction with zorder_cols re-clusters while merging: output
+    files' per-file min-max on the leading key must be tighter than
+    the global span (appends destroyed clustering; compaction is
+    where it comes back)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from cdc_2025_spark.layout import compact_table
+
+    path = str(tmpdir.join("events_z_compact"))
+    # generated frame, incompressible payload, big enough that a 1 MB
+    # target forces a multi-file layout (the sf0.001 tables are tiny)
+    events = spark.range(300_000).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64("id"), F.lit(500)).alias("user_id"),
+        F.xxhash64("id", F.lit(7)).alias("payload"),
+    )
+    # simulate many unclustered appends
+    events.repartition(32).write.parquet(path)
+    compact_table(
+        spark, path, target_file_mb=1, zorder_cols=["user_id", "event_id"]
+    )
+    files = sorted(_glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) >= 2  # 1 MB target forces a multi-file layout
+    spans, gmin, gmax = [], None, None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for i in range(row.num_columns):
+                col = row.column(i)
+                if col.path_in_schema == "user_id" and col.statistics:
+                    st = col.statistics
+                    spans.append(st.max - st.min)
+                    gmin = st.min if gmin is None else min(gmin, st.min)
+                    gmax = st.max if gmax is None else max(gmax, st.max)
+    assert spans and (gmax - gmin) > 0
+    assert sum(spans) / len(spans) < 0.75 * (gmax - gmin)
+    back = spark.read.parquet(path)
+    assert back.count() == events.count()
+
+
+def test_compact_table_recovers_crashed_swap(spark, sf_dir, tmpdir):
+    """A .old backup left by a crash inside the previous compaction's
+    rename window must be recovered before the new rewrite — the same
+    contract the CDC snapshot store pins."""
+    import os
+    import shutil
+
+    from cdc_2025_spark.io import read_table
+    from cdc_2025_spark.layout import compact_table
+
+    path = str(tmpdir.join("crashy"))
+    nation = read_table(spark, sf_dir, "nation")
+    nation.repartition(4).write.parquet(path)
+    n = nation.count()
+    # crash state: live renamed aside, new never landed
+    os.rename(path, path + ".old")
+    assert not os.path.exists(path)
+    stats = compact_table(spark, path, target_file_mb=64)
+    assert stats["files_after"] == 1
+    back = spark.read.parquet(path)
+    assert back.count() == n
+    assert not os.path.exists(path + ".old")
+    shutil.rmtree(path)
