@@ -356,6 +356,34 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+@query("dedup_minhash_oph_pairs")
+def dedup_minhash_oph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash_lsh_pairs with the one-permutation-hashing
+    signature family (dedup/minhash.py family="oph": a single
+    xxhash64 per shingle bucketed into 128 bins, empty bins filled by
+    optimal rotation densification, Shrivastava ICML'17) — the
+    long-document scale path: 1 hash per shingle instead of 128 (or
+    the md5_km family's 2 md5 halves + 128 affine combinations).
+
+    Registered rows-only by design: the oph signature derives from
+    xxhash64, which has no DuckDB twin, so the candidate set cannot be
+    oracle-mirrored (the md5_km registration above is the
+    hash-matched one). Correctness is pinned instead by (a) the
+    exact-Jaccard verification stage every candidate passes (precision
+    1.0 by construction — identical banding + verify code to the
+    registered md5_km query, only the signature family swaps), and
+    (b) tests/test_dedup.py pinning oph signature accuracy >= the
+    independent 128-hash family's on long docs plus recall on the
+    fixture corpus. Exact duplicates (J=1) collide in every band
+    under any family, so the documents table's seeded dup groups
+    guarantee non-empty output."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(
+        docs, k=JACCARD_K, threshold=JACCARD_THRESHOLD, family="oph"
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def _simhash_oracle(max_distance: int) -> str:
     """DuckDB SQL mirroring the FULL md5-simhash pipeline: tokenize,
     64-bit token hash from the first 16 md5 hex chars (two 8-hex

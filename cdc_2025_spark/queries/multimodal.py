@@ -22,6 +22,12 @@ from cdc_2025_spark.multimodal.media import (
 )
 from cdc_2025_spark.queries.registry import query
 
+# media_id offsets that keep the three real-container frames' ids
+# disjoint inside the kind-tagged union (each make_real_media call
+# numbers its rows from 0)
+_PNG_BAND = 1000
+_JPEG_BAND = 2000
+
 
 @query("multimodal_feature_rollup")
 def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,10 +50,18 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is unused: media rows are generated, not read, since the testdata
     lake has no media table.
     """
-    images = make_synthetic_media(spark, n=64, kind="image")
-    audio = make_synthetic_media(spark, n=32, kind="audio")
-    video = make_synthetic_media(spark, n=16, kind="video")
-    real = make_real_media(spark, n_images=8, n_audio=8)
+    # coalesce(2): createDataFrame spreads these few-dozen-row local
+    # frames over defaultParallelism partitions, so every mapInPandas
+    # branch otherwise launches 32 (mostly empty) Python-worker tasks
+    # — at 6 branches that is the rollup's measured fixed cost, not
+    # the kernels (<0.1 s of decode). Two partitions keep a branch
+    # pair of workers busy while preserving cross-branch concurrency.
+    # At real corpus sizes the inputs arrive pre-partitioned and no
+    # coalesce applies.
+    images = make_synthetic_media(spark, n=64, kind="image").coalesce(2)
+    audio = make_synthetic_media(spark, n=32, kind="audio").coalesce(2)
+    video = make_synthetic_media(spark, n=16, kind="video").coalesce(2)
+    real = make_real_media(spark, n_images=8, n_audio=8).coalesce(2)
     real_png = make_real_media(spark, n_images=0, n_audio=0, n_png=8)
     real_jpeg = make_real_media(spark, n_images=0, n_audio=0, n_jpeg=8)
 
@@ -69,30 +83,49 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("frame_idx"), 4).alias("avg_metric"),
         F.count_distinct("frame_sha256").cast("double").alias("max_metric"),
     )
-    # real-kernel paths: BMP mean-gray spread and WAV sine RMS are
-    # closed-form checkable (test_multimodal.py pins both)
-    bmp = extract_image_features(real).agg(
-        F.lit("image_bmp").alias("kind"),
-        F.count("*").alias("n_rows"),
-        F.round(F.avg(F.element_at("features", 6)), 4).alias("avg_metric"),
-        F.round(F.max(F.element_at("features", 8)), 4).alias("max_metric"),
+    # real-kernel container paths (BMP / PNG / baseline JPEG): the
+    # decode kernel dispatches per-row on magic bytes, and all three
+    # rows aggregate the SAME feature indices (gray-std avg, gray-max
+    # max — closed-form checkable, and JPEG tolerance-close to BMP
+    # over the same patterns; both pinned in test_multimodal.py), so
+    # the three per-container branches fold into ONE kind-tagged
+    # union -> ONE mapInPandas stage -> groupBy(kind): 2 fewer
+    # Python-worker stage setups, the rollup's measured fixed cost.
+    # Tag by disjoint media_id bands (each make_real_media call
+    # numbers from 0, so ids collide across calls).
+    containers = (
+        real.filter(F.col("kind") == "image")
+        .unionByName(
+            real_png.withColumn("media_id", F.col("media_id") + _PNG_BAND)
+        )
+        .unionByName(
+            real_jpeg.withColumn("media_id", F.col("media_id") + _JPEG_BAND)
+        )
+        # one row per task: the pure-Python baseline-JPEG entropy
+        # decode is seconds-per-image (the documented slow path), so
+        # the 24 container payloads must keep per-IMAGE parallelism —
+        # coalescing this union was measured to serialize the JPEGs
+        # onto one straggler task (~5 s slower). 24 tasks, not the
+        # union's raw 96 mostly-empty ones.
+        .repartition(24)
     )
-    png = extract_image_features(real_png).agg(
-        F.lit("image_png").alias("kind"),
-        F.count("*").alias("n_rows"),
-        F.round(F.avg(F.element_at("features", 6)), 4).alias("avg_metric"),
-        F.round(F.max(F.element_at("features", 8)), 4).alias("max_metric"),
-    )
-    # baseline JPEG kernel (multimodal/jpeg.py: Huffman entropy decode
-    # + dequant + IDCT, alternating 4:4:4 / 4:2:0): same pixel
-    # patterns as image_bmp, so its metrics sit tolerance-close to
-    # that row's (DCT quantization is lossy; parity pinned in
-    # test_multimodal.py, determinism makes the driver hash stable)
-    jpeg = extract_image_features(real_jpeg).agg(
-        F.lit("image_jpeg").alias("kind"),
-        F.count("*").alias("n_rows"),
-        F.round(F.avg(F.element_at("features", 6)), 4).alias("avg_metric"),
-        F.round(F.max(F.element_at("features", 8)), 4).alias("max_metric"),
+    per_container = (
+        extract_image_features(containers)
+        .groupBy(
+            F.when(F.col("media_id") >= _JPEG_BAND, "image_jpeg")
+            .when(F.col("media_id") >= _PNG_BAND, "image_png")
+            .otherwise("image_bmp")
+            .alias("kind")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.avg(F.element_at("features", 6)), 4).alias(
+                "avg_metric"
+            ),
+            F.round(F.max(F.element_at("features", 8)), 4).alias(
+                "max_metric"
+            ),
+        )
     )
     # resize stage: decode -> nearest-neighbor 16x12 -> re-encode ->
     # re-decode via the feature kernel; avg_metric is the mean width
@@ -112,9 +145,7 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         img.unionByName(aud)
         .unionByName(vid)
-        .unionByName(bmp)
-        .unionByName(png)
-        .unionByName(jpeg)
+        .unionByName(per_container)
         .unionByName(resized)
         .unionByName(wav)
     )

@@ -693,3 +693,30 @@ def lsh_pairs_auto(
     return lsh_pairs(
         spark, sf_dir, threshold, n_planes=n_planes, n_bands=n_bands
     )
+
+
+SIM_LSH_AUTO_RECALL = 0.9
+
+
+@query("sim_lsh_auto_pairs")
+def sim_lsh_auto_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_lsh_bucketed_pairs with the geometry DERIVED instead of
+    pinned: lsh_auto_geometry states (corpus_count, threshold=0.4,
+    recall_at=0.9) and gets (n_planes, n_bands) — the production
+    sizing path a 100 TB deployment uses instead of hand-tuning the
+    16/4 the fixed-geometry query registers.
+
+    Registered rows-only by design: the geometry (and with it the
+    candidate set) is a function of the corpus count, so there is no
+    fixed-literal hyperplane oracle to mirror — correctness is pinned
+    instead by (a) the exact-cosine verification stage every candidate
+    passes (precision 1.0 by construction, same re-rank as lsh_pairs),
+    (b) test_similarity.py reproducing both measured smoke-geometry
+    configs through lsh_auto_geometry, and (c) a fixture test that at
+    a parameterization deriving exactly 16/4 the output equals
+    sim_lsh_bucketed_pairs row for row. The corpus count is one
+    metadata-only parquet count at plan construction (deployments
+    pass the known count — see lsh_pairs_auto)."""
+    return lsh_pairs_auto(
+        spark, sf_dir, threshold=PAIR_THRESHOLD, recall_at=SIM_LSH_AUTO_RECALL
+    )

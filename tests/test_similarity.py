@@ -96,6 +96,56 @@ def test_lsh_auto_geometry_matches_measured_configs():
         lsh_auto_geometry(1000, threshold=1.0, recall_at=0.5)
 
 
+def test_lsh_pairs_auto_wiring_equals_fixed_geometry(spark, sf_dir):
+    """The registered auto-geometry path (sim_lsh_auto_pairs ->
+    lsh_pairs_auto -> lsh_pairs) must be the SAME plan as the
+    fixed-geometry registered query whenever the derivation lands on
+    16/4: at (threshold=0.4, recall_at=0.45, target_bucket=32) on the
+    500-vector fixture corpus lsh_auto_geometry returns exactly
+    (16, 4), and the pair output matches sim_lsh_bucketed_pairs row
+    for row — pinning that the auto path changes only the knobs,
+    never the candidate/verify machinery."""
+    from cdc_2025_spark.queries.similarity import (
+        PAIR_THRESHOLD,
+        lsh_auto_geometry,
+        lsh_pairs_auto,
+        sim_lsh_auto_pairs,
+        sim_lsh_bucketed_pairs,
+    )
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert n == 500
+    assert lsh_auto_geometry(
+        n, PAIR_THRESHOLD, recall_at=0.45, target_bucket=32
+    ) == (16, 4)
+    auto = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in lsh_pairs_auto(
+            spark,
+            sf_dir,
+            threshold=PAIR_THRESHOLD,
+            recall_at=0.45,
+            target_bucket=32,
+        ).collect()
+    }
+    fixed = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in sim_lsh_bucketed_pairs(spark, sf_dir).collect()
+    }
+    assert auto == fixed and fixed
+    # the registered default (recall_at=0.9 -> 2-bit buckets, 5 bands
+    # at this corpus size) runs the same exact-verify stage, so every
+    # reported pair is a true >= threshold pair; assert it finds the
+    # corpus's near-dups (non-empty) without pinning the candidate set
+    reg = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in sim_lsh_auto_pairs(spark, sf_dir).collect()
+    }
+    assert reg
+    for pair, c in reg.items():
+        assert c >= PAIR_THRESHOLD, pair
+
+
 def test_audit_sample_pct_is_budget_bounded():
     """pct = min(25, 100·√B/n): fixed at the cap on small corpora
     (sf0.01's 500 vectors keep the former 25 exactly, preserving the
