@@ -37,71 +37,72 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
     windows2,
 )
 
-# Round-6 window (the driver oracle-checks the FIRST 50 registry
+# Round-7 window (the driver oracle-checks the FIRST 50 registry
 # entries per round, insertion order). Composition:
 #
-#   1. Queries materially CHANGED in round 6, which must (re)check
-#      despite a previous green row: the new LSH-edged near-dup
-#      decision table, the budget-derived audit-sample rewrite (same
-#      output at sf0.01, new in-plan pct arithmetic + oracle), the
-#      decontam oracle's zero-norm guard, the interval join's
-#      inverted-interval filter, and the rollup's new image_jpeg row.
-#   2. The 17 queries whose newest green is round 3 — the r5 window's
-#      natural tail (entries 31-47 of the old r3 block). After these
-#      check in r6, no registered query's newest CORRECTNESS row is
-#      older than round 4.
-#   3. The oldest r4-green queries, in their r4 order, filling the
-#      window: 5 + 17 + 28 = 50 (the window cuts inside _R4_GREEN at
-#      q15_top_supplier). The remaining 14 r4-green entries plus the
-#      r5-green block lead round 7.
-_CHANGED_R6 = [
-    "dedup_embedding_neardup_lsh",   # NEW in r6: never driver-checked
-    "sim_pairs_above_threshold",     # fixed pct -> budget-derived pct
-    "decontam_embedding_crosssplit",  # oracle zero-norm guard
-    "range_join_event_windows",      # inverted-interval guard in plan
-    "multimodal_feature_rollup",     # gained image_jpeg decode row
+#   1. Queries materially CHANGED in round 7, which must (re)check
+#      despite a previous green row: the exact near-dup twin (pair
+#      source now gated by the budget-derived sample, oracle's e CTE
+#      mirrors it), the two new rows-only registrations
+#      (auto-geometry LSH, OPH minhash), and the rollup's
+#      consolidated container pass.
+#   2. The 14 queries whose newest green is round 4 — the r6 window's
+#      natural tail of _R4_GREEN.
+#   3. The oldest r5-green queries, in their r5 check order, filling
+#      the window: 4 + 14 + 32 = 50 (cuts inside _R5_GREEN at
+#      q10_returned_items). The remaining 15 r5-green entries lead
+#      round 8 — their newest green (r5) is exactly 2 rounds old at
+#      r7, the freshness bound test_registry_freshness.py enforces.
+_CHANGED_R7 = [
+    "dedup_embedding_neardup",       # budget gate + oracle e CTE
+    "sim_lsh_auto_pairs",            # NEW in r7: never driver-checked
+    "dedup_minhash_oph_pairs",       # NEW in r7: never driver-checked
+    "multimodal_feature_rollup",     # container branches consolidated
 ]
 
-# newest green is round 3 (CORRECTNESS_r03.json) — front of the line
-_R3_TAIL = [
-    "agg_cube_status_priority", "agg_distinct_users_per_type",
-    "agg_approx_distinct_users", "setop_nations_customers_vs_suppliers",
-    "setop_except_nations", "setop_union_all_keys",
-    "pivot_user_event_matrix", "unpivot_lineitem_measures",
-    "scalar_dates_monthly_revenue", "scalar_strings_part_brands",
-    "scalar_json_props_extract", "topk_customers_by_spend",
-    "resilience_nation_revenue", "shock_sim_nation_revenue",
-    "forecast_nation_revenue", "sim_topk_bruteforce",
-    "dedup_embedding_neardup",
+# newest green is round 4 (CORRECTNESS_r04.json) — front of the line
+_R4_TAIL = [
+    "q18_large_orders", "q19_bracketed_revenue", "q9_product_profit",
+    "q20_promo_heavy_suppliers", "q21_sole_late_suppliers",
+    "q11ish_part_value_share", "q13_customer_order_distribution",
+    "q17_small_quantity_revenue", "q22_dormant_rich_customers",
+    "skewjoin_salted_event_types", "window_top3_orders_per_customer",
+    "window_running_spend", "asof_last_signup_before_purchase",
+    "q12_priority_by_linestatus",
 ]
 
-# newest green is round 4; first 28 (r4 check order) fill the window
-_R4_GREEN = [
-    "text_repetition_scores", "text_doc_entropy", "text_pii_scrub",
-    "llm_corpus_prep", "cdc_scd2_user_state_history",
-    "cdc_scd2_state_asof", "sample_train_val_test_split",
-    "sample_domain_mixture_weights", "dedup_repeated_spans",
-    "sim_ivf_topk", "stats_moments_by_segment",
-    "agg_order_array_per_customer", "dedup_prefix_jaccard_pairs",
-    "dedup_incremental_new_docs", "text_decontamination_overlap",
-    "sample_weighted_by_tokens", "text_pack_sequences",
-    "sim_kmeans_cell_profile", "text_token_stats",
-    "text_quality_scores", "text_lang_id_confusion",
-    "text_punct_and_bpe", "q4_order_priority", "q6_forecast_revenue",
-    "q7_nation_volume", "q8_market_share", "q14_promo_revenue",
-    "q15_top_supplier", "q18_large_orders", "q19_bracketed_revenue",
-    "q9_product_profit", "q20_promo_heavy_suppliers",
-    "q21_sole_late_suppliers", "q11ish_part_value_share",
-    "q13_customer_order_distribution", "q17_small_quantity_revenue",
-    "q22_dormant_rich_customers", "skewjoin_salted_event_types",
-    "window_top3_orders_per_customer", "window_running_spend",
-    "asof_last_signup_before_purchase", "q12_priority_by_linestatus",
+# newest green is round 5; first 32 (r5 check order) fill the window
+_R5_GREEN = [
+    "text_tfidf_top_terms", "sql_api_lateral_explode",
+    "window_ntile_spend_quartiles", "dedup_simhash_pairs",
+    "dedup_minhash_lsh_pairs", "sim_lsh_bucketed_pairs",
+    "interevent_timing_stats", "window_event_gaps",
+    "window_sessionize_events", "q16_supplier_count_by_parttype",
+    "window_cumulative_distribution", "window_mom_revenue_change",
+    "window_trailing7d_customer_spend", "timeseries_gap_fill",
+    "stats_robust_outliers", "text_top_terms",
+    "events_user_type_entropy", "stats_approx_percentiles",
+    "text_fingerprints", "dedup_ngram_jaccard_pairs",
+    "dedup_jaccard_clusters", "stats_corr_price_quantity",
+    "stats_percentiles_order_value", "sample_stratified_by_segment",
+    "sketch_hll_weekly_users", "window_ranking_variants",
+    "window_first_last_order", "subquery_correlated_max_order",
+    "subquery_in_top_nations", "sample_hash_deterministic",
+    "histogram_order_values", "q10_returned_items",
+    "q2ish_min_cost_supplier", "sql_api_grouping_sets",
+    "array_norm_stats_by_label", "array_dimension_profile",
+    "string_close_part_names", "funnel_signup_purchase",
+    "cohort_daily_retention", "dedup_exact_vocab_groups",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_regional_volume", "join_outer_customer_orders",
+    "join_semi_customers_with_purchases",
+    "join_anti_customers_without_orders", "agg_rollup_nation_segment",
 ]
 
 _VERIFY_FIRST = [
-    *_CHANGED_R6,
-    *_R3_TAIL,
-    *_R4_GREEN,
+    *_CHANGED_R7,
+    *_R4_TAIL,
+    *_R5_GREEN,
 ]
 
 
