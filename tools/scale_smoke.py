@@ -338,6 +338,72 @@ def run_cdc_leg(spark, n_keys: int = 50_000, n_files: int = 10) -> dict:
     }
 
 
+def run_compaction_leg(spark) -> dict:
+    """layout.compact_table against the CDC leg's REAL streaming
+    debris (the per-microbatch SCD2 history store), not a synthetic
+    fixture: byte-sized-target compaction, then a Z-ordered rewrite,
+    then a crash injected at the worst point of the rename-aside swap
+    (live renamed aside, new layout not yet renamed in) recovered by
+    the next compact_table call. Value equality is asserted after
+    every step via an order-insensitive full-table fingerprint
+    (count + sum of row xxhash64)."""
+    import os
+    import shutil
+
+    from cdc_2025_spark.layout import compact_table
+
+    hist_path = os.path.join(
+        os.path.dirname(SCALE_DIR), "cdc_work", "scd2_history"
+    )
+    df = spark.read.parquet(hist_path)
+    cols = [F.col(c) for c in df.columns]
+
+    def fingerprint() -> tuple:
+        # decimal(38,0) sum: 113k 64-bit hashes overflow a long sum
+        # under the ANSI session; decimal is exact and order-free
+        row = (
+            spark.read.parquet(hist_path)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+            )
+            .first()
+        )
+        return (row["n"], row["h"])
+
+    fp0 = fingerprint()
+    out: dict = {"rows": fp0[0]}
+
+    t0 = time.perf_counter()
+    r1 = compact_table(spark, hist_path, target_file_mb=1)
+    out["compact"] = {**r1, "sec": round(time.perf_counter() - t0, 2)}
+    assert fingerprint() == fp0, "compaction changed table contents"
+
+    t0 = time.perf_counter()
+    r2 = compact_table(
+        spark, hist_path, target_file_mb=1, zorder_cols=["k", "valid_from"]
+    )
+    out["compact_zorder"] = {**r2, "sec": round(time.perf_counter() - t0, 2)}
+    assert fingerprint() == fp0, "z-ordered compaction changed contents"
+
+    # crash at the swap's worst point: the new layout is fully
+    # written aside and live has been renamed away — disk shows
+    # .old + .compact-tmp, no live dir. The next compact_table call
+    # must first roll live back (_recover_store), then compact.
+    tmp = hist_path + ".compact-tmp"
+    spark.read.parquet(hist_path).repartition(16).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    os.rename(hist_path, hist_path + ".old")
+    assert not os.path.exists(hist_path)
+    r3 = compact_table(spark, hist_path, target_file_mb=1)
+    out["compact_after_crash"] = dict(r3)
+    assert fingerprint() == fp0, "crash recovery lost rows"
+    assert not os.path.exists(hist_path + ".old")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
@@ -358,7 +424,17 @@ def main() -> None:
         print("\n## Scale smoke: streaming SCD2/CDC leg, local[32]\n")
         for k, v in cdc.items():
             print(f"- {k}: {v}")
-        print(f"stage metrics: {stage_metrics(spark)}")
+        pre = stage_metrics(spark)
+        print(f"stage metrics: {pre}")
+        comp = run_compaction_leg(spark)
+        post = stage_metrics(spark)
+        print("\n## Compaction leg (over the CDC store's debris)\n")
+        for k, v in comp.items():
+            print(f"- {k}: {v}")
+        print(
+            "compaction stage metrics (delta): "
+            f"{ {k: round(post[k] - pre[k], 2) for k in post} }"
+        )
         spark.stop()
         return
     if not args.skip_build:
@@ -404,6 +480,16 @@ def main() -> None:
     print("\n## Streaming SCD2/CDC leg (crash + restart mid-run)\n")
     for k, v in cdc.items():
         print(f"- {k}: {v}")
+    pre = stage_metrics(spark)
+    comp = run_compaction_leg(spark)
+    post = stage_metrics(spark)
+    print("\n## Compaction leg (over the CDC store's debris)\n")
+    for k, v in comp.items():
+        print(f"- {k}: {v}")
+    print(
+        "compaction stage metrics (delta): "
+        f"{ {k: round(post[k] - pre[k], 2) for k in post} }"
+    )
     spark.stop()
 
 
