@@ -58,23 +58,26 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # the changed flag rides INSIDE the checkpointed frame, so
+        # change detection is a filter-count over already-materialized
+        # partitions — one join + one cheap count per round, not the
+        # two joins + recompute a separate old-vs-new comparison costs
         new_labels = (
             labels.join(nbr_min, labels.id == nbr_min.src, "left")
             .select(
                 "id",
                 F.least(
                     F.col("comp"), F.coalesce("nbr_comp", "comp")
-                ).alias("comp"),
+                ).alias("new_comp"),
+                (
+                    F.coalesce("nbr_comp", "comp") < F.col("comp")
+                ).alias("changed"),
             )
+            .withColumnRenamed("new_comp", "comp")
             .localCheckpoint()
         )
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        n_changed = new_labels.filter("changed").count()
+        labels = new_labels.select("id", "comp")
         if n_changed == 0:
             break
     und.unpersist()

@@ -167,6 +167,21 @@ def exploded_spans(
     ``text_col IS NOT NULL`` first — dedup semantics treat a NULL doc
     as having no content to match on.
     """
+    return exploded_spans_with_pos(docs, k, text_col, id_col).select(
+        id_col, "span"
+    )
+
+
+def exploded_spans_with_pos(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, pos, span) rows — ``exploded_spans`` keeping each
+    span's 0-based start-token position, the occurrence coordinate
+    span-removal needs (a repeated span is excised at every occurrence
+    EXCEPT its global first, so occurrences must be addressable)."""
     if k < 1:
         raise ValueError(f"span width k must be >= 1, got {k}")
     toks = docs.select(
@@ -174,7 +189,7 @@ def exploded_spans(
     )
     if k == 1:
         # no leads to wait on: every token is its own span
-        return toks.select(id_col, F.col("tok").alias("span"))
+        return toks.select(id_col, "pos", F.col("tok").alias("span"))
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("tok", i).over(w) for i in range(1, k)]
     return (
@@ -185,7 +200,7 @@ def exploded_spans(
             leads[-1].alias("_last"),
         )
         .filter(F.col("_last").isNotNull() | (F.col("pos") == 0))
-        .select(id_col, "span")
+        .select(id_col, "pos", "span")
     )
 
 
