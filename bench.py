@@ -70,6 +70,13 @@ HEADLINE = [
     "text_decontamination_overlap",
     "text_pack_sequences",
     "multimodal_feature_rollup",
+    # round-7 newcomers: every newly-registered operator gets a
+    # tracked wall time from its first round
+    "sim_lsh_auto_pairs",
+    "dedup_minhash_oph_pairs",
+    "dedup_remove_repeated_spans",
+    "dedup_semdedup_decision",
+    "text_chunk_documents",
 ]
 
 

@@ -49,15 +49,21 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
 #   2. The 14 queries whose newest green is round 4 — the r6 window's
 #      natural tail of _R4_GREEN.
 #   3. The oldest r5-green queries, in their r5 check order, filling
-#      the window: 4 + 14 + 32 = 50 (cuts inside _R5_GREEN at
-#      q10_returned_items). The remaining 15 r5-green entries lead
-#      round 8 — their newest green (r5) is exactly 2 rounds old at
-#      r7, the freshness bound test_registry_freshness.py enforces.
+#      the window: 8 + 14 + 28 = 50 (cuts inside _R5_GREEN after
+#      sample_hash_deterministic). The r5-green entries past the cut
+#      lead round 8 — their newest green (r5) is exactly 2 rounds old
+#      at r7, the freshness bound test_registry_freshness.py enforces
+#      mechanically (it reads the real first-50 window, so this
+#      comment can no longer silently drift).
 _CHANGED_R7 = [
     "dedup_embedding_neardup",       # budget gate + oracle e CTE
     "sim_lsh_auto_pairs",            # NEW in r7: never driver-checked
     "dedup_minhash_oph_pairs",       # NEW in r7: never driver-checked
     "multimodal_feature_rollup",     # container branches consolidated
+    "dedup_remove_repeated_spans",   # NEW in r7: never driver-checked
+    "dedup_semdedup_decision",       # NEW in r7: never driver-checked
+    "text_chunk_documents",          # NEW in r7: never driver-checked
+    "dedup_embedding_neardup_lsh",   # CC loop changed in r7: recheck
 ]
 
 # newest green is round 4 (CORRECTNESS_r04.json) — front of the line

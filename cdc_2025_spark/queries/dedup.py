@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_2025_spark.dedup import (
@@ -671,6 +671,122 @@ def dedup_embedding_neardup_lsh(
     return embedding_neardup_lsh(spark, sf_dir)
 
 
+SEMDEDUP_CLUSTERS = 8
+
+
+def semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = SEMDEDUP_CLUSTERS,
+    threshold: float = NEARDUP_COS_THRESHOLD,
+    n_iter: int = 5,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540 —
+    public): k-means-cluster the embeddings, compare pairs ONLY
+    within a cluster, and per duplicate group keep the example
+    FARTHEST from its cluster centroid (lowest centroid-cosine; the
+    paper's keep rule, which preserves the cluster's outer, most
+    informative examples). Ties break to the lowest id, so the whole
+    decision table is deterministic.
+
+    Returns (vec_id, cluster, canonical_id, keep) for every vector.
+
+    Why this scales where all-pairs cannot: the candidate space is
+    sum_c |cell_c|² instead of n² — with k sized so cells stay
+    ~n/k, pair generation is one shuffle on the cell key and the
+    quadratic term drops by a factor of k. Cluster assignment is
+    Lloyd's with broadcast centroids (functions/kmeans.py — per
+    iteration one shuffle, only k·dim floats ever reach the driver);
+    cosine runs JVM-side with hoisted norms; components/keep-rule are
+    grouped aggregates. Giant cells (embedding-space skew) are the
+    caveat at 100 TB — the mitigation is raising k (the paper runs
+    k=11k on LAION) or re-clustering oversized cells, both of which
+    keep this same plan shape."""
+    from cdc_2025_spark.functions.embeddings import cosine, dot, norm
+    from cdc_2025_spark.functions.kmeans import assign_cells, lloyd_kmeans
+
+    vec = read_table(spark, sf_dir, "embeddings")
+    cents = lloyd_kmeans(
+        vec, k=k, n_iter=n_iter, id_col="vec_id", vec_col="embedding"
+    )
+    emb = vec.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    assigned = assign_cells(emb, cents)
+    withc = (
+        assigned.join(F.broadcast(cents), assigned.cell == cents.cid)
+        .select(
+            "id",
+            "cell",
+            "emb",
+            F.coalesce(cosine("emb", "cemb"), F.lit(0.0)).alias(
+                "cent_cos"
+            ),
+            norm("emb").alias("nrm"),
+        )
+        .persist()
+    )
+    a = withc.select(
+        "cell",
+        F.col("id").alias("id_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = withc.select(
+        "cell",
+        F.col("id").alias("id_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = F.when(
+        (F.col("nrm_a") > 0) & (F.col("nrm_b") > 0),
+        dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= threshold)
+        .select("id_a", "id_b")
+    )
+    from cdc_2025_spark.dedup.cluster import connected_components
+
+    cc = connected_components(pairs)
+    canon = (
+        cc.join(withc.select("id", "cent_cos"), "id")
+        .groupBy("comp")
+        .agg(
+            F.min_by(
+                "id", F.struct(F.col("cent_cos").alias("c"), "id")
+            ).alias("canonical_id")
+        )
+    )
+    return (
+        withc.select("id", "cell")
+        .join(cc, "id", "left")
+        .join(canon, "comp", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("cell").alias("cluster"),
+            F.coalesce("canonical_id", "id").alias("canonical_id"),
+        )
+        .withColumn("keep", F.col("vec_id") == F.col("canonical_id"))
+    )
+
+
+@query("dedup_semdedup_decision")
+def dedup_semdedup_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop decision table over the embeddings corpus
+    (see ``semdedup``). Registered rows-only by design: the cluster
+    geometry comes from iterative Lloyd's k-means, which SQL cannot
+    express — accuracy is pinned instead by tests/test_dedup.py
+    (pure-python model equality at k=1 on a literal frame, where the
+    centroid is the global mean and the pair space is exact, plus
+    corpus invariants against the exact all-pairs ground truth)."""
+    return semdedup(spark, sf_dir)
+
+
 SPAN_K = 5
 SPAN_MIN_DOCS = 2
 
@@ -732,4 +848,144 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= SPAN_MIN_DOCS)
         .select("span", "n_docs", "n_occurrences")
+    )
+
+
+@query(
+    "dedup_remove_repeated_spans",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+      FROM base, unnest([i for i in range(1, len(ws) + 1)]) AS r(i)
+    ),
+    occ AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(ws[i:i+{SPAN_K - 1}], ' ') AS span
+      FROM base,
+           unnest([i for i in range(
+               1, CASE WHEN len(ws) <= {SPAN_K} THEN 2
+                       ELSE len(ws) - {SPAN_K} + 2 END)]) AS r(i)
+    ),
+    dupspan AS (
+      SELECT span FROM occ GROUP BY span
+      HAVING COUNT(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+    ),
+    ranked AS (
+      SELECT o.doc_id, o.pos,
+             row_number() OVER (
+               PARTITION BY o.span ORDER BY o.doc_id, o.pos) AS rn
+      FROM occ o JOIN dupspan d ON o.span = d.span
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + j AS cpos
+      FROM ranked, unnest([j for j in range(0, {SPAN_K})]) AS u(j)
+      WHERE rn > 1
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t ANTI JOIN cov c
+        ON t.doc_id = c.doc_id AND t.pos = c.cpos
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (
+      SELECT doc_id, COUNT(*) AS n_tokens FROM toks GROUP BY doc_id
+    )
+    SELECT tot.doc_id,
+           CAST(tot.n_tokens AS BIGINT) AS n_tokens,
+           CAST(tot.n_tokens - COALESCE(agg.n_kept, 0) AS BIGINT)
+             AS n_removed,
+           COALESCE(agg.clean_text, '') AS clean_text
+    FROM tot LEFT JOIN agg USING (doc_id)
+    """,
+)
+def dedup_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document span REMOVAL — the second half of exact-substring
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL'22: find repeated substrings, keep ONE
+    occurrence, excise the rest): every {SPAN_K}-token span occurring
+    in >= {SPAN_MIN_DOCS} distinct documents is removed at every
+    occurrence EXCEPT its global first (min (doc_id, pos) — the
+    deterministic analogue of the paper's keep-one rule), and each
+    document is rebuilt from its surviving tokens.
+
+    Output: (doc_id, n_tokens, n_removed, clean_text) for EVERY
+    document — clean_text is the whitespace-normalized lowercase
+    token join, '' when a document was entirely boilerplate.
+
+    Shape, built to scale: token/span explode is the codegen'd
+    posexplode + window-lead construction (`exploded_spans_with_pos`,
+    no higher-order lambdas); repeated-span detection and the
+    first-occurrence ranking shuffle on xxhash64(span) 8-byte keys
+    (same collision trade `dedup_repeated_spans` documents, string
+    equality pinned on the fixture by test); covered positions come
+    from a bounded sequence-explode (exactly {SPAN_K} rows per
+    duplicate occurrence); the final rebuild is one anti-join plus
+    one per-document sort-aggregate. Every stage is a key-partitioned
+    shuffle of small rows — no broadcast of corpus-sized state, no
+    driver materialization, skew bounded by span document frequency
+    (the signal itself)."""
+    from cdc_2025_spark.functions.text import (
+        exploded_spans_with_pos,
+        tokens,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "tok"),
+    )
+    occ = exploded_spans_with_pos(docs, SPAN_K).withColumn(
+        "_h", F.xxhash64("span")
+    )
+    dup_h = (
+        occ.groupBy("_h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= SPAN_MIN_DOCS)
+        .select("_h")
+    )
+    w = Window.partitionBy("_h").orderBy("doc_id", "pos")
+    dup_occ = (
+        occ.join(dup_h, "_h")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "pos")
+    )
+    cov = dup_occ.select(
+        F.col("doc_id").alias("c_doc"),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(SPAN_K - 1))
+        ).alias("cpos"),
+    ).distinct()
+    kept = toks.join(
+        cov,
+        (toks.doc_id == cov.c_doc) & (toks.pos == cov.cpos),
+        "left_anti",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+        ).alias("clean_text"),
+    )
+    tot = toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+    return tot.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )

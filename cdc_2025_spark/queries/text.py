@@ -509,3 +509,68 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOP_K)
         .select("doc_id", "term", "tf", _r4("tfidf").alias("tfidf"), "rnk")
     )
+
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 16 tokens
+
+
+@query(
+    "text_chunk_documents",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(len(ws[s+1:s+{CHUNK_SIZE}]) AS BIGINT)
+             AS n_chunk_tokens,
+           array_to_string(ws[s+1:s+{CHUNK_SIZE}], ' ') AS chunk_text
+    FROM base,
+         unnest([s for s in range(
+             0, GREATEST(len(ws) - {CHUNK_SIZE - CHUNK_STRIDE}, 1),
+             {CHUNK_STRIDE})]) AS r(s)
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the context-window prep
+    step of RAG indexing and long-document training pipelines: each
+    document becomes chunks of {CHUNK_SIZE} whitespace tokens taken
+    every {CHUNK_STRIDE} (16-token overlap), the final chunk clamped
+    at the document end, short documents yielding exactly one chunk.
+
+    Start positions follow the standard chunker rule: multiples of
+    the stride strictly below max(n_tokens - overlap, 1) — always
+    including 0, never emitting a tail chunk fully contained in its
+    predecessor.
+
+    Shape: tokenize + sequence-explode + slice, all codegen'd
+    expressions on a NARROW plan — zero shuffles, zero Python; the
+    scan parallelism is the whole story, so this runs at whatever
+    rate the source can be read at any corpus size. (Contrast
+    text_pack_sequences, which needs per-bucket windows: chunking is
+    per-document, so Spark never has to co-locate anything.)"""
+    from cdc_2025_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    overlap = CHUNK_SIZE - CHUNK_STRIDE
+    toks = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("ws")
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("ws") - overlap, F.lit(1)) - 1,
+        F.lit(CHUNK_STRIDE),
+    )
+    chunk = F.slice(F.col("ws"), F.col("s") + 1, CHUNK_SIZE)
+    return (
+        toks.select("doc_id", F.explode(starts).alias("s"), "ws")
+        .select(
+            "doc_id",
+            F.col("s").cast("long").alias("chunk_start"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

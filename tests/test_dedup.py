@@ -611,3 +611,185 @@ def test_simhash_md5_matches_python_model(spark):
     }
     assert got_pairs == want_pairs
     assert (1, 2) in got_pairs
+
+
+def test_remove_repeated_spans_literal(spark):
+    """Span removal on a hand-computed frame: a shared 5-token span is
+    excised everywhere except its global-first (min (doc_id, pos))
+    occurrence; short whole-text-span docs dedup to the first copy;
+    untouched docs pass through with n_removed=0."""
+    import os
+    import tempfile
+
+    from cdc_2025_spark.queries.dedup import dedup_remove_repeated_spans
+
+    rows = [
+        (1, "a b c d e x y", "en", "s", 1),
+        (2, "z z a b c d e q", "en", "s", 1),  # shares "a b c d e"
+        (3, "m n o", "en", "s", 1),            # whole-text span x3
+        (4, "m n o", "en", "s", 1),
+        (5, "m n o", "en", "s", 1),
+        (6, "totally unrelated words here now", "en", "s", 1),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+            for r in dedup_remove_repeated_spans(spark, d).collect()
+        }
+    assert got[1] == (7, 0, "a b c d e x y")  # canonical occurrence kept
+    assert got[2] == (8, 5, "z z q")          # span excised mid-document
+    assert got[3] == (3, 0, "m n o")          # first short copy survives
+    assert got[4] == (3, 3, "")               # later copies fully removed
+    assert got[5] == (3, 3, "")
+    assert got[6] == (5, 0, "totally unrelated words here now")
+
+
+def test_remove_repeated_spans_corpus_invariants(spark, sf_dir):
+    """On the fixture corpus: per-document accounting is exact
+    (n_tokens - n_removed = clean token count), removal actually
+    fires, and every removed-token count is a whole number of
+    non-overlapping-or-merged span positions (0 <= n_removed <=
+    n_tokens)."""
+    from cdc_2025_spark.functions.text import token_count
+    from cdc_2025_spark.queries.dedup import dedup_remove_repeated_spans
+
+    out = dedup_remove_repeated_spans(spark, sf_dir).withColumn(
+        "clean_n", token_count("clean_text")
+    )
+    rows = out.collect()
+    assert len(rows) == 500
+    assert any(r["n_removed"] > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r["n_removed"] <= r["n_tokens"]
+        assert r["n_tokens"] - r["n_removed"] == r["clean_n"], r
+
+
+def test_semdedup_k1_matches_python_model(spark):
+    """With k=1 the cluster geometry is trivial (single cell, centroid
+    = global mean after the first Lloyd iteration), so SemDeDup must
+    reproduce an exact pure-python model: all-pairs cosine >=
+    threshold, union-find components, canonical = argmin
+    (centroid_cosine, id) per component — the paper's
+    keep-farthest-from-centroid rule with the deterministic tiebreak.
+    A zero vector must stay a kept singleton (pairs with nothing)."""
+    import math
+    import os
+    import tempfile
+
+    from cdc_2025_spark.queries.dedup import semdedup
+
+    vecs = {
+        1: [1.0, 0.0, 0.0],
+        2: [0.99, 0.1, 0.0],   # near-dup of 1
+        3: [0.0, 1.0, 0.0],
+        4: [0.05, 0.99, 0.0],  # near-dup of 3
+        5: [-1.0, -1.0, 5.0],  # far from everything
+        6: [0.0, 0.0, 0.0],    # zero norm: no pairs, kept
+    }
+    thr = 0.9
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, [float(x) for x in v], 0) for i, v in vecs.items()],
+            "vec_id long, embedding array<float>, label int",
+        ).coalesce(1).write.parquet(os.path.join(d, "embeddings.parquet"))
+        got = {
+            r["vec_id"]: (r["canonical_id"], r["keep"])
+            for r in semdedup(spark, d, k=1, threshold=thr).collect()
+        }
+
+    # python model (float32 inputs, like the parquet round-trip)
+    import numpy as np
+
+    ids = sorted(vecs)
+    arr = np.asarray(
+        [vecs[i] for i in ids], dtype=np.float32
+    ).astype(np.float64)
+    centroid = arr.mean(axis=0)
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na > 0 and nb > 0 else None
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            c = cos(arr[ai], arr[bi])
+            if c is not None and c >= thr:
+                ra, rb = find(ids[ai]), find(ids[bi])
+                parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for i in ids:
+        comps.setdefault(find(i), []).append(i)
+    want = {}
+    for members in comps.values():
+        cent_cos = {
+            i: (cos(arr[ids.index(i)], centroid) or 0.0) for i in members
+        }
+        canonical = min(members, key=lambda i: (cent_cos[i], i))
+        for i in members:
+            want[i] = (canonical, i == canonical)
+    assert got == want
+    # the fixture exercises real merges and the keep rule
+    assert math.isclose(
+        cos(arr[0], arr[1]), 0.995, abs_tol=0.005
+    ) and not (got[1][1] and got[2][1])
+    assert got[6] == (6, True)
+
+
+def test_semdedup_corpus_invariants(spark, sf_dir):
+    """Fixture corpus: exactly one kept survivor per canonical group;
+    canonicals map to themselves; and because SemDeDup only compares
+    within a cluster, its edge set is a subset of the exact all-pairs
+    graph — so it keeps AT LEAST as many vectors as exact near-dup
+    dedup at the same threshold (computed with numpy ground truth)."""
+    import numpy as np
+
+    from cdc_2025_spark.io import read_table
+    from cdc_2025_spark.queries.dedup import (
+        NEARDUP_COS_THRESHOLD,
+        semdedup,
+    )
+
+    rows = semdedup(spark, sf_dir).collect()
+    by_canon: dict[int, list] = {}
+    for r in rows:
+        by_canon.setdefault(r["canonical_id"], []).append(r)
+    for canon, members in by_canon.items():
+        keeps = [m for m in members if m["keep"]]
+        assert len(keeps) == 1 and keeps[0]["vec_id"] == canon
+
+    raw = read_table(spark, sf_dir, "embeddings").collect()
+    ids = [r["vec_id"] for r in raw]
+    arr = np.asarray([r["embedding"] for r in raw], dtype=np.float64)
+    nrm = np.linalg.norm(arr, axis=1)
+    safe = np.where(nrm == 0, 1.0, nrm)
+    cosm = (arr / safe[:, None]) @ (arr / safe[:, None]).T
+    cosm[nrm == 0, :] = -1
+    cosm[:, nrm == 0] = -1
+    np.fill_diagonal(cosm, -1)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    ai, bi = np.nonzero(np.triu(cosm >= NEARDUP_COS_THRESHOLD))
+    for a, b in zip(ai, bi):
+        ra, rb = find(ids[a]), find(ids[b])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exact_kept = len({find(i) for i in ids})
+    sem_kept = sum(r["keep"] for r in rows)
+    assert sem_kept >= exact_kept > 0

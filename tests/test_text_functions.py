@@ -215,3 +215,52 @@ def test_tfidf_smoothing_and_ranking(spark):
     assert abs(d2.loc["rare2", "tfidf"] - round(want, 4)) < 1e-9
     # 'common' appears in all 3 docs -> idf == 1 -> tfidf == tf
     assert d2.loc["common", "tfidf"] == 1.0
+
+
+def test_chunk_documents_edge_cases(spark):
+    """Chunker start-rule pinned on literal docs: one chunk for short
+    docs (incl. empty text), stride-spaced starts, a clamped final
+    chunk that is never fully contained in its predecessor, and every
+    token covered by at least one chunk."""
+    import os
+    import tempfile
+
+    from cdc_2025_spark.queries.text import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        text_chunk_documents,
+    )
+
+    n_long = CHUNK_SIZE + CHUNK_STRIDE + 7  # 119: starts 0, 48, 96
+    rows = [
+        (1, "", "en", "s", 0),
+        (2, "one two three", "en", "s", 13),
+        (3, " ".join(f"t{i}" for i in range(CHUNK_SIZE)), "en", "s", 1),
+        (4, " ".join(f"t{i}" for i in range(n_long)), "en", "s", 1),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {}
+        for r in text_chunk_documents(spark, d).collect():
+            out.setdefault(r["doc_id"], []).append(
+                (r["chunk_start"], r["n_chunk_tokens"], r["chunk_text"])
+            )
+    for v in out.values():
+        v.sort()
+    assert out[1] == [(0, 1, "")]  # empty text: one empty chunk
+    assert out[2] == [(0, 3, "one two three")]
+    assert [c[:2] for c in out[3]] == [(0, CHUNK_SIZE)]
+    # long doc: starts every stride while start < n - overlap,
+    # final chunk clamped to the document end
+    overlap = CHUNK_SIZE - CHUNK_STRIDE
+    want_starts = list(range(0, n_long - overlap, CHUNK_STRIDE))
+    assert [c[0] for c in out[4]] == want_starts
+    assert out[4][-1][1] == n_long - want_starts[-1]  # clamped tail
+    covered = set()
+    for s, n, _ in out[4]:
+        covered.update(range(s, s + n))
+    assert covered == set(range(n_long))  # every token in >= 1 chunk
