@@ -53,6 +53,9 @@ QUERIES_UNDER_TEST = [
     "dedup_minhash_lsh_pairs",
     "dedup_simhash_pairs",
     "dedup_repeated_spans",
+    "dedup_remove_repeated_spans",
+    "dedup_semdedup_decision",
+    "text_chunk_documents",
     "llm_corpus_prep",
     "text_tfidf_top_terms",
     "sim_lsh_bucketed_pairs",
@@ -181,6 +184,16 @@ def run_suite(spark, sf_dir: str) -> dict:
                 threshold=0.6,
                 recall_at=0.22 if scaled else 0.6,
             ).count()
+        elif name == "dedup_semdedup_decision":
+            # SemDeDup's knob scales WITH the corpus: k is sized to
+            # hold the mean cell ~250-300 vectors (the paper's recipe
+            # — the within-cell pair space stays ~n·cell/2, linear in
+            # n at constant cell size). 2k base -> k=8; 20k replica
+            # corpus -> k=64.
+            from cdc_2025_spark.queries.dedup import semdedup
+
+            scaled = sf_dir != BASE_SF
+            n = semdedup(spark, sf_dir, k=64 if scaled else 8).count()
         else:
             n = QUERIES[name](spark, sf_dir).count()
         out[name] = {"sec": round(time.perf_counter() - t0, 2), "rows": n}
@@ -409,6 +422,11 @@ def main() -> None:
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--only-cdc", action="store_true")
+    ap.add_argument(
+        "--only-suite",
+        action="store_true",
+        help="run just the query suite (skip the CDC/compaction legs)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
@@ -475,6 +493,10 @@ def main() -> None:
     print(f"\nwall: sf0.1 suite {t_base}s, sf1 suite {t_scaled}s")
     print(f"sf0.1 stage metrics: {base_metrics}")
     print(f"sf1 stage metrics (delta): {scaled_metrics}")
+
+    if args.only_suite:
+        spark.stop()
+        return
 
     cdc = run_cdc_leg(spark)
     print("\n## Streaming SCD2/CDC leg (crash + restart mid-run)\n")
