@@ -253,3 +253,59 @@ def test_decontam_embedding_broadcasts_eval_side(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p
     # the train side must not be exchanged before the join
     assert "CartesianProduct" not in p
+
+
+def test_chunking_plan_is_narrow(spark, sf_dir):
+    """text_chunk_documents promises a shuffle-free narrow plan: no
+    Exchange anywhere (per-document explode + slice only), and the
+    scan reads just doc_id + text of the 5-column table."""
+    p = plan_of(spark, sf_dir, "text_chunk_documents")
+    assert "Exchange" not in p
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "text" in read and "lang" not in read and "n_chars" not in read
+
+
+def test_span_removal_plan_has_no_cross_product(spark, sf_dir):
+    """dedup_remove_repeated_spans is all key-partitioned equi-joins
+    (span hash, (doc_id, pos)) — a cartesian/nested-loop anywhere
+    means the anti-join or the dup-span join degenerated."""
+    p = plan_of(spark, sf_dir, "dedup_remove_repeated_spans")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "xxhash64" in p  # 8-byte shuffle key, not the span string
+
+
+def test_semdedup_pair_join_is_cell_keyed(spark, sf_dir):
+    """SemDeDup's within-cluster pair generation must plan as an
+    equi-join on the cell key — the whole point of clustering first
+    is that no cross product appears anywhere in the pair stage."""
+    from cdc_2025_spark.functions.kmeans import assign_cells
+    from cdc_2025_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    from cdc_2025_spark.plans import plan_string
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    cents = spark.createDataFrame(
+        [(1, [0.0] * 64), (2, [1.0] * 64)], "cid int, cemb array<double>"
+    )
+    assigned = assign_cells(emb, cents)
+    a = assigned.select("cell", F.col("id").alias("id_a"))
+    b = assigned.select("cell", F.col("id").alias("id_b"))
+    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+    p = plan_string(pairs)
+    assert "CartesianProduct" not in p
+    # nested-loops in this plan are ONLY assign_cells' deliberate
+    # broadcast of the k-row centroid table (join with no condition
+    # against a tiny build side — k·dim floats, one per unpersisted
+    # side here); the corpus-sized pair join itself must be a
+    # cell-keyed equi-join
+    assert "Left keys [1]: [cell" in p
+    assert (
+        "SortMergeJoin" in p
+        or "ShuffledHashJoin" in p
+        or "BroadcastHashJoin" in p
+    )
