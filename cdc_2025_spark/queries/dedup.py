@@ -680,6 +680,7 @@ def semdedup(
     k: int = SEMDEDUP_CLUSTERS,
     threshold: float = NEARDUP_COS_THRESHOLD,
     n_iter: int = 5,
+    assign: str = "numpy",
 ) -> DataFrame:
     """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication", arXiv:2303.09540 —
@@ -704,19 +705,40 @@ def semdedup(
     k=11k on LAION) or re-clustering oversized cells, both of which
     keep this same plan shape."""
     from cdc_2025_spark.functions.embeddings import cosine, dot, norm
-    from cdc_2025_spark.functions.kmeans import assign_cells, lloyd_kmeans
+    from cdc_2025_spark.functions.kmeans import (
+        assign_cells,
+        assign_cells_np,
+        lloyd_kmeans,
+    )
 
     vec = read_table(spark, sf_dir, "embeddings")
     cents = lloyd_kmeans(
-        vec, k=k, n_iter=n_iter, id_col="vec_id", vec_col="embedding"
+        vec,
+        k=k,
+        n_iter=n_iter,
+        id_col="vec_id",
+        vec_col="embedding",
+        assign=assign,
     )
     emb = vec.select(
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("emb"),
     )
-    assigned = assign_cells(emb, cents)
+    # materialize the k centroids once (k·dim floats) so the final
+    # assignment and the centroid-cosine join don't each recompute
+    # the last Lloyd iteration's assign+recenter lineage
+    cent_rows = [(r["cid"], r["cemb"]) for r in cents.collect()]
+    lit_cents = spark.createDataFrame(
+        cent_rows, "cid int, cemb array<double>"
+    )
+    if assign == "numpy":
+        assigned = assign_cells_np(emb, cent_rows)
+    else:
+        assigned = assign_cells(emb, lit_cents)
     withc = (
-        assigned.join(F.broadcast(cents), assigned.cell == cents.cid)
+        assigned.join(
+            F.broadcast(lit_cents), assigned.cell == lit_cents.cid
+        )
         .select(
             "id",
             "cell",

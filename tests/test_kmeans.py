@@ -74,3 +74,38 @@ def test_assignment_covers_corpus_once(spark, emb):
     assert cells  # at least one non-empty cell
     cent_ids = {r["cid"] for r in cents.select("cid").collect()}
     assert cells <= cent_ids
+
+
+def test_numpy_assignment_matches_expression_path(spark, emb):
+    """assign_cells_np (Arrow-batched matmul argmin) must reproduce
+    the expression path's assignment exactly on the fixture corpus —
+    same argmin, same lowest-cid tiebreak — and full Lloyd runs with
+    either backend must land on identical centroids."""
+    from cdc_2025_spark.functions.kmeans import assign_cells_np
+
+    cents = lloyd_kmeans(emb, k=8, n_iter=2)
+    cent_rows = [(r["cid"], r["cemb"]) for r in cents.collect()]
+    lit = spark.createDataFrame(cent_rows, "cid int, cemb array<double>")
+    vecs = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    want = {
+        r["id"]: r["cell"] for r in assign_cells(vecs, lit).collect()
+    }
+    got = {
+        r["id"]: r["cell"]
+        for r in assign_cells_np(vecs, cent_rows).collect()
+    }
+    assert got == want
+
+    a = lloyd_kmeans(emb, k=8, n_iter=3, assign="expr").collect()
+    b = lloyd_kmeans(emb, k=8, n_iter=3, assign="numpy").collect()
+    assert {r["cid"]: [round(v, 9) for v in r["cemb"]] for r in a} == {
+        r["cid"]: [round(v, 9) for v in r["cemb"]] for r in b
+    }
+
+
+def test_lloyd_rejects_unknown_assign_backend(spark, emb):
+    with pytest.raises(ValueError, match="assign backend"):
+        lloyd_kmeans(emb, k=4, n_iter=1, assign="cuda")
