@@ -259,6 +259,10 @@ def test_chunking_plan_is_narrow(spark, sf_dir):
     """text_chunk_documents promises a shuffle-free narrow plan: no
     Exchange anywhere (per-document explode + slice only), and the
     scan reads just doc_id + text of the 5-column table."""
+    # another module's fixture may have .cache()d the documents scan,
+    # which would swap an InMemoryRelation (full schema) into this
+    # plan — drop cached state so the pruned parquet scan is visible
+    spark.catalog.clearCache()
     p = plan_of(spark, sf_dir, "text_chunk_documents")
     assert "Exchange" not in p
     read = next(l for l in p.splitlines() if "ReadSchema" in l)
