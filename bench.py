@@ -77,6 +77,7 @@ HEADLINE = [
     "dedup_remove_repeated_spans",
     "dedup_semdedup_decision",
     "text_chunk_documents",
+    "dedup_incremental_bloom_prefilter",
 ]
 
 

@@ -49,7 +49,7 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
 #   2. The 14 queries whose newest green is round 4 — the r6 window's
 #      natural tail of _R4_GREEN.
 #   3. The oldest r5-green queries, in their r5 check order, filling
-#      the window: 8 + 14 + 28 = 50 (cuts inside _R5_GREEN after
+#      the window: 9 + 14 + 27 = 50 (cuts inside _R5_GREEN after
 #      sample_hash_deterministic). The r5-green entries past the cut
 #      lead round 8 — their newest green (r5) is exactly 2 rounds old
 #      at r7, the freshness bound test_registry_freshness.py enforces
@@ -63,6 +63,7 @@ _CHANGED_R7 = [
     "dedup_remove_repeated_spans",   # NEW in r7: never driver-checked
     "dedup_semdedup_decision",       # NEW in r7: never driver-checked
     "text_chunk_documents",          # NEW in r7: never driver-checked
+    "dedup_incremental_bloom_prefilter",  # NEW in r7: never checked
     "dedup_embedding_neardup_lsh",   # CC loop changed in r7: recheck
 ]
 

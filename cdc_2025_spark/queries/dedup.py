@@ -270,6 +270,76 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_TARGET_FPR = 0.01
+
+
+@query(
+    "dedup_incremental_bloom_prefilter",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(lower(text)), '\\s+'))), ' '))
+               AS key
+      FROM documents
+    )
+    SELECT b.doc_id,
+           EXISTS(SELECT 1 FROM k c
+                  WHERE c.doc_id < {INCREMENTAL_SPLIT_ID}
+                    AND c.key = b.key) AS is_dup_of_corpus
+    FROM k b WHERE b.doc_id >= {INCREMENTAL_SPLIT_ID}
+    """,
+)
+def dedup_incremental_bloom_prefilter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ingest-time EXACT-key dedup with a Bloom-filter prefilter: for
+    every batch document (doc_id >= {INCREMENTAL_SPLIT_ID}), does its
+    normalized-vocabulary key already exist in the corpus
+    (doc_id < {INCREMENTAL_SPLIT_ID})?
+
+    The corpus keys build a distributed Bloom bitmap
+    (dedup/bloom.py — one bit_or aggregate, m/64 longs); the batch
+    probes it, and ONLY probe-positive candidates pay the exact
+    verification semi-join. Probe-negatives are definitely new (no
+    false negatives by construction), false positives die in
+    verification — so the OUTPUT is exact and the DuckDB oracle is
+    the plain corpus-key EXISTS, while the plan carries the 100 TB
+    shape: the membership join the brute-force form runs over the
+    whole batch is pruned to the Bloom-positive sliver (at the 1%%
+    sizing, ~dup_count + 1%% of the batch), and the corpus never
+    re-shuffles at probe time — the bitmap is the broadcastable
+    summary. Filter geometry derives from the corpus count
+    (bloom_params; the count is a metadata-only parquet count at
+    plan construction, same posture as lsh_pairs_auto)."""
+    from cdc_2025_spark.dedup.bloom import (
+        bloom_build,
+        bloom_params,
+        bloom_probe,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", vocab_key("text").alias("key"))
+    corpus = keyed.filter(
+        F.col("doc_id") < INCREMENTAL_SPLIT_ID
+    ).persist()
+    batch = keyed.filter(F.col("doc_id") >= INCREMENTAL_SPLIT_ID)
+    m_bits, n_hashes = bloom_params(corpus.count(), BLOOM_TARGET_FPR)
+    bitmap = bloom_build(corpus, "key", m_bits, n_hashes)
+    cand = bloom_probe(bitmap, batch, "key", m_bits, n_hashes).filter(
+        "might_contain"
+    )
+    dups = cand.join(
+        corpus.select("key").distinct(), "key", "left_semi"
+    ).select("doc_id", F.lit(True).alias("is_dup_of_corpus"))
+    return batch.select("doc_id").join(dups, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("is_dup_of_corpus", F.lit(False)).alias(
+            "is_dup_of_corpus"
+        ),
+    )
+
+
 def _minhash_oracle(
     k: int, threshold: float, n_hashes: int = 128, n_bands: int = 16
 ) -> str:
