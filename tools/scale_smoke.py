@@ -55,6 +55,7 @@ QUERIES_UNDER_TEST = [
     "dedup_repeated_spans",
     "dedup_remove_repeated_spans",
     "dedup_semdedup_decision",
+    "dedup_incremental_bloom_prefilter",
     "text_chunk_documents",
     "llm_corpus_prep",
     "text_tfidf_top_terms",
