@@ -21,7 +21,7 @@ the filter
   ``(1 - e^(-kn/m))^k`` rate (envelope pinned in tests).
 
 Scale: the bitmap is ``m/64`` rows. At ingest-dedup sizes (1e9 corpus
-keys, 1%% FPR) that is ~1.2 GB of longs — broadcastable to executors
+keys, 1% FPR) that is ~1.2 GB of longs — broadcastable to executors
 as a map-side prefilter; beyond that the probe join runs as a
 bucket-keyed shuffle join, which is exactly what this representation
 already is. Sizing math in ``bloom_params``.

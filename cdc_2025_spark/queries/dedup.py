@@ -306,8 +306,8 @@ def dedup_incremental_bloom_prefilter(
     verification — so the OUTPUT is exact and the DuckDB oracle is
     the plain corpus-key EXISTS, while the plan carries the 100 TB
     shape: the membership join the brute-force form runs over the
-    whole batch is pruned to the Bloom-positive sliver (at the 1%%
-    sizing, ~dup_count + 1%% of the batch), and the corpus never
+    whole batch is pruned to the Bloom-positive sliver (at the 1%
+    sizing, ~dup_count + 1% of the batch), and the corpus never
     re-shuffles at probe time — the bitmap is the broadcastable
     summary. Filter geometry derives from the corpus count
     (bloom_params; the count is a metadata-only parquet count at
