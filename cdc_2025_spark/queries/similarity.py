@@ -257,8 +257,16 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[tuple]:
     cached = per_session.get(key)
     if cached is None:
         emb = read_table(spark, sf_dir, "embeddings")
+        # numpy assignment backend: exact agreement with the
+        # expression path is pinned (test_kmeans.py), so the cached
+        # quantizer is unchanged — only the build gets the Arrow
+        # matmul speed (the n·k·dim interpreted folds dominated it)
         cents = lloyd_kmeans(
-            emb, k=N_CENTROIDS, n_iter=KMEANS_ITER, init="lowest_id"
+            emb,
+            k=N_CENTROIDS,
+            n_iter=KMEANS_ITER,
+            init="lowest_id",
+            assign="numpy",
         )
         cached = [(r["cid"], r["cemb"]) for r in cents.collect()]
         per_session[key] = cached
