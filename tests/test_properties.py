@@ -296,3 +296,119 @@ def test_png_bmp_codec_agreement(w, h, seed):
     assert png_rgb.shape == (h, w, 3)
     assert np.array_equal(png_rgb, bmp_rgb)
     assert np.array_equal(decode_bmp(_encode_bmp(png_rgb)), png_rgb)
+
+
+@SETTINGS
+@given(
+    n_tokens=st.lists(
+        st.integers(min_value=0, max_value=300), min_size=1, max_size=6
+    )
+)
+def test_chunker_matches_python_model(spark, n_tokens):
+    """text_chunk_documents vs the pure start-rule model: starts are
+    stride-multiples below max(n - overlap, 1), each chunk is the
+    clamped token slice — for arbitrary document lengths including
+    0 (empty text tokenizes to [''], one empty chunk)."""
+    import os
+    import tempfile
+
+    from cdc_2025_spark.queries.text import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        text_chunk_documents,
+    )
+
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(n)), "en", "s", 0)
+        for i, n in enumerate(n_tokens)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {}
+        for r in text_chunk_documents(spark, d).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_start"], r["n_chunk_tokens"], r["chunk_text"])
+            )
+    overlap = CHUNK_SIZE - CHUNK_STRIDE
+    for i, n in enumerate(n_tokens):
+        toks = [f"t{j}" for j in range(n)] or [""]
+        eff = len(toks)
+        want = [
+            (
+                s,
+                min(CHUNK_SIZE, eff - s),
+                " ".join(toks[s : s + CHUNK_SIZE]),
+            )
+            for s in range(0, max(eff - overlap, 1), CHUNK_STRIDE)
+        ]
+        assert sorted(got[i]) == want, (i, n)
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b"]), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_span_removal_matches_python_model(spark, texts):
+    """dedup_remove_repeated_spans vs a sequential python
+    reimplementation of the rule (first occurrence by (doc_id, pos)
+    survives, every other occurrence's k positions are excised) over
+    adversarial two-letter corpora — heavy span collisions,
+    overlapping occurrences, whole-document removals, empty docs."""
+    import os
+    import re
+    import tempfile
+
+    from cdc_2025_spark.queries.dedup import (
+        SPAN_K,
+        SPAN_MIN_DOCS,
+        dedup_remove_repeated_spans,
+    )
+
+    rows = [(i, t, "en", "s", 0) for i, t in enumerate(texts)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+            for r in dedup_remove_repeated_spans(spark, d).collect()
+        }
+
+    toks = {
+        i: re.split(r"\s+", t.strip().lower()) for i, t in enumerate(texts)
+    }
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for i, ts in toks.items():
+        spans = (
+            [(0, " ".join(ts))]
+            if len(ts) <= SPAN_K
+            else [
+                (p, " ".join(ts[p : p + SPAN_K]))
+                for p in range(len(ts) - SPAN_K + 1)
+            ]
+        )
+        for p, s in spans:
+            occ.setdefault(s, []).append((i, p))
+    covered: dict[int, set[int]] = {i: set() for i in toks}
+    for s, places in occ.items():
+        if len({i for i, _ in places}) < SPAN_MIN_DOCS:
+            continue
+        for i, p in sorted(places)[1:]:  # global first survives
+            covered[i].update(range(p, p + SPAN_K))
+    want = {}
+    for i, ts in toks.items():
+        clean = [t for p, t in enumerate(ts) if p not in covered[i]]
+        want[i] = (len(ts), len(ts) - len(clean), " ".join(clean))
+    assert got == want
