@@ -104,6 +104,25 @@ def bloom_build(
     )
 
 
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union filter of two bitmaps BUILT WITH THE SAME GEOMETRY:
+    per-bucket bit_or via a full-outer join (missing buckets are
+    all-zero). This is the incremental-maintenance path — stream in a
+    new batch, build its small bitmap, OR it into the store; never
+    rebuild over the corpus. Equality with the rebuilt-union filter
+    is pinned in tests/test_bloom.py."""
+    aa = a.select(F.col("bucket"), F.col("bits").alias("_ba"))
+    bb = b.select(F.col("bucket"), F.col("bits").alias("_bb"))
+    return aa.join(bb, "bucket", "full_outer").select(
+        "bucket",
+        (
+            F.coalesce("_ba", F.lit(0)).bitwiseOR(
+                F.coalesce("_bb", F.lit(0))
+            )
+        ).alias("bits"),
+    )
+
+
 def bloom_probe(
     bitmap: DataFrame,
     queries: DataFrame,

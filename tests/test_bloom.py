@@ -69,6 +69,17 @@ def test_bitmap_merges_by_bit_or(spark):
     for bucket, bits in bm_b.items():
         merged[bucket] = merged.get(bucket, 0) | bits
     assert merged == combined
+    # and the DataFrame-native merge (the streaming-maintenance path)
+    # produces the identical bitmap
+    from cdc_2025_spark.dedup.bloom import bloom_merge
+
+    df_merged = {
+        r["bucket"]: r["bits"]
+        for r in bloom_merge(
+            bloom_build(a, "key", m, k), bloom_build(b, "key", m, k)
+        ).collect()
+    }
+    assert df_merged == combined
 
 
 def test_geometry_guard():

@@ -313,3 +313,13 @@ def test_semdedup_pair_join_is_cell_keyed(spark, sf_dir):
         or "ShuffledHashJoin" in p
         or "BroadcastHashJoin" in p
     )
+
+
+def test_bloom_prefilter_plan_broadcasts_the_bitmap(spark, sf_dir):
+    """The prefilter's membership probe must join against the
+    broadcast bitmap (m/64 longs) — never a cartesian, and the corpus
+    side never re-shuffles through a nested loop."""
+    p = plan_of(spark, sf_dir, "dedup_incremental_bloom_prefilter")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
