@@ -130,12 +130,16 @@ def bloom_probe(
     m_bits: int = 1 << 20,
     n_hashes: int = 7,
     seed: int = 42,
+    broadcast_bitmap: bool = True,
 ) -> DataFrame:
     """``queries`` + ``might_contain`` boolean: true iff ALL k probe
     bits are set (no false negatives by construction; false positives
     at the sizing rate). The bitmap side of the join is m/64 rows —
-    broadcast it when it fits, or let AQE pick the bucket-keyed
-    shuffle join. Geometry (m_bits, n_hashes, seed) must match the
+    the default broadcast hint is right whenever it fits executor
+    memory (up to ~1e9 keys at 1% FPR); pass
+    ``broadcast_bitmap=False`` for filters beyond broadcast size and
+    the probe becomes a plain bucket-keyed equi-join (AQE picks the
+    strategy). Geometry (m_bits, n_hashes, seed) must match the
     build — a mismatch silently probes the wrong bits, so pass the
     same values, not "close" ones."""
     probes = _positions(
@@ -152,8 +156,9 @@ def bloom_probe(
             != F.lit(0)
         )
     )
+    build_side = F.broadcast(bitmap) if broadcast_bitmap else bitmap
     verdicts = (
-        probes.join(F.broadcast(bitmap), "bucket", "left")
+        probes.join(build_side, "bucket", "left")
         .groupBy("_k")
         .agg(F.min(hit.cast("int")).alias("_all_hit"))
         .select(

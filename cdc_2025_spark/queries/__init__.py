@@ -49,12 +49,14 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
 #   2. The 14 queries whose newest green is round 4 — the r6 window's
 #      natural tail of _R4_GREEN.
 #   3. The oldest r5-green queries, in their r5 check order, filling
-#      the window: 9 + 14 + 27 = 50 (cuts inside _R5_GREEN after
-#      sample_hash_deterministic). The r5-green entries past the cut
-#      lead round 8 — their newest green (r5) is exactly 2 rounds old
-#      at r7, the freshness bound test_registry_freshness.py enforces
-#      mechanically (it reads the real first-50 window, so this
-#      comment can no longer silently drift).
+#      the remaining window slots; the cut falls wherever
+#      len(_CHANGED_R7) + len(_R4_TAIL) leaves it (deliberately not
+#      named here — a previous revision of this comment misnamed the
+#      cut entry on the day it claimed the arithmetic could no longer
+#      drift). The authoritative statement is mechanical:
+#      test_registry_freshness.py reads the REAL first-50 window and
+#      asserts every query outside it holds a green row no older
+#      than 2 rounds; entries past the cut lead round 8.
 _CHANGED_R7 = [
     "dedup_embedding_neardup",       # budget gate + oracle e CTE
     "sim_lsh_auto_pairs",            # NEW in r7: never driver-checked
@@ -65,6 +67,7 @@ _CHANGED_R7 = [
     "text_chunk_documents",          # NEW in r7: never driver-checked
     "dedup_incremental_bloom_prefilter",  # NEW in r7: never checked
     "dedup_embedding_neardup_lsh",   # CC loop changed in r7: recheck
+    "sim_ivf_topk",                  # quantizer backend swap: recheck
 ]
 
 # newest green is round 4 (CORRECTNESS_r04.json) — front of the line
@@ -78,7 +81,8 @@ _R4_TAIL = [
     "q12_priority_by_linestatus",
 ]
 
-# newest green is round 5; first 32 (r5 check order) fill the window
+# newest green is round 5, in r5 check order; the leading entries
+# fill the window up to the 50 cut, the rest lead round 8
 _R5_GREEN = [
     "text_tfidf_top_terms", "sql_api_lateral_explode",
     "window_ntile_spend_quartiles", "dedup_simhash_pairs",

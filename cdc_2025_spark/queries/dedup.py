@@ -309,9 +309,12 @@ def dedup_incremental_bloom_prefilter(
     whole batch is pruned to the Bloom-positive sliver (at the 1%
     sizing, ~dup_count + 1% of the batch), and the corpus never
     re-shuffles at probe time — the bitmap is the broadcastable
-    summary. Filter geometry derives from the corpus count
-    (bloom_params; the count is a metadata-only parquet count at
-    plan construction, same posture as lsh_pairs_auto)."""
+    summary (bloom_probe takes ``broadcast_bitmap=False`` for
+    beyond-broadcast filter sizes). Filter geometry derives from the
+    corpus count at plan construction — here one single-column
+    count(doc_id < split) over the parquet scan (no keys are hashed
+    for it); deployments that know their corpus size pass it to
+    bloom_params directly, the lsh_pairs_auto posture."""
     from cdc_2025_spark.dedup.bloom import (
         bloom_build,
         bloom_params,
@@ -320,11 +323,14 @@ def dedup_incremental_bloom_prefilter(
 
     docs = read_table(spark, sf_dir, "documents")
     keyed = docs.select("doc_id", vocab_key("text").alias("key"))
-    corpus = keyed.filter(
-        F.col("doc_id") < INCREMENTAL_SPLIT_ID
-    ).persist()
+    corpus = keyed.filter(F.col("doc_id") < INCREMENTAL_SPLIT_ID)
     batch = keyed.filter(F.col("doc_id") >= INCREMENTAL_SPLIT_ID)
-    m_bits, n_hashes = bloom_params(corpus.count(), BLOOM_TARGET_FPR)
+    n_corpus = (
+        docs.filter(F.col("doc_id") < INCREMENTAL_SPLIT_ID)
+        .select("doc_id")
+        .count()
+    )
+    m_bits, n_hashes = bloom_params(n_corpus, BLOOM_TARGET_FPR)
     bitmap = bloom_build(corpus, "key", m_bits, n_hashes)
     cand = bloom_probe(bitmap, batch, "key", m_bits, n_hashes).filter(
         "might_contain"
@@ -805,6 +811,13 @@ def semdedup(
         assigned = assign_cells_np(emb, cent_rows)
     else:
         assigned = assign_cells(emb, lit_cents)
+    # lazy localCheckpoint, not persist: the frame is reused by four
+    # subtrees (both pair-join sides, the keep-rule join, the final
+    # decision select) within THIS plan only — checkpoint blocks are
+    # released by the ContextCleaner once the returned DataFrame is
+    # garbage-collected, where a CacheManager persist would pin
+    # corpus-sized storage for the session lifetime (no unpersist
+    # hook exists for a lazily-executed return value).
     withc = (
         assigned.join(
             F.broadcast(lit_cents), assigned.cell == lit_cents.cid
@@ -818,7 +831,7 @@ def semdedup(
             ),
             norm("emb").alias("nrm"),
         )
-        .persist()
+        .localCheckpoint(eager=False)
     )
     a = withc.select(
         "cell",

@@ -101,12 +101,18 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             real_jpeg.withColumn("media_id", F.col("media_id") + _JPEG_BAND)
         )
-        # one row per task: the pure-Python baseline-JPEG entropy
-        # decode is seconds-per-image (the documented slow path), so
-        # the 24 container payloads must keep per-IMAGE parallelism —
-        # coalescing this union was measured to serialize the JPEGs
-        # onto one straggler task (~5 s slower). 24 tasks, not the
-        # union's raw 96 mostly-empty ones.
+        # spread the 24 container payloads across 24 tasks so the
+        # pure-Python baseline-JPEG decode (the documented slow path)
+        # keeps per-image parallelism — coalescing this union was
+        # measured to serialize the JPEGs onto one straggler task
+        # (~5 s slower). Round-robin is APPROXIMATE isolation: each
+        # input partition starts at its own offset, so a task can
+        # carry 2-4 rows while others sit empty. The exact
+        # alternative (repartitionByRange(24, "media_id"), perfect
+        # 1-row-per-task) was tried and measured SLOWER steady-state
+        # (3.0 -> 5.5 s): its range-boundary sampling pass
+        # re-evaluates the payload-encode union per action, costing
+        # more than the collisions it removes at this row count.
         .repartition(24)
     )
     per_container = (
