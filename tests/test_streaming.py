@@ -872,3 +872,62 @@ def test_stream_static_binned_interval_join_matches_batch(
     }
     # stateless join, no watermark holdback: exact equality
     assert got == want and len(got) > 0
+
+
+def test_streaming_bloom_bitmap_maintenance(spark, tmpdir):
+    """The Bloom bitmap's incremental story under Structured
+    Streaming: each microbatch builds its own small bitmap and
+    bit_or-merges it into the store (foreachBatch) — after the stream
+    drains, the maintained bitmap must equal the bitmap built over
+    the full key set in one batch, bit for bit (so probes, FPR, and
+    the no-false-negative guarantee are identical to a rebuild)."""
+    from cdc_2025_spark.dedup.bloom import bloom_build, bloom_params
+
+    src = os.path.join(tmpdir, "bloom_keys")
+    os.makedirs(src)
+    all_keys = [f"key{i}" for i in range(600)]
+    for b in range(3):
+        spark.createDataFrame(
+            [(k,) for k in all_keys[b * 200 : (b + 1) * 200]],
+            "key string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"b{b}")
+        )
+    flat = os.path.join(tmpdir, "bloom_flat")
+    os.makedirs(flat)
+    for b in range(3):
+        d = os.path.join(src, f"b{b}")
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(d, f), os.path.join(flat, f"{b}-{f}")
+                )
+
+    m, k = bloom_params(600, 0.01)
+    store: dict[int, int] = {}
+
+    def absorb(batch_df, batch_id):
+        for r in bloom_build(batch_df, "key", m, k).collect():
+            store[r["bucket"]] = store.get(r["bucket"], 0) | r["bits"]
+
+    stream = spark.readStream.schema("key string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(flat)
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", os.path.join(tmpdir, "bloom_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    full = {
+        r["bucket"]: r["bits"]
+        for r in bloom_build(
+            spark.createDataFrame([(x,) for x in all_keys], "key string"),
+            "key",
+            m,
+            k,
+        ).collect()
+    }
+    assert store == full and len(store) > 0
