@@ -78,6 +78,7 @@ HEADLINE = [
     "dedup_semdedup_decision",
     "text_chunk_documents",
     "dedup_incremental_bloom_prefilter",
+    "text_bigram_perplexity",
 ]
 
 

@@ -9,7 +9,7 @@ instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_2025_spark.functions.text import (
@@ -572,5 +572,122 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").cast("long").alias("chunk_start"),
             F.size(chunk).cast("long").alias("n_chunk_tokens"),
             F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+@query(
+    "text_bigram_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS ws
+            FROM documents),
+           unnest([i for i in range(1, len(ws) + 1)]) AS r(i)
+    ),
+    bg AS (
+      SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    cnt_bg AS (
+      SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY w1, w2
+    ),
+    cnt_w1 AS (
+      SELECT w1, COUNT(*) AS c_w1 FROM bg GROUP BY w1
+    ),
+    v AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+    scored AS (
+      SELECT bg.doc_id,
+             ln((cnt_w1.c_w1 + v.v) * 1.0 / (cnt_bg.c_bg + 1)) AS nll
+      FROM bg
+      JOIN cnt_bg ON bg.w1 = cnt_bg.w1 AND bg.w2 = cnt_bg.w2
+      JOIN cnt_w1 ON bg.w1 = cnt_w1.w1
+      CROSS JOIN v
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             ROUND(AVG(nll), 4) AS avg_nll,
+             ROUND(EXP(AVG(nll)), 4) AS perplexity
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           agg.avg_nll, agg.perplexity
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM perplexity per document — the CCNet-style quality
+    signal (Wenzek et al., "CCNet: Extracting High Quality
+    Monolingual Datasets from Web Crawl Data", LREC 2020 filters on
+    LM perplexity; this is its transparent in-corpus analogue): an
+    add-1-smoothed bigram MLE model is trained ON the corpus in one
+    aggregate pass, and every document is scored by its average
+    negative log-likelihood, perplexity = exp(avg_nll). Documents
+    whose phrasing the corpus has seen before (boilerplate, templated
+    text) score LOW; out-of-distribution token soup scores HIGH —
+    both tails are the standard cut candidates.
+
+    Shape, built to scale: token/bigram construction is the codegen'd
+    posexplode + window-lead pipeline; bigram and context counts are
+    two grouped aggregates SHUFFLED ON xxhash64 8-byte keys (the
+    repeated-spans trade: a 64-bit collision merges two bigrams'
+    counts — birthday-bounded, string-group equality pinned on the
+    fixture in tests); scoring re-joins occurrences to the two count
+    tables on the same hash keys (map-side partial aggregation both
+    times, no broadcast of corpus-sized state); the vocabulary size
+    is one scalar crossJoin. NULL metrics for docs with < 2 tokens
+    (no bigrams — nothing to score, mirrored by the oracle's left
+    join)."""
+    from cdc_2025_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .withColumn("bg_h", F.xxhash64("w1", "w2"))
+        .withColumn("w1_h", F.xxhash64("w1"))
+    )
+    cnt_bg = bg.groupBy("bg_h").agg(F.count("*").alias("c_bg"))
+    cnt_w1 = bg.groupBy("w1_h").agg(F.count("*").alias("c_w1"))
+    v = toks.agg(F.countDistinct("tok").alias("v"))
+    scored = (
+        bg.join(cnt_bg, "bg_h")
+        .join(cnt_w1, "w1_h")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("c_w1") + F.col("v"))
+                / (F.col("c_bg") + F.lit(1))
+            ).alias("nll"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("nll"), 4).alias("avg_nll"),
+        F.round(F.exp(F.avg("nll")), 4).alias("perplexity"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0))
+            .cast("long")
+            .alias("n_bigrams"),
+            "avg_nll",
+            "perplexity",
         )
     )

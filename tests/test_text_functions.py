@@ -264,3 +264,42 @@ def test_chunk_documents_edge_cases(spark):
     for s, n, _ in out[4]:
         covered.update(range(s, s + n))
     assert covered == set(range(n_long))  # every token in >= 1 chunk
+
+
+def test_bigram_perplexity_literal_model(spark):
+    """Hand-computed add-1 bigram LM on a three-doc corpus:
+    C(a,b)=3, C(b,a)=1, C(b,x)=1; contexts C(a)=3, C(b)=2; V=4
+    (a, b, x, solo). P(w2|w1) = (C(w1,w2)+1)/(C(w1)+V); doc scores
+    are exp(mean negative log-likelihood). A 1-token doc has no
+    bigrams -> n_bigrams=0 with NULL metrics."""
+    import math
+    import os
+    import tempfile
+
+    from cdc_2025_spark.queries.text import text_bigram_perplexity
+
+    rows = [
+        (1, "a b a b", "en", "s", 7),
+        (2, "a b x", "en", "s", 5),
+        (3, "solo", "en", "s", 4),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_nll"], r["perplexity"])
+            for r in text_bigram_perplexity(spark, d).collect()
+        }
+    nll_ab = math.log((3 + 4) / (3 + 1))  # P(b|a) = 4/7
+    nll_ba = math.log((2 + 4) / (1 + 1))  # P(a|b) = 1/3
+    nll_bx = math.log((2 + 4) / (1 + 1))  # P(x|b) = 1/3
+    d1 = (2 * nll_ab + nll_ba) / 3
+    d2 = (nll_ab + nll_bx) / 2
+    assert got[1] == (3, round(d1, 4), round(math.exp(d1), 4))
+    assert got[2] == (2, round(d2, 4), round(math.exp(d2), 4))
+    assert got[3] == (0, None, None)
+    # the repeated phrase scores LOWER perplexity than the novel one
+    assert got[1][2] < got[2][2]
