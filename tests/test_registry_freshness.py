@@ -81,3 +81,29 @@ def test_every_query_fresh_within_two_rounds_after_this_window():
         f"never-checked queries outside the window: "
         f"{[n for n in never_checked if n not in window]}"
     )
+
+
+def test_operators_roster_matches_registry():
+    """The OPERATORS.md appendix roster must list exactly the
+    registered queries in registry order with correct oracle flags —
+    regenerate it when adding operators (same mechanical-guard ethos
+    as the window test above)."""
+    import re as _re
+
+    from cdc_2025_spark.queries import ORACLES, QUERIES
+
+    text = (REPO / "OPERATORS.md").read_text()
+    rows = _re.findall(
+        r"^\| (\d+) \| `([a-z0-9_]+)` \| (yes|rows-only) \|$",
+        text,
+        _re.MULTILINE,
+    )
+    listed = [(int(i), n, o) for i, n, o in rows]
+    want = [
+        (i, n, "yes" if n in ORACLES else "rows-only")
+        for i, n in enumerate(QUERIES, 1)
+    ]
+    assert listed == want, (
+        "OPERATORS.md roster out of sync with the registry — "
+        "regenerate the appendix"
+    )
