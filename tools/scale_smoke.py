@@ -57,6 +57,7 @@ QUERIES_UNDER_TEST = [
     "dedup_semdedup_decision",
     "dedup_incremental_bloom_prefilter",
     "text_chunk_documents",
+    "text_bigram_perplexity",
     "llm_corpus_prep",
     "text_tfidf_top_terms",
     "sim_lsh_bucketed_pairs",
