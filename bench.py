@@ -79,6 +79,7 @@ HEADLINE = [
     "text_chunk_documents",
     "dedup_incremental_bloom_prefilter",
     "text_bigram_perplexity",
+    "sketch_cms_heavy_terms",
 ]
 
 

@@ -1,0 +1,104 @@
+"""Count-min sketch as a (row, col, cnt) DataFrame — the mergeable
+frequency summary for heavy-hitter queries over unbounded key
+domains (Cormode & Muthukrishnan, "An improved data stream summary:
+the count-min sketch and its applications", J. Algorithms 2005 —
+public).
+
+Probe positions use the same Kirsch-Mitzenmacher double-hashing over
+the two md5 halves the MinHash ``md5_km`` family uses
+(dedup/minhash.py): pos_i(key) = (hi + i·lo) mod width, with
+hi/lo the first/second 8 hex chars of md5(key) — deliberately
+engine-portable so a DuckDB oracle can rebuild the identical table
+cell for cell. hi, lo < 2^32 and i < depth, so every intermediate
+stays far inside a signed long under ANSI arithmetic.
+
+Why a DataFrame table instead of Spark's builtin
+``count_min_sketch`` aggregate: the builtin returns an opaque binary
+blob that PySpark has no function to QUERY, and its murmur-based
+layout has no cross-engine twin. This representation keeps the
+sketch queryable with a join, mergeable with a grouped SUM (pinned
+in tests/test_cms.py), and oracle-checkable — while still being ONE
+aggregate over the stream with map-side partials: the shuffle
+carries at most depth·width cells per partition regardless of input
+size, exactly the property that makes sketches worth using at
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def _probe_cols(key: str, depth: int, width: int):
+    """(row, col) probe expressions for ``key`` (a column name)."""
+    hi = f"cast(conv(substring(md5({key}), 1, 8), 16, 10) as bigint)"
+    lo = f"cast(conv(substring(md5({key}), 9, 8), 16, 10) as bigint)"
+    return [
+        F.expr(f"stack({depth}, "
+               + ", ".join(
+                   f"{i}, pmod({hi} + {i} * {lo}, {width})"
+                   for i in range(depth)
+               )
+               + ") AS (row, col)")
+    ]
+
+
+def cms_table(
+    items: DataFrame,
+    key_col: str = "key",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(row, col, cnt) — the count-min table over every row of
+    ``items`` (one increment per input ROW, so pre-aggregate first if
+    you want per-distinct-key counts). One stack-explode + one
+    grouped count; the result is at most depth·width cells."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    probes = items.select(
+        F.col(key_col).alias("_k")
+    ).select(*_probe_cols("_k", depth, width))
+    return probes.groupBy("row", "col").agg(F.count("*").alias("cnt"))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Sketch of the concatenated streams: cell-wise sum (same
+    geometry required). The incremental-maintenance path — absorb a
+    new batch's small table into the store, never re-scan history."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    table: DataFrame,
+    queries: DataFrame,
+    key_col: str = "key",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """``queries`` (distinct keys) + ``cms_n``: the count-min
+    estimate min over rows of the key's cell — an OVERESTIMATE of
+    the true count, never an under-estimate (pinned in tests). Keys
+    whose cells are absent (never inserted, empty cell) estimate 0.
+    The table side is at most depth·width rows — broadcast it."""
+    probes = queries.select(F.col(key_col).alias("_k")).distinct().select(
+        "_k", *_probe_cols("_k", depth, width)
+    )
+    est = (
+        probes.join(F.broadcast(table), ["row", "col"], "left")
+        .groupBy("_k")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_n"))
+    )
+    return queries.join(
+        est, queries[key_col] == est._k, "left"
+    ).select(
+        *[queries[c] for c in queries.columns],
+        F.coalesce("cms_n", F.lit(0)).alias("cms_n"),
+    )

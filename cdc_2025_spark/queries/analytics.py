@@ -664,3 +664,87 @@ def window_ntile_spend_quartiles(
         F.round(F.sum("total_spend"), 4).alias("quartile_spend"),
         F.round(F.min("total_spend"), 4).alias("floor_spend"),
     )
+
+
+CMS_TOP_K = 20
+
+
+def _cms_oracle() -> str:
+    from cdc_2025_spark.functions.cms import CMS_DEPTH, CMS_WIDTH
+
+    return f"""
+    WITH toks AS (
+      SELECT ws[i] AS tok
+      FROM (SELECT string_split_regex(trim(lower(text)), '\\s+') AS ws
+            FROM documents),
+           unnest([i for i in range(1, len(ws) + 1)]) AS r(i)
+    ),
+    h AS (
+      SELECT tok,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+             CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+      FROM (SELECT DISTINCT tok FROM toks)
+    ),
+    cells AS (
+      SELECT r.i AS row, (h.hi + r.i * h.lo) % {CMS_WIDTH} AS col,
+             COUNT(*) AS cnt
+      FROM toks t JOIN h ON t.tok = h.tok,
+           unnest([i for i in range(0, {CMS_DEPTH})]) AS r(i)
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT tok, COUNT(*) AS exact_n FROM toks GROUP BY tok
+      ORDER BY exact_n DESC, tok LIMIT {CMS_TOP_K}
+    ),
+    probes AS (
+      SELECT top.tok, top.exact_n, r.i AS row,
+             (h.hi + r.i * h.lo) % {CMS_WIDTH} AS col
+      FROM top JOIN h USING (tok),
+           unnest([i for i in range(0, {CMS_DEPTH})]) AS r(i)
+    )
+    SELECT p.tok AS term,
+           CAST(p.exact_n AS BIGINT) AS exact_n,
+           CAST(MIN(c.cnt) AS BIGINT) AS cms_n
+    FROM probes p JOIN cells c ON p.row = c.row AND p.col = c.col
+    GROUP BY 1, 2
+    """
+
+
+@query("sketch_cms_heavy_terms", oracle=_cms_oracle())
+def sketch_cms_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with a COUNT-MIN estimate beside the exact count:
+    the corpus's top-{CMS_TOP_K} tokens (exact count desc, term asc)
+    with the frequency each one reads out of a depth-4 x width-64
+    count-min sketch (functions/cms.py — Cormode-Muthukrishnan, md5
+    Kirsch-Mitzenmacher probes so the DuckDB oracle rebuilds the
+    SAME table cell for cell).
+
+    Why both numbers: cms_n >= exact_n always (one-sided error — the
+    structural CMS guarantee, also pinned in tests/test_cms.py), and
+    the visible gap on a deliberately narrow 64-column sketch IS the
+    collision error the width knob trades against memory. At corpus
+    scale the exact side of this query is the expensive one
+    (distinct-term aggregate); the sketch side stays depth·width
+    cells with map-side partials no matter how many tokens stream
+    through — the operator a 100 TB pipeline keeps when it drops the
+    exact pass.
+    """
+    from cdc_2025_spark.functions.cms import cms_estimate, cms_table
+    from cdc_2025_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "tok")
+        .limit(CMS_TOP_K)
+    )
+    table = cms_table(toks, "tok")
+    return cms_estimate(table, top, "tok").select(
+        F.col("tok").alias("term"),
+        F.col("exact_n").cast("long").alias("exact_n"),
+        F.col("cms_n").cast("long").alias("cms_n"),
+    )

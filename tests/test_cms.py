@@ -1,0 +1,106 @@
+"""Count-min sketch: one-sided error, merge equality, exactness at
+ample width, zero for absent keys, and the geometry guard."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_2025_spark.functions.cms import (
+    cms_estimate,
+    cms_merge,
+    cms_table,
+)
+
+
+def _stream(spark, spec: dict[str, int]):
+    rows = [(k,) for k, n in spec.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "key string")
+
+
+def test_overestimate_only_and_exact_when_wide(spark):
+    """Estimates never undercount (structural CMS guarantee); with
+    width >> distinct keys, collisions vanish and every estimate is
+    exact."""
+    spec = {f"k{i}": (i % 7) + 1 for i in range(50)}
+    stream = _stream(spark, spec)
+    keys = spark.createDataFrame([(k,) for k in spec], "key string")
+
+    narrow = cms_table(stream, width=8)
+    est_narrow = {
+        r["key"]: r["cms_n"]
+        for r in cms_estimate(narrow, keys, width=8).collect()
+    }
+    assert all(est_narrow[k] >= n for k, n in spec.items())
+    assert any(est_narrow[k] > n for k, n in spec.items())  # collisions real
+
+    wide = cms_table(stream, width=4096)
+    est_wide = {
+        r["key"]: r["cms_n"]
+        for r in cms_estimate(wide, keys, width=4096).collect()
+    }
+    assert est_wide == spec
+
+
+def test_merge_equals_rebuild(spark):
+    """cms_merge(sketch(A), sketch(B)) must equal sketch(A ++ B) cell
+    for cell — the incremental-maintenance contract."""
+    a = _stream(spark, {f"a{i}": i + 1 for i in range(20)})
+    b = _stream(spark, {f"a{i}": 2 for i in range(10, 30)})
+    combined = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in cms_table(a.unionByName(b)).collect()
+    }
+    merged = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in cms_merge(cms_table(a), cms_table(b)).collect()
+    }
+    assert merged == combined and len(merged) > 0
+
+
+def test_absent_key_estimates_zero_or_collision(spark):
+    """A key never inserted estimates 0 unless EVERY one of its cells
+    collides with inserted keys — at ample width, exactly 0."""
+    stream = _stream(spark, {"present": 5})
+    probe = spark.createDataFrame([("absent",)], "key string")
+    table = cms_table(stream, width=4096)
+    est = cms_estimate(table, probe, width=4096).collect()[0]["cms_n"]
+    assert est == 0
+
+
+def test_geometry_guard(spark):
+    stream = _stream(spark, {"x": 1})
+    with pytest.raises(ValueError, match="depth/width"):
+        cms_table(stream, depth=0)
+
+
+def test_heavy_terms_query_against_python_model(spark, sf_dir):
+    """The registered query's exact side must equal a Python Counter
+    over the same tokenization, and every sketch readout bounds its
+    exact count from above."""
+    from cdc_2025_spark.io import read_table
+    from cdc_2025_spark.queries.analytics import (
+        CMS_TOP_K,
+        sketch_cms_heavy_terms,
+    )
+
+    got = sketch_cms_heavy_terms(spark, sf_dir).collect()
+    assert len(got) == CMS_TOP_K
+    texts = [
+        r["text"]
+        for r in read_table(spark, sf_dir, "documents").collect()
+    ]
+    import re
+
+    counts = Counter(
+        t for x in texts for t in re.split(r"\s+", x.strip().lower())
+    )
+    want_top = sorted(
+        counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:CMS_TOP_K]
+    assert sorted((r["term"], r["exact_n"]) for r in got) == sorted(
+        want_top
+    )
+    assert all(r["cms_n"] >= r["exact_n"] for r in got)
