@@ -26,11 +26,27 @@ size, exactly the property that makes sketches worth using at
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 CMS_DEPTH = 4
 CMS_WIDTH = 64
+
+
+class CmsSketch(NamedTuple):
+    """A count-min table WITH its geometry. The probe positions are a
+    function of (depth, width), so estimating or merging with the
+    wrong geometry silently probes the wrong cells — which can
+    UNDERcount and break the one-sided-error guarantee. Carrying the
+    geometry in the handle makes that mismatch unrepresentable:
+    estimates always use the table's own (depth, width), and merge
+    refuses mismatched sketches."""
+
+    table: DataFrame
+    depth: int
+    width: int
 
 
 def _probe_cols(key: str, depth: int, width: int):
@@ -52,47 +68,61 @@ def cms_table(
     key_col: str = "key",
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
-) -> DataFrame:
-    """(row, col, cnt) — the count-min table over every row of
-    ``items`` (one increment per input ROW, so pre-aggregate first if
-    you want per-distinct-key counts). One stack-explode + one
-    grouped count; the result is at most depth·width cells."""
+) -> CmsSketch:
+    """CmsSketch whose table is (row, col, cnt) — the count-min table
+    over every row of ``items`` (one increment per input ROW, so
+    pre-aggregate first if you want per-distinct-key counts). One
+    stack-explode + one grouped count; the result is at most
+    depth·width cells."""
     if depth < 1 or width < 1:
         raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
     probes = items.select(
         F.col(key_col).alias("_k")
     ).select(*_probe_cols("_k", depth, width))
-    return probes.groupBy("row", "col").agg(F.count("*").alias("cnt"))
+    return CmsSketch(
+        probes.groupBy("row", "col").agg(F.count("*").alias("cnt")),
+        depth,
+        width,
+    )
 
 
-def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Sketch of the concatenated streams: cell-wise sum (same
-    geometry required). The incremental-maintenance path — absorb a
-    new batch's small table into the store, never re-scan history."""
-    return (
-        a.unionByName(b)
+def cms_merge(a: CmsSketch, b: CmsSketch) -> CmsSketch:
+    """Sketch of the concatenated streams: cell-wise sum. The
+    incremental-maintenance path — absorb a new batch's small table
+    into the store, never re-scan history. Raises on geometry
+    mismatch (summing differently-hashed tables is meaningless)."""
+    if (a.depth, a.width) != (b.depth, b.width):
+        raise ValueError(
+            f"geometry mismatch: {a.depth}x{a.width} vs "
+            f"{b.depth}x{b.width} — sketches merge only with "
+            "identical (depth, width)"
+        )
+    return CmsSketch(
+        a.table.unionByName(b.table)
         .groupBy("row", "col")
-        .agg(F.sum("cnt").alias("cnt"))
+        .agg(F.sum("cnt").alias("cnt")),
+        a.depth,
+        a.width,
     )
 
 
 def cms_estimate(
-    table: DataFrame,
+    sketch: CmsSketch,
     queries: DataFrame,
     key_col: str = "key",
-    depth: int = CMS_DEPTH,
-    width: int = CMS_WIDTH,
 ) -> DataFrame:
     """``queries`` (distinct keys) + ``cms_n``: the count-min
     estimate min over rows of the key's cell — an OVERESTIMATE of
     the true count, never an under-estimate (pinned in tests). Keys
     whose cells are absent (never inserted, empty cell) estimate 0.
-    The table side is at most depth·width rows — broadcast it."""
+    Probe geometry comes from the sketch handle itself, so it cannot
+    disagree with the table. The table side is at most depth·width
+    rows — broadcast it."""
     probes = queries.select(F.col(key_col).alias("_k")).distinct().select(
-        "_k", *_probe_cols("_k", depth, width)
+        "_k", *_probe_cols("_k", sketch.depth, sketch.width)
     )
     est = (
-        probes.join(F.broadcast(table), ["row", "col"], "left")
+        probes.join(F.broadcast(sketch.table), ["row", "col"], "left")
         .groupBy("_k")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_n"))
     )

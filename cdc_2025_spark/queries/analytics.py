@@ -713,7 +713,7 @@ def _cms_oracle() -> str:
 @query("sketch_cms_heavy_terms", oracle=_cms_oracle())
 def sketch_cms_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters with a COUNT-MIN estimate beside the exact count:
-    the corpus's top-{CMS_TOP_K} tokens (exact count desc, term asc)
+    the corpus's top-20 tokens (exact count desc, term asc)
     with the frequency each one reads out of a depth-4 x width-64
     count-min sketch (functions/cms.py — Cormode-Muthukrishnan, md5
     Kirsch-Mitzenmacher probes so the DuckDB oracle rebuilds the
@@ -727,7 +727,10 @@ def sketch_cms_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distinct-term aggregate); the sketch side stays depth·width
     cells with map-side partials no matter how many tokens stream
     through — the operator a 100 TB pipeline keeps when it drops the
-    exact pass.
+    exact pass. The two branches deliberately scan the source twice
+    (no checkpoint of the exploded tokens): materializing a
+    corpus-sized token explode costs more than a second scan-bound
+    pass, and at deploy only the sketch branch runs at all.
     """
     from cdc_2025_spark.functions.cms import cms_estimate, cms_table
     from cdc_2025_spark.functions.text import tokens
@@ -742,8 +745,8 @@ def sketch_cms_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("exact_n").desc(), "tok")
         .limit(CMS_TOP_K)
     )
-    table = cms_table(toks, "tok")
-    return cms_estimate(table, top, "tok").select(
+    sketch = cms_table(toks, "tok")
+    return cms_estimate(sketch, top, "tok").select(
         F.col("tok").alias("term"),
         F.col("exact_n").cast("long").alias("exact_n"),
         F.col("cms_n").cast("long").alias("cms_n"),

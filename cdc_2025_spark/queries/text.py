@@ -649,6 +649,11 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "tok"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
+    # lazy localCheckpoint: the bigram frame feeds THREE subtrees of
+    # this one plan (both count aggregates and the scoring re-join) —
+    # without it the tokenize + per-doc window executes three times
+    # per action. Blocks release when the returned plan is GC'd
+    # (the persist-vs-checkpoint note in .claude/skills/verify).
     bg = (
         toks.select(
             "doc_id",
@@ -658,6 +663,7 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w2").isNotNull())
         .withColumn("bg_h", F.xxhash64("w1", "w2"))
         .withColumn("w1_h", F.xxhash64("w1"))
+        .localCheckpoint(eager=False)
     )
     cnt_bg = bg.groupBy("bg_h").agg(F.count("*").alias("c_bg"))
     cnt_w1 = bg.groupBy("w1_h").agg(F.count("*").alias("c_w1"))

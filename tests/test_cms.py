@@ -31,7 +31,7 @@ def test_overestimate_only_and_exact_when_wide(spark):
     narrow = cms_table(stream, width=8)
     est_narrow = {
         r["key"]: r["cms_n"]
-        for r in cms_estimate(narrow, keys, width=8).collect()
+        for r in cms_estimate(narrow, keys).collect()
     }
     assert all(est_narrow[k] >= n for k, n in spec.items())
     assert any(est_narrow[k] > n for k, n in spec.items())  # collisions real
@@ -39,7 +39,7 @@ def test_overestimate_only_and_exact_when_wide(spark):
     wide = cms_table(stream, width=4096)
     est_wide = {
         r["key"]: r["cms_n"]
-        for r in cms_estimate(wide, keys, width=4096).collect()
+        for r in cms_estimate(wide, keys).collect()
     }
     assert est_wide == spec
 
@@ -51,13 +51,17 @@ def test_merge_equals_rebuild(spark):
     b = _stream(spark, {f"a{i}": 2 for i in range(10, 30)})
     combined = {
         (r["row"], r["col"]): r["cnt"]
-        for r in cms_table(a.unionByName(b)).collect()
+        for r in cms_table(a.unionByName(b)).table.collect()
     }
     merged = {
         (r["row"], r["col"]): r["cnt"]
-        for r in cms_merge(cms_table(a), cms_table(b)).collect()
+        for r in cms_merge(cms_table(a), cms_table(b)).table.collect()
     }
     assert merged == combined and len(merged) > 0
+    # mismatched geometries must refuse to merge (summing
+    # differently-hashed tables would silently corrupt estimates)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        cms_merge(cms_table(a, width=64), cms_table(b, width=128))
 
 
 def test_absent_key_estimates_zero_or_collision(spark):
@@ -65,8 +69,8 @@ def test_absent_key_estimates_zero_or_collision(spark):
     collides with inserted keys — at ample width, exactly 0."""
     stream = _stream(spark, {"present": 5})
     probe = spark.createDataFrame([("absent",)], "key string")
-    table = cms_table(stream, width=4096)
-    est = cms_estimate(table, probe, width=4096).collect()[0]["cms_n"]
+    sketch = cms_table(stream, width=4096)
+    est = cms_estimate(sketch, probe).collect()[0]["cms_n"]
     assert est == 0
 
 

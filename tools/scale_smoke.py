@@ -58,6 +58,7 @@ QUERIES_UNDER_TEST = [
     "dedup_incremental_bloom_prefilter",
     "text_chunk_documents",
     "text_bigram_perplexity",
+    "sketch_cms_heavy_terms",
     "llm_corpus_prep",
     "text_tfidf_top_terms",
     "sim_lsh_bucketed_pairs",
