@@ -412,3 +412,62 @@ def test_span_removal_matches_python_model(spark, texts):
         clean = [t for p, t in enumerate(ts) if p not in covered[i]]
         want[i] = (len(ts), len(ts) - len(clean), " ".join(clean))
     assert got == want
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c"]), min_size=0, max_size=10
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bigram_perplexity_matches_python_model(spark, texts):
+    """text_bigram_perplexity vs a sequential add-1 bigram LM over
+    random three-letter corpora: corpus counts, vocabulary size,
+    smoothing, per-doc averaging, and the no-bigram NULL contract
+    must all agree to the rounded output."""
+    import math
+    import os
+    import re
+    import tempfile
+
+    from cdc_2025_spark.queries.text import text_bigram_perplexity
+
+    rows = [(i, t, "en", "s", 0) for i, t in enumerate(texts)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_nll"], r["perplexity"])
+            for r in text_bigram_perplexity(spark, d).collect()
+        }
+
+    toks = {
+        i: re.split(r"\s+", t.strip().lower()) for i, t in enumerate(texts)
+    }
+    vocab = {t for ts in toks.values() for t in ts}
+    bg: dict[tuple[str, str], int] = {}
+    ctx: dict[str, int] = {}
+    for ts in toks.values():
+        for w1, w2 in zip(ts, ts[1:]):
+            bg[(w1, w2)] = bg.get((w1, w2), 0) + 1
+            ctx[w1] = ctx.get(w1, 0) + 1
+    want = {}
+    for i, ts in toks.items():
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            want[i] = (0, None, None)
+            continue
+        nlls = [
+            math.log((ctx[w1] + len(vocab)) / (bg[(w1, w2)] + 1))
+            for w1, w2 in pairs
+        ]
+        avg = sum(nlls) / len(nlls)
+        want[i] = (len(pairs), round(avg, 4), round(math.exp(avg), 4))
+    assert got == want
