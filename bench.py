@@ -80,6 +80,7 @@ HEADLINE = [
     "dedup_incremental_bloom_prefilter",
     "text_bigram_perplexity",
     "sketch_cms_heavy_terms",
+    "dedup_pipeline_accounting",
 ]
 
 

@@ -70,6 +70,7 @@ _CHANGED_R7 = [
     "sim_ivf_topk",                  # quantizer backend swap: recheck
     "text_bigram_perplexity",        # NEW in r7: never driver-checked
     "sketch_cms_heavy_terms",        # NEW in r7: never driver-checked
+    "dedup_pipeline_accounting",     # NEW in r7: never driver-checked
 ]
 
 # newest green is round 4 (CORRECTNESS_r04.json) — front of the line

@@ -346,16 +346,17 @@ def dedup_incremental_bloom_prefilter(
     )
 
 
-def _minhash_oracle(
-    k: int, threshold: float, n_hashes: int = 128, n_bands: int = 16
+def _minhash_pairs_ctes(
+    k: int,
+    threshold: float,
+    n_hashes: int = 128,
+    n_bands: int = 16,
+    docs_rel: str = "documents",
 ) -> str:
-    """DuckDB SQL mirroring the FULL md5_km MinHash+LSH pipeline:
-    k-shingles -> 16-hex md5 keys -> Kirsch-Mitzenmacher signatures
-    min(hi + i*lo) -> banded bucket strings -> candidate pairs ->
-    exact Jaccard verification. Every stage is integer/string exact,
-    so the candidate set (not just the verified output) reproduces
-    bit-for-bit; only the final Jaccard is float, and it divides two
-    exact integer counts in both engines."""
+    """The md5_km MinHash+LSH pipeline as a reusable CTE chain ending
+    in ``mh_pairs (id_a, id_b, jaccard)`` — embeddable after WITH in
+    any oracle (``docs_rel`` selects the input relation, so staged
+    pipelines can run it over a survivors CTE)."""
     r = n_hashes // n_bands
     sig_cols = ",\n             ".join(
         f"MIN(hi + {i} * lo) AS _s{i}" for i in range(n_hashes)
@@ -367,10 +368,9 @@ def _minhash_oracle(
         )
         for j in range(n_bands)
     )
-    return f"""
-    WITH ws AS (
+    return f"""ws AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
-      FROM documents
+      FROM {docs_rel}
     ), sh AS (
       SELECT doc_id,
              list_distinct(CASE WHEN len(w) <= {k}
@@ -403,9 +403,25 @@ def _minhash_oracle(
       FROM cand
       JOIN sh sa ON sa.doc_id = id_a
       JOIN sh sb ON sb.doc_id = id_b
-    )
-    SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard
-    FROM verified WHERE jaccard >= {threshold}
+    ), mh_pairs AS (
+      SELECT id_a, id_b, jaccard FROM verified
+      WHERE jaccard >= {threshold}
+    )"""
+
+
+def _minhash_oracle(
+    k: int, threshold: float, n_hashes: int = 128, n_bands: int = 16
+) -> str:
+    """DuckDB SQL mirroring the FULL md5_km MinHash+LSH pipeline:
+    k-shingles -> 16-hex md5 keys -> Kirsch-Mitzenmacher signatures
+    min(hi + i*lo) -> banded bucket strings -> candidate pairs ->
+    exact Jaccard verification. Every stage is integer/string exact,
+    so the candidate set (not just the verified output) reproduces
+    bit-for-bit; only the final Jaccard is float, and it divides two
+    exact integer counts in both engines."""
+    return f"""
+    WITH {_minhash_pairs_ctes(k, threshold, n_hashes, n_bands)}
+    SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard FROM mh_pairs
     """
 
 
@@ -1093,4 +1109,104 @@ def dedup_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_removed"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def _pipeline_oracle() -> str:
+    """Stage-accounting oracle: exact vocab dedup (min-id canonical
+    per key), then the FULL md5_km MinHash+LSH pipeline over the
+    survivors (the shared CTE chain `_minhash_pairs_ctes` with
+    docs_rel swapped), then the recursive connected-components
+    closure picking one min-id survivor per near-dup cluster."""
+    return f"""
+    WITH RECURSIVE vocab_keys AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(lower(text)), '\\s+'))), ' '))
+               AS key
+      FROM documents
+    ),
+    canon1 AS (SELECT MIN(doc_id) AS doc_id FROM vocab_keys GROUP BY key),
+    survivors1 AS (
+      SELECT d.* FROM documents d JOIN canon1 USING (doc_id)
+    ),
+    {_minhash_pairs_ctes(JACCARD_K, JACCARD_THRESHOLD,
+                         docs_rel="survivors1")},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM mh_pairs
+      UNION SELECT id_b, id_a FROM mh_pairs
+    ),
+    reach(a, b) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.a, g.dst FROM reach r JOIN edges g ON r.b = g.src
+    ),
+    comp AS (SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a),
+    dropped2 AS (SELECT id FROM comp WHERE id <> comp),
+    n0 AS (SELECT COUNT(*) AS n FROM documents),
+    n1 AS (SELECT COUNT(*) AS n FROM survivors1),
+    nd2 AS (SELECT COUNT(*) AS n FROM dropped2)
+    SELECT 'raw' AS stage,
+           CAST(n0.n AS BIGINT) AS n_in,
+           CAST(0 AS BIGINT) AS n_dropped,
+           CAST(n0.n AS BIGINT) AS n_out
+    FROM n0
+    UNION ALL
+    SELECT 'exact_vocab', CAST(n0.n AS BIGINT),
+           CAST(n0.n - n1.n AS BIGINT), CAST(n1.n AS BIGINT)
+    FROM n0, n1
+    UNION ALL
+    SELECT 'minhash_lsh', CAST(n1.n AS BIGINT),
+           CAST(nd2.n AS BIGINT), CAST(n1.n - nd2.n AS BIGINT)
+    FROM n1, nd2
+    """
+
+
+@query("dedup_pipeline_accounting", oracle=_pipeline_oracle())
+def dedup_pipeline_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DEDUP pipeline with per-stage accounting — the
+    dedup counterpart of llm_corpus_prep's curation pipeline: exact
+    vocab-key dedup (cheapest, removes literal re-posts first), then
+    MinHash+LSH near-dup clustering over the survivors (md5_km
+    family so the driver hash-checks the whole composition), one
+    min-id survivor kept per near-dup cluster. Output is the stage
+    ledger (stage, n_in, n_dropped, n_out) every corpus-curation run
+    reports.
+
+    Shape: stage 1 is one hashed-key aggregate + a semi-join; stage 2
+    reuses the banded-LSH machinery (candidates only, exact-verified)
+    RESTRICTED to stage-1 survivors — the pipeline ordering is the
+    scale decision: the quadratic-ish near-dup stage only ever sees
+    the exact-deduped corpus. Counts are computed as 1-row aggregates
+    cross-joined into a stack — no driver-side collection of corpus
+    data (connected components' O(diameter) label-prop rounds are the
+    only plan-construction actions, shared with every other cluster
+    consumer)."""
+    docs = read_table(spark, sf_dir, "documents")
+    groups1 = exact_dup_groups(docs, "doc_id", vocab_key("text"))
+    surv1 = docs.join(
+        groups1.select(F.col("canonical_id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    pairs = minhash_lsh_pairs(
+        surv1, k=JACCARD_K, threshold=JACCARD_THRESHOLD, family="md5_km"
+    ).select("id_a", "id_b")
+    from cdc_2025_spark.dedup.cluster import connected_components
+
+    cc = connected_components(pairs)
+    dropped2 = cc.filter(F.col("id") != F.col("comp"))
+    n0 = docs.agg(F.count("*").alias("n0"))
+    n1 = surv1.agg(F.count("*").alias("n1"))
+    nd2 = dropped2.agg(F.count("*").alias("nd2"))
+    return (
+        n0.crossJoin(n1)
+        .crossJoin(nd2)
+        .selectExpr(
+            "stack(3, "
+            "'raw', n0, CAST(0 AS BIGINT), n0, "
+            "'exact_vocab', n0, n0 - n1, n1, "
+            "'minhash_lsh', n1, nd2, n1 - nd2"
+            ") AS (stage, n_in, n_dropped, n_out)"
+        )
     )
