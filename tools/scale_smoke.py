@@ -59,6 +59,7 @@ QUERIES_UNDER_TEST = [
     "text_chunk_documents",
     "text_bigram_perplexity",
     "sketch_cms_heavy_terms",
+    "dedup_pipeline_accounting",
     "llm_corpus_prep",
     "text_tfidf_top_terms",
     "sim_lsh_bucketed_pairs",
