@@ -81,6 +81,7 @@ HEADLINE = [
     "text_bigram_perplexity",
     "sketch_cms_heavy_terms",
     "dedup_pipeline_accounting",
+    "sample_topk_weighted_per_source",
 ]
 
 

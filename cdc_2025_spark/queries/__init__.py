@@ -71,6 +71,7 @@ _CHANGED_R7 = [
     "text_bigram_perplexity",        # NEW in r7: never driver-checked
     "sketch_cms_heavy_terms",        # NEW in r7: never driver-checked
     "dedup_pipeline_accounting",     # NEW in r7: never driver-checked
+    "sample_topk_weighted_per_source",  # NEW in r7: never checked
 ]
 
 # newest green is round 4 (CORRECTNESS_r04.json) — front of the line

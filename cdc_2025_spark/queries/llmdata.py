@@ -549,3 +549,87 @@ def decontam_embedding_crosssplit(
         .filter(F.col("cos") >= DECONTAM_COS_THRESHOLD)
         .select("eval_id", "train_id", F.round("cos", 4).alias("cos"))
     )
+
+
+RESERVOIR_K = 8
+
+
+@query(
+    "sample_topk_weighted_per_source",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+                 AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {WEIGHT_SCALE} AS bucket
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_tokens,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY bucket * 1.0
+                          / LEAST(n_tokens, {WEIGHT_CAP}),
+                        doc_id) AS rk
+      FROM w WHERE n_tokens > 0
+    )
+    SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {RESERVOIR_K}
+    """,
+)
+def sample_topk_weighted_per_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FIXED-SIZE weighted sample per source — exactly {RESERVOIR_K}
+    documents per domain, selection biased toward long documents: the
+    per-domain QUOTA sampler a token-budgeted mixture needs, where
+    Bernoulli sampling (sample_weighted_by_tokens above) can only hit
+    a budget in expectation.
+
+    Each document draws the deterministic md5 bucket u ~ U[0, scale)
+    and is ranked by priority u / min(n_tokens, cap) — the
+    integer-inputs analogue of weighted priority sampling
+    (Efraimidis-Spirakis keys use u^(1/w); that float pow ranks
+    near-ties differently across engines' libm, while dividing the
+    SAME two integers is one IEEE-754 rounding that DuckDB and the
+    JVM perform identically, so the order — with the doc_id
+    tiebreak — is engine-exact and the driver can hash-match it.
+    The weight bias differs from exact E-S (heavier docs win more
+    strongly under u/w); that trade is deliberate and documented).
+    Zero-token documents carry zero weight and are excluded before
+    ranking (also keeps the ANSI division total).
+
+    Shape: one scan, one per-source window — partitioned by the
+    group key, so no global sort; skew is bounded by the largest
+    domain, the same key the mixture reweighting already audits."""
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % WEIGHT_SCALE
+    )
+    nt = token_count("text")
+    base = docs.select(
+        "doc_id",
+        "source",
+        nt.alias("n_tokens"),
+        bucket.alias("bucket"),
+    ).filter(F.col("n_tokens") > 0)
+    prio = F.col("bucket") * F.lit(1.0) / F.least(
+        F.col("n_tokens"), F.lit(WEIGHT_CAP)
+    )
+    w = Window.partitionBy("source").orderBy(prio, "doc_id")
+    return (
+        base.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )

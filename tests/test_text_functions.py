@@ -303,3 +303,59 @@ def test_bigram_perplexity_literal_model(spark):
     assert got[3] == (0, None, None)
     # the repeated phrase scores LOWER perplexity than the novel one
     assert got[1][2] < got[2][2]
+
+
+def test_topk_weighted_sample_matches_hashlib_model(spark, sf_dir):
+    """The per-source quota sampler vs a sequential python model:
+    identical md5 buckets, identical priority ordering (one IEEE
+    division of the same integers), identical top-k per source —
+    exact group quotas, zero-token docs excluded, and the long-doc
+    bias direction visible on the fixture corpus."""
+    import hashlib
+    import re
+
+    from cdc_2025_spark.io import read_table
+    from cdc_2025_spark.queries.llmdata import (
+        RESERVOIR_K,
+        WEIGHT_CAP,
+        WEIGHT_SCALE,
+        sample_topk_weighted_per_source,
+    )
+
+    got = sorted(
+        (r["source"], r["rk"], r["doc_id"], r["n_tokens"])
+        for r in sample_topk_weighted_per_source(spark, sf_dir).collect()
+    )
+
+    rows = read_table(spark, sf_dir, "documents").collect()
+    per_source: dict[str, list] = {}
+    all_tokens = []
+    for r in rows:
+        text = r["text"].strip()
+        n = 0 if not text else len(re.split(r"\s+", text))
+        all_tokens.append(n)
+        if n == 0:
+            continue
+        bucket = (
+            int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+            % WEIGHT_SCALE
+        )
+        prio = bucket / min(n, WEIGHT_CAP)
+        per_source.setdefault(r["source"], []).append(
+            (prio, r["doc_id"], n)
+        )
+    want = []
+    for src, cands in per_source.items():
+        cands.sort()
+        for rk, (_, doc_id, n) in enumerate(cands[:RESERVOIR_K], 1):
+            want.append((src, rk, doc_id, n))
+    assert got == sorted(want)
+    # quotas are exact and the weighting skews long
+    from collections import Counter
+
+    sizes = Counter(s for s, *_ in got)
+    assert all(
+        v == min(RESERVOIR_K, len(per_source[s])) for s, v in sizes.items()
+    )
+    sampled_mean = sum(g[3] for g in got) / len(got)
+    assert sampled_mean > sum(all_tokens) / len(all_tokens)
