@@ -55,14 +55,26 @@ def _positions(
     """One row per (input row, probe i) with the probe's (bucket,
     bit). Double hashing: pos_i = (h1 + i·h2) mod m, both base hashes
     reduced mod m BEFORE the affine combine so the ANSI-mode sum can
-    never overflow (i·(m-1) + (m-1) < 2^63 for the guarded m)."""
-    if m_bits >= 1 << 56:
+    never overflow — guarded for ANY (m_bits, n_hashes) pair by the
+    joint check n_hashes·m_bits < 2^63 (max term is
+    (n_hashes-1)·(m-1) + (m-1) < n_hashes·m). The h2 step is forced
+    nonzero (1 + hash mod (m-1), the standard double-hashing fix) so
+    no key collapses its k probes onto a single position — with
+    h2 = hash mod m, ~1/m of keys would get h2 = 0 and an effective
+    k = 1, inflating their false-positive contribution."""
+    if m_bits < 64:
+        raise ValueError(f"m_bits must be >= 64, got {m_bits}")
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+    if n_hashes * m_bits >= 1 << 63:
         raise ValueError(
-            f"m_bits={m_bits} too large for overflow-safe double "
-            "hashing (limit 2^56); shard the filter instead"
+            f"n_hashes*m_bits = {n_hashes}*{m_bits} overflows int64 "
+            "double hashing; shard the filter instead"
         )
     h1 = F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(m_bits))
-    h2 = F.pmod(F.xxhash64(key, F.lit(seed + 1)), F.lit(m_bits))
+    h2 = F.lit(1) + F.pmod(
+        F.xxhash64(key, F.lit(seed + 1)), F.lit(m_bits - 1)
+    )
     pos = F.pmod(
         h1 + F.col("_i") * h2,
         F.lit(m_bits),
@@ -141,7 +153,12 @@ def bloom_probe(
     the probe becomes a plain bucket-keyed equi-join (AQE picks the
     strategy). Geometry (m_bits, n_hashes, seed) must match the
     build — a mismatch silently probes the wrong bits, so pass the
-    same values, not "close" ones."""
+    same values, not "close" ones. NULL keys round-trip consistently:
+    xxhash64 gives NULL a deterministic (seed-derived) hash on both
+    the build and probe sides, and the verdict re-join is null-safe,
+    so a NULL-keyed query reports true iff a NULL key was fed to
+    ``bloom_build`` (the no-false-negatives claim holds for NULL
+    too)."""
     probes = _positions(
         queries.select(F.col(key_col).alias("_k")).distinct(),
         F.col("_k"),
@@ -167,7 +184,7 @@ def bloom_probe(
         )
     )
     return queries.join(
-        verdicts, queries[key_col] == verdicts._k, "left"
+        verdicts, queries[key_col].eqNullSafe(verdicts._k), "left"
     ).select(
         *[queries[c] for c in queries.columns],
         F.coalesce("might_contain", F.lit(False)).alias(

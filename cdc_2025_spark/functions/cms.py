@@ -32,7 +32,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 CMS_DEPTH = 4
-CMS_WIDTH = 64
+CMS_WIDTH = 64  # deliberately small: the registered heavy-hitter
+# demo WANTS visible collisions so the one-sided error is exercised;
+# deployments size with cms_params below.
+
+
+def cms_params(eps: float, delta: float) -> tuple[int, int]:
+    """(depth, width) for the standard CMS guarantee: with
+    probability >= 1 - delta, every estimate overcounts by at most
+    eps * N (N = total stream count). Textbook sizing (Cormode &
+    Muthukrishnan 2005): width = ceil(e / eps), depth =
+    ceil(ln(1 / delta)) — a deployment states its error budget the
+    way lsh_auto_geometry states a recall target, instead of
+    hand-pinning cell geometry. The 4x64 registered demo
+    (queries/analytics.py sketch_cms_heavy_terms) corresponds to
+    eps ~ e/64 ~ 4.2%, delta ~ e^-4 ~ 1.8%."""
+    import math
+
+    if not 0.0 < eps < 1.0:
+        raise ValueError(f"eps must be in (0, 1), got {eps}")
+    if not 0.0 < delta < 1.0:
+        raise ValueError(f"delta must be in (0, 1), got {delta}")
+    width = math.ceil(math.e / eps)
+    depth = max(1, math.ceil(math.log(1.0 / delta)))
+    return depth, width
 
 
 class CmsSketch(NamedTuple):

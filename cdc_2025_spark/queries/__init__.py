@@ -33,72 +33,42 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
     similarity,
     text,
     tpch,
+    web,
     windows,
     windows2,
 )
 
-# Round-7 window (the driver oracle-checks the FIRST 50 registry
-# entries per round, insertion order). Composition:
+# Round-8 window (the driver oracle-checks the FIRST 50 registry
+# entries per round, insertion order). Composition is mechanical —
+# the r7 freshness-guard failure message IS the source of the stale
+# list (tests/test_registry_freshness.py:60):
 #
-#   1. Queries materially CHANGED in round 7, which must (re)check
-#      despite a previous green row: the exact near-dup twin (pair
-#      source now gated by the budget-derived sample, oracle's e CTE
-#      mirrors it), the two new rows-only registrations
-#      (auto-geometry LSH, OPH minhash), and the rollup's
-#      consolidated container pass.
-#   2. The 14 queries whose newest green is round 4 — the r6 window's
-#      natural tail of _R4_GREEN.
-#   3. The oldest r5-green queries, in their r5 check order, filling
-#      the remaining window slots; the cut falls wherever
-#      len(_CHANGED_R7) + len(_R4_TAIL) leaves it (deliberately not
-#      named here — a previous revision of this comment misnamed the
-#      cut entry on the day it claimed the arithmetic could no longer
-#      drift). The authoritative statement is mechanical:
-#      test_registry_freshness.py reads the REAL first-50 window and
-#      asserts every query outside it holds a green row no older
-#      than 2 rounds; entries past the cut lead round 8.
-_CHANGED_R7 = [
-    "dedup_embedding_neardup",       # budget gate + oracle e CTE
-    "sim_lsh_auto_pairs",            # NEW in r7: never driver-checked
-    "dedup_minhash_oph_pairs",       # NEW in r7: never driver-checked
-    "multimodal_feature_rollup",     # container branches consolidated
-    "dedup_remove_repeated_spans",   # NEW in r7: never driver-checked
-    "dedup_semdedup_decision",       # NEW in r7: never driver-checked
-    "text_chunk_documents",          # NEW in r7: never driver-checked
-    "dedup_incremental_bloom_prefilter",  # NEW in r7: never checked
-    "dedup_embedding_neardup_lsh",   # CC loop changed in r7: recheck
-    "sim_ivf_topk",                  # quantizer backend swap: recheck
-    "text_bigram_perplexity",        # NEW in r7: never driver-checked
-    "sketch_cms_heavy_terms",        # NEW in r7: never driver-checked
-    "dedup_pipeline_accounting",     # NEW in r7: never driver-checked
-    "sample_topk_weighted_per_source",  # NEW in r7: never checked
+#   1. _NEW_R8: queries registered this round (never driver-checked)
+#      — front-loaded, because the guard's order assertion requires
+#      never-checked entries to lead the window.
+#   2. _CHANGED_R8: queries whose plan or oracle materially changed
+#      in round 8 and must re-check despite a previous green row.
+#   3. _STALE_R8: the 25 queries the r7 guard listed as "neither in
+#      the r8 window nor green since r6" — copied verbatim from the
+#      assertion output, newest green = r5.
+#   4. _R6_FILL: oldest-green (r6) queries filling remaining slots;
+#      the rest lead round 9.
+_NEW_R8 = [
+    "llm_prep_full_ledger",          # NEW in r8: full-chain ledger
+    "text_url_canonical_dedup",      # NEW in r8: URL canonicalize
+    "text_quality_percentile_filter",  # NEW in r8
 ]
 
-# newest green is round 4 (CORRECTNESS_r04.json) — front of the line
-_R4_TAIL = [
-    "q18_large_orders", "q19_bracketed_revenue", "q9_product_profit",
-    "q20_promo_heavy_suppliers", "q21_sole_late_suppliers",
-    "q11ish_part_value_share", "q13_customer_order_distribution",
-    "q17_small_quantity_revenue", "q22_dormant_rich_customers",
-    "skewjoin_salted_event_types", "window_top3_orders_per_customer",
-    "window_running_spend", "asof_last_signup_before_purchase",
-    "q12_priority_by_linestatus",
+_CHANGED_R8 = [
+    "text_bigram_perplexity",        # cnt_w1 now broadcast (task 3)
+    "dedup_semdedup_decision",       # quantizer cache + cell cap
+    "text_chunk_documents",          # null-text guard both sides
+    "dedup_incremental_bloom_prefilter",  # KM h2 nonzero fix
+    "sketch_cms_heavy_terms",        # cms_params cross-reference
 ]
 
-# newest green is round 5, in r5 check order; the leading entries
-# fill the window up to the 50 cut, the rest lead round 8
-_R5_GREEN = [
-    "text_tfidf_top_terms", "sql_api_lateral_explode",
-    "window_ntile_spend_quartiles", "dedup_simhash_pairs",
-    "dedup_minhash_lsh_pairs", "sim_lsh_bucketed_pairs",
-    "interevent_timing_stats", "window_event_gaps",
-    "window_sessionize_events", "q16_supplier_count_by_parttype",
-    "window_cumulative_distribution", "window_mom_revenue_change",
-    "window_trailing7d_customer_spend", "timeseries_gap_fill",
-    "stats_robust_outliers", "text_top_terms",
-    "events_user_type_entropy", "stats_approx_percentiles",
-    "text_fingerprints", "dedup_ngram_jaccard_pairs",
-    "dedup_jaccard_clusters", "stats_corr_price_quantity",
+# verbatim from the r7 guard failure (newest green r5)
+_STALE_R8 = [
     "stats_percentiles_order_value", "sample_stratified_by_segment",
     "sketch_hll_weekly_users", "window_ranking_variants",
     "window_first_last_order", "subquery_correlated_max_order",
@@ -114,10 +84,28 @@ _R5_GREEN = [
     "join_anti_customers_without_orders", "agg_rollup_nation_segment",
 ]
 
+# newest green is round 6, oldest-first per CORRECTNESS_r06 order;
+# the leading entries fill the window to the 50 cut, the rest lead r9
+_R6_FILL = [
+    "stats_moments_by_segment", "agg_order_array_per_customer",
+    "sample_train_val_test_split", "dedup_prefix_jaccard_pairs",
+    "dedup_incremental_new_docs", "sim_topk_bruteforce",
+    "sim_pairs_above_threshold", "sim_kmeans_cell_profile",
+    "dedup_repeated_spans", "text_decontamination_overlap",
+    "sample_weighted_by_tokens", "text_pack_sequences",
+    "llm_corpus_prep", "sample_domain_mixture_weights",
+    "decontam_embedding_crosssplit", "agg_cube_status_priority",
+    "agg_distinct_users_per_type", "agg_approx_distinct_users",
+    "setop_nations_customers_vs_suppliers", "setop_except_nations",
+    "setop_union_all_keys", "pivot_user_event_matrix",
+    "unpivot_lineitem_measures", "scalar_dates_monthly_revenue",
+]
+
 _VERIFY_FIRST = [
-    *_CHANGED_R7,
-    *_R4_TAIL,
-    *_R5_GREEN,
+    *_NEW_R8,
+    *_CHANGED_R8,
+    *_STALE_R8,
+    *_R6_FILL,
 ]
 
 

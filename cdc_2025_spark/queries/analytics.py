@@ -722,7 +722,12 @@ def sketch_cms_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Why both numbers: cms_n >= exact_n always (one-sided error — the
     structural CMS guarantee, also pinned in tests/test_cms.py), and
     the visible gap on a deliberately narrow 64-column sketch IS the
-    collision error the width knob trades against memory. At corpus
+    collision error the width knob trades against memory — this
+    geometry is the COLLISION DEMO; a deployment derives its own
+    from an (eps, delta) error budget via ``cms_params``
+    (functions/cms.py: width = ceil(e/eps), depth = ceil(ln 1/delta)
+    — 4x64 corresponds to eps ~ 4.2%, delta ~ 1.8%), the same
+    posture as lsh_auto_geometry's recall target. At corpus
     scale the exact side of this query is the expensive one
     (distinct-term aggregate); the sketch side stays depth·width
     cells with map-side partials no matter how many tokens stream

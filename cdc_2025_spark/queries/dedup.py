@@ -330,7 +330,10 @@ def dedup_incremental_bloom_prefilter(
         .select("doc_id")
         .count()
     )
-    m_bits, n_hashes = bloom_params(n_corpus, BLOOM_TARGET_FPR)
+    # max(n, 1): an empty corpus partition still needs a (tiny)
+    # valid geometry — every probe then misses and the batch is
+    # all-new, instead of bloom_params raising on n_keys=0.
+    m_bits, n_hashes = bloom_params(max(n_corpus, 1), BLOOM_TARGET_FPR)
     bitmap = bloom_build(corpus, "key", m_bits, n_hashes)
     cand = bloom_probe(bitmap, batch, "key", m_bits, n_hashes).filter(
         "might_contain"
@@ -765,6 +768,176 @@ def dedup_embedding_neardup_lsh(
 
 SEMDEDUP_CLUSTERS = 8
 
+# Giant-cell guard: a cell larger than CAP_FACTOR x the average
+# (n/k) re-clusters one level down with the same Lloyd primitives,
+# so embedding-space skew cannot re-quadratize the pair space — the
+# 100 TB caveat the r7 docstring named without enforcing.
+SEMDEDUP_CELL_CAP_FACTOR = 4
+
+_SEM_CACHE: _WeakKeyDictionary = _WeakKeyDictionary()
+
+
+def _semdedup_quantizer(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    n_iter: int,
+    assign: str,
+) -> tuple[list[tuple], dict[int, list[tuple]], int]:
+    """(top-level centroid rows, sub-centroid rows per oversized
+    cell, cell cap) — cached per (session, sf_dir, k, n_iter,
+    assign), mirroring IVF's _CENTROID_CACHE
+    (queries/similarity.py): the registered query used to re-run
+    five Lloyd iterations on every invocation and was the bench's
+    most expensive entry. Same in-session caveat as there: the key
+    is a path, not a corpus fingerprint — regenerate the parquet in
+    place and you must restart the session.
+
+    The guard: cells larger than cap = CAP_FACTOR·ceil(n/k) get
+    their own k'-means (k' = ceil(size / ceil(n/k)), one recursion
+    level) over just their members — a handful of extra distributed
+    Lloyd runs only when skew exists. One level suffices to break
+    the n² term by ~CAP_FACTOR·k; pathological double-skew would
+    need a second level and is documented, not chased."""
+    from cdc_2025_spark.functions.kmeans import (
+        assign_cells,
+        assign_cells_np,
+        lloyd_kmeans,
+    )
+
+    key = (sf_dir, k, n_iter, assign)
+    per_session = _SEM_CACHE.setdefault(spark, {})
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
+
+    vec = read_table(spark, sf_dir, "embeddings")
+    cents = lloyd_kmeans(
+        vec,
+        k=k,
+        n_iter=n_iter,
+        id_col="vec_id",
+        vec_col="embedding",
+        assign=assign,
+    )
+    cent_rows = [(r["cid"], r["cemb"]) for r in cents.collect()]
+    emb = vec.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    if assign == "numpy":
+        assigned = assign_cells_np(emb, cent_rows)
+    else:
+        lit = spark.createDataFrame(
+            cent_rows, "cid int, cemb array<double>"
+        )
+        assigned = assign_cells(emb, lit)
+    sizes = {
+        r["cell"]: r["count"]
+        for r in assigned.groupBy("cell").count().collect()
+    }
+    n = sum(sizes.values())
+    target = max(1, math.ceil(n / k))
+    cap = max(SEMDEDUP_CELL_CAP_FACTOR * target, 32)
+    sub: dict[int, list[tuple]] = {}
+    for cell, cnt in sorted(sizes.items()):
+        if cnt <= cap:
+            continue
+        k_sub = math.ceil(cnt / target)
+        sub_cents = lloyd_kmeans(
+            assigned.filter(F.col("cell") == cell),
+            k=k_sub,
+            n_iter=n_iter,
+            id_col="id",
+            vec_col="emb",
+            assign=assign,
+        )
+        sub[cell] = [(r["cid"], r["cemb"]) for r in sub_cents.collect()]
+    result = (cent_rows, sub, cap)
+    per_session[key] = result
+    return result
+
+
+def _semdedup_assign(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    n_iter: int,
+    assign: str,
+) -> tuple[DataFrame, F.Column, DataFrame]:
+    """(assigned (id, emb, cell), top-cell expression, top-centroid
+    frame) using the cached quantizer. ``cell`` is the PAIR-JOIN key:
+    for oversized cells it is the composite ``cell·mult + (sub+1)``
+    after the one-level re-cluster (untouched cells carry
+    ``cell·mult`` so ids never collide); the top-cell expression
+    recovers the paper-level cluster for the centroid-cosine keep
+    rule. Exposed separately so the skew guard's candidate-space
+    bound is testable (tests/test_dedup.py)."""
+    from cdc_2025_spark.functions.kmeans import (
+        assign_cells,
+        assign_cells_np,
+    )
+
+    cent_rows, sub, _cap = _semdedup_quantizer(
+        spark, sf_dir, k, n_iter, assign
+    )
+    vec = read_table(spark, sf_dir, "embeddings")
+    emb = vec.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    lit_cents = spark.createDataFrame(
+        cent_rows, "cid int, cemb array<double>"
+    )
+    if assign == "numpy":
+        assigned = assign_cells_np(emb, cent_rows)
+    else:
+        assigned = assign_cells(emb, lit_cents)
+    if not sub:
+        return assigned, F.col("cell"), lit_cents
+    # composite = cell·mult + dense_sub, dense_sub in [1, span]
+    # (cid numbering from lloyd_kmeans is offset-normalized so the
+    # slot never overflows mult); untouched cells carry cell·mult
+    # (dense_sub = 0) — floor(composite / mult) is always the
+    # top-level cell
+    mult = (
+        max(
+            max(r[0] for r in v) - min(r[0] for r in v) + 1
+            for v in sub.values()
+        )
+        + 1
+    )
+    parts = [
+        assigned.filter(
+            ~F.col("cell").isin(*sub.keys())
+        ).withColumn("cell", F.col("cell") * mult)
+    ]
+    for cell, sub_rows in sorted(sub.items()):
+        members = assigned.filter(F.col("cell") == cell).select(
+            "id", "emb"
+        )
+        if assign == "numpy":
+            re_assigned = assign_cells_np(members, sub_rows)
+        else:
+            re_assigned = assign_cells(
+                members,
+                spark.createDataFrame(
+                    sub_rows, "cid int, cemb array<double>"
+                ),
+            )
+        offset = min(r[0] for r in sub_rows)
+        parts.append(
+            re_assigned.withColumn(
+                "cell",
+                F.lit(cell) * mult + (F.col("cell") - offset + 1),
+            )
+        )
+    from functools import reduce
+
+    assigned = reduce(DataFrame.unionByName, parts)
+    top_cell = F.floor(F.col("cell") / mult).cast("int")
+    return assigned, top_cell, lit_cents
+
 
 def semdedup(
     spark: SparkSession,
@@ -792,41 +965,21 @@ def semdedup(
     Lloyd's with broadcast centroids (functions/kmeans.py — per
     iteration one shuffle, only k·dim floats ever reach the driver);
     cosine runs JVM-side with hoisted norms; components/keep-rule are
-    grouped aggregates. Giant cells (embedding-space skew) are the
-    caveat at 100 TB — the mitigation is raising k (the paper runs
-    k=11k on LAION) or re-clustering oversized cells, both of which
-    keep this same plan shape."""
-    from cdc_2025_spark.functions.embeddings import cosine, dot, norm
-    from cdc_2025_spark.functions.kmeans import (
-        assign_cells,
-        assign_cells_np,
-        lloyd_kmeans,
-    )
+    grouped aggregates. Giant cells (embedding-space skew) are
+    ENFORCED away: cells past CAP_FACTOR·(n/k) re-cluster one level
+    down (_semdedup_quantizer), so the candidate space stays
+    ~cap·n even on a pathological corpus — the paper's alternative
+    is raising k outright (11k on LAION), which this composes with.
 
-    vec = read_table(spark, sf_dir, "embeddings")
-    cents = lloyd_kmeans(
-        vec,
-        k=k,
-        n_iter=n_iter,
-        id_col="vec_id",
-        vec_col="embedding",
-        assign=assign,
+    The Lloyd geometry (top centroids + per-oversized-cell
+    sub-centroids) is cached per (session, corpus) — repeat
+    invocations pay only the one-pass matmul assignment, the IVF
+    quantizer posture."""
+    from cdc_2025_spark.functions.embeddings import cosine, dot, norm
+
+    assigned, top_cell, lit_cents = _semdedup_assign(
+        spark, sf_dir, k, n_iter, assign
     )
-    emb = vec.select(
-        F.col("vec_id").alias("id"),
-        F.col("embedding").cast("array<double>").alias("emb"),
-    )
-    # materialize the k centroids once (k·dim floats) so the final
-    # assignment and the centroid-cosine join don't each recompute
-    # the last Lloyd iteration's assign+recenter lineage
-    cent_rows = [(r["cid"], r["cemb"]) for r in cents.collect()]
-    lit_cents = spark.createDataFrame(
-        cent_rows, "cid int, cemb array<double>"
-    )
-    if assign == "numpy":
-        assigned = assign_cells_np(emb, cent_rows)
-    else:
-        assigned = assign_cells(emb, lit_cents)
     # lazy localCheckpoint, not persist: the frame is reused by four
     # subtrees (both pair-join sides, the keep-rule join, the final
     # decision select) within THIS plan only — checkpoint blocks are
@@ -836,7 +989,7 @@ def semdedup(
     # hook exists for a lazily-executed return value).
     withc = (
         assigned.join(
-            F.broadcast(lit_cents), assigned.cell == lit_cents.cid
+            F.broadcast(lit_cents), top_cell == lit_cents.cid
         )
         .select(
             "id",
@@ -1054,12 +1207,21 @@ def dedup_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of small rows — no broadcast of corpus-sized state, no
     driver materialization, skew bounded by span document frequency
     (the signal itself)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return remove_repeated_spans_frame(docs)
+
+
+def remove_repeated_spans_frame(docs: DataFrame) -> DataFrame:
+    """Span removal over an arbitrary (doc_id, text) frame — the
+    reusable kernel behind ``dedup_remove_repeated_spans`` and the
+    full-chain prep ledger (queries/llmdata.py), where the span
+    stage runs over upstream survivors rather than the raw table.
+    Returns (doc_id, n_tokens, n_removed, clean_text)."""
     from cdc_2025_spark.functions.text import (
         exploded_spans_with_pos,
         tokens,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "tok"),

@@ -265,7 +265,7 @@ PREP_REP_FACTOR = 5  # drop when top unigram > 20% of the doc
     ),
     e AS (SELECT doc_id, sh FROM sets WHERE doc_id < {EVAL_MAX_ID}),
     t2 AS (SELECT doc_id, sh FROM sets WHERE doc_id >= {EVAL_MAX_ID}),
-    contam AS (
+    contam AS MATERIALIZED (
       SELECT DISTINCT t2.doc_id FROM e JOIN t2
         ON len(list_intersect(e.sh, t2.sh)) * 1.0 / len(e.sh)
            >= {CONTAIN_THRESHOLD}
@@ -631,5 +631,321 @@ def sample_topk_weighted_per_source(
             "doc_id",
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def _full_ledger_oracle() -> str:
+    """The five-stage prep chain as one DuckDB plan: repetition
+    filter -> exact vocab dedup -> md5_km MinHash+LSH near-dup
+    dedup (the shared `_minhash_pairs_ctes` chain + recursive
+    connected components) -> cross-doc span removal with document
+    rebuild (docs emptied by removal are dropped) -> benchmark
+    decontamination over the CLEANED text. Mirrors the registered
+    Spark composition stage for stage; all outputs are integer
+    counts, so the driver hash is exact."""
+    from cdc_2025_spark.queries.dedup import (
+        JACCARD_K,
+        JACCARD_THRESHOLD,
+        SPAN_K,
+        SPAN_MIN_DOCS,
+        _minhash_pairs_ctes,
+    )
+
+    return f"""
+    WITH RECURSIVE tr AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= {EVAL_MAX_ID}
+    ),
+    base0 AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM tr
+    ),
+    uni AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM base0, unnest(ws) AS u(tok) GROUP BY 1, 2
+    ),
+    ustat AS (
+      SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_c
+      FROM uni GROUP BY 1
+    ),
+    surv1 AS (
+      SELECT doc_id FROM ustat
+      WHERE NOT ({PREP_REP_FACTOR} * top_c > n_tokens)
+    ),
+    vocab_keys AS (
+      SELECT b.doc_id,
+             md5(array_to_string(list_sort(list_distinct(b.ws)), ' '))
+               AS key
+      FROM base0 b JOIN surv1 USING (doc_id)
+    ),
+    canon AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id FROM vocab_keys GROUP BY key),
+    survivors2 AS MATERIALIZED (
+      SELECT t.doc_id, t.text FROM tr t JOIN canon USING (doc_id)
+    ),
+    {_minhash_pairs_ctes(JACCARD_K, JACCARD_THRESHOLD,
+                         docs_rel="survivors2")},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM mh_pairs
+      UNION SELECT id_b, id_a FROM mh_pairs
+    ),
+    reach(a, b) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.a, g.dst FROM reach r JOIN edges g ON r.b = g.src
+    ),
+    comp AS MATERIALIZED (SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a),
+    surv3 AS MATERIALIZED (
+      SELECT s.doc_id FROM survivors2 s
+      ANTI JOIN (SELECT id FROM comp WHERE id <> comp) d
+        ON s.doc_id = d.id
+    ),
+    sbase AS MATERIALIZED (SELECT b.doc_id, b.ws FROM base0 b JOIN surv3 USING (doc_id)),
+    stoks AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+      FROM sbase, unnest([i for i in range(1, len(ws) + 1)]) AS r(i)
+    ),
+    occ AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(ws[i:i+{SPAN_K - 1}], ' ') AS span
+      FROM sbase,
+           unnest([i for i in range(
+               1, CASE WHEN len(ws) <= {SPAN_K} THEN 2
+                       ELSE len(ws) - {SPAN_K} + 2 END)]) AS r(i)
+    ),
+    dupspan AS (
+      SELECT span FROM occ GROUP BY span
+      HAVING COUNT(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+    ),
+    ranked AS (
+      SELECT o.doc_id, o.pos,
+             row_number() OVER (
+               PARTITION BY o.span ORDER BY o.doc_id, o.pos) AS rn
+      FROM occ o JOIN dupspan d ON o.span = d.span
+    ),
+    cov AS MATERIALIZED (
+      SELECT DISTINCT doc_id, pos + j AS cpos
+      FROM ranked, unnest([j for j in range(0, {SPAN_K})]) AS u(j)
+      WHERE rn > 1
+    ),
+    kept AS MATERIALIZED (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM stoks t ANTI JOIN cov c
+        ON t.doc_id = c.doc_id AND t.pos = c.cpos
+    ),
+    clean AS MATERIALIZED (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    ),
+    surv4 AS (SELECT doc_id, clean_text FROM clean),
+    cw AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(clean_text)), '\\s+') AS ws
+      FROM surv4
+    ),
+    tsets AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) <= {CONTAIN_K}
+               THEN [array_to_string(ws, ' ')]
+               ELSE [array_to_string(ws[i:i+{CONTAIN_K - 1}], ' ')
+                     for i in range(1, len(ws) - {CONTAIN_K} + 2)]
+               END) AS sh
+      FROM cw
+    ),
+    ew AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents WHERE doc_id < {EVAL_MAX_ID}
+    ),
+    esets AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) <= {CONTAIN_K}
+               THEN [array_to_string(ws, ' ')]
+               ELSE [array_to_string(ws[i:i+{CONTAIN_K - 1}], ' ')
+                     for i in range(1, len(ws) - {CONTAIN_K} + 2)]
+               END) AS sh
+      FROM ew
+    ),
+    contam AS (
+      SELECT DISTINCT t.doc_id FROM esets e JOIN tsets t
+        ON len(list_intersect(e.sh, t.sh)) * 1.0 / len(e.sh)
+           >= {CONTAIN_THRESHOLD}
+    ),
+    n0 AS (SELECT COUNT(*) AS n FROM tr),
+    n1 AS (SELECT COUNT(*) AS n FROM surv1),
+    n2 AS (SELECT COUNT(*) AS n FROM survivors2),
+    n3 AS (SELECT COUNT(*) AS n FROM surv3),
+    n4 AS (SELECT COUNT(*) AS n FROM surv4),
+    n5 AS (SELECT (SELECT n FROM n4)
+                  - (SELECT COUNT(*) FROM contam) AS n)
+    SELECT * FROM (
+      SELECT 'raw' AS stage, CAST(n0.n AS BIGINT) AS n_in,
+             CAST(0 AS BIGINT) AS n_dropped,
+             CAST(n0.n AS BIGINT) AS n_out
+      FROM n0
+      UNION ALL
+      SELECT 'repetition', CAST(n0.n AS BIGINT),
+             CAST(n0.n - n1.n AS BIGINT), CAST(n1.n AS BIGINT)
+      FROM n0, n1
+      UNION ALL
+      SELECT 'exact_vocab', CAST(n1.n AS BIGINT),
+             CAST(n1.n - n2.n AS BIGINT), CAST(n2.n AS BIGINT)
+      FROM n1, n2
+      UNION ALL
+      SELECT 'minhash_lsh', CAST(n2.n AS BIGINT),
+             CAST(n2.n - n3.n AS BIGINT), CAST(n3.n AS BIGINT)
+      FROM n2, n3
+      UNION ALL
+      SELECT 'span_removal', CAST(n3.n AS BIGINT),
+             CAST(n3.n - n4.n AS BIGINT), CAST(n4.n AS BIGINT)
+      FROM n3, n4
+      UNION ALL
+      SELECT 'decontam', CAST(n4.n AS BIGINT),
+             CAST(n4.n - n5.n AS BIGINT), CAST(n5.n AS BIGINT)
+      FROM n4, n5
+    )
+    """
+
+
+@query("llm_prep_full_ledger", oracle=_full_ledger_oracle())
+def llm_prep_full_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL training-data prep chain as ONE declarative plan with
+    a single per-stage (n_in, n_dropped, n_out) ledger — the
+    composition r7's two partial ledgers (llm_corpus_prep,
+    dedup_pipeline_accounting) split between them:
+
+      repetition filter -> exact vocab dedup -> MinHash+LSH near-dup
+      dedup -> cross-doc span removal (+ document rebuild; docs
+      emptied by removal are dropped) -> benchmark decontamination
+      over the CLEANED text.
+
+    Stage order is the scale argument: each stage is strictly
+    cheaper run AFTER the previous one shrank the corpus — the
+    near-quadratic LSH stage sees only exact-dedup survivors, the
+    span shuffle sees only near-dup survivors, and decontamination
+    (eval side broadcast) runs over rebuilt text so boilerplate
+    spans cannot mask eval overlap. Every stage keeps its measured
+    component shape (hash-keyed aggregates, banded LSH candidates,
+    8-byte span-hash shuffles, broadcast eval shingles); the ledger
+    itself is six 1-row aggregates cross-joined into a stack —
+    nothing corpus-sized reaches the driver.
+
+    Decontamination deliberately runs LAST and over clean_text:
+    span removal changes token positions, so contamination measured
+    on raw text would attribute drops to text that no longer
+    exists downstream."""
+    from cdc_2025_spark.dedup.cluster import connected_components
+    from cdc_2025_spark.dedup.exact import vocab_key
+    from cdc_2025_spark.dedup.minhash import minhash_lsh_pairs
+    from cdc_2025_spark.queries.dedup import (
+        remove_repeated_spans_frame,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") >= EVAL_MAX_ID).select(
+        "doc_id", "text"
+    )
+    # stage 1: repetition filter (top unigram share)
+    uni = (
+        train.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .count()
+    )
+    stats = uni.groupBy("doc_id").agg(
+        F.sum("count").alias("n_tokens"),
+        F.max("count").alias("top_c"),
+    )
+    surv1 = stats.filter(
+        ~(PREP_REP_FACTOR * F.col("top_c") > F.col("n_tokens"))
+    ).select("doc_id")
+    d1 = train.join(surv1, "doc_id", "left_semi")
+    # stage 2: exact vocab dedup (min-id canonical)
+    canon = (
+        d1.select("doc_id", vocab_key("text").alias("key"))
+        .groupBy("key")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    # lazy localCheckpoints below: every stage frame feeds BOTH its
+    # count branch and the next stage — without them each of the six
+    # ledger counts re-executes the whole upstream chain (the
+    # semdedup/bigram posture; blocks release when the plan is GC'd)
+    d2 = d1.join(canon, "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
+    # stage 3: MinHash+LSH near-dup dedup (md5_km family so the
+    # oracle reproduces the identical candidate set)
+    from cdc_2025_spark.queries.dedup import (
+        JACCARD_K,
+        JACCARD_THRESHOLD,
+    )
+
+    pairs = minhash_lsh_pairs(
+        d2, k=JACCARD_K, threshold=JACCARD_THRESHOLD, family="md5_km"
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    d3 = d2.join(
+        cc.filter(F.col("id") != F.col("comp")).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+        "left_anti",
+    ).localCheckpoint(eager=False)
+    # stage 4: span removal + rebuild; emptied docs dropped
+    cleaned = remove_repeated_spans_frame(d3)
+    d4 = cleaned.filter(
+        F.col("n_tokens") - F.col("n_removed") > 0
+    ).select("doc_id", "clean_text").localCheckpoint(eager=False)
+    # stage 5: decontamination over the CLEANED text
+    tsets = shingle_sets(d4, "doc_id", "clean_text", CONTAIN_K)
+    esets = shingle_sets(
+        docs.filter(F.col("doc_id") < EVAL_MAX_ID),
+        "doc_id",
+        "text",
+        CONTAIN_K,
+    )
+    ev = esets.select(
+        F.col("id").alias("eval_id"),
+        F.size("sh").alias("esize"),
+        F.explode("sh").alias("shingle"),
+    )
+    trs = tsets.select(
+        F.col("id").alias("doc_id"), F.explode("sh").alias("shingle")
+    )
+    contam = (
+        F.broadcast(ev)
+        .join(trs, "shingle")
+        .groupBy("eval_id", "doc_id", "esize")
+        .agg(F.count("*").alias("inter"))
+        .filter(F.col("inter") / F.col("esize") >= CONTAIN_THRESHOLD)
+        .select("doc_id")
+        .distinct()
+    )
+    n0 = train.agg(F.count("*").alias("n0"))
+    n1 = d1.agg(F.count("*").alias("n1"))
+    n2 = d2.agg(F.count("*").alias("n2"))
+    n3 = d3.agg(F.count("*").alias("n3"))
+    n4 = d4.agg(F.count("*").alias("n4"))
+    nc = contam.agg(F.count("*").alias("nc"))
+    return (
+        n0.crossJoin(n1)
+        .crossJoin(n2)
+        .crossJoin(n3)
+        .crossJoin(n4)
+        .crossJoin(nc)
+        .selectExpr(
+            "stack(6, "
+            "'raw', n0, CAST(0 AS BIGINT), n0, "
+            "'repetition', n0, n0 - n1, n1, "
+            "'exact_vocab', n1, n1 - n2, n2, "
+            "'minhash_lsh', n2, n2 - n3, n3, "
+            "'span_removal', n3, n3 - n4, n4, "
+            "'decontam', n4, nc, n4 - nc"
+            ") AS (stage, n_in, n_dropped, n_out)"
         )
     )

@@ -520,7 +520,8 @@ CHUNK_STRIDE = 48  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 16 tokens
     oracle=f"""
     WITH base AS (
       SELECT doc_id,
-             string_split_regex(trim(lower(text)), '\\s+') AS ws
+             string_split_regex(
+               trim(lower(coalesce(text, ''))), '\\s+') AS ws
       FROM documents
     )
     SELECT doc_id,
@@ -551,13 +552,21 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan parallelism is the whole story, so this runs at whatever
     rate the source can be read at any corpus size. (Contrast
     text_pack_sequences, which needs per-bucket windows: chunking is
-    per-document, so Spark never has to co-locate anything.)"""
+    per-document, so Spark never has to co-locate anything.)
+
+    NULL text coalesces to '' on BOTH sides (one single-token chunk),
+    so a null-text document cannot diverge from the oracle — Spark's
+    greatest() skips NULLs where DuckDB's unnest-of-NULL drops rows
+    (r7 ADVICE; null case pinned in tests/test_text.py)."""
     from cdc_2025_spark.functions.text import tokens
 
     docs = read_table(spark, sf_dir, "documents")
     overlap = CHUNK_SIZE - CHUNK_STRIDE
     toks = docs.select(
-        "doc_id", tokens(F.lower(F.col("text"))).alias("ws")
+        "doc_id",
+        tokens(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias(
+            "ws"
+        ),
     )
     starts = F.sequence(
         F.lit(0),
@@ -635,12 +644,19 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     two grouped aggregates SHUFFLED ON xxhash64 8-byte keys (the
     repeated-spans trade: a 64-bit collision merges two bigrams'
     counts — birthday-bounded, string-group equality pinned on the
-    fixture in tests); scoring re-joins occurrences to the two count
-    tables on the same hash keys (map-side partial aggregation both
-    times, no broadcast of corpus-sized state); the vocabulary size
-    is one scalar crossJoin. NULL metrics for docs with < 2 tokens
-    (no bigrams — nothing to score, mirrored by the oracle's left
-    join)."""
+    fixture in tests); scoring re-joins occurrences to the
+    distinct-bigram count table on the same hash keys (map-side
+    partial aggregation, no broadcast of corpus-sized state), while
+    the CONTEXT count table is BROADCAST: cnt_w1 is vocabulary-sized
+    (distinct w1), and its key distribution in the occurrence join
+    is Zipfian — stopword contexts are hot keys at 100x, so a
+    shuffle join on w1_h would skew where a broadcast costs only
+    |vocab| rows (the identical move TF-IDF makes for its idf table;
+    plan-pinned in tests/test_plan_shape.py). cnt_bg stays a shuffle
+    join — distinct-bigram-sized is NOT broadcastable at scale. The
+    vocabulary size is one scalar crossJoin. NULL metrics for docs
+    with < 2 tokens (no bigrams — nothing to score, mirrored by the
+    oracle's left join)."""
     from cdc_2025_spark.functions.text import tokens
 
     docs = read_table(spark, sf_dir, "documents")
@@ -670,7 +686,7 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = toks.agg(F.countDistinct("tok").alias("v"))
     scored = (
         bg.join(cnt_bg, "bg_h")
-        .join(cnt_w1, "w1_h")
+        .join(F.broadcast(cnt_w1), "w1_h")
         .crossJoin(F.broadcast(v))
         .select(
             "doc_id",
@@ -696,4 +712,91 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_nll",
             "perplexity",
         )
+    )
+
+
+QUALITY_DROP_PCT = 0.25  # drop the bottom quartile per source
+
+
+@query(
+    "text_quality_percentile_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(trim(text)) AS n,
+             len(string_split_regex(trim(text), '\\s+')) AS ntok,
+             len(text) - len(regexp_replace(text,
+                 '[^a-zA-Z0-9_\\s]', '', 'g')) AS npunct
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, source,
+             CASE WHEN n < 200 THEN n / 200.0
+                  WHEN n > 2000
+                    THEN GREATEST(0.0, 1.0 - (n - 2000.0) / 8000.0)
+                  ELSE 1.0 END AS len_score,
+             CASE WHEN n = 0 THEN 0.0
+                  ELSE npunct * 1.0 / n END AS punct_r,
+             CASE WHEN ntok = 0 THEN 0.0
+                  ELSE (n - ntok + 1) * 1.0 / ntok END AS mean_wl
+      FROM scored
+    ), q AS (
+      SELECT doc_id, source,
+             ROUND(0.4 * len_score + 0.3 * (1.0 - punct_r) +
+                   0.3 * (CASE
+                       WHEN mean_wl BETWEEN 3.0 AND 10.0 THEN 1.0
+                       WHEN mean_wl < 3.0 THEN mean_wl / 3.0
+                       ELSE GREATEST(0.0,
+                            1.0 - (mean_wl - 10.0) / 10.0)
+                   END), 4) AS quality
+      FROM parts
+    ), thr AS (
+      SELECT source,
+             quantile_disc(quality, {QUALITY_DROP_PCT})
+               AS src_threshold
+      FROM q GROUP BY source
+    )
+    SELECT q.doc_id, q.source, q.quality, thr.src_threshold,
+           q.quality >= thr.src_threshold AS keep
+    FROM q JOIN thr USING (source)
+    """,
+)
+def text_quality_percentile_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Adaptive quality filtering: keep each document iff its
+    composite quality score (the text_quality_scores formula) clears
+    its SOURCE's {QUALITY_DROP_PCT:.0%}-percentile — the per-domain
+    calibration real pipelines use instead of one global cutoff (a
+    fixed threshold tuned on web text would gut a code or forum
+    source wholesale; CCNet makes the same move with per-language
+    perplexity buckets).
+
+    The threshold is percentile_DISC — an actual observed score, so
+    both engines pick the identical value with no interpolation
+    arithmetic to diverge on (scores are rounded to 4dp BEFORE the
+    percentile in both).
+
+    Shape: scoring rides the scan (codegen string expressions); the
+    thresholds are one tiny grouped aggregate (|sources| rows)
+    BROADCAST back — the corpus never shuffles at all. The same plan
+    at 100 TB: per-source sufficient stats, map-side partials, a
+    20-row broadcast."""
+    docs = read_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        _r4(quality_score("text")).alias("quality"),
+    )
+    thr = scored.groupBy("source").agg(
+        F.expr(
+            f"percentile_disc({QUALITY_DROP_PCT}) "
+            "WITHIN GROUP (ORDER BY quality)"
+        ).alias("src_threshold")
+    )
+    return scored.join(F.broadcast(thr), "source").select(
+        "doc_id",
+        "source",
+        "quality",
+        "src_threshold",
+        (F.col("quality") >= F.col("src_threshold")).alias("keep"),
     )

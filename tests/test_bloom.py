@@ -82,11 +82,38 @@ def test_bitmap_merges_by_bit_or(spark):
     assert df_merged == combined
 
 
+def test_null_key_round_trips(spark):
+    """A NULL key fed to bloom_build must probe positive (and a NULL
+    query against a NULL-free filter may be positive only at FPR
+    rates, never spuriously pinned false) — the r7 ADVICE fix: the
+    verdict re-join is null-safe, so 'no false negatives' covers the
+    NULL key too."""
+    keys = spark.createDataFrame(
+        [("a",), ("b",), (None,)], "key string"
+    )
+    m, k = bloom_params(3, 0.01)
+    bm = bloom_build(keys, "key", m, k)
+    got = {
+        r["key"]: r["might_contain"]
+        for r in bloom_probe(bm, keys, "key", m, k).collect()
+    }
+    assert got == {"a": True, "b": True, None: True}
+
+
 def test_geometry_guard():
+    """The overflow guard is joint in (m_bits, n_hashes) — either
+    factor alone can push i·h2 past int64 (r7 ADVICE: the old
+    m-only 2^56 check left n_hashes unbounded)."""
     from cdc_2025_spark.dedup.bloom import _positions
 
-    with pytest.raises(ValueError, match="2\\^56"):
-        _positions(None, F.col("k"), 1 << 56, 7, 42)
+    with pytest.raises(ValueError, match="overflows int64"):
+        _positions(None, F.col("k"), 1 << 62, 7, 42)
+    with pytest.raises(ValueError, match="overflows int64"):
+        _positions(None, F.col("k"), 1 << 40, 1 << 23, 42)
+    with pytest.raises(ValueError, match="n_hashes"):
+        _positions(None, F.col("k"), 1 << 20, 0, 42)
+    with pytest.raises(ValueError, match="m_bits"):
+        _positions(None, F.col("k"), 32, 7, 42)
 
 
 def test_prefilter_query_is_exact(spark, sf_dir):

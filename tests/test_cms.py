@@ -108,3 +108,41 @@ def test_heavy_terms_query_against_python_model(spark, sf_dir):
         want_top
     )
     assert all(r["cms_n"] >= r["exact_n"] for r in got)
+
+
+def test_cms_params_textbook_sizing(spark):
+    """cms_params follows the Cormode-Muthukrishnan bound: width =
+    ceil(e/eps), depth = ceil(ln 1/delta) — and a sketch built at a
+    tight budget really does bound the overcount by eps*N on a
+    skewed stream (one-sided: never under)."""
+    import math
+
+    import pytest
+
+    from cdc_2025_spark.functions.cms import (
+        cms_estimate,
+        cms_params,
+        cms_table,
+    )
+
+    assert cms_params(0.01, 0.05) == (3, math.ceil(math.e / 0.01))
+    assert cms_params(0.1, 0.5) == (1, 28)
+    with pytest.raises(ValueError, match="eps"):
+        cms_params(0.0, 0.1)
+    with pytest.raises(ValueError, match="delta"):
+        cms_params(0.1, 1.0)
+
+    eps, delta = 0.02, 0.01
+    depth, width = cms_params(eps, delta)
+    rows = [(f"k{i % 40}",) for i in range(900)] + [("hot",)] * 100
+    df = spark.createDataFrame(rows, "key string")
+    sk = cms_table(df, "key", depth=depth, width=width)
+    n = len(rows)
+    est = {
+        r["key"]: r["cms_n"]
+        for r in cms_estimate(
+            sk, spark.createDataFrame([("hot",), ("k0",)], "key string")
+        ).collect()
+    }
+    assert est["hot"] >= 100 and est["hot"] <= 100 + eps * n
+    assert est["k0"] >= 23 and est["k0"] <= 23 + eps * n

@@ -795,6 +795,79 @@ def test_semdedup_corpus_invariants(spark, sf_dir):
     assert sem_kept >= exact_kept > 0
 
 
+def test_semdedup_giant_cell_guard_bounds_pair_space(spark):
+    """Skewed fixture: 200 of 242 vectors pile into one tight blob
+    while the other 42 sit in 7 far-apart clusters, so with k=8
+    Lloyd parks 7 centroids on the spread clusters and ONE cell
+    holds all 200 blob members (>> the 4·n/k ≈ 124 cap) — the
+    unguarded candidate space is 200² = 40000. The guard must
+    re-cluster that cell one level down so sum(|cell|²) over the
+    FINAL pair-join key stays <= cap·n and beats the unguarded
+    space — and the decision-table invariants (exactly one kept
+    survivor per canonical) must still hold on the relabeled
+    cells."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from cdc_2025_spark.queries.dedup import (
+        _semdedup_assign,
+        _semdedup_quantizer,
+        semdedup,
+    )
+
+    rng = np.random.default_rng(7)
+    cold_centers = np.eye(8)[:7] * 1000.0
+    cold = np.concatenate(
+        [c + rng.normal(0, 1, size=(6, 8)) for c in cold_centers]
+    )
+    hot = rng.normal(loc=10.0, scale=0.3, size=(200, 8))
+    # lowest_id init seeds from the first k ids — lay out one
+    # representative per cold cluster then a hot point so the init
+    # matches the natural geometry and the blob stays one cell
+    pts = [cold[i * 6] for i in range(7)] + [hot[0]]
+    pts += list(hot[1:]) + [
+        cold[i * 6 + j] for i in range(7) for j in range(1, 6)
+    ]
+    vecs = np.asarray(pts)
+    k, n_iter = 8, 3
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [
+                (i, [float(x) for x in vecs[i]], 0)
+                for i in range(len(vecs))
+            ],
+            "vec_id long, embedding array<float>, label int",
+        ).coalesce(1).write.parquet(
+            os.path.join(d, "embeddings.parquet")
+        )
+        _cents, sub, cap = _semdedup_quantizer(
+            spark, d, k, n_iter, "numpy"
+        )
+        assert sub, "guard did not trigger on the skewed fixture"
+        assigned, _top, _lit = _semdedup_assign(
+            spark, d, k, n_iter, "numpy"
+        )
+        sizes = [
+            r["count"] for r in assigned.groupBy("cell").count().collect()
+        ]
+        n = sum(sizes)
+        assert n == 242
+        pair_space = sum(s * s for s in sizes)
+        assert pair_space <= cap * n, (pair_space, cap, n)
+        assert pair_space < 200 * 200  # beats the unguarded space
+        # end-to-end decision table still coherent on composite cells
+        rows = semdedup(spark, d, k=k, n_iter=n_iter).collect()
+        assert len(rows) == 242
+        by_canon: dict[int, list] = {}
+        for r in rows:
+            by_canon.setdefault(r["canonical_id"], []).append(r)
+        for canon, members in by_canon.items():
+            keeps = [m for m in members if m["keep"]]
+            assert len(keeps) == 1 and keeps[0]["vec_id"] == canon
+
+
 def test_pipeline_accounting_literal_stages(spark):
     """Stage ledger on a hand-built corpus: docs 1/2 are vocab-dups
     (word-order permutation -> exact stage drops 2, keeps 1), docs

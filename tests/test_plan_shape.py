@@ -255,6 +255,17 @@ def test_decontam_embedding_broadcasts_eval_side(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_perplexity_broadcasts_context_counts(spark, sf_dir):
+    """text_bigram_perplexity's context-count (cnt_w1) join is
+    vocabulary-sized with a Zipfian key distribution — stopword
+    contexts are hot keys at 100x, so it must BROADCAST (the idf
+    posture above); the distinct-bigram count join stays a shuffle
+    join because that table is corpus-shaped."""
+    p = plan_of(spark, sf_dir, "text_bigram_perplexity")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
 def test_chunking_plan_is_narrow(spark, sf_dir):
     """text_chunk_documents promises a shuffle-free narrow plan: no
     Exchange anywhere (per-document explode + slice only), and the

@@ -81,6 +81,21 @@ def test_every_query_fresh_within_two_rounds_after_this_window():
         f"never-checked queries outside the window: "
         f"{[n for n in never_checked if n not in window]}"
     )
+    # The window's ORDER must front-load never-checked queries: if
+    # the driver's run is ever cut short, the entries that have no
+    # green row at all are the ones that must not miss their slot
+    # (membership alone lets them drift to the window's tail as the
+    # registry grows past 150).
+    if never_checked:
+        last_new = max(window.index(n) for n in never_checked)
+        greens_before = [
+            n for n in window[:last_new] if n in newest
+        ]
+        assert not greens_before, (
+            "window order buries never-checked queries behind "
+            f"already-green ones: {greens_before} precede "
+            f"{window[last_new]}"
+        )
 
 
 def test_operators_roster_matches_registry():

@@ -237,6 +237,7 @@ def test_chunk_documents_edge_cases(spark):
         (2, "one two three", "en", "s", 13),
         (3, " ".join(f"t{i}" for i in range(CHUNK_SIZE)), "en", "s", 1),
         (4, " ".join(f"t{i}" for i in range(n_long)), "en", "s", 1),
+        (5, None, "en", "s", 0),  # NULL text == '' (r7 ADVICE)
     ]
     with tempfile.TemporaryDirectory() as d:
         spark.createDataFrame(
@@ -252,6 +253,7 @@ def test_chunk_documents_edge_cases(spark):
     for v in out.values():
         v.sort()
     assert out[1] == [(0, 1, "")]  # empty text: one empty chunk
+    assert out[5] == [(0, 1, "")]  # NULL text: same single chunk
     assert out[2] == [(0, 3, "one two three")]
     assert [c[:2] for c in out[3]] == [(0, CHUNK_SIZE)]
     # long doc: starts every stride while start < n - overlap,
