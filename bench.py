@@ -82,6 +82,12 @@ HEADLINE = [
     "sketch_cms_heavy_terms",
     "dedup_pipeline_accounting",
     "sample_topk_weighted_per_source",
+    # round-8 newcomers
+    "llm_prep_full_ledger",
+    "text_url_canonical_dedup",
+    "text_quality_percentile_filter",
+    "sim_pq_topk",
+    "text_perplexity_buckets",
 ]
 
 

@@ -57,6 +57,8 @@ _NEW_R8 = [
     "llm_prep_full_ledger",          # NEW in r8: full-chain ledger
     "text_url_canonical_dedup",      # NEW in r8: URL canonicalize
     "text_quality_percentile_filter",  # NEW in r8
+    "sim_pq_topk",                   # NEW in r8: PQ ADC + re-rank
+    "text_perplexity_buckets",       # NEW in r8: CCNet head/mid/tail
 ]
 
 _CHANGED_R8 = [

@@ -585,10 +585,12 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_bigram_perplexity",
-    oracle="""
-    WITH toks AS (
+# the corpus-LM CTE chain (toks -> bigrams -> counts -> per-doc
+# perplexity), shared by the perplexity query and the CCNet-style
+# bucket partitioner below; ends with `fin (doc_id, n_bigrams,
+# avg_nll, perplexity)`
+_PPLX_CTES = """
+    toks AS (
       SELECT doc_id, i - 1 AS pos, ws[i] AS tok
       FROM (SELECT doc_id,
                    string_split_regex(trim(lower(text)), '\\s+') AS ws
@@ -620,11 +622,21 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(AVG(nll), 4) AS avg_nll,
              ROUND(EXP(AVG(nll)), 4) AS perplexity
       FROM scored GROUP BY doc_id
+    ),
+    fin AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             agg.avg_nll, agg.perplexity
+      FROM documents d LEFT JOIN agg USING (doc_id)
     )
-    SELECT d.doc_id,
-           CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-           agg.avg_nll, agg.perplexity
-    FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+@query(
+    "text_bigram_perplexity",
+    oracle=f"""
+    WITH {_PPLX_CTES}
+    SELECT doc_id, n_bigrams, avg_nll, perplexity FROM fin
     """,
 )
 def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,6 +669,13 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary size is one scalar crossJoin. NULL metrics for docs
     with < 2 tokens (no bigrams — nothing to score, mirrored by the
     oracle's left join)."""
+    return perplexity_frame(spark, sf_dir)
+
+
+def perplexity_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll, perplexity) — the reusable
+    corpus-LM scorer behind text_bigram_perplexity and the CCNet
+    bucket partitioner."""
     from cdc_2025_spark.functions.text import tokens
 
     docs = read_table(spark, sf_dir, "documents")
@@ -799,4 +818,68 @@ def text_quality_percentile_filter(
         "quality",
         "src_threshold",
         (F.col("quality") >= F.col("src_threshold")).alias("keep"),
+    )
+
+
+PPLX_HEAD_PCT = 0.33
+PPLX_MID_PCT = 0.67
+
+
+@query(
+    "text_perplexity_buckets",
+    oracle=f"""
+    WITH {{pplx}}
+    , thr AS (
+      SELECT quantile_disc(perplexity, {PPLX_HEAD_PCT}) AS p_head,
+             quantile_disc(perplexity, {PPLX_MID_PCT}) AS p_mid
+      FROM fin WHERE perplexity IS NOT NULL
+    )
+    SELECT fin.doc_id, fin.n_bigrams, fin.perplexity,
+           CASE WHEN fin.perplexity IS NULL THEN 'unscored'
+                WHEN fin.perplexity <= thr.p_head THEN 'head'
+                WHEN fin.perplexity <= thr.p_mid THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM fin CROSS JOIN thr
+    """.format(pplx=_PPLX_CTES),
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail partitioning (Wenzek et al. LREC
+    2020): score every document with the corpus-LM perplexity
+    (perplexity_frame), then split the corpus at its own
+    {PPLX_HEAD_PCT:.0%}/{PPLX_MID_PCT:.0%} perplexity percentiles —
+    'head' is the most-fluent third the paper keeps outright,
+    'middle' is kept-with-sampling, 'tail' is the cut candidate.
+    Documents with no bigrams to score land in an explicit
+    'unscored' bucket rather than silently joining a tercile.
+
+    Thresholds are percentile_DISC on the 4dp-rounded scores —
+    observed values, engine-identical (the
+    text_quality_percentile_filter posture), so the whole decision
+    table hash-matches.
+
+    Shape: the scorer's shape is text_bigram_perplexity's (one
+    broadcast + one hash join on 8-byte keys); the thresholds are a
+    TWO-ROW aggregate broadcast back; bucketing is a codegen CASE.
+    Nothing new shuffles — the partitioner is free on top of the
+    score."""
+    p = perplexity_frame(spark, sf_dir)
+    thr = p.filter(F.col("perplexity").isNotNull()).agg(
+        F.expr(
+            f"percentile_disc({PPLX_HEAD_PCT}) "
+            "WITHIN GROUP (ORDER BY perplexity)"
+        ).alias("p_head"),
+        F.expr(
+            f"percentile_disc({PPLX_MID_PCT}) "
+            "WITHIN GROUP (ORDER BY perplexity)"
+        ).alias("p_mid"),
+    )
+    return p.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_bigrams",
+        "perplexity",
+        F.when(F.col("perplexity").isNull(), F.lit("unscored"))
+        .when(F.col("perplexity") <= F.col("p_head"), F.lit("head"))
+        .when(F.col("perplexity") <= F.col("p_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )

@@ -241,3 +241,79 @@ def test_cosine_udf_matches_codegen(spark):
             assert r["py"] is None
         else:
             assert math.isclose(r["jvm"], r["py"], rel_tol=1e-12)
+
+
+def test_pq_topk_recall_and_determinism(spark, sf_dir):
+    """PQ ADC-shortlist + exact-re-rank recall@10 vs brute force.
+    Measured 0.78 avg at sf0.01 (M=8, K=16, shortlist 50) — pinned
+    at >= 0.6 with slack for data regen; every query must return a
+    full top-k, the re-ranked cosines must be TRUE cosines (subset
+    rows agree with brute force exactly), and repeat invocations are
+    identical (cached codebooks + deterministic ADC ties)."""
+    from cdc_2025_spark.queries.similarity import (
+        sim_pq_topk,
+        sim_topk_bruteforce,
+    )
+
+    exact_rows = {}
+    for r in sim_topk_bruteforce(spark, sf_dir).collect():
+        exact_rows[(r["qid"], r["vec_id"])] = r["cos"]
+    exact = {}
+    for (qid, vid), _ in exact_rows.items():
+        exact.setdefault(qid, set()).add(vid)
+    got_rows = sim_pq_topk(spark, sf_dir).collect()
+    approx = {}
+    for r in got_rows:
+        approx.setdefault(r["qid"], set()).add(r["vec_id"])
+        # a PQ hit that's also a brute-force hit carries the same
+        # exact cosine (the re-rank is exact, not ADC-approximate)
+        if (r["qid"], r["vec_id"]) in exact_rows:
+            assert r["cos"] == exact_rows[(r["qid"], r["vec_id"])]
+    recalls = []
+    for qid, want in exact.items():
+        got = approx.get(qid, set())
+        assert len(got) == len(want), f"short top-k for query {qid}"
+        recalls.append(len(got & want) / len(want))
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+    again = sim_pq_topk(spark, sf_dir).collect()
+    assert sorted(map(tuple, got_rows)) == sorted(map(tuple, again))
+
+
+def test_pq_train_reduces_quantization_error(spark, sf_dir):
+    """Trained codebooks must reconstruct better than the un-iterated
+    init (Lloyd monotonicity carried through the grouped trainer),
+    and training must reject non-divisible dims."""
+    import numpy as np
+    import pytest
+
+    from cdc_2025_spark.functions.pq import pq_encode, pq_train
+    from cdc_2025_spark.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    x = {r["vec_id"]: np.asarray(list(r["embedding"])) for r in rows}
+
+    def mse(books):
+        mats = [
+            np.asarray([v for _, v in bk], dtype=np.float64)
+            for bk in books
+        ]
+        sub_d = mats[0].shape[1]
+        enc = {
+            r["vec_id"]: r["codes"]
+            for r in pq_encode(emb, books).collect()
+        }
+        tot = 0.0
+        for vid, codes in enc.items():
+            rec = np.concatenate(
+                [mats[i][codes[i]] for i in range(len(mats))]
+            )
+            tot += float(((x[vid] - rec) ** 2).sum())
+        return tot / len(enc)
+
+    trained = pq_train(spark, emb, m=8, k_sub=16, n_iter=3)
+    init_only = pq_train(spark, emb, m=8, k_sub=16, n_iter=0)
+    assert mse(trained) < mse(init_only)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(spark, emb, m=7, k_sub=4, n_iter=1)

@@ -64,6 +64,12 @@ QUERIES_UNDER_TEST = [
     "text_tfidf_top_terms",
     "sim_lsh_bucketed_pairs",
     "sim_ivf_topk",
+    # round-8 registrations
+    "llm_prep_full_ledger",
+    "text_url_canonical_dedup",
+    "text_quality_percentile_filter",
+    "sim_pq_topk",
+    "text_perplexity_buckets",
 ]
 
 
