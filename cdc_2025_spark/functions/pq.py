@@ -94,12 +94,13 @@ def pq_train(
         )
         import numpy as np
 
-        id_rank = {
-            r: i
-            for i, r in enumerate(
-                sorted({row["_id"] for row in seed_rows})
+        seed_ids = sorted({row["_id"] for row in seed_rows})
+        if len(seed_ids) < k_sub:
+            raise ValueError(
+                f"corpus has {len(seed_ids)} vectors; need >= "
+                f"k_sub={k_sub} for codebook init"
             )
-        }
+        id_rank = {r: i for i, r in enumerate(seed_ids)}
         books = [[None] * k_sub for _ in range(m)]
         for row in seed_rows:
             books[row["sub"]][id_rank[row["_id"]]] = np.asarray(

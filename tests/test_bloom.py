@@ -145,3 +145,32 @@ def test_prefilter_query_is_exact(spark, sf_dir):
     }
     assert got == want
     assert sum(got.values()) > 0
+
+
+def test_prefilter_empty_corpus_is_all_new(spark):
+    """An EMPTY corpus partition (every doc_id >= the split) must
+    yield an all-false batch verdict instead of bloom_params raising
+    on n_keys=0 (r7 ADVICE: the live count feeds the geometry)."""
+    import os
+    import tempfile
+
+    from cdc_2025_spark.queries.dedup import (
+        INCREMENTAL_SPLIT_ID,
+        dedup_incremental_bloom_prefilter,
+    )
+
+    rows = [
+        (INCREMENTAL_SPLIT_ID + i, f"doc text {i}", "en", "s", 10)
+        for i in range(5)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["doc_id"]: r["is_dup_of_corpus"]
+            for r in dedup_incremental_bloom_prefilter(spark, d).collect()
+        }
+    assert got == {INCREMENTAL_SPLIT_ID + i: False for i in range(5)}

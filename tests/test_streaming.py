@@ -931,3 +931,62 @@ def test_streaming_bloom_bitmap_maintenance(spark, tmpdir):
         ).collect()
     }
     assert store == full and len(store) > 0
+
+
+def test_streaming_cms_table_maintenance(spark, tmpdir):
+    """The count-min table's incremental story under Structured
+    Streaming (the Bloom pattern above, summed instead of OR'd):
+    each microbatch sketches itself and its cells ADD into the
+    store — counters are linear, so after the stream drains the
+    maintained table must equal the one-batch rebuild cell for
+    cell, making estimates and the one-sided-error guarantee
+    identical to a rebuild."""
+    from cdc_2025_spark.functions.cms import cms_table
+
+    src = os.path.join(tmpdir, "cms_keys")
+    os.makedirs(src)
+    all_keys = [f"k{i % 37}" for i in range(600)]  # skewed stream
+    flat = os.path.join(tmpdir, "cms_flat")
+    os.makedirs(flat)
+    for b in range(3):
+        d = os.path.join(src, f"b{b}")
+        spark.createDataFrame(
+            [(k,) for k in all_keys[b * 200 : (b + 1) * 200]],
+            "key string",
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(d, f), os.path.join(flat, f"{b}-{f}")
+                )
+
+    depth, width = 4, 32
+    store: dict[tuple[int, int], int] = {}
+
+    def absorb(batch_df, batch_id):
+        sk = cms_table(batch_df, "key", depth=depth, width=width)
+        for r in sk.table.collect():
+            cell = (r["row"], r["col"])
+            store[cell] = store.get(cell, 0) + r["cnt"]
+
+    stream = spark.readStream.schema("key string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(flat)
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", os.path.join(tmpdir, "cms_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    full = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in cms_table(
+            spark.createDataFrame([(x,) for x in all_keys], "key string"),
+            "key",
+            depth=depth,
+            width=width,
+        ).table.collect()
+    }
+    assert store == full and len(store) > 0
