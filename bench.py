@@ -88,6 +88,7 @@ HEADLINE = [
     "text_quality_percentile_filter",
     "sim_pq_topk",
     "text_perplexity_buckets",
+    "sim_ivfpq_topk",
 ]
 
 

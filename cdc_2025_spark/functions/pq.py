@@ -281,3 +281,59 @@ def pq_adc_topn(
         .filter(F.col("rn") <= n_short)
         .drop("rn")
     )
+
+
+def pq_adc_candidates(
+    cand_codes: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    books: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(qid, vec_id, adc_dist) over a PRE-RESTRICTED candidate frame
+    (qid, vec_id, codes) — the IVF+PQ composition path: the caller
+    already pruned candidates to each query's probed cells, so each
+    row scores against exactly its own query's LUT (contrast
+    pq_adc_topn, which scores every query against the whole code
+    table). Same LUT-in-closure shape; no shuffle is added here —
+    ranking/shortlisting is the caller's."""
+    import numpy as np
+
+    cids, mats = _book_matrices(books)
+    m = len(mats)
+    sub_d = mats[0].shape[1]
+    luts = {}
+    for qid, qv in queries:
+        qa = np.asarray(list(qv), dtype=np.float64)
+        lut = [None] * m
+        for i in range(m):
+            qs = qa[i * sub_d : (i + 1) * sub_d]
+            d = ((mats[i] - qs[None, :]) ** 2).sum(axis=1)
+            full = np.full(int(cids[i].max()) + 1, np.inf)
+            full[cids[i]] = d
+            lut[i] = full
+        luts[qid] = lut
+
+    def fn(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            code_mat = np.asarray(
+                [list(c) for c in pdf["codes"]], dtype=np.int64
+            )
+            qarr = pdf["qid"].to_numpy()
+            dist = np.zeros(len(pdf), dtype=np.float64)
+            for qid in np.unique(qarr):
+                mask = qarr == qid
+                lut = luts[int(qid)]
+                d = np.zeros(int(mask.sum()), dtype=np.float64)
+                sub_codes = code_mat[mask]
+                for i in range(m):
+                    d += lut[i][sub_codes[:, i]]
+                dist[mask] = d
+            out = pdf[["qid", id_col]].copy()
+            out["adc_dist"] = dist
+            yield out
+
+    return cand_codes.select("qid", id_col, "codes").mapInPandas(
+        fn, schema=f"qid long, {id_col} long, adc_dist double"
+    )

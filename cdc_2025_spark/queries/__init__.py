@@ -59,6 +59,7 @@ _NEW_R8 = [
     "text_quality_percentile_filter",  # NEW in r8
     "sim_pq_topk",                   # NEW in r8: PQ ADC + re-rank
     "text_perplexity_buckets",       # NEW in r8: CCNet head/mid/tail
+    "sim_ivfpq_topk",                # NEW in r8: IVF+PQ composition
 ]
 
 _CHANGED_R8 = [

@@ -817,3 +817,90 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "vec_id", F.round("cos", 4).alias("cos"), "rn")
     )
+
+
+@query("sim_ivfpq_topk")
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed — the standard billion-scale ANN recipe
+    (FAISS IVFPQ; Jégou et al. TPAMI 2011 §V): the coarse quantizer
+    prunes the corpus to each query's N_PROBE nearest cells, PQ-ADC
+    scores ONLY those candidates from their 8-byte codes, and the
+    exact re-rank orders the shortlist by true cosine. At 100 TB the
+    scan cost per query is (nprobe/nlist) x (corpus bytes / 32):
+    both reductions multiply, which is why the composition — not
+    either half alone — is the deployed shape.
+
+    Both index halves are the session-cached artifacts the
+    standalone queries train (_ivf_centroids, _pq_index), so this
+    query adds NO training cost of its own — the registration
+    exercises exactly the composition seam: probe map broadcast,
+    candidate join on cell id, per-candidate LUT lookups keyed by
+    the row's own query, shortlist window, id-keyed re-rank join.
+
+    Rows-only (iterative training on both halves); recall vs brute
+    force and the subset relation to plain-IVF pinned in
+    tests/test_similarity.py."""
+    from cdc_2025_spark.functions.embeddings import dot, norm
+    from cdc_2025_spark.functions.pq import pq_adc_candidates
+
+    books, codes = _pq_index(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    cents = spark.createDataFrame(
+        _ivf_centroids(spark, sf_dir), "cid int, cemb array<double>"
+    ).withColumn("cnrm", norm("cemb"))
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cid", dot("emb", "cemb") / F.col("cnrm")).alias(
+                "cell"
+            )
+        )
+    )
+    queries = [
+        (r["vec_id"], list(r["emb"]))
+        for r in emb.filter(F.col("vec_id") < N_QUERY_VECS).collect()
+    ]
+    qdf = spark.createDataFrame(queries, "qid long, qemb array<double>")
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("qcos").desc(), F.col("cid")
+    )
+    probes = (
+        qdf.join(F.broadcast(cents))
+        .select(
+            "qid",
+            "cid",
+            (dot("qemb", "cemb") / F.col("cnrm")).alias("qcos"),
+        )
+        .withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= N_PROBE)
+        .select("qid", F.col("cid").alias("cell"))
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("qid") != F.col("vec_id")
+    )
+    cand_codes = cand.join(codes, "vec_id")
+    scored = pq_adc_candidates(cand_codes, queries, books)
+    ws = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
+    short = (
+        scored.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= PQ_SHORTLIST)
+        .select("qid", "vec_id")
+    )
+    cos = F.when(
+        (norm("qemb") > 0) & (norm("cemb") > 0),
+        dot("qemb", "cemb") / (norm("qemb") * norm("cemb")),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        short.join(emb.select("vec_id", F.col("emb").alias("cemb")), "vec_id")
+        .join(F.broadcast(qdf), "qid")
+        .select("qid", "vec_id", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id", F.round("cos", 4).alias("cos"), "rn")
+    )

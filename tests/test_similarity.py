@@ -317,3 +317,41 @@ def test_pq_train_reduces_quantization_error(spark, sf_dir):
 
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(spark, emb, m=7, k_sub=4, n_iter=1)
+
+
+def test_ivfpq_recall_and_agreement(spark, sf_dir):
+    """The IVF+PQ composition: recall@10 vs brute force pinned
+    (measured 0.8 avg at sf0.01 — >= 0.6 with regen slack); hits
+    shared with plain IVF or brute force carry identical exact
+    cosines (both paths re-rank exactly); deterministic across
+    invocations (both index halves cached)."""
+    from cdc_2025_spark.queries.similarity import (
+        sim_ivf_topk,
+        sim_ivfpq_topk,
+        sim_topk_bruteforce,
+    )
+
+    bf = {
+        (r["qid"], r["vec_id"]): r["cos"]
+        for r in sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["qid"], r["vec_id"]): r["cos"]
+        for r in sim_ivf_topk(spark, sf_dir).collect()
+    }
+    got = sim_ivfpq_topk(spark, sf_dir).collect()
+    per_q: dict[int, set] = {}
+    for r in got:
+        per_q.setdefault(r["qid"], set()).add(r["vec_id"])
+        for other in (bf, ivf):
+            if (r["qid"], r["vec_id"]) in other:
+                assert r["cos"] == other[(r["qid"], r["vec_id"])]
+    want: dict[int, set] = {}
+    for qid, vid in bf:
+        want.setdefault(qid, set()).add(vid)
+    recalls = [
+        len(per_q.get(q, set()) & v) / len(v) for q, v in want.items()
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+    again = sim_ivfpq_topk(spark, sf_dir).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))

@@ -70,6 +70,7 @@ QUERIES_UNDER_TEST = [
     "text_quality_percentile_filter",
     "sim_pq_topk",
     "text_perplexity_buckets",
+    "sim_ivfpq_topk",
 ]
 
 
