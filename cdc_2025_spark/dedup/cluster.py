@@ -25,14 +25,67 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Edge budget for the driver-side fast path: 200k edges = 3.2 MB of
+# longs on the driver — the same bounded-collect posture as the
+# similarity family's budget_gate. Near-dup edge sets are duplicate
+# PAIRS, which are tiny relative to the corpus at any healthy dedup
+# rate; a corpus whose pair graph exceeds the budget takes the
+# distributed label-prop path unchanged.
+CC_DRIVER_EDGE_BUDGET = 200_000
+
+
+def _union_find_components(rows) -> dict[int, int]:
+    """Min-id components by union-find over collected (src, dst)
+    rows — exact, and identical to label propagation's fixpoint."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    driver_edge_budget: int = CC_DRIVER_EDGE_BUDGET,
 ) -> DataFrame:
     """(id, comp) for every vertex appearing in ``edges``; ``comp`` is
-    the min vertex id of the component. Deterministic."""
+    the min vertex id of the component. Deterministic.
+
+    Small graphs (<= ``driver_edge_budget`` edges) take a driver-side
+    union-find fast path: one ``limit(budget+1).collect()`` probe
+    either yields the WHOLE edge set (then union-find is exact and
+    the distributed loop's per-round fixed cost — a checkpoint
+    materialization + join + count, ~0.5 s/round locally — is paid
+    zero times) or proves the graph exceeds the budget and falls
+    back to label propagation. Equality of the two paths is pinned
+    in tests/test_dedup.py; pass ``driver_edge_budget=0`` to force
+    the distributed path."""
+    if driver_edge_budget > 0:
+        probe = edges.select(
+            F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+        ).limit(driver_edge_budget + 1)
+        rows = [(r[0], r[1]) for r in probe.collect()]
+        if len(rows) <= driver_edge_budget:
+            comp = _union_find_components(rows)
+            spark = edges.sparkSession
+            return spark.createDataFrame(
+                sorted(comp.items()), "id long, comp long"
+            )
     und = (
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")

@@ -346,9 +346,14 @@ def test_connected_components_raises_when_unconverged(spark):
     chain = [(i, i + 1) for i in range(1, 7)]
     df = spark.createDataFrame(chain, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=2)
+        connected_components(df, max_iter=2, driver_edge_budget=0)
     # and a sufficient budget converges to a single component
-    got = {r["comp"] for r in connected_components(df, max_iter=10).collect()}
+    got = {
+        r["comp"]
+        for r in connected_components(
+            df, max_iter=10, driver_edge_budget=0
+        ).collect()
+    }
     assert got == {1}
 
 
@@ -372,7 +377,12 @@ def test_star_contraction_matches_label_propagation(spark):
     ]
     edges = [(a, b) for a, b in edges if a != b]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    lp = {r["id"]: r["comp"] for r in connected_components(df, max_iter=100).collect()}
+    lp = {
+        r["id"]: r["comp"]
+        for r in connected_components(
+            df, max_iter=100, driver_edge_budget=0
+        ).collect()
+    }
     st = {r["id"]: r["comp"] for r in connected_components_star(df).collect()}
     assert st == lp
 
@@ -391,7 +401,7 @@ def test_star_contraction_handles_long_chains(spark):
     got = {r["comp"] for r in connected_components_star(df).collect()}
     assert got == {1}
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=25)
+        connected_components(df, max_iter=25, driver_edge_budget=0)
 
 
 def test_simhash_pairs_symmetric_bounds(docs):
@@ -908,3 +918,42 @@ def test_pipeline_accounting_literal_stages(spark):
     assert got["raw"] == (5, 0, 5)
     assert got["exact_vocab"] == (5, 1, 4)   # doc 2 dropped
     assert got["minhash_lsh"] == (4, 1, 3)   # doc 4 dropped
+
+
+def test_cc_driver_path_equals_labelprop(spark):
+    """The union-find fast path and distributed label propagation
+    must produce the identical (id, comp) table — chains, stars,
+    singleton-free graphs, and the budget-boundary fallback."""
+    from cdc_2025_spark.dedup.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)]           # chain -> comp 1
+        + [(10, 11), (10, 12), (10, 13)]   # star  -> comp 10
+        + [(20, 21)],                      # pair  -> comp 20
+        "id_a long, id_b long",
+    )
+    fast = {
+        (r["id"], r["comp"])
+        for r in connected_components(edges).collect()
+    }
+    dist = {
+        (r["id"], r["comp"])
+        for r in connected_components(
+            edges, driver_edge_budget=0
+        ).collect()
+    }
+    assert fast == dist
+    assert fast == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10), (13, 10),
+        (20, 20), (21, 20),
+    }
+    # over-budget graphs fall back to the distributed path (same
+    # output; exercised by setting the budget below the edge count)
+    tight = {
+        (r["id"], r["comp"])
+        for r in connected_components(
+            edges, driver_edge_budget=3
+        ).collect()
+    }
+    assert tight == fast
