@@ -89,6 +89,7 @@ HEADLINE = [
     "sim_pq_topk",
     "text_perplexity_buckets",
     "sim_ivfpq_topk",
+    "dedup_minhash_bbit_estimates",
 ]
 
 

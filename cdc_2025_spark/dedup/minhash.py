@@ -298,14 +298,57 @@ def minhash_lsh_pairs(
     # one shingle-set computation, persisted, feeding signatures AND
     # candidate verification — the expression is the dominant map cost
     sets = shingle_sets(docs, id_col, text_col, k, family=family).persist()
+    candidates = lsh_candidates(
+        docs, id_col, text_col, k, n_hashes, n_bands, seed, sets, family
+    )
+
+    # Verify ONLY the candidate pairs: join their shingle sets back and
+    # compute exact Jaccard per pair — work proportional to
+    # |candidates|, not |docs|^2 (that full join is what LSH avoids).
+    sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_hashes: int = 128,
+    n_bands: int = 16,
+    seed: int = 42,
+    sets: DataFrame | None = None,
+    family: str = "xxhash64",
+) -> DataFrame:
+    """(id_a, id_b) LSH candidate pairs (id_a < id_b, distinct) from
+    banded minhash signatures — the candidate stage of
+    ``minhash_lsh_pairs``, exposed so estimators that SKIP exact
+    verification (b-bit minhashing) can reuse the identical banding.
+
+    Band bucket over the band's signature columns — pure codegen, no
+    array materialization. xxhash64 family: one multi-arg xxhash64
+    (8-byte buckets — cheapest shuffle). md5_km family: comma-joined
+    signature string, which DuckDB's array_to_string reproduces
+    byte-for-byte (the oracle needs bucket equality, not the value).
+    """
+    _check_seed(family, seed)
+    r = n_hashes // n_bands
     wide = _signature_wide(
         docs, id_col, text_col, k, n_hashes, seed, sets, family
     )
-    # band bucket over the band's signature columns — pure codegen, no
-    # array materialization. xxhash64 family: one multi-arg xxhash64
-    # (8-byte buckets — cheapest shuffle). md5_km family: comma-joined
-    # signature string, which DuckDB's array_to_string reproduces
-    # byte-for-byte (the oracle needs bucket equality, not the value)
+
     def _bucket(j: int):
         cols = [F.col(f"_s{j * r + i}") for i in range(r)]
         if family == "md5_km":
@@ -333,27 +376,9 @@ def minhash_lsh_pairs(
 
     left = bands.select("band", "bucket", F.col("id").alias("id_a"))
     right = bands.select("band", "bucket", F.col("id").alias("id_b"))
-    candidates = (
+    return (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-    )
-
-    # Verify ONLY the candidate pairs: join their shingle sets back and
-    # compute exact Jaccard per pair — work proportional to
-    # |candidates|, not |docs|^2 (that full join is what LSH avoids).
-    sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    verified = (
-        candidates.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
-    )
-    return verified.filter(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", "jaccard"
     )

@@ -60,6 +60,7 @@ _NEW_R8 = [
     "sim_pq_topk",                   # NEW in r8: PQ ADC + re-rank
     "text_perplexity_buckets",       # NEW in r8: CCNet head/mid/tail
     "sim_ivfpq_topk",                # NEW in r8: IVF+PQ composition
+    "dedup_minhash_bbit_estimates",  # NEW in r8: b-bit minhash
 ]
 
 _CHANGED_R8 = [

@@ -1372,3 +1372,146 @@ def dedup_pipeline_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS (stage, n_in, n_dropped, n_out)"
         )
     )
+
+
+BBIT_B = 4  # bits kept per minhash value (Li & König's storage knob)
+BBIT_N = 128
+BBIT_P = 2147483647  # 2^31 - 1
+
+# Per-position universal-hash coefficients (a_i, b_i) for
+# s_i = min((a_i * h + b_i) mod p) — positions must be INDEPENDENT
+# hash functions for b-bit estimation: the Kirsch-Mitzenmacher
+# affine family (hi + i*lo) that serves banding fine is structurally
+# correlated across i (two docs agreeing on their min-lo shingle's
+# (hi, lo) mod 2^b match at EVERY position — measured: J=0.01 pairs
+# estimated at 0.99), so b-bit uses its own per-i draws. Fixed
+# deterministic table (seeded PRNG), identical literals in the
+# oracle.
+import random as _random
+
+_rng = _random.Random(0x5EED)
+BBIT_COEFFS = [
+    (_rng.randrange(1, BBIT_P), _rng.randrange(0, BBIT_P))
+    for _ in range(BBIT_N)
+]
+del _rng
+
+
+def _bbit_oracle() -> str:
+    """b-bit estimates beside exact Jaccard for every LSH candidate:
+    the shared md5_km chain supplies shingles/candidates/exact
+    Jaccard; the b-bit vectors come from the independent
+    universal-hash signatures (same literal coefficient table)."""
+    n, b, p = BBIT_N, BBIT_B, BBIT_P
+    two_b = 1 << b
+    sig_cols = ",\n             ".join(
+        f"MIN(({a} * hi + {bb}) % {p}) % {two_b} AS _t{i}"
+        for i, (a, bb) in enumerate(BBIT_COEFFS)
+    )
+    vec = ", ".join(f"_t{i}" for i in range(n))
+    return f"""
+    WITH {_minhash_pairs_ctes(JACCARD_K, JACCARD_THRESHOLD)},
+    usig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM hl GROUP BY doc_id
+    ),
+    bb AS (SELECT doc_id, [{vec}] AS v FROM usig)
+    SELECT c.id_a, c.id_b,
+           ROUND(c.jaccard, 4) AS jaccard_exact,
+           ROUND(GREATEST(0.0,
+             (len([i for i in range(1, {n + 1}) if a.v[i] = b.v[i]])
+                / {n}.0 - 1.0 / {two_b})
+             / (1.0 - 1.0 / {two_b})), 4) AS jaccard_bbit
+    FROM verified c
+    JOIN bb a ON a.doc_id = c.id_a
+    JOIN bb b ON b.doc_id = c.id_b
+    """
+
+
+@query("dedup_minhash_bbit_estimates", oracle=_bbit_oracle())
+def dedup_minhash_bbit_estimates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """b-bit minhashing (Li & König, "b-Bit Minwise Hashing", WWW'10
+    / CACM 2011 — public): store only the low b={BBIT_B} bits of
+    each of {BBIT_N} minhash values and estimate Jaccard from the
+    match fraction with the collision correction
+    J^ = (m - 1/2^b) / (1 - 1/2^b) — at b=4 the signature store is
+    64 bytes/doc, 16x smaller than 64-bit values, the trade being
+    estimator variance instead of bias.
+
+    The b-bit signatures use per-position universal hashes
+    ((a_i*h + b_i) mod 2^31-1, fixed coefficient table) — NOT the
+    Kirsch-Mitzenmacher affine family the banding uses: KM is fine
+    for bucket equality but its positions are structurally
+    correlated, which b-bit equality-counting cannot tolerate (see
+    BBIT_COEFFS comment; the failure is pinned in
+    tests/test_dedup.py alongside the accuracy bound).
+
+    Output: every LSH candidate pair with BOTH the exact verified
+    Jaccard and the b-bit estimate, so the estimator's error is
+    inspectable query-side; at deploy scale the exact column is the
+    one you drop — the b-bit estimate replaces the shingle-set
+    verification join entirely (signatures are doc-count-sized,
+    shingle sets are token-count-sized, and skipping that join is
+    the point of the compression).
+
+    Same md5 shingle hashes as the registered LSH query, so the
+    DuckDB oracle rebuilds candidates, exact Jaccard, AND the b-bit
+    estimates cell for cell."""
+    from cdc_2025_spark.dedup.minhash import (
+        lsh_candidates,
+        shingle_sets,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    sets = shingle_sets(
+        docs, "doc_id", "text", JACCARD_K, family="md5_km"
+    ).persist()
+    cand = lsh_candidates(
+        docs, k=JACCARD_K, family="md5_km", sets=sets
+    )
+    two_b = 1 << BBIT_B
+    hi = sets.select(
+        F.col("id"), F.explode("sh").alias("h")
+    ).select(
+        "id",
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("hi"),
+    )
+    usig = hi.groupBy("id").agg(
+        *[
+            F.expr(
+                f"min(({a} * hi + {b}) % {BBIT_P}) % {two_b} AS _t{i}"
+            )
+            for i, (a, b) in enumerate(BBIT_COEFFS)
+        ]
+    )
+    bb = usig.select(
+        "id", F.array(*[f"_t{i}" for i in range(BBIT_N)]).alias("v")
+    )
+    ja = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    jb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    exact = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    m = F.size(
+        F.filter(
+            F.zip_with("va", "vb", lambda x, y: x == y), lambda z: z
+        )
+    )
+    est = F.greatest(
+        F.lit(0.0),
+        (m / F.lit(float(BBIT_N)) - 1.0 / two_b) / (1.0 - 1.0 / two_b),
+    )
+    return (
+        cand.join(ja, "id_a")
+        .join(jb, "id_b")
+        .join(bb.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(bb.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(exact, 4).alias("jaccard_exact"),
+            F.round(est, 4).alias("jaccard_bbit"),
+        )
+    )

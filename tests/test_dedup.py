@@ -957,3 +957,53 @@ def test_cc_driver_path_equals_labelprop(spark):
         ).collect()
     }
     assert tight == fast
+
+
+def test_bbit_estimator_accuracy_and_km_failure(spark, sf_dir):
+    """b-bit estimates must track exact Jaccard within the Li-König
+    variance envelope on the fixture candidates (measured mean |err|
+    0.014 / max 0.07 at b=4, n=128 — pinned with slack), and the
+    structural-correlation failure that motivates the independent
+    universal-hash family must stay demonstrable: b-bit counting
+    over Kirsch-Mitzenmacher affine signatures mis-estimates
+    near-disjoint candidate pairs by an order of magnitude more."""
+    from cdc_2025_spark.dedup.minhash import minhash_signatures
+    from cdc_2025_spark.queries.dedup import (
+        dedup_minhash_bbit_estimates,
+    )
+
+    rows = dedup_minhash_bbit_estimates(spark, sf_dir).collect()
+    assert len(rows) > 50
+    errs = [abs(r["jaccard_exact"] - r["jaccard_bbit"]) for r in rows]
+    assert sum(errs) / len(errs) <= 0.05, sum(errs) / len(errs)
+    assert max(errs) <= 0.2, max(errs)
+
+    # the KM-affine failure mode (why BBIT_COEFFS exists): count
+    # mod-16 matches over md5_km signatures for the LOW-J candidate
+    # pairs — the correlated family wildly overestimates
+    sig = {
+        r["id"]: r["signature"]
+        for r in minhash_signatures(
+            read_docs(spark, sf_dir), k=3, family="md5_km"
+        ).collect()
+    }
+    low_j = [r for r in rows if r["jaccard_exact"] < 0.05][:20]
+    assert low_j, "fixture lost its low-J banding flukes"
+    km_est = []
+    for r in low_j:
+        a, b = sig[r["id_a"]], sig[r["id_b"]]
+        match = sum(x % 16 == y % 16 for x, y in zip(a, b)) / 128
+        km_est.append(max(0.0, (match - 1 / 16) / (1 - 1 / 16)))
+    km_err = sum(
+        abs(e - r["jaccard_exact"]) for e, r in zip(km_est, low_j)
+    ) / len(low_j)
+    bbit_err = sum(
+        abs(r["jaccard_bbit"] - r["jaccard_exact"]) for r in low_j
+    ) / len(low_j)
+    assert km_err > 10 * bbit_err, (km_err, bbit_err)
+
+
+def read_docs(spark, sf_dir):
+    from cdc_2025_spark.io import read_table
+
+    return read_table(spark, sf_dir, "documents")

@@ -71,6 +71,7 @@ QUERIES_UNDER_TEST = [
     "sim_pq_topk",
     "text_perplexity_buckets",
     "sim_ivfpq_topk",
+    "dedup_minhash_bbit_estimates",
 ]
 
 
