@@ -990,3 +990,64 @@ def test_streaming_cms_table_maintenance(spark, tmpdir):
         ).table.collect()
     }
     assert store == full and len(store) > 0
+
+
+def test_streaming_hll_sketch_maintenance(spark, tmpdir):
+    """The third mergeable-summary streaming leg (Bloom = bit_or,
+    CMS = sum, HLL = union): per-microbatch HLL sketches union-merge
+    into a store, and the drained store's distinct estimate must
+    agree with the one-batch rebuild AND sit inside the sketch's
+    error envelope around the exact count. (Datasketches unions are
+    not guaranteed byte-identical to a direct sketch, so the pinned
+    invariant is estimate agreement, not bitmap equality.)"""
+    src = os.path.join(tmpdir, "hll_keys")
+    os.makedirs(src)
+    all_keys = [f"u{i}" for i in range(3000)]
+    flat = os.path.join(tmpdir, "hll_flat")
+    os.makedirs(flat)
+    for b in range(3):
+        d = os.path.join(src, f"b{b}")
+        spark.createDataFrame(
+            # overlapping batches: dedup across batches is the point
+            [(k,) for k in all_keys[b * 800 : b * 800 + 1400]],
+            "user_id string",
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(d, f), os.path.join(flat, f"{b}-{f}")
+                )
+
+    batch_sketches: list[bytearray] = []
+
+    def absorb(batch_df, batch_id):
+        row = batch_df.agg(
+            F.hll_sketch_agg("user_id").alias("sk")
+        ).collect()[0]
+        batch_sketches.append(row["sk"])
+
+    stream = spark.readStream.schema("user_id string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(flat)
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", os.path.join(tmpdir, "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(batch_sketches) == 3
+
+    merged_est = (
+        spark.createDataFrame([(bytes(s),) for s in batch_sketches], "sk binary")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]["e"]
+    )
+    n_exact = len(set(all_keys[:1400]) | set(all_keys[800:2200]) | set(all_keys[1600:3000]))
+    rebuilt_est = (
+        spark.createDataFrame([(k,) for k in all_keys[:3000]], "user_id string")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert abs(merged_est - rebuilt_est) / n_exact <= 0.05
+    assert abs(merged_est - n_exact) / n_exact <= 0.05
