@@ -171,3 +171,51 @@ def test_round5_kernels_empty(spark, empty_docs):
 
     empty_media = spark.createDataFrame([], MEDIA_SCHEMA)
     assert resize_images(empty_media, 8, 8).count() == 0
+
+
+def test_cc_empty_edges_both_paths(spark):
+    from cdc_2025_spark.dedup import connected_components
+
+    empty_edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty_edges).count() == 0
+    assert (
+        connected_components(empty_edges, driver_edge_budget=0).count()
+        == 0
+    )
+
+
+def test_round8_kernels_empty(spark, empty_docs, tmp_path):
+    """Round-8 registrations on an empty documents table: URL dedup,
+    percentile filter, perplexity buckets, and the full prep ledger
+    must return well-defined empties (the ledger: six all-zero
+    stages), not throw. (PQ/IVFPQ need >= k_sub vectors by contract
+    — the pq_train guard raises a clear ValueError instead.)"""
+    import os
+
+    from cdc_2025_spark.queries.llmdata import llm_prep_full_ledger
+    from cdc_2025_spark.queries.text import (
+        text_perplexity_buckets,
+        text_quality_percentile_filter,
+    )
+    from cdc_2025_spark.queries.web import text_url_canonical_dedup
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    assert text_url_canonical_dedup(spark, d).count() == 0
+    assert text_quality_percentile_filter(spark, d).count() == 0
+    buckets = text_perplexity_buckets(spark, d)
+    assert buckets.count() == 0
+    rows = {
+        r["stage"]: (r["n_in"], r["n_dropped"], r["n_out"])
+        for r in llm_prep_full_ledger(spark, d).collect()
+    }
+    assert set(rows) == {
+        "raw", "repetition", "exact_vocab", "minhash_lsh",
+        "span_removal", "decontam",
+    }
+    assert all(v == (0, 0, 0) for v in rows.values()), rows
