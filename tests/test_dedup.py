@@ -711,6 +711,14 @@ def test_semdedup_k1_matches_python_model(spark):
             r["vec_id"]: (r["canonical_id"], r["keep"])
             for r in semdedup(spark, d, k=1, threshold=thr).collect()
         }
+        # the expression assignment backend must agree exactly
+        got_expr = {
+            r["vec_id"]: (r["canonical_id"], r["keep"])
+            for r in semdedup(
+                spark, d, k=1, threshold=thr, assign="expr"
+            ).collect()
+        }
+        assert got_expr == got
 
     # python model (float32 inputs, like the parquet round-trip)
     import numpy as np
