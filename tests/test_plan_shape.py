@@ -334,3 +334,33 @@ def test_bloom_prefilter_plan_broadcasts_the_bitmap(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_url_dedup_plan_single_window_shuffle(spark, sf_dir):
+    """text_url_canonical_dedup: canonicalization rides the scan as
+    codegen string expressions — the plan's only exchange is the
+    canonical-key window partitioning, and no Python appears."""
+    from cdc_2025_spark.plans import exchange_count
+
+    df = QUERIES["text_url_canonical_dedup"](spark, sf_dir)
+    p = plan_string(df)
+    assert exchange_count(df) <= 1, p
+    assert "Python" not in p and "CartesianProduct" not in p
+
+
+def test_quality_percentile_filter_broadcasts_thresholds(spark, sf_dir):
+    """The per-source thresholds table (|sources| rows) must
+    broadcast back — the corpus itself never shuffles."""
+    p = plan_of(spark, sf_dir, "text_quality_percentile_filter")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_full_ledger_plan_no_cross_product(spark, sf_dir):
+    """The five-stage prep composition: every stage joins on keys
+    (doc_id, ckey, span hash, shingle) — a cartesian anywhere means
+    a stage degenerated; the decontamination stage's eval side rides
+    a broadcast."""
+    p = plan_of(spark, sf_dir, "llm_prep_full_ledger")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
