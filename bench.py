@@ -90,6 +90,7 @@ HEADLINE = [
     "text_perplexity_buckets",
     "sim_ivfpq_topk",
     "dedup_minhash_bbit_estimates",
+    "sample_kcenter_coreset",
 ]
 
 

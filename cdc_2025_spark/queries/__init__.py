@@ -61,6 +61,7 @@ _NEW_R8 = [
     "text_perplexity_buckets",       # NEW in r8: CCNet head/mid/tail
     "sim_ivfpq_topk",                # NEW in r8: IVF+PQ composition
     "dedup_minhash_bbit_estimates",  # NEW in r8: b-bit minhash
+    "sample_kcenter_coreset",        # NEW in r8: diversity coreset
 ]
 
 _CHANGED_R8 = [

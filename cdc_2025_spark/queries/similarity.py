@@ -904,3 +904,45 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "vec_id", F.round("cos", 4).alias("cos"), "rn")
     )
+
+
+CORESET_K = 16
+
+
+@query("sample_kcenter_coreset")
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-based data selection: the k-center greedy coreset
+    (functions/coreset.py — Sener & Savarese ICLR'18) over the
+    embeddings corpus. Where the dedup family removes REDUNDANCY,
+    this picks the {CORESET_K}-point subset that best COVERS the
+    embedding space (max-min distance, 2-approximation of the
+    k-center optimum) — the budgeted-selection step of
+    train-on-less pipelines.
+
+    Output: (vec_id, sel_rank, min_sq_dist) in selection order —
+    min_sq_dist is the point's distance to the previously-selected
+    set at the moment it was picked (monotonically non-increasing by
+    the greedy invariant; 0 by convention for the seed).
+
+    Rows-only by design (k sequential data-dependent argmax rounds —
+    no SQL twin); greedy-model equality, the monotone-radius
+    invariant, and determinism are pinned in
+    tests/test_similarity.py. Shape: selected centers are k·dim
+    driver-side floats; each round is one scan + one max_by
+    aggregate over an incrementally-maintained min-distance column
+    (measures only against the newest center), so total cost is
+    k scans — the same iterative-training posture as Lloyd's, and
+    like the other trained artifacts it would cache per (session,
+    corpus) if it were queried repeatedly (it returns the selection
+    itself, so there is nothing to reuse)."""
+    from cdc_2025_spark.functions.coreset import kcenter_greedy
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    picked = kcenter_greedy(emb, CORESET_K)
+    return spark.createDataFrame(
+        [
+            (vid, i + 1, round(d, 4))
+            for i, (vid, d) in enumerate(picked)
+        ],
+        "vec_id long, sel_rank int, min_sq_dist double",
+    )

@@ -471,3 +471,70 @@ def test_bigram_perplexity_matches_python_model(spark, texts):
         avg = sum(nlls) / len(nlls)
         want[i] = (len(pairs), round(avg, 4), round(math.exp(avg), 4))
     assert got == want
+
+
+# URL-ish strings assembled from the parts canonicalization touches:
+# optional scheme/www in mixed case, a host-path body, optional
+# query params (tracking and real, shuffled order), optional
+# fragment and trailing slashes.
+_url_strategy = st.builds(
+    lambda scheme, www, body, params, frag, slashes: (
+        scheme
+        + www
+        + body
+        + ("?" + "&".join(params) if params else "")
+        + frag
+        + slashes
+    ),
+    scheme=st.sampled_from(["", "http://", "https://", "HTTP://", "HtTpS://"]),
+    www=st.sampled_from(["", "www.", "WWW.", "wWw."]),
+    body=st.from_regex(r"[A-Za-z][A-Za-z0-9.]{0,8}\.com(/[A-Za-z0-9._-]{0,6}){0,3}", fullmatch=True),
+    params=st.lists(
+        st.sampled_from(
+            ["a=1", "b=2", "z=9", "id=7", "utm_source=x",
+             "utm_campaign=c", "fbclid=f", "gclid=g"]
+        ),
+        max_size=4,
+        unique=True,
+    ),
+    frag=st.sampled_from(["", "#x", "#sec-2"]),
+    slashes=st.sampled_from(["", "/", "//"]),
+)
+
+
+@SETTINGS
+@given(urls=st.lists(_url_strategy, min_size=1, max_size=8))
+def test_canonical_url_properties(spark, urls):
+    """For any assembled URL: canonicalization is IDEMPOTENT, strips
+    every tracking param while keeping every real one (sorted), and
+    never emits scheme/www/fragment/trailing-slash artifacts."""
+    from cdc_2025_spark.functions.url import canonical_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = [
+        r["c"]
+        for r in df.select(canonical_url("url").alias("c")).collect()
+    ]
+    again = [
+        r["c"]
+        for r in spark.createDataFrame([(c,) for c in once], "url string")
+        .select(canonical_url("url").alias("c"))
+        .collect()
+    ]
+    assert again == once  # idempotent
+    for raw, c in zip(urls, once):
+        assert not c.endswith("/") or c == "/"
+        assert "#" not in c
+        assert not c.lower().startswith(("http://", "https://", "www."))
+        assert "utm_" not in c and "fbclid=" not in c and "gclid=" not in c
+        assert c == c.lower()
+        q = raw.split("#")[0]
+        real = sorted(
+            p
+            for p in (q.split("?", 1)[1].split("&") if "?" in q else [])
+            if p and not p.startswith(("utm_", "fbclid=", "gclid="))
+        )
+        if real:
+            assert c.endswith("?" + "&".join(real)), (raw, c)
+        else:
+            assert "?" not in c, (raw, c)

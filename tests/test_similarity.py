@@ -355,3 +355,42 @@ def test_ivfpq_recall_and_agreement(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.6, recalls
     again = sim_ivfpq_topk(spark, sf_dir).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_kcenter_coreset_matches_greedy_model(spark, sf_dir):
+    """The distributed k-center greedy must reproduce the pure-python
+    greedy exactly (seed = lowest id; farthest-first with min-sq-dist
+    maintained incrementally; ties to lowest id), its selection radii
+    must be non-increasing (the greedy invariant), and repeat runs
+    identical."""
+    import numpy as np
+
+    from cdc_2025_spark.io import read_table
+    from cdc_2025_spark.queries.similarity import (
+        CORESET_K,
+        sample_kcenter_coreset,
+    )
+
+    got = sample_kcenter_coreset(spark, sf_dir).collect()
+    assert [r["sel_rank"] for r in got] == list(range(1, CORESET_K + 1))
+    radii = [r["min_sq_dist"] for r in got][1:]
+    assert all(a >= b for a, b in zip(radii, radii[1:])), radii
+
+    raw = read_table(spark, sf_dir, "embeddings").collect()
+    x = {r["vec_id"]: np.asarray(list(r["embedding"]), dtype=np.float64) for r in raw}
+    ids = sorted(x)
+    picked = [ids[0]]
+    d2 = {i: float("inf") for i in ids}
+    want = [(ids[0], 0.0)]
+    for _ in range(CORESET_K - 1):
+        last = x[picked[-1]]
+        for i in ids:
+            d2[i] = min(d2[i], float(((x[i] - last) ** 2).sum()))
+        rest = [i for i in ids if i not in picked]
+        far = max(rest, key=lambda i: (d2[i], -i))
+        picked.append(far)
+        want.append((far, round(d2[far], 4)))
+    assert [(r["vec_id"], r["min_sq_dist"]) for r in got] == want
+
+    again = sample_kcenter_coreset(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]

@@ -72,6 +72,7 @@ QUERIES_UNDER_TEST = [
     "text_perplexity_buckets",
     "sim_ivfpq_topk",
     "dedup_minhash_bbit_estimates",
+    "sample_kcenter_coreset",
 ]
 
 
