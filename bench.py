@@ -91,6 +91,7 @@ HEADLINE = [
     "sim_ivfpq_topk",
     "dedup_minhash_bbit_estimates",
     "sample_kcenter_coreset",
+    "sim_hard_negatives",
 ]
 
 

@@ -62,6 +62,7 @@ _NEW_R8 = [
     "sim_ivfpq_topk",                # NEW in r8: IVF+PQ composition
     "dedup_minhash_bbit_estimates",  # NEW in r8: b-bit minhash
     "sample_kcenter_coreset",        # NEW in r8: diversity coreset
+    "sim_hard_negatives",            # NEW in r8: contrastive mining
 ]
 
 _CHANGED_R8 = [

@@ -946,3 +946,74 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "vec_id long, sel_rank int, min_sq_dist double",
     )
+
+
+HN_K = 5
+HN_FLOOR = 0.10  # below this, negatives are trivially easy
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, emb AS qemb FROM e
+          WHERE vec_id < {N_QUERY_VECS}),
+    scored AS (
+      SELECT qid, vec_id,
+             list_cosine_similarity(qemb, emb) AS cos
+      FROM q CROSS JOIN e
+      WHERE qid <> vec_id
+    ), banded AS (
+      SELECT qid, vec_id, cos FROM scored
+      WHERE cos >= {HN_FLOOR} AND cos < {PAIR_THRESHOLD}
+    ), ranked AS (
+      SELECT qid, vec_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, vec_id) AS rn
+      FROM banded
+    )
+    SELECT qid, vec_id, ROUND(cos, 4) AS cos, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= {HN_K}
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the
+    highest-similarity NON-duplicates per anchor — the negatives
+    dense-retrieval training needs; DPR, Karpukhin et al. EMNLP'20,
+    samples them from a lexical index, ANCE, Xiong et al. ICLR'21,
+    mines them by ANN exactly as here): for each anchor, the top
+    {HN_K} vectors with cosine in [{HN_FLOOR}, {PAIR_THRESHOLD}) —
+    similar enough to be informative, below the near-dup threshold
+    so no positive leaks into the negative set.
+
+    Shape: identical to sim_topk_bruteforce (anchors broadcast, one
+    corpus scan, per-anchor WindowGroupLimit) with the band filter
+    fused into the scan pass — the mining adds ZERO cost over the
+    top-k baseline. At deploy scale the same band-and-rank drops in
+    after any ANN candidate stage (IVF/PQ/LSH) instead of the exact
+    scan; the exact form is the auditable contract."""
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    cos = cosine("qemb", "emb")
+    banded = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", cos.alias("cos"))
+        .filter((F.col("cos") >= HN_FLOOR) & (F.col("cos") < PAIR_THRESHOLD))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        banded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HN_K)
+        .select("qid", "vec_id", F.round("cos", 4).alias("cos"), "rn")
+    )

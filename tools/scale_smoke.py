@@ -73,6 +73,7 @@ QUERIES_UNDER_TEST = [
     "sim_ivfpq_topk",
     "dedup_minhash_bbit_estimates",
     "sample_kcenter_coreset",
+    "sim_hard_negatives",
 ]
 
 
