@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_minhash_bbit_estimates",
     "sample_kcenter_coreset",
     "sim_hard_negatives",
+    "sample_dsir_importance",
 ]
 
 

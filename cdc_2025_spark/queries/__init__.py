@@ -63,6 +63,7 @@ _NEW_R8 = [
     "dedup_minhash_bbit_estimates",  # NEW in r8: b-bit minhash
     "sample_kcenter_coreset",        # NEW in r8: diversity coreset
     "sim_hard_negatives",            # NEW in r8: contrastive mining
+    "sample_dsir_importance",        # NEW in r8: DSIR resampling
 ]
 
 _CHANGED_R8 = [

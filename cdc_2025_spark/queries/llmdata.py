@@ -949,3 +949,170 @@ def llm_prep_full_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS (stage, n_in, n_dropped, n_out)"
         )
     )
+
+
+# DSIR (Xie et al., "Data Selection for Language Models via
+# Importance Resampling", NeurIPS 2023): hashed-n-gram bag-of-words
+# importance weights between a target split and the raw pool, then
+# Gumbel-top-k resampling without replacement.
+DSIR_TARGET_MAX_ID = 100   # target-domain sample: same split rule as
+#                            the decontam eval set (doc_id < 100)
+DSIR_BUCKETS = 256         # hashed feature space (paper uses 10k;
+#                            collisions are part of the method)
+DSIR_K = 150               # resample size
+
+
+@query(
+    "sample_dsir_importance",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                 % {DSIR_BUCKETS} AS bucket
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(lower(text)),
+                                             '\\s+')) AS tok
+            FROM documents)
+    ),
+    cnt AS (
+      SELECT bucket,
+             SUM(CASE WHEN doc_id < {DSIR_TARGET_MAX_ID}
+                 THEN 1 ELSE 0 END) AS c_t,
+             SUM(CASE WHEN doc_id >= {DSIR_TARGET_MAX_ID}
+                 THEN 1 ELSE 0 END) AS c_r
+      FROM feat GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_t) AS BIGINT) AS n_t,
+             CAST(SUM(c_r) AS BIGINT) AS n_r
+      FROM cnt
+    ),
+    lr AS (
+      SELECT bucket,
+             ln(((c_t + 1) * (n_r + {DSIR_BUCKETS})) * 1.0
+                / ((c_r + 1) * (n_t + {DSIR_BUCKETS}))) AS lr
+      FROM cnt CROSS JOIN tot
+    ),
+    docw AS (
+      SELECT f.doc_id, SUM(lr.lr) AS w_raw
+      FROM feat f JOIN lr USING (bucket) GROUP BY f.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             ROUND(COALESCE(docw.w_raw, 0.0), 4) AS log_weight,
+             ROUND(COALESCE(docw.w_raw, 0.0)
+                   - ln(-ln((CAST(('0x' || substr(md5('g:' ||
+                         CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                         % {WEIGHT_SCALE} + 0.5) / {WEIGHT_SCALE})),
+                   4) AS gumbel_key
+      FROM documents d LEFT JOIN docw USING (doc_id)
+    )
+    SELECT doc_id, log_weight, gumbel_key,
+           (ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id)
+            <= {DSIR_K}) AS selected
+    FROM scored
+    """,
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023,
+    arXiv:2302.03169): score every raw document by how target-like
+    its hashed-unigram bag is — log importance weight
+    sum_tok ln(p_target[h(tok)] / p_raw[h(tok)]) under
+    add-1-smoothed hashed-feature distributions fit in-plan — then
+    resample K docs WITHOUT replacement, proportional to weight, via
+    Gumbel-top-k. The target split reuses the decontam rule
+    (doc_id < 100 is the "domain sample"); the Gumbel uniform is the
+    engine-portable md5 bucket (salted 'g:' so it is independent of
+    every other sampler's draw), so selection is reproducible across
+    engines and reruns.
+
+    Shape, built to scale: the feature frame is one codegen'd
+    explode; the distribution fit is ONE grouped aggregate with
+    map-side partials whose output is bounded by the feature-space
+    size (256 buckets — never vocabulary-sized); the per-bucket
+    log-ratio table BROADCASTS back onto the token stream (the idf /
+    cnt_w1 move — Zipf-hot buckets never shuffle), leaving one
+    doc-keyed aggregate. Selection is a top-K
+    (TakeOrderedAndProject, never a global window) on the ROUNDED
+    Gumbel key with doc_id tiebreak, re-joined as a broadcast flag.
+    All-integer products inside a single ln keep the per-bucket
+    ratio engine-exact; per-doc sums round to 4dp after aggregation
+    (the registry determinism rule).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    )
+    feat = tok.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+        # feat feeds two subtrees (the distribution fit and the
+        # scoring join) — lazy localCheckpoint so the explode runs
+        # once per action, as in perplexity_frame.
+    ).localCheckpoint(eager=False)
+    is_t = F.col("doc_id") < DSIR_TARGET_MAX_ID
+    cnt = feat.groupBy("bucket").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("c_r"),
+    )
+    tot = cnt.agg(
+        F.sum("c_t").cast("long").alias("n_t"),
+        F.sum("c_r").cast("long").alias("n_r"),
+    )
+    lr = cnt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.log(
+            ((F.col("c_t") + 1) * (F.col("n_r") + DSIR_BUCKETS)).cast(
+                "double"
+            )
+            / ((F.col("c_r") + 1) * (F.col("n_t") + DSIR_BUCKETS))
+        ).alias("lr"),
+    )
+    docw = (
+        feat.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("lr").alias("w_raw"))
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("g:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % WEIGHT_SCALE
+        + F.lit(0.5)
+    ) / F.lit(float(WEIGHT_SCALE))
+    w_raw = F.coalesce(F.col("w_raw"), F.lit(0.0))
+    scored = (
+        docs.select("doc_id")
+        .join(docw, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(w_raw, 4).alias("log_weight"),
+            F.round(w_raw - F.log(-F.log(u)), 4).alias("gumbel_key"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sel = (
+        scored.orderBy(F.col("gumbel_key").desc(), "doc_id")
+        .limit(DSIR_K)
+        .select("doc_id", F.lit(True).alias("sel"))
+    )
+    return scored.join(F.broadcast(sel), "doc_id", "left").select(
+        "doc_id",
+        "log_weight",
+        "gumbel_key",
+        F.coalesce(F.col("sel"), F.lit(False)).alias("selected"),
+    )

@@ -219,3 +219,20 @@ def test_round8_kernels_empty(spark, empty_docs, tmp_path):
         "span_removal", "decontam",
     }
     assert all(v == (0, 0, 0) for v in rows.values()), rows
+
+
+def test_dsir_empty_documents(spark, tmp_path):
+    """DSIR on an empty documents table: both distributions are
+    empty (add-1 smoothing keeps every log-ratio finite), zero docs
+    score, zero are selected — no throw, no division by zero."""
+    import os
+
+    from cdc_2025_spark.queries.llmdata import sample_dsir_importance
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    assert sample_dsir_importance(spark, d).count() == 0

@@ -364,3 +364,15 @@ def test_full_ledger_plan_no_cross_product(spark, sf_dir):
     p = plan_of(spark, sf_dir, "llm_prep_full_ledger")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_dsir_broadcasts_ratio_table_and_topk_selection(spark, sf_dir):
+    """DSIR's per-bucket log-ratio table is feature-space-sized (256
+    rows) and must BROADCAST onto the token stream (the idf/cnt_w1
+    posture — bucket keys are Zipf-hot at 100x); selection must plan
+    as a distributed top-K (TakeOrderedAndProject), never a global
+    single-partition window sort."""
+    p = plan_of(spark, sf_dir, "sample_dsir_importance")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p

@@ -361,3 +361,80 @@ def test_topk_weighted_sample_matches_hashlib_model(spark, sf_dir):
     )
     sampled_mean = sum(g[3] for g in got) / len(got)
     assert sampled_mean > sum(all_tokens) / len(all_tokens)
+
+
+def test_dsir_importance_matches_python_model(spark, sf_dir):
+    """DSIR vs a sequential python model: identical hashed-unigram
+    bucket counts, identical add-1 log-ratios, identical per-doc
+    weights and salted-Gumbel keys (4dp), identical top-K selected
+    set — plus the semantic direction: the target split's mean log
+    importance weight exceeds the raw pool's (targets are
+    target-like by construction)."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from cdc_2025_spark.io import read_table
+    from cdc_2025_spark.queries.llmdata import (
+        DSIR_BUCKETS,
+        DSIR_K,
+        DSIR_TARGET_MAX_ID,
+        WEIGHT_SCALE,
+        sample_dsir_importance,
+    )
+
+    got = {
+        r["doc_id"]: (r["log_weight"], r["gumbel_key"], r["selected"])
+        for r in sample_dsir_importance(spark, sf_dir).collect()
+    }
+
+    rows = read_table(spark, sf_dir, "documents").collect()
+    c_t: Counter = Counter()
+    c_r: Counter = Counter()
+    doc_buckets: dict[int, list[int]] = {}
+    for r in rows:
+        toks = re.split(r"\s+", r["text"].strip().lower())
+        bks = [
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+            for t in toks
+        ]
+        doc_buckets[r["doc_id"]] = bks
+        tgt = r["doc_id"] < DSIR_TARGET_MAX_ID
+        for b in bks:
+            (c_t if tgt else c_r)[b] += 1
+    n_t, n_r = sum(c_t.values()), sum(c_r.values())
+    lr = {
+        b: math.log(
+            (c_t[b] + 1)
+            * (n_r + DSIR_BUCKETS)
+            / ((c_r[b] + 1) * (n_t + DSIR_BUCKETS))
+        )
+        for b in set(c_t) | set(c_r)
+    }
+    scored = {}
+    for did, bks in doc_buckets.items():
+        w = sum(lr[b] for b in bks)
+        u = (
+            int(
+                hashlib.md5(f"g:{did}".encode()).hexdigest()[:8], 16
+            )
+            % WEIGHT_SCALE
+            + 0.5
+        ) / WEIGHT_SCALE
+        scored[did] = (round(w, 4), round(w - math.log(-math.log(u)), 4))
+    top = sorted(scored, key=lambda d: (-scored[d][1], d))[:DSIR_K]
+    want = {d: (*scored[d], d in set(top)) for d in scored}
+    assert got == want
+
+    tmean = sum(
+        v[0] for d, v in want.items() if d < DSIR_TARGET_MAX_ID
+    ) / DSIR_TARGET_MAX_ID
+    rmean = sum(
+        v[0] for d, v in want.items() if d >= DSIR_TARGET_MAX_ID
+    ) / (len(want) - DSIR_TARGET_MAX_ID)
+    assert tmean > rmean
+    # resampling follows the weights: selected docs are heavier on
+    # average than the pool
+    smean = sum(v[0] for v in want.values() if v[2]) / DSIR_K
+    assert smean > sum(v[0] for v in want.values()) / len(want)

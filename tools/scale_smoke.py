@@ -74,6 +74,7 @@ QUERIES_UNDER_TEST = [
     "dedup_minhash_bbit_estimates",
     "sample_kcenter_coreset",
     "sim_hard_negatives",
+    "sample_dsir_importance",
 ]
 
 
