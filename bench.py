@@ -93,6 +93,7 @@ HEADLINE = [
     "sample_kcenter_coreset",
     "sim_hard_negatives",
     "sample_dsir_importance",
+    "embed_pca_project",
 ]
 
 

@@ -64,6 +64,7 @@ _NEW_R8 = [
     "sample_kcenter_coreset",        # NEW in r8: diversity coreset
     "sim_hard_negatives",            # NEW in r8: contrastive mining
     "sample_dsir_importance",        # NEW in r8: DSIR resampling
+    "embed_pca_project",             # NEW in r8: distributed PCA
 ]
 
 _CHANGED_R8 = [

@@ -1017,3 +1017,65 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= HN_K)
         .select("qid", "vec_id", F.round("cos", 4).alias("cos"), "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA projection
+# ---------------------------------------------------------------------------
+
+PCA_COMPONENTS = 4
+
+_PCA_CACHE: _WeakKeyDictionary = _WeakKeyDictionary()
+
+
+def _pca_model(spark: SparkSession, sf_dir: str):
+    """Fitted (mean, components, eigvals, n) per (session, corpus) —
+    the quantizer-cache posture (_CENTROID_CACHE / _PQ_CACHE, same
+    in-session staleness caveat): the fit is one sufficient-stats
+    pass; repeated invocations reuse the d²-sized model."""
+    from cdc_2025_spark.functions.pca import pca_fit
+
+    key = (sf_dir, PCA_COMPONENTS)
+    per_session = _PCA_CACHE.setdefault(spark, {})
+    cached = per_session.get(key)
+    if cached is None:
+        emb = read_table(spark, sf_dir, "embeddings")
+        cached = pca_fit(emb, PCA_COMPONENTS)
+        per_session[key] = cached
+    return cached
+
+
+@query("embed_pca_project")
+def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA: project every embedding onto the corpus's
+    top-4 principal components — the dimensionality-reduction /
+    whitening front end an embedding pipeline runs before
+    clustering, visualization, or cheap prefilters (public
+    construction; MLlib RowMatrix computes the same Gramian by
+    treeAggregate).
+
+    rows-only by design: eigendecomposition of the covariance has no
+    DuckDB twin. Accuracy is pinned in tests/test_pca.py instead —
+    exact 4dp equality against a full-data numpy PCA under the same
+    sign convention, component orthonormality, descending
+    non-negative eigenvalues, and determinism across invocations.
+
+    Shape, built to scale: ONE sufficient-statistics pass (per-batch
+    numpy partials → a position-keyed grouped sum bounded by d², so
+    the driver sees d²+d+1 doubles regardless of corpus or cluster
+    size); the (r×d) component matrix rides the mapInPandas closure
+    back over the corpus — one centered matmul per Arrow batch, no
+    shuffle in the projection at all. Fit cached per
+    (session, corpus) like the IVF/PQ quantizers.
+    """
+    from cdc_2025_spark.functions.pca import pca_project
+
+    mu, comps, _eigvals, _n = _pca_model(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    proj = pca_project(emb, mu, comps)
+    labels = emb.select(F.col("vec_id").alias("id"), "label")
+    return proj.join(labels, "id").select(
+        F.col("id").alias("vec_id"),
+        F.col("label").cast("int").alias("label"),
+        *[f"pc{i + 1}" for i in range(PCA_COMPONENTS)],
+    )

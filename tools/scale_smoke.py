@@ -75,6 +75,7 @@ QUERIES_UNDER_TEST = [
     "sample_kcenter_coreset",
     "sim_hard_negatives",
     "sample_dsir_importance",
+    "embed_pca_project",
 ]
 
 
