@@ -94,6 +94,7 @@ HEADLINE = [
     "sim_hard_negatives",
     "sample_dsir_importance",
     "embed_pca_project",
+    "text_bpe_vocab_merges",
 ]
 
 

@@ -65,6 +65,7 @@ _NEW_R8 = [
     "sim_hard_negatives",            # NEW in r8: contrastive mining
     "sample_dsir_importance",        # NEW in r8: DSIR resampling
     "embed_pca_project",             # NEW in r8: distributed PCA
+    "text_bpe_vocab_merges",         # NEW in r8: BPE induction
 ]
 
 _CHANGED_R8 = [

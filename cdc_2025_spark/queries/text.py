@@ -883,3 +883,39 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+BPE_N_MERGES = 20
+
+
+@query("text_bpe_vocab_merges")
+def text_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction over the corpus (Sennrich et al.
+    ACL 2016) — learn the first 20 merge rules of a subword
+    tokenizer from the documents table: the vocab-construction step
+    of an LLM data pipeline, run where the data lives.
+
+    rows-only by design: the merge sequence is iterative and
+    data-dependent (each round's pair statistics depend on all
+    previous merges) — no SQL twin. Accuracy is pinned in
+    tests/test_bpe.py: exact merge-sequence equality against a
+    pure-python Sennrich reference model under the same
+    (max count, lexicographic) tiebreak, plus segmentation and
+    early-stop behavior.
+
+    Shape, built to scale (the published algorithm's own property):
+    ONE corpus-sized aggregate builds the (word, freq) table; all
+    20 rounds then run on that vocabulary-sized frame — an
+    adjacent-pair explode + grouped weighted count + limit(1)
+    argmax (TakeOrderedAndProject) and one Arrow-batched rewrite per
+    round. At 100 TB the corpus is read once; rounds never touch it.
+    """
+    from cdc_2025_spark.functions.bpe import bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, BPE_N_MERGES)
+    return spark.createDataFrame(
+        [(r, l, rt, l + rt, c) for r, l, rt, c in merges],
+        "rank long, left string, right string, merged string,"
+        " pair_count long",
+    )

@@ -236,3 +236,24 @@ def test_dsir_empty_documents(spark, tmp_path):
         " n_chars long",
     ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
     assert sample_dsir_importance(spark, d).count() == 0
+
+
+def test_bpe_empty_corpus(spark, tmp_path):
+    """BPE training on an empty corpus learns zero merges and the
+    registered query returns an empty frame with the full schema."""
+    import os
+
+    from cdc_2025_spark.functions.bpe import bpe_train
+    from cdc_2025_spark.queries.text import text_bpe_vocab_merges
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe_train(empty, 5) == []
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    out = text_bpe_vocab_merges(spark, d)
+    assert out.columns == ["rank", "left", "right", "merged", "pair_count"]
+    assert out.count() == 0

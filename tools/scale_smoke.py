@@ -76,6 +76,7 @@ QUERIES_UNDER_TEST = [
     "sim_hard_negatives",
     "sample_dsir_importance",
     "embed_pca_project",
+    "text_bpe_vocab_merges",
 ]
 
 
