@@ -95,6 +95,7 @@ HEADLINE = [
     "sample_dsir_importance",
     "embed_pca_project",
     "text_bpe_vocab_merges",
+    "sample_reservoir_bottomk",
 ]
 
 

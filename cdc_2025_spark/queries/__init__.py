@@ -66,6 +66,7 @@ _NEW_R8 = [
     "sample_dsir_importance",        # NEW in r8: DSIR resampling
     "embed_pca_project",             # NEW in r8: distributed PCA
     "text_bpe_vocab_merges",         # NEW in r8: BPE induction
+    "sample_reservoir_bottomk",      # NEW in r8: mergeable sample
 ]
 
 _CHANGED_R8 = [

@@ -1116,3 +1116,50 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gumbel_key",
         F.coalesce(F.col("sel"), F.lit(False)).alias("selected"),
     )
+
+
+RESERVOIR_SAMPLE_K = 200
+
+
+@query(
+    "sample_reservoir_bottomk",
+    oracle=f"""
+    WITH pr AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('rs:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT)
+                 % 1000000 AS prio
+      FROM documents
+    ),
+    rk AS (
+      SELECT doc_id, prio,
+             ROW_NUMBER() OVER (ORDER BY prio, doc_id) AS rk
+      FROM pr
+    )
+    SELECT doc_id, prio, CAST(rk AS BIGINT) AS rk
+    FROM rk WHERE rk <= {RESERVOIR_SAMPLE_K}
+    """,
+)
+def sample_reservoir_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed RESERVOIR sample: a fixed-size uniform K-sample of
+    the corpus as the K smallest salted-md5 priorities (bottom-k /
+    KMV sampling, Cohen & Kaplan PODC'07) — the "hold a reproducible
+    10k-doc sample of the whole corpus" primitive monitoring and
+    eval-set construction need.
+
+    Unlike Bernoulli sampling (sample_hash_deterministic: fixed
+    RATE, size only in expectation) this holds an exact SIZE; unlike
+    the per-source quota sampler it is global and unweighted. The
+    sample is MERGEABLE (bottomk(A∪B) = bottomk(bottomk(A) ∪
+    bottomk(B))) — per-shard and per-microbatch maintenance is
+    pinned in tests (the fourth mergeable-summary streaming leg:
+    Bloom = bit_or, CMS = sum, HLL = union, reservoir = union+take).
+
+    Shape: one scan; the take plans as TakeOrderedAndProject
+    (per-partition partial top-K, K rows at the driver merge —
+    never a global sort); the rank window runs on K rows only.
+    """
+    from cdc_2025_spark.functions.reservoir import bottomk_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bottomk_sample(docs, RESERVOIR_SAMPLE_K, "doc_id")

@@ -376,3 +376,11 @@ def test_dsir_broadcasts_ratio_table_and_topk_selection(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_reservoir_sample_plans_as_take_ordered(spark, sf_dir):
+    """The bottom-k take must plan as TakeOrderedAndProject
+    (per-partition partial top-K) — a global window sort over the
+    corpus would be the classic fixed-size-sample scale mistake."""
+    p = plan_of(spark, sf_dir, "sample_reservoir_bottomk")
+    assert "TakeOrderedAndProject" in p

@@ -1051,3 +1051,61 @@ def test_streaming_hll_sketch_maintenance(spark, tmpdir):
     )
     assert abs(merged_est - rebuilt_est) / n_exact <= 0.05
     assert abs(merged_est - n_exact) / n_exact <= 0.05
+
+
+def test_streaming_reservoir_sample_maintenance(spark, tmpdir):
+    """The fourth mergeable-summary streaming leg (Bloom = bit_or,
+    CMS = sum, HLL = union, reservoir = union + re-take): each
+    microbatch takes its own bottom-k and merges into the store;
+    after the stream drains, the maintained K-sample must equal the
+    one-batch rebuild row for row — bottom-k merge is exact, not
+    approximate."""
+    from cdc_2025_spark.functions.reservoir import bottomk_sample
+
+    src = os.path.join(tmpdir, "rsv_keys")
+    os.makedirs(src)
+    all_ids = list(range(900))
+    flat = os.path.join(tmpdir, "rsv_flat")
+    os.makedirs(flat)
+    for b in range(3):
+        d = os.path.join(src, f"b{b}")
+        spark.createDataFrame(
+            [(i,) for i in all_ids[b * 300 : (b + 1) * 300]],
+            "doc_id long",
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(d, f), os.path.join(flat, f"{b}-{f}")
+                )
+
+    k = 40
+    store: dict[int, int] = {}  # doc_id -> prio
+
+    def absorb(batch_df, batch_id):
+        for r in bottomk_sample(batch_df, k, "doc_id").collect():
+            store[r["doc_id"]] = r["prio"]
+        keep = sorted(store.items(), key=lambda kv: (kv[1], kv[0]))[:k]
+        store.clear()
+        store.update(keep)
+
+    stream = spark.readStream.schema("doc_id long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(flat)
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", os.path.join(tmpdir, "rsv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    full = {
+        r["doc_id"]: r["prio"]
+        for r in bottomk_sample(
+            spark.createDataFrame([(i,) for i in all_ids], "doc_id long"),
+            k,
+            "doc_id",
+        ).collect()
+    }
+    assert store == full and len(store) == k

@@ -438,3 +438,38 @@ def test_dsir_importance_matches_python_model(spark, sf_dir):
     # average than the pool
     smean = sum(v[0] for v in want.values() if v[2]) / DSIR_K
     assert smean > sum(v[0] for v in want.values()) / len(want)
+
+
+def test_reservoir_bottomk_merge_equals_whole(spark, sf_dir):
+    """Mergeability: bottom-k of the corpus == merge of the bottom-k
+    samples of any split of it — the property that makes the sample
+    maintainable per-shard and per-microbatch. Plus: exact size,
+    contiguous ranks, and priorities actually are the K smallest."""
+    from cdc_2025_spark.functions.reservoir import (
+        bottomk_sample,
+        merge_samples,
+        priority,
+    )
+    from cdc_2025_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    k = 50
+    whole = bottomk_sample(docs, k, "doc_id")
+    a = bottomk_sample(docs.filter("doc_id % 3 = 0"), k, "doc_id")
+    b = bottomk_sample(docs.filter("doc_id % 3 != 0"), k, "doc_id")
+    merged = merge_samples(a, b, k)
+    rows_w = sorted(map(tuple, whole.collect()))
+    rows_m = sorted(map(tuple, merged.collect()))
+    assert rows_w == rows_m
+    assert len(rows_w) == k
+    assert sorted(r[2] for r in rows_w) == list(range(1, k + 1))
+    # the sample's max priority is <= every out-of-sample priority
+    cut = max(r[1] for r in rows_w)
+    sampled = {r[0] for r in rows_w}
+    outside = (
+        docs.select("doc_id", priority("doc_id").alias("p"))
+        .filter(~F.col("doc_id").isin(sampled))
+        .agg(F.min("p"))
+        .first()[0]
+    )
+    assert cut <= outside

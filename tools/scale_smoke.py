@@ -77,6 +77,7 @@ QUERIES_UNDER_TEST = [
     "sample_dsir_importance",
     "embed_pca_project",
     "text_bpe_vocab_merges",
+    "sample_reservoir_bottomk",
 ]
 
 
