@@ -96,6 +96,7 @@ HEADLINE = [
     "embed_pca_project",
     "text_bpe_vocab_merges",
     "sample_reservoir_bottomk",
+    "text_quality_classifier_scores",
 ]
 
 

@@ -67,6 +67,7 @@ _NEW_R8 = [
     "embed_pca_project",             # NEW in r8: distributed PCA
     "text_bpe_vocab_merges",         # NEW in r8: BPE induction
     "sample_reservoir_bottomk",      # NEW in r8: mergeable sample
+    "text_quality_classifier_scores",  # NEW in r8: IRLS classifier
 ]
 
 _CHANGED_R8 = [

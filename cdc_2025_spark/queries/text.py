@@ -919,3 +919,75 @@ def text_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank long, left string, right string, merged string,"
         " pair_count long",
     )
+
+
+QC_BUCKETS = 256
+QC_ITERS = 5
+QC_LAMBDA = 1e-2  # ridge per row (lam = QC_LAMBDA * n)
+QC_MARKER = "spark"  # fixture label: vocabulary-marker membership
+
+
+@query("text_quality_classifier_scores")
+def text_quality_classifier_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Linear QUALITY CLASSIFIER, trained in-plan by distributed
+    IRLS (Newton) — the fastText-style filter public LLM pipelines
+    run after the heuristic stages (CCNet / GPT-3 / LLaMA-class
+    recipes: score every document against a trusted target sample
+    with a linear model over hashed bag-of-words, filter on the
+    probability). Features = 256 md5-hashed unigram presence
+    buckets + bias; training = 5 ridge-regularized IRLS iterations
+    from zero init (deterministic — no sampling; Newton converges
+    where first-order GD would need hundreds of passes). The
+    fixture's positive class is a VOCABULARY MARKER (documents
+    containing the token "spark") because the synthetic corpus has
+    no latent domain split — in deployment y comes from a
+    trusted-domain sample (the training machinery is the operator;
+    the label source is a parameter).
+
+    rows-only by design: 5 unrolled Newton iterations have no
+    reasonable SQL twin. Accuracy pinned in tests/test_linear.py:
+    exact 4dp score equality vs a numpy reference model running the
+    identical update, a strictly decreasing loss trace, perfect
+    marker recovery on the fixture, and
+    mean(score | positive) > mean(score | negative).
+
+    Shape, built to scale (textbook distributed IRLS — the same
+    sufficient statistics MLlib's logistic solvers aggregate): per
+    iteration ONE action reduces margins (weights ride the plan as
+    literals — no join stage), the d+1-row gradient, the
+    upper-triangle Hessian (active-feature pair explode, bounded by
+    nnz² per doc, output ≤ (d+1)²/2 rows), and the loss; the driver
+    solves a (d+1)-dim system. Nothing corpus-sized reaches the
+    driver at any corpus size.
+    """
+    from cdc_2025_spark.functions.linear import (
+        hashed_features,
+        logreg_score,
+        logreg_train_irls,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    feat = hashed_features(docs, QC_BUCKETS).localCheckpoint(eager=False)
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_contains(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"), QC_MARKER
+        )
+        .cast("int")
+        .alias("y"),
+    )
+    w, b, _losses = logreg_train_irls(
+        feat, labels, QC_BUCKETS, n_iter=QC_ITERS, lam_per_row=QC_LAMBDA
+    )
+    return (
+        logreg_score(feat, w, b)
+        .join(labels, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("y").cast("long").alias("y"),
+            "score",
+            (F.col("score") >= 0.5).alias("predicted_target"),
+        )
+    )

@@ -78,6 +78,7 @@ QUERIES_UNDER_TEST = [
     "embed_pca_project",
     "text_bpe_vocab_merges",
     "sample_reservoir_bottomk",
+    "text_quality_classifier_scores",
 ]
 
 
