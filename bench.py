@@ -97,6 +97,7 @@ HEADLINE = [
     "text_bpe_vocab_merges",
     "sample_reservoir_bottomk",
     "text_quality_classifier_scores",
+    "text_bpe_token_counts",
 ]
 
 

@@ -161,3 +161,53 @@ def bpe_segment(word: str, merges: list[tuple[int, str, str, int]]) -> list[str]
                 i += 1
         syms = out
     return syms
+
+
+def bpe_apply_counts(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge list to every document and return
+    (id, n_words, n_subwords) — the subword-aware token budget a
+    packing/chunking stage plans against (whitespace counts
+    under-estimate; char counts over-estimate).
+
+    Scale shape: the merge list rides the mapInPandas closure
+    (n_merges tuples — broadcast-sized); segmentation memoizes per
+    DISTINCT word within each Arrow batch, so per-batch work is
+    bounded by the batch's vocabulary, not its length. One Python
+    stage, no shuffle."""
+
+    def fn(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        cache: dict[str, int] = {}
+
+        def n_sub(word: str) -> int:
+            got = cache.get(word)
+            if got is None:
+                got = len(bpe_segment(word, merges))
+                cache[word] = got
+            return got
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n_words, n_subwords = [], []
+            for text in pdf["text"]:
+                ws = [w for w in (text or "").strip().lower().split() if w]
+                n_words.append(len(ws))
+                n_subwords.append(sum(n_sub(w) for w in ws))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_words": n_words,
+                    "n_subwords": n_subwords,
+                }
+            )
+
+    return docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    ).mapInPandas(fn, "id long, n_words long, n_subwords long")

@@ -68,6 +68,7 @@ _NEW_R8 = [
     "text_bpe_vocab_merges",         # NEW in r8: BPE induction
     "sample_reservoir_bottomk",      # NEW in r8: mergeable sample
     "text_quality_classifier_scores",  # NEW in r8: IRLS classifier
+    "text_bpe_token_counts",         # NEW in r8: BPE apply
 ]
 
 _CHANGED_R8 = [

@@ -887,6 +887,25 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BPE_N_MERGES = 20
 
+from weakref import WeakKeyDictionary as _WeakKeyDictionary  # noqa: E402
+
+_BPE_CACHE: _WeakKeyDictionary = _WeakKeyDictionary()
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str):
+    """Learned merge list per (session, corpus) — the quantizer-cache
+    posture (IVF/PQ/PCA; same in-session staleness caveat): both BPE
+    queries share one training run."""
+    from cdc_2025_spark.functions.bpe import bpe_train
+
+    key = (sf_dir, BPE_N_MERGES)
+    per_session = _BPE_CACHE.setdefault(spark, {})
+    cached = per_session.get(key)
+    if cached is None:
+        cached = bpe_train(read_table(spark, sf_dir, "documents"), BPE_N_MERGES)
+        per_session[key] = cached
+    return cached
+
 
 @query("text_bpe_vocab_merges")
 def text_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -910,10 +929,7 @@ def text_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax (TakeOrderedAndProject) and one Arrow-batched rewrite per
     round. At 100 TB the corpus is read once; rounds never touch it.
     """
-    from cdc_2025_spark.functions.bpe import bpe_train
-
-    docs = read_table(spark, sf_dir, "documents")
-    merges = bpe_train(docs, BPE_N_MERGES)
+    merges = _bpe_merges(spark, sf_dir)
     return spark.createDataFrame(
         [(r, l, rt, l + rt, c) for r, l, rt, c in merges],
         "rank long, left string, right string, merged string,"
@@ -990,4 +1006,37 @@ def text_quality_classifier_scores(
             "score",
             (F.col("score") >= 0.5).alias("predicted_target"),
         )
+    )
+
+
+@query("text_bpe_token_counts")
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION at corpus scale: train the 20-merge
+    vocab (text_bpe_vocab_merges' trainer — same deterministic merge
+    sequence) and segment every document with it, returning the
+    subword-aware token budget (doc_id, n_words, n_subwords,
+    compression = words/subwords ratio) that packing and chunking
+    stages plan against.
+
+    rows-only by design (inherits the trainer's iterative
+    data-dependence). Accuracy pinned in tests/test_bpe.py: per-doc
+    equality against python bpe_segment applied word by word, and
+    the bounds n_words <= n_subwords <= n_chars.
+
+    Shape: training touches the corpus once (see the trainer's
+    docstring); application is ONE shuffle-free mapInPandas stage
+    with the merge list in the closure, memoized per distinct word
+    per batch — scan-bound at any corpus size."""
+    from cdc_2025_spark.functions.bpe import bpe_apply_counts
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = _bpe_merges(spark, sf_dir)
+    return bpe_apply_counts(docs, merges).select(
+        F.col("id").alias("doc_id"),
+        "n_words",
+        "n_subwords",
+        F.when(
+            F.col("n_subwords") > 0,
+            F.round(F.col("n_words") / F.col("n_subwords"), 4),
+        ).alias("compression"),
     )

@@ -120,3 +120,38 @@ def test_bad_args(spark):
     docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_merges"):
         bpe_train(docs, 0)
+
+
+def test_apply_counts_match_segmenter(spark, sf_dir):
+    """Corpus-scale application vs python bpe_segment word by word:
+    identical subword counts per document, and the structural bounds
+    n_words <= n_subwords (merges never cross word boundaries)."""
+    from cdc_2025_spark.functions.bpe import bpe_apply_counts
+    from cdc_2025_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, 10)
+    got = {
+        r["id"]: (r["n_words"], r["n_subwords"])
+        for r in bpe_apply_counts(docs, merges).collect()
+    }
+    for r in docs.collect():
+        ws = [w for w in r["text"].strip().lower().split() if w]
+        want = sum(len(bpe_segment(w, merges)) for w in ws)
+        assert got[r["doc_id"]] == (len(ws), want)
+        assert len(ws) <= want
+
+
+def test_registered_apply_query(spark, sf_dir):
+    from cdc_2025_spark.queries.text import text_bpe_token_counts
+
+    rows = text_bpe_token_counts(spark, sf_dir).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["n_words"] <= r["n_subwords"]
+        if r["n_subwords"]:
+            # Spark F.round is HALF_UP; python round() is banker's —
+            # exact quotients like 0.28125 land on the boundary
+            assert abs(
+                r["compression"] - r["n_words"] / r["n_subwords"]
+            ) <= 5e-5

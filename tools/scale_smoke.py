@@ -79,6 +79,7 @@ QUERIES_UNDER_TEST = [
     "text_bpe_vocab_merges",
     "sample_reservoir_bottomk",
     "text_quality_classifier_scores",
+    "text_bpe_token_counts",
 ]
 
 
