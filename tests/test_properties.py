@@ -540,3 +540,69 @@ def test_canonical_url_properties(spark, urls):
             assert c.endswith("?" + "&".join(real)), (raw, c)
         else:
             assert "?" not in c, (raw, c)
+
+
+@SETTINGS
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    n_merges=st.integers(min_value=1, max_value=6),
+)
+def test_bpe_matches_python_model_on_random_corpora(
+    spark, words, n_merges
+):
+    """BPE merge sequences agree with the pure-python Sennrich
+    reference on arbitrary corpora — including repeated words,
+    single-char words, and merge-exhaustion, where the argmax
+    tiebreak and the non-overlapping left-to-right rewrite rule do
+    all the work."""
+    from cdc_2025_spark.functions.bpe import bpe_train
+    from tests.test_bpe import _python_bpe
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    got = bpe_train(docs, n_merges)
+    from collections import Counter
+
+    want = _python_bpe(dict(Counter(words)), n_merges)
+    assert got == want
+
+
+@SETTINGS
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    pivot=st.integers(min_value=0, max_value=10_000),
+    k=st.integers(min_value=1, max_value=10),
+)
+def test_reservoir_merge_property(spark, ids, pivot, k):
+    """bottomk(A ∪ B) == merge(bottomk(A), bottomk(B)) for EVERY
+    split of the key set and every k — the mergeability contract the
+    streaming maintenance leg depends on."""
+    from cdc_2025_spark.functions.reservoir import (
+        bottomk_sample,
+        merge_samples,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    a = df.filter(F.col("doc_id") < pivot)
+    b = df.filter(F.col("doc_id") >= pivot)
+    whole = sorted(map(tuple, bottomk_sample(df, k).collect()))
+    merged = sorted(
+        map(
+            tuple,
+            merge_samples(
+                bottomk_sample(a, k), bottomk_sample(b, k), k
+            ).collect(),
+        )
+    )
+    assert whole == merged
+    assert len(whole) == min(k, len(ids))
