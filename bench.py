@@ -98,6 +98,7 @@ HEADLINE = [
     "sample_reservoir_bottomk",
     "text_quality_classifier_scores",
     "text_bpe_token_counts",
+    "merge_into_customer_balances",
 ]
 
 

@@ -69,6 +69,7 @@ _NEW_R8 = [
     "sample_reservoir_bottomk",      # NEW in r8: mergeable sample
     "text_quality_classifier_scores",  # NEW in r8: IRLS classifier
     "text_bpe_token_counts",         # NEW in r8: BPE apply
+    "merge_into_customer_balances",  # NEW in r8: MERGE INTO
 ]
 
 _CHANGED_R8 = [

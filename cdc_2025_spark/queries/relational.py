@@ -600,3 +600,106 @@ def topk_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_spent").desc(), F.col("c_custkey"))
         .limit(25)
     )
+
+
+MERGE_DELETE_MIN_ORDERS = 20
+MERGE_PROSPECT_N = 20
+MERGE_PROSPECT_OFFSET = 1_000_000
+
+
+@query(
+    "merge_into_customer_balances",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_custkey AS c_custkey,
+             ROUND(SUM(o_totalprice), 2) AS spend,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(NULL AS VARCHAR) AS name
+      FROM orders GROUP BY o_custkey
+      UNION ALL
+      SELECT c_custkey + {MERGE_PROSPECT_OFFSET}, 0.0, 0,
+             'Prospect#' ||
+             CAST(c_custkey + {MERGE_PROSPECT_OFFSET} AS VARCHAR)
+      FROM customer WHERE c_custkey < {MERGE_PROSPECT_N}
+    ),
+    m AS (
+      SELECT t.c_custkey AS tk, s.c_custkey AS sk,
+             t.c_name, t.c_acctbal, t.c_mktsegment,
+             s.spend, s.n_orders, s.name
+      FROM customer t FULL OUTER JOIN src s
+        ON t.c_custkey = s.c_custkey
+    )
+    SELECT COALESCE(tk, sk) AS c_custkey,
+           CASE WHEN tk IS NOT NULL THEN c_name ELSE name END AS c_name,
+           CASE WHEN tk IS NOT NULL AND sk IS NOT NULL
+                  THEN ROUND(c_acctbal + spend / 1000, 2)
+                WHEN tk IS NOT NULL THEN c_acctbal
+                ELSE spend END AS c_acctbal,
+           CASE WHEN tk IS NOT NULL THEN c_mktsegment
+                ELSE 'PROSPECT' END AS c_mktsegment
+    FROM m
+    WHERE (tk IS NOT NULL AND sk IS NULL)
+       OR (tk IS NOT NULL AND sk IS NOT NULL
+           AND n_orders < {MERGE_DELETE_MIN_ORDERS})
+       OR tk IS NULL
+    """,
+)
+def merge_into_customer_balances(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE INTO — the lakehouse upsert statement (Delta/Iceberg
+    MERGE, ANSI SQL:2003) exercised end-to-end on the star schema:
+    merge per-customer order aggregates into the customer table —
+    matched customers with >= {MERGE_DELETE_MIN_ORDERS} orders are
+    DELETED (churn purge), other matches UPDATE the balance with a
+    spend-derived cashback, source-only keys ({MERGE_PROSPECT_N}
+    synthetic prospects, an in-plan fixture shim like the URL
+    query's) INSERT with a PROSPECT segment, and untouched customers
+    pass through. All four MERGE paths run in one statement; the
+    oracle mirrors the full-outer-join CASE semantics row for row.
+
+    Shape: `merge.merge_into` — one cardinality-check aggregate +
+    ONE key-shuffled full-outer join with every clause a codegen'd
+    CASE (how engines execute MERGE, minus storage-level file
+    pruning — covered by layout.zorder/compact). AQE sizes the
+    shuffle; a small source side would broadcast."""
+    from cdc_2025_spark.merge import merge_into
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    agg = orders.groupBy(
+        F.col("o_custkey").alias("c_custkey")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        F.count("*").alias("n_orders"),
+    ).withColumn("name", F.lit(None).cast("string"))
+    prospects = cust.filter(
+        F.col("c_custkey") < MERGE_PROSPECT_N
+    ).select(
+        (F.col("c_custkey") + MERGE_PROSPECT_OFFSET).alias("c_custkey"),
+        F.lit(0.0).alias("spend"),
+        F.lit(0).cast("long").alias("n_orders"),
+        F.concat(
+            F.lit("Prospect#"),
+            (F.col("c_custkey") + MERGE_PROSPECT_OFFSET).cast("string"),
+        ).alias("name"),
+    )
+    src = agg.unionByName(prospects)
+    return merge_into(
+        cust,
+        src,
+        on=["c_custkey"],
+        update_set={
+            "c_acctbal": F.round(
+                F.col("t_c_acctbal") + F.col("s_spend") / 1000, 2
+            )
+        },
+        delete_condition=F.col("s_n_orders") >= MERGE_DELETE_MIN_ORDERS,
+        insert_values={
+            "c_name": F.col("s_name"),
+            "c_acctbal": F.col("s_spend"),
+            "c_mktsegment": F.lit("PROSPECT"),
+        },
+    )
