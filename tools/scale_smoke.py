@@ -80,8 +80,10 @@ QUERIES_UNDER_TEST = [
     "sample_reservoir_bottomk",
     "text_quality_classifier_scores",
     "text_bpe_token_counts",
-    "merge_into_customer_balances",
 ]
+# merge_into_customer_balances reads the star schema (customer/orders)
+# — not part of the replica corpus; its scale note lives in BASELINE.md
+# (one key-shuffled full-outer join, AQE-sized).
 
 
 def build_corpus(spark, replicas: int) -> None:
