@@ -99,6 +99,7 @@ HEADLINE = [
     "text_quality_classifier_scores",
     "text_bpe_token_counts",
     "merge_into_customer_balances",
+    "graph_pagerank_trade_network",
 ]
 
 

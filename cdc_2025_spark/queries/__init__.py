@@ -26,6 +26,7 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
     arrays,
     behavior,
     dedup,
+    graph,
     llmdata,
     multimodal,
     relational,
@@ -70,6 +71,7 @@ _NEW_R8 = [
     "text_quality_classifier_scores",  # NEW in r8: IRLS classifier
     "text_bpe_token_counts",         # NEW in r8: BPE apply
     "merge_into_customer_balances",  # NEW in r8: MERGE INTO
+    "graph_pagerank_trade_network",  # NEW in r8: PageRank
 ]
 
 _CHANGED_R8 = [

@@ -1,0 +1,102 @@
+"""PageRank: exact agreement with a pure-python power-iteration
+model, probability-mass invariants, fixpoints on literal graphs,
+dangling-node handling, and guards."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_2025_spark.functions.graph import pagerank
+
+
+def _python_pagerank(edges, n_iter=10, d=0.85):
+    """(src, dst, w) triples -> {node: rank}, same dangling rule."""
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    n = len(nodes)
+    out_w: dict = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0.0) + w
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t, w in edges:
+            contrib[t] += r[s] * w / out_w[s]
+        dm = sum(r[v] for v in nodes if v not in out_w)
+        r = {
+            v: (1 - d) / n + d * (contrib[v] + dm / n) for v in nodes
+        }
+    return r
+
+
+def _collect(df):
+    return {r["node"]: r["pagerank"] for r in df.collect()}
+
+
+def test_matches_python_model_on_fixture_graph(spark, sf_dir):
+    from cdc_2025_spark.queries.graph import trade_edges
+
+    e = trade_edges(spark, sf_dir)
+    triples = [(r["src"], r["dst"], r["w"]) for r in e.collect()]
+    got = _collect(pagerank(e))
+    want = _python_pagerank(triples)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert all(x > 0 for x in got.values())
+
+
+def test_symmetric_cycle_is_uniform_fixpoint(spark):
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    got = _collect(pagerank(e, n_iter=7))
+    for v in got.values():
+        assert v == pytest.approx(1 / 3, abs=1e-12)
+
+
+def test_dangling_node_mass_redistributes(spark):
+    # b has no out-edges: its mass spreads uniformly; ranks still
+    # sum to 1 and the sink outranks the source
+    e = spark.createDataFrame(
+        [("a", "b", 1.0)], "src string, dst string, w double"
+    )
+    got = _collect(pagerank(e, n_iter=10))
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+    assert got["b"] > got["a"] > 0
+    want = _python_pagerank([("a", "b", 1.0)])
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_weights_shift_rank(spark):
+    # c receives 3x the weight b does from a — c must outrank b
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "c", 3.0), ("b", "a", 1.0),
+         ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    got = _collect(pagerank(e, n_iter=12))
+    assert got["c"] > got["b"]
+
+
+def test_registered_query_shape(spark, sf_dir):
+    from cdc_2025_spark.queries.graph import graph_pagerank_trade_network
+
+    rows = graph_pagerank_trade_network(spark, sf_dir).collect()
+    assert len(rows) == 25  # all nations trade at sf0.001+
+    assert sorted(r["rk"] for r in rows) == list(range(1, 26))
+    assert abs(sum(r["pagerank"] for r in rows) - 1.0) < 25 * 5e-5
+
+
+def test_guards_and_empty(spark):
+    e = spark.createDataFrame([], "src string, dst string, w double")
+    assert pagerank(e).count() == 0
+    one = spark.createDataFrame(
+        [("a", "b", 1.0)], "src string, dst string, w double"
+    )
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(one, n_iter=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(one, damping=1.5)
