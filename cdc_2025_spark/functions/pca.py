@@ -21,16 +21,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def pca_fit(
-    vectors: DataFrame,
-    n_components: int,
-    vec_col: str = "embedding",
-):
-    """Fit PCA on ``vectors[vec_col]`` (array<float/double>), return
-    ``(mean, components, eigvals, n)`` as numpy arrays / int:
-    ``components`` is (n_components × d), rows orthonormal, ordered
-    by descending eigenvalue of the POPULATION covariance
-    (Gram/n − μμᵀ).
+def pca_suffstats(vectors: DataFrame, vec_col: str = "embedding"):
+    """The one-pass sufficient statistics ``(n, s, g)`` — count,
+    sum vector (d), Gram matrix (d×d) as numpy. These are SUMS, so
+    the summary is exactly MERGEABLE: stats(A ∪ B) = stats(A) +
+    stats(B) componentwise — per-shard and per-microbatch PCA
+    maintenance is add-and-refit (pinned in test_streaming.py as the
+    fifth mergeable-summary leg: Bloom bit_or, CMS sum, HLL union,
+    reservoir union+take, PCA suffstat add).
 
     Scale shape: per-batch numpy partials emit (pos, val) rows —
     batch_count × (d² + d + 1) rows, reduced by ONE grouped sum
@@ -38,9 +36,6 @@ def pca_fit(
     doubles regardless of corpus size or partition count.
     """
     import numpy as np  # noqa: PLC0415
-
-    if n_components < 1:
-        raise ValueError(f"n_components must be >= 1, got {n_components}")
 
     src = vectors.select(F.col(vec_col).cast("array<double>").alias("emb"))
 
@@ -67,17 +62,28 @@ def pca_fit(
         .collect()
     )
     if not stats:
-        raise ValueError("pca_fit: empty input")
+        raise ValueError("pca_suffstats: empty input")
     flat = np.zeros(max(r["pos"] for r in stats) + 1)
     for r in stats:
         flat[r["pos"]] = r["val"]
     n = int(flat[0])
     # len(flat) = d^2 + d + 1  ->  d = (-1 + sqrt(4*len - 3)) / 2
     d = int(round((-1 + (4 * len(flat) - 3) ** 0.5) / 2))
-    s = flat[1 : d + 1]
-    g = flat[d + 1 :].reshape(d, d)
-    mu = s / n
-    cov = g / n - np.outer(mu, mu)
+    return n, flat[1 : d + 1], flat[d + 1 :].reshape(d, d)
+
+
+def pca_fit_from_stats(n: int, s, g, n_components: int):
+    """Eigendecompose the covariance implied by mergeable suffstats;
+    returns ``(mean, components, eigvals, n)`` under the module's
+    deterministic sign convention."""
+    import numpy as np  # noqa: PLC0415
+
+    if n_components < 1:
+        raise ValueError(f"n_components must be >= 1, got {n_components}")
+    if n == 0:
+        raise ValueError("pca_fit_from_stats: empty stats")
+    mu = np.asarray(s, dtype=np.float64) / n
+    cov = np.asarray(g, dtype=np.float64) / n - np.outer(mu, mu)
     # symmetrize against summation-order noise before eigh
     cov = (cov + cov.T) / 2.0
     w, v = np.linalg.eigh(cov)  # ascending
@@ -88,6 +94,22 @@ def pca_fit(
         if comps[i, np.abs(comps[i]).argmax()] < 0:
             comps[i] = -comps[i]
     return mu, comps, eigvals, n
+
+
+def pca_fit(
+    vectors: DataFrame,
+    n_components: int,
+    vec_col: str = "embedding",
+):
+    """Fit PCA on ``vectors[vec_col]``: one suffstats pass + the
+    driver-side eigendecomposition (see the two stages above)."""
+    if n_components < 1:
+        raise ValueError(f"n_components must be >= 1, got {n_components}")
+    try:
+        n, s, g = pca_suffstats(vectors, vec_col)
+    except ValueError as exc:
+        raise ValueError("pca_fit: empty input") from exc
+    return pca_fit_from_stats(n, s, g, n_components)
 
 
 def pca_project(

@@ -1109,3 +1109,68 @@ def test_streaming_reservoir_sample_maintenance(spark, tmpdir):
         ).collect()
     }
     assert store == full and len(store) == k
+
+
+def test_streaming_pca_suffstat_maintenance(spark, tmpdir):
+    """The fifth mergeable-summary streaming leg (Bloom = bit_or,
+    CMS = sum, HLL = union, reservoir = union+take, PCA = suffstat
+    ADD): each microbatch reduces to (n, sum, Gram) and the store
+    adds them; after the stream drains, refitting from the
+    maintained stats must reproduce the one-batch fit — counts
+    exactly, moments and the spectrum to float-sum tolerance."""
+    import numpy as np
+
+    from cdc_2025_spark.functions.pca import (
+        pca_fit,
+        pca_fit_from_stats,
+        pca_suffstats,
+    )
+
+    rng_rows = [
+        (i, [((i * 31 + j * 7) % 97) / 97.0 for j in range(8)])
+        for i in range(600)
+    ]
+    flat = os.path.join(tmpdir, "pca_flat")
+    os.makedirs(flat)
+    for b in range(3):
+        d = os.path.join(tmpdir, f"pca_b{b}")
+        spark.createDataFrame(
+            rng_rows[b * 200 : (b + 1) * 200],
+            "vec_id long, embedding array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(d, f), os.path.join(flat, f"{b}-{f}")
+                )
+
+    store = {"n": 0, "s": np.zeros(8), "g": np.zeros((8, 8))}
+
+    def absorb(batch_df, batch_id):
+        n, s, g = pca_suffstats(batch_df)
+        store["n"] += n
+        store["s"] = store["s"] + s
+        store["g"] = store["g"] + g
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).option("maxFilesPerTrigger", 1).parquet(flat)
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", os.path.join(tmpdir, "pca_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    full = spark.createDataFrame(
+        rng_rows, "vec_id long, embedding array<double>"
+    )
+    mu_m, comps_m, w_m, n_m = pca_fit_from_stats(
+        store["n"], store["s"], store["g"], 3
+    )
+    mu_f, comps_f, w_f, n_f = pca_fit(full, 3)
+    assert n_m == n_f == 600
+    np.testing.assert_allclose(mu_m, mu_f, atol=1e-12)
+    np.testing.assert_allclose(w_m, w_f, atol=1e-10)
+    np.testing.assert_allclose(comps_m, comps_f, atol=1e-8)
