@@ -100,6 +100,7 @@ HEADLINE = [
     "text_bpe_token_counts",
     "merge_into_customer_balances",
     "graph_pagerank_trade_network",
+    "corpus_datacard",
 ]
 
 

@@ -72,6 +72,7 @@ _NEW_R8 = [
     "text_bpe_token_counts",         # NEW in r8: BPE apply
     "merge_into_customer_balances",  # NEW in r8: MERGE INTO
     "graph_pagerank_trade_network",  # NEW in r8: PageRank
+    "corpus_datacard",               # NEW in r8: data card
 ]
 
 _CHANGED_R8 = [

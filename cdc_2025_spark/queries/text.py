@@ -1040,3 +1040,130 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_words") / F.col("n_subwords"), 4),
         ).alias("compression"),
     )
+
+
+@query(
+    "corpus_datacard",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)),
+                                              '\\s+')) END AS n
+      FROM documents
+    ),
+    vocab AS (
+      SELECT COUNT(DISTINCT w) AS v
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+                                             '\\s+')) AS w
+            FROM documents WHERE len(trim(text)) > 0)
+    ),
+    dups AS (
+      SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS dup_docs
+      FROM (SELECT COUNT(*) AS c FROM documents
+            GROUP BY text HAVING COUNT(*) > 1)
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS total_tokens,
+             ROUND(AVG(n), 4) AS mean_tokens,
+             CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50_tokens,
+             CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS empty_docs
+      FROM tok
+    ),
+    dims AS (
+      SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM documents
+    )
+    SELECT stat, value FROM (
+      SELECT * FROM (
+        SELECT 'n_docs' AS stat, CAST(n_docs AS DOUBLE) AS value
+        FROM agg
+        UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE)
+        FROM agg
+        UNION ALL SELECT 'mean_tokens', mean_tokens FROM agg
+        UNION ALL SELECT 'p50_tokens', CAST(p50_tokens AS DOUBLE)
+        FROM agg
+        UNION ALL SELECT 'empty_docs', CAST(empty_docs AS DOUBLE)
+        FROM agg
+        UNION ALL SELECT 'distinct_tokens', CAST(v AS DOUBLE)
+        FROM vocab
+        UNION ALL SELECT 'exact_dup_docs', CAST(dup_docs AS DOUBLE)
+        FROM dups
+        UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM dims
+        UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE)
+        FROM dims
+      )
+    )
+    """,
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS DATA CARD — the one-query summary a pipeline runs
+    first on a new corpus (the "datasheet/data card" practice,
+    Gebru et al. CACM'21): document/token/vocabulary counts, length
+    distribution (mean + disc-median — the engine-parity percentile
+    construction), empty-doc count, exact-duplicate volume, and
+    lang/source cardinalities, as (stat, value) rows.
+
+    Shape: three bounded aggregates over one scan family — token
+    stats ride the scan with map-side partials; the vocabulary count
+    is one distinct aggregate on 8-byte-hashable tokens; the
+    exact-dup count groups by text hash; everything unions into 9
+    rows. No corpus-sized state anywhere.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(token_count("text").alias("n"))
+    agg = tok.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.round(F.avg("n"), 4).alias("mean_tokens"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)")
+        .cast("long")
+        .alias("p50_tokens"),
+        F.sum(F.when(F.col("n") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("empty_docs"),
+    )
+    vocab = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .agg(F.countDistinct("w").cast("long").alias("v"))
+    )
+    dups = (
+        docs.groupBy("text")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(
+            F.coalesce(F.sum("count"), F.lit(0))
+            .cast("long")
+            .alias("dup_docs")
+        )
+    )
+    dims = docs.agg(
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(dups))
+        .crossJoin(F.broadcast(dims))
+        .selectExpr(
+            "stack(9, "
+            "'n_docs', CAST(n_docs AS DOUBLE), "
+            "'total_tokens', CAST(total_tokens AS DOUBLE), "
+            "'mean_tokens', mean_tokens, "
+            "'p50_tokens', CAST(p50_tokens AS DOUBLE), "
+            "'empty_docs', CAST(empty_docs AS DOUBLE), "
+            "'distinct_tokens', CAST(v AS DOUBLE), "
+            "'exact_dup_docs', CAST(dup_docs AS DOUBLE), "
+            "'n_langs', CAST(n_langs AS DOUBLE), "
+            "'n_sources', CAST(n_sources AS DOUBLE)"
+            ") AS (stat, value)"
+        )
+    )
