@@ -17,6 +17,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+DRIVER_MODE_MAX_V = 1000
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 10,
@@ -24,16 +27,28 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str | None = "w",
+    mode: str = "auto",
 ) -> DataFrame:
     """Weighted PageRank over ``edges`` (src, dst[, w]); returns
     (node, pagerank) for every node appearing as source or
     destination. Dangling nodes (no out-edges) spread their mass
     uniformly — the standard correction, applied as a scalar each
-    round so ranks sum to 1 throughout."""
+    round so ranks sum to 1 throughout.
+
+    ``mode``: 'distributed' runs the per-iteration join+aggregate
+    plan (the web-scale path); 'driver' collects the AGGREGATED
+    transition table (≤ V² weights — V-bounded, never raw-edge-
+    bounded) and power-iterates in plain Python — for small vertex
+    sets the distributed path's cost is n_iter × fixed job overhead,
+    which a 25-node graph cannot amortize; 'auto' (default) picks
+    'driver' when V ≤ {DRIVER_MODE_MAX_V}. Cross-mode agreement at
+    1e-9 is pinned in tests/test_graph.py."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0,1), got {damping}")
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown mode {mode!r}")
     w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"),
@@ -48,6 +63,33 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("pagerank", F.lit(0.0))
+    if mode == "driver" or (mode == "auto" and n <= DRIVER_MODE_MAX_V):
+        # V-bounded: collect the aggregated transition table and
+        # iterate in python — identical update rule, no per-round job
+        agg_e = (
+            e.groupBy("src", "dst").agg(F.sum("w").alias("w")).collect()
+        )
+        triples = [(r["src"], r["dst"], r["w"]) for r in agg_e]
+        names = sorted(r["node"] for r in nodes.collect())
+        out_w_d: dict = {}
+        for s_, _, w_ in triples:
+            out_w_d[s_] = out_w_d.get(s_, 0.0) + w_
+        r = {v: 1.0 / n for v in names}
+        for _ in range(n_iter):
+            contrib = {v: 0.0 for v in names}
+            for s_, t_, w_ in triples:
+                contrib[t_] += r[s_] * w_ / out_w_d[s_]
+            dm = sum(r[v] for v in names if v not in out_w_d)
+            r = {
+                v: (1.0 - damping) / n
+                + damping * (contrib[v] + dm / n)
+                for v in names
+            }
+        node_t = nodes.schema["node"].dataType.simpleString()
+        return edges.sparkSession.createDataFrame(
+            [(v, r[v]) for v in names],
+            f"node {node_t}, pagerank double",
+        )
     out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
     # edge transition probabilities are iteration-invariant
     trans = (

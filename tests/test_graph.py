@@ -100,3 +100,26 @@ def test_guards_and_empty(spark):
         pagerank(one, n_iter=0)
     with pytest.raises(ValueError, match="damping"):
         pagerank(one, damping=1.5)
+
+
+def test_driver_and_distributed_modes_agree(spark, sf_dir):
+    """The small-V driver iterate and the per-iteration distributed
+    plan implement the same update — agreement at 1e-9 on the
+    fixture trade network (the cross-backend pin that licenses the
+    auto-mode switch)."""
+    from cdc_2025_spark.queries.graph import trade_edges
+
+    e = trade_edges(spark, sf_dir).localCheckpoint()
+    a = _collect(pagerank(e, mode="driver"))
+    b = _collect(pagerank(e, mode="distributed"))
+    assert set(a) == set(b)
+    for v in a:
+        assert a[v] == pytest.approx(b[v], abs=1e-9)
+
+
+def test_mode_guard(spark):
+    one = spark.createDataFrame(
+        [("a", "b", 1.0)], "src string, dst string, w double"
+    )
+    with pytest.raises(ValueError, match="mode"):
+        pagerank(one, mode="banana")
