@@ -54,8 +54,13 @@ def bottomk_sample(
     rank window runs on the K-row result only."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # NULL keys are excluded: their md5 priority is NULL, which Spark
+    # orders FIRST ascending while DuckDB orders LAST — a silent
+    # cross-engine divergence; a sample of identifiable rows is the
+    # sane contract anyway.
     small = (
-        df.select(F.col(key_col), priority(key_col).alias("prio"))
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col), priority(key_col).alias("prio"))
         .orderBy("prio", key_col)
         .limit(k)
     )

@@ -988,11 +988,13 @@ def text_quality_classifier_scores(
     feat = hashed_features(docs, QC_BUCKETS).localCheckpoint(eager=False)
     labels = docs.select(
         F.col("doc_id").alias("id"),
-        F.array_contains(
-            F.split(F.trim(F.lower(F.col("text"))), r"\s+"), QC_MARKER
-        )
-        .cast("int")
-        .alias("y"),
+        F.coalesce(
+            F.array_contains(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                QC_MARKER,
+            ).cast("int"),
+            F.lit(0),  # NULL text -> negative class, not NULL label
+        ).alias("y"),
     )
     w, b, _losses = logreg_train_irls(
         feat, labels, QC_BUCKETS, n_iter=QC_ITERS, lam_per_row=QC_LAMBDA

@@ -473,3 +473,17 @@ def test_reservoir_bottomk_merge_equals_whole(spark, sf_dir):
         .first()[0]
     )
     assert cut <= outside
+
+
+def test_reservoir_null_keys_excluded(spark):
+    """NULL keys never enter the sample (their NULL priority would
+    sort first in Spark but last in DuckDB — pinned out on both
+    sides by the kernel's filter)."""
+    from cdc_2025_spark.functions.reservoir import bottomk_sample
+
+    df = spark.createDataFrame(
+        [(None,), (1,), (2,), (3,)], "doc_id long"
+    )
+    got = bottomk_sample(df, 10, "doc_id").collect()
+    assert sorted(r["doc_id"] for r in got) == [1, 2, 3]
+    assert all(r["prio"] is not None for r in got)
