@@ -101,6 +101,7 @@ HEADLINE = [
     "merge_into_customer_balances",
     "graph_pagerank_trade_network",
     "corpus_datacard",
+    "dedup_source_overlap_matrix",
 ]
 
 

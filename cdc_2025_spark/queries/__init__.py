@@ -73,6 +73,7 @@ _NEW_R8 = [
     "merge_into_customer_balances",  # NEW in r8: MERGE INTO
     "graph_pagerank_trade_network",  # NEW in r8: PageRank
     "corpus_datacard",               # NEW in r8: data card
+    "dedup_source_overlap_matrix",   # NEW in r8: source overlap
 ]
 
 _CHANGED_R8 = [

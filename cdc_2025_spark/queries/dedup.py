@@ -1515,3 +1515,74 @@ def dedup_minhash_bbit_estimates(
             F.round(est, 4).alias("jaccard_bbit"),
         )
     )
+
+
+@query(
+    "dedup_source_overlap_matrix",
+    oracle=f"""
+    WITH {_minhash_pairs_ctes(JACCARD_K, JACCARD_THRESHOLD)}
+    , pairs AS (
+      SELECT id_a, id_b, jaccard FROM mh_pairs
+    ),
+    tagged AS (
+      SELECT LEAST(da.source, db.source) AS src_a,
+             GREATEST(da.source, db.source) AS src_b,
+             p.jaccard
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.id_a
+      JOIN documents db ON db.doc_id = p.id_b
+    )
+    SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(jaccard), 4) AS mean_jaccard
+    FROM tagged GROUP BY src_a, src_b
+    """,
+)
+def dedup_source_overlap_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SOURCE-OVERLAP matrix: near-duplicate pair volume between
+    every pair of sources — the curation signal behind source-level
+    dedup policy (which feeds copy which; mirrors/scrapes show up as
+    hot off-diagonal cells, boilerplate-heavy sources as hot
+    diagonals). Pairs come from the hash-matched md5_km MinHash+LSH
+    pipeline (identical geometry to dedup_minhash_lsh_pairs), then
+    one broadcast join to the doc->source map and a source-pair
+    aggregate (unordered pair canonicalized least/greatest).
+
+    Shape: inherits the LSH pipeline's scale story (banded 8-byte
+    candidates, exact verify); the add-on is a |pairs|-sized join
+    against a doc->source projection and a |sources|²-bounded
+    aggregate — nothing new shuffles at corpus scale.
+    """
+    from cdc_2025_spark.dedup.minhash import minhash_lsh_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=JACCARD_K, threshold=JACCARD_THRESHOLD, family="md5_km"
+    )
+    srcs = docs.select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            srcs.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("source").alias("source_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            srcs.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("source").alias("source_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("source_a", "source_b").alias("src_a"),
+            F.greatest("source_a", "source_b").alias("src_b"),
+            "jaccard",
+        )
+    )
+    return tagged.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.avg("jaccard"), 4).alias("mean_jaccard"),
+    )

@@ -81,6 +81,7 @@ QUERIES_UNDER_TEST = [
     "text_quality_classifier_scores",
     "text_bpe_token_counts",
     "corpus_datacard",
+    "dedup_source_overlap_matrix",
 ]
 # merge_into_customer_balances reads the star schema (customer/orders)
 # — not part of the replica corpus; its scale note lives in BASELINE.md
