@@ -102,6 +102,9 @@ HEADLINE = [
     "graph_pagerank_trade_network",
     "corpus_datacard",
     "dedup_source_overlap_matrix",
+    "sample_language_temperature",
+    "text_ngram_novelty",
+    "dedup_cluster_canonical_docs",
 ]
 
 

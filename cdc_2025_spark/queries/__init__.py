@@ -55,6 +55,9 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
 #   4. _R6_FILL: oldest-green (r6) queries filling remaining slots;
 #      the rest lead round 9.
 _NEW_R8 = [
+    "sample_language_temperature",   # NEW in r8: mT5 α-sampling
+    "text_ngram_novelty",            # NEW in r8: corpus novelty score
+    "dedup_cluster_canonical_docs",  # NEW in r8: survivor selection
     "llm_prep_full_ledger",          # NEW in r8: full-chain ledger
     "text_url_canonical_dedup",      # NEW in r8: URL canonicalize
     "text_quality_percentile_filter",  # NEW in r8

@@ -1586,3 +1586,153 @@ def dedup_source_overlap_matrix(
         F.count("*").cast("long").alias("n_pairs"),
         F.round(F.avg("jaccard"), 4).alias("mean_jaccard"),
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH sets AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) <= {JACCARD_K}
+               THEN [array_to_string(ws, ' ')]
+               ELSE [array_to_string(ws[i:i+{JACCARD_K - 1}], ' ')
+                     for i in range(1, len(ws) - {JACCARD_K} + 2)]
+               END) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS ws
+            FROM documents)
+    ),
+    occ AS (
+      SELECT doc_id, UNNEST(sh) AS sh FROM sets
+    ),
+    df AS (
+      SELECT sh, CAST(COUNT(*) AS BIGINT) AS df FROM occ GROUP BY sh
+    )
+    SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+           ROUND(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS novelty
+    FROM occ o JOIN df ON o.sh = df.sh
+    GROUP BY o.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's
+    distinct 3-shingles that occur in NO other document — a corpus-
+    level diversity score (high novelty = unique content worth
+    keeping; low novelty = templated/boilerplate-heavy, the signal
+    RefinedWeb-style curation uses to rank near-template docs below
+    unique ones). Complements the intra-doc repetition score
+    (text_repetition_scores — self-similarity) and pairwise Jaccard
+    (dedup_ngram_jaccard_pairs — who matches whom) with a per-doc
+    corpus-context score.
+
+    Shape: distinct shingles explode once; document frequency is one
+    groupBy over the exploded set (each doc contributes a shingle at
+    most once, so df = plain count); the df table joins back and
+    re-aggregates per doc — two shuffles total, both on shingle /
+    doc_id keys, never a pair join. At 100 TB the join key would be
+    xxhash64(shingle) (8-byte shuffle keys, collision odds ~n²/2⁶⁴ —
+    the documented minhash-family tradeoff); the registered query
+    keys on the shingle string so the oracle parity claim stays
+    collision-free exact.
+    """
+    from cdc_2025_spark.functions.text import shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles(F.col("text"), JACCARD_K))
+        ).alias("sh"),
+    )
+    df_tab = occ.groupBy("sh").agg(F.count("*").alias("df"))
+    return (
+        occ.join(df_tab, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_unique") / F.col("n_shingles"), 4)
+        )
+    )
+
+
+@query(
+    "dedup_cluster_canonical_docs",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_SETS_SQL},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    comp AS (SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a),
+    lab AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS comp,
+             COALESCE(d.n_chars, 0) AS n
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    )
+    SELECT doc_id, comp,
+           CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT)
+               AS cluster_n,
+           (ROW_NUMBER() OVER (PARTITION BY comp
+                               ORDER BY n DESC, doc_id ASC) = 1)
+               AS keep
+    FROM lab
+    """,
+)
+def dedup_cluster_canonical_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SURVIVOR SELECTION: one keep/drop verdict per document from
+    the duplicate-cluster structure — the policy step between "who
+    duplicates whom" (dedup_jaccard_clusters) and "write the cleaned
+    corpus". Per cluster the KEPT doc is the longest (n_chars,
+    doc_id-asc tiebreak) — the keep-best-quality policy, vs the
+    min-id canonical dedup_jaccard_clusters reports; singletons are
+    their own cluster and always keep.
+
+    Shape: reuses the session-cached exact-Jaccard pair set, runs
+    min-label connected components (driver union-find fast path /
+    label propagation — dedup/cluster.py), LEFT-joins the labels
+    back onto the corpus (only clustered docs carry a label row, so
+    the join's right side is duplicate-sized, not corpus-sized), and
+    picks survivors with one row_number window per cluster. No pair
+    materialization beyond the already-bounded edge set.
+    """
+    from cdc_2025_spark.dedup.cluster import connected_components
+
+    pairs = _shared_jaccard_pairs(spark, sf_dir)
+    comp = connected_components(pairs)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("n_chars", F.lit(0)).alias("n")
+    )
+    lab = docs.join(
+        comp, docs.doc_id == comp.id, "left"
+    ).select(
+        "doc_id",
+        F.coalesce("comp", F.col("doc_id")).cast("long").alias("comp"),
+        "n",
+    )
+    w = Window.partitionBy("comp")
+    rk = Window.partitionBy("comp").orderBy(
+        F.col("n").desc(), F.col("doc_id").asc()
+    )
+    return lab.select(
+        "doc_id",
+        "comp",
+        F.count("*").over(w).cast("long").alias("cluster_n"),
+        (F.row_number().over(rk) == 1).alias("keep"),
+    )

@@ -1163,3 +1163,102 @@ def sample_reservoir_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return bottomk_sample(docs, RESERVOIR_SAMPLE_K, "doc_id")
+
+
+LANG_ALPHA = 0.3
+LANG_TARGET_DOCS = 250
+LANG_RATE_SCALE = 10_000
+
+
+@query(
+    "sample_language_temperature",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, COALESCE(lang, 'und') AS lang FROM documents
+    ),
+    c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM d GROUP BY lang
+    ),
+    s AS (SELECT SUM(pow(n_docs, {LANG_ALPHA})) AS ss FROM c),
+    r AS (
+      SELECT lang, n_docs,
+             CAST(ROUND(LEAST(1.0,
+                    {LANG_TARGET_DOCS} * pow(n_docs, {LANG_ALPHA}) / ss
+                    / n_docs) * {LANG_RATE_SCALE}) AS BIGINT)
+                 AS accept_per_10k
+      FROM c, s
+    )
+    SELECT r.lang, r.n_docs, r.accept_per_10k,
+           CAST(COUNT(*) FILTER (WHERE
+                CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % {LANG_RATE_SCALE} < r.accept_per_10k)
+                AS BIGINT) AS n_sampled
+    FROM d JOIN r USING (lang)
+    GROUP BY 1, 2, 3
+    """,
+)
+def sample_language_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-rebalanced LANGUAGE sampling (mT5, Xue et al.
+    NAACL'21 §3.1; XLM-R, Conneau et al. ACL'20): sample language l
+    with probability q_l ∝ p_l^α (α = 0.3), flattening the head so
+    low-resource languages are not drowned by the en-heavy crawl.
+    Since p_l = n_l/N, the N^α cancels in the normalization:
+    q_l = n_l^α / Σ_m n_m^α — computed directly on counts.
+
+    Per-language acceptance rate r_l = min(1, T·q_l / n_l) for a
+    T-doc budget, QUANTIZED to integer 1/10000ths before the compare
+    (the repo's engine-parity convention: the Bernoulli draw is a
+    seed-free md5 bucket vs an integer threshold, so both engines
+    accept bit-identical doc sets; float-threshold formulations
+    rank near-ties differently across libm).
+
+    Shape: counts aggregate (|languages| rows) × a 1-row normalizer
+    cross join → a BROADCAST rates table joined back onto the scan —
+    no corpus shuffle; the two corpus passes (count, sample) are both
+    narrow scans. At 100 TB the counts pass rides whatever earlier
+    full scan the pipeline already does (or a metastore stat).
+    Output keeps every language row even at 0 accepts (conditional
+    aggregate, not filter-then-group).
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("lang", F.lit("und")).alias("lang")
+    )
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    norm = counts.agg(
+        F.sum(F.pow("n_docs", F.lit(LANG_ALPHA))).alias("ss")
+    )
+    rates = counts.crossJoin(F.broadcast(norm)).select(
+        "lang",
+        "n_docs",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(LANG_TARGET_DOCS)
+                * F.pow("n_docs", F.lit(LANG_ALPHA))
+                / F.col("ss")
+                / F.col("n_docs"),
+            )
+            * LANG_RATE_SCALE
+        )
+        .cast("long")
+        .alias("accept_per_10k"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % LANG_RATE_SCALE
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_docs", "accept_per_10k")
+        .agg(
+            F.sum(
+                F.when(bucket < F.col("accept_per_10k"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_sampled")
+        )
+    )

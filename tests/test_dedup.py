@@ -1015,3 +1015,70 @@ def read_docs(spark, sf_dir):
     from cdc_2025_spark.io import read_table
 
     return read_table(spark, sf_dir, "documents")
+
+
+def test_ngram_novelty_literal_corpus(spark):
+    """Novelty on a literal corpus: a fully-duplicated doc scores 0
+    (every shingle shared), a fully-unique doc scores 1, a doc
+    sharing exactly half its shingles scores in between — checked
+    against hand-counted shingle dfs."""
+    import os
+    import tempfile
+
+    from cdc_2025_spark.queries.dedup import text_ngram_novelty
+
+    rows = [
+        (1, "a b c d e", "en", "s", 1),   # shingles: abc bcd cde
+        (2, "a b c d e", "en", "s", 1),   # exact dup of 1 -> novelty 0
+        (3, "a b c q r s t", "en", "s", 1),  # shares abc only
+        (4, "u v w x y", "en", "s", 1),   # fully unique -> novelty 1
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["doc_id"]: (r["n_shingles"], r["n_unique"], r["novelty"])
+            for r in text_ngram_novelty(spark, d).collect()
+        }
+    # doc 3 shingles: abc, bcq, cqr, qrs, rst -> abc has df 3, rest df 1
+    assert got[1] == (3, 0, 0.0)
+    assert got[2] == (3, 0, 0.0)
+    assert got[3] == (5, 4, 0.8)
+    assert got[4] == (3, 3, 1.0)
+
+
+def test_cluster_canonical_keep_longest(spark):
+    """Survivor selection: exactly one keep per cluster; the kept doc
+    is the LONGEST (n_chars) with doc_id-asc tiebreak; singletons
+    always keep; cluster_n counts every member."""
+    import os
+    import tempfile
+
+    from cdc_2025_spark.queries.dedup import dedup_cluster_canonical_docs
+
+    rows = [
+        # near-dup trio (same text -> jaccard 1.0), lengths 10 < 30 = 30
+        (1, "p q r s t u v w", "en", "s", 10),
+        (2, "p q r s t u v w", "en", "s", 30),
+        (3, "p q r s t u v w", "en", "s", 30),
+        # singleton
+        (4, "alpha beta gamma delta words", "en", "s", 28),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["doc_id"]: (r["comp"], r["cluster_n"], r["keep"])
+            for r in dedup_cluster_canonical_docs(spark, d).collect()
+        }
+    assert got[1] == (1, 3, False)   # shortest loses despite min id
+    assert got[2] == (1, 3, True)    # longest, smaller id than 3
+    assert got[3] == (1, 3, False)
+    assert got[4] == (4, 1, True)    # singleton keeps
+    assert sum(1 for _, (_, _, k) in got.items() if k) == 2

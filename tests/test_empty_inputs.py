@@ -257,3 +257,29 @@ def test_bpe_empty_corpus(spark, tmp_path):
     out = text_bpe_vocab_merges(spark, d)
     assert out.columns == ["rank", "left", "right", "merged", "pair_count"]
     assert out.count() == 0
+
+
+def test_round8b_kernels_empty(spark, tmp_path):
+    """The late-r8 registrations on an empty documents table:
+    language-temperature sampling (no languages -> no rate rows, and
+    the α normalizer must not divide by a NULL sum), n-gram novelty
+    (no shingles -> no rows), and survivor selection (no docs -> no
+    verdicts). All empties, no throws."""
+    import os
+
+    from cdc_2025_spark.queries.dedup import (
+        dedup_cluster_canonical_docs,
+        text_ngram_novelty,
+    )
+    from cdc_2025_spark.queries.llmdata import sample_language_temperature
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    assert sample_language_temperature(spark, d).count() == 0
+    assert text_ngram_novelty(spark, d).count() == 0
+    assert dedup_cluster_canonical_docs(spark, d).count() == 0

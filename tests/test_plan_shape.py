@@ -384,3 +384,21 @@ def test_reservoir_sample_plans_as_take_ordered(spark, sf_dir):
     corpus would be the classic fixed-size-sample scale mistake."""
     p = plan_of(spark, sf_dir, "sample_reservoir_bottomk")
     assert "TakeOrderedAndProject" in p
+
+
+def test_language_temperature_broadcasts_rates(spark, sf_dir):
+    """The per-language rates table is |languages|-sized and must
+    broadcast onto the corpus scan — shuffling the corpus by lang
+    (a handful of Zipf-skewed keys) would be the scale mistake the
+    operator exists to avoid."""
+    p = plan_of(spark, sf_dir, "sample_language_temperature")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_cluster_canonical_no_pair_blowup(spark, sf_dir):
+    """Survivor selection must never materialize a document cross
+    product: the only pair-shaped frame is the already-thresholded
+    Jaccard edge set."""
+    p = plan_of(spark, sf_dir, "dedup_cluster_canonical_docs")
+    assert "CartesianProduct" not in p

@@ -487,3 +487,69 @@ def test_reservoir_null_keys_excluded(spark):
     got = bottomk_sample(df, 10, "doc_id").collect()
     assert sorted(r["doc_id"] for r in got) == [1, 2, 3]
     assert all(r["prio"] is not None for r in got)
+
+
+def test_language_temperature_flattens_distribution(spark, sf_dir):
+    """α-sampling invariants (mT5 §3.1): acceptance rates are valid
+    probabilities; rarer languages get strictly HIGHER acceptance
+    rates than commoner ones (the flattening that motivates the
+    operator); every corpus language keeps its output row even at
+    zero accepts; sampled counts never exceed corpus counts."""
+    from cdc_2025_spark.queries import QUERIES
+
+    rows = (
+        QUERIES["sample_language_temperature"](spark, sf_dir)
+        .orderBy("lang")
+        .collect()
+    )
+    assert rows, "documents fixture has languages"
+    by_n = sorted(rows, key=lambda r: r["n_docs"])
+    for r in rows:
+        assert 0 <= r["accept_per_10k"] <= 10_000
+        assert 0 <= r["n_sampled"] <= r["n_docs"]
+    for small, big in zip(by_n, by_n[1:]):
+        if small["n_docs"] < big["n_docs"]:
+            assert small["accept_per_10k"] >= big["accept_per_10k"], (
+                "temperature sampling must favor rarer languages: "
+                f"{small['lang']} vs {big['lang']}"
+            )
+    # α < 1 strictly flattens: the most- and least-common languages
+    # must get different rates whenever their counts differ
+    if by_n[0]["n_docs"] < by_n[-1]["n_docs"]:
+        assert by_n[0]["accept_per_10k"] > by_n[-1]["accept_per_10k"]
+
+
+def test_language_temperature_alpha1_is_proportional(spark):
+    """Degenerate check of the rate formula on a literal corpus:
+    with the registered α = 0.3 and a 2-language 4:1 corpus, the
+    rarer language's rate must exceed the commoner's by the closed
+    form (q ∝ n^0.3)/n — computed here with python floats and
+    compared to the engine's quantized rates exactly."""
+    import math
+
+    from cdc_2025_spark.queries.llmdata import (
+        LANG_ALPHA,
+        LANG_RATE_SCALE,
+        LANG_TARGET_DOCS,
+        sample_language_temperature,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w", "en" if i < 400 else "fr", "s", 1) for i in range(500)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["lang"]: r
+            for r in sample_language_temperature(spark, d).collect()
+        }
+    ss = 400**LANG_ALPHA + 100**LANG_ALPHA
+    for lang, n in (("en", 400), ("fr", 100)):
+        expect = round(
+            min(1.0, LANG_TARGET_DOCS * n**LANG_ALPHA / ss / n)
+            * LANG_RATE_SCALE
+        )
+        assert out[lang]["accept_per_10k"] == expect
+        assert out[lang]["n_docs"] == n

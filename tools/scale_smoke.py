@@ -82,6 +82,9 @@ QUERIES_UNDER_TEST = [
     "text_bpe_token_counts",
     "corpus_datacard",
     "dedup_source_overlap_matrix",
+    "sample_language_temperature",
+    "text_ngram_novelty",
+    "dedup_cluster_canonical_docs",
 ]
 # merge_into_customer_balances reads the star schema (customer/orders)
 # — not part of the replica corpus; its scale note lives in BASELINE.md
