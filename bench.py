@@ -105,6 +105,7 @@ HEADLINE = [
     "sample_language_temperature",
     "text_ngram_novelty",
     "dedup_cluster_canonical_docs",
+    "sim_knn_label_spread",
 ]
 
 

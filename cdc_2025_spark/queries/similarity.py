@@ -1079,3 +1079,101 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("int").alias("label"),
         *[f"pc{i + 1}" for i in range(PCA_COMPONENTS)],
     )
+
+
+KNN_N_LABELED = 100
+KNN_K = 5
+
+
+@query(
+    "sim_knn_label_spread",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+               FROM embeddings),
+    lab AS (SELECT vec_id AS lid, emb AS lemb, label FROM e
+            WHERE vec_id < {KNN_N_LABELED}),
+    unl AS (SELECT vec_id, emb FROM e WHERE vec_id >= {KNN_N_LABELED}),
+    scored AS (
+      SELECT u.vec_id, l.lid, l.label,
+             list_cosine_similarity(u.emb, l.lemb) AS cos
+      FROM unl u CROSS JOIN lab l
+    ),
+    knn AS (
+      SELECT vec_id, label, cos,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, lid) AS rn
+      FROM scored
+    ),
+    votes AS (
+      SELECT vec_id, label,
+             CAST(COUNT(*) AS BIGINT) AS n_votes,
+             AVG(cos) AS mean_cos
+      FROM knn WHERE rn <= {KNN_K}
+      GROUP BY vec_id, label
+    ),
+    pick AS (
+      SELECT vec_id, label, n_votes, mean_cos,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY n_votes DESC, label) AS pr
+      FROM votes
+    )
+    SELECT vec_id, CAST(label AS INTEGER) AS pred_label, n_votes,
+           ROUND(mean_cos, 4) AS mean_cos
+    FROM pick WHERE pr = 1
+    """,
+)
+def sim_knn_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN LABEL SPREADING: classify every unlabeled vector by the
+    majority label of its k = 5 nearest labeled neighbors (cosine) —
+    the "spread a small human-labeled quality/topic seed set over the
+    whole corpus" step of classifier-based curation (the same role
+    fastText plays in CCNet/LLaMA data prep, here nonparametric).
+    Labeled seed = vec_id < 100; ties break (count desc, label asc) —
+    integer-only, engine-portable.
+
+    Shape: the seed set BROADCASTS (tiny side of a nested-loop
+    score), the corpus streams through ONE scan, per-vector top-k is
+    a WindowGroupLimit partial, and voting aggregates k rows per
+    vector — no corpus shuffle beyond the k-row-per-vector vote key.
+    At 100 TB the seed set stays human-label-sized (10⁴-10⁶ rows):
+    broadcast holds; if the seed itself outgrows broadcast, the score
+    step switches to the IVF probe path (sim_ivf_topk) unchanged
+    downstream.
+    """
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        "label",
+    )
+    lab = emb.filter(F.col("vec_id") < KNN_N_LABELED).select(
+        F.col("vec_id").alias("lid"),
+        F.col("emb").alias("lemb"),
+        "label",
+    )
+    unl = emb.filter(F.col("vec_id") >= KNN_N_LABELED).select(
+        "vec_id", "emb"
+    )
+    scored = F.broadcast(lab).crossJoin(unl).select(
+        "vec_id", "lid", "label", cosine("emb", "lemb").alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "lid")
+    knn = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KNN_K
+    )
+    votes = knn.groupBy("vec_id", "label").agg(
+        F.count("*").cast("long").alias("n_votes"),
+        F.avg("cos").alias("mean_cos"),
+    )
+    pick = Window.partitionBy("vec_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("pr", F.row_number().over(pick))
+        .filter(F.col("pr") == 1)
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("pred_label"),
+            "n_votes",
+            F.round("mean_cos", 4).alias("mean_cos"),
+        )
+    )

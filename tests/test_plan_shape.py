@@ -402,3 +402,12 @@ def test_cluster_canonical_no_pair_blowup(spark, sf_dir):
     Jaccard edge set."""
     p = plan_of(spark, sf_dir, "dedup_cluster_canonical_docs")
     assert "CartesianProduct" not in p
+
+
+def test_knn_label_spread_broadcasts_seed(spark, sf_dir):
+    """The labeled seed set must broadcast (nested-loop over the tiny
+    side) and the per-vector top-k must stay a window partial — a
+    corpus-side shuffle before scoring would be the scale mistake."""
+    p = plan_of(spark, sf_dir, "sim_knn_label_spread")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "WindowGroupLimit" in p

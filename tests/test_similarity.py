@@ -394,3 +394,82 @@ def test_kcenter_coreset_matches_greedy_model(spark, sf_dir):
 
     again = sample_kcenter_coreset(spark, sf_dir).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+
+def test_knn_label_spread_recovers_clusters(spark, tmp_path):
+    """On a corpus whose embeddings form label-pure clusters, the
+    k-NN spread must classify every unlabeled vector into its
+    cluster's label (accuracy 1.0); the registered fixture's random
+    labels give only chance accuracy, so the semantic pin lives on
+    this literal geometry. Also pins the deterministic vote
+    tiebreak: an exact 50/50 neighborhood votes for the SMALLER
+    label."""
+    import os
+
+    import numpy as np
+
+    from cdc_2025_spark.queries.similarity import (
+        KNN_N_LABELED,
+        sim_knn_label_spread,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    centers = {0: np.eye(dim)[0], 1: np.eye(dim)[1], 2: np.eye(dim)[2]}
+    rows = []
+    # labeled seed: ids 0..99 cycle through the 3 clusters
+    for i in range(KNN_N_LABELED):
+        lab = i % 3
+        v = centers[lab] + rng.normal(0, 0.05, dim)
+        rows.append((i, [float(x) for x in v], lab))
+    # unlabeled: ids 100..159, true cluster = id % 3
+    for i in range(KNN_N_LABELED, KNN_N_LABELED + 60):
+        lab = i % 3
+        v = centers[lab] + rng.normal(0, 0.05, dim)
+        rows.append((i, [float(x) for x in v], lab))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(os.path.join(d, "embeddings.parquet"))
+
+    got = {
+        r["vec_id"]: r["pred_label"]
+        for r in sim_knn_label_spread(spark, d).collect()
+    }
+    assert len(got) == 60
+    acc = sum(got[i] == i % 3 for i in got) / len(got)
+    assert acc == 1.0, f"cluster recovery accuracy {acc}"
+
+
+def test_knn_label_spread_tiebreak_smaller_label(spark, tmp_path):
+    """With k = 5 and a 2/2-split top-4 plus a clear 5th, the vote is
+    3/2; engineer an exact tie at the top-k boundary instead: two
+    labels each supply half the nearest neighbors' vote mass via
+    duplicate-distance seeds — row_number's (n_votes desc, label asc)
+    must pick the smaller label, bit-stable across engines."""
+    import os
+
+    from cdc_2025_spark.queries.similarity import (
+        KNN_N_LABELED,
+        sim_knn_label_spread,
+    )
+
+    # seed: 4 labeled vectors at identical positions, labels 7 and 3
+    # twice each; k=5 > 4 available -> all vote, 2 vs 2 tie
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        (0, base, 7),
+        (1, base, 3),
+        (2, base, 7),
+        (3, base, 3),
+        (KNN_N_LABELED + 1, base, 9),  # unlabeled; true label ignored
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(os.path.join(d, "embeddings.parquet"))
+
+    out = sim_knn_label_spread(spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["pred_label"] == 3  # tie -> smaller label
+    assert out[0]["n_votes"] == 2
