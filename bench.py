@@ -106,6 +106,7 @@ HEADLINE = [
     "text_ngram_novelty",
     "dedup_cluster_canonical_docs",
     "sim_knn_label_spread",
+    "stats_source_length_drift",
 ]
 
 

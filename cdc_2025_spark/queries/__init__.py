@@ -55,6 +55,7 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
 #   4. _R6_FILL: oldest-green (r6) queries filling remaining slots;
 #      the rest lead round 9.
 _NEW_R8 = [
+    "stats_source_length_drift",     # NEW in r8: chi-square monitor
     "sim_knn_label_spread",          # NEW in r8: seed-label kNN vote
     "sample_language_temperature",   # NEW in r8: mT5 α-sampling
     "text_ngram_novelty",            # NEW in r8: corpus novelty score

@@ -756,3 +756,104 @@ def sketch_cms_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_n").cast("long").alias("exact_n"),
         F.col("cms_n").cast("long").alias("cms_n"),
     )
+
+
+DRIFT_BIN_W = 10
+DRIFT_BIN_CAP = 20
+
+
+@query(
+    "stats_source_length_drift",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             LEAST(CAST(FLOOR(
+               (CASE WHEN len(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+'))
+                END) / {DRIFT_BIN_W}) AS BIGINT), {DRIFT_BIN_CAP})
+                 AS bin
+      FROM documents
+    ),
+    obs AS (
+      SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS o
+      FROM d GROUP BY source, bin
+    ),
+    tot_s AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ns FROM obs
+              GROUP BY source),
+    tot_b AS (SELECT bin, CAST(SUM(o) AS BIGINT) AS nb FROM obs
+              GROUP BY bin),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    grid AS (
+      SELECT s.source, b.bin, s.ns, b.nb, n.n,
+             COALESCE(o.o, 0) AS o,
+             s.ns * b.nb * 1.0 / n.n AS e
+      FROM tot_s s CROSS JOIN tot_b b CROSS JOIN n
+      LEFT JOIN obs o ON o.source = s.source AND o.bin = b.bin
+    )
+    SELECT source, MAX(ns) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(SUM((o - e) * (o - e) / e), 4) AS chi2
+    FROM grid GROUP BY source
+    """,
+)
+def stats_source_length_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source LENGTH-DISTRIBUTION DRIFT: Pearson chi-square of
+    each source's token-length histogram against the corpus-wide
+    expectation — the ingestion-monitoring statistic that flags a
+    feed whose document shape shifted (truncation bug, boilerplate
+    injection, scraper change) before any content-level check would.
+    Bins are width-10 token buckets capped at bin 20; missing
+    (source, bin) cells count with observed 0 (they carry drift
+    signal; dropping them understates chi2).
+
+    Shape: ONE corpus scan into a (sources × bins)-bounded count
+    aggregate; every downstream step (margins, expectation grid,
+    chi-square sum) runs on that tiny frame — the grid is a cross
+    join of two sub-hundred-row sides, never anything corpus-sized.
+    At 100 TB this is exactly the profile of a monitoring query:
+    scan-bound, output bounded by |sources| regardless of corpus.
+    """
+    from cdc_2025_spark.functions.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.least(
+            F.floor(token_count("text") / DRIFT_BIN_W),
+            F.lit(DRIFT_BIN_CAP),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    obs = d.groupBy("source", "bin").agg(
+        F.count("*").cast("long").alias("o")
+    )
+    tot_s = obs.groupBy("source").agg(F.sum("o").alias("ns"))
+    tot_b = obs.groupBy("bin").agg(F.sum("o").alias("nb"))
+    n = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        tot_s.crossJoin(F.broadcast(tot_b))
+        .crossJoin(F.broadcast(n))
+        .join(obs, ["source", "bin"], "left")
+        .select(
+            "source",
+            "bin",
+            "ns",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (F.col("ns") * F.col("nb") / F.col("n")).alias("e"),
+        )
+    )
+    return grid.groupBy("source").agg(
+        F.max("ns").alias("n_docs"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.round(
+            F.sum(
+                (F.col("o") - F.col("e"))
+                * (F.col("o") - F.col("e"))
+                / F.col("e")
+            ),
+            4,
+        ).alias("chi2"),
+    )

@@ -6,6 +6,7 @@ error envelope — the correctness contract for the re-aggregatable
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cdc_2025_spark.io import read_table
@@ -57,3 +58,52 @@ def test_approx_percentile_within_envelope(spark, sf_dir):
         # enough that 2% relative value error is a generous envelope
         assert abs(a50 - e50) <= 0.02 * e50, prio
         assert abs(a90 - e90) <= 0.02 * e90, prio
+
+
+def test_source_length_drift_flags_shifted_source(spark, tmp_path):
+    """Chi-square drift: two sources drawn from the corpus-typical
+    length shape score near zero; a source whose documents are
+    uniformly truncated scores an order of magnitude higher — the
+    monitoring signal the operator exists for. Also pins the
+    missing-cell convention: absent (source, bin) combos contribute
+    observed = 0 (dropping them would understate drift)."""
+    import os
+
+    from cdc_2025_spark.queries.analytics import (
+        stats_source_length_drift,
+    )
+
+    rows = []
+    did = 0
+    # srcA/srcB: 30 docs each across lengths 5/15/25 tokens
+    for src in ("srcA", "srcB"):
+        for nt in (5, 15, 25):
+            for _ in range(10):
+                rows.append((did, " ".join(["w"] * nt), "en", src, nt))
+                did += 1
+    # srcC: truncated feed — everything 5 tokens
+    for _ in range(30):
+        rows.append((did, " ".join(["w"] * 5), "en", "srcC", 5))
+        did += 1
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {
+        r["source"]: r for r in stats_source_length_drift(spark, d).collect()
+    }
+    assert set(got) == {"srcA", "srcB", "srcC"}
+    # every source is scored against ALL corpus bins (0,1,2 = 3 bins)
+    assert all(r["n_bins"] == 3 for r in got.values())
+    assert got["srcA"]["chi2"] == got["srcB"]["chi2"]
+    # hand-computed: corpus bins (50,20,20)/90 -> srcA expectation
+    # (16.67, 6.67, 6.67) gives chi2 = 6.0; srcC (30,0,0) gives 24.0.
+    # The drifted source also pollutes the corpus-wide expectation,
+    # so the typical sources score nonzero — the CONTRAST (4x here)
+    # is the signal, not an absolute-zero baseline.
+    assert got["srcA"]["chi2"] == pytest.approx(6.0, abs=0.01)
+    assert got["srcC"]["chi2"] == pytest.approx(24.0, abs=0.01)
+    assert got["srcC"]["chi2"] > 3 * got["srcA"]["chi2"]

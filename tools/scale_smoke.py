@@ -86,6 +86,7 @@ QUERIES_UNDER_TEST = [
     "text_ngram_novelty",
     "dedup_cluster_canonical_docs",
     "sim_knn_label_spread",
+    "stats_source_length_drift",
 ]
 # merge_into_customer_balances reads the star schema (customer/orders)
 # — not part of the replica corpus; its scale note lives in BASELINE.md
