@@ -411,3 +411,29 @@ def test_knn_label_spread_broadcasts_seed(spark, sf_dir):
     p = plan_of(spark, sf_dir, "sim_knn_label_spread")
     assert "BroadcastNestedLoopJoin" in p
     assert "WindowGroupLimit" in p
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # 2 narrow scans -> 2 tiny aggs + broadcast rate plumbing;
+        # corpus rows never shuffle (map-side partials only)
+        ("sample_language_temperature", 6),
+        # shingle df groupBy + join-back + doc agg
+        ("text_ngram_novelty", 3),
+        # broadcast seed + vote agg + pick window
+        ("sim_knn_label_spread", 2),
+        # one corpus agg; everything after runs on the
+        # (sources x bins)-bounded frame (tiny exchanges)
+        ("stats_source_length_drift", 10),
+    ],
+)
+def test_shuffle_budget_round8b(spark, sf_dir, name, max_exchanges):
+    """Exchange ceilings for the late-round-8 operators — an added
+    Exchange is a scale regression (dedup_cluster_canonical_docs is
+    excluded: its plan embeds the session-cached Jaccard pair set,
+    whose InMemoryRelation substitution varies with test order)."""
+    from cdc_2025_spark.plans import exchange_count
+
+    n = exchange_count(QUERIES[name](spark, sf_dir))
+    assert n <= max_exchanges, f"{name}: {n} exchanges"
