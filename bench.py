@@ -107,6 +107,8 @@ HEADLINE = [
     "dedup_cluster_canonical_docs",
     "sim_knn_label_spread",
     "stats_source_length_drift",
+    "dedup_containment_pairs",
+    "text_bm25_search",
 ]
 
 

@@ -22,13 +22,17 @@ from cdc_2025_spark.dedup.cluster import (
     dup_clusters,
 )
 from cdc_2025_spark.dedup.exact import exact_dedup, exact_dup_groups
-from cdc_2025_spark.dedup.jaccard import ngram_jaccard_pairs
+from cdc_2025_spark.dedup.jaccard import (
+    containment_pairs,
+    ngram_jaccard_pairs,
+)
 from cdc_2025_spark.dedup.minhash import minhash_lsh_pairs, minhash_signatures
 from cdc_2025_spark.dedup.prefix import prefix_jaccard_pairs
 from cdc_2025_spark.dedup.simhash import simhash, simhash_pairs
 
 __all__ = [
     "connected_components",
+    "containment_pairs",
     "connected_components_star",
     "dup_clusters",
     "exact_dedup",

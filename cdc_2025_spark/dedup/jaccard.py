@@ -39,6 +39,29 @@ def ngram_jaccard_pairs(
     the dominant per-row cost — across the cluster regardless of
     source file layout.
     """
+    pairs = _pair_intersections(docs, id_col, text_col, k, max_doc_freq)
+    jac = F.col("inter") / (
+        F.col("size_a") + F.col("size_b") - F.col("inter")
+    )
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _pair_intersections(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_doc_freq: int | None,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b, size_a, size_b, inter) from the
+    inverted shingle index — the shared engine under both set-overlap
+    measures (Jaccard and containment): any pair with a nonzero
+    intersection appears exactly once, with exact set sizes and exact
+    intersection counts over the kept (df-capped) shingles."""
     sets = (
         shingle_sets(docs, id_col, text_col, k)
         .withColumn("set_size", F.size("sh"))
@@ -75,17 +98,43 @@ def ngram_jaccard_pairs(
         F.col("id").alias("id_b"),
         F.col("set_size").alias("size_b"),
     )
-    pairs = (
+    return (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count("*").alias("inter"))
     )
-    jac = F.col("inter") / (
-        F.col("size_a") + F.col("size_b") - F.col("inter")
-    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b, containment) where the SMALLER shingle set
+    is >= threshold contained in the pair's union:
+    C = |A∩B| / min(|A|, |B|).
+
+    This is the asymmetric complement of Jaccard: a short document
+    quoted wholesale inside a much longer one has high containment but
+    low Jaccard (the union is dominated by the long side), so a
+    Jaccard-only dedup pass keeps both copies. Containment-based
+    detection of such near-supersets is standard in the set-similarity
+    literature (Broder's resemblance vs containment distinction,
+    SEQUENCES'97).
+
+    Scale: identical inverted-index shape to ngram_jaccard_pairs —
+    8-byte hashed shingle keys, df-capped stop-shingles, candidate
+    fan-out bounded by per-shingle document frequency. Only the final
+    scalar measure differs.
+    """
+    pairs = _pair_intersections(docs, id_col, text_col, k, max_doc_freq)
+    cont = F.col("inter") / F.least(F.col("size_a"), F.col("size_b"))
     return (
-        pairs.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        pairs.withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
     )

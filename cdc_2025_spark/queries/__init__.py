@@ -79,6 +79,8 @@ _NEW_R8 = [
     "graph_pagerank_trade_network",  # NEW in r8: PageRank
     "corpus_datacard",               # NEW in r8: data card
     "dedup_source_overlap_matrix",   # NEW in r8: source overlap
+    "dedup_containment_pairs",       # NEW in r8: near-superset pairs
+    "text_bm25_search",              # NEW in r8: Okapi BM25 top-k
 ]
 
 _CHANGED_R8 = [

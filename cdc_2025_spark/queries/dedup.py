@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_2025_spark.dedup import (
+    containment_pairs,
     exact_dup_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -161,6 +162,52 @@ def dedup_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, k=JACCARD_K, threshold=JACCARD_THRESHOLD
     )
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH sets AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) <= {JACCARD_K}
+               THEN [array_to_string(ws, ' ')]
+               ELSE [array_to_string(ws[i:i+{JACCARD_K - 1}], ' ')
+                     for i in range(1, len(ws) - {JACCARD_K} + 2)]
+               END) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS ws
+            FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 LEAST(len(a.sh), len(b.sh)), 4) AS containment
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          LEAST(len(a.sh), len(b.sh)) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-superset pairs by shingle CONTAINMENT — |A∩B| / min(|A|,|B|)
+    — the asymmetric measure that catches a short document quoted
+    wholesale inside a long one, which Jaccard misses because the
+    union is dominated by the long side (Broder's resemblance-vs-
+    containment distinction, SEQUENCES'97). Same inverted-index engine
+    as the Jaccard pass (dedup/jaccard.py), same df cap; only the
+    final scalar differs. The oracle brute-forces the measure over the
+    document cross product."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = containment_pairs(
+        docs,
+        k=JACCARD_K,
+        threshold=CONTAINMENT_THRESHOLD,
+        max_doc_freq=JACCARD_MAX_DF,
+    )
+    return out.select(
+        "id_a", "id_b", F.round("containment", 4).alias("containment")
+    )
 
 
 _JACCARD_SETS_SQL = f"""

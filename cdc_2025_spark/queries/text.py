@@ -511,6 +511,120 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+BM25_QUERY_TERMS = ("stream", "vector", "merge")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+
+@query(
+    "text_bm25_search",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, trim(lower(coalesce(text, ''))) AS t FROM documents
+    ), dl AS (
+      SELECT doc_id, t,
+             CASE WHEN t = '' THEN 0
+                  ELSE len(string_split_regex(t, '\\s+')) END AS dl
+      FROM base
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tok AS (
+      SELECT doc_id, dl,
+             unnest(string_split_regex(t, '\\s+')) AS term
+      FROM dl WHERE t <> ''
+    ), tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok
+      WHERE term IN ({_BM25_TERMS_SQL})
+      GROUP BY 1, 2, 3
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT doc_id,
+             SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * ({BM25_K1} + 1.0))
+                 / (tf + {BM25_K1} * (1.0 - {BM25_B}
+                                      + {BM25_B} * dl / avgdl))) AS score,
+             COUNT(*) AS n_terms_hit
+      FROM tf JOIN df USING (term) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+           ROUND(score, 4) AS bm25
+    FROM scored ORDER BY score DESC, doc_id LIMIT {BM25_TOP_K}
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{BM25_TOP_K} retrieval for a fixed multi-term query —
+    the Okapi ranking function (Robertson & Zaragoza, FnTIR'09:
+    idf = ln(1 + (N - df + ½)/(df + ½)), k1={BM25_K1}, b={BM25_B})
+    that backs keyword retrieval in RAG pipelines and quality-biased
+    corpus sampling.
+
+    Scale shape: the term filter lands immediately after the explode,
+    so only postings for the query's terms ever reach a shuffle — the
+    tf aggregate is bounded by the query terms' document frequency,
+    not the corpus token count. Document length rides the narrow
+    pre-explode projection (no corpus-sized join to recover it), the
+    per-term df/idf table is query-sized and BROADCAST, and the
+    corpus-level scalars (N, avgdl) ride the same broadcast via
+    crossJoin. The final top-k is a TakeOrderedAndProject, never a
+    global sort."""
+    from cdc_2025_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias("t"),
+    ).withColumn(
+        "dl",
+        F.when(F.length("t") == 0, F.lit(0)).otherwise(F.size(tokens("t"))),
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode(tokens("t")).alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+            "avgdl",
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (F.col("tf") * (BM25_K1 + 1.0))
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("score"), F.count("*").alias("n_terms_hit"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+        .select("doc_id", "n_terms_hit", _r4("score").alias("bm25"))
+    )
+
+
 CHUNK_SIZE = 64
 CHUNK_STRIDE = 48  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 16 tokens
 

@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from cdc_2025_spark.dedup import (
+    containment_pairs,
     exact_dedup,
     exact_dup_groups,
     minhash_lsh_pairs,
@@ -1082,3 +1083,38 @@ def test_cluster_canonical_keep_longest(spark):
     assert got[3] == (1, 3, False)
     assert got[4] == (4, 1, True)    # singleton keeps
     assert sum(1 for _, (_, _, k) in got.items() if k) == 2
+
+
+def test_containment_catches_superset_jaccard_misses(spark):
+    """A short doc quoted wholesale inside a much longer one has
+    containment 1.0 but Jaccard far below the pairing threshold —
+    the exact asymmetry the containment operator exists for."""
+    short = "alpha beta gamma delta epsilon"
+    tail = " ".join(f"tok{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, short),
+            (2, short + " " + tail),
+            (3, "unrelated words entirely different content here"),
+        ],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.35).collect()
+    }
+    assert cont[(1, 2)] == 1.0  # every shingle of 1 appears in 2
+    assert (1, 2) not in jac  # union dominated by the long side
+    assert (1, 3) not in cont and (2, 3) not in cont
+    # containment >= jaccard pointwise on any pair set
+    all_jac = ngram_jaccard_pairs(docs, k=3, threshold=0.0).collect()
+    all_cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(docs, k=3, threshold=0.0).collect()
+    }
+    for r in all_jac:
+        assert all_cont[(r["id_a"], r["id_b"])] >= r["jaccard"]

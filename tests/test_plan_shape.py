@@ -437,3 +437,32 @@ def test_shuffle_budget_round8b(spark, sf_dir, name, max_exchanges):
 
     n = exchange_count(QUERIES[name](spark, sf_dir))
     assert n <= max_exchanges, f"{name}: {n} exchanges"
+
+
+def test_bm25_plan_shape(spark, sf_dir):
+    """BM25: the query-sized idf table must broadcast (a corpus
+    shuffle to recover idf would be the scale mistake), and top-k must
+    be a TakeOrderedAndProject, never a global sort."""
+    p = plan_of(spark, sf_dir, "text_bm25_search")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+@pytest.mark.parametrize(
+    "name,max_exchanges",
+    [
+        # stats agg + tf/df aggs + final doc agg; every post-filter
+        # frame is bounded by the query terms' posting lists
+        ("text_bm25_search", 7),
+        # inverted-index self-join, same exchange budget family as
+        # the Jaccard exact pass it shares its engine with
+        ("dedup_containment_pairs", 10),
+    ],
+)
+def test_shuffle_budget_round8c(spark, sf_dir, name, max_exchanges):
+    """Exchange ceilings for the round-8c operators."""
+    from cdc_2025_spark.plans import exchange_count
+
+    n = exchange_count(QUERIES[name](spark, sf_dir))
+    assert n <= max_exchanges, f"{name}: {n} exchanges"

@@ -553,3 +553,36 @@ def test_language_temperature_alpha1_is_proportional(spark):
         )
         assert out[lang]["accept_per_10k"] == expect
         assert out[lang]["n_docs"] == n
+
+
+def test_bm25_ranking_pins(spark):
+    """BM25 pins: higher tf outranks lower tf at equal length; at
+    equal tf the shorter document outranks the longer (length
+    normalization, b=0.75); docs with no query term are absent; a doc
+    hitting all three query terms reports n_terms_hit == 3."""
+    from unittest import mock
+
+    from cdc_2025_spark.queries.text import text_bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "stream stream stream filler"),
+            (2, "stream filler filler filler"),
+            (3, "stream filler"),
+            (4, "stream vector merge"),
+            (5, "filler words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    with mock.patch(
+        "cdc_2025_spark.queries.text.read_table", return_value=docs
+    ):
+        out = text_bm25_search(spark, "ignored").toPandas()
+    scores = dict(zip(out["doc_id"], out["bm25"]))
+    hits = dict(zip(out["doc_id"], out["n_terms_hit"]))
+    assert 5 not in scores  # no query term -> never scored
+    assert scores[1] > scores[2]  # tf monotone at equal dl
+    assert scores[3] > scores[2]  # shorter doc wins at equal tf
+    assert hits[4] == 3 and hits[1] == 1
+    # all-terms doc dominates single-term docs (three idf terms sum)
+    assert scores[4] == max(scores.values())

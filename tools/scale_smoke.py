@@ -87,6 +87,8 @@ QUERIES_UNDER_TEST = [
     "dedup_cluster_canonical_docs",
     "sim_knn_label_spread",
     "stats_source_length_drift",
+    "dedup_containment_pairs",
+    "text_bm25_search",
 ]
 # merge_into_customer_balances reads the star schema (customer/orders)
 # — not part of the replica corpus; its scale note lives in BASELINE.md
@@ -189,12 +191,12 @@ def stage_metrics(spark) -> dict:
     }
 
 
-def run_suite(spark, sf_dir: str) -> dict:
+def run_suite(spark, sf_dir: str, names: list[str] | None = None) -> dict:
     from cdc_2025_spark.queries import QUERIES
     from cdc_2025_spark.queries.similarity import lsh_pairs_auto
 
     out = {}
-    for name in QUERIES_UNDER_TEST:
+    for name in names or QUERIES_UNDER_TEST:
         t0 = time.perf_counter()
         if name == "sim_lsh_bucketed_pairs":
             # deployment-sized knobs, now DERIVED by lsh_auto_geometry
@@ -457,6 +459,12 @@ def main() -> None:
         action="store_true",
         help="run just the query suite (skip the CDC/compaction legs)",
     )
+    ap.add_argument(
+        "--query",
+        action="append",
+        default=None,
+        help="restrict the suite to these query names (repeatable)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
@@ -489,12 +497,12 @@ def main() -> None:
         build_corpus(spark, args.replicas)
 
     t0 = time.perf_counter()
-    base = run_suite(spark, BASE_SF)
+    base = run_suite(spark, BASE_SF, args.query)
     base_metrics = stage_metrics(spark)
     t_base = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
-    scaled = run_suite(spark, SCALE_DIR)
+    scaled = run_suite(spark, SCALE_DIR, args.query)
     all_metrics = stage_metrics(spark)
     t_scaled = round(time.perf_counter() - t0, 2)
     scaled_metrics = {
@@ -512,7 +520,7 @@ def main() -> None:
         " time x | rows x |"
     )
     print("|---|---|---|---|---|---|---|")
-    for name in QUERIES_UNDER_TEST:
+    for name in args.query or QUERIES_UNDER_TEST:
         b, s = base[name], scaled[name]
         tx = round(s["sec"] / b["sec"], 1) if b["sec"] else float("nan")
         rx = round(s["rows"] / b["rows"], 1) if b["rows"] else float("nan")
