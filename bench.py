@@ -109,6 +109,9 @@ HEADLINE = [
     "stats_source_length_drift",
     "dedup_containment_pairs",
     "text_bm25_search",
+    "sample_leakage_free_split",
+    "text_winnowing_fingerprints",
+    "text_quality_yield_curve",
 ]
 
 

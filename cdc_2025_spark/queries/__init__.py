@@ -81,6 +81,9 @@ _NEW_R8 = [
     "dedup_source_overlap_matrix",   # NEW in r8: source overlap
     "dedup_containment_pairs",       # NEW in r8: near-superset pairs
     "text_bm25_search",              # NEW in r8: Okapi BM25 top-k
+    "sample_leakage_free_split",     # NEW in r8: cluster-keyed split
+    "text_winnowing_fingerprints",   # NEW in r8: MOSS winnowing
+    "text_quality_yield_curve",      # NEW in r8: filter tradeoff
 ]
 
 _CHANGED_R8 = [

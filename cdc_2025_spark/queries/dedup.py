@@ -1783,3 +1783,73 @@ def dedup_cluster_canonical_docs(
         F.count("*").over(w).cast("long").alias("cluster_n"),
         (F.row_number().over(rk) == 1).alias("keep"),
     )
+
+
+@query(
+    "sample_leakage_free_split",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_SETS_SQL},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    comp AS (SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a),
+    lab AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS comp
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+    )
+    SELECT doc_id, comp,
+           CASE WHEN b < 8 THEN 'train'
+                WHEN b < 9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, comp,
+                 CAST(('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 10 AS b
+          FROM lab) s
+    """,
+)
+def sample_leakage_free_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEAKAGE-FREE train/val/test split: the 80/10/10 md5-bucket
+    split keyed on the near-duplicate CLUSTER label instead of the
+    document id, so every member of a duplicate cluster lands in the
+    same split. A doc-keyed split puts ~2·p·(1-p) of each duplicate
+    pair's mass across the train/eval boundary — exactly the
+    memorization-inflates-eval leakage documented by Lee et al.
+    ACL'22 §6; clustering first is the standard fix.
+
+    Shape: reuses the session-cached exact-Jaccard pair set and the
+    min-label connected components (driver union-find fast path for
+    small edge sets). The cluster-label table is duplicate-sized —
+    orders of magnitude smaller than the corpus — so the label join
+    broadcasts at any corpus scale, and the split hash is map-side
+    arithmetic on the labeled rows: no corpus shuffle beyond the one
+    label join. Same md5 bucketing as sample_train_val_test_split
+    (analytics.py) — stable under reruns, row order, partitioning.
+    """
+    from cdc_2025_spark.dedup.cluster import connected_components
+
+    pairs = _shared_jaccard_pairs(spark, sf_dir)
+    comp = connected_components(pairs)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    lab = docs.join(comp, docs.doc_id == comp.id, "left").select(
+        "doc_id",
+        F.coalesce("comp", F.col("doc_id")).cast("long").alias("comp"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("comp").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+    )
+    return lab.select("doc_id", "comp", split.alias("split"))

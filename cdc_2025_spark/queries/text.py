@@ -625,6 +625,132 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 8  # char k-gram width
+WINNOW_W = 4  # winnowing window (hashes per window)
+_WINNOW_ENC = 1 << 20  # (hash, pos) -> hash*2^20 + pos, pos < 2^20
+
+
+def winnow_selected(docs: DataFrame) -> DataFrame:
+    """Winnowing selection stage: per (doc_id) the chosen
+    (pos, sel, n_kgrams) rows, sel = hash*2^20 + pos of each sliding
+    window's leftmost-minimal k-gram hash (sel >> 20 recovers the
+    fingerprint hash). Shared by the registered rollup and the
+    match-guarantee tests."""
+    base = docs.select(
+        "doc_id",
+        F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias("t"),
+    )
+    # sequence() counts DOWN when start > stop — guard the short-doc
+    # case with an explicit empty array
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""CASE WHEN length(t) >= {WINNOW_K}
+                    THEN transform(
+                        sequence(1, length(t) - {WINNOW_K - 1}),
+                        i -> CAST(conv(substring(
+                                 md5(substring(t, i, {WINNOW_K})),
+                                 1, 8), 16, 10) AS BIGINT)
+                             * {_WINNOW_ENC} + i)
+                    ELSE CAST(array() AS ARRAY<BIGINT>) END"""
+            )
+        ).alias("key"),
+    ).select(
+        "doc_id",
+        (F.col("key") % _WINNOW_ENC).cast("int").alias("pos"),
+        "key",
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    tot = Window.partitionBy("doc_id")
+    return grams.select(
+        "doc_id",
+        "pos",
+        F.min("key").over(win).alias("sel"),
+        F.count("*").over(tot).alias("n_kgrams"),
+    ).filter(
+        (F.col("pos") >= WINNOW_W) | (F.col("pos") == F.col("n_kgrams"))
+    )
+
+
+@query(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, trim(lower(coalesce(text, ''))) AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS pos,
+             CAST(('0x' || substr(md5(substring(t, i, {WINNOW_K})), 1, 8))
+                  AS BIGINT) * {_WINNOW_ENC} + i AS key
+      FROM base,
+           unnest([i for i in range(1, len(t) - {WINNOW_K - 2})]) AS r(i)
+    ), sel AS (
+      SELECT doc_id, pos,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                            AND CURRENT ROW) AS sel,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_kgrams
+      FROM grams
+    ), fp AS (
+      SELECT DISTINCT doc_id, n_kgrams, sel
+      FROM sel WHERE pos >= {WINNOW_W} OR pos = n_kgrams
+    )
+    SELECT doc_id, CAST(n_kgrams AS BIGINT) AS n_kgrams,
+           CAST(COUNT(*) AS BIGINT) AS n_fp,
+           ROUND(COUNT(*) * 1.0 / n_kgrams, 4) AS density,
+           CAST(BIT_XOR(sel) AS BIGINT) AS fp_checksum
+    FROM fp GROUP BY doc_id, n_kgrams
+    """,
+)
+def text_winnowing_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every {WINNOW_K}-char k-gram,
+    slide a window of {WINNOW_W} consecutive hashes, keep each
+    window's minimum. Any substring match of length >=
+    {WINNOW_K + WINNOW_W - 1} chars is guaranteed to share a
+    fingerprint, with expected density 2/(w+1) — the local-algorithm
+    guarantee rolling-hash sampling (text_fingerprints) lacks. Ties
+    break to the LEFTMOST minimal hash via the (hash, pos) ->
+    hash*2^20 + pos encoding, so min() alone is the full selection
+    rule on both engines (pos < 2^20 — guarded; the classic rule
+    breaks rightmost, which changes density constants only, not the
+    guarantee). Emits per-doc k-gram count, fingerprint count,
+    density, and an order-independent XOR checksum of the selected
+    (hash, pos) keys.
+
+    Shape: ONE shuffle — the per-doc position sort for the sliding
+    window; the distinct + per-doc rollup rides the window's existing
+    doc_id clustering (array_distinct over a collect_list bounded by
+    document length, no second exchange). Docs shorter than
+    {WINNOW_K} chars have no k-grams and are absent on both sides.
+    Short-doc windows (n < w) keep the global minimum via the
+    pos = n_kgrams escape so every gram-bearing doc fingerprints.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    sel = winnow_selected(docs)
+    return sel.groupBy("doc_id").agg(
+        F.max("n_kgrams").alias("n_kgrams"),
+        F.expr("size(array_distinct(collect_list(sel)))")
+        .cast("long")
+        .alias("n_fp"),
+        F.round(
+            F.expr("size(array_distinct(collect_list(sel)))")
+            / F.max("n_kgrams"),
+            4,
+        ).alias("density"),
+        F.expr(
+            "aggregate(array_distinct(collect_list(sel)), 0L,"
+            " (a, x) -> a ^ x)"
+        ).alias("fp_checksum"),
+    )
+
+
 CHUNK_SIZE = 64
 CHUNK_STRIDE = 48  # overlap = CHUNK_SIZE - CHUNK_STRIDE = 16 tokens
 
@@ -932,6 +1058,111 @@ def text_quality_percentile_filter(
         "quality",
         "src_threshold",
         (F.col("quality") >= F.col("src_threshold")).alias("keep"),
+    )
+
+
+@query(
+    "text_quality_yield_curve",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             len(trim(text)) AS n,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+               AS ntok,
+             len(text) - len(regexp_replace(text, '[^a-zA-Z0-9_\\s]',
+                                            '', 'g')) AS npunct
+      FROM documents
+    ), parts AS (
+      SELECT doc_id, ntok,
+             CASE WHEN n < 200 THEN n / 200.0
+                  WHEN n > 2000
+                    THEN GREATEST(0.0, 1.0 - (n - 2000.0) / 8000.0)
+                  ELSE 1.0 END AS len_score,
+             CASE WHEN n = 0 THEN 0.0 ELSE npunct * 1.0 / n END
+               AS punct_r,
+             CASE WHEN ntok = 0 THEN 0.0
+                  ELSE (n - ntok + 1) * 1.0 / ntok END AS mean_wl
+      FROM scored
+    ), q AS (
+      SELECT doc_id, ntok,
+             ROUND(0.4 * len_score + 0.3 * (1.0 - punct_r) +
+                   0.3 * (CASE WHEN mean_wl BETWEEN 3.0 AND 10.0
+                               THEN 1.0
+                               WHEN mean_wl < 3.0 THEN mean_wl / 3.0
+                               ELSE GREATEST(0.0,
+                                    1.0 - (mean_wl - 10.0) / 10.0)
+                          END), 4) AS quality
+      FROM parts
+    ), bucketed AS (
+      SELECT LEAST(CAST(FLOOR(quality * 10) AS INTEGER), 9) AS bucket,
+             COUNT(*) AS n_docs, SUM(ntok) AS n_tokens
+      FROM q GROUP BY 1
+    ), tot AS (SELECT SUM(n_tokens) AS tot_tokens FROM bucketed)
+    SELECT bucket, ROUND(bucket / 10.0, 1) AS threshold_lo,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(SUM(n_docs) OVER (ORDER BY bucket DESC) AS BIGINT)
+             AS cum_docs,
+           CAST(SUM(n_tokens) OVER (ORDER BY bucket DESC) AS BIGINT)
+             AS cum_tokens,
+           ROUND(SUM(n_tokens) OVER (ORDER BY bucket DESC)
+                 * 1.0 / tot_tokens, 4) AS token_yield
+    FROM bucketed CROSS JOIN tot
+    """,
+)
+def text_quality_yield_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-filter YIELD CURVE: how many documents and tokens
+    survive at each candidate quality threshold — the
+    quantity-vs-quality tradeoff table a pipeline reads before
+    choosing its filter cutoff (raising the bar costs tokens;
+    this prices each step). Docs land in 10 score deciles;
+    `cum_tokens`/`token_yield` at bucket b = corpus retained by
+    filtering at threshold b/10.
+
+    Shape: scoring and bucketing ride the scan (codegen string
+    expressions, map-side partial agg into <= 10 groups); the
+    cumulative window and the total-token scalar run on the 10-row
+    frame. One corpus-scan aggregate, everything downstream is
+    constant-size at any corpus scale."""
+    from cdc_2025_spark.functions.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    q = docs.select(
+        _r4(quality_score("text")).alias("quality"),
+        token_count("text").alias("ntok"),
+    )
+    bucketed = (
+        q.select(
+            F.least(
+                F.floor(F.col("quality") * 10).cast("int"), F.lit(9)
+            ).alias("bucket"),
+            "ntok",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"), F.sum("ntok").alias("n_tokens")
+        )
+    )
+    tot = bucketed.agg(F.sum("n_tokens").alias("tot_tokens"))
+    w = Window.orderBy(F.col("bucket").desc()).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        bucketed.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") / 10.0, 1).alias("threshold_lo"),
+            "n_docs",
+            "n_tokens",
+            F.sum("n_docs").over(w).alias("cum_docs"),
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.round(
+                F.sum("n_tokens").over(w) / F.col("tot_tokens"), 4
+            ).alias("token_yield"),
+        )
     )
 
 

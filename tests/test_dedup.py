@@ -1118,3 +1118,48 @@ def test_containment_catches_superset_jaccard_misses(spark):
     }
     for r in all_jac:
         assert all_cont[(r["id_a"], r["id_b"])] >= r["jaccard"]
+
+
+def test_leakage_free_split_keeps_neardup_pairs_together(spark):
+    """Every near-dup pair must land in one split — including pairs
+    whose DOC-keyed md5 buckets differ (the leakage case a naive
+    per-doc split gets wrong)."""
+    import hashlib
+
+    from unittest import mock
+
+    from cdc_2025_spark.queries.dedup import (
+        _PAIR_CACHE,
+        sample_leakage_free_split,
+    )
+
+    def doc_bucket(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10
+
+    # two ids whose doc-keyed buckets straddle the train/val boundary
+    a = next(i for i in range(100) if doc_bucket(i) < 8)
+    b = next(i for i in range(100) if doc_bucket(i) >= 8)
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (a, shared),
+            (b, shared + " iota"),
+            (max(a, b) + 1, "completely different content over here"),
+        ],
+        "doc_id long, text string",
+    )
+    _PAIR_CACHE.pop(spark, None)  # fixture corpus, not the sf tables
+    try:
+        with mock.patch(
+            "cdc_2025_spark.queries.dedup.read_table", return_value=docs
+        ):
+            out = {
+                r["doc_id"]: r
+                for r in sample_leakage_free_split(spark, "fixture").collect()
+            }
+    finally:
+        _PAIR_CACHE.pop(spark, None)
+    assert doc_bucket(a) < 8 <= doc_bucket(b)  # naive split separates
+    assert out[a]["split"] == out[b]["split"]  # cluster split does not
+    assert out[a]["comp"] == out[b]["comp"] == min(a, b)
+    assert len(out) == 3

@@ -458,6 +458,9 @@ def test_bm25_plan_shape(spark, sf_dir):
         # inverted-index self-join, same exchange budget family as
         # the Jaccard exact pass it shares its engine with
         ("dedup_containment_pairs", 10),
+        # ONE shuffle: the per-doc window sort; the distinct rollup
+        # rides the window's doc_id clustering
+        ("text_winnowing_fingerprints", 1),
     ],
 )
 def test_shuffle_budget_round8c(spark, sf_dir, name, max_exchanges):

@@ -586,3 +586,62 @@ def test_bm25_ranking_pins(spark):
     assert hits[4] == 3 and hits[1] == 1
     # all-terms doc dominates single-term docs (three idf terms sum)
     assert scores[4] == max(scores.values())
+
+
+def test_winnowing_match_guarantee_and_density(spark):
+    """The winnowing guarantee (Schleimer et al. SIGMOD'03 thm): any
+    shared substring of length >= k + w - 1 yields at least one
+    shared fingerprint HASH, even at different positions in the two
+    documents. Density on a long aperiodic string sits near the
+    expected 2/(w+1)."""
+    from cdc_2025_spark.queries.text import (
+        WINNOW_K,
+        WINNOW_W,
+        _WINNOW_ENC,
+        winnow_selected,
+    )
+
+    shared = "zqxjkvbwp mfgh ytrl"  # len 19 >= k + w - 1 = 11
+    long_doc = " ".join(
+        f"{(i * 7919) % 104729:x}" for i in range(400)
+    )  # aperiodic filler, ~2000 chars
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa " + shared + " bbb"),
+            (2, "cc " + long_doc[:50] + " " + shared),
+            (3, long_doc),
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_selected(docs).collect()
+    hashes = {}
+    for r in rows:
+        hashes.setdefault(r["doc_id"], set()).add(r["sel"] // _WINNOW_ENC)
+    assert hashes[1] & hashes[2], "shared substring lost by winnowing"
+    n3 = {r["doc_id"]: r["n_kgrams"] for r in rows}[3]
+    density = len(hashes[3]) / n3
+    expected = 2.0 / (WINNOW_W + 1)
+    assert abs(density - expected) < 0.15, density
+    # every position-selected fingerprint lies within the doc
+    assert all(1 <= r["pos"] <= r["n_kgrams"] for r in rows)
+
+
+def test_yield_curve_accounting_invariants(spark, sf_dir):
+    """The yield curve must account for the whole corpus: the lowest
+    bucket's cumulative row covers every doc and 100% of tokens;
+    cumulative counts are monotone nonincreasing in the threshold."""
+    from cdc_2025_spark.io import read_table
+    from cdc_2025_spark.queries.text import text_quality_yield_curve
+
+    rows = sorted(
+        text_quality_yield_curve(spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert rows[0]["cum_docs"] == n_docs
+    assert rows[0]["token_yield"] == 1.0
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["cum_docs"] >= hi["cum_docs"]
+        assert lo["cum_tokens"] >= hi["cum_tokens"]
+        assert lo["threshold_lo"] < hi["threshold_lo"]
+    assert sum(r["n_docs"] for r in rows) == n_docs

@@ -89,6 +89,9 @@ QUERIES_UNDER_TEST = [
     "stats_source_length_drift",
     "dedup_containment_pairs",
     "text_bm25_search",
+    "sample_leakage_free_split",
+    "text_winnowing_fingerprints",
+    "text_quality_yield_curve",
 ]
 # merge_into_customer_balances reads the star schema (customer/orders)
 # — not part of the replica corpus; its scale note lives in BASELINE.md
