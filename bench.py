@@ -112,6 +112,7 @@ HEADLINE = [
     "sample_leakage_free_split",
     "text_winnowing_fingerprints",
     "text_quality_yield_curve",
+    "dedup_snapshot_diff",
 ]
 
 

@@ -59,3 +59,42 @@ def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
         F.min_by(F.struct(*others), F.col(id_col)).alias("_row")
     )
     return picked.select("_row.*")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    key: Column,
+) -> DataFrame:
+    """Corpus snapshot diff: per-id verdict ('added' / 'removed' /
+    'changed' / 'unchanged') between two corpus versions, compared on
+    a content key — the accounting step of incremental ingest (what
+    actually changed since the last run drives which documents
+    re-enter the dedup/quality pipeline).
+
+    Scale: the content key is computed map-side during each scan;
+    the single shuffle is the id-keyed full-outer join (both sides
+    hash-partition on the id — co-partitioned under AQE; zero skew on
+    unique ids). Verdict classification is a map-side CASE on the
+    joined row. Returns (id, status, old_key, new_key).
+    """
+    o = old.select(
+        F.col(id_col).alias("_id"), key.alias("old_key")
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"), key.alias("new_key")
+    )
+    j = o.join(n, "_id", "full_outer")
+    status = (
+        F.when(F.col("old_key").isNull(), "added")
+        .when(F.col("new_key").isNull(), "removed")
+        .when(F.col("old_key") != F.col("new_key"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(
+        F.col("_id").alias(id_col),
+        status.alias("status"),
+        "old_key",
+        "new_key",
+    )

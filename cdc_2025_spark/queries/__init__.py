@@ -84,6 +84,7 @@ _NEW_R8 = [
     "sample_leakage_free_split",     # NEW in r8: cluster-keyed split
     "text_winnowing_fingerprints",   # NEW in r8: MOSS winnowing
     "text_quality_yield_curve",      # NEW in r8: filter tradeoff
+    "dedup_snapshot_diff",           # NEW in r8: incremental diff
 ]
 
 _CHANGED_R8 = [

@@ -1853,3 +1853,58 @@ def sample_leakage_free_split(
         F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
     )
     return lab.select("doc_id", "comp", split.alias("split"))
+
+
+@query(
+    "dedup_snapshot_diff",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, coalesce(text, '') AS text FROM documents
+    ), newc AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS k
+      FROM base WHERE doc_id % 17 <> 5
+    ), oldc AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(
+                 CASE WHEN doc_id % 17 = 7 THEN text || ' drift'
+                      ELSE text END)), '\\s+', ' ', 'g')) AS k
+      FROM base WHERE doc_id % 17 <> 3
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.k IS NULL THEN 'added'
+                WHEN n.k IS NULL THEN 'removed'
+                WHEN o.k <> n.k THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           o.k AS old_key, n.k AS new_key
+    FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
+    """,
+)
+def dedup_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus SNAPSHOT DIFF: per-document added/removed/changed/
+    unchanged verdicts between two corpus versions compared on the
+    normalized content key — the accounting that drives incremental
+    pipeline runs (only added+changed docs re-enter dedup/quality;
+    removed docs trigger index cleanup). Kernel: dedup/exact.py
+    snapshot_diff (one id-keyed full-outer join, keys computed
+    map-side). The "previous snapshot" here is an in-plan fixture
+    shim on the single committed corpus (same posture as the URL
+    column in text_url_canonical_dedup): id%17==3 absent from old
+    (-> added), id%17==5 absent from new (-> removed), id%17==7
+    drifted in old (-> changed)."""
+    from cdc_2025_spark.dedup.exact import content_key, snapshot_diff
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    new = docs.filter(F.col("doc_id") % 17 != 5)
+    old = docs.filter(F.col("doc_id") % 17 != 3).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 7, F.concat("text", F.lit(" drift"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new, "doc_id", content_key("text"))

@@ -1163,3 +1163,26 @@ def test_leakage_free_split_keeps_neardup_pairs_together(spark):
     assert out[a]["split"] == out[b]["split"]  # cluster split does not
     assert out[a]["comp"] == out[b]["comp"] == min(a, b)
     assert len(out) == 3
+
+
+def test_snapshot_diff_verdicts_literal(spark):
+    """snapshot_diff classification on literal frames: added (new
+    only), removed (old only), changed (key differs), unchanged —
+    and whitespace/case drift is NOT a change (normalized key)."""
+    from cdc_2025_spark.dedup.exact import content_key, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gone now"), (3, "old body")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "  ALPHA   beta "), (3, "new body"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_diff(
+            old, new, "doc_id", content_key("text")
+        ).collect()
+    }
+    assert got == {1: "unchanged", 2: "removed", 3: "changed", 4: "added"}

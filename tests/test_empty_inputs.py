@@ -283,3 +283,38 @@ def test_round8b_kernels_empty(spark, tmp_path):
     assert sample_language_temperature(spark, d).count() == 0
     assert text_ngram_novelty(spark, d).count() == 0
     assert dedup_cluster_canonical_docs(spark, d).count() == 0
+
+
+def test_round8c_operators_empty(spark, empty_docs):
+    """containment / winnowing / BM25 / yield curve / leakage-free
+    split on an empty corpus: empty results (or an empty curve), no
+    throw."""
+    from unittest import mock
+
+    from cdc_2025_spark.dedup import containment_pairs
+    from cdc_2025_spark.queries.dedup import (
+        _PAIR_CACHE,
+        sample_leakage_free_split,
+    )
+    from cdc_2025_spark.queries.text import (
+        text_bm25_search,
+        text_quality_yield_curve,
+        winnow_selected,
+    )
+
+    assert containment_pairs(empty_docs).count() == 0
+    assert winnow_selected(empty_docs).count() == 0
+    with mock.patch(
+        "cdc_2025_spark.queries.text.read_table", return_value=empty_docs
+    ):
+        assert text_bm25_search(spark, "empty").count() == 0
+        assert text_quality_yield_curve(spark, "empty").count() == 0
+    _PAIR_CACHE.pop(spark, None)
+    try:
+        with mock.patch(
+            "cdc_2025_spark.queries.dedup.read_table",
+            return_value=empty_docs,
+        ):
+            assert sample_leakage_free_split(spark, "empty").count() == 0
+    finally:
+        _PAIR_CACHE.pop(spark, None)

@@ -92,6 +92,7 @@ QUERIES_UNDER_TEST = [
     "sample_leakage_free_split",
     "text_winnowing_fingerprints",
     "text_quality_yield_curve",
+    "dedup_snapshot_diff",
 ]
 # merge_into_customer_balances reads the star schema (customer/orders)
 # — not part of the replica corpus; its scale note lives in BASELINE.md
