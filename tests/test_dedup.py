@@ -1129,6 +1129,7 @@ def test_leakage_free_split_keeps_neardup_pairs_together(spark):
     from unittest import mock
 
     from cdc_2025_spark.queries.dedup import (
+        _COMP_CACHE,
         _PAIR_CACHE,
         sample_leakage_free_split,
     )
@@ -1149,6 +1150,7 @@ def test_leakage_free_split_keeps_neardup_pairs_together(spark):
         "doc_id long, text string",
     )
     _PAIR_CACHE.pop(spark, None)  # fixture corpus, not the sf tables
+    _COMP_CACHE.pop(spark, None)
     try:
         with mock.patch(
             "cdc_2025_spark.queries.dedup.read_table", return_value=docs
@@ -1159,6 +1161,7 @@ def test_leakage_free_split_keeps_neardup_pairs_together(spark):
             }
     finally:
         _PAIR_CACHE.pop(spark, None)
+        _COMP_CACHE.pop(spark, None)
     assert doc_bucket(a) < 8 <= doc_bucket(b)  # naive split separates
     assert out[a]["split"] == out[b]["split"]  # cluster split does not
     assert out[a]["comp"] == out[b]["comp"] == min(a, b)

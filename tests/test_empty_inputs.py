@@ -293,6 +293,7 @@ def test_round8c_operators_empty(spark, empty_docs):
 
     from cdc_2025_spark.dedup import containment_pairs
     from cdc_2025_spark.queries.dedup import (
+        _COMP_CACHE,
         _PAIR_CACHE,
         sample_leakage_free_split,
     )
@@ -310,6 +311,7 @@ def test_round8c_operators_empty(spark, empty_docs):
         assert text_bm25_search(spark, "empty").count() == 0
         assert text_quality_yield_curve(spark, "empty").count() == 0
     _PAIR_CACHE.pop(spark, None)
+    _COMP_CACHE.pop(spark, None)
     try:
         with mock.patch(
             "cdc_2025_spark.queries.dedup.read_table",
@@ -318,3 +320,4 @@ def test_round8c_operators_empty(spark, empty_docs):
             assert sample_leakage_free_split(spark, "empty").count() == 0
     finally:
         _PAIR_CACHE.pop(spark, None)
+        _COMP_CACHE.pop(spark, None)
