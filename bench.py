@@ -113,6 +113,7 @@ HEADLINE = [
     "text_winnowing_fingerprints",
     "text_quality_yield_curve",
     "dedup_snapshot_diff",
+    "text_pmi_collocations",
 ]
 
 

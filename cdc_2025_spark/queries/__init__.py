@@ -85,6 +85,7 @@ _NEW_R8 = [
     "text_winnowing_fingerprints",   # NEW in r8: MOSS winnowing
     "text_quality_yield_curve",      # NEW in r8: filter tradeoff
     "dedup_snapshot_diff",           # NEW in r8: incremental diff
+    "text_pmi_collocations",         # NEW in r8: PMI phrase mining
 ]
 
 _CHANGED_R8 = [

@@ -1061,6 +1061,100 @@ def text_quality_percentile_filter(
     )
 
 
+PMI_TOP_K = 20
+PMI_MIN_DF = 5  # a term must appear in >= this many docs
+PMI_MIN_COOC = 5  # a pair must co-occur in >= this many docs
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH tokd AS (
+      SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                 AS term
+        FROM documents)
+    ), cx AS (
+      SELECT term, COUNT(*) AS df FROM tokd
+      GROUP BY 1 HAVING COUNT(*) >= {PMI_MIN_DF}
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    pairs AS (
+      SELECT a.term AS t1, b.term AS t2, COUNT(*) AS cooc
+      FROM tokd a JOIN tokd b ON a.doc_id = b.doc_id
+                              AND a.term < b.term
+      WHERE a.term IN (SELECT term FROM cx)
+        AND b.term IN (SELECT term FROM cx)
+      GROUP BY 1, 2 HAVING COUNT(*) >= {PMI_MIN_COOC}
+    ), scored AS (
+      SELECT t1, t2, cooc,
+             ln(n_docs * cooc * 1.0 / (c1.df * c2.df)) AS pmi
+      FROM pairs JOIN cx c1 ON t1 = c1.term
+                 JOIN cx c2 ON t2 = c2.term
+                 CROSS JOIN n
+    )
+    SELECT t1, t2, CAST(cooc AS BIGINT) AS cooc, ROUND(pmi, 4) AS pmi
+    FROM scored ORDER BY pmi DESC, t1, t2 LIMIT {PMI_TOP_K}
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOP_K} COLLOCATIONS by document-level pointwise mutual
+    information — PMI(x,y) = ln(N·c_xy / (c_x·c_y)) over per-document
+    distinct-term co-occurrence (Church & Hanks, CL'90), the corpus
+    statistic behind phrase mining and topic-signal extraction; both
+    a min-df and a min-support floor (the standard guard: PMI of rare
+    pairs is maximal noise).
+
+    Shape: the frequent-term table (df >= {PMI_MIN_DF}) is
+    vocabulary-bounded and BROADCAST onto the postings before the
+    within-doc self-join, so the pair fan-out per document is capped
+    by its FREQUENT-term count, never its raw vocabulary, and the
+    global pair space by frequent-vocab² — the standard collocation
+    bound. The self-join shuffles on doc_id once (both sides from the
+    same distinct-terms frame); per-term df rides the broadcast, so
+    scoring needs no further vocab join. Top-k is a
+    TakeOrderedAndProject."""
+    from cdc_2025_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    tokd = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(tokens(F.lower(F.trim(F.col("text")))))
+        ).alias("term"),
+    )
+    cx = (
+        tokd.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= PMI_MIN_DF)
+    )
+    tokf = tokd.join(F.broadcast(cx), "term")
+    a = tokf.select(
+        "doc_id", F.col("term").alias("t1"), F.col("df").alias("df1")
+    )
+    b = tokf.select(
+        "doc_id", F.col("term").alias("t2"), F.col("df").alias("df2")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2", "df1", "df2")
+        .agg(F.count("*").alias("cooc"))
+        .filter(F.col("cooc") >= PMI_MIN_COOC)
+        .crossJoin(F.broadcast(n))
+    )
+    pmi = F.log(
+        F.col("n_docs") * F.col("cooc") / (F.col("df1") * F.col("df2"))
+    )
+    return (
+        pairs.withColumn("pmi", pmi)
+        .orderBy(F.col("pmi").desc(), "t1", "t2")
+        .limit(PMI_TOP_K)
+        .select("t1", "t2", "cooc", _r4("pmi").alias("pmi"))
+    )
+
+
 @query(
     "text_quality_yield_curve",
     oracle="""

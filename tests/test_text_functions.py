@@ -645,3 +645,42 @@ def test_yield_curve_accounting_invariants(spark, sf_dir):
         assert lo["cum_tokens"] >= hi["cum_tokens"]
         assert lo["threshold_lo"] < hi["threshold_lo"]
     assert sum(r["n_docs"] for r in rows) == n_docs
+
+
+def test_pmi_collocations_ranking_and_value(spark):
+    """PMI pins: a pair that always co-occurs scores ln(N·c/(c·c)) =
+    ln(N/c) and outranks an independent pair (PMI ~ 0); fixture
+    co-occurrence counts satisfy both floors."""
+    import math
+
+    from unittest import mock
+
+    from cdc_2025_spark.queries.text import text_pmi_collocations
+
+    rows = []
+    # x,y co-occur in docs 0..9 (and nowhere else): dependent pair
+    for i in range(10):
+        rows.append((i, "x y filler" + str(i)))
+    # p in 10..19, q in 15..24: overlap 5 of N=25
+    # -> PMI(p,q) = ln(25*5/100) = ln(1.25), well below PMI(x,y)
+    for i in range(10, 20):
+        rows.append((i, "p pad" + str(i)))
+    for i in range(15, 20):
+        rows[i] = (i, rows[i][1] + " q")
+    for i in range(20, 25):
+        rows.append((i, "q pad" + str(i)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with mock.patch(
+        "cdc_2025_spark.queries.text.read_table", return_value=docs
+    ):
+        got = {
+            (r["t1"], r["t2"]): r
+            for r in text_pmi_collocations(spark, "fixture").collect()
+        }
+    xy = got[("x", "y")]
+    assert xy["cooc"] == 10
+    assert abs(xy["pmi"] - round(math.log(25 / 10), 4)) < 1e-9
+    pq = got[("p", "q")]
+    assert pq["cooc"] == 5
+    assert abs(pq["pmi"] - round(math.log(1.25), 4)) < 1e-9
+    assert xy["pmi"] > pq["pmi"]
