@@ -114,6 +114,7 @@ HEADLINE = [
     "text_quality_yield_curve",
     "dedup_snapshot_diff",
     "text_pmi_collocations",
+    "text_clean_normalize",
 ]
 
 

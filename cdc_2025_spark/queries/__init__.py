@@ -86,6 +86,7 @@ _NEW_R8 = [
     "text_quality_yield_curve",      # NEW in r8: filter tradeoff
     "dedup_snapshot_diff",           # NEW in r8: incremental diff
     "text_pmi_collocations",         # NEW in r8: PMI phrase mining
+    "text_clean_normalize",          # NEW in r8: cleaning audit
 ]
 
 _CHANGED_R8 = [

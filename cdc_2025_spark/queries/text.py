@@ -1061,6 +1061,62 @@ def text_quality_percentile_filter(
     )
 
 
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\u200b-\u200d\ufeff]"
+
+
+def clean_text(text) -> "Column":
+    """Normalization kernel: strip control + zero-width characters
+    (C0 controls except \\t/\\n/\\r, DEL, ZWSP..ZWJ, BOM), collapse
+    whitespace runs to single spaces, trim. The C4/CCNet-style
+    cleaning pass that runs before tokenization — mojibake and
+    invisible characters otherwise split tokens and defeat exact
+    dedup keys."""
+    col = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(col, _CTRL_RE, "")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
+@query(
+    "text_clean_normalize",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             coalesce(text, '') AS raw,
+             trim(regexp_replace(
+               regexp_replace(coalesce(text, ''),
+                 '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f' ||
+                 chr(8203) || '-' || chr(8205) || chr(65279) || ']',
+                 '', 'g'),
+               '\\s+', ' ', 'g')) AS clean
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(raw) AS BIGINT) AS raw_len,
+           CAST(len(clean) AS BIGINT) AS clean_len,
+           (raw <> clean) AS changed
+    FROM c
+    """,
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cleaning audit for the normalization kernel
+    (clean_text above): raw vs cleaned length and a changed flag —
+    the accounting a pipeline logs for its normalize stage. Runs
+    entirely in codegen regexp on the scan: ZERO shuffles at any
+    corpus size (narrow map-only plan). The committed corpus is
+    already clean (changed=false throughout at every sf — itself the
+    assertion that normalization is idempotent on clean text); the
+    dirty-input behavior is pinned on fixtures in
+    test_text_functions.py."""
+    docs = read_table(spark, sf_dir, "documents")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.length(raw).cast("long").alias("raw_len"),
+        F.length(clean_text(raw)).cast("long").alias("clean_len"),
+        (raw != clean_text(raw)).alias("changed"),
+    )
+
+
 PMI_TOP_K = 20
 PMI_MIN_DF = 5  # a term must appear in >= this many docs
 PMI_MIN_COOC = 5  # a pair must co-occur in >= this many docs

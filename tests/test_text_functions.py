@@ -684,3 +684,33 @@ def test_pmi_collocations_ranking_and_value(spark):
     assert pq["cooc"] == 5
     assert abs(pq["pmi"] - round(math.log(1.25), 4)) < 1e-9
     assert xy["pmi"] > pq["pmi"]
+
+
+def test_clean_text_kernel_on_dirty_fixtures(spark):
+    """Normalization pins: control chars and zero-width characters
+    are stripped, whitespace runs collapse, clean text is a fixpoint
+    (idempotence), and cleaning restores exact-dedup key equality
+    between a clean doc and its mojibake twin."""
+    from cdc_2025_spark.dedup.exact import content_key
+    from cdc_2025_spark.queries.text import clean_text
+
+    dirty = "hello\x00 ​world‍  \t\n spark\x7f"
+    rows = [(1, dirty), (2, "hello world spark"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            clean_text("text").alias("clean"),
+            content_key(clean_text("text")).alias("k"),
+        ).collect()
+    }
+    assert got[1]["clean"] == "hello world spark"
+    assert got[1]["k"] == got[2]["k"]  # dedup key restored
+    assert got[3]["clean"] == ""
+    # idempotence: cleaning the cleaned text changes nothing
+    again = df.select(
+        clean_text(clean_text("text")).alias("c2"),
+        clean_text("text").alias("c1"),
+    ).collect()
+    assert all(r["c1"] == r["c2"] for r in again)

@@ -94,6 +94,7 @@ QUERIES_UNDER_TEST = [
     "text_quality_yield_curve",
     "dedup_snapshot_diff",
     "text_pmi_collocations",
+    "text_clean_normalize",
 ]
 # merge_into_customer_balances reads the star schema (customer/orders)
 # — not part of the replica corpus; its scale note lives in BASELINE.md
