@@ -115,6 +115,7 @@ HEADLINE = [
     "dedup_snapshot_diff",
     "text_pmi_collocations",
     "text_clean_normalize",
+    "text_vocab_coverage",
 ]
 
 

@@ -87,6 +87,7 @@ _NEW_R8 = [
     "dedup_snapshot_diff",           # NEW in r8: incremental diff
     "text_pmi_collocations",         # NEW in r8: PMI phrase mining
     "text_clean_normalize",          # NEW in r8: cleaning audit
+    "text_vocab_coverage",           # NEW in r8: Zipf vocab sizing
 ]
 
 _CHANGED_R8 = [

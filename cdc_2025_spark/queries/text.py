@@ -1061,6 +1061,84 @@ def text_quality_percentile_filter(
     )
 
 
+VOCAB_COVERAGE_GRID = (10, 25, 50, 100, 250)
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tf AS (
+      SELECT term, COUNT(*) AS tf FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+'))
+          AS term
+        FROM documents WHERE len(trim(text)) > 0)
+      GROUP BY 1
+    ), ranked AS (
+      SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, term) AS rnk
+      FROM tf
+    ), tot AS (SELECT SUM(tf) AS total FROM tf)
+    SELECT v AS vocab_size,
+           CAST(SUM(CASE WHEN rnk <= v THEN tf ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
+           ROUND(SUM(CASE WHEN rnk <= v THEN tf ELSE 0 END)
+                 * 1.0 / total, 4) AS coverage
+    FROM ranked
+    CROSS JOIN unnest([{", ".join(map(str, VOCAB_COVERAGE_GRID))}])
+      AS g(v)
+    CROSS JOIN tot
+    GROUP BY v, total
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf VOCABULARY-COVERAGE curve: for each candidate vocabulary
+    size V, the fraction of all token occurrences covered by the top
+    V terms \u2014 the statistic that sizes a tokenizer vocabulary (or an
+    OOV budget) before training one. Rank ties break by term so both
+    engines cut the same top-V set.
+
+    Shape: one corpus token aggregate (map-side partials into a
+    vocabulary-sized frame); the ranking window and the V-grid
+    cross join run on that vocab-sized frame \u2014 deliberately
+    single-partition (the yield-curve posture), constant work at any
+    corpus scale."""
+    from cdc_2025_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    tf = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            F.explode(tokens(F.lower(F.col("text")))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+    )
+    ranked = tf.select(
+        "tf",
+        F.row_number()
+        .over(Window.orderBy(F.col("tf").desc(), "term"))
+        .alias("rnk"),
+    )
+    tot = tf.agg(F.sum("tf").alias("total"))
+    grid = spark.createDataFrame(
+        [(v,) for v in VOCAB_COVERAGE_GRID], "vocab_size int"
+    )
+    covered = F.sum(
+        F.when(F.col("rnk") <= F.col("vocab_size"), F.col("tf")).otherwise(
+            F.lit(0)
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("vocab_size", "total")
+        .agg(
+            covered.cast("long").alias("covered_tokens"),
+            F.round(covered / F.col("total"), 4).alias("coverage"),
+        )
+        .select("vocab_size", "covered_tokens", "coverage")
+    )
+
+
 _CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f\u200b-\u200d\ufeff]"
 
 

@@ -714,3 +714,41 @@ def test_clean_text_kernel_on_dirty_fixtures(spark):
         clean_text("text").alias("c1"),
     ).collect()
     assert all(r["c1"] == r["c2"] for r in again)
+
+
+def test_vocab_coverage_monotone_and_exact(spark):
+    """Coverage pins on a literal Zipf-ish corpus: monotone
+    nondecreasing in V, saturates at 1.0 once V >= |vocab|, and the
+    smallest grid point equals the hand-computed top-10 occurrence
+    share."""
+    from collections import Counter
+
+    from unittest import mock
+
+    from cdc_2025_spark.queries.text import (
+        VOCAB_COVERAGE_GRID,
+        text_vocab_coverage,
+    )
+
+    # 30 distinct terms with frequencies 30, 29, ..., 1
+    words = []
+    for i in range(30):
+        words += [f"w{i:02d}"] * (30 - i)
+    text = " ".join(words)
+    docs = spark.createDataFrame(
+        [(1, text), (2, "")], "doc_id long, text string"
+    )
+    with mock.patch(
+        "cdc_2025_spark.queries.text.read_table", return_value=docs
+    ):
+        rows = sorted(
+            text_vocab_coverage(spark, "fixture").collect(),
+            key=lambda r: r["vocab_size"],
+        )
+    assert [r["vocab_size"] for r in rows] == list(VOCAB_COVERAGE_GRID)
+    cov = [r["coverage"] for r in rows]
+    assert cov == sorted(cov)
+    counts = sorted(Counter(words).values(), reverse=True)
+    want10 = round(sum(counts[:10]) / sum(counts), 4)
+    assert rows[0]["coverage"] == want10
+    assert all(r["coverage"] == 1.0 for r in rows if r["vocab_size"] >= 30)
