@@ -639,6 +639,22 @@ def winnow_selected(docs: DataFrame) -> DataFrame:
     base = docs.select(
         "doc_id",
         F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias("t"),
+    ).withColumn(
+        # fail loud instead of silently corrupting the (hash, pos)
+        # encoding: pos must fit the 2^20 slot
+        "t",
+        F.when(
+            F.length("t") >= F.lit(_WINNOW_ENC),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "winnowing position encoding overflow: document "
+                    ),
+                    F.col("doc_id").cast("string"),
+                    F.lit(f" exceeds {_WINNOW_ENC} chars"),
+                )
+            ).cast("string"),
+        ).otherwise(F.col("t")),
     )
     # sequence() counts DOWN when start > stop — guard the short-doc
     # case with an explicit empty array

@@ -752,3 +752,15 @@ def test_vocab_coverage_monotone_and_exact(spark):
     want10 = round(sum(counts[:10]) / sum(counts), 4)
     assert rows[0]["coverage"] == want10
     assert all(r["coverage"] == 1.0 for r in rows if r["vocab_size"] >= 30)
+
+
+def test_winnowing_overflow_guard_raises(spark):
+    """A document longer than the 2^20-char position slot must fail
+    loud, not silently corrupt the (hash, pos) key encoding."""
+    from cdc_2025_spark.queries.text import _WINNOW_ENC, winnow_selected
+
+    big = spark.createDataFrame(
+        [(1, "x" * (_WINNOW_ENC + 8))], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="overflow"):
+        winnow_selected(big).count()
