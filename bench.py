@@ -116,6 +116,7 @@ HEADLINE = [
     "text_pmi_collocations",
     "text_clean_normalize",
     "text_vocab_coverage",
+    "graph_triangle_stats",
 ]
 
 

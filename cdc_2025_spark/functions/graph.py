@@ -130,3 +130,77 @@ def pagerank(
             )
         )
     return ranks.select("node", F.col("r").alias("pagerank"))
+
+
+def triangle_stats(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Exact per-node triangle counts + local clustering coefficient
+    over an undirected edge list (``id_a`` < ``id_b``, no duplicate
+    edges) — the compact-forward / degree-orientation algorithm
+    (Chiba & Nishizeki SICOMP'85; Suri & Vassilvitskii WWW'11 "the
+    curse of the last reducer").
+
+    Returns (node, degree, n_triangles, clustering_coeff) for every
+    node with at least one edge; coefficient = 2·t / (d·(d-1)) for
+    d ≥ 2, else 0.0 (unrounded — callers round for display parity).
+
+    Scale shape: every edge is oriented from its LOWER-(degree, id)
+    endpoint to its higher one, so each wedge is enumerated exactly
+    once at its lowest-rank apex — per-node wedge fan-out is bounded
+    by out-degree ≤ O(√m) instead of raw degree, which is what keeps
+    a hub node (the "last reducer") from generating deg² wedge
+    candidates. The plan is two self-joins of the oriented edge
+    frame (wedge build on the apex key, then closure probe on the
+    (v, w) pair key) — no cross product, all equi-joins, map-side
+    partials on the final per-node count. Rank comparison uses a
+    struct((degree, id)) total order in-plan; no global row_number
+    (a no-partition window would single-thread the sort at scale).
+    """
+    a, b = F.col(id_a), F.col(id_b)
+    edges = pairs.select(a.alias("u"), b.alias("v"))
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    # attach each endpoint's degree, then orient low-rank -> high-rank
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    ranked = edges.join(du, "u").join(dv, "v")
+    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("i"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("i"))
+    oriented = ranked.select(
+        F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("d"),
+        F.when(ku < kv, kv).otherwise(ku).alias("dk"),
+    )
+    e1 = oriented.select(
+        F.col("s"), F.col("d").alias("w1"), F.col("dk").alias("k1")
+    )
+    e2 = oriented.select(
+        F.col("s"), F.col("d").alias("w2"), F.col("dk").alias("k2")
+    )
+    # each wedge once: apex s, legs ordered by the same (deg, id) rank
+    wedges = e1.join(e2, "s").filter(F.col("k1") < F.col("k2"))
+    closing = oriented.select(
+        F.col("s").alias("w1"), F.col("d").alias("w2")
+    )
+    tri = wedges.join(closing, ["w1", "w2"]).select("s", "w1", "w2")
+    tri_nodes = (
+        tri.select(F.explode(F.array("s", "w1", "w2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return deg.join(tri_nodes, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        F.when(
+            F.col("degree") > 1,
+            2.0
+            * F.coalesce(F.col("n_triangles"), F.lit(0))
+            / (F.col("degree") * (F.col("degree") - F.lit(1))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )

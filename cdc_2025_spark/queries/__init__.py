@@ -88,6 +88,7 @@ _NEW_R8 = [
     "text_pmi_collocations",         # NEW in r8: PMI phrase mining
     "text_clean_normalize",          # NEW in r8: cleaning audit
     "text_vocab_coverage",           # NEW in r8: Zipf vocab sizing
+    "graph_triangle_stats",          # NEW in r8: triangle counting
 ]
 
 _CHANGED_R8 = [

@@ -89,3 +89,89 @@ def graph_pagerank_trade_network(
             .cast("long"),
         )
     )
+
+
+def _triangle_oracle() -> str:
+    from cdc_2025_spark.queries.dedup import JACCARD_K, JACCARD_THRESHOLD
+
+    k = JACCARD_K
+    return f"""
+    WITH sets AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) <= {k}
+               THEN [array_to_string(ws, ' ')]
+               ELSE [array_to_string(ws[i:i+{k - 1}], ' ')
+                     for i in range(1, len(ws) - {k} + 2)]
+               END) AS sh
+      FROM (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS ws
+            FROM documents)
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= {JACCARD_THRESHOLD}
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS degree
+      FROM (SELECT u AS node FROM pairs
+            UNION ALL SELECT v AS node FROM pairs)
+      GROUP BY node
+    ),
+    tri AS (
+      SELECT p1.u AS a, p1.v AS b, p2.v AS c
+      FROM pairs p1
+      JOIN pairs p2 ON p1.v = p2.u
+      JOIN pairs p3 ON p3.u = p1.u AND p3.v = p2.v
+    ),
+    tcnt AS (
+      SELECT node, COUNT(*) AS n_triangles
+      FROM (SELECT a AS node FROM tri
+            UNION ALL SELECT b AS node FROM tri
+            UNION ALL SELECT c AS node FROM tri)
+      GROUP BY node
+    )
+    SELECT CAST(deg.node AS BIGINT) AS doc_id,
+           CAST(degree AS BIGINT) AS degree,
+           CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles,
+           ROUND(CASE WHEN degree > 1
+                 THEN 2.0 * COALESCE(n_triangles, 0)
+                      / (degree * (degree - 1.0))
+                 ELSE 0.0 END, 4) AS clustering_coeff
+    FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node
+    """
+
+
+@query("graph_triangle_stats", oracle=_triangle_oracle())
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts + local clustering coefficient
+    over the exact-Jaccard near-dup graph — the transitivity audit a
+    dedup pipeline runs before trusting transitive-closure clusters
+    (high coefficient = clique-like cluster, safe to collapse to one
+    survivor; low = chain-like, closure over-merges; Leskovec et al.
+    WWW'08 community-structure diagnostics).
+
+    Reuses the SESSION-SHARED exact pair set (_shared_jaccard_pairs —
+    the same persisted index behind the pairs/clusters/containment
+    family), so the shingling + inverted-index self-join is paid once
+    per (session, corpus). Triangle enumeration is degree-oriented
+    compact-forward (functions/graph.py:triangle_stats): each wedge
+    materializes once at its lowest-(degree, id) apex, bounding
+    per-node fan-out by out-degree ≤ O(√m) — the hub-safe shape at
+    100 TB, where id-ordered enumeration would pile every wedge of a
+    low-id hub onto one reducer. The oracle brute-forces the same
+    triangle set with an id-ordered three-way self-join (orientation
+    choice provably does not change the triangle set)."""
+    from cdc_2025_spark.functions.graph import triangle_stats
+    from cdc_2025_spark.queries.dedup import _shared_jaccard_pairs
+
+    pairs = _shared_jaccard_pairs(spark, sf_dir)
+    out = triangle_stats(pairs)
+    return out.select(
+        F.col("node").alias("doc_id"),
+        "degree",
+        "n_triangles",
+        F.round("clustering_coeff", 4).alias("clustering_coeff"),
+    )

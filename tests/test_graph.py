@@ -123,3 +123,46 @@ def test_mode_guard(spark):
     )
     with pytest.raises(ValueError, match="mode"):
         pagerank(one, mode="banana")
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def _tri_rows(spark, edges):
+    from cdc_2025_spark.functions.graph import triangle_stats
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering_coeff"])
+        for r in triangle_stats(df).collect()
+    }
+
+
+def test_triangle_k4_counts(spark):
+    """K4: every node has degree 3 and sits in C(3,2)=3 triangles,
+    coefficient exactly 1.0; total triangles = 4."""
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    got = _tri_rows(spark, k4)
+    assert got == {v: (3, 3, 1.0) for v in range(1, 5)}
+
+
+def test_triangle_chain_has_none(spark):
+    """A path graph has zero triangles and zero coefficients."""
+    got = _tri_rows(spark, [(1, 2), (2, 3), (3, 4)])
+    assert {v: t[1] for v, t in got.items()} == {1: 0, 2: 0, 3: 0, 4: 0}
+    assert all(t[2] == 0.0 for t in got.values())
+
+
+def test_triangle_hub_with_one_closure(spark):
+    """Hub 1 connects to 2..6; only edge (2,3) closes a triangle.
+    Pins the degree-oriented enumeration against the textbook
+    counts: hub degree 5, one triangle at nodes {1,2,3}, hub
+    coefficient 2*1/(5*4) = 0.1 — and pins that orientation away
+    from the hub (its (degree,id) rank is highest) found the
+    triangle regardless."""
+    edges = [(1, v) for v in range(2, 7)] + [(2, 3)]
+    got = _tri_rows(spark, edges)
+    assert got[1] == (5, 1, pytest.approx(0.1))
+    assert got[2] == (2, 1, pytest.approx(1.0))
+    assert got[3] == (2, 1, pytest.approx(1.0))
+    assert got[4][1] == 0 and got[5][1] == 0 and got[6][1] == 0
