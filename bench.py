@@ -117,6 +117,7 @@ HEADLINE = [
     "text_clean_normalize",
     "text_vocab_coverage",
     "graph_triangle_stats",
+    "mine_frequent_event_sets",
 ]
 
 

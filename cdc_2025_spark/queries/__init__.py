@@ -89,6 +89,7 @@ _NEW_R8 = [
     "text_clean_normalize",          # NEW in r8: cleaning audit
     "text_vocab_coverage",           # NEW in r8: Zipf vocab sizing
     "graph_triangle_stats",          # NEW in r8: triangle counting
+    "mine_frequent_event_sets",      # NEW in r8: Apriori itemsets
 ]
 
 _CHANGED_R8 = [

@@ -142,3 +142,187 @@ def interevent_timing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
         F.round(F.percentile("gap_s", F.lit(0.5)), 4).alias("median_gap_s"),
     )
+
+
+# Frequent-itemset mining (Agrawal & Srikant VLDB'94 Apriori) over
+# (user, day) baskets of event types. Support threshold is the exact
+# rational MINSUP_NUM/MINSUP_DEN compared in INTEGER arithmetic
+# (cnt * DEN >= NUM * n_baskets) so the frequent/infrequent boundary
+# can never diverge between engines on a float. Depth is fixed at 3
+# (pairs feed the triple candidates) — the classic market-basket
+# report shape; deeper levels iterate the same join + prune step.
+MINSUP_NUM = 1
+MINSUP_DEN = 20
+_FREQ = f"cnt * {MINSUP_DEN} >= {MINSUP_NUM} * n_baskets"
+
+
+@query(
+    "mine_frequent_event_sets",
+    oracle=f"""
+    WITH it AS MATERIALIZED (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      FROM events
+    ),
+    nb AS (SELECT COUNT(*) AS n_baskets
+           FROM (SELECT DISTINCT user_id, day FROM it)),
+    l1 AS MATERIALIZED (
+      SELECT event_type, COUNT(*) AS cnt
+      FROM it GROUP BY event_type
+      HAVING {_FREQ.replace('n_baskets', '(SELECT n_baskets FROM nb)')}
+    ),
+    it1 AS MATERIALIZED (
+      SELECT it.* FROM it SEMI JOIN l1 USING (event_type)
+    ),
+    p AS MATERIALIZED (
+      SELECT a.user_id, a.day,
+             a.event_type AS t1, b.event_type AS t2
+      FROM it1 a JOIN it1 b
+        ON a.user_id = b.user_id AND a.day = b.day
+       AND a.event_type < b.event_type
+    ),
+    l2 AS MATERIALIZED (
+      SELECT t1, t2, COUNT(*) AS cnt FROM p GROUP BY t1, t2
+      HAVING {_FREQ.replace('n_baskets', '(SELECT n_baskets FROM nb)')}
+    ),
+    c3 AS (
+      SELECT p.user_id, p.day, p.t1, p.t2, c.event_type AS t3
+      FROM p
+      SEMI JOIN l2 ON p.t1 = l2.t1 AND p.t2 = l2.t2
+      JOIN it1 c
+        ON p.user_id = c.user_id AND p.day = c.day
+       AND c.event_type > p.t2
+      SEMI JOIN l2 x ON p.t1 = x.t1 AND c.event_type = x.t2
+      SEMI JOIN l2 y ON p.t2 = y.t1 AND c.event_type = y.t2
+    ),
+    l3 AS (
+      SELECT t1, t2, t3, COUNT(*) AS cnt FROM c3 GROUP BY t1, t2, t3
+      HAVING {_FREQ.replace('n_baskets', '(SELECT n_baskets FROM nb)')}
+    )
+    SELECT itemset, CAST(sz AS INTEGER) AS itemset_size,
+           CAST(cnt AS BIGINT) AS support_count,
+           ROUND(cnt * 1.0 / (SELECT n_baskets FROM nb), 4) AS support
+    FROM (
+      SELECT event_type AS itemset, 1 AS sz, cnt FROM l1
+      UNION ALL
+      SELECT t1 || ',' || t2, 2, cnt FROM l2
+      UNION ALL
+      SELECT t1 || ',' || t2 || ',' || t3, 3, cnt FROM l3
+    )
+    """,
+)
+def mine_frequent_event_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent event-type itemsets (sizes 1-3) over (user, day)
+    baskets — Apriori with level-wise candidate generation and
+    subset pruning (Agrawal & Srikant VLDB'94), the market-basket /
+    co-occurrence miner a behavioral pipeline runs before building
+    association rules.
+
+    Scale shape: baskets never leave their partition between levels
+    — L(k) candidates are built by a basket-keyed equi-self-join of
+    the L(k-1) occurrence frame (no cross product), and every prune
+    table (the frequent sets themselves, at most |items|^k rows,
+    items = event-type vocabulary) BROADCASTS into semi-joins. The
+    support threshold comparison is integer-exact (cnt·DEN >=
+    NUM·n_baskets), and n_baskets rides a 1-row broadcast — no
+    driver-side count. Distinct-ification of raw events is the only
+    corpus-sized shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    # The basket item frame feeds SIX subtrees of the one final action
+    # (n_baskets, L1, both pair sides, the triple extension, and the
+    # union) and the pair-occurrence frame feeds two (L2 count, C3
+    # build) — lazily localCheckpoint both so the corpus-sized
+    # distinct shuffle and the basket self-join each execute once
+    # (the shared-subplan posture from the IRLS/BPE kernels; blocks
+    # release when the frames are GC'd).
+    items = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            "event_type",
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nb = items.select("user_id", "day").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+
+    def freq(grouped: DataFrame) -> DataFrame:
+        return (
+            grouped.crossJoin(F.broadcast(nb))
+            .filter(
+                F.col("cnt") * MINSUP_DEN
+                >= F.lit(MINSUP_NUM) * F.col("n_baskets")
+            )
+        )
+
+    l1 = freq(
+        items.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    )
+    it1 = items.join(
+        F.broadcast(l1.select("event_type")), "event_type", "semi"
+    )
+    a = it1.select("user_id", "day", F.col("event_type").alias("t1"))
+    b = it1.select("user_id", "day", F.col("event_type").alias("t2"))
+    p = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("t1") < F.col("t2"))
+        .localCheckpoint(eager=False)
+    )
+    l2 = freq(p.groupBy("t1", "t2").agg(F.count("*").alias("cnt")))
+    l2keys = l2.select("t1", "t2")
+    c = it1.select("user_id", "day", F.col("event_type").alias("t3"))
+    c3 = (
+        p.join(F.broadcast(l2keys), ["t1", "t2"], "semi")
+        .join(c, ["user_id", "day"])
+        .filter(F.col("t3") > F.col("t2"))
+        .join(
+            F.broadcast(
+                l2keys.select(
+                    F.col("t1").alias("x1"), F.col("t2").alias("t3")
+                )
+            ).withColumnRenamed("x1", "t1"),
+            ["t1", "t3"],
+            "semi",
+        )
+        .join(
+            F.broadcast(
+                l2keys.select(
+                    F.col("t1").alias("t2"), F.col("t2").alias("t3")
+                )
+            ),
+            ["t2", "t3"],
+            "semi",
+        )
+    )
+    l3 = freq(c3.groupBy("t1", "t2", "t3").agg(F.count("*").alias("cnt")))
+    out = (
+        l1.select(
+            F.col("event_type").alias("itemset"),
+            F.lit(1).alias("itemset_size"),
+            "cnt",
+            "n_baskets",
+        )
+        .unionAll(
+            l2.select(
+                F.concat_ws(",", "t1", "t2").alias("itemset"),
+                F.lit(2).alias("itemset_size"),
+                "cnt",
+                "n_baskets",
+            )
+        )
+        .unionAll(
+            l3.select(
+                F.concat_ws(",", "t1", "t2", "t3").alias("itemset"),
+                F.lit(3).alias("itemset_size"),
+                "cnt",
+                "n_baskets",
+            )
+        )
+    )
+    return out.select(
+        "itemset",
+        "itemset_size",
+        F.col("cnt").alias("support_count"),
+        F.round(F.col("cnt") / F.col("n_baskets"), 4).alias("support"),
+    )

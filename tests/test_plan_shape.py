@@ -484,3 +484,20 @@ def test_triangle_plan_all_equi_joins(spark, sf_dir):
     p = plan_of(spark, sf_dir, "graph_triangle_stats")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_itemset_plan_broadcasts_prunes(spark, sf_dir):
+    """Apriori's prune/frequent tables must broadcast and the only
+    non-broadcast joins are basket-keyed equi-joins — a shuffled
+    prune table or a cartesian means the level-wise contract broke.
+    The 1-row n_baskets scalar legitimately rides a broadcast
+    nested-loop (the corpus-scalar pattern used engine-wide)."""
+    from cdc_2025_spark.plans import exchange_count
+
+    df = QUERIES["mine_frequent_event_sets"](spark, sf_dir)
+    p = plan_string(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    # shared-subplan checkpoints keep the exchange budget flat: the
+    # corpus distinct + basket self-join execute once, not per level
+    assert exchange_count(df) <= 36, exchange_count(df)

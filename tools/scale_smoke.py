@@ -101,6 +101,9 @@ QUERIES_UNDER_TEST = [
 # merge_into_customer_balances reads the star schema (customer/orders)
 # — not part of the replica corpus; its scale note lives in BASELINE.md
 # (one key-shuffled full-outer join, AQE-sized).
+# mine_frequent_event_sets reads events — also outside the replica
+# corpus; scale shape noted in BASELINE.md (one distinct shuffle +
+# basket-keyed self-joins, all prune tables broadcast).
 
 
 def build_corpus(spark, replicas: int) -> None:
