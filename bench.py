@@ -118,6 +118,7 @@ HEADLINE = [
     "text_vocab_coverage",
     "graph_triangle_stats",
     "mine_frequent_event_sets",
+    "stats_analyze_lineitem",
 ]
 
 

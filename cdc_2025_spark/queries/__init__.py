@@ -90,6 +90,7 @@ _NEW_R8 = [
     "text_vocab_coverage",           # NEW in r8: Zipf vocab sizing
     "graph_triangle_stats",          # NEW in r8: triangle counting
     "mine_frequent_event_sets",      # NEW in r8: Apriori itemsets
+    "stats_analyze_lineitem",        # NEW in r8: ANALYZE col stats
 ]
 
 _CHANGED_R8 = [

@@ -857,3 +857,132 @@ def stats_source_length_drift(
             4,
         ).alias("chi2"),
     )
+
+
+@query(
+    "stats_analyze_lineitem",
+    oracle="""
+    WITH long AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT 'l_quantity' AS col_name,
+               CAST(l_quantity AS VARCHAR) AS val_str,
+               CAST(l_quantity AS DOUBLE) AS val_num FROM lineitem
+        UNION ALL SELECT 'l_extendedprice',
+               CAST(l_extendedprice AS VARCHAR), l_extendedprice
+          FROM lineitem
+        UNION ALL SELECT 'l_returnflag', l_returnflag, NULL
+          FROM lineitem
+        UNION ALL SELECT 'l_shipdate',
+               CAST(CAST(l_shipdate AS DATE) AS VARCHAR), NULL
+          FROM lineitem
+      )
+    ),
+    a AS (
+      SELECT col_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN val_str IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null,
+             CAST(COUNT(DISTINCT val_str) AS BIGINT) AS n_distinct,
+             COALESCE(CAST(MIN(val_num) AS VARCHAR), MIN(val_str))
+                 AS min_val,
+             COALESCE(CAST(MAX(val_num) AS VARCHAR), MAX(val_str))
+                 AS max_val,
+             ROUND(quantile_disc(val_num, 0.5), 4) AS p50
+      FROM long GROUP BY col_name
+    ),
+    m AS (
+      SELECT col_name, val_str AS mcv_val,
+             CAST(c AS BIGINT) AS mcv_count
+      FROM (SELECT col_name, val_str, COUNT(*) AS c,
+                   row_number() OVER (
+                     PARTITION BY col_name
+                     ORDER BY COUNT(*) DESC, val_str ASC) AS rn
+            FROM long WHERE val_str IS NOT NULL
+            GROUP BY col_name, val_str)
+      WHERE rn = 1
+    )
+    SELECT a.col_name, n_rows, n_null, n_distinct, min_val, max_val,
+           p50, m.mcv_val, m.mcv_count
+    FROM a JOIN m USING (col_name)
+    """,
+)
+def stats_analyze_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style optimizer statistics for four lineitem columns
+    in one fact scan: row/null/ndv counts, typed min/max, disc median
+    and the most-common value with its frequency — the per-column
+    stats a cost-based optimizer (or a data-quality monitor) collects
+    before planning joins and pruning partitions.
+
+    Shape: the scan reads ONLY the four stat'd columns (pushdown
+    ReadSchema); stack() unpivots map-side; the moment aggregate is
+    one shuffle with partial aggregation, and the MCV pick is a
+    min_by(struct(-count, val)) aggregate over the (col, val) count
+    frame — map-side partials, NO per-column window, so a high-ndv
+    column never funnels through one task. Ties break deterministic:
+    highest count, then smallest value string (mirrored by the
+    oracle's row_number ordering). l_shipdate is stat'd at DAY
+    granularity (the partition-pruning statistic) so the string
+    rendering is engine-identical.
+
+    100 TB note: exact ndv and the (col, val) count frame scale with
+    column cardinality — for unique-ish columns swap COUNT(DISTINCT)
+    for the registered HLL sketch (sketch_hll_weekly_users posture)
+    and the disc median for the KLL percentile path
+    (stats_approx_percentiles); this operator keeps both exact so
+    the DuckDB oracle pins value-level parity."""
+    li = read_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        F.expr(
+            """stack(4,
+ 'l_quantity', cast(l_quantity as string), cast(l_quantity as double),
+ 'l_extendedprice', cast(l_extendedprice as string),
+     cast(l_extendedprice as double),
+ 'l_returnflag', l_returnflag, cast(null as double),
+ 'l_shipdate', cast(cast(l_shipdate as date) as string),
+     cast(null as double))
+ as (col_name, val_str, val_num)"""
+        )
+    )
+    moments = long.groupBy("col_name").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(F.col("val_str").isNull(), 1).otherwise(0)
+        ).alias("n_null"),
+        F.countDistinct("val_str").alias("n_distinct"),
+        F.coalesce(
+            F.expr("cast(min(val_num) as string)"), F.min("val_str")
+        ).alias("min_val"),
+        F.coalesce(
+            F.expr("cast(max(val_num) as string)"), F.max("val_str")
+        ).alias("max_val"),
+        F.round(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY val_num)"),
+            4,
+        ).alias("p50"),
+    )
+    cnt = (
+        long.filter(F.col("val_str").isNotNull())
+        .groupBy("col_name", "val_str")
+        .agg(F.count("*").alias("cnt"))
+    )
+    mcv = cnt.groupBy("col_name").agg(
+        F.min_by(
+            F.struct(F.col("val_str"), F.col("cnt")),
+            F.struct((-F.col("cnt")).alias("nc"), F.col("val_str")),
+        ).alias("pick")
+    ).select(
+        "col_name",
+        F.col("pick.val_str").alias("mcv_val"),
+        F.col("pick.cnt").alias("mcv_count"),
+    )
+    return moments.join(F.broadcast(mcv), "col_name").select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        "min_val",
+        "max_val",
+        "p50",
+        "mcv_val",
+        "mcv_count",
+    )

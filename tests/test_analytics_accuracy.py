@@ -107,3 +107,47 @@ def test_source_length_drift_flags_shifted_source(spark, tmp_path):
     assert got["srcA"]["chi2"] == pytest.approx(6.0, abs=0.01)
     assert got["srcC"]["chi2"] == pytest.approx(24.0, abs=0.01)
     assert got["srcC"]["chi2"] > 3 * got["srcA"]["chi2"]
+
+
+def test_analyze_lineitem_nulls_and_ties(spark, tmp_path):
+    """ANALYZE stats on a literal fixture: null accounting, ndv
+    excluding nulls, typed (not lexicographic) numeric min/max, disc
+    median, and the MCV count-desc/value-asc tiebreak."""
+    from datetime import datetime
+
+    from cdc_2025_spark.queries.analytics import stats_analyze_lineitem
+
+    ts = datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        # quantity: 9.0, 10.0, 10.0, NULL -> min 9.0 (typed: '9.0' not
+        # lexicographic '10.0'), mcv 10.0 x2, p50 of (9,10,10) = 10.0
+        (9.0, 5.0, "A", ts),
+        (10.0, 5.0, "B", None),
+        (10.0, 7.0, None, ts),
+        (None, 7.0, "A", ts),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_quantity double, l_extendedprice double, "
+        "l_returnflag string, l_shipdate timestamp",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    got = {
+        r["col_name"]: r.asDict()
+        for r in stats_analyze_lineitem(spark, str(tmp_path)).collect()
+    }
+    q = got["l_quantity"]
+    assert (q["n_rows"], q["n_null"], q["n_distinct"]) == (4, 1, 2)
+    assert (q["min_val"], q["max_val"]) == ("9.0", "10.0")
+    assert (q["p50"], q["mcv_val"], q["mcv_count"]) == (10.0, "10.0", 2)
+    e = got["l_extendedprice"]
+    # 5.0 and 7.0 tie at 2 -> smallest value string wins
+    assert (e["mcv_val"], e["mcv_count"]) == ("5.0", 2)
+    assert e["p50"] == 5.0  # disc median of (5,5,7,7) = 5.0
+    r = got["l_returnflag"]
+    assert (r["n_null"], r["n_distinct"], r["mcv_val"]) == (1, 2, "A")
+    assert r["p50"] is None
+    d = got["l_shipdate"]
+    assert (d["n_null"], d["min_val"], d["mcv_count"]) == (
+        1, "2024-03-01", 3,
+    )

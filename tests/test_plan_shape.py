@@ -501,3 +501,15 @@ def test_itemset_plan_broadcasts_prunes(spark, sf_dir):
     # shared-subplan checkpoints keep the exchange budget flat: the
     # corpus distinct + basket self-join execute once, not per level
     assert exchange_count(df) <= 36, exchange_count(df)
+
+
+def test_analyze_reads_only_statted_columns(spark, sf_dir):
+    """The ANALYZE scan must read exactly the four stat'd columns
+    (pushdown ReadSchema) and aggregate without any per-column
+    window funnel (no single-partition exchange)."""
+    spark.catalog.clearCache()
+    p = plan_of(spark, sf_dir, "stats_analyze_lineitem")
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_quantity" in read and "l_shipdate" in read
+    assert "l_orderkey" not in read and "l_comment" not in read
+    assert "SinglePartition" not in p
