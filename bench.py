@@ -119,6 +119,7 @@ HEADLINE = [
     "graph_triangle_stats",
     "mine_frequent_event_sets",
     "stats_analyze_lineitem",
+    "mine_association_rules",
 ]
 
 

@@ -91,6 +91,7 @@ _NEW_R8 = [
     "graph_triangle_stats",          # NEW in r8: triangle counting
     "mine_frequent_event_sets",      # NEW in r8: Apriori itemsets
     "stats_analyze_lineitem",        # NEW in r8: ANALYZE col stats
+    "mine_association_rules",        # NEW in r8: rules from itemsets
 ]
 
 _CHANGED_R8 = [

@@ -145,20 +145,23 @@ def interevent_timing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Frequent-itemset mining (Agrawal & Srikant VLDB'94 Apriori) over
-# (user, day) baskets of event types. Support threshold is the exact
-# rational MINSUP_NUM/MINSUP_DEN compared in INTEGER arithmetic
-# (cnt * DEN >= NUM * n_baskets) so the frequent/infrequent boundary
-# can never diverge between engines on a float. Depth is fixed at 3
-# (pairs feed the triple candidates) — the classic market-basket
-# report shape; deeper levels iterate the same join + prune step.
+# (user, day) baskets of event types, plus association rules derived
+# from the same levels. Support and confidence thresholds are exact
+# rationals compared in INTEGER arithmetic (cnt * DEN >= NUM * base)
+# so the frequent/confident boundaries can never diverge between
+# engines on a float. Depth is fixed at 3 (pairs feed the triple
+# candidates) — the classic market-basket report shape; deeper
+# levels iterate the same join + prune step.
 MINSUP_NUM = 1
 MINSUP_DEN = 20
+MINCONF_NUM = 7
+MINCONF_DEN = 20
 _FREQ = f"cnt * {MINSUP_DEN} >= {MINSUP_NUM} * n_baskets"
+_NB = "(SELECT n_baskets FROM nb)"
 
-
-@query(
-    "mine_frequent_event_sets",
-    oracle=f"""
+# Shared CTE stack for the itemset + rule oracles — the DuckDB mirror
+# of _frequent_levels below.
+_APRIORI_CTES = f"""
     WITH it AS MATERIALIZED (
       SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
       FROM events
@@ -168,7 +171,7 @@ _FREQ = f"cnt * {MINSUP_DEN} >= {MINSUP_NUM} * n_baskets"
     l1 AS MATERIALIZED (
       SELECT event_type, COUNT(*) AS cnt
       FROM it GROUP BY event_type
-      HAVING {_FREQ.replace('n_baskets', '(SELECT n_baskets FROM nb)')}
+      HAVING {_FREQ.replace('n_baskets', _NB)}
     ),
     it1 AS MATERIALIZED (
       SELECT it.* FROM it SEMI JOIN l1 USING (event_type)
@@ -182,7 +185,7 @@ _FREQ = f"cnt * {MINSUP_DEN} >= {MINSUP_NUM} * n_baskets"
     ),
     l2 AS MATERIALIZED (
       SELECT t1, t2, COUNT(*) AS cnt FROM p GROUP BY t1, t2
-      HAVING {_FREQ.replace('n_baskets', '(SELECT n_baskets FROM nb)')}
+      HAVING {_FREQ.replace('n_baskets', _NB)}
     ),
     c3 AS (
       SELECT p.user_id, p.day, p.t1, p.t2, c.event_type AS t3
@@ -194,46 +197,38 @@ _FREQ = f"cnt * {MINSUP_DEN} >= {MINSUP_NUM} * n_baskets"
       SEMI JOIN l2 x ON p.t1 = x.t1 AND c.event_type = x.t2
       SEMI JOIN l2 y ON p.t2 = y.t1 AND c.event_type = y.t2
     ),
-    l3 AS (
+    l3 AS MATERIALIZED (
       SELECT t1, t2, t3, COUNT(*) AS cnt FROM c3 GROUP BY t1, t2, t3
-      HAVING {_FREQ.replace('n_baskets', '(SELECT n_baskets FROM nb)')}
+      HAVING {_FREQ.replace('n_baskets', _NB)}
     )
-    SELECT itemset, CAST(sz AS INTEGER) AS itemset_size,
-           CAST(cnt AS BIGINT) AS support_count,
-           ROUND(cnt * 1.0 / (SELECT n_baskets FROM nb), 4) AS support
-    FROM (
-      SELECT event_type AS itemset, 1 AS sz, cnt FROM l1
-      UNION ALL
-      SELECT t1 || ',' || t2, 2, cnt FROM l2
-      UNION ALL
-      SELECT t1 || ',' || t2 || ',' || t3, 3, cnt FROM l3
-    )
-    """,
-)
-def mine_frequent_event_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent event-type itemsets (sizes 1-3) over (user, day)
-    baskets — Apriori with level-wise candidate generation and
-    subset pruning (Agrawal & Srikant VLDB'94), the market-basket /
-    co-occurrence miner a behavioral pipeline runs before building
-    association rules.
+"""
 
-    Scale shape: baskets never leave their partition between levels
-    — L(k) candidates are built by a basket-keyed equi-self-join of
-    the L(k-1) occurrence frame (no cross product), and every prune
-    table (the frequent sets themselves, at most |items|^k rows,
-    items = event-type vocabulary) BROADCASTS into semi-joins. The
-    support threshold comparison is integer-exact (cnt·DEN >=
-    NUM·n_baskets), and n_baskets rides a 1-row broadcast — no
-    driver-side count. Distinct-ification of raw events is the only
-    corpus-sized shuffle."""
+from weakref import WeakKeyDictionary as _WeakKeyDictionary  # noqa: E402
+
+_LEVELS_CACHE: _WeakKeyDictionary = _WeakKeyDictionary()
+
+
+def _frequent_levels(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(l1, l2, l3, nb) frequent-itemset level frames — cached per
+    (session, corpus) because TWO registered queries (itemsets,
+    association rules) consume the same levels (the _PAIR_CACHE
+    posture from queries/dedup.py).
+
+    The basket item frame feeds six subtrees of one action and the
+    pair-occurrence frame two — both lazily localCheckpoint'd so the
+    corpus-sized distinct shuffle and the basket self-join each
+    execute once; the level frames themselves (≤ |vocab|^k rows) are
+    also checkpointed since the rule builder references each up to
+    three times. Blocks release when the frames are GC'd (the cache
+    is weakly keyed on the session)."""
+    per_session = _LEVELS_CACHE.setdefault(spark, {})
+    key = (sf_dir, MINSUP_NUM, MINSUP_DEN)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     ev = read_table(spark, sf_dir, "events")
-    # The basket item frame feeds SIX subtrees of the one final action
-    # (n_baskets, L1, both pair sides, the triple extension, and the
-    # union) and the pair-occurrence frame feeds two (L2 count, C3
-    # build) — lazily localCheckpoint both so the corpus-sized
-    # distinct shuffle and the basket self-join each execute once
-    # (the shared-subplan posture from the IRLS/BPE kernels; blocks
-    # release when the frames are GC'd).
     items = (
         ev.select(
             "user_id",
@@ -254,6 +249,7 @@ def mine_frequent_event_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cnt") * MINSUP_DEN
                 >= F.lit(MINSUP_NUM) * F.col("n_baskets")
             )
+            .localCheckpoint(eager=False)
         )
 
     l1 = freq(
@@ -296,6 +292,45 @@ def mine_frequent_event_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     l3 = freq(c3.groupBy("t1", "t2", "t3").agg(F.count("*").alias("cnt")))
+    out = (l1, l2, l3, nb)
+    per_session[key] = out
+    return out
+
+
+@query(
+    "mine_frequent_event_sets",
+    oracle=_APRIORI_CTES
+    + f"""
+    SELECT itemset, CAST(sz AS INTEGER) AS itemset_size,
+           CAST(cnt AS BIGINT) AS support_count,
+           ROUND(cnt * 1.0 / {_NB}, 4) AS support
+    FROM (
+      SELECT event_type AS itemset, 1 AS sz, cnt FROM l1
+      UNION ALL
+      SELECT t1 || ',' || t2, 2, cnt FROM l2
+      UNION ALL
+      SELECT t1 || ',' || t2 || ',' || t3, 3, cnt FROM l3
+    )
+    """,
+)
+def mine_frequent_event_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent event-type itemsets (sizes 1-3) over (user, day)
+    baskets — Apriori with level-wise candidate generation and
+    subset pruning (Agrawal & Srikant VLDB'94), the market-basket /
+    co-occurrence miner a behavioral pipeline runs before building
+    association rules.
+
+    Scale shape (see _frequent_levels): baskets never leave their
+    partition between levels — L(k) candidates are built by a
+    basket-keyed equi-self-join of the L(k-1) occurrence frame (no
+    cross product), and every prune table (the frequent sets
+    themselves, at most |items|^k rows, items = event-type
+    vocabulary) BROADCASTS into semi-joins. The support threshold
+    comparison is integer-exact (cnt·DEN >= NUM·n_baskets), and
+    n_baskets rides a 1-row broadcast — no driver-side count.
+    Distinct-ification of raw events is the only corpus-sized
+    shuffle."""
+    l1, l2, l3, _ = _frequent_levels(spark, sf_dir)
     out = (
         l1.select(
             F.col("event_type").alias("itemset"),
@@ -325,4 +360,154 @@ def mine_frequent_event_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "itemset_size",
         F.col("cnt").alias("support_count"),
         F.round(F.col("cnt") / F.col("n_baskets"), 4).alias("support"),
+    )
+
+
+@query(
+    "mine_association_rules",
+    oracle=_APRIORI_CTES
+    + f"""
+    , r AS (
+      SELECT l2.t1 AS antecedent, l2.t2 AS consequent,
+             l2.cnt AS c_set, a1.cnt AS c_ante, c1.cnt AS c_cons
+      FROM l2 JOIN l1 a1 ON l2.t1 = a1.event_type
+              JOIN l1 c1 ON l2.t2 = c1.event_type
+      UNION ALL
+      SELECT l2.t2, l2.t1, l2.cnt, a1.cnt, c1.cnt
+      FROM l2 JOIN l1 a1 ON l2.t2 = a1.event_type
+              JOIN l1 c1 ON l2.t1 = c1.event_type
+      UNION ALL
+      SELECT l3.t1 || ',' || l3.t2, l3.t3, l3.cnt, p2.cnt, c1.cnt
+      FROM l3 JOIN l2 p2 ON l3.t1 = p2.t1 AND l3.t2 = p2.t2
+              JOIN l1 c1 ON l3.t3 = c1.event_type
+      UNION ALL
+      SELECT l3.t1 || ',' || l3.t3, l3.t2, l3.cnt, p2.cnt, c1.cnt
+      FROM l3 JOIN l2 p2 ON l3.t1 = p2.t1 AND l3.t3 = p2.t2
+              JOIN l1 c1 ON l3.t2 = c1.event_type
+      UNION ALL
+      SELECT l3.t2 || ',' || l3.t3, l3.t1, l3.cnt, p2.cnt, c1.cnt
+      FROM l3 JOIN l2 p2 ON l3.t2 = p2.t1 AND l3.t3 = p2.t2
+              JOIN l1 c1 ON l3.t1 = c1.event_type
+    )
+    SELECT antecedent, consequent,
+           CAST(c_set AS BIGINT) AS rule_support_count,
+           ROUND(c_set * 1.0 / c_ante, 4) AS confidence,
+           ROUND(c_set * 1.0 * {_NB} / (c_ante * c_cons), 4) AS lift
+    FROM r
+    WHERE c_set * {MINCONF_DEN} >= {MINCONF_NUM} * c_ante
+    """,
+)
+def mine_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules X -> y from the frequent itemsets (Agrawal &
+    Srikant VLDB'94 §3): every 1->1 split of a frequent pair and
+    every 2->1 split of a frequent triple, kept when confidence =
+    supp(X∪y)/supp(X) clears MINCONF (integer-exact comparison), with
+    lift = conf/supp(y) as the correlation signal (< 1 means y is
+    anti-correlated with X — buying-pattern analytics over event
+    streams).
+
+    Scale shape: rides the SESSION-CACHED level frames
+    (_frequent_levels — the mining cost is paid once across both
+    registered consumers); rule construction itself joins only
+    frequent-set tables, each ≤ |event-type vocab|^k rows and
+    broadcast — no basket-sized frame is touched. Antecedent pair
+    counts come from L2 directly (downward closure guarantees every
+    sub-pair of a frequent triple is frequent, so the join never
+    drops a rule)."""
+    l1, l2, l3, nb = _frequent_levels(spark, sf_dir)
+    item_c = l1.select(
+        F.col("event_type").alias("item"), F.col("cnt").alias("c_item")
+    )
+    pair_c = l2.select("t1", "t2", F.col("cnt").alias("c_pair"))
+    tri_c = l3.select("t1", "t2", "t3", F.col("cnt").alias("c_tri"))
+
+    def ic(alias_to: str, out: str) -> DataFrame:
+        return F.broadcast(
+            item_c.select(
+                F.col("item").alias(alias_to), F.col("c_item").alias(out)
+            )
+        )
+
+    r_pairs = (
+        pair_c.join(ic("t1", "c_t1"), "t1")
+        .join(ic("t2", "c_t2"), "t2")
+    )
+    r12 = r_pairs.select(
+        F.col("t1").alias("antecedent"),
+        F.col("t2").alias("consequent"),
+        F.col("c_pair").alias("c_set"),
+        F.col("c_t1").alias("c_ante"),
+        F.col("c_t2").alias("c_cons"),
+    )
+    r21 = r_pairs.select(
+        F.col("t2").alias("antecedent"),
+        F.col("t1").alias("consequent"),
+        F.col("c_pair").alias("c_set"),
+        F.col("c_t2").alias("c_ante"),
+        F.col("c_t1").alias("c_cons"),
+    )
+
+    def pc(k1: str, k2: str) -> DataFrame:
+        return F.broadcast(
+            pair_c.select(
+                F.col("t1").alias(k1),
+                F.col("t2").alias(k2),
+                F.col("c_pair").alias("c_ante"),
+            )
+        )
+
+    r3a = (
+        tri_c.join(pc("t1", "t2"), ["t1", "t2"])
+        .join(ic("t3", "c_cons"), "t3")
+        .select(
+            F.concat_ws(",", "t1", "t2").alias("antecedent"),
+            F.col("t3").alias("consequent"),
+            F.col("c_tri").alias("c_set"),
+            "c_ante",
+            "c_cons",
+        )
+    )
+    r3b = (
+        tri_c.join(pc("t1", "t3"), ["t1", "t3"])
+        .join(ic("t2", "c_cons"), "t2")
+        .select(
+            F.concat_ws(",", "t1", "t3").alias("antecedent"),
+            F.col("t2").alias("consequent"),
+            F.col("c_tri").alias("c_set"),
+            "c_ante",
+            "c_cons",
+        )
+    )
+    r3c = (
+        tri_c.join(pc("t2", "t3"), ["t2", "t3"])
+        .join(ic("t1", "c_cons"), "t1")
+        .select(
+            F.concat_ws(",", "t2", "t3").alias("antecedent"),
+            F.col("t1").alias("consequent"),
+            F.col("c_tri").alias("c_set"),
+            "c_ante",
+            "c_cons",
+        )
+    )
+    rules = r12.unionAll(r21).unionAll(r3a).unionAll(r3b).unionAll(r3c)
+    return (
+        rules.filter(
+            F.col("c_set") * MINCONF_DEN
+            >= F.lit(MINCONF_NUM) * F.col("c_ante")
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("c_set").alias("rule_support_count"),
+            F.round(F.col("c_set") / F.col("c_ante"), 4).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("c_set")
+                * F.col("n_baskets")
+                / (F.col("c_ante") * F.col("c_cons")),
+                4,
+            ).alias("lift"),
+        )
     )

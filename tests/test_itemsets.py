@@ -82,3 +82,52 @@ def test_never_cooccurring_pair_absent(spark, tmp_path):
     got = mine_frequent_event_sets(spark, sf_dir).collect()
     assert {r["itemset"] for r in got} == {"a", "b"}
     assert all(r["support_count"] == 5 for r in got)
+
+
+def test_association_rules_match_bruteforce(spark, tmp_path):
+    """Rules from a literal fixture must equal exhaustive rule
+    enumeration over the brute-force frequent sets: every 1->1 and
+    2->1 split, confidence filter integer-exact, lift =
+    n*c(set)/(c(ante)*c(cons))."""
+    from cdc_2025_spark.queries.behavior import (
+        MINCONF_DEN,
+        MINCONF_NUM,
+        mine_association_rules,
+    )
+
+    baskets = (
+        [["x"]] * 30
+        + [["p", "q"], ["p", "q"], ["p", "r"], ["p", "r"]]
+        + [["p", "q", "r"], ["q", "r", "s"], ["s"], ["x", "s"]]
+    )
+    sf_dir = _write_events(spark, tmp_path, baskets)
+    sets = [frozenset(b) for b in baskets]
+    n = len(sets)
+
+    def cnt(c):
+        return sum(1 for s in sets if set(c) <= s)
+
+    freq = _python_model(baskets)
+    want = {}
+    for itemset, (k, c_set, _) in freq.items():
+        if k == 1:
+            continue
+        members = itemset.split(",")
+        for cons in members:
+            ante = [m for m in members if m != cons]
+            c_ante, c_cons = cnt(ante), cnt([cons])
+            if c_set * MINCONF_DEN >= MINCONF_NUM * c_ante:
+                want[(",".join(ante), cons)] = (
+                    c_set,
+                    round(c_set / c_ante, 4),
+                    round(c_set * n / (c_ante * c_cons), 4),
+                )
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["rule_support_count"],
+            r["confidence"],
+            r["lift"],
+        )
+        for r in mine_association_rules(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
