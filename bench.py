@@ -120,6 +120,7 @@ HEADLINE = [
     "mine_frequent_event_sets",
     "stats_analyze_lineitem",
     "mine_association_rules",
+    "multimodal_phash_neardup",
 ]
 
 

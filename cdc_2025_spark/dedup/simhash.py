@@ -116,9 +116,21 @@ def simhash_pairs(
     Banded by max_distance+1 16-bit chunks (pigeonhole-exact for
     d <= 3 on 64 bits), then exact bit_count(xor) filter.
     """
+    fps = simhash_fingerprints(docs, id_col, text_col, hash_fn=hash_fn)
+    return hamming_pairs(fps, max_distance=max_distance)
+
+
+def hamming_pairs(fps: DataFrame, max_distance: int = 3) -> DataFrame:
+    """Pairs (id_a < id_b, hamming) with Hamming(fp) <= max_distance
+    over ANY (id, fp) 64-bit fingerprint frame — the pigeonhole
+    banding shared by text simhash and image perceptual hashes:
+    max_distance+1 chunks guarantee two fingerprints within distance
+    d agree on at least one chunk (exact, no recall loss), then an
+    exact bit_count(xor) filter removes band-collision false
+    positives. Candidate volume is bounded by per-(chunk, val) bucket
+    sizes — an equi-join, never a cross product."""
     n_chunks = max_distance + 1
     chunk_bits = 64 // n_chunks
-    fps = simhash_fingerprints(docs, id_col, text_col, hash_fn=hash_fn)
     chunks = fps.select(
         "id",
         "fp",

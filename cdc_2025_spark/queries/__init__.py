@@ -92,6 +92,7 @@ _NEW_R8 = [
     "mine_frequent_event_sets",      # NEW in r8: Apriori itemsets
     "stats_analyze_lineitem",        # NEW in r8: ANALYZE col stats
     "mine_association_rules",        # NEW in r8: rules from itemsets
+    "multimodal_phash_neardup",      # NEW in r8: image aHash dedup
 ]
 
 _CHANGED_R8 = [

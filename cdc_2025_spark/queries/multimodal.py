@@ -155,3 +155,68 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(resized)
         .unionByName(wav)
     )
+
+
+@query("multimodal_phash_neardup")
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over a decoded image
+    corpus — the multimodal twin of text simhash dedup: 64-bit aHash
+    per image (8x8 block-mean threshold, multimodal/phash.py), then
+    the SAME exact pigeonhole Hamming pairing the simhash family uses
+    (dedup/simhash.py:hamming_pairs, bit_count verify — no recall
+    loss at d <= 3).
+
+    rows-only by design (binary decode has no SQL twin). Accuracy is
+    pinned in test_multimodal.py: brute-force Hamming equality over
+    the collected fingerprints (banding recall/precision 1.0), exact
+    byte-duplicates at distance 0, pixel-perturbed near-duplicates
+    within the threshold, and cross-container BMP/PNG twins of the
+    same pixel pattern hashing IDENTICALLY (the container-invariance
+    property a perceptual hash exists for — byte-level dedup can
+    never find those).
+
+    Corpus (generated, deterministic — the testdata lake has no media
+    table; ``sf_dir`` unused, the rollup's posture): 16 distinct
+    seeded-gradient BMPs (pairwise aHash distance >= 17 measured),
+    4 exact BMP byte-duplicates, 4 pixel-perturbed near-duplicates,
+    4 PNG re-encodings. Scale shape: the hash stage is a map-only
+    Arrow-batched scan emitting 8 bytes per image; all pairing work
+    runs on the fingerprint frame (equi-join on (chunk, val) bands),
+    pixels never shuffle."""
+    from cdc_2025_spark.dedup.simhash import hamming_pairs
+    from cdc_2025_spark.multimodal.media import make_bmp, make_png
+    from cdc_2025_spark.multimodal.phash import (
+        perceptual_hashes,
+        perturb_bmp,
+    )
+
+    base = [
+        make_bmp(64 + (i % 5) * 8, 48 + (i % 3) * 8, seed=i * 37)
+        for i in range(16)
+    ]
+    rows = [(i, bytearray(p)) for i, p in enumerate(base)]
+    rows += [(16 + j, bytearray(base[j])) for j in range(4)]
+    rows += [
+        (20 + j, bytearray(perturb_bmp(base[4 + j], n_bytes=60, seed=9 + j)))
+        for j in range(4)
+    ]
+    rows += [
+        (
+            24 + j,
+            bytearray(
+                make_png(
+                    64 + ((8 + j) % 5) * 8,
+                    48 + ((8 + j) % 3) * 8,
+                    seed=(8 + j) * 37,
+                )
+            ),
+        )
+        for j in range(4)
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).repartition(8)
+    fps = perceptual_hashes(media)
+    return hamming_pairs(fps, max_distance=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )

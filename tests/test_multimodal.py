@@ -553,3 +553,73 @@ def test_resize_mixed_batch_decodable_and_stub(spark):
     assert bytes(out[1]["payload"]) == b"\x00" * 64  # passthrough
     assert out[1]["meta"]["codec"] == "fake"
     assert out[0]["meta"]["codec"] == "bmp" and out[0]["meta"]["width"] == 10
+
+
+# ------------------------------------------------------- perceptual hash
+
+
+def test_ahash_sign_bit_int64_domain():
+    """A fingerprint with block (7,7) hot sets bit 63, which must wrap
+    into Spark's signed int64 domain, not overflow."""
+    import numpy as np
+
+    from cdc_2025_spark.multimodal.phash import ahash64_from_rgb
+
+    rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+    rgb[7, 7] = 255
+    assert ahash64_from_rgb(rgb) == -(1 << 63)
+
+
+def test_phash_neardup_matches_bruteforce(spark):
+    """The registered pairing must equal brute-force Hamming over the
+    collected fingerprints (pigeonhole banding is exact at d <= 3),
+    with the three planted relations recovered: byte-exact dups at 0,
+    pixel-perturbed near-dups within threshold, and BMP/PNG container
+    twins of the same pixels hashing identically."""
+    from cdc_2025_spark.queries.multimodal import multimodal_phash_neardup
+    from cdc_2025_spark.multimodal.media import make_bmp, make_png
+    from cdc_2025_spark.multimodal.phash import (
+        ahash64_from_rgb,
+        perceptual_hashes,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal_phash_neardup(spark, "unused").collect()
+    }
+    # brute force over the same corpus's fingerprints
+    media = spark.createDataFrame(
+        [
+            (i, bytearray(make_bmp(64 + (i % 5) * 8, 48 + (i % 3) * 8,
+                                   seed=i * 37)))
+            for i in range(16)
+        ]
+        + [(100, bytearray(make_bmp(64, 64, seed=5 * 37)))],
+        "media_id long, payload binary",
+    )
+    fps = {
+        r["id"]: r["fp"] for r in perceptual_hashes(media).collect()
+    }
+    want = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    # the 16 distinct bases generate no pairs among themselves;
+    # id 100 duplicates id 5's (w, h, seed) and must land at 0
+    assert want == {(5, 100): 0}
+    assert all((a, b) not in got for a in range(16) for b in range(16))
+    # planted relations in the registered corpus
+    assert all(got[(j, 16 + j)] == 0 for j in range(4))      # byte dups
+    assert all(got[(4 + j, 20 + j)] <= 3 for j in range(4))  # near dups
+    assert all(got[(8 + j, 24 + j)] == 0 for j in range(4))  # BMP==PNG
+    assert len(got) == 12
+    # container invariance, kernel-level: same pattern, both decoders
+    import numpy as np
+    from cdc_2025_spark.multimodal.media import decode_bmp, decode_png
+
+    a = ahash64_from_rgb(decode_bmp(make_bmp(40, 24, seed=3)))
+    b = ahash64_from_rgb(decode_png(make_png(40, 24, seed=3)))
+    assert a == b
