@@ -121,6 +121,7 @@ HEADLINE = [
     "stats_analyze_lineitem",
     "mine_association_rules",
     "multimodal_phash_neardup",
+    "timeseries_seasonal_decompose",
 ]
 
 

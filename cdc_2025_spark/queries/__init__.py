@@ -93,6 +93,7 @@ _NEW_R8 = [
     "stats_analyze_lineitem",        # NEW in r8: ANALYZE col stats
     "mine_association_rules",        # NEW in r8: rules from itemsets
     "multimodal_phash_neardup",      # NEW in r8: image aHash dedup
+    "timeseries_seasonal_decompose",  # NEW in r8: 2x12 MA decompose
 ]
 
 _CHANGED_R8 = [

@@ -369,3 +369,89 @@ def events_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("type_entropy").desc(), F.col("user_id"))
         .limit(25)
     )
+
+
+@query(
+    "timeseries_seasonal_decompose",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT month, rev,
+             CASE WHEN COUNT(*) OVER wa = 12 AND COUNT(*) OVER wb = 12
+                  THEN (AVG(rev) OVER wa + AVG(rev) OVER wb) / 2
+             END AS trend
+      FROM monthly
+      WINDOW wa AS (ORDER BY month
+                    ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING),
+             wb AS (ORDER BY month
+                    ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+    ),
+    s AS (
+      SELECT month(month) AS moy, AVG(rev - trend) AS s_raw
+      FROM t WHERE trend IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+      SELECT moy, s_raw - (SELECT AVG(s_raw) FROM s) AS seasonal
+      FROM s
+    )
+    SELECT t.month, ROUND(rev, 4) AS revenue,
+           ROUND(trend, 4) AS trend,
+           ROUND(seasonal, 4) AS seasonal,
+           ROUND(rev - trend - seasonal, 4) AS residual
+    FROM t LEFT JOIN c ON month(t.month) = c.moy
+    """,
+)
+def timeseries_seasonal_decompose(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical additive seasonal decomposition of monthly revenue
+    (Kendall/Box-Jenkins textbook construction): trend = centered
+    2x12 moving average (NULL where the window is incomplete),
+    seasonal = month-of-year mean of the detrended series re-centered
+    to sum to zero, residual = remainder — the decomposition a
+    forecasting pipeline runs before fitting anything.
+
+    Scale shape: the fact table collapses to the ~80-row month frame
+    FIRST (one grouped aggregate with map-side partials); every
+    window, the 12-row seasonal index, and its centering run on that
+    bounded frame — the global-order window never touches fact rows
+    (the window_mom_revenue_change posture). Seasonal indices join
+    back via a 12-row broadcast."""
+    orders = read_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    wa = Window.orderBy("month").rowsBetween(-6, 5)
+    wb = Window.orderBy("month").rowsBetween(-5, 6)
+    t = monthly.select(
+        "month",
+        "rev",
+        F.when(
+            (F.count("*").over(wa) == 12) & (F.count("*").over(wb) == 12),
+            (F.avg("rev").over(wa) + F.avg("rev").over(wb)) / 2,
+        ).alias("trend"),
+    )
+    s = (
+        t.filter(F.col("trend").isNotNull())
+        .groupBy(F.month("month").alias("moy"))
+        .agg(F.avg(F.col("rev") - F.col("trend")).alias("s_raw"))
+    )
+    c = s.crossJoin(
+        F.broadcast(s.agg(F.avg("s_raw").alias("g")))
+    ).select("moy", (F.col("s_raw") - F.col("g")).alias("seasonal"))
+    return (
+        t.join(F.broadcast(c), F.month("month") == F.col("moy"), "left")
+        .select(
+            "month",
+            _r4("rev").alias("revenue"),
+            _r4("trend").alias("trend"),
+            _r4("seasonal").alias("seasonal"),
+            _r4(
+                F.col("rev") - F.col("trend") - F.col("seasonal")
+            ).alias("residual"),
+        )
+    )

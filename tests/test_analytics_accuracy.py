@@ -151,3 +151,30 @@ def test_analyze_lineitem_nulls_and_ties(spark, tmp_path):
     assert (d["n_null"], d["min_val"], d["mcv_count"]) == (
         1, "2024-03-01", 3,
     )
+
+
+def test_seasonal_decompose_identity_and_centering(spark, sf_dir):
+    """Additive identity rev = trend + seasonal + residual wherever
+    trend is defined, trend NULL on exactly the 6 head + 6 tail
+    months (incomplete 2x12 window), and the 12 distinct seasonal
+    indices centered to mean ~0."""
+    from cdc_2025_spark.queries.windows2 import (
+        timeseries_seasonal_decompose,
+    )
+
+    rows = sorted(
+        timeseries_seasonal_decompose(spark, sf_dir).collect(),
+        key=lambda r: r["month"],
+    )
+    n = len(rows)
+    for i, r in enumerate(rows):
+        if 6 <= i < n - 6:
+            assert r["trend"] is not None, r["month"]
+            assert abs(
+                r["revenue"] - (r["trend"] + r["seasonal"] + r["residual"])
+            ) < 2e-4  # three independently-4dp-rounded terms
+        else:
+            assert r["trend"] is None and r["residual"] is None
+    idx = {r["month"].month: r["seasonal"] for r in rows}
+    assert len(idx) == 12
+    assert abs(sum(idx.values()) / 12) < 1e-3
