@@ -219,10 +219,10 @@ def _frequent_levels(
     The basket item frame feeds six subtrees of one action and the
     pair-occurrence frame two — both lazily localCheckpoint'd so the
     corpus-sized distinct shuffle and the basket self-join each
-    execute once; the level frames themselves (≤ |vocab|^k rows) are
-    also checkpointed since the rule builder references each up to
-    three times. Blocks release when the frames are GC'd (the cache
-    is weakly keyed on the session)."""
+    execute once; the level frames themselves (≤ |vocab|^k rows) stay
+    plain aggregates over those checkpoints so plan audits can see
+    the broadcast-join shape. Blocks release when the frames are
+    GC'd (the cache is weakly keyed on the session)."""
     per_session = _LEVELS_CACHE.setdefault(spark, {})
     key = (sf_dir, MINSUP_NUM, MINSUP_DEN)
     cached = per_session.get(key)
@@ -242,14 +242,16 @@ def _frequent_levels(
         F.count("*").alias("n_baskets")
     )
 
+    # NOTE: the level frames themselves are NOT checkpointed — a
+    # localCheckpoint rewrites the logical plan to an ExistingRDD
+    # scan immediately, which would hide the broadcast-join shape
+    # from plan audits, and each level is a tiny aggregate over the
+    # checkpointed items/p frames anyway (re-running it per consumer
+    # costs one small stage, not a corpus scan).
     def freq(grouped: DataFrame) -> DataFrame:
-        return (
-            grouped.crossJoin(F.broadcast(nb))
-            .filter(
-                F.col("cnt") * MINSUP_DEN
-                >= F.lit(MINSUP_NUM) * F.col("n_baskets")
-            )
-            .localCheckpoint(eager=False)
+        return grouped.crossJoin(F.broadcast(nb)).filter(
+            F.col("cnt") * MINSUP_DEN
+            >= F.lit(MINSUP_NUM) * F.col("n_baskets")
         )
 
     l1 = freq(
