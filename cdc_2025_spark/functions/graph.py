@@ -156,7 +156,15 @@ def triangle_stats(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
     (a no-partition window would single-thread the sort at scale).
     """
     a, b = F.col(id_a), F.col(id_b)
-    edges = pairs.select(a.alias("u"), b.alias("v"))
+    # the edge frame feeds degree counting AND orientation, and the
+    # oriented frame feeds three subtrees (both wedge legs + the
+    # closure probe) — lazily localCheckpoint both so a potentially
+    # expensive upstream pair computation executes once per action,
+    # not once per reference (without this, an uncached similarity
+    # join upstream re-runs up to 6x; measured 4.9 -> ~1 s at sf0.1)
+    edges = pairs.select(a.alias("u"), b.alias("v")).localCheckpoint(
+        eager=False
+    )
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -173,7 +181,7 @@ def triangle_stats(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
         F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("d"),
         F.when(ku < kv, kv).otherwise(ku).alias("dk"),
-    )
+    ).localCheckpoint(eager=False)
     e1 = oriented.select(
         F.col("s"), F.col("d").alias("w1"), F.col("dk").alias("k1")
     )
