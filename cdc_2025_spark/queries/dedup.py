@@ -60,6 +60,12 @@ def _shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_session = _PAIR_CACHE.setdefault(spark, {})
     cached = per_session.get(key)
     if cached is not None:
+        # an external catalog.clearCache() (the bench does this
+        # between queries) unpersists the frame AND drops its persist
+        # intent — re-mark it so the next consumer re-materializes
+        # the index once instead of recomputing it per action forever
+        if not cached.storageLevel.useMemory:
+            cached.persist()
         return cached
     docs = read_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
@@ -90,6 +96,8 @@ def _shared_jaccard_components(
     per_session = _COMP_CACHE.setdefault(spark, {})
     cached = per_session.get(key)
     if cached is not None:
+        if not cached.storageLevel.useMemory:
+            cached.persist()  # see _shared_jaccard_pairs
         return cached
     cc = connected_components(
         _shared_jaccard_pairs(spark, sf_dir)
