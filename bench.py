@@ -122,6 +122,7 @@ HEADLINE = [
     "mine_association_rules",
     "multimodal_phash_neardup",
     "timeseries_seasonal_decompose",
+    "graph_bfs_trade_hops",
 ]
 
 

@@ -212,3 +212,54 @@ def triangle_stats(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
         .otherwise(F.lit(0.0))
         .alias("clustering_coeff"),
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int | None = None,
+) -> DataFrame:
+    """(node, hop): minimum directed hop count from ``source`` over
+    ``edges`` — breadth-first frontier expansion (the Pregel BFS /
+    unit-weight Bellman-Ford). Unreachable nodes are absent; callers
+    left-join the vertex set if they want NULL rows.
+
+    Scale shape: each round is ONE equi-join of the current frontier
+    against the edge frame plus an anti-join against the settled set
+    — never a full-graph pass over already-settled nodes; rounds =
+    graph diameter. Frontier and settled frames are lazily
+    localCheckpoint'd every round so lineage stays FLAT (the classic
+    iterative-plan failure is a lineage tree that doubles per round);
+    the edge frame checkpoints once. The per-round .count() is the
+    termination test — hop-bounded state, O(diameter) driver
+    round-trips, same posture as connected_components
+    (dedup/cluster.py)."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    spark = edges.sparkSession
+    node_type = dict(e.dtypes)["s"]
+    dist = spark.createDataFrame(
+        [(source, 0)], f"node {node_type}, hop int"
+    ).localCheckpoint(eager=False)
+    frontier = dist
+    limit = max_iter if max_iter is not None else 1 << 30
+    rounds = 0
+    while rounds < limit:
+        rounds += 1
+        nxt = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .select(F.col("d").alias("node"), F.lit(rounds).alias("hop"))
+            .distinct()
+            .join(dist, "node", "anti")
+            .localCheckpoint(eager=False)
+        )
+        if nxt.count() == 0:
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return dist

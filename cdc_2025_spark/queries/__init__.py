@@ -94,6 +94,7 @@ _NEW_R8 = [
     "mine_association_rules",        # NEW in r8: rules from itemsets
     "multimodal_phash_neardup",      # NEW in r8: image aHash dedup
     "timeseries_seasonal_decompose",  # NEW in r8: 2x12 MA decompose
+    "graph_bfs_trade_hops",          # NEW in r8: BFS reachability
 ]
 
 _CHANGED_R8 = [

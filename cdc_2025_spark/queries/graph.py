@@ -175,3 +175,39 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_triangles",
         F.round("clustering_coeff", 4).alias("clustering_coeff"),
     )
+
+
+BFS_SOURCE = "NATION_0"
+
+
+@query("graph_bfs_trade_hops")
+def graph_bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum directed hop count from NATION_0 to every nation over
+    the trade network — BFS reachability (Pregel frontier expansion /
+    unit-weight Bellman-Ford), the fourth graph-family member beside
+    centrality (PageRank), components (label propagation) and
+    transitivity (triangles).
+
+    rows-only by design: O(diameter) data-dependent rounds have no
+    SQL twin. Correctness pinned in tests/test_graph.py: exact
+    equality against a pure-python BFS model on literal
+    chain/diamond/cycle fixtures (incl. an unreachable node and a
+    shorter-path-wins race), and the registered query's hop histogram
+    against the model run on the collected edge list.
+
+    Shape (functions/graph.py:bfs_hops): each round joins ONLY the
+    current frontier against the edge frame + one anti-join against
+    the settled set; frontier/settled frames re-checkpoint per round
+    so lineage stays flat. Nations left-join back so an unreachable
+    nation would surface as a NULL hop instead of a missing row."""
+    from cdc_2025_spark.functions.graph import bfs_hops
+
+    edges = trade_edges(spark, sf_dir)
+    hops = bfs_hops(edges, BFS_SOURCE, src="src", dst="dst")
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        nation.select(F.col("n_name").alias("node"))
+        .join(hops, "node", "left")
+        .select(F.col("node").alias("n_name"), F.col("hop").cast("int"))
+        .orderBy("n_name")
+    )

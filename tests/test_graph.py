@@ -166,3 +166,69 @@ def test_triangle_hub_with_one_closure(spark):
     assert got[2] == (2, 1, pytest.approx(1.0))
     assert got[3] == (2, 1, pytest.approx(1.0))
     assert got[4][1] == 0 and got[5][1] == 0 and got[6][1] == 0
+
+
+# ---------------------------------------------------------------- BFS hops
+
+
+def _bfs_model(edges, source):
+    from collections import deque
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    dist = {source: 0}
+    q = deque([source])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def test_bfs_literal_graphs_match_model(spark):
+    """Chain with a shortcut (shorter path must win), a cycle back
+    edge, and an unreachable node (absent from the result)."""
+    from cdc_2025_spark.functions.graph import bfs_hops
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"),  # shortcut a->c
+        ("d", "a"),                                       # cycle
+        ("z1", "z2"),                                     # unreachable
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["hop"] for r in bfs_hops(df, "a").collect()}
+    assert got == _bfs_model(edges, "a")
+    assert "z1" not in got and "z2" not in got
+    assert got["c"] == 1  # the shortcut won over a->b->c
+
+
+def test_bfs_max_iter_truncates(spark):
+    from cdc_2025_spark.functions.graph import bfs_hops
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["hop"] for r in bfs_hops(df, "a", max_iter=1).collect()}
+    assert got == {"a": 0, "b": 1}
+
+
+def test_bfs_registered_query_matches_model(spark, sf_dir):
+    from cdc_2025_spark.queries.graph import (
+        BFS_SOURCE,
+        graph_bfs_trade_hops,
+        trade_edges,
+    )
+
+    got = {
+        r["n_name"]: r["hop"]
+        for r in graph_bfs_trade_hops(spark, sf_dir).collect()
+    }
+    edges = [
+        (r["src"], r["dst"]) for r in trade_edges(spark, sf_dir).collect()
+    ]
+    want = _bfs_model(edges, BFS_SOURCE)
+    for n, h in got.items():
+        assert h == want.get(n), (n, h, want.get(n))
+    assert got[BFS_SOURCE] == 0
