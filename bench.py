@@ -123,6 +123,7 @@ HEADLINE = [
     "multimodal_phash_neardup",
     "timeseries_seasonal_decompose",
     "graph_bfs_trade_hops",
+    "quality_expectations_audit",
 ]
 
 

@@ -95,6 +95,7 @@ _NEW_R8 = [
     "multimodal_phash_neardup",      # NEW in r8: image aHash dedup
     "timeseries_seasonal_decompose",  # NEW in r8: 2x12 MA decompose
     "graph_bfs_trade_hops",          # NEW in r8: BFS reachability
+    "quality_expectations_audit",    # NEW in r8: dbt-style contracts
 ]
 
 _CHANGED_R8 = [

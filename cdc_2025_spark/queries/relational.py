@@ -703,3 +703,204 @@ def merge_into_customer_balances(
             "c_mktsegment": F.lit("PROSPECT"),
         },
     )
+
+
+_SEGMENT_DOMAIN = (
+    "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+)
+
+
+@query(
+    "quality_expectations_audit",
+    oracle=f"""
+    WITH ri_orders AS (
+      SELECT COUNT(*) AS n_checked,
+             SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS viol
+      FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON o.o_custkey = c.c_custkey
+    ),
+    ri_lineitem AS (
+      SELECT COUNT(*) AS n_checked,
+             SUM(CASE WHEN k.o_orderkey IS NULL THEN 1 ELSE 0 END) AS viol
+      FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) k
+        ON l.l_orderkey = k.o_orderkey
+    ),
+    cust AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(DISTINCT c_custkey) AS dup_keys,
+             SUM(CASE WHEN c_mktsegment IS NULL OR c_mktsegment NOT IN
+                 {_SEGMENT_DOMAIN} THEN 1 ELSE 0 END) AS bad_segment
+      FROM customer
+    ),
+    ord AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_keys,
+             SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                 THEN 1 ELSE 0 END) AS neg_price,
+             SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                 AS null_date
+      FROM orders
+    ),
+    li AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                       OR l_quantity > 50 THEN 1 ELSE 0 END) AS bad_qty
+      FROM lineitem
+    ),
+    u AS (
+      SELECT 'orders_custkey_ri' AS expectation,
+             'orders' AS target_table, n_checked, viol FROM ri_orders
+      UNION ALL
+      SELECT 'lineitem_orderkey_ri', 'lineitem', n_checked, viol
+      FROM ri_lineitem
+      UNION ALL
+      SELECT 'customer_key_unique', 'customer', n_rows, dup_keys FROM cust
+      UNION ALL
+      SELECT 'customer_segment_domain', 'customer', n_rows, bad_segment
+      FROM cust
+      UNION ALL
+      SELECT 'orders_key_unique', 'orders', n_rows, dup_keys FROM ord
+      UNION ALL
+      SELECT 'orders_totalprice_nonneg', 'orders', n_rows, neg_price
+      FROM ord
+      UNION ALL
+      SELECT 'orders_orderdate_notnull', 'orders', n_rows, null_date
+      FROM ord
+      UNION ALL
+      SELECT 'lineitem_quantity_range', 'lineitem', n_rows, bad_qty FROM li
+    )
+    SELECT expectation, target_table,
+           CAST(n_checked AS BIGINT) AS n_checked,
+           CAST(viol AS BIGINT) AS n_violations,
+           CASE WHEN viol = 0 THEN 'pass' ELSE 'fail' END AS status
+    FROM u
+    """,
+)
+def quality_expectations_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dbt-test / Great-Expectations-style data-quality audit in ONE
+    declarative plan: referential integrity (orders -> customer,
+    lineitem -> orders), key uniqueness, domain membership, range and
+    not-null checks — one row per expectation with checked/violation
+    counts and pass/fail, the contract suite a lakehouse pipeline
+    runs on every load.
+
+    Scale shape: per-table checks FUSE into one conditional aggregate
+    per table (customer: uniqueness + domain in one scan; orders:
+    uniqueness + range + not-null in one scan), so the audit costs
+    one pass per fact table plus two key-shuffled left joins for the
+    RI checks (the dim key sets are distinct-projected first, so the
+    join carries keys, not rows — broadcastable when the dim fits).
+    All counts integer-exact; no sampling."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+
+    ri_orders = (
+        orders.join(
+            customer.select("c_custkey").distinct(),
+            orders.o_custkey == F.col("c_custkey"),
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_checked"),
+            F.sum(
+                F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+            ).alias("viol"),
+        )
+        .select(
+            F.lit("orders_custkey_ri").alias("expectation"),
+            F.lit("orders").alias("target_table"),
+            "n_checked",
+            "viol",
+        )
+    )
+    ri_lineitem = (
+        lineitem.join(
+            orders.select("o_orderkey").distinct(),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_checked"),
+            F.sum(
+                F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+            ).alias("viol"),
+        )
+        .select(
+            F.lit("lineitem_orderkey_ri").alias("expectation"),
+            F.lit("lineitem").alias("target_table"),
+            "n_checked",
+            "viol",
+        )
+    )
+    cust = customer.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.countDistinct("c_custkey")).alias("dup_keys"),
+        F.sum(
+            F.when(
+                F.col("c_mktsegment").isNull()
+                | ~F.col("c_mktsegment").isin(*_SEGMENT_DOMAIN),
+                1,
+            ).otherwise(0)
+        ).alias("bad_segment"),
+    ).localCheckpoint(eager=False)
+    ordr = orders.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("dup_keys"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull()
+                | (F.col("o_totalprice") < 0),
+                1,
+            ).otherwise(0)
+        ).alias("neg_price"),
+        F.sum(
+            F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)
+        ).alias("null_date"),
+    ).localCheckpoint(eager=False)
+    li = lineitem.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50),
+                1,
+            ).otherwise(0)
+        ).alias("bad_qty"),
+    )
+
+    def pick(df: DataFrame, exp: str, table: str, viol: str) -> DataFrame:
+        return df.select(
+            F.lit(exp).alias("expectation"),
+            F.lit(table).alias("target_table"),
+            F.col("n_rows").alias("n_checked"),
+            F.col(viol).alias("viol"),
+        )
+
+    u = (
+        ri_orders.unionAll(ri_lineitem)
+        .unionAll(pick(cust, "customer_key_unique", "customer", "dup_keys"))
+        .unionAll(
+            pick(cust, "customer_segment_domain", "customer", "bad_segment")
+        )
+        .unionAll(pick(ordr, "orders_key_unique", "orders", "dup_keys"))
+        .unionAll(
+            pick(ordr, "orders_totalprice_nonneg", "orders", "neg_price")
+        )
+        .unionAll(
+            pick(ordr, "orders_orderdate_notnull", "orders", "null_date")
+        )
+        .unionAll(pick(li, "lineitem_quantity_range", "lineitem", "bad_qty"))
+    )
+    return u.select(
+        "expectation",
+        "target_table",
+        "n_checked",
+        F.col("viol").alias("n_violations"),
+        F.when(F.col("viol") == 0, "pass").otherwise("fail").alias(
+            "status"
+        ),
+    )

@@ -178,3 +178,49 @@ def test_seasonal_decompose_identity_and_centering(spark, sf_dir):
     idx = {r["month"].month: r["seasonal"] for r in rows}
     assert len(idx) == 12
     assert abs(sum(idx.values()) / 12) < 1e-3
+
+
+def test_quality_expectations_detect_violations(spark, tmp_path):
+    """Every expectation must actually fire: orphan FK rows, duplicate
+    keys, out-of-domain segment, negative price, null date, and
+    out-of-range quantity each produce the exact violation count and
+    a 'fail' status on a deliberately dirty fixture."""
+    from datetime import date
+
+    from cdc_2025_spark.queries.relational import (
+        quality_expectations_audit,
+    )
+
+    spark.createDataFrame(
+        [(1, "BUILDING"), (1, "MACHINERY"), (2, "YACHTS"), (3, None)],
+        "c_custkey long, c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    d = date(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (10, 1, 100.0, d),
+            (10, 2, -5.0, d),      # dup key + negative price
+            (11, 99, 50.0, None),  # orphan custkey + null date
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate date",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(10, 25.0), (10, 0.0), (77, 51.0), (11, None)],
+        "l_orderkey long, l_quantity double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = {
+        r["expectation"]: (r["n_checked"], r["n_violations"], r["status"])
+        for r in quality_expectations_audit(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "orders_custkey_ri": (3, 1, "fail"),
+        "lineitem_orderkey_ri": (4, 1, "fail"),
+        "customer_key_unique": (4, 1, "fail"),
+        "customer_segment_domain": (4, 2, "fail"),  # YACHTS + NULL
+        "orders_key_unique": (3, 1, "fail"),
+        "orders_totalprice_nonneg": (3, 1, "fail"),
+        "orders_orderdate_notnull": (3, 1, "fail"),
+        "lineitem_quantity_range": (4, 3, "fail"),  # 0.0, 51.0, NULL
+    }
