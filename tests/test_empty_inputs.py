@@ -321,3 +321,33 @@ def test_round8c_operators_empty(spark, empty_docs):
     finally:
         _PAIR_CACHE.pop(spark, None)
         _COMP_CACHE.pop(spark, None)
+
+
+def test_round8_kernels_empty(spark):
+    """Round-8 kernels on empty inputs: triangles, BFS, perceptual
+    hashes and the Apriori miner must return empty (or source-only)
+    frames, not throw."""
+    from cdc_2025_spark.functions.graph import bfs_hops, triangle_stats
+    from cdc_2025_spark.multimodal.phash import perceptual_hashes
+    from cdc_2025_spark.queries.behavior import mine_frequent_event_sets
+
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert triangle_stats(empty_pairs).count() == 0
+
+    empty_edges = spark.createDataFrame([], "src string, dst string")
+    got = {r["node"]: r["hop"] for r in bfs_hops(empty_edges, "a").collect()}
+    assert got == {"a": 0}  # source settles at hop 0, nothing else
+
+    empty_media = spark.createDataFrame([], "media_id long, payload binary")
+    assert perceptual_hashes(empty_media).count() == 0
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).write.parquet(os.path.join(td, "events.parquet"))
+        assert mine_frequent_event_sets(spark, td).count() == 0
