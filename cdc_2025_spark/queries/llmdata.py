@@ -863,7 +863,14 @@ def llm_prep_full_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv1 = stats.filter(
         ~(PREP_REP_FACTOR * F.col("top_c") > F.col("n_tokens"))
     ).select("doc_id")
-    d1 = train.join(surv1, "doc_id", "left_semi")
+    # d1 feeds THREE subtrees (canon, the stage-2 semi-join, and its
+    # own ledger count) — checkpoint it like the later stages so the
+    # unigram explode + aggregates run once, not three times
+    # (wall-neutral at sf0.1 where stage 1 is cheap; at scale the
+    # re-execution is real corpus work)
+    d1 = train.join(surv1, "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
     # stage 2: exact vocab dedup (min-id canonical)
     canon = (
         d1.select("doc_id", vocab_key("text").alias("key"))
