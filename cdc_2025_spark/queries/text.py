@@ -1479,6 +1479,7 @@ BPE_N_MERGES = 20
 from weakref import WeakKeyDictionary as _WeakKeyDictionary  # noqa: E402
 
 _BPE_CACHE: _WeakKeyDictionary = _WeakKeyDictionary()
+_QC_CACHE: _WeakKeyDictionary = _WeakKeyDictionary()
 
 
 def _bpe_merges(spark: SparkSession, sf_dir: str):
@@ -1585,9 +1586,24 @@ def text_quality_classifier_scores(
             F.lit(0),  # NULL text -> negative class, not NULL label
         ).alias("y"),
     )
-    w, b, _losses = logreg_train_irls(
-        feat, labels, QC_BUCKETS, n_iter=QC_ITERS, lam_per_row=QC_LAMBDA
-    )
+    # trained weights cached per (session, corpus, hyperparams) — the
+    # SemDeDup-quantizer posture for iterative trainers: IRLS is
+    # deterministic, so repeated invocations (a served scoring query)
+    # must not pay 5 Newton actions again for identical weights
+    per_session = _QC_CACHE.setdefault(spark, {})
+    qc_key = (sf_dir, QC_BUCKETS, QC_ITERS, QC_LAMBDA, QC_MARKER)
+    cached = per_session.get(qc_key)
+    if cached is None:
+        w, b, _losses = logreg_train_irls(
+            feat,
+            labels,
+            QC_BUCKETS,
+            n_iter=QC_ITERS,
+            lam_per_row=QC_LAMBDA,
+        )
+        per_session[qc_key] = (w, b)
+    else:
+        w, b = cached
     return (
         logreg_score(feat, w, b)
         .join(labels, "id")
