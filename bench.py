@@ -124,6 +124,8 @@ HEADLINE = [
     "timeseries_seasonal_decompose",
     "graph_bfs_trade_hops",
     "quality_expectations_audit",
+    "events_markov_transitions",
+    "sketch_kmv_distinct_overlap",
 ]
 
 

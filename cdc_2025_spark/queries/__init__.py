@@ -96,6 +96,8 @@ _NEW_R8 = [
     "timeseries_seasonal_decompose",  # NEW in r8: 2x12 MA decompose
     "graph_bfs_trade_hops",          # NEW in r8: BFS reachability
     "quality_expectations_audit",    # NEW in r8: dbt-style contracts
+    "events_markov_transitions",     # NEW in r8: sequence transitions
+    "sketch_kmv_distinct_overlap",   # NEW in r8: KMV set algebra
 ]
 
 _CHANGED_R8 = [

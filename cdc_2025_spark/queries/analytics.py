@@ -986,3 +986,238 @@ def stats_analyze_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mcv_val",
         "mcv_count",
     )
+
+
+KMV_K = 128
+KMV_SCALE = 1 << 48  # 12 md5 hex chars of priority space
+
+
+def _kmv_est(k_n, kth):
+    """KMV distinct estimate: (K-1)·SCALE / h_(K) when the sketch is
+    full, exact size otherwise (integer-only inputs -> bit-identical
+    doubles across engines)."""
+    return F.when(
+        k_n >= KMV_K,
+        F.lit(float(KMV_K - 1))
+        * F.lit(float(KMV_SCALE))
+        / F.greatest(kth, F.lit(1)),
+    ).otherwise(k_n.cast("double"))
+
+
+@query(
+    "sketch_kmv_distinct_overlap",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    pr AS (
+      SELECT event_type, user_id,
+             CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                                  1, 12)) AS BIGINT) AS prio
+      FROM du
+    ),
+    sk AS (
+      SELECT event_type, user_id, prio FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY prio, user_id) AS rn
+        FROM pr) WHERE rn <= {KMV_K}
+    ),
+    est AS (
+      SELECT event_type,
+             CASE WHEN COUNT(*) >= {KMV_K}
+                  THEN {KMV_K - 1} * {KMV_SCALE} * 1.0
+                       / GREATEST(MAX(prio), 1)
+                  ELSE COUNT(*) * 1.0 END AS est_d
+      FROM sk GROUP BY event_type
+    ),
+    tp AS (SELECT DISTINCT event_type FROM sk),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM tp a JOIN tp b ON a.event_type < b.event_type
+    ),
+    mem AS (
+      SELECT p.type_a, p.type_b, s.user_id, MIN(s.prio) AS prio,
+             MAX(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END)
+                 AS has_a,
+             MAX(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END)
+                 AS has_b
+      FROM pairs p JOIN sk s ON s.event_type IN (p.type_a, p.type_b)
+      GROUP BY 1, 2, 3
+    ),
+    us AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY type_a, type_b ORDER BY prio, user_id) AS rn
+        FROM mem) WHERE rn <= {KMV_K}
+    ),
+    pa AS (
+      SELECT type_a, type_b, COUNT(*) AS k_u, MAX(prio) AS kth_u,
+             SUM(has_a * has_b) AS n_both
+      FROM us GROUP BY 1, 2
+    ),
+    uest AS (
+      SELECT type_a, type_b, k_u, n_both,
+             CASE WHEN k_u >= {KMV_K}
+                  THEN {KMV_K - 1} * {KMV_SCALE} * 1.0
+                       / GREATEST(kth_u, 1)
+                  ELSE k_u * 1.0 END AS est_union
+      FROM pa
+    )
+    SELECT u.type_a, u.type_b,
+           ROUND(ea.est_d, 4) AS est_a,
+           ROUND(eb.est_d, 4) AS est_b,
+           ROUND(u.est_union, 4) AS est_union,
+           ROUND(u.n_both * 1.0 / u.k_u, 4) AS jaccard_kmv,
+           ROUND(u.n_both * 1.0 / u.k_u * u.est_union, 4)
+               AS est_intersection
+    FROM uest u
+    JOIN est ea ON ea.event_type = u.type_a
+    JOIN est eb ON eb.event_type = u.type_b
+    """,
+)
+def sketch_kmv_distinct_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketches with SET ALGEBRA:
+    per-event-type bottom-K user hashes estimate each type's distinct
+    users AND — unlike HLL, which only unions — every pair's union,
+    Jaccard, and INTERSECTION (Beyer et al., "On synopses for
+    distinct-value estimation under multiset operations", SIGMOD'07;
+    bottom-k mergeability per Cohen & Kaplan PODC'07, the same
+    primitive functions/reservoir.py registers as a sample). The
+    audience-overlap / cross-source-contamination estimator: "how
+    many users do purchase and signup share?" from K·|types| stored
+    hashes instead of a user-grain COUNT(DISTINCT) self-join.
+
+    Estimators (deterministic — md5 priorities, integer inputs, one
+    float expression shape on both engines, so the driver hash is
+    exact): per-set D = (K-1)·S/h_(K) when full, exact below K;
+    pair Jaccard rho = |L ∩ A ∩ B| / |L| over the union sketch
+    L = bottomK(A ∪ B); intersection = rho·D_union.
+
+    Shape, built to scale: the corpus-sized work is ONE distinct
+    aggregate on (type, user) — map-side partial dedup, the shuffle
+    every exact distinct needs anyway. The bottom-K take is
+    TWO-PHASE (per-(type, prio mod 64 bucket) partial top-K, then
+    per-type on the <= 64·K survivors), so no single task ever sorts
+    a whole type's users — the salted-top-k layout that holds at
+    1000 executors. Everything after runs on <= |types|·K sketch
+    rows: the pair expansion is a broadcast of 10 pair rows against
+    640 sketch rows. Sketches are MERGEABLE (union + re-take), so
+    shards and stream microbatches maintain them incrementally —
+    same contract as the Bloom/CMS/HLL/reservoir summaries.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    du = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    prio = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("kmv:"), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("prio")
+    )
+    pr = du.select("event_type", "user_id", prio)
+    # two-phase bottom-K: bucketed partial take, then the real take
+    # on the bounded survivor frame
+    wb = Window.partitionBy(
+        "event_type", F.pmod(F.col("prio"), F.lit(64))
+    ).orderBy("prio", "user_id")
+    part = pr.withColumn("rb", F.row_number().over(wb)).filter(
+        F.col("rb") <= KMV_K
+    )
+    wt = Window.partitionBy("event_type").orderBy("prio", "user_id")
+    sk = (
+        part.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "user_id", "prio")
+        .localCheckpoint(eager=False)
+    )
+    est = sk.groupBy("event_type").agg(
+        _kmv_est(F.count("*"), F.max("prio")).alias("est_d")
+    )
+    tp = sk.select("event_type").distinct()
+    pairs = (
+        tp.alias("a")
+        .crossJoin(tp.alias("b"))
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    mem = (
+        F.broadcast(pairs)
+        .join(
+            sk,
+            (sk["event_type"] == F.col("type_a"))
+            | (sk["event_type"] == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "user_id")
+        .agg(
+            F.min("prio").alias("prio"),
+            F.max(
+                (F.col("event_type") == F.col("type_a")).cast("int")
+            ).alias("has_a"),
+            F.max(
+                (F.col("event_type") == F.col("type_b")).cast("int")
+            ).alias("has_b"),
+        )
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy(
+        "prio", "user_id"
+    )
+    us = mem.withColumn("rn", F.row_number().over(wu)).filter(
+        F.col("rn") <= KMV_K
+    )
+    pa = us.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("k_u"),
+        F.max("prio").alias("kth_u"),
+        F.sum(F.col("has_a") * F.col("has_b")).alias("n_both"),
+    )
+    uest = pa.select(
+        "type_a",
+        "type_b",
+        "k_u",
+        "n_both",
+        _kmv_est(F.col("k_u"), F.col("kth_u")).alias("est_union"),
+    )
+    ea = est.select(
+        F.col("event_type").alias("type_a"),
+        F.col("est_d").alias("raw_a"),
+    )
+    eb = est.select(
+        F.col("event_type").alias("type_b"),
+        F.col("est_d").alias("raw_b"),
+    )
+    return (
+        uest.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.round("raw_a", 4).alias("est_a"),
+            F.round("raw_b", 4).alias("est_b"),
+            F.round("est_union", 4).alias("est_union"),
+            F.round(F.col("n_both") / F.col("k_u"), 4).alias(
+                "jaccard_kmv"
+            ),
+            F.round(
+                F.col("n_both") / F.col("k_u") * F.col("est_union"), 4
+            ).alias("est_intersection"),
+        )
+    )

@@ -513,3 +513,74 @@ def mine_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    tr AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           ROUND(n_transitions * 1.0 /
+                 SUM(n_transitions) OVER (PARTITION BY from_type),
+                 4) AS p_transition
+    FROM tr
+    """,
+)
+def events_markov_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type) — the
+    behavioral-sequence model behind next-action prediction,
+    anomaly scoring (improbable transitions), and session
+    simulation. The reference's event surface stops at counts and
+    timing; this adds the sequence-structure view.
+
+    Determinism: each user's sequence is ordered by (ts, event_id) —
+    the event_id tiebreak pins simultaneous events to one order in
+    both engines (same convention as window_sessionize_events).
+
+    Shape, built to scale: ONE shuffle on user_id for the lead
+    window (per-user state stays inside its partition — the same
+    layout every per-user window query here uses), then a grouped
+    aggregate onto |types|² keys — map-side partials collapse each
+    partition to at most |types|² rows, so the second exchange moves
+    kilobytes at any corpus size. The probability normalization is a
+    window over the |types|²-row result, not the event stream. At
+    100 TB nothing but the first user_id exchange touches event
+    volume; AQE coalesces the tail.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    wt = Window.partitionBy("from_type")
+    return tr.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wt), 4
+        ).alias("p_transition"),
+    )

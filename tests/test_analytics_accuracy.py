@@ -224,3 +224,111 @@ def test_quality_expectations_detect_violations(spark, tmp_path):
         "orders_orderdate_notnull": (3, 1, "fail"),
         "lineitem_quantity_range": (4, 3, "fail"),  # 0.0, 51.0, NULL
     }
+
+
+def test_markov_transitions_row_stochastic(spark, sf_dir):
+    """Per from_type the transition probabilities must sum to ~1
+    (4dp rounding noise only) and every probability lies in (0, 1];
+    counts must total the corpus's non-terminal events."""
+    rows = QUERIES["events_markov_transitions"](spark, sf_dir).collect()
+    assert rows
+    by_from: dict[str, float] = {}
+    n_total = 0
+    for r in rows:
+        assert 0 < r["p_transition"] <= 1
+        by_from[r["from_type"]] = (
+            by_from.get(r["from_type"], 0.0) + r["p_transition"]
+        )
+        n_total += r["n_transitions"]
+    for ft, s in by_from.items():
+        assert abs(s - 1.0) < 0.002, (ft, s)
+    ev = read_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # every event except each user's last contributes one transition
+    assert n_total == n_events - n_users
+
+
+def test_kmv_estimates_track_exact(spark, sf_dir):
+    """KMV per-set and intersection estimates vs exact distinct
+    counts: standard error of the K-minimum-values estimator is
+    ~1/sqrt(K-2) (Beyer et al. SIGMOD'07) — allow 4 sigma."""
+    from cdc_2025_spark.queries.analytics import KMV_K
+
+    got = QUERIES["sketch_kmv_distinct_overlap"](spark, sf_dir).collect()
+    assert got
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sets: dict[str, set] = {}
+    for r in ev.collect():
+        sets.setdefault(r["event_type"], set()).add(r["user_id"])
+    tol = 4.0 / (KMV_K - 2) ** 0.5
+    for r in got:
+        a, b = sets[r["type_a"]], sets[r["type_b"]]
+        for est, exact in (
+            (r["est_a"], len(a)),
+            (r["est_b"], len(b)),
+            (r["est_union"], len(a | b)),
+            (r["est_intersection"], len(a & b)),
+        ):
+            if exact < KMV_K:
+                # sub-K sets are stored exactly; intersection still
+                # carries the union estimator's noise
+                assert abs(est - exact) <= max(3, tol * exact), (
+                    r,
+                    est,
+                    exact,
+                )
+            else:
+                assert abs(est - exact) <= tol * exact, (r, est, exact)
+
+
+def test_kmv_sketch_is_mergeable(spark, sf_dir):
+    """bottomK(A ∪ B) == bottomK(bottomK(A) ∪ bottomK(B)) on the
+    per-type user sketches — the contract that makes per-shard /
+    per-microbatch maintenance exact."""
+    from cdc_2025_spark.queries.analytics import KMV_K
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    prio = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    pr = ev.select("event_type", "user_id", prio.alias("prio"))
+    half_a = pr.filter(F.col("user_id") % 2 == 0)
+    half_b = pr.filter(F.col("user_id") % 2 == 1)
+
+    def bottomk(df):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("event_type").orderBy("prio", "user_id")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= KMV_K)
+            .drop("rn")
+        )
+
+    direct = {
+        (r["event_type"], r["user_id"]) for r in bottomk(pr).collect()
+    }
+    merged = {
+        (r["event_type"], r["user_id"])
+        for r in bottomk(
+            bottomk(half_a).unionByName(bottomk(half_b))
+        ).collect()
+    }
+    assert direct == merged
