@@ -126,6 +126,8 @@ HEADLINE = [
     "quality_expectations_audit",
     "events_markov_transitions",
     "sketch_kmv_distinct_overlap",
+    "text_trigram_stupid_backoff",
+    "stats_join_skew_advisor",
 ]
 
 

@@ -98,6 +98,8 @@ _NEW_R8 = [
     "quality_expectations_audit",    # NEW in r8: dbt-style contracts
     "events_markov_transitions",     # NEW in r8: sequence transitions
     "sketch_kmv_distinct_overlap",   # NEW in r8: KMV set algebra
+    "text_trigram_stupid_backoff",   # NEW in r8: held-out SB LM
+    "stats_join_skew_advisor",       # NEW in r8: salting planner
 ]
 
 _CHANGED_R8 = [

@@ -1221,3 +1221,85 @@ def sketch_kmv_distinct_overlap(
             ).alias("est_intersection"),
         )
     )
+
+
+SKEW_HOT_FACTOR = 2.0  # a key is "hot" above 2x the mean key load
+SKEW_MAX_SALT = 64
+
+
+@query(
+    "stats_join_skew_advisor",
+    oracle=f"""
+    WITH k AS (
+      SELECT event_type AS join_key,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT SUM(n_rows) AS total,
+             COUNT(*) AS n_keys
+      FROM k
+    )
+    SELECT k.join_key, k.n_rows,
+           ROUND(k.n_rows * 1.0 / t.total, 4) AS frac,
+           ROUND(k.n_rows * t.n_keys * 1.0 / t.total, 4)
+               AS skew_factor,
+           k.n_rows * t.n_keys * 1.0 / t.total > {SKEW_HOT_FACTOR}
+               AS is_hot,
+           CAST(CASE WHEN k.n_rows * t.n_keys * 1.0 / t.total
+                          > {SKEW_HOT_FACTOR}
+                     THEN LEAST({SKEW_MAX_SALT},
+                          CEIL(k.n_rows * t.n_keys * 1.0 / t.total))
+                     ELSE 1 END AS BIGINT) AS recommended_salt
+    FROM k CROSS JOIN t
+    """,
+)
+def stats_join_skew_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Join-skew ADVISOR: per-key load profile of a prospective
+    shuffle-join key with a derived salting plan — the measurement
+    step that turns skewjoin_salted_event_types' hand-pinned
+    n_salt=16 into a number the data chose. For each key: row count,
+    corpus fraction, skew_factor = load vs the mean key (the
+    straggler multiplier a hash-partitioned shuffle would see), and
+    recommended_salt = ceil(skew_factor) capped at SKEW_MAX_SALT (64)
+    for keys above the SKEW_HOT_FACTOR (2x) hot threshold — the salt
+    that flattens the hot key back to ~mean-sized sub-partitions
+    (feed it to functions/joins.py salted_join; AQE's
+    skewedPartitionFactor=5 rebalance is the runtime fallback when
+    the key never reaches a groupBy).
+
+    Deterministic: counts are integers, ratios one double expression
+    per engine, ceil/least on exact quotients of integers — the
+    driver hash is exact.
+
+    Shape, built to scale: ONE grouped count over the key column
+    (map-side partials — each partition emits at most |keys| rows),
+    then all ratio/threshold work runs on the |keys|-row frame
+    against a 1-row broadcast total. Profiling a 100 TB join key
+    costs one column scan; that is the point — measure before you
+    shuffle.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    k = ev.groupBy(F.col("event_type").alias("join_key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    t = k.agg(
+        F.sum("n_rows").alias("total"), F.count("*").alias("n_keys")
+    )
+    sf = F.col("n_rows") * F.col("n_keys") / F.col("total")
+    return k.crossJoin(F.broadcast(t)).select(
+        "join_key",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("total"), 4).alias("frac"),
+        F.round(sf, 4).alias("skew_factor"),
+        (sf > SKEW_HOT_FACTOR).alias("is_hot"),
+        F.when(
+            sf > SKEW_HOT_FACTOR,
+            F.least(F.lit(SKEW_MAX_SALT), F.ceil(sf)),
+        )
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("recommended_salt"),
+    )

@@ -1774,3 +1774,255 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS (stat, value)"
         )
     )
+
+
+SB_ALPHA = 0.4  # Brants et al.'s fixed backoff multiplier
+
+
+@query(
+    "text_trigram_stupid_backoff",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(('0x' || substr(md5('sb:' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 10 < 5 AS is_train
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, is_train, i - 1 AS pos, ws[i] AS tok
+      FROM (SELECT doc_id, is_train,
+                   string_split_regex(trim(lower(text)), '\\s+') AS ws
+            FROM d),
+           unnest([i for i in range(1, len(ws) + 1)]) AS r(i)
+    ),
+    tri AS (
+      SELECT a.doc_id, a.is_train, a.tok AS w1, b.tok AS w2, c.tok AS w3
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    bg AS (
+      SELECT a.doc_id, a.is_train, a.tok AS w1, b.tok AS w2
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    c_tri AS (
+      SELECT w1, w2, w3, COUNT(*) AS c FROM tri WHERE is_train
+      GROUP BY 1, 2, 3
+    ),
+    c_bg AS (
+      SELECT w1, w2, COUNT(*) AS c FROM bg WHERE is_train GROUP BY 1, 2
+    ),
+    c_uni AS (
+      SELECT tok, COUNT(*) AS c FROM toks WHERE is_train GROUP BY 1
+    ),
+    sc AS (
+      SELECT COUNT(*) AS n, COUNT(DISTINCT tok) AS v
+      FROM toks WHERE is_train
+    ),
+    et AS (
+      SELECT doc_id, w1, w2, w3, COUNT(*) AS n_occ
+      FROM tri WHERE NOT is_train GROUP BY 1, 2, 3, 4
+    ),
+    dt AS (SELECT DISTINCT w1, w2, w3 FROM et),
+    sx AS (
+      SELECT dt.w1, dt.w2, dt.w3,
+             CASE WHEN t.c IS NOT NULL THEN t.c * 1.0 / b12.c
+                  WHEN b23.c IS NOT NULL
+                       THEN {SB_ALPHA} * b23.c / u2.c
+                  ELSE {SB_ALPHA} * {SB_ALPHA}
+                       * (COALESCE(u3.c, 0) + 1.0)
+                       / GREATEST(sc.n + sc.v, 1)
+             END AS s,
+             CASE WHEN t.c IS NOT NULL THEN 3
+                  WHEN b23.c IS NOT NULL THEN 2 ELSE 1 END AS ord
+      FROM dt
+      LEFT JOIN c_tri t
+        ON dt.w1 = t.w1 AND dt.w2 = t.w2 AND dt.w3 = t.w3
+      LEFT JOIN c_bg b12 ON dt.w1 = b12.w1 AND dt.w2 = b12.w2
+      LEFT JOIN c_bg b23 ON dt.w2 = b23.w1 AND dt.w3 = b23.w2
+      LEFT JOIN c_uni u2 ON dt.w2 = u2.tok
+      LEFT JOIN c_uni u3 ON dt.w3 = u3.tok
+      CROSS JOIN sc
+    ),
+    pd AS (
+      SELECT et.doc_id, CAST(SUM(et.n_occ) AS BIGINT) AS n_trigrams,
+             ROUND(SUM(et.n_occ * ln(sx.s)) / SUM(et.n_occ), 4)
+                 AS avg_logscore,
+             ROUND(SUM(et.n_occ * CASE WHEN sx.ord < 3 THEN 1 ELSE 0
+                                  END) * 1.0 / SUM(et.n_occ), 4)
+                 AS pct_backoff
+      FROM et JOIN sx
+        ON et.w1 = sx.w1 AND et.w2 = sx.w2 AND et.w3 = sx.w3
+      GROUP BY et.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(pd.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           pd.avg_logscore, pd.pct_backoff
+    FROM d LEFT JOIN pd USING (doc_id)
+    WHERE NOT d.is_train
+    """,
+)
+def text_trigram_stupid_backoff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trigram language-model scoring with STUPID BACKOFF (Brants et
+    al., "Large Language Models in Machine Translation", EMNLP'07 —
+    the LM smoothing built FOR distributed count tables: no
+    discounting state, just S(w3|w1w2) = c123/c12 if seen, else
+    0.4·c23/c2, else 0.4²·add-1-unigram). The corpus-LM family's
+    third member: bigram perplexity scores in-corpus (backoff never
+    fires there — every occurring bigram was trained on); this
+    TRAINS on a 50% md5 split and SCORES the held-out half, so
+    unseen trigrams genuinely back off (pct_backoff reports how
+    often). The held-out analogue of CCNet's external-LM filter.
+
+    Determinism: the split is the seed-free md5 bucket; counts are
+    integers; the one float expression has identical shape on both
+    engines; per-doc averages round 4dp after aggregation (the
+    registry's summation-order rule).
+
+    Shape, built to scale: counts are grouped aggregates with
+    map-side partials. Scoring is factored THROUGH TRIGRAM TYPES:
+    eval occurrences collapse to (doc, trigram) first, the count
+    joins run once per DISTINCT eval trigram (types << tokens,
+    Zipf), and only the scored type table joins back — 8-byte
+    xxhash64 trigram keys on every wide shuffle. The two
+    vocabulary-sized tables (context/unigram counts) BROADCAST —
+    same Zipf-hot-key reasoning pinned for bigram perplexity and
+    TF-IDF; trigram and bigram count tables shuffle (type-sized,
+    not broadcastable at 100 TB). Scalars (N, V) ride one
+    broadcast crossJoin.
+    """
+    from cdc_2025_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("sb:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    d = docs.select("doc_id", "text", (bucket < 5).alias("is_train"))
+    toks = d.select(
+        "doc_id",
+        "is_train",
+        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.select(
+            "doc_id",
+            "is_train",
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+            F.lead("tok", 2).over(w).alias("w3"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tri = grams.filter(F.col("w3").isNotNull())
+    bg = grams.filter(F.col("w2").isNotNull())
+    c_tri = (
+        tri.filter("is_train")
+        .groupBy(F.xxhash64("w1", "w2", "w3").alias("t_h"))
+        .agg(F.count("*").alias("c123"))
+    )
+    c_bg12 = (
+        bg.filter("is_train")
+        .groupBy(F.xxhash64("w1", "w2").alias("b_h"))
+        .agg(F.count("*").alias("c_b"))
+    )
+    c_uni = (
+        toks.filter("is_train")
+        .groupBy(F.xxhash64("tok").alias("u_h"))
+        .agg(F.count("*").alias("c_u"))
+    )
+    sc = toks.filter("is_train").agg(
+        F.count("*").alias("n"), F.countDistinct("tok").alias("v")
+    )
+    et = (
+        tri.filter(~F.col("is_train"))
+        .groupBy("doc_id", "w1", "w2", "w3")
+        .agg(F.count("*").alias("n_occ"))
+        .withColumn("t_h", F.xxhash64("w1", "w2", "w3"))
+        .localCheckpoint(eager=False)
+    )
+    dt = et.select(
+        "t_h",
+        F.xxhash64("w1", "w2").alias("b12_h"),
+        F.xxhash64("w2", "w3").alias("b23_h"),
+        F.xxhash64("w2").alias("u2_h"),
+        F.xxhash64("w3").alias("u3_h"),
+    ).distinct()
+    st = (
+        dt.join(c_tri, "t_h", "left")
+        .join(c_bg12.withColumnRenamed("b_h", "b12_h")
+              .withColumnRenamed("c_b", "c12"), "b12_h", "left")
+        .join(c_bg12.withColumnRenamed("b_h", "b23_h")
+              .withColumnRenamed("c_b", "c23"), "b23_h", "left")
+        .join(F.broadcast(c_uni.withColumnRenamed("u_h", "u2_h")
+              .withColumnRenamed("c_u", "c2")), "u2_h", "left")
+        .join(F.broadcast(c_uni.withColumnRenamed("u_h", "u3_h")
+              .withColumnRenamed("c_u", "c3")), "u3_h", "left")
+        .crossJoin(F.broadcast(sc))
+    )
+    a = float(SB_ALPHA)
+    sx = st.select(
+        "t_h",
+        F.when(
+            F.col("c123").isNotNull(), F.col("c123") / F.col("c12")
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            F.lit(a) * F.col("c23") / F.col("c2"),
+        )
+        .otherwise(
+            F.lit(a * a)
+            * (F.coalesce(F.col("c3"), F.lit(0)) + F.lit(1.0))
+            / F.greatest(F.col("n") + F.col("v"), F.lit(1))
+        )
+        .alias("s"),
+        F.when(F.col("c123").isNotNull(), F.lit(3))
+        .when(F.col("c23").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+        .alias("ord"),
+    )
+    pd = (
+        et.join(sx, "t_h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_trigrams"),
+            F.round(
+                F.sum(F.col("n_occ") * F.log("s")) / F.sum("n_occ"), 4
+            ).alias("avg_logscore"),
+            F.round(
+                F.sum(
+                    F.col("n_occ")
+                    * (F.col("ord") < 3).cast("int")
+                )
+                / F.sum("n_occ"),
+                4,
+            ).alias("pct_backoff"),
+        )
+    )
+    return (
+        d.filter(~F.col("is_train"))
+        .select("doc_id")
+        .join(pd, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_trigrams", F.lit(0))
+            .cast("long")
+            .alias("n_trigrams"),
+            "avg_logscore",
+            "pct_backoff",
+        )
+    )

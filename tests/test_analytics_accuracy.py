@@ -332,3 +332,35 @@ def test_kmv_sketch_is_mergeable(spark, sf_dir):
         ).collect()
     }
     assert direct == merged
+
+
+def test_join_skew_advisor_invariants(spark, sf_dir):
+    """Fractions sum to 1, skew factors average to 1 (both are
+    normalizations of the same counts), and the salt recommendation
+    is exactly ceil(skew_factor) capped at 64 for hot keys, 1
+    otherwise."""
+    import math
+
+    from cdc_2025_spark.queries.analytics import (
+        SKEW_HOT_FACTOR,
+        SKEW_MAX_SALT,
+    )
+
+    rows = QUERIES["stats_join_skew_advisor"](spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["frac"] for r in rows) - 1.0) < 0.01
+    assert (
+        abs(sum(r["skew_factor"] for r in rows) / len(rows) - 1.0) < 0.01
+    )
+    for r in rows:
+        assert r["is_hot"] == (r["skew_factor"] > SKEW_HOT_FACTOR)
+        if r["is_hot"]:
+            # skew_factor is reported rounded 4dp but ceil'd unrounded
+            # in-plan: at an integer boundary the two can differ by 1
+            c = math.ceil(r["skew_factor"])
+            assert r["recommended_salt"] in (
+                min(SKEW_MAX_SALT, c),
+                min(SKEW_MAX_SALT, c + 1),
+            )
+        else:
+            assert r["recommended_salt"] == 1

@@ -606,3 +606,110 @@ def test_reservoir_merge_property(spark, ids, pivot, k):
     )
     assert whole == merged
     assert len(whole) == min(k, len(ids))
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_trigram_stupid_backoff_matches_python_model(spark, texts):
+    """text_trigram_stupid_backoff vs a sequential stupid-backoff LM
+    (Brants et al. EMNLP'07) over random four-letter corpora: the md5
+    train/eval split, the 3->2->1 backoff cascade with its 0.4
+    multipliers, the add-1 unigram floor, per-doc occurrence
+    weighting, and the <3-token NULL contract must all agree to the
+    rounded output."""
+    import hashlib
+    import math
+    import os
+    import re
+    import tempfile
+
+    from cdc_2025_spark.queries.text import (
+        SB_ALPHA,
+        text_trigram_stupid_backoff,
+    )
+
+    rows = [(i, t, "en", "s", 0) for i, t in enumerate(texts)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            r["doc_id"]: (
+                r["n_trigrams"],
+                r["avg_logscore"],
+                r["pct_backoff"],
+            )
+            for r in text_trigram_stupid_backoff(spark, d).collect()
+        }
+
+    def is_train(i: int) -> bool:
+        h = hashlib.md5(f"sb:{i}".encode()).hexdigest()
+        return int(h[:8], 16) % 10 < 5
+
+    toks = {
+        i: re.split(r"\s+", t.strip().lower()) for i, t in enumerate(texts)
+    }
+    c_uni: dict[str, int] = {}
+    c_bg: dict[tuple[str, str], int] = {}
+    c_tri: dict[tuple[str, str, str], int] = {}
+    n = v = 0
+    for i, ts in toks.items():
+        if not is_train(i):
+            continue
+        for t in ts:
+            c_uni[t] = c_uni.get(t, 0) + 1
+        for w1, w2 in zip(ts, ts[1:]):
+            c_bg[(w1, w2)] = c_bg.get((w1, w2), 0) + 1
+        for w1, w2, w3 in zip(ts, ts[1:], ts[2:]):
+            c_tri[(w1, w2, w3)] = c_tri.get((w1, w2, w3), 0) + 1
+    n = sum(c_uni.values())
+    v = len(c_uni)
+    want = {}
+    for i, ts in toks.items():
+        if is_train(i):
+            continue
+        trigrams = list(zip(ts, ts[1:], ts[2:]))
+        if not trigrams:
+            want[i] = (0, None, None)
+            continue
+        logs, backoffs = [], 0
+        for w1, w2, w3 in trigrams:
+            if (w1, w2, w3) in c_tri:
+                s = c_tri[(w1, w2, w3)] / c_bg[(w1, w2)]
+            elif (w2, w3) in c_bg:
+                s = SB_ALPHA * c_bg[(w2, w3)] / c_uni[w2]
+                backoffs += 1
+            else:
+                s = (
+                    SB_ALPHA
+                    * SB_ALPHA
+                    * (c_uni.get(w3, 0) + 1.0)
+                    / max(n + v, 1)
+                )
+                backoffs += 1
+            logs.append(math.log(s))
+        want[i] = (
+            len(trigrams),
+            round(sum(logs) / len(logs), 4),
+            round(backoffs / len(trigrams), 4),
+        )
+    assert set(got) == set(want)
+    for i in want:
+        gn, ga, gp = got[i]
+        wn, wa, wp = want[i]
+        assert gn == wn, (i, got[i], want[i])
+        if wa is None:
+            assert ga is None and gp is None, (i, got[i])
+        else:
+            assert abs(ga - wa) <= 0.00011, (i, got[i], want[i])
+            assert abs(gp - wp) <= 0.00011, (i, got[i], want[i])

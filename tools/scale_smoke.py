@@ -57,6 +57,7 @@ QUERIES_UNDER_TEST = [
     "dedup_semdedup_decision",
     "dedup_incremental_bloom_prefilter",
     "text_chunk_documents",
+    "text_trigram_stupid_backoff",
     "text_bigram_perplexity",
     "sketch_cms_heavy_terms",
     "dedup_pipeline_accounting",
