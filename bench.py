@@ -128,6 +128,9 @@ HEADLINE = [
     "sketch_kmv_distinct_overlap",
     "text_trigram_stupid_backoff",
     "stats_join_skew_advisor",
+    "text_blocklist_filter",
+    "stats_equidepth_histogram",
+    "stats_join_cardinality_estimate",
 ]
 
 

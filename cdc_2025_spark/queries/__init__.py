@@ -100,11 +100,19 @@ _NEW_R8 = [
     "sketch_kmv_distinct_overlap",   # NEW in r8: KMV set algebra
     "text_trigram_stupid_backoff",   # NEW in r8: held-out SB LM
     "stats_join_skew_advisor",       # NEW in r8: salting planner
+    "text_blocklist_filter",         # NEW in r8: C4 term blocklist
+    "stats_equidepth_histogram",     # NEW in r8: range selectivity
+    "stats_join_cardinality_estimate",  # NEW in r8: CBO join sizing
 ]
 
 _CHANGED_R8 = [
     "text_bigram_perplexity",        # cnt_w1 now broadcast (task 3)
     "dedup_semdedup_decision",       # quantizer cache + cell cap
+    # The next three fell past the 50-cut when the last three r8g
+    # registrations landed — acceptable because their r8 changes are
+    # output-neutral and each was re-verified hash-green against its
+    # oracle at sf0.01 locally on 2026-08-15; front-load them in the
+    # round-9 window anyway.
     "text_chunk_documents",          # null-text guard both sides
     "dedup_incremental_bloom_prefilter",  # KM h2 nonzero fix
     "sketch_cms_heavy_terms",        # cms_params cross-reference

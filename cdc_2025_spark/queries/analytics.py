@@ -1303,3 +1303,275 @@ def stats_join_skew_advisor(
         .cast("long")
         .alias("recommended_salt"),
     )
+
+
+EQUIDEPTH_BUCKETS = 8
+
+
+def _equidepth_case(col: str, pick: str) -> str:
+    """CASE expression assigning ``col`` to its equi-depth bucket
+    (pick='bucket') or the bucket's upper boundary (pick='hi') —
+    identical SQL text on both engines."""
+    arms = []
+    for i in range(1, EQUIDEPTH_BUCKETS):
+        arms.append(
+            f"WHEN {col} <= b{i} THEN "
+            + (str(i) if pick == "bucket" else f"b{i}")
+        )
+    tail = str(EQUIDEPTH_BUCKETS) if pick == "bucket" else "b8"
+    return "CASE " + " ".join(arms) + f" ELSE {tail} END"
+
+
+@query(
+    "stats_equidepth_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT
+        {", ".join(
+            f"quantile_disc(l_extendedprice, {i / EQUIDEPTH_BUCKETS})"
+            f" AS b{i}"
+            for i in range(1, EQUIDEPTH_BUCKETS)
+        )},
+        MAX(l_extendedprice) AS b8,
+        COUNT(*) AS total
+      FROM lineitem
+    ),
+    a AS (
+      SELECT {_equidepth_case("l_extendedprice", "bucket")} AS bucket,
+             {_equidepth_case("l_extendedprice", "hi")} AS hi,
+             total
+      FROM lineitem CROSS JOIN b
+    )
+    SELECT bucket, hi,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(COUNT(*) * 1.0 / MAX(total), 4) AS frac
+    FROM a GROUP BY bucket, hi
+    """,
+)
+def stats_equidepth_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Equi-depth (equi-height) histogram of a fact column — THE
+    optimizer statistic for range-predicate selectivity (Spark CBO's
+    `spark.sql.statistics.histogram.enabled` builds exactly this;
+    Selinger'79 assumed uniform, equi-depth is what replaced it).
+    Complements the planner-stats family: `stats_analyze_lineitem`
+    (per-column moments/ndv/MCV) and `stats_join_skew_advisor`
+    (per-key shuffle load) — this adds range selectivity: any
+    predicate `lo < x <= hi` estimates as the covered bucket
+    fraction, error bounded by 2/n_buckets regardless of the value
+    distribution (the equi-depth guarantee equi-WIDTH histograms
+    lack under skew, cf. `histogram_order_values`).
+
+    Determinism: boundaries are disc percentiles — actual data
+    values, bit-identical across engines (percentile_disc ==
+    quantile_disc, verified across a p grid); bucket membership is
+    exact double comparison against those values; counts are
+    integers. The driver hash is exact.
+
+    Shape, built to scale: TWO single-column scans — one exact
+    disc-percentile aggregate for the 7 boundaries (at 100 TB swap
+    for approx_percentile / the registered KLL sketch, accuracy
+    knob documented there), then one pass assigning each row its
+    bucket via a codegen'd CASE against the 1-row broadcast
+    boundary frame and aggregating onto <= 8 (bucket, hi) keys with
+    map-side partials. No sort, no per-row window — ntile() over a
+    global ORDER BY builds the same histogram through one
+    single-reducer sort, the shape this plan exists to avoid.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    bounds = li.agg(
+        *[
+            F.expr(
+                f"percentile_disc({i / EQUIDEPTH_BUCKETS}) WITHIN GROUP"
+                " (ORDER BY v)"
+            ).alias(f"b{i}")
+            for i in range(1, EQUIDEPTH_BUCKETS)
+        ],
+        F.max("v").alias("b8"),
+        F.count("*").alias("total"),
+    )
+    a = li.crossJoin(F.broadcast(bounds)).select(
+        F.expr(_equidepth_case("v", "bucket")).alias("bucket"),
+        F.expr(_equidepth_case("v", "hi")).alias("hi"),
+        "total",
+    )
+    return a.groupBy("bucket", "hi").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.count("*") / F.max("total"), 4).alias("frac"),
+    )
+
+
+CARD_MCV_K = 3  # MCV entries kept by the mcv+tail estimator
+
+
+@query(
+    "stats_join_cardinality_estimate",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type AS k, CAST(COUNT(*) AS BIGINT) AS cr
+      FROM events
+      WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 2 = 0
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT event_type AS k, CAST(COUNT(*) AS BIGINT) AS cs
+      FROM events
+      WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 2 = 1
+      GROUP BY 1
+    ),
+    pk AS (
+      SELECT COALESCE(r.k, s.k) AS k,
+             COALESCE(r.cr, 0) AS cr,
+             COALESCE(s.cs, 0) AS cs,
+             ROW_NUMBER() OVER (ORDER BY COALESCE(r.cr, 0) DESC,
+                                COALESCE(r.k, s.k)) <= {CARD_MCV_K}
+                 AS is_mcv
+      FROM r FULL OUTER JOIN s ON r.k = s.k
+    ),
+    agg AS (
+      SELECT SUM(cr * cs) AS actual,
+             SUM(cr) AS nr, SUM(cs) AS ns,
+             SUM(CASE WHEN cr > 0 THEN 1 ELSE 0 END) AS ndvr,
+             SUM(CASE WHEN cs > 0 THEN 1 ELSE 0 END) AS ndvs,
+             SUM(CASE WHEN is_mcv THEN cr * cs ELSE 0 END) AS mcv_exact,
+             SUM(CASE WHEN is_mcv THEN cr ELSE 0 END) AS mcv_nr,
+             SUM(CASE WHEN is_mcv THEN cs ELSE 0 END) AS mcv_ns,
+             SUM(CASE WHEN is_mcv AND cr > 0 THEN 1 ELSE 0 END)
+                 AS mcv_ndvr,
+             SUM(CASE WHEN is_mcv AND cs > 0 THEN 1 ELSE 0 END)
+                 AS mcv_ndvs
+      FROM pk
+    ),
+    est AS (
+      SELECT 'uniform_ndv' AS method,
+             CAST(nr * ns AS DOUBLE) / GREATEST(ndvr, ndvs)
+                 AS est_rows, actual
+      FROM agg
+      UNION ALL
+      SELECT 'mcv_top{CARD_MCV_K}_uniform_tail',
+             mcv_exact
+             + CAST((nr - mcv_nr) * (ns - mcv_ns) AS DOUBLE)
+               / GREATEST(ndvr - mcv_ndvr, ndvs - mcv_ndvs, 1),
+             actual
+      FROM agg
+      UNION ALL
+      SELECT 'perkey_exact', CAST(actual AS DOUBLE), actual FROM agg
+    )
+    SELECT method,
+           ROUND(est_rows, 4) AS est_rows,
+           CAST(actual AS BIGINT) AS actual_rows,
+           CASE WHEN actual > 0
+                THEN ROUND(ABS(est_rows - actual) / actual, 4)
+           END AS rel_error
+    FROM est
+    """,
+)
+def stats_join_cardinality_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Join-output-size estimation from per-side key statistics —
+    the CBO ladder (Selinger et al. SIGMOD'79 uniform-ndv; MCV +
+    uniform tail, the System-R refinement PostgreSQL and Spark CBO
+    ship; full per-key histogram = exact) demonstrated on a
+    prospective self-equi-join of old-half x new-half events on the
+    Zipf-skewed event_type key, WITHOUT executing the join. The
+    measure-before-you-shuffle planner family:
+    `stats_analyze_lineitem` (column stats), `stats_equidepth_
+    histogram` (range selectivity), `stats_join_skew_advisor`
+    (per-key load) — this one prices the join itself; under skew the
+    uniform estimate undershoots (sum of squares vs square of sums)
+    and the output quantifies by exactly how much.
+
+    Halves via the seed-free md5-parity split (the
+    `sample_hash_deterministic` convention) so both engines and
+    every rerun see identical sides.
+
+    Determinism: every statistic is an integer aggregate; each
+    estimate is one double expression of integers with identical
+    shape in both engines; MCV pick is row_number with a full
+    tiebreak (count DESC, key ASC). The driver hash is exact.
+
+    Shape, built to scale: ONE grouped count per side (map-side
+    partials, <= |keys| rows each), a full-outer join of the two
+    |keys|-row frames, one window + one aggregate over that frame,
+    and a 3-row stack — the estimate costs two column scans; the
+    join it prices would cost sum(cr*cs) row materializations.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    parity = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    sides = ev.select(F.col("event_type").alias("k"), parity.alias("p"))
+    cnt = lambda pv, nm: (  # noqa: E731
+        sides.filter(F.col("p") == pv)
+        .groupBy("k")
+        .agg(F.count("*").alias(nm))
+    )
+    pk = (
+        cnt(0, "cr")
+        .join(cnt(1, "cs"), "k", "full_outer")
+        .select(
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("cs", F.lit(0)).alias("cs"),
+            "k",
+        )
+        .withColumn(
+            "is_mcv",
+            F.row_number().over(
+                Window.orderBy(F.col("cr").desc(), F.col("k"))
+            )
+            <= CARD_MCV_K,
+        )
+    )
+    mc = lambda c: F.when(F.col("is_mcv"), c).otherwise(F.lit(0))  # noqa: E731
+    agg = pk.agg(
+        F.sum(F.col("cr") * F.col("cs")).alias("actual"),
+        F.sum("cr").alias("nr"),
+        F.sum("cs").alias("ns"),
+        F.sum((F.col("cr") > 0).cast("long")).alias("ndvr"),
+        F.sum((F.col("cs") > 0).cast("long")).alias("ndvs"),
+        F.sum(mc(F.col("cr") * F.col("cs"))).alias("mcv_exact"),
+        F.sum(mc(F.col("cr"))).alias("mcv_nr"),
+        F.sum(mc(F.col("cs"))).alias("mcv_ns"),
+        F.sum(mc((F.col("cr") > 0).cast("long"))).alias("mcv_ndvr"),
+        F.sum(mc((F.col("cs") > 0).cast("long"))).alias("mcv_ndvs"),
+    )
+    est = agg.select(
+        F.expr(
+            f"""stack(3,
+            'uniform_ndv',
+            CAST(nr * ns AS DOUBLE) / GREATEST(ndvr, ndvs),
+            actual,
+            'mcv_top{CARD_MCV_K}_uniform_tail',
+            mcv_exact + CAST((nr - mcv_nr) * (ns - mcv_ns) AS DOUBLE)
+                / GREATEST(ndvr - mcv_ndvr, ndvs - mcv_ndvs, 1),
+            actual,
+            'perkey_exact', CAST(actual AS DOUBLE), actual
+            ) AS (method, est_rows, actual)"""
+        )
+    )
+    return est.select(
+        "method",
+        F.round("est_rows", 4).alias("est_rows"),
+        F.col("actual").cast("long").alias("actual_rows"),
+        # actual = 0 (disjoint key sets) leaves rel_error undefined
+        # rather than tripping ANSI divide-by-zero
+        F.when(
+            F.col("actual") > 0,
+            F.round(
+                F.abs(F.col("est_rows") - F.col("actual"))
+                / F.col("actual"),
+                4,
+            ),
+        ).alias("rel_error"),
+    )

@@ -2026,3 +2026,86 @@ def text_trigram_stupid_backoff(
             "pct_backoff",
         )
     )
+
+
+# C4-style blocklist: terms whose presence drops a document (Raffel
+# et al. JMLR'20 §2.2 drop any page containing a listed word; the
+# public list is language-specific — this fixture-scale stand-in
+# keeps the mechanism real and the terms swappable).
+BLOCKLIST_TERMS = ("dup", "spill", "leak")
+
+
+@query(
+    "text_blocklist_filter",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(trim(lower(text)), ' ')) AS tok
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_hits,
+             CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_terms
+      FROM tok
+      WHERE tok IN {BLOCKLIST_TERMS!r}
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_terms, 0) AS n_terms,
+           COALESCE(h.n_hits, 0) > 0 AS dropped
+    FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+    WHERE d.text IS NOT NULL
+    """,
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist document filter — the C4 cleaning stage (Raffel et
+    al. JMLR'20: drop any page containing a word from a blocklist),
+    with per-document hit accounting so the drop decision is
+    auditable: total blocklist-token occurrences, distinct terms
+    hit, and the keep/drop verdict. Complements the regex-based
+    ``text_pii_scrub`` (patterns) and ``text_clean_normalize``
+    (whitespace/charset) stages — this one is exact-term membership.
+
+    Deterministic: integer counts and an integer comparison — the
+    driver hash is exact. NULL text is excluded identically on both
+    engines (the chunking-parity rule).
+
+    Shape, built to scale: whitespace explode, then the membership
+    test is a codegen'd ``IN`` over the literal term list — no join,
+    no Python, the filter runs inside the scan's whole-stage
+    codegen and survives any blocklist that fits in a literal (the
+    real C4 English list is ~400 terms; beyond ~thousands, swap the
+    literal for a broadcast semi-join — same plan shape as
+    ``text_tfidf_top_terms``'s idf table). One doc_id-keyed shuffle
+    for the per-doc aggregate (map-side partials), then a left join
+    back to the doc spine so zero-hit documents keep their row.
+    100 TB cost: one corpus scan + one document-grain exchange.
+    """
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    hits = (
+        toks.filter(F.col("tok").isin(*BLOCKLIST_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.countDistinct("tok").alias("n_terms"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("dropped"),
+        )
+    )

@@ -364,3 +364,93 @@ def test_join_skew_advisor_invariants(spark, sf_dir):
             )
         else:
             assert r["recommended_salt"] == 1
+
+
+def test_equidepth_histogram_invariants(spark, sf_dir):
+    """Buckets partition the table: counts sum to the row count,
+    fractions to ~1, boundaries are strictly increasing, and no
+    bucket is empty; depth balance holds within the tie slack
+    (duplicate values at a boundary go to one side by definition)."""
+    from cdc_2025_spark.queries.analytics import EQUIDEPTH_BUCKETS
+
+    rows = sorted(
+        QUERIES["stats_equidepth_histogram"](spark, sf_dir).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in rows] == list(
+        range(1, EQUIDEPTH_BUCKETS + 1)
+    )
+    his = [r["hi"] for r in rows]
+    assert his == sorted(his) and len(set(his)) == len(his)
+    total = (
+        read_table(spark, sf_dir, "lineitem").count()
+    )
+    assert sum(r["n_rows"] for r in rows) == total
+    assert abs(sum(r["frac"] for r in rows) - 1.0) < 0.01
+    assert all(r["n_rows"] > 0 for r in rows)
+    # equi-depth balance: every bucket within 3x of the ideal depth
+    # (discrete boundaries + ties make exact 1/B impossible)
+    ideal = total / EQUIDEPTH_BUCKETS
+    assert max(r["n_rows"] for r in rows) <= 3 * ideal
+
+
+def test_join_cardinality_estimate_vs_executed_join(spark, sf_dir):
+    """The 'actual' column (computed from per-key counts, never
+    materializing the join) equals the executed join's row count;
+    perkey_exact has zero error; the MCV estimate is no worse than
+    uniform (it replaces the top keys' uniform guess with truth)."""
+    rows = {
+        r["method"]: r
+        for r in QUERIES["stats_join_cardinality_estimate"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {
+        "uniform_ndv",
+        "mcv_top3_uniform_tail",
+        "perkey_exact",
+    }
+    actual = rows["perkey_exact"]["actual_rows"]
+    assert rows["perkey_exact"]["rel_error"] == 0.0
+    assert (
+        rows["mcv_top3_uniform_tail"]["rel_error"]
+        <= rows["uniform_ndv"]["rel_error"] + 1e-9
+    )
+    ev = read_table(spark, sf_dir, "events")
+    parity = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    sides = ev.select(F.col("event_type").alias("k"), parity.alias("p"))
+    r = sides.filter(F.col("p") == 0).select("k")
+    s = sides.filter(F.col("p") == 1).select(F.col("k").alias("k2"))
+    executed = r.join(s, r["k"] == s["k2"]).count()
+    assert executed == actual
+
+
+def test_blocklist_filter_accounting(spark, sf_dir):
+    """Per-doc hit accounting matches a direct token recount, the
+    drop rule is n_hits > 0, and every non-null-text document keeps
+    exactly one row."""
+    from cdc_2025_spark.queries.text import BLOCKLIST_TERMS
+
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["text_blocklist_filter"](spark, sf_dir).collect()
+    }
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    assert set(got) == {r["doc_id"] for r in docs.select("doc_id").collect()}
+    sample = docs.limit(50).collect()
+    for row in sample:
+        toks = row["text"].strip().lower().split()
+        hits = [t for t in toks if t in BLOCKLIST_TERMS]
+        g = got[row["doc_id"]]
+        assert g["n_hits"] == len(hits)
+        assert g["n_terms"] == len(set(hits))
+        assert g["dropped"] == (len(hits) > 0)

@@ -351,3 +351,43 @@ def test_round8_kernels_empty(spark):
             "event_type string, value double, props string",
         ).write.parquet(os.path.join(td, "events.parquet"))
         assert mine_frequent_event_sets(spark, td).count() == 0
+
+
+def test_planner_stats_and_blocklist_empty(spark, tmp_path):
+    """Round-8g registrations on empty tables: the equi-depth
+    histogram and the blocklist filter return zero rows; the join
+    cardinality estimator still returns its 3 method rows with NULL
+    estimates and NULL rel_error (never an ANSI divide-by-zero) —
+    the actual=0 guard that also covers disjoint key sets."""
+    import os
+
+    from cdc_2025_spark.queries.analytics import (
+        stats_equidepth_histogram,
+        stats_join_cardinality_estimate,
+    )
+    from cdc_2025_spark.queries.text import text_blocklist_filter
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    spark.createDataFrame(
+        [],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).coalesce(1).write.parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+
+    assert text_blocklist_filter(spark, d).count() == 0
+    assert stats_equidepth_histogram(spark, d).count() == 0
+    rows = stats_join_cardinality_estimate(spark, d).collect()
+    assert len(rows) == 3
+    assert all(r["rel_error"] is None for r in rows)

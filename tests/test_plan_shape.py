@@ -513,3 +513,46 @@ def test_analyze_reads_only_statted_columns(spark, sf_dir):
     assert "l_quantity" in read and "l_shipdate" in read
     assert "l_orderkey" not in read and "l_comment" not in read
     assert "SinglePartition" not in p
+
+
+def test_equidepth_plan_no_global_sort(spark, sf_dir):
+    """Equi-depth histogram must build from the percentile aggregate
+    + a 1-row broadcast, never the ntile-over-global-ORDER-BY shape:
+    no Window, no Sort; the scan reads exactly the one column."""
+    spark.catalog.clearCache()
+    p = plan_of(spark, sf_dir, "stats_equidepth_histogram")
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row bounds frame
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" in read and "l_orderkey" not in read
+
+
+def test_join_cardinality_plan_never_joins_fact_rows(spark, sf_dir):
+    """The estimator prices the join from per-side grouped counts —
+    the only join in the plan is between the two |keys|-row count
+    frames (post-aggregate), never between event-grain rows, and
+    the scans read only (event_id, event_type)."""
+    spark.catalog.clearCache()
+    p = plan_of(spark, sf_dir, "stats_join_cardinality_estimate")
+    for line in p.splitlines():
+        if "ReadSchema" in line:
+            assert "user_id" not in line and "props" not in line
+    # joins appear above HashAggregate stages, so each join input is
+    # an aggregated frame: exactly one join NODE in the tree (the
+    # formatted plan names each node once in the tree section as
+    # "(n) SortMergeJoin ...")
+    import re as _re
+
+    tree_joins = _re.findall(r"\(\d+\) \w*Join", p)
+    assert len(tree_joins) == 1, tree_joins
+
+
+def test_blocklist_plan_is_codegen_membership(spark, sf_dir):
+    """Blocklist membership must stay a codegen'd IN filter on the
+    exploded tokens — no Python stage, no cartesian, and the doc
+    spine re-attach broadcasts the tiny hit frame."""
+    spark.catalog.clearCache()
+    p = plan_of(spark, sf_dir, "text_blocklist_filter")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "IsNotNull(text)" in p  # null-text filter pushed to scan

@@ -98,6 +98,7 @@ QUERIES_UNDER_TEST = [
     "text_clean_normalize",
     "text_vocab_coverage",
     "graph_triangle_stats",
+    "text_blocklist_filter",
 ]
 # merge_into_customer_balances reads the star schema (customer/orders)
 # — not part of the replica corpus; its scale note lives in BASELINE.md
