@@ -392,6 +392,24 @@ def test_equidepth_histogram_invariants(spark, sf_dir):
     # (discrete boundaries + ties make exact 1/B impossible)
     ideal = total / EQUIDEPTH_BUCKETS
     assert max(r["n_rows"] for r in rows) <= 3 * ideal
+    # the single-sort ceil(p*n) index formula must equal Spark's own
+    # percentile_disc (which is verified == DuckDB quantile_disc) —
+    # the equivalence the fast boundary pass rests on
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v")
+    )
+    ref = li.agg(
+        *[
+            F.expr(
+                f"percentile_disc({i / EQUIDEPTH_BUCKETS}) WITHIN"
+                " GROUP (ORDER BY v)"
+            ).alias(f"b{i}")
+            for i in range(1, EQUIDEPTH_BUCKETS)
+        ]
+    ).collect()[0]
+    assert his[: EQUIDEPTH_BUCKETS - 1] == [
+        ref[f"b{i}"] for i in range(1, EQUIDEPTH_BUCKETS)
+    ]
 
 
 def test_join_cardinality_estimate_vs_executed_join(spark, sf_dir):
