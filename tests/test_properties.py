@@ -713,3 +713,157 @@ def test_trigram_stupid_backoff_matches_python_model(spark, texts):
         else:
             assert abs(ga - wa) <= 0.00011, (i, got[i], want[i])
             assert abs(gp - wp) <= 0.00011, (i, got[i], want[i])
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1000,
+            max_value=1000,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    dup_every=st.integers(min_value=0, max_value=3),
+)
+def test_equidepth_matches_python_model(spark, vals, dup_every):
+    """stats_equidepth_histogram vs the pure model: boundaries at
+    sorted[ceil(p*n)] (1-based), first-match bucket assignment,
+    HALF_UP 4dp fractions — including tie-heavy inputs where equal
+    boundaries legally collapse buckets (missing bucket ids)."""
+    import os
+    import tempfile
+    from decimal import ROUND_HALF_UP, Decimal
+    from math import ceil
+
+    from cdc_2025_spark.queries.analytics import (
+        EQUIDEPTH_BUCKETS as B,
+        stats_equidepth_histogram,
+    )
+
+    if dup_every:
+        vals = vals + vals[::dup_every]  # force ties
+    rows = [
+        (i, 0, 0, 0, 0.0, float(v), 0.0, 0.0, "N", "O", None)
+        for i, v in enumerate(vals)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_partkey long, l_suppkey long,"
+            " l_linenumber int, l_quantity double,"
+            " l_extendedprice double, l_discount double, l_tax double,"
+            " l_returnflag string, l_linestatus string,"
+            " l_shipdate timestamp",
+        ).coalesce(1).write.parquet(os.path.join(d, "lineitem.parquet"))
+        got = {
+            (r["bucket"], r["hi"]): (r["n_rows"], r["frac"])
+            for r in stats_equidepth_histogram(spark, d).collect()
+        }
+    s = sorted(vals)
+    n = len(s)
+    bounds = [s[min(max(ceil(i / B * n), 1), n) - 1] for i in range(1, B)]
+    bounds.append(s[-1])
+
+    def assign(v):
+        for i, b in enumerate(bounds[:-1], 1):
+            if v <= b:
+                return i, b
+        return B, bounds[-1]
+
+    from collections import Counter
+
+    cnt = Counter(assign(v) for v in vals)
+    want = {
+        k: (
+            c,
+            float(
+                Decimal(c / n).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP
+                )
+            ),
+        )
+        for k, c in cnt.items()
+    }
+    assert got == want
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.sampled_from(["a", "b", "c", "d"]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_join_cardinality_matches_python_model(spark, rows):
+    """stats_join_cardinality_estimate vs the pure model: the
+    md5-parity split, the three estimator formulas (uniform-ndv,
+    MCV+uniform tail, per-key exact), and the actual join size —
+    for arbitrary key multisets, including one-sided and disjoint
+    splits (rel_error NULL when the true join is empty)."""
+    import hashlib
+    import os
+    import tempfile
+    from collections import Counter
+    from datetime import datetime
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from cdc_2025_spark.queries.analytics import (
+        CARD_MCV_K,
+        stats_join_cardinality_estimate,
+    )
+
+    data = [
+        (i, datetime(2020, 1, 1), 1, k, 0.0, "{}")
+        for i, k in enumerate(rows)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            data,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r["method"]: (
+                r["est_rows"],
+                r["actual_rows"],
+                r["rel_error"],
+            )
+            for r in stats_join_cardinality_estimate(spark, d).collect()
+        }
+
+    def parity(eid):
+        return int(hashlib.md5(str(eid).encode()).hexdigest()[:8], 16) % 2
+
+    cr = Counter(k for i, k in enumerate(rows) if parity(i) == 0)
+    cs = Counter(k for i, k in enumerate(rows) if parity(i) == 1)
+    keys = set(cr) | set(cs)
+    actual = sum(cr[k] * cs[k] for k in keys)
+    nr, ns = sum(cr.values()), sum(cs.values())
+    ndvr, ndvs = len(cr), len(cs)
+    mcv = sorted(keys, key=lambda k: (-cr[k], k))[:CARD_MCV_K]
+    uni = nr * ns / max(ndvr, ndvs) if max(ndvr, ndvs) else None
+    m_exact = sum(cr[k] * cs[k] for k in mcv)
+    m_nr = sum(cr[k] for k in mcv)
+    m_ns = sum(cs[k] for k in mcv)
+    m_ndvr = sum(1 for k in mcv if cr[k] > 0)
+    m_ndvs = sum(1 for k in mcv if cs[k] > 0)
+    tail = (nr - m_nr) * (ns - m_ns) / max(ndvr - m_ndvr, ndvs - m_ndvs, 1)
+    mcv_est = m_exact + tail
+
+    def r4(x):
+        return float(
+            Decimal(x).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+
+    def expect(est):
+        rel = r4(abs(est - actual) / actual) if actual > 0 else None
+        return (r4(est), actual, rel)
+
+    assert got["perkey_exact"] == expect(float(actual))
+    assert got["uniform_ndv"] == expect(uni)
+    assert got["mcv_top3_uniform_tail"] == expect(mcv_est)
