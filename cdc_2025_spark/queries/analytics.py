@@ -1318,7 +1318,11 @@ def _equidepth_case(col: str, pick: str) -> str:
             f"WHEN {col} <= b{i} THEN "
             + (str(i) if pick == "bucket" else f"b{i}")
         )
-    tail = str(EQUIDEPTH_BUCKETS) if pick == "bucket" else "b8"
+    tail = (
+        str(EQUIDEPTH_BUCKETS)
+        if pick == "bucket"
+        else f"b{EQUIDEPTH_BUCKETS}"
+    )
     return "CASE " + " ".join(arms) + f" ELSE {tail} END"
 
 
@@ -1332,15 +1336,17 @@ def _equidepth_case(col: str, pick: str) -> str:
             f" AS b{i}"
             for i in range(1, EQUIDEPTH_BUCKETS)
         )},
-        MAX(l_extendedprice) AS b8,
+        MAX(l_extendedprice) AS b{EQUIDEPTH_BUCKETS},
         COUNT(*) AS total
       FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
     ),
     a AS (
       SELECT {_equidepth_case("l_extendedprice", "bucket")} AS bucket,
              {_equidepth_case("l_extendedprice", "hi")} AS hi,
              total
       FROM lineitem CROSS JOIN b
+      WHERE l_extendedprice IS NOT NULL
     )
     SELECT bucket, hi,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -1385,8 +1391,13 @@ def stats_equidepth_histogram(
     100 TB swap this aggregate for approx_percentile / the
     registered KLL sketch (accuracy knob documented there).
     """
-    li = read_table(spark, sf_dir, "lineitem").select(
-        F.col("l_extendedprice").alias("v")
+    # NULL prices are excluded identically on both engines (the
+    # chunking-parity rule): they carry no range information, and an
+    # unfiltered CASE would silently file them under the last bucket
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(F.col("l_extendedprice").alias("v"))
     )
     sorted_buf = li.agg(
         F.array_sort(F.collect_list("v")).alias("s"),
@@ -1407,7 +1418,7 @@ def stats_equidepth_histogram(
             ).alias(f"b{i}")
             for i in range(1, EQUIDEPTH_BUCKETS)
         ],
-        _disc(F.col("total")).alias("b8"),
+        _disc(F.col("total")).alias(f"b{EQUIDEPTH_BUCKETS}"),
         "total",
     )
     a = li.crossJoin(F.broadcast(bounds)).select(

@@ -1940,13 +1940,19 @@ def text_trigram_stupid_backoff(
         .groupBy(F.xxhash64("w1", "w2").alias("b_h"))
         .agg(F.count("*").alias("c_b"))
     )
+    # unigram counts and corpus scalars come from grams (one row per
+    # token position, w1 = the token) so the posexplode runs once —
+    # from toks they would re-scan the corpus; c_uni is checkpointed
+    # because it feeds TWO broadcast joins (u2/u3) whose renamed
+    # subplans ReuseExchange cannot unify
     c_uni = (
-        toks.filter("is_train")
-        .groupBy(F.xxhash64("tok").alias("u_h"))
+        grams.filter("is_train")
+        .groupBy(F.xxhash64("w1").alias("u_h"))
         .agg(F.count("*").alias("c_u"))
+        .localCheckpoint(eager=False)
     )
-    sc = toks.filter("is_train").agg(
-        F.count("*").alias("n"), F.countDistinct("tok").alias("v")
+    sc = grams.filter("is_train").agg(
+        F.count("*").alias("n"), F.countDistinct("w1").alias("v")
     )
     et = (
         tri.filter(~F.col("is_train"))
@@ -2034,13 +2040,20 @@ def text_trigram_stupid_backoff(
 # keeps the mechanism real and the terms swappable).
 BLOCKLIST_TERMS = ("dup", "spill", "leak")
 
+# explicit SQL quoting (repr would emit a trailing comma for a
+# 1-element tuple and double-quote terms containing apostrophes)
+_BLOCKLIST_SQL = ", ".join(
+    "'" + t.replace("'", "''") + "'" for t in BLOCKLIST_TERMS
+)
+
 
 @query(
     "text_blocklist_filter",
     oracle=f"""
     WITH tok AS (
       SELECT doc_id,
-             unnest(string_split(trim(lower(text)), ' ')) AS tok
+             unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                 AS tok
       FROM documents
       WHERE text IS NOT NULL
     ),
@@ -2049,7 +2062,7 @@ BLOCKLIST_TERMS = ("dup", "spill", "leak")
              CAST(COUNT(*) AS BIGINT) AS n_hits,
              CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_terms
       FROM tok
-      WHERE tok IN {BLOCKLIST_TERMS!r}
+      WHERE tok IN ({_BLOCKLIST_SQL})
       GROUP BY doc_id
     )
     SELECT d.doc_id,

@@ -353,7 +353,12 @@ def test_join_skew_advisor_invariants(spark, sf_dir):
         abs(sum(r["skew_factor"] for r in rows) / len(rows) - 1.0) < 0.01
     )
     for r in rows:
-        assert r["is_hot"] == (r["skew_factor"] > SKEW_HOT_FACTOR)
+        # skew_factor is reported rounded 4dp but is_hot is computed
+        # from the unrounded value in-plan — at the threshold
+        # boundary (within half an ulp of the rounding grid) the two
+        # can legitimately disagree; only assert away from it
+        if abs(r["skew_factor"] - SKEW_HOT_FACTOR) > 1e-4:
+            assert r["is_hot"] == (r["skew_factor"] > SKEW_HOT_FACTOR)
         if r["is_hot"]:
             # skew_factor is reported rounded 4dp but ceil'd unrounded
             # in-plan: at an integer boundary the two can differ by 1
@@ -472,3 +477,44 @@ def test_blocklist_filter_accounting(spark, sf_dir):
         assert g["n_hits"] == len(hits)
         assert g["n_terms"] == len(set(hits))
         assert g["dropped"] == (len(hits) > 0)
+
+
+def test_blocklist_whitespace_and_null_parity(spark, tmp_path):
+    """Blocklist tokenization must treat tabs/newlines as separators
+    on BOTH engines (Spark \\s+ split vs DuckDB string_split_regex)
+    and both must drop NULL-text docs — the fixture the review
+    flagged: a space-only split would miss 'spill' after a tab."""
+    import os
+
+    import duckdb
+
+    from cdc_2025_spark.queries import ORACLES, QUERIES
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "clean text\tspill here", "en", "s", 0),
+            (2, "dup\ndup ok", "en", "s", 0),
+            (3, None, "en", "s", 0),
+            (4, "fine doc", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_hits"], r["n_terms"], r["dropped"])
+        for r in QUERIES["text_blocklist_filter"](spark, d).collect()
+    }
+    assert got == {1: (1, 1, True), 2: (2, 1, True), 4: (0, 0, False)}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = {
+        int(r[0]): (int(r[1]), int(r[2]), bool(r[3]))
+        for r in con.execute(
+            ORACLES["text_blocklist_filter"]
+        ).fetchall()
+    }
+    assert want == got
