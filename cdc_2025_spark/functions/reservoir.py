@@ -80,3 +80,82 @@ def merge_samples(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
     small = u.orderBy("prio", key).limit(k)
     w = Window.orderBy("prio", key)
     return small.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+def weighted_priority(key, weight) -> F.Column:
+    """Efraimidis-Spirakis exponential race key: -ln(u)/w with u the
+    deterministic uniform in (0, 1] drawn from a salted md5 of the
+    key ('wrs:' keeps the draw independent of the uniform sampler's
+    'rs:' stream). Taking the K SMALLEST race keys samples keys with
+    probability proportional to weight without replacement
+    (Efraimidis & Spirakis, IPL 2006, the u^(1/w) top-k formulated
+    as the numerically-stabler -ln(u)/w bottom-k; the exponential
+    race: -ln(u)/w ~ Exp(w), and the minimum of exponentials lands
+    on each competitor with probability w_i / sum(w))."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wrs:"), F.col(key).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % PRIORITY_SCALE
+        + 1
+    ) / float(PRIORITY_SCALE)
+    return -F.log(u) / weight
+
+
+def weighted_bottomk_sample(
+    df: DataFrame, k: int, key_col: str, weight_col: str
+) -> DataFrame:
+    """Weight-proportional K-sample without replacement: the K rows
+    with the smallest (race key, key) — (key, weight, wprio, rk).
+    NULL keys and non-positive/NULL weights are excluded (a weight
+    <= 0 means "never sample"; -ln(u)/w would flip its sign and
+    always-sample instead — the exclusion IS the correct semantics).
+
+    Scale shape: identical to the uniform sampler — one scan, the
+    take plans as TakeOrderedAndProject (per-partition partial
+    top-K, K rows to the merge), never a global sort. MERGEABLE the
+    same way: the race key is a pure function of (key, weight), so
+    bottomk(A ∪ B) = bottomk(bottomk(A) ∪ bottomk(B)) for shards
+    and stream microbatches."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    small = (
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0)
+        )
+        .select(
+            F.col(key_col),
+            F.col(weight_col).cast("double").alias("weight"),
+            weighted_priority(key_col, F.col(weight_col).cast("double")).alias(
+                "wprio"
+            ),
+        )
+        .orderBy("wprio", key_col)
+        .limit(k)
+    )
+    w = Window.orderBy("wprio", key_col)
+    return small.withColumn("rk", F.row_number().over(w).cast("long"))
+
+
+def merge_weighted_samples(
+    a: DataFrame, b: DataFrame, k: int
+) -> DataFrame:
+    """Merge two weighted bottom-k samples (same schema: key, weight,
+    wprio, rk) into the weighted bottom-k of their union; duplicate
+    keys (seen by both shards) collapse before the take — the race
+    key is deterministic in (key, weight), so both copies agree."""
+    key = a.columns[0]
+    u = a.select(key, "weight", "wprio").unionByName(
+        b.select(key, "weight", "wprio")
+    ).dropDuplicates([key])
+    small = u.orderBy("wprio", key).limit(k)
+    w = Window.orderBy("wprio", key)
+    return small.withColumn("rk", F.row_number().over(w).cast("long"))

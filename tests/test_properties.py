@@ -867,3 +867,71 @@ def test_join_cardinality_matches_python_model(spark, rows):
     assert got["perkey_exact"] == expect(float(actual))
     assert got["uniform_ndv"] == expect(uni)
     assert got["mcv_top3_uniform_tail"] == expect(mcv_est)
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.floats(
+                min_value=-2.0,
+                max_value=100.0,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    pivot=st.integers(min_value=0, max_value=10_000),
+    k=st.integers(min_value=1, max_value=10),
+)
+def test_weighted_reservoir_model_and_merge(spark, rows, pivot, k):
+    """Efraimidis-Spirakis weighted bottom-k: exactly the python
+    model's K smallest -ln(u)/w race keys (deterministic md5 u),
+    non-positive weights excluded, and mergeable under EVERY split
+    of the key set — the same contract as the uniform sampler."""
+    import hashlib
+    from math import log
+
+    from cdc_2025_spark.functions.reservoir import (
+        PRIORITY_SCALE,
+        merge_weighted_samples,
+        weighted_bottomk_sample,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [
+        (r["doc_id"], r["rk"])
+        for r in weighted_bottomk_sample(df, k, "doc_id", "w").collect()
+    ]
+
+    def race(i, w):
+        u = (
+            int(
+                hashlib.md5(f"wrs:{i}".encode()).hexdigest()[:8], 16
+            )
+            % PRIORITY_SCALE
+            + 1
+        ) / PRIORITY_SCALE
+        return -log(u) / w
+
+    eligible = sorted(
+        ((race(i, w), i) for i, w in rows if w > 0),
+    )[:k]
+    want = [(i, rk) for rk, (_, i) in enumerate(eligible, 1)]
+    assert sorted(got) == sorted(want)
+
+    a = df.filter(F.col("doc_id") < pivot)
+    b = df.filter(F.col("doc_id") >= pivot)
+    merged = sorted(
+        (r["doc_id"], r["rk"])
+        for r in merge_weighted_samples(
+            weighted_bottomk_sample(a, k, "doc_id", "w"),
+            weighted_bottomk_sample(b, k, "doc_id", "w"),
+            k,
+        ).collect()
+    )
+    assert merged == sorted(want)

@@ -764,3 +764,20 @@ def test_winnowing_overflow_guard_raises(spark):
     )
     with pytest.raises(Exception, match="overflow"):
         winnow_selected(big).count()
+
+
+def test_weighted_reservoir_plan_and_weight_dominance(spark):
+    """The weighted bottom-k take must plan as TakeOrderedAndProject
+    (same contract as the uniform sampler — no global sort), and a
+    key whose weight dwarfs the field must always be sampled (its
+    Exp(w) race key is ~w times smaller)."""
+    from cdc_2025_spark.functions.reservoir import (
+        weighted_bottomk_sample,
+    )
+    from cdc_2025_spark.plans import plan_string
+
+    rows = [(i, 1.0) for i in range(200)] + [(999, 1e9)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    s = weighted_bottomk_sample(df, 5, "doc_id", "w")
+    assert "TakeOrderedAndProject" in plan_string(s)
+    assert 999 in {r["doc_id"] for r in s.collect()}
