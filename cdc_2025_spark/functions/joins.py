@@ -63,3 +63,57 @@ def salted_join(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )
     return big_s.join(small_s, [*on, SALT_COL], how).drop(SALT_COL)
+
+
+def advise_salt(
+    big: DataFrame,
+    on: list[str],
+    hot_factor: float = 2.0,
+    max_salt: int = 64,
+) -> int:
+    """Derive the salt the data wants: the max per-key skew factor
+    (hottest key's load over the mean key's) on the big side's join
+    key, ceil'd and capped — the same statistic the registered
+    `stats_join_skew_advisor` query reports per key, reduced to the
+    single knob `salted_join` takes. Returns 1 (don't salt) when no
+    key exceeds ``hot_factor``.
+
+    Cost: one grouped count over the key column (map-side partials)
+    and a 2-number collect — measure before you shuffle.
+    """
+    import math
+
+    row = (
+        big.groupBy(*[F.col(c) for c in on])
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").alias("mx"), F.avg("c").alias("mean"))
+        .collect()[0]
+    )
+    if row["mx"] is None or not row["mean"]:
+        return 1
+    skew = row["mx"] / row["mean"]
+    if skew <= hot_factor:
+        return 1
+    return min(max_salt, math.ceil(skew))
+
+
+def auto_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    hot_factor: float = 2.0,
+    max_salt: int = 64,
+    salt_on: str | Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """`salted_join` with the salt chosen by `advise_salt` — the
+    advisor feeding the mitigation, composed. A uniform key
+    distribution joins plain (no exploded small side, no extra
+    columns); a skewed one salts at the derived width. The result
+    set is the plain join's either way."""
+    n = advise_salt(big.select(*on), on, hot_factor, max_salt)
+    if n <= 1:
+        return big.join(small, on, how)
+    return salted_join(
+        big, small, on, n_salt=n, salt_on=salt_on, how=how
+    )

@@ -165,3 +165,46 @@ def test_salted_join_spreads_hot_key(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_auto_salted_join_derives_and_matches(spark):
+    """auto_salted_join: on the 90%-hot-key corpus the advisor
+    derives a salt > 1 and the salted result equals the plain join
+    exactly; on a uniform key distribution it advises 1 and joins
+    plain (no salt column machinery)."""
+    from cdc_2025_spark.functions.joins import (
+        advise_salt,
+        auto_salted_join,
+    )
+
+    n = 10_000
+    big = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 97).cast("string"))
+        )
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = big.select("k").distinct().withColumn("w", F.lit(1.0))
+    n_salt = advise_salt(big.select("k"), ["k"])
+    assert n_salt > 1
+    plain = {
+        (r["k"], r["v"], r["w"])
+        for r in big.join(dim, ["k"]).collect()
+    }
+    auto = {
+        (r["k"], r["v"], r["w"])
+        for r in auto_salted_join(big, dim, ["k"], salt_on="v").collect()
+    }
+    assert auto == plain and len(auto) == n
+
+    uniform = spark.range(n).select(
+        (F.col("id") % 97).cast("string").alias("k"),
+        F.col("id").alias("v"),
+    )
+    assert advise_salt(uniform.select("k"), ["k"]) == 1
+    udim = uniform.select("k").distinct().withColumn("w", F.lit(1.0))
+    out = auto_salted_join(uniform, udim, ["k"])
+    assert "_salt" not in out.columns
+    assert out.count() == n
