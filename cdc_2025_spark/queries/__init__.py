@@ -112,7 +112,9 @@ _CHANGED_R8 = [
     # registrations landed — acceptable because their r8 changes are
     # output-neutral and each was re-verified hash-green against its
     # oracle at sf0.01 locally on 2026-08-15; front-load them in the
-    # round-9 window anyway.
+    # round-9 window anyway. End-of-round pre-flight: the FULL
+    # oracle-parity suite mirrored at the driver's sf0.01
+    # (SPARK_GRAFT_ORACLE_TEST_SF_DIR) passed for all 151 oracles.
     "text_chunk_documents",          # null-text guard both sides
     "dedup_incremental_bloom_prefilter",  # KM h2 nonzero fix
     "sketch_cms_heavy_terms",        # cms_params cross-reference
