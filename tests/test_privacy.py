@@ -1,0 +1,71 @@
+"""k-anonymity audit + suppression: literal-fixture counts, the
+suppression/audit consistency law, idempotence, NULL-QI handling,
+and empty input."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_2025_spark.functions.privacy import (
+    k_anonymity_audit,
+    suppress_below_k,
+)
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    rows = [
+        # (zip, age_band): group sizes 3, 2, 1, 1(with NULL zip x2)
+        ("94110", "30-39", "a"),
+        ("94110", "30-39", "b"),
+        ("94110", "30-39", "c"),
+        ("94110", "40-49", "d"),
+        ("94110", "40-49", "e"),
+        ("02139", "30-39", "f"),
+        (None, "40-49", "g"),
+        (None, "40-49", "h"),
+    ]
+    return spark.createDataFrame(rows, "zip string, age string, name string")
+
+
+def test_audit_counts_literal(spark, people):
+    row = k_anonymity_audit(people, ["zip", "age"], 2).collect()[0]
+    assert (
+        row["n_groups"],
+        row["n_rows"],
+        row["n_violating_groups"],
+        row["n_at_risk_rows"],
+        row["k_effective"],
+    ) == (4, 8, 1, 1, 1)
+    # at k=3 the two 2-groups (incl. the NULL-zip one) become at-risk
+    row3 = k_anonymity_audit(people, ["zip", "age"], 3).collect()[0]
+    assert (row3["n_violating_groups"], row3["n_at_risk_rows"]) == (3, 5)
+
+
+def test_suppression_is_k_anonymous_and_idempotent(spark, people):
+    rel = suppress_below_k(people, ["zip", "age"], 2)
+    names = {r["name"] for r in rel.collect()}
+    # only the singleton ('02139','30-39') drops; NULL-zip group of 2 stays
+    assert names == {"a", "b", "c", "d", "e", "g", "h"}
+    audit = k_anonymity_audit(rel, ["zip", "age"], 2).collect()[0]
+    assert audit["k_effective"] >= 2 and audit["n_violating_groups"] == 0
+    again = suppress_below_k(rel, ["zip", "age"], 2)
+    assert {r["name"] for r in again.collect()} == names
+
+
+def test_privacy_empty_and_validation(spark):
+    empty = spark.createDataFrame([], "zip string, age string, name string")
+    row = k_anonymity_audit(empty, ["zip", "age"], 2).collect()[0]
+    assert (
+        row["n_groups"],
+        row["n_rows"],
+        row["n_violating_groups"],
+        row["n_at_risk_rows"],
+    ) == (0, 0, 0, 0)
+    assert row["k_effective"] is None
+    assert suppress_below_k(empty, ["zip", "age"], 2).count() == 0
+    with pytest.raises(ValueError):
+        k_anonymity_audit(empty, ["zip"], 0)
+    with pytest.raises(ValueError):
+        suppress_below_k(empty, ["zip"], 0)
