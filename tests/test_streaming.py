@@ -1174,3 +1174,62 @@ def test_streaming_pca_suffstat_maintenance(spark, tmpdir):
     np.testing.assert_allclose(mu_m, mu_f, atol=1e-12)
     np.testing.assert_allclose(w_m, w_f, atol=1e-10)
     np.testing.assert_allclose(comps_m, comps_f, atol=1e-8)
+
+
+def test_streaming_weighted_reservoir_maintenance(spark, tmpdir):
+    """The weighted reservoir inherits the mergeable-summary
+    streaming contract: per-microbatch weighted bottom-k merged by
+    race key into the store equals the one-batch rebuild row for
+    row — the Efraimidis-Spirakis race key is a pure function of
+    (key, weight), so union + re-take is exact."""
+    from cdc_2025_spark.functions.reservoir import (
+        weighted_bottomk_sample,
+    )
+
+    src = os.path.join(tmpdir, "wrsv_flat")
+    os.makedirs(src)
+    rows = [(i, float(1 + (i * 7) % 50)) for i in range(600)]
+    for b in range(3):
+        d = os.path.join(tmpdir, f"wrsv_b{b}")
+        spark.createDataFrame(
+            rows[b * 200 : (b + 1) * 200], "doc_id long, w double"
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(d, f), os.path.join(src, f"{b}-{f}")
+                )
+
+    k = 30
+    store: dict[int, tuple[float, float]] = {}
+
+    def absorb(batch_df, batch_id):
+        for r in weighted_bottomk_sample(
+            batch_df, k, "doc_id", "w"
+        ).collect():
+            store[r["doc_id"]] = (r["wprio"], r["weight"])
+        keep = sorted(store.items(), key=lambda kv: (kv[1][0], kv[0]))[:k]
+        store.clear()
+        store.update(keep)
+
+    stream = spark.readStream.schema("doc_id long, w double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", os.path.join(tmpdir, "wrsv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    full = {
+        r["doc_id"]: (r["wprio"], r["weight"])
+        for r in weighted_bottomk_sample(
+            spark.createDataFrame(rows, "doc_id long, w double"),
+            k,
+            "doc_id",
+            "w",
+        ).collect()
+    }
+    assert store == full and len(store) == k
