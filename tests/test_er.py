@@ -1,0 +1,103 @@
+"""Entity resolution: blocking recall/precision on planted
+duplicates, no-cross-product blocking, transitive closure through a
+chain, deterministic survivorship, and NULL block keys."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_2025_spark.functions.er import (
+    blocked_candidate_pairs,
+    golden_records,
+)
+
+
+@pytest.fixture(scope="module")
+def contacts(spark):
+    # planted truth: {1,2,3} one entity (typo chain), {4,5} another
+    # (shared zip, name variants), 6 and 7 singletons; 8/9 share a
+    # NULL zip and must NOT become candidates through it
+    rows = [
+        (1, "john smith", "94110", 5),
+        (2, "jona smith", "94110", 3),  # typo of 1; same zip block
+        (3, "jona smyth", "02139", 4),  # typo of 2; prefix block only
+        (4, "maria garcia", "60601", 9),
+        (5, "maria l garcia", "60601", 2),
+        (6, "wei chen", "10001", 7),
+        (7, "amara okafor", "73301", 8),
+        (8, "k. bell", None, 1),
+        (9, "t. hall", None, 6),
+    ]
+    return spark.createDataFrame(
+        rows, "cid long, name string, zip string, completeness int"
+    )
+
+
+def _keys():
+    return [
+        F.substring(F.col("name"), 1, 4),  # name prefix block
+        F.col("zip"),  # exact zip block
+    ]
+
+
+def test_blocking_candidates_and_null_keys(spark, contacts):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in blocked_candidate_pairs(contacts, "cid", _keys()).collect()
+    }
+    # typo chain: (1,2) via zip AND prefix, (2,3) via prefix; (1,3)
+    # shares neither block — transitive closure's job, not blocking's
+    assert {(1, 2), (2, 3), (4, 5)} <= pairs
+    assert (1, 3) not in pairs
+    # NULL zips never block together
+    assert (8, 9) not in pairs
+    # blocking is not a cross product: 9 rows -> far fewer than C(9,2)
+    assert len(pairs) < 36
+
+
+def test_golden_records_closure_and_survivorship(spark, contacts):
+    cand = blocked_candidate_pairs(contacts, "cid", _keys())
+    # gate: edit distance <= 2 on names
+    named = contacts.select("cid", "name")
+    matches = (
+        cand.join(
+            named.select(
+                F.col("cid").alias("id_a"), F.col("name").alias("na")
+            ),
+            "id_a",
+        )
+        .join(
+            named.select(
+                F.col("cid").alias("id_b"), F.col("name").alias("nb")
+            ),
+            "id_b",
+        )
+        .filter(F.levenshtein("na", "nb") <= 2)
+        .select("id_a", "id_b")
+    )
+    out = golden_records(
+        contacts, "cid", matches, [F.col("completeness").desc()]
+    )
+    rows = {r["cid"]: r for r in out.collect()}
+    # closure: 3 reaches 1 through 2 even though (1,3) never blocked
+    assert rows[1]["cluster_id"] == rows[2]["cluster_id"] == rows[3]["cluster_id"] == 1
+    assert rows[4]["cluster_id"] == rows[5]["cluster_id"] == 4
+    for cid in (6, 7, 8, 9):
+        assert rows[cid]["cluster_id"] == cid and rows[cid]["is_golden"]
+    # survivorship: highest completeness wins
+    assert rows[1]["is_golden"] and not rows[2]["is_golden"] and not rows[3]["is_golden"]
+    assert rows[4]["is_golden"] and not rows[5]["is_golden"]
+    # exactly one golden per cluster
+    golden = [r for r in rows.values() if r["is_golden"]]
+    assert len(golden) == len({r["cluster_id"] for r in rows.values()})
+
+
+def test_blocking_requires_keys_and_plans_equi_joins(spark, contacts):
+    from cdc_2025_spark.plans import plan_string
+
+    with pytest.raises(ValueError):
+        blocked_candidate_pairs(contacts, "cid", [])
+    p = plan_string(blocked_candidate_pairs(contacts, "cid", _keys()))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
