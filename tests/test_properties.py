@@ -935,3 +935,72 @@ def test_weighted_reservoir_model_and_merge(spark, rows, pivot, k):
         ).collect()
     )
     assert merged == sorted(want)
+
+
+@SETTINGS
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=2),  # ts offset (sec)
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_markov_transitions_match_sequential_model(spark, events):
+    """events_markov_transitions vs the pure python model: per-user
+    sequences ordered by (ts, event_id) — SIMULTANEOUS events pinned
+    to event_id order — lead pairs counted, probabilities HALF_UP
+    4dp. The tiebreak is the oracle-parity load-bearing part, so the
+    strategy deliberately generates heavy ts collisions."""
+    import os
+    import tempfile
+    from collections import Counter, defaultdict
+    from datetime import datetime
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from cdc_2025_spark.queries.behavior import events_markov_transitions
+
+    rows = [
+        (eid, datetime(2020, 1, 1, 0, 0, off), uid, etype, 0.0, "{}")
+        for eid, (uid, off, etype) in enumerate(events)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r["from_type"], r["to_type"]): (
+                r["n_transitions"],
+                r["p_transition"],
+            )
+            for r in events_markov_transitions(spark, d).collect()
+        }
+
+    seqs = defaultdict(list)
+    for eid, (uid, off, etype) in enumerate(events):
+        seqs[uid].append((off, eid, etype))
+    cnt = Counter()
+    for s in seqs.values():
+        s.sort()  # (ts, event_id) — the pinned order
+        for (_, _, a), (_, _, b) in zip(s, s[1:]):
+            cnt[(a, b)] += 1
+    froms = Counter()
+    for (a, _), c in cnt.items():
+        froms[a] += c
+    want = {
+        k: (
+            c,
+            float(
+                Decimal(c / froms[k[0]]).quantize(
+                    Decimal("0.0001"), rounding=ROUND_HALF_UP
+                )
+            ),
+        )
+        for k, c in cnt.items()
+    }
+    assert got == want
