@@ -518,3 +518,102 @@ def test_blocklist_whitespace_and_null_parity(spark, tmp_path):
         ).fetchall()
     }
     assert want == got
+
+
+def test_kmv_matches_python_model_above_k(spark, tmp_path):
+    """Full-model equality for the KMV set algebra on a corpus where
+    every sketch is FULL (>K distinct users per type): per-type
+    (K-1)*SCALE/h_K estimates, union sketch = bottom-K over per-user
+    min priorities of the two sketches' members, jaccard and
+    intersection estimates — all bit-for-bit vs the python model
+    (deterministic md5 priorities make the comparison exact)."""
+    import hashlib
+    import os
+    from datetime import datetime
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from cdc_2025_spark.queries.analytics import (
+        KMV_K,
+        KMV_SCALE,
+        sketch_kmv_distinct_overlap,
+    )
+
+    # three types with engineered overlap: view = users 0..399,
+    # click = 200..549, purchase = 0..179 (subset of view)
+    member = {
+        "click": set(range(200, 550)),
+        "purchase": set(range(0, 180)),
+        "view": set(range(0, 400)),
+    }
+    rows, eid = [], 0
+    ts = datetime(2020, 1, 1)
+    for t, users in member.items():
+        for u in users:
+            rows.append((eid, ts, u, t, 0.0, "{}"))
+            eid += 1
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+
+    def prio(u):
+        return int(
+            hashlib.md5(f"kmv:{u}".encode()).hexdigest()[:12], 16
+        )
+
+    def sketch(users):
+        return sorted((prio(u), u) for u in users)[:KMV_K]
+
+    def est(sk):
+        return (
+            (KMV_K - 1) * KMV_SCALE / max(sk[-1][0], 1)
+            if len(sk) >= KMV_K
+            else float(len(sk))
+        )
+
+    def r4(x):
+        return float(
+            Decimal(x).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+
+    sk = {t: sketch(u) for t, u in member.items()}
+    want = {}
+    types = sorted(member)
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            ua = {u for _, u in sk[ta]}
+            ub = {u for _, u in sk[tb]}
+            union = sorted((prio(u), u) for u in ua | ub)[:KMV_K]
+            uset = {u for _, u in union}
+            n_both = len(uset & ua & ub)
+            k_u = len(union)
+            e_u = est(union)
+            want[(ta, tb)] = (
+                r4(est(sk[ta])),
+                r4(est(sk[tb])),
+                r4(e_u),
+                r4(n_both / k_u),
+                r4(n_both / k_u * e_u),
+            )
+
+    got = {
+        (r["type_a"], r["type_b"]): (
+            r["est_a"],
+            r["est_b"],
+            r["est_union"],
+            r["jaccard_kmv"],
+            r["est_intersection"],
+        )
+        for r in sketch_kmv_distinct_overlap(spark, d).collect()
+    }
+    assert got == want
+    # and the estimates actually track truth on this corpus
+    for (ta, tb), (ea, eb, eu, j, ei) in got.items():
+        true_i = len(member[ta] & member[tb])
+        true_u = len(member[ta] | member[tb])
+        assert abs(eu - true_u) <= 0.25 * true_u, (ta, tb, eu, true_u)
+        assert abs(ei - true_i) <= max(30, 0.35 * true_i), (
+            ta, tb, ei, true_i,
+        )
