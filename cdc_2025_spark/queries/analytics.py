@@ -1375,21 +1375,24 @@ def stats_equidepth_histogram(
     exact double comparison against those values; counts are
     integers. The driver hash is exact.
 
-    Shape, built to scale: TWO single-column scans — one exact
-    boundary aggregate, then one pass assigning each row its bucket
-    via a codegen'd CASE against the 1-row broadcast boundary frame
-    and aggregating onto <= 8 (bucket, hi) keys with map-side
-    partials. No per-row window — ntile() over a global ORDER BY
-    builds the same histogram through one single-reducer sort, the
-    shape this plan exists to avoid. The boundary pass sorts ONE
-    collected buffer and indexes all 7 disc percentiles out of it
-    at ceil(p*n) — Spark's own percentile_disc buffers identically
-    but per CALL, so 7 separate calls sort the column 7 times
-    (measured 11.8 -> 1.3 s at sf0.1; index-formula equality with
-    percentile_disc pinned in test_analytics_accuracy.py). The
-    buffer is the exact-percentile contract's cost either way — at
-    100 TB swap this aggregate for approx_percentile / the
+    Shape, built to scale: ONE corpus scan, collapsed by a grouped
+    count onto the DISTINCT-VALUE frame (map-side partials); every
+    rank statistic then runs on that frame — rows_below(v) via one
+    cumulative window, bucket(v) = 1 + #{i : ceil(i*n/B) <=
+    rows_below(v)} (the closed form of "first boundary at or above
+    v": boundary b_i is the smallest value whose cumulative count
+    reaches rank ceil(i*n/B), so each nonempty bucket's max value IS
+    its boundary — hi = max(v) per bucket, no boundary join). The
+    single-partition window is over distinct values, NOT rows — the
+    frame that plateaus for price/score-like domains while the
+    corpus grows (an earlier construction collected and sorted ALL
+    rows on one reducer: 2.3x wall at a 10x replica whose distinct
+    set was constant; this one is flat there). For genuinely
+    unbounded-cardinality domains the exact contract still ceilings
+    at |distinct| — the 100 TB swap is approx_percentile / the
     registered KLL sketch (accuracy knob documented there).
+    Equality with percentile_disc (== DuckDB quantile_disc) is
+    pinned in test_analytics_accuracy.py.
     """
     # NULL prices are excluded identically on both engines (the
     # chunking-parity rule): they carry no range information, and an
@@ -1399,36 +1402,42 @@ def stats_equidepth_histogram(
         .filter(F.col("l_extendedprice").isNotNull())
         .select(F.col("l_extendedprice").alias("v"))
     )
-    sorted_buf = li.agg(
-        F.array_sort(F.collect_list("v")).alias("s"),
-        F.count("v").alias("total"),
+    cnt = li.groupBy("v").agg(F.count("*").alias("c"))
+    w_cum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    # try_element_at + index clamped to >= 1: an empty table probes
-    # index 1 of an empty buffer — NULL boundaries (matching
-    # percentile_disc-on-empty), never an ANSI index error
-    def _disc(idx):
-        return F.try_element_at(
-            "s", F.greatest(idx.cast("int"), F.lit(1))
-        )
-
-    bounds = sorted_buf.select(
-        *[
-            _disc(
-                F.ceil(F.lit(i / EQUIDEPTH_BUCKETS) * F.col("total"))
-            ).alias(f"b{i}")
-            for i in range(1, EQUIDEPTH_BUCKETS)
-        ],
-        _disc(F.col("total")).alias(f"b{EQUIDEPTH_BUCKETS}"),
+    # total as an unbounded window over the SAME sorted frame — one
+    # WindowExec computes both, so the corpus aggregate is the only
+    # pass over the data (a separate total aggregate would re-scan)
+    w_all = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = cnt.select(
+        "v",
+        "c",
+        F.sum("c").over(w_all).alias("total"),
+        (F.sum("c").over(w_cum) - F.col("c")).alias("rows_below"),
+    ).select(
+        "v",
+        "c",
         "total",
+        (
+            1
+            + sum(
+                (
+                    F.ceil(
+                        F.lit(i / EQUIDEPTH_BUCKETS) * F.col("total")
+                    )
+                    <= F.col("rows_below")
+                ).cast("int")
+                for i in range(1, EQUIDEPTH_BUCKETS)
+            )
+        ).alias("bucket"),
     )
-    a = li.crossJoin(F.broadcast(bounds)).select(
-        F.expr(_equidepth_case("v", "bucket")).alias("bucket"),
-        F.expr(_equidepth_case("v", "hi")).alias("hi"),
-        "total",
-    )
-    return a.groupBy("bucket", "hi").agg(
-        F.count("*").alias("n_rows"),
-        F.round(F.count("*") / F.max("total"), 4).alias("frac"),
+    return ranked.groupBy("bucket").agg(
+        F.max("v").alias("hi"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.round(F.sum("c") / F.max("total"), 4).alias("frac"),
     )
 
 

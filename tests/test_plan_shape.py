@@ -515,16 +515,25 @@ def test_analyze_reads_only_statted_columns(spark, sf_dir):
     assert "SinglePartition" not in p
 
 
-def test_equidepth_plan_no_global_sort(spark, sf_dir):
-    """Equi-depth histogram must build from the percentile aggregate
-    + a 1-row broadcast, never the ntile-over-global-ORDER-BY shape:
-    no Window, no Sort; the scan reads exactly the one column."""
+def test_equidepth_plan_single_scan_distinct_frame(spark, sf_dir):
+    """Equi-depth histogram must read the corpus ONCE (grouped count
+    onto the distinct-value frame), never ntile/rank rows directly:
+    exactly one parquet scan pruned to the one column, the grouped
+    count below the window (rank work on distinct values, not
+    rows), and the 1-row total riding a broadcast."""
     spark.catalog.clearCache()
     p = plan_of(spark, sf_dir, "stats_equidepth_histogram")
-    assert "Window" not in p
-    assert "BroadcastNestedLoopJoin" in p  # 1-row bounds frame
+    import re as _re
+
+    scans = _re.findall(r"\(\d+\) Scan parquet", p)
+    assert len(scans) == 1, scans
     read = next(l for l in p.splitlines() if "ReadSchema" in l)
     assert "l_extendedprice" in read and "l_orderkey" not in read
+    # the window's input is the aggregated distinct frame: a
+    # HashAggregate (grouped count) must appear below the Window,
+    # and there is no join at all — total rides the same window
+    assert "HashAggregate" in p and "Window" in p
+    assert "Join" not in p
 
 
 def test_join_cardinality_plan_never_joins_fact_rows(spark, sf_dir):
