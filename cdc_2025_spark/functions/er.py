@@ -63,6 +63,9 @@ def blocked_candidate_pairs(
     return out.distinct()
 
 
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
+
 def golden_records(
     df: DataFrame,
     id_col: str,
@@ -72,15 +75,75 @@ def golden_records(
     """Attach (cluster_id, is_golden) to every row: cluster_id is the
     min id of the row's match-component (singletons cluster with
     themselves), is_golden marks the per-cluster survivor under
-    ``order_by`` (ties broken by id — fully deterministic)."""
-    comp = connected_components(match_pairs)
-    labeled = df.join(
-        comp.withColumnRenamed("id", id_col),
-        id_col,
-        "left",
-    ).withColumn(
-        "cluster_id", F.coalesce("comp", F.col(id_col))
-    ).drop("comp")
+    ``order_by`` (ties broken by id — fully deterministic).
+
+    Non-integral ids (UUIDs, natural keys) are supported via an
+    internal dense-long mapping — `connected_components` requires
+    long vertices, and casting a string id would throw under ANSI
+    (or, worse, NULL out every vertex with ANSI off and silently
+    make every row a singleton). The mapping sorts the DISTINCT ids
+    once (row_number — preserves order, so min-mapped-id round-trips
+    to the lexicographic min id); integral ids skip it entirely."""
+    for c in ("comp", "cluster_id", "is_golden", "_nid", "_comp_nid"):
+        if c in df.columns:
+            raise ValueError(
+                f"input already has a {c!r} column; rename it before "
+                "golden_records"
+            )
+    if dict(df.dtypes)[id_col] in _INTEGRAL:
+        comp = connected_components(match_pairs)
+        labeled = df.join(
+            comp.withColumnRenamed("id", id_col),
+            id_col,
+            "left",
+        ).withColumn(
+            "cluster_id", F.coalesce("comp", F.col(id_col))
+        ).drop("comp")
+    else:
+        ids = (
+            df.select(F.col(id_col).alias("_oid"))
+            .distinct()
+            .withColumn(
+                "_nid",
+                F.row_number().over(Window.orderBy("_oid")),
+            )
+        )
+        np_ = (
+            match_pairs.join(
+                ids.select(
+                    F.col("_oid").alias("id_a"),
+                    F.col("_nid").alias("na"),
+                ),
+                "id_a",
+            )
+            .join(
+                ids.select(
+                    F.col("_oid").alias("id_b"),
+                    F.col("_nid").alias("nb"),
+                ),
+                "id_b",
+            )
+            .select(F.col("na").alias("id_a"), F.col("nb").alias("id_b"))
+        )
+        comp = connected_components(np_)
+        # map component label (min _nid) back to its original id
+        back = comp.join(
+            ids.withColumnRenamed("_nid", "comp"), "comp"
+        ).select(
+            F.col("id").alias("_nid"),
+            F.col("_oid").alias("_comp_oid"),
+        )
+        labeled = (
+            df.join(
+                ids.withColumnRenamed("_oid", id_col), id_col, "left"
+            )
+            .join(back, "_nid", "left")
+            .withColumn(
+                "cluster_id",
+                F.coalesce("_comp_oid", F.col(id_col)),
+            )
+            .drop("_nid", "_comp_oid")
+        )
     w = Window.partitionBy("cluster_id").orderBy(
         *order_by, F.col(id_col)
     )

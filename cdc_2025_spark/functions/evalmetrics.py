@@ -26,15 +26,27 @@ from pyspark.sql import functions as F
 
 def _score_groups(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     """(score, np, nn): positive/negative counts per distinct score.
-    NULL scores or labels are excluded; labels must be 0/1."""
+    NULL scores or labels are excluded; labels must be 0/1 — any
+    other encoding (e.g. the -1/+1 convention) raises at runtime
+    rather than silently corrupting the counts."""
+    lbl = F.when(
+        F.col(label_col).isin(0, 1), F.col(label_col).cast("long")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("labels must be 0/1, got "),
+                F.col(label_col).cast("string"),
+            )
+        ).cast("long")
+    )
     return (
         df.filter(
             F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
         )
         .groupBy(F.col(score_col).alias("score"))
         .agg(
-            F.sum(F.col(label_col).cast("long")).alias("np"),
-            F.sum(F.lit(1) - F.col(label_col).cast("long")).alias("nn"),
+            F.sum(lbl).alias("np"),
+            F.sum(F.lit(1) - lbl).alias("nn"),
         )
     )
 

@@ -80,11 +80,19 @@ def advise_salt(
 
     Cost: one grouped count over the key column (map-side partials)
     and a 2-number collect — measure before you shuffle.
+
+    NULL join keys are excluded from the profile: an inner equi-join
+    prunes them below the exchange (Spark inserts IsNotNull), so a
+    NULL-heavy nullable key must not drive salt advice for a shuffle
+    those rows never reach.
     """
     import math
 
+    keyed = big
+    for c in on:
+        keyed = keyed.filter(F.col(c).isNotNull())
     row = (
-        big.groupBy(*[F.col(c) for c in on])
+        keyed.groupBy(*[F.col(c) for c in on])
         .agg(F.count("*").alias("c"))
         .agg(F.max("c").alias("mx"), F.avg("c").alias("mean"))
         .collect()[0]

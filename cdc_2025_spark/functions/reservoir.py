@@ -28,14 +28,17 @@ from pyspark.sql import functions as F
 PRIORITY_SCALE = 1_000_000
 
 
-def priority(key) -> F.Column:
-    """Deterministic uniform priority in [0, PRIORITY_SCALE): salted
-    md5 bucket of the key ('rs:' keeps the draw independent of every
-    other sampler's md5 use)."""
+def _uniform(salt: str, key) -> F.Column:
+    """Deterministic uniform draw in [0, PRIORITY_SCALE): salted md5
+    bucket of the key — the engine-wide seed-free randomness pattern
+    (the same construction appears inline with salts 'sb:' in the
+    trigram split and 'kmv:' in the KMV sketch; those registered
+    queries keep their copies because their DuckDB oracles mirror
+    the exact expression text)."""
     return (
         F.conv(
             F.substring(
-                F.md5(F.concat(F.lit("rs:"), F.col(key).cast("string"))),
+                F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))),
                 1,
                 8,
             ),
@@ -44,6 +47,13 @@ def priority(key) -> F.Column:
         ).cast("long")
         % PRIORITY_SCALE
     )
+
+
+def priority(key) -> F.Column:
+    """Deterministic uniform priority in [0, PRIORITY_SCALE): salted
+    md5 bucket of the key ('rs:' keeps the draw independent of every
+    other sampler's md5 use)."""
+    return _uniform("rs:", key)
 
 
 def bottomk_sample(
@@ -92,19 +102,7 @@ def weighted_priority(key, weight) -> F.Column:
     as the numerically-stabler -ln(u)/w bottom-k; the exponential
     race: -ln(u)/w ~ Exp(w), and the minimum of exponentials lands
     on each competitor with probability w_i / sum(w))."""
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("wrs:"), F.col(key).cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % PRIORITY_SCALE
-        + 1
-    ) / float(PRIORITY_SCALE)
+    u = (_uniform("wrs:", key) + 1) / float(PRIORITY_SCALE)
     return -F.log(u) / weight
 
 
@@ -150,12 +148,22 @@ def merge_weighted_samples(
 ) -> DataFrame:
     """Merge two weighted bottom-k samples (same schema: key, weight,
     wprio, rk) into the weighted bottom-k of their union; duplicate
-    keys (seen by both shards) collapse before the take — the race
-    key is deterministic in (key, weight), so both copies agree."""
+    keys (seen by both shards) collapse before the take. When the
+    two shards carry the SAME weight for a key the copies agree (the
+    race key is a pure function of (key, weight)); when a key's
+    weight was updated between shards, the copy with the SMALLEST
+    race key wins deterministically — the highest-weight version's
+    ticket, the union semantics of an exponential race (an arbitrary
+    dropDuplicates pick here would make the merged sample
+    nondeterministic)."""
     key = a.columns[0]
-    u = a.select(key, "weight", "wprio").unionByName(
+    both = a.select(key, "weight", "wprio").unionByName(
         b.select(key, "weight", "wprio")
-    ).dropDuplicates([key])
+    )
+    u = both.groupBy(key).agg(
+        F.min_by("weight", F.struct("wprio", "weight")).alias("weight"),
+        F.min("wprio").alias("wprio"),
+    )
     small = u.orderBy("wprio", key).limit(k)
     w = Window.orderBy("wprio", key)
     return small.withColumn("rk", F.row_number().over(w).cast("long"))

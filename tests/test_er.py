@@ -101,3 +101,40 @@ def test_blocking_requires_keys_and_plans_equi_joins(spark, contacts):
     p = plan_string(blocked_candidate_pairs(contacts, "cid", _keys()))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_golden_records_string_ids(spark):
+    """Non-integral ids (UUID-ish strings) must cluster correctly via
+    the internal dense-long mapping — the cluster label is the
+    lexicographic min id, closure still crosses blocks, and column
+    collisions raise instead of clobbering."""
+    rows = [
+        ("u-b", "jona smith", 3),
+        ("u-a", "john smith", 5),
+        ("u-c", "jona smyth", 4),
+        ("u-d", "wei chen", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "cid string, name string, completeness int"
+    )
+    pairs = spark.createDataFrame(
+        [("u-a", "u-b"), ("u-b", "u-c")], "id_a string, id_b string"
+    )
+    out = {
+        r["cid"]: r
+        for r in golden_records(
+            df, "cid", pairs, [F.col("completeness").desc()]
+        ).collect()
+    }
+    assert (
+        out["u-a"]["cluster_id"]
+        == out["u-b"]["cluster_id"]
+        == out["u-c"]["cluster_id"]
+        == "u-a"
+    )
+    assert out["u-d"]["cluster_id"] == "u-d" and out["u-d"]["is_golden"]
+    assert out["u-a"]["is_golden"]
+    assert not out["u-b"]["is_golden"] and not out["u-c"]["is_golden"]
+    clash = df.withColumn("cluster_id", F.lit(1))
+    with pytest.raises(ValueError):
+        golden_records(clash, "cid", pairs, [F.col("completeness")])

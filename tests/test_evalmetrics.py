@@ -115,3 +115,14 @@ def test_sweep_bounded_frame_and_null_exclusion(spark):
     got = auc_roc(with_nulls, "score", "label").collect()[0]
     assert (got["n_pos"], got["n_neg"]) == (1, 1)
     assert got["auc"] == 1.0
+
+
+def test_nonbinary_labels_raise(spark):
+    """A -1/+1-labeled column must fail loudly, not produce
+    plausible-looking garbage counts."""
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.1, -1)], "score double, label int"
+    )
+    with pytest.raises(Exception) as ei:
+        auc_roc(df, "score", "label").collect()
+    assert "labels must be 0/1" in str(ei.value)

@@ -208,3 +208,20 @@ def test_auto_salted_join_derives_and_matches(spark):
     out = auto_salted_join(uniform, udim, ["k"])
     assert "_salt" not in out.columns
     assert out.count() == n
+
+
+def test_advise_salt_ignores_null_keys(spark):
+    """A NULL-heavy nullable key must not drive salt advice: inner
+    equi-joins prune NULL keys below the exchange, so the profile
+    excludes them — uniform non-null keys advise 1 even when half
+    the rows are NULL."""
+    from cdc_2025_spark.functions.joins import advise_salt
+
+    n = 10_000
+    df = spark.range(n).select(
+        F.when(
+            F.col("id") % 2 == 0,
+            (F.col("id") % 97).cast("string"),
+        ).alias("k")
+    )
+    assert advise_salt(df, ["k"]) == 1

@@ -781,3 +781,37 @@ def test_weighted_reservoir_plan_and_weight_dominance(spark):
     s = weighted_bottomk_sample(df, 5, "doc_id", "w")
     assert "TakeOrderedAndProject" in plan_string(s)
     assert 999 in {r["doc_id"] for r in s.collect()}
+
+
+def test_weighted_merge_conflicting_weights_deterministic(spark):
+    """A key whose weight differs between shards merges to the copy
+    with the smallest race key (the highest-weight version's ticket)
+    — deterministically, not whichever dropDuplicates saw first."""
+    from cdc_2025_spark.functions.reservoir import (
+        merge_weighted_samples,
+        weighted_bottomk_sample,
+    )
+
+    a = spark.createDataFrame(
+        [(42, 1.0), (1, 3.0)], "doc_id long, w double"
+    )
+    b = spark.createDataFrame(
+        [(42, 500.0), (2, 3.0)], "doc_id long, w double"
+    )
+    sa = weighted_bottomk_sample(a, 3, "doc_id", "w")
+    sb = weighted_bottomk_sample(b, 3, "doc_id", "w")
+    m1 = {
+        r["doc_id"]: (r["weight"], r["wprio"])
+        for r in merge_weighted_samples(sa, sb, 3).collect()
+    }
+    m2 = {
+        r["doc_id"]: (r["weight"], r["wprio"])
+        for r in merge_weighted_samples(sb, sa, 3).collect()
+    }
+    assert m1 == m2  # order of shards cannot matter
+    # the high-weight version of key 42 wins (smaller race key)
+    assert m1[42][0] == 500.0
+    wp_500 = {
+        r["doc_id"]: r["wprio"] for r in sb.collect()
+    }[42]
+    assert m1[42][1] == wp_500
