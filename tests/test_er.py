@@ -138,3 +138,31 @@ def test_golden_records_string_ids(spark):
     clash = df.withColumn("cluster_id", F.lit(1))
     with pytest.raises(ValueError):
         golden_records(clash, "cid", pairs, [F.col("completeness")])
+
+
+def test_blocking_matches_python_model_property(spark):
+    """Property (deterministic grid, no hypothesis needed — the
+    model is exhaustive): blocked_candidate_pairs emits EXACTLY the
+    id pairs sharing >= 1 non-NULL block key — sound (no pair
+    without a shared key) and complete (every shared-key pair) —
+    across a grid of random-ish fixtures with NULLs and collisions."""
+    import itertools
+
+    for seed in range(4):
+        rows = []
+        for i in range(14):
+            zip_ = None if (i + seed) % 5 == 0 else f"z{(i * 7 + seed) % 4}"
+            pre = f"p{(i * 3 + seed) % 5}"
+            rows.append((i, pre + "-name", zip_))
+        df = spark.createDataFrame(rows, "cid long, name string, zip string")
+        keys = [F.substring(F.col("name"), 1, 2), F.col("zip")]
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in blocked_candidate_pairs(df, "cid", keys).collect()
+        }
+        want = set()
+        for (ia, na, za), (ib, nb, zb) in itertools.combinations(rows, 2):
+            a, b = min(ia, ib), max(ia, ib)
+            if na[:2] == nb[:2] or (za is not None and za == zb):
+                want.add((a, b))
+        assert got == want, (seed, got ^ want)
