@@ -225,3 +225,33 @@ def test_advise_salt_ignores_null_keys(spark):
         ).alias("k")
     )
     assert advise_salt(df, ["k"]) == 1
+
+
+def test_auto_salted_left_join_preserves_unmatched(spark):
+    """how='left' through the auto path: unmatched big-side rows
+    survive with NULL dim columns, matched rows equal the plain left
+    join exactly — on the hot-key corpus where salting engages."""
+    from cdc_2025_spark.functions.joins import auto_salted_join
+
+    n = 5_000
+    big = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 97).cast("string"))
+        )
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    # dim covers only the hot key -> every cold row is unmatched
+    dim = spark.createDataFrame([("hot", 1.0)], "k string, w double")
+    plain = {
+        (r["k"], r["v"], r["w"])
+        for r in big.join(dim, ["k"], "left").collect()
+    }
+    auto = {
+        (r["k"], r["v"], r["w"])
+        for r in auto_salted_join(
+            big, dim, ["k"], salt_on="v", how="left"
+        ).collect()
+    }
+    assert auto == plain and len(auto) == n
