@@ -126,3 +126,32 @@ def test_nonbinary_labels_raise(spark):
     with pytest.raises(Exception) as ei:
         auc_roc(df, "score", "label").collect()
     assert "labels must be 0/1" in str(ei.value)
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4).map(lambda i: i / 4.0),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_threshold_sweep_matches_brute_force(spark, rows):
+    """Every operating point's confusion cells equal the brute-force
+    recount at that threshold (predict positive when score >=
+    threshold), for arbitrary tie-heavy score/label multisets."""
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {
+        r["threshold"]: (r["tp"], r["fp"], r["fn"], r["tn"])
+        for r in threshold_sweep(df, "score", "label").collect()
+    }
+    assert set(got) == {s for s, _ in rows}
+    for thr, cells in got.items():
+        tp = sum(1 for s, y in rows if s >= thr and y == 1)
+        fp = sum(1 for s, y in rows if s >= thr and y == 0)
+        fn = sum(1 for s, y in rows if s < thr and y == 1)
+        tn = sum(1 for s, y in rows if s < thr and y == 0)
+        assert cells == (tp, fp, fn, tn), thr

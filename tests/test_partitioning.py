@@ -255,3 +255,24 @@ def test_auto_salted_left_join_preserves_unmatched(spark):
         ).collect()
     }
     assert auto == plain and len(auto) == n
+
+
+def test_advise_salt_matches_python_model(spark):
+    """advise_salt equals the closed form min(cap, ceil(max_count /
+    mean_count)) over non-NULL keys, 1 when skew <= hot_factor —
+    checked across fixtures with varying hot-key mass."""
+    import math
+    from collections import Counter
+
+    from cdc_2025_spark.functions.joins import advise_salt
+
+    for hot_share in (0, 30, 60, 95):
+        keys = ["hot"] * hot_share + [
+            f"k{i % 9}" for i in range(100 - hot_share)
+        ]
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        c = Counter(keys)
+        mean = sum(c.values()) / len(c)
+        skew = max(c.values()) / mean
+        want = 1 if skew <= 2.0 else min(64, math.ceil(skew))
+        assert advise_salt(df, ["k"]) == want, hot_share

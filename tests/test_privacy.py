@@ -69,3 +69,24 @@ def test_privacy_empty_and_validation(spark):
         k_anonymity_audit(empty, ["zip"], 0)
     with pytest.raises(ValueError):
         suppress_below_k(empty, ["zip"], 0)
+
+
+def test_suppression_matches_python_model_grid(spark):
+    """suppress_below_k output equals the python model (rows whose
+    QI group size >= k) across a k grid on a fixture with NULLs and
+    varied group sizes."""
+    rows = [
+        (f"r{i}", f"z{i % 3}" if i % 7 else None, f"a{i % 2}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "name string, zip string, age string")
+    from collections import Counter
+
+    sizes = Counter((z, a) for _, z, a in rows)
+    for k in (1, 2, 3, 5, 8):
+        got = {
+            r["name"]
+            for r in suppress_below_k(df, ["zip", "age"], k).collect()
+        }
+        want = {n for n, z, a in rows if sizes[(z, a)] >= k}
+        assert got == want, k
