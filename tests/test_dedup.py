@@ -1189,3 +1189,27 @@ def test_snapshot_diff_verdicts_literal(spark):
         ).collect()
     }
     assert got == {1: "unchanged", 2: "removed", 3: "changed", 4: "added"}
+
+
+def test_shared_caches_remark_persist_after_external_clearcache(
+    spark, sf_dir
+):
+    """catalog.clearCache() (the bench runs it between queries)
+    erases persist INTENT, not just blocks — the session-shared
+    handles must re-assert persist on retrieval or every later
+    consumer silently recomputes the index per action (measured
+    ~10 s of the 91-query bench before the fix)."""
+    from cdc_2025_spark.queries.dedup import (
+        _shared_jaccard_components,
+        _shared_jaccard_pairs,
+    )
+
+    a = _shared_jaccard_pairs(spark, sf_dir)
+    c = _shared_jaccard_components(spark, sf_dir)
+    a.count(), c.count()
+    spark.catalog.clearCache()
+    assert not a.storageLevel.useMemory  # intent dropped externally
+    b = _shared_jaccard_pairs(spark, sf_dir)
+    d = _shared_jaccard_components(spark, sf_dir)
+    assert b is a and d is c  # same handles
+    assert b.storageLevel.useMemory and d.storageLevel.useMemory
