@@ -39,89 +39,25 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
     windows2,
 )
 
-# Round-8 window (the driver oracle-checks the FIRST 50 registry
-# entries per round, insertion order). Composition is mechanical —
-# the r7 freshness-guard failure message IS the source of the stale
-# list (tests/test_registry_freshness.py:60):
+# Round-9 window (the driver oracle-checks the FIRST 50 registry
+# entries per round, insertion order). Round 9 is the owed
+# verification-rotation round (VERDICT.md r8 item 1): ZERO new
+# registrations; the window repays the re-check backlog that r8's 48
+# registrations pushed past the 50-cut.
 #
-#   1. _NEW_R8: queries registered this round (never driver-checked)
-#      — front-loaded, because the guard's order assertion requires
-#      never-checked entries to lead the window.
-#   2. _CHANGED_R8: queries whose plan or oracle materially changed
-#      in round 8 and must re-check despite a previous green row.
-#   3. _STALE_R8: the 25 queries the r7 guard listed as "neither in
-#      the r8 window nor green since r6" — copied verbatim from the
-#      assertion output, newest green = r5.
-#   4. _R6_FILL: oldest-green (r6) queries filling remaining slots;
-#      the rest lead round 9.
-_NEW_R8 = [
-    "stats_source_length_drift",     # NEW in r8: chi-square monitor
-    "sim_knn_label_spread",          # NEW in r8: seed-label kNN vote
-    "sample_language_temperature",   # NEW in r8: mT5 α-sampling
-    "text_ngram_novelty",            # NEW in r8: corpus novelty score
-    "dedup_cluster_canonical_docs",  # NEW in r8: survivor selection
-    "llm_prep_full_ledger",          # NEW in r8: full-chain ledger
-    "text_url_canonical_dedup",      # NEW in r8: URL canonicalize
-    "text_quality_percentile_filter",  # NEW in r8
-    "sim_pq_topk",                   # NEW in r8: PQ ADC + re-rank
-    "text_perplexity_buckets",       # NEW in r8: CCNet head/mid/tail
-    "sim_ivfpq_topk",                # NEW in r8: IVF+PQ composition
-    "dedup_minhash_bbit_estimates",  # NEW in r8: b-bit minhash
-    "sample_kcenter_coreset",        # NEW in r8: diversity coreset
-    "sim_hard_negatives",            # NEW in r8: contrastive mining
-    "sample_dsir_importance",        # NEW in r8: DSIR resampling
-    "embed_pca_project",             # NEW in r8: distributed PCA
-    "text_bpe_vocab_merges",         # NEW in r8: BPE induction
-    "sample_reservoir_bottomk",      # NEW in r8: mergeable sample
-    "text_quality_classifier_scores",  # NEW in r8: IRLS classifier
-    "text_bpe_token_counts",         # NEW in r8: BPE apply
-    "merge_into_customer_balances",  # NEW in r8: MERGE INTO
-    "graph_pagerank_trade_network",  # NEW in r8: PageRank
-    "corpus_datacard",               # NEW in r8: data card
-    "dedup_source_overlap_matrix",   # NEW in r8: source overlap
-    "dedup_containment_pairs",       # NEW in r8: near-superset pairs
-    "text_bm25_search",              # NEW in r8: Okapi BM25 top-k
-    "sample_leakage_free_split",     # NEW in r8: cluster-keyed split
-    "text_winnowing_fingerprints",   # NEW in r8: MOSS winnowing
-    "text_quality_yield_curve",      # NEW in r8: filter tradeoff
-    "dedup_snapshot_diff",           # NEW in r8: incremental diff
-    "text_pmi_collocations",         # NEW in r8: PMI phrase mining
-    "text_clean_normalize",          # NEW in r8: cleaning audit
-    "text_vocab_coverage",           # NEW in r8: Zipf vocab sizing
-    "graph_triangle_stats",          # NEW in r8: triangle counting
-    "mine_frequent_event_sets",      # NEW in r8: Apriori itemsets
-    "stats_analyze_lineitem",        # NEW in r8: ANALYZE col stats
-    "mine_association_rules",        # NEW in r8: rules from itemsets
-    "multimodal_phash_neardup",      # NEW in r8: image aHash dedup
-    "timeseries_seasonal_decompose",  # NEW in r8: 2x12 MA decompose
-    "graph_bfs_trade_hops",          # NEW in r8: BFS reachability
-    "quality_expectations_audit",    # NEW in r8: dbt-style contracts
-    "events_markov_transitions",     # NEW in r8: sequence transitions
-    "sketch_kmv_distinct_overlap",   # NEW in r8: KMV set algebra
-    "text_trigram_stupid_backoff",   # NEW in r8: held-out SB LM
-    "stats_join_skew_advisor",       # NEW in r8: salting planner
-    "text_blocklist_filter",         # NEW in r8: C4 term blocklist
-    "stats_equidepth_histogram",     # NEW in r8: range selectivity
-    "stats_join_cardinality_estimate",  # NEW in r8: CBO join sizing
-]
-
-_CHANGED_R8 = [
-    "text_bigram_perplexity",        # cnt_w1 now broadcast (task 3)
-    "dedup_semdedup_decision",       # quantizer cache + cell cap
-    # The next three fell past the 50-cut when the last three r8g
-    # registrations landed — acceptable because their r8 changes are
-    # output-neutral and each was re-verified hash-green against its
-    # oracle at sf0.01 locally on 2026-08-15; front-load them in the
-    # round-9 window anyway. End-of-round pre-flight: the FULL
-    # oracle-parity suite mirrored at the driver's sf0.01
-    # (SPARK_GRAFT_ORACLE_TEST_SF_DIR) passed for all 151 oracles.
-    "text_chunk_documents",          # null-text guard both sides
-    "dedup_incremental_bloom_prefilter",  # KM h2 nonzero fix
-    "sketch_cms_heavy_terms",        # cms_params cross-reference
-]
-
-# verbatim from the r7 guard failure (newest green r5)
-_STALE_R8 = [
+#   1. _STALE_R9: the 25 queries whose newest green row is r5 —
+#      copied verbatim from the r7 guard output (they were the
+#      _STALE_R8 list; r8's full window of new registrations evicted
+#      them). At horizon 4 they MUST re-check this round.
+#   2. _CHANGED_R8: plan/oracle changes from round 8 that were only
+#      locally re-verified (hash-green at sf0.01, 2026-08-15).
+#   3. _CHANGED_R9: graph_bfs_trade_hops gains a full DuckDB
+#      recursive-CTE oracle this round (VERDICT r8 item 4) — its row
+#      must flip rows-only -> hash-green, so it takes a window slot.
+#   4. _R6_FILL: newest-green-r6 queries fill the remaining 21 slots;
+#      the last 3 spill past the 50-cut and lead the round-10 window
+#      (legal: at r10 the guard needs green >= r6, which they hold).
+_STALE_R9 = [
     "stats_percentiles_order_value", "sample_stratified_by_segment",
     "sketch_hll_weekly_users", "window_ranking_variants",
     "window_first_last_order", "subquery_correlated_max_order",
@@ -137,8 +73,18 @@ _STALE_R8 = [
     "join_anti_customers_without_orders", "agg_rollup_nation_segment",
 ]
 
+_CHANGED_R8 = [
+    "text_chunk_documents",          # null-text guard both sides
+    "dedup_incremental_bloom_prefilter",  # KM h2 nonzero fix
+    "sketch_cms_heavy_terms",        # cms_params cross-reference
+]
+
+_CHANGED_R9 = [
+    "graph_bfs_trade_hops",          # oracle added: recursive CTE
+]
+
 # newest green is round 6, oldest-first per CORRECTNESS_r06 order;
-# the leading entries fill the window to the 50 cut, the rest lead r9
+# the leading 21 fill the window to the 50 cut, the last 3 lead r10
 _R6_FILL = [
     "stats_moments_by_segment", "agg_order_array_per_customer",
     "sample_train_val_test_split", "dedup_prefix_jaccard_pairs",
@@ -155,9 +101,9 @@ _R6_FILL = [
 ]
 
 _VERIFY_FIRST = [
-    *_NEW_R8,
+    *_STALE_R9,
     *_CHANGED_R8,
-    *_STALE_R8,
+    *_CHANGED_R9,
     *_R6_FILL,
 ]
 
