@@ -23,6 +23,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+_INTEGRAL_TYPES = (ByteType, ShortType, IntegerType, LongType)
 
 
 # Edge budget for the driver-side fast path: 200k edges = 3.2 MB of
@@ -74,8 +77,18 @@ def connected_components(
     zero times) or proves the graph exceeds the budget and falls
     back to label propagation. Equality of the two paths is pinned
     in tests/test_dedup.py; pass ``driver_edge_budget=0`` to force
-    the distributed path."""
-    if driver_edge_budget > 0:
+    the distributed path.
+
+    Output id/comp type: ``long`` for integral input ids (both paths,
+    so the schema never depends on which path ran); non-integral ids
+    (e.g. string keys) always take the distributed path, which
+    preserves the input type — the driver-side probe's ``cast("long")``
+    would NULL them out (ANSI: throw)."""
+    integral_ids = all(
+        isinstance(edges.schema[c].dataType, _INTEGRAL_TYPES)
+        for c in (src_col, dst_col)
+    )
+    if driver_edge_budget > 0 and integral_ids:
         probe = edges.select(
             F.col(src_col).cast("long"), F.col(dst_col).cast("long")
         ).limit(driver_edge_budget + 1)
@@ -145,6 +158,10 @@ def connected_components(
             f"connected_components did not converge in {max_iter} "
             f"rounds ({n_changed} labels still changing); raise "
             "max_iter for long-chain graphs"
+        )
+    if integral_ids:
+        labels = labels.select(
+            F.col("id").cast("long"), F.col("comp").cast("long")
         )
     return labels
 

@@ -119,6 +119,14 @@ def auto_salted_join(
     distribution joins plain (no exploded small side, no extra
     columns); a skewed one salts at the derived width. The result
     set is the plain join's either way."""
+    # Validate up front, not only when skew is detected — otherwise
+    # how='full' succeeds on uniform data and raises on skewed data
+    # (data-dependent API behavior).
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "auto_salted_join supports how='inner'|'left' (the salted "
+            f"small side replicates rows under {how!r} semantics)"
+        )
     n = advise_salt(big.select(*on), on, hot_factor, max_salt)
     if n <= 1:
         return big.join(small, on, how)

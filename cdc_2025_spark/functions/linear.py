@@ -64,7 +64,10 @@ def hashed_features(
 def _w_lookup(w) -> F.Column:
     """w[bucket] as a literal-array element_at — the weights ride the
     plan itself (repr round-trips doubles exactly via string cast)."""
-    lits = ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in w)
+    # repr(float(v)), not repr(v): numpy >= 2.0 reprs scalars as
+    # 'np.float64(x)', which the string cast would NULL out; Python
+    # float repr round-trips doubles exactly on every numpy version.
+    lits = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in w)
     return F.expr(f"element_at(array({lits}), CAST(bucket AS INT) + 1)")
 
 

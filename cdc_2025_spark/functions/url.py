@@ -41,9 +41,13 @@ def canonical_url(url: Column | str) -> Column:
     u = F.regexp_replace(u, "^[Hh][Tt][Tt][Pp][Ss]?://", "")
     u = F.lower(u)
     u = F.regexp_replace(u, r"^www\.", "")
+    # Path and query must split on the SAME (first) '?':
+    # substring_index(u, '?', -1) would take text after the LAST '?',
+    # silently losing the middle segment of a URL with two '?'s.
     path = F.substring_index(u, "?", 1)
     query = F.when(
-        F.instr(u, "?") > 0, F.substring_index(u, "?", -1)
+        F.instr(u, "?") > 0,
+        F.substring(u, F.instr(u, "?") + F.lit(1), F.length(u)),
     ).otherwise(F.lit(""))
     keep = F.array_sort(
         F.filter(

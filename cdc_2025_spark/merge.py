@@ -83,14 +83,25 @@ def merge_into(
     s_only = ~F.coalesce(F.col("_t_present"), F.lit(False)) & F.coalesce(
         F.col("_s_present"), F.lit(False)
     )
+    # Clause conditions over nullable columns can evaluate to NULL;
+    # Delta treats that as "clause not satisfied" (row unchanged),
+    # but a raw NULL would three-valued-logic its way through `keep`
+    # and filter() would silently DROP the row — coalesce to each
+    # clause's neutral value first.
     upd_cond = (
-        update_condition if update_condition is not None else F.lit(True)
+        F.coalesce(update_condition, F.lit(False))
+        if update_condition is not None
+        else F.lit(True)
     )
     del_cond = (
-        delete_condition if delete_condition is not None else F.lit(False)
+        F.coalesce(delete_condition, F.lit(False))
+        if delete_condition is not None
+        else F.lit(False)
     )
     ins_cond = (
-        insert_condition if insert_condition is not None else F.lit(True)
+        F.coalesce(insert_condition, F.lit(False))
+        if insert_condition is not None
+        else F.lit(True)
     )
     keep = (
         t_only

@@ -968,6 +968,41 @@ def test_cc_driver_path_equals_labelprop(spark):
     assert tight == fast
 
 
+def test_cc_schema_independent_of_path_and_string_ids(spark):
+    """r8 ADVICE: the fast path used to cast ids to long while the
+    distributed path preserved the input type — output schema
+    depended on edge count, and string ids NULLed out (ANSI: threw)
+    on the fast path. Pin: integral ids yield `long` on BOTH paths;
+    string ids work and keep their type (always distributed)."""
+    from cdc_2025_spark.dedup.cluster import connected_components
+
+    ints = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a int, id_b int"
+    )
+    fast = connected_components(ints)
+    dist = connected_components(ints, driver_edge_budget=0)
+    assert fast.schema == dist.schema
+    assert [f.dataType.simpleString() for f in fast.schema] == [
+        "bigint", "bigint",
+    ]
+    assert {tuple(r) for r in fast.collect()} == {
+        tuple(r) for r in dist.collect()
+    }
+
+    strs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    got = {
+        (r["id"], r["comp"]) for r in connected_components(strs).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"),
+    }
+    assert connected_components(strs).schema[0].dataType.simpleString() == (
+        "string"
+    )
+
+
 def test_bbit_estimator_accuracy_and_km_failure(spark, sf_dir):
     """b-bit estimates must track exact Jaccard within the Li-König
     variance envelope on the fixture candidates (measured mean |err|

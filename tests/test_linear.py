@@ -143,3 +143,20 @@ def test_guards(spark):
     )
     with pytest.raises(ValueError, match="n_iter"):
         logreg_train_irls(feat, labels, 8, n_iter=0)
+
+
+def test_w_lookup_literals_roundtrip_numpy_scalars(spark):
+    """r8 ADVICE: _w_lookup must embed weights via repr(float(v)) —
+    under numpy >= 2.0, repr(np.float64(x)) is 'np.float64(x)' and
+    the string CAST would NULL every weight. Pin exact round-trip
+    for numpy scalars including awkward doubles."""
+    import numpy as np
+
+    from cdc_2025_spark.functions.linear import _w_lookup
+
+    w = np.array([0.1, -1.5e-300, 2**53 + 1.0, np.pi])
+    df = spark.createDataFrame(
+        [(i,) for i in range(len(w))], "bucket int"
+    )
+    got = [r["v"] for r in df.select(_w_lookup(w).alias("v")).collect()]
+    assert got == [float(x) for x in w]

@@ -171,3 +171,33 @@ def test_merge_matches_python_model(spark, tgt, src, thresh):
         if k not in td and v < thresh:
             want[k] = float(v)
     assert got == want
+
+
+def test_null_clause_conditions_leave_rows_unchanged(spark):
+    """r8 ADVICE (medium): a clause condition that evaluates to NULL
+    (nullable source column) must behave as 'clause not satisfied' —
+    Delta semantics — not silently DROP the matched row through
+    three-valued logic in the keep filter."""
+    t = _target(spark)
+    s = spark.createDataFrame(
+        [(1, None), (2, 5.0), (9, None)], "k long, amt double"
+    )
+    out = merge_into(
+        t,
+        s,
+        on=["k"],
+        update_set={"bal": F.col("t_bal") + F.col("s_amt")},
+        update_condition=F.col("s_amt") > 0,      # NULL for k=1
+        delete_condition=F.col("s_amt") > 50,     # NULL for k=1
+        insert_values={"name": F.lit("new"), "bal": F.col("s_amt")},
+        insert_condition=F.col("s_amt") > 0,      # NULL for k=9
+    )
+    got = sorted(map(tuple, out.collect()))
+    # k=1: both conditions NULL -> row kept UNCHANGED (was dropped);
+    # k=2: update applies; k=3: target-only; k=9: insert cond NULL ->
+    # not inserted.
+    assert got == [
+        (1, "a", 10.0),
+        (2, "b", 25.0),
+        (3, "c", 30.0),
+    ]

@@ -276,3 +276,19 @@ def test_advise_salt_matches_python_model(spark):
         skew = max(c.values()) / mean
         want = 1 if skew <= 2.0 else min(64, math.ceil(skew))
         assert advise_salt(df, ["k"]) == want, hot_share
+
+
+def test_auto_salted_join_validates_how_up_front(spark):
+    """r8 ADVICE: how='full' used to succeed on uniform data and
+    raise only when skew was detected — data-dependent API behavior.
+    Now rejected up front regardless of the key distribution."""
+    import pytest
+
+    from cdc_2025_spark.functions.joins import auto_salted_join
+
+    uniform = spark.createDataFrame(
+        [(i % 4, i) for i in range(40)], "k int, v int"
+    )
+    dim = spark.createDataFrame([(i, i * 10) for i in range(4)], "k int, d int")
+    with pytest.raises(ValueError, match="inner.*left"):
+        auto_salted_join(uniform, dim, ["k"], how="full")

@@ -49,3 +49,19 @@ def test_idempotence_on_fixture_urls(spark):
     once = [r["canonical_url"] for r in out.collect()]
     twice = _canon(spark, once)
     assert twice == once
+
+
+def test_double_question_mark_splits_on_first(spark):
+    """r8 ADVICE: path and query must split on the SAME (first) '?' —
+    the old substring_index(u, '?', -1) took text after the LAST '?',
+    silently losing the middle segment."""
+    cases = {
+        # later '?' is part of the query per RFC 3986; the whole
+        # remainder after the FIRST '?' is one param string here
+        "http://h.com/p?a=1?b=2": "h.com/p?a=1?b=2",
+        # tracking param carrying a '?' inside its value: the filter
+        # still sees the full first-split query and drops it whole
+        "http://h.com/p?utm_source=x?y&a=1": "h.com/p?a=1",
+    }
+    got = _canon(spark, list(cases))
+    assert got == list(cases.values()), list(zip(cases, got))
