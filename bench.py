@@ -6,6 +6,14 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query executes to completion (count() of the result — forces the
 full plan without driver-side materialization of wide rows). A warmup
 query amortizes JVM/codegen startup out of the per-query numbers.
+
+The stdout line is SIZE-BOUNDED (r8 lesson: at 100 headline queries
+the full per-query map overflowed the driver's line-tail buffer and
+BENCH_r08 recorded `parsed: null`). The complete full-precision
+per-query map always lands in BENCH_DETAIL.json beside this script;
+the stdout "queries" map carries the slowest entries that fit a
+conservative byte budget, plus "queries_omitted"/"detail" markers
+when truncated.
 """
 
 from __future__ import annotations
@@ -169,18 +177,54 @@ def main() -> None:
         times[name] = round(best, 3)
         spark.catalog.clearCache()
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf),
-            }
-        )
+    total = round(sum(times.values()), 3)
+    detail = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+        "n_queries": len(times),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(_stdout_line(total, times, float(sf)))
     spark.stop()
+
+
+# Byte budget for the single stdout JSON line. The r8 driver kept
+# roughly the last 2 KB of output, cutting the line's head; 1800
+# leaves headroom for the line to survive such a tail buffer intact.
+STDOUT_BUDGET = 1800
+
+
+def _stdout_line(total: float, times: dict[str, float], sf: float) -> str:
+    """The driver-facing JSON line, guaranteed <= STDOUT_BUDGET bytes:
+    per-query values at 2dp, slowest-first, dropping the tail of the
+    map (never the summary fields) when the full map does not fit."""
+    by_cost = sorted(times, key=times.get, reverse=True)
+    keep = len(by_cost)
+    while keep >= 0:
+        q = {n: round(times[n], 2) for n in by_cost[:keep]}
+        payload = {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": q,
+            "sf": sf,
+            "n_queries": len(times),
+        }
+        if keep < len(by_cost):
+            payload["queries_omitted"] = len(by_cost) - keep
+            payload["detail"] = "BENCH_DETAIL.json"
+        line = json.dumps(payload, separators=(",", ":"))
+        if len(line) <= STDOUT_BUDGET:
+            return line
+        keep -= max(1, (len(line) - STDOUT_BUDGET) // 40)
+    raise AssertionError("unreachable: empty payload exceeds budget")
 
 
 if __name__ == "__main__":
