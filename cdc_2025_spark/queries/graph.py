@@ -179,8 +179,43 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BFS_SOURCE = "NATION_0"
 
+# Hop bound for the ORACLE's recursive walk only: min-hop over a
+# |V|-vertex graph is < |V| (25 nations), and without a bound a cycle
+# would keep emitting (node, ever-larger-hop) rows forever under the
+# recursive UNION's distinct-against-history termination rule. The
+# Spark BFS needs no bound — its frontier anti-joins the settled set,
+# so a cycle simply stops producing new nodes.
+_BFS_ORACLE_MAX_HOP = 25
 
-@query("graph_bfs_trade_hops")
+
+def _bfs_oracle() -> str:
+    return f"""
+    WITH RECURSIVE edges AS MATERIALIZED (
+      SELECT DISTINCT cn.src, sn.dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN (SELECT c_custkey, n_name AS src
+            FROM customer JOIN nation ON c_nationkey = n_nationkey) cn
+        ON o.o_custkey = cn.c_custkey
+      JOIN (SELECT s_suppkey, n_name AS dst
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey) sn
+        ON l.l_suppkey = sn.s_suppkey
+    ),
+    walk(node, hop) AS (
+      SELECT '{BFS_SOURCE}', 0
+      UNION
+      SELECT e.dst, w.hop + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.hop < {_BFS_ORACLE_MAX_HOP}
+    )
+    SELECT n.n_name,
+           CAST(MIN(w.hop) AS INTEGER) AS hop
+    FROM nation n LEFT JOIN walk w ON w.node = n.n_name
+    GROUP BY n.n_name
+    """
+
+
+@query("graph_bfs_trade_hops", oracle=_bfs_oracle())
 def graph_bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum directed hop count from NATION_0 to every nation over
     the trade network — BFS reachability (Pregel frontier expansion /
@@ -188,12 +223,15 @@ def graph_bfs_trade_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     centrality (PageRank), components (label propagation) and
     transitivity (triangles).
 
-    rows-only by design: O(diameter) data-dependent rounds have no
-    SQL twin. Correctness pinned in tests/test_graph.py: exact
-    equality against a pure-python BFS model on literal
-    chain/diamond/cycle fixtures (incl. an unreachable node and a
-    shorter-path-wins race), and the registered query's hop histogram
-    against the model run on the collected edge list.
+    Oracle: DuckDB recursive CTE — the walk emits (node, hop) pairs
+    breadth-first with UNION-distinct termination and a |V| hop bound
+    (cycles would otherwise emit unboundedly growing hops forever);
+    MIN(hop) per node is exactly BFS's minimum hop count, and
+    unreachable nations surface as NULL through the same nation
+    left-join the Spark side uses. Model-level correctness is ALSO
+    pinned in tests/test_graph.py: exact equality against a
+    pure-python BFS on literal chain/diamond/cycle fixtures (incl. an
+    unreachable node and a shorter-path-wins race).
 
     Shape (functions/graph.py:bfs_hops): each round joins ONLY the
     current frontier against the edge frame + one anti-join against
