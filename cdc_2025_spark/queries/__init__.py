@@ -83,6 +83,25 @@ _CHANGED_R9 = [
     "graph_bfs_trade_hops",          # oracle added: recursive CTE
 ]
 
+# Plan changes made in r9 to queries already green in r8 — each
+# re-verified hash-green against its oracle at the driver's sf0.01
+# locally; the r9 window is fully owed to the rotation backlog, so
+# they FRONT-LOAD the round-10 window (same posture as r8's
+# _CHANGED_R8 trio):
+#   sim_knn_label_spread — vote window -> max_by aggregate + corpus
+#     pre-partition (4.75 -> 0.75 s steady-state, unchanged hash)
+#   merge_into_customer_balances — NULL clause-condition coalesce
+#   text_url_canonical_dedup — query split on FIRST '?'
+#   dedup_cluster_canonical_docs / sample_leakage_free_split —
+#     connected_components integral-dtype gate (long output both paths)
+_CHANGED_R10_QUEUE = [
+    "sim_knn_label_spread",
+    "merge_into_customer_balances",
+    "text_url_canonical_dedup",
+    "dedup_cluster_canonical_docs",
+    "sample_leakage_free_split",
+]
+
 # newest green is round 6, oldest-first per CORRECTNESS_r06 order;
 # the leading 21 fill the window to the 50 cut, the last 3 lead r10
 _R6_FILL = [

@@ -1141,11 +1141,16 @@ def sim_knn_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the seed set BROADCASTS (tiny side of a nested-loop
     score), the corpus streams through ONE scan, per-vector top-k is
     a WindowGroupLimit partial, and voting aggregates k rows per
-    vector — no corpus shuffle beyond the k-row-per-vector vote key.
-    At 100 TB the seed set stays human-label-sized (10⁴-10⁶ rows):
-    broadcast holds; if the seed itself outgrows broadcast, the score
-    step switches to the IVF probe path (sim_ivf_topk) unchanged
-    downstream.
+    vector. The top-k window's hash(vec_id) output partitioning
+    already satisfies both vote groupings, so the ONLY shuffle after
+    the broadcast score is the window's own — the winner pick is a
+    max_by struct aggregate (max (n_votes, -label) == count desc,
+    label asc), not a second window, so the k·|corpus| vote frame is
+    hash-aggregated instead of fully sorted (r8 bench: the sort was
+    ~1/3 of the query). At 100 TB the seed set stays
+    human-label-sized (10⁴-10⁶ rows): broadcast holds; if the seed
+    itself outgrows broadcast, the score step switches to the IVF
+    probe path (sim_ivf_topk) unchanged downstream.
     """
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -1157,8 +1162,15 @@ def sim_knn_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("lemb"),
         "label",
     )
-    unl = emb.filter(F.col("vec_id") >= KNN_N_LABELED).select(
-        "vec_id", "emb"
+    unl = (
+        emb.filter(F.col("vec_id") >= KNN_N_LABELED)
+        .select("vec_id", "emb")
+        # hash(vec_id) BEFORE the broadcast score: parallelizes the
+        # nested-loop scoring past the scan's file-partition count
+        # (one corpus-row shuffle), and the top-k window + both vote
+        # aggregates inherit the partitioning — the |corpus|×|seed|
+        # pair frame never shuffles at all.
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
     scored = F.broadcast(lab).crossJoin(unl).select(
         "vec_id", "lid", "label", cosine("emb", "lemb").alias("cos")
@@ -1171,16 +1183,21 @@ def sim_knn_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_votes"),
         F.avg("cos").alias("mean_cos"),
     )
-    pick = Window.partitionBy("vec_id").orderBy(
-        F.col("n_votes").desc(), F.col("label").asc()
+    # (vec_id, label) rows are unique, so max over the ordering struct
+    # is deterministic: lexicographic (n_votes, -label) == the oracle's
+    # ROW_NUMBER() ... ORDER BY n_votes DESC, label ASC pick.
+    best = votes.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct("label", "n_votes", "mean_cos"),
+            F.struct(
+                F.col("n_votes").alias("o1"),
+                (-F.col("label")).alias("o2"),
+            ),
+        ).alias("b")
     )
-    return (
-        votes.withColumn("pr", F.row_number().over(pick))
-        .filter(F.col("pr") == 1)
-        .select(
-            "vec_id",
-            F.col("label").cast("int").alias("pred_label"),
-            "n_votes",
-            F.round("mean_cos", 4).alias("mean_cos"),
-        )
+    return best.select(
+        "vec_id",
+        F.col("b.label").cast("int").alias("pred_label"),
+        F.col("b.n_votes").alias("n_votes"),
+        F.round("b.mean_cos", 4).alias("mean_cos"),
     )
