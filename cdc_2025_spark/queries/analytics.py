@@ -859,6 +859,14 @@ def stats_source_length_drift(
     )
 
 
+# Sketch-mode knobs shared by the planner-stats family: HLL relative
+# standard deviation for ndv, and the rank-sketch accuracy (inverse
+# relative rank error; memory is O(accuracy)) for percentiles /
+# equi-depth boundaries.
+SKETCH_NDV_RSD = 0.05
+SKETCH_PCT_ACCURACY = 10_000
+
+
 @query(
     "stats_analyze_lineitem",
     oracle="""
@@ -906,7 +914,9 @@ def stats_source_length_drift(
     FROM a JOIN m USING (col_name)
     """,
 )
-def stats_analyze_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stats_analyze_lineitem(
+    spark: SparkSession, sf_dir: str, mode: str = "exact"
+) -> DataFrame:
     """ANALYZE-style optimizer statistics for four lineitem columns
     in one fact scan: row/null/ndv counts, typed min/max, disc median
     and the most-common value with its frequency — the per-column
@@ -924,12 +934,19 @@ def stats_analyze_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularity (the partition-pruning statistic) so the string
     rendering is engine-identical.
 
-    100 TB note: exact ndv and the (col, val) count frame scale with
-    column cardinality — for unique-ish columns swap COUNT(DISTINCT)
-    for the registered HLL sketch (sketch_hll_weekly_users posture)
-    and the disc median for the KLL percentile path
-    (stats_approx_percentiles); this operator keeps both exact so
-    the DuckDB oracle pins value-level parity."""
+    100 TB note — ``mode`` selects the scale path: the default
+    ``"exact"`` keeps COUNT(DISTINCT) (an Expand) and the exact disc
+    median so the DuckDB oracle pins value-level parity;
+    ``mode="sketch"`` swaps ndv for the HLL sketch
+    (approx_count_distinct, rsd=``SKETCH_NDV_RSD``) and the median
+    for the rank-sketch percentile (percentile_approx at
+    ``SKETCH_PCT_ACCURACY``) — both mergeable tree-aggregates with
+    NO Expand and no per-column value funnel, the plan that survives
+    unique-ish columns (ids, timestamps) at cluster scale.
+    Cross-mode agreement on bounded domains is pinned in
+    test_analytics_accuracy.py."""
+    if mode not in ("exact", "sketch"):
+        raise ValueError("stats_analyze_lineitem: mode is 'exact'|'sketch'")
     li = read_table(spark, sf_dir, "lineitem")
     long = li.select(
         F.expr(
@@ -943,22 +960,33 @@ def stats_analyze_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
  as (col_name, val_str, val_num)"""
         )
     )
+    ndv = (
+        F.countDistinct("val_str")
+        if mode == "exact"
+        else F.approx_count_distinct("val_str", SKETCH_NDV_RSD).cast(
+            "long"
+        )
+    )
+    p50 = (
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY val_num)")
+        if mode == "exact"
+        else F.percentile_approx(
+            "val_num", F.lit(0.5), F.lit(SKETCH_PCT_ACCURACY)
+        )
+    )
     moments = long.groupBy("col_name").agg(
         F.count("*").alias("n_rows"),
         F.sum(
             F.when(F.col("val_str").isNull(), 1).otherwise(0)
         ).alias("n_null"),
-        F.countDistinct("val_str").alias("n_distinct"),
+        ndv.alias("n_distinct"),
         F.coalesce(
             F.expr("cast(min(val_num) as string)"), F.min("val_str")
         ).alias("min_val"),
         F.coalesce(
             F.expr("cast(max(val_num) as string)"), F.max("val_str")
         ).alias("max_val"),
-        F.round(
-            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY val_num)"),
-            4,
-        ).alias("p50"),
+        F.round(p50, 4).alias("p50"),
     )
     cnt = (
         long.filter(F.col("val_str").isNotNull())
@@ -1355,7 +1383,7 @@ def _equidepth_case(col: str, pick: str) -> str:
     """,
 )
 def stats_equidepth_histogram(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, mode: str = "exact"
 ) -> DataFrame:
     """Equi-depth (equi-height) histogram of a fact column — THE
     optimizer statistic for range-predicate selectivity (Spark CBO's
@@ -1389,11 +1417,22 @@ def stats_equidepth_histogram(
     rows on one reducer: 2.3x wall at a 10x replica whose distinct
     set was constant; this one is flat there). For genuinely
     unbounded-cardinality domains the exact contract still ceilings
-    at |distinct| — the 100 TB swap is approx_percentile / the
-    registered KLL sketch (accuracy knob documented there).
-    Equality with percentile_disc (== DuckDB quantile_disc) is
-    pinned in test_analytics_accuracy.py.
+    at |distinct| — ``mode="kll"`` is that 100 TB path: boundaries
+    come from ONE rank-sketch aggregate (percentile_approx at
+    ``SKETCH_PCT_ACCURACY`` — a mergeable tree-aggregate, no window
+    anywhere), ride back as B-1 literal doubles, and bucket counting
+    is a plain grouped count — every stage parallel at any
+    cardinality, per-bucket depth error bounded by the sketch's rank
+    error (n/accuracy rows). Exact mode stays the oracle path;
+    cross-mode agreement (exact boundary equality on a
+    small-distinct domain, depth-error bound on the price domain) is
+    pinned in test_analytics_accuracy.py alongside the
+    percentile_disc == quantile_disc equality grid.
     """
+    if mode not in ("exact", "kll"):
+        raise ValueError(
+            "stats_equidepth_histogram: mode is 'exact'|'kll'"
+        )
     # NULL prices are excluded identically on both engines (the
     # chunking-parity rule): they carry no range information, and an
     # unfiltered CASE would silently file them under the last bucket
@@ -1402,6 +1441,8 @@ def stats_equidepth_histogram(
         .filter(F.col("l_extendedprice").isNotNull())
         .select(F.col("l_extendedprice").alias("v"))
     )
+    if mode == "kll":
+        return _equidepth_kll(li)
     cnt = li.groupBy("v").agg(F.count("*").alias("c"))
     w_cum = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1438,6 +1479,44 @@ def stats_equidepth_histogram(
         F.max("v").alias("hi"),
         F.sum("c").cast("long").alias("n_rows"),
         F.round(F.sum("c") / F.max("total"), 4).alias("frac"),
+    )
+
+
+def _equidepth_kll(li: DataFrame) -> DataFrame:
+    """Sketch-mode equi-depth histogram (same output schema as the
+    exact path): B-1 boundaries from one mergeable rank-sketch
+    aggregate, collected as literal doubles (a bounded, B-sized
+    driver hop), then one grouped count over literal comparisons —
+    no window, no distinct-value frame, parallel at any column
+    cardinality."""
+    stat = li.agg(
+        F.percentile_approx(
+            "v",
+            F.array(
+                *[
+                    F.lit(i / EQUIDEPTH_BUCKETS)
+                    for i in range(1, EQUIDEPTH_BUCKETS)
+                ]
+            ),
+            F.lit(SKETCH_PCT_ACCURACY),
+        ).alias("bs"),
+        F.count("*").alias("n"),
+    ).first()
+    bounds, total = stat["bs"], stat["n"]
+    bucket = (
+        1
+        + sum(
+            (F.col("v") > F.lit(float(b))).cast("int") for b in bounds
+        )
+    ).alias("bucket")
+    return (
+        li.select("v", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.max("v").alias("hi"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.round(F.count("*") / F.lit(float(total)), 4).alias("frac"),
+        )
     )
 
 
