@@ -1,0 +1,579 @@
+"""Round-10 registration queue: prepared driver queries + DuckDB
+oracles for the four kernels that landed in round 8 with tests but no
+driver surface (entity resolution, k-anonymity, weighted reservoir,
+classifier evaluation), plus the streaming late-data/watermark audit
+the round-8 verdict asked to stage.
+
+NOT imported by queries/__init__.py on purpose: the registry
+freshness guard requires never-checked queries to LEAD a verification
+window, and the round-9 window is fully owed to the re-check backlog.
+Registering is one call — add ``pending_r10`` to the import list in
+queries/__init__.py, call :func:`register_all` there, and front-load
+:data:`PENDING_ORDER` in the round-10 ``_VERIFY_FIRST``.
+
+Until then the queries are exercised by tests/test_pending_r10.py,
+which runs each one against its oracle with the same normalization
+the driver applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_2025_spark.io import read_table
+
+# ---------------------------------------------------------------------------
+# Entity resolution: customer golden records
+# ---------------------------------------------------------------------------
+
+# Match gate: candidate customers (sharing a block key) whose account
+# balances differ by at most this — a stand-in for "same entity seen
+# twice with minor drift", chosen so sf0.01 yields a non-trivial but
+# closure-friendly match graph.
+ER_BAL_EPS = 2.0
+ER_BAL_BLOCK = 100  # acctbal blocking bucket width
+
+
+def er_customer_golden_records(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Entity resolution end-to-end (functions/er.py): blocking →
+    similarity gate → transitive closure → survivorship, over the
+    customer table. Two blocking keys union'd — (nation, segment) and
+    floor(acctbal/100) — then a |Δbal| <= ER_BAL_EPS gate, components
+    via the shared connected_components kernel, and the per-cluster
+    survivor picked by (acctbal desc, custkey).
+
+    Output: one row per customer (c_custkey, cluster_id, is_golden) —
+    the auditable merge map. The oracle replays blocking + gate in
+    SQL and the closure as a recursive CTE (the
+    dedup_jaccard_clusters pattern).
+
+    Scale shape: each blocking key is one key-grouped self-join over
+    (block key, id) pairs — never a cross product; the gate and
+    closure touch id pairs only; survivorship is one window per
+    cluster. Full records shuffle exactly once (the final label
+    join)."""
+    from cdc_2025_spark.functions.er import (
+        blocked_candidate_pairs,
+        golden_records,
+    )
+
+    cust = read_table(spark, sf_dir, "customer")
+    cand = blocked_candidate_pairs(
+        cust,
+        "c_custkey",
+        [
+            F.concat_ws(
+                "|",
+                F.col("c_nationkey").cast("string"),
+                F.col("c_mktsegment"),
+            ),
+            F.floor(F.col("c_acctbal") / ER_BAL_BLOCK).cast("string"),
+        ],
+    )
+    bal = cust.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_acctbal").alias("bal_a"),
+    )
+    bal_b = cust.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_acctbal").alias("bal_b"),
+    )
+    matched = (
+        cand.join(bal, "id_a")
+        .join(bal_b, "id_b")
+        .filter(
+            F.abs(F.col("bal_a") - F.col("bal_b")) <= ER_BAL_EPS
+        )
+        .select("id_a", "id_b")
+    )
+    out = golden_records(
+        cust,
+        "c_custkey",
+        matched,
+        order_by=[F.col("c_acctbal").desc()],
+    )
+    return out.select("c_custkey", "cluster_id", "is_golden")
+
+
+ER_ORACLE = f"""
+WITH RECURSIVE blocked AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+  WHERE a.c_nationkey IS NOT NULL AND a.c_mktsegment IS NOT NULL
+    AND b.c_nationkey IS NOT NULL AND b.c_mktsegment IS NOT NULL
+  UNION
+  SELECT a.c_custkey, b.c_custkey
+  FROM customer a JOIN customer b
+    ON floor(a.c_acctbal / {ER_BAL_BLOCK})
+       = floor(b.c_acctbal / {ER_BAL_BLOCK})
+   AND a.c_custkey < b.c_custkey
+  WHERE a.c_acctbal IS NOT NULL AND b.c_acctbal IS NOT NULL
+),
+gated AS MATERIALIZED (
+  SELECT p.id_a, p.id_b
+  FROM blocked p
+  JOIN customer a ON a.c_custkey = p.id_a
+  JOIN customer b ON b.c_custkey = p.id_b
+  WHERE abs(a.c_acctbal - b.c_acctbal) <= {ER_BAL_EPS}
+),
+edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM gated
+  UNION SELECT id_b, id_a FROM gated
+),
+reach(a, b) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+comp AS MATERIALIZED (SELECT a AS id, MIN(b) AS comp FROM reach GROUP BY a),
+labeled AS (
+  SELECT c.c_custkey, c.c_acctbal,
+         COALESCE(comp.comp, c.c_custkey) AS cluster_id
+  FROM customer c LEFT JOIN comp ON comp.id = c.c_custkey
+)
+SELECT c_custkey, cluster_id,
+       (ROW_NUMBER() OVER (PARTITION BY cluster_id
+                           ORDER BY c_acctbal DESC, c_custkey) = 1)
+           AS is_golden
+FROM labeled
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit + suppression
+# ---------------------------------------------------------------------------
+
+PRIVACY_K = 5
+PRIVACY_QI = ("event_type", "day")  # quasi-identifier tuple
+
+
+def privacy_kanon_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity over the events release with QI = (event_type,
+    day): the 'raw' audit row, then the audit re-run on the
+    suppressed release (functions/privacy.py:k_anonymity_audit /
+    suppress_below_k) — two rows that show the violating mass and
+    prove suppression closes it (post-suppression
+    n_violating_groups = 0, the idempotence contract).
+
+    Scale shape: each audit is one grouped count folded to a single
+    row; suppression is the same grouped count semi-joined back —
+    one scan + one key-bounded exchange per stage."""
+    from cdc_2025_spark.functions.privacy import (
+        k_anonymity_audit,
+        suppress_below_k,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+    )
+    raw = k_anonymity_audit(ev, list(PRIVACY_QI), PRIVACY_K)
+    supp = k_anonymity_audit(
+        suppress_below_k(ev, list(PRIVACY_QI), PRIVACY_K),
+        list(PRIVACY_QI),
+        PRIVACY_K,
+    )
+    return raw.select(F.lit("raw").alias("stage"), "*").unionByName(
+        supp.select(F.lit("suppressed").alias("stage"), "*")
+    )
+
+
+PRIVACY_ORACLE = f"""
+WITH g AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+raw AS (
+  SELECT 'raw' AS stage,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_rows,
+         CAST(COALESCE(SUM(CASE WHEN c < {PRIVACY_K} THEN 1 ELSE 0 END),
+              0) AS BIGINT) AS n_violating_groups,
+         CAST(COALESCE(SUM(CASE WHEN c < {PRIVACY_K} THEN c END), 0)
+              AS BIGINT) AS n_at_risk_rows,
+         CAST(MIN(c) AS BIGINT) AS k_effective
+  FROM g
+),
+supp AS (
+  SELECT 'suppressed' AS stage,
+         CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_rows,
+         CAST(COALESCE(SUM(CASE WHEN c < {PRIVACY_K} THEN 1 ELSE 0 END),
+              0) AS BIGINT) AS n_violating_groups,
+         CAST(COALESCE(SUM(CASE WHEN c < {PRIVACY_K} THEN c END), 0)
+              AS BIGINT) AS n_at_risk_rows,
+         CAST(MIN(c) AS BIGINT) AS k_effective
+  FROM g WHERE c >= {PRIVACY_K}
+)
+SELECT * FROM raw UNION ALL SELECT * FROM supp
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir (Efraimidis-Spirakis exponential race)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_RESERVOIR_K = 100
+
+
+def sample_weighted_reservoir_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weight-proportional K-sample of the corpus without replacement
+    (functions/reservoir.py:weighted_bottomk_sample): every document
+    races with an Exp(weight) ticket -ln(u)/w built from the salted
+    deterministic md5 uniform; the K smallest tickets win — inclusion
+    probability proportional to n_chars (sample long documents more,
+    the token-budget-proportional sampling a corpus monitor wants).
+
+    Oracle parity rests on both engines computing ln and division in
+    IEEE double (verified by the parity test across the full corpus);
+    the displayed wprio is rounded AFTER the take, and the take
+    orders by the unrounded ticket with a doc_id tiebreak.
+
+    Scale shape: one scan; the take plans as TakeOrderedAndProject
+    (per-partition partial top-K); mergeable across shards and
+    microbatches because the ticket is a pure function of
+    (key, weight)."""
+    from cdc_2025_spark.functions.reservoir import (
+        weighted_bottomk_sample,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("w")
+    )
+    out = weighted_bottomk_sample(
+        docs, WEIGHTED_RESERVOIR_K, "doc_id", "w"
+    )
+    return out.select(
+        "doc_id",
+        F.col("weight").alias("weight"),
+        F.round("wprio", 4).alias("wprio"),
+        "rk",
+    )
+
+
+WEIGHTED_RESERVOIR_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(n_chars AS DOUBLE) AS weight,
+         -ln((CAST(('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)),
+                                   1, 8)) AS BIGINT) % 1000000 + 1)
+             / 1000000.0)
+         / CAST(n_chars AS DOUBLE) AS wprio
+  FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+),
+rk AS (
+  SELECT doc_id, weight, wprio,
+         ROW_NUMBER() OVER (ORDER BY wprio, doc_id) AS rk
+  FROM t
+)
+SELECT doc_id, weight, ROUND(wprio, 4) AS wprio, CAST(rk AS BIGINT) AS rk
+FROM rk WHERE rk <= {WEIGHTED_RESERVOIR_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation: AUC + threshold sweep
+# ---------------------------------------------------------------------------
+
+# Deterministic, finite-precision score/label columns over documents:
+# score = (n_chars % SCORE_MOD)/SCORE_MOD (bounded distinct-score
+# frame by construction), label = doc is English. The kernels are
+# score-agnostic; the registered pair pins their arithmetic.
+SCORE_MOD = 97
+
+
+def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        (
+            (F.col("n_chars") % SCORE_MOD) / F.lit(float(SCORE_MOD))
+        ).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+
+
+def eval_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected ROC AUC (Mann-Whitney midrank identity) of the
+    deterministic quality score against the is-English label — one
+    row (n_pos, n_neg, auc) from functions/evalmetrics.py:auc_roc.
+
+    Scale shape: ONE grouped count collapses the corpus to the
+    distinct-score frame; the midrank window and the final fold run
+    over that bounded frame, never the corpus."""
+    from cdc_2025_spark.functions.evalmetrics import auc_roc
+
+    return auc_roc(_scored_docs(spark, sf_dir), "score", "label")
+
+
+EVAL_AUC_ORACLE = f"""
+WITH s AS (
+  SELECT (n_chars % {SCORE_MOD}) / {SCORE_MOD}.0 AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+  FROM documents
+  WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+),
+g AS (
+  SELECT score, SUM(label) AS np, SUM(1 - label) AS nn
+  FROM s GROUP BY score
+),
+ranked AS (
+  SELECT np, nn,
+         SUM(np + nn) OVER (ORDER BY score
+                            ROWS UNBOUNDED PRECEDING)
+           - (np + nn) + (np + nn + 1) / 2.0 AS midrank
+  FROM g
+),
+tot AS (
+  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+         CAST(SUM(nn) AS BIGINT) AS n_neg,
+         SUM(np * midrank) AS rank_sum
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN ROUND((rank_sum - n_pos * (n_pos + 1) / 2.0)
+                       / (n_pos * n_neg), 6)
+       END AS auc
+FROM tot
+"""
+
+
+def eval_quality_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full ROC/PR operating table: one row per distinct score
+    used as decision threshold (predict positive when score >=
+    threshold) with tp/fp/fn/tn and precision/recall —
+    functions/evalmetrics.py:threshold_sweep, computed without
+    re-scanning the corpus per threshold (cumulative window over the
+    distinct-score frame)."""
+    from cdc_2025_spark.functions.evalmetrics import threshold_sweep
+
+    return threshold_sweep(_scored_docs(spark, sf_dir), "score", "label")
+
+
+EVAL_SWEEP_ORACLE = f"""
+WITH s AS (
+  SELECT (n_chars % {SCORE_MOD}) / {SCORE_MOD}.0 AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+  FROM documents
+  WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+),
+g AS (
+  SELECT score, SUM(label) AS np, SUM(1 - label) AS nn
+  FROM s GROUP BY score
+),
+cum AS (
+  SELECT score AS threshold,
+         CAST(SUM(np) OVER (ORDER BY score DESC
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+         CAST(SUM(nn) OVER (ORDER BY score DESC
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+  FROM g
+),
+tot AS (SELECT SUM(np) AS tp_all, SUM(nn) AS fp_all FROM g)
+SELECT threshold, tp, fp,
+       CAST(tot.tp_all - tp AS BIGINT) AS fn,
+       CAST(tot.fp_all - fp AS BIGINT) AS tn,
+       ROUND(tp * 1.0 / (tp + fp), 6) AS precision,
+       CASE WHEN tot.tp_all > 0
+            THEN ROUND(tp * 1.0 / tot.tp_all, 6) END AS recall
+FROM cum CROSS JOIN tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming late-data / watermark audit (batch twin)
+# ---------------------------------------------------------------------------
+
+LATE_WATERMARK_MINUTES = 30
+# Deterministic delivery model: the testdata's events arrive in
+# perfect event-time order (event_id is ts-sorted, measured), so a
+# watermark audit over raw arrivals flags nothing at any delay. The
+# audit therefore models the deployment reality explicitly: a
+# salted-md5-selected 1-in-LATE_STRAGGLER_MOD subset of events is
+# DELIVERED LATE_DELAY_MINUTES after its event time (a delayed
+# producer / retried batch); everything else arrives at its event
+# time. Both constants are part of the query's contract and the
+# oracle reproduces them exactly.
+LATE_STRAGGLER_MOD = 50
+LATE_DELAY_MINUTES = 120
+
+
+def stream_late_data_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Late-data accounting under watermark semantics, as a
+    deterministic batch twin: arrival order is (arrival time,
+    event_id) under the straggler delivery model above, the watermark
+    before each row is max(EVENT time) over strictly-preceding
+    arrivals minus the configured delay, and a row is LATE — dropped
+    by a streaming aggregation — when its event time falls below that
+    watermark (the Structured Streaming eviction rule, stated per-row
+    instead of per-microbatch so batch and oracle agree exactly;
+    streaming/windows.py:tumbling_window_stats is the readStream form
+    whose state this audit sizes).
+
+    Output per (hour window, event_type): accepted/late counts and
+    the accepted-value sum — what the streaming job WOULD have
+    emitted plus what it would have dropped, the audit run before
+    choosing a watermark delay.
+
+    Scale shape: the running max is ONE ordered window over arrival
+    sequence (time-ordered at the source in deployment — here a
+    single global window is the oracle-exact stand-in; a
+    deployment-shape variant would bucket arrivals and carry
+    per-bucket maxima), then one grouped aggregate."""
+    ev = read_table(spark, sf_dir, "events")
+    straggler = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("late:"),
+                        F.col("event_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % LATE_STRAGGLER_MOD
+        == 0
+    )
+    arr = ev.select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.when(
+            straggler,
+            F.col("ts")
+            + F.expr(f"INTERVAL {LATE_DELAY_MINUTES} MINUTES"),
+        )
+        .otherwise(F.col("ts"))
+        .alias("arrival_ts"),
+    )
+    w = Window.orderBy("arrival_ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = arr.select(
+        "ts",
+        "event_type",
+        "value",
+        F.coalesce(
+            F.col("ts")
+            < F.max("ts").over(w)
+            - F.expr(f"INTERVAL {LATE_WATERMARK_MINUTES} MINUTES"),
+            F.lit(False),
+        ).alias("is_late"),
+    )
+    return (
+        flagged.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum((~F.col("is_late")).cast("long")).alias("n_accepted"),
+            F.sum(F.col("is_late").cast("long")).alias("n_late"),
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(~F.col("is_late"), F.col("value"))
+                    ),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("accepted_value"),
+        )
+    )
+
+
+LATE_AUDIT_ORACLE = f"""
+WITH arr AS (
+  SELECT event_id, ts, event_type, value,
+         CASE WHEN CAST(('0x' || substr(md5('late:' ||
+                    CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % {LATE_STRAGGLER_MOD} = 0
+              THEN ts + INTERVAL {LATE_DELAY_MINUTES} MINUTE
+              ELSE ts END AS arrival_ts
+  FROM events
+),
+flagged AS (
+  SELECT ts, event_type, value,
+         COALESCE(
+           ts < MAX(ts) OVER (ORDER BY arrival_ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING)
+                - INTERVAL {LATE_WATERMARK_MINUTES} MINUTE,
+           FALSE) AS is_late
+  FROM arr
+)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(SUM(CASE WHEN is_late THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_accepted,
+       CAST(SUM(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_late,
+       ROUND(COALESCE(SUM(CASE WHEN NOT is_late THEN value END), 0),
+             4) AS accepted_value
+FROM flagged
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registration hook for round 10
+# ---------------------------------------------------------------------------
+
+PENDING_ORDER = [
+    "er_customer_golden_records",
+    "privacy_kanon_events",
+    "sample_weighted_reservoir_docs",
+    "eval_quality_auc",
+    "eval_quality_threshold_sweep",
+    "stream_late_data_audit",
+]
+
+_PENDING = {
+    "er_customer_golden_records": (
+        er_customer_golden_records,
+        ER_ORACLE,
+    ),
+    "privacy_kanon_events": (privacy_kanon_events, PRIVACY_ORACLE),
+    "sample_weighted_reservoir_docs": (
+        sample_weighted_reservoir_docs,
+        WEIGHTED_RESERVOIR_ORACLE,
+    ),
+    "eval_quality_auc": (eval_quality_auc, EVAL_AUC_ORACLE),
+    "eval_quality_threshold_sweep": (
+        eval_quality_threshold_sweep,
+        EVAL_SWEEP_ORACLE,
+    ),
+    "stream_late_data_audit": (
+        stream_late_data_audit,
+        LATE_AUDIT_ORACLE,
+    ),
+}
+
+
+def register_all() -> None:
+    """Register every pending query (round-10 hook). Idempotent-
+    hostile on purpose: the registry's duplicate check fires on a
+    second call, matching the one-shot registration contract."""
+    from cdc_2025_spark.queries.registry import query
+
+    for name in PENDING_ORDER:
+        fn, oracle = _PENDING[name]
+        query(name, oracle=oracle)(fn)

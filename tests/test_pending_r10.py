@@ -1,0 +1,132 @@
+"""Round-10 registration queue: every pending query must already pass
+the exact driver-style oracle comparison (same normalization as
+tests/test_oracle_parity.py) so registration day is a rename, not a
+debug session. The module is intentionally NOT imported by
+queries/__init__.py — these tests import it directly, which leaves
+the live registry untouched (pending queries use plain functions, not
+the @query decorator)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from cdc_2025_spark.queries import pending_r10
+from cdc_2025_spark.schemas import TABLE_NAMES
+
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_TEST_SF_DIR", "/root/testdata/sf0.001"
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = "NaN" if math.isnan(v) else round(v, 6)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def _close(a, b):
+    if a == b:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        return math.isclose(a, b, rel_tol=1e-7, abs_tol=1e-7)
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return float(a) == float(b)
+    return str(a) == str(b)
+
+
+@pytest.mark.parametrize("name", pending_r10.PENDING_ORDER)
+def test_pending_oracle_match(spark, duck, name):
+    fn, oracle = pending_r10._PENDING[name]
+    sdf = fn(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    s_norm = _normalize(spark_rows, spark_cols)
+    d_norm = _normalize(duck_rows, duck_cols)
+    mismatches = [
+        (i, sr, dr)
+        for i, (sr, dr) in enumerate(zip(s_norm, d_norm))
+        if not all(_close(a, b) for a, b in zip(sr, dr))
+    ][:3]
+    assert not mismatches, f"{name}: value mismatches {mismatches}"
+
+
+@pytest.mark.parametrize("name", pending_r10.PENDING_ORDER)
+def test_pending_outputs_driver_sortable(spark, name):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    fn, _ = pending_r10._PENDING[name]
+    df = fn(spark, SF_DIR)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{name}: container columns {bad}"
+
+
+def test_pending_module_not_registered():
+    """Importing pending_r10 must leave the live registry untouched
+    (the freshness guard requires new registrations to LEAD a
+    verification window — round 9's window is owed elsewhere)."""
+    from cdc_2025_spark.queries import QUERIES
+
+    assert not (set(pending_r10.PENDING_ORDER) & set(QUERIES))
+
+
+def test_pending_fixtures_are_nontrivial(spark, duck):
+    """The fixture constants must produce non-degenerate behavior at
+    test scale, or the parity check proves nothing: ER has at least
+    one multi-row cluster, the raw k-anon audit sees violations and
+    the suppressed one sees none, the AUC is defined, and the late
+    audit flags at least one late row."""
+    er = pending_r10.er_customer_golden_records(spark, SF_DIR)
+    from pyspark.sql import functions as F
+
+    multi = (
+        er.groupBy("cluster_id").count().filter(F.col("count") > 1)
+    ).count()
+    assert multi > 0
+    ka = {
+        r["stage"]: r
+        for r in pending_r10.privacy_kanon_events(spark, SF_DIR).collect()
+    }
+    assert ka["raw"]["n_violating_groups"] > 0
+    assert ka["suppressed"]["n_violating_groups"] == 0
+    assert ka["suppressed"]["k_effective"] >= pending_r10.PRIVACY_K
+    auc = pending_r10.eval_quality_auc(spark, SF_DIR).first()
+    assert auc["auc"] is not None and 0.0 <= auc["auc"] <= 1.0
+    late = pending_r10.stream_late_data_audit(spark, SF_DIR)
+    assert late.agg(F.sum("n_late")).first()[0] > 0
