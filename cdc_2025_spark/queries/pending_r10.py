@@ -410,6 +410,41 @@ LATE_STRAGGLER_MOD = 50
 LATE_DELAY_MINUTES = 120
 
 
+def late_flagged(
+    arrivals: DataFrame,
+    arrival_order: list[str],
+    watermark_minutes: int,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """``arrivals`` plus an ``is_late`` flag: a row is late when its
+    event time falls below the watermark in force at its arrival —
+    max(event time) over STRICTLY-PRECEDING arrivals minus the delay.
+
+    This is the TIGHT (no-lag) statement of Structured Streaming's
+    late-input rule. The real engine commits its watermark update one
+    microbatch late (measured: with one row per microbatch, the
+    watermark effective in batch k derives from batches <= k-2), so
+    the engine may ACCEPT a row this audit flags, never the reverse:
+    engine-dropped ⊆ audit-late, with equality once a straggler's
+    lateness exceeds one batch of event-time progress. Both
+    directions are pinned against a real readStream run in
+    tests/test_pending_r10.py — the audit is the conservative "what
+    is at risk under delay W" answer, which is the planning question
+    it exists for."""
+    w = Window.orderBy(*arrival_order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return arrivals.withColumn(
+        "is_late",
+        F.coalesce(
+            F.col(ts_col)
+            < F.max(ts_col).over(w)
+            - F.expr(f"INTERVAL {watermark_minutes} MINUTES"),
+            F.lit(False),
+        ),
+    )
+
+
 def stream_late_data_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -466,20 +501,9 @@ def stream_late_data_audit(
         .otherwise(F.col("ts"))
         .alias("arrival_ts"),
     )
-    w = Window.orderBy("arrival_ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    flagged = arr.select(
-        "ts",
-        "event_type",
-        "value",
-        F.coalesce(
-            F.col("ts")
-            < F.max("ts").over(w)
-            - F.expr(f"INTERVAL {LATE_WATERMARK_MINUTES} MINUTES"),
-            F.lit(False),
-        ).alias("is_late"),
-    )
+    flagged = late_flagged(
+        arr, ["arrival_ts", "event_id"], LATE_WATERMARK_MINUTES
+    ).select("ts", "event_type", "value", "is_late")
     return (
         flagged.groupBy(
             F.date_trunc("hour", "ts").alias("window_start"),
