@@ -150,16 +150,21 @@ FROM labeled
 # ---------------------------------------------------------------------------
 
 PRIVACY_K = 5
-PRIVACY_QI = ("event_type", "day")  # quasi-identifier tuple
+# quasi-identifier tuple: (event_type, day, coarse value bucket) —
+# the granularity level where both test scales carry violating AND
+# surviving groups (day-level alone stops violating past sf0.001, a
+# degenerate audit)
+PRIVACY_QI = ("event_type", "day", "val_bucket")
 
 
 def privacy_kanon_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity over the events release with QI = (event_type,
-    day): the 'raw' audit row, then the audit re-run on the
-    suppressed release (functions/privacy.py:k_anonymity_audit /
-    suppress_below_k) — two rows that show the violating mass and
-    prove suppression closes it (post-suppression
-    n_violating_groups = 0, the idempotence contract).
+    day, floor(value/100)): the 'raw' audit row, then the audit
+    re-run on the suppressed release
+    (functions/privacy.py:k_anonymity_audit / suppress_below_k) —
+    two rows that show the violating mass and prove suppression
+    closes it (post-suppression n_violating_groups = 0, the
+    idempotence contract).
 
     Scale shape: each audit is one grouped count folded to a single
     row; suppression is the same grouped count semi-joined back —
@@ -173,6 +178,7 @@ def privacy_kanon_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") / 100).cast("int").alias("val_bucket"),
     )
     raw = k_anonymity_audit(ev, list(PRIVACY_QI), PRIVACY_K)
     supp = k_anonymity_audit(
@@ -187,8 +193,10 @@ def privacy_kanon_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PRIVACY_ORACLE = f"""
 WITH g AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
-  FROM events GROUP BY 1, 2
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(value / 100) AS INTEGER) AS val_bucket,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2, 3
 ),
 raw AS (
   SELECT 'raw' AS stage,
