@@ -14,6 +14,11 @@ queries/__init__.py, call :func:`register_all` there, and front-load
 Until then the queries are exercised by tests/test_pending_r10.py,
 which runs each one against its oracle with the same normalization
 the driver applies.
+
+Pre-registration sf0.1 wall times (min-of-2, idle local[32], for the
+round-10 bench.py HEADLINE additions): ER golden records 2.77 s
+(closure-bound), k-anonymity 0.65 s, weighted reservoir 0.28 s,
+AUC 0.29 s, threshold sweep 0.38 s, late-data audit 0.36 s.
 """
 
 from __future__ import annotations

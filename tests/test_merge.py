@@ -201,3 +201,69 @@ def test_null_clause_conditions_leave_rows_unchanged(spark):
         (2, "b", 25.0),
         (3, "c", 30.0),
     ]
+
+
+@_SETTINGS
+@given(
+    tgt=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    src=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.one_of(
+                st.none(), st.integers(min_value=-50, max_value=50)
+            ),
+        ),
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    thresh=st.integers(min_value=-50, max_value=50),
+)
+def test_merge_matches_python_model_with_null_amounts(
+    spark, tgt, src, thresh
+):
+    """The NULL leg of the merge model (r8 ADVICE medium): a NULL
+    source amount makes delete/insert conditions evaluate to NULL —
+    Delta semantics say 'clause not satisfied', so the matched row is
+    UPDATED (condition defaults true; SET yields NULL balance), never
+    silently dropped, and the source-only row is not inserted."""
+    t = spark.createDataFrame(
+        [(k, float(v)) for k, v in tgt] or [(None, None)],
+        "k long, bal double",
+    ).filter(F.col("k").isNotNull())
+    s = spark.createDataFrame(
+        [(k, None if v is None else float(v)) for k, v in src]
+        or [(None, None)],
+        "k long, amt double",
+    ).filter(F.col("k").isNotNull())
+    out = merge_into(
+        t,
+        s,
+        on=["k"],
+        update_set={"bal": F.col("t_bal") + F.col("s_amt")},
+        delete_condition=F.col("s_amt") >= float(thresh),
+        insert_values={"bal": F.col("s_amt")},
+        insert_condition=F.col("s_amt") < float(thresh),
+    )
+    got = {r["k"]: r["bal"] for r in out.collect()}
+    td, sd = dict(tgt), dict(src)
+    want = {}
+    for k, v in td.items():
+        if k in sd:
+            if sd[k] is not None and sd[k] >= thresh:
+                continue  # deleted
+            # update clause (condition defaults true): NULL amt
+            # updates the balance to NULL, it does not delete
+            want[k] = float(v + sd[k]) if sd[k] is not None else None
+        else:
+            want[k] = float(v)
+    for k, v in sd.items():
+        if k not in td and v is not None and v < thresh:
+            want[k] = float(v)
+    assert got == want
