@@ -207,7 +207,7 @@ def _stdout_line(total: float, times: dict[str, float], sf: float) -> str:
     map (never the summary fields) when the full map does not fit."""
     by_cost = sorted(times, key=times.get, reverse=True)
     keep = len(by_cost)
-    while keep >= 0:
+    while True:
         q = {n: round(times[n], 2) for n in by_cost[:keep]}
         payload = {
             "metric": "headline_queries_total_sec",
@@ -223,8 +223,15 @@ def _stdout_line(total: float, times: dict[str, float], sf: float) -> str:
         line = json.dumps(payload, separators=(",", ":"))
         if len(line) <= STDOUT_BUDGET:
             return line
-        keep -= max(1, (len(line) - STDOUT_BUDGET) // 40)
-    raise AssertionError("unreachable: empty payload exceeds budget")
+        if keep == 0:
+            # summary-only does not fit: never drop a completed run
+            raise AssertionError(
+                f"summary payload exceeds budget: {len(line)} bytes"
+            )
+        # clamp at 0 so the overshoot of the ~40-bytes-per-entry
+        # estimate (long query names) still tries the summary-only
+        # payload instead of exiting the loop
+        keep = max(0, keep - max(1, (len(line) - STDOUT_BUDGET) // 40))
 
 
 if __name__ == "__main__":

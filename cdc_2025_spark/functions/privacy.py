@@ -37,6 +37,18 @@ def k_anonymity_audit(
     g = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(
         F.count("*").alias("c")
     )
+    return audit_group_sizes(g, k)
+
+
+def audit_group_sizes(g: DataFrame, k: int) -> DataFrame:
+    """The audit fold over an ALREADY-GROUPED (QI..., c) frame — the
+    shareable half of :func:`k_anonymity_audit`. Callers holding the
+    grouped count can derive several audits from one scan: the
+    post-suppression audit is exactly this fold over
+    ``g.filter(c >= k)`` because suppression never changes a
+    surviving group's size (the idempotence contract)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     viol = F.col("c") < k
     return g.agg(
         F.count("*").alias("n_groups"),

@@ -1503,6 +1503,12 @@ def _equidepth_kll(li: DataFrame) -> DataFrame:
         F.count("*").alias("n"),
     ).first()
     bounds, total = stat["bs"], stat["n"]
+    if not bounds or not total:
+        # empty/all-NULL input: the sketch returns NULL — match the
+        # exact path's empty frame instead of crashing on iteration
+        return li.sparkSession.createDataFrame(
+            [], "bucket int, hi double, n_rows long, frac double"
+        )
     bucket = (
         1
         + sum(

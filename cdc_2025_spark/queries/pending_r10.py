@@ -70,9 +70,14 @@ def er_customer_golden_records(
         cust,
         "c_custkey",
         [
-            F.concat_ws(
-                "|",
+            # F.concat (NULL-propagating), NOT concat_ws: a NULL
+            # nationkey must yield a NULL block key so the row never
+            # blocks on a partial key — blocked_candidate_pairs'
+            # documented rule, and what the oracle's IS NOT NULL
+            # guards express (r9 review fix)
+            F.concat(
                 F.col("c_nationkey").cast("string"),
+                F.lit("|"),
                 F.col("c_mktsegment"),
             ),
             F.floor(F.col("c_acctbal") / ER_BAL_BLOCK).cast("string"),
@@ -171,25 +176,28 @@ def privacy_kanon_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     closes it (post-suppression n_violating_groups = 0, the
     idempotence contract).
 
-    Scale shape: each audit is one grouped count folded to a single
-    row; suppression is the same grouped count semi-joined back —
-    one scan + one key-bounded exchange per stage."""
-    from cdc_2025_spark.functions.privacy import (
-        k_anonymity_audit,
-        suppress_below_k,
-    )
+    Scale shape: ONE scan — a single QI grouped count (map-side
+    partials, |QI-combinations| rows) feeds BOTH audit folds; the
+    post-suppression audit is the same fold over the ``c >= k``
+    groups, exact because suppression never changes a surviving
+    group's size (the idempotence contract
+    functions/privacy.py:suppress_below_k pins; an earlier shape
+    re-scanned events three times through the row-level kernels —
+    r9 review fix). The oracle derives both rows from one grouped
+    CTE the same way."""
+    from cdc_2025_spark.functions.privacy import audit_group_sizes
 
     ev = read_table(spark, sf_dir, "events").select(
-        "event_id",
         "event_type",
         F.col("ts").cast("date").alias("day"),
         F.floor(F.col("value") / 100).cast("int").alias("val_bucket"),
     )
-    raw = k_anonymity_audit(ev, list(PRIVACY_QI), PRIVACY_K)
-    supp = k_anonymity_audit(
-        suppress_below_k(ev, list(PRIVACY_QI), PRIVACY_K),
-        list(PRIVACY_QI),
-        PRIVACY_K,
+    g = ev.groupBy(*[F.col(c) for c in PRIVACY_QI]).agg(
+        F.count("*").alias("c")
+    )
+    raw = audit_group_sizes(g, PRIVACY_K)
+    supp = audit_group_sizes(
+        g.filter(F.col("c") >= PRIVACY_K), PRIVACY_K
     )
     return raw.select(F.lit("raw").alias("stage"), "*").unionByName(
         supp.select(F.lit("suppressed").alias("stage"), "*")

@@ -52,7 +52,8 @@ _URL_SQL = """
       SELECT doc_id,
         CASE WHEN contains(u, '?') THEN split_part(u, '?', 1)
              ELSE u END AS path,
-        CASE WHEN contains(u, '?') THEN split_part(u, '?', 2)
+        CASE WHEN contains(u, '?')
+             THEN substr(u, position('?' IN u) + 1)
              ELSE '' END AS q
       FROM c1
     ),

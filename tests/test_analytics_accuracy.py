@@ -716,3 +716,26 @@ def test_analyze_sketch_mode_tracks_exact(spark, sf_dir):
             assert hi - lo <= max(0.05 * abs(e["p50"]), 1e-9), (
                 c, e["p50"], s["p50"],
             )
+
+
+def test_equidepth_kll_empty_input_matches_exact(spark, tmp_path):
+    """r9 review: all-NULL input made the sketch return NULL bounds
+    and the kll path crash on iteration; both modes must return an
+    empty frame with the same schema."""
+    import os
+
+    from cdc_2025_spark.queries.analytics import (
+        stats_equidepth_histogram,
+    )
+
+    spark.createDataFrame(
+        [(None,)], "l_extendedprice double"
+    ).write.parquet(str(tmp_path / "li"))
+    os.rename(
+        str(tmp_path / "li"), os.path.join(str(tmp_path), "lineitem.parquet")
+    )
+    sf = str(tmp_path)
+    exact = stats_equidepth_histogram(spark, sf)
+    kll = stats_equidepth_histogram(spark, sf, mode="kll")
+    assert exact.count() == 0 and kll.count() == 0
+    assert kll.schema.simpleString() == exact.schema.simpleString()

@@ -41,3 +41,15 @@ def test_small_map_untouched():
     d = json.loads(bench._stdout_line(10.0, times, 0.01))
     assert "queries_omitted" not in d
     assert len(d["queries"]) == 10
+
+
+def test_overshoot_clamps_to_summary_only():
+    """r9 review: the per-entry byte estimate can overshoot keep past
+    0 on long query names; the loop must clamp and emit the
+    summary-only payload instead of raising."""
+    long = {f"x_{'dedup_incremental_bloom_prefilter'*3}_{i:04d}": 1.0
+            for i in range(600)}
+    d = json.loads(bench._stdout_line(600.0, long, 0.1))
+    assert d["n_queries"] == 600
+    assert len(json.dumps(d, separators=(",", ":"))) <= bench.STDOUT_BUDGET
+    assert d["queries_omitted"] + len(d["queries"]) == 600

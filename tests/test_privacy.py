@@ -90,3 +90,30 @@ def test_suppression_matches_python_model_grid(spark):
         }
         want = {n for n, z, a in rows if sizes[(z, a)] >= k}
         assert got == want, k
+
+
+def test_group_sizes_audit_equals_rowlevel_suppression_path(spark):
+    """The one-scan shortcut (audit the c >= k groups) must equal the
+    row-level path (audit over suppress_below_k's actual output) —
+    the equivalence the registered query's single-scan shape rests
+    on (r9 review fix)."""
+    from cdc_2025_spark.functions.privacy import (
+        audit_group_sizes,
+        k_anonymity_audit,
+        suppress_below_k,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 1), ("b", 2), ("b", None),
+         (None, 3), (None, 3), ("c", 4)],
+        "qa string, qb int",
+    )
+    for k in (1, 2, 3, 5):
+        g = df.groupBy("qa", "qb").count().withColumnRenamed("count", "c")
+        fast = audit_group_sizes(
+            g.filter(g["c"] >= k), k
+        ).collect()[0]
+        slow = k_anonymity_audit(
+            suppress_below_k(df, ["qa", "qb"], k), ["qa", "qb"], k
+        ).collect()[0]
+        assert tuple(fast) == tuple(slow), (k, fast, slow)

@@ -65,3 +65,21 @@ def test_double_question_mark_splits_on_first(spark):
     }
     got = _canon(spark, list(cases))
     assert got == list(cases.values()), list(zip(cases, got))
+
+
+def test_registered_oracle_splits_on_first_question_mark():
+    """r9 review: the Spark-side first-'?' fix must be mirrored by
+    the registered query's DuckDB oracle — pin the oracle's query
+    extraction on a double-'?' URL directly in DuckDB."""
+    import duckdb
+
+    got = duckdb.connect().execute(
+        """SELECT CASE WHEN contains(u, '?')
+                  THEN substr(u, position('?' IN u) + 1)
+                  ELSE '' END
+           FROM (SELECT 'h.com/p?a=1?b=2' AS u)"""
+    ).fetchone()[0]
+    assert got == "a=1?b=2"
+    from cdc_2025_spark.queries import ORACLES
+
+    assert "position('?' IN u)" in ORACLES["text_url_canonical_dedup"]
