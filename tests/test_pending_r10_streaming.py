@@ -133,3 +133,30 @@ def test_engine_matches_audit_beyond_the_lag(spark, tmp_path):
     audit_late = _audit_late(spark, arrivals)
     assert audit_late == {5, 7}
     assert engine_dropped == audit_late
+
+
+def test_late_flagged_matches_python_model(spark):
+    """Hypothesis-free exhaustive model check on small sequences is
+    flaky to enumerate; instead, a seeded pseudo-random batch of
+    arrival sequences (deterministic — no runtime RNG) checked
+    against a pure-python strictly-preceding-max model."""
+    import hashlib
+
+    def u(seed, i):
+        return int(
+            hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16
+        )
+
+    for seed in range(8):
+        n = 6 + u(seed, 99) % 7
+        offs = [u(seed, i) % 300 for i in range(n)]
+        arrivals = [(i + 1, off) for i, off in enumerate(offs)]
+        # python model
+        want = set()
+        mx = None
+        for eid, off in arrivals:
+            if mx is not None and off < mx - 30:
+                want.add(eid)
+            mx = off if mx is None else max(mx, off)
+        got = _audit_late(spark, arrivals)
+        assert got == want, (seed, arrivals, got, want)

@@ -565,3 +565,21 @@ def test_blocklist_plan_is_codegen_membership(spark, sf_dir):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "IsNotNull(text)" in p  # null-text filter pushed to scan
+
+
+def test_knn_label_spread_single_corpus_exchange(spark, sf_dir):
+    """The r9 rewrite's contract: ONE corpus repartition feeds the
+    broadcast score, and the top-k window plus both vote aggregates
+    inherit hash(vec_id) — a second data exchange on the pair frame
+    (or a winner-pick sort) is the regression this pins. AQE leaves
+    at most the final result exchange on top."""
+    from cdc_2025_spark.plans import exchange_count
+
+    df = QUERIES["sim_knn_label_spread"](spark, sf_dir)
+    assert exchange_count(df) <= 2
+    p = plan_string(df)
+    assert "BroadcastNestedLoopJoin" in p
+    # exactly ONE logical window (the top-k), which plans as a
+    # partial+final WindowGroupLimit pair; the winner pick must stay
+    # an aggregate (a second window would add a third entry)
+    assert p.count("WindowGroupLimit") <= 2
