@@ -130,3 +130,13 @@ def test_pending_fixtures_are_nontrivial(spark, duck):
     assert auc["auc"] is not None and 0.0 <= auc["auc"] <= 1.0
     late = pending_r10.stream_late_data_audit(spark, SF_DIR)
     assert late.agg(F.sum("n_late")).first()[0] > 0
+
+
+def test_er_blocking_never_cross_joins(spark):
+    """The ER pipeline's scale contract at the QUERY level: blocking
+    is a union of key-grouped equi-self-joins — no CartesianProduct
+    or broadcast nested loop anywhere in the physical plan."""
+    df = pending_r10.er_customer_golden_records(spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
