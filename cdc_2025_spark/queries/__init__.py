@@ -91,7 +91,8 @@ _CHANGED_R9 = [
 #   sim_knn_label_spread — vote window -> max_by aggregate + corpus
 #     pre-partition (4.75 -> 0.75 s steady-state, unchanged hash)
 #   merge_into_customer_balances — NULL clause-condition coalesce
-#   text_url_canonical_dedup — query split on FIRST '?'
+#   text_url_canonical_dedup — BOTH sides now split on the FIRST '?'
+#     (Spark: substring from instr; oracle: substr from position)
 #   dedup_cluster_canonical_docs / sample_leakage_free_split —
 #     connected_components integral-dtype gate (long output both paths)
 _CHANGED_R10_QUEUE = [
