@@ -61,6 +61,13 @@ def _close(a, b):
 @pytest.mark.parametrize("name", pending_r10.PENDING_ORDER)
 def test_pending_oracle_match(spark, duck, name):
     fn, oracle = pending_r10._PENDING[name]
+    if oracle is None:
+        # rows-only by design (graph traversal): the query must still
+        # RUN and produce its contracted row count; accuracy is
+        # pinned in its dedicated test module
+        n = fn(spark, SF_DIR).count()
+        assert n > 0
+        return
     sdf = fn(spark, SF_DIR)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
