@@ -189,6 +189,138 @@ def knn_graph_exact(
     return _symmetrize_cap(top, cap)
 
 
+def knn_graph_blocked(
+    emb: DataFrame,
+    k: int,
+    cell_target: int = 128,
+    n_assign: int = 2,
+    max_degree: int | None = None,
+    kmeans_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+) -> DataFrame:
+    """The SCALE builder: k-NN graph via quantizer cells. The corpus
+    is clustered into ~n/cell_target k-means cells (the session-style
+    quantizer the IVF/SemDeDup family uses — deterministic lowest_id
+    init, numpy assignment); every vector joins its ``n_assign``
+    nearest cells (multi-assignment is the navigability bridge:
+    boundary vectors sit in two cells, so the graph connects ACROSS
+    cells and greedy search can leave its entry region); each cell
+    computes its exact within-cell top-k with ONE numpy matmul in an
+    applyInPandas group.
+
+    Why this shape at 100 TB: vectors move ``n_assign`` times total
+    (the cell shuffle), never per pair — candidate-pair frames are
+    what made LSH-candidate builds quadratic in Arrow traffic; cell
+    sizes are held at ~cell_target so per-group compute is bounded
+    and uniform; everything downstream (cross-cell merge, symmetrize,
+    cap) is id-pair-sized. The centroid set is n/cell_target rows —
+    beyond driver comfort, train a two-level quantizer (cluster the
+    centroids; same kernel) before collecting.
+
+    Ties and determinism match the other builders: (cos desc, id)."""
+    import numpy as np
+
+    from cdc_2025_spark.functions.kmeans import lloyd_kmeans
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_assign < 1:
+        raise ValueError(f"n_assign must be >= 1, got {n_assign}")
+    cap = max_degree if max_degree is not None else 2 * k
+    n = emb.count()
+    n_cells = max(2, -(-n // cell_target))
+    cents = lloyd_kmeans(
+        emb,
+        k=n_cells,
+        n_iter=kmeans_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        init="lowest_id",
+        assign="numpy",
+    )
+    crows = sorted(
+        [(r["cid"], list(r["cemb"])) for r in cents.collect()]
+    )
+    cids = np.asarray([c for c, _ in crows], dtype=np.int64)
+    cmat = np.asarray([v for _, v in crows], dtype=np.float64)
+    c2 = (cmat * cmat).sum(axis=1)
+    m_assign = min(n_assign, len(cids))
+    b = emb.sparkSession.sparkContext.broadcast((cids, cmat, c2))
+
+    def assign_multi(batches):
+        import pandas as pd
+
+        a_cids, a_cmat, a_c2 = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = a_c2[None, :] - 2.0 * (x @ a_cmat.T)
+            out_id, out_cell, out_vec = [], [], []
+            for i in range(len(pdf)):
+                order = np.lexsort((a_cids, d2[i]))[:m_assign]
+                for j in order:
+                    out_id.append(pdf[id_col].iloc[i])
+                    out_cell.append(int(a_cids[j]))
+                    out_vec.append(pdf[vec_col].iloc[i])
+            yield pd.DataFrame(
+                {"cell": out_cell, "_bid": out_id, "_bvec": out_vec}
+            )
+
+    assigned = emb.select(id_col, vec_col).mapInPandas(
+        assign_multi, f"cell int, _bid long, _bvec array<double>"
+    )
+
+    def per_cell(pdf):
+        import pandas as pd
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"src": [], "dst": [], "cos": []}).astype(
+                {"src": "int64", "dst": "int64", "cos": "float64"}
+            )
+        ids = pdf["_bid"].to_numpy()
+        x = np.stack(pdf["_bvec"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(x, axis=1)
+        nrm[nrm == 0] = 1.0
+        u = x / nrm[:, None]
+        cos = u @ u.T
+        kk = min(k, m - 1)
+        out_src, out_dst, out_cos = [], [], []
+        for i in range(m):
+            order = np.lexsort((ids, -cos[i]))
+            picked = 0
+            for j in order:
+                if ids[j] == ids[i]:
+                    continue
+                out_src.append(ids[i])
+                out_dst.append(ids[j])
+                out_cos.append(cos[i, j])
+                picked += 1
+                if picked == kk:
+                    break
+        return pd.DataFrame(
+            {"src": out_src, "dst": out_dst, "cos": out_cos}
+        )
+
+    cell_edges = (
+        assigned.groupBy("cell")
+        .applyInPandas(per_cell, "src long, dst long, cos double")
+        # a pair co-resident in two shared cells computes twice
+        .dropDuplicates(["src", "dst"])
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos").desc(), F.col("dst")
+    )
+    top = (
+        cell_edges.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    return _symmetrize_cap(top, cap)
+
+
 def beam_search(
     graph: DataFrame,
     emb: DataFrame,

@@ -19,9 +19,11 @@ Pre-registration sf0.1 wall times (min-of-2, idle local[32], for the
 round-10 bench.py HEADLINE additions): ER golden records 2.77 s
 (closure-bound), k-anonymity 0.65 s, weighted reservoir 0.28 s,
 AUC 0.29 s, threshold sweep 0.38 s, late-data audit 0.36 s,
-graph ANN 7.01 s (exact build via broadcast matmul + 8 beam-search
+graph ANN 6.7 s (exact build via broadcast matmul + 8 beam-search
 hops at ~0.7 s/hop driver latency — rounds, not data volume, are the
-local floor; the sf0.1 embeddings corpus is 2 000 vectors).
+local floor; the sf0.1 embeddings corpus is 2 000 vectors). At the
+10x replica (20k vectors) the budget gate switches the build to
+knn_graph_blocked and the query measures 10.17 s — 1.5x at 10x.
 """
 
 from __future__ import annotations
@@ -590,21 +592,17 @@ ANN_GRAPH_K = 8
 ANN_TOPK = 10
 ANN_BEAM = 32
 ANN_MAX_HOPS = 8
-# geometry-derivation operating point for the build's LSH candidates:
-# bucket size is held constant by lsh_auto_geometry, so the candidate
-# count stays LINEAR in the corpus (the fixed 16/4 geometry measured
-# ~50M candidates at 20k vectors — 22 s; auto geometry ~2M — the
-# scale knob, same story as sim_lsh_auto_pairs). The candidate set is
-# NOT cosine-filtered (threshold -1): graph edges below the pair
-# threshold still carry navigability.
-ANN_GEOM_THRESHOLD = 0.5
-ANN_GEOM_RECALL = 0.9
-# candidate-source budget gate (the sim-family posture): below this
-# many unordered pairs the build scores ALL pairs (exact graph — at
-# test-corpus sizes the 40+ interpreted LSH sign projections cost
-# more than numpy-scoring every pair); above it, LSH-auto candidates
-# keep the pair count linear in the corpus.
+# build-path budget gate (the sim-family posture): below this many
+# unordered pairs the build is EXACT (knn_graph_exact: broadcast
+# corpus matrix, one matmul per Arrow batch); above it,
+# knn_graph_blocked — quantizer cells + per-cell matmul + 2-way
+# multi-assignment — keeps both compute and Arrow traffic linear in
+# the corpus. (A hyperplane-LSH candidate source was tried and
+# rejected: the recall-driven geometry needs 464 sign projections at
+# 20k vectors, and per-PAIR vector attachment made Arrow traffic
+# quadratic.)
 ANN_BRUTE_PAIR_BUDGET = 5_000_000
+ANN_CELL_TARGET = 128
 
 
 def sim_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -631,12 +629,8 @@ def sim_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture)."""
     from cdc_2025_spark.functions.graphann import (
         beam_search,
+        knn_graph_blocked,
         knn_graph_exact,
-        knn_graph_from_candidates,
-    )
-    from cdc_2025_spark.queries.similarity import (
-        lsh_auto_geometry,
-        lsh_pairs,
     )
 
     emb = read_table(spark, sf_dir, "embeddings").select(
@@ -653,20 +647,9 @@ def sim_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # batch — no pair frame materializes (knn_graph_exact)
         graph = knn_graph_exact(corpus, k=ANN_GRAPH_K)
     else:
-        n_planes, n_bands = lsh_auto_geometry(
-            n_corpus, ANN_GEOM_THRESHOLD, ANN_GEOM_RECALL
+        graph = knn_graph_blocked(
+            corpus, k=ANN_GRAPH_K, cell_target=ANN_CELL_TARGET
         )
-        cand = lsh_pairs(
-            spark,
-            sf_dir,
-            threshold=-1.0,
-            n_planes=n_planes,
-            n_bands=n_bands,
-        ).filter(
-            (F.col("id_a") >= ANN_N_QUERIES)
-            & (F.col("id_b") >= ANN_N_QUERIES)
-        )
-        graph = knn_graph_from_candidates(corpus, cand, k=ANN_GRAPH_K)
     return beam_search(
         graph,
         corpus,

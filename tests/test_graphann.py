@@ -194,3 +194,44 @@ def test_exact_builder_equals_candidate_builder_on_all_pairs(
         ).collect()
     }
     assert a == b
+
+
+def test_blocked_builder_recall_on_fixture(spark, sf_dir):
+    """knn_graph_blocked (the 100 TB build path: quantizer cells +
+    per-cell matmul + 2-way multi-assignment) must yield a graph the
+    beam search navigates to high recall vs brute force — forced here
+    on the fixture corpus where the query's budget gate would pick
+    the exact builder."""
+    from cdc_2025_spark.functions.graphann import knn_graph_blocked
+    from cdc_2025_spark.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    g = knn_graph_blocked(corpus, k=8, cell_target=64)
+    got = beam_search(g, corpus, queries, k=10, beam=32, max_hops=8)
+    ann = {}
+    for r in got.collect():
+        ann.setdefault(r["qid"], set()).add(r["vec_id"])
+    from cdc_2025_spark.functions.embeddings import cosine
+
+    w = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    )
+    truth = {}
+    for r in (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .select("qid", "vec_id", cosine("qvec", "emb").alias("cos"))
+        .withColumn("rk", w)
+        .filter(F.col("rk") <= 10)
+        .collect()
+    ):
+        truth.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [len(ann[q] & truth[q]) / 10 for q in truth]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.6, (mean_recall, recalls)
