@@ -65,6 +65,7 @@ def connected_components(
     dst_col: str = "id_b",
     max_iter: int = 25,
     driver_edge_budget: int = CC_DRIVER_EDGE_BUDGET,
+    fallback: str = "label_prop",
 ) -> DataFrame:
     """(id, comp) for every vertex appearing in ``edges``; ``comp`` is
     the min vertex id of the component. Deterministic.
@@ -75,15 +76,24 @@ def connected_components(
     the distributed loop's per-round fixed cost — a checkpoint
     materialization + join + count, ~0.5 s/round locally — is paid
     zero times) or proves the graph exceeds the budget and falls
-    back to label propagation. Equality of the two paths is pinned
+    back to the distributed path. Equality of the paths is pinned
     in tests/test_dedup.py; pass ``driver_edge_budget=0`` to force
     the distributed path.
+
+    ``fallback`` picks the over-budget algorithm: ``label_prop``
+    (default — O(diameter) rounds, right for dense shallow near-dup
+    clusters) or ``star`` (large-star/small-star contraction,
+    O(log d) rounds — pick when components can be LONG CHAINS, e.g.
+    sorted-neighborhood match graphs, where label propagation's
+    round count explodes with the chain length).
 
     Output id/comp type: ``long`` for integral input ids (both paths,
     so the schema never depends on which path ran); non-integral ids
     (e.g. string keys) always take the distributed path, which
     preserves the input type — the driver-side probe's ``cast("long")``
     would NULL them out (ANSI: throw)."""
+    if fallback not in ("label_prop", "star"):
+        raise ValueError(f"unknown fallback {fallback!r}")
     integral_ids = all(
         isinstance(edges.schema[c].dataType, _INTEGRAL_TYPES)
         for c in (src_col, dst_col)
@@ -99,6 +109,15 @@ def connected_components(
             return spark.createDataFrame(
                 sorted(comp.items()), "id long, comp long"
             )
+    if fallback == "star":
+        labels = connected_components_star(
+            edges, src_col, dst_col
+        )
+        if integral_ids:
+            labels = labels.select(
+                F.col("id").cast("long"), F.col("comp").cast("long")
+            )
+        return labels
     und = (
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")

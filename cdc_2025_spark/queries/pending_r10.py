@@ -16,8 +16,9 @@ which runs each one against its oracle with the same normalization
 the driver applies.
 
 Pre-registration sf0.1 wall times (min-of-2, idle local[32], for the
-round-10 bench.py HEADLINE additions): ER golden records 2.77 s
-(closure-bound), k-anonymity 0.65 s, weighted reservoir 0.28 s,
+round-10 bench.py HEADLINE additions): ER golden records 3.78 s
+(closure-bound; 20.25 s at a 10x customer replica — 5.4x, see the
+SCALE.md quadratic-block-guard section), k-anonymity 0.65 s, weighted reservoir 0.28 s,
 AUC 0.29 s, threshold sweep 0.38 s, late-data audit 0.36 s,
 graph ANN 6.7 s (exact build via broadcast matmul + 8 beam-search
 hops at ~0.7 s/hop driver latency — rounds, not data volume, are the
@@ -43,6 +44,15 @@ from cdc_2025_spark.io import read_table
 # closure-friendly match graph.
 ER_BAL_EPS = 2.0
 ER_BAL_BLOCK = 100  # acctbal blocking bucket width
+# Scale guard: blocks past this size switch from full quadratic
+# pairing to sorted-neighborhood pairing (Hernández-Stolfo) ordered
+# by the gate attribute (acctbal — SNM recall is exact for the
+# |Δbal| gate whenever < ER_SNM_WINDOW members separate a true pair
+# in balance order). Measured without it: a 10x customer replica
+# grew candidates 2M -> 192M (quadratic per block); with it the
+# oversized blocks contribute O(m * window).
+ER_MAX_BLOCK = 1000
+ER_SNM_WINDOW = 10
 
 
 def er_customer_golden_records(
@@ -61,8 +71,10 @@ def er_customer_golden_records(
     dedup_jaccard_clusters pattern).
 
     Scale shape: each blocking key is one key-grouped self-join over
-    (block key, id) pairs — never a cross product; the gate and
-    closure touch id pairs only; survivorship is one window per
+    (block key, id) pairs — never a cross product; blocks past
+    ER_MAX_BLOCK pair by sorted neighborhood instead of fully (the
+    quadratic-block guard — see blocked_candidate_pairs); the gate
+    and closure touch id pairs only; survivorship is one window per
     cluster. Full records shuffle exactly once (the final label
     join)."""
     from cdc_2025_spark.functions.er import (
@@ -87,6 +99,9 @@ def er_customer_golden_records(
             ),
             F.floor(F.col("c_acctbal") / ER_BAL_BLOCK).cast("string"),
         ],
+        max_block=ER_MAX_BLOCK,
+        snm_order=F.col("c_acctbal"),
+        snm_window=ER_SNM_WINDOW,
     )
     bal = cust.select(
         F.col("c_custkey").alias("id_a"),
@@ -109,26 +124,58 @@ def er_customer_golden_records(
         "c_custkey",
         matched,
         order_by=[F.col("c_acctbal").desc()],
+        # SNM match graphs chain along the sort attribute -> long
+        # diameters; star contraction closes them in O(log d) rounds
+        cc_fallback="star",
     )
     return out.select("c_custkey", "cluster_id", "is_golden")
 
 
 ER_ORACLE = f"""
-WITH RECURSIVE blocked AS (
-  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
-  FROM customer a JOIN customer b
-    ON a.c_nationkey = b.c_nationkey
-   AND a.c_mktsegment = b.c_mktsegment
-   AND a.c_custkey < b.c_custkey
-  WHERE a.c_nationkey IS NOT NULL AND a.c_mktsegment IS NOT NULL
-    AND b.c_nationkey IS NOT NULL AND b.c_mktsegment IS NOT NULL
+WITH RECURSIVE k1 AS (
+  SELECT c_custkey AS id, c_acctbal AS ord,
+         CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS bk
+  FROM customer
+  WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+),
+k2 AS (
+  SELECT c_custkey AS id, c_acctbal AS ord,
+         CAST(floor(c_acctbal / {ER_BAL_BLOCK}) AS VARCHAR) AS bk
+  FROM customer
+  WHERE c_acctbal IS NOT NULL
+),
+k1s AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY bk) AS bs,
+         ROW_NUMBER() OVER (PARTITION BY bk
+                            ORDER BY ord ASC NULLS FIRST, id) AS rk
+  FROM k1
+),
+k2s AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY bk) AS bs,
+         ROW_NUMBER() OVER (PARTITION BY bk
+                            ORDER BY ord ASC NULLS FIRST, id) AS rk
+  FROM k2
+),
+blocked AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM k1s a JOIN k1s b ON a.bk = b.bk AND a.id < b.id
+  WHERE a.bs <= {ER_MAX_BLOCK}
   UNION
-  SELECT a.c_custkey, b.c_custkey
-  FROM customer a JOIN customer b
-    ON floor(a.c_acctbal / {ER_BAL_BLOCK})
-       = floor(b.c_acctbal / {ER_BAL_BLOCK})
-   AND a.c_custkey < b.c_custkey
-  WHERE a.c_acctbal IS NOT NULL AND b.c_acctbal IS NOT NULL
+  SELECT LEAST(a.id, b.id), GREATEST(a.id, b.id)
+  FROM k1s a JOIN k1s b
+    ON a.bk = b.bk
+   AND b.rk BETWEEN a.rk + 1 AND a.rk + {ER_SNM_WINDOW}
+  WHERE a.bs > {ER_MAX_BLOCK} AND a.id <> b.id
+  UNION
+  SELECT a.id, b.id
+  FROM k2s a JOIN k2s b ON a.bk = b.bk AND a.id < b.id
+  WHERE a.bs <= {ER_MAX_BLOCK}
+  UNION
+  SELECT LEAST(a.id, b.id), GREATEST(a.id, b.id)
+  FROM k2s a JOIN k2s b
+    ON a.bk = b.bk
+   AND b.rk BETWEEN a.rk + 1 AND a.rk + {ER_SNM_WINDOW}
+  WHERE a.bs > {ER_MAX_BLOCK} AND a.id <> b.id
 ),
 gated AS MATERIALIZED (
   SELECT p.id_a, p.id_b

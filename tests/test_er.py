@@ -166,3 +166,59 @@ def test_blocking_matches_python_model_property(spark):
             if na[:2] == nb[:2] or (za is not None and za == zb):
                 want.add((a, b))
         assert got == want, (seed, got ^ want)
+
+
+def test_snm_pairing_in_oversized_blocks_matches_model(spark):
+    """max_block switches an oversized block to sorted-neighborhood
+    pairing: rank members by (order, id), pair ranks within the
+    window — pinned against a python model; small blocks keep full
+    pairing; the default path (max_block=None) is unchanged."""
+    from pyspark.sql import functions as F
+
+    from cdc_2025_spark.functions.er import blocked_candidate_pairs
+
+    rows = []
+    # block 'big': 30 members with shuffled order values
+    for i in range(30):
+        rows.append((i, "big", float((i * 7) % 30)))
+    # block 'small': 4 members -> full pairing
+    for i in range(100, 104):
+        rows.append((i, "small", float(i)))
+    df = spark.createDataFrame(rows, "id long, blk string, v double")
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in blocked_candidate_pairs(
+            df,
+            "id",
+            [F.col("blk")],
+            max_block=10,
+            snm_order=F.col("v"),
+            snm_window=3,
+        ).collect()
+    }
+    # python model
+    big = sorted(
+        [(float((i * 7) % 30), i) for i in range(30)]
+    )
+    want = set()
+    for a in range(len(big)):
+        for b in range(a + 1, min(a + 4, len(big))):
+            want.add(
+                (min(big[a][1], big[b][1]), max(big[a][1], big[b][1]))
+            )
+    for a in range(100, 104):
+        for b in range(a + 1, 104):
+            want.add((a, b))
+    assert got == want
+
+    # default path unchanged: full pairing everywhere
+    full = blocked_candidate_pairs(df, "id", [F.col("blk")]).count()
+    assert full == 30 * 29 // 2 + 6
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="snm_order"):
+        blocked_candidate_pairs(
+            df, "id", [F.col("blk")], max_block=10
+        )
