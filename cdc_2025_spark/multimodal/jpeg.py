@@ -16,8 +16,12 @@ bytes -> (h, w, 3) uint8 RGB contract as decode_bmp / decode_png, and
 seeded-gradient pattern as make_bmp/make_png so parity is testable
 (tolerance-pinned — the DCT quantization is lossy by design).
 
-Progressive (SOF2), arithmetic coding, 12-bit, and restart intervals
-raise loudly instead of decoding wrongly — the same
+Progressive (SOF2) spectral selection decodes for real since round 9
+— ``decode_jpeg`` dispatches SOF2 to the sibling kernel
+(jpeg_progressive.py: multi-scan coefficient accumulation, EOB runs,
+its own encoder for exact-equality testing). Successive
+approximation, arithmetic coding, hierarchical, 12-bit, and restart
+intervals raise loudly instead of decoding wrongly — the same
 fail-loud-on-exotic contract the PNG kernel uses.
 
 Scale notes: the per-coefficient entropy decode is pure-Python and
@@ -509,11 +513,18 @@ def decode_jpeg(payload: bytes):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0xF, tq))
             sof = (h, w, nc)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # SOF2: progressive — sibling kernel
+            from cdc_2025_spark.multimodal.jpeg_progressive import (
+                decode_jpeg_progressive,
+            )
+
+            return decode_jpeg_progressive(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X}); only "
-                "baseline sequential Huffman is supported"
+                "baseline sequential and progressive spectral-selection "
+                "Huffman are supported"
             )
         elif marker == 0xDD:  # DRI
             (interval,) = _struct.unpack_from(">H", body, 0)

@@ -1,0 +1,487 @@
+"""Progressive JPEG (ITU-T T.81 SOF2), spectral-selection process.
+
+Closes the guarded ``NotImplementedError`` that baseline
+``jpeg.decode_jpeg`` raises on SOF2 payloads — for the SPECTRAL
+SELECTION subset: any number of scans, a DC scan (interleaved or not)
+followed by single-component AC band scans with EOB-run coding, all
+with successive-approximation parameters Ah = Al = 0. Successive
+approximation (Ah/Al != 0 — bitplane refinement passes) remains a
+loud ``NotImplementedError``: refinement decode has enough corner
+cases that decoding it wrongly would be worse than failing, the same
+fail-loud contract as the rest of the codec.
+
+Why this subset is the right cut: spectral selection alone is a
+complete, spec-valid progressive process (T.81 Annex G.1) — the
+encoder here emits it, any libjpeg-compatible decoder reads the
+output, and the decoder reads any pure spectral-selection file. The
+equality oracle is exact: a progressive and a baseline encoding of
+the SAME quantized coefficient grid must decode to IDENTICAL pixels
+(the entropy layer is lossless; only coefficient transport order
+differs) — pinned across sizes/subsampling in
+tests/test_jpeg_progressive.py.
+
+Format facts used (all public spec):
+
+- SOF2 frame header is byte-identical in layout to SOF0.
+- A DC scan (Ss = Se = 0) codes DC diffs exactly like baseline,
+  interleaved in MCU order when it lists several components.
+- An AC scan (1 <= Ss <= Se <= 63) must list exactly ONE component;
+  its data units walk the component's OWN block grid row-major with
+  ceil(comp_dim/8) blocks per side — NOT the MCU-padded grid, so
+  4:2:0 luma pad blocks carry DC (from the interleaved scan) but no
+  AC, which only ever affects cropped pixels.
+- AC symbols: (run << 4) | size with size > 0 is a baseline-style
+  coefficient; size == 0, run == 15 is ZRL (16 zeros); size == 0,
+  run < 15 starts an EOB RUN of (1 << run) + run-extra-bits blocks
+  (including the current one) whose remaining coefficients in the
+  band are all zero.
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+
+from cdc_2025_spark.multimodal.jpeg import (
+    _DC_CHROM,
+    _DC_LUM,
+    _QUANT_CHROM,
+    _QUANT_LUM,
+    _ZIGZAG,
+    _BitReader,
+    _BitWriter,
+    _dct_mat,
+    _extend,
+    _huff_codes,
+    _huff_decode_map,
+    _magnitude,
+    _pad_edge,
+    _quantized_blocks,
+    _read_symbol,
+    _rgb_to_ycbcr,
+    _scaled_quant,
+)
+
+_EOBRUN_MAX = 32767  # largest codable EOB run: (1 << 14) + 14 bits
+
+# AC Huffman table for the PROGRESSIVE scans: Annex K's baseline AC
+# tables carry no EOBn symbols (only EOB0/ZRL) and their canonical
+# code space has a single free 16-bit slot, so EOB-run symbols cannot
+# be appended — progressive encoders ship their own tables. This one
+# is deliberately flat (every symbol 8 bits — valid canonical table:
+# 240 leaves of 256, the all-ones code unused): EOBn for n=0..14,
+# ZRL, and run/size up to size 14. Suboptimal compression, exact
+# correctness; the decoder reads whatever DHT the file declares.
+_PROG_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0, 0],
+    [r << 4 for r in range(15)]           # EOB0..EOB14
+    + [0xF0]                               # ZRL
+    + [(r << 4) | s for r in range(16) for s in range(1, 15)],
+)
+
+
+class _EobRun:
+    """Encoder-side EOB-run accumulator for one AC scan: blocks whose
+    band ends early join the pending run; `flush` emits EOBn + extra
+    bits (T.81 G.1.2.2)."""
+
+    def __init__(self, bw: _BitWriter, ac_codes) -> None:
+        self.bw = bw
+        self.ac = ac_codes
+        self.n = 0
+
+    def add(self) -> None:
+        self.n += 1
+        if self.n == _EOBRUN_MAX:
+            self.flush()
+
+    def flush(self) -> None:
+        n = self.n
+        if not n:
+            return
+        r = n.bit_length() - 1
+        code, length = self.ac[r << 4]
+        self.bw.put(code, length)
+        if r:
+            self.bw.put(n - (1 << r), r)
+        self.n = 0
+
+
+def _encode_ac_band(zz, ss: int, se: int, ac_codes, bw, eob: _EobRun):
+    """One block's AC coefficients in [ss, se] — baseline run/size
+    coding, with the block's trailing zeros routed into the scan's
+    EOB-run accumulator."""
+    last_nz = 0
+    for i in range(se, ss - 1, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    if last_nz < ss:
+        eob.add()
+        return
+    eob.flush()
+    run = 0
+    for i in range(ss, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            bw.put(code, length)
+            run -= 16
+        s, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | s]
+        bw.put(code, length)
+        bw.put(bits, s)
+        run = 0
+    if last_nz != se:
+        eob.add()
+
+
+def encode_jpeg_progressive(
+    rgb, subsampling: str = "4:2:0", quality: int = 88
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> progressive (SOF2) JFIF bytes, spectral
+    selection: one interleaved DC scan, then one full-band AC scan
+    per component (Ss=1, Se=63, Ah=Al=0) — the same quantized
+    coefficients `encode_jpeg` transports sequentially."""
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub = subsampling == "4:2:0"
+    h, w = rgb.shape[:2]
+    qlum = _scaled_quant(_QUANT_LUM, quality)
+    qchrom = _scaled_quant(_QUANT_CHROM, quality)
+
+    yp, cb, cr = _rgb_to_ycbcr(rgb)
+    if sub:
+        yp = _pad_edge(yp, 16, 16)
+        cb = _pad_edge(cb, 16, 16)
+        cr = _pad_edge(cr, 16, 16)
+        cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean(
+            axis=(1, 3)
+        )
+        cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean(
+            axis=(1, 3)
+        )
+    else:
+        yp = _pad_edge(yp, 8, 8)
+        cb = _pad_edge(cb, 8, 8)
+        cr = _pad_edge(cr, 8, 8)
+    zz = {
+        1: _quantized_blocks(yp, qlum),
+        2: _quantized_blocks(cb, qchrom),
+        3: _quantized_blocks(cr, qchrom),
+    }
+    dc_codes = {1: _huff_codes(*_DC_LUM), 2: _huff_codes(*_DC_CHROM),
+                3: _huff_codes(*_DC_CHROM)}
+    prog_ac = _huff_codes(*_PROG_AC)
+    ac_codes = {1: prog_ac, 2: prog_ac, 3: prog_ac}
+
+    # ---- scan 1: interleaved DC, Ss=Se=0 ----
+    bw = _BitWriter()
+    mcus_y, mcus_x = zz[2].shape[0], zz[2].shape[1]
+    samp = {1: (2, 2) if sub else (1, 1), 2: (1, 1), 3: (1, 1)}
+    pred = {1: 0, 2: 0, 3: 0}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid in (1, 2, 3):
+                ch, cv = samp[cid]
+                for dy in range(cv):
+                    for dx in range(ch):
+                        blk = zz[cid][my * cv + dy, mx * ch + dx]
+                        diff = int(blk[0]) - pred[cid]
+                        pred[cid] = int(blk[0])
+                        s, bits = _magnitude(diff)
+                        code, length = dc_codes[cid][s]
+                        bw.put(code, length)
+                        if s:
+                            bw.put(bits, s)
+    dc_scan = bw.flush()
+
+    # ---- scans 2-4: per-component AC band 1..63 (non-interleaved:
+    # the component's ceil-dim block grid, row-major) ----
+    comp_dims = {
+        1: (h, w),
+        2: (((h + 1) // 2, (w + 1) // 2) if sub else (h, w)),
+        3: (((h + 1) // 2, (w + 1) // 2) if sub else (h, w)),
+    }
+    ac_scans = {}
+    for cid in (1, 2, 3):
+        bw = _BitWriter()
+        eob = _EobRun(bw, ac_codes[cid])
+        cbh = (comp_dims[cid][0] + 7) // 8
+        cbw = (comp_dims[cid][1] + 7) // 8
+        for by in range(cbh):
+            for bx in range(cbw):
+                _encode_ac_band(
+                    zz[cid][by, bx], 1, 63, ac_codes[cid], bw, eob
+                )
+        eob.flush()
+        ac_scans[cid] = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return _struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, tab: list[int]) -> bytes:
+        z = bytes(tab[_ZIGZAG[i]] for i in range(64))
+        return seg(0xFFDB, bytes([tid]) + z)
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(
+            0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        )
+
+    samp_y = 0x22 if sub else 0x11
+    sof2 = seg(
+        0xFFC2,
+        _struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    sos_dc = seg(
+        0xFFDA,
+        bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0x00]),
+    )
+    # all AC scans share the progressive table (class 1, id 0); the
+    # DC nibble is unused in AC scans (zero per convention)
+    sos_ac = {
+        cid: seg(0xFFDA, bytes([1, cid, 0x00, 1, 63, 0x00]))
+        for cid in (1, 2, 3)
+    }
+    app0 = seg(
+        0xFFE0, b"JFIF\x00\x01\x01\x00" + _struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    return (
+        b"\xff\xd8"
+        + app0
+        + dqt(0, qlum)
+        + dqt(1, qchrom)
+        + sof2
+        + dht(0, 0, *_DC_LUM)
+        + dht(0, 1, *_DC_CHROM)
+        + dht(1, 0, *_PROG_AC)
+        + sos_dc
+        + dc_scan
+        + sos_ac[1]
+        + ac_scans[1]
+        + sos_ac[2]
+        + ac_scans[2]
+        + sos_ac[3]
+        + ac_scans[3]
+        + b"\xff\xd9"
+    )
+
+
+def _entropy_end(payload: bytes, pos: int) -> int:
+    """First byte past the entropy-coded data starting at ``pos``:
+    the next 0xFF not followed by 0x00 (stuffing) or RST."""
+    i = pos
+    n = len(payload)
+    while i < n - 1:
+        if payload[i] == 0xFF:
+            nxt = payload[i + 1]
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                return i
+            i += 2
+        else:
+            i += 1
+    return n
+
+
+def decode_jpeg_progressive(payload: bytes):
+    """SOF2 spectral-selection decode: accumulate every scan's
+    coefficients into per-component zigzag grids, then one vectorized
+    dequantize + IDCT + upsample + color convert. Ah/Al != 0
+    (successive approximation) raises NotImplementedError."""
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    comps: list[tuple[int, int, int, int]] = []
+    scans: list[tuple[list[tuple[int, int, int]], int, int, int, int, int]] = []
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (length,) = _struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                z = list(body[off + 1 : off + 65])
+                nat = [0] * 64
+                for i in range(64):
+                    nat[_ZIGZAG[i]] = z[i]
+                qtabs[tq] = nat
+                off += 65
+        elif marker == 0xC4:
+            off = 0
+            while off < len(body):
+                cls, tid = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                htabs[(cls, tid)] = _huff_decode_map(bits, vals)
+                off += 17 + n
+        elif marker == 0xC2:
+            prec, h, w, nc = _struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+            sof = (h, w, nc)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "decode_jpeg_progressive expects an SOF2 frame; use "
+                "decode_jpeg for baseline payloads"
+            )
+        elif marker == 0xDD:
+            (interval,) = _struct.unpack_from(">H", body, 0)
+            if interval:
+                raise NotImplementedError("restart intervals")
+        elif marker == 0xDA:
+            ns = body[0]
+            sc = []
+            for i in range(ns):
+                cid, tids = body[1 + 2 * i], body[2 + 2 * i]
+                sc.append((cid, tids >> 4, tids & 0xF))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            data_start = pos + 2 + length
+            data_end = _entropy_end(payload, data_start)
+            scans.append((sc, ss, se, ahal >> 4, ahal & 0xF, data_start))
+            pos = data_end
+            continue
+        pos += 2 + length
+    if sof is None or not scans:
+        raise ValueError("missing SOF2/SOS segment")
+    height, width, _ = sof
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
+    coefs = {
+        cid: np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int32)
+        for cid, ch, cv, _ in comps
+    }
+    pred = dict.fromkeys(coefs, 0)
+
+    for sc, ss, se, ah, al, data_start in scans:
+        if ah != 0 or al != 0:
+            raise NotImplementedError(
+                "progressive successive approximation (Ah/Al != 0); "
+                "only spectral-selection scans are supported"
+            )
+        br = _BitReader(payload, data_start)
+        if ss == 0:
+            if se != 0:
+                raise ValueError("DC scan must have Se = 0")
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for cid, dc_tid, _ac_tid in sc:
+                        ch, cv, _tq = by_id[cid]
+                        # single-component DC scans walk the ceil-dim
+                        # grid like AC scans; interleaved walk MCUs
+                        if len(sc) == 1 and (ch, cv) != (hmax, vmax):
+                            raise NotImplementedError(
+                                "non-interleaved subsampled DC scan"
+                            )
+                        tab = htabs[(0, dc_tid)]
+                        for dy in range(cv):
+                            for dx in range(ch):
+                                s = _read_symbol(br, tab)
+                                diff = (
+                                    _extend(br.bits(s), s) if s else 0
+                                )
+                                pred[cid] += diff
+                                coefs[cid][
+                                    my * cv + dy, mx * ch + dx, 0
+                                ] = pred[cid]
+        else:
+            if len(sc) != 1:
+                raise ValueError(
+                    "AC scans must carry exactly one component"
+                )
+            cid, _dc_tid, ac_tid = sc[0]
+            ch, cv, _tq = by_id[cid]
+            tab = htabs[(1, ac_tid)]
+            # component's own block grid (ceil of its scaled dims)
+            cw = (width * ch + 8 * hmax - 1) // (8 * hmax)
+            chh = (height * cv + 8 * vmax - 1) // (8 * vmax)
+            eobrun = 0
+            for by in range(chh):
+                for bx in range(cw):
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    blk = coefs[cid][by, bx]
+                    i = ss
+                    while i <= se:
+                        sym = _read_symbol(br, tab)
+                        run, size = sym >> 4, sym & 0xF
+                        if size == 0:
+                            if run == 15:
+                                i += 16  # ZRL
+                                continue
+                            eobrun = (1 << run) + (
+                                br.bits(run) if run else 0
+                            )
+                            eobrun -= 1  # includes this block
+                            break
+                        i += run
+                        if i > se:
+                            raise ValueError("AC run past band end")
+                        blk[i] = _extend(br.bits(size), size)
+                        i += 1
+
+    # ---- reconstruction: dequantize + IDCT, vectorized per comp ----
+    c = _dct_mat()
+    inv_zig = np.argsort(np.asarray(_ZIGZAG))  # natural idx -> zz idx
+    planes = {}
+    for cid, ch, cv, tq in comps:
+        grid = coefs[cid].astype(np.float64)
+        q = np.asarray(qtabs[tq], dtype=np.float64)[np.asarray(_ZIGZAG)]
+        grid = grid * q[None, None, :]
+        nat = grid[:, :, inv_zig].reshape(
+            grid.shape[0], grid.shape[1], 8, 8
+        )
+        pix = np.einsum("xu,ijuv,yv->ijxy", c.T, nat, c.T) + 128.0
+        by, bx = pix.shape[0], pix.shape[1]
+        planes[cid] = (
+            pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+
+    full_h, full_w = mcus_y * vmax * 8, mcus_x * hmax * 8
+    order = [cid for cid, _, _, _ in comps]
+    out_planes = []
+    for cid in order:
+        ch, cv, _tq = by_id[cid]
+        p = planes[cid]
+        if ch != hmax:
+            p = np.repeat(p, hmax // ch, axis=1)
+        if cv != vmax:
+            p = np.repeat(p, vmax // cv, axis=0)
+        out_planes.append(p[:full_h, :full_w])
+    if len(out_planes) == 1:
+        y = out_planes[0][:height, :width]
+        g = np.clip(np.rint(y), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    y, cb, cr = (p[:height, :width] for p in out_planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)

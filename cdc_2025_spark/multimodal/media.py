@@ -330,11 +330,13 @@ def make_real_media(
 
 
 def _decode_image_bytes(payload: bytes) -> list[float]:
-    """Image decode kernel. BMP, PNG, and baseline JPEG payloads take
-    REAL paths: header parse + pixel decode (stdlib zlib inflate +
+    """Image decode kernel. BMP, PNG, and JPEG payloads take REAL
+    paths: header parse + pixel decode (stdlib zlib inflate +
     unfilter for PNG; Huffman entropy decode + dequant + IDCT for
-    JPEG — multimodal/jpeg.py) + channel statistics. Non-baseline
-    JPEG (progressive etc.) raises inside decode_jpeg — fail loud,
+    baseline AND progressive-spectral-selection JPEG —
+    multimodal/jpeg.py, jpeg_progressive.py) + channel statistics.
+    Unsupported JPEG processes (successive approximation,
+    hierarchical, arithmetic) raise inside the decoders — fail loud,
     never decode wrongly. Other payloads take the deterministic stub
     path so the distributed plumbing stays testable without codecs.
 

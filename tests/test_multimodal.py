@@ -32,19 +32,41 @@ def test_image_features_deterministic(spark):
 
 
 def test_real_codec_payload_raises(spark):
-    """JPEG magic now takes the REAL baseline path; malformed and
-    non-baseline streams must fail loud, never fall to the stub."""
+    """JPEG magic takes the REAL codec paths (baseline AND, since r9,
+    progressive spectral selection); malformed and unsupported
+    streams must fail loud, never fall to a stub or decode wrongly."""
     from cdc_2025_spark.multimodal.jpeg import make_jpeg
     from cdc_2025_spark.multimodal.media import _decode_image_bytes
 
     # garbage after the magic: structurally invalid -> ValueError
     with pytest.raises(ValueError):
         _decode_image_bytes(b"\xff\xd8\xff" + b"\x00" * 61)
-    # progressive (SOF2) -> NotImplementedError, not a wrong decode
+    # a marker-flipped baseline stream is NOT a valid progressive
+    # file (its lone scan has Se=63 with no preceding DC scan): the
+    # real SOF2 decoder rejects it as malformed rather than decoding
     baseline = make_jpeg(16, 16, seed=0)
-    progressive = baseline.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    frankenstein = baseline.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        _decode_image_bytes(frankenstein)
+    # a REAL progressive payload decodes through the same media path
+    import numpy as np
+
+    from cdc_2025_spark.multimodal.jpeg import decode_jpeg
+    from cdc_2025_spark.multimodal.jpeg_progressive import (
+        encode_jpeg_progressive,
+    )
+
+    rgb = decode_jpeg(baseline)  # any rgb array works as source
+    from cdc_2025_spark.multimodal.jpeg import encode_jpeg
+
+    feat_prog = _decode_image_bytes(encode_jpeg_progressive(rgb))
+    feat_base = _decode_image_bytes(encode_jpeg(rgb))
+    # pixel-identical decodes -> identical 8-dim feature vectors
+    assert feat_prog == feat_base
+    assert len(np.asarray(feat_prog)) == 8
+    # hierarchical etc. still refuse loudly
     with pytest.raises(NotImplementedError):
-        _decode_image_bytes(progressive)
+        _decode_image_bytes(baseline.replace(b"\xff\xc0", b"\xff\xc3", 1))
 
 
 def test_audio_chunk_features(spark):
