@@ -90,6 +90,11 @@ def knn_graph_from_candidates(
             F.col("id_b").alias("dst"),
             cos_udf("_va", "_gvec").alias("cos"),
         )
+        # zero-norm vectors have undefined cosine (NULL): excluded
+        # from the graph entirely — the SAME rule the exact and
+        # blocked builders apply, so the builder choice never changes
+        # which vectors carry edges
+        .filter(F.col("cos").isNotNull())
     )
     w = Window.partitionBy("src").orderBy(
         F.col("cos").desc(), F.col("dst")
@@ -149,7 +154,10 @@ def knn_graph_exact(
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
+    # zero-norm vectors: cosine undefined -> no edges touch them
+    # (matches the NULL-filter rule of the candidate builder)
+    keep = norms > 0
+    ids, mat, norms = ids[keep], mat[keep], norms[keep]
     unit = mat / norms[:, None]
     spark = emb.sparkSession
     b = spark.sparkContext.broadcast((ids, unit))
@@ -161,11 +169,14 @@ def knn_graph_exact(
         for pdf in batches:
             a = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             an = np.linalg.norm(a, axis=1)
+            nz = an > 0
             an[an == 0] = 1.0
             cos = (a / an[:, None]) @ c_unit.T
             src = pdf[id_col].to_numpy()
             out_src, out_dst, out_cos = [], [], []
             for i in range(cos.shape[0]):
+                if not nz[i]:
+                    continue  # zero-norm source: no out-edges
                 row = cos[i]
                 # exclude self, take k best by (cos desc, id asc)
                 order = np.lexsort((c_ids, -row))
@@ -198,6 +209,7 @@ def knn_graph_blocked(
     kmeans_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "emb",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """The SCALE builder: k-NN graph via quantizer cells. The corpus
     is clustered into ~n/cell_target k-means cells (the session-style
@@ -228,7 +240,9 @@ def knn_graph_blocked(
     if n_assign < 1:
         raise ValueError(f"n_assign must be >= 1, got {n_assign}")
     cap = max_degree if max_degree is not None else 2 * k
-    n = emb.count()
+    # callers that already counted the corpus (e.g. for a budget
+    # gate) pass n_rows to avoid a second full scan
+    n = n_rows if n_rows is not None else emb.count()
     n_cells = max(2, -(-n // cell_target))
     cents = lloyd_kmeans(
         emb,
@@ -275,15 +289,23 @@ def knn_graph_blocked(
     def per_cell(pdf):
         import pandas as pd
 
+        if len(pdf) == 0:
+            return pd.DataFrame({"src": [], "dst": [], "cos": []}).astype(
+                {"src": "int64", "dst": "int64", "cos": "float64"}
+            )
+        # zero-norm members: cosine undefined -> no edges (the same
+        # exclusion rule as the other builders)
+        x_all = np.stack(pdf["_bvec"].to_numpy()).astype(np.float64)
+        nrm_all = np.linalg.norm(x_all, axis=1)
+        pdf = pdf[nrm_all > 0]
         m = len(pdf)
         if m < 2:
             return pd.DataFrame({"src": [], "dst": [], "cos": []}).astype(
                 {"src": "int64", "dst": "int64", "cos": "float64"}
             )
         ids = pdf["_bid"].to_numpy()
-        x = np.stack(pdf["_bvec"].to_numpy()).astype(np.float64)
-        nrm = np.linalg.norm(x, axis=1)
-        nrm[nrm == 0] = 1.0
+        x = x_all[nrm_all > 0]
+        nrm = nrm_all[nrm_all > 0]
         u = x / nrm[:, None]
         cos = u @ u.T
         kk = min(k, m - 1)

@@ -457,6 +457,56 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _reconstruct(
+    coefs, qtabs, by_id, order,
+    height: int, width: int,
+    mcus_x: int, mcus_y: int, hmax: int, vmax: int,
+):
+    """Shared decode tail for the baseline and progressive kernels:
+    per-component ZIGZAG coefficient grids (by, bx, 64) -> dequantize
+    -> vectorized IDCT -> nearest upsample -> crop -> YCbCr->RGB (or
+    gray replication). Kept in ONE place because the progressive ==
+    baseline exact-pixel-equality oracle depends on both decoders
+    sharing every rounding decision here."""
+    import numpy as np  # noqa: PLC0415
+
+    c = _dct_mat()
+    inv_zig = np.argsort(np.asarray(_ZIGZAG))  # natural -> zz index
+    planes = {}
+    for cid in order:
+        ch, cv, tq = by_id[cid]
+        grid = coefs[cid].astype(np.float64)
+        q = np.asarray(qtabs[tq], dtype=np.float64)[np.asarray(_ZIGZAG)]
+        grid = grid * q[None, None, :]
+        nat = grid[:, :, inv_zig].reshape(
+            grid.shape[0], grid.shape[1], 8, 8
+        )
+        pix = np.einsum("xu,ijuv,yv->ijxy", c.T, nat, c.T) + 128.0
+        by, bx = pix.shape[0], pix.shape[1]
+        planes[cid] = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+
+    full_h, full_w = mcus_y * vmax * 8, mcus_x * hmax * 8
+    out_planes = []
+    for cid in order:
+        ch, cv, _tq = by_id[cid]
+        p = planes[cid]
+        if ch != hmax:
+            p = np.repeat(p, hmax // ch, axis=1)
+        if cv != vmax:
+            p = np.repeat(p, vmax // cv, axis=0)
+        out_planes.append(p[:full_h, :full_w])
+    if len(out_planes) == 1:
+        y = out_planes[0][:height, :width]
+        g = np.clip(np.rint(y), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    y, cb, cr = (p[:height, :width] for p in out_planes)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_jpeg(payload: bytes):
     """REAL decode kernel for baseline sequential JPEG (ITU-T T.81):
     returns an (height, width, 3) uint8 RGB array. Supports 8-bit
@@ -547,23 +597,22 @@ def decode_jpeg(payload: bytes):
     vmax = max(c[2] for c in comps)
     mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
-    c = _dct_mat()
     br = _BitReader(payload, scan_start)
-    planes = {}
-    for cid, ch, cv, _tq in comps:
-        planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8))
     by_id = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
-    pred = dict.fromkeys(planes, 0)
+    coefs = {
+        cid: np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int32)
+        for cid, ch, cv, _tq in comps
+    }
+    pred = dict.fromkeys(coefs, 0)
     for my in range(mcus_y):
         for mx in range(mcus_x):
             for cid, dc_tid, ac_tid in scan_comps:
                 ch, cv, tq = by_id[cid]
                 dc_tab = htabs[(0, dc_tid)]
                 ac_tab = htabs[(1, ac_tid)]
-                q = np.asarray(qtabs[tq], dtype=np.float64).reshape(8, 8)
                 for dy in range(cv):
                     for dx in range(ch):
-                        zz = np.zeros(64)
+                        zz = coefs[cid][my * cv + dy, mx * ch + dx]
                         s = _read_symbol(br, dc_tab)
                         diff = _extend(br.bits(s), s) if s else 0
                         pred[cid] += diff
@@ -586,32 +635,16 @@ def decode_jpeg(payload: bytes):
                                 raise ValueError("AC run past block end")
                             zz[i] = _extend(br.bits(size), size)
                             i += 1
-                        block = np.zeros(64)
-                        block[_ZIGZAG] = zz  # zigzag -> natural
-                        block = block.reshape(8, 8) * q
-                        pix = c.T @ block @ c + 128.0
-                        y0 = (my * cv + dy) * 8
-                        x0 = (mx * ch + dx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = pix
 
-    # upsample subsampled components to full MCU-grid resolution
-    full_h, full_w = mcus_y * vmax * 8, mcus_x * hmax * 8
-    out_planes = []
-    for cid, _dc, _ac in scan_comps:
-        ch, cv, _tq = by_id[cid]
-        p = planes[cid]
-        if ch != hmax:
-            p = np.repeat(p, hmax // ch, axis=1)
-        if cv != vmax:
-            p = np.repeat(p, vmax // cv, axis=0)
-        out_planes.append(p[:full_h, :full_w])
-    if len(out_planes) == 1:
-        y = out_planes[0][:height, :width]
-        g = np.clip(np.rint(y), 0, 255).astype(np.uint8)
-        return np.stack([g, g, g], axis=2)
-    y, cb, cr = (p[:height, :width] for p in out_planes)
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return _reconstruct(
+        coefs,
+        qtabs,
+        by_id,
+        [cid for cid, _dc, _ac in scan_comps],
+        height,
+        width,
+        mcus_x,
+        mcus_y,
+        hmax,
+        vmax,
+    )

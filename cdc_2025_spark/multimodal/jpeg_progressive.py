@@ -49,7 +49,6 @@ from cdc_2025_spark.multimodal.jpeg import (
     _ZIGZAG,
     _BitReader,
     _BitWriter,
-    _dct_mat,
     _extend,
     _huff_codes,
     _huff_decode_map,
@@ -57,6 +56,7 @@ from cdc_2025_spark.multimodal.jpeg import (
     _pad_edge,
     _quantized_blocks,
     _read_symbol,
+    _reconstruct,
     _rgb_to_ycbcr,
     _scaled_quant,
 )
@@ -139,12 +139,19 @@ def _encode_ac_band(zz, ss: int, se: int, ac_codes, bw, eob: _EobRun):
 
 
 def encode_jpeg_progressive(
-    rgb, subsampling: str = "4:2:0", quality: int = 88
+    rgb,
+    subsampling: str = "4:2:0",
+    quality: int = 88,
+    dc_interleaved: bool = True,
 ) -> bytes:
     """(h, w, 3) uint8 RGB -> progressive (SOF2) JFIF bytes, spectral
-    selection: one interleaved DC scan, then one full-band AC scan
-    per component (Ss=1, Se=63, Ah=Al=0) — the same quantized
-    coefficients `encode_jpeg` transports sequentially."""
+    selection: a DC scan (interleaved MCU order by default;
+    ``dc_interleaved=False`` emits one single-component DC scan per
+    component walking its own ceil-dim grid — both spec-valid, and
+    the non-interleaved form exercises the decoder's B.2.3 path),
+    then one full-band AC scan per component (Ss=1, Se=63, Ah=Al=0)
+    — the same quantized coefficients `encode_jpeg` transports
+    sequentially."""
     if subsampling not in ("4:4:4", "4:2:0"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     sub = subsampling == "4:2:0"
@@ -177,34 +184,55 @@ def encode_jpeg_progressive(
     prog_ac = _huff_codes(*_PROG_AC)
     ac_codes = {1: prog_ac, 2: prog_ac, 3: prog_ac}
 
-    # ---- scan 1: interleaved DC, Ss=Se=0 ----
-    bw = _BitWriter()
     mcus_y, mcus_x = zz[2].shape[0], zz[2].shape[1]
     samp = {1: (2, 2) if sub else (1, 1), 2: (1, 1), 3: (1, 1)}
-    pred = {1: 0, 2: 0, 3: 0}
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for cid in (1, 2, 3):
-                ch, cv = samp[cid]
-                for dy in range(cv):
-                    for dx in range(ch):
-                        blk = zz[cid][my * cv + dy, mx * ch + dx]
-                        diff = int(blk[0]) - pred[cid]
-                        pred[cid] = int(blk[0])
-                        s, bits = _magnitude(diff)
-                        code, length = dc_codes[cid][s]
-                        bw.put(code, length)
-                        if s:
-                            bw.put(bits, s)
-    dc_scan = bw.flush()
-
-    # ---- scans 2-4: per-component AC band 1..63 (non-interleaved:
-    # the component's ceil-dim block grid, row-major) ----
     comp_dims = {
         1: (h, w),
         2: (((h + 1) // 2, (w + 1) // 2) if sub else (h, w)),
         3: (((h + 1) // 2, (w + 1) // 2) if sub else (h, w)),
     }
+
+    def _put_dc(bw, cid, blk, pred):
+        diff = int(blk[0]) - pred[cid]
+        pred[cid] = int(blk[0])
+        s, bits = _magnitude(diff)
+        code, length = dc_codes[cid][s]
+        bw.put(code, length)
+        if s:
+            bw.put(bits, s)
+
+    # ---- DC: one interleaved scan (MCU order) or one scan per
+    # component (its own ceil-dim grid; predictor resets per scan) ----
+    dc_scans: list[bytes] = []
+    if dc_interleaved:
+        bw = _BitWriter()
+        pred = {1: 0, 2: 0, 3: 0}
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for cid in (1, 2, 3):
+                    ch, cv = samp[cid]
+                    for dy in range(cv):
+                        for dx in range(ch):
+                            _put_dc(
+                                bw,
+                                cid,
+                                zz[cid][my * cv + dy, mx * ch + dx],
+                                pred,
+                            )
+        dc_scans.append(bw.flush())
+    else:
+        for cid in (1, 2, 3):
+            bw = _BitWriter()
+            pred = {cid: 0}
+            cbh = (comp_dims[cid][0] + 7) // 8
+            cbw = (comp_dims[cid][1] + 7) // 8
+            for by in range(cbh):
+                for bx in range(cbw):
+                    _put_dc(bw, cid, zz[cid][by, bx], pred)
+            dc_scans.append(bw.flush())
+
+    # ---- AC: per-component band 1..63 (non-interleaved: the
+    # component's ceil-dim block grid, row-major) ----
     ac_scans = {}
     for cid in (1, 2, 3):
         bw = _BitWriter()
@@ -237,10 +265,20 @@ def encode_jpeg_progressive(
         _struct.pack(">BHHB", 8, h, w, 3)
         + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
-    sos_dc = seg(
-        0xFFDA,
-        bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0x00]),
-    )
+    dc_tid = {1: 0x00, 2: 0x10, 3: 0x10}  # DC table in the HIGH nibble
+    if dc_interleaved:
+        dc_part = (
+            seg(
+                0xFFDA,
+                bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x00]),
+            )
+            + dc_scans[0]
+        )
+    else:
+        dc_part = b"".join(
+            seg(0xFFDA, bytes([1, cid, dc_tid[cid], 0, 0, 0x00])) + data
+            for cid, data in zip((1, 2, 3), dc_scans)
+        )
     # all AC scans share the progressive table (class 1, id 0); the
     # DC nibble is unused in AC scans (zero per convention)
     sos_ac = {
@@ -259,8 +297,7 @@ def encode_jpeg_progressive(
         + dht(0, 0, *_DC_LUM)
         + dht(0, 1, *_DC_CHROM)
         + dht(1, 0, *_PROG_AC)
-        + sos_dc
-        + dc_scan
+        + dc_part
         + sos_ac[1]
         + ac_scans[1]
         + sos_ac[2]
@@ -377,9 +414,10 @@ def decode_jpeg_progressive(payload: bytes):
         cid: np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int32)
         for cid, ch, cv, _ in comps
     }
-    pred = dict.fromkeys(coefs, 0)
 
     for sc, ss, se, ah, al, data_start in scans:
+        # DC prediction resets at every scan start (T.81 F.2.1.3.1)
+        pred = dict.fromkeys(coefs, 0)
         if ah != 0 or al != 0:
             raise NotImplementedError(
                 "progressive successive approximation (Ah/Al != 0); "
@@ -389,27 +427,41 @@ def decode_jpeg_progressive(payload: bytes):
         if ss == 0:
             if se != 0:
                 raise ValueError("DC scan must have Se = 0")
-            for my in range(mcus_y):
-                for mx in range(mcus_x):
-                    for cid, dc_tid, _ac_tid in sc:
-                        ch, cv, _tq = by_id[cid]
-                        # single-component DC scans walk the ceil-dim
-                        # grid like AC scans; interleaved walk MCUs
-                        if len(sc) == 1 and (ch, cv) != (hmax, vmax):
-                            raise NotImplementedError(
-                                "non-interleaved subsampled DC scan"
-                            )
-                        tab = htabs[(0, dc_tid)]
-                        for dy in range(cv):
-                            for dx in range(ch):
-                                s = _read_symbol(br, tab)
-                                diff = (
-                                    _extend(br.bits(s), s) if s else 0
-                                )
-                                pred[cid] += diff
-                                coefs[cid][
-                                    my * cv + dy, mx * ch + dx, 0
-                                ] = pred[cid]
+            if len(sc) == 1:
+                # T.81 B.2.3: a single-component scan — DC included —
+                # walks the COMPONENT'S row-major ceil-dim block
+                # grid, never the MCU-interleaved order (which would
+                # both scramble the diff chain and expect pad data
+                # units the stream does not contain)
+                cid, dc_tid, _ac_tid = sc[0]
+                ch, cv, _tq = by_id[cid]
+                tab = htabs[(0, dc_tid)]
+                cw = (width * ch + 8 * hmax - 1) // (8 * hmax)
+                chh = (height * cv + 8 * vmax - 1) // (8 * vmax)
+                for by in range(chh):
+                    for bx in range(cw):
+                        s = _read_symbol(br, tab)
+                        diff = _extend(br.bits(s), s) if s else 0
+                        pred[cid] += diff
+                        coefs[cid][by, bx, 0] = pred[cid]
+            else:
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for cid, dc_tid, _ac_tid in sc:
+                            ch, cv, _tq = by_id[cid]
+                            tab = htabs[(0, dc_tid)]
+                            for dy in range(cv):
+                                for dx in range(ch):
+                                    s = _read_symbol(br, tab)
+                                    diff = (
+                                        _extend(br.bits(s), s)
+                                        if s
+                                        else 0
+                                    )
+                                    pred[cid] += diff
+                                    coefs[cid][
+                                        my * cv + dy, mx * ch + dx, 0
+                                    ] = pred[cid]
         else:
             if len(sc) != 1:
                 raise ValueError(
@@ -434,7 +486,13 @@ def decode_jpeg_progressive(payload: bytes):
                         run, size = sym >> 4, sym & 0xF
                         if size == 0:
                             if run == 15:
-                                i += 16  # ZRL
+                                # ZRL: 16 zeros, and a coefficient
+                                # must still fit inside the band
+                                i += 16
+                                if i > se:
+                                    raise ValueError(
+                                        "ZRL past band end"
+                                    )
                                 continue
                             eobrun = (1 << run) + (
                                 br.bits(run) if run else 0
@@ -447,41 +505,17 @@ def decode_jpeg_progressive(payload: bytes):
                         blk[i] = _extend(br.bits(size), size)
                         i += 1
 
-    # ---- reconstruction: dequantize + IDCT, vectorized per comp ----
-    c = _dct_mat()
-    inv_zig = np.argsort(np.asarray(_ZIGZAG))  # natural idx -> zz idx
-    planes = {}
-    for cid, ch, cv, tq in comps:
-        grid = coefs[cid].astype(np.float64)
-        q = np.asarray(qtabs[tq], dtype=np.float64)[np.asarray(_ZIGZAG)]
-        grid = grid * q[None, None, :]
-        nat = grid[:, :, inv_zig].reshape(
-            grid.shape[0], grid.shape[1], 8, 8
-        )
-        pix = np.einsum("xu,ijuv,yv->ijxy", c.T, nat, c.T) + 128.0
-        by, bx = pix.shape[0], pix.shape[1]
-        planes[cid] = (
-            pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
-        )
-
-    full_h, full_w = mcus_y * vmax * 8, mcus_x * hmax * 8
-    order = [cid for cid, _, _, _ in comps]
-    out_planes = []
-    for cid in order:
-        ch, cv, _tq = by_id[cid]
-        p = planes[cid]
-        if ch != hmax:
-            p = np.repeat(p, hmax // ch, axis=1)
-        if cv != vmax:
-            p = np.repeat(p, vmax // cv, axis=0)
-        out_planes.append(p[:full_h, :full_w])
-    if len(out_planes) == 1:
-        y = out_planes[0][:height, :width]
-        g = np.clip(np.rint(y), 0, 255).astype(np.uint8)
-        return np.stack([g, g, g], axis=2)
-    y, cb, cr = (p[:height, :width] for p in out_planes)
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    # ---- reconstruction: the tail shared with the baseline decoder
+    # (jpeg._reconstruct) so every rounding decision is one code path
+    return _reconstruct(
+        coefs,
+        qtabs,
+        by_id,
+        [cid for cid, _, _, _ in comps],
+        height,
+        width,
+        mcus_x,
+        mcus_y,
+        hmax,
+        vmax,
+    )

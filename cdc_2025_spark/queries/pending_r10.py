@@ -695,7 +695,10 @@ def sim_graph_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         graph = knn_graph_exact(corpus, k=ANN_GRAPH_K)
     else:
         graph = knn_graph_blocked(
-            corpus, k=ANN_GRAPH_K, cell_target=ANN_CELL_TARGET
+            corpus,
+            k=ANN_GRAPH_K,
+            cell_target=ANN_CELL_TARGET,
+            n_rows=n_corpus,
         )
     return beam_search(
         graph,

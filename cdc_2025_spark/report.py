@@ -56,9 +56,9 @@ def _cell(v) -> str:
     return html.escape(str(v))
 
 
-def _table(df: DataFrame, max_rows: int | None = None) -> str:
+def _table(df: DataFrame) -> str:
     cols = df.columns
-    rows = df.collect() if max_rows is None else df.take(max_rows)
+    rows = df.collect()
     head = "".join(f"<th>{html.escape(c)}</th>" for c in cols)
     body = "".join(
         "<tr>" + "".join(f"<td>{_cell(v)}</td>" for v in row) + "</tr>"

@@ -56,14 +56,15 @@ def test_knn_graph_matches_python_model(spark, corpus):
         corpus, _all_pairs(spark, 200), k=k
     ).collect()
     edges = {(r["src"], r["dst"]): r["cos"] for r in g}
-    # symmetry
-    for s, d in edges:
-        assert (d, s) in edges or True  # cap may trim one direction
-    # degree cap
+    # degree cap, and REAL symmetry: the reverse edge must be present
+    # unless the destination already sits at its degree cap (the only
+    # legal reason _symmetrize_cap may trim a direction)
     from collections import Counter
 
     deg = Counter(s for s, _ in edges)
     assert max(deg.values()) <= 2 * k
+    for s, d in edges:
+        assert (d, s) in edges or deg[d] == 2 * k, (s, d, deg[d])
     # model check: node 0's top-k neighbors must all be present as
     # out-edges (the cap only trims BEYOND the k originals, which
     # sort first for the source that chose them)
@@ -235,3 +236,36 @@ def test_blocked_builder_recall_on_fixture(spark, sf_dir):
     recalls = [len(ann[q] & truth[q]) / 10 for q in truth]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.6, (mean_recall, recalls)
+
+
+def test_zero_norm_vectors_excluded_by_every_builder(spark):
+    """A zero vector has undefined cosine: all three builders must
+    exclude it from the graph identically (otherwise the query's
+    budget gate would change which vectors carry edges)."""
+    from cdc_2025_spark.functions.graphann import (
+        knn_graph_blocked,
+        knn_graph_exact,
+    )
+
+    rows = [(i, _vec(i)) for i in range(20)] + [(99, [0.0] * DIM)]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    cand = spark.createDataFrame(
+        [(a, b) for a in [i for i, _ in rows]
+         for b in [j for j, _ in rows] if a < b],
+        "id_a long, id_b long",
+    )
+    for g in (
+        knn_graph_exact(df, k=3),
+        knn_graph_from_candidates(df, cand, k=3),
+        knn_graph_blocked(df, k=3, cell_target=8),
+    ):
+        touched = {
+            x for r in g.select("src", "dst").collect() for x in r
+        }
+        assert 99 not in touched
+    a = {(r["src"], r["dst"]) for r in knn_graph_exact(df, k=3).collect()}
+    b = {
+        (r["src"], r["dst"])
+        for r in knn_graph_from_candidates(df, cand, k=3).collect()
+    }
+    assert a == b

@@ -32,14 +32,22 @@ def _image(w, h, seed):
     ).astype(np.uint8)
 
 
+@pytest.mark.parametrize("dc_interleaved", [True, False])
 @pytest.mark.parametrize("sub", ["4:4:4", "4:2:0"])
 @pytest.mark.parametrize(
     ("w", "h"), [(8, 8), (16, 16), (24, 17), (25, 31), (40, 8)]
 )
-def test_progressive_equals_baseline_exactly(w, h, sub):
+def test_progressive_equals_baseline_exactly(w, h, sub, dc_interleaved):
+    """Both spec-valid DC scan forms: interleaved MCU order and one
+    single-component scan per component walking its own ceil-dim grid
+    (the T.81 B.2.3 path a marker-flipped fake can't exercise)."""
     rgb = _image(w, h, seed=w + h)
     base = decode_jpeg(encode_jpeg(rgb, subsampling=sub))
-    prog = decode_jpeg(encode_jpeg_progressive(rgb, subsampling=sub))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(
+            rgb, subsampling=sub, dc_interleaved=dc_interleaved
+        )
+    )
     assert prog.shape == base.shape == (h, w, 3)
     assert np.array_equal(prog, base)
 

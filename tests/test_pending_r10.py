@@ -66,7 +66,11 @@ def test_pending_oracle_match(spark, duck, name):
         # RUN and produce its contracted row count; accuracy is
         # pinned in its dedicated test module
         n = fn(spark, SF_DIR).count()
-        assert n > 0
+        expected = {
+            "sim_graph_ann_topk": pending_r10.ANN_N_QUERIES
+            * pending_r10.ANN_TOPK,
+        }
+        assert n == expected.get(name, n) and n > 0
         return
     sdf = fn(spark, SF_DIR)
     spark_cols = sdf.columns
