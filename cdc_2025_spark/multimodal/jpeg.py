@@ -16,13 +16,14 @@ bytes -> (h, w, 3) uint8 RGB contract as decode_bmp / decode_png, and
 seeded-gradient pattern as make_bmp/make_png so parity is testable
 (tolerance-pinned — the DCT quantization is lossy by design).
 
-Progressive (SOF2) spectral selection decodes for real since round 9
-— ``decode_jpeg`` dispatches SOF2 to the sibling kernel
-(jpeg_progressive.py: multi-scan coefficient accumulation, EOB runs,
-its own encoder for exact-equality testing). Successive
-approximation, arithmetic coding, hierarchical, 12-bit, and restart
-intervals raise loudly instead of decoding wrongly — the same
-fail-loud-on-exotic contract the PNG kernel uses.
+Progressive (SOF2) decodes for real since round 9 — ``decode_jpeg``
+dispatches SOF2 to the sibling kernel (jpeg_progressive.py:
+spectral selection AND successive approximation — multi-scan
+coefficient accumulation, EOB runs, bitplane refinement with
+correction bits; its own encoders for exact-equality testing).
+Arithmetic coding, hierarchical, 12-bit, and restart intervals raise
+loudly instead of decoding wrongly — the same fail-loud-on-exotic
+contract the PNG kernel uses.
 
 Scale notes: the per-coefficient entropy decode is pure-Python and
 therefore the slow path of the decode kernel; it exists to make the

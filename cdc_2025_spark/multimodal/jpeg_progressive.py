@@ -1,24 +1,24 @@
-"""Progressive JPEG (ITU-T T.81 SOF2), spectral-selection process.
+"""Progressive JPEG (ITU-T T.81 SOF2): spectral selection AND
+successive approximation.
 
 Closes the guarded ``NotImplementedError`` that baseline
-``jpeg.decode_jpeg`` raises on SOF2 payloads — for the SPECTRAL
-SELECTION subset: any number of scans, a DC scan (interleaved or not)
-followed by single-component AC band scans with EOB-run coding, all
-with successive-approximation parameters Ah = Al = 0. Successive
-approximation (Ah/Al != 0 — bitplane refinement passes) remains a
-loud ``NotImplementedError``: refinement decode has enough corner
-cases that decoding it wrongly would be worse than failing, the same
-fail-loud contract as the rest of the codec.
+``jpeg.decode_jpeg`` raises on SOF2 payloads. The decoder handles
+any number of scans: DC scans (interleaved MCU order or
+single-component ceil-dim order), single-component AC band scans
+with EOB-run coding, DC bitplane refinement, and AC bitplane
+refinement (newly-significant run/1 symbols, inline correction bits,
+refinement EOB runs). Two encoders exist so every decode path has an
+EXACT oracle — a progressive and a baseline encoding of the SAME
+quantized coefficient grid must decode to IDENTICAL pixels (the
+entropy layer is lossless; only coefficient transport order
+differs), pinned across sizes/subsampling in
+tests/test_jpeg_progressive.py:
 
-Why this subset is the right cut: spectral selection alone is a
-complete, spec-valid progressive process (T.81 Annex G.1) — the
-encoder here emits it, any libjpeg-compatible decoder reads the
-output, and the decoder reads any pure spectral-selection file. The
-equality oracle is exact: a progressive and a baseline encoding of
-the SAME quantized coefficient grid must decode to IDENTICAL pixels
-(the entropy layer is lossless; only coefficient transport order
-differs) — pinned across sizes/subsampling in
-tests/test_jpeg_progressive.py.
+- ``encode_jpeg_progressive``: pure spectral selection (one DC scan,
+  per-component full-band AC scans);
+- ``encode_jpeg_progressive_sa``: the libjpeg-style successive-
+  approximation script (DC/AC first passes at Al=1, then DC/AC
+  refinement scans).
 
 Format facts used (all public spec):
 
@@ -308,6 +308,309 @@ def encode_jpeg_progressive(
     )
 
 
+def _refine_bit(br: _BitReader, blk, k: int, al: int) -> None:
+    """Apply one correction bit to an already-nonzero coefficient:
+    bit 1 moves the magnitude up by one step at the current
+    precision, away from zero (T.81 G.1.2.3)."""
+    if br.bit():
+        v = int(blk[k])
+        blk[k] = v + (1 << al) if v > 0 else v - (1 << al)
+
+
+def _decode_ac_refine_block(
+    br: _BitReader, tab, blk, ss: int, se: int, al: int, eobrun: int
+) -> int:
+    """One block of an AC refinement scan (Ah != 0): newly
+    significant coefficients arrive as run/1 symbols (run counts
+    ZERO-HISTORY positions only) with a sign bit; every nonzero-
+    history coefficient passed on the way — and, inside an EOB run,
+    every nonzero-history coefficient in the band — consumes one
+    correction bit. Returns the remaining EOB run. (The public
+    libjpeg decode_mcu_AC_refine algorithm, restated.)"""
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(br, tab)
+            run, size = sym >> 4, sym & 0xF
+            newval = 0
+            if size == 0:
+                if run != 15:
+                    eobrun = (1 << run) + (br.bits(run) if run else 0)
+                    break
+                # ZRL: skip 16 zero-history positions
+            else:
+                if size != 1:
+                    raise ValueError(
+                        "AC refinement symbol with size != 1"
+                    )
+                newval = (1 << al) if br.bit() else -(1 << al)
+            while k <= se:
+                if blk[k] != 0:
+                    _refine_bit(br, blk, k, al)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                _refine_bit(br, blk, k, al)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+class _AcRefineWriter:
+    """Encoder-side state for one AC refinement scan — a restatement
+    of the public libjpeg encode_mcu_AC_refine discipline, whose two
+    load-bearing details are easy to get wrong:
+
+    - correction bits split into TWO FIFO pools: ``run_bits`` (owned
+      by the pending EOB run — flushed with the EOBn symbol) and
+      ``seg_bits`` (buffered since the last emitted symbol — flushed
+      right AFTER each symbol, where the decoder's position walk
+      consumes them). Flushing the segment pool with the EOBn would
+      hand the decoder the current block's pre-symbol bits before it
+      has read the symbol that starts their walk.
+    - ZRLs are emitted on ARRIVAL at any nonzero coefficient (not
+      only at newly-significant ones), which maintains the invariant
+      r <= 15 whenever a correction bit is buffered — so a flushed
+      segment never contains bits from beyond the decoder's 16-zero
+      ZRL window."""
+
+    def __init__(self, bw: _BitWriter, ac_codes) -> None:
+        self.bw = bw
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.run_bits: list[int] = []
+        self.seg_bits: list[int] = []
+
+    def _flush_seg(self) -> None:
+        for b in self.seg_bits:
+            self.bw.put(b, 1)
+        self.seg_bits = []
+
+    def flush_eobrun(self) -> None:
+        n = self.eobrun
+        if n:
+            r = n.bit_length() - 1
+            code, length = self.ac[r << 4]
+            self.bw.put(code, length)
+            if r:
+                self.bw.put(n - (1 << r), r)
+            self.eobrun = 0
+            for b in self.run_bits:
+                self.bw.put(b, 1)
+            self.run_bits = []
+
+    def block(self, band, al: int, ss: int, se: int) -> None:
+        absv = [abs(int(band[k])) >> al for k in range(64)]
+        eob_k = ss - 1
+        for k in range(ss, se + 1):
+            if absv[k] == 1:
+                eob_k = k
+        r = 0
+        for k in range(ss, se + 1):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob_k:
+                self.flush_eobrun()
+                code, length = self.ac[0xF0]
+                self.bw.put(code, length)
+                self._flush_seg()
+                r -= 16
+            if t > 1:
+                self.seg_bits.append(t & 1)
+                continue
+            self.flush_eobrun()
+            code, length = self.ac[(r << 4) | 1]
+            self.bw.put(code, length)
+            self.bw.put(1 if int(band[k]) > 0 else 0, 1)
+            self._flush_seg()
+            r = 0
+        if r > 0 or self.seg_bits:
+            # the band's tail joins the EOB run; its correction bits
+            # transfer to the run's pool
+            self.eobrun += 1
+            self.run_bits += self.seg_bits
+            self.seg_bits = []
+            if self.eobrun == _EOBRUN_MAX:
+                self.flush_eobrun()
+
+
+def _point_transform(zz_grid, al: int):
+    """AC point transform: magnitude divided by 2^al, toward zero
+    (T.81 G.1.2.2 — NOT an arithmetic shift, which would round
+    negative values away from zero)."""
+    import numpy as np  # noqa: PLC0415
+
+    return np.sign(zz_grid) * (np.abs(zz_grid) >> al)
+
+
+def encode_jpeg_progressive_sa(
+    rgb, subsampling: str = "4:2:0", quality: int = 88
+) -> bytes:
+    """Progressive SOF2 with SUCCESSIVE APPROXIMATION — the libjpeg-
+    style script: interleaved DC first at Al=1, per-component
+    full-band AC first at Al=1, DC refinement (Ah=1, Al=0), then
+    per-component AC refinement (Ah=1, Al=0). Transports the same
+    quantized coefficients as encode_jpeg, so decode equality with
+    the baseline is exact — the oracle in
+    tests/test_jpeg_progressive.py."""
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sub = subsampling == "4:2:0"
+    h, w = rgb.shape[:2]
+    qlum = _scaled_quant(_QUANT_LUM, quality)
+    qchrom = _scaled_quant(_QUANT_CHROM, quality)
+    yp, cb, cr = _rgb_to_ycbcr(rgb)
+    if sub:
+        yp = _pad_edge(yp, 16, 16)
+        cb = _pad_edge(cb, 16, 16)
+        cr = _pad_edge(cr, 16, 16)
+        cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean(
+            axis=(1, 3)
+        )
+        cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean(
+            axis=(1, 3)
+        )
+    else:
+        yp = _pad_edge(yp, 8, 8)
+        cb = _pad_edge(cb, 8, 8)
+        cr = _pad_edge(cr, 8, 8)
+    zz = {
+        1: _quantized_blocks(yp, qlum),
+        2: _quantized_blocks(cb, qchrom),
+        3: _quantized_blocks(cr, qchrom),
+    }
+    dc_codes = {1: _huff_codes(*_DC_LUM), 2: _huff_codes(*_DC_CHROM),
+                3: _huff_codes(*_DC_CHROM)}
+    prog_ac = _huff_codes(*_PROG_AC)
+    mcus_y, mcus_x = zz[2].shape[0], zz[2].shape[1]
+    samp = {1: (2, 2) if sub else (1, 1), 2: (1, 1), 3: (1, 1)}
+    comp_dims = {
+        1: (h, w),
+        2: (((h + 1) // 2, (w + 1) // 2) if sub else (h, w)),
+        3: (((h + 1) // 2, (w + 1) // 2) if sub else (h, w)),
+    }
+    AL = 1
+
+    def mcu_walk(fn):
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for cid in (1, 2, 3):
+                    ch, cv = samp[cid]
+                    for dy in range(cv):
+                        for dx in range(ch):
+                            fn(cid, my * cv + dy, mx * ch + dx)
+
+    # scan 1: DC first at Al=1 (diffs of the SHIFTED values)
+    bw = _BitWriter()
+    pred = {1: 0, 2: 0, 3: 0}
+
+    def dc_first(cid, by, bx):
+        t = int(zz[cid][by, bx][0]) >> AL  # DC transform IS a shift
+        diff = t - pred[cid]
+        pred[cid] = t
+        s, bits = _magnitude(diff)
+        code, length = dc_codes[cid][s]
+        bw.put(code, length)
+        if s:
+            bw.put(bits, s)
+
+    mcu_walk(dc_first)
+    dc_first_scan = bw.flush()
+
+    # scans 2-4: AC first at Al=1 per component
+    ac_first = {}
+    for cid in (1, 2, 3):
+        bw = _BitWriter()
+        eob = _EobRun(bw, prog_ac)
+        cbh = (comp_dims[cid][0] + 7) // 8
+        cbw = (comp_dims[cid][1] + 7) // 8
+        tz = _point_transform(zz[cid], AL)
+        for by in range(cbh):
+            for bx in range(cbw):
+                _encode_ac_band(tz[by, bx], 1, 63, prog_ac, bw, eob)
+        eob.flush()
+        ac_first[cid] = bw.flush()
+
+    # scan 5: DC refinement (bit 0 of every DC, MCU order)
+    bw = _BitWriter()
+    mcu_walk(
+        lambda cid, by, bx: bw.put(int(zz[cid][by, bx][0]) & 1, 1)
+    )
+    dc_refine_scan = bw.flush()
+
+    # scans 6-8: AC refinement per component
+    ac_refine = {}
+    for cid in (1, 2, 3):
+        bw = _BitWriter()
+        wr = _AcRefineWriter(bw, prog_ac)
+        cbh = (comp_dims[cid][0] + 7) // 8
+        cbw = (comp_dims[cid][1] + 7) // 8
+        for by in range(cbh):
+            for bx in range(cbw):
+                wr.block(zz[cid][by, bx], 0, 1, 63)
+        wr.flush_eobrun()
+        ac_refine[cid] = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return _struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, tab: list[int]) -> bytes:
+        z = bytes(tab[_ZIGZAG[i]] for i in range(64))
+        return seg(0xFFDB, bytes([tid]) + z)
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(
+            0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        )
+
+    samp_y = 0x22 if sub else 0x11
+    sof2 = seg(
+        0xFFC2,
+        _struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    app0 = seg(
+        0xFFE0, b"JFIF\x00\x01\x01\x00" + _struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+
+    def sos(comp_specs: bytes, ss: int, se: int, ah: int, al: int) -> bytes:
+        n = len(comp_specs) // 2
+        return seg(
+            0xFFDA,
+            bytes([n]) + comp_specs + bytes([ss, se, (ah << 4) | al]),
+        )
+
+    dc_specs = bytes([1, 0x00, 2, 0x10, 3, 0x10])
+    out = (
+        b"\xff\xd8"
+        + app0
+        + dqt(0, qlum)
+        + dqt(1, qchrom)
+        + sof2
+        + dht(0, 0, *_DC_LUM)
+        + dht(0, 1, *_DC_CHROM)
+        + dht(1, 0, *_PROG_AC)
+        + sos(dc_specs, 0, 0, 0, AL)
+        + dc_first_scan
+    )
+    for cid in (1, 2, 3):
+        out += sos(bytes([cid, 0x00]), 1, 63, 0, AL) + ac_first[cid]
+    out += sos(dc_specs, 0, 0, AL, 0) + dc_refine_scan
+    for cid in (1, 2, 3):
+        out += sos(bytes([cid, 0x00]), 1, 63, AL, 0) + ac_refine[cid]
+    return out + b"\xff\xd9"
+
+
 def _entropy_end(payload: bytes, pos: int) -> int:
     """First byte past the entropy-coded data starting at ``pos``:
     the next 0xFF not followed by 0x00 (stuffing) or RST."""
@@ -325,10 +628,12 @@ def _entropy_end(payload: bytes, pos: int) -> int:
 
 
 def decode_jpeg_progressive(payload: bytes):
-    """SOF2 spectral-selection decode: accumulate every scan's
-    coefficients into per-component zigzag grids, then one vectorized
-    dequantize + IDCT + upsample + color convert. Ah/Al != 0
-    (successive approximation) raises NotImplementedError."""
+    """SOF2 decode (spectral selection + successive approximation):
+    accumulate every scan's coefficients into per-component zigzag
+    grids — first passes shifted by the point transform, refinement
+    passes OR-ing DC bits / stepping AC magnitudes via correction
+    bits — then one vectorized dequantize + IDCT + upsample + color
+    convert shared with the baseline decoder."""
     import numpy as np  # noqa: PLC0415
 
     if payload[:3] != b"\xff\xd8\xff":
@@ -418,11 +723,6 @@ def decode_jpeg_progressive(payload: bytes):
     for sc, ss, se, ah, al, data_start in scans:
         # DC prediction resets at every scan start (T.81 F.2.1.3.1)
         pred = dict.fromkeys(coefs, 0)
-        if ah != 0 or al != 0:
-            raise NotImplementedError(
-                "progressive successive approximation (Ah/Al != 0); "
-                "only spectral-selection scans are supported"
-            )
         br = _BitReader(payload, data_start)
         if ss == 0:
             if se != 0:
@@ -440,10 +740,16 @@ def decode_jpeg_progressive(payload: bytes):
                 chh = (height * cv + 8 * vmax - 1) // (8 * vmax)
                 for by in range(chh):
                     for bx in range(cw):
-                        s = _read_symbol(br, tab)
-                        diff = _extend(br.bits(s), s) if s else 0
-                        pred[cid] += diff
-                        coefs[cid][by, bx, 0] = pred[cid]
+                        if ah == 0:
+                            s = _read_symbol(br, tab)
+                            diff = _extend(br.bits(s), s) if s else 0
+                            pred[cid] += diff
+                            coefs[cid][by, bx, 0] = pred[cid] << al
+                        elif br.bit():
+                            # DC refinement: one bit per data unit
+                            coefs[cid][by, bx, 0] = int(
+                                coefs[cid][by, bx, 0]
+                            ) | (1 << al)
             else:
                 for my in range(mcus_y):
                     for mx in range(mcus_x):
@@ -452,16 +758,31 @@ def decode_jpeg_progressive(payload: bytes):
                             tab = htabs[(0, dc_tid)]
                             for dy in range(cv):
                                 for dx in range(ch):
-                                    s = _read_symbol(br, tab)
-                                    diff = (
-                                        _extend(br.bits(s), s)
-                                        if s
-                                        else 0
-                                    )
-                                    pred[cid] += diff
-                                    coefs[cid][
-                                        my * cv + dy, mx * ch + dx, 0
-                                    ] = pred[cid]
+                                    if ah == 0:
+                                        s = _read_symbol(br, tab)
+                                        diff = (
+                                            _extend(br.bits(s), s)
+                                            if s
+                                            else 0
+                                        )
+                                        pred[cid] += diff
+                                        coefs[cid][
+                                            my * cv + dy,
+                                            mx * ch + dx,
+                                            0,
+                                        ] = pred[cid] << al
+                                    elif br.bit():
+                                        coefs[cid][
+                                            my * cv + dy,
+                                            mx * ch + dx,
+                                            0,
+                                        ] = int(
+                                            coefs[cid][
+                                                my * cv + dy,
+                                                mx * ch + dx,
+                                                0,
+                                            ]
+                                        ) | (1 << al)
         else:
             if len(sc) != 1:
                 raise ValueError(
@@ -476,10 +797,15 @@ def decode_jpeg_progressive(payload: bytes):
             eobrun = 0
             for by in range(chh):
                 for bx in range(cw):
+                    blk = coefs[cid][by, bx]
+                    if ah != 0:
+                        eobrun = _decode_ac_refine_block(
+                            br, tab, blk, ss, se, al, eobrun
+                        )
+                        continue
                     if eobrun > 0:
                         eobrun -= 1
                         continue
-                    blk = coefs[cid][by, bx]
                     i = ss
                     while i <= se:
                         sym = _read_symbol(br, tab)
@@ -502,7 +828,7 @@ def decode_jpeg_progressive(payload: bytes):
                         i += run
                         if i > se:
                             raise ValueError("AC run past band end")
-                        blk[i] = _extend(br.bits(size), size)
+                        blk[i] = _extend(br.bits(size), size) << al
                         i += 1
 
     # ---- reconstruction: the tail shared with the baseline decoder

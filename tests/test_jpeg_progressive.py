@@ -75,19 +75,39 @@ def test_eobrun_heavy_content_roundtrips():
     assert len(np.unique(decode_jpeg(prog).reshape(-1, 3), axis=0)) == 1
 
 
-def test_successive_approximation_raises():
-    """Patch the first AC scan header's Ah/Al byte: the decoder must
-    refuse bitplane refinement loudly instead of decoding wrongly."""
-    rgb = _image(16, 16, seed=1)
-    payload = bytearray(encode_jpeg_progressive(rgb))
-    # single-component SOS: FF DA 00 08 01 cid tids Ss Se AhAl
-    probe = bytes([0xFF, 0xDA, 0x00, 0x08, 0x01])
-    i = payload.index(probe)
-    ahal_off = i + 9
-    assert payload[ahal_off] == 0x00
-    payload[ahal_off] = 0x01  # Al = 1
-    with pytest.raises(NotImplementedError, match="successive"):
-        decode_jpeg(bytes(payload))
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize(
+    ("w", "h"), [(8, 8), (16, 16), (24, 17), (25, 31), (40, 8)]
+)
+def test_successive_approximation_equals_baseline(w, h, sub):
+    """The full successive-approximation script (DC first at Al=1,
+    AC first at Al=1, DC refinement, AC refinement with correction
+    bits and refinement EOB runs) transports the same coefficients —
+    decode must equal the baseline EXACTLY."""
+    from cdc_2025_spark.multimodal.jpeg_progressive import (
+        encode_jpeg_progressive_sa,
+    )
+
+    rgb = _image(w, h, seed=2 * w + h)
+    base = decode_jpeg(encode_jpeg(rgb, subsampling=sub))
+    sa = decode_jpeg(encode_jpeg_progressive_sa(rgb, subsampling=sub))
+    assert np.array_equal(sa, base)
+
+
+def test_sa_constant_image_roundtrips():
+    """All-AC-zero content under successive approximation: first and
+    refinement scans are pure EOB runs (incl. buffered-correction
+    bookkeeping across blocks) — must still match baseline."""
+    from cdc_2025_spark.multimodal.jpeg_progressive import (
+        encode_jpeg_progressive_sa,
+    )
+
+    rgb = np.full((40, 24, 3), 133, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(rgb, subsampling="4:4:4"))
+    sa = decode_jpeg(
+        encode_jpeg_progressive_sa(rgb, subsampling="4:4:4")
+    )
+    assert np.array_equal(sa, base)
 
 
 def test_wrong_decoder_rejects_baseline():
@@ -109,3 +129,83 @@ def test_progressive_baseline_twins_share_ahash():
         decode_jpeg(encode_jpeg_progressive(rgb))
     )
     assert h_base == h_prog
+
+
+def test_ac_refine_unit_roundtrip_randomized():
+    """Deterministic-seeded coefficient blocks through the refinement
+    writer and reader in isolation: every block must reconstruct
+    exactly. This unit harness is what exposed the two encoder
+    synchronization bugs (segment-vs-run bit pools; ZRL emission on
+    arrival at any nonzero) — keep it tight."""
+    from cdc_2025_spark.multimodal.jpeg import (
+        _BitReader,
+        _BitWriter,
+        _extend,
+        _huff_codes,
+        _huff_decode_map,
+        _read_symbol,
+    )
+    from cdc_2025_spark.multimodal.jpeg_progressive import (
+        _PROG_AC,
+        _AcRefineWriter,
+        _decode_ac_refine_block,
+        _encode_ac_band,
+        _EobRun,
+        _point_transform,
+    )
+
+    codes = _huff_codes(*_PROG_AC)
+    table = _huff_decode_map(*_PROG_AC)
+    AL = 1
+    for seed in range(6):
+        rng = np.random.RandomState(seed)
+        blocks = []
+        for _ in range(8):
+            v = np.zeros(64, dtype=np.int64)
+            nnz = rng.randint(0, 20)
+            idx = rng.choice(range(1, 64), size=nnz, replace=False)
+            v[idx] = rng.randint(-300, 301, size=nnz)
+            blocks.append(v)
+        # first pass
+        bw = _BitWriter()
+        eob = _EobRun(bw, codes)
+        for v in blocks:
+            _encode_ac_band(
+                _point_transform(v, AL), 1, 63, codes, bw, eob
+            )
+        eob.flush()
+        br = _BitReader(bw.flush() + b"\xff\xd9", 0)
+        state = [np.zeros(64, dtype=np.int64) for _ in blocks]
+        eobrun = 0
+        for blk in state:
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            i = 1
+            while i <= 63:
+                sym = _read_symbol(br, table)
+                run, size = sym >> 4, sym & 0xF
+                if size == 0:
+                    if run == 15:
+                        i += 16
+                        continue
+                    eobrun = (1 << run) + (br.bits(run) if run else 0)
+                    eobrun -= 1
+                    break
+                i += run
+                blk[i] = _extend(br.bits(size), size) << AL
+                i += 1
+        # refinement
+        bw = _BitWriter()
+        wr = _AcRefineWriter(bw, codes)
+        for v in blocks:
+            wr.block(v, 0, 1, 63)
+        wr.flush_eobrun()
+        br = _BitReader(bw.flush() + b"\xff\xd9", 0)
+        eobrun = 0
+        for blk in state:
+            eobrun = _decode_ac_refine_block(
+                br, table, blk, 1, 63, 0, eobrun
+            )
+        for s, v in zip(state, blocks):
+            assert np.array_equal(s[1:], v[1:]), seed
