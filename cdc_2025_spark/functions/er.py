@@ -46,10 +46,12 @@ def blocked_candidate_pairs(
     max_block: int | None = None,
     snm_order: Column | None = None,
     snm_window: int = 10,
+    keep_order: bool = False,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct candidate id pairs (id_a < id_b) sharing at least one
-    block key. NULL block-key values never form a block (a missing
-    zip should not candidate-pair every other missing zip).
+    """Candidate id pairs (id_a < id_b) sharing at least one block
+    key. NULL block-key values never form a block (a missing zip
+    should not candidate-pair every other missing zip).
 
     Within-block pairing is QUADRATIC in block size, and fixed block
     keys do not get finer as the corpus grows (measured: a 10x
@@ -63,7 +65,19 @@ def blocked_candidate_pairs(
     the sort attribute whenever fewer than ``snm_window`` members
     separate a true pair in sort order — pick ``snm_order`` to be
     the attribute the gate thresholds (the classic SNM guidance);
-    ties rank deterministically by id.
+    ties rank deterministically by id. SNM neighbors come from
+    ``lead()`` over the SAME window that ranks the block — one
+    exchange, no rank self-join.
+
+    ``keep_order=True`` carries the ``snm_order`` attribute through
+    as ``ord_a``/``ord_b`` so a gate that thresholds it (the usual
+    SNM setup) can filter the pair stream directly instead of
+    re-joining the entity table twice — at scale that removes two
+    shuffles of the (far larger) pair stream. ``distinct=False``
+    skips the final dedup exchange for consumers that tolerate
+    duplicate pairs (a transitive-closure consumer does: duplicate
+    edges never change connectivity) — dedup AFTER a selective gate
+    is strictly cheaper than before it.
 
     ``max_block=None`` (default) keeps full pairing everywhere."""
     if not block_keys:
@@ -77,8 +91,15 @@ def blocked_candidate_pairs(
         raise ValueError(f"max_block must be >= 2, got {max_block}")
     if snm_window < 1:
         raise ValueError(f"snm_window must be >= 1, got {snm_window}")
+    if keep_order and snm_order is None:
+        raise ValueError(
+            "keep_order requires snm_order (the attribute to carry)"
+        )
+    pair_cols = ["id_a", "id_b"] + (
+        ["ord_a", "ord_b"] if keep_order else []
+    )
     out = None
-    for i, key in enumerate(block_keys):
+    for key in block_keys:
         cols = [key.alias("_bk"), F.col(id_col).alias("_id")]
         if snm_order is not None:
             cols.append(snm_order.alias("_ord"))
@@ -92,52 +113,59 @@ def blocked_candidate_pairs(
             big = keyed.filter(F.col("_bs") > max_block)
         else:
             small, big = keyed, None
-        a = small.select(F.col("_bk"), F.col("_id").alias("id_a"))
-        b = small.select(F.col("_bk"), F.col("_id").alias("id_b"))
+        a_cols = [F.col("_bk"), F.col("_id").alias("id_a")]
+        b_cols = [F.col("_bk"), F.col("_id").alias("id_b")]
+        if keep_order:
+            a_cols.append(F.col("_ord").alias("ord_a"))
+            b_cols.append(F.col("_ord").alias("ord_b"))
         pairs = (
-            a.join(b, "_bk")
+            small.select(*a_cols)
+            .join(small.select(*b_cols), "_bk")
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+            .select(*pair_cols)
         )
         if big is not None:
-            rk = F.row_number().over(
-                Window.partitionBy("_bk").orderBy("_ord", "_id")
+            # neighbors within the SNM window via lead() over the
+            # SAME (block, order, id) window — the rank and all its
+            # forward neighbors come out of one exchange
+            wspec = Window.partitionBy("_bk").orderBy("_ord", "_id")
+            nbrs = F.array(
+                *[
+                    F.struct(
+                        F.lead("_id", o).over(wspec).alias("nid"),
+                        F.lead("_ord", o).over(wspec).alias("nord"),
+                    )
+                    for o in range(1, snm_window + 1)
+                ]
             )
-            ranked = big.select(
-                "_bk", "_id", rk.alias("_rk")
-            )
-            probes = (
-                ranked.select(
-                    "_bk", F.col("_id").alias("_ida"), "_rk"
-                )
-                .withColumn(
-                    "_off",
-                    F.explode(
-                        F.array(
-                            *[
-                                F.lit(o)
-                                for o in range(1, snm_window + 1)
-                            ]
-                        )
-                    ),
-                )
+            exploded = (
+                big.select("_id", "_ord", nbrs.alias("_nbrs"))
                 .select(
-                    "_bk",
-                    "_ida",
-                    (F.col("_rk") + F.col("_off")).alias("_rk"),
+                    "_id", "_ord", F.explode("_nbrs").alias("_n")
                 )
+                .filter(F.col("_n.nid").isNotNull())
             )
+            swap = F.col("_id") <= F.col("_n.nid")
+            snm_cols = [
+                F.least("_id", F.col("_n.nid")).alias("id_a"),
+                F.greatest("_id", F.col("_n.nid")).alias("id_b"),
+            ]
+            if keep_order:
+                snm_cols += [
+                    F.when(swap, F.col("_ord"))
+                    .otherwise(F.col("_n.nord"))
+                    .alias("ord_a"),
+                    F.when(swap, F.col("_n.nord"))
+                    .otherwise(F.col("_ord"))
+                    .alias("ord_b"),
+                ]
             snm = (
-                probes.join(ranked, ["_bk", "_rk"])
-                .select(
-                    F.least("_ida", "_id").alias("id_a"),
-                    F.greatest("_ida", "_id").alias("id_b"),
-                )
+                exploded.select(*snm_cols)
                 .filter(F.col("id_a") < F.col("id_b"))
             )
             pairs = pairs.unionByName(snm)
         out = pairs if out is None else out.unionByName(pairs)
-    return out.distinct()
+    return out.distinct() if distinct else out
 
 
 _INTEGRAL = ("tinyint", "smallint", "int", "bigint")

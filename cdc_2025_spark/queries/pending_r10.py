@@ -15,10 +15,13 @@ Until then the queries are exercised by tests/test_pending_r10.py,
 which runs each one against its oracle with the same normalization
 the driver applies.
 
-Pre-registration sf0.1 wall times (min-of-2, idle local[32], for the
-round-10 bench.py HEADLINE additions): ER golden records 3.78 s
-(closure-bound; 20.25 s at a 10x customer replica — 5.4x, see the
-SCALE.md quadratic-block-guard section), k-anonymity 0.65 s, weighted reservoir 0.28 s,
+Pre-registration sf0.1 wall times (min-of-3, idle local[32], for the
+round-10 bench.py HEADLINE additions): ER golden records 2.84 s and
+1.78x at the 10x customer replica (5.06 s — was 3.78 s / 5.4x in r9;
+round-10 fixes: filtering-reduction closure, lead()-window SNM, the
+gate thresholding the carried order attribute instead of re-joining
+the entity table — see the SCALE.md round-10 ER section),
+k-anonymity 0.65 s, weighted reservoir 0.28 s,
 AUC 0.29 s, threshold sweep 0.38 s, late-data audit 0.36 s,
 graph ANN 6.7 s (exact build via broadcast matmul + 8 beam-search
 hops at ~0.7 s/hop driver latency — rounds, not data volume, are the
@@ -74,9 +77,12 @@ def er_customer_golden_records(
     (block key, id) pairs — never a cross product; blocks past
     ER_MAX_BLOCK pair by sorted neighborhood instead of fully (the
     quadratic-block guard — see blocked_candidate_pairs); the gate
-    and closure touch id pairs only; survivorship is one window per
-    cluster. Full records shuffle exactly once (the final label
-    join)."""
+    thresholds the snm_order attribute, which rides the pair stream
+    (keep_order=True), so the pair stream never re-joins the entity
+    table and dedup is the closure's (distinct=False — duplicate
+    edges never change connectivity); the closure touches id pairs
+    only; survivorship is one window per cluster. Full records
+    shuffle exactly once (the final label join)."""
     from cdc_2025_spark.functions.er import (
         blocked_candidate_pairs,
         golden_records,
@@ -102,23 +108,12 @@ def er_customer_golden_records(
         max_block=ER_MAX_BLOCK,
         snm_order=F.col("c_acctbal"),
         snm_window=ER_SNM_WINDOW,
+        keep_order=True,
+        distinct=False,
     )
-    bal = cust.select(
-        F.col("c_custkey").alias("id_a"),
-        F.col("c_acctbal").alias("bal_a"),
-    )
-    bal_b = cust.select(
-        F.col("c_custkey").alias("id_b"),
-        F.col("c_acctbal").alias("bal_b"),
-    )
-    matched = (
-        cand.join(bal, "id_a")
-        .join(bal_b, "id_b")
-        .filter(
-            F.abs(F.col("bal_a") - F.col("bal_b")) <= ER_BAL_EPS
-        )
-        .select("id_a", "id_b")
-    )
+    matched = cand.filter(
+        F.abs(F.col("ord_a") - F.col("ord_b")) <= ER_BAL_EPS
+    ).select("id_a", "id_b")
     out = golden_records(
         cust,
         "c_custkey",

@@ -1248,3 +1248,121 @@ def test_shared_caches_remark_persist_after_external_clearcache(
     d = _shared_jaccard_components(spark, sf_dir)
     assert b is a and d is c  # same handles
     assert b.storageLevel.useMemory and d.storageLevel.useMemory
+
+
+def test_cc_filtering_reduction_matches_driver_union_find(spark):
+    """Round-10: over-budget integral graphs take the FILTERING path
+    (partition-local star forests -> single-task vectorized SV
+    labels). Pin exact equality with the driver union-find on a
+    graph mixing long chains, dense cliques, singleton pairs, and a
+    self-loop-only vertex — across (a) the single-task finish, (b) a
+    forced multi-round reduction, and (c) the star fallback when the
+    reduction is disallowed from finishing."""
+    import cdc_2025_spark.dedup.cluster as cl
+
+    edges = []
+    # long chain 0..199
+    edges += [(i, i + 1) for i in range(199)]
+    # dense clique on 1000..1019
+    edges += [
+        (a, b)
+        for a in range(1000, 1020)
+        for b in range(a + 1, 1020)
+    ]
+    # scattered pairs
+    edges += [(5000 + 10 * i, 5001 + 10 * i) for i in range(50)]
+    # self-loop-only vertex
+    edges += [(9999, 9999)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    expect = {
+        (r["id"], r["comp"])
+        for r in cl.connected_components(df).collect()  # driver UF
+    }
+    assert (9999, 9999) in expect
+
+    # (a) single-task finish: budget below edge count, edges fit a task
+    got = {
+        (r["id"], r["comp"])
+        for r in cl.connected_components(
+            df, driver_edge_budget=10
+        ).collect()
+    }
+    assert got == expect
+
+    # (b) forced multi-round reduction: shrink task capacity so the
+    # first passes cannot finish single-task
+    orig = cl.FOREST_EDGES_PER_TASK
+    try:
+        cl.FOREST_EDGES_PER_TASK = 40
+        got = {
+            (r["id"], r["comp"])
+            for r in cl.connected_components(
+                df, driver_edge_budget=10, fallback="star"
+            ).collect()
+        }
+        # shrinking below 40 forest edges per task is impossible
+        # globally (forest ~300 edges) -> the reduction stalls and
+        # the star-fallback-on-reduced branch runs (star, because
+        # label propagation on the 200-chain would — correctly —
+        # exhaust max_iter). Star has never emitted self-loop-only
+        # vertices (it filters u != v, on original and reduced edges
+        # alike), so that vertex is the one allowed difference.
+        assert got == expect - {(9999, 9999)}
+    finally:
+        cl.FOREST_EDGES_PER_TASK = orig
+
+    # (c) label_prop fallback with reduction stalled: falls back to
+    # the ORIGINAL edge set (diameter posture) — same labels. Uses a
+    # SHALLOW graph: label propagation on a 200-long chain would
+    # (correctly, by contract) exhaust max_iter.
+    shallow = spark.createDataFrame(
+        [(h, h + i) for h in (0, 100, 200) for i in range(1, 30)],
+        "id_a long, id_b long",
+    )
+    expect_shallow = {
+        (r["id"], r["comp"])
+        for r in cl.connected_components(shallow).collect()
+    }
+    try:
+        cl.FOREST_EDGES_PER_TASK = 10
+        got = {
+            (r["id"], r["comp"])
+            for r in cl.connected_components(
+                shallow, driver_edge_budget=5, fallback="label_prop"
+            ).collect()
+        }
+        assert got == expect_shallow
+    finally:
+        cl.FOREST_EDGES_PER_TASK = orig
+
+
+def test_spanning_forest_reduce_preserves_components(spark):
+    """The filtering pass drops only cycle edges: components of the
+    reduced edge set equal components of the input, and the reduced
+    set is never larger."""
+    import random
+
+    import cdc_2025_spark.dedup.cluster as cl
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(500), rng.randrange(500)) for _ in range(3000)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    reduced = cl._spanning_forest_reduce(df, len(edges))
+    n_red = reduced.count()
+    assert n_red <= len(edges)
+    orig = {
+        (r["id"], r["comp"])
+        for r in cl.connected_components(
+            df, "src", "dst"
+        ).collect()
+    }
+    red = {
+        (r["id"], r["comp"])
+        for r in cl.connected_components(
+            reduced, "src", "dst"
+        ).collect()
+    }
+    assert red == orig
