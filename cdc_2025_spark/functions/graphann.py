@@ -110,13 +110,22 @@ def knn_graph_from_candidates(
 def _symmetrize_cap(top: DataFrame, cap: int) -> DataFrame:
     """Union each kept edge's reverse (NSW navigability), then re-cap
     per-src fan-out at ``cap`` keeping the best by (cos desc, dst)."""
-    sym = top.unionByName(
-        top.select(
-            F.col("dst").alias("src"),
-            F.col("src").alias("dst"),
-            "cos",
+    # max-aggregate, NOT dropDuplicates: the exact/blocked builders
+    # compute the two directions of a pair in different matmul
+    # shapes, so the same pair can carry float-epsilon-different cos
+    # values — an arbitrary keep would make later (cos desc, dst)
+    # tie-breaks run-to-run nondeterministic (r9 ADVICE)
+    sym = (
+        top.unionByName(
+            top.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                "cos",
+            )
         )
-    ).dropDuplicates(["src", "dst"])
+        .groupBy("src", "dst")
+        .agg(F.max("cos").alias("cos"))
+    )
     wc = Window.partitionBy("src").orderBy(
         F.col("cos").desc(), F.col("dst")
     )
@@ -329,8 +338,13 @@ def knn_graph_blocked(
     cell_edges = (
         assigned.groupBy("cell")
         .applyInPandas(per_cell, "src long, dst long, cos double")
-        # a pair co-resident in two shared cells computes twice
-        .dropDuplicates(["src", "dst"])
+        # a pair co-resident in two shared cells computes twice, and
+        # the two cells' matmul shapes differ -> the cos values can
+        # differ at float epsilon; max-aggregate so the kept value is
+        # deterministic (r9 ADVICE — dropDuplicates kept an
+        # arbitrary row)
+        .groupBy("src", "dst")
+        .agg(F.max("cos").alias("cos"))
     )
     w = Window.partitionBy("src").orderBy(
         F.col("cos").desc(), F.col("dst")
@@ -351,6 +365,7 @@ def beam_search(
     beam: int = 16,
     max_hops: int = 10,
     entry_ids: list | None = None,
+    hop_batch: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "emb",
     qid_col: str = "qid",
@@ -362,13 +377,26 @@ def beam_search(
     (default: the ``beam`` smallest node ids — any fixed set works;
     navigability comes from the graph, not the start).
 
-    Each hop: expand the CURRENT beam's out-edges, drop already-
-    visited nodes, score the rest against the query (vectors attach
-    by id — only newly reached nodes are ever scored), merge into the
-    beam, keep top-``beam``. Stops when no beam node has an unvisited
-    neighbor, or after ``max_hops``."""
+    State is ONE frame per query — every node scored so far; the
+    beam IS its per-query top-``beam`` (the incremental beam-merge
+    formulation maintains exactly this set, so the single-frame form
+    is equivalent — and it costs one checkpoint + one count per
+    round instead of three checkpoints).
+
+    Each round: expand the beam's out-edges ``hop_batch`` waves deep
+    (wave 2+ expands everything wave 1 reached, unpruned — a
+    lookahead that trades bounded extra scoring volume,
+    O(beam * degree^hop_batch) rows per query, for proportionally
+    fewer driver rounds: the LOCAL floor of an iterative search is
+    rounds x job latency, not data volume), drop already-visited
+    nodes, score the rest against the query (vectors attach by id —
+    only newly reached nodes are ever scored), merge. Stops when no
+    beam node has an unvisited neighbor, or after ``max_hops`` total
+    hops."""
     if k < 1 or beam < k:
         raise ValueError(f"need beam >= k >= 1, got k={k} beam={beam}")
+    if hop_batch < 1:
+        raise ValueError(f"hop_batch must be >= 1, got {hop_batch}")
     spark = emb.sparkSession
     v = emb.select(
         F.col(id_col).alias("node"), F.col(vec_col).alias("_nvec")
@@ -384,52 +412,66 @@ def beam_search(
     entries = spark.createDataFrame(
         [(int(e),) for e in entry_ids], "node long"
     )
-    # initial beam: every query scores the fixed entry set
-    beam_df = (
+    # state: every (qid, node, cos) scored so far — initially the
+    # fixed entry set scored per query
+    state = (
         q.crossJoin(F.broadcast(entries))
         .join(v, "node")
         .select(
             "qid", "node", cosine("_qvec", "_nvec").alias("cos")
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
-    visited = beam_df.select("qid", "node").localCheckpoint(eager=False)
+    # deferred sentinel: the first round always runs (the entry beam
+    # expanding nothing is pathological), so the initial state count
+    # job is skipped; convergence compares successive round counts
+    n_state = None
     edges = graph.select(
         F.col("src").alias("node"), F.col("dst")
     ).localCheckpoint(eager=False)
     wb = Window.partitionBy("qid").orderBy(
         F.col("cos").desc(), F.col("node")
     )
-    for _ in range(max_hops):
-        reached = (
-            beam_df.select("qid", "node")
-            .join(edges, "node")
-            .select("qid", F.col("dst").alias("node"))
-            .distinct()
-            .join(visited, ["qid", "node"], "anti")
-            .localCheckpoint(eager=False)
+    hops_left = max_hops
+    while hops_left > 0:
+        waves = min(hop_batch, hops_left)
+        hops_left -= waves
+        seen = state.select("qid", "node")
+        frontier = (
+            state.withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") <= beam)
+            .select("qid", "node")
         )
-        if reached.count() == 0:
-            break
+        new_nodes = None
+        for _ in range(waves):
+            frontier = (
+                frontier.join(edges, "node")
+                .select("qid", F.col("dst").alias("node"))
+                .distinct()
+                .join(seen, ["qid", "node"], "anti")
+            )
+            # waves are pairwise disjoint (each anti-joins the
+            # accumulated seen set), so plain union suffices
+            new_nodes = (
+                frontier
+                if new_nodes is None
+                else new_nodes.unionByName(frontier)
+            )
+            seen = seen.unionByName(frontier)
         scored = (
-            reached.join(v, "node")
+            new_nodes.join(v, "node")
             .join(q, "qid")
             .select(
                 "qid", "node", cosine("_qvec", "_nvec").alias("cos")
             )
         )
-        visited = visited.unionByName(
-            reached.select("qid", "node")
-        ).localCheckpoint(eager=False)
-        beam_df = (
-            beam_df.unionByName(scored)
-            .withColumn("rn", F.row_number().over(wb))
-            .filter(F.col("rn") <= beam)
-            .drop("rn")
-            .localCheckpoint(eager=False)
-        )
+        state = state.unionByName(scored).localCheckpoint()
+        n_new = state.count()
+        if n_state is not None and n_new == n_state:
+            break
+        n_state = n_new
     return (
-        beam_df.withColumn("rk", F.row_number().over(wb).cast("long"))
+        state.withColumn("rk", F.row_number().over(wb).cast("long"))
         .filter(F.col("rk") <= k)
         .select(
             "qid",

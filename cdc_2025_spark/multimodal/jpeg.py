@@ -195,9 +195,22 @@ class _BitWriter:
             self.n -= 8
             self.acc &= (1 << self.n) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (T.81 B.1.1.5 — the
+        padding before a marker; a pad that completes to 0xFF goes
+        through put() and gets stuffed, which decoders treat as
+        trailing pad data)."""
         if self.n:
-            self.put(0x7F, 8 - self.n)  # pad with 1-bits per spec
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+
+    def put_marker(self, marker: int) -> None:
+        """Byte-align and emit a raw 0xFF-marker (markers are never
+        stuffed)."""
+        self.align()
+        self.out += bytes([0xFF, marker])
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -305,13 +318,25 @@ def make_jpeg(
 
 
 def encode_jpeg(
-    rgb, subsampling: str = "4:2:0", quality: int = 88
+    rgb,
+    subsampling: str = "4:2:0",
+    quality: int = 88,
+    restart_interval: int = 0,
 ) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline sequential JFIF bytes."""
+    """(h, w, 3) uint8 RGB -> baseline sequential JFIF bytes.
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (byte-aligned, n cycling 0-7, DC predictors reset) after every
+    that-many MCUs — the T.81 restart machinery real camera/web
+    JPEGs carry for error resilience and parallel decode."""
     import numpy as np  # noqa: PLC0415
 
     if subsampling not in ("4:4:4", "4:2:0"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if restart_interval < 0:
+        raise ValueError(
+            f"restart_interval must be >= 0, got {restart_interval}"
+        )
     sub = subsampling == "4:2:0"
     h, w = rgb.shape[:2]
     qlum = _scaled_quant(_QUANT_LUM, quality)
@@ -344,8 +369,19 @@ def encode_jpeg(
     mcus_x = cb.shape[1] // 8
     mcus_y = cb.shape[0] // 8
     prev = [0, 0, 0]
+    mcu_index = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if (
+                restart_interval
+                and mcu_index
+                and mcu_index % restart_interval == 0
+            ):
+                bw.put_marker(
+                    0xD0 + (mcu_index // restart_interval - 1) % 8
+                )
+                prev = [0, 0, 0]
+            mcu_index += 1
             if sub:
                 for dy in range(2):
                     for dx in range(2):
@@ -379,6 +415,11 @@ def encode_jpeg(
     )
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + _struct.pack(">HHBB", 1, 1, 0, 0))
+    dri = (
+        seg(0xFFDD, _struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + app0
@@ -389,6 +430,7 @@ def encode_jpeg(
         + dht(1, 0, *_AC_LUM)
         + dht(0, 1, *_DC_CHROM)
         + dht(1, 1, *_AC_CHROM)
+        + dri
         + sos
         + scan
         + b"\xff\xd9"
@@ -429,6 +471,28 @@ class _BitReader:
         for _ in range(k):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self) -> int:
+        """Byte-align, skip pad/fill bytes, consume one RSTn marker;
+        returns n (0-7). Tolerates a stuffed 0xFF00 pad (our own
+        writer stuffs a pad byte that completes to 0xFF) and 0xFF
+        fill bytes (spec-legal before any marker)."""
+        self.n = 0
+        d = self.data
+        while self.pos + 1 < len(d) and d[self.pos] == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2  # stuffed pad byte
+            elif nxt == 0xFF:
+                self.pos += 1  # fill byte
+            elif 0xD0 <= nxt <= 0xD7:
+                self.pos += 2
+                return nxt - 0xD0
+            else:
+                raise ValueError(
+                    f"expected RSTn, got marker 0xFF{nxt:02X}"
+                )
+        raise ValueError("expected restart marker, found entropy data")
 
 
 def _huff_decode_map(bits: list[int], vals: list[int]) -> dict:
@@ -512,9 +576,11 @@ def decode_jpeg(payload: bytes):
     """REAL decode kernel for baseline sequential JPEG (ITU-T T.81):
     returns an (height, width, 3) uint8 RGB array. Supports 8-bit
     Huffman-coded 1- or 3-component scans with 4:4:4 or 4:2:0 (or any
-    h/v in {1,2}) sampling. Progressive (SOF2), arithmetic coding,
-    hierarchical, 12-bit, and restart intervals raise
-    NotImplementedError — fail loud, never decode wrongly."""
+    h/v in {1,2}) sampling, restart intervals (DRI/RSTn), and —
+    via the sibling kernel — progressive scans (spectral selection
+    AND successive approximation). Arithmetic coding, hierarchical,
+    and 12-bit raise NotImplementedError — fail loud, never decode
+    wrongly."""
     import numpy as np  # noqa: PLC0415
 
     if payload[:3] != b"\xff\xd8\xff":
@@ -522,6 +588,7 @@ def decode_jpeg(payload: bytes):
     pos = 2
     qtabs: dict[int, list[int]] = {}
     htabs: dict[tuple[int, int], dict] = {}
+    restart_interval = 0
     sof = None
     comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
     scan_comps: list[tuple[int, int, int]] = []  # (id, dc_tid, ac_tid)
@@ -530,6 +597,9 @@ def decode_jpeg(payload: bytes):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte(s) before a marker (B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
         (length,) = _struct.unpack_from(">H", payload, pos + 2)
@@ -574,13 +644,11 @@ def decode_jpeg(payload: bytes):
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X}); only "
-                "baseline sequential and progressive spectral-selection "
-                "Huffman are supported"
+                "baseline sequential and progressive Huffman (spectral "
+                "selection and successive approximation) are supported"
             )
         elif marker == 0xDD:  # DRI
-            (interval,) = _struct.unpack_from(">H", body, 0)
-            if interval:
-                raise NotImplementedError("restart intervals")
+            (restart_interval,) = _struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             ns = body[0]
             scan_comps = []
@@ -605,8 +673,23 @@ def decode_jpeg(payload: bytes):
         for cid, ch, cv, _tq in comps
     }
     pred = dict.fromkeys(coefs, 0)
+    mcu_index = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if (
+                restart_interval
+                and mcu_index
+                and mcu_index % restart_interval == 0
+            ):
+                got = br.restart()
+                want = (mcu_index // restart_interval - 1) % 8
+                if got != want:
+                    raise ValueError(
+                        f"restart marker out of sequence: RST{got}, "
+                        f"expected RST{want}"
+                    )
+                pred = dict.fromkeys(coefs, 0)
+            mcu_index += 1
             for cid, dc_tid, ac_tid in scan_comps:
                 ch, cv, tq = by_id[cid]
                 dc_tab = htabs[(0, dc_tid)]

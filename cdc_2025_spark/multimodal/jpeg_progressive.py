@@ -143,6 +143,7 @@ def encode_jpeg_progressive(
     subsampling: str = "4:2:0",
     quality: int = 88,
     dc_interleaved: bool = True,
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w, 3) uint8 RGB -> progressive (SOF2) JFIF bytes, spectral
     selection: a DC scan (interleaved MCU order by default;
@@ -151,9 +152,18 @@ def encode_jpeg_progressive(
     the non-interleaved form exercises the decoder's B.2.3 path),
     then one full-band AC scan per component (Ss=1, Se=63, Ah=Al=0)
     — the same quantized coefficients `encode_jpeg` transports
-    sequentially."""
+    sequentially.
+
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that
+    many decode units per scan (MCUs when interleaved, blocks
+    otherwise); DC predictors reset and EOB runs terminate at each
+    restart, per T.81."""
     if subsampling not in ("4:4:4", "4:2:0"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if restart_interval < 0:
+        raise ValueError(
+            f"restart_interval must be >= 0, got {restart_interval}"
+        )
     sub = subsampling == "4:2:0"
     h, w = rgb.shape[:2]
     qlum = _scaled_quant(_QUANT_LUM, quality)
@@ -201,14 +211,27 @@ def encode_jpeg_progressive(
         if s:
             bw.put(bits, s)
 
+    def _rst_due(unit: int) -> bool:
+        return bool(
+            restart_interval and unit and unit % restart_interval == 0
+        )
+
+    def _rst_marker(unit: int) -> int:
+        return 0xD0 + (unit // restart_interval - 1) % 8
+
     # ---- DC: one interleaved scan (MCU order) or one scan per
     # component (its own ceil-dim grid; predictor resets per scan) ----
     dc_scans: list[bytes] = []
     if dc_interleaved:
         bw = _BitWriter()
         pred = {1: 0, 2: 0, 3: 0}
+        unit = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                if _rst_due(unit):
+                    bw.put_marker(_rst_marker(unit))
+                    pred = {1: 0, 2: 0, 3: 0}
+                unit += 1
                 for cid in (1, 2, 3):
                     ch, cv = samp[cid]
                     for dy in range(cv):
@@ -226,8 +249,13 @@ def encode_jpeg_progressive(
             pred = {cid: 0}
             cbh = (comp_dims[cid][0] + 7) // 8
             cbw = (comp_dims[cid][1] + 7) // 8
+            unit = 0
             for by in range(cbh):
                 for bx in range(cbw):
+                    if _rst_due(unit):
+                        bw.put_marker(_rst_marker(unit))
+                        pred = {cid: 0}
+                    unit += 1
                     _put_dc(bw, cid, zz[cid][by, bx], pred)
             dc_scans.append(bw.flush())
 
@@ -239,8 +267,14 @@ def encode_jpeg_progressive(
         eob = _EobRun(bw, ac_codes[cid])
         cbh = (comp_dims[cid][0] + 7) // 8
         cbw = (comp_dims[cid][1] + 7) // 8
+        unit = 0
         for by in range(cbh):
             for bx in range(cbw):
+                if _rst_due(unit):
+                    # EOB runs terminate at restart boundaries
+                    eob.flush()
+                    bw.put_marker(_rst_marker(unit))
+                unit += 1
                 _encode_ac_band(
                     zz[cid][by, bx], 1, 63, ac_codes[cid], bw, eob
                 )
@@ -288,6 +322,11 @@ def encode_jpeg_progressive(
     app0 = seg(
         0xFFE0, b"JFIF\x00\x01\x01\x00" + _struct.pack(">HHBB", 1, 1, 0, 0)
     )
+    dri = (
+        seg(0xFFDD, _struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + app0
@@ -297,6 +336,7 @@ def encode_jpeg_progressive(
         + dht(0, 0, *_DC_LUM)
         + dht(0, 1, *_DC_CHROM)
         + dht(1, 0, *_PROG_AC)
+        + dri
         + dc_part
         + sos_ac[1]
         + ac_scans[1]
@@ -454,7 +494,10 @@ def _point_transform(zz_grid, al: int):
 
 
 def encode_jpeg_progressive_sa(
-    rgb, subsampling: str = "4:2:0", quality: int = 88
+    rgb,
+    subsampling: str = "4:2:0",
+    quality: int = 88,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive SOF2 with SUCCESSIVE APPROXIMATION — the libjpeg-
     style script: interleaved DC first at Al=1, per-component
@@ -462,9 +505,19 @@ def encode_jpeg_progressive_sa(
     per-component AC refinement (Ah=1, Al=0). Transports the same
     quantized coefficients as encode_jpeg, so decode equality with
     the baseline is exact — the oracle in
-    tests/test_jpeg_progressive.py."""
+    tests/test_jpeg_progressive.py.
+
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that
+    many decode units per scan (MCUs in the interleaved DC scans,
+    blocks in the AC scans); DC predictors reset and EOB runs
+    terminate at each restart — covering restart decode on all four
+    progressive scan kinds (DC/AC x first/refine)."""
     if subsampling not in ("4:4:4", "4:2:0"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if restart_interval < 0:
+        raise ValueError(
+            f"restart_interval must be >= 0, got {restart_interval}"
+        )
     sub = subsampling == "4:2:0"
     h, w = rgb.shape[:2]
     qlum = _scaled_quant(_QUANT_LUM, quality)
@@ -501,9 +554,21 @@ def encode_jpeg_progressive_sa(
     }
     AL = 1
 
-    def mcu_walk(fn):
+    def _rst_due(unit: int) -> bool:
+        return bool(
+            restart_interval and unit and unit % restart_interval == 0
+        )
+
+    def _rst_marker(unit: int) -> int:
+        return 0xD0 + (unit // restart_interval - 1) % 8
+
+    def mcu_walk(fn, on_mcu=None):
+        unit = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):
+                if on_mcu is not None:
+                    on_mcu(unit)
+                unit += 1
                 for cid in (1, 2, 3):
                     ch, cv = samp[cid]
                     for dy in range(cv):
@@ -524,7 +589,12 @@ def encode_jpeg_progressive_sa(
         if s:
             bw.put(bits, s)
 
-    mcu_walk(dc_first)
+    def dc_first_restart(unit):
+        if _rst_due(unit):
+            bw.put_marker(_rst_marker(unit))
+            pred.update({1: 0, 2: 0, 3: 0})
+
+    mcu_walk(dc_first, on_mcu=dc_first_restart)
     dc_first_scan = bw.flush()
 
     # scans 2-4: AC first at Al=1 per component
@@ -535,8 +605,13 @@ def encode_jpeg_progressive_sa(
         cbh = (comp_dims[cid][0] + 7) // 8
         cbw = (comp_dims[cid][1] + 7) // 8
         tz = _point_transform(zz[cid], AL)
+        unit = 0
         for by in range(cbh):
             for bx in range(cbw):
+                if _rst_due(unit):
+                    eob.flush()
+                    bw.put_marker(_rst_marker(unit))
+                unit += 1
                 _encode_ac_band(tz[by, bx], 1, 63, prog_ac, bw, eob)
         eob.flush()
         ac_first[cid] = bw.flush()
@@ -544,7 +619,10 @@ def encode_jpeg_progressive_sa(
     # scan 5: DC refinement (bit 0 of every DC, MCU order)
     bw = _BitWriter()
     mcu_walk(
-        lambda cid, by, bx: bw.put(int(zz[cid][by, bx][0]) & 1, 1)
+        lambda cid, by, bx: bw.put(int(zz[cid][by, bx][0]) & 1, 1),
+        on_mcu=lambda unit: (
+            bw.put_marker(_rst_marker(unit)) if _rst_due(unit) else None
+        ),
     )
     dc_refine_scan = bw.flush()
 
@@ -555,8 +633,13 @@ def encode_jpeg_progressive_sa(
         wr = _AcRefineWriter(bw, prog_ac)
         cbh = (comp_dims[cid][0] + 7) // 8
         cbw = (comp_dims[cid][1] + 7) // 8
+        unit = 0
         for by in range(cbh):
             for bx in range(cbw):
+                if _rst_due(unit):
+                    wr.flush_eobrun()
+                    bw.put_marker(_rst_marker(unit))
+                unit += 1
                 wr.block(zz[cid][by, bx], 0, 1, 63)
         wr.flush_eobrun()
         ac_refine[cid] = bw.flush()
@@ -591,6 +674,11 @@ def encode_jpeg_progressive_sa(
         )
 
     dc_specs = bytes([1, 0x00, 2, 0x10, 3, 0x10])
+    dri = (
+        seg(0xFFDD, _struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     out = (
         b"\xff\xd8"
         + app0
@@ -600,6 +688,7 @@ def encode_jpeg_progressive_sa(
         + dht(0, 0, *_DC_LUM)
         + dht(0, 1, *_DC_CHROM)
         + dht(1, 0, *_PROG_AC)
+        + dri
         + sos(dc_specs, 0, 0, 0, AL)
         + dc_first_scan
     )
@@ -613,12 +702,18 @@ def encode_jpeg_progressive_sa(
 
 def _entropy_end(payload: bytes, pos: int) -> int:
     """First byte past the entropy-coded data starting at ``pos``:
-    the next 0xFF not followed by 0x00 (stuffing) or RST."""
+    the next 0xFF not followed by 0x00 (stuffing), RST, or another
+    0xFF (a fill byte — spec-legal padding before any marker, so a
+    fill run belongs to the NEXT segment, not to this scan's data;
+    r9 ADVICE: treating 0xFF 0xFF as the terminator made fill-padded
+    foreign files fail with a length-parse error)."""
     i = pos
     n = len(payload)
     while i < n - 1:
         if payload[i] == 0xFF:
             nxt = payload[i + 1]
+            if nxt == 0xFF:
+                return i  # fill run precedes the next marker
             if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
                 return i
             i += 2
@@ -643,11 +738,17 @@ def decode_jpeg_progressive(payload: bytes):
     htabs: dict[tuple[int, int], dict] = {}
     sof = None
     comps: list[tuple[int, int, int, int]] = []
-    scans: list[tuple[list[tuple[int, int, int]], int, int, int, int, int]] = []
+    restart_interval = 0
+    scans: list[
+        tuple[list[tuple[int, int, int]], int, int, int, int, int, int]
+    ] = []
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte(s) before a marker (B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD9:
             break
         (length,) = _struct.unpack_from(">H", payload, pos + 2)
@@ -689,9 +790,9 @@ def decode_jpeg_progressive(payload: bytes):
                 "decode_jpeg for baseline payloads"
             )
         elif marker == 0xDD:
-            (interval,) = _struct.unpack_from(">H", body, 0)
-            if interval:
-                raise NotImplementedError("restart intervals")
+            # DRI can change between scans; each scan records the
+            # interval in force at its SOS
+            (restart_interval,) = _struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             ns = body[0]
             sc = []
@@ -702,7 +803,17 @@ def decode_jpeg_progressive(payload: bytes):
             ahal = body[3 + 2 * ns]
             data_start = pos + 2 + length
             data_end = _entropy_end(payload, data_start)
-            scans.append((sc, ss, se, ahal >> 4, ahal & 0xF, data_start))
+            scans.append(
+                (
+                    sc,
+                    ss,
+                    se,
+                    ahal >> 4,
+                    ahal & 0xF,
+                    data_start,
+                    restart_interval,
+                )
+            )
             pos = data_end
             continue
         pos += 2 + length
@@ -720,10 +831,26 @@ def decode_jpeg_progressive(payload: bytes):
         for cid, ch, cv, _ in comps
     }
 
-    for sc, ss, se, ah, al, data_start in scans:
+    for sc, ss, se, ah, al, data_start, ri in scans:
         # DC prediction resets at every scan start (T.81 F.2.1.3.1)
         pred = dict.fromkeys(coefs, 0)
         br = _BitReader(payload, data_start)
+
+        def _restart_due(unit: int, br=br, ri=ri) -> bool:
+            """Consume + validate an RSTn at every ``ri`` decode
+            units (MCUs when interleaved, blocks otherwise);
+            restart resets the DC predictors and terminates any
+            EOB run (T.81 F.2.1.3.1 / E.2.4)."""
+            if not ri or unit == 0 or unit % ri:
+                return False
+            got = br.restart()
+            want = (unit // ri - 1) % 8
+            if got != want:
+                raise ValueError(
+                    f"restart marker out of sequence: RST{got}, "
+                    f"expected RST{want}"
+                )
+            return True
         if ss == 0:
             if se != 0:
                 raise ValueError("DC scan must have Se = 0")
@@ -738,8 +865,12 @@ def decode_jpeg_progressive(payload: bytes):
                 tab = htabs[(0, dc_tid)]
                 cw = (width * ch + 8 * hmax - 1) // (8 * hmax)
                 chh = (height * cv + 8 * vmax - 1) // (8 * vmax)
+                unit = 0
                 for by in range(chh):
                     for bx in range(cw):
+                        if _restart_due(unit):
+                            pred = dict.fromkeys(coefs, 0)
+                        unit += 1
                         if ah == 0:
                             s = _read_symbol(br, tab)
                             diff = _extend(br.bits(s), s) if s else 0
@@ -751,8 +882,12 @@ def decode_jpeg_progressive(payload: bytes):
                                 coefs[cid][by, bx, 0]
                             ) | (1 << al)
             else:
+                unit = 0
                 for my in range(mcus_y):
                     for mx in range(mcus_x):
+                        if _restart_due(unit):
+                            pred = dict.fromkeys(coefs, 0)
+                        unit += 1
                         for cid, dc_tid, _ac_tid in sc:
                             ch, cv, _tq = by_id[cid]
                             tab = htabs[(0, dc_tid)]
@@ -795,8 +930,12 @@ def decode_jpeg_progressive(payload: bytes):
             cw = (width * ch + 8 * hmax - 1) // (8 * hmax)
             chh = (height * cv + 8 * vmax - 1) // (8 * vmax)
             eobrun = 0
+            unit = 0
             for by in range(chh):
                 for bx in range(cw):
+                    if _restart_due(unit):
+                        eobrun = 0
+                    unit += 1
                     blk = coefs[cid][by, bx]
                     if ah != 0:
                         eobrun = _decode_ac_refine_block(

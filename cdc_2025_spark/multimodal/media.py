@@ -333,12 +333,13 @@ def _decode_image_bytes(payload: bytes) -> list[float]:
     """Image decode kernel. BMP, PNG, and JPEG payloads take REAL
     paths: header parse + pixel decode (stdlib zlib inflate +
     unfilter for PNG; Huffman entropy decode + dequant + IDCT for
-    baseline AND progressive-spectral-selection JPEG —
+    baseline AND progressive JPEG — spectral selection, successive
+    approximation, and restart intervals all decode;
     multimodal/jpeg.py, jpeg_progressive.py) + channel statistics.
-    Unsupported JPEG processes (successive approximation,
-    hierarchical, arithmetic) raise inside the decoders — fail loud,
-    never decode wrongly. Other payloads take the deterministic stub
-    path so the distributed plumbing stays testable without codecs.
+    Unsupported JPEG processes (hierarchical, arithmetic, 12-bit)
+    raise inside the decoders — fail loud, never decode wrongly.
+    Other payloads take the deterministic stub path so the
+    distributed plumbing stays testable without codecs.
 
     Feature vector (8-dim, all paths): BMP/PNG/JPEG -> [width, height,
     mean R/G/B in [0,1], std/min/max of gray in [0,1]]

@@ -269,3 +269,54 @@ def test_zero_norm_vectors_excluded_by_every_builder(spark):
         for r in knn_graph_from_candidates(df, cand, k=3).collect()
     }
     assert a == b
+
+
+def test_registered_config_recall_and_hop_batch_monotone(spark, sf_dir):
+    """The REGISTERED query config (exact build, beam 32, max_hops 8,
+    hop_batch 3): recall@10 vs brute force pinned at the measured
+    floor (1.00 at sf0.01/sf0.1 — pinned at 0.9 for geometry drift),
+    and hop_batch determinism (two runs identical)."""
+    from cdc_2025_spark.functions.graphann import (
+        beam_search,
+        knn_graph_exact,
+    )
+    from cdc_2025_spark.io import read_table
+    from cdc_2025_spark.functions.embeddings import cosine
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    g = knn_graph_exact(corpus, k=8).localCheckpoint()
+
+    def run():
+        return beam_search(
+            g, corpus, queries, k=10, beam=32, max_hops=8, hop_batch=3
+        )
+
+    rows = run().collect()
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, run().collect())
+    )
+    ann = {}
+    for r in rows:
+        ann.setdefault(r["qid"], set()).add(r["vec_id"])
+    w = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    )
+    truth_rows = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .select("qid", "vec_id", cosine("qvec", "emb").alias("cos"))
+        .withColumn("rk", w)
+        .filter(F.col("rk") <= 10)
+        .collect()
+    )
+    truth = {}
+    for r in truth_rows:
+        truth.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [len(ann[q] & truth[q]) / 10 for q in truth]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls

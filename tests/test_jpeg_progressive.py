@@ -209,3 +209,67 @@ def test_ac_refine_unit_roundtrip_randomized():
             )
         for s, v in zip(state, blocks):
             assert np.array_equal(s[1:], v[1:]), seed
+
+
+@pytest.mark.parametrize("ri", [1, 2, 3, 7])
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:0"])
+def test_restart_interval_roundtrips_progressive(sub, ri):
+    """Round-10: DRI/RSTn support. A progressive encode with restart
+    markers decodes pixel-identically to the no-DRI encode — for the
+    spectral-selection script, the successive-approximation script
+    (covers restart on all four scan kinds: DC/AC x first/refine),
+    and the non-interleaved-DC B.2.3 path."""
+    from cdc_2025_spark.multimodal.jpeg_progressive import (
+        encode_jpeg_progressive_sa,
+    )
+
+    rgb = _image(41, 27, 5)
+    for enc in (encode_jpeg_progressive, encode_jpeg_progressive_sa):
+        base = decode_jpeg(enc(rgb, subsampling=sub, quality=90))
+        got = decode_jpeg(
+            enc(rgb, subsampling=sub, quality=90, restart_interval=ri)
+        )
+        assert np.array_equal(base, got), (enc.__name__, ri)
+    base = decode_jpeg(
+        encode_jpeg_progressive(
+            rgb, subsampling=sub, quality=90, dc_interleaved=False
+        )
+    )
+    got = decode_jpeg(
+        encode_jpeg_progressive(
+            rgb,
+            subsampling=sub,
+            quality=90,
+            dc_interleaved=False,
+            restart_interval=ri,
+        )
+    )
+    assert np.array_equal(base, got)
+
+
+def test_restart_marker_sequence_validated_progressive():
+    """A corrupted RSTn cycle number fails loudly, never decodes
+    wrongly."""
+    rgb = _image(32, 32, 1)
+    enc = bytearray(
+        encode_jpeg_progressive(rgb, restart_interval=1)
+    )
+    i = enc.find(b"\xff\xd0")
+    assert i > 0
+    enc[i + 1] = 0xD4
+    with pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg(bytes(enc))
+
+
+def test_fill_bytes_before_markers_tolerated():
+    """T.81 B.1.1.2: runs of 0xFF fill bytes may precede any marker
+    (r9 ADVICE: the scan terminator used to misparse them). Inject
+    fills before SOS and before EOI; decode must be unchanged."""
+    rgb = _image(24, 16, 2)
+    enc = encode_jpeg_progressive(rgb, restart_interval=2)
+    i = enc.find(b"\xff\xda")
+    patched = enc[:i] + b"\xff\xff\xff" + enc[i:]
+    assert np.array_equal(decode_jpeg(enc), decode_jpeg(patched))
+    j = patched.rfind(b"\xff\xd9")
+    patched2 = patched[:j] + b"\xff\xff" + patched[j:]
+    assert np.array_equal(decode_jpeg(enc), decode_jpeg(patched2))

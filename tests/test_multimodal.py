@@ -645,3 +645,38 @@ def test_phash_neardup_matches_bruteforce(spark):
     a = ahash64_from_rgb(decode_bmp(make_bmp(40, 24, seed=3)))
     b = ahash64_from_rgb(decode_png(make_png(40, 24, seed=3)))
     assert a == b
+
+
+def test_baseline_restart_interval_roundtrips():
+    """Round-10 DRI support in the baseline decoder: encodes with
+    restart markers decode pixel-identically to no-DRI encodes
+    across subsampling modes, MCU-pad shapes, and intervals; an
+    out-of-sequence RSTn fails loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cdc_2025_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    for w, h, sub in [(37, 29, "4:4:4"), (64, 48, "4:2:0"), (17, 23, "4:2:0")]:
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        rgb = np.stack(
+            [(x * 13 + y * 17) % 256, (x * 5 + y * 11) % 256,
+             (x * 7 + y * 3) % 256],
+            axis=2,
+        ).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(rgb, subsampling=sub, quality=90))
+        for ri in (1, 3, 100):
+            got = decode_jpeg(
+                encode_jpeg(
+                    rgb, subsampling=sub, quality=90, restart_interval=ri
+                )
+            )
+            assert np.array_equal(base, got), (w, h, sub, ri)
+    enc = bytearray(
+        encode_jpeg(np.zeros((32, 32, 3), dtype=np.uint8), restart_interval=1)
+    )
+    i = enc.find(b"\xff\xd0")
+    enc[i + 1] = 0xD5
+    with _pytest.raises(ValueError, match="out of sequence"):
+        decode_jpeg(bytes(enc))
