@@ -139,17 +139,16 @@ HEADLINE = [
     "text_blocklist_filter",
     "stats_equidepth_histogram",
     "stats_join_cardinality_estimate",
-    # Round-10 staged queries (queries/pending_r10.py): uncomment
-    # when register_all() lands in queries/__init__.py. Expected
-    # sf0.1 costs measured pre-registration (module docstring):
-    # ER 2.8s, k-anon 0.7s, reservoir/AUC/sweep/late <0.4s, ANN 6.7s.
-    # "er_customer_golden_records",
-    # "privacy_kanon_events",
-    # "sample_weighted_reservoir_docs",
-    # "eval_quality_auc",
-    # "eval_quality_threshold_sweep",
-    # "stream_late_data_audit",
-    # "sim_graph_ann_topk",
+    # Round-10 registrations (queries/pending_r10.py). Expected sf0.1
+    # costs measured pre-registration (module docstring): ER 2.8s,
+    # k-anon 0.7s, reservoir/AUC/sweep/late <0.4s, ANN 3.8s.
+    "er_customer_golden_records",
+    "privacy_kanon_events",
+    "sample_weighted_reservoir_docs",
+    "eval_quality_auc",
+    "eval_quality_threshold_sweep",
+    "stream_late_data_audit",
+    "sim_graph_ann_topk",
 ]
 
 

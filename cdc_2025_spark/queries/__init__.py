@@ -29,6 +29,7 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
     graph,
     llmdata,
     multimodal,
+    pending_r10,
     relational,
     resilience_star,
     similarity,
@@ -39,63 +40,56 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
     windows2,
 )
 
-# Round-9 window (the driver oracle-checks the FIRST 50 registry
-# entries per round, insertion order). Round 9 is the owed
-# verification-rotation round (VERDICT.md r8 item 1): ZERO new
-# registrations; the window repays the re-check backlog that r8's 48
-# registrations pushed past the 50-cut.
+# Round-10 registrations: the seven kernels staged through r8/r9 with
+# oracle-parity tests but no driver surface (entity resolution,
+# k-anonymity, weighted reservoir, AUC + threshold sweep, late-data
+# audit, graph ANN) — see queries/pending_r10.py.
+pending_r10.register_all()
+
+# Round-10 window (the driver oracle-checks the FIRST 50 registry
+# entries per round, insertion order):
 #
-#   1. _STALE_R9: the 25 queries whose newest green row is r5 —
-#      copied verbatim from the r7 guard output (they were the
-#      _STALE_R8 list; r8's full window of new registrations evicted
-#      them). At horizon 4 they MUST re-check this round.
-#   2. _CHANGED_R8: plan/oracle changes from round 8 that were only
-#      locally re-verified (hash-green at sf0.01, 2026-08-15).
-#   3. _CHANGED_R9: graph_bfs_trade_hops gains a full DuckDB
-#      recursive-CTE oracle this round (VERDICT r8 item 4) — its row
-#      must flip rows-only -> hash-green, so it takes a window slot.
-#   4. _R6_FILL: newest-green-r6 queries fill the remaining 21 slots;
-#      the last 3 spill past the 50-cut and lead the round-10 window
-#      (legal: at r10 the guard needs green >= r6, which they hold).
-_STALE_R9 = [
-    "stats_percentiles_order_value", "sample_stratified_by_segment",
-    "sketch_hll_weekly_users", "window_ranking_variants",
-    "window_first_last_order", "subquery_correlated_max_order",
-    "subquery_in_top_nations", "sample_hash_deterministic",
-    "histogram_order_values", "q10_returned_items",
-    "q2ish_min_cost_supplier", "sql_api_grouping_sets",
-    "array_norm_stats_by_label", "array_dimension_profile",
-    "string_close_part_names", "funnel_signup_purchase",
-    "cohort_daily_retention", "dedup_exact_vocab_groups",
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q5_regional_volume", "join_outer_customer_orders",
-    "join_semi_customers_with_purchases",
-    "join_anti_customers_without_orders", "agg_rollup_nation_segment",
-]
-
-_CHANGED_R8 = [
-    "text_chunk_documents",          # null-text guard both sides
-    "dedup_incremental_bloom_prefilter",  # KM h2 nonzero fix
-    "sketch_cms_heavy_terms",        # cms_params cross-reference
-]
-
-_CHANGED_R9 = [
-    "graph_bfs_trade_hops",          # oracle added: recursive CTE
-]
-
-# Plan changes made in r9 to queries already green in r8 — each
-# re-verified hash-green against its oracle at the driver's sf0.01
-# locally; the r9 window is fully owed to the rotation backlog, so
-# they FRONT-LOAD the round-10 window (same posture as r8's
-# _CHANGED_R8 trio):
+#   1. _NEW_R10: the seven round-10 registrations — never-checked, so
+#      the freshness guard requires them to LEAD the window
+#      (sim_graph_ann_topk is rows-only by design: iterative graph
+#      traversal has no SQL twin; recall/determinism pinned in
+#      tests/test_graphann.py).
+#   2. _CHANGED_R10: plan changes to already-green queries, each
+#      re-verified hash-green locally at sf0.01 — the five r9 plan
+#      changes (see r9 notes below) plus the three r10 ones
+#      (connected_components filtering reduction feeds
+#      dedup_cluster_canonical_docs / sample_leakage_free_split,
+#      already in the r9 queue).
+#   3. _SPILLED_R9: the last 3 r6-fills that spilled past r9's 50-cut
+#      (owed: the r9 window promised them the r10 lead).
+#   4. _FILL_R10: the 35 oldest-green ORACLE-BACKED queries (22 r6 +
+#      13 r7, file order) — computed mechanically from the
+#      CORRECTNESS history. Rows-only-by-design queries with an
+#      existing driver row are EXEMPT from the stale horizon as of
+#      r10 (r9 verdict item 3 / task 4): a repeat row adds no signal
+#      beyond rows-ran, so their slots go to hash-checkable queries
+#      (the window holds 49 oracle-backed entries + the one
+#      never-checked rows-only registration).
+#
+# r9 plan-change notes (verified hash-green at sf0.01 locally):
 #   sim_knn_label_spread — vote window -> max_by aggregate + corpus
 #     pre-partition (4.75 -> 0.75 s steady-state, unchanged hash)
 #   merge_into_customer_balances — NULL clause-condition coalesce
 #   text_url_canonical_dedup — BOTH sides now split on the FIRST '?'
-#     (Spark: substring from instr; oracle: substr from position)
 #   dedup_cluster_canonical_docs / sample_leakage_free_split —
-#     connected_components integral-dtype gate (long output both paths)
-_CHANGED_R10_QUEUE = [
+#     connected_components integral-dtype gate (long output both
+#     paths); in r10 also the filtering-reduction closure
+_NEW_R10 = [
+    "er_customer_golden_records",
+    "privacy_kanon_events",
+    "sample_weighted_reservoir_docs",
+    "eval_quality_auc",
+    "eval_quality_threshold_sweep",
+    "stream_late_data_audit",
+    "sim_graph_ann_topk",
+]
+
+_CHANGED_R10 = [
     "sim_knn_label_spread",
     "merge_into_customer_balances",
     "text_url_canonical_dedup",
@@ -103,28 +97,40 @@ _CHANGED_R10_QUEUE = [
     "sample_leakage_free_split",
 ]
 
-# newest green is round 6, oldest-first per CORRECTNESS_r06 order;
-# the leading 21 fill the window to the 50 cut, the last 3 lead r10
-_R6_FILL = [
-    "stats_moments_by_segment", "agg_order_array_per_customer",
-    "sample_train_val_test_split", "dedup_prefix_jaccard_pairs",
-    "dedup_incremental_new_docs", "sim_topk_bruteforce",
-    "sim_pairs_above_threshold", "sim_kmeans_cell_profile",
-    "dedup_repeated_spans", "text_decontamination_overlap",
-    "sample_weighted_by_tokens", "text_pack_sequences",
-    "llm_corpus_prep", "sample_domain_mixture_weights",
-    "decontam_embedding_crosssplit", "agg_cube_status_priority",
-    "agg_distinct_users_per_type", "agg_approx_distinct_users",
-    "setop_nations_customers_vs_suppliers", "setop_except_nations",
-    "setop_union_all_keys", "pivot_user_event_matrix",
-    "unpivot_lineitem_measures", "scalar_dates_monthly_revenue",
+_SPILLED_R9 = [
+    "pivot_user_event_matrix",
+    "unpivot_lineitem_measures",
+    "scalar_dates_monthly_revenue",
+]
+
+_FILL_R10 = [
+    # newest green r6, CORRECTNESS_r06 file order
+    "range_join_event_windows", "scalar_strings_part_brands",
+    "scalar_json_props_extract", "topk_customers_by_spend",
+    "resilience_nation_revenue", "shock_sim_nation_revenue",
+    "forecast_nation_revenue", "text_repetition_scores",
+    "text_doc_entropy", "text_pii_scrub",
+    "cdc_scd2_user_state_history", "cdc_scd2_state_asof",
+    "text_token_stats", "text_quality_scores",
+    "text_lang_id_confusion", "text_punct_and_bpe",
+    "q4_order_priority", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share",
+    "q14_promo_revenue", "q15_top_supplier",
+    # newest green r7, CORRECTNESS_r07 file order
+    "dedup_embedding_neardup", "dedup_remove_repeated_spans",
+    "dedup_embedding_neardup_lsh", "dedup_pipeline_accounting",
+    "sample_topk_weighted_per_source", "q18_large_orders",
+    "q19_bracketed_revenue", "q9_product_profit",
+    "q20_promo_heavy_suppliers", "q21_sole_late_suppliers",
+    "q11ish_part_value_share", "q13_customer_order_distribution",
+    "q17_small_quantity_revenue",
 ]
 
 _VERIFY_FIRST = [
-    *_STALE_R9,
-    *_CHANGED_R8,
-    *_CHANGED_R9,
-    *_R6_FILL,
+    *_NEW_R10,
+    *_CHANGED_R10,
+    *_SPILLED_R9,
+    *_FILL_R10,
 ]
 
 

@@ -108,13 +108,20 @@ def test_pending_outputs_driver_sortable(spark, name):
     assert not bad, f"{name}: container columns {bad}"
 
 
-def test_pending_module_not_registered():
-    """Importing pending_r10 must leave the live registry untouched
-    (the freshness guard requires new registrations to LEAD a
-    verification window — round 9's window is owed elsewhere)."""
-    from cdc_2025_spark.queries import QUERIES
+def test_pending_module_registered_and_leading():
+    """Round 10 opened the registration window: every pending query
+    is live in the registry, with its oracle where one exists, and
+    the seven LEAD the registry order (never-checked queries must
+    head the driver's first-50 window — the freshness-guard rule)."""
+    from cdc_2025_spark.queries import ORACLES, QUERIES
 
-    assert not (set(pending_r10.PENDING_ORDER) & set(QUERIES))
+    names = list(QUERIES)
+    assert names[: len(pending_r10.PENDING_ORDER)] == (
+        pending_r10.PENDING_ORDER
+    )
+    for name in pending_r10.PENDING_ORDER:
+        _fn, oracle = pending_r10._PENDING[name]
+        assert (name in ORACLES) == (oracle is not None)
 
 
 def test_pending_fixtures_are_nontrivial(spark, duck):

@@ -99,6 +99,11 @@ QUERIES_UNDER_TEST = [
     "text_vocab_coverage",
     "graph_triangle_stats",
     "text_blocklist_filter",
+    # round-10 registrations over the replica corpus
+    "sample_weighted_reservoir_docs",
+    "eval_quality_auc",
+    "eval_quality_threshold_sweep",
+    "sim_graph_ann_topk",
 ]
 # merge_into_customer_balances reads the star schema (customer/orders)
 # — not part of the replica corpus; its scale note lives in BASELINE.md
@@ -106,6 +111,13 @@ QUERIES_UNDER_TEST = [
 # mine_frequent_event_sets reads events — also outside the replica
 # corpus; scale shape noted in BASELINE.md (one distinct shuffle +
 # basket-keyed self-joins, all prune tables broadcast).
+# er_customer_golden_records reads customer — outside the replica
+# corpus; measured on a dedicated 10x key-offset customer replica
+# instead (SCALE.md round-10 ER section: 1.78x at 10x).
+# privacy_kanon_events / stream_late_data_audit read events — outside
+# the replica corpus; scale shape noted in BASELINE.md (one grouped
+# count feeding both audit folds; one ordered window + one grouped
+# aggregate).
 
 
 def build_corpus(spark, replicas: int) -> None:
