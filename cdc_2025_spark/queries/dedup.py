@@ -78,6 +78,34 @@ def _shared_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+_MINHASH_CACHE: _WeakKeyDictionary = _WeakKeyDictionary()
+
+
+def _shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared md5-KM MinHash+LSH pair index over the FULL
+    documents table (id_a, id_b, jaccard) — the _shared_jaccard_pairs
+    posture. Consumers needing pairs over a SUBSET of documents
+    restrict it with semi-joins: every stage of the pipeline is
+    subset-stable (shingle sets and signatures are per-doc functions,
+    banding has no corpus-dependent pruning, and verification is
+    exact per pair), so pairs(S) == pairs(full) ∩ S×S exactly — the
+    full-chain ledger's oracle recomputes over the subset and
+    hash-matches."""
+    key = (sf_dir, JACCARD_K, JACCARD_THRESHOLD, "md5_km")
+    per_session = _MINHASH_CACHE.setdefault(spark, {})
+    cached = per_session.get(key)
+    if cached is not None:
+        if not cached.storageLevel.useMemory:
+            cached.persist()  # see _shared_jaccard_pairs
+        return cached
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=JACCARD_K, threshold=JACCARD_THRESHOLD, family="md5_km"
+    ).persist()
+    per_session[key] = pairs
+    return pairs
+
+
 _COMP_CACHE: _WeakKeyDictionary = _WeakKeyDictionary()
 
 
@@ -527,11 +555,13 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches the ENTIRE pipeline including the LSH candidate set
     (previously rows-only: xxhash64 has no DuckDB twin). The xxhash64
     family stays the library default for corpus scale (8-byte shingle
-    keys and band buckets vs 16-char strings)."""
-    docs = read_table(spark, sf_dir, "documents")
-    out = minhash_lsh_pairs(
-        docs, k=JACCARD_K, threshold=JACCARD_THRESHOLD, family="md5_km"
-    )
+    keys and band buckets vs 16-char strings).
+
+    Serves from the session-shared pair index (_shared_minhash_pairs)
+    — the full-chain prep ledger restricts the same index to its
+    survivors, so the signature/banding pipeline runs once per
+    session, not once per consumer."""
+    out = _shared_minhash_pairs(spark, sf_dir)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 

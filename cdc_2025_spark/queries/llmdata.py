@@ -836,7 +836,6 @@ def llm_prep_full_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists downstream."""
     from cdc_2025_spark.dedup.cluster import connected_components
     from cdc_2025_spark.dedup.exact import vocab_key
-    from cdc_2025_spark.dedup.minhash import minhash_lsh_pairs
     from cdc_2025_spark.queries.dedup import (
         remove_repeated_spans_frame,
     )
@@ -845,7 +844,15 @@ def llm_prep_full_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") >= EVAL_MAX_ID).select(
         "doc_id", "text"
     )
-    # stage 1: repetition filter (top unigram share)
+    # stages 1+2 fused (r10): the repetition decision and the vocab
+    # key both derive from one tokenization, and the intermediate
+    # full-text survivor frame (old d1) is never needed — the vocab
+    # canon computes over an id+key frame semi-joined to the
+    # repetition survivors, and the pipeline re-attaches text ONCE
+    # at d2. The ledger counts ride the id-only frames (surv1 /
+    # canon are subsets of train's doc_ids, so their counts equal
+    # the old joined-frame counts) instead of re-reading
+    # checkpointed full-text frames.
     uni = (
         train.select(
             "doc_id",
@@ -862,39 +869,41 @@ def llm_prep_full_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     surv1 = stats.filter(
         ~(PREP_REP_FACTOR * F.col("top_c") > F.col("n_tokens"))
-    ).select("doc_id")
-    # d1 feeds THREE subtrees (canon, the stage-2 semi-join, and its
-    # own ledger count) — checkpoint it like the later stages so the
-    # unigram explode + aggregates run once, not three times
-    # (wall-neutral at sf0.1 where stage 1 is cheap; at scale the
-    # re-execution is real corpus work)
-    d1 = train.join(surv1, "doc_id", "left_semi").localCheckpoint(
-        eager=False
-    )
-    # stage 2: exact vocab dedup (min-id canonical)
+    ).select("doc_id").localCheckpoint(eager=False)
+    # stage 2: exact vocab dedup (min-id canonical) among stage-1
+    # survivors — keys ride an (doc_id, key) frame, never full text
     canon = (
-        d1.select("doc_id", vocab_key("text").alias("key"))
+        train.select("doc_id", vocab_key("text").alias("key"))
+        .join(surv1, "doc_id", "left_semi")
         .groupBy("key")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        .localCheckpoint(eager=False)
     )
-    # lazy localCheckpoints below: every stage frame feeds BOTH its
-    # count branch and the next stage — without them each of the six
+    # lazy localCheckpoints: every stage frame feeds BOTH its count
+    # branch and the next stage — without them each of the six
     # ledger counts re-executes the whole upstream chain (the
     # semdedup/bigram posture; blocks release when the plan is GC'd)
-    d2 = d1.join(canon, "doc_id", "left_semi").localCheckpoint(
+    d2 = train.join(canon, "doc_id", "left_semi").localCheckpoint(
         eager=False
     )
     # stage 3: MinHash+LSH near-dup dedup (md5_km family so the
-    # oracle reproduces the identical candidate set)
-    from cdc_2025_spark.queries.dedup import (
-        JACCARD_K,
-        JACCARD_THRESHOLD,
-    )
+    # oracle reproduces the identical candidate set). Pairs come from
+    # the session-shared FULL-corpus index restricted to the stage-2
+    # survivors — exact, because every pipeline stage is subset-stable
+    # (per-doc signatures, no corpus-dependent band pruning, per-pair
+    # verification): pairs(d2) == pairs(full) ∩ d2×d2. The oracle
+    # recomputes over the subset and hash-matches.
+    from cdc_2025_spark.queries.dedup import _shared_minhash_pairs
 
-    pairs = minhash_lsh_pairs(
-        d2, k=JACCARD_K, threshold=JACCARD_THRESHOLD, family="md5_km"
-    ).select("id_a", "id_b")
+    ids_a = canon.select(F.col("doc_id").alias("id_a"))
+    ids_b = canon.select(F.col("doc_id").alias("id_b"))
+    pairs = (
+        _shared_minhash_pairs(spark, sf_dir)
+        .join(ids_a, "id_a", "left_semi")
+        .join(ids_b, "id_b", "left_semi")
+        .select("id_a", "id_b")
+    )
     cc = connected_components(pairs)
     d3 = d2.join(
         cc.filter(F.col("id") != F.col("comp")).select(
@@ -934,8 +943,10 @@ def llm_prep_full_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n0 = train.agg(F.count("*").alias("n0"))
-    n1 = d1.agg(F.count("*").alias("n1"))
-    n2 = d2.agg(F.count("*").alias("n2"))
+    # surv1/canon doc_ids are subsets of train's, so their counts
+    # equal the old full-text joined-frame counts
+    n1 = surv1.agg(F.count("*").alias("n1"))
+    n2 = canon.agg(F.count("*").alias("n2"))
     n3 = d3.agg(F.count("*").alias("n3"))
     n4 = d4.agg(F.count("*").alias("n4"))
     nc = contam.agg(F.count("*").alias("nc"))

@@ -1366,3 +1366,49 @@ def test_spanning_forest_reduce_preserves_components(spark):
         ).collect()
     }
     assert red == orig
+
+
+def test_shared_minhash_pairs_cache_posture(spark, sf_dir):
+    """The md5-KM minhash pair index shares the _shared_jaccard_pairs
+    posture: one handle per (session, corpus), persist intent
+    re-asserted after an external clearCache, and subset restriction
+    equals direct subset computation (subset stability — the
+    full-chain ledger's correctness rests on it)."""
+    from cdc_2025_spark.queries.dedup import (
+        JACCARD_K,
+        JACCARD_THRESHOLD,
+        _shared_minhash_pairs,
+    )
+
+    a = _shared_minhash_pairs(spark, sf_dir)
+    a.count()
+    spark.catalog.clearCache()
+    assert not a.storageLevel.useMemory
+    b = _shared_minhash_pairs(spark, sf_dir)
+    assert b is a
+    assert b.storageLevel.useMemory
+    # subset stability: restricting the full-corpus index == computing
+    # over the subset directly
+    from cdc_2025_spark.dedup.minhash import minhash_lsh_pairs
+    from cdc_2025_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    sub = docs.filter((F.col("doc_id") % 3) == 0).select("doc_id", "text")
+    ids_a = sub.select(F.col("doc_id").alias("id_a"))
+    ids_b = sub.select(F.col("doc_id").alias("id_b"))
+    via_index = {
+        (r["id_a"], r["id_b"])
+        for r in b.join(ids_a, "id_a", "left_semi")
+        .join(ids_b, "id_b", "left_semi")
+        .select("id_a", "id_b")
+        .collect()
+    }
+    direct = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            sub, k=JACCARD_K, threshold=JACCARD_THRESHOLD, family="md5_km"
+        )
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert via_index == direct
