@@ -266,15 +266,19 @@ def make_real_media(
     n_audio: int = 8,
     n_png: int = 0,
     n_jpeg: int = 0,
+    n_flac: int = 0,
 ) -> DataFrame:
     """Media rows with REAL payloads: uncompressed 24-bit BMPs,
     zlib-compressed PNGs, baseline JPEGs (Huffman + DCT,
-    multimodal/jpeg.py — alternating 4:4:4 / 4:2:0 subsampling), and
-    RIFF/WAVE PCM-16 sines, all deterministic — the end-to-end
-    non-stub decode paths with zero codec dependencies. PNG/JPEG row i
-    carries the same pixel pattern as BMP row i (same width/height/seed
+    multimodal/jpeg.py — alternating 4:4:4 / 4:2:0 subsampling),
+    RIFF/WAVE PCM-16 sines, and FLAC (LPC + Rice, multimodal/flac.py)
+    twins of those sines, all deterministic — the end-to-end non-stub
+    decode paths with zero codec dependencies. PNG/JPEG row i carries
+    the same pixel pattern as BMP row i (same width/height/seed
     formula), so the containers are feature-identical (exactly for
-    PNG, tolerance-close for lossy JPEG)."""
+    PNG, tolerance-close for lossy JPEG); FLAC row i carries the SAME
+    sine as WAV row i and is lossless, so the audio containers are
+    feature-IDENTICAL (the BMP/PNG twin story for audio)."""
     from cdc_2025_spark.multimodal.jpeg import make_jpeg  # noqa: PLC0415
 
     rows = []
@@ -324,6 +328,25 @@ def make_real_media(
                 "audio",
                 bytearray(wav),
                 (0, 0, dur, "pcm_s16le"),
+            )
+        )
+    for i in range(n_flac):
+        from cdc_2025_spark.multimodal.flac import make_flac  # noqa: PLC0415
+
+        dur = 500 * (1 + i % 4)
+        flac = make_flac(
+            sample_rate=8000,
+            duration_ms=dur,
+            freq_hz=220.0 * (1 + i % 3),
+            amplitude=0.25 + 0.1 * (i % 5),
+            predictor="lpc" if i % 2 else "fixed",
+        )
+        rows.append(
+            (
+                n_images + n_audio + n_png + n_jpeg + i,
+                "audio",
+                bytearray(flac),
+                (0, 0, dur, "flac"),
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -592,11 +615,12 @@ def extract_audio_chunk_features(
     Same two-phase shape as frame sampling: chunk cardinality is
     JVM-side explode (Catalyst sees it), the decode kernel is the
     Python stage. RIFF/WAVE PCM-16 payloads take the REAL path
-    (decode_wav: chunk boundaries from the actual sample rate); other
-    payloads take the stub path (raw unsigned 8-bit PCM cycled over
-    chunks) so the plumbing stays testable without codecs. Compressed
-    codecs slot in behind the identical (payload, chunk_idx) ->
-    features contract.
+    (decode_wav: chunk boundaries from the actual sample rate), and
+    FLAC payloads take the REAL compressed path (decode_flac: LPC +
+    Rice + CRC verification, multimodal/flac.py — lossless, so a
+    FLAC twin of a WAV yields IDENTICAL features); other payloads
+    take the stub path (raw unsigned 8-bit PCM cycled over chunks)
+    so the plumbing stays testable without further codecs.
     """
     auds = media.filter(F.col("kind") == "audio").select(
         "media_id",
@@ -616,14 +640,42 @@ def extract_audio_chunk_features(
         import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
+        # per-partition decode memo: the explode duplicates a payload
+        # once PER CHUNK, and a compressed codec (FLAC) pays real
+        # entropy-decode work per call — decode each distinct payload
+        # once and slice chunks from the cached samples (keyed by
+        # payload identity-prefix + length; payloads here are
+        # deterministic containers, collisions would need equal
+        # first-64-bytes AND length)
+        memo: dict = {}
+
+        def decoded(raw: bytes):
+            key = (len(raw), raw[:64])
+            hit = memo.get(key)
+            if hit is None:
+                if raw[:4] == b"RIFF":
+                    hit = decode_wav(raw)
+                else:
+                    from cdc_2025_spark.multimodal.flac import (  # noqa: PLC0415
+                        decode_flac,
+                    )
+
+                    ints, sr = decode_flac(raw)
+                    hit = (
+                        np.asarray(ints, dtype=np.float64) / 32768.0,
+                        sr,
+                    )
+                memo[key] = hit
+            return hit
+
         for pdf in batches:
             rms, peak = [], []
             for p, i in zip(pdf["payload"], pdf["chunk_idx"]):
                 raw = bytes(p)
-                if raw[:4] == b"RIFF":
-                    wav, sr = decode_wav(raw)
+                if raw[:4] in (b"RIFF", b"fLaC"):
+                    pcm, sr = decoded(raw)
                     spc = sr * chunk_ms // 1000
-                    samples = wav[int(i) * spc : (int(i) + 1) * spc]
+                    samples = pcm[int(i) * spc : (int(i) + 1) * spc]
                     if samples.size == 0:
                         samples = np.zeros(1)
                 else:

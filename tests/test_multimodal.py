@@ -448,7 +448,7 @@ def test_feature_rollup_includes_real_kernels(spark):
     rows = {r["kind"]: r for r in out.collect()}
     assert set(rows) == {
         "image", "audio", "video", "image_bmp", "image_png",
-        "image_jpeg", "image_resized", "audio_wav",
+        "image_jpeg", "image_resized", "audio_wav", "audio_flac",
     }
     assert rows["image_jpeg"]["n_rows"] == 8
     # lossy but close: gray-std avg and gray-max max within tolerance
@@ -474,6 +474,16 @@ def test_feature_rollup_includes_real_kernels(spark):
     # grey max of a full-range gradient ~1, sine peak < max amplitude
     assert 0.0 < rows["image_bmp"]["avg_metric"] < 1.0
     assert rows["audio_wav"]["max_metric"] <= 0.65 + 1e-6
+    # FLAC rows are lossless twins of the WAV rows: every metric
+    # IDENTICAL (the real compressed-audio decode path,
+    # multimodal/flac.py)
+    assert rows["audio_flac"]["n_rows"] == rows["audio_wav"]["n_rows"]
+    assert (
+        rows["audio_flac"]["avg_metric"] == rows["audio_wav"]["avg_metric"]
+    )
+    assert (
+        rows["audio_flac"]["max_metric"] == rows["audio_wav"]["max_metric"]
+    )
 
 
 def test_video_frame_sampling_cardinality(spark):
