@@ -21,9 +21,11 @@ dispatches SOF2 to the sibling kernel (jpeg_progressive.py:
 spectral selection AND successive approximation — multi-scan
 coefficient accumulation, EOB runs, bitplane refinement with
 correction bits; its own encoders for exact-equality testing).
-Arithmetic coding, hierarchical, 12-bit, and restart intervals raise
-loudly instead of decoding wrongly — the same fail-loud-on-exotic
-contract the PNG kernel uses.
+Restart intervals (DRI/RSTn — byte-aligned markers every N MCUs,
+DC-predictor reset, cycle-number validation) decode AND encode in
+both kernels since round 10. Arithmetic coding, hierarchical, and
+12-bit raise loudly instead of decoding wrongly — the same
+fail-loud-on-exotic contract the PNG kernel uses.
 
 Scale notes: the per-coefficient entropy decode is pure-Python and
 therefore the slow path of the decode kernel; it exists to make the
