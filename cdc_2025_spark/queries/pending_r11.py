@@ -1,0 +1,518 @@
+"""Round-11 registration queue: the DRIFT & CORPUS-LAW diagnostics
+family — the statistical monitoring a training-data pipeline runs
+between ingests (distribution drift, changepoints) and the corpus
+sanity laws it checks after curation (Zipf rank-frequency, Heaps
+vocabulary growth). Five queries, every one with a full DuckDB
+oracle (hash-green-able: integer-exact where possible, disc
+percentiles over 4dp-rounded values for bin edges — the verified
+engine-parity construction — and 4-6dp rounding on float
+aggregates only).
+
+NOT imported by queries/__init__.py on purpose (the pending_r10
+posture): the freshness guard requires never-checked queries to LEAD
+a verification window, and the round-10 window is already composed.
+Registering is one call — add ``pending_r11`` to the import list,
+call :func:`register_all`, and front-load :data:`PENDING_ORDER` in
+the round-11 ``_VERIFY_FIRST``.
+
+Until then tests/test_pending_r11.py runs each query against its
+oracle with the same normalization the driver applies, at
+sf0.001 + sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_2025_spark.io import read_table
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov: order-value drift between segments
+# ---------------------------------------------------------------------------
+
+KS_SEG_A = "BUILDING"
+KS_SEG_B = "MACHINERY"
+
+
+def stats_ks_drift_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the order-value
+    distributions of two customer segments: D = max_x |F_A(x) -
+    F_B(x)| evaluated on the pooled distinct-value grid (the exact
+    two-sample statistic), plus the asymptotic p-value (first five
+    terms of the Kolmogorov series 2*sum (-1)^(k-1) exp(-2 k^2
+    lambda^2), the standard large-sample approximation).
+
+    Scale shape: ONE grouped count collapses both samples to the
+    pooled distinct-value frame (per-value counts per side,
+    integer-exact); the ECDF difference is a cumulative window over
+    that frame and the max a single aggregate — the corpus never
+    sorts, only its distinct values do. A domain whose distinct
+    values grow unboundedly would bucketize first (the equi-depth
+    sketch family); prices at 2 decimals are domain-bounded."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    seg = (
+        orders.join(
+            cust.select("c_custkey", "c_mktsegment"),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .filter(F.col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B))
+        .select(
+            F.round("o_totalprice", 4).alias("v"),
+            (F.col("c_mktsegment") == KS_SEG_A)
+            .cast("long")
+            .alias("is_a"),
+        )
+    )
+    per_v = seg.groupBy("v").agg(
+        F.sum("is_a").alias("ca"),
+        F.sum(1 - F.col("is_a")).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ecdf = per_v.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    ns = seg.agg(
+        F.sum("is_a").alias("n_a"),
+        F.sum(1 - F.col("is_a")).alias("n_b"),
+    )
+    tot = ecdf.crossJoin(F.broadcast(ns)).agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.max(
+            F.abs(
+                F.col("cum_a") / F.col("n_a")
+                - F.col("cum_b") / F.col("n_b")
+            )
+        ).alias("d"),
+    )
+    lam = F.sqrt(
+        F.col("n_a") * F.col("n_b") / (F.col("n_a") + F.col("n_b"))
+    ) * F.col("d")
+    p = sum(
+        (
+            F.lit(2.0 * (1 if k % 2 == 1 else -1))
+            * F.exp(F.lit(-2.0 * k * k) * lam * lam)
+        )
+        for k in range(1, 6)
+    )
+    return tot.select(
+        "n_a",
+        "n_b",
+        F.round("d", 6).alias("ks_d"),
+        F.round(F.greatest(F.least(p, F.lit(1.0)), F.lit(0.0)), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+KS_ORACLE = f"""
+WITH seg AS (
+  SELECT ROUND(o_totalprice, 4) AS v,
+         CASE WHEN c_mktsegment = '{KS_SEG_A}' THEN 1 ELSE 0 END AS is_a
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('{KS_SEG_A}', '{KS_SEG_B}')
+),
+per_v AS (
+  SELECT v, SUM(is_a) AS ca, SUM(1 - is_a) AS cb FROM seg GROUP BY v
+),
+ecdf AS (
+  SELECT SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+         SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM per_v
+),
+tot AS (
+  SELECT CAST(MAX(cum_a) AS BIGINT) AS n_a,
+         CAST(MAX(cum_b) AS BIGINT) AS n_b,
+         MAX(ABS(cum_a * 1.0 / (SELECT MAX(cum_a) FROM ecdf)
+                 - cum_b * 1.0 / (SELECT MAX(cum_b) FROM ecdf))) AS d
+  FROM ecdf
+),
+lamt AS (
+  SELECT n_a, n_b, d,
+         SQRT(n_a * n_b * 1.0 / (n_a + n_b)) * d AS lam
+  FROM tot
+)
+SELECT n_a, n_b, ROUND(d, 6) AS ks_d,
+       ROUND(GREATEST(LEAST(
+         2.0 * exp(-2.0 * lam * lam)
+         - 2.0 * exp(-8.0 * lam * lam)
+         + 2.0 * exp(-18.0 * lam * lam)
+         - 2.0 * exp(-32.0 * lam * lam)
+         + 2.0 * exp(-50.0 * lam * lam), 1.0), 0.0), 6) AS p_value
+FROM lamt
+"""
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index: intra-month value drift over events
+# ---------------------------------------------------------------------------
+
+PSI_N_BINS = 10
+PSI_FLOOR = 1e-4  # standard zero-proportion floor
+
+
+def stats_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the REFERENCE events
+    (day-of-month <= 15) and the CURRENT events (day > 15), binned by
+    the reference distribution's deciles — the standard model-
+    monitoring drift score (PSI < 0.1 stable, > 0.25 shifted), with
+    one row per bin (p_ref, p_cur, contribution) so the drifted mass
+    is attributable, not just scored.
+
+    Engine parity: bin edges are percentile_disc over 4dp-rounded
+    values (disc percentiles of rounded values are verified identical
+    across engines — never interpolate); bin assignment counts edges
+    strictly below the value (integer-exact); proportions are floored
+    at 1e-4 before the log (the standard zero guard, exact in both
+    engines).
+
+    Scale shape: the reference deciles are one grouped aggregate; the
+    bin assignment broadcasts 9 edges; per-bin counts are map-side
+    partials. Nothing bigger than (n_bins) rows shuffles."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.round("value", 4).alias("v"),
+        (F.dayofmonth("ts") <= 15).alias("is_ref"),
+    )
+    qs = [i / PSI_N_BINS for i in range(1, PSI_N_BINS)]
+    edges = (
+        ev.filter("is_ref")
+        .agg(
+            *[
+                F.expr(
+                    f"percentile_disc({q}) WITHIN GROUP (ORDER BY v)"
+                ).alias(f"e{i}")
+                for i, q in enumerate(qs)
+            ]
+        )
+        .first()
+    )
+    cuts = [edges[i] for i in range(len(qs))]
+    bin_expr = sum(
+        (F.col("v") > F.lit(c)).cast("int") for c in cuts
+    ) + F.lit(1)
+    binned = ev.select("is_ref", bin_expr.alias("bin"))
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.col("is_ref").cast("long")).alias("n_ref"),
+        F.sum((~F.col("is_ref")).cast("long")).alias("n_cur"),
+    )
+    tot_w = Window.partitionBy()
+    pr = F.greatest(
+        F.col("n_ref") / F.sum("n_ref").over(tot_w), F.lit(PSI_FLOOR)
+    )
+    pc = F.greatest(
+        F.col("n_cur") / F.sum("n_cur").over(tot_w), F.lit(PSI_FLOOR)
+    )
+    return counts.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(pr, 6).alias("p_ref"),
+        F.round(pc, 6).alias("p_cur"),
+        F.round((pc - pr) * F.log(pc / pr), 6).alias("psi_contrib"),
+    )
+
+
+PSI_ORACLE = f"""
+WITH ev AS (
+  SELECT ROUND(value, 4) AS v,
+         (EXTRACT(day FROM ts) <= 15) AS is_ref
+  FROM events
+),
+edges AS (
+  SELECT {", ".join(
+      f"quantile_disc(v, {(i + 1) / PSI_N_BINS}) AS e{i}"
+      for i in range(PSI_N_BINS - 1)
+  )}
+  FROM ev WHERE is_ref
+),
+binned AS (
+  SELECT is_ref,
+         1 + {" + ".join(
+             f"CASE WHEN v > (SELECT e{i} FROM edges) THEN 1 ELSE 0 END"
+             for i in range(PSI_N_BINS - 1)
+         )} AS bin
+  FROM ev
+),
+counts AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM binned GROUP BY bin
+),
+props AS (
+  SELECT bin, n_ref, n_cur,
+         GREATEST(n_ref * 1.0 / SUM(n_ref) OVER (), {PSI_FLOOR}) AS pr,
+         GREATEST(n_cur * 1.0 / SUM(n_cur) OVER (), {PSI_FLOOR}) AS pc
+  FROM counts
+)
+SELECT bin, n_ref, n_cur,
+       ROUND(pr, 6) AS p_ref, ROUND(pc, 6) AS p_cur,
+       ROUND((pc - pr) * ln(pc / pr), 6) AS psi_contrib
+FROM props
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint over the daily event-count series
+# ---------------------------------------------------------------------------
+
+
+def events_cusum_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUSUM changepoint detection on the daily event-count series:
+    S_d = cumulative sum of (count_d - mean), the most likely single
+    changepoint is argmax |S_d| (Page's classic statistic in its
+    offline scan form; tie broken by earliest day). One row: the
+    located day, its |S| and signed S, the series length, and the
+    mean — what a data-freshness monitor alerts on.
+
+    Scale shape: ONE grouped count collapses events to the day frame
+    (bounded by the calendar); the mean join is a broadcast of one
+    row and the cumulative window runs over days, never events."""
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    stats = daily.agg(
+        F.avg("c").alias("mu"), F.count("*").alias("n_days")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n_days",
+        "mu",
+        F.sum(F.col("c") - F.col("mu")).over(w).alias("s"),
+    )
+    pick = Window.orderBy(F.abs(F.col("s")).desc(), F.col("day"))
+    return (
+        s.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            F.round(F.abs(F.col("s")), 4).alias("max_abs_s"),
+            F.round("s", 4).alias("s_signed"),
+            "n_days",
+            F.round("mu", 4).alias("daily_mean"),
+        )
+    )
+
+
+CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1
+),
+stats AS (
+  SELECT AVG(c) AS mu, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+),
+s AS (
+  SELECT day, n_days, mu,
+         SUM(c - mu) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s
+  FROM daily CROSS JOIN stats
+),
+pick AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(s) DESC, day) AS rn FROM s
+)
+SELECT day AS changepoint_day, ROUND(ABS(s), 4) AS max_abs_s,
+       ROUND(s, 4) AS s_signed, n_days, ROUND(mu, 4) AS daily_mean
+FROM pick WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit over the corpus term table
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_RANKS = 1000
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus: OLS regression of ln(freq) on
+    ln(rank) for the top ZIPF_TOP_RANKS terms (rank by count desc,
+    term asc) — slope ~ -1 is the law on natural text; a curated
+    corpus drifting far from its baseline (deduplication removing
+    too much tail, boilerplate inflating the head) shows up as
+    slope/r2 movement. (The synthetic fixture corpus draws from a
+    small near-uniform vocabulary, so ITS slope is shallow — the
+    registered pair pins the computation, the thresholds live with
+    the data.) One row: n_ranks, slope, intercept, r2 (regr_*
+    aggregates, identical definitions in both engines).
+
+    Scale shape: the term table is one grouped count (vocab-bounded,
+    map-side partials); the top-K take is a TakeOrderedAndProject
+    partial; the regression is one aggregate over K rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = tf.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("tok")))
+        .alias("rank"),
+    ).filter(F.col("rank") <= ZIPF_TOP_RANKS)
+    pts = ranked.select(
+        F.log(F.col("c").cast("double")).alias("y"),
+        F.log(F.col("rank").cast("double")).alias("x"),
+    )
+    return pts.agg(
+        F.count("*").alias("n_ranks"),
+        F.round(F.expr("regr_slope(y, x)"), 4).alias("slope"),
+        F.round(F.expr("regr_intercept(y, x)"), 4).alias("intercept"),
+        F.round(F.expr("regr_r2(y, x)"), 4).alias("r2"),
+    )
+
+
+ZIPF_ORACLE = f"""
+WITH toks AS (
+  SELECT tok FROM documents,
+       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u(tok)
+  WHERE tok <> ''
+),
+tf AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rank FROM tf
+),
+pts AS (
+  SELECT ln(CAST(c AS DOUBLE)) AS y, ln(CAST(rank AS DOUBLE)) AS x
+  FROM ranked WHERE rank <= {ZIPF_TOP_RANKS}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+       ROUND(regr_slope(y, x), 4) AS slope,
+       ROUND(regr_intercept(y, x), 4) AS intercept,
+       ROUND(regr_r2(y, x), 4) AS r2
+FROM pts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth curve
+# ---------------------------------------------------------------------------
+
+HEAPS_DOC_STEP = 250
+
+
+def text_heaps_vocab_growth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct-vocabulary size versus
+    cumulative token count at every HEAPS_DOC_STEP-document
+    checkpoint of the doc_id order — V(n) ~ K * n^beta; a corpus
+    whose curve flattens abnormally was over-deduplicated, one whose
+    curve stays linear is full of noise. All-integer output (exact
+    driver hash): (checkpoint, cum_tokens, vocab).
+
+    Scale shape: vocabulary growth needs each term's FIRST document,
+    which is one grouped min over the exploded term stream (vocab-
+    bounded, map-side partials) — never a cumulative distinct; both
+    curves then cumulate over the bounded checkpoint frame."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    ck = (F.floor(F.col("doc_id") / HEAPS_DOC_STEP) + 1).alias("ckpt")
+    # tokens per checkpoint
+    tok_ck = toks.groupBy(ck).agg(F.count("*").alias("toks"))
+    # new-vocab per checkpoint: each term counts at its FIRST doc
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    voc_ck = first.groupBy(
+        (F.floor(F.col("first_doc") / HEAPS_DOC_STEP) + 1).alias("ckpt")
+    ).agg(F.count("*").alias("new_vocab"))
+    w = Window.orderBy("ckpt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        tok_ck.join(voc_ck, "ckpt", "left")
+        .select(
+            "ckpt",
+            F.sum("toks").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("new_vocab", F.lit(0)))
+            .over(w)
+            .alias("vocab"),
+        )
+        .select(
+            F.col("ckpt").cast("long").alias("checkpoint"),
+            "cum_tokens",
+            "vocab",
+        )
+    )
+
+
+HEAPS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM documents,
+       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u(tok)
+  WHERE tok <> ''
+),
+tok_ck AS (
+  SELECT CAST(floor(doc_id / {HEAPS_DOC_STEP}) + 1 AS BIGINT) AS ckpt,
+         COUNT(*) AS toks
+  FROM toks GROUP BY 1
+),
+first AS (SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok),
+voc_ck AS (
+  SELECT CAST(floor(first_doc / {HEAPS_DOC_STEP}) + 1 AS BIGINT) AS ckpt,
+         COUNT(*) AS new_vocab
+  FROM first GROUP BY 1
+)
+SELECT t.ckpt AS checkpoint,
+       CAST(SUM(t.toks) OVER (ORDER BY t.ckpt
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(v.new_vocab, 0)) OVER (ORDER BY t.ckpt
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab
+FROM tok_ck t LEFT JOIN voc_ck v ON t.ckpt = v.ckpt
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registration hook for round 11
+# ---------------------------------------------------------------------------
+
+PENDING_ORDER = [
+    "stats_ks_drift_segments",
+    "stats_psi_value_drift",
+    "events_cusum_changepoint",
+    "text_zipf_fit",
+    "text_heaps_vocab_growth",
+]
+
+_PENDING = {
+    "stats_ks_drift_segments": (stats_ks_drift_segments, KS_ORACLE),
+    "stats_psi_value_drift": (stats_psi_value_drift, PSI_ORACLE),
+    "events_cusum_changepoint": (
+        events_cusum_changepoint,
+        CUSUM_ORACLE,
+    ),
+    "text_zipf_fit": (text_zipf_fit, ZIPF_ORACLE),
+    "text_heaps_vocab_growth": (
+        text_heaps_vocab_growth,
+        HEAPS_ORACLE,
+    ),
+}
+
+
+def register_all() -> None:
+    """Register every pending query (round-11 hook). One-shot: the
+    registry's duplicate check fires on a second call."""
+    from cdc_2025_spark.queries.registry import query
+
+    for name in PENDING_ORDER:
+        fn, oracle = _PENDING[name]
+        query(name, oracle=oracle)(fn)
