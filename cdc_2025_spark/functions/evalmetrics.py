@@ -104,16 +104,19 @@ def threshold_sweep(
     wd = Window.orderBy(F.col("score").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    tot = g.agg(
-        F.sum("np").alias("tp_all"), F.sum("nn").alias("fp_all")
-    )
+    # totals as a whole-frame window over the SAME single-partition
+    # distinct-score frame the cumulative window already requires —
+    # a separate g.agg() subtree re-executed the grouped count (two
+    # extra exchanges + a broadcast, and double corpus work)
+    w_all = Window.partitionBy()
     return (
         g.select(
             F.col("score").alias("threshold"),
             F.sum("np").over(wd).cast("long").alias("tp"),
             F.sum("nn").over(wd).cast("long").alias("fp"),
+            F.sum("np").over(w_all).alias("tp_all"),
+            F.sum("nn").over(w_all).alias("fp_all"),
         )
-        .crossJoin(F.broadcast(tot))
         .select(
             "threshold",
             "tp",

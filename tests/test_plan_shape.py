@@ -583,3 +583,47 @@ def test_knn_label_spread_single_corpus_exchange(spark, sf_dir):
     # partial+final WindowGroupLimit pair; the winner pick must stay
     # an aggregate (a second window would add a third entry)
     assert p.count("WindowGroupLimit") <= 2
+
+
+def test_er_blocking_no_cartesian_no_entity_rejoin(spark, sf_dir):
+    """The round-10 ER plan contract: every blocking key is a
+    key-grouped join (no cross product anywhere), the gate
+    thresholds the CARRIED order attribute (no re-join of the pair
+    stream against the entity table — at scale that was two extra
+    shuffles of the largest frame), SNM neighbors come from lead()
+    over the ranking window (no rank self-join), and no Python
+    stage touches the row path."""
+    spark.catalog.clearCache()
+    p = plan_of(spark, sf_dir, "er_customer_golden_records")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_weighted_reservoir_plans_partial_topk(spark, sf_dir):
+    """The weighted bottom-k take must plan as TakeOrderedAndProject
+    (per-partition partial top-K — the mergeable-race contract), not
+    a global sort."""
+    spark.catalog.clearCache()
+    p = plan_of(spark, sf_dir, "sample_weighted_reservoir_docs")
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_eval_metrics_collapse_to_distinct_score_frame(spark, sf_dir):
+    """AUC and the threshold sweep must aggregate the corpus to the
+    distinct-score frame FIRST (one grouped count): the scan reads
+    ONLY the two source columns (pruning reaches parquet), no Python
+    stage exists, and the whole plan carries at most 3 exchanges
+    (grouped partials + the single-partition window over the bounded
+    frame) — a corpus-wide sort/window would add exchanges over the
+    raw scan."""
+    from cdc_2025_spark.plans import exchange_count
+
+    spark.catalog.clearCache()
+    for name in ("eval_quality_auc", "eval_quality_threshold_sweep"):
+        df = QUERIES[name](spark, sf_dir)
+        p = plan_string(df)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "ReadSchema: struct<lang:string,n_chars:bigint>" in p
+        assert exchange_count(df) <= 3, name
