@@ -2,7 +2,9 @@
 family — the statistical monitoring a training-data pipeline runs
 between ingests (distribution drift, changepoints) and the corpus
 sanity laws it checks after curation (Zipf rank-frequency, Heaps
-vocabulary growth). Five queries, every one with a full DuckDB
+vocabulary growth), plus the eval family's calibration leg and
+the embedding-compression audit. Seven queries, every one with a
+full DuckDB
 oracle (hash-green-able: integer-exact where possible, disc
 percentiles over 4dp-rounded values for bin edges — the verified
 engine-parity construction — and 4-6dp rounding on float
@@ -482,6 +484,192 @@ FROM tok_ck t LEFT JOIN voc_ck v ON t.ckpt = v.ckpt
 
 
 # ---------------------------------------------------------------------------
+# Classifier calibration: reliability bins + ECE contributions
+# ---------------------------------------------------------------------------
+
+CALIB_N_BINS = 10
+
+
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error, the third
+    leg of the eval family (AUC ranks, the sweep prices thresholds,
+    calibration answers "is 0.8 really 80%?"): the deterministic
+    quality score binned into CALIB_N_BINS fixed-width bins, per bin
+    the count, mean score (confidence), positive rate (accuracy),
+    gap, and the ECE contribution n/N * |gap| — the standard
+    Guo et al. ICML'17 decomposition, summable to ECE.
+
+    Engine parity: the bin is floor(k * 10 / 97.0) on the INTEGER
+    score numerator — one double division on small exact integers,
+    bit-identical in both engines; all other outputs are integer
+    counts or 6dp-rounded rational aggregates.
+
+    Scale shape: one grouped aggregate to CALIB_N_BINS rows
+    (map-side partials); the N total rides a whole-frame window over
+    those bins."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    k = F.col("n_chars") % 97
+    binned = docs.select(
+        F.floor(k * CALIB_N_BINS / F.lit(97.0)).alias("bin"),
+        (k / F.lit(97.0)).alias("score"),
+        (F.col("lang") == "en").cast("long").alias("label"),
+    )
+    g = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.avg("score").alias("conf"),
+        F.avg("label").alias("acc"),
+    )
+    w_all = Window.partitionBy()
+    return g.select(
+        "bin",
+        "n",
+        F.round("conf", 6).alias("mean_score"),
+        F.round("acc", 6).alias("pos_rate"),
+        F.round(F.col("acc") - F.col("conf"), 6).alias("gap"),
+        F.round(
+            F.col("n")
+            / F.sum("n").over(w_all)
+            * F.abs(F.col("acc") - F.col("conf")),
+            6,
+        ).alias("ece_contrib"),
+    )
+
+
+CALIB_ORACLE = f"""
+WITH binned AS (
+  SELECT CAST(floor((n_chars % 97) * {CALIB_N_BINS} / 97.0) AS BIGINT)
+           AS bin,
+         (n_chars % 97) / 97.0 AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+  FROM documents
+  WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+),
+g AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         AVG(score) AS conf, AVG(label * 1.0) AS acc
+  FROM binned GROUP BY bin
+)
+SELECT bin, n,
+       ROUND(conf, 6) AS mean_score,
+       ROUND(acc, 6) AS pos_rate,
+       ROUND(acc - conf, 6) AS gap,
+       ROUND(n * 1.0 / SUM(n) OVER () * ABS(acc - conf), 6)
+         AS ece_contrib
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization: the compression-error audit
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 255
+
+
+def embed_sq8_quantization_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """int8 scalar quantization audit — the standard first rung of
+    the embedding-compression ladder (beside PQ/IVFPQ): per
+    dimension, global [min, max] train the affine code q =
+    floor((x - mn) / (mx - mn) * 255 + 0.5); the audit reports, per
+    label, how much geometry the 4x compression costs — mean/min
+    cosine(original, dequantized) and mean/max per-coordinate
+    absolute error. The deploy decision ("is int8 safe for this
+    corpus?") read straight off a table.
+
+    Engine parity: quantization uses floor(v + 0.5), identical
+    semantics in both engines (never round() — Spark HALF_UP vs
+    DuckDB's away-from-zero differ on exact .5 boundaries);
+    per-vector sums explode over (vec, dim) pairs and aggregate —
+    float sums rounded 6dp after the final aggregate only.
+
+    Scale shape: per-dim ranges are ONE aggregate over the exploded
+    frame (64 rows out, map-side partials) broadcast back; the error
+    sums are one grouped aggregate per vector then one per label —
+    vectors never pair, nothing corpus-sized is collected."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    )
+    ranges = emb.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    q = F.floor(
+        (F.col("x") - F.col("mn"))
+        / (F.col("mx") - F.col("mn"))
+        * SQ_LEVELS
+        + F.lit(0.5)
+    )
+    deq = F.col("mn") + q * (F.col("mx") - F.col("mn")) / SQ_LEVELS
+    per_dim = emb.join(F.broadcast(ranges), "dim").select(
+        "vec_id",
+        "label",
+        "x",
+        deq.alias("xq"),
+    )
+    per_vec = per_dim.groupBy("vec_id", "label").agg(
+        (
+            F.sum(F.col("x") * F.col("xq"))
+            / (
+                F.sqrt(F.sum(F.col("x") * F.col("x")))
+                * F.sqrt(F.sum(F.col("xq") * F.col("xq")))
+            )
+        ).alias("cos"),
+        F.avg(F.abs(F.col("x") - F.col("xq"))).alias("mae"),
+        F.max(F.abs(F.col("x") - F.col("xq"))).alias("maxe"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("cos"), 6).alias("avg_cos"),
+            F.round(F.min("cos"), 6).alias("min_cos"),
+            F.round(F.avg("mae"), 6).alias("avg_abs_err"),
+            F.round(F.max("maxe"), 6).alias("max_abs_err"),
+        )
+        .orderBy("label")
+    )
+
+
+SQ8_ORACLE = f"""
+WITH emb AS (
+  SELECT vec_id, label, CAST(dim - 1 AS BIGINT) AS dim,
+         CAST(embedding[dim] AS DOUBLE) AS x
+  FROM embeddings,
+       UNNEST(range(1, len(embedding) + 1)) AS u(dim)
+),
+ranges AS (
+  SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM emb GROUP BY dim
+),
+per_dim AS (
+  SELECT e.vec_id, e.label, e.x,
+         r.mn + floor((e.x - r.mn) / (r.mx - r.mn) * {SQ_LEVELS} + 0.5)
+              * (r.mx - r.mn) / {SQ_LEVELS} AS xq
+  FROM emb e JOIN ranges r ON e.dim = r.dim
+),
+per_vec AS (
+  SELECT vec_id, label,
+         SUM(x * xq) / (SQRT(SUM(x * x)) * SQRT(SUM(xq * xq))) AS cos,
+         AVG(ABS(x - xq)) AS mae,
+         MAX(ABS(x - xq)) AS maxe
+  FROM per_dim GROUP BY vec_id, label
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(cos), 6) AS avg_cos,
+       ROUND(MIN(cos), 6) AS min_cos,
+       ROUND(AVG(mae), 6) AS avg_abs_err,
+       ROUND(MAX(maxe), 6) AS max_abs_err
+FROM per_vec GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registration hook for round 11
 # ---------------------------------------------------------------------------
 
@@ -491,6 +679,8 @@ PENDING_ORDER = [
     "events_cusum_changepoint",
     "text_zipf_fit",
     "text_heaps_vocab_growth",
+    "eval_calibration_bins",
+    "embed_sq8_quantization_error",
 ]
 
 _PENDING = {
@@ -504,6 +694,11 @@ _PENDING = {
     "text_heaps_vocab_growth": (
         text_heaps_vocab_growth,
         HEAPS_ORACLE,
+    ),
+    "eval_calibration_bins": (eval_calibration_bins, CALIB_ORACLE),
+    "embed_sq8_quantization_error": (
+        embed_sq8_quantization_error,
+        SQ8_ORACLE,
     ),
 }
 

@@ -141,3 +141,20 @@ def test_statistics_are_nontrivial(spark):
         a["cum_tokens"] < b["cum_tokens"] and a["vocab"] <= b["vocab"]
         for a, b in zip(h, h[1:])
     )
+
+    cal = pending_r11.eval_calibration_bins(spark, SF_DIR).collect()
+    assert len(cal) == pending_r11.CALIB_N_BINS
+    assert all(r["n"] > 0 for r in cal)
+    assert all(r["ece_contrib"] >= 0.0 for r in cal)
+    # mean score inside each fixed-width bin must sit inside the bin
+    for r in cal:
+        lo, hi = r["bin"] / 10.0, (r["bin"] + 1) / 10.0
+        assert lo <= r["mean_score"] < hi, r
+
+    sq = pending_r11.embed_sq8_quantization_error(spark, SF_DIR).collect()
+    assert len(sq) >= 2  # multiple labels present
+    for r in sq:
+        # int8 on 64-dim unit-ish vectors: geometry nearly intact
+        assert r["avg_cos"] > 0.999, r
+        assert r["min_cos"] > 0.99, r
+        assert 0.0 < r["max_abs_err"] < 0.05, r
