@@ -48,7 +48,62 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_pagerank_trade_network")
+def _pagerank_oracle() -> str:
+    """DuckDB SQL mirroring the FULL PageRank pipeline by UNROLLING
+    the fixed PR_ITERS power iterations into chained CTEs (the
+    graph_bfs_trade_hops recursive-CTE posture, but straight-line:
+    the iteration count is a constant of the query, so no recursion
+    is needed). Each iteration is the exact update rule the kernel
+    applies — contrib[t] = sum(r[s] * w / out_w[s]), dangling mass
+    spread uniformly, damping (1-d)/n + d * (...). Float summation
+    order differs between engines (~1e-15 relative over 10
+    iterations); the 4dp rounding absorbs it — the same posture as
+    every float aggregate oracle in the registry."""
+    it = f"""
+edges AS MATERIALIZED (
+  SELECT cn.src, sn.dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN (SELECT c_custkey, n_name AS src
+        FROM customer JOIN nation ON c_nationkey = n_nationkey) cn
+    ON o.o_custkey = cn.c_custkey
+  JOIN (SELECT s_suppkey, n_name AS dst
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey) sn
+    ON l.l_suppkey = sn.s_suppkey
+  GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outw AS MATERIALIZED (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""
+    for k in range(1, PR_ITERS + 1):
+        it += f""",
+r{k} AS MATERIALIZED (
+  SELECT nd.node,
+         (1.0 - {PR_DAMPING}) / (SELECT n FROM nn)
+         + {PR_DAMPING} * (COALESCE(c.contrib, 0)
+             + (SELECT COALESCE(SUM(p.r), 0) FROM r{k - 1} p
+                ANTI JOIN outw o ON p.node = o.src)
+               / (SELECT n FROM nn)) AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r * e.w / o.ow) AS contrib
+    FROM edges e
+    JOIN r{k - 1} p ON e.src = p.node
+    JOIN outw o ON e.src = o.src
+    GROUP BY e.dst) c ON nd.node = c.node
+)"""
+    return f"""
+WITH {it}
+SELECT node AS n_name, ROUND(r, 4) AS pagerank,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY ROUND(r, 4) DESC, node) AS BIGINT) AS rk
+FROM r{PR_ITERS}
+"""
+
+
+@query("graph_pagerank_trade_network", oracle=_pagerank_oracle())
 def graph_pagerank_trade_network(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -57,12 +112,15 @@ def graph_pagerank_trade_network(
     supply-chain or link-graph pipeline runs; Brin & Page 1998,
     executed as the Pregel/GraphX power iteration).
 
-    rows-only by design: 10 data-dependent power iterations have no
-    reasonable SQL twin. Accuracy pinned in tests/test_graph.py:
-    exact 4dp equality against a pure-python power-iteration model
-    (same damping, dangling correction, and iteration count), ranks
-    sum to 1 every iteration, and uniform-rank fixpoint on a
-    symmetric literal graph.
+    Oracle-backed since round 10 (was rows-only): the iteration
+    count is a CONSTANT of the query, so the oracle unrolls the
+    power iteration into PR_ITERS chained CTEs applying the exact
+    update rule — no recursion, no approximation (_pagerank_oracle).
+    Accuracy additionally pinned in tests/test_graph.py: exact 4dp
+    equality against a pure-python power-iteration model (same
+    damping, dangling correction, and iteration count), ranks sum
+    to 1 every iteration, and uniform-rank fixpoint on a symmetric
+    literal graph.
 
     Shape: edge construction is the star-schema join (dims
     broadcast, one fact-fact shuffle); the 25-node transition table
