@@ -20,6 +20,14 @@ the round-11 ``_VERIFY_FIRST``.
 Until then tests/test_pending_r11.py runs each query against its
 oracle with the same normalization the driver applies, at
 sf0.001 + sf0.01.
+
+Pre-registration sf0.1 wall times (min-of-2, idle local[32], for the
+round-11 bench.py HEADLINE additions): KS 0.64 s, PSI 0.73 s, CUSUM
+0.34 s, Zipf 0.25 s, Heaps 0.31 s, calibration 0.20 s, SQ8 audit
+0.32 s. The single-partition WindowExec warnings these emit are the
+documented bounded-frame windows (ECDF over pooled distinct values,
+CUSUM over calendar days, totals over n_bins rows) — never the
+corpus.
 """
 
 from __future__ import annotations
