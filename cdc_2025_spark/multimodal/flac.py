@@ -370,7 +370,7 @@ def encode_flac(
     n_blocks = (len(xs) + block_size - 1) // block_size
     for fi in range(n_blocks):
         blk = xs[fi * block_size : (fi + 1) * block_size]
-        frames += _encode_frame(blk, fi, sample_rate, block_size, predictor, lpc_order)
+        frames += _encode_frame(blk, fi, sample_rate, predictor, lpc_order)
 
     streaminfo = (
         _struct.pack(">HH", block_size, block_size)
@@ -398,7 +398,7 @@ _SR_CODES = {88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5,
 
 
 def _encode_frame(
-    blk, frame_no: int, sample_rate: int, nominal_bs: int,
+    blk, frame_no: int, sample_rate: int,
     predictor: str, lpc_order: int,
 ) -> bytes:
     n = len(blk)
@@ -417,7 +417,7 @@ def _encode_frame(
     hdr += _utf8_coded_number(frame_no)
     if bs_code == 7:
         hdr += _struct.pack(">H", n - 1)
-    if sr_code == 14:
+    if sr_code == 13:  # the 16-bit-Hz-follows code set above
         hdr += _struct.pack(">H", sample_rate)
     hdr.append(_crc8(bytes(hdr)))
 

@@ -701,24 +701,33 @@ def encode_jpeg_progressive_sa(
 
 
 def _entropy_end(payload: bytes, pos: int) -> int:
-    """First byte past the entropy-coded data starting at ``pos``:
-    the next 0xFF not followed by 0x00 (stuffing), RST, or another
-    0xFF (a fill byte — spec-legal padding before any marker, so a
-    fill run belongs to the NEXT segment, not to this scan's data;
-    r9 ADVICE: treating 0xFF 0xFF as the terminator made fill-padded
-    foreign files fail with a length-parse error)."""
+    """First byte past the entropy-coded data starting at ``pos``.
+    The scan continues through stuffed 0x00 bytes and RSTn markers;
+    a run of 0xFF fill bytes (spec-legal padding before ANY marker,
+    B.1.1.2) is resolved by what FOLLOWS the run: a fill run before
+    an RSTn is still INSIDE the scan (restarts are scan-interior
+    markers), while a fill run before any other marker belongs to
+    the next segment — the scan ends at the run's first byte. (r9
+    ADVICE fixed the naive 0xFF 0xFF terminator; the run must also
+    be looked THROUGH, not just at, or a padded restart truncates
+    the scan and the marker walker misparses the length-less RST.)"""
     i = pos
     n = len(payload)
     while i < n - 1:
-        if payload[i] == 0xFF:
-            nxt = payload[i + 1]
-            if nxt == 0xFF:
-                return i  # fill run precedes the next marker
-            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
-                return i
-            i += 2
-        else:
+        if payload[i] != 0xFF:
             i += 1
+            continue
+        # advance j to the LAST 0xFF of the run starting at i
+        j = i
+        while j < n - 1 and payload[j + 1] == 0xFF:
+            j += 1
+        if j >= n - 1:
+            return i  # trailing fill run at EOF
+        nxt = payload[j + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i = j + 2  # stuffed data / restart marker: inside scan
+        else:
+            return i  # real marker (after optional fill): scan ends
     return n
 
 

@@ -640,33 +640,40 @@ def extract_audio_chunk_features(
         import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
-        # per-partition decode memo: the explode duplicates a payload
-        # once PER CHUNK, and a compressed codec (FLAC) pays real
-        # entropy-decode work per call — decode each distinct payload
-        # once and slice chunks from the cached samples (keyed by
-        # payload identity-prefix + length; payloads here are
-        # deterministic containers, collisions would need equal
-        # first-64-bytes AND length)
-        memo: dict = {}
+        # single-entry decode cache: the explode duplicates a payload
+        # once PER CHUNK and emits a payload's chunk rows ADJACENTLY,
+        # so caching only the last-decoded payload gives the same hit
+        # rate as an unbounded memo with O(1) memory (an unbounded
+        # memo would retain every distinct payload's float64 PCM for
+        # the task lifetime). Keyed by the md5 of the FULL payload —
+        # never a prefix: distinct recordings of equal length
+        # routinely share their first bytes (RIFF header + leading
+        # silence), and a prefix key would silently serve the wrong
+        # audio. md5 over the raw bytes is trivial next to entropy
+        # decode.
+        import hashlib  # noqa: PLC0415
+
+        cache_key: bytes | None = None
+        cache_val = None
 
         def decoded(raw: bytes):
-            key = (len(raw), raw[:64])
-            hit = memo.get(key)
-            if hit is None:
+            nonlocal cache_key, cache_val
+            key = hashlib.md5(raw).digest()
+            if key != cache_key:
                 if raw[:4] == b"RIFF":
-                    hit = decode_wav(raw)
+                    cache_val = decode_wav(raw)
                 else:
                     from cdc_2025_spark.multimodal.flac import (  # noqa: PLC0415
                         decode_flac,
                     )
 
                     ints, sr = decode_flac(raw)
-                    hit = (
+                    cache_val = (
                         np.asarray(ints, dtype=np.float64) / 32768.0,
                         sr,
                     )
-                memo[key] = hit
-            return hit
+                cache_key = key
+            return cache_val
 
         for pdf in batches:
             rms, peak = [], []

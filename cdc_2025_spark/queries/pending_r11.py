@@ -82,17 +82,21 @@ def stats_ks_drift_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # sample totals as whole-frame windows over the SAME
+    # single-partition distinct-value frame the cumulative window
+    # already requires — a separate seg.agg() subtree would
+    # re-execute the orders-customer join (the double-corpus-work
+    # pattern threshold_sweep was cured of this round)
+    w_all = Window.partitionBy()
     ecdf = per_v.select(
         F.sum("ca").over(w).alias("cum_a"),
         F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(w_all).alias("n_a"),
+        F.sum("cb").over(w_all).alias("n_b"),
     )
-    ns = seg.agg(
-        F.sum("is_a").alias("n_a"),
-        F.sum(1 - F.col("is_a")).alias("n_b"),
-    )
-    tot = ecdf.crossJoin(F.broadcast(ns)).agg(
-        F.first("n_a").alias("n_a"),
-        F.first("n_b").alias("n_b"),
+    tot = ecdf.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
         F.max(
             F.abs(
                 F.col("cum_a") / F.col("n_a")

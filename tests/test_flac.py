@@ -147,3 +147,16 @@ def test_chunk_kernel_routes_flac(spark):
     assert set(fw) == set(ff)
     for k in fw:
         assert fw[k] == pytest.approx(ff[k], abs=1e-12), k
+
+
+def test_non_table_sample_rates_roundtrip():
+    """r10 self-review: the frame header's 16-bit-rate escape path
+    (spec code 13) used to promise the rate bytes but never write
+    them — every non-table rate (11025, 12000, ...) produced an
+    undecodable stream. Pin the escape path AND the table path."""
+    xs = _sine(2000, rate=11025)
+    for rate in (11025, 12000, 7000, 44100, 8000):
+        enc = encode_flac(xs, sample_rate=rate)
+        dec, sr = decode_flac(enc)
+        assert dec == xs
+        assert sr == rate, rate

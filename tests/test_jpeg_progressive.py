@@ -273,3 +273,17 @@ def test_fill_bytes_before_markers_tolerated():
     j = patched.rfind(b"\xff\xd9")
     patched2 = patched[:j] + b"\xff\xff" + patched[j:]
     assert np.array_equal(decode_jpeg(enc), decode_jpeg(patched2))
+
+
+def test_fill_bytes_before_restart_marker_inside_scan():
+    """r10 self-review: a spec-legal fill run IMMEDIATELY BEFORE an
+    RSTn inside entropy data must stay inside the scan —
+    _entropy_end looking only AT the run (not through it) truncated
+    the scan and the marker walker misparsed the length-less RST."""
+    rgb = _image(32, 24, 3)
+    enc = encode_jpeg_progressive(rgb, restart_interval=1)
+    base = decode_jpeg(enc)
+    i = enc.find(b"\xff\xd0")
+    assert i > 0
+    patched = enc[:i] + b"\xff\xff" + enc[i:]  # fill run before RST0
+    assert np.array_equal(base, decode_jpeg(patched))

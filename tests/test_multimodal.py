@@ -690,3 +690,50 @@ def test_baseline_restart_interval_roundtrips():
     enc[i + 1] = 0xD5
     with _pytest.raises(ValueError, match="out of sequence"):
         decode_jpeg(bytes(enc))
+
+
+def test_audio_chunk_cache_never_serves_wrong_payload(spark):
+    """r10 self-review: the chunk kernel's decode cache must key on
+    the FULL payload — two distinct same-length recordings sharing
+    their first bytes (RIFF header + leading silence, the common
+    real-world case) must produce their OWN features even when
+    co-resident in one partition."""
+    import numpy as np
+    import struct
+
+    from cdc_2025_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        extract_audio_chunk_features,
+    )
+
+    def wav_with_leading_silence(tail_value: int) -> bytes:
+        n = 2000
+        samples = bytearray()
+        for i in range(n):
+            v = 0 if i < 100 else tail_value  # identical first bytes
+            samples += struct.pack("<h", v)
+        data = bytes(samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        return (
+            struct.pack(
+                "<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE"
+            )
+            + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+            + struct.pack("<4sI", b"data", len(data)) + data
+        )
+
+    a, b = wav_with_leading_silence(1000), wav_with_leading_silence(30000)
+    assert a[:64] == b[:64] and len(a) == len(b) and a != b
+    media = spark.createDataFrame(
+        [(0, "audio", bytearray(a), (0, 0, 250, "pcm_s16le")),
+         (1, "audio", bytearray(b), (0, 0, 250, "pcm_s16le"))],
+        MEDIA_SCHEMA,
+    ).coalesce(1)  # force co-residency in ONE partition
+    rows = {
+        r["media_id"]: r
+        for r in extract_audio_chunk_features(media, chunk_ms=250).collect()
+    }
+    # the louder tail must show in payload 1's features only
+    assert rows[1]["peak"] > 0.5
+    assert rows[0]["peak"] < 0.1
+    assert rows[0]["rms"] != rows[1]["rms"]
