@@ -2,9 +2,9 @@
 family — the statistical monitoring a training-data pipeline runs
 between ingests (distribution drift, changepoints) and the corpus
 sanity laws it checks after curation (Zipf rank-frequency, Heaps
-vocabulary growth), plus the eval family's calibration leg and
-the embedding-compression audit. Seven queries, every one with a
-full DuckDB
+vocabulary growth), plus the eval family's calibration leg, the
+embedding-compression audit, and pairwise source JS divergence.
+Eight queries, every one with a full DuckDB
 oracle (hash-green-able: integer-exact where possible, disc
 percentiles over 4dp-rounded values for bin edges — the verified
 engine-parity construction — and 4-6dp rounding on float
@@ -24,7 +24,7 @@ sf0.001 + sf0.01.
 Pre-registration sf0.1 wall times (min-of-2, idle local[32], for the
 round-11 bench.py HEADLINE additions): KS 0.64 s, PSI 0.73 s, CUSUM
 0.34 s, Zipf 0.25 s, Heaps 0.31 s, calibration 0.20 s, SQ8 audit
-0.32 s. The single-partition WindowExec warnings these emit are the
+0.32 s, JS divergence 0.71 s. The single-partition WindowExec warnings these emit are the
 documented bounded-frame windows (ECDF over pooled distinct values,
 CUSUM over calendar days, totals over n_bins rows) — never the
 corpus.
@@ -682,6 +682,132 @@ FROM per_vec GROUP BY label
 
 
 # ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between per-source unigram distributions
+# ---------------------------------------------------------------------------
+
+
+def text_js_divergence_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram
+    distributions of every source pair — the DISTRIBUTIONAL
+    complement to dedup_source_overlap_matrix's shingle containment:
+    overlap finds copied text, JS divergence finds sources whose
+    vocabularies drifted apart (or collapsed together after
+    over-aggressive curation). Symmetric, bounded by ln 2, exact
+    decomposition: the shared-vocabulary mass contributes
+    0.5*(p*ln(2p/(p+q)) + q*ln(2q/(p+q))) per term, and each side's
+    EXCLUSIVE mass contributes 0.5*(1 - shared_p)*ln 2 (the q=0
+    limit) — so the inner join on shared terms plus two grouped sums
+    is the whole computation; the union vocabulary never
+    materializes.
+
+    Scale shape: one grouped count to the (source, term) frame
+    (vocab-bounded, map-side partials); per-source totals broadcast;
+    ONE term-keyed self-join of the probability table (never doc
+    pairs); the pair frame is |sources|^2-bounded."""
+    import math
+
+    docs = read_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = tf.groupBy("source").agg(F.sum("c").alias("n"))
+    probs = tf.join(F.broadcast(tot), "source").select(
+        "source", "tok", (F.col("c") / F.col("n")).alias("p")
+    )
+    a = probs.select(
+        F.col("source").alias("src_a"), "tok", F.col("p").alias("pa")
+    )
+    b = probs.select(
+        F.col("source").alias("src_b"), "tok", F.col("p").alias("pb")
+    )
+    shared = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").alias("n_shared_terms"),
+            F.sum(
+                0.5
+                * (
+                    F.col("pa")
+                    * F.log(2.0 * F.col("pa") / (F.col("pa") + F.col("pb")))
+                    + F.col("pb")
+                    * F.log(2.0 * F.col("pb") / (F.col("pa") + F.col("pb")))
+                )
+            ).alias("js_shared"),
+            F.sum("pa").alias("sa"),
+            F.sum("pb").alias("sb"),
+        )
+    )
+    srcs = tot.select(F.col("source"))
+    all_pairs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .crossJoin(srcs.select(F.col("source").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    ln2 = math.log(2.0)
+    return all_pairs.join(shared, ["src_a", "src_b"], "left").select(
+        "src_a",
+        "src_b",
+        F.coalesce("n_shared_terms", F.lit(0)).alias("n_shared_terms"),
+        F.round(
+            F.coalesce("js_shared", F.lit(0.0))
+            + 0.5 * (1.0 - F.coalesce("sa", F.lit(0.0))) * ln2
+            + 0.5 * (1.0 - F.coalesce("sb", F.lit(0.0))) * ln2,
+            6,
+        ).alias("js_divergence"),
+    )
+
+
+JS_ORACLE = """
+WITH tf AS (
+  SELECT source, tok, COUNT(*) AS c
+  FROM documents,
+       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u(tok)
+  WHERE tok <> ''
+  GROUP BY source, tok
+),
+tot AS (SELECT source, SUM(c) AS n FROM tf GROUP BY source),
+probs AS (
+  SELECT tf.source, tf.tok, tf.c * 1.0 / tot.n AS p
+  FROM tf JOIN tot ON tf.source = tot.source
+),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+         SUM(0.5 * (a.p * ln(2.0 * a.p / (a.p + b.p))
+                    + b.p * ln(2.0 * b.p / (a.p + b.p)))) AS js_shared,
+         SUM(a.p) AS sa, SUM(b.p) AS sb
+  FROM probs a JOIN probs b
+    ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+),
+all_pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM tot a JOIN tot b ON a.source < b.source
+)
+SELECT p.src_a, p.src_b,
+       COALESCE(s.n_shared_terms, 0) AS n_shared_terms,
+       ROUND(COALESCE(s.js_shared, 0)
+             + 0.5 * (1.0 - COALESCE(s.sa, 0)) * ln(2.0)
+             + 0.5 * (1.0 - COALESCE(s.sb, 0)) * ln(2.0), 6)
+         AS js_divergence
+FROM all_pairs p LEFT JOIN shared s
+  ON p.src_a = s.src_a AND p.src_b = s.src_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registration hook for round 11
 # ---------------------------------------------------------------------------
 
@@ -693,6 +819,7 @@ PENDING_ORDER = [
     "text_heaps_vocab_growth",
     "eval_calibration_bins",
     "embed_sq8_quantization_error",
+    "text_js_divergence_sources",
 ]
 
 _PENDING = {
@@ -711,6 +838,10 @@ _PENDING = {
     "embed_sq8_quantization_error": (
         embed_sq8_quantization_error,
         SQ8_ORACLE,
+    ),
+    "text_js_divergence_sources": (
+        text_js_divergence_sources,
+        JS_ORACLE,
     ),
 }
 

@@ -158,3 +158,21 @@ def test_statistics_are_nontrivial(spark):
         assert r["avg_cos"] > 0.999, r
         assert r["min_cos"] > 0.99, r
         assert 0.0 < r["max_abs_err"] < 0.05, r
+
+
+def test_js_divergence_invariants(spark):
+    """JS divergence: every source pair present exactly once
+    (|S|*(|S|-1)/2 rows), values inside [0, ln 2], and the synthetic
+    same-generator sources sit well below the disjoint-vocabulary
+    ceiling."""
+    import math
+
+    rows = pending_r11.text_js_divergence_sources(spark, SF_DIR).collect()
+    srcs = {r["src_a"] for r in rows} | {r["src_b"] for r in rows}
+    assert len(rows) == len(srcs) * (len(srcs) - 1) // 2
+    assert len({(r["src_a"], r["src_b"]) for r in rows}) == len(rows)
+    ln2 = math.log(2.0)
+    for r in rows:
+        assert 0.0 <= r["js_divergence"] <= ln2 + 1e-9, r
+        assert r["n_shared_terms"] > 0, r  # same generator vocabulary
+    assert max(r["js_divergence"] for r in rows) < 0.9 * ln2
