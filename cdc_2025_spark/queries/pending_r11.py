@@ -24,7 +24,8 @@ sf0.001 + sf0.01.
 Pre-registration sf0.1 wall times (min-of-2, idle local[32], for the
 round-11 bench.py HEADLINE additions): KS 0.64 s, PSI 0.73 s, CUSUM
 0.34 s, Zipf 0.25 s, Heaps 0.31 s, calibration 0.20 s, SQ8 audit
-0.32 s, JS divergence 0.71 s. The single-partition WindowExec warnings these emit are the
+0.32 s, JS divergence 0.71 s, daily ACF 0.66 s.
+The single-partition WindowExec warnings these emit are the
 documented bounded-frame windows (ECDF over pooled distinct values,
 CUSUM over calendar days, totals over n_bins rows) — never the
 corpus.
@@ -808,6 +809,114 @@ FROM all_pairs p LEFT JOIN shared s
 
 
 # ---------------------------------------------------------------------------
+# Autocorrelation of the daily event-count series (seasonality probe)
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 14
+
+
+def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at
+    lags 1..ACF_MAX_LAG — the standard seasonality/periodicity probe
+    run beside the CUSUM changepoint (a weekly ingest cadence shows
+    as a lag-7 spike; its DISAPPEARANCE is a pipeline-change signal).
+    Uses the standard biased ACF estimator r_k =
+    sum((y_t - ybar)(y_{t+k} - ybar)) / sum((y_t - ybar)^2) over the
+    calendar-indexed series (missing days are genuine zeros and are
+    materialized as such, not skipped — skipping days would shift
+    every lag).
+
+    Scale shape: ONE grouped count collapses events to the day frame;
+    the calendar spine is a broadcast sequence-explode over the
+    bounded date range; the lag join is day-keyed over the bounded
+    spine — nothing event-sized shuffles twice."""
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    series = spine.join(daily, "day", "left").select(
+        "day", F.coalesce("c", F.lit(0)).cast("double").alias("y")
+    )
+    # centered series once; denominator = sum of squared deviations
+    w_all = Window.partitionBy()
+    centered = series.select(
+        "day",
+        (F.col("y") - F.avg("y").over(w_all)).alias("dy"),
+    )
+    denom = centered.agg(
+        F.sum(F.col("dy") * F.col("dy")).alias("ss"),
+        F.count("*").alias("n_days"),
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = centered.select("day", F.col("dy").alias("dy_a"))
+    b = centered.select(
+        F.col("day").alias("day_b"), F.col("dy").alias("dy_b")
+    )
+    prods = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.expr("date_add(day, lag)") == F.col("day_b"),
+        )
+        .groupBy("lag")
+        .agg(F.sum(F.col("dy_a") * F.col("dy_b")).alias("num"))
+    )
+    return (
+        prods.crossJoin(F.broadcast(denom))
+        .select(
+            "lag",
+            "n_days",
+            F.round(F.col("num") / F.col("ss"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+ACF_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+spine AS (
+  SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+),
+series AS (
+  SELECT s.day, CAST(COALESCE(d.c, 0) AS DOUBLE) AS y
+  FROM spine s LEFT JOIN daily d ON s.day = d.day
+),
+centered AS (
+  SELECT day, y - AVG(y) OVER () AS dy FROM series
+),
+denom AS (
+  SELECT SUM(dy * dy) AS ss, CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM centered
+),
+lags AS (SELECT UNNEST(range(1, {ACF_MAX_LAG} + 1)) AS lag),
+prods AS (
+  SELECT l.lag, SUM(a.dy * b.dy) AS num
+  FROM lags l
+  JOIN centered a ON TRUE
+  JOIN centered b ON b.day = a.day + CAST(l.lag AS INTEGER)
+  GROUP BY l.lag
+)
+SELECT CAST(p.lag AS INTEGER) AS lag, d.n_days,
+       ROUND(p.num / d.ss, 6) AS acf
+FROM prods p CROSS JOIN denom d
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registration hook for round 11
 # ---------------------------------------------------------------------------
 
@@ -820,6 +929,7 @@ PENDING_ORDER = [
     "eval_calibration_bins",
     "embed_sq8_quantization_error",
     "text_js_divergence_sources",
+    "events_acf_daily",
 ]
 
 _PENDING = {
@@ -843,6 +953,7 @@ _PENDING = {
         text_js_divergence_sources,
         JS_ORACLE,
     ),
+    "events_acf_daily": (events_acf_daily, ACF_ORACLE),
 }
 
 
