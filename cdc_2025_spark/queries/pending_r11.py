@@ -24,7 +24,8 @@ sf0.001 + sf0.01.
 Pre-registration sf0.1 wall times (min-of-2, idle local[32], for the
 round-11 bench.py HEADLINE additions): KS 0.64 s, PSI 0.73 s, CUSUM
 0.34 s, Zipf 0.25 s, Heaps 0.31 s, calibration 0.20 s, SQ8 audit
-0.32 s, JS divergence 0.71 s, daily ACF 0.66 s.
+0.32 s, JS divergence 0.71 s, daily ACF 0.66 s, Benford 0.45 s,
+Mann-Kendall 0.70 s, HHI 0.34 s.
 The single-partition WindowExec warnings these emit are the
 documented bounded-frame windows (ECDF over pooled distinct values,
 CUSUM over calendar days, totals over n_bins rows) — never the
@@ -917,6 +918,322 @@ FROM prods p CROSS JOIN denom d
 
 
 # ---------------------------------------------------------------------------
+# Benford first-digit audit over order values (data-quality / fraud screen)
+# ---------------------------------------------------------------------------
+
+
+def stats_benford_first_digit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order values:
+    observed digit shares vs the log10(1 + 1/d) expectation, with the
+    per-digit Pearson chi-square contribution — the classic
+    fabricated-numbers / unit-mixup screen run over ingested monetary
+    columns. The first digit is extracted numerically
+    (floor(x / 10^floor(log10 x))), identical arithmetic in both
+    engines.
+
+    Scale shape: ONE grouped count collapses the corpus to the 9-digit
+    frame; totals and expectations ride whole-frame windows over those
+    9 rows. Nothing else shuffles."""
+    x = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.floor(
+                F.col("o_totalprice")
+                / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+            )
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    per = x.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    w_all = Window.partitionBy()
+    exp_share = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    n = F.sum("n_obs").over(w_all)
+    return (
+        per.select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") / n, 6).alias("obs_share"),
+            F.round(exp_share, 6).alias("exp_share"),
+            F.round(
+                F.pow(F.col("n_obs") - n * exp_share, F.lit(2.0))
+                / (n * exp_share),
+                6,
+            ).alias("chi2_part"),
+        )
+        .orderBy("digit")
+    )
+
+
+BENFORD_ORACLE = """
+WITH x AS (
+  SELECT CAST(FLOOR(o_totalprice
+               / POW(10.0, FLOOR(LOG10(o_totalprice)))) AS INTEGER)
+         AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+per AS (SELECT digit, COUNT(*) AS n_obs FROM x GROUP BY digit)
+SELECT digit, n_obs,
+       ROUND(n_obs * 1.0 / SUM(n_obs) OVER (), 6) AS obs_share,
+       ROUND(LOG10(1.0 + 1.0 / digit), 6) AS exp_share,
+       ROUND(POW(n_obs - SUM(n_obs) OVER () * LOG10(1.0 + 1.0 / digit),
+                 2.0)
+             / (SUM(n_obs) OVER () * LOG10(1.0 + 1.0 / digit)),
+             6) AS chi2_part
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test + Theil-Sen slope over the daily event series
+# ---------------------------------------------------------------------------
+
+
+def events_trend_mann_kendall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Kendall nonparametric trend test over the zero-filled
+    daily event-count series (S = sum over i<j of sign(y_j - y_i),
+    tie-corrected variance, normal-approximation two-sided p-value via
+    the Abramowitz-Stegun 26.2.17 polynomial — identical literal
+    coefficients in both engines) plus the Theil-Sen slope (the
+    DISC-median of pairwise slopes, the verified engine-parity
+    percentile construction). The robust companion to the CUSUM
+    changepoint: monotone ingest drift that never jumps.
+
+    Scale shape: ONE grouped count collapses events to the bounded
+    calendar frame (missing days are genuine zeros, as in the ACF);
+    the i<j pair join, the tie groups, and every statistic live on
+    that day frame — the corpus shuffles once."""
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        F.col("d0"),
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias(
+            "day"
+        ),
+    )
+    series = spine.join(daily, "day", "left").select(
+        F.datediff("day", "d0").alias("t"),
+        F.coalesce("c", F.lit(0)).cast("double").alias("y"),
+    )
+    a = series.select(
+        F.col("t").alias("ti"), F.col("y").alias("yi")
+    )
+    b = series.select(
+        F.col("t").alias("tj"), F.col("y").alias("yj")
+    )
+    pair_stats = (
+        a.join(b, F.col("ti") < F.col("tj"))
+        .agg(
+            F.sum(F.signum(F.col("yj") - F.col("yi")))
+            .cast("long")
+            .alias("s_stat"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP "
+                "(ORDER BY (yj - yi) / (tj - ti))"
+            ).alias("sen_slope"),
+        )
+    )
+    ties = (
+        series.groupBy("y")
+        .agg(F.count("*").alias("tc"))
+        .agg(
+            F.sum(
+                F.col("tc")
+                * (F.col("tc") - 1)
+                * (2 * F.col("tc") + 5)
+            ).alias("tie_corr"),
+            F.sum("tc").alias("n_days"),
+        )
+    )
+    stats = pair_stats.crossJoin(F.broadcast(ties)).select(
+        "n_days",
+        "s_stat",
+        "sen_slope",
+        (
+            (
+                F.col("n_days")
+                * (F.col("n_days") - 1)
+                * (2 * F.col("n_days") + 5)
+                - F.col("tie_corr")
+            )
+            / F.lit(18.0)
+        ).alias("var_s"),
+    )
+    z = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(F.lit(0.0))
+    ) / F.sqrt("var_s")
+    # two-sided p = 2 * Q(|z|); Q(z) = phi(z) * (b1 t + ... + b5 t^5),
+    # t = 1 / (1 + 0.2316419 z)  (A&S 26.2.17, |error| < 7.5e-8)
+    az = F.abs(z)
+    t_ = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * az)
+    phi = F.exp(F.lit(-0.5) * az * az) / F.lit(2.5066282746310002)
+    poly = (
+        F.lit(0.319381530) * t_
+        + F.lit(-0.356563782) * F.pow(t_, F.lit(2.0))
+        + F.lit(1.781477937) * F.pow(t_, F.lit(3.0))
+        + F.lit(-1.821255978) * F.pow(t_, F.lit(4.0))
+        + F.lit(1.330274429) * F.pow(t_, F.lit(5.0))
+    )
+    p = F.least(F.lit(2.0) * phi * poly, F.lit(1.0))
+    return stats.select(
+        "n_days",
+        "s_stat",
+        F.round("var_s", 6).alias("var_s"),
+        F.round(z, 6).alias("z_stat"),
+        F.round(p, 6).alias("p_value"),
+        F.round("sen_slope", 6).alias("sen_slope"),
+    )
+
+
+MK_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+spine AS (
+  SELECT b.d0,
+         UNNEST(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE
+           AS day
+  FROM bounds b
+),
+series AS (
+  SELECT DATE_DIFF('day', s.d0, s.day) AS t,
+         CAST(COALESCE(d.c, 0) AS DOUBLE) AS y
+  FROM spine s LEFT JOIN daily d ON s.day = d.day
+),
+pair_stats AS (
+  SELECT CAST(SUM(SIGN(b.y - a.y)) AS BIGINT) AS s_stat,
+         QUANTILE_DISC((b.y - a.y) / (b.t - a.t), 0.5) AS sen_slope
+  FROM series a JOIN series b ON a.t < b.t
+),
+ties AS (
+  SELECT SUM(tc * (tc - 1) * (2 * tc + 5)) AS tie_corr,
+         CAST(SUM(tc) AS BIGINT) AS n_days
+  FROM (SELECT COUNT(*) AS tc FROM series GROUP BY y)
+),
+stats AS (
+  SELECT t.n_days, p.s_stat, p.sen_slope,
+         (t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie_corr)
+           / 18.0 AS var_s
+  FROM pair_stats p CROSS JOIN ties t
+),
+zc AS (
+  SELECT *,
+         (CASE WHEN s_stat > 0 THEN s_stat - 1
+               WHEN s_stat < 0 THEN s_stat + 1
+               ELSE 0.0 END) / SQRT(var_s) AS z
+  FROM stats
+),
+qc AS (
+  SELECT *, ABS(z) AS az,
+         1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt
+  FROM zc
+)
+SELECT n_days, s_stat, ROUND(var_s, 6) AS var_s,
+       ROUND(z, 6) AS z_stat,
+       ROUND(LEAST(
+         2.0 * (EXP(-0.5 * az * az) / 2.5066282746310002)
+             * (0.319381530 * tt
+                - 0.356563782 * POW(tt, 2.0)
+                + 1.781477937 * POW(tt, 3.0)
+                - 1.821255978 * POW(tt, 4.0)
+                + 1.330274429 * POW(tt, 5.0)),
+         1.0), 6) AS p_value,
+       ROUND(sen_slope, 6) AS sen_slope
+FROM qc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman supplier-concentration index per nation
+# ---------------------------------------------------------------------------
+
+
+def stats_hhi_supplier_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration
+    within each nation (HHI = 10000 * sum of squared revenue shares —
+    the antitrust-screening convention) plus the top-supplier share
+    (CR1) and supplier count. The market-structure audit a sourcing
+    or data-mixture dashboard runs per segment.
+
+    Scale shape: ONE suppkey-grouped aggregate collapses lineitem to
+    the supplier frame; the supplier and nation dims broadcast; the
+    within-nation share is a window over the bounded supplier frame
+    partitioned by nation. The corpus shuffles once, on l_suppkey."""
+    rev = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rev")
+        )
+    )
+    sup = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    w_nat = Window.partitionBy("n_name")
+    share = (
+        rev.join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            "n_name",
+            (F.col("rev") / F.sum("rev").over(w_nat)).alias("share"),
+        )
+    )
+    return (
+        share.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(
+                F.lit(10000.0) * F.sum(F.col("share") * F.col("share")),
+                4,
+            ).alias("hhi"),
+            F.round(F.max("share"), 6).alias("cr1"),
+        )
+        .orderBy("n_name")
+    )
+
+
+HHI_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY l_suppkey
+),
+share AS (
+  SELECT n.n_name,
+         r.rev / SUM(r.rev) OVER (PARTITION BY n.n_name) AS share
+  FROM rev r
+  JOIN supplier s ON r.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+)
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(10000.0 * SUM(share * share), 4) AS hhi,
+       ROUND(MAX(share), 6) AS cr1
+FROM share GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registration hook for round 11
 # ---------------------------------------------------------------------------
 
@@ -930,6 +1247,9 @@ PENDING_ORDER = [
     "embed_sq8_quantization_error",
     "text_js_divergence_sources",
     "events_acf_daily",
+    "stats_benford_first_digit",
+    "events_trend_mann_kendall",
+    "stats_hhi_supplier_concentration",
 ]
 
 _PENDING = {
@@ -954,6 +1274,18 @@ _PENDING = {
         JS_ORACLE,
     ),
     "events_acf_daily": (events_acf_daily, ACF_ORACLE),
+    "stats_benford_first_digit": (
+        stats_benford_first_digit,
+        BENFORD_ORACLE,
+    ),
+    "events_trend_mann_kendall": (
+        events_trend_mann_kendall,
+        MK_ORACLE,
+    ),
+    "stats_hhi_supplier_concentration": (
+        stats_hhi_supplier_concentration,
+        HHI_ORACLE,
+    ),
 }
 
 
