@@ -1,0 +1,137 @@
+"""Streaming distribution-drift monitor: per-window PSI against a
+broadcast reference histogram.
+
+The streaming twin of the batch ``stats_psi_value_drift`` query
+(queries/pending_r11.py) — same decile-edge construction, same 1e-4
+zero-proportion floor, same contribution formula — restated for
+Structured Streaming's single-aggregation constraint: per-bin counts
+become CONDITIONAL aggregates inside one ``groupBy(window)`` (ten
+``sum(when(bin == b, 1))`` columns), so the whole monitor is one
+streaming aggregation with watermark-bounded state, valid in append
+mode. A second aggregation layer (the batch query's whole-frame
+window over the bin frame) would be rejected by the engine.
+
+Reference edges and shares are computed BATCH-side from a frozen
+reference corpus and enter the streaming plan as literals — the
+stream never joins, never holds more state than (windows in the
+watermark horizon) x (n_bins + 2) longs.
+
+At 100 TB/day this is the shape you want: map-side partial conditional
+counts per executor, one shuffle on the window key, state eviction by
+watermark; the PSI arithmetic runs on one bounded row per window.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PSI_N_BINS = 10
+PSI_FLOOR = 1e-4  # standard zero-proportion floor (matches the batch query)
+
+
+def reference_decile_edges(
+    ref: DataFrame, value_col: str = "value", n_bins: int = PSI_N_BINS
+) -> list[float]:
+    """Bin edges from the reference distribution: percentile_disc over
+    4dp-rounded values — the verified engine-parity construction the
+    batch PSI query uses (disc percentiles of rounded values, never
+    interpolated). Returns n_bins - 1 internal edges."""
+    qs = [i / n_bins for i in range(1, n_bins)]
+    row = ref.agg(
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP "
+                f"(ORDER BY round({value_col}, 4))"
+            ).alias(f"e{i}")
+            for i, q in enumerate(qs)
+        ]
+    ).first()
+    return [row[i] for i in range(len(qs))]
+
+
+def reference_bin_shares(
+    ref: DataFrame, edges: list[float], value_col: str = "value"
+) -> list[float]:
+    """Reference proportion per bin (len(edges) + 1 entries). With
+    deciles of the same corpus these are ~1/n_bins, but ties on the
+    disc edges skew them — compute, don't assume."""
+    n_bins = len(edges) + 1
+    bin_expr = sum(
+        (F.round(F.col(value_col), 4) > F.lit(c)).cast("int")
+        for c in edges
+    ) + F.lit(1)
+    counts = {
+        r["bin"]: r["n"]
+        for r in ref.select(bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    return [counts.get(b, 0) / total for b in range(1, n_bins + 1)]
+
+
+def streaming_psi_monitor(
+    events: DataFrame,
+    edges: list[float],
+    ref_shares: list[float],
+    window_duration: str = "6 hours",
+    watermark: str = "2 hours",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-window PSI of ``value_col`` against the reference
+    histogram: one row per closed event-time window with the event
+    count and the drift score (PSI < 0.1 stable, > 0.25 shifted).
+
+    Returns an UNSTARTED streaming frame (append-mode-valid: ONE
+    aggregation, watermark-bounded state); also runs verbatim on a
+    batch frame (``withWatermark`` is a no-op there), which is how the
+    parity test pins streaming == batch on the same files."""
+    n_bins = len(edges) + 1
+    if len(ref_shares) != n_bins:
+        raise ValueError(
+            f"ref_shares must have {n_bins} entries, got {len(ref_shares)}"
+        )
+    bin_expr = sum(
+        (F.round(F.col(value_col), 4) > F.lit(c)).cast("int")
+        for c in edges
+    ) + F.lit(1)
+    per_window = (
+        events.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), bin_expr.alias("bin"))
+        .groupBy(F.window(ts_col, window_duration))
+        .agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum((F.col("bin") == b).cast("long")).alias(f"c{b}")
+                for b in range(1, n_bins + 1)
+            ],
+        )
+    )
+    def _contrib(b: int):
+        pc = F.greatest(F.col(f"c{b}") / F.col("n"), F.lit(PSI_FLOOR))
+        pr = F.lit(max(ref_shares[b - 1], PSI_FLOOR))
+        return (pc - pr) * F.log(pc / pr)
+
+    psi = sum(_contrib(b) for b in range(1, n_bins + 1))
+    return per_window.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n",
+        F.round(psi, 6).alias("psi"),
+    )
+
+
+def psi_of_shares(cur: list[float], ref: list[float]) -> float:
+    """Plain-python PSI over two share vectors — the oracle the tests
+    compare both engines' output against."""
+    s = 0.0
+    for pc, pr in zip(cur, ref):
+        pc = max(pc, PSI_FLOOR)
+        pr = max(pr, PSI_FLOOR)
+        s += (pc - pr) * math.log(pc / pr)
+    return s

@@ -1,0 +1,222 @@
+"""Streaming PSI drift monitor: engine parity (streaming == batch on
+the same files), a plain-python PSI oracle, and watermark-bounded
+late-data behavior.
+
+Harness notes (same as test_pending_r10_streaming): file source with
+ordered names + strictly increasing mtimes so microbatch order is
+deterministic; memory sink + availableNow trigger.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cdc_2025_spark.streaming.drift import (
+    PSI_FLOOR,
+    psi_of_shares,
+    reference_bin_shares,
+    reference_decile_edges,
+    streaming_psi_monitor,
+)
+
+BASE = datetime(2024, 3, 1, 0, 0, 0)
+SF = "/root/testdata/sf0.001"
+
+
+def _write_batches(src: str, batches) -> None:
+    """One parquet file per microbatch: list of (value, minute_offset)
+    rows per batch."""
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "ts": pa.array(
+                    [BASE + timedelta(minutes=off) for _, off in rows],
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array(
+                    [float(v) for v, _ in rows], pa.float64()
+                ),
+            }
+        )
+        path = os.path.join(src, f"batch_{i:03d}.parquet")
+        pq.write_table(tbl, path)
+        t = time.time() + i
+        os.utime(path, (t, t))
+
+
+def _run_stream(spark, tmp_path, src, name, edges, shares, **kw):
+    stream = (
+        spark.readStream.schema("ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_psi_monitor(stream, edges, shares, **kw)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {
+        r["window_start"]: (r["n"], r["psi"])
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def ref_geometry(spark):
+    ref = spark.read.parquet(f"{SF}/events.parquet")
+    edges = reference_decile_edges(ref)
+    shares = reference_bin_shares(ref, edges)
+    return ref, edges, shares
+
+
+def test_streaming_matches_batch_on_same_files(
+    spark, tmp_path, ref_geometry
+):
+    """availableNow over files == the same monitor applied batch-side
+    to the union of those files, when nothing is late."""
+    _, edges, shares = ref_geometry
+    # 3 in-order batches over two 1-hour windows, then a far-future
+    # sentinel batch: append mode only EMITS a window once the
+    # watermark passes its end (plus the one-batch commit lag), so
+    # without the sentinel availableNow finishes with zero output.
+    batches = [
+        [(10.0, 0), (20.0, 10), (300.0, 20)],
+        [(15.0, 40), (700.0, 65), (2.0, 70)],
+        [(50.0, 80), (8.0, 110), (9999.0, 115)],
+        [(1.0, 600)],  # sentinel: advances watermark past both windows
+        [(1.0, 660)],  # second sentinel: clears the one-batch commit lag
+    ]
+    src = str(tmp_path / "src_parity")
+    _write_batches(src, batches)
+    got = _run_stream(
+        spark,
+        tmp_path,
+        src,
+        "psi_parity",
+        edges,
+        shares,
+        window_duration="1 hour",
+        watermark="30 minutes",
+    )
+    batch = spark.read.parquet(src)
+    want = {
+        r["window_start"]: (r["n"], r["psi"])
+        for r in streaming_psi_monitor(
+            batch, edges, shares, window_duration="1 hour"
+        ).collect()
+    }
+    # the two data windows are finalized and must match batch exactly;
+    # the sentinel windows never finalize and are absent from `got`
+    w0, w1 = BASE, BASE + timedelta(hours=1)
+    assert got[w0] == want[w0] and got[w1] == want[w1]
+    assert all(n > 0 for n, _ in (want[w0], want[w1]))
+    assert set(got).issubset(set(want))
+
+
+def test_psi_matches_python_model(spark, ref_geometry):
+    """Batch-applied monitor over the full reference == plain-python
+    PSI of the observed shares (and ~0 against its own reference)."""
+    ref, edges, shares = ref_geometry
+    row = (
+        streaming_psi_monitor(
+            ref, edges, shares, window_duration="365 days"
+        )
+        .collect()
+    )
+    total_n = sum(r["n"] for r in row)
+    assert total_n == ref.count()
+    # recompute observed shares per window python-side
+    import pyspark.sql.functions as F
+
+    for r in row:
+        w0, w1 = r["window_start"], r["window_end"]
+        vals = [
+            x["value"]
+            for x in ref.filter(
+                (F.col("ts") >= w0) & (F.col("ts") < w1)
+            ).collect()
+        ]
+        n_bins = len(edges) + 1
+        counts = [0] * n_bins
+        for v in vals:
+            b = sum(round(v, 4) > c for c in edges)
+            counts[b] += 1
+        cur = [c / len(vals) for c in counts]
+        want = round(psi_of_shares(cur, shares), 6)
+        assert abs(r["psi"] - want) <= 1e-6
+    # the window covering the whole corpus scores ~0 vs itself
+    whole = [r for r in row if r["n"] == total_n]
+    if whole:
+        assert whole[0]["psi"] < 1e-6
+
+
+def test_late_event_is_dropped_from_closed_window(spark, tmp_path):
+    """An event arriving after its window's watermark horizon has
+    passed (by more than the one-batch commit lag) is excluded; the
+    batch run over the same files includes it — the documented
+    streaming/batch divergence on late data."""
+    edges = [10.0 * i for i in range(1, 10)]
+    shares = [0.1] * 10
+    batches = [
+        [(5.0, 0), (15.0, 10)],        # window [00:00, 01:00)
+        [(25.0, 300)],                 # event time jumps to 05:00
+        [(35.0, 420)],                 # 07:00 — watermark passes 01:00
+        [(45.0, 30)],                  # LATE: lands in the closed window
+        [(55.0, 480)],                 # one more batch so commit lag clears
+    ]
+    src = str(tmp_path / "src_late")
+    _write_batches(src, batches)
+    got = _run_stream(
+        spark,
+        tmp_path,
+        src,
+        "psi_late",
+        edges,
+        shares,
+        window_duration="1 hour",
+        watermark="30 minutes",
+    )
+    first = BASE
+    assert got[first][0] == 2  # late row NOT counted
+    batch = spark.read.parquet(src)
+    want = {
+        r["window_start"]: r["n"]
+        for r in streaming_psi_monitor(
+            batch, edges, shares, window_duration="1 hour"
+        ).collect()
+    }
+    assert want[first] == 3  # batch sees all three
+
+
+def test_ref_shares_validated():
+    import pyspark.sql.functions as F  # noqa: F401
+
+    with pytest.raises(ValueError, match="ref_shares"):
+        streaming_psi_monitor(None, [1.0, 2.0], [0.5, 0.5])
+
+
+def test_floor_guards_empty_bins():
+    """A current window with every value in one bin still yields a
+    finite PSI (the 1e-4 floor keeps the log defined)."""
+    cur = [1.0] + [0.0] * 9
+    ref = [0.1] * 10
+    val = psi_of_shares(cur, ref)
+    assert math.isfinite(val) and val > 0
+    # closed form: (1-0.1)ln(1/0.1) + 9*(1e-4-0.1)ln(1e-4/0.1)
+    want = (1.0 - 0.1) * math.log(1.0 / 0.1) + 9 * (
+        (PSI_FLOOR - 0.1) * math.log(PSI_FLOOR / 0.1)
+    )
+    assert abs(val - want) < 1e-12
