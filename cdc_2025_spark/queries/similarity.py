@@ -510,12 +510,85 @@ def sim_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_pairs(spark, sf_dir, threshold=PAIR_THRESHOLD)
 
 
+_LSH_PAIR_CHUNK = 2_000_000  # pairs materialized per numpy chunk
+
+
+def _lsh_bucket_rerank(sig, bk_expr, threshold: float) -> DataFrame:
+    """The numpy re-rank leg of lsh_pairs: exact cosines computed
+    PER BUCKET with applyInPandas instead of per candidate pair with
+    the JVM fold. Vectors ship into Python once per bucket membership
+    (n_bands copies, ~megabytes) — never once per pair (the naive
+    pair-join + pandas-UDF variant measured SLOWER than the fold at
+    sf0.1 because it Arrow-ships two 64-dim arrays per candidate,
+    ~gigabytes at the auto geometry).
+
+    Determinism across bands (the graphann ADVICE lesson): a pair
+    co-resident in several buckets gets byte-identical cosines in each
+    because every per-pair sum is a row-wise numpy reduction over the
+    fixed dim axis — never a BLAS matmul whose blocking depends on the
+    bucket size — so the dropDuplicates pick is value-stable. Skewed
+    buckets chunk the pair materialization at _LSH_PAIR_CHUNK so
+    worker memory stays bounded even when a bucket far exceeds the
+    geometry's target size."""
+    import numpy as np
+    import pandas as pd
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            }
+        )
+        if m < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order].astype(np.int64)
+        x = np.stack(pdf["emb"].to_numpy()[order]).astype(
+            np.float64, copy=False
+        )
+        nrm = np.sqrt((x * x).sum(axis=1))
+        ii, jj = np.triu_indices(m, 1)
+        outs = []
+        for s in range(0, len(ii), _LSH_PAIR_CHUNK):
+            ci, cj = ii[s : s + _LSH_PAIR_CHUNK], jj[s : s + _LSH_PAIR_CHUNK]
+            num = (x[ci] * x[cj]).sum(axis=1)
+            den = nrm[ci] * nrm[cj]
+            cos = num / np.where(den == 0, 1.0, den)
+            ok = (den > 0) & (cos >= threshold)
+            if ok.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[ci[ok]],
+                            "id_b": ids[cj[ok]],
+                            "cos": cos[ok],
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    grouped = sig.select("vec_id", "emb", bk_expr).select(
+        "vec_id", "emb", "bk.band", "bk.bucket"
+    )
+    survivors = grouped.groupBy("band", "bucket").applyInPandas(
+        _bucket_pairs, "id_a long, id_b long, cos double"
+    )
+    return survivors.dropDuplicates(["id_a", "id_b"]).select(
+        "id_a", "id_b", F.round("cos", 4).alias("cos")
+    )
+
+
 def lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
     threshold: float,
     n_planes: int = LSH_PLANES,
     n_bands: int = LSH_BANDS,
+    rerank: str = "fold",
 ) -> DataFrame:
     """sim_lsh_bucketed_pairs body with the deployment knobs exposed.
 
@@ -534,7 +607,19 @@ def lsh_pairs(
       should not hand-tune these: ``lsh_auto_geometry`` derives both
       from (corpus_count, threshold, recall_at) and ``lsh_pairs_auto``
       wires it in.
+    - ``rerank``: ``"fold"`` keeps the left-associated JVM aggregate
+      whose sum order the sim_lsh_bucketed_pairs oracle mirrors term
+      for term — the hash-matched query MUST stay on it. ``"numpy"``
+      skips the candidate self-join entirely and computes exact
+      cosines per bucket in Arrow-batched numpy (_lsh_bucket_rerank:
+      row-wise float64 reductions — deterministic, but not
+      bit-identical to the fold); only rows-only callers may use it,
+      and tests/test_similarity.py pins that the surviving pair set
+      and every 4dp cosine agree between the two paths on the test
+      corpora.
     """
+    if rerank not in ("fold", "numpy"):
+        raise ValueError(f"rerank must be 'fold' or 'numpy', got {rerank!r}")
     emb = (
         read_table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
@@ -549,42 +634,46 @@ def lsh_pairs(
     # codegen bails and the interpreted fallback is SLOWER than the
     # higher-order-lambda form below. Keep zip_with/aggregate, whose
     # fold order also matches the oracle's left-associated sum.
+    # Built as ONE F.expr string per plane, not nested F.array(F.lit
+    # ...) Columns: at the auto geometry (56 planes x 64 dims) the
+    # Column form spends ~3s of DRIVER py4j round trips constructing
+    # the plan — the expr string parses to the IDENTICAL expression
+    # tree (same fold order, same double literals via repr round-trip,
+    # pinned by the sim_lsh_bucketed_pairs oracle hash) in ~1/10th.
     signs = []
     for p in range(n_planes):
         plane = _hyperplane(dim, p)
-        proj = F.aggregate(
-            F.zip_with(
-                "emb",
-                F.array(*[F.lit(v) for v in plane]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        arr = ", ".join(f"{v!r}D" for v in plane)
+        proj = F.expr(
+            f"aggregate(zip_with(emb, array({arr}), (x, y) -> x * y), "
+            "0.0D, (acc, v) -> acc + v)"
         )
         signs.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
     sig = emb.withColumn(
         "bits", F.array(*signs)
     )
-    bands = sig.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.array_join(
-                            F.transform(
-                                F.slice("bits", i * rpb + 1, rpb),
-                                lambda x: x.cast("string"),
-                            ),
-                            "",
-                        ).alias("bucket"),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("vec_id", "bk.band", "bk.bucket")
+    bk_expr = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.array_join(
+                        F.transform(
+                            F.slice("bits", i * rpb + 1, rpb),
+                            lambda x: x.cast("string"),
+                        ),
+                        "",
+                    ).alias("bucket"),
+                )
+                for i in range(n_bands)
+            ]
+        )
+    ).alias("bk")
+    if rerank == "numpy":
+        return _lsh_bucket_rerank(sig, bk_expr, threshold)
+    bands = sig.select("vec_id", bk_expr).select(
+        "vec_id", "bk.band", "bk.bucket"
+    )
     # persist: both join sides read this subplan; without it the scan
     # + 16 hyperplane projections execute twice. The band rows carry
     # IDS ONLY — the candidate self-join and dedup shuffle 16-byte
@@ -689,6 +778,7 @@ def lsh_pairs_auto(
     recall_at: float = 0.9,
     target_bucket: int = LSH_TARGET_BUCKET,
     corpus_count: int | None = None,
+    rerank: str = "fold",
 ) -> DataFrame:
     """lsh_pairs with geometry derived by lsh_auto_geometry from the
     corpus size (counted once if not supplied — at deployment scale
@@ -699,7 +789,12 @@ def lsh_pairs_auto(
         corpus_count, threshold, recall_at, target_bucket
     )
     return lsh_pairs(
-        spark, sf_dir, threshold, n_planes=n_planes, n_bands=n_bands
+        spark,
+        sf_dir,
+        threshold,
+        n_planes=n_planes,
+        n_bands=n_bands,
+        rerank=rerank,
     )
 
 
@@ -718,7 +813,9 @@ def sim_lsh_auto_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set) is a function of the corpus count, so there is no
     fixed-literal hyperplane oracle to mirror — correctness is pinned
     instead by (a) the exact-cosine verification stage every candidate
-    passes (precision 1.0 by construction, same re-rank as lsh_pairs),
+    passes (precision 1.0 by construction — the Arrow-batched numpy
+    re-rank; tests pin its 4dp cosines and threshold decisions equal
+    to the fold path over the FULL candidate set at both test SFs),
     (b) test_similarity.py reproducing both measured smoke-geometry
     configs through lsh_auto_geometry, and (c) a fixture test that at
     a parameterization deriving exactly 16/4 the output equals
@@ -726,7 +823,11 @@ def sim_lsh_auto_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-only parquet count at plan construction (deployments
     pass the known count — see lsh_pairs_auto)."""
     return lsh_pairs_auto(
-        spark, sf_dir, threshold=PAIR_THRESHOLD, recall_at=SIM_LSH_AUTO_RECALL
+        spark,
+        sf_dir,
+        threshold=PAIR_THRESHOLD,
+        recall_at=SIM_LSH_AUTO_RECALL,
+        rerank="numpy",
     )
 
 

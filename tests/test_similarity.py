@@ -146,6 +146,44 @@ def test_lsh_pairs_auto_wiring_equals_fixed_geometry(spark, sf_dir):
         assert c >= PAIR_THRESHOLD, pair
 
 
+def test_lsh_numpy_rerank_equals_fold(spark, sf_dir):
+    """The Arrow-batched numpy re-rank (what sim_lsh_auto_pairs runs)
+    must agree with the oracle-mirrored JVM fold on EVERY surviving
+    pair — same pair set, same 4dp cosine — at the registered
+    geometry, on both test corpora. Pairwise float64 summation vs the
+    left fold differs at ~1e-15; a disagreement here means a cosine
+    sat on a 4dp rounding or threshold boundary and the rows-only
+    registered query is no longer deterministic across paths."""
+    from cdc_2025_spark.queries.similarity import (
+        PAIR_THRESHOLD,
+        lsh_pairs,
+    )
+
+    for d in (sf_dir, "/root/testdata/sf0.01"):
+        fold = {
+            (r["id_a"], r["id_b"]): r["cos"]
+            for r in lsh_pairs(
+                spark, d, threshold=PAIR_THRESHOLD, rerank="fold"
+            ).collect()
+        }
+        np_ = {
+            (r["id_a"], r["id_b"]): r["cos"]
+            for r in lsh_pairs(
+                spark, d, threshold=PAIR_THRESHOLD, rerank="numpy"
+            ).collect()
+        }
+        assert fold == np_ and fold
+
+
+def test_lsh_rerank_arg_validated(spark, sf_dir):
+    import pytest as _pytest
+
+    from cdc_2025_spark.queries.similarity import lsh_pairs
+
+    with _pytest.raises(ValueError, match="rerank"):
+        lsh_pairs(spark, sf_dir, threshold=0.4, rerank="simd")
+
+
 def test_audit_sample_pct_is_budget_bounded():
     """pct = min(25, 100·√B/n): fixed at the cap on small corpora
     (sf0.01's 500 vectors keep the former 25 exactly, preserving the
