@@ -740,30 +740,74 @@ def text_winnowing_fingerprints(
     density, and an order-independent XOR checksum of the selected
     (hash, pos) keys.
 
-    Shape: ONE shuffle — the per-doc position sort for the sliding
-    window; the distinct + per-doc rollup rides the window's existing
-    doc_id clustering (array_distinct over a collect_list bounded by
-    document length, no second exchange). Docs shorter than
-    {WINNOW_K} chars have no k-grams and are absent on both sides.
-    Short-doc windows (n < w) keep the global minimum via the
-    pos = n_kgrams escape so every gram-bearing doc fingerprints.
+    Shape: ZERO shuffles — the whole selection happens per document
+    row in array expressions (k-gram keys, per-window array_min over
+    slices, array_distinct, xor fold), so the query is a pure scan
+    whose output is already one row per doc. The previous form
+    exploded ~n_chars rows per doc and sorted them in a per-doc
+    window (one exchange of the full k-gram stream); the array form
+    computes the identical integers — same md5/conv k-gram keys, same
+    leftmost-min (hash, pos) selection, same xor — with nothing
+    leaving the scan task (winnow_selected keeps the exploded form
+    for the match-guarantee tests). Docs shorter than {WINNOW_K}
+    chars have no k-grams and are absent on both sides. Short docs
+    (n < w) keep the global minimum, matching the exploded form's
+    pos = n_kgrams escape.
     """
     docs = read_table(spark, sf_dir, "documents")
-    sel = winnow_selected(docs)
-    return sel.groupBy("doc_id").agg(
-        F.max("n_kgrams").alias("n_kgrams"),
-        F.expr("size(array_distinct(collect_list(sel)))")
-        .cast("long")
-        .alias("n_fp"),
-        F.round(
-            F.expr("size(array_distinct(collect_list(sel)))")
-            / F.max("n_kgrams"),
-            4,
-        ).alias("density"),
+    base = docs.select(
+        "doc_id",
+        F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias("t"),
+    ).withColumn(
+        # same fail-loud position-encoding guard as winnow_selected
+        "t",
+        F.when(
+            F.length("t") >= F.lit(_WINNOW_ENC),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "winnowing position encoding overflow: document "
+                    ),
+                    F.col("doc_id").cast("string"),
+                    F.lit(f" exceeds {_WINNOW_ENC} chars"),
+                )
+            ).cast("string"),
+        ).otherwise(F.col("t")),
+    )
+    keyed = base.select(
+        "doc_id",
+        (F.length("t") - F.lit(WINNOW_K - 1)).alias("n"),
         F.expr(
-            "aggregate(array_distinct(collect_list(sel)), 0L,"
-            " (a, x) -> a ^ x)"
-        ).alias("fp_checksum"),
+            f"""CASE WHEN length(t) >= {WINNOW_K}
+                THEN transform(
+                    sequence(1, length(t) - {WINNOW_K - 1}),
+                    i -> CAST(conv(substring(
+                             md5(substring(t, i, {WINNOW_K})),
+                             1, 8), 16, 10) AS BIGINT)
+                         * {_WINNOW_ENC} + i)
+                ELSE CAST(array() AS ARRAY<BIGINT>) END"""
+        ).alias("keys"),
+    ).filter(F.col("n") >= 1)
+    sel = keyed.select(
+        "doc_id",
+        "n",
+        F.expr(
+            f"""array_distinct(CASE WHEN n >= {WINNOW_W}
+                THEN transform(
+                    sequence({WINNOW_W}, n),
+                    p -> array_min(slice(keys, p - {WINNOW_W - 1},
+                                         {WINNOW_W})))
+                ELSE array(array_min(keys)) END)"""
+        ).alias("fp"),
+    )
+    return sel.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_kgrams"),
+        F.size("fp").cast("long").alias("n_fp"),
+        F.round(F.size("fp") / F.col("n"), 4).alias("density"),
+        F.expr("aggregate(fp, 0L, (a, x) -> a ^ x)").alias(
+            "fp_checksum"
+        ),
     )
 
 
