@@ -1745,35 +1745,49 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: distinct shingles explode once; document frequency is one
     groupBy over the exploded set (each doc contributes a shingle at
-    most once, so df = plain count); the df table joins back and
-    re-aggregates per doc — two shuffles total, both on shingle /
-    doc_id keys, never a pair join. At 100 TB the join key would be
-    xxhash64(shingle) (8-byte shuffle keys, collision odds ~n²/2⁶⁴ —
-    the documented minhash-family tradeoff); the registered query
-    keys on the shingle string so the oracle parity claim stays
-    collision-free exact.
+    most once, so df = plain count) that ALSO carries min(doc_id) —
+    for a df = 1 shingle that minimum IS the sole owner, so per-doc
+    unique counts come from re-grouping the df table's singleton rows
+    by owner, and the corpus-sized join-back the previous form paid
+    (occ ⋈ df_tab, re-aggregated) disappears. Both remaining
+    aggregates are map-side partial, so only (key, partial-count)
+    rows shuffle; the final join is per-doc frame vs per-doc frame.
+    At 100 TB the shuffle key would be xxhash64(shingle) (8-byte
+    keys, collision odds ~n²/2⁶⁴ — the documented minhash-family
+    tradeoff); the registered query keys on the shingle string so the
+    oracle parity claim stays collision-free exact.
     """
     from cdc_2025_spark.functions.text import shingles
 
     docs = read_table(spark, sf_dir, "documents")
-    # occ feeds BOTH the df aggregate and the join-back — lazily
-    # localCheckpoint so the shingle explode executes once per action
-    # (the triangle-kernel lesson; measured ~6.5 -> ~4 s at sf0.1)
-    occ = docs.select(
+    # shingle sets materialize once (lazy localCheckpoint) and feed
+    # both branches; per-doc totals are just the set size — no
+    # shuffle — and only the df aggregate sees the explode. Gram-less
+    # docs are absent on both engines (the exploded form never
+    # emitted them).
+    sets = docs.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(shingles(F.col("text"), JACCARD_K))
-        ).alias("sh"),
+        F.array_distinct(shingles(F.col("text"), JACCARD_K)).alias(
+            "shs"
+        ),
     ).localCheckpoint(eager=False)
-    df_tab = occ.groupBy("sh").agg(F.count("*").alias("df"))
+    n_sh = sets.filter(F.size("shs") >= 1).select(
+        "doc_id", F.size("shs").cast("long").alias("n_shingles")
+    )
+    occ = sets.select("doc_id", F.explode("shs").alias("sh"))
+    uniq = (
+        occ.groupBy("sh")
+        .agg(F.count("*").alias("df"), F.min("doc_id").alias("owner"))
+        .filter(F.col("df") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count("*").cast("long").alias("n_unique"))
+    )
     return (
-        occ.join(df_tab, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_shingles"),
-            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_unique"),
+        n_sh.join(uniq, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
         )
         .withColumn(
             "novelty", F.round(F.col("n_unique") / F.col("n_shingles"), 4)
