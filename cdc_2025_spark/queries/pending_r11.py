@@ -810,6 +810,62 @@ FROM all_pairs p LEFT JOIN shared s
 
 
 # ---------------------------------------------------------------------------
+# Shared zero-filled daily event-count series (ACF + Mann-Kendall)
+# ---------------------------------------------------------------------------
+
+
+def _zero_filled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, t, y): the calendar-indexed daily event-count series —
+    missing days are genuine zeros and are materialized as such (the
+    ONE definition of the day derivation both the ACF and the
+    Mann-Kendall probes run on; skipping days would shift every ACF
+    lag and every MK pair). t = days since the first day.
+
+    Scale shape: ONE grouped count collapses events to the day frame;
+    the calendar spine is a sequence-explode over the bounded date
+    range."""
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("c"))
+    )
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        F.col("d0"),
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias(
+            "day"
+        ),
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.datediff("day", "d0").alias("t"),
+        F.coalesce("c", F.lit(0)).cast("double").alias("y"),
+    )
+
+
+# the oracle twin of _zero_filled_daily: CTE prefix shared verbatim by
+# the ACF and Mann-Kendall oracles
+_DAILY_SERIES_SQL = """daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+spine AS (
+  SELECT b.d0,
+         UNNEST(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE
+           AS day
+  FROM bounds b
+),
+series AS (
+  SELECT s.day, DATE_DIFF('day', s.d0, s.day) AS t,
+         CAST(COALESCE(d.c, 0) AS DOUBLE) AS y
+  FROM spine s LEFT JOIN daily d ON s.day = d.day
+)"""
+
+
+# ---------------------------------------------------------------------------
 # Autocorrelation of the daily event-count series (seasonality probe)
 # ---------------------------------------------------------------------------
 
@@ -823,28 +879,14 @@ def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a lag-7 spike; its DISAPPEARANCE is a pipeline-change signal).
     Uses the standard biased ACF estimator r_k =
     sum((y_t - ybar)(y_{t+k} - ybar)) / sum((y_t - ybar)^2) over the
-    calendar-indexed series (missing days are genuine zeros and are
-    materialized as such, not skipped — skipping days would shift
-    every lag).
+    calendar-indexed series (_zero_filled_daily). ALL lags 1..14 are
+    always present: a lag with no (t, t+k) pair in a short series
+    reports NULL acf rather than silently narrowing the frame.
 
-    Scale shape: ONE grouped count collapses events to the day frame;
-    the calendar spine is a broadcast sequence-explode over the
-    bounded date range; the lag join is day-keyed over the bounded
-    spine — nothing event-sized shuffles twice."""
-    daily = (
-        read_table(spark, sf_dir, "events")
-        .groupBy(F.col("ts").cast("date").alias("day"))
-        .agg(F.count("*").alias("c"))
-    )
-    bounds = daily.agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    )
-    spine = bounds.select(
-        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
-    )
-    series = spine.join(daily, "day", "left").select(
-        "day", F.coalesce("c", F.lit(0)).cast("double").alias("y")
-    )
+    Scale shape: the _zero_filled_daily collapse, then a day-keyed
+    lag join over the bounded spine — nothing event-sized shuffles
+    twice."""
+    series = _zero_filled_daily(spark, sf_dir).select("day", "y")
     # centered series once; denominator = sum of squared deviations
     w_all = Window.partitionBy()
     centered = series.select(
@@ -872,7 +914,8 @@ def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("dy_a") * F.col("dy_b")).alias("num"))
     )
     return (
-        prods.crossJoin(F.broadcast(denom))
+        lags.crossJoin(F.broadcast(denom))
+        .join(prods, "lag", "left")
         .select(
             "lag",
             "n_days",
@@ -883,19 +926,7 @@ def events_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ACF_ORACLE = f"""
-WITH daily AS (
-  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
-  FROM events GROUP BY 1
-),
-bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
-spine AS (
-  SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
-  FROM bounds
-),
-series AS (
-  SELECT s.day, CAST(COALESCE(d.c, 0) AS DOUBLE) AS y
-  FROM spine s LEFT JOIN daily d ON s.day = d.day
-),
+WITH {_DAILY_SERIES_SQL},
 centered AS (
   SELECT day, y - AVG(y) OVER () AS dy FROM series
 ),
@@ -911,9 +942,10 @@ prods AS (
   JOIN centered b ON b.day = a.day + CAST(l.lag AS INTEGER)
   GROUP BY l.lag
 )
-SELECT CAST(p.lag AS INTEGER) AS lag, d.n_days,
+SELECT CAST(l.lag AS INTEGER) AS lag, d.n_days,
        ROUND(p.num / d.ss, 6) AS acf
-FROM prods p CROSS JOIN denom d
+FROM lags l CROSS JOIN denom d
+LEFT JOIN prods p ON p.lag = l.lag
 """
 
 
@@ -1004,28 +1036,11 @@ def events_trend_mann_kendall(
     percentile construction). The robust companion to the CUSUM
     changepoint: monotone ingest drift that never jumps.
 
-    Scale shape: ONE grouped count collapses events to the bounded
-    calendar frame (missing days are genuine zeros, as in the ACF);
+    Scale shape: the _zero_filled_daily collapse (shared with the
+    ACF, so the two probes can never disagree on the day derivation);
     the i<j pair join, the tie groups, and every statistic live on
-    that day frame — the corpus shuffles once."""
-    daily = (
-        read_table(spark, sf_dir, "events")
-        .groupBy(F.col("ts").cast("date").alias("day"))
-        .agg(F.count("*").alias("c"))
-    )
-    bounds = daily.agg(
-        F.min("day").alias("d0"), F.max("day").alias("d1")
-    )
-    spine = bounds.select(
-        F.col("d0"),
-        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias(
-            "day"
-        ),
-    )
-    series = spine.join(daily, "day", "left").select(
-        F.datediff("day", "d0").alias("t"),
-        F.coalesce("c", F.lit(0)).cast("double").alias("y"),
-    )
+    that bounded day frame — the corpus shuffles once."""
+    series = _zero_filled_daily(spark, sf_dir).select("t", "y")
     a = series.select(
         F.col("t").alias("ti"), F.col("y").alias("yi")
     )
@@ -1098,23 +1113,8 @@ def events_trend_mann_kendall(
     )
 
 
-MK_ORACLE = """
-WITH daily AS (
-  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS c
-  FROM events GROUP BY 1
-),
-bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
-spine AS (
-  SELECT b.d0,
-         UNNEST(generate_series(b.d0, b.d1, INTERVAL 1 DAY))::DATE
-           AS day
-  FROM bounds b
-),
-series AS (
-  SELECT DATE_DIFF('day', s.d0, s.day) AS t,
-         CAST(COALESCE(d.c, 0) AS DOUBLE) AS y
-  FROM spine s LEFT JOIN daily d ON s.day = d.day
-),
+MK_ORACLE = f"""
+WITH {_DAILY_SERIES_SQL},
 pair_stats AS (
   SELECT CAST(SUM(SIGN(b.y - a.y)) AS BIGINT) AS s_stat,
          QUANTILE_DISC((b.y - a.y) / (b.t - a.t), 0.5) AS sen_slope

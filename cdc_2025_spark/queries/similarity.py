@@ -527,9 +527,12 @@ def _lsh_bucket_rerank(sig, bk_expr, threshold: float) -> DataFrame:
     because every per-pair sum is a row-wise numpy reduction over the
     fixed dim axis — never a BLAS matmul whose blocking depends on the
     bucket size — so the dropDuplicates pick is value-stable. Skewed
-    buckets chunk the pair materialization at _LSH_PAIR_CHUNK so
-    worker memory stays bounded even when a bucket far exceeds the
-    geometry's target size."""
+    buckets iterate anchor-row BLOCKS sized so each block's pair
+    count stays ~_LSH_PAIR_CHUNK — pair indices are generated per
+    block, never materialized bucket-wide (np.triu_indices over a
+    degenerate mega-bucket would allocate the full pair list up
+    front), so worker memory stays bounded even when a bucket far
+    exceeds the geometry's target size."""
     import numpy as np
     import pandas as pd
 
@@ -551,10 +554,18 @@ def _lsh_bucket_rerank(sig, bk_expr, threshold: float) -> DataFrame:
             np.float64, copy=False
         )
         nrm = np.sqrt((x * x).sum(axis=1))
-        ii, jj = np.triu_indices(m, 1)
+        rows_per_block = max(1, _LSH_PAIR_CHUNK // m)
         outs = []
-        for s in range(0, len(ii), _LSH_PAIR_CHUNK):
-            ci, cj = ii[s : s + _LSH_PAIR_CHUNK], jj[s : s + _LSH_PAIR_CHUNK]
+        for i0 in range(0, m - 1, rows_per_block):
+            ib = np.arange(i0, min(i0 + rows_per_block, m - 1))
+            # pairs (i, j) with j > i for the anchor rows in this
+            # block: ~rows_per_block * m <= _LSH_PAIR_CHUNK indices
+            counts = m - 1 - ib
+            ci = np.repeat(ib, counts)
+            jg = np.arange(m)
+            cj = np.broadcast_to(jg, (len(ib), m))[
+                jg[None, :] > ib[:, None]
+            ]
             num = (x[ci] * x[cj]).sum(axis=1)
             den = nrm[ci] * nrm[cj]
             cos = num / np.where(den == 0, 1.0, den)

@@ -630,12 +630,14 @@ WINNOW_W = 4  # winnowing window (hashes per window)
 _WINNOW_ENC = 1 << 20  # (hash, pos) -> hash*2^20 + pos, pos < 2^20
 
 
-def winnow_selected(docs: DataFrame) -> DataFrame:
-    """Winnowing selection stage: per (doc_id) the chosen
-    (pos, sel, n_kgrams) rows, sel = hash*2^20 + pos of each sliding
-    window's leftmost-minimal k-gram hash (sel >> 20 recovers the
-    fingerprint hash). Shared by the registered rollup and the
-    match-guarantee tests."""
+def _winnow_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, n, keys): the normalized text's encoded k-gram key
+    array per document — keys[i-1] = hash(k-gram at i)*2^20 + i, n =
+    k-gram count (may be <= 0 for short docs; then keys is empty).
+    The SINGLE definition of normalization, the position-encoding
+    overflow guard, and the k-gram hash — winnow_selected explodes
+    this and the registered fingerprint rollup consumes it in array
+    form, so the two can never desync."""
     base = docs.select(
         "doc_id",
         F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias("t"),
@@ -658,24 +660,36 @@ def winnow_selected(docs: DataFrame) -> DataFrame:
     )
     # sequence() counts DOWN when start > stop — guard the short-doc
     # case with an explicit empty array
-    grams = base.select(
+    return base.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"""CASE WHEN length(t) >= {WINNOW_K}
-                    THEN transform(
-                        sequence(1, length(t) - {WINNOW_K - 1}),
-                        i -> CAST(conv(substring(
-                                 md5(substring(t, i, {WINNOW_K})),
-                                 1, 8), 16, 10) AS BIGINT)
-                             * {_WINNOW_ENC} + i)
-                    ELSE CAST(array() AS ARRAY<BIGINT>) END"""
-            )
-        ).alias("key"),
-    ).select(
-        "doc_id",
-        (F.col("key") % _WINNOW_ENC).cast("int").alias("pos"),
-        "key",
+        (F.length("t") - F.lit(WINNOW_K - 1)).alias("n"),
+        F.expr(
+            f"""CASE WHEN length(t) >= {WINNOW_K}
+                THEN transform(
+                    sequence(1, length(t) - {WINNOW_K - 1}),
+                    i -> CAST(conv(substring(
+                             md5(substring(t, i, {WINNOW_K})),
+                             1, 8), 16, 10) AS BIGINT)
+                         * {_WINNOW_ENC} + i)
+                ELSE CAST(array() AS ARRAY<BIGINT>) END"""
+        ).alias("keys"),
+    )
+
+
+def winnow_selected(docs: DataFrame) -> DataFrame:
+    """Winnowing selection stage: per (doc_id) the chosen
+    (pos, sel, n_kgrams) rows, sel = hash*2^20 + pos of each sliding
+    window's leftmost-minimal k-gram hash (sel >> 20 recovers the
+    fingerprint hash). Shared by the registered rollup and the
+    match-guarantee tests."""
+    grams = (
+        _winnow_keys(docs)
+        .select("doc_id", F.explode("keys").alias("key"))
+        .select(
+            "doc_id",
+            (F.col("key") % _WINNOW_ENC).cast("int").alias("pos"),
+            "key",
+        )
     )
     win = (
         Window.partitionBy("doc_id")
@@ -755,39 +769,7 @@ def text_winnowing_fingerprints(
     pos = n_kgrams escape.
     """
     docs = read_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias("t"),
-    ).withColumn(
-        # same fail-loud position-encoding guard as winnow_selected
-        "t",
-        F.when(
-            F.length("t") >= F.lit(_WINNOW_ENC),
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "winnowing position encoding overflow: document "
-                    ),
-                    F.col("doc_id").cast("string"),
-                    F.lit(f" exceeds {_WINNOW_ENC} chars"),
-                )
-            ).cast("string"),
-        ).otherwise(F.col("t")),
-    )
-    keyed = base.select(
-        "doc_id",
-        (F.length("t") - F.lit(WINNOW_K - 1)).alias("n"),
-        F.expr(
-            f"""CASE WHEN length(t) >= {WINNOW_K}
-                THEN transform(
-                    sequence(1, length(t) - {WINNOW_K - 1}),
-                    i -> CAST(conv(substring(
-                             md5(substring(t, i, {WINNOW_K})),
-                             1, 8), 16, 10) AS BIGINT)
-                         * {_WINNOW_ENC} + i)
-                ELSE CAST(array() AS ARRAY<BIGINT>) END"""
-        ).alias("keys"),
-    ).filter(F.col("n") >= 1)
+    keyed = _winnow_keys(docs).filter(F.col("n") >= 1)
     sel = keyed.select(
         "doc_id",
         "n",

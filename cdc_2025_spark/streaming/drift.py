@@ -32,6 +32,17 @@ PSI_N_BINS = 10
 PSI_FLOOR = 1e-4  # standard zero-proportion floor (matches the batch query)
 
 
+def _bin_expr(edges: list[float], value_col: str):
+    """Bin assignment shared by the reference-share builder and the
+    monitor — ONE definition so the two sides can never bin
+    differently: 1 + count of edges strictly below the 4dp-rounded
+    value (the batch PSI query's integer-exact rule)."""
+    return sum(
+        (F.round(F.col(value_col), 4) > F.lit(c)).cast("int")
+        for c in edges
+    ) + F.lit(1)
+
+
 def reference_decile_edges(
     ref: DataFrame, value_col: str = "value", n_bins: int = PSI_N_BINS
 ) -> list[float]:
@@ -59,13 +70,10 @@ def reference_bin_shares(
     deciles of the same corpus these are ~1/n_bins, but ties on the
     disc edges skew them — compute, don't assume."""
     n_bins = len(edges) + 1
-    bin_expr = sum(
-        (F.round(F.col(value_col), 4) > F.lit(c)).cast("int")
-        for c in edges
-    ) + F.lit(1)
     counts = {
         r["bin"]: r["n"]
-        for r in ref.select(bin_expr.alias("bin"))
+        for r in ref.filter(F.col(value_col).isNotNull())
+        .select(_bin_expr(edges, value_col).alias("bin"))
         .groupBy("bin")
         .agg(F.count("*").alias("n"))
         .collect()
@@ -87,6 +95,12 @@ def streaming_psi_monitor(
     histogram: one row per closed event-time window with the event
     count and the drift score (PSI < 0.1 stable, > 0.25 shifted).
 
+    NULL values are excluded before windowing: the monitor scores the
+    NON-NULL value distribution, so ``n`` always equals the sum of
+    the bin counts (a window's nulls inflating ``n`` while landing in
+    no bin would deflate every share and fire spurious drift alarms).
+    A null-RATE monitor is a separate, simpler windowed aggregate.
+
     Returns an UNSTARTED streaming frame (append-mode-valid: ONE
     aggregation, watermark-bounded state); also runs verbatim on a
     batch frame (``withWatermark`` is a no-op there), which is how the
@@ -96,13 +110,10 @@ def streaming_psi_monitor(
         raise ValueError(
             f"ref_shares must have {n_bins} entries, got {len(ref_shares)}"
         )
-    bin_expr = sum(
-        (F.round(F.col(value_col), 4) > F.lit(c)).cast("int")
-        for c in edges
-    ) + F.lit(1)
     per_window = (
-        events.withWatermark(ts_col, watermark)
-        .select(F.col(ts_col), bin_expr.alias("bin"))
+        events.filter(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), _bin_expr(edges, value_col).alias("bin"))
         .groupBy(F.window(ts_col, window_duration))
         .agg(
             F.count("*").alias("n"),

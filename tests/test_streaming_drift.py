@@ -201,6 +201,27 @@ def test_late_event_is_dropped_from_closed_window(spark, tmp_path):
     assert want[first] == 3  # batch sees all three
 
 
+def test_null_values_excluded_everywhere(spark):
+    """NULL values neither count toward a window's n nor land in a
+    bin, and the reference-share builder skips them too — n always
+    equals the sum of bin counts, and PSI matches the python model
+    over the non-null values alone."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    edges = [10.0]
+    df = spark.createDataFrame(
+        [(BASE, 5.0), (BASE, None), (BASE, 15.0), (BASE, None)],
+        "ts timestamp, value double",
+    )
+    shares = reference_bin_shares(df, edges)
+    assert shares == [0.5, 0.5]  # nulls excluded from the reference too
+    row = streaming_psi_monitor(
+        df, edges, shares, window_duration="1 hour"
+    ).collect()[0]
+    assert row["n"] == 2
+    assert row["psi"] == round(psi_of_shares([0.5, 0.5], shares), 6)
+
+
 def test_ref_shares_validated():
     import pyspark.sql.functions as F  # noqa: F401
 
