@@ -176,3 +176,154 @@ def test_js_divergence_invariants(spark):
         assert 0.0 <= r["js_divergence"] <= ln2 + 1e-9, r
         assert r["n_shared_terms"] > 0, r  # same generator vocabulary
     assert max(r["js_divergence"] for r in rows) < 0.9 * ln2
+
+
+# ---------------------------------------------------------------------------
+# Independent python models for the late-session additions: the DuckDB
+# oracles mirror the same formulas, so a shared formula-level mistake
+# would pass parity — these recompute each statistic from raw rows.
+# ---------------------------------------------------------------------------
+
+
+def _daily_counts(spark):
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .count()
+        .collect()
+    )
+    counts = {r["d"]: r["count"] for r in rows}
+    d0, d1 = min(counts), max(counts)
+    n = (d1 - d0).days + 1
+    import datetime
+
+    return [
+        float(counts.get(d0 + datetime.timedelta(days=i), 0))
+        for i in range(n)
+    ]
+
+
+def test_acf_matches_python_model(spark):
+    y = _daily_counts(spark)
+    n = len(y)
+    mu = sum(y) / n
+    dy = [v - mu for v in y]
+    ss = sum(d * d for d in dy)
+    got = {
+        r["lag"]: (r["n_days"], r["acf"])
+        for r in pending_r11.events_acf_daily(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(range(1, pending_r11.ACF_MAX_LAG + 1))
+    for k in range(1, pending_r11.ACF_MAX_LAG + 1):
+        want = (
+            sum(dy[t] * dy[t + k] for t in range(n - k)) / ss
+            if n - k >= 1
+            else None
+        )
+        n_days, acf = got[k]
+        assert n_days == n
+        if want is None:
+            assert acf is None
+        else:
+            assert acf is not None and abs(acf - want) <= 1e-6, (k, acf, want)
+
+
+def test_mann_kendall_matches_python_model(spark):
+    y = _daily_counts(spark)
+    n = len(y)
+    s = sum(
+        (y[j] > y[i]) - (y[j] < y[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = Counter(y)
+    tie_corr = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_corr) / 18.0
+    slopes = sorted(
+        (y[j] - y[i]) / (j - i)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    sen = slopes[(len(slopes) - 1) // 2]  # disc lower median
+    z = ((s - 1) if s > 0 else (s + 1) if s < 0 else 0.0) / math.sqrt(
+        var_s
+    )
+    az = abs(z)
+    tt = 1.0 / (1.0 + 0.2316419 * az)
+    q = (math.exp(-0.5 * az * az) / 2.5066282746310002) * (
+        0.319381530 * tt
+        - 0.356563782 * tt**2
+        + 1.781477937 * tt**3
+        - 1.821255978 * tt**4
+        + 1.330274429 * tt**5
+    )
+    p = min(2.0 * q, 1.0)
+    r = pending_r11.events_trend_mann_kendall(spark, SF_DIR).first()
+    assert r["n_days"] == n and r["s_stat"] == s
+    assert abs(r["var_s"] - var_s) <= 1e-6
+    assert abs(r["z_stat"] - z) <= 1e-6
+    assert abs(r["p_value"] - p) <= 1e-6
+    assert abs(r["sen_slope"] - sen) <= 1e-6
+
+
+def test_benford_matches_python_model(spark):
+    vals = [
+        r["o_totalprice"]
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+        if r["o_totalprice"] and r["o_totalprice"] > 0
+    ]
+    from collections import Counter
+
+    digits = Counter(
+        int(v / 10 ** math.floor(math.log10(v))) for v in vals
+    )
+    n = sum(digits.values())
+    rows = pending_r11.stats_benford_first_digit(spark, SF_DIR).collect()
+    assert sum(r["n_obs"] for r in rows) == n
+    for r in rows:
+        d = r["digit"]
+        assert 1 <= d <= 9
+        assert r["n_obs"] == digits[d]
+        exp = math.log10(1.0 + 1.0 / d)
+        assert abs(r["obs_share"] - digits[d] / n) <= 1e-6
+        assert abs(r["exp_share"] - exp) <= 1e-6
+        chi = (digits[d] - n * exp) ** 2 / (n * exp)
+        assert abs(r["chi2_part"] - chi) <= 1e-5
+
+
+def test_hhi_matches_python_model(spark):
+    from collections import defaultdict
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    sup = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in spark.read.parquet(f"{SF_DIR}/supplier.parquet").collect()
+    }
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(f"{SF_DIR}/nation.parquet").collect()
+    }
+    rev = defaultdict(float)
+    for r in li:
+        rev[r["l_suppkey"]] += r["l_extendedprice"] * (
+            1 - r["l_discount"]
+        )
+    by_nation = defaultdict(list)
+    for sk, v in rev.items():
+        if sk in sup:
+            by_nation[nat[sup[sk]]].append(v)
+    rows = pending_r11.stats_hhi_supplier_concentration(
+        spark, SF_DIR
+    ).collect()
+    assert {r["n_name"] for r in rows} == set(by_nation)
+    for r in rows:
+        revs = by_nation[r["n_name"]]
+        tot = sum(revs)
+        shares = [v / tot for v in revs]
+        assert r["n_suppliers"] == len(revs)
+        assert abs(r["hhi"] - 10000.0 * sum(s * s for s in shares)) <= 1e-2
+        assert abs(r["cr1"] - max(shares)) <= 1e-6
