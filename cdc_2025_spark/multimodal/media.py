@@ -267,18 +267,23 @@ def make_real_media(
     n_png: int = 0,
     n_jpeg: int = 0,
     n_flac: int = 0,
+    n_avi: int = 0,
 ) -> DataFrame:
     """Media rows with REAL payloads: uncompressed 24-bit BMPs,
     zlib-compressed PNGs, baseline JPEGs (Huffman + DCT,
     multimodal/jpeg.py — alternating 4:4:4 / 4:2:0 subsampling),
-    RIFF/WAVE PCM-16 sines, and FLAC (LPC + Rice, multimodal/flac.py)
-    twins of those sines, all deterministic — the end-to-end non-stub
-    decode paths with zero codec dependencies. PNG/JPEG row i carries
-    the same pixel pattern as BMP row i (same width/height/seed
-    formula), so the containers are feature-identical (exactly for
-    PNG, tolerance-close for lossy JPEG); FLAC row i carries the SAME
-    sine as WAV row i and is lossless, so the audio containers are
-    feature-IDENTICAL (the BMP/PNG twin story for audio)."""
+    RIFF/WAVE PCM-16 sines, FLAC (LPC + Rice, multimodal/flac.py)
+    twins of those sines, and MJPEG-AVI videos (multimodal/avi.py —
+    RIFF container of baseline-JPEG frames), all deterministic — the
+    end-to-end non-stub decode paths with zero codec dependencies.
+    PNG/JPEG row i carries the same pixel pattern as BMP row i (same
+    width/height/seed formula), so the containers are
+    feature-identical (exactly for PNG, tolerance-close for lossy
+    JPEG); FLAC row i carries the SAME sine as WAV row i and is
+    lossless, so the audio containers are feature-IDENTICAL (the
+    BMP/PNG twin story for audio); AVI frame f of row i carries the
+    make_jpeg pattern at seed i*31 + f, so sampled video frames are
+    bit-identical to the corresponding still JPEGs."""
     from cdc_2025_spark.multimodal.jpeg import make_jpeg  # noqa: PLC0415
 
     rows = []
@@ -347,6 +352,30 @@ def make_real_media(
                 "audio",
                 bytearray(flac),
                 (0, 0, dur, "flac"),
+            )
+        )
+    for i in range(n_avi):
+        from cdc_2025_spark.multimodal.avi import (  # noqa: PLC0415
+            AVI_DEFAULT_FPS,
+            make_mjpeg_avi,
+        )
+
+        w, h = 32 + (i % 4) * 8, 24 + (i % 3) * 8
+        n_frames = 2 + i % 4
+        avi = make_mjpeg_avi(
+            w,
+            h,
+            n_frames=n_frames,
+            fps=AVI_DEFAULT_FPS,
+            seed=i,
+            subsampling="4:2:0" if i % 2 else "4:4:4",
+        )
+        rows.append(
+            (
+                n_images + n_audio + n_png + n_jpeg + n_flac + i,
+                "video",
+                bytearray(avi),
+                (w, h, n_frames * 1000 // AVI_DEFAULT_FPS, "mjpeg_avi"),
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -710,10 +739,16 @@ def sample_video_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Frame sampling contract: one output row per sampled frame.
 
     The frame count derives from meta.duration_ms (declarative,
-    JVM-side explode); the per-frame decode is the stubbed Python
-    stage. This is the standard two-phase shape: cheap metadata math
-    first so Catalyst can estimate cardinality, expensive decode last.
-    """
+    JVM-side explode) — cheap metadata math first so Catalyst can
+    estimate cardinality, expensive decode last. Per-frame decode
+    dispatches on magic bytes: RIFF/AVI payloads take the REAL path
+    (multimodal/avi.py container parse + baseline-JPEG frame decode —
+    the container is parsed ONCE per payload within a batch and the
+    sample time maps to a container frame via the stream's exact
+    rate/scale timing), everything else keeps the deterministic stub
+    hash (synthetic corpora). frame_sha256 for a real frame hashes
+    the DECODED RGB pixels, so distinct-sha counts measure distinct
+    decoded frames, not container bytes."""
     vids = media.filter(F.col("kind") == "video").select(
         "media_id",
         "payload",
@@ -731,15 +766,38 @@ def sample_video_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     def run(batches: Iterator) -> Iterator:
         import pandas as pd  # noqa: PLC0415
 
+        from cdc_2025_spark.multimodal.avi import (  # noqa: PLC0415
+            decode_avi_frame,
+            frame_number_at,
+            parse_avi,
+        )
+
+        # O(1) single-entry memo keyed by full-payload sha (the audio
+        # chunk kernel's retention rule): exploded frame rows for one
+        # payload are contiguous, so one slot serves every hit and
+        # memory never grows with distinct payloads per task
+        last: list = [None, None]
+
+        def sha(p: bytes, idx: int) -> str:
+            if p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                key = hashlib.sha256(p).hexdigest()
+                if last[0] != key:
+                    last[0], last[1] = key, parse_avi(p)
+                meta = last[1]
+                fno = frame_number_at(meta, idx * every_ms)
+                rgb = decode_avi_frame(meta, fno)
+                return hashlib.sha256(rgb.tobytes()).hexdigest()
+            return hashlib.sha256(
+                p + idx.to_bytes(4, "little")
+            ).hexdigest()
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "frame_idx": pdf["frame_idx"],
                     "frame_sha256": [
-                        hashlib.sha256(
-                            bytes(p) + int(i).to_bytes(4, "little")
-                        ).hexdigest()
+                        sha(bytes(p), int(i))
                         for p, i in zip(pdf["payload"], pdf["frame_idx"])
                     ],
                 }

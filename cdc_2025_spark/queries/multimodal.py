@@ -22,11 +22,12 @@ from cdc_2025_spark.multimodal.media import (
 )
 from cdc_2025_spark.queries.registry import query
 
-# media_id offsets that keep the three real-container frames' ids
-# disjoint inside the kind-tagged union (each make_real_media call
-# numbers its rows from 0)
+# media_id offsets that keep the real-container frames' ids disjoint
+# inside the kind-tagged unions (each make_real_media call numbers
+# its rows from 0)
 _PNG_BAND = 1000
 _JPEG_BAND = 2000
+_AVI_BAND = 3000
 
 # Session-level memo for the generated media corpora (the _CENT_CACHE
 # posture): payloads are deterministic and sf-independent, but
@@ -115,11 +116,41 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("rms"), 4).alias("avg_metric"),
         F.round(F.max("peak"), 4).alias("max_metric"),
     )
-    vid = sample_video_frames(video, every_ms=500).agg(
-        F.lit("video").alias("kind"),
-        F.count("*").alias("n_rows"),
-        F.round(F.avg("frame_idx"), 4).alias("avg_metric"),
-        F.count_distinct("frame_sha256").cast("double").alias("max_metric"),
+    # video: stub (synthetic payload hash) and REAL MJPEG-AVI rows
+    # (multimodal/avi.py — RIFF parse + baseline-JPEG frame decode,
+    # frame_sha256 over DECODED pixels, pinned equal to direct
+    # make_jpeg decodes in test_avi.py) fold into ONE kernel stage —
+    # the containers-union shape below: the sampling kernel already
+    # dispatches per payload on magic bytes, so a second
+    # sample_video_frames branch would only buy another Python-worker
+    # stage setup (the rollup's measured fixed cost).
+    real_avi = _media_input(
+        spark, "real_avi",
+        lambda: make_real_media(
+            spark, n_images=0, n_audio=0, n_avi=6
+        ).coalesce(2),
+    )
+    # one cadence for the union: 250 ms (the AVI rows' 4 fps frame
+    # interval, so every container frame is sampled exactly once);
+    # the stub rows just sample twice as densely as before — their
+    # metrics stay deterministic, only the density constant moved.
+    all_video = video.unionByName(
+        real_avi.withColumn("media_id", F.col("media_id") + _AVI_BAND)
+    )
+    video_samples = sample_video_frames(all_video, every_ms=250)
+    vid_union = (
+        video_samples.groupBy(
+            F.when(F.col("media_id") >= _AVI_BAND, "video_mjpeg")
+            .otherwise("video")
+            .alias("kind")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.avg("frame_idx"), 4).alias("avg_metric"),
+            F.count_distinct("frame_sha256")
+            .cast("double")
+            .alias("max_metric"),
+        )
     )
     # real-kernel container paths (BMP / PNG / baseline JPEG): the
     # decode kernel dispatches per-row on magic bytes, and all three
@@ -205,7 +236,7 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         img.unionByName(aud)
-        .unionByName(vid)
+        .unionByName(vid_union)
         .unionByName(per_container)
         .unionByName(resized)
         .unionByName(wav)

@@ -1,0 +1,171 @@
+"""MJPEG-AVI container kernel (multimodal/avi.py): round-trip frame
+equality with the still-JPEG encoder, structural validation, the
+fail-loud set, time->frame sampling math, and the Spark-side real
+frame-sampling path + rollup row."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+
+from cdc_2025_spark.multimodal.avi import (
+    AVI_DEFAULT_FPS,
+    decode_avi_frame,
+    frame_number_at,
+    make_mjpeg_avi,
+    parse_avi,
+)
+from cdc_2025_spark.multimodal.jpeg import decode_jpeg, make_jpeg
+
+W, H, N, FPS = 40, 32, 5, 4
+
+
+def test_roundtrip_frames_equal_still_jpegs():
+    """Frame f of the container is BYTE-identical to the still JPEG
+    at seed*31 + f (same encoder, same pattern), and decodes to the
+    same pixels."""
+    payload = make_mjpeg_avi(W, H, n_frames=N, fps=FPS, seed=3)
+    meta = parse_avi(payload)
+    assert (meta["width"], meta["height"]) == (W, H)
+    assert (meta["rate"], meta["scale"]) == (FPS, 1)
+    assert meta["n_frames"] == N
+    for f in range(N):
+        still = make_jpeg(W, H, seed=3 * 31 + f, subsampling="4:4:4")
+        assert meta["frames"][f] == still
+        rgb = decode_avi_frame(meta, f)
+        assert rgb.shape == (H, W, 3)
+        assert np.array_equal(rgb, decode_jpeg(still))
+
+
+def test_determinism_and_distinct_frames():
+    a = make_mjpeg_avi(W, H, n_frames=N, seed=7)
+    b = make_mjpeg_avi(W, H, n_frames=N, seed=7)
+    assert a == b
+    frames = parse_avi(a)["frames"]
+    assert len({bytes(f) for f in frames}) == N  # all frames distinct
+
+
+def test_frame_number_at_timing():
+    meta = {"rate": 4, "scale": 1, "n_frames": 8}
+    # 4 fps -> frame changes every 250 ms; floor rule, clamped
+    assert frame_number_at(meta, 0) == 0
+    assert frame_number_at(meta, 249) == 0
+    assert frame_number_at(meta, 250) == 1
+    assert frame_number_at(meta, 1999) == 7
+    assert frame_number_at(meta, 99999) == 7  # clamp to last frame
+    # non-unit scale: 30000/1001-style rational rates stay exact
+    ntsc = {"rate": 30000, "scale": 1001, "n_frames": 1000}
+    assert frame_number_at(ntsc, 1001) == 30
+    assert frame_number_at(ntsc, 1000) == 29
+
+
+def test_fail_loud_set():
+    payload = bytearray(make_mjpeg_avi(W, H, n_frames=2))
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        parse_avi(b"JUNK" + bytes(payload[4:]))
+    with pytest.raises(ValueError, match="overruns"):
+        parse_avi(bytes(payload[: len(payload) // 2]))
+    # foreign codec: patch both fccHandler and biCompression
+    foreign = bytearray(payload)
+    i = foreign.find(b"MJPG")
+    while i != -1:
+        foreign[i : i + 4] = b"cvid"
+        i = foreign.find(b"MJPG")
+    with pytest.raises(NotImplementedError, match="cvid"):
+        parse_avi(bytes(foreign))
+    # audio stream type
+    astream = bytearray(payload)
+    astream[astream.find(b"vids") :][:4] = b"auds"
+    i = astream.find(b"vids")
+    astream[i : i + 4] = b"auds"
+    with pytest.raises(NotImplementedError, match="auds"):
+        parse_avi(bytes(astream))
+
+
+def test_idx1_consistency_check():
+    payload = bytearray(make_mjpeg_avi(W, H, n_frames=3))
+    # corrupt the last idx1 entry's length field
+    i = payload.rfind(b"00dc")  # last idx1 entry (idx1 is the tail)
+    (ln,) = struct.unpack_from("<I", payload, i + 12)
+    struct.pack_into("<I", payload, i + 12, ln + 2)
+    with pytest.raises(ValueError, match="idx1"):
+        parse_avi(bytes(payload))
+
+
+def test_header_frame_count_check():
+    payload = bytearray(make_mjpeg_avi(W, H, n_frames=3))
+    i = payload.find(b"avih")
+    # dwTotalFrames is the 5th u32 of the avih payload
+    struct.pack_into("<I", payload, i + 8 + 16, 99)
+    with pytest.raises(ValueError, match="declares 99 frames"):
+        parse_avi(bytes(payload))
+
+
+def test_spark_sampling_real_path(spark):
+    """sample_video_frames over real AVI rows: sampled shas equal
+    direct container decodes at the exact time->frame mapping, and
+    synthetic stub rows still ride the hash path unchanged."""
+    from pyspark.sql import functions as F
+
+    from cdc_2025_spark.multimodal.media import (
+        make_real_media,
+        sample_video_frames,
+    )
+
+    real = make_real_media(spark, n_images=0, n_audio=0, n_avi=4)
+    out = (
+        sample_video_frames(real, every_ms=250)
+        .orderBy("media_id", "frame_idx")
+        .collect()
+    )
+    metas = {
+        r["media_id"]: parse_avi(bytes(r["payload"]))
+        for r in real.select("media_id", "payload").collect()
+    }
+    durs = {
+        r["media_id"]: r["meta"]["duration_ms"]
+        for r in real.select("media_id", "meta").collect()
+    }
+    assert out, "no sampled frames"
+    for r in out:
+        meta = metas[r["media_id"]]
+        fno = frame_number_at(meta, r["frame_idx"] * 250)
+        want = hashlib.sha256(
+            decode_avi_frame(meta, fno).tobytes()
+        ).hexdigest()
+        assert r["frame_sha256"] == want
+    # row count per video = duration_ms / every_ms (the JVM explode)
+    from collections import Counter
+
+    per = Counter(r["media_id"] for r in out)
+    for mid, n in per.items():
+        assert n == max(durs[mid] // 250, 1)
+    # a 4 fps stream sampled every 250 ms hits every frame exactly
+    # once -> distinct shas per video == n_frames
+    assert AVI_DEFAULT_FPS == 4
+    shas = {}
+    for r in out:
+        shas.setdefault(r["media_id"], set()).add(r["frame_sha256"])
+    for mid, s in shas.items():
+        assert len(s) == metas[mid]["n_frames"]
+
+
+def test_rollup_gains_video_mjpeg_row(spark):
+    from cdc_2025_spark.queries.multimodal import (
+        multimodal_feature_rollup,
+    )
+
+    rows = {
+        r["kind"]: r
+        for r in multimodal_feature_rollup(spark, "unused").collect()
+    }
+    assert "video_mjpeg" in rows
+    r = rows["video_mjpeg"]
+    # 6 videos, 2 + i%4 frames each at 4 fps sampled every 250 ms ->
+    # one row per frame: sum(2,3,4,5,2,3) = 19
+    assert r["n_rows"] == 19
+    # every decoded frame is distinct across all 6 videos
+    assert r["max_metric"] == 19.0

@@ -449,6 +449,7 @@ def test_feature_rollup_includes_real_kernels(spark):
     assert set(rows) == {
         "image", "audio", "video", "image_bmp", "image_png",
         "image_jpeg", "image_resized", "audio_wav", "audio_flac",
+        "video_mjpeg",
     }
     assert rows["image_jpeg"]["n_rows"] == 8
     # lossy but close: gray-std avg and gray-max max within tolerance
