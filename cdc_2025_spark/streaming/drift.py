@@ -137,6 +137,116 @@ def streaming_psi_monitor(
     )
 
 
+CUSUM_OUT_SCHEMA = (
+    "key string, n_seen long, s_pos double, s_neg double, "
+    "n_alarms long"
+)
+
+
+def streaming_cusum_monitor(
+    events: DataFrame,
+    mu0: float,
+    k: float,
+    h: float,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key SEQUENTIAL tabular CUSUM (Page 1954): s_pos_t =
+    max(0, s_pos_{t-1} + (x_t - mu0 - k)), s_neg_t = max(0,
+    s_neg_{t-1} + (mu0 - k - x_t)); when either side crosses ``h``
+    the alarm count increments and BOTH sides reset (the textbook
+    restart). The stateful companion to the windowed PSI monitor:
+    PSI scores each closed window against a reference histogram,
+    CUSUM reacts mid-window to a sustained mean shift — the two
+    cover the drift-detection split the batch family states offline
+    (events_cusum_changepoint is the offline global-mean form; this
+    is its causal fixed-reference twin, parameters frozen from a
+    reference corpus like the PSI edges).
+
+    Ordering contract: rows are processed in EVENT-TIME order within
+    each microbatch (sorted per group) but in ARRIVAL order across
+    batches — a straggler updates the statistic late. That is the
+    sequential-monitoring reality; the batch query over the settled
+    corpus is the after-the-fact audit.
+
+    Scale shape: state is three numbers per key in the executor
+    state store; each batch shuffles only its own rows on the key.
+    NULL values are excluded (the PSI monitor's rule). Unstarted
+    streaming frame; requires outputMode('update') — streaming only
+    (applyInPandasWithState has no batch form; the batch-side check
+    is the ``cusum_replay`` python model over the same arrivals)."""
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = CUSUM_OUT_SCHEMA
+    state_schema = "n long, s_pos double, s_neg double, n_alarms long"
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd  # noqa: PLC0415
+
+        n, s_pos, s_neg, n_alarms = (
+            state.get if state.exists else (0, 0.0, 0.0, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="stable")
+            for x in pdf[value_col]:
+                if pd.isna(x):
+                    continue
+                n += 1
+                s_pos = max(0.0, s_pos + (float(x) - mu0 - k))
+                s_neg = max(0.0, s_neg + (mu0 - k - float(x)))
+                if s_pos > h or s_neg > h:
+                    n_alarms += 1
+                    s_pos = s_neg = 0.0
+        state.update((n, s_pos, s_neg, n_alarms))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_seen": [n],
+                "s_pos": [round(s_pos, 6)],
+                "s_neg": [round(s_neg, 6)],
+                "n_alarms": [n_alarms],
+            }
+        )
+
+    return (
+        events.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(ts_col),
+            F.col(value_col),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def cusum_replay(
+    values: list[float], mu0: float, k: float, h: float
+) -> tuple[int, float, float, int]:
+    """Plain-python replay of the monitor's recurrence over one
+    key's value sequence — the model the tests compare the engine's
+    final state row against."""
+    n, s_pos, s_neg, n_alarms = 0, 0.0, 0.0, 0
+    for x in values:
+        n += 1
+        s_pos = max(0.0, s_pos + (x - mu0 - k))
+        s_neg = max(0.0, s_neg + (mu0 - k - x))
+        if s_pos > h or s_neg > h:
+            n_alarms += 1
+            s_pos = s_neg = 0.0
+    return n, s_pos, s_neg, n_alarms
+
+
 def psi_of_shares(cur: list[float], ref: list[float]) -> float:
     """Plain-python PSI over two share vectors — the oracle the tests
     compare both engines' output against."""

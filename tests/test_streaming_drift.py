@@ -241,3 +241,132 @@ def test_floor_guards_empty_bins():
         (PSI_FLOOR - 0.1) * math.log(PSI_FLOOR / 0.1)
     )
     assert abs(val - want) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Streaming sequential CUSUM monitor
+# ---------------------------------------------------------------------------
+
+from cdc_2025_spark.streaming.drift import (  # noqa: E402
+    cusum_replay,
+    streaming_cusum_monitor,
+)
+
+
+def _write_kv_batches(src, batches):
+    """batches: list of list of (key, value, minute_offset)."""
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "event_type": pa.array([k for k, _, _ in rows]),
+                "ts": pa.array(
+                    [BASE + timedelta(minutes=off) for _, _, off in rows],
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array(
+                    [v for _, v, _ in rows], pa.float64()
+                ),
+            }
+        )
+        path = os.path.join(src, f"batch_{i:03d}.parquet")
+        pq.write_table(tbl, path)
+        t = time.time() + i
+        os.utime(path, (t, t))
+
+
+def _run_cusum_stream(spark, tmp_path, batches, name, mu0, k, h):
+    src = str(tmp_path / f"src_{name}")
+    _write_kv_batches(src, batches)
+    stream = (
+        spark.readStream.schema(
+            "event_type string, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_cusum_monitor(stream, mu0=mu0, k=k, h=h)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # memory sink in update mode appends each batch's update rows;
+    # the LAST row per key is the final state
+    rows = spark.sql(
+        f"select * from {name} order by n_seen"
+    ).collect()
+    final = {}
+    for r in rows:
+        final[r["key"]] = (
+            r["n_seen"],
+            r["s_pos"],
+            r["s_neg"],
+            r["n_alarms"],
+        )
+    return final
+
+
+def test_cusum_matches_replay_and_fires_on_shift(spark, tmp_path):
+    """Stable key 'a' never alarms; key 'b' shifts mean mid-stream
+    and must alarm. Final engine state equals the python replay over
+    arrival order (event-time order within each batch — batch 2's
+    'a' rows arrive ts-shuffled to exercise the in-batch sort)."""
+    mu0, k, h = 10.0, 0.5, 6.0
+    batches = [
+        [("a", 10.2, 0), ("a", 9.9, 1), ("b", 10.1, 0)],
+        # in-batch ts order differs from row order for 'a'
+        [("a", 10.4, 3), ("a", 9.7, 2), ("b", 10.0, 2)],
+        [("b", 14.0, 4), ("b", 14.5, 5), ("b", 14.2, 6)],
+        [("b", 14.8, 7), ("a", 10.1, 8)],
+    ]
+    final = _run_cusum_stream(
+        spark, tmp_path, batches, "cusum_shift", mu0, k, h
+    )
+    # replay in arrival order = batch order, ts-sorted within batch
+    a_vals = [10.2, 9.9, 9.7, 10.4, 10.1]
+    b_vals = [10.1, 10.0, 14.0, 14.5, 14.2, 14.8]
+    ra = cusum_replay(a_vals, mu0, k, h)
+    rb = cusum_replay(b_vals, mu0, k, h)
+    assert final["a"] == (
+        ra[0],
+        round(ra[1], 6),
+        round(ra[2], 6),
+        ra[3],
+    )
+    assert final["b"] == (
+        rb[0],
+        round(rb[1], 6),
+        round(rb[2], 6),
+        rb[3],
+    )
+    assert final["a"][3] == 0  # stable key never alarms
+    assert final["b"][3] >= 1  # shifted key alarms
+
+
+def test_cusum_replay_model_properties():
+    """Replay model invariants: zero drift stays at zero (allowance
+    absorbs noise), a sustained +shift alarms after ~h/(shift-k)
+    samples, and both sides reset after the alarm."""
+    n, sp, sn, al = cusum_replay([10.0] * 50, 10.0, 0.5, 6.0)
+    assert (n, sp, sn, al) == (50, 0.0, 0.0, 0)
+    # shift of +2 with k=0.5 accumulates 1.5/sample -> alarm at 5th
+    n, sp, sn, al = cusum_replay([12.0] * 5, 10.0, 0.5, 6.0)
+    assert al == 1 and sp == 0.0 and sn == 0.0
+    n, sp, sn, al = cusum_replay([12.0] * 4, 10.0, 0.5, 6.0)
+    assert al == 0 and sp == 6.0
+
+
+def test_cusum_nulls_excluded(spark, tmp_path):
+    mu0, k, h = 10.0, 0.5, 6.0
+    batches = [
+        [("a", 10.0, 0), ("a", None, 1), ("a", 10.2, 2)],
+    ]
+    final = _run_cusum_stream(
+        spark, tmp_path, batches, "cusum_nulls", mu0, k, h
+    )
+    assert final["a"][0] == 2  # the NULL row never counted
