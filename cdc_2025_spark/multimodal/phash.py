@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from cdc_2025_spark.multimodal.media import _PNG_SIG, decode_bmp, decode_png
@@ -98,3 +99,89 @@ def perturb_bmp(payload: bytes, n_bytes: int = 60, seed: int = 1) -> bytes:
         off = 54 + int(rng.randint(0, len(b) - 54))
         b[off] = (b[off] + int(rng.randint(1, 30))) % 256
     return bytes(b)
+
+
+VIDEO_HASH_SCHEMA = "media_id long, frame_no int, ahash long"
+
+
+def video_frame_hashes(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(media_id, frame_no, ahash): 64-bit aHash of every DECODED
+    container frame of each MJPEG-AVI video row — the video leg of
+    the perceptual-hash family (multimodal/avi.py parse + baseline-
+    JPEG decode + ahash64_from_rgb). One Arrow-batched mapInPandas
+    stage; 12 bytes out per frame, pixels never leave the task."""
+    import pandas as pd  # noqa: PLC0415
+
+    from cdc_2025_spark.multimodal.avi import (  # noqa: PLC0415
+        decode_avi_frame,
+        parse_avi,
+    )
+
+    src = media.select(id_col, payload_col)
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            ids, nos, hs = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                meta = parse_avi(bytes(payload))
+                for f in range(meta["n_frames"]):
+                    ids.append(int(mid))
+                    nos.append(f)
+                    hs.append(
+                        ahash64_from_rgb(decode_avi_frame(meta, f))
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": nos, "ahash": hs}
+            )
+
+    return src.mapInPandas(run, schema=VIDEO_HASH_SCHEMA)
+
+
+def video_neardup_pairs(
+    frame_hashes: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """(id_a, id_b, n_shared, containment): video pairs whose DISTINCT
+    frame-hash sets overlap in at least ``threshold`` of the smaller
+    set — near-dup across re-encodes, truncations, and shared-prefix
+    edits (a video sharing most of a shorter video's frames is its
+    near-dup regardless of extra tail content; the containment
+    convention the text dedup family uses).
+
+    Scale shape: everything runs on the (media_id, ahash) frame —
+    one distinct, one equi-join on the 8-byte hash, grouped counts.
+    Frames never pair across DIFFERENT hashes (no all-pairs stage);
+    a hash shared by many videos fans out exactly like a shared
+    shingle in the text containment query."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"threshold must be in (0, 1], got {threshold}"
+        )
+    d = frame_hashes.select("media_id", "ahash").distinct()
+    sizes = d.groupBy("media_id").agg(F.count("*").alias("n"))
+    a = d.select(F.col("media_id").alias("id_a"), "ahash")
+    b = d.select(F.col("media_id").alias("id_b"), "ahash")
+    shared = (
+        a.join(b, "ahash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("media_id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("media_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("n_a", "n_b"), 4
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -169,3 +169,60 @@ def test_rollup_gains_video_mjpeg_row(spark):
     assert r["n_rows"] == 19
     # every decoded frame is distinct across all 6 videos
     assert r["max_metric"] == 19.0
+
+
+def test_video_neardup_shared_prefix(spark):
+    """Video near-dup via frame-hash containment: B is A's 4-frame
+    prefix (same seed, shorter) -> containment 1.0; C is a disjoint
+    seed -> no pair. The engine's n_shared/containment must equal a
+    python set model over the SAME frame hashes."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from cdc_2025_spark.multimodal.phash import (
+        video_frame_hashes,
+        video_neardup_pairs,
+    )
+
+    vids = spark.createDataFrame(
+        [
+            (0, bytearray(make_mjpeg_avi(40, 32, n_frames=6, seed=1))),
+            (1, bytearray(make_mjpeg_avi(40, 32, n_frames=4, seed=1))),
+            (2, bytearray(make_mjpeg_avi(40, 32, n_frames=4, seed=9))),
+        ],
+        "media_id long, payload binary",
+    ).repartition(3)
+    fh = video_frame_hashes(vids)
+    rows = fh.collect()
+    # python model: distinct hash sets per video
+    sets = {}
+    for r in rows:
+        sets.setdefault(r["media_id"], set()).add(r["ahash"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_shared"], r["containment"])
+        for r in video_neardup_pairs(fh, threshold=0.5).collect()
+    }
+    import itertools
+
+    want = {}
+    for x, y in itertools.combinations(sorted(sets), 2):
+        shared = len(sets[x] & sets[y])
+        cont = round(shared / min(len(sets[x]), len(sets[y])), 4)
+        if shared and cont >= 0.5:
+            want[(x, y)] = (shared, cont)
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)][1] == 1.0  # prefix twin
+    assert (0, 2) not in got and (1, 2) not in got  # disjoint seed
+    # frame counts: one hash row per container frame
+    from collections import Counter
+
+    per = Counter(r["media_id"] for r in rows)
+    assert per == {0: 6, 1: 4, 2: 4}
+
+
+def test_video_neardup_threshold_validated():
+    import pytest as _pytest
+
+    from cdc_2025_spark.multimodal.phash import video_neardup_pairs
+
+    with _pytest.raises(ValueError, match="threshold"):
+        video_neardup_pairs(None, threshold=0.0)
