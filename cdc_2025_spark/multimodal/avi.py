@@ -263,6 +263,14 @@ def parse_avi(payload: bytes) -> dict:
                     "supported"
                 )
         elif fourcc == b"idx1":
+            # idx1 is a packed array of 16-byte entries; a trailing
+            # partial entry means a truncated/malformed index, and
+            # unpacking past ln would read the adjacent chunk's bytes.
+            if ln % 16 != 0:
+                raise ValueError(
+                    f"AVI: idx1 length {ln} is not a multiple of 16 "
+                    "— truncated or malformed index"
+                )
             for off in range(0, ln, 16):
                 ckid = buf[p + off : p + off + 4]
                 _flags, coff, cln = struct.unpack_from(

@@ -620,7 +620,14 @@ def embed_sq8_quantization_error(
         * SQ_LEVELS
         + F.lit(0.5)
     )
-    deq = F.col("mn") + q * (F.col("mx") - F.col("mn")) / SQ_LEVELS
+    # A constant dimension (mx == mn) makes the affine scale 0/0 —
+    # the quantizer's degenerate case dequantizes every value to the
+    # constant itself (zero error), in BOTH engines, instead of
+    # leaking NaN into the cosine/MAE aggregates where Spark and
+    # DuckDB propagate NULL/NaN differently.
+    deq = F.when(F.col("mx") == F.col("mn"), F.col("mn")).otherwise(
+        F.col("mn") + q * (F.col("mx") - F.col("mn")) / SQ_LEVELS
+    )
     per_dim = emb.join(F.broadcast(ranges), "dim").select(
         "vec_id",
         "label",
@@ -663,8 +670,11 @@ ranges AS (
 ),
 per_dim AS (
   SELECT e.vec_id, e.label, e.x,
-         r.mn + floor((e.x - r.mn) / (r.mx - r.mn) * {SQ_LEVELS} + 0.5)
-              * (r.mx - r.mn) / {SQ_LEVELS} AS xq
+         CASE WHEN r.mx = r.mn THEN r.mn
+              ELSE r.mn
+                + floor((e.x - r.mn) / (r.mx - r.mn) * {SQ_LEVELS} + 0.5)
+                * (r.mx - r.mn) / {SQ_LEVELS}
+         END AS xq
   FROM emb e JOIN ranges r ON e.dim = r.dim
 ),
 per_vec AS (

@@ -60,7 +60,14 @@ def reference_decile_edges(
             for i, q in enumerate(qs)
         ]
     ).first()
-    return [row[i] for i in range(len(qs))]
+    edges = [row[i] for i in range(len(qs))]
+    if any(e is None for e in edges):
+        raise ValueError(
+            f"reference frame has no non-NULL '{value_col}' values — "
+            "percentile edges are undefined (an all-None edge list "
+            "would silently build a broken bin expression)"
+        )
+    return edges
 
 
 def reference_bin_shares(
@@ -79,6 +86,11 @@ def reference_bin_shares(
         .collect()
     }
     total = sum(counts.values())
+    if total == 0:
+        raise ValueError(
+            f"reference frame has no non-NULL '{value_col}' values — "
+            "bin shares are undefined"
+        )
     return [counts.get(b, 0) / total for b in range(1, n_bins + 1)]
 
 
@@ -190,17 +202,24 @@ def streaming_cusum_monitor(
         n, s_pos, s_neg, n_alarms = (
             state.get if state.exists else (0, 0.0, 0.0, 0)
         )
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col, kind="stable")
-            for x in pdf[value_col]:
-                if pd.isna(x):
-                    continue
-                n += 1
-                s_pos = max(0.0, s_pos + (float(x) - mu0 - k))
-                s_neg = max(0.0, s_neg + (mu0 - k - float(x)))
-                if s_pos > h or s_neg > h:
-                    n_alarms += 1
-                    s_pos = s_neg = 0.0
+        # Materialize the whole microbatch for this key before
+        # sorting: Arrow delivers a key's rows as MULTIPLE chunks once
+        # they exceed the batch size, and sorting each chunk
+        # independently would make the recurrence (and the pinned
+        # engine == cusum_replay equivalence) chunk-boundary-dependent.
+        # State is 3 numbers regardless; only the in-flight microbatch
+        # is held, which the state-store executor already buffers.
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(ts_col, kind="stable")
+        for x in batch[value_col]:
+            if pd.isna(x):
+                continue
+            n += 1
+            s_pos = max(0.0, s_pos + (float(x) - mu0 - k))
+            s_neg = max(0.0, s_neg + (mu0 - k - float(x)))
+            if s_pos > h or s_neg > h:
+                n_alarms += 1
+                s_pos = s_neg = 0.0
         state.update((n, s_pos, s_neg, n_alarms))
         yield pd.DataFrame(
             {

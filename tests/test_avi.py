@@ -226,3 +226,21 @@ def test_video_neardup_threshold_validated():
 
     with _pytest.raises(ValueError, match="threshold"):
         video_neardup_pairs(None, threshold=0.0)
+
+
+def test_idx1_partial_entry_fails_loud():
+    """An idx1 whose length is not a multiple of the 16-byte entry
+    size is truncated/malformed; parsing must raise the module's
+    ValueError, never unpack past the chunk payload into the
+    neighboring bytes."""
+    payload = bytearray(make_mjpeg_avi(W, H, n_frames=3))
+    i = payload.rfind(b"idx1")
+    (ln,) = struct.unpack_from("<I", payload, i + 4)
+    assert ln % 16 == 0
+    # shave 12 bytes off the file tail and the idx1 + RIFF lengths so
+    # every OTHER size check stays consistent; ln % 16 becomes 4
+    struct.pack_into("<I", payload, i + 4, ln - 12)
+    (riff_ln,) = struct.unpack_from("<I", payload, 4)
+    struct.pack_into("<I", payload, 4, riff_ln - 12)
+    with pytest.raises(ValueError, match="multiple of 16"):
+        parse_avi(bytes(payload[:-12]))

@@ -327,3 +327,53 @@ def test_hhi_matches_python_model(spark):
         assert r["n_suppliers"] == len(revs)
         assert abs(r["hhi"] - 10000.0 * sum(s * s for s in shares)) <= 1e-2
         assert abs(r["cr1"] - max(shares)) <= 1e-6
+
+
+def test_sq8_constant_dimension_degenerate_range(spark, tmp_path):
+    """A constant embedding dimension makes the affine scale 0/0; the
+    quantizer's degenerate case must dequantize to the constant
+    itself (zero error) in BOTH engines — never NaN leaking into the
+    cosine/MAE aggregates where the engines' NULL/NaN propagation
+    differs. Parity pinned on a corpus whose dim 0 is constant."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vecs = [
+        [0.5, 0.1 * i, -0.2 * i, 0.3] for i in range(1, 7)
+    ]  # dim 0 constant, dim 3 constant too
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(6), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 2 for i in range(6)], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    sdf = pending_r11.embed_sq8_quantization_error(
+        spark, str(tmp_path)
+    )
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    assert spark_rows, "no output rows"
+    flat = [v for row in spark_rows for v in row]
+    assert not any(
+        isinstance(v, float) and math.isnan(v) for v in flat
+    ), f"NaN leaked: {spark_rows}"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{tmp_path}/embeddings.parquet'"
+    )
+    res = con.execute(pending_r11.SQ8_ORACLE)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+    s_norm = _normalize(spark_rows, sdf.columns)
+    d_norm = _normalize(duck_rows, duck_cols)
+    assert len(s_norm) == len(d_norm)
+    for sr, dr in zip(s_norm, d_norm):
+        assert all(_close(a, b) for a, b in zip(sr, dr)), (sr, dr)
+    # the constant dims must contribute ZERO error: max_abs_err is
+    # bounded by the non-constant dims' quantization step, and every
+    # cosine stays finite and near 1 on this tiny well-scaled corpus
+    by_col = dict(zip(sdf.columns, zip(*spark_rows)))
+    assert all(c > 0.99 for c in by_col["min_cos"])

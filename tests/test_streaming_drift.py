@@ -370,3 +370,68 @@ def test_cusum_nulls_excluded(spark, tmp_path):
         spark, tmp_path, batches, "cusum_nulls", mu0, k, h
     )
     assert final["a"][0] == 2  # the NULL row never counted
+
+
+def test_reference_guards_empty_frame(spark):
+    """An empty or all-NULL reference corpus must fail loud from both
+    reference builders, not leak a ZeroDivisionError / all-None edge
+    list into a silently-broken bin expression."""
+    empty = spark.createDataFrame(
+        [(None,), (None,)], "value double"
+    )
+    with pytest.raises(ValueError, match="no non-NULL"):
+        reference_decile_edges(empty)
+    with pytest.raises(ValueError, match="no non-NULL"):
+        reference_bin_shares(empty, [1.0, 2.0])
+
+
+def test_cusum_multichunk_microbatch_sorts_whole_batch(
+    spark, tmp_path
+):
+    """A key's microbatch larger than the Arrow batch size reaches the
+    state function as MULTIPLE chunks; the recurrence must run over
+    the WHOLE batch in event-time order, not per-chunk (per-chunk
+    sorting makes alarm counts chunk-boundary-dependent). Rows arrive
+    ts-DESCENDING with maxRecordsPerBatch=3 so per-chunk order and
+    whole-batch order provably diverge (asserted on the replay model
+    below), then the engine is pinned to the whole-batch order."""
+    mu0, k, h = 10.0, 0.5, 6.0
+    # values by event-time offset 0..11
+    by_ts = [13.0] * 4 + [7.0] * 4 + [13.0] * 4
+    # arrival (row) order inside the single file: ts-descending
+    rows = [("a", by_ts[off], off) for off in range(11, -1, -1)]
+    # old per-chunk behavior at chunk size 3: each 3-row chunk of the
+    # arrival order, ts-sorted internally
+    per_chunk_order = []
+    for c in range(0, 12, 3):
+        chunk = sorted(rows[c : c + 3], key=lambda r: r[2])
+        per_chunk_order.extend(v for _, v, _ in chunk)
+    whole_batch_order = by_ts
+    assert (
+        cusum_replay(per_chunk_order, mu0, k, h)
+        != cusum_replay(whole_batch_order, mu0, k, h)
+    ), "fixture is not order-discriminating; pick new values"
+    old = spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", None
+    )
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        final = _run_cusum_stream(
+            spark, tmp_path, [rows], "cusum_chunks", mu0, k, h
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(
+                "spark.sql.execution.arrow.maxRecordsPerBatch"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+    want = cusum_replay(whole_batch_order, mu0, k, h)
+    assert final["a"] == (
+        want[0],
+        round(want[1], 6),
+        round(want[2], 6),
+        want[3],
+    )
