@@ -149,6 +149,23 @@ HEADLINE = [
     "eval_quality_threshold_sweep",
     "stream_late_data_audit",
     "sim_graph_ann_topk",
+    # Round-11 registrations: the drift/corpus-law diagnostics
+    # (queries/pending_r11.py; staged-measurement sf0.1 costs all
+    # <0.6 s — bounded output frames) and the video near-dup
+    # (generated MJPEG-AVI corpus, sf-independent).
+    "stats_ks_drift_segments",
+    "stats_psi_value_drift",
+    "events_cusum_changepoint",
+    "text_zipf_fit",
+    "text_heaps_vocab_growth",
+    "eval_calibration_bins",
+    "embed_sq8_quantization_error",
+    "text_js_divergence_sources",
+    "events_acf_daily",
+    "stats_benford_first_digit",
+    "events_trend_mann_kendall",
+    "stats_hhi_supplier_concentration",
+    "multimodal_video_neardup",
 ]
 
 
@@ -178,12 +195,16 @@ def main() -> None:
     # run 1's cache via plan-equality (CacheManager canonicalization),
     # which is steady-state behavior for a repeatedly-served query.
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for run in range(2):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
+            sec = time.perf_counter() - t0
+            if run == 0:
+                cold[name] = round(sec, 3)
+            best = min(best, sec)
         times[name] = round(best, 3)
         spark.catalog.clearCache()
 
@@ -193,6 +214,13 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        # First-run wall per query, in-process: includes one-time JVM
+        # JIT/codegen AND any session-level index/corpus construction
+        # (media corpora, ANN graph, minhash pair index) that the
+        # min-of-2 "queries" map measures warm. cold - min is the
+        # per-session amortized cost; the summary "value" stays the
+        # steady-state min-of-2 total (the deployed-index posture).
+        "cold": cold,
         "sf": float(sf),
         "n_queries": len(times),
     }

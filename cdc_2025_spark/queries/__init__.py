@@ -30,6 +30,7 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
     llmdata,
     multimodal,
     pending_r10,
+    pending_r11,
     relational,
     resilience_star,
     similarity,
@@ -46,91 +47,77 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
 # audit, graph ANN) — see queries/pending_r10.py.
 pending_r10.register_all()
 
-# Round-10 window (the driver oracle-checks the FIRST 50 registry
+# Round-11 registrations: the twelve drift & corpus-law diagnostics
+# staged through r10 with full DuckDB oracles and both-SF parity tests
+# (KS, PSI, CUSUM, Zipf, Heaps, calibration, SQ8 audit, JS divergence,
+# ACF, Benford, Mann-Kendall, HHI) — see queries/pending_r11.py.
+pending_r11.register_all()
+
+# Round-11 window (the driver oracle-checks the FIRST 50 registry
 # entries per round, insertion order):
 #
-#   1. _NEW_R10: the seven round-10 registrations — never-checked, so
-#      the freshness guard requires them to LEAD the window
-#      (sim_graph_ann_topk is rows-only by design: iterative graph
-#      traversal has no SQL twin; recall/determinism pinned in
-#      tests/test_graphann.py).
-#   2. _CHANGED_R10: plan changes to already-green queries, each
-#      re-verified hash-green locally at sf0.01 — the five r9 plan
-#      changes (see r9 notes below) plus the three r10 ones
-#      (connected_components filtering reduction feeds
-#      dedup_cluster_canonical_docs / sample_leakage_free_split,
-#      already in the r9 queue).
-#   3. _SPILLED_R9: the last 3 r6-fills that spilled past r9's 50-cut
-#      (owed: the r9 window promised them the r10 lead).
-#   4. _FILL_R10: the 35 oldest-green ORACLE-BACKED queries (22 r6 +
-#      13 r7, file order) — computed mechanically from the
-#      CORRECTNESS history. Rows-only-by-design queries with an
-#      existing driver row are EXEMPT from the stale horizon as of
-#      r10 (r9 verdict item 3 / task 4): a repeat row adds no signal
-#      beyond rows-ran, so their slots go to hash-checkable queries
-#      (the window holds 49 oracle-backed entries + the one
-#      never-checked rows-only registration).
-#
-# r9 plan-change notes (verified hash-green at sf0.01 locally):
-#   sim_knn_label_spread — vote window -> max_by aggregate + corpus
-#     pre-partition (4.75 -> 0.75 s steady-state, unchanged hash)
-#   merge_into_customer_balances — NULL clause-condition coalesce
-#   text_url_canonical_dedup — BOTH sides now split on the FIRST '?'
-#   dedup_cluster_canonical_docs / sample_leakage_free_split —
-#     connected_components integral-dtype gate (long output both
-#     paths); in r10 also the filtering-reduction closure
-_NEW_R10 = [
-    "er_customer_golden_records",
-    "privacy_kanon_events",
-    "sample_weighted_reservoir_docs",
-    "eval_quality_auc",
-    "eval_quality_threshold_sweep",
-    "stream_late_data_audit",
-    "sim_graph_ann_topk",
+#   1. _NEW_R11: the twelve round-11 registrations (all oracle-backed)
+#      plus the video near-dup registration (rows-only by design:
+#      container decode has no SQL twin; accuracy pinned against a
+#      python set model in tests/test_avi.py) — never-checked, so the
+#      freshness guard requires them to LEAD the window.
+#   2. _CHANGED_R11: plan changes from the r10 post-close perf session,
+#      each re-verified parity-green locally at sf0.001 + sf0.01:
+#      text_winnowing_fingerprints (zero-shuffle array rewrite),
+#      text_ngram_novelty (owner-carrying aggregate, join-back
+#      eliminated), sim_lsh_auto_pairs (rows-only; expr-built planes +
+#      per-bucket numpy re-rank), graph_pagerank_trade_network
+#      (FLIPPED rows-only -> oracle-backed via an unrolled 10-iteration
+#      power-iteration CTE — its standing r8 driver row predates the
+#      oracle, so this slot makes the flip driver-visible), and
+#      llm_prep_full_ledger (shared minhash pair index, fused stages).
+#      dedup_minhash_lsh_pairs and sim_lsh_bucketed_pairs also changed
+#      (shared index / expr planes) but are r7-green and sit in the
+#      fill below anyway.
+#   3. _FILL_R11: the oldest-green ORACLE-BACKED queries — all 28
+#      r7-greens not refreshed in the r10 window (at 189 registered
+#      queries the derived horizon is 4 rounds, so r7 rows expire at
+#      r12) plus the 4 oldest r8-greens, CORRECTNESS file order —
+#      computed mechanically from the CORRECTNESS history.
+_NEW_R11 = [
+    *pending_r11.PENDING_ORDER,
+    "multimodal_video_neardup",
 ]
 
-_CHANGED_R10 = [
-    "sim_knn_label_spread",
-    "merge_into_customer_balances",
-    "text_url_canonical_dedup",
-    "dedup_cluster_canonical_docs",
-    "sample_leakage_free_split",
+_CHANGED_R11 = [
+    "text_winnowing_fingerprints",
+    "text_ngram_novelty",
+    "sim_lsh_auto_pairs",
+    "graph_pagerank_trade_network",
+    "llm_prep_full_ledger",
 ]
 
-_SPILLED_R9 = [
-    "pivot_user_event_matrix",
-    "unpivot_lineitem_measures",
-    "scalar_dates_monthly_revenue",
-]
-
-_FILL_R10 = [
-    # newest green r6, CORRECTNESS_r06 file order
-    "range_join_event_windows", "scalar_strings_part_brands",
-    "scalar_json_props_extract", "topk_customers_by_spend",
-    "resilience_nation_revenue", "shock_sim_nation_revenue",
-    "forecast_nation_revenue", "text_repetition_scores",
-    "text_doc_entropy", "text_pii_scrub",
-    "cdc_scd2_user_state_history", "cdc_scd2_state_asof",
-    "text_token_stats", "text_quality_scores",
-    "text_lang_id_confusion", "text_punct_and_bpe",
-    "q4_order_priority", "q6_forecast_revenue",
-    "q7_nation_volume", "q8_market_share",
-    "q14_promo_revenue", "q15_top_supplier",
-    # newest green r7, CORRECTNESS_r07 file order
-    "dedup_embedding_neardup", "dedup_remove_repeated_spans",
-    "dedup_embedding_neardup_lsh", "dedup_pipeline_accounting",
-    "sample_topk_weighted_per_source", "q18_large_orders",
-    "q19_bracketed_revenue", "q9_product_profit",
-    "q20_promo_heavy_suppliers", "q21_sole_late_suppliers",
-    "q11ish_part_value_share", "q13_customer_order_distribution",
-    "q17_small_quantity_revenue",
+_FILL_R11 = [
+    # newest green r7, CORRECTNESS_r07 file order (all 28)
+    "q22_dormant_rich_customers", "skewjoin_salted_event_types",
+    "window_top3_orders_per_customer", "window_running_spend",
+    "asof_last_signup_before_purchase", "q12_priority_by_linestatus",
+    "text_tfidf_top_terms", "sql_api_lateral_explode",
+    "window_ntile_spend_quartiles", "dedup_simhash_pairs",
+    "dedup_minhash_lsh_pairs", "sim_lsh_bucketed_pairs",
+    "interevent_timing_stats", "window_event_gaps",
+    "window_sessionize_events", "q16_supplier_count_by_parttype",
+    "window_cumulative_distribution", "window_mom_revenue_change",
+    "window_trailing7d_customer_spend", "timeseries_gap_fill",
+    "stats_robust_outliers", "text_top_terms",
+    "events_user_type_entropy", "stats_approx_percentiles",
+    "text_fingerprints", "dedup_ngram_jaccard_pairs",
+    "dedup_jaccard_clusters", "stats_corr_price_quantity",
+    # newest green r8, CORRECTNESS_r08 file order (oldest 4 not in
+    # the changed list above)
+    "stats_source_length_drift", "sample_language_temperature",
+    "text_quality_percentile_filter", "text_perplexity_buckets",
 ]
 
 _VERIFY_FIRST = [
-    *_NEW_R10,
-    *_CHANGED_R10,
-    *_SPILLED_R9,
-    *_FILL_R10,
+    *_NEW_R11,
+    *_CHANGED_R11,
+    *_FILL_R11,
 ]
 
 

@@ -307,3 +307,71 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_pairs(fps, max_distance=3).select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+@query("multimodal_video_neardup")
+def multimodal_video_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Video near-duplicate pairs over a decoded MJPEG-AVI corpus —
+    the video leg of the perceptual-hash family: 64-bit aHash per
+    CONTAINER frame (multimodal/avi.py RIFF parse + baseline-JPEG
+    decode, one Arrow-batched mapInPandas stage, 12 bytes out per
+    frame), then containment pairing of the distinct frame-hash sets
+    on the 8-byte hash key (multimodal/phash.py:video_neardup_pairs)
+    — catches exact re-uploads, truncations, and shared-prefix edits
+    with NO all-pairs stage (frames only meet on equal hashes, the
+    shared-shingle fanout shape).
+
+    rows-only by design (container decode has no SQL twin). Accuracy
+    is pinned in test_avi.py: engine pairs == a python set model over
+    the same frame hashes, prefix twins at containment 1.0, disjoint
+    seeds pair-free, and frame hashes byte-identical to still-JPEG
+    decodes of the same pattern.
+
+    Corpus (generated, deterministic — the testdata lake has no media
+    table; ``sf_dir`` unused, the phash query's posture): 8 base
+    videos of distinct seeds (4-6 frames), 3 prefix truncations
+    (seeds 0-2, 3 frames — the re-upload-of-a-clip case), 2 exact
+    byte-duplicates (seeds 3-4). Expected: exactly 5 near-dup pairs,
+    each at containment 1.0. Scale shape: pixels never shuffle; all
+    pairing runs on the (media_id, ahash) frame — one distinct, one
+    equi-join on the hash, grouped counts."""
+    from cdc_2025_spark.multimodal.avi import make_mjpeg_avi
+    from cdc_2025_spark.multimodal.phash import (
+        video_frame_hashes,
+        video_neardup_pairs,
+    )
+
+    def build() -> DataFrame:
+        rows = [
+            (i, bytearray(make_mjpeg_avi(40, 32, n_frames=4 + i % 3, seed=i)))
+            for i in range(8)
+        ]
+        rows += [
+            (8 + j, bytearray(make_mjpeg_avi(40, 32, n_frames=3, seed=j)))
+            for j in range(3)
+        ]
+        rows += [
+            (
+                11 + j,
+                bytearray(
+                    make_mjpeg_avi(40, 32, n_frames=4 + (3 + j) % 3, seed=3 + j)
+                ),
+            )
+            for j in range(2)
+        ]
+        return spark.createDataFrame(
+            rows, "media_id long, payload binary"
+        ).repartition(4)
+
+    vids = _media_input(spark, "neardup_videos", build)
+    pairs = video_neardup_pairs(
+        video_frame_hashes(vids), threshold=0.5
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("n_shared").cast("int").alias("n_shared"),
+        "containment",
+    )

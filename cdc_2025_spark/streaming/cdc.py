@@ -99,16 +99,38 @@ def cdc_source(
             "rowsPerSecond", str(rows_per_second)
         ).load()
     if source == "kafka":
-        if not (kafka_bootstrap and kafka_topic):
-            raise ValueError("kafka source needs bootstrap servers and topic")
-        return (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", kafka_bootstrap)
-            .option("subscribe", kafka_topic)
-            .option("startingOffsets", "earliest")
-            .load()
-        )
+        reader = spark.readStream.format("kafka")
+        for k, v in kafka_reader_options(
+            kafka_bootstrap, kafka_topic
+        ).items():
+            reader = reader.option(k, v)
+        return reader.load()
     raise ValueError(f"unknown CDC source {source!r}")
+
+
+def kafka_reader_options(
+    bootstrap: str | None, topic: str | None
+) -> dict[str, str]:
+    """The Kafka reader's full option surface, as a pure function so
+    the config contract is unit-testable WITHOUT the connector on the
+    classpath (the spark-sql-kafka package is not in this container;
+    ``load()`` is exercised in real deployments only — the file and
+    rate paths cover the rest of the pipeline's streaming semantics
+    over the same frame shape).
+
+    startingOffsets=earliest: a CDC consumer must replay the topic's
+    retained history on first start or the initial snapshot is
+    incomplete; after the first checkpoint commit, offsets come from
+    the checkpoint and this option is ignored — so it is safe for
+    restarts too. failOnDataLoss stays at its default (true): silent
+    gaps in a change stream corrupt every downstream snapshot."""
+    if not (bootstrap and topic):
+        raise ValueError("kafka source needs bootstrap servers and topic")
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": topic,
+        "startingOffsets": "earliest",
+    }
 
 
 def _recover_store(path: str) -> None:

@@ -244,3 +244,25 @@ def test_idx1_partial_entry_fails_loud():
     struct.pack_into("<I", payload, 4, riff_ln - 12)
     with pytest.raises(ValueError, match="multiple of 16"):
         parse_avi(bytes(payload[:-12]))
+
+
+def test_registered_video_neardup_query(spark):
+    """The driver-registered query must produce exactly its documented
+    pairs: the 3 prefix truncations and 2 exact duplicates, each at
+    containment 1.0, and nothing else (distinct base seeds never
+    pair)."""
+    from cdc_2025_spark.queries.multimodal import (
+        multimodal_video_neardup,
+    )
+
+    rows = sorted(
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in multimodal_video_neardup(spark, "unused").collect()
+    )
+    assert rows == [
+        (0, 8, 1.0),
+        (1, 9, 1.0),
+        (2, 10, 1.0),
+        (3, 11, 1.0),
+        (4, 12, 1.0),
+    ]

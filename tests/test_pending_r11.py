@@ -95,13 +95,17 @@ def test_pending_outputs_driver_sortable(spark, name):
     assert not bad, f"{name}: container columns {bad}"
 
 
-def test_pending_module_not_registered():
-    """Importing pending_r11 must leave the live registry untouched
-    (the freshness guard requires new registrations to LEAD a
-    verification window — the round-10 window is already composed)."""
-    from cdc_2025_spark.queries import QUERIES
+def test_pending_registered_and_leading_r11_window():
+    """Round-11 opened the window: every pending query is registered
+    (register_all in queries/__init__.py), oracle-backed, and LEADS
+    the first-50 verification window in PENDING_ORDER."""
+    from cdc_2025_spark.queries import ORACLES, QUERIES
 
-    assert not (set(pending_r11.PENDING_ORDER) & set(QUERIES))
+    names = list(QUERIES)
+    assert names[: len(pending_r11.PENDING_ORDER)] == (
+        pending_r11.PENDING_ORDER
+    )
+    assert all(n in ORACLES for n in pending_r11.PENDING_ORDER)
 
 
 def test_statistics_are_nontrivial(spark):

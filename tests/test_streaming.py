@@ -1233,3 +1233,25 @@ def test_streaming_weighted_reservoir_maintenance(spark, tmpdir):
         ).collect()
     }
     assert store == full and len(store) == k
+
+
+def test_kafka_reader_option_surface():
+    """The Kafka leg of cdc_source is constructed but UNTESTABLE here
+    (the spark-sql-kafka connector is not on the sandbox classpath),
+    so the config contract is pinned as a pure function: replay from
+    earliest retained offsets on first start, subscribe (not assign)
+    so partition discovery is dynamic, and NO failOnDataLoss override
+    (the default true is the correct CDC posture — silent gaps corrupt
+    every downstream snapshot)."""
+    from cdc_2025_spark.streaming.cdc import kafka_reader_options
+
+    opts = kafka_reader_options("broker1:9092,broker2:9092", "cdc.users")
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "cdc.users",
+        "startingOffsets": "earliest",
+    }
+    assert "failOnDataLoss" not in opts
+    for bad in [(None, "t"), ("b", None), ("", ""), (None, None)]:
+        with pytest.raises(ValueError, match="kafka"):
+            kafka_reader_options(*bad)

@@ -104,6 +104,19 @@ QUERIES_UNDER_TEST = [
     "eval_quality_auc",
     "eval_quality_threshold_sweep",
     "sim_graph_ann_topk",
+    # round-11 registrations over the replica corpus (the five
+    # documents/embeddings drift diagnostics; star-schema ones —
+    # KS/Benford on orders, CUSUM/ACF/Mann-Kendall on events, PSI on
+    # events, HHI on lineitem — are outside the replica, shapes noted
+    # in SCALE.md round-10 staging section), plus the video near-dup
+    # (generated corpus, sf-independent: tracks the decode+pairing
+    # wall under suite memory pressure)
+    "text_zipf_fit",
+    "text_heaps_vocab_growth",
+    "eval_calibration_bins",
+    "embed_sq8_quantization_error",
+    "text_js_divergence_sources",
+    "multimodal_video_neardup",
 ]
 # merge_into_customer_balances reads the star schema (customer/orders)
 # — not part of the replica corpus; its scale note lives in BASELINE.md
