@@ -1,8 +1,11 @@
 """FLAC (Free Lossless Audio Codec) — real, dependency-free encode +
 decode kernels for the subset a training-data lake actually stores:
-16-bit mono streams, CONSTANT / VERBATIM / FIXED(0-4) / LPC subframes,
-Rice-coded residuals with partitioning, CRC-8 frame headers, CRC-16
-frame footers, and the STREAMINFO MD5 of the unencoded samples.
+16/24-bit mono and stereo streams (independent, left/side,
+right/side, and mid/side channel decorrelation — the side channel
+carrying its spec-mandated extra sample bit), CONSTANT / VERBATIM /
+FIXED(0-4) / LPC subframes, Rice-coded residuals with partitioning,
+CRC-8 frame headers, CRC-16 frame footers, and the STREAMINFO MD5 of
+the unencoded interleaved samples.
 
 Everything here derives from the public format specification
 (RFC 9639 / the xiph.org FLAC format document; reference behavior
@@ -194,13 +197,20 @@ def _best_rice_param(residual, max_param: int) -> int:
 
 
 def _write_residual(bw: _BitWriter, residual, order: int) -> None:
-    """Rice method 0 (4-bit parameters), partition order 0 — the
-    simplest spec-legal layout; decoders must (and ours does) accept
-    any partition order."""
-    bw.write(0, 2)  # coding method: Rice, 4-bit params
-    bw.write(0, 4)  # partition order 0 -> one partition
-    p = _best_rice_param(residual, 14)
-    bw.write(p, 4)
+    """Partition order 0 (one partition) — the simplest spec-legal
+    layout; decoders must (and ours does) accept any partition order.
+    Rice method 0 (4-bit parameters) when the best parameter fits;
+    Rice2 (5-bit) when 24-bit-depth residuals want a larger one — a
+    small parameter on wide residuals explodes the unary quotients."""
+    p = _best_rice_param(residual, 30)
+    if p <= 14:
+        bw.write(0, 2)  # coding method: Rice, 4-bit params
+        bw.write(0, 4)  # partition order 0 -> one partition
+        bw.write(p, 4)
+    else:
+        bw.write(1, 2)  # coding method: Rice2, 5-bit params
+        bw.write(0, 4)
+        bw.write(p, 5)
     for r in residual:
         u = _zigzag(int(r))
         bw.write_unary(u >> p)
@@ -339,52 +349,110 @@ def _utf8_coded_number(n: int) -> bytes:
     return chr(n).encode("utf-8")
 
 
+def _pack_sample(v: int, bits: int) -> bytes:
+    """Little-endian signed sample bytes — the layout FLAC's
+    STREAMINFO MD5 is defined over (bits//8 bytes per sample,
+    channels interleaved)."""
+    return v.to_bytes(bits // 8, "little", signed=True)
+
+
+# frame-header channel-assignment codes (spec table)
+_CH_INDEPENDENT_2 = 1
+_CH_LEFT_SIDE = 8
+_CH_RIGHT_SIDE = 9
+_CH_MID_SIDE = 10
+
+_SS_CODES = {16: 0b100, 24: 0b110}
+_SS_BITS = {0b100: 16, 0b110: 24}
+
+
 def encode_flac(
     samples,
     sample_rate: int = 8000,
     block_size: int = _BLOCK_SIZE,
     predictor: str = "fixed",
     lpc_order: int = 4,
+    channels: int = 1,
+    bits: int = 16,
+    stereo_mode: str = "auto",
 ) -> bytes:
-    """16-bit mono samples (any int sequence in [-32768, 32767]) ->
-    FLAC bytes. ``predictor``: ``fixed`` picks the best FIXED order
-    0-4 per block by total residual magnitude; ``lpc`` fits real LPC
-    coefficients (Levinson-Durbin) with FIXED as the per-block
-    fallback when the fit degenerates; ``verbatim`` forces
-    uncompressed subframes (layout coverage). Lossless by
-    construction — decode_flac round-trips bit-exactly."""
+    """Integer PCM samples -> FLAC bytes. Mono or stereo (``samples``
+    interleaved L,R,L,R for ``channels=2`` — the WAV data-chunk
+    layout), 16- or 24-bit. ``predictor``: ``fixed`` picks the best
+    FIXED order 0-4 per block by total residual magnitude; ``lpc``
+    fits real LPC coefficients (Levinson-Durbin) with FIXED as the
+    per-block fallback when the fit degenerates; ``verbatim`` forces
+    uncompressed subframes (layout coverage).
+
+    ``stereo_mode``: ``independent`` codes L and R as-is;
+    ``mid-side`` / ``left-side`` / ``right-side`` code the spec's
+    decorrelated pairs (the difference channel carries one extra
+    sample bit, per spec); ``auto`` encodes each frame all FOUR ways
+    and keeps the smallest — the per-frame decision real encoders
+    make. Lossless by construction — decode_flac round-trips
+    bit-exactly at every mode/depth."""
     if predictor not in ("fixed", "lpc", "verbatim"):
         raise ValueError(f"unknown predictor {predictor!r}")
     if not 16 <= block_size <= 65535:
         raise ValueError(f"block_size out of range: {block_size}")
+    if channels not in (1, 2):
+        raise NotImplementedError(
+            f"only mono/stereo encode supported (channels={channels})"
+        )
+    if bits not in (16, 24):
+        raise NotImplementedError(
+            f"only 16/24-bit encode supported (bits={bits})"
+        )
+    if stereo_mode not in (
+        "auto", "independent", "mid-side", "left-side", "right-side"
+    ):
+        raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
     xs = [int(v) for v in samples]
     if not xs:
         raise ValueError("empty sample stream")
+    if len(xs) % channels:
+        raise ValueError(
+            f"{len(xs)} samples do not interleave {channels} channels"
+        )
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
     for v in xs:
-        if not -32768 <= v <= 32767:
-            raise ValueError(f"sample {v} outside s16 range")
+        if not lo <= v <= hi:
+            raise ValueError(f"sample {v} outside s{bits} range")
     md5 = hashlib.md5()
-    md5.update(b"".join(_struct.pack("<h", v) for v in xs))
+    md5.update(b"".join(_pack_sample(v, bits) for v in xs))
 
     frames = bytearray()
-    n_blocks = (len(xs) + block_size - 1) // block_size
+    total = len(xs) // channels  # interchannel samples
+    n_blocks = (total + block_size - 1) // block_size
     for fi in range(n_blocks):
-        blk = xs[fi * block_size : (fi + 1) * block_size]
-        frames += _encode_frame(blk, fi, sample_rate, predictor, lpc_order)
+        lo_i = fi * block_size * channels
+        blk = xs[lo_i : lo_i + block_size * channels]
+        frames += _encode_frame(
+            blk, fi, sample_rate, predictor, lpc_order,
+            channels, bits, stereo_mode,
+        )
 
     streaminfo = (
         _struct.pack(">HH", block_size, block_size)
         + b"\x00\x00\x00" * 2  # min/max frame size unknown
-        + _pack_streaminfo_tail(sample_rate, len(xs))
+        + _pack_streaminfo_tail(sample_rate, total, channels, bits)
         + md5.digest()
     )
     header = b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big")
     return header + streaminfo + bytes(frames)
 
 
-def _pack_streaminfo_tail(sample_rate: int, total: int) -> bytes:
-    """20-bit rate | 3-bit channels-1 | 5-bit bits-1 | 36-bit total."""
-    v = (sample_rate << 44) | (0 << 41) | ((_BITS - 1) << 36) | total
+def _pack_streaminfo_tail(
+    sample_rate: int, total: int, channels: int, bits: int
+) -> bytes:
+    """20-bit rate | 3-bit channels-1 | 5-bit bits-1 | 36-bit total
+    (total counts INTERCHANNEL samples, per spec)."""
+    v = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | total
+    )
     return v.to_bytes(8, "big")
 
 
@@ -397,11 +465,34 @@ _SR_CODES = {88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5,
              96000: 11}
 
 
+def _stereo_candidates(left, right, mode: str):
+    """(ch_code, [(channel samples, extra width bit), ...]) candidate
+    list for one stereo frame. The side (difference) channel needs
+    bits+1 sample bits, per spec; mid is the floored average whose
+    dropped low bit the decoder recovers from side's parity."""
+    side = [a - b for a, b in zip(left, right)]
+    mid = [(a + b) >> 1 for a, b in zip(left, right)]
+    by_mode = {
+        "independent": (_CH_INDEPENDENT_2, [(left, 0), (right, 0)]),
+        "left-side": (_CH_LEFT_SIDE, [(left, 0), (side, 1)]),
+        "right-side": (_CH_RIGHT_SIDE, [(side, 1), (right, 0)]),
+        "mid-side": (_CH_MID_SIDE, [(mid, 0), (side, 1)]),
+    }
+    if mode == "auto":
+        # all four spec assignments, smallest frame wins — e.g. a
+        # clean channel plus a noisy copy compresses best as
+        # left/side (mid inherits half the noise), which a
+        # two-candidate independent-vs-mid-side pick would miss
+        return list(by_mode.values())
+    return [by_mode[mode]]
+
+
 def _encode_frame(
     blk, frame_no: int, sample_rate: int,
     predictor: str, lpc_order: int,
+    channels: int = 1, bits: int = 16, stereo_mode: str = "auto",
 ) -> bytes:
-    n = len(blk)
+    n = len(blk) // channels
     bs_code = _BS_CODES.get(n)
     if bs_code is None:
         bs_code = 7  # 16-bit block size - 1 follows header
@@ -410,38 +501,54 @@ def _encode_frame(
         sr_code = 13  # 16-bit rate in Hz follows (spec code 13)
         if not 0 < sample_rate <= 65535:
             raise ValueError(f"sample rate {sample_rate} not codable")
-    hdr = bytearray()
-    hdr += bytes([0xFF, 0xF8])  # sync + reserved0 + fixed blocking
-    hdr.append((bs_code << 4) | sr_code)
-    hdr.append((0 << 4) | (0b100 << 1) | 0)  # mono | 16-bit | reserved
-    hdr += _utf8_coded_number(frame_no)
-    if bs_code == 7:
-        hdr += _struct.pack(">H", n - 1)
-    if sr_code == 13:  # the 16-bit-Hz-follows code set above
-        hdr += _struct.pack(">H", sample_rate)
-    hdr.append(_crc8(bytes(hdr)))
 
-    bw = _BitWriter()
-    _encode_subframe(bw, blk, predictor, lpc_order)
-    bw.align()
-    frame = bytes(hdr) + bw.bytes()
-    return frame + _struct.pack(">H", _crc16(frame))
+    if channels == 1:
+        candidates = [(0, [(blk, 0)])]
+    else:
+        left, right = blk[0::2], blk[1::2]
+        candidates = _stereo_candidates(left, right, stereo_mode)
+
+    best = None
+    for ch_code, subchannels in candidates:
+        hdr = bytearray()
+        hdr += bytes([0xFF, 0xF8])  # sync + reserved0 + fixed blocking
+        hdr.append((bs_code << 4) | sr_code)
+        hdr.append((ch_code << 4) | (_SS_CODES[bits] << 1))
+        hdr += _utf8_coded_number(frame_no)
+        if bs_code == 7:
+            hdr += _struct.pack(">H", n - 1)
+        if sr_code == 13:  # the 16-bit-Hz-follows code set above
+            hdr += _struct.pack(">H", sample_rate)
+        hdr.append(_crc8(bytes(hdr)))
+
+        bw = _BitWriter()
+        for sub, extra in subchannels:
+            _encode_subframe(bw, sub, predictor, lpc_order, bits + extra)
+        bw.align()
+        frame = bytes(hdr) + bw.bytes()
+        frame += _struct.pack(">H", _crc16(frame))
+        if best is None or len(frame) < len(best):
+            best = frame
+    return best
 
 
-def _encode_subframe(bw: _BitWriter, blk, predictor: str, lpc_order: int) -> None:
+def _encode_subframe(
+    bw: _BitWriter, blk, predictor: str, lpc_order: int,
+    width: int = _BITS,
+) -> None:
     n = len(blk)
     if predictor == "verbatim":
         bw.write(0, 1)
         bw.write(0b000001, 6)
         bw.write(0, 1)
         for v in blk:
-            bw.write_signed(v, _BITS)
+            bw.write_signed(v, width)
         return
     if all(v == blk[0] for v in blk):
         bw.write(0, 1)
         bw.write(0b000000, 6)  # CONSTANT
         bw.write(0, 1)
-        bw.write_signed(blk[0], _BITS)
+        bw.write_signed(blk[0], width)
         return
     # FIXED: best order by total |residual| (the classic estimate)
     best_order, best_res, best_cost = 0, None, None
@@ -464,7 +571,7 @@ def _encode_subframe(bw: _BitWriter, blk, predictor: str, lpc_order: int) -> Non
                 bw.write(0b100000 | (lpc_order - 1), 6)
                 bw.write(0, 1)
                 for v in blk[:lpc_order]:
-                    bw.write_signed(v, _BITS)
+                    bw.write_signed(v, width)
                 bw.write(12 - 1, 4)  # precision-1
                 bw.write_signed(shift, 5)
                 for c in coefs:
@@ -475,7 +582,7 @@ def _encode_subframe(bw: _BitWriter, blk, predictor: str, lpc_order: int) -> Non
     bw.write(0b001000 | best_order, 6)
     bw.write(0, 1)
     for v in blk[:best_order]:
-        bw.write_signed(v, _BITS)
+        bw.write_signed(v, width)
     _write_residual(bw, best_res, best_order)
 
 
@@ -488,13 +595,22 @@ _SR_FROM_CODE = {v: k for k, v in _SR_CODES.items()}
 
 
 def decode_flac(payload: bytes, verify_md5: bool = True):
-    """FLAC bytes -> (list of int16 sample values, sample_rate).
-    Supports the lake subset: 16-bit mono, CONSTANT / VERBATIM /
-    FIXED(0-4) / LPC subframes, both Rice methods, any partition
-    order, wasted bits, CRC-8/CRC-16 verification, STREAMINFO MD5
-    verification (``verify_md5=False`` to skip on truncated streams).
-    Multi-channel and other bit depths raise NotImplementedError —
-    fail loud, never decode wrongly."""
+    """FLAC bytes -> (list of int sample values, sample_rate); stereo
+    comes back channel-INTERLEAVED (L,R,L,R — the WAV layout). See
+    decode_flac_info for the (channels, bits) metadata."""
+    info = decode_flac_info(payload, verify_md5=verify_md5)
+    return info["samples"], info["sample_rate"]
+
+
+def decode_flac_info(payload: bytes, verify_md5: bool = True) -> dict:
+    """FLAC bytes -> dict(samples, sample_rate, channels, bits).
+    Supports the lake subset: 16/24-bit, mono + stereo (independent,
+    left/side, right/side, mid/side channel assignments), CONSTANT /
+    VERBATIM / FIXED(0-4) / LPC subframes, both Rice methods, any
+    partition order, wasted bits, CRC-8/CRC-16 verification,
+    STREAMINFO MD5 verification (``verify_md5=False`` to skip on
+    truncated streams). >2 channels and other bit depths raise
+    NotImplementedError — fail loud, never decode wrongly."""
     if payload[:4] != b"fLaC":
         raise ValueError("not a FLAC payload")
     pos = 4
@@ -516,39 +632,71 @@ def decode_flac(payload: bytes, verify_md5: bool = True):
     sample_rate = tail >> 44
     channels = ((tail >> 41) & 0x7) + 1
     bits = ((tail >> 36) & 0x1F) + 1
-    total = tail & ((1 << 36) - 1)
+    total = tail & ((1 << 36) - 1)  # interchannel samples
     md5_expect = streaminfo[18:34]
-    if channels != 1 or bits != 16:
+    if channels not in (1, 2) or bits not in (16, 24):
         raise NotImplementedError(
-            f"only 16-bit mono supported (channels={channels}, bits={bits})"
+            f"only 16/24-bit mono/stereo supported "
+            f"(channels={channels}, bits={bits})"
         )
 
     out: list[int] = []
-    while pos + 2 <= len(payload) and (total == 0 or len(out) < total):
-        blk, n_read, sr = _decode_frame(payload, pos, sample_rate)
+    want = total * channels
+    while pos + 2 <= len(payload) and (total == 0 or len(out) < want):
+        blk, n_read, sr = _decode_frame(
+            payload, pos, sample_rate, channels, bits
+        )
         out.extend(blk)
         pos += n_read
-    if total and len(out) > total:
-        out = out[:total]
+    if total and len(out) > want:
+        out = out[:want]
     if verify_md5 and md5_expect != b"\x00" * 16:
         md5 = hashlib.md5()
-        md5.update(b"".join(_struct.pack("<h", v) for v in out))
+        md5.update(b"".join(_pack_sample(v, bits) for v in out))
         if md5.digest() != md5_expect:
             raise ValueError("STREAMINFO MD5 mismatch (corrupt stream)")
-    return out, sample_rate
+    return {
+        "samples": out,
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits": bits,
+    }
 
 
-def _decode_frame(payload: bytes, pos: int, si_rate: int):
+def _decode_frame(
+    payload: bytes, pos: int, si_rate: int,
+    si_channels: int = 1, si_bits: int = 16,
+):
     start = pos
     if payload[pos] != 0xFF or (payload[pos + 1] & 0xFC) != 0xF8:
         raise ValueError(f"bad frame sync at {pos}")
     b2, b3 = payload[pos + 2], payload[pos + 3]
     bs_code, sr_code = b2 >> 4, b2 & 0xF
     ch_code, ss_code = b3 >> 4, (b3 >> 1) & 0x7
-    if ch_code != 0:
-        raise NotImplementedError("only mono frames supported")
-    if ss_code != 0b100:
-        raise NotImplementedError("only 16-bit frames supported")
+    if ch_code == 0:
+        n_ch = 1
+    elif ch_code in (
+        _CH_INDEPENDENT_2, _CH_LEFT_SIDE, _CH_RIGHT_SIDE, _CH_MID_SIDE
+    ):
+        n_ch = 2
+    else:
+        raise NotImplementedError(
+            f"channel assignment {ch_code} not supported"
+        )
+    if n_ch != si_channels:
+        raise ValueError(
+            f"frame channel count {n_ch} contradicts STREAMINFO "
+            f"{si_channels}"
+        )
+    if ss_code not in _SS_BITS:
+        raise NotImplementedError(
+            f"sample-size code {ss_code:#05b} not supported"
+        )
+    bits = _SS_BITS[ss_code]
+    if bits != si_bits:
+        raise ValueError(
+            f"frame bit depth {bits} contradicts STREAMINFO {si_bits}"
+        )
     pos += 4
     # UTF-8-coded frame number: skip per its length
     first = payload[pos]
@@ -592,23 +740,52 @@ def _decode_frame(payload: bytes, pos: int, si_rate: int):
     pos += 1
 
     br = _BitReader(payload, pos)
-    blk = _decode_subframe(br, block_size)
+    # side (difference) subframes carry one extra sample bit, per spec
+    extra = {
+        _CH_LEFT_SIDE: (0, 1),
+        _CH_RIGHT_SIDE: (1, 0),
+        _CH_MID_SIDE: (0, 1),
+    }.get(ch_code, (0,) * n_ch)
+    subs = [
+        _decode_subframe(br, block_size, bits + extra[c])
+        for c in range(n_ch)
+    ]
     br.align()
     frame_end = br.byte_pos()
     crc16_got = _struct.unpack_from(">H", payload, frame_end)[0]
     if _crc16(payload[start:frame_end]) != crc16_got:
         raise ValueError("frame CRC-16 mismatch")
+
+    if n_ch == 1:
+        blk = subs[0]
+    else:
+        if ch_code == _CH_INDEPENDENT_2:
+            left, right = subs
+        elif ch_code == _CH_LEFT_SIDE:
+            left = subs[0]
+            right = [a - s for a, s in zip(left, subs[1])]
+        elif ch_code == _CH_RIGHT_SIDE:
+            right = subs[1]
+            left = [b + s for b, s in zip(right, subs[0])]
+        else:  # mid/side: recover mid's dropped low bit from side's parity
+            mid, side = subs
+            m2 = [(m << 1) | (s & 1) for m, s in zip(mid, side)]
+            left = [(m + s) >> 1 for m, s in zip(m2, side)]
+            right = [(m - s) >> 1 for m, s in zip(m2, side)]
+        blk = [v for pair in zip(left, right) for v in pair]
     return blk, frame_end + 2 - start, rate
 
 
-def _decode_subframe(br: _BitReader, block_size: int) -> list[int]:
+def _decode_subframe(
+    br: _BitReader, block_size: int, bits: int = _BITS
+) -> list[int]:
     if br.read(1):
         raise ValueError("subframe padding bit set")
     stype = br.read(6)
     wasted = 0
     if br.read(1):
         wasted = br.read_unary() + 1
-    width = _BITS - wasted
+    width = bits - wasted
     if stype == 0b000000:  # CONSTANT
         v = br.read_signed(width)
         return [v << wasted] * block_size
@@ -649,17 +826,40 @@ def make_flac(
     freq_hz: float = 440.0,
     amplitude: float = 0.5,
     predictor: str = "lpc",
+    channels: int = 1,
+    bits: int = 16,
+    stereo_mode: str = "auto",
 ) -> bytes:
     """Payload twin of media.make_wav: the SAME deterministic sine
     encoded as FLAC — decode_flac(make_flac(...)) equals
     decode_wav(make_wav(...)) sample-for-sample (pinned in tests), so
     cross-container audio dedup is testable the way the BMP/PNG twins
-    make image dedup testable."""
+    make image dedup testable. ``channels=2`` puts the sine on the
+    left and the same sine a musical fifth up (freq*1.5) on the
+    right — correlated enough that mid/side wins frames, distinct
+    enough that reconstruction errors can't cancel."""
     import math
 
     n = sample_rate * duration_ms // 1000
-    xs = [
-        int(amplitude * 32767 * math.sin(2 * math.pi * freq_hz * i / sample_rate))
-        for i in range(n)
-    ]
-    return encode_flac(xs, sample_rate=sample_rate, predictor=predictor)
+    full = (1 << (bits - 1)) - 1
+
+    def sine(f: float, i: int) -> int:
+        return int(
+            amplitude * full * math.sin(2 * math.pi * f * i / sample_rate)
+        )
+
+    if channels == 1:
+        xs = [sine(freq_hz, i) for i in range(n)]
+    else:
+        xs = []
+        for i in range(n):
+            xs.append(sine(freq_hz, i))
+            xs.append(sine(freq_hz * 1.5, i))
+    return encode_flac(
+        xs,
+        sample_rate=sample_rate,
+        predictor=predictor,
+        channels=channels,
+        bits=bits,
+        stereo_mode=stereo_mode,
+    )

@@ -268,6 +268,7 @@ def make_real_media(
     n_jpeg: int = 0,
     n_flac: int = 0,
     n_avi: int = 0,
+    n_flac_stereo: int = 0,
 ) -> DataFrame:
     """Media rows with REAL payloads: uncompressed 24-bit BMPs,
     zlib-compressed PNGs, baseline JPEGs (Huffman + DCT,
@@ -352,6 +353,31 @@ def make_real_media(
                 "audio",
                 bytearray(flac),
                 (0, 0, dur, "flac"),
+            )
+        )
+    for i in range(n_flac_stereo):
+        from cdc_2025_spark.multimodal.flac import make_flac  # noqa: PLC0415
+
+        dur = 500 * (1 + i % 4)
+        # stereo + alternating 16/24-bit: the two capability axes the
+        # r10 guards rejected, now real decode paths (left channel is
+        # the mono twin's sine, right a fifth up; auto per-frame
+        # channel assignment)
+        flac = make_flac(
+            sample_rate=8000,
+            duration_ms=dur,
+            freq_hz=220.0 * (1 + i % 3),
+            amplitude=0.25 + 0.1 * (i % 5),
+            predictor="lpc" if i % 2 else "fixed",
+            channels=2,
+            bits=24 if i % 2 else 16,
+        )
+        rows.append(
+            (
+                n_images + n_audio + n_png + n_jpeg + n_flac + n_avi + i,
+                "audio",
+                bytearray(flac),
+                (0, 0, dur, "flac_stereo"),
             )
         )
     for i in range(n_avi):
@@ -693,14 +719,23 @@ def extract_audio_chunk_features(
                     cache_val = decode_wav(raw)
                 else:
                     from cdc_2025_spark.multimodal.flac import (  # noqa: PLC0415
-                        decode_flac,
+                        decode_flac_info,
                     )
 
-                    ints, sr = decode_flac(raw)
-                    cache_val = (
-                        np.asarray(ints, dtype=np.float64) / 32768.0,
-                        sr,
-                    )
+                    info = decode_flac_info(raw)
+                    arr = np.asarray(
+                        info["samples"], dtype=np.float64
+                    ) / float(1 << (info["bits"] - 1))
+                    if info["channels"] > 1:
+                        # features score the MONO downmix (mean of
+                        # channels per interchannel sample) — the
+                        # standard loudness convention, and it keeps
+                        # a stereo FLAC of a mono pattern
+                        # feature-identical to the mono twin
+                        arr = arr.reshape(
+                            -1, info["channels"]
+                        ).mean(axis=1)
+                    cache_val = (arr, info["sample_rate"])
                 cache_key = key
             return cache_val
 

@@ -234,6 +234,24 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("rms"), 4).alias("avg_metric"),
         F.round(F.max("peak"), 4).alias("max_metric"),
     )
+    # audio_flac_stereo: stereo + alternating 16/24-bit FLAC through
+    # the SAME chunk kernel (channel assignments incl. mid/side with
+    # the side channel's extra sample bit; features score the mono
+    # downmix, normalized by the actual bit depth).
+    real_flac_st = _media_input(
+        spark, "real_flac_stereo",
+        lambda: make_real_media(
+            spark, n_images=0, n_audio=0, n_flac_stereo=8
+        ).coalesce(2),
+    )
+    flac_st = extract_audio_chunk_features(
+        real_flac_st, chunk_ms=500
+    ).agg(
+        F.lit("audio_flac_stereo").alias("kind"),
+        F.count("*").alias("n_rows"),
+        F.round(F.avg("rms"), 4).alias("avg_metric"),
+        F.round(F.max("peak"), 4).alias("max_metric"),
+    )
     return (
         img.unionByName(aud)
         .unionByName(vid_union)
@@ -241,6 +259,7 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(resized)
         .unionByName(wav)
         .unionByName(flac)
+        .unionByName(flac_st)
     )
 
 

@@ -160,3 +160,143 @@ def test_non_table_sample_rates_roundtrip():
         dec, sr = decode_flac(enc)
         assert dec == xs
         assert sr == rate, rate
+
+
+# ---------------------------------------------------------------------------
+# Stereo + 24-bit (round-11: the r10 guards narrowed to real decode)
+# ---------------------------------------------------------------------------
+
+from cdc_2025_spark.multimodal.flac import decode_flac_info  # noqa: E402
+
+
+def _interleave(left, right):
+    return [v for pair in zip(left, right) for v in pair]
+
+
+_ST_MODES = ["independent", "left-side", "right-side", "mid-side", "auto"]
+
+
+@pytest.mark.parametrize("mode", _ST_MODES)
+@pytest.mark.parametrize("bits", [16, 24])
+def test_stereo_roundtrip_bit_exact(mode, bits):
+    """Every channel assignment x bit depth round-trips BIT-EXACTLY,
+    including STREAMINFO MD5 verification over the interleaved
+    little-endian samples (decode_flac verifies by default)."""
+    scale = 1 if bits == 16 else 1 << 8
+    left = [v * scale for v in _sine(3000)]
+    rng = random.Random(11)
+    right = [
+        v * scale + rng.randint(-40 * scale, 40 * scale)
+        for v in _sine(3000, freq=660.0)
+    ]
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    right = [min(max(v, lo), hi) for v in right]
+    xs = _interleave(left, right)
+    enc = encode_flac(
+        xs, channels=2, bits=bits, predictor="lpc", stereo_mode=mode
+    )
+    info = decode_flac_info(enc)
+    assert info["samples"] == xs
+    assert info["channels"] == 2 and info["bits"] == bits
+
+
+def test_stereo_extreme_samples_mid_side():
+    """Full-scale anti-phase extremes: the side channel needs its
+    spec-mandated EXTRA bit (|side| up to 2^bits - 1) — round-trip
+    pins the width handling at both depths."""
+    for bits in (16, 24):
+        hi = (1 << (bits - 1)) - 1
+        lo = -(1 << (bits - 1))
+        left = [hi, lo] * 300
+        right = [lo, hi] * 300
+        for mode in ("mid-side", "left-side", "right-side"):
+            enc = encode_flac(
+                _interleave(left, right),
+                channels=2,
+                bits=bits,
+                stereo_mode=mode,
+            )
+            assert decode_flac(enc)[0] == _interleave(left, right)
+
+
+def test_mono_24bit_roundtrip():
+    xs = [v << 8 for v in _WAVES["ramp"]]
+    for predictor in ("fixed", "lpc", "verbatim"):
+        enc = encode_flac(xs, bits=24, predictor=predictor)
+        dec, sr = decode_flac(enc)
+        assert dec == xs
+        info = decode_flac_info(enc)
+        assert info["bits"] == 24 and info["channels"] == 1
+
+
+def test_decorrelation_actually_compresses():
+    """On a stereo pair whose side channel is near-silent, auto's
+    decorrelated frame must beat the independent encoding (the reason
+    the feature exists) — and still round-trip exactly."""
+    left = _sine(6000)
+    rng = random.Random(5)
+    right = [v + rng.randint(-2, 2) for v in left]
+    xs = _interleave(left, right)
+    ind = encode_flac(
+        xs, channels=2, predictor="lpc", stereo_mode="independent"
+    )
+    auto = encode_flac(
+        xs, channels=2, predictor="lpc", stereo_mode="auto"
+    )
+    assert len(auto) < len(ind)
+    assert decode_flac(auto)[0] == xs
+
+
+def test_stereo_of_mono_pattern_features_identical(spark):
+    """A stereo FLAC carrying the SAME sine on both channels yields
+    chunk features IDENTICAL to the mono FLAC of that sine: the
+    kernel downmixes by channel mean, and mean(x, x) == x. The
+    container-twin story extended across channel count."""
+    from cdc_2025_spark.multimodal.media import (
+        extract_audio_chunk_features,
+    )
+
+    mono = make_flac(duration_ms=1000, predictor="lpc")
+    n = 8000
+    xs = _sine(n)
+    stereo = encode_flac(
+        _interleave(xs, xs), channels=2, predictor="lpc"
+    )
+    media = spark.createDataFrame(
+        [
+            (0, "audio", bytearray(mono), (0, 0, 1000, "flac")),
+            (1, "audio", bytearray(stereo), (0, 0, 1000, "flac")),
+        ],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,duration_ms:int,codec:string>",
+    )
+    feats = {
+        (r["media_id"], r["chunk_idx"]): (r["rms"], r["peak"])
+        for r in extract_audio_chunk_features(media, chunk_ms=500).collect()
+    }
+    for (mid, ci), v in feats.items():
+        if mid == 1:
+            assert v == pytest.approx(feats[(0, ci)], abs=1e-12)
+
+
+def test_unsupported_depths_and_channels_still_fail_loud():
+    """The guards NARROWED, they didn't vanish: >2 channels and
+    other bit depths refuse loudly at encode and decode."""
+    with pytest.raises(NotImplementedError, match="channels"):
+        encode_flac([1, 2, 3], channels=3)
+    with pytest.raises(NotImplementedError, match="bits"):
+        encode_flac([1, 2], bits=20)
+    with pytest.raises(ValueError, match="stereo_mode"):
+        encode_flac([1, 2], channels=2, stereo_mode="surround")
+    with pytest.raises(ValueError, match="interleave"):
+        encode_flac([1, 2, 3], channels=2)
+    with pytest.raises(ValueError, match="s24 range"):
+        encode_flac([1 << 23], bits=24)
+    # a 20-bit STREAMINFO (hand-packed) must refuse at decode
+    enc = bytearray(encode_flac([1, 2, 3, 4] * 100))
+    # STREAMINFO tail starts at byte 8 (4 fLaC + 4 block header) + 10
+    tail = int.from_bytes(enc[18:26], "big")
+    tail = (tail & ~(0x1F << 36)) | ((20 - 1) << 36)
+    enc[18:26] = tail.to_bytes(8, "big")
+    with pytest.raises(NotImplementedError, match="16/24-bit"):
+        decode_flac(bytes(enc))

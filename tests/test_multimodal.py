@@ -449,7 +449,7 @@ def test_feature_rollup_includes_real_kernels(spark):
     assert set(rows) == {
         "image", "audio", "video", "image_bmp", "image_png",
         "image_jpeg", "image_resized", "audio_wav", "audio_flac",
-        "video_mjpeg",
+        "audio_flac_stereo", "video_mjpeg",
     }
     assert rows["image_jpeg"]["n_rows"] == 8
     # lossy but close: gray-std avg and gray-max max within tolerance
@@ -485,6 +485,16 @@ def test_feature_rollup_includes_real_kernels(spark):
     assert (
         rows["audio_flac"]["max_metric"] == rows["audio_wav"]["max_metric"]
     )
+    # stereo FLAC (mixed 16/24-bit, auto channel assignment): same
+    # chunk cardinality as the mono corpora (same duration formula);
+    # the downmix of (sine, fifth-up sine) keeps loudness in the same
+    # regime — bounded, non-degenerate
+    assert (
+        rows["audio_flac_stereo"]["n_rows"]
+        == rows["audio_wav"]["n_rows"]
+    )
+    assert 0.0 < rows["audio_flac_stereo"]["avg_metric"] < 1.0
+    assert 0.0 < rows["audio_flac_stereo"]["max_metric"] <= 1.0
 
 
 def test_video_frame_sampling_cardinality(spark):
