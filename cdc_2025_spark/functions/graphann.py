@@ -444,11 +444,19 @@ def beam_search(
         )
         new_nodes = None
         for _ in range(waves):
+            # Search state (frontier / seen / new_nodes) is bounded by
+            # contract — O(|queries| * beam * degree^wave) ids, never
+            # corpus-sized — so it BROADCASTS against the partitioned
+            # edge/vector frames: per wave the only exchange left is
+            # the tiny distinct, not a shuffle of the graph. This is
+            # the 100 TB shape (the graph never moves; the beam rides
+            # to it) and it is also what keeps the local per-round
+            # floor at ~job latency instead of 6+ shuffles.
             frontier = (
-                frontier.join(edges, "node")
+                edges.join(F.broadcast(frontier), "node")
                 .select("qid", F.col("dst").alias("node"))
                 .distinct()
-                .join(seen, ["qid", "node"], "anti")
+                .join(F.broadcast(seen), ["qid", "node"], "anti")
             )
             # waves are pairwise disjoint (each anti-joins the
             # accumulated seen set), so plain union suffices
@@ -459,8 +467,8 @@ def beam_search(
             )
             seen = seen.unionByName(frontier)
         scored = (
-            new_nodes.join(v, "node")
-            .join(q, "qid")
+            v.join(F.broadcast(new_nodes), "node")
+            .join(F.broadcast(q), "qid")
             .select(
                 "qid", "node", cosine("_qvec", "_nvec").alias("cos")
             )
