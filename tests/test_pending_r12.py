@@ -1,0 +1,297 @@
+"""Round-12 registration queue (temporal anomaly & structure family):
+every pending query must already pass the exact driver-style oracle
+comparison so registration day is a rename, not a debug session —
+the test_pending_r10/r11 posture. NOT imported by
+queries/__init__.py; pending queries are plain functions."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from cdc_2025_spark.queries import pending_r12
+from cdc_2025_spark.schemas import TABLE_NAMES
+
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_TEST_SF_DIR", "/root/testdata/sf0.001"
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = "NaN" if math.isnan(v) else round(v, 6)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def _close(a, b):
+    if a == b:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        return math.isclose(a, b, rel_tol=1e-7, abs_tol=1e-7)
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return float(a) == float(b)
+    return str(a) == str(b)
+
+
+@pytest.mark.parametrize("name", pending_r12.PENDING_ORDER)
+def test_pending_oracle_match(spark, duck, name):
+    fn, oracle = pending_r12._PENDING[name]
+    sdf = fn(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    s_norm = _normalize(spark_rows, spark_cols)
+    d_norm = _normalize(duck_rows, duck_cols)
+    mismatches = [
+        (i, sr, dr)
+        for i, (sr, dr) in enumerate(zip(s_norm, d_norm))
+        if not all(_close(a, b) for a, b in zip(sr, dr))
+    ][:3]
+    assert not mismatches, f"{name}: value mismatches {mismatches}"
+
+
+@pytest.mark.parametrize("name", pending_r12.PENDING_ORDER)
+def test_pending_outputs_driver_sortable(spark, name):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    fn, _ = pending_r12._PENDING[name]
+    df = fn(spark, SF_DIR)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{name}: container columns {bad}"
+
+
+def test_pending_module_not_registered():
+    """Importing pending_r12 must leave the live registry untouched
+    (the freshness guard requires new registrations to LEAD a
+    verification window — the round-11 window is already composed)."""
+    from cdc_2025_spark.queries import QUERIES
+
+    assert not (set(pending_r12.PENDING_ORDER) & set(QUERIES))
+
+
+def test_statistics_are_nontrivial(spark):
+    """Each diagnostic must be non-degenerate at test scale: the EWMA
+    audit sees full 30-day series; the STL decomposition has positive
+    MAD and bounded seasonal strength; binseg yields three genuine
+    splits ordered root-first with positive gain; label propagation
+    converges to at least one multi-member community covering all 25
+    nations; the JL audit's 780 ratios straddle 1; the runs test has
+    both up and down days."""
+    rows = {
+        r["event_type"]: r
+        for r in pending_r12.events_ewma_anomaly(spark, SF_DIR).collect()
+    }
+    assert len(rows) == 5
+    assert all(r["n_days"] >= 28 for r in rows.values())
+    assert all(r["series_sd"] > 0 for r in rows.values())
+
+    stl = {
+        r["event_type"]: r
+        for r in pending_r12.events_stl_residual_outliers(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert len(stl) == 5
+    assert all(0 <= r["seasonal_strength"] <= 1 for r in stl.values())
+    assert all(r["resid_mad"] >= 0 for r in stl.values())
+
+    bs = pending_r12.events_binseg_changepoints(spark, SF_DIR).collect()
+    # a degenerate side (single-day segment after the root split) has
+    # no level-2 split of its own — 2 or 3 rows are both legal
+    assert 2 <= len(bs) <= 3
+    levels = sorted((r["level"], r["segment"]) for r in bs)
+    assert (1, "all") in levels
+    assert all(lv == 1 or seg in ("left", "right") for lv, seg in levels)
+    assert all(r["gain"] >= 0 for r in bs)
+    root = next(r for r in bs if r["level"] == 1)
+    for r in bs:
+        if r["segment"] == "left":
+            assert r["split_day"] <= root["split_day"]
+        elif r["segment"] == "right":
+            assert r["split_day"] > root["split_day"]
+
+    lp = pending_r12.graph_label_propagation_communities(
+        spark, SF_DIR
+    ).collect()
+    assert len(lp) == 25
+    assert max(r["community_size"] for r in lp) >= 2
+
+    jl = pending_r12.embed_jl_distortion_audit(spark, SF_DIR).collect()[0]
+    assert jl["n_pairs"] == (
+        pending_r12.JL_SAMPLE_IDS * (pending_r12.JL_SAMPLE_IDS - 1) // 2
+    )
+    assert jl["min_ratio"] < 1 < jl["max_ratio"]
+    assert 0.5 < jl["avg_ratio"] < 1.5
+
+    rt = pending_r12.stats_runs_test_daily_revenue(
+        spark, SF_DIR
+    ).collect()[0]
+    assert rt["n_up"] > 0 and rt["n_down"] > 0
+    assert rt["n_runs"] >= 2
+    assert math.isfinite(rt["z_score"])
+
+
+def test_ewma_matches_python_model(spark):
+    """The closed-form window evaluation must equal the plain
+    recursive EWMA to float precision, per event type."""
+    from pyspark.sql import functions as F
+
+    from cdc_2025_spark.io import read_table
+
+    ev = read_table(spark, SF_DIR, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.avg("value").alias("x"))
+        .orderBy("event_type", "day")
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append(r["x"])
+    got = {
+        r["event_type"]: r["final_ewma"]
+        for r in pending_r12.events_ewma_anomaly(spark, SF_DIR).collect()
+    }
+    a = pending_r12.EWMA_ALPHA
+    for et, xs in series.items():
+        e = xs[0]
+        for v in xs[1:]:
+            e = a * v + (1 - a) * e
+        assert got[et] == pytest.approx(round(e, 4), abs=2e-4), et
+
+
+def test_binseg_beats_exhaustive_python(spark):
+    """The root split must equal the exhaustive python argmax of the
+    SSE gain over all split points (ties -> earliest day)."""
+    from pyspark.sql import functions as F
+
+    from cdc_2025_spark.io import read_table
+
+    ev = read_table(spark, SF_DIR, "events")
+    daily = sorted(
+        (r["day"], r["c"])
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    cs = [c for _, c in daily]
+    n = len(cs)
+    sn = sum(cs)
+    best = None
+    sk = 0
+    for k in range(1, n):
+        sk += cs[k - 1]
+        gain = sk * sk / k + (sn - sk) ** 2 / (n - k) - sn * sn / n
+        key = (round(gain, 6), -k)
+        if best is None or key > best[0]:
+            best = (key, daily[k - 1][0], gain)
+    root = next(
+        r
+        for r in pending_r12.events_binseg_changepoints(
+            spark, SF_DIR
+        ).collect()
+        if r["level"] == 1
+    )
+    assert root["split_day"] == best[1]
+    assert root["gain"] == pytest.approx(round(best[2], 4), abs=1e-6)
+
+
+def test_label_propagation_matches_python_model(spark):
+    """Engine labels equal a plain-python synchronous weighted LP
+    over the same symmetrized edges (min-label tie-break)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from cdc_2025_spark.queries.graph import trade_edges
+
+    e = trade_edges(spark, SF_DIR).collect()
+    w = {}
+    for r in e:
+        if r["src"] == r["dst"]:
+            continue
+        w[(r["src"], r["dst"])] = w.get((r["src"], r["dst"]), 0) + r["w"]
+        w[(r["dst"], r["src"])] = w.get((r["dst"], r["src"]), 0) + r["w"]
+    nodes = sorted({a for a, _ in w})
+    label = {v: v for v in nodes}
+    for _ in range(pending_r12.LP_ITERS):
+        nxt = {}
+        for v in nodes:
+            votes = {}
+            for (a, b), wt in w.items():
+                if a == v:
+                    votes[label[b]] = votes.get(label[b], 0) + wt
+            nxt[v] = min(
+                votes, key=lambda l: (-votes[l], l)  # noqa: E741
+            )
+        label = nxt
+    got = {
+        r["n_name"]: r["community"]
+        for r in pending_r12.graph_label_propagation_communities(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == label
+
+
+def test_runs_test_matches_python_model(spark):
+    from pyspark.sql import functions as F
+
+    from cdc_2025_spark.io import read_table
+
+    orders = read_table(spark, SF_DIR, "orders")
+    daily = sorted(
+        (r["day"], r["rev"])
+        for r in orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+        .collect()
+    )
+    sgns = []
+    for (pd_, pv), (_, cv) in zip(daily, daily[1:]):
+        if cv > pv:
+            sgns.append(1)
+        elif cv < pv:
+            sgns.append(-1)
+    n_runs = sum(
+        1 for i, s in enumerate(sgns) if i == 0 or sgns[i - 1] != s
+    )
+    got = pending_r12.stats_runs_test_daily_revenue(
+        spark, SF_DIR
+    ).collect()[0]
+    assert got["n_runs"] == n_runs
+    assert got["n_up"] == sum(1 for s in sgns if s == 1)
+    assert got["n_down"] == sum(1 for s in sgns if s == -1)
