@@ -184,6 +184,39 @@ def make_png(width: int, height: int, seed: int = 0) -> bytes:
     )
 
 
+def make_png_interlaced(width: int, height: int, seed: int = 0) -> bytes:
+    """Adam7-interlaced twin of ``make_png``: the SAME seeded-gradient
+    pixel pattern, serialized as the seven reduced images (filter 0
+    scanlines each, empty passes omitted per spec) with IHDR
+    interlace=1 — so BMP / PNG / interlaced-PNG payloads of one
+    (width, height, seed) all decode pixel-identically."""
+    import zlib  # noqa: PLC0415
+
+    def px(x: int, y: int) -> bytes:
+        return bytes(
+            (
+                (x * 13 + y * 17 + seed * 3) % 256,
+                (x * 5 + y * 11 + seed * 2) % 256,
+                (x * 7 + y * 3 + seed) % 256,
+            )
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1)
+    raw = bytearray()
+    for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+        for i in range(ph):
+            raw.append(0)  # filter type 0 per reduced scanline
+            y = y0 + i * dy
+            for j in range(pw):
+                raw += px(x0 + j * dx, y)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -192,49 +225,37 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(payload: bytes):
-    """REAL decode kernel for PNG (stdlib zlib inflate + per-scanline
-    unfilter, filters 0-4 incl. Paeth): returns an (height, width, 3)
-    uint8 RGB array. Supports 8-bit color types 2 (RGB) and 6 (RGBA,
-    alpha dropped), non-interlaced — the shapes a training-data lake
-    actually stores; exotic ones raise loudly rather than decode
-    wrongly. Dependency-free (struct + zlib + numpy)."""
-    import zlib  # noqa: PLC0415
+# Adam7 interlace pass geometry: (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
+
+def _png_unfilter(raw: bytes, offset: int, width: int, height: int, bpp: int):
+    """Unfilter one (sub-)image's scanline block (filters 0-4 incl.
+    Paeth) starting at ``offset`` in the decompressed stream. Returns
+    (uint8 array of shape (height, width*bpp), bytes consumed).
+    Filter context never crosses the block: row 0's 'previous
+    scanline' is zeros — exactly the rule each Adam7 pass restarts
+    with."""
     import numpy as np  # noqa: PLC0415
 
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, bytearray()
-    while pos + 8 <= len(payload):
-        (length,) = _struct.unpack_from(">I", payload, pos)
-        ctype = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + length]
-        if ctype == b"IHDR":
-            ihdr = _struct.unpack(">IIBBBBB", body)
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # len + type + data + crc
-    if ihdr is None or not idat:
-        raise ValueError("missing IHDR/IDAT chunk")
-    width, height, depth, ctype_i, _comp, _filt, interlace = ihdr
-    if depth != 8 or ctype_i not in (2, 6) or interlace != 0:
-        raise NotImplementedError(
-            f"only 8-bit RGB/RGBA non-interlaced PNG supported "
-            f"(depth={depth}, color_type={ctype_i}, interlace={interlace})"
-        )
-    bpp = 3 if ctype_i == 2 else 4
     stride = width * bpp
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
+    need = (stride + 1) * height
+    if offset + need > len(raw):
         raise ValueError("IDAT length does not match dimensions")
     out = np.zeros((height, stride), dtype=np.uint8)
     for y in range(height):
-        ftype = raw[y * (stride + 1)]
+        base = offset + y * (stride + 1)
+        ftype = raw[base]
         line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            raw, dtype=np.uint8, count=stride, offset=base + 1
         ).astype(np.int32)
         prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
         if ftype == 0:
@@ -257,7 +278,73 @@ def decode_png(payload: bytes):
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = rec.astype(np.uint8)
-    return out.reshape(height, width, bpp)[:, :, :3].copy()
+    return out, need
+
+
+def _adam7_passes(width: int, height: int):
+    """(x0, y0, dx, dy, pass_w, pass_h) for each NON-EMPTY Adam7
+    pass of a width x height image (spec rule: a pass with zero
+    columns or rows contributes no bytes at all)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
+def decode_png(payload: bytes):
+    """REAL decode kernel for PNG (stdlib zlib inflate + per-scanline
+    unfilter, filters 0-4 incl. Paeth): returns an (height, width, 3)
+    uint8 RGB array. Supports 8-bit color types 2 (RGB) and 6 (RGBA,
+    alpha dropped), non-interlaced AND Adam7-interlaced (each of the
+    seven reduced images unfilters independently and scatters into
+    place, per spec) — the shapes a training-data lake actually
+    stores; exotic ones raise loudly rather than decode wrongly.
+    Dependency-free (struct + zlib + numpy)."""
+    import zlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = _struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = _struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    width, height, depth, ctype_i, _comp, _filt, interlace = ihdr
+    if depth != 8 or ctype_i not in (2, 6) or interlace not in (0, 1):
+        raise NotImplementedError(
+            f"only 8-bit RGB/RGBA PNG (interlace 0/1) supported "
+            f"(depth={depth}, color_type={ctype_i}, interlace={interlace})"
+        )
+    bpp = 3 if ctype_i == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        out, used = _png_unfilter(raw, 0, width, height, bpp)
+        if used != len(raw):
+            raise ValueError("IDAT length does not match dimensions")
+        return out.reshape(height, width, bpp)[:, :, :3].copy()
+    img = np.zeros((height, width, bpp), dtype=np.uint8)
+    offset = 0
+    for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+        sub, used = _png_unfilter(raw, offset, pw, ph, bpp)
+        offset += used
+        img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+    if offset != len(raw):
+        raise ValueError("IDAT length does not match dimensions")
+    return img[:, :, :3].copy()
 
 
 def make_real_media(

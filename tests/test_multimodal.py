@@ -748,3 +748,61 @@ def test_audio_chunk_cache_never_serves_wrong_payload(spark):
     assert rows[1]["peak"] > 0.5
     assert rows[0]["peak"] < 0.1
     assert rows[0]["rms"] != rows[1]["rms"]
+
+
+def test_png_adam7_interlaced_decodes_identically():
+    """Adam7-interlaced PNGs (the r10 verdict's remaining common PNG
+    shape) decode pixel-identically to the non-interlaced and BMP
+    twins of the same pattern — including odd dimensions where some
+    of the seven passes are EMPTY and contribute no bytes."""
+    import numpy as np
+
+    from cdc_2025_spark.multimodal.media import (
+        decode_bmp,
+        decode_png,
+        make_bmp,
+        make_png,
+        make_png_interlaced,
+    )
+
+    for w, h, seed in [
+        (64, 48, 7), (5, 3, 1), (1, 1, 0), (7, 2, 9), (8, 8, 3),
+        (2, 9, 4), (16, 1, 5),
+    ]:
+        plain = decode_png(make_png(w, h, seed=seed))
+        inter = decode_png(make_png_interlaced(w, h, seed=seed))
+        assert inter.shape == plain.shape == (h, w, 3), (w, h)
+        assert np.array_equal(inter, plain), (w, h, seed)
+        assert np.array_equal(inter, decode_bmp(make_bmp(w, h, seed=seed)))
+
+
+def test_png_adam7_truncated_fails_loud():
+    """A truncated interlaced stream (IDAT shorter than the seven
+    passes require) must raise, never return a partial image."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from cdc_2025_spark.multimodal.media import (
+        decode_png,
+        make_png_interlaced,
+    )
+
+    payload = bytearray(make_png_interlaced(16, 16, seed=2))
+    # locate IDAT, shorten its decompressed body by one scanline
+    i = payload.find(b"IDAT")
+    (ln,) = struct.unpack_from(">I", payload, i - 4)
+    body = bytes(payload[i + 4 : i + 4 + ln])
+    raw = zlib.decompress(body)
+    short = zlib.compress(raw[:-49], 6)
+    rebuilt = (
+        bytes(payload[: i - 4])
+        + struct.pack(">I", len(short))
+        + b"IDAT"
+        + short
+        + struct.pack(">I", 0)  # CRC unchecked by the decoder
+        + bytes(payload[i + 4 + ln + 4 :])
+    )
+    with _pytest.raises(ValueError, match="IDAT length"):
+        decode_png(rebuilt)
