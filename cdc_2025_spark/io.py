@@ -284,3 +284,42 @@ def read_text_corpus(
         F.input_file_name().alias("source_file"),
         F.col("value").alias("text"),
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a BUCKETED (and optionally sort-within-
+    bucket) managed table — the storage-level co-location lever for
+    repeated large-to-large joins and aggregations: two tables
+    bucketed by the same key into the same bucket count join with NO
+    exchange on either side (Spark plans a SortMergeJoin straight
+    over the bucket files), and a groupBy on the bucket key skips its
+    shuffle the same way. At 100 TB this converts every recurring
+    fact-fact join from a full-corpus shuffle into a per-bucket local
+    merge — the single biggest repeated-query win the storage layout
+    can buy; the price is one bucketed write (a full shuffle) paid
+    ONCE at ingest instead of per query.
+
+    ``sort_cols`` additionally orders rows inside each bucket file
+    (sortBy), which lets the merge join skip its per-task sort.
+    Bucket pruning: an equality filter on the bucket column scans
+    1/n_buckets of the files.
+
+    The exchange-free join plan is pinned by tests/test_bucketing.py
+    (plan-shape assertions, the test_plan_shape posture)."""
+    if not bucket_cols:
+        raise ValueError("bucket_cols must be non-empty")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    w = df.write.mode(mode).bucketBy(
+        n_buckets, bucket_cols[0], *bucket_cols[1:]
+    )
+    if sort_cols:
+        w = w.sortBy(sort_cols[0], *sort_cols[1:])
+    w.format("parquet").saveAsTable(table)
