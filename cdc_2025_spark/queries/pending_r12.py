@@ -21,6 +21,12 @@ Until then tests/test_pending_r12.py runs each query against its
 oracle with the same normalization the driver applies, at
 sf0.001 + sf0.01.
 
+Pre-registration sf0.1 wall times (min-of-2, idle local[32], for the
+round-12 bench.py HEADLINE additions): EWMA 0.47 s, STL outliers
+1.09 s, binseg 0.81 s, label propagation 1.93 s (4 unrolled rounds
+over the 25-node trade graph — the star join dominates, the rounds
+are broadcast joins), JL audit 0.62 s, runs test 0.35 s.
+
 Engine-parity rules inherited from the registry docstring: integer
 frames exact; disc percentiles over 4dp-rounded values for medians;
 float aggregates rounded 4-6dp AFTER the final aggregate; boolean
