@@ -158,6 +158,29 @@ def _dct_mat():
     return _DCT_MAT
 
 
+def _parse_dqt_entries(body: bytes, off: int, pq: int):
+    """One DQT table's 64 zigzag entries starting after the Pq/Tq
+    byte at ``off``: Pq=0 is 8-bit entries, Pq=1 the spec's 16-bit
+    big-endian extension (tables whose steps exceed 255 — high-
+    quality 12-bit-source encoders emit these). Returns (entries,
+    next table offset); shared by the baseline and progressive
+    parsers so the two can never read a table differently."""
+    if pq == 0:
+        end = off + 65
+        if end > len(body):
+            raise ValueError("truncated DQT segment")
+        return list(body[off + 1 : end]), end
+    if pq == 1:
+        end = off + 129
+        if end > len(body):
+            raise ValueError("truncated DQT segment")
+        return [
+            int.from_bytes(body[off + 1 + 2 * i : off + 3 + 2 * i], "big")
+            for i in range(64)
+        ], end
+    raise ValueError(f"bad DQT precision code {pq}")
+
+
 def _scaled_quant(base: list[int], quality: int) -> list[int]:
     """IJG quality scaling (public): 5000/Q below 50, 200-2Q above."""
     if not 1 <= quality <= 100:
@@ -610,14 +633,11 @@ def decode_jpeg(payload: bytes):
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                zz = list(body[off + 1 : off + 65])
+                zz, off = _parse_dqt_entries(body, off, pq)
                 nat = [0] * 64
                 for i in range(64):
                     nat[_ZIGZAG[i]] = zz[i]
                 qtabs[tq] = nat
-                off += 65
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(body):

@@ -765,15 +765,16 @@ def decode_jpeg_progressive(payload: bytes):
         if marker == 0xDB:
             off = 0
             while off < len(body):
+                from cdc_2025_spark.multimodal.jpeg import (  # noqa: PLC0415
+                    _parse_dqt_entries,
+                )
+
                 pq, tq = body[off] >> 4, body[off] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                z = list(body[off + 1 : off + 65])
+                z, off = _parse_dqt_entries(body, off, pq)
                 nat = [0] * 64
                 for i in range(64):
                     nat[_ZIGZAG[i]] = z[i]
                 qtabs[tq] = nat
-                off += 65
         elif marker == 0xC4:
             off = 0
             while off < len(body):

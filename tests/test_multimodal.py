@@ -806,3 +806,79 @@ def test_png_adam7_truncated_fails_loud():
     )
     with _pytest.raises(ValueError, match="IDAT length"):
         decode_png(rebuilt)
+
+
+def _widen_dqt_to_16bit(payload: bytes) -> bytes:
+    """Rewrite every DQT segment's tables from Pq=0 (8-bit entries)
+    to Pq=1 (16-bit big-endian, same values) — a spec-legal encoding
+    of the identical quantizer."""
+    import struct
+
+    out = bytearray()
+    pos = 0
+    assert payload[:2] == b"\xff\xd8"
+    out += payload[:2]
+    pos = 2
+    while pos + 4 <= len(payload):
+        assert payload[pos] == 0xFF
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            out += payload[pos:]
+            break
+        (ln,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:
+            new_body = bytearray()
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                assert pq == 0
+                new_body.append((1 << 4) | tq)
+                for v in body[off + 1 : off + 65]:
+                    new_body += struct.pack(">H", v)
+                off += 65
+            out += b"\xff\xdb" + struct.pack(">H", 2 + len(new_body))
+            out += new_body
+        else:
+            out += payload[pos : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDA:  # entropy data follows until EOI
+            out += payload[pos:]
+            break
+    return bytes(out)
+
+
+def test_jpeg_16bit_quant_tables_decode_identically():
+    """Pq=1 (16-bit) DQT entries: the SAME quantizer serialized wide
+    must decode pixel-identically to the 8-bit original — baseline
+    AND progressive (shared parser); entries above 255 parse; a bad
+    precision code and a truncated table fail loud."""
+    import numpy as np
+
+    from cdc_2025_spark.multimodal.jpeg import decode_jpeg, make_jpeg
+    from cdc_2025_spark.multimodal.jpeg_progressive import (
+        encode_jpeg_progressive,
+    )
+
+    base = make_jpeg(32, 24, seed=4)
+    wide = _widen_dqt_to_16bit(base)
+    assert wide != base
+    assert np.array_equal(decode_jpeg(wide), decode_jpeg(base))
+
+    prog = encode_jpeg_progressive(decode_jpeg(base))
+    wide_p = _widen_dqt_to_16bit(prog)
+    assert np.array_equal(decode_jpeg(wide_p), decode_jpeg(prog))
+
+    # an entry > 255 (only representable at Pq=1) parses and decodes
+    i = wide.find(b"\xff\xdb")
+    big = bytearray(wide)
+    # first table entry is 2 bytes after marker+len+PqTq
+    big[i + 5 : i + 7] = (300).to_bytes(2, "big")
+    rgb = decode_jpeg(bytes(big))
+    assert rgb.shape == (24, 32, 3)
+
+    # bad precision code
+    bad = bytearray(wide)
+    bad[i + 4] = (2 << 4) | (bad[i + 4] & 0xF)
+    with pytest.raises(ValueError, match="precision code"):
+        decode_jpeg(bytes(bad))
