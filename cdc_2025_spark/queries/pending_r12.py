@@ -6,9 +6,12 @@ integer-deterministic form), recursive changepoint segmentation
 (binary segmentation over the CUSUM family's single-split form),
 community structure of the trade graph (weighted label propagation),
 the Johnson-Lindenstrauss projection-distortion audit the embedding
-family's compression rung calls for, and the Wald-Wolfowitz runs
-test for residual randomness. Six queries, every one with a full
-DuckDB oracle.
+family's compression rung calls for, the Wald-Wolfowitz runs
+test for residual randomness, the seasonal-naive forecast backtest
+(the floor every forecaster must beat), and a deterministic POISSON
+bootstrap CI for the mean (the distributed bootstrap — per-row
+md5-derived Poisson(1) weights, no resample shuffle). Eight
+queries, every one with a full DuckDB oracle.
 
 NOT imported by queries/__init__.py on purpose (the pending_r10/r11
 posture): the freshness guard requires never-checked queries to LEAD
@@ -25,7 +28,7 @@ Pre-registration sf0.1 wall times (min-of-2, idle local[32], for the
 round-12 bench.py HEADLINE additions): EWMA 0.47 s, STL outliers
 1.09 s, binseg 0.81 s, label propagation 1.93 s (4 unrolled rounds
 over the 25-node trade graph — the star join dominates, the rounds
-are broadcast joins), JL audit 0.62 s, runs test 0.35 s.
+are broadcast joins), JL audit 0.62 s, runs test 0.35 s, seasonal-naive backtest 0.68 s, Poisson bootstrap (B=100) 0.40 s.
 
 Engine-parity rules inherited from the registry docstring: integer
 frames exact; disc percentiles over 4dp-rounded values for medians;
@@ -929,6 +932,200 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (the forecasting family's floor)
+# ---------------------------------------------------------------------------
+
+
+def forecast_seasonal_naive_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (f_d = x_{d-7}, the
+    floor every forecasting pipeline must beat before shipping
+    anything fancier) over the per-type daily mean series: MAE,
+    sMAPE, and signed bias per event type, evaluated on every day
+    with a calendar ancestor exactly 7 days back (a DATE-keyed
+    self-join, never lag(7) rows — row offsets silently shift on
+    calendar gaps).
+
+    Scale shape: one grouped collapse to the (type, day) frame; the
+    ancestor join and the error aggregates run on that bounded
+    calendar frame."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.avg("value"), 4).alias("x"))
+    )
+    anc = daily.select(
+        "event_type",
+        F.date_add("day", 7).alias("day"),
+        F.col("x").alias("f"),
+    )
+    j = daily.join(anc, ["event_type", "day"])
+    ae = F.abs(F.col("x") - F.col("f"))
+    denom = F.abs(F.col("x")) + F.abs(F.col("f"))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_eval"),
+            F.round(F.avg(ae), 4).alias("mae"),
+            # standard sMAPE; |x|+|f| = 0 days contribute 0 error by
+            # convention (both engines via the same NULLIF->0 rule)
+            F.round(
+                F.avg(
+                    F.coalesce(
+                        F.lit(2.0) * ae / F.nullif(denom, F.lit(0.0)),
+                        F.lit(0.0),
+                    )
+                ),
+                4,
+            ).alias("smape"),
+            F.round(F.avg(F.col("x") - F.col("f")), 4).alias("bias"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SEASONAL_NAIVE_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         ROUND(AVG(value), 4) AS x
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT c.event_type, c.x, a.x AS f
+  FROM daily c
+  JOIN daily a ON a.event_type = c.event_type
+             AND c.day = a.day + 7
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       ROUND(AVG(ABS(x - f)), 4) AS mae,
+       ROUND(AVG(COALESCE(2.0 * ABS(x - f)
+                          / NULLIF(ABS(x) + ABS(f), 0.0), 0.0)), 4)
+         AS smape,
+       ROUND(AVG(x - f), 4) AS bias
+FROM j
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI for the mean — THE distributed bootstrap
+# ---------------------------------------------------------------------------
+
+BOOT_B = 100
+# Poisson(1) CDF ladder (literal to 10dp so both engines compare the
+# identical constants): w = #{k : u > cdf_k}, capped at 7
+_POIS1_CDF = [
+    0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+    0.9963401532, 0.9994058152, 0.9999167589, 0.9999897508,
+]
+
+
+def stats_bootstrap_ci_mean(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """95% bootstrap confidence interval for the mean event value via
+    the POISSON bootstrap (Chamandy et al., 'Estimating Uncertainty
+    for Massive Data Streams', Google 2012; Kleiner et al.'s BLB is
+    the subsampled cousin): classical resampling draws n indices WITH
+    replacement per resample — a corpus-sized shuffle per replicate —
+    but for large n the multinomial factorizes into independent
+    Poisson(1) weights per (row, replicate), so every row computes
+    its B weights LOCALLY from a deterministic md5 hash and the whole
+    bootstrap is one explode + one grouped weighted mean. The CI is
+    the 2.5%/97.5% disc percentiles of the B replicate means (4dp-
+    rounded first — the engine-parity construction).
+
+    Scale shape: O(n x B) map-side rows, no resample shuffle, one
+    aggregate to the B-row replicate frame; at 100 TB the explode
+    stays inside the scan stage and B bounds everything downstream."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    b = F.col("b")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        b.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = sum((u > F.lit(c)).cast("int") for c in _POIS1_CDF)
+    rep = (
+        ev.select("event_id", "value")
+        .join(
+            F.broadcast(
+                spark.range(BOOT_B).select(F.col("id").cast("int").alias("b"))
+            ),
+            how="cross",
+        )
+        .select(b.alias("b"), F.col("value"), w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("value")) / F.sum("w"), 4
+            ).alias("m")
+        )
+    )
+    return rep.agg(
+        F.lit(BOOT_B).cast("long").alias("n_replicates"),
+        F.round(F.avg("m"), 4).alias("boot_mean"),
+        F.expr(
+            "round(percentile_disc(0.025) WITHIN GROUP (ORDER BY m), 4)"
+        ).alias("ci_lo"),
+        F.expr(
+            "round(percentile_disc(0.975) WITHIN GROUP (ORDER BY m), 4)"
+        ).alias("ci_hi"),
+        F.round(F.stddev_samp("m"), 4).alias("boot_se"),
+    )
+
+
+def _bootstrap_oracle() -> str:
+    ladder = " + ".join(
+        f"CASE WHEN u > {c} THEN 1 ELSE 0 END" for c in _POIS1_CDF
+    )
+    return f"""
+WITH reps AS (
+  SELECT b,
+         ROUND(SUM(w * value) / SUM(w), 4) AS m
+  FROM (
+    SELECT b.b, e.value,
+           ({ladder}) AS w
+    FROM (SELECT event_id, value FROM events
+          WHERE value IS NOT NULL) e
+    CROSS JOIN (SELECT CAST(UNNEST(range({BOOT_B})) AS INTEGER) AS b) b,
+    LATERAL (SELECT CAST(('0x' || substr(md5(
+               'boot:' || CAST(e.event_id AS VARCHAR) || ':'
+                       || CAST(b.b AS VARCHAR)), 1, 8)) AS BIGINT)
+             / 4294967296.0 AS u) h
+  )
+  GROUP BY b
+)
+SELECT CAST({BOOT_B} AS BIGINT) AS n_replicates,
+       ROUND(AVG(m), 4) AS boot_mean,
+       ROUND(quantile_disc(m, 0.025), 4) AS ci_lo,
+       ROUND(quantile_disc(m, 0.975), 4) AS ci_hi,
+       ROUND(STDDEV_SAMP(m), 4) AS boot_se
+FROM reps
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registration hook for round 12
 # ---------------------------------------------------------------------------
 
@@ -939,6 +1136,8 @@ PENDING_ORDER = [
     "graph_label_propagation_communities",
     "embed_jl_distortion_audit",
     "stats_runs_test_daily_revenue",
+    "forecast_seasonal_naive_backtest",
+    "stats_bootstrap_ci_mean",
 ]
 
 _PENDING = {
@@ -959,6 +1158,14 @@ _PENDING = {
     "stats_runs_test_daily_revenue": (
         stats_runs_test_daily_revenue,
         RUNS_ORACLE,
+    ),
+    "forecast_seasonal_naive_backtest": (
+        forecast_seasonal_naive_backtest,
+        SEASONAL_NAIVE_ORACLE,
+    ),
+    "stats_bootstrap_ci_mean": (
+        stats_bootstrap_ci_mean,
+        _bootstrap_oracle(),
     ),
 }
 

@@ -295,3 +295,110 @@ def test_runs_test_matches_python_model(spark):
     assert got["n_runs"] == n_runs
     assert got["n_up"] == sum(1 for s in sgns if s == 1)
     assert got["n_down"] == sum(1 for s in sgns if s == -1)
+
+
+def test_seasonal_naive_and_bootstrap_nontrivial(spark):
+    """The backtest evaluates most of the month per type (23 of 30
+    days have a 7-back ancestor) with finite errors; the bootstrap CI
+    is a proper interval containing the plain corpus mean with a
+    positive standard error."""
+    from pyspark.sql import functions as F
+
+    from cdc_2025_spark.io import read_table
+
+    bt = {
+        r["event_type"]: r
+        for r in pending_r12.forecast_seasonal_naive_backtest(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert len(bt) == 5
+    for r in bt.values():
+        assert r["n_eval"] >= 20
+        assert r["mae"] >= 0 and 0 <= r["smape"] <= 2.0
+
+    ci = pending_r12.stats_bootstrap_ci_mean(spark, SF_DIR).collect()[0]
+    mean = (
+        read_table(spark, SF_DIR, "events")
+        .filter(F.col("value").isNotNull())
+        .agg(F.avg("value"))
+        .first()[0]
+    )
+    assert ci["n_replicates"] == pending_r12.BOOT_B
+    assert ci["ci_lo"] < mean < ci["ci_hi"]
+    assert ci["boot_se"] > 0
+    assert ci["ci_lo"] <= ci["boot_mean"] <= ci["ci_hi"]
+
+
+def test_bootstrap_matches_python_model(spark):
+    """Replicate means equal a plain-python recompute of the SAME
+    md5-derived Poisson(1) weights — the determinism that makes a
+    distributed bootstrap auditable."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from cdc_2025_spark.io import read_table
+
+    rows = (
+        read_table(spark, SF_DIR, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "value")
+        .collect()
+    )
+    want = {}
+    for b in range(pending_r12.BOOT_B):
+        num = den = 0.0
+        for r in rows:
+            h = hashlib.md5(
+                f"boot:{r['event_id']}:{b}".encode()
+            ).hexdigest()
+            u = int(h[:8], 16) / 4294967296.0
+            w = sum(1 for c in pending_r12._POIS1_CDF if u > c)
+            num += w * r["value"]
+            den += w
+        want[b] = round(num / den, 4)
+    # recompute the replicate frame (the query's inner aggregate)
+    ev = read_table(spark, SF_DIR, "events").filter(
+        F.col("value").isNotNull()
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = sum((u > F.lit(c)).cast("int") for c in pending_r12._POIS1_CDF)
+    got = {
+        r["b"]: r["m"]
+        for r in ev.join(
+            F.broadcast(
+                spark.range(pending_r12.BOOT_B).select(
+                    F.col("id").cast("int").alias("b")
+                )
+            ),
+            how="cross",
+        )
+        .select("b", "value", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("value")) / F.sum("w"), 4
+            ).alias("m")
+        )
+        .collect()
+    }
+    assert got == pytest.approx(want, abs=2e-4)
