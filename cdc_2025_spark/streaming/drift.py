@@ -249,6 +249,141 @@ def streaming_cusum_monitor(
     )
 
 
+MG_OUT_SCHEMA = (
+    "key string, hitter long, est_count long, rank int, n_seen long"
+)
+
+
+def streaming_heavy_hitters_monitor(
+    events: DataFrame,
+    k: int = 8,
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key streaming heavy hitters via Misra-Gries (1982): at
+    most ``k`` (id, count) counters per key; a new id consumes a free
+    counter, otherwise EVERY counter decrements (the summary's
+    guarantee: any id with true frequency > n/(k+1) survives, and
+    est_count underestimates by at most n/(k+1)). The categorical leg
+    of the drift-monitor family — PSI watches a value distribution,
+    CUSUM a mean, this the identity mass (which users/domains/mirrors
+    suddenly dominate a feed).
+
+    Rows process in EVENT-TIME order within each microbatch (whole
+    batch concatenated before sorting — the CUSUM chunk rule) and
+    arrival order across batches. Emits the surviving counters each
+    batch, ranked by (est_count desc, id); ids tie-broken
+    deterministically throughout, so engine == python replay exactly.
+
+    Scale shape: state is <= k pairs per key in the state store (two
+    long arrays); each batch shuffles only its own rows on the key.
+    Unstarted streaming frame; outputMode('update'); the batch-side
+    check is ``mg_replay`` over the same arrivals."""
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    out_schema = MG_OUT_SCHEMA
+    state_schema = (
+        "ids array<long>, counts array<long>, n_seen long"
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd  # noqa: PLC0415
+
+        if state.exists:
+            ids, counts, n_seen = state.get
+            ctr = dict(zip(ids, counts))
+        else:
+            ctr, n_seen = {}, 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(ts_col, kind="stable")
+        for v in batch[id_col]:
+            if pd.isna(v):
+                continue
+            v = int(v)
+            n_seen += 1
+            if v in ctr:
+                ctr[v] += 1
+            elif len(ctr) < k:
+                ctr[v] = 1
+            else:
+                for c in list(ctr):
+                    ctr[c] -= 1
+                    if ctr[c] == 0:
+                        del ctr[c]
+        state.update(
+            (list(ctr.keys()), list(ctr.values()), n_seen)
+        )
+        ranked = sorted(ctr.items(), key=lambda iv: (-iv[1], iv[0]))
+        if not ranked:
+            # an all-decremented summary is a real, observable state
+            # ("no id holds > n/(k+1) mass right now") — emit ONE
+            # sentinel row (NULL hitter, rank 0) so update-mode
+            # consumers see the transition instead of silence
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "hitter": pd.array([None], dtype="Int64"),
+                    "est_count": [0],
+                    "rank": [0],
+                    "n_seen": [n_seen],
+                }
+            )
+            return
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(ranked),
+                "hitter": [i for i, _ in ranked],
+                "est_count": [c for _, c in ranked],
+                "rank": list(range(1, len(ranked) + 1)),
+                "n_seen": [n_seen] * len(ranked),
+            }
+        )
+
+    return (
+        events.filter(F.col(id_col).isNotNull())
+        .select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(ts_col),
+            F.col(id_col).cast("long").alias(id_col),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def mg_replay(ids: list[int], k: int) -> tuple[dict, int]:
+    """Plain-python Misra-Gries replay over one key's id sequence —
+    the model the tests compare the engine's final counters against.
+    Returns ({id: est_count}, n_seen)."""
+    ctr: dict = {}
+    n = 0
+    for v in ids:
+        n += 1
+        if v in ctr:
+            ctr[v] += 1
+        elif len(ctr) < k:
+            ctr[v] = 1
+        else:
+            for c in list(ctr):
+                ctr[c] -= 1
+                if ctr[c] == 0:
+                    del ctr[c]
+    return ctr, n
+
+
 def cusum_replay(
     values: list[float], mu0: float, k: float, h: float
 ) -> tuple[int, float, float, int]:

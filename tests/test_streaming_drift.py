@@ -435,3 +435,125 @@ def test_cusum_multichunk_microbatch_sorts_whole_batch(
         round(want[2], 6),
         want[3],
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Misra-Gries heavy-hitters monitor
+# ---------------------------------------------------------------------------
+
+from cdc_2025_spark.streaming.drift import (  # noqa: E402
+    mg_replay,
+    streaming_heavy_hitters_monitor,
+)
+
+
+def _write_id_batches(src, batches):
+    """batches: list of list of (key, user_id, minute_offset)."""
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "event_type": pa.array([k for k, _, _ in rows]),
+                "ts": pa.array(
+                    [BASE + timedelta(minutes=off) for _, _, off in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array(
+                    [u for _, u, _ in rows], pa.int64()
+                ),
+            }
+        )
+        path = os.path.join(src, f"batch_{i:03d}.parquet")
+        pq.write_table(tbl, path)
+        t = time.time() + i
+        os.utime(path, (t, t))
+
+
+def test_heavy_hitters_matches_replay(spark, tmp_path):
+    """Final engine counters per key equal the python Misra-Gries
+    replay over event-time-ordered arrivals, across batches, with the
+    decrement phase exercised (more distinct ids than counters)."""
+    k = 3
+    # key 'a': id 1 dominates, 6 distinct ids churn the counters;
+    # key 'b': uniform churn (nothing survives reliably)
+    a_seq = [1, 2, 1, 3, 1, 4, 1, 5, 1, 6, 1, 2, 1, 3, 1]
+    b_seq = [10, 11, 12, 13, 10, 14, 15, 16]
+    batches = []
+    off = 0
+    for chunk in range(3):
+        rows = []
+        for v in a_seq[chunk * 5 : chunk * 5 + 5]:
+            rows.append(("a", v, off)); off += 1
+        for v in b_seq[chunk * 3 : chunk * 3 + 3]:
+            rows.append(("b", v, off)); off += 1
+        # arrival order inside the file: ts-descending, to exercise
+        # the whole-batch sort
+        batches.append(rows[::-1])
+    src = str(tmp_path / "src_mg")
+    _write_id_batches(src, batches)
+    stream = (
+        spark.readStream.schema(
+            "event_type string, ts timestamp, user_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_heavy_hitters_monitor(stream, k=k)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mg_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mg"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select * from mg_test order by n_seen"
+    ).collect()
+    final = {}
+    for r in rows:  # last batch per key wins (ordered by n_seen)
+        final.setdefault(r["key"], {})
+        if r["n_seen"] == max(
+            x["n_seen"] for x in rows if x["key"] == r["key"]
+        ):
+            if r["hitter"] is not None:  # empty-summary sentinel
+                final[r["key"]][r["hitter"]] = r["est_count"]
+    wa, na = mg_replay(a_seq, k)
+    wb, nb = mg_replay(b_seq, k)
+    assert final["a"] == wa
+    assert final["b"] == wb
+    # key 'b' drained to an EMPTY summary in its final batch: the
+    # sentinel row (NULL hitter, rank 0, current n_seen) must be
+    # there — silence would be indistinguishable from no update
+    b_last = [
+        r for r in rows
+        if r["key"] == "b"
+        and r["n_seen"] == max(x["n_seen"] for x in rows if x["key"] == "b")
+    ]
+    assert len(b_last) == 1 and b_last[0]["hitter"] is None
+    assert b_last[0]["rank"] == 0 and b_last[0]["n_seen"] == nb
+    # the dominant id survives with the MG guarantee intact
+    assert 1 in final["a"]
+    assert final["a"][1] >= a_seq.count(1) - na // (k + 1)
+
+
+def test_mg_replay_guarantees():
+    """Model invariants: any id with frequency > n/(k+1) survives,
+    and estimates never overcount."""
+    import random as _random
+
+    rng = _random.Random(3)
+    seq = [1] * 40 + [rng.randint(2, 50) for _ in range(60)]
+    rng.shuffle(seq)
+    ctr, n = mg_replay(seq, k=4)
+    assert 1 in ctr  # 40 > 100/5
+    for i, c in ctr.items():
+        true = seq.count(i)
+        assert c <= true
+        assert c >= true - n // 5
+
+
+def test_heavy_hitters_validates_k():
+    with pytest.raises(ValueError, match="k must be"):
+        streaming_heavy_hitters_monitor(None, k=0)
