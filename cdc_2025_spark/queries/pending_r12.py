@@ -10,8 +10,20 @@ family's compression rung calls for, the Wald-Wolfowitz runs
 test for residual randomness, the seasonal-naive forecast backtest
 (the floor every forecaster must beat), and a deterministic POISSON
 bootstrap CI for the mean (the distributed bootstrap — per-row
-md5-derived Poisson(1) weights, no resample shuffle). Eight
-queries, every one with a full DuckDB oracle.
+md5-derived Poisson(1) weights, no resample shuffle).
+
+The second wave adds the SURVIVAL / INEQUALITY / ASSOCIATION /
+CALIBRATION rung: Kaplan-Meier product-limit curves over customer
+reorder delays (administrative right-censoring), per-nation Gini +
+Lorenz top-decile spend shares, the chi-square / Cramér's V /
+mutual-information categorical-association triple, k-core
+decomposition via the Lü et al. h-index iteration (integer-exact,
+unrolled-CTE oracle), a Benjamini-Hochberg FDR screen over per-type
+Mann-Kendall trend tests (the correction layer above round 11's
+single-series test), isotonic (PAV) calibration computed through its
+minimax characterization on a bounded bin frame, and Goh-Barabási
+burstiness / Fano-factor arrival diagnostics. Fifteen queries,
+every one with a full DuckDB oracle.
 
 NOT imported by queries/__init__.py on purpose (the pending_r10/r11
 posture): the freshness guard requires never-checked queries to LEAD
@@ -29,6 +41,10 @@ round-12 bench.py HEADLINE additions): EWMA 0.47 s, STL outliers
 1.09 s, binseg 0.81 s, label propagation 1.93 s (4 unrolled rounds
 over the 25-node trade graph — the star join dominates, the rounds
 are broadcast joins), JL audit 0.62 s, runs test 0.35 s, seasonal-naive backtest 0.68 s, Poisson bootstrap (B=100) 0.40 s.
+Second wave (same protocol): Kaplan-Meier 1.14 s, Gini 1.07 s,
+chi-square triple 0.61 s, k-core 2.55 s (8 unrolled h-index rounds,
+driver-round latency like label propagation), BH-FDR screen 0.80 s,
+isotonic 0.48 s, Fano/burstiness 0.80 s.
 
 Engine-parity rules inherited from the registry docstring: integer
 frames exact; disc percentiles over 4dp-rounded values for medians;
@@ -45,6 +61,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_2025_spark.io import read_table
+from cdc_2025_spark.queries.pending_r10 import SCORE_MOD
 
 # ---------------------------------------------------------------------------
 # EWMA anomaly flags over per-type daily means
@@ -1126,6 +1143,1086 @@ FROM reps
 
 
 # ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve of customer reorder delays
+# ---------------------------------------------------------------------------
+
+
+def survival_km_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit estimator (Kaplan & Meier 1958)
+    over customer reorder delays: every consecutive order pair
+    contributes an EVENT observation (days until the next order);
+    every customer's last order contributes a RIGHT-CENSORED
+    observation (days from it to the corpus's last order date — the
+    administrative-censoring convention). At each event duration t:
+    n_risk = observations with duration >= t, S(t) multiplies by
+    (1 - d_t / n_risk); censored-only durations leave S unchanged
+    but still shrink the risk set, exactly the classical table.
+    The time-to-reorder curve is the churn/retention primitive a
+    subscription or replenishment dashboard runs daily.
+
+    Determinism: durations are integer day counts; d, c, n_risk are
+    integer frames; S(t) = exp(cumulative sum of ln factors) over the
+    duration-ordered bounded frame (a fixed summation order, so both
+    engines add the same doubles in the same sequence), rounded 6dp;
+    a zero factor (everyone at risk dies) forces S = 0 downstream via
+    a cumulative min guard instead of ln(0).
+
+    Scale shape: ONE custkey-partitioned window derives the delays
+    (the corpus shuffles once, on o_custkey); the global max date is
+    a broadcast scalar; everything after the duration groupBy lives
+    on the bounded distinct-duration frame."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("day")
+    )
+    # tie order among same-day orders cannot change the delay
+    # multiset (consecutive diffs of a sorted multiset), so day alone
+    # is a deterministic ordering for value purposes
+    w_cust = Window.partitionBy("o_custkey").orderBy("day")
+    base = o.withColumn("nxt", F.lead("day").over(w_cust))
+    events = base.filter(F.col("nxt").isNotNull()).select(
+        F.datediff("nxt", "day").alias("dur"),
+        F.lit(1).alias("event"),
+    )
+    gmax = o.agg(F.max("day").alias("gmax"))
+    censored = (
+        base.filter(F.col("nxt").isNull())
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.datediff("gmax", "day").alias("dur"),
+            F.lit(0).alias("event"),
+        )
+    )
+    obs = events.unionByName(censored)
+    g = obs.groupBy("dur").agg(
+        F.sum("event").cast("long").alias("d"),
+        F.sum(1 - F.col("event")).cast("long").alias("c"),
+        F.count("*").cast("long").alias("tot"),
+    )
+    w_all = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_total = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    km = (
+        g.withColumn(
+            "n_risk",
+            F.sum("tot").over(n_total)
+            - F.sum("tot").over(w_all)
+            + F.col("tot"),
+        )
+        .withColumn(
+            "factor",
+            F.lit(1.0) - F.col("d") / F.col("n_risk"),
+        )
+        .withColumn(
+            "dead",
+            F.max((F.col("factor") <= 0.0).cast("int")).over(w_all),
+        )
+        .withColumn(
+            "survival",
+            F.when(F.col("dead") == 1, F.lit(0.0)).otherwise(
+                F.round(
+                    F.exp(
+                        F.sum(
+                            F.when(
+                                F.col("factor") > 0.0,
+                                F.log("factor"),
+                            )
+                        ).over(w_all)
+                    ),
+                    6,
+                )
+            ),
+        )
+    )
+    return (
+        km.filter(F.col("d") > 0)
+        .select(
+            F.col("dur").alias("duration_days"),
+            "n_risk",
+            F.col("d").alias("n_events"),
+            F.col("c").alias("n_censored"),
+            "survival",
+        )
+        .orderBy("duration_days")
+    )
+
+
+KM_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day FROM orders
+),
+base AS (
+  SELECT day,
+         LEAD(day) OVER (PARTITION BY o_custkey ORDER BY day) AS nxt
+  FROM o
+),
+obs AS (
+  SELECT nxt - day AS dur, 1 AS event FROM base WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT (SELECT MAX(day) FROM o) - day AS dur, 0 AS event
+  FROM base WHERE nxt IS NULL
+),
+g AS (
+  SELECT dur,
+         CAST(SUM(event) AS BIGINT) AS d,
+         CAST(SUM(1 - event) AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS tot
+  FROM obs GROUP BY dur
+),
+km AS (
+  SELECT dur, d, c,
+         SUM(tot) OVER () - SUM(tot) OVER (ORDER BY dur
+           ROWS UNBOUNDED PRECEDING) + tot AS n_risk
+  FROM g
+),
+kf AS (
+  SELECT dur, d, c, n_risk,
+         1.0 - d / CAST(n_risk AS DOUBLE) AS factor
+  FROM km
+),
+surv AS (
+  SELECT dur, d, c, n_risk,
+         MAX(CASE WHEN factor <= 0.0 THEN 1 ELSE 0 END)
+           OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS dead,
+         SUM(CASE WHEN factor > 0.0 THEN LN(factor) END)
+           OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS lnsum
+  FROM kf
+)
+SELECT dur AS duration_days, n_risk, d AS n_events, c AS n_censored,
+       CASE WHEN dead = 1 THEN 0.0
+            ELSE ROUND(EXP(lnsum), 6) END AS survival
+FROM surv
+WHERE d > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gini / Lorenz inequality audit of customer spend per nation
+# ---------------------------------------------------------------------------
+
+
+def stats_gini_customer_spend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-nation inequality audit of customer lifetime spend: the
+    Gini coefficient via the exact rank identity
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending-sorted
+    spend (tie order cannot change the sum — equal values commute),
+    plus the top-decile spend share (the k = floor(n/10) biggest
+    spenders' fraction) and the zero-spend customer share. The
+    data-mixture analogue is contributor concentration: a source
+    where 1% of users produce 90% of tokens needs different dedup
+    and sampling treatment than a uniform one.
+
+    Determinism: spend is 4dp-rounded BEFORE ranking (the registry's
+    disc-percentile rule) so both engines sort identical doubles;
+    customers with no orders enter at spend 0 via a left join.
+
+    Scale shape: one custkey-grouped collapse of orders, a broadcast
+    customer/nation dim join, ONE nation-partitioned window rank; all
+    aggregates are nation-keyed (bounded output)."""
+    spend = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("sp"))
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    per_cust = (
+        cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            "n_name",
+            "c_custkey",
+            F.coalesce("sp", F.lit(0.0)).alias("x"),
+        )
+    )
+    w_rank = Window.partitionBy("n_name").orderBy("x", "c_custkey")
+    ranked = per_cust.withColumn(
+        "i", F.row_number().over(w_rank).cast("long")
+    )
+    per_nat = ranked.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.round(F.sum("x"), 4).alias("total_spend"),
+        F.sum(F.col("i") * F.col("x")).alias("ix"),
+        F.sum((F.col("x") == 0.0).cast("long")).alias("n_zero"),
+        F.max("i").alias("n_i"),
+    )
+    # top-decile share needs the per-nation n before selecting rows,
+    # so it reruns as a conditional sum against the rank from the
+    # other end (rank desc <= floor(n/10))
+    w_desc = Window.partitionBy("n_name").orderBy(
+        F.col("x").desc(), F.col("c_custkey").desc()
+    )
+    top = (
+        ranked.withColumn("j", F.row_number().over(w_desc))
+        .withColumn(
+            "n", F.count("*").over(Window.partitionBy("n_name"))
+        )
+        .filter(F.col("j") <= F.floor(F.col("n") / 10))
+        .groupBy("n_name")
+        .agg(F.sum("x").alias("top_sum"))
+    )
+    n, tot = F.col("n_customers"), F.col("total_spend")
+    gini = (
+        F.lit(2.0) * F.col("ix") / (n * tot)
+        - (n + F.lit(1.0)) / n
+    )
+    return (
+        per_nat.join(top, "n_name", "left")
+        .select(
+            "n_name",
+            "n_customers",
+            "total_spend",
+            F.when(tot > 0, F.round(gini, 6)).alias("gini"),
+            F.when(
+                tot > 0,
+                F.round(
+                    F.coalesce("top_sum", F.lit(0.0)) / tot, 6
+                ),
+            ).alias("top_decile_share"),
+            F.round(
+                F.col("n_zero") / n.cast("double"), 6
+            ).alias("zero_spend_share"),
+        )
+        .orderBy("n_name")
+    )
+
+
+GINI_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS sp
+  FROM orders GROUP BY o_custkey
+),
+per_cust AS (
+  SELECT n.n_name, c.c_custkey, COALESCE(s.sp, 0.0) AS x
+  FROM customer c
+  LEFT JOIN spend s ON c.c_custkey = s.o_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+ranked AS (
+  SELECT n_name, c_custkey, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+              ORDER BY x, c_custkey) AS BIGINT) AS i,
+         CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+              ORDER BY x DESC, c_custkey DESC) AS BIGINT) AS j,
+         COUNT(*) OVER (PARTITION BY n_name) AS n
+  FROM per_cust
+),
+per_nat AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         ROUND(SUM(x), 4) AS total_spend,
+         SUM(i * x) AS ix,
+         CAST(SUM(CASE WHEN x = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero
+  FROM ranked GROUP BY n_name
+),
+top AS (
+  SELECT n_name, SUM(x) AS top_sum
+  FROM ranked WHERE j <= n // 10
+  GROUP BY n_name
+)
+SELECT p.n_name, p.n_customers, p.total_spend,
+       CASE WHEN p.total_spend > 0 THEN
+         ROUND(2.0 * p.ix / (p.n_customers * p.total_spend)
+               - (p.n_customers + 1.0) / p.n_customers, 6)
+       END AS gini,
+       CASE WHEN p.total_spend > 0 THEN
+         ROUND(COALESCE(t.top_sum, 0.0) / p.total_spend, 6)
+       END AS top_decile_share,
+       ROUND(CAST(p.n_zero AS DOUBLE) / p.n_customers, 6)
+         AS zero_spend_share
+FROM per_nat p LEFT JOIN top t ON p.n_name = t.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence + Cramér's V + mutual information
+# ---------------------------------------------------------------------------
+
+
+def stats_chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    day-of-week, with Cramér's V effect size and the plug-in mutual
+    information (nats) — the categorical-association triple a feature
+    audit runs before trusting a crosstab. Day-of-week is computed as
+    days-since-a-known-Monday mod 7, the engine-neutral form (Spark's
+    dayofweek() and DuckDB's disagree on the origin).
+
+    Zero cells are never materialized: over ALL r*c cells
+    chi2 = sum((o-e)^2/e) = sum_observed((o-e)^2/e - e) + N, because
+    the expected masses of a full contingency table sum to N.
+
+    Determinism: counts and marginals are integer frames; the three
+    statistics are single-pass sums over the bounded observed-cell
+    frame, rounded after aggregation.
+
+    Scale shape: the corpus collapses in ONE (type, dow) groupBy;
+    marginals are windows over the bounded cell frame; output is one
+    row."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    cells = ev.groupBy(
+        "event_type",
+        F.pmod(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-05")), F.lit(7)
+        ).alias("dow"),
+    ).agg(F.count("*").cast("double").alias("o"))
+    w_r = Window.partitionBy("event_type")
+    w_c = Window.partitionBy("dow")
+    w_all = Window.partitionBy()
+    enriched = (
+        cells.withColumn("rt", F.sum("o").over(w_r))
+        .withColumn("ct", F.sum("o").over(w_c))
+        .withColumn("n", F.sum("o").over(w_all))
+    )
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    o, nn = F.col("o"), F.col("n")
+    agg = enriched.agg(
+        F.max("n").alias("n_d"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.countDistinct("dow").cast("long").alias("n_dows"),
+        F.sum((o - e) * (o - e) / e - e).alias("chi2_obs"),
+        F.sum((o / nn) * F.log(o * nn / (F.col("rt") * F.col("ct"))))
+        .alias("mi"),
+    )
+    r1 = F.col("n_types") - 1
+    c1 = F.col("n_dows") - 1
+    chi2 = F.col("chi2_obs") + F.col("n_d")
+    return agg.select(
+        F.col("n_d").cast("long").alias("n_events"),
+        "n_types",
+        "n_dows",
+        F.round(chi2, 4).alias("chi2"),
+        (r1 * c1).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(chi2 / (F.col("n_d") * F.least(r1, c1))), 6
+        ).alias("cramers_v"),
+        F.round("mi", 6).alias("mi_nats"),
+    )
+
+
+CHI2_ORACLE = """
+WITH cells AS (
+  SELECT event_type,
+         ((CAST(ts AS DATE) - DATE '1970-01-05') % 7 + 7) % 7 AS dow,
+         CAST(COUNT(*) AS DOUBLE) AS o
+  FROM events WHERE event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+enriched AS (
+  SELECT o,
+         SUM(o) OVER (PARTITION BY event_type) AS rt,
+         SUM(o) OVER (PARTITION BY dow) AS ct,
+         SUM(o) OVER () AS n,
+         event_type, dow
+  FROM cells
+),
+agg AS (
+  SELECT MAX(n) AS n_d,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+         CAST(COUNT(DISTINCT dow) AS BIGINT) AS n_dows,
+         SUM((o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n)
+             - rt * ct / n) AS chi2_obs,
+         SUM((o / n) * LN(o * n / (rt * ct))) AS mi
+  FROM enriched
+)
+SELECT CAST(n_d AS BIGINT) AS n_events, n_types, n_dows,
+       ROUND(chi2_obs + n_d, 4) AS chi2,
+       (n_types - 1) * (n_dows - 1) AS dof,
+       ROUND(SQRT((chi2_obs + n_d)
+                  / (n_d * LEAST(n_types - 1, n_dows - 1))), 6)
+         AS cramers_v,
+       ROUND(mi, 6) AS mi_nats
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition of the trade network (h-index iteration)
+# ---------------------------------------------------------------------------
+
+KCORE_ITERS = 8
+
+
+def graph_kcore_trade_network(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Coreness of every nation in the undirected trade network via
+    the h-index iteration (Lü, Zhou, Zhang & Stanley, Nature Comm.
+    2016): start at c_v = degree, each round set c_v to the h-index
+    of its neighbors' current values (the largest h such that at
+    least h neighbors hold value >= h); the fixed point is exactly
+    the k-core number from the classical peeling algorithm. Like the
+    pagerank and label-propagation queries the round count is a
+    constant of the query (KCORE_ITERS = 8 — the iteration is
+    monotone non-increasing and converges in <= graph diameter-ish
+    rounds; 8 is far past convergence for this graph), so the oracle
+    unrolls the identical update rule into chained CTEs.
+
+    Everything is integer-exact: degrees, h-indices, and the
+    rank-min-max h formula h = max(least(rank_desc, value)) never
+    touch a float.
+
+    Scale shape: edges build once (the trade_edges star join) and
+    symmetrize; each round is one join of the V-sized value table
+    against the edge frame + a per-node window over neighbor values.
+    Value tables broadcast at this V; at web scale the join keys on
+    dst and the window partitions by src — semantics unchanged."""
+    from cdc_2025_spark.queries.graph import trade_edges
+
+    e = trade_edges(spark, sf_dir)
+    und = (
+        e.select("src", "dst")
+        .unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cur = und.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("val")
+    )
+    degree = cur.select("node", F.col("val").alias("degree"))
+    for _ in range(KCORE_ITERS):
+        w_nb = Window.partitionBy("src").orderBy(
+            F.col("nv").desc(), F.col("dst")
+        )
+        cur = (
+            und.join(
+                F.broadcast(
+                    cur.select(
+                        F.col("node").alias("dst"),
+                        F.col("val").alias("nv"),
+                    )
+                ),
+                "dst",
+            )
+            .withColumn("rk", F.row_number().over(w_nb).cast("long"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(
+                F.max(F.least(F.col("rk"), F.col("nv"))).alias("val")
+            )
+        )
+    return (
+        cur.join(F.broadcast(degree), "node")
+        .select(
+            F.col("node").alias("n_name"),
+            F.col("val").alias("coreness"),
+            "degree",
+        )
+        .orderBy("n_name")
+    )
+
+
+def _kcore_oracle() -> str:
+    it = """
+edges0 AS MATERIALIZED (
+  SELECT cn.src, sn.dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN (SELECT c_custkey, n_name AS src
+        FROM customer JOIN nation ON c_nationkey = n_nationkey) cn
+    ON o.o_custkey = cn.c_custkey
+  JOIN (SELECT s_suppkey, n_name AS dst
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey) sn
+    ON l.l_suppkey = sn.s_suppkey
+  GROUP BY 1, 2
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges0
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges0
+  ) WHERE src <> dst
+),
+c0 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS val
+       FROM und GROUP BY src)"""
+    for k in range(1, KCORE_ITERS + 1):
+        it += f""",
+c{k} AS MATERIALIZED (
+  SELECT node, CAST(MAX(LEAST(rk, nv)) AS BIGINT) AS val FROM (
+    SELECT u.src AS node, p.val AS nv,
+           CAST(ROW_NUMBER() OVER (PARTITION BY u.src
+                ORDER BY p.val DESC, u.dst) AS BIGINT) AS rk
+    FROM und u JOIN c{k - 1} p ON u.dst = p.node
+  ) GROUP BY node
+)"""
+    return f"""
+WITH {it}
+SELECT c.node AS n_name, c.val AS coreness, d.val AS degree
+FROM c{KCORE_ITERS} c JOIN c0 d ON c.node = d.node
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR screen over per-type Mann-Kendall trends
+# ---------------------------------------------------------------------------
+
+BH_Q = 0.10
+
+
+def stats_bh_fdr_trend_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multiple-testing-honest trend screen: a Mann-Kendall test per
+    EVENT TYPE over its zero-filled daily count series (same S /
+    tie-corrected variance / A&S 26.2.17 normal tail as the global
+    events_trend_mann_kendall), then Benjamini-Hochberg (1995)
+    step-up control at q = 0.10 — reject H_1..H_k where k is the
+    largest rank with p_(k) <= k*q/m. Running m per-segment monitors
+    without FDR control is how dashboards cry wolf; this is the
+    correction layer above round 11's single-series trend test.
+
+    Determinism: every p-value is 6dp-rounded BEFORE the step-up
+    comparison in both engines (libm exp() may differ in the last
+    ulp between the JVM and DuckDB; the BH decision must not hang on
+    it); ranks tie-break on event_type; a zero-variance series
+    (constant counts) gets p = 1 by convention instead of 0/0.
+
+    Scale shape: ONE (type, day) groupBy collapses the corpus; the
+    calendar spine is a broadcast scalar range; the i<j pair join,
+    tie groups, and the BH window all live on bounded frames (days x
+    types); output is one row per type."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    span = ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "d0", F.explode(F.sequence("d0", "d1")).alias("day")
+    ).select("day", F.datediff("day", "d0").alias("t"))
+    counts = ev.groupBy("event_type", "day").agg(
+        F.count("*").alias("cnt")
+    )
+    types = ev.select("event_type").distinct()
+    series = (
+        types.crossJoin(F.broadcast(spine))
+        .join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.col("t").cast("double").alias("t"),
+            F.coalesce("cnt", F.lit(0)).cast("double").alias("y"),
+        )
+    )
+    a = series.select(
+        F.col("event_type").alias("et"),
+        F.col("t").alias("ti"),
+        F.col("y").alias("yi"),
+    )
+    b = series.select(
+        F.col("event_type").alias("et"),
+        F.col("t").alias("tj"),
+        F.col("y").alias("yj"),
+    )
+    pair_stats = (
+        a.join(b, ["et"])
+        .filter(F.col("ti") < F.col("tj"))
+        .groupBy(F.col("et").alias("event_type"))
+        .agg(
+            F.sum(F.signum(F.col("yj") - F.col("yi")))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        series.groupBy("event_type", "y")
+        .agg(F.count("*").alias("tc"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)
+            ).alias("tie_corr"),
+            F.sum("tc").cast("long").alias("n_days"),
+        )
+    )
+    stats = pair_stats.join(ties, "event_type").withColumn(
+        "var_s",
+        (
+            F.col("n_days")
+            * (F.col("n_days") - 1)
+            * (2 * F.col("n_days") + 5)
+            - F.col("tie_corr")
+        )
+        / F.lit(18.0),
+    )
+    z = F.when(
+        F.col("var_s") > 0,
+        (
+            F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+            .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+            .otherwise(F.lit(0.0))
+        )
+        / F.sqrt("var_s"),
+    ).otherwise(F.lit(0.0))
+    az = F.abs(z)
+    t_ = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * az)
+    phi = F.exp(F.lit(-0.5) * az * az) / F.lit(2.5066282746310002)
+    poly = (
+        F.lit(0.319381530) * t_
+        + F.lit(-0.356563782) * F.pow(t_, F.lit(2.0))
+        + F.lit(1.781477937) * F.pow(t_, F.lit(3.0))
+        + F.lit(-1.821255978) * F.pow(t_, F.lit(4.0))
+        + F.lit(1.330274429) * F.pow(t_, F.lit(5.0))
+    )
+    p = F.round(F.least(F.lit(2.0) * phi * poly, F.lit(1.0)), 6)
+    scored = stats.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        F.round(z, 6).alias("z_stat"),
+        p.alias("p_value"),
+    )
+    w_rank = Window.orderBy("p_value", "event_type")
+    w_all = Window.partitionBy()
+    ranked = (
+        scored.withColumn(
+            "bh_rank", F.row_number().over(w_rank).cast("long")
+        )
+        .withColumn("m", F.count("*").over(w_all))
+        .withColumn(
+            "bh_critical",
+            F.round(F.col("bh_rank") * F.lit(BH_Q) / F.col("m"), 6),
+        )
+        .withColumn(
+            "k",
+            F.max(
+                F.when(
+                    F.col("p_value") <= F.col("bh_critical"),
+                    F.col("bh_rank"),
+                )
+            ).over(w_all),
+        )
+    )
+    return ranked.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        "z_stat",
+        "p_value",
+        "bh_rank",
+        "bh_critical",
+        F.coalesce(
+            (F.col("bh_rank") <= F.col("k")).cast("int"), F.lit(0)
+        ).alias("rejected"),
+    ).orderBy("event_type")
+
+
+BH_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day FROM events
+),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+spine AS (
+  SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))
+              AS DATE) AS day
+  FROM span
+),
+series AS (
+  SELECT ty.event_type,
+         CAST(sp.day - (SELECT d0 FROM span) AS DOUBLE) AS t,
+         CAST(COALESCE(c.cnt, 0) AS DOUBLE) AS y
+  FROM (SELECT DISTINCT event_type FROM ev) ty
+  CROSS JOIN spine sp
+  LEFT JOIN (SELECT event_type, day, COUNT(*) AS cnt
+             FROM ev GROUP BY 1, 2) c
+    ON c.event_type = ty.event_type AND c.day = sp.day
+),
+pair_stats AS (
+  SELECT a.event_type,
+         CAST(SUM(SIGN(b.y - a.y)) AS BIGINT) AS s_stat
+  FROM series a JOIN series b
+    ON a.event_type = b.event_type AND a.t < b.t
+  GROUP BY a.event_type
+),
+ties AS (
+  SELECT event_type,
+         SUM(tc * (tc - 1) * (2 * tc + 5)) AS tie_corr,
+         CAST(SUM(tc) AS BIGINT) AS n_days
+  FROM (SELECT event_type, COUNT(*) AS tc
+        FROM series GROUP BY event_type, y)
+  GROUP BY event_type
+),
+stats AS (
+  SELECT p.event_type, t.n_days, p.s_stat,
+         (t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie_corr)
+           / 18.0 AS var_s
+  FROM pair_stats p JOIN ties t ON p.event_type = t.event_type
+),
+zc AS (
+  SELECT *,
+         CASE WHEN var_s > 0 THEN
+           (CASE WHEN s_stat > 0 THEN s_stat - 1
+                 WHEN s_stat < 0 THEN s_stat + 1
+                 ELSE 0.0 END) / SQRT(var_s)
+         ELSE 0.0 END AS z
+  FROM stats
+),
+qc AS (
+  SELECT *, ABS(z) AS az,
+         1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt
+  FROM zc
+),
+scored AS (
+  SELECT event_type, n_days, s_stat, ROUND(z, 6) AS z_stat,
+         ROUND(LEAST(
+           2.0 * (EXP(-0.5 * az * az) / 2.5066282746310002)
+               * (0.319381530 * tt
+                  - 0.356563782 * POW(tt, 2.0)
+                  + 1.781477937 * POW(tt, 3.0)
+                  - 1.821255978 * POW(tt, 4.0)
+                  + 1.330274429 * POW(tt, 5.0)),
+           1.0), 6) AS p_value
+  FROM qc
+),
+ranked AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (ORDER BY p_value, event_type)
+              AS BIGINT) AS bh_rank,
+         COUNT(*) OVER () AS m
+  FROM scored
+),
+crit AS (
+  SELECT *,
+         ROUND(bh_rank * {BH_Q} / m, 6) AS bh_critical
+  FROM ranked
+),
+kk AS (
+  SELECT *,
+         MAX(CASE WHEN p_value <= bh_critical THEN bh_rank END)
+           OVER () AS k
+  FROM crit
+)
+SELECT event_type, n_days, s_stat, z_stat, p_value, bh_rank,
+       bh_critical,
+       CAST(COALESCE(bh_rank <= k, FALSE) AS INTEGER) AS rejected
+FROM kk
+"""
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration (PAV) of the quality score, bounded-bin minimax
+# ---------------------------------------------------------------------------
+
+ISO_BINS = 10
+
+
+def eval_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic regression of the is-English rate on the quality
+    score (the same deterministic score/label pair as eval_quality_auc
+    / threshold_sweep) over ISO_BINS equal-width score bins, via the
+    minimax characterization of the pool-adjacent-violators fit:
+    iso_b = max_{j<=b} min_{k>=b} weightedmean(rate over bins j..k)
+    (Ayer et al. 1955; Robertson-Wright-Dykstra 1988 Thm 1.4.4).
+    PAV itself is a sequential pooling loop, but on a BOUNDED bin
+    frame the minimax form is three self-joins — fully declarative,
+    fully SQL-expressible, and exactly equal to PAV's output. This is
+    the recalibration step a quality-classifier pipeline runs before
+    thresholding scores into keep/drop decisions.
+
+    Determinism: bin ids, counts, and label sums are integers;
+    pooled rates are single integer divisions (bit-identical across
+    engines), so the min/max lattice never compares noisy floats;
+    rounding happens only at output.
+
+    Scale shape: ONE groupBy collapses the corpus to <= ISO_BINS
+    rows; the (j,k,b) lattice joins are O(B^3) on that bounded frame;
+    output is <= B rows."""
+    from cdc_2025_spark.queries.pending_r10 import _scored_docs
+
+    scored = _scored_docs(spark, sf_dir).dropna(
+        subset=["score", "label"]
+    )
+    bins = (
+        scored.groupBy(
+            F.least(
+                F.floor(F.col("score") * ISO_BINS),
+                F.lit(ISO_BINS - 1),
+            )
+            .cast("int")
+            .alias("bin")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("label").cast("long").alias("s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    jf = bins.select(F.col("bin").alias("j"))
+    kf = bins.select(F.col("bin").alias("k"))
+    mf = bins.select(
+        F.col("bin").alias("m"), F.col("n").alias("mn"),
+        F.col("s").alias("ms"),
+    )
+    pooled = (
+        jf.crossJoin(kf)
+        .filter(F.col("j") <= F.col("k"))
+        .join(
+            mf,
+            (F.col("m") >= F.col("j")) & (F.col("m") <= F.col("k")),
+        )
+        .groupBy("j", "k")
+        .agg(
+            (F.sum("ms") / F.sum("mn")).alias("rate")
+        )
+    )
+    bf = bins.select(F.col("bin").alias("b"))
+    minstep = (
+        pooled.join(
+            bf,
+            (F.col("j") <= F.col("b")) & (F.col("k") >= F.col("b")),
+        )
+        .groupBy("b", "j")
+        .agg(F.min("rate").alias("mr"))
+    )
+    iso = minstep.groupBy("b").agg(F.max("mr").alias("iso"))
+    return (
+        bins.join(iso, bins.bin == iso.b)
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("s") / F.col("n"), 6).alias("raw_rate"),
+            F.round("iso", 6).alias("iso_rate"),
+            F.round(
+                F.abs(F.col("s") / F.col("n") - F.col("iso")), 6
+            ).alias("gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+ISO_ORACLE = f"""
+WITH scored AS (
+  SELECT (n_chars % {SCORE_MOD}) / {SCORE_MOD}.0 AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+  FROM documents
+  WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+),
+bins AS (
+  SELECT CAST(LEAST(FLOOR(score * {ISO_BINS}), {ISO_BINS - 1})
+              AS INTEGER) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(label) AS BIGINT) AS s
+  FROM scored GROUP BY 1
+),
+pooled AS (
+  SELECT j.bin AS j, k.bin AS k,
+         SUM(m.s) / CAST(SUM(m.n) AS DOUBLE) AS rate
+  FROM bins j
+  JOIN bins k ON j.bin <= k.bin
+  JOIN bins m ON m.bin >= j.bin AND m.bin <= k.bin
+  GROUP BY 1, 2
+),
+minstep AS (
+  SELECT b.bin AS b, p.j, MIN(p.rate) AS mr
+  FROM pooled p JOIN bins b ON p.j <= b.bin AND p.k >= b.bin
+  GROUP BY 1, 2
+),
+iso AS (
+  SELECT b, MAX(mr) AS iso FROM minstep GROUP BY b
+)
+SELECT bins.bin, bins.n,
+       ROUND(bins.s / CAST(bins.n AS DOUBLE), 6) AS raw_rate,
+       ROUND(iso.iso, 6) AS iso_rate,
+       ROUND(ABS(bins.s / CAST(bins.n AS DOUBLE) - iso.iso), 6)
+         AS gap
+FROM bins JOIN iso ON bins.bin = iso.b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fano factor / burstiness / memory of event arrivals per type
+# ---------------------------------------------------------------------------
+
+
+def stats_fano_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Arrival-process shape audit per event type: the daily-count
+    Fano factor (var/mean over the ZERO-FILLED global calendar —
+    1 = Poisson, >1 overdispersed/bursty, <1 regular), the Goh &
+    Barabási (2008) burstiness B = (sigma - mu)/(sigma + mu) of
+    WITHIN-DAY inter-arrival times, and their memory coefficient
+    (correlation of consecutive within-day inter-arrivals, computed
+    as covar/(sd*sd) with NULLIF guards so a degenerate series is
+    NULL in both engines rather than NaN-vs-NULL). The
+    traffic-characterization trio capacity planning and anomaly
+    baselines start from.
+
+    Inter-arrivals are deliberately DAY-BOUNDED: a per-type total
+    order is an unbounded single partition at corpus scale, while
+    (type, day) partitions stay bounded forever; the price is
+    dropping one cross-midnight gap per day, documented here.
+
+    Determinism: deltas are integer microseconds (unix_micros)
+    scaled by 1e6 — exact in both engines; ordering ties break on
+    event_id; final float aggregates round 4dp.
+
+    Scale shape: one (type, day) groupBy for the Fano spine, one
+    (type, day)-partitioned window for deltas; the corpus shuffles
+    once on (type, day); outputs are one row per type."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.to_date("ts").alias("day"),
+    )
+    span = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    counts = ev.groupBy("event_type", "day").agg(
+        F.count("*").alias("cnt")
+    )
+    types = ev.select("event_type").distinct()
+    fano = (
+        types.crossJoin(F.broadcast(spine))
+        .join(counts, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.coalesce("cnt", F.lit(0)).cast("double").alias("y"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("y").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_days"),
+            F.round(
+                F.var_samp("y") / F.avg("y"), 4
+            ).alias("fano_daily"),
+        )
+    )
+    w_day = Window.partitionBy("event_type", "day").orderBy(
+        "ts", "event_id"
+    )
+    # parquet timestamps read back TIMESTAMP_NTZ (Spark 4 inference);
+    # ntz->ltz->double is epoch seconds (micros / 1e6, the exact
+    # arithmetic the oracle mirrors) and the shift cancels in diffs
+    sec = F.col("ts").cast("timestamp_ltz").cast("double")
+    deltas = (
+        ev.withColumn("prev_sec", F.lag(sec).over(w_day))
+        .filter(F.col("prev_sec").isNotNull())
+        .withColumn("delta", sec - F.col("prev_sec"))
+        .withColumn("prev_delta", F.lag("delta").over(w_day))
+    )
+    mu, sd = F.avg("delta"), F.stddev_samp("delta")
+    burst = deltas.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_deltas"),
+        F.round(
+            (sd - mu) / F.nullif(sd + mu, F.lit(0.0)), 4
+        ).alias("burstiness"),
+        F.round(
+            F.covar_samp("prev_delta", "delta")
+            / F.nullif(
+                F.stddev_samp(
+                    F.when(
+                        F.col("prev_delta").isNotNull(),
+                        F.col("prev_delta"),
+                    )
+                )
+                * F.stddev_samp(
+                    F.when(
+                        F.col("prev_delta").isNotNull(),
+                        F.col("delta"),
+                    )
+                ),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("memory_coeff"),
+    )
+    return (
+        fano.join(burst, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            "n_days",
+            "fano_daily",
+            "n_deltas",
+            "burstiness",
+            "memory_coeff",
+        )
+        .orderBy("event_type")
+    )
+
+
+FANO_ORACLE = """
+WITH ev AS (
+  SELECT event_type, ts, event_id, CAST(ts AS DATE) AS day
+  FROM events
+),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+spine AS (
+  SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))
+              AS DATE) AS day
+  FROM span
+),
+fano AS (
+  SELECT z.event_type,
+         CAST(SUM(y) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         ROUND(VAR_SAMP(y) / AVG(y), 4) AS fano_daily
+  FROM (
+    SELECT ty.event_type, sp.day,
+           CAST(COALESCE(c.cnt, 0) AS DOUBLE) AS y
+    FROM (SELECT DISTINCT event_type FROM ev) ty
+    CROSS JOIN spine sp
+    LEFT JOIN (SELECT event_type, day, COUNT(*) AS cnt
+               FROM ev GROUP BY 1, 2) c
+      ON c.event_type = ty.event_type AND c.day = sp.day
+  ) z
+  GROUP BY z.event_type
+),
+deltas AS (
+  SELECT event_type,
+         sec - prev_sec AS delta,
+         LAG(sec - prev_sec) OVER (
+           PARTITION BY event_type, day
+           ORDER BY ts, event_id) AS prev_delta
+  FROM (
+    SELECT event_type, day, ts, event_id,
+           epoch_us(ts) / 1000000.0 AS sec,
+           LAG(epoch_us(ts) / 1000000.0) OVER (
+             PARTITION BY event_type, day
+             ORDER BY ts, event_id) AS prev_sec
+    FROM ev
+  )
+  WHERE prev_sec IS NOT NULL
+),
+burst AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_deltas,
+         ROUND((STDDEV_SAMP(delta) - AVG(delta))
+               / NULLIF(STDDEV_SAMP(delta) + AVG(delta), 0.0), 4)
+           AS burstiness,
+         ROUND(COVAR_SAMP(prev_delta, delta)
+               / NULLIF(
+                   STDDEV_SAMP(CASE WHEN prev_delta IS NOT NULL
+                                    THEN prev_delta END)
+                   * STDDEV_SAMP(CASE WHEN prev_delta IS NOT NULL
+                                      THEN delta END), 0.0), 4)
+           AS memory_coeff
+  FROM deltas
+  GROUP BY event_type
+)
+SELECT f.event_type, f.n_events, f.n_days, f.fano_daily,
+       b.n_deltas, b.burstiness, b.memory_coeff
+FROM fano f LEFT JOIN burst b ON f.event_type = b.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registration hook for round 12
 # ---------------------------------------------------------------------------
 
@@ -1138,6 +2235,13 @@ PENDING_ORDER = [
     "stats_runs_test_daily_revenue",
     "forecast_seasonal_naive_backtest",
     "stats_bootstrap_ci_mean",
+    "survival_km_reorder",
+    "stats_gini_customer_spend",
+    "stats_chi2_type_dow",
+    "graph_kcore_trade_network",
+    "stats_bh_fdr_trend_screen",
+    "eval_isotonic_calibration",
+    "stats_fano_burstiness",
 ]
 
 _PENDING = {
@@ -1167,6 +2271,25 @@ _PENDING = {
         stats_bootstrap_ci_mean,
         _bootstrap_oracle(),
     ),
+    "survival_km_reorder": (survival_km_reorder, KM_ORACLE),
+    "stats_gini_customer_spend": (
+        stats_gini_customer_spend,
+        GINI_ORACLE,
+    ),
+    "stats_chi2_type_dow": (stats_chi2_type_dow, CHI2_ORACLE),
+    "graph_kcore_trade_network": (
+        graph_kcore_trade_network,
+        _kcore_oracle(),
+    ),
+    "stats_bh_fdr_trend_screen": (
+        stats_bh_fdr_trend_screen,
+        BH_ORACLE,
+    ),
+    "eval_isotonic_calibration": (
+        eval_isotonic_calibration,
+        ISO_ORACLE,
+    ),
+    "stats_fano_burstiness": (stats_fano_burstiness, FANO_ORACLE),
 }
 
 

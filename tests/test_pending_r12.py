@@ -402,3 +402,186 @@ def test_bootstrap_matches_python_model(spark):
         .collect()
     }
     assert got == pytest.approx(want, abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Round-12 second wave: survival / inequality / association /
+# k-core / FDR / isotonic / burstiness model + sanity pins
+# ---------------------------------------------------------------------------
+
+
+def test_km_matches_python_model(spark):
+    """Engine KM table equals a plain-python product-limit replay
+    over the same (duration, event) observations."""
+    from pyspark.sql import functions as F
+
+    from cdc_2025_spark.io import read_table
+
+    o = read_table(spark, SF_DIR, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("day")
+    )
+    rows = sorted(
+        (r["o_custkey"], r["day"]) for r in o.collect()
+    )
+    gmax = max(d for _, d in rows)
+    by_cust = {}
+    for c, d in rows:
+        by_cust.setdefault(c, []).append(d)
+    obs = []
+    for days in by_cust.values():
+        days.sort()
+        for a, b in zip(days, days[1:]):
+            obs.append(((b - a).days, 1))
+        obs.append(((gmax - days[-1]).days, 0))
+    from collections import Counter
+
+    d_at = Counter(t for t, e in obs if e == 1)
+    c_at = Counter(t for t, e in obs if e == 0)
+    at_risk = len(obs)
+    surv, want = 1.0, {}
+    for t in sorted(set(t for t, _ in obs)):
+        d, c = d_at.get(t, 0), c_at.get(t, 0)
+        if d:
+            surv *= 1.0 - d / at_risk
+            want[t] = (at_risk, d, c, round(surv, 6))
+        at_risk -= d + c
+    got = {
+        r["duration_days"]: (
+            r["n_risk"],
+            r["n_events"],
+            r["n_censored"],
+            r["survival"],
+        )
+        for r in pending_r12.survival_km_reorder(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][:3] == want[t][:3], (t, got[t], want[t])
+        assert got[t][3] == pytest.approx(want[t][3], abs=1e-6)
+
+
+def test_km_survival_is_monotone_decreasing(spark):
+    rows = (
+        pending_r12.survival_km_reorder(spark, SF_DIR)
+        .orderBy("duration_days")
+        .collect()
+    )
+    assert rows, "KM table is empty"
+    sv = [r["survival"] for r in rows]
+    assert all(a >= b for a, b in zip(sv, sv[1:]))
+    assert all(0.0 <= s <= 1.0 for s in sv)
+    assert sv[0] < 1.0  # at least one event at the first time
+
+
+def test_kcore_matches_python_peeling(spark):
+    """h-index iteration fixed point == classical peeling coreness."""
+    from cdc_2025_spark.queries.graph import trade_edges
+
+    e = trade_edges(spark, SF_DIR).collect()
+    adj = {}
+    for r in e:
+        if r["src"] == r["dst"]:
+            continue
+        adj.setdefault(r["src"], set()).add(r["dst"])
+        adj.setdefault(r["dst"], set()).add(r["src"])
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core = dict(deg)
+    remaining = set(adj)
+    k = 0
+    while remaining:
+        k_v = min(remaining, key=lambda v: (core_deg(v, adj, remaining)))
+        k = max(k, core_deg(k_v, adj, remaining))
+        core[k_v] = k
+        remaining.discard(k_v)
+    got = {
+        r["n_name"]: (r["coreness"], r["degree"])
+        for r in pending_r12.graph_kcore_trade_network(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert {v: c for v, (c, _) in got.items()} == core
+    assert {v: d for v, (_, d) in got.items()} == deg
+
+
+def core_deg(v, adj, remaining):
+    return sum(1 for u in adj[v] if u in remaining)
+
+
+def test_isotonic_equals_sequential_pav(spark):
+    """The minimax lattice form equals the classic sequential
+    pool-adjacent-violators loop on the same bin table."""
+    rows = (
+        pending_r12.eval_isotonic_calibration(spark, SF_DIR)
+        .orderBy("bin")
+        .collect()
+    )
+    assert rows, "no bins"
+    # rebuild (n, s) from n and raw_rate: s = round(raw*n) exactly
+    blocks = [
+        [r["n"], round(r["raw_rate"] * r["n"]), r["bin"], r["bin"]]
+        for r in rows
+    ]
+    stack = []
+    for b in blocks:
+        stack.append(list(b))
+        while len(stack) >= 2 and (
+            stack[-2][1] * stack[-1][0] > stack[-1][1] * stack[-2][0]
+        ):
+            n2, s2, _, hi = stack.pop()
+            n1, s1, lo, _ = stack.pop()
+            stack.append([n1 + n2, s1 + s2, lo, hi])
+    want = {}
+    for n, s, lo, hi in stack:
+        for b in range(lo, hi + 1):
+            want[b] = round(s / n, 6)
+    got = {r["bin"]: r["iso_rate"] for r in rows}
+    assert set(got) >= set(want)
+    for b, v in want.items():
+        if b in got:
+            assert got[b] == pytest.approx(v, abs=1e-6), (b, got[b], v)
+    # and it is monotone non-decreasing in bin order
+    iso = [r["iso_rate"] for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(iso, iso[1:]))
+
+
+def test_bh_fdr_stepup_property(spark):
+    """The rejected set is exactly ranks 1..k for the largest k with
+    p_(k) <= k q / m (step-up, not step-down)."""
+    rows = (
+        pending_r12.stats_bh_fdr_trend_screen(spark, SF_DIR)
+        .orderBy("bh_rank")
+        .collect()
+    )
+    assert rows
+    m = len(rows)
+    ks = [
+        r["bh_rank"]
+        for r in rows
+        if r["p_value"] <= round(r["bh_rank"] * pending_r12.BH_Q / m, 6)
+    ]
+    k = max(ks) if ks else 0
+    for r in rows:
+        assert r["rejected"] == (1 if r["bh_rank"] <= k else 0)
+    # p-values are sorted by rank
+    ps = [r["p_value"] for r in rows]
+    assert ps == sorted(ps)
+
+
+def test_gini_chi2_fano_sanity(spark):
+    gini = pending_r12.stats_gini_customer_spend(spark, SF_DIR).collect()
+    assert gini
+    for r in gini:
+        if r["gini"] is not None:
+            assert -1e-9 <= r["gini"] <= 1.0
+            assert 0.0 <= r["top_decile_share"] <= 1.0
+    chi = pending_r12.stats_chi2_type_dow(spark, SF_DIR).collect()[0]
+    assert chi["chi2"] >= 0.0
+    assert chi["dof"] == (chi["n_types"] - 1) * (chi["n_dows"] - 1)
+    assert 0.0 <= chi["cramers_v"] <= 1.0
+    assert chi["mi_nats"] >= -1e-9
+    fano = pending_r12.stats_fano_burstiness(spark, SF_DIR).collect()
+    assert fano
+    for r in fano:
+        assert r["fano_daily"] is not None and r["fano_daily"] >= 0.0
+        if r["burstiness"] is not None:
+            assert -1.0 - 1e-9 <= r["burstiness"] <= 1.0 + 1e-9
