@@ -139,6 +139,24 @@ _AC_CHROM = (
     ],
 )
 
+# Extended-precision (12-bit, SOF1) Huffman tables. T.81's Annex K
+# example tables only reach DC category 11 / AC size 10 (the 8-bit
+# coefficient range); 12-bit samples need DC categories to 15 and AC
+# sizes to 14 (tables F.1/F.2). Any DHT-carried prefix code is
+# spec-valid, so these use uniform canonical lengths — 16 DC symbols
+# at 5 bits (Kraft 16/32) and 226 AC symbols (EOB + ZRL + run 0..15
+# x size 1..14) at 8 bits (Kraft 226/256): trivially correct, built
+# once, and decode through the same DHT machinery as Annex K tables.
+_DC_EXT = (
+    [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    list(range(16)),
+)
+_AC_EXT = (
+    [0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0],
+    [0x00, 0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 15)],
+)
+
 _DCT_MAT = None
 
 
@@ -279,15 +297,15 @@ def _encode_block(zz, dc_prev, dc_codes, ac_codes, bw) -> int:
     return int(zz[0])
 
 
-def _rgb_to_ycbcr(rgb):
+def _rgb_to_ycbcr(rgb, center: float = 128.0):
     import numpy as np  # noqa: PLC0415
 
     r = rgb[:, :, 0].astype(np.float64)
     g = rgb[:, :, 1].astype(np.float64)
     b = rgb[:, :, 2].astype(np.float64)
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + center
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + center
     return y, cb, cr
 
 
@@ -301,7 +319,7 @@ def _pad_edge(plane, mh: int, mw: int):
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
-def _quantized_blocks(plane, qtab):
+def _quantized_blocks(plane, qtab, center: float = 128.0):
     """All 8x8 blocks of a padded plane -> zigzagged quantized int
     coefs, vectorized: one einsum DCT over the full block grid."""
     import numpy as np  # noqa: PLC0415
@@ -309,7 +327,7 @@ def _quantized_blocks(plane, qtab):
     c = _dct_mat()
     h, w = plane.shape
     by, bx = h // 8, w // 8
-    blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
+    blocks = plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - center
     coefs = np.einsum("ux,ijxy,vy->ijuv", c, blocks, c)
     q = np.asarray(qtab, dtype=np.float64).reshape(8, 8)
     qd = np.rint(coefs / q).astype(np.int32).reshape(by, bx, 64)
@@ -322,11 +340,14 @@ def make_jpeg(
     seed: int = 0,
     subsampling: str = "4:2:0",
     quality: int = 88,
+    precision: int = 8,
 ) -> bytes:
     """Encode the SAME deterministic seeded-gradient pattern as
     make_bmp/make_png as a real baseline JPEG — so the three
     containers carry one image and cross-codec parity is testable
-    (exactly for BMP/PNG, tolerance-pinned for JPEG)."""
+    (exactly for BMP/PNG, tolerance-pinned for JPEG). With
+    ``precision=12`` the 8-bit pattern widens x16 into a 12-bit
+    extended-sequential twin of the same image."""
     import numpy as np  # noqa: PLC0415
 
     x = np.arange(width)[None, :]
@@ -339,6 +360,13 @@ def make_jpeg(
         ],
         axis=2,
     ).astype(np.uint8)
+    if precision == 12:
+        return encode_jpeg(
+            rgb.astype(np.uint16) * 16,
+            subsampling=subsampling,
+            quality=quality,
+            precision=12,
+        )
     return encode_jpeg(rgb, subsampling=subsampling, quality=quality)
 
 
@@ -347,8 +375,18 @@ def encode_jpeg(
     subsampling: str = "4:2:0",
     quality: int = 88,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline sequential JFIF bytes.
+    """(h, w, 3) uint8 RGB -> baseline sequential JFIF bytes; with
+    ``precision=12``, (h, w, 3) integer samples in 0..4095 ->
+    EXTENDED sequential (SOF1) bytes: level shift 2048, the
+    quality-scaled quantization tables widened x16 (entries > 255
+    emit as Pq=1 16-bit DQT), and the uniform-length extended
+    Huffman tables (_DC_EXT/_AC_EXT) that cover the 12-bit DC/AC
+    category range Annex K's 8-bit tables cannot. Scaling both the
+    samples and the tables by 16 makes the quantized coefficient
+    grid of a widened image IDENTICAL to its 8-bit twin's — the
+    cross-precision equality the tests pin.
 
     ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
     (byte-aligned, n cycling 0-7, DC predictors reset) after every
@@ -362,12 +400,23 @@ def encode_jpeg(
         raise ValueError(
             f"restart_interval must be >= 0, got {restart_interval}"
         )
+    if precision not in (8, 12):
+        raise NotImplementedError(
+            f"JPEG encode precision {precision} (8 and 12 supported)"
+        )
+    ext = precision == 12
+    if ext and int(np.max(rgb)) > 4095:
+        raise ValueError("12-bit samples must be in 0..4095")
+    center = float(1 << (precision - 1))
     sub = subsampling == "4:2:0"
     h, w = rgb.shape[:2]
     qlum = _scaled_quant(_QUANT_LUM, quality)
     qchrom = _scaled_quant(_QUANT_CHROM, quality)
+    if ext:
+        qlum = [min(q * 16, 65535) for q in qlum]
+        qchrom = [min(q * 16, 65535) for q in qchrom]
 
-    yp, cb, cr = _rgb_to_ycbcr(rgb)
+    yp, cb, cr = _rgb_to_ycbcr(rgb, center)
     if sub:
         yp = _pad_edge(yp, 16, 16)
         cb = _pad_edge(cb, 16, 16)
@@ -384,12 +433,18 @@ def encode_jpeg(
         cb = _pad_edge(cb, 8, 8)
         cr = _pad_edge(cr, 8, 8)
 
-    zz_y = _quantized_blocks(yp, qlum)
-    zz_cb = _quantized_blocks(cb, qchrom)
-    zz_cr = _quantized_blocks(cr, qchrom)
+    zz_y = _quantized_blocks(yp, qlum, center)
+    zz_cb = _quantized_blocks(cb, qchrom, center)
+    zz_cr = _quantized_blocks(cr, qchrom, center)
 
-    dc_l, ac_l = _huff_codes(*_DC_LUM), _huff_codes(*_AC_LUM)
-    dc_c, ac_c = _huff_codes(*_DC_CHROM), _huff_codes(*_AC_CHROM)
+    if ext:
+        dc_lt, ac_lt = _DC_EXT, _AC_EXT
+        dc_ct, ac_ct = _DC_EXT, _AC_EXT
+    else:
+        dc_lt, ac_lt = _DC_LUM, _AC_LUM
+        dc_ct, ac_ct = _DC_CHROM, _AC_CHROM
+    dc_l, ac_l = _huff_codes(*dc_lt), _huff_codes(*ac_lt)
+    dc_c, ac_c = _huff_codes(*dc_ct), _huff_codes(*ac_ct)
     bw = _BitWriter()
     mcus_x = cb.shape[1] // 8
     mcus_y = cb.shape[0] // 8
@@ -424,6 +479,11 @@ def encode_jpeg(
         return _struct.pack(">HH", marker, len(body) + 2) + body
 
     def dqt(tid: int, tab: list[int]) -> bytes:
+        if max(tab) > 255:  # Pq=1: 16-bit entries (B.2.4.1)
+            zz = b"".join(
+                _struct.pack(">H", tab[_ZIGZAG[i]]) for i in range(64)
+            )
+            return seg(0xFFDB, bytes([0x10 | tid]) + zz)
         zz = bytes(tab[_ZIGZAG[i]] for i in range(64))
         return seg(0xFFDB, bytes([tid]) + zz)
 
@@ -434,8 +494,8 @@ def encode_jpeg(
 
     samp_y = 0x22 if sub else 0x11
     sof = seg(
-        0xFFC0,
-        _struct.pack(">BHHB", 8, h, w, 3)
+        0xFFC1 if ext else 0xFFC0,  # 12-bit requires SOF1 (T.81 B.2.2)
+        _struct.pack(">BHHB", precision, h, w, 3)
         + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
@@ -451,10 +511,10 @@ def encode_jpeg(
         + dqt(0, qlum)
         + dqt(1, qchrom)
         + sof
-        + dht(0, 0, *_DC_LUM)
-        + dht(1, 0, *_AC_LUM)
-        + dht(0, 1, *_DC_CHROM)
-        + dht(1, 1, *_AC_CHROM)
+        + dht(0, 0, *dc_lt)
+        + dht(1, 0, *ac_lt)
+        + dht(0, 1, *dc_ct)
+        + dht(1, 1, *ac_ct)
         + dri
         + sos
         + scan
@@ -551,15 +611,22 @@ def _reconstruct(
     coefs, qtabs, by_id, order,
     height: int, width: int,
     mcus_x: int, mcus_y: int, hmax: int, vmax: int,
+    prec: int = 8,
 ):
     """Shared decode tail for the baseline and progressive kernels:
     per-component ZIGZAG coefficient grids (by, bx, 64) -> dequantize
     -> vectorized IDCT -> nearest upsample -> crop -> YCbCr->RGB (or
     gray replication). Kept in ONE place because the progressive ==
     baseline exact-pixel-equality oracle depends on both decoders
-    sharing every rounding decision here."""
+    sharing every rounding decision here. ``prec`` parametrizes the
+    level shift (2^(prec-1)) and clamp (2^prec - 1): 8-bit returns
+    uint8, 12-bit (extended sequential) returns uint16 holding
+    0..4095 sample values."""
     import numpy as np  # noqa: PLC0415
 
+    center = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
     c = _dct_mat()
     inv_zig = np.argsort(np.asarray(_ZIGZAG))  # natural -> zz index
     planes = {}
@@ -571,7 +638,7 @@ def _reconstruct(
         nat = grid[:, :, inv_zig].reshape(
             grid.shape[0], grid.shape[1], 8, 8
         )
-        pix = np.einsum("xu,ijuv,yv->ijxy", c.T, nat, c.T) + 128.0
+        pix = np.einsum("xu,ijuv,yv->ijxy", c.T, nat, c.T) + center
         by, bx = pix.shape[0], pix.shape[1]
         planes[cid] = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
 
@@ -587,25 +654,42 @@ def _reconstruct(
         out_planes.append(p[:full_h, :full_w])
     if len(out_planes) == 1:
         y = out_planes[0][:height, :width]
-        g = np.clip(np.rint(y), 0, 255).astype(np.uint8)
+        g = np.clip(np.rint(y), 0, maxv).astype(dtype)
         return np.stack([g, g, g], axis=2)
     y, cb, cr = (p[:height, :width] for p in out_planes)
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    b = y + 1.772 * (cb - center)
     rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.rint(rgb), 0, maxv).astype(dtype)
 
 
 def decode_jpeg(payload: bytes):
-    """REAL decode kernel for baseline sequential JPEG (ITU-T T.81):
-    returns an (height, width, 3) uint8 RGB array. Supports 8-bit
-    Huffman-coded 1- or 3-component scans with 4:4:4 or 4:2:0 (or any
-    h/v in {1,2}) sampling, restart intervals (DRI/RSTn), and —
-    via the sibling kernel — progressive scans (spectral selection
-    AND successive approximation). Arithmetic coding, hierarchical,
-    and 12-bit raise NotImplementedError — fail loud, never decode
+    """REAL decode kernel for sequential JPEG (ITU-T T.81): returns
+    an (height, width, 3) uint8 RGB array. Supports Huffman-coded 1-
+    or 3-component scans with 4:4:4 or 4:2:0 (or any h/v in {1,2})
+    sampling, restart intervals (DRI/RSTn), 12-bit extended
+    sequential (SOF1 — decoded at native depth then mapped to uint8
+    via the rounding shift (v + 8) >> 4; use decode_jpeg_native for
+    the raw 0..4095 samples), and — via the sibling kernel —
+    progressive scans (spectral selection AND successive
+    approximation). Arithmetic coding, hierarchical, and 12-bit
+    PROGRESSIVE raise NotImplementedError — fail loud, never decode
     wrongly."""
+    import numpy as np  # noqa: PLC0415
+
+    arr, prec = decode_jpeg_native(payload)
+    if prec == 8:
+        return arr
+    return np.minimum(
+        (arr.astype(np.int32) + 8) >> 4, 255
+    ).astype(np.uint8)
+
+
+def decode_jpeg_native(payload: bytes):
+    """decode_jpeg at native sample depth: returns
+    ((h, w, 3) array, precision) — uint8 for 8-bit streams, uint16
+    holding 0..4095 for 12-bit extended sequential (SOF1)."""
     import numpy as np  # noqa: PLC0415
 
     if payload[:3] != b"\xff\xd8\xff":
@@ -615,6 +699,7 @@ def decode_jpeg(payload: bytes):
     htabs: dict[tuple[int, int], dict] = {}
     restart_interval = 0
     sof = None
+    prec = 8
     comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
     scan_comps: list[tuple[int, int, int]] = []  # (id, dc_tid, ac_tid)
     scan_start = None
@@ -647,10 +732,15 @@ def decode_jpeg(payload: bytes):
                 vals = list(body[off + 17 : off + 17 + n])
                 htabs[(cls, tid)] = _huff_decode_map(bits, vals)
                 off += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline ok
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 sequential
             prec, h, w, nc = _struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise NotImplementedError(f"{prec}-bit precision")
+            # baseline (SOF0) is 8-bit by definition; extended
+            # sequential (SOF1) allows 8 or 12 (T.81 B.2.2)
+            allowed = (8,) if marker == 0xC0 else (8, 12)
+            if prec not in allowed:
+                raise NotImplementedError(
+                    f"{prec}-bit precision in SOF{marker - 0xC0}"
+                )
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
@@ -661,7 +751,7 @@ def decode_jpeg(payload: bytes):
                 decode_jpeg_progressive,
             )
 
-            return decode_jpeg_progressive(payload)
+            return decode_jpeg_progressive(payload), 8
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -753,4 +843,5 @@ def decode_jpeg(payload: bytes):
         mcus_y,
         hmax,
         vmax,
-    )
+        prec=prec,
+    ), prec

@@ -356,6 +356,7 @@ def make_real_media(
     n_flac: int = 0,
     n_avi: int = 0,
     n_flac_stereo: int = 0,
+    n_jpeg12: int = 0,
 ) -> DataFrame:
     """Media rows with REAL payloads: uncompressed 24-bit BMPs,
     zlib-compressed PNGs, baseline JPEGs (Huffman + DCT,
@@ -405,6 +406,29 @@ def make_real_media(
                     )
                 ),
                 (w, h, 0, "jpeg"),
+            )
+        )
+    for i in range(n_jpeg12):
+        # 12-bit extended-sequential (SOF1) twins: the SAME pattern as
+        # jpeg row i widened x16 — decoded uint8 view within +/-1 of
+        # the 8-bit row (pinned in tests), native depth via
+        # decode_jpeg_native
+        w, h = 32 + (i % 4) * 8, 24 + (i % 3) * 8
+        rows.append(
+            (
+                n_images + n_audio + n_png + n_jpeg + n_flac
+                + n_avi + n_flac_stereo + i,
+                "image",
+                bytearray(
+                    make_jpeg(
+                        w,
+                        h,
+                        seed=i,
+                        subsampling="4:2:0" if i % 2 else "4:4:4",
+                        precision=12,
+                    )
+                ),
+                (w, h, 0, "jpeg12"),
             )
         )
     for i in range(n_audio):

@@ -27,6 +27,7 @@ from cdc_2025_spark.queries.registry import query
 # its rows from 0)
 _PNG_BAND = 1000
 _JPEG_BAND = 2000
+_JPEG12_BAND = 2500
 _AVI_BAND = 3000
 
 # Session-level memo for the generated media corpora (the _CENT_CACHE
@@ -103,6 +104,14 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "real_jpeg",
         lambda: make_real_media(spark, n_images=0, n_audio=0, n_jpeg=8),
     )
+    # 12-bit extended-sequential (SOF1) twins of the same patterns —
+    # the decode kernel dispatches on magic bytes and maps 12-bit
+    # samples to the uint8 view, so this rides the SAME mapInPandas
+    # stage as the other containers
+    real_jpeg12 = _media_input(
+        spark, "real_jpeg12",
+        lambda: make_real_media(spark, n_images=0, n_audio=0, n_jpeg12=8),
+    )
 
     img = extract_image_features(images).agg(
         F.lit("image").alias("kind"),
@@ -170,7 +179,12 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             real_jpeg.withColumn("media_id", F.col("media_id") + _JPEG_BAND)
         )
-        # spread the 24 container payloads across 24 tasks so the
+        .unionByName(
+            real_jpeg12.withColumn(
+                "media_id", F.col("media_id") + _JPEG12_BAND
+            )
+        )
+        # spread the 32 container payloads across 32 tasks so the
         # pure-Python baseline-JPEG decode (the documented slow path)
         # keeps per-image parallelism — coalescing this union was
         # measured to serialize the JPEGs onto one straggler task
@@ -182,12 +196,13 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (3.0 -> 5.5 s): its range-boundary sampling pass
         # re-evaluates the payload-encode union per action, costing
         # more than the collisions it removes at this row count.
-        .repartition(24)
+        .repartition(32)
     )
     per_container = (
         extract_image_features(containers)
         .groupBy(
-            F.when(F.col("media_id") >= _JPEG_BAND, "image_jpeg")
+            F.when(F.col("media_id") >= _JPEG12_BAND, "image_jpeg12")
+            .when(F.col("media_id") >= _JPEG_BAND, "image_jpeg")
             .when(F.col("media_id") >= _PNG_BAND, "image_png")
             .otherwise("image_bmp")
             .alias("kind")

@@ -448,10 +448,20 @@ def test_feature_rollup_includes_real_kernels(spark):
     rows = {r["kind"]: r for r in out.collect()}
     assert set(rows) == {
         "image", "audio", "video", "image_bmp", "image_png",
-        "image_jpeg", "image_resized", "audio_wav", "audio_flac",
-        "audio_flac_stereo", "video_mjpeg",
+        "image_jpeg", "image_jpeg12", "image_resized", "audio_wav",
+        "audio_flac", "audio_flac_stereo", "video_mjpeg",
     }
     assert rows["image_jpeg"]["n_rows"] == 8
+    # 12-bit SOF1 twins of the same patterns: decoded uint8 view is
+    # within +/-1 gray level of the 8-bit row, so the normalized
+    # features sit within ~1/255 of image_jpeg's
+    assert rows["image_jpeg12"]["n_rows"] == 8
+    assert abs(
+        rows["image_jpeg12"]["avg_metric"] - rows["image_jpeg"]["avg_metric"]
+    ) < 0.01
+    assert abs(
+        rows["image_jpeg12"]["max_metric"] - rows["image_jpeg"]["max_metric"]
+    ) < 0.01
     # lossy but close: gray-std avg and gray-max max within tolerance
     # of the BMP row over the same patterns
     assert abs(
@@ -882,3 +892,101 @@ def test_jpeg_16bit_quant_tables_decode_identically():
     bad[i + 4] = (2 << 4) | (bad[i + 4] & 0xF)
     with pytest.raises(ValueError, match="precision code"):
         decode_jpeg(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# 12-bit extended sequential JPEG (SOF1)
+# ---------------------------------------------------------------------------
+
+
+class Test12BitJpeg:
+    def test_widened_twin_within_one_gray_level(self):
+        """Scaling samples and quant tables x16 makes the quantized
+        coefficient grid identical to the 8-bit twin's; the uint8
+        view then differs only by the rounding-composition corner
+        (rint at 12-bit then (v+8)>>4 vs direct rint) — never by
+        more than 1."""
+        import numpy as np
+
+        from cdc_2025_spark.multimodal.jpeg import decode_jpeg, make_jpeg
+
+        for sub in ("4:4:4", "4:2:0"):
+            a8 = decode_jpeg(make_jpeg(37, 23, seed=5, subsampling=sub))
+            a12 = decode_jpeg(
+                make_jpeg(37, 23, seed=5, subsampling=sub, precision=12)
+            )
+            diff = np.abs(a12.astype(int) - a8.astype(int))
+            assert diff.max() <= 1
+            assert (diff == 0).mean() > 0.9
+
+    def test_native_decode_full_depth(self):
+        import numpy as np
+
+        from cdc_2025_spark.multimodal.jpeg import (
+            decode_jpeg_native,
+            make_jpeg,
+        )
+
+        arr, prec = decode_jpeg_native(
+            make_jpeg(40, 24, seed=3, precision=12)
+        )
+        assert prec == 12
+        assert arr.dtype == np.uint16
+        assert arr.max() > 255  # actually uses the wide range
+        assert arr.max() <= 4095
+        # determinism
+        arr2, _ = decode_jpeg_native(
+            make_jpeg(40, 24, seed=3, precision=12)
+        )
+        assert np.array_equal(arr, arr2)
+
+    def test_emits_sof1_and_16bit_dqt(self):
+        from cdc_2025_spark.multimodal.jpeg import make_jpeg
+
+        p = make_jpeg(16, 16, seed=1, precision=12)
+        assert b"\xff\xc1" in p and b"\xff\xc0" not in p
+        i = p.index(b"\xff\xdb")
+        assert p[i + 4] >> 4 == 1  # Pq=1: 16-bit quant entries
+
+    def test_restart_interval_roundtrip(self):
+        import numpy as np
+
+        from cdc_2025_spark.multimodal.jpeg import (
+            decode_jpeg_native,
+            encode_jpeg,
+        )
+
+        rgb = (
+            np.indices((17, 31)).sum(axis=0)[:, :, None].repeat(3, 2)
+            * 37
+            % 4096
+        ).astype(np.uint16)
+        p = encode_jpeg(
+            rgb, subsampling="4:4:4", quality=95,
+            restart_interval=2, precision=12,
+        )
+        arr, prec = decode_jpeg_native(p)
+        assert prec == 12 and arr.shape == (17, 31, 3)
+
+    def test_fail_loud_edges(self):
+        import numpy as np
+        import pytest
+
+        from cdc_2025_spark.multimodal.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            make_jpeg,
+        )
+
+        rgb = np.zeros((8, 8, 3), dtype=np.uint16)
+        with pytest.raises(NotImplementedError):
+            encode_jpeg(rgb, precision=10)
+        with pytest.raises(ValueError):
+            encode_jpeg(
+                np.full((8, 8, 3), 5000, dtype=np.uint16), precision=12
+            )
+        # SOF0 with 12-bit precision is spec-illegal: refused
+        p12 = make_jpeg(16, 16, seed=1, precision=12)
+        bad = p12.replace(b"\xff\xc1", b"\xff\xc0", 1)
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bad)
