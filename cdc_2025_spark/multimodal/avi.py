@@ -18,9 +18,17 @@ SAME seeded-gradient pattern as ``make_jpeg(seed=s * 31 + f)``, so
 sampled-frame pixels are bit-identical to the corresponding still
 image — the BMP/PNG/FLAC container-twin story extended to video.
 
+Uncompressed BI_RGB 'DIB' video (raw bottom-up or top-down 24-bit
+BGR pixel arrays in '00db' chunks — the second codec every AVI
+toolchain emits) decodes through the same parser; a DIB frame of the
+seeded pattern is pixel-IDENTICAL to its BMP/PNG still twin, so a
+DIB re-encode of an MJPEG video is the cross-codec near-duplicate
+the frame-hash pairing catches.
+
 Fail-loud set (real kernels beside, never silent wrong answers):
-non-MJPG video codecs, audio/other streams, AVIX/OpenDML extension
-lists, and structurally broken files all raise.
+other video codecs (cvid, ...), non-24-bit DIB, audio/other streams,
+AVIX/OpenDML extension lists, and structurally broken files all
+raise.
 """
 
 from __future__ import annotations
@@ -149,6 +157,156 @@ def make_mjpeg_avi(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def make_dib_avi(
+    width: int,
+    height: int,
+    n_frames: int,
+    fps: int = AVI_DEFAULT_FPS,
+    seed: int = 0,
+    top_down: bool = False,
+) -> bytes:
+    """Deterministic UNCOMPRESSED (BI_RGB 'DIB') AVI of the seeded
+    test pattern: frame f carries EXACTLY the make_bmp pattern at
+    seed seed*31 + f — lossless, so sampled frames are
+    pixel-identical to the BMP/PNG stills."""
+    rgb_frames = []
+    for f in range(max(n_frames, 0)):
+        s = seed * 31 + f
+        frame = bytearray()
+        for y in range(height):
+            for x in range(width):
+                frame += bytes(
+                    (
+                        (x * 13 + y * 17 + s * 3) % 256,  # R
+                        (x * 5 + y * 11 + s * 2) % 256,   # G
+                        (x * 7 + y * 3 + s) % 256,        # B
+                    )
+                )
+        rgb_frames.append((height, width, bytes(frame)))
+    return encode_dib_avi(rgb_frames, fps=fps, top_down=top_down)
+
+
+def encode_dib_avi(
+    frames,
+    fps: int = AVI_DEFAULT_FPS,
+    top_down: bool = False,
+) -> bytes:
+    """Encode RGB frames as an UNCOMPRESSED (BI_RGB 'DIB') AVI: the
+    same container as make_mjpeg_avi but each '00db' chunk is a raw
+    bottom-up 24-bit BGR pixel array with 4-byte row padding (the BMP
+    pixel-array convention; ``top_down=True`` writes negative
+    biHeight and unflipped rows, the same dual the BMP decoder
+    handles). ``frames`` are (h, w, 3) uint8 numpy arrays or
+    (h, w, rgb_bytes) triples, all the same shape. Losslessness makes
+    this the re-encode sink of the video family: storing an MJPEG
+    video's DECODED frames through it yields a byte-different
+    container whose frame hashes are IDENTICAL — the cross-codec
+    near-duplicate the frame-hash pairing catches."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    if fps < 1:
+        raise ValueError(f"need fps >= 1, got {fps}")
+    norm = []
+    for fr in frames:
+        if isinstance(fr, tuple):
+            h, w, data = fr
+        else:  # numpy (h, w, 3)
+            h, w = fr.shape[:2]
+            data = fr.tobytes()
+        norm.append((h, w, data))
+    height, width = norm[0][0], norm[0][1]
+    if any((h, w) != (height, width) for h, w, _ in norm):
+        raise ValueError("all frames must share one (h, w)")
+    n_frames = len(norm)
+    row_size = (width * 3 + 3) // 4 * 4
+    pad = b"\x00" * (row_size - width * 3)
+    frames_raw = []
+    for h, w, data in norm:
+        rows = [
+            # RGB -> BGR per row, then 4-byte pad
+            bytes(
+                b
+                for x in range(width)
+                for b in (
+                    data[(y * width + x) * 3 + 2],
+                    data[(y * width + x) * 3 + 1],
+                    data[(y * width + x) * 3],
+                )
+            )
+            + pad
+            for y in range(height)
+        ]
+        if not top_down:
+            rows.reverse()  # bottom-up storage
+        frames_raw.append(b"".join(rows))
+    frames = frames_raw
+    frame_len = row_size * height
+    avih = _chunk(
+        b"avih",
+        struct.pack(
+            "<14I",
+            1_000_000 // fps,
+            frame_len * fps,
+            0,
+            0x10,
+            n_frames,
+            0,
+            1,
+            frame_len,
+            width,
+            height,
+            0, 0, 0, 0,
+        ),
+    )
+    strh = _chunk(
+        b"strh",
+        b"vids"
+        + b"DIB "
+        + struct.pack(
+            "<IHHIIIIIIII4H",
+            0, 0, 0, 0,
+            1,
+            fps,
+            0,
+            n_frames,
+            frame_len,
+            0xFFFFFFFF,
+            frame_len,  # dwSampleSize: fixed-size samples
+            0, 0, width, height,
+        ),
+    )
+    strf = _chunk(
+        b"strf",
+        struct.pack(
+            "<IiiHH4sIiiII",
+            40,
+            width,
+            -height if top_down else height,
+            1,
+            24,
+            b"\x00\x00\x00\x00",  # biCompression = 0 = BI_RGB
+            frame_len,
+            0, 0, 0, 0,
+        ),
+    )
+    hdrl = _list(b"hdrl", avih + _list(b"strl", strh + strf))
+    movi_children = b""
+    idx_entries = []
+    for fr in frames:
+        idx_entries.append((4 + len(movi_children), len(fr)))
+        movi_children += _chunk(b"00db", fr)
+    movi = _list(b"movi", movi_children)
+    idx1 = _chunk(
+        b"idx1",
+        b"".join(
+            b"00db" + struct.pack("<III", 0x10, off, ln)
+            for off, ln in idx_entries
+        ),
+    )
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _walk(buf: bytes, start: int, end: int):
     """Yield (fourcc, payload_start, payload_len) for each chunk in
     [start, end); validates sizes against the enclosing bound."""
@@ -170,15 +328,17 @@ def _walk(buf: bytes, start: int, end: int):
 
 
 def parse_avi(payload: bytes) -> dict:
-    """Parse an MJPEG AVI into
-    ``{width, height, rate, scale, n_frames, frames: list[bytes]}``.
+    """Parse an MJPEG or uncompressed-DIB AVI into ``{codec, width,
+    height, top_down, rate, scale, n_frames, frames: list[bytes]}``.
 
     Strict by design: validates the RIFF envelope, requires exactly
-    one 'vids' stream with fccHandler/biCompression MJPG (anything
-    else — cvid, DIB, audio streams, OpenDML 'AVIX' extensions —
-    raises NotImplementedError: those need codec tables this kernel
-    deliberately does not fake), and cross-checks idx1 offsets and
-    sizes against the movi chunks actually found."""
+    one 'vids' stream whose codec is MJPG (Huffman/DCT frames) or
+    BI_RGB 'DIB' 24-bit (raw BGR pixel arrays, positive or negative
+    biHeight — anything else: cvid, 16-bit DIB, audio streams,
+    OpenDML 'AVIX' extensions — raises NotImplementedError: those
+    need codec tables this kernel deliberately does not fake), and
+    cross-checks idx1 offsets and sizes against the movi chunks
+    actually found."""
     buf = bytes(payload)
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
         raise ValueError("AVI: not a RIFF/AVI payload")
@@ -195,6 +355,8 @@ def parse_avi(payload: bytes) -> dict:
     idx1: list[tuple[int, int]] = []
     movi_payload_start = None
     saw_vids = False
+    codec = None
+    top_down = False
     for fourcc, p, ln in _walk(buf, 12, end):
         if fourcc == b"LIST":
             ltype = buf[p : p + 4]
@@ -221,11 +383,17 @@ def parse_avi(payload: bytes) -> dict:
                                         f"{fcc_type!r} — only video "
                                         "streams decode"
                                     )
-                                if handler not in (b"MJPG", b"mjpg"):
+                                if handler not in (
+                                    b"MJPG",
+                                    b"mjpg",
+                                    b"DIB ",
+                                    b"\x00\x00\x00\x00",
+                                ):
                                     raise NotImplementedError(
                                         f"AVI: codec {handler!r} — "
-                                        "only MJPG decodes (others "
-                                        "need real codec tables)"
+                                        "only MJPG and uncompressed "
+                                        "DIB decode (others need "
+                                        "real codec tables)"
                                     )
                                 saw_vids = True
                                 (scale, rate) = struct.unpack_from(
@@ -237,20 +405,35 @@ def parse_avi(payload: bytes) -> dict:
                                     width,
                                     height,
                                     _planes,
-                                    _bits,
+                                    bits,
                                     comp,
                                 ) = struct.unpack_from(
                                     "<iiiHH4s", buf, sp
                                 )
-                                if comp not in (b"MJPG", b"mjpg"):
+                                if comp in (b"MJPG", b"mjpg"):
+                                    codec = "mjpeg"
+                                elif comp == b"\x00\x00\x00\x00":
+                                    # BI_RGB: raw DIB pixel arrays
+                                    if bits != 24:
+                                        raise NotImplementedError(
+                                            f"AVI: {bits}-bit DIB — "
+                                            "only 24-bit BI_RGB "
+                                            "decodes"
+                                        )
+                                    codec = "dib"
+                                else:
                                     raise NotImplementedError(
                                         f"AVI: biCompression {comp!r}"
-                                        " — only MJPG decodes"
+                                        " — only MJPG and BI_RGB DIB "
+                                        "decode"
                                     )
+                                if height < 0:  # top-down rows
+                                    top_down = True
+                                    height = -height
             elif ltype == b"movi":
                 movi_payload_start = p
                 for c4, cp, cln in _walk(buf, p + 4, p + ln):
-                    if c4 == b"00dc":
+                    if c4 in (b"00dc", b"00db"):
                         frames.append(buf[cp : cp + cln])
                     elif c4[2:] in (b"dc", b"db", b"wb", b"tx"):
                         raise NotImplementedError(
@@ -276,12 +459,20 @@ def parse_avi(payload: bytes) -> dict:
                 _flags, coff, cln = struct.unpack_from(
                     "<III", buf, p + off + 4
                 )
-                if ckid == b"00dc":
+                if ckid in (b"00dc", b"00db"):
                     idx1.append((coff, cln))
-    if not saw_vids or width is None:
-        raise ValueError("AVI: no MJPG video stream header found")
+    if not saw_vids or width is None or codec is None:
+        raise ValueError("AVI: no supported video stream header found")
     if not frames:
         raise ValueError("AVI: movi list holds no video frames")
+    if codec == "dib":
+        frame_len = (width * 3 + 3) // 4 * 4 * height
+        for k, fr in enumerate(frames):
+            if len(fr) != frame_len:
+                raise ValueError(
+                    f"AVI: DIB frame {k} holds {len(fr)} bytes, "
+                    f"expected {frame_len} for {width}x{height}x24"
+                )
     if n_frames_declared is not None and n_frames_declared != len(
         frames
     ):
@@ -305,8 +496,10 @@ def parse_avi(payload: bytes) -> dict:
                 )
             pos += 8 + len(fr) + (len(fr) % 2)
     return {
+        "codec": codec,
         "width": width,
         "height": height,
+        "top_down": top_down,
         "rate": rate,
         "scale": scale,
         "n_frames": len(frames),
@@ -315,11 +508,26 @@ def parse_avi(payload: bytes) -> dict:
 
 
 def decode_avi_frame(meta: dict, frame_idx: int):
-    """(h, w, 3) uint8 RGB of frame ``frame_idx`` — the baseline-JPEG
-    decode of the movi chunk (multimodal/jpeg.py)."""
-    from cdc_2025_spark.multimodal.jpeg import decode_jpeg  # noqa: PLC0415
+    """(h, w, 3) uint8 RGB of frame ``frame_idx``: baseline-JPEG
+    decode of the movi chunk for MJPEG (multimodal/jpeg.py); for
+    uncompressed DIB, the raw BGR row unpack (4-byte row padding,
+    bottom-up unless the header's negative biHeight said top-down) —
+    the same pixel-array convention the BMP decoder handles."""
+    if meta["codec"] == "mjpeg":
+        from cdc_2025_spark.multimodal.jpeg import (  # noqa: PLC0415
+            decode_jpeg,
+        )
 
-    return decode_jpeg(meta["frames"][frame_idx])
+        return decode_jpeg(meta["frames"][frame_idx])
+    import numpy as np  # noqa: PLC0415
+
+    w, h = meta["width"], meta["height"]
+    row_size = (w * 3 + 3) // 4 * 4
+    raw = np.frombuffer(meta["frames"][frame_idx], dtype=np.uint8)
+    rows = raw.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    if not meta["top_down"]:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
 def frame_number_at(meta: dict, t_ms: int) -> int:

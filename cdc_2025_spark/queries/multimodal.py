@@ -367,11 +367,20 @@ def multimodal_video_neardup(
     table; ``sf_dir`` unused, the phash query's posture): 8 base
     videos of distinct seeds (4-6 frames), 3 prefix truncations
     (seeds 0-2, 3 frames — the re-upload-of-a-clip case), 2 exact
-    byte-duplicates (seeds 3-4). Expected: exactly 5 near-dup pairs,
-    each at containment 1.0. Scale shape: pixels never shuffle; all
-    pairing runs on the (media_id, ahash) frame — one distinct, one
-    equi-join on the hash, grouped counts."""
-    from cdc_2025_spark.multimodal.avi import make_mjpeg_avi
+    byte-duplicates (seeds 3-4), and 1 CROSS-CODEC re-encode (video
+    0's decoded frames stored as uncompressed DIB — byte-different
+    container, pixel-identical frames). Expected: exactly 7 near-dup
+    pairs, each at containment 1.0 (the DIB re-encode pairs with its
+    MJPEG original AND with the original's prefix truncation). Scale
+    shape: pixels never shuffle; all pairing runs on the (media_id,
+    ahash) frame — one distinct, one equi-join on the hash, grouped
+    counts."""
+    from cdc_2025_spark.multimodal.avi import (
+        decode_avi_frame,
+        encode_dib_avi,
+        make_mjpeg_avi,
+        parse_avi,
+    )
     from cdc_2025_spark.multimodal.phash import (
         video_frame_hashes,
         video_neardup_pairs,
@@ -394,6 +403,21 @@ def multimodal_video_neardup(
                 ),
             )
             for j in range(2)
+        ]
+        # cross-codec re-encode: video 0's DECODED frames stored raw
+        m0 = parse_avi(make_mjpeg_avi(40, 32, n_frames=4, seed=0))
+        rows += [
+            (
+                13,
+                bytearray(
+                    encode_dib_avi(
+                        [
+                            decode_avi_frame(m0, f)
+                            for f in range(m0["n_frames"])
+                        ]
+                    )
+                ),
+            )
         ]
         return spark.createDataFrame(
             rows, "media_id long, payload binary"

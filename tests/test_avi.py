@@ -248,9 +248,10 @@ def test_idx1_partial_entry_fails_loud():
 
 def test_registered_video_neardup_query(spark):
     """The driver-registered query must produce exactly its documented
-    pairs: the 3 prefix truncations and 2 exact duplicates, each at
-    containment 1.0, and nothing else (distinct base seeds never
-    pair)."""
+    pairs: the 3 prefix truncations, 2 exact duplicates, and the
+    cross-codec DIB re-encode of video 0 (pairing with the original
+    AND the original's prefix truncation), each at containment 1.0,
+    and nothing else (distinct base seeds never pair)."""
     from cdc_2025_spark.queries.multimodal import (
         multimodal_video_neardup,
     )
@@ -261,8 +262,129 @@ def test_registered_video_neardup_query(spark):
     )
     assert rows == [
         (0, 8, 1.0),
+        (0, 13, 1.0),
         (1, 9, 1.0),
         (2, 10, 1.0),
         (3, 11, 1.0),
         (4, 12, 1.0),
+        (8, 13, 1.0),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Uncompressed DIB (BI_RGB) AVI
+# ---------------------------------------------------------------------------
+
+
+def test_dib_frames_equal_bmp_twins():
+    """DIB is lossless: decoded frame f == the BMP still of the same
+    seeded pattern, exactly, including 4-byte row padding widths."""
+    import numpy as np
+
+    from cdc_2025_spark.multimodal.avi import (
+        decode_avi_frame,
+        make_dib_avi,
+        parse_avi,
+    )
+    from cdc_2025_spark.multimodal.media import decode_bmp, make_bmp
+
+    m = parse_avi(make_dib_avi(33, 7, n_frames=3, seed=4))
+    assert m["codec"] == "dib" and not m["top_down"]
+    for f in range(3):
+        want = decode_bmp(make_bmp(33, 7, seed=4 * 31 + f))
+        assert np.array_equal(decode_avi_frame(m, f), want), f
+
+
+def test_dib_top_down_equals_bottom_up():
+    import numpy as np
+
+    from cdc_2025_spark.multimodal.avi import (
+        decode_avi_frame,
+        make_dib_avi,
+        parse_avi,
+    )
+
+    up = parse_avi(make_dib_avi(20, 10, n_frames=2, seed=9))
+    dn = parse_avi(
+        make_dib_avi(20, 10, n_frames=2, seed=9, top_down=True)
+    )
+    assert dn["top_down"]
+    for f in range(2):
+        assert np.array_equal(
+            decode_avi_frame(up, f), decode_avi_frame(dn, f)
+        )
+
+
+def test_dib_reencode_of_mjpeg_is_pixel_identical():
+    """The cross-codec near-dup scenario: storing an MJPEG video's
+    DECODED frames as raw DIB yields a byte-different container whose
+    frames decode AND hash identically."""
+    import numpy as np
+
+    from cdc_2025_spark.multimodal.avi import (
+        decode_avi_frame,
+        encode_dib_avi,
+        make_mjpeg_avi,
+        parse_avi,
+    )
+    from cdc_2025_spark.multimodal.phash import ahash64_from_rgb
+
+    src = make_mjpeg_avi(40, 32, n_frames=4, seed=7)
+    mm = parse_avi(src)
+    dec = [decode_avi_frame(mm, f) for f in range(4)]
+    re = encode_dib_avi(dec, fps=4)
+    assert re != src
+    mr = parse_avi(re)
+    assert mr["codec"] == "dib" and mr["n_frames"] == 4
+    for f in range(4):
+        assert np.array_equal(decode_avi_frame(mr, f), dec[f])
+        assert ahash64_from_rgb(decode_avi_frame(mr, f)) == (
+            ahash64_from_rgb(dec[f])
+        )
+
+
+def test_dib_fail_loud_set():
+    import struct
+
+    import pytest
+
+    from cdc_2025_spark.multimodal.avi import make_dib_avi, parse_avi
+
+    p = bytearray(make_dib_avi(16, 8, n_frames=2, seed=1))
+    # 16-bit DIB refuses: patch biBitCount in strf
+    i = bytes(p).index(b"strf")
+    bits_off = i + 8 + 14  # strf header + biSize/biWidth/biHeight/biPlanes
+    bad = bytearray(p)
+    struct.pack_into("<H", bad, bits_off, 16)
+    with pytest.raises(NotImplementedError):
+        parse_avi(bytes(bad))
+    # a truncated DIB frame (frame length != rowsize*h) refuses: halve
+    # the first 00db chunk's declared length keeps RIFF consistent
+    # only if we rebuild — easier: corrupt the strf width so lengths
+    # mismatch
+    bad2 = bytearray(p)
+    struct.pack_into("<i", bad2, i + 8 + 4, 17)  # biWidth 16 -> 17
+    with pytest.raises(ValueError):
+        parse_avi(bytes(bad2))
+    # unknown codec handler still refuses
+    bad3 = bytes(p).replace(b"DIB ", b"cvid").replace(
+        b"\x00\x00\x00\x00", b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(NotImplementedError):
+        parse_avi(bad3)
+
+
+def test_encode_dib_avi_validates():
+    import numpy as np
+    import pytest
+
+    from cdc_2025_spark.multimodal.avi import encode_dib_avi
+
+    with pytest.raises(ValueError):
+        encode_dib_avi([])
+    a = np.zeros((4, 4, 3), dtype=np.uint8)
+    b = np.zeros((4, 5, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        encode_dib_avi([a, b])
+    with pytest.raises(ValueError):
+        encode_dib_avi([a], fps=0)
