@@ -557,3 +557,101 @@ def test_mg_replay_guarantees():
 def test_heavy_hitters_validates_k():
     with pytest.raises(ValueError, match="k must be"):
         streaming_heavy_hitters_monitor(None, k=0)
+
+
+# ---------------------------------------------------------------------------
+# Streaming HyperLogLog cardinality monitor
+# ---------------------------------------------------------------------------
+
+from cdc_2025_spark.streaming.drift import (  # noqa: E402
+    hll_replay,
+    streaming_hll_cardinality_monitor,
+)
+
+
+def _write_hll_batches(src, batches):
+    """batches: list of list of (key, user_id)."""
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "event_type": pa.array([k for k, _ in rows]),
+                "user_id": pa.array(
+                    [v for _, v in rows], pa.int64()
+                ),
+            }
+        )
+        path = os.path.join(src, f"batch_{i:03d}.parquet")
+        pq.write_table(tbl, path)
+        t = time.time() + i
+        os.utime(path, (t, t))
+
+
+def test_hll_monitor_matches_replay(spark, tmp_path):
+    """Final engine row per key equals the python replay over the
+    same ids — exact, because both share _hll_add/hll_estimate.
+    Duplicates across batches must not move the estimate; NULL ids
+    are excluded."""
+    a1 = list(range(40))
+    a2 = list(range(20, 60))        # overlaps batch 1
+    b1 = [100 + i for i in range(7)]
+    b2 = [100 + i for i in range(7)]  # exact duplicate batch
+    batches = [
+        [("a", v) for v in a1] + [("b", v) for v in b1],
+        [("a", v) for v in a2] + [("b", v) for v in b2]
+        + [("b", None)],
+    ]
+    src = str(tmp_path / "src_hll")
+    _write_hll_batches(src, batches)
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_hll_cardinality_monitor(stream, p=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_mon")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select * from hll_mon order by n_seen"
+    ).collect()
+    final = {r["key"]: r for r in rows}
+    ra = hll_replay(a1 + a2, 8)
+    rb = hll_replay(b1 + b2, 8)
+    assert final["a"]["estimate"] == ra[0]
+    assert final["a"]["n_seen"] == ra[1] == 80
+    assert final["a"]["n_zero_regs"] == ra[2]
+    assert final["b"]["estimate"] == rb[0]
+    assert final["b"]["n_seen"] == rb[1] == 14
+    # duplicate-batch invariance: b's estimate equals one batch alone
+    assert rb[0] == hll_replay(b1, 8)[0]
+    # per-batch emission: key 'b' appears once per batch
+    assert sum(1 for r in rows if r["key"] == "b") == 2
+    assert all(r["n_regs"] == 256 for r in rows)
+
+
+def test_hll_replay_accuracy_envelope():
+    """Estimate within 5 standard errors (1.04/sqrt(m)) of truth for
+    a range of cardinalities, and exactly duplicate-invariant."""
+    for p, n in ((10, 500), (10, 5000), (8, 2000)):
+        est, n_seen, _ = hll_replay(list(range(n)), p)
+        se = 1.04 / (1 << p) ** 0.5
+        assert abs(est - n) / n < 5 * se, (p, n, est)
+        assert n_seen == n
+        assert hll_replay(list(range(n)) * 2, p)[0] == est
+
+
+def test_hll_monitor_validates_p():
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    with pytest.raises(ValueError, match="p must be"):
+        streaming_hll_cardinality_monitor(None, p=3)
+    with pytest.raises(ValueError, match="p must be"):
+        streaming_hll_cardinality_monitor(None, p=17)
