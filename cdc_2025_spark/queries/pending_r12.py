@@ -22,7 +22,10 @@ unrolled-CTE oracle), a Benjamini-Hochberg FDR screen over per-type
 Mann-Kendall trend tests (the correction layer above round 11's
 single-series test), isotonic (PAV) calibration computed through its
 minimax characterization on a bounded bin frame, and Goh-Barabási
-burstiness / Fano-factor arrival diagnostics. Fifteen queries,
+burstiness / Fano-factor arrival diagnostics, the Theil T
+decomposition (between- vs within-nation spend inequality — the
+additively-decomposable complement to Gini), and Spearman rank
+correlation with exact tie midranks per segment. Seventeen queries,
 every one with a full DuckDB oracle.
 
 NOT imported by queries/__init__.py on purpose (the pending_r10/r11
@@ -44,7 +47,12 @@ are broadcast joins), JL audit 0.62 s, runs test 0.35 s, seasonal-naive backtest
 Second wave (same protocol): Kaplan-Meier 1.14 s, Gini 1.07 s,
 chi-square triple 0.61 s, k-core 2.55 s (8 unrolled h-index rounds,
 driver-round latency like label propagation), BH-FDR screen 0.80 s,
-isotonic 0.48 s, Fano/burstiness 0.80 s.
+isotonic 0.48 s, Fano/burstiness 0.80 s, Theil decomposition
+0.73 s (flat at 10x), Spearman 1.95 s (2.5x at 10x: exact
+midranks need a per-segment rank sort — one window partition per
+returnflag; the web-scale variant groups by distinct value and
+joins midranks back, trading the single-partition sort for a
+shuffle join, semantics unchanged).
 
 Engine-parity rules inherited from the registry docstring: integer
 frames exact; disc percentiles over 4dp-rounded values for medians;
@@ -2223,6 +2231,206 @@ FROM fano f LEFT JOIN burst b ON f.event_type = b.event_type
 
 
 # ---------------------------------------------------------------------------
+# Theil index decomposition: between- vs within-nation spend inequality
+# ---------------------------------------------------------------------------
+
+
+def stats_theil_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil T index of customer spend decomposed EXACTLY into
+    between-group and within-group parts across nations
+    (T = sum_g s_g ln(mu_g/mu) + sum_g s_g T_g with s_g the group's
+    spend share — Theil 1967; the additive decomposability Gini
+    lacks, and why mixture dashboards report Theil next to it: it
+    answers 'is the inequality BETWEEN sources or INSIDE them?').
+    One row per nation: its spend share, mean, within-group Theil,
+    and its additive contributions to the between and within parts;
+    the global decomposition is the column sums. Zero-spend
+    customers are excluded (ln requires x > 0), with the exclusion
+    counted per nation.
+
+    Determinism: spend is 4dp-rounded before the logs (the Gini
+    query's rule); each nation's terms are single aggregates over
+    its own rows rounded 6dp at output.
+
+    Scale shape: one custkey collapse, broadcast dims, ONE
+    nation-level aggregate; the global mean is a broadcast scalar.
+    Output is 25 rows."""
+    spend = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("x"))
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    per_cust = (
+        cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("n_name", F.coalesce("x", F.lit(0.0)).alias("x"))
+    )
+    pos = per_cust.filter(F.col("x") > 0)
+    glob = pos.agg(
+        F.sum("x").alias("gsum"), F.count("*").alias("gn")
+    )
+    mu = F.col("gsum") / F.col("gn")
+    per_nat = (
+        pos.groupBy("n_name")
+        .agg(
+            F.count("*").alias("ng"),
+            F.sum("x").alias("sg"),
+            # sum of x ln x within the group, the T_g building block
+            F.sum(F.col("x") * F.log("x")).alias("xlx"),
+        )
+        .crossJoin(F.broadcast(glob))
+    )
+    zero = per_cust.groupBy("n_name").agg(
+        F.sum((F.col("x") == 0.0).cast("long")).alias("n_zero")
+    )
+    mu_g = F.col("sg") / F.col("ng")
+    share = F.col("sg") / F.col("gsum")
+    # T_g = (1/ng) sum (x/mu_g) ln(x/mu_g)
+    #     = xlx/sg - ln(mu_g)           (algebraic collapse: exact)
+    t_g = F.col("xlx") / F.col("sg") - F.log(mu_g)
+    return (
+        per_nat.join(F.broadcast(zero), "n_name")
+        .select(
+            "n_name",
+            F.col("ng").cast("long").alias("n_customers"),
+            F.col("n_zero").alias("n_zero_excluded"),
+            F.round(share, 6).alias("spend_share"),
+            F.round(mu_g, 4).alias("mean_spend"),
+            F.round(t_g, 6).alias("theil_within_group"),
+            F.round(share * F.log(mu_g / mu), 6).alias(
+                "between_contrib"
+            ),
+            F.round(share * t_g, 6).alias("within_contrib"),
+        )
+        .orderBy("n_name")
+    )
+
+
+THEIL_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS x
+  FROM orders GROUP BY o_custkey
+),
+per_cust AS (
+  SELECT n.n_name, COALESCE(s.x, 0.0) AS x
+  FROM customer c
+  LEFT JOIN spend s ON c.c_custkey = s.o_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+gtot AS (
+  SELECT SUM(x) AS gsum, COUNT(*) AS gn FROM per_cust WHERE x > 0
+),
+per_nat AS (
+  SELECT n_name, COUNT(*) AS ng, SUM(x) AS sg,
+         SUM(x * LN(x)) AS xlx
+  FROM per_cust WHERE x > 0 GROUP BY n_name
+),
+zero AS (
+  SELECT n_name,
+         CAST(SUM(CASE WHEN x = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero
+  FROM per_cust GROUP BY n_name
+)
+SELECT p.n_name,
+       CAST(p.ng AS BIGINT) AS n_customers,
+       z.n_zero AS n_zero_excluded,
+       ROUND(p.sg / g.gsum, 6) AS spend_share,
+       ROUND(p.sg / p.ng, 4) AS mean_spend,
+       ROUND(p.xlx / p.sg - LN(p.sg / p.ng), 6)
+         AS theil_within_group,
+       ROUND((p.sg / g.gsum)
+             * LN((p.sg / p.ng) / (g.gsum / g.gn)), 6)
+         AS between_contrib,
+       ROUND((p.sg / g.gsum)
+             * (p.xlx / p.sg - LN(p.sg / p.ng)), 6)
+         AS within_contrib
+FROM per_nat p CROSS JOIN gtot g
+JOIN zero z ON p.n_name = z.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation with exact tie midranks, per segment
+# ---------------------------------------------------------------------------
+
+
+def stats_spearman_price_quantity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation between l_extendedprice and
+    l_quantity per l_returnflag segment — the monotone-association
+    twin of the registered Pearson query, robust to the price scale.
+    Ties get exact MIDRANKS (mean rank of the tie group:
+    RANK() + (tie_count - 1)/2 — quantity is integer-valued, so tie
+    groups are large and the midrank correction is not optional),
+    then rho = Pearson corr of the two rank columns.
+
+    Determinism: ranks are exact rationals from integer RANK/COUNT;
+    the final corr is one float aggregate rounded 4dp.
+
+    Scale shape: two rank windows partitioned by segment (the
+    corpus shuffles once on l_returnflag), one grouped corr; output
+    is one row per flag."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("px"),
+        F.col("l_quantity").alias("qty"),
+    )
+    seg = Window.partitionBy("l_returnflag")
+    rx = (
+        F.rank().over(seg.orderBy("px"))
+        + (F.count("*").over(seg.partitionBy("l_returnflag", "px")) - 1)
+        / 2.0
+    )
+    ry = (
+        F.rank().over(seg.orderBy("qty"))
+        + (
+            F.count("*").over(seg.partitionBy("l_returnflag", "qty"))
+            - 1
+        )
+        / 2.0
+    )
+    ranked = li.select(
+        "l_returnflag", rx.alias("rx"), ry.alias("ry")
+    )
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.corr("rx", "ry"), 4).alias("spearman_rho"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SPEARMAN_ORACLE = """
+WITH ranked AS (
+  SELECT l_returnflag,
+         RANK() OVER (PARTITION BY l_returnflag
+                      ORDER BY l_extendedprice)
+           + (COUNT(*) OVER (PARTITION BY l_returnflag,
+                             l_extendedprice) - 1) / 2.0 AS rx,
+         RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+           + (COUNT(*) OVER (PARTITION BY l_returnflag,
+                             l_quantity) - 1) / 2.0 AS ry
+  FROM lineitem
+)
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CORR(rx, ry), 4) AS spearman_rho
+FROM ranked
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registration hook for round 12
 # ---------------------------------------------------------------------------
 
@@ -2242,6 +2450,8 @@ PENDING_ORDER = [
     "stats_bh_fdr_trend_screen",
     "eval_isotonic_calibration",
     "stats_fano_burstiness",
+    "stats_theil_decomposition",
+    "stats_spearman_price_quantity",
 ]
 
 _PENDING = {
@@ -2290,6 +2500,14 @@ _PENDING = {
         ISO_ORACLE,
     ),
     "stats_fano_burstiness": (stats_fano_burstiness, FANO_ORACLE),
+    "stats_theil_decomposition": (
+        stats_theil_decomposition,
+        THEIL_ORACLE,
+    ),
+    "stats_spearman_price_quantity": (
+        stats_spearman_price_quantity,
+        SPEARMAN_ORACLE,
+    ),
 }
 
 

@@ -585,3 +585,85 @@ def test_gini_chi2_fano_sanity(spark):
         assert r["fano_daily"] is not None and r["fano_daily"] >= 0.0
         if r["burstiness"] is not None:
             assert -1.0 - 1e-9 <= r["burstiness"] <= 1.0 + 1e-9
+
+
+def test_theil_decomposition_identity(spark):
+    """between + within contributions sum EXACTLY to the global Theil
+    computed directly from the customer spends (additive
+    decomposability — the property the query exists to expose), and
+    every within-group Theil is >= 0."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cdc_2025_spark.io import read_table
+
+    rows = pending_r12.stats_theil_decomposition(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["theil_within_group"] >= -1e-9
+    got_total = sum(r["between_contrib"] for r in rows) + sum(
+        r["within_contrib"] for r in rows
+    )
+    spend = (
+        read_table(spark, SF_DIR, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("x"))
+        .join(
+            read_table(spark, SF_DIR, "customer").select(
+                F.col("c_custkey").alias("o_custkey")
+            ),
+            "o_custkey",
+        )
+        .collect()
+    )
+    xs = [r["x"] for r in spend if r["x"] and r["x"] > 0]
+    mu = sum(xs) / len(xs)
+    want = sum((x / mu) * math.log(x / mu) for x in xs) / len(xs)
+    assert got_total == pytest.approx(want, abs=5e-5)
+
+
+def test_spearman_matches_numpy_model(spark):
+    """Engine rho per segment equals a numpy midrank replay (ranks
+    via argsort with tie-group mean), and sits in [-1, 1]."""
+    import numpy as np
+
+    from cdc_2025_spark.io import read_table
+
+    li = (
+        read_table(spark, SF_DIR, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    segs = {}
+    for r in li:
+        segs.setdefault(r["l_returnflag"], []).append(
+            (r["l_extendedprice"], r["l_quantity"])
+        )
+
+    def midranks(vals):
+        import collections
+
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        by_val = collections.defaultdict(list)
+        for pos, i in enumerate(order, start=1):
+            by_val[vals[i]].append((pos, i))
+        for grp in by_val.values():
+            mean_rank = sum(p for p, _ in grp) / len(grp)
+            for _, i in grp:
+                ranks[i] = mean_rank
+        return np.asarray(ranks)
+
+    got = {
+        r["l_returnflag"]: r["spearman_rho"]
+        for r in pending_r12.stats_spearman_price_quantity(
+            spark, SF_DIR
+        ).collect()
+    }
+    for flag, pairs in segs.items():
+        rx = midranks([p for p, _ in pairs])
+        ry = midranks([q for _, q in pairs])
+        want = float(np.corrcoef(rx, ry)[0, 1])
+        assert got[flag] == pytest.approx(round(want, 4), abs=2e-4)
+        assert -1.0 <= got[flag] <= 1.0
