@@ -217,6 +217,87 @@ def make_png_interlaced(width: int, height: int, seed: int = 0) -> bytes:
     )
 
 
+def make_png_variant(
+    width: int,
+    height: int,
+    seed: int = 0,
+    color_type: int = 0,
+    depth: int = 8,
+) -> bytes:
+    """Deterministic twins of the seeded pattern in the other PNG
+    shapes the decoder supports (filter-0 scanlines, stdlib-only):
+
+    - (8, 0) grayscale: g(x,y) = the pattern's R channel formula —
+      decodes to that value replicated across RGB;
+    - (8, 4) gray+alpha: same gray + alpha (x+y+seed)%256 (alpha
+      dropped by decode, so it equals the grayscale twin);
+    - (8, 3) palette: a 16-entry PLTE with idx(x,y) = (x+y+seed)%16 —
+      decodes to PLTE[idx];
+    - (16, 2) RGB16: the 8-bit pattern scaled x257 (v<<8|v), which
+      round(v*255/65535) maps back EXACTLY — decodes pixel-identical
+      to make_png of the same (w, h, seed);
+    - (16, 0) gray16: the gray formula x257, replicated."""
+    import zlib  # noqa: PLC0415
+
+    def gray(x: int, y: int) -> int:
+        return (x * 13 + y * 17 + seed * 3) % 256
+
+    plte_chunk = b""
+    raw = bytearray()
+    if (depth, color_type) == (8, 0):
+        for y in range(height):
+            raw.append(0)
+            raw += bytes(gray(x, y) for x in range(width))
+    elif (depth, color_type) == (8, 4):
+        for y in range(height):
+            raw.append(0)
+            for x in range(width):
+                raw += bytes((gray(x, y), (x + y + seed) % 256))
+    elif (depth, color_type) == (8, 3):
+        plte = bytes(
+            v
+            for i in range(16)
+            for v in (
+                (i * 16 + 3) % 256,
+                (i * 31 + 7) % 256,
+                (i * 5 + 11) % 256,
+            )
+        )
+        plte_chunk = _png_chunk(b"PLTE", plte)
+        for y in range(height):
+            raw.append(0)
+            raw += bytes((x + y + seed) % 16 for x in range(width))
+    elif (depth, color_type) in ((16, 2), (16, 0)):
+        for y in range(height):
+            raw.append(0)
+            for x in range(width):
+                if color_type == 2:
+                    samples = (
+                        gray(x, y),
+                        (x * 5 + y * 11 + seed * 2) % 256,
+                        (x * 7 + y * 3 + seed) % 256,
+                    )
+                else:
+                    samples = (gray(x, y),)
+                for v in samples:
+                    raw += bytes((v, v))  # v*257 big-endian
+    else:
+        raise ValueError(
+            f"no variant builder for depth={depth}, "
+            f"color_type={color_type}"
+        )
+    ihdr = _struct.pack(
+        ">IIBBBBB", width, height, depth, color_type, 0, 0, 0
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + plte_chunk
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -294,28 +375,44 @@ def _adam7_passes(width: int, height: int):
     return out
 
 
+# bytes per pixel by (depth, color_type); the filter byte distance
+# (T.81 of PNG-land: filters operate on BYTES bpp apart, so 16-bit
+# channels just double the stride)
+_PNG_BPP = {
+    (8, 0): 1, (8, 2): 3, (8, 3): 1, (8, 4): 2, (8, 6): 4,
+    (16, 0): 2, (16, 2): 6,
+}
+
+
 def decode_png(payload: bytes):
     """REAL decode kernel for PNG (stdlib zlib inflate + per-scanline
     unfilter, filters 0-4 incl. Paeth): returns an (height, width, 3)
-    uint8 RGB array. Supports 8-bit color types 2 (RGB) and 6 (RGBA,
-    alpha dropped), non-interlaced AND Adam7-interlaced (each of the
-    seven reduced images unfilters independently and scatters into
-    place, per spec) — the shapes a training-data lake actually
-    stores; exotic ones raise loudly rather than decode wrongly.
-    Dependency-free (struct + zlib + numpy)."""
+    uint8 RGB array. Supports 8-bit color types 0 (grayscale,
+    replicated), 2 (RGB), 3 (palette via PLTE), 4 (gray+alpha, alpha
+    dropped), 6 (RGBA, alpha dropped) and 16-bit types 0/2 (samples
+    scaled round(v*255/65535), the spec's display conversion), each
+    non-interlaced AND Adam7-interlaced (the seven reduced images
+    unfilter independently and scatter into place, per spec) — the
+    shapes a training-data lake actually stores; exotic ones (1/2/4
+    bit depths, 16-bit alpha types) raise loudly rather than decode
+    wrongly. Dependency-free (struct + zlib + numpy)."""
     import zlib  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, bytearray()
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
     while pos + 8 <= len(payload):
         (length,) = _struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
             ihdr = _struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            if len(body) % 3 or not body:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -324,27 +421,58 @@ def decode_png(payload: bytes):
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
     width, height, depth, ctype_i, _comp, _filt, interlace = ihdr
-    if depth != 8 or ctype_i not in (2, 6) or interlace not in (0, 1):
+    bpp = _PNG_BPP.get((depth, ctype_i))
+    if bpp is None or interlace not in (0, 1):
         raise NotImplementedError(
-            f"only 8-bit RGB/RGBA PNG (interlace 0/1) supported "
-            f"(depth={depth}, color_type={ctype_i}, interlace={interlace})"
+            f"unsupported PNG shape (depth={depth}, "
+            f"color_type={ctype_i}, interlace={interlace}); supported:"
+            " 8-bit types 0/2/3/4/6 and 16-bit types 0/2,"
+            " interlace 0/1"
         )
-    bpp = 3 if ctype_i == 2 else 4
+    if ctype_i == 3 and plte is None:
+        raise ValueError("palette PNG without a PLTE chunk")
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
         out, used = _png_unfilter(raw, 0, width, height, bpp)
         if used != len(raw):
             raise ValueError("IDAT length does not match dimensions")
-        return out.reshape(height, width, bpp)[:, :, :3].copy()
-    img = np.zeros((height, width, bpp), dtype=np.uint8)
-    offset = 0
-    for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
-        sub, used = _png_unfilter(raw, offset, pw, ph, bpp)
-        offset += used
-        img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
-    if offset != len(raw):
-        raise ValueError("IDAT length does not match dimensions")
-    return img[:, :, :3].copy()
+        img = out.reshape(height, width, bpp)
+    else:
+        img = np.zeros((height, width, bpp), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+            sub, used = _png_unfilter(raw, offset, pw, ph, bpp)
+            offset += used
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        if offset != len(raw):
+            raise ValueError("IDAT length does not match dimensions")
+    if depth == 16:
+        # big-endian 16-bit samples -> round(v*255/65535)
+        wide = (
+            img.astype(np.uint16).reshape(height, width, bpp // 2, 2)
+        )
+        v = (wide[..., 0].astype(np.uint32) << 8) | wide[..., 1]
+        v8 = ((v * 255 + 32768) // 65535).astype(np.uint8)
+        img = v8  # (h, w, channels)
+        if ctype_i == 0:
+            return np.repeat(img, 3, axis=2).copy()
+        return img.copy()
+    if ctype_i == 2:
+        return img.copy()
+    if ctype_i == 6:
+        return img[:, :, :3].copy()
+    if ctype_i == 0:
+        return np.repeat(img, 3, axis=2).copy()
+    if ctype_i == 4:
+        return np.repeat(img[:, :, :1], 3, axis=2).copy()
+    # ctype 3: palette lookup; out-of-range indices fail loud
+    idx = img[:, :, 0]
+    if int(idx.max()) >= len(plte):
+        raise ValueError(
+            f"palette index {int(idx.max())} out of range "
+            f"({len(plte)} entries)"
+        )
+    return plte[idx].copy()
 
 
 def make_real_media(
@@ -357,6 +485,7 @@ def make_real_media(
     n_avi: int = 0,
     n_flac_stereo: int = 0,
     n_jpeg12: int = 0,
+    n_png16: int = 0,
 ) -> DataFrame:
     """Media rows with REAL payloads: uncompressed 24-bit BMPs,
     zlib-compressed PNGs, baseline JPEGs (Huffman + DCT,
@@ -406,6 +535,24 @@ def make_real_media(
                     )
                 ),
                 (w, h, 0, "jpeg"),
+            )
+        )
+    for i in range(n_png16):
+        # 16-bit RGB PNGs of the SAME pattern scaled x257 — the
+        # sample-depth conversion maps back exactly, so these decode
+        # pixel-identical to the 8-bit PNG/BMP twins
+        w, h = 32 + (i % 4) * 8, 24 + (i % 3) * 8
+        rows.append(
+            (
+                n_images + n_audio + n_png + n_jpeg + n_flac
+                + n_avi + n_flac_stereo + n_jpeg12 + i,
+                "image",
+                bytearray(
+                    make_png_variant(
+                        w, h, seed=i, color_type=2, depth=16
+                    )
+                ),
+                (w, h, 0, "png16"),
             )
         )
     for i in range(n_jpeg12):
@@ -714,23 +861,67 @@ def make_wav(
     duration_ms: int = 1000,
     freq_hz: float = 440.0,
     amplitude: float = 0.5,
+    bits: int = 16,
+    float_fmt: bool = False,
+    extensible: bool = False,
 ) -> bytes:
-    """Build a REAL RIFF/WAVE file (PCM signed 16-bit mono): a pure
-    sine at ``freq_hz`` — a genuine audio payload with no codec
-    dependency, for exercising the non-stub decode path."""
+    """Build a REAL RIFF/WAVE file (mono sine at ``freq_hz``) — a
+    genuine audio payload with no codec dependency. Default is PCM
+    signed 16-bit; ``bits`` also takes 24 (packed 3-byte PCM, the
+    studio-export format) and 8 (UNSIGNED PCM, the spec's 8-bit
+    convention); ``float_fmt=True`` writes IEEE float32 (format 3);
+    ``extensible=True`` wraps the chosen format in a
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) header with the matching
+    SubFormat GUID — how every DAW actually labels 24-bit files."""
     import math  # noqa: PLC0415
 
     n = sample_rate * duration_ms // 1000
     samples = bytearray()
     for i in range(n):
-        v = int(
-            amplitude * 32767 * math.sin(2 * math.pi * freq_hz * i / sample_rate)
-        )
-        samples += _struct.pack("<h", v)
+        s = amplitude * math.sin(2 * math.pi * freq_hz * i / sample_rate)
+        if float_fmt:
+            samples += _struct.pack("<f", s)
+        elif bits == 16:
+            samples += _struct.pack("<h", int(s * 32767))
+        elif bits == 24:
+            v = int(s * 8388607)
+            samples += v.to_bytes(3, "little", signed=True)
+        elif bits == 8:
+            samples += _struct.pack("<B", int(s * 127) + 128)
+        else:
+            raise ValueError(f"no builder for bits={bits}")
     data = bytes(samples)
-    fmt = _struct.pack(
-        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
-    )
+    eff_bits = 32 if float_fmt else bits
+    block = eff_bits // 8
+    base_fmt = 3 if float_fmt else 1
+    if extensible:
+        guid = _struct.pack("<H", base_fmt) + (
+            b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38"
+            b"\x9b\x71"
+        )
+        fmt = (
+            _struct.pack(
+                "<HHIIHH",
+                0xFFFE,
+                1,
+                sample_rate,
+                sample_rate * block,
+                block,
+                eff_bits,
+            )
+            + _struct.pack("<HHI", 22, eff_bits, 0x4)  # cbSize/valid/mask
+            + guid
+        )
+    else:
+        fmt = _struct.pack(
+            "<HHIIHH",
+            base_fmt,
+            1,
+            sample_rate,
+            sample_rate * block,
+            block,
+            eff_bits,
+        )
     return (
         _struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
         + _struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
@@ -739,33 +930,71 @@ def make_wav(
 
 
 def decode_wav(payload: bytes):
-    """REAL decode kernel for RIFF/WAVE PCM 16-bit: walks the chunk
-    list (no fixed offsets — extra chunks like LIST are skipped),
-    returns (mono float64 samples in [-1, 1], sample_rate). Stereo is
-    averaged to mono. Dependency-free (struct + numpy only)."""
+    """REAL decode kernel for RIFF/WAVE: walks the chunk list (no
+    fixed offsets — extra chunks like LIST are skipped), returns
+    (mono float64 samples in [-1, 1], sample_rate). Stereo is
+    averaged to mono. Handles PCM s16 (the default everywhere),
+    packed 24-bit PCM (the studio-export depth), UNSIGNED 8-bit PCM
+    (the spec's 8-bit convention), IEEE float32 (format 3), and
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappers of any of those — the
+    SubFormat GUID's leading u16 is the real format code. Other
+    formats/depths raise. Dependency-free (struct + numpy only)."""
     import numpy as np  # noqa: PLC0415
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_body, data = 12, None, None, None
     while pos + 8 <= len(payload):
         cid, size = _struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = _struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise NotImplementedError(
-            f"only PCM s16 supported (format={audio_format}, bits={bits})"
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        if len(fmt_body) < 40:
+            raise ValueError("EXTENSIBLE fmt chunk truncated")
+        (audio_format,) = _struct.unpack_from("<H", fmt_body, 24)
+    if audio_format == 3:  # IEEE float
+        if bits != 32:
+            raise NotImplementedError(
+                f"only 32-bit IEEE float supported (bits={bits})"
+            )
+        raw = np.frombuffer(
+            data, dtype="<f4", count=len(data) // 4
+        ).astype(np.float64)
+    elif audio_format == 1 and bits == 16:
+        raw = np.frombuffer(
+            data, dtype="<i2", count=len(data) // 2
+        ).astype(np.float64) / 32768.0
+    elif audio_format == 1 and bits == 24:
+        n3 = len(data) // 3
+        b = np.frombuffer(data, dtype=np.uint8, count=n3 * 3).reshape(
+            n3, 3
         )
-    raw = np.frombuffer(
-        data, dtype="<i2", count=len(data) // 2
-    ).astype(np.float64) / 32768.0
+        v = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        raw = v.astype(np.float64) / 8388608.0
+    elif audio_format == 1 and bits == 8:
+        raw = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+            - 128.0
+        ) / 128.0
+    else:
+        raise NotImplementedError(
+            f"unsupported WAV (format={audio_format}, bits={bits}); "
+            "supported: PCM 8/16/24-bit, IEEE float32, EXTENSIBLE "
+            "wrappers of those"
+        )
     if channels > 1:
         raw = raw[: len(raw) - len(raw) % channels]
         raw = raw.reshape(-1, channels).mean(axis=1)

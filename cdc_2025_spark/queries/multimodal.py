@@ -26,6 +26,7 @@ from cdc_2025_spark.queries.registry import query
 # inside the kind-tagged unions (each make_real_media call numbers
 # its rows from 0)
 _PNG_BAND = 1000
+_PNG16_BAND = 1500
 _JPEG_BAND = 2000
 _JPEG12_BAND = 2500
 _AVI_BAND = 3000
@@ -112,6 +113,13 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "real_jpeg12",
         lambda: make_real_media(spark, n_images=0, n_audio=0, n_jpeg12=8),
     )
+    # 16-bit-depth PNGs of the same pattern x257: the sample-depth
+    # conversion maps back exactly, so this row must equal image_png
+    # (and image_bmp) EXACTLY — the lossless cross-depth pin
+    real_png16 = _media_input(
+        spark, "real_png16",
+        lambda: make_real_media(spark, n_images=0, n_audio=0, n_png16=8),
+    )
 
     img = extract_image_features(images).agg(
         F.lit("image").alias("kind"),
@@ -184,7 +192,12 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "media_id", F.col("media_id") + _JPEG12_BAND
             )
         )
-        # spread the 32 container payloads across 32 tasks so the
+        .unionByName(
+            real_png16.withColumn(
+                "media_id", F.col("media_id") + _PNG16_BAND
+            )
+        )
+        # spread the 40 container payloads across tasks so the
         # pure-Python baseline-JPEG decode (the documented slow path)
         # keeps per-image parallelism — coalescing this union was
         # measured to serialize the JPEGs onto one straggler task
@@ -196,13 +209,14 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (3.0 -> 5.5 s): its range-boundary sampling pass
         # re-evaluates the payload-encode union per action, costing
         # more than the collisions it removes at this row count.
-        .repartition(32)
+        .repartition(40)
     )
     per_container = (
         extract_image_features(containers)
         .groupBy(
             F.when(F.col("media_id") >= _JPEG12_BAND, "image_jpeg12")
             .when(F.col("media_id") >= _JPEG_BAND, "image_jpeg")
+            .when(F.col("media_id") >= _PNG16_BAND, "image_png16")
             .when(F.col("media_id") >= _PNG_BAND, "image_png")
             .otherwise("image_bmp")
             .alias("kind")

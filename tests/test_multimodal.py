@@ -278,8 +278,10 @@ def test_png_decoder_all_filter_types():
 
 
 def test_png_decoder_rgba_and_rejects_exotic():
-    """RGBA (color type 6) decodes with alpha dropped; 16-bit depth and
-    interlace raise NotImplementedError rather than decoding wrongly."""
+    """RGBA (color type 6) decodes with alpha dropped; 16-bit RGB now
+    DECODES (round(v*255/65535) sample scaling — an all-zero stream
+    is an all-black image); sub-byte depths raise NotImplementedError
+    rather than decoding wrongly."""
     import struct
     import zlib
 
@@ -310,11 +312,22 @@ def test_png_decoder_rgba_and_rejects_exotic():
     )
     assert np.array_equal(got, want)
 
-    bad_ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    # 16-bit RGB is now a real decode path (was a refusal through r11)
+    wide_ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    wide = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", wide_ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\0" * 26))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png(wide).sum() == 0  # all-black, shape (2, 2, 3)
+    assert decode_png(wide).shape == (2, 2, 3)
+
+    bad_ihdr = struct.pack(">IIBBBBB", 2, 2, 1, 0, 0, 0, 0)  # 1-bit
     bad = (
         _PNG_SIG
         + _png_chunk(b"IHDR", bad_ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"\0" * 26))
+        + _png_chunk(b"IDAT", zlib.compress(b"\0" * 4))
         + _png_chunk(b"IEND", b"")
     )
     with _pytest.raises(NotImplementedError):
@@ -448,9 +461,18 @@ def test_feature_rollup_includes_real_kernels(spark):
     rows = {r["kind"]: r for r in out.collect()}
     assert set(rows) == {
         "image", "audio", "video", "image_bmp", "image_png",
-        "image_jpeg", "image_jpeg12", "image_resized", "audio_wav",
-        "audio_flac", "audio_flac_stereo", "video_mjpeg",
+        "image_png16", "image_jpeg", "image_jpeg12", "image_resized",
+        "audio_wav", "audio_flac", "audio_flac_stereo", "video_mjpeg",
     }
+    # 16-bit PNGs of the pattern x257 decode EXACTLY to the 8-bit
+    # twins: every metric identical to image_png
+    assert rows["image_png16"]["n_rows"] == 8
+    assert (
+        rows["image_png16"]["avg_metric"] == rows["image_png"]["avg_metric"]
+    )
+    assert (
+        rows["image_png16"]["max_metric"] == rows["image_png"]["max_metric"]
+    )
     assert rows["image_jpeg"]["n_rows"] == 8
     # 12-bit SOF1 twins of the same patterns: decoded uint8 view is
     # within +/-1 gray level of the 8-bit row, so the normalized
@@ -990,3 +1012,140 @@ class Test12BitJpeg:
         bad = p12.replace(b"\xff\xc1", b"\xff\xc0", 1)
         with pytest.raises(NotImplementedError):
             decode_jpeg(bad)
+
+
+# ---------------------------------------------------------------------------
+# PNG color-type / bit-depth variants and WAV format variants
+# ---------------------------------------------------------------------------
+
+
+class TestPngVariants:
+    def test_16bit_rgb_decodes_exactly_to_8bit_twin(self):
+        import numpy as np
+
+        from cdc_2025_spark.multimodal.media import (
+            decode_png,
+            make_png,
+            make_png_variant,
+        )
+
+        for w, h in ((33, 7), (8, 8), (1, 1)):
+            base = decode_png(make_png(w, h, seed=5))
+            a = decode_png(
+                make_png_variant(w, h, 5, color_type=2, depth=16)
+            )
+            assert np.array_equal(a, base), (w, h)
+
+    def test_gray_graya_gray16_all_equal(self):
+        import numpy as np
+
+        from cdc_2025_spark.multimodal.media import (
+            decode_png,
+            make_png,
+            make_png_variant,
+        )
+
+        base_r = decode_png(make_png(33, 7, seed=5))[:, :, 0]
+        g = decode_png(make_png_variant(33, 7, 5, color_type=0))
+        ga = decode_png(make_png_variant(33, 7, 5, color_type=4))
+        g16 = decode_png(
+            make_png_variant(33, 7, 5, color_type=0, depth=16)
+        )
+        for img in (g, ga, g16):
+            for c in range(3):
+                assert np.array_equal(img[:, :, c], base_r)
+
+    def test_palette_lookup(self):
+        from cdc_2025_spark.multimodal.media import (
+            decode_png,
+            make_png_variant,
+        )
+
+        p = decode_png(make_png_variant(33, 7, 5, color_type=3))
+        for x, y in ((0, 0), (5, 3), (32, 6)):
+            i = (x + y + 5) % 16
+            want = (
+                (i * 16 + 3) % 256,
+                (i * 31 + 7) % 256,
+                (i * 5 + 11) % 256,
+            )
+            assert tuple(p[y, x]) == want, (x, y)
+
+    def test_fail_loud_shapes(self):
+        import pytest
+
+        from cdc_2025_spark.multimodal.media import (
+            decode_png,
+            make_png_variant,
+        )
+
+        # sub-byte depth refuses
+        bad = bytearray(make_png_variant(8, 8, 0, color_type=0))
+        bad[24] = 4  # IHDR depth byte
+        with pytest.raises(NotImplementedError):
+            decode_png(bytes(bad))
+        # palette without PLTE refuses: build then strip the chunk
+        p = bytearray(make_png_variant(8, 8, 0, color_type=3))
+        i = bytes(p).index(b"PLTE")
+        import struct
+
+        (ln,) = struct.unpack_from(">I", p, i - 4)
+        del p[i - 4 : i + 8 + ln]
+        with pytest.raises(ValueError, match="PLTE"):
+            decode_png(bytes(p))
+        with pytest.raises(ValueError, match="no variant"):
+            make_png_variant(8, 8, 0, color_type=6, depth=16)
+
+
+class TestWavVariants:
+    def test_all_formats_decode_to_the_same_sine(self):
+        import numpy as np
+
+        from cdc_2025_spark.multimodal.media import (
+            decode_wav,
+            make_wav,
+        )
+
+        ref, _ = decode_wav(make_wav(8000, 500, 440.0, 0.5))
+        cases = [
+            (dict(bits=24), 1e-4),
+            (dict(bits=8), 2e-2),  # 1/127 step + truncation
+            (dict(float_fmt=True), 1e-6),
+            (dict(bits=24, extensible=True), 1e-4),
+            (dict(float_fmt=True, extensible=True), 1e-6),
+            (dict(bits=16, extensible=True), 1e-9),
+        ]
+        for kw, tol in cases:
+            s, sr = decode_wav(make_wav(8000, 500, 440.0, 0.5, **kw))
+            assert sr == 8000 and len(s) == len(ref), kw
+            assert float(np.abs(s - ref).max()) < tol + 2 / 32768, kw
+
+    def test_fail_loud_formats(self):
+        import struct
+
+        import pytest
+
+        from cdc_2025_spark.multimodal.media import (
+            decode_wav,
+            make_wav,
+        )
+
+        with pytest.raises(ValueError, match="no builder"):
+            make_wav(8000, 100, bits=12)
+        p = bytearray(make_wav(8000, 100))
+        i = bytes(p).index(b"fmt ")
+        struct.pack_into("<H", p, i + 8, 7)  # mu-law
+        with pytest.raises(NotImplementedError, match="format=7"):
+            decode_wav(bytes(p))
+        # truncated EXTENSIBLE fmt chunk fails loud
+        e = bytearray(make_wav(8000, 100, extensible=True))
+        j = bytes(e).index(b"fmt ")
+        (ln,) = struct.unpack_from("<I", e, j + 4)
+        struct.pack_into("<I", e, j + 4, 16)  # claim a short chunk
+        # rebuild: keep header fields but drop the extension bytes
+        short = (
+            bytes(e[: j + 8 + 16])
+            + bytes(e[j + 8 + ln :])
+        )
+        with pytest.raises(ValueError, match="EXTENSIBLE"):
+            decode_wav(short)
