@@ -24,9 +24,11 @@ single-series test), isotonic (PAV) calibration computed through its
 minimax characterization on a bounded bin frame, and Goh-Barabási
 burstiness / Fano-factor arrival diagnostics, the Theil T
 decomposition (between- vs within-nation spend inequality — the
-additively-decomposable complement to Gini), and Spearman rank
-correlation with exact tie midranks per segment. Seventeen queries,
-every one with a full DuckDB oracle.
+additively-decomposable complement to Gini), Spearman rank
+correlation with exact tie midranks per segment, and the
+Kruskal-Wallis k-sample rank test (tie-corrected H, Wilson-Hilferty
+chi-square tail through the shared A&S polynomial). Eighteen
+queries, every one with a full DuckDB oracle.
 
 NOT imported by queries/__init__.py on purpose (the pending_r10/r11
 posture): the freshness guard requires never-checked queries to LEAD
@@ -52,7 +54,8 @@ isotonic 0.48 s, Fano/burstiness 0.80 s, Theil decomposition
 midranks need a per-segment rank sort — one window partition per
 returnflag; the web-scale variant groups by distinct value and
 joins midranks back, trading the single-partition sort for a
-shuffle join, semantics unchanged).
+shuffle join, semantics unchanged), Kruskal-Wallis 1.30 s (flat —
+same rank-window price at this corpus, 1 row out).
 
 Engine-parity rules inherited from the registry docstring: integer
 frames exact; disc percentiles over 4dp-rounded values for medians;
@@ -2431,6 +2434,185 @@ GROUP BY l_returnflag
 
 
 # ---------------------------------------------------------------------------
+# Kruskal-Wallis k-sample rank test across market segments
+# ---------------------------------------------------------------------------
+
+
+def stats_kruskal_wallis_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kruskal-Wallis H test (1952): do the five market segments draw
+    order values from the same distribution? Global midranks (the
+    Spearman query's exact tie construction), per-group mean ranks,
+    H = 12/(N(N+1)) * sum n_g (rbar_g - (N+1)/2)^2, divided by the
+    tie correction 1 - sum(t^3 - t)/(N^3 - N), with the p-value from
+    the Wilson-Hilferty cube-root normal approximation of the
+    chi-square tail evaluated through the same A&S 26.2.17
+    polynomial the Mann-Kendall family uses — every transcendental
+    is the identical literal formula in both engines. The
+    nonparametric ANOVA a segmentation claim should survive before
+    anyone fits means.
+
+    Determinism: midranks are exact rationals (RANK + ties/2); H is
+    one float aggregate over the 5-row group frame; p is 6dp-rounded.
+
+    Scale shape: one global rank window over orders (the exact-rank
+    price, documented at the Spearman query — value-grouped midranks
+    are the web-scale twin), one 5-row group collapse, one final
+    row."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").alias("v")
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = o.join(cust, o.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "v"
+    )
+    w_all = Window.orderBy("v")
+    r = (
+        F.rank().over(w_all)
+        + (F.count("*").over(Window.partitionBy("v")) - 1) / 2.0
+    )
+    ranked = j.select("c_mktsegment", F.col("v"), r.alias("r"))
+    groups = ranked.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("ng"),
+        F.avg("r").alias("rbar"),
+    )
+    ties = (
+        ranked.groupBy("v")
+        .agg(F.count("*").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tie_sum")
+        )
+    )
+    n_tot = Window.partitionBy()
+    hstat = (
+        groups.withColumn("n", F.sum("ng").over(n_tot))
+        .withColumn("k", F.count("*").over(n_tot))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("k").alias("k"),
+            F.sum(
+                F.col("ng")
+                * F.pow(
+                    F.col("rbar") - (F.col("n") + 1) / 2.0, F.lit(2.0)
+                )
+            ).alias("ssq"),
+        )
+        .crossJoin(F.broadcast(ties))
+    )
+    n, k = F.col("n"), F.col("k")
+    h_raw = F.lit(12.0) / (n * (n + 1)) * F.col("ssq")
+    corr = F.lit(1.0) - F.col("tie_sum") / (n * n * n - n)
+    h = h_raw / corr
+    dof = (k - 1).cast("double")
+    # Wilson-Hilferty: chi2_k tail at x ~ normal tail at
+    # ((x/k)^(1/3) - (1 - 2/(9k))) / sqrt(2/(9k))
+    z = (
+        F.pow(h / dof, F.lit(1.0 / 3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (9.0 * dof))
+    ) / F.sqrt(F.lit(2.0) / (9.0 * dof))
+    az = F.abs(z)
+    t_ = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * az)
+    phi = F.exp(F.lit(-0.5) * az * az) / F.lit(2.5066282746310002)
+    poly = (
+        F.lit(0.319381530) * t_
+        + F.lit(-0.356563782) * F.pow(t_, F.lit(2.0))
+        + F.lit(1.781477937) * F.pow(t_, F.lit(3.0))
+        + F.lit(-1.821255978) * F.pow(t_, F.lit(4.0))
+        + F.lit(1.330274429) * F.pow(t_, F.lit(5.0))
+    )
+    q = phi * poly  # upper tail at |z|
+    p = F.when(z >= 0, q).otherwise(F.lit(1.0) - q)
+    return hstat.select(
+        n.cast("long").alias("n_orders"),
+        k.cast("long").alias("n_groups"),
+        F.round(h, 4).alias("h_stat"),
+        (k - 1).cast("long").alias("dof"),
+        F.round(corr, 6).alias("tie_correction"),
+        F.round(p, 6).alias("p_value"),
+    )
+
+
+KW_ORACLE = """
+WITH j AS (
+  SELECT c.c_mktsegment, o.o_totalprice AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+ranked AS (
+  SELECT c_mktsegment, v,
+         RANK() OVER (ORDER BY v)
+           + (COUNT(*) OVER (PARTITION BY v) - 1) / 2.0 AS r
+  FROM j
+),
+groups AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS ng,
+         AVG(r) AS rbar
+  FROM ranked GROUP BY c_mktsegment
+),
+ties AS (
+  SELECT SUM(t * t * t - t) AS tie_sum
+  FROM (SELECT COUNT(*) AS t FROM ranked GROUP BY v)
+),
+groups2 AS (
+  SELECT ng, rbar,
+         SUM(ng) OVER () AS n,
+         COUNT(*) OVER () AS k
+  FROM groups
+),
+hstat AS (
+  SELECT MAX(n) AS n, MAX(k) AS k,
+         SUM(ng * POW(rbar - (n + 1) / 2.0, 2.0)) AS ssq
+  FROM groups2
+),
+hs AS (
+  SELECT h.n, h.k,
+         (12.0 / (h.n * (h.n + 1)) * h.ssq)
+           / (1.0 - t.tie_sum / (CAST(h.n AS DOUBLE) * h.n * h.n
+                                 - h.n)) AS h_corr,
+         1.0 - t.tie_sum / (CAST(h.n AS DOUBLE) * h.n * h.n - h.n)
+           AS corr
+  FROM hstat h CROSS JOIN ties t
+),
+zc AS (
+  SELECT *,
+         (POW(h_corr / (k - 1.0), 1.0 / 3.0)
+          - (1.0 - 2.0 / (9.0 * (k - 1.0))))
+           / SQRT(2.0 / (9.0 * (k - 1.0))) AS z
+  FROM hs
+),
+qc AS (
+  SELECT *, ABS(z) AS az,
+         1.0 / (1.0 + 0.2316419 * ABS(z)) AS tt
+  FROM zc
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       CAST(k AS BIGINT) AS n_groups,
+       ROUND(h_corr, 4) AS h_stat,
+       CAST(k - 1 AS BIGINT) AS dof,
+       ROUND(corr, 6) AS tie_correction,
+       ROUND(CASE WHEN z >= 0
+             THEN (EXP(-0.5 * az * az) / 2.5066282746310002)
+                  * (0.319381530 * tt
+                     - 0.356563782 * POW(tt, 2.0)
+                     + 1.781477937 * POW(tt, 3.0)
+                     - 1.821255978 * POW(tt, 4.0)
+                     + 1.330274429 * POW(tt, 5.0))
+             ELSE 1.0 - (EXP(-0.5 * az * az) / 2.5066282746310002)
+                  * (0.319381530 * tt
+                     - 0.356563782 * POW(tt, 2.0)
+                     + 1.781477937 * POW(tt, 3.0)
+                     - 1.821255978 * POW(tt, 4.0)
+                     + 1.330274429 * POW(tt, 5.0)) END, 6)
+         AS p_value
+FROM qc
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registration hook for round 12
 # ---------------------------------------------------------------------------
 
@@ -2452,6 +2634,7 @@ PENDING_ORDER = [
     "stats_fano_burstiness",
     "stats_theil_decomposition",
     "stats_spearman_price_quantity",
+    "stats_kruskal_wallis_segments",
 ]
 
 _PENDING = {
@@ -2507,6 +2690,10 @@ _PENDING = {
     "stats_spearman_price_quantity": (
         stats_spearman_price_quantity,
         SPEARMAN_ORACLE,
+    ),
+    "stats_kruskal_wallis_segments": (
+        stats_kruskal_wallis_segments,
+        KW_ORACLE,
     ),
 }
 

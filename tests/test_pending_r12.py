@@ -667,3 +667,55 @@ def test_spearman_matches_numpy_model(spark):
         want = float(np.corrcoef(rx, ry)[0, 1])
         assert got[flag] == pytest.approx(round(want, 4), abs=2e-4)
         assert -1.0 <= got[flag] <= 1.0
+
+
+def test_kruskal_wallis_matches_textbook_form(spark):
+    """The engine computes H via the centered-sum form; this replay
+    uses the TEXTBOOK form H = 12/(N(N+1)) sum R_g^2/n_g - 3(N+1)
+    (different algebra, same value) with midranks from a python sort
+    — a genuine cross-check, not a mirror."""
+    import collections
+
+    from cdc_2025_spark.io import read_table
+
+    o = read_table(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = read_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rows = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_totalprice")
+        .collect()
+    )
+    vals = [r["o_totalprice"] for r in rows]
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    rank = [0.0] * len(vals)
+    by_val = collections.defaultdict(list)
+    for pos, i in enumerate(order, start=1):
+        by_val[vals[i]].append((pos, i))
+    tie_sum = 0
+    for grp in by_val.values():
+        mean_rank = sum(p for p, _ in grp) / len(grp)
+        t = len(grp)
+        tie_sum += t * t * t - t
+        for _, i in grp:
+            rank[i] = mean_rank
+    rsum = collections.defaultdict(float)
+    ng = collections.defaultdict(int)
+    for r, row in zip(rank, rows):
+        rsum[row["c_mktsegment"]] += r
+        ng[row["c_mktsegment"]] += 1
+    n = len(rows)
+    h = 12.0 / (n * (n + 1)) * sum(
+        rsum[g] ** 2 / ng[g] for g in rsum
+    ) - 3 * (n + 1)
+    h /= 1.0 - tie_sum / (n**3 - n)
+    got = pending_r12.stats_kruskal_wallis_segments(
+        spark, SF_DIR
+    ).collect()[0]
+    assert got["n_orders"] == n
+    assert got["n_groups"] == len(ng)
+    assert got["h_stat"] == pytest.approx(round(h, 4), abs=2e-3)
+    assert 0.0 <= got["p_value"] <= 1.0
