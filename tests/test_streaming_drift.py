@@ -655,3 +655,117 @@ def test_hll_monitor_validates_p():
         streaming_hll_cardinality_monitor(None, p=3)
     with pytest.raises(ValueError, match="p must be"):
         streaming_hll_cardinality_monitor(None, p=17)
+
+
+# ---------------------------------------------------------------------------
+# Streaming quantile monitor (deterministic bottom-K reservoir)
+# ---------------------------------------------------------------------------
+
+from cdc_2025_spark.streaming.drift import (  # noqa: E402
+    quantile_replay,
+    streaming_quantile_monitor,
+)
+
+
+def _write_idval_batches(src, batches):
+    """batches: list of list of (key, event_id, value)."""
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "event_type": pa.array([k for k, _, _ in rows]),
+                "event_id": pa.array(
+                    [e for _, e, _ in rows], pa.int64()
+                ),
+                "value": pa.array(
+                    [v for _, _, v in rows], pa.float64()
+                ),
+            }
+        )
+        path = os.path.join(src, f"batch_{i:03d}.parquet")
+        pq.write_table(tbl, path)
+        t = time.time() + i
+        os.utime(path, (t, t))
+
+
+def test_quantile_monitor_matches_replay(spark, tmp_path):
+    """Final engine row per key equals the python replay EXACTLY
+    (sample membership is a pure function of the ids), regardless of
+    batch split; NULL values/ids excluded; a small key's sample is
+    the whole population (exact quantiles)."""
+    a = [(i, float((i * 37) % 500)) for i in range(120)]
+    b = [(1000 + i, 10.0 * i) for i in range(9)]
+    batches = [
+        [("a", e, v) for e, v in a[:50]]
+        + [("b", e, v) for e, v in b[:4]],
+        [("a", e, v) for e, v in a[50:]]
+        + [("b", e, v) for e, v in b[4:]]
+        + [("b", None, 1.0), ("b", 9999, None)],
+    ]
+    src = str(tmp_path / "src_q")
+    _write_idval_batches(src, batches)
+    stream = (
+        spark.readStream.schema(
+            "event_type string, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_quantile_monitor(stream, k=32)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("quant_mon")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_q"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select * from quant_mon order by n_seen"
+    ).collect()
+    final = {r["key"]: r for r in rows}
+    ra = quantile_replay(a, 32)
+    rb = quantile_replay(b, 32)
+    for key, want in (("a", ra), ("b", rb)):
+        got = final[key]
+        assert (
+            got["n_seen"],
+            got["sample_n"],
+            got["q50"],
+            got["q90"],
+            got["q99"],
+        ) == want, key
+    # key b: 9 rows < k -> the sample IS the population, quantiles
+    # are exact disc percentiles of 0..80
+    assert final["b"]["sample_n"] == 9
+    assert final["b"]["q50"] == 40.0
+    assert final["b"]["q99"] == 80.0
+    # per-batch emission
+    assert sum(1 for r in rows if r["key"] == "a") == 2
+
+
+def test_quantile_replay_is_batch_reservoir(spark):
+    """The streaming sample equals functions/reservoir.bottomk_sample
+    over the same rows with the same key construction — the lifted
+    invariant, checked through the replay's priorities."""
+    import hashlib
+
+    rows = [(i, float(i)) for i in range(300)]
+    n, sn, q50, _, _ = quantile_replay(rows, 16)
+    want_ids = sorted(
+        range(300),
+        key=lambda i: int(
+            hashlib.md5(f"q:{i}".encode()).hexdigest()[:8], 16
+        ),
+    )[:16]
+    want_vals = sorted(float(i) for i in want_ids)
+    assert sn == 16 and n == 300
+    assert q50 == want_vals[7]  # ceil(0.5*16)-1 = 7
+
+
+def test_quantile_monitor_validates_k():
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        streaming_quantile_monitor(None, k=0)
