@@ -25,10 +25,13 @@ minimax characterization on a bounded bin frame, and Goh-Barabási
 burstiness / Fano-factor arrival diagnostics, the Theil T
 decomposition (between- vs within-nation spend inequality — the
 additively-decomposable complement to Gini), Spearman rank
-correlation with exact tie midranks per segment, and the
+correlation with exact tie midranks per segment, the
 Kruskal-Wallis k-sample rank test (tie-corrected H, Wilson-Hilferty
-chi-square tail through the shared A&S polynomial). Eighteen
-queries, every one with a full DuckDB oracle.
+chi-square tail through the shared A&S polynomial), and incremental
+view maintenance (functions/ivm.py delta propagation checked
+against the SEMANTIC recompute oracle — incremental == rescan, the
+IVM correctness property itself). Nineteen queries, every one with
+a full DuckDB oracle.
 
 NOT imported by queries/__init__.py on purpose (the pending_r10/r11
 posture): the freshness guard requires never-checked queries to LEAD
@@ -55,7 +58,9 @@ midranks need a per-segment rank sort — one window partition per
 returnflag; the web-scale variant groups by distinct value and
 joins midranks back, trading the single-partition sort for a
 shuffle join, semantics unchanged), Kruskal-Wallis 1.30 s (flat —
-same rank-window price at this corpus, 1 row out).
+same rank-window price at this corpus, 1 row out), IVM delta
+refresh 1.47 s (base state + one O(|delta|) groupBy + bounded-state
+merge; the refresh leg alone is delta-sized at any corpus).
 
 Engine-parity rules inherited from the registry docstring: integer
 frames exact; disc percentiles over 4dp-rounded values for medians;
@@ -2613,6 +2618,86 @@ FROM qc
 
 
 # ---------------------------------------------------------------------------
+# Incremental view maintenance: delta-refreshed event stats
+# ---------------------------------------------------------------------------
+
+
+def ivm_incremental_event_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Grouped dashboard view refreshed by DELTA PROPAGATION instead
+    of a rescan (functions/ivm.py — Gupta-Mumick-Subrahmanian
+    SIGMOD'93): base the per-type (n, sum, sumsq) state over all
+    events, then apply one CDC batch — DELETE every row whose
+    event_id % 5 == 0, INSERT a replacement at value + 1 for those
+    with event_id % 10 == 0 — through the abelian-group retraction
+    algebra, and read out count/total/mean/stddev. The ORACLE is the
+    SEMANTIC definition, not the algebra: a direct aggregate over
+    (surviving rows) UNION ALL (replacement rows) — so this checks
+    that incremental maintenance EQUALS recompute, the IVM
+    correctness property itself.
+
+    Determinism: counts integer-exact; sums/moments are rounded 4dp
+    after the final readout (retraction reorders float additions).
+
+    Scale shape: the base state is one grouped pass (the one-time
+    baselining); the refresh is ONE groupBy over the delta + ONE
+    bounded-state outer merge — at 100 TB the per-batch cost is
+    O(|delta|), never the corpus."""
+    from cdc_2025_spark.functions.ivm import (
+        agg_state,
+        apply_delta,
+        readout,
+    )
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    base = agg_state(ev, ["event_type"], "value")
+    deletes = ev.filter(F.col("event_id") % 5 == 0).select(
+        F.lit("D").alias("op"),
+        "event_type",
+        F.col("value").alias("old_value"),
+        F.lit(None).cast("double").alias("new_value"),
+    )
+    inserts = ev.filter(F.col("event_id") % 10 == 0).select(
+        F.lit("I").alias("op"),
+        "event_type",
+        F.lit(None).cast("double").alias("old_value"),
+        (F.col("value") + 1).alias("new_value"),
+    )
+    state = apply_delta(
+        base, deletes.unionByName(inserts), ["event_type"]
+    )
+    out = readout(state, ["event_type"])
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("total", 4).alias("total"),
+        F.round("mean", 4).alias("mean"),
+        F.round("stddev_samp", 4).alias("stddev"),
+    ).orderBy("event_type")
+
+
+IVM_ORACLE = """
+WITH surviving AS (
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL AND event_id % 5 <> 0
+  UNION ALL
+  SELECT event_type, value + 1 AS value FROM events
+  WHERE value IS NOT NULL AND event_id % 10 = 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS total,
+       ROUND(AVG(value), 4) AS mean,
+       ROUND(STDDEV_SAMP(value), 4) AS stddev
+FROM surviving
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registration hook for round 12
 # ---------------------------------------------------------------------------
 
@@ -2635,6 +2720,7 @@ PENDING_ORDER = [
     "stats_theil_decomposition",
     "stats_spearman_price_quantity",
     "stats_kruskal_wallis_segments",
+    "ivm_incremental_event_stats",
 ]
 
 _PENDING = {
@@ -2694,6 +2780,10 @@ _PENDING = {
     "stats_kruskal_wallis_segments": (
         stats_kruskal_wallis_segments,
         KW_ORACLE,
+    ),
+    "ivm_incremental_event_stats": (
+        ivm_incremental_event_stats,
+        IVM_ORACLE,
     ),
 }
 
