@@ -114,10 +114,15 @@ def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
 
 
 def decode_bmp(payload: bytes):
-    """REAL decode kernel for uncompressed 24-bit BMP: returns an
-    (height, width, 3) uint8 RGB array. Handles bottom-up (positive
-    height) and top-down (negative height) layouts and 4-byte row
-    padding. Dependency-free (struct + numpy only)."""
+    """REAL decode kernel for uncompressed BMP: returns an
+    (height, width, 3) uint8 RGB array. Handles 24-bit BGR, 32-bit
+    BGRA/BGRX (the screenshot format — 4th byte dropped like the
+    PNG/AVI alpha convention; BI_BITFIELDS accepted only for the
+    standard BGRA masks), and 8-bit palette (BGRX color table at the
+    end of the info header, out-of-range indices fail loud); both
+    bottom-up (positive height) and top-down (negative height)
+    layouts and 4-byte row padding. Other depths (1/2/4/16-bit) and
+    RLE compression raise. Dependency-free (struct + numpy only)."""
     import numpy as np  # noqa: PLC0415
 
     if payload[:2] != b"BM":
@@ -125,21 +130,130 @@ def decode_bmp(payload: bytes):
     (data_off,) = _struct.unpack_from("<I", payload, 10)
     hdr_size, width, height = _struct.unpack_from("<Iii", payload, 14)
     planes, bpp, compression = _struct.unpack_from("<HHI", payload, 26)
-    if bpp != 24 or compression != 0:
+    if bpp == 32 and compression == 3:
+        # BI_BITFIELDS: accept only the standard little-endian BGRA
+        # masks (the overwhelmingly common case); anything exotic
+        # refuses rather than decoding with scrambled channels
+        masks = _struct.unpack_from("<III", payload, 54)
+        if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise NotImplementedError(
+                f"BMP: non-standard BI_BITFIELDS masks "
+                f"{tuple(hex(m) for m in masks)}"
+            )
+    elif bpp not in (8, 24, 32) or compression != 0:
         raise NotImplementedError(
-            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
-            f"compression={compression})"
+            f"unsupported BMP (bpp={bpp}, compression={compression});"
+            " supported: uncompressed 8-bit palette, 24-bit,"
+            " 32-bit (incl. standard-mask BI_BITFIELDS)"
         )
     top_down = height < 0
     height = abs(height)
-    row_bytes = (width * 3 + 3) & ~3
+    nbytes = bpp // 8
+    row_bytes = (width * nbytes + 3) & ~3
     buf = np.frombuffer(
         payload, dtype=np.uint8, count=row_bytes * height, offset=data_off
     ).reshape(height, row_bytes)
-    bgr = buf[:, : width * 3].reshape(height, width, 3)
+    px = buf[:, : width * nbytes].reshape(height, width, nbytes)
     if not top_down:
-        bgr = bgr[::-1]
-    return bgr[:, :, ::-1]  # BGR -> RGB
+        px = px[::-1]
+    if bpp == 8:
+        # color table: BGRX quads right after the info header
+        (n_colors,) = _struct.unpack_from("<I", payload, 46)
+        n_colors = n_colors or 256
+        tbl = np.frombuffer(
+            payload,
+            dtype=np.uint8,
+            count=n_colors * 4,
+            offset=14 + hdr_size,
+        ).reshape(n_colors, 4)
+        idx = px[:, :, 0]
+        if int(idx.max()) >= n_colors:
+            raise ValueError(
+                f"BMP palette index {int(idx.max())} out of range "
+                f"({n_colors} entries)"
+            )
+        return tbl[idx][:, :, 2::-1].copy()  # BGRX -> RGB
+    return px[:, :, 2::-1].copy()  # BGR(A) -> RGB, alpha dropped
+
+
+def make_bmp_variant(
+    width: int,
+    height: int,
+    seed: int = 0,
+    bpp: int = 32,
+    bitfields: bool = False,
+    top_down: bool = False,
+) -> bytes:
+    """Twins of the seeded pattern in the other BMP shapes the
+    decoder supports: 32-bit BGRA (alpha = (x+y+seed)%256, dropped
+    by decode — pixel-identical to the 24-bit twin), optionally as
+    BI_BITFIELDS with the standard masks, and 8-bit palette (the
+    PNG variant's 16-entry table and (x+y+seed)%16 indices, stored
+    as a BGRX color table)."""
+    if bpp == 32:
+        nbytes, n_colors = 4, 0
+    elif bpp == 8:
+        nbytes, n_colors = 1, 16
+        if bitfields:
+            raise ValueError("bitfields only applies to 32-bit")
+    else:
+        raise ValueError(f"no variant builder for bpp={bpp}")
+    row_bytes = (width * nbytes + 3) & ~3
+    img_size = row_bytes * height
+    extra = 12 if bitfields else 4 * n_colors
+    data_off = 54 + extra
+    compression = 3 if bitfields else 0
+    header = _struct.pack(
+        "<2sIHHI", b"BM", data_off + img_size, 0, 0, data_off
+    ) + _struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        width,
+        -height if top_down else height,
+        1,
+        bpp,
+        compression,
+        img_size,
+        2835,
+        2835,
+        n_colors,
+        0,
+    )
+    if bitfields:
+        header += _struct.pack(
+            "<III", 0x00FF0000, 0x0000FF00, 0x000000FF
+        )
+    elif n_colors:
+        header += b"".join(
+            bytes(
+                (
+                    (i * 5 + 11) % 256,   # B
+                    (i * 31 + 7) % 256,   # G
+                    (i * 16 + 3) % 256,   # R
+                    0,
+                )
+            )
+            for i in range(n_colors)
+        )
+    rows = []
+    ys = range(height) if top_down else reversed(range(height))
+    for y in ys:
+        row = bytearray()
+        for x in range(width):
+            if bpp == 32:
+                row += bytes(
+                    (
+                        (x * 7 + y * 3 + seed) % 256,        # B
+                        (x * 5 + y * 11 + seed * 2) % 256,   # G
+                        (x * 13 + y * 17 + seed * 3) % 256,  # R
+                        (x + y + seed) % 256,                # A
+                    )
+                )
+            else:
+                row.append((x + y + seed) % 16)
+        row += b"\0" * (row_bytes - width * nbytes)
+        rows.append(bytes(row))
+    return header + b"".join(rows)
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

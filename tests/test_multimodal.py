@@ -1149,3 +1149,66 @@ class TestWavVariants:
         )
         with pytest.raises(ValueError, match="EXTENSIBLE"):
             decode_wav(short)
+
+
+class TestBmpVariants:
+    def test_32bit_and_bitfields_equal_24bit_twin(self):
+        import numpy as np
+
+        from cdc_2025_spark.multimodal.media import (
+            decode_bmp,
+            make_bmp,
+            make_bmp_variant,
+        )
+
+        base = decode_bmp(make_bmp(33, 7, seed=5))
+        for kw in (
+            dict(bpp=32),
+            dict(bpp=32, bitfields=True),
+            dict(bpp=32, top_down=True),
+        ):
+            got = decode_bmp(make_bmp_variant(33, 7, 5, **kw))
+            assert np.array_equal(got, base), kw
+
+    def test_palette_bmp_equals_palette_png(self):
+        """The 8-bit palette BMP and the palette PNG share one table
+        and index formula — cross-container pixel identity, the
+        BMP/PNG twin story at indexed depth."""
+        import numpy as np
+
+        from cdc_2025_spark.multimodal.media import (
+            decode_bmp,
+            decode_png,
+            make_bmp_variant,
+            make_png_variant,
+        )
+
+        a = decode_bmp(make_bmp_variant(33, 7, 5, bpp=8))
+        b = decode_png(make_png_variant(33, 7, 5, color_type=3))
+        assert np.array_equal(a, b)
+
+    def test_fail_loud(self):
+        import struct
+
+        import pytest
+
+        from cdc_2025_spark.multimodal.media import (
+            decode_bmp,
+            make_bmp,
+            make_bmp_variant,
+        )
+
+        bad = bytearray(make_bmp(8, 8, seed=1))
+        struct.pack_into("<H", bad, 28, 16)  # 16-bit
+        with pytest.raises(NotImplementedError):
+            decode_bmp(bytes(bad))
+        rle = bytearray(make_bmp_variant(8, 8, 1, bpp=8))
+        struct.pack_into("<I", rle, 30, 1)  # BI_RLE8
+        with pytest.raises(NotImplementedError):
+            decode_bmp(bytes(rle))
+        nb = bytearray(make_bmp_variant(8, 8, 1, bpp=32, bitfields=True))
+        struct.pack_into("<III", nb, 54, 0xFF, 0xFF00, 0xFF0000)
+        with pytest.raises(NotImplementedError, match="masks"):
+            decode_bmp(bytes(nb))
+        with pytest.raises(ValueError, match="no variant"):
+            make_bmp_variant(8, 8, 1, bpp=16)
