@@ -1,0 +1,133 @@
+"""Property-based codec round-trips (hypothesis): random shapes and
+random pixel/sample content through every encoder/decoder pair the
+media kernels own — the generator-formula twins in the unit tests
+pin known patterns; these pin ARBITRARY content, odd dimensions
+(1xN, Nx1, padding-heavy widths), and cross-container identities."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+dims = st.tuples(
+    st.integers(min_value=1, max_value=21),
+    st.integers(min_value=1, max_value=13),
+)
+
+
+def _rand_rgb(w: int, h: int, seed: int):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@SETTINGS
+@given(wh=dims, seed=st.integers(0, 2**31 - 1))
+def test_png_16bit_roundtrip_of_x257(wh, seed):
+    """Any 8-bit image widened x257 to 16-bit PNG decodes back to
+    itself exactly (the scaling maps uint8 <-> uint16 losslessly)."""
+    import struct
+    import zlib
+
+    from cdc_2025_spark.multimodal.media import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    w, h = wh
+    rgb = _rand_rgb(w, h, seed)
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        for x in range(w):
+            for v in rgb[y, x]:
+                raw += bytes((int(v), int(v)))  # v*257 big-endian
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), rgb)
+
+
+@SETTINGS
+@given(wh=dims, seed=st.integers(0, 2**31 - 1),
+       top_down=st.booleans())
+def test_bmp32_roundtrip_arbitrary_pixels(wh, seed, top_down):
+    """encode arbitrary pixels as 32-bit BMP by hand and decode —
+    alpha (random) must be dropped, both row orders."""
+    import struct
+
+    from cdc_2025_spark.multimodal.media import decode_bmp
+
+    w, h = wh
+    rgb = _rand_rgb(w, h, seed)
+    rng = np.random.default_rng(seed + 1)
+    alpha = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    row_bytes = w * 4
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + row_bytes * h, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 32, 0,
+        row_bytes * h, 2835, 2835, 0, 0,
+    )
+    rows = []
+    ys = range(h) if top_down else reversed(range(h))
+    for y in ys:
+        row = bytearray()
+        for x in range(w):
+            r, g, b = (int(v) for v in rgb[y, x])
+            row += bytes((b, g, r, int(alpha[y, x])))
+        rows.append(bytes(row))
+    assert np.array_equal(
+        decode_bmp(header + b"".join(rows)), rgb
+    )
+
+
+@SETTINGS
+@given(wh=dims, seed=st.integers(0, 2**31 - 1))
+def test_dib_avi_roundtrip_arbitrary_frames(wh, seed):
+    """encode_dib_avi of arbitrary frames decodes back exactly
+    (lossless), any shape incl. padding-heavy widths."""
+    from cdc_2025_spark.multimodal.avi import (
+        decode_avi_frame,
+        encode_dib_avi,
+        parse_avi,
+    )
+
+    w, h = wh
+    frames = [_rand_rgb(w, h, seed + i) for i in range(3)]
+    meta = parse_avi(encode_dib_avi(frames, fps=4))
+    assert meta["n_frames"] == 3
+    for i, fr in enumerate(frames):
+        assert np.array_equal(decode_avi_frame(meta, i), fr), i
+
+
+@SETTINGS
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    seed=st.integers(0, 2**31 - 1),
+    bits=st.sampled_from([16, 24]),
+    ext=st.booleans(),
+)
+def test_wav_pcm_roundtrip_bounds(n, seed, bits, ext):
+    """Arbitrary-amplitude sines at any length survive the PCM
+    round-trip within one quantization step (and never clip past
+    full scale)."""
+    from cdc_2025_spark.multimodal.media import decode_wav, make_wav
+
+    amp = (seed % 90) / 100.0 + 0.05
+    dur = max(n * 1000 // 8000, 1)
+    p = make_wav(8000, dur, 440.0, amp, bits=bits, extensible=ext)
+    s, sr = decode_wav(p)
+    assert sr == 8000
+    step = 1.0 / (32767 if bits == 16 else 8388607)
+    assert float(np.abs(s).max()) <= amp + step
