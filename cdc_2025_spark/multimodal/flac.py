@@ -376,9 +376,11 @@ def encode_flac(
     bits: int = 16,
     stereo_mode: str = "auto",
 ) -> bytes:
-    """Integer PCM samples -> FLAC bytes. Mono or stereo (``samples``
-    interleaved L,R,L,R for ``channels=2`` — the WAV data-chunk
-    layout), 16- or 24-bit. ``predictor``: ``fixed`` picks the best
+    """Integer PCM samples -> FLAC bytes. 1-8 channels (``samples``
+    interleaved L,R,L,R for ``channels=2``, ch0..chN round-robin
+    above that — the WAV data-chunk layout; >2 channels always code
+    INDEPENDENTLY, the only assignment the spec defines for them),
+    16- or 24-bit. ``predictor``: ``fixed`` picks the best
     FIXED order 0-4 per block by total residual magnitude; ``lpc``
     fits real LPC coefficients (Levinson-Durbin) with FIXED as the
     per-block fallback when the fit degenerates; ``verbatim`` forces
@@ -395,9 +397,10 @@ def encode_flac(
         raise ValueError(f"unknown predictor {predictor!r}")
     if not 16 <= block_size <= 65535:
         raise ValueError(f"block_size out of range: {block_size}")
-    if channels not in (1, 2):
+    if not 1 <= channels <= 8:
         raise NotImplementedError(
-            f"only mono/stereo encode supported (channels={channels})"
+            f"FLAC allows 1-8 channels (channels={channels}); >2 "
+            "channels code independently per spec"
         )
     if bits not in (16, 24):
         raise NotImplementedError(
@@ -504,9 +507,17 @@ def _encode_frame(
 
     if channels == 1:
         candidates = [(0, [(blk, 0)])]
-    else:
+    elif channels == 2:
         left, right = blk[0::2], blk[1::2]
         candidates = _stereo_candidates(left, right, stereo_mode)
+    else:
+        # >2 channels: independent coding only (ch_code = channels-1)
+        candidates = [
+            (
+                channels - 1,
+                [(blk[i::channels], 0) for i in range(channels)],
+            )
+        ]
 
     best = None
     for ch_code, subchannels in candidates:
@@ -609,7 +620,8 @@ def decode_flac_info(payload: bytes, verify_md5: bool = True) -> dict:
     VERBATIM / FIXED(0-4) / LPC subframes, both Rice methods, any
     partition order, wasted bits, CRC-8/CRC-16 verification,
     STREAMINFO MD5 verification (``verify_md5=False`` to skip on
-    truncated streams). >2 channels and other bit depths raise
+    truncated streams). Reserved channel assignments and other bit
+    depths raise
     NotImplementedError — fail loud, never decode wrongly."""
     if payload[:4] != b"fLaC":
         raise ValueError("not a FLAC payload")
@@ -634,7 +646,7 @@ def decode_flac_info(payload: bytes, verify_md5: bool = True) -> dict:
     bits = ((tail >> 36) & 0x1F) + 1
     total = tail & ((1 << 36) - 1)  # interchannel samples
     md5_expect = streaminfo[18:34]
-    if channels not in (1, 2) or bits not in (16, 24):
+    if not 1 <= channels <= 8 or bits not in (16, 24):
         raise NotImplementedError(
             f"only 16/24-bit mono/stereo supported "
             f"(channels={channels}, bits={bits})"
@@ -673,15 +685,13 @@ def _decode_frame(
     b2, b3 = payload[pos + 2], payload[pos + 3]
     bs_code, sr_code = b2 >> 4, b2 & 0xF
     ch_code, ss_code = b3 >> 4, (b3 >> 1) & 0x7
-    if ch_code == 0:
-        n_ch = 1
-    elif ch_code in (
-        _CH_INDEPENDENT_2, _CH_LEFT_SIDE, _CH_RIGHT_SIDE, _CH_MID_SIDE
-    ):
+    if ch_code <= 7:  # 1-8 independent channels (code = n-1)
+        n_ch = ch_code + 1
+    elif ch_code in (_CH_LEFT_SIDE, _CH_RIGHT_SIDE, _CH_MID_SIDE):
         n_ch = 2
     else:
         raise NotImplementedError(
-            f"channel assignment {ch_code} not supported"
+            f"channel assignment {ch_code} is reserved"
         )
     if n_ch != si_channels:
         raise ValueError(
@@ -758,10 +768,10 @@ def _decode_frame(
 
     if n_ch == 1:
         blk = subs[0]
+    elif ch_code <= 7:  # independent channels: plain interleave
+        blk = [v for tup in zip(*subs) for v in tup]
     else:
-        if ch_code == _CH_INDEPENDENT_2:
-            left, right = subs
-        elif ch_code == _CH_LEFT_SIDE:
+        if ch_code == _CH_LEFT_SIDE:
             left = subs[0]
             right = [a - s for a, s in zip(left, subs[1])]
         elif ch_code == _CH_RIGHT_SIDE:
@@ -837,7 +847,9 @@ def make_flac(
     make image dedup testable. ``channels=2`` puts the sine on the
     left and the same sine a musical fifth up (freq*1.5) on the
     right — correlated enough that mid/side wins frames, distinct
-    enough that reconstruction errors can't cancel."""
+    enough that reconstruction errors can't cancel; ``channels>2``
+    stacks harmonics freq*(1 + c/2) per channel c (independent
+    coding, the only >2-channel assignment the spec defines)."""
     import math
 
     n = sample_rate * duration_ms // 1000
@@ -850,11 +862,16 @@ def make_flac(
 
     if channels == 1:
         xs = [sine(freq_hz, i) for i in range(n)]
-    else:
+    elif channels == 2:
         xs = []
         for i in range(n):
             xs.append(sine(freq_hz, i))
             xs.append(sine(freq_hz * 1.5, i))
+    else:
+        xs = []
+        for i in range(n):
+            for c in range(channels):
+                xs.append(sine(freq_hz * (1 + c / 2.0), i))
     return encode_flac(
         xs,
         sample_rate=sample_rate,

@@ -280,10 +280,12 @@ def test_stereo_of_mono_pattern_features_identical(spark):
 
 
 def test_unsupported_depths_and_channels_still_fail_loud():
-    """The guards NARROWED, they didn't vanish: >2 channels and
-    other bit depths refuse loudly at encode and decode."""
+    """The guards NARROWED, they didn't vanish: >8 channels and
+    other bit depths refuse loudly at encode and decode (3-8
+    channels are now a real independent-coding path —
+    TestMultichannel)."""
     with pytest.raises(NotImplementedError, match="channels"):
-        encode_flac([1, 2, 3], channels=3)
+        encode_flac([1, 2, 3], channels=9)
     with pytest.raises(NotImplementedError, match="bits"):
         encode_flac([1, 2], bits=20)
     with pytest.raises(ValueError, match="stereo_mode"):
@@ -300,3 +302,85 @@ def test_unsupported_depths_and_channels_still_fail_loud():
     enc[18:26] = tail.to_bytes(8, "big")
     with pytest.raises(NotImplementedError, match="16/24-bit"):
         decode_flac(bytes(enc))
+
+
+# ---------------------------------------------------------------------------
+# Multichannel (3-8, independent coding)
+# ---------------------------------------------------------------------------
+
+
+class TestMultichannel:
+    def test_roundtrip_all_channel_counts_and_depths(self):
+        """1-8 channels x 16/24-bit round-trip bit-exactly (STREAMINFO
+        MD5 over interleaved samples verified inside decode)."""
+        from cdc_2025_spark.multimodal.flac import (
+            decode_flac_info,
+            make_flac,
+        )
+
+        for nch in (1, 2, 3, 4, 6, 8):
+            for bits in (16, 24):
+                p = make_flac(
+                    8000, 500, 220.0, 0.3, channels=nch, bits=bits,
+                    predictor="lpc" if nch % 2 else "fixed",
+                )
+                info = decode_flac_info(p)
+                assert info["channels"] == nch
+                assert info["bits"] == bits
+                assert len(info["samples"]) == 4000 * nch
+
+    def test_each_channel_equals_its_mono_twin(self):
+        """Independent coding is verifiable channel-for-channel: the
+        6-channel stream's channel c equals the mono encode of the
+        same harmonic, sample-exact."""
+        from cdc_2025_spark.multimodal.flac import (
+            decode_flac_info,
+            make_flac,
+        )
+
+        s6 = decode_flac_info(
+            make_flac(
+                8000, 250, 220.0, 0.3, channels=6, bits=16,
+                predictor="fixed",
+            )
+        )["samples"]
+        for c in range(6):
+            mono = decode_flac_info(
+                make_flac(
+                    8000, 250, 220.0 * (1 + c / 2.0), 0.3,
+                    channels=1, bits=16, predictor="fixed",
+                )
+            )["samples"]
+            assert s6[c::6] == mono, c
+
+    def test_channel_count_bounds(self):
+        import pytest
+
+        from cdc_2025_spark.multimodal.flac import encode_flac
+
+        with pytest.raises(NotImplementedError, match="1-8"):
+            encode_flac([0] * 18, channels=9)
+        with pytest.raises(NotImplementedError, match="1-8"):
+            encode_flac([0] * 18, channels=0)
+
+    def test_audio_kernel_downmixes_multichannel(self, spark):
+        """The chunk-feature kernel scores the channel-mean downmix of
+        a 4-channel FLAC without touching the stub path."""
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from cdc_2025_spark.multimodal import (
+            extract_audio_chunk_features,
+        )
+        from cdc_2025_spark.multimodal.flac import make_flac
+
+        p = make_flac(8000, 1000, 220.0, 0.3, channels=4, bits=16)
+        media = spark.createDataFrame(
+            [(0, "audio", bytearray(p), (0, 0, 1000, "flac"))],
+            "media_id long, kind string, payload binary, "
+            "meta struct<width:int,height:int,duration_ms:int,"
+            "codec:string>",
+        )
+        rows = extract_audio_chunk_features(media, chunk_ms=500).collect()
+        assert len(rows) == 2
+        for r in rows:
+            assert 0.0 < r["rms"] <= r["peak"] <= 1.0
