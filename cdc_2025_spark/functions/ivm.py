@@ -109,9 +109,13 @@ def apply_delta(
     full-outer merge, groups at n == 0 dropped. Raises ValueError if
     the delta carries an unknown op code (fail loud, never absorb a
     malformed change silently)."""
+    # materialize the delta aggregation ONCE: the bad-op check below
+    # is an action, and without the checkpoint the same groupBy would
+    # re-execute inside the returned plan — doubling the per-batch
+    # cost of the function whose point is O(|delta|) refresh
     contrib = delta_contributions(
         delta, keys, op_col=op_col, old_col=old_col, new_col=new_col
-    )
+    ).localCheckpoint()
     bad = contrib.agg(F.sum("ivm_bad_ops").alias("b")).collect()[0]["b"]
     if bad:
         raise ValueError(
@@ -119,11 +123,21 @@ def apply_delta(
             f"('{OP_INSERT}', '{OP_UPDATE}', '{OP_DELETE}')"
         )
     c = contrib.drop("ivm_bad_ops")
-    s = state
-    merged = s.alias("s").join(
-        c.alias("c"), on=list(keys), how="full_outer"
+    # NULL-SAFE key join: groupBy keeps a NULL key as one group, so
+    # the merge must match it too (a plain `on=keys` join would
+    # leave the NULL group as two separate rows and silently break
+    # incremental == recompute)
+    cond = None
+    for k in keys:
+        term = F.col(f"s.{k}").eqNullSafe(F.col(f"c.{k}"))
+        cond = term if cond is None else cond & term
+    merged = state.alias("s").join(
+        c.alias("c"), on=cond, how="full_outer"
     )
-    out_cols = [F.col(k) for k in keys]
+    out_cols = [
+        F.coalesce(F.col(f"s.{k}"), F.col(f"c.{k}")).alias(k)
+        for k in keys
+    ]
     for col in _STATE_COLS:
         out_cols.append(
             (
@@ -142,7 +156,11 @@ def readout(state: DataFrame, keys: list[str]) -> DataFrame:
     n = F.col("ivm_n")
     s = F.col("ivm_sum")
     s2 = F.col("ivm_sumsq")
-    var = F.when(n >= 2, (s2 - s * s / n) / (n - 1))
+    # clamp at zero: retraction chains can cancel to a slightly
+    # negative variance, which would read out as NaN, not drift
+    var = F.when(
+        n >= 2, F.greatest((s2 - s * s / n) / (n - 1), F.lit(0.0))
+    )
     return state.select(
         *keys,
         n.alias("n"),

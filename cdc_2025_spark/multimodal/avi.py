@@ -217,28 +217,19 @@ def encode_dib_avi(
     height, width = norm[0][0], norm[0][1]
     if any((h, w) != (height, width) for h, w, _ in norm):
         raise ValueError("all frames must share one (h, w)")
+    import numpy as np  # noqa: PLC0415
+
     n_frames = len(norm)
     row_size = (width * 3 + 3) // 4 * 4
-    pad = b"\x00" * (row_size - width * 3)
     frames_raw = []
     for h, w, data in norm:
-        rows = [
-            # RGB -> BGR per row, then 4-byte pad
-            bytes(
-                b
-                for x in range(width)
-                for b in (
-                    data[(y * width + x) * 3 + 2],
-                    data[(y * width + x) * 3 + 1],
-                    data[(y * width + x) * 3],
-                )
-            )
-            + pad
-            for y in range(height)
-        ]
+        rgb = np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+        bgr = rgb[:, :, ::-1].reshape(h, w * 3)
+        rows = np.zeros((h, row_size), dtype=np.uint8)
+        rows[:, : w * 3] = bgr
         if not top_down:
-            rows.reverse()  # bottom-up storage
-        frames_raw.append(b"".join(rows))
+            rows = rows[::-1]  # bottom-up storage
+        frames_raw.append(rows.tobytes())
     frames = frames_raw
     frame_len = row_size * height
     avih = _chunk(

@@ -1368,7 +1368,6 @@ def stats_gini_customer_spend(
         F.round(F.sum("x"), 4).alias("total_spend"),
         F.sum(F.col("i") * F.col("x")).alias("ix"),
         F.sum((F.col("x") == 0.0).cast("long")).alias("n_zero"),
-        F.max("i").alias("n_i"),
     )
     # top-decile share needs the per-nation n before selecting rows,
     # so it reruns as a conditional sum against the rank from the
@@ -1709,8 +1708,10 @@ def stats_bh_fdr_trend_screen(
     calendar spine is a broadcast scalar range; the i<j pair join,
     tie groups, and the BH window all live on bounded frames (days x
     types); output is one row per type."""
-    ev = read_table(spark, sf_dir, "events").select(
-        "event_type", F.to_date("ts").alias("day")
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select("event_type", F.to_date("ts").alias("day"))
     )
     span = ev.agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
@@ -1837,6 +1838,7 @@ def stats_bh_fdr_trend_screen(
 BH_ORACLE = f"""
 WITH ev AS (
   SELECT event_type, CAST(ts AS DATE) AS day FROM events
+  WHERE event_type IS NOT NULL
 ),
 span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
 spine AS (
@@ -2089,11 +2091,15 @@ def stats_fano_burstiness(
     Scale shape: one (type, day) groupBy for the Fano spine, one
     (type, day)-partitioned window for deltas; the corpus shuffles
     once on (type, day); outputs are one row per type."""
-    ev = read_table(spark, sf_dir, "events").select(
-        "event_type",
-        "ts",
-        "event_id",
-        F.to_date("ts").alias("day"),
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.to_date("ts").alias("day"),
+        )
     )
     span = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     spine = span.select(
@@ -2177,6 +2183,7 @@ FANO_ORACLE = """
 WITH ev AS (
   SELECT event_type, ts, event_id, CAST(ts AS DATE) AS day
   FROM events
+  WHERE event_type IS NOT NULL
 ),
 span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
 spine AS (
@@ -2509,7 +2516,9 @@ def stats_kruskal_wallis_segments(
         )
         .crossJoin(F.broadcast(ties))
     )
-    n, k = F.col("n"), F.col("k")
+    # n^3 in DOUBLE (the oracle casts too): long arithmetic would
+    # overflow int64 past ~2.1M joined rows and crash under ANSI
+    n, k = F.col("n").cast("double"), F.col("k")
     h_raw = F.lit(12.0) / (n * (n + 1)) * F.col("ssq")
     corr = F.lit(1.0) - F.col("tie_sum") / (n * n * n - n)
     h = h_raw / corr

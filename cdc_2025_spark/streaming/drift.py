@@ -570,9 +570,11 @@ QUANTILE_OUT_SCHEMA = (
 
 def _q_priority(event_id: int) -> int:
     """Deterministic md5 priority for the streaming reservoir — the
-    same construction as functions/reservoir.bottomk_sample, so the
-    streaming sample of a key IS the batch sample of the same rows
-    (merge = take K smallest priorities, order-independent)."""
+    same CONSTRUCTION as functions/reservoir.bottomk_sample (md5 of
+    a salted id, bottom-K by priority; this salt is 'q:' and the
+    batch sampler's is 'rs:', so the two select different — equally
+    uniform — K-subsets). Merge = take K smallest priorities,
+    order-independent and restart-idempotent."""
     import hashlib  # noqa: PLC0415
 
     return int(

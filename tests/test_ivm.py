@@ -208,3 +208,24 @@ def test_streaming_foreachbatch_maintains_view(spark, tmp_path):
     q.awaitTermination(120)
     got = _collect_state(holder["state"])
     assert got == {"a": (1, 5.0, 25.0), "b": (1, 2.0, 4.0)}
+
+
+def test_null_group_key_merges_as_one_group(spark):
+    """groupBy keeps NULL keys as one group, so the state merge must
+    be null-safe: state + delta contributions for the NULL group
+    fold into ONE row (a plain equi-join would leave two)."""
+    state = agg_state(
+        spark.createDataFrame(
+            [(1, None, 10.0), (2, None, 50.0)],
+            "id long, grp string, v double",
+        ),
+        KEYS,
+        "v",
+    )
+    state = apply_delta(
+        state, _delta(spark, [("I", None, None, 5.0)]), KEYS
+    )
+    rows = state.collect()
+    assert len(rows) == 1
+    assert rows[0]["grp"] is None
+    assert (rows[0]["ivm_n"], rows[0]["ivm_sum"]) == (3, 65.0)
