@@ -27,11 +27,14 @@ decomposition (between- vs within-nation spend inequality — the
 additively-decomposable complement to Gini), Spearman rank
 correlation with exact tie midranks per segment, the
 Kruskal-Wallis k-sample rank test (tie-corrected H, Wilson-Hilferty
-chi-square tail through the shared A&S polynomial), and incremental
+chi-square tail through the shared A&S polynomial), incremental
 view maintenance (functions/ivm.py delta propagation checked
 against the SEMANTIC recompute oracle — incremental == rescan, the
-IVM correctness property itself). Nineteen queries, every one with
-a full DuckDB oracle.
+IVM correctness property itself), and a split-conformal
+prediction-interval calibration audit (integer-exact count
+residuals, rank-rule conformal quantile, held-out coverage — the
+uncertainty-quantification rung). Twenty queries, every one with a
+full DuckDB oracle.
 
 NOT imported by queries/__init__.py on purpose (the pending_r10/r11
 posture): the freshness guard requires never-checked queries to LEAD
@@ -60,7 +63,9 @@ joins midranks back, trading the single-partition sort for a
 shuffle join, semantics unchanged), Kruskal-Wallis 1.30 s (flat —
 same rank-window price at this corpus, 1 row out), IVM delta
 refresh 1.47 s (base state + one O(|delta|) groupBy + bounded-state
-merge; the refresh leg alone is delta-sized at any corpus).
+merge; the refresh leg alone is delta-sized at any corpus),
+conformal audit 0.64 s (flat — one grouped collapse + bounded
+calendar frame).
 
 Engine-parity rules inherited from the registry docstring: integer
 frames exact; disc percentiles over 4dp-rounded values for medians;
@@ -2707,6 +2712,135 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Split-conformal prediction-interval calibration audit
+# ---------------------------------------------------------------------------
+
+CONFORMAL_ALPHA = 0.1
+
+
+def forecast_conformal_interval_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal prediction intervals for the seasonal-naive
+    VOLUME forecaster (Vovk et al.; Lei et al. JASA 2018 in its
+    split form): per event type, absolute residuals |x - f| of the
+    7-day-ancestor daily-COUNT forecast split by CALENDAR-DAY PARITY
+    into a calibration half and a test half; q_hat is the
+    calibration residual at rank ceil((n_cal + 1)(1 - alpha)) — the
+    finite-sample-valid conformal quantile, taken by INTEGER RANK,
+    never an interpolated percentile — and the audit reports the
+    empirical coverage of [f - q_hat, f + q_hat] on the held-out
+    half. Conformal theory guarantees >= 1 - alpha coverage ON
+    EXCHANGEABLE data; the gap between that and observed coverage is
+    exactly what this query surfaces (time series are not
+    exchangeable — the audit is the honesty check every 'calibrated
+    uncertainty' claim owes).
+
+    Determinism: the count series makes every residual an exact
+    integer (a mean-based series puts single order statistics on
+    ROUND half-boundaries where the engines disagree — measured, not
+    hypothetical), the conformal rank is integer, ties break on the
+    calendar day; only coverage rounds.
+
+    Scale shape: the (type, day) collapse and DATE-keyed ancestor
+    join of the backtest query; the rank window runs per type over
+    the bounded calendar frame; output is one row per type."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    anc = daily.select(
+        "event_type",
+        F.date_add("day", 7).alias("day"),
+        F.col("x").alias("f"),
+    )
+    resid = (
+        daily.join(anc, ["event_type", "day"])
+        .select(
+            "event_type",
+            "day",
+            F.abs(F.col("x") - F.col("f")).alias("r"),
+            F.pmod(
+                F.datediff(F.col("day"), F.lit("1970-01-05")),
+                F.lit(2),
+            ).alias("half"),
+        )
+    )
+    cal = resid.filter(F.col("half") == 0)
+    test = resid.filter(F.col("half") == 1)
+    w_rank = Window.partitionBy("event_type").orderBy("r", "day")
+    ranked = cal.withColumn(
+        "rk", F.row_number().over(w_rank).cast("long")
+    ).withColumn(
+        "n_cal",
+        F.count("*").over(Window.partitionBy("event_type")),
+    )
+    k = F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - CONFORMAL_ALPHA))
+    qhat = (
+        ranked.filter(F.col("rk") == k)
+        .select("event_type", F.col("r").alias("q_hat"),
+                F.col("n_cal"))
+    )
+    cov = (
+        test.join(qhat, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_cal").cast("long").alias("n_cal"),
+            F.count("*").cast("long").alias("n_test"),
+            F.max("q_hat").cast("long").alias("q_hat"),
+            F.round(
+                F.avg(
+                    (F.col("r") <= F.col("q_hat")).cast("double")
+                ),
+                4,
+            ).alias("coverage"),
+        )
+    )
+    return cov.orderBy("event_type")
+
+
+CONFORMAL_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events
+  WHERE event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+resid AS (
+  SELECT c.event_type, c.day, ABS(c.x - a.x) AS r,
+         ((c.day - DATE '1970-01-05') % 2 + 2) % 2 AS half
+  FROM daily c
+  JOIN daily a ON a.event_type = c.event_type
+             AND c.day = a.day + 7
+),
+ranked AS (
+  SELECT event_type, r,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY r, day) AS BIGINT) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_cal
+  FROM resid WHERE half = 0
+),
+qhat AS (
+  SELECT event_type, r AS q_hat, n_cal
+  FROM ranked
+  WHERE rk = CEIL((n_cal + 1) * {1.0 - CONFORMAL_ALPHA})
+)
+SELECT t.event_type,
+       CAST(MAX(q.n_cal) AS BIGINT) AS n_cal,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(MAX(q.q_hat) AS BIGINT) AS q_hat,
+       ROUND(AVG(CASE WHEN t.r <= q.q_hat
+                      THEN 1.0 ELSE 0.0 END), 4) AS coverage
+FROM (SELECT event_type, r FROM resid WHERE half = 1) t
+JOIN qhat q ON t.event_type = q.event_type
+GROUP BY t.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registration hook for round 12
 # ---------------------------------------------------------------------------
 
@@ -2730,6 +2864,7 @@ PENDING_ORDER = [
     "stats_spearman_price_quantity",
     "stats_kruskal_wallis_segments",
     "ivm_incremental_event_stats",
+    "forecast_conformal_interval_audit",
 ]
 
 _PENDING = {
@@ -2793,6 +2928,10 @@ _PENDING = {
     "ivm_incremental_event_stats": (
         ivm_incremental_event_stats,
         IVM_ORACLE,
+    ),
+    "forecast_conformal_interval_audit": (
+        forecast_conformal_interval_audit,
+        CONFORMAL_ORACLE,
     ),
 }
 

@@ -719,3 +719,60 @@ def test_kruskal_wallis_matches_textbook_form(spark):
     assert got["n_groups"] == len(ng)
     assert got["h_stat"] == pytest.approx(round(h, 4), abs=2e-3)
     assert 0.0 <= got["p_value"] <= 1.0
+
+
+def test_conformal_qhat_matches_python_rank_rule(spark):
+    """q_hat per type equals the ceil((n+1)*0.9)-th smallest
+    calibration residual computed from a python replay of the same
+    count series; coverage in [0, 1]; rows only for types where the
+    conformal rank exists (k <= n_cal)."""
+    import math
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from cdc_2025_spark.io import read_table
+
+    ev = read_table(spark, SF_DIR, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    daily = {
+        (r["event_type"], r["day"]): r["x"]
+        for r in ev.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(F.count("*").alias("x"))
+        .collect()
+    }
+    import datetime
+
+    monday = datetime.date(1970, 1, 5)
+    cal, test = defaultdict(list), defaultdict(list)
+    for (t, d), x in daily.items():
+        prev = daily.get((t, d - datetime.timedelta(days=7)))
+        if prev is None:
+            continue
+        r = abs(x - prev)
+        if (d - monday).days % 2 == 0:
+            cal[t].append(r)
+        else:
+            test[t].append(r)
+    want = {}
+    for t, rs in cal.items():
+        rs.sort()
+        k = math.ceil((len(rs) + 1) * 0.9)
+        if k <= len(rs) and test.get(t):
+            q = rs[k - 1]
+            cov = sum(1 for r in test[t] if r <= q) / len(test[t])
+            want[t] = (len(rs), len(test[t]), q, round(cov, 4))
+    got = {
+        r["event_type"]: (
+            r["n_cal"], r["n_test"], r["q_hat"], r["coverage"]
+        )
+        for r in pending_r12.forecast_conformal_interval_audit(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    for _, _, _, cov in got.values():
+        assert 0.0 <= cov <= 1.0
