@@ -37,28 +37,15 @@ AFP_SCHEMA = "media_id long, frame_no int, ahash long"
 
 
 def _decode_audio(raw: bytes):
-    """(mono float64 samples, rate) for a WAV or FLAC payload — the
-    same dispatch and normalization the chunk-feature kernel uses."""
-    import numpy as np  # noqa: PLC0415
-
-    if raw[:4] == b"RIFF":
-        from cdc_2025_spark.multimodal.media import (  # noqa: PLC0415
-            decode_wav,
-        )
-
-        samples, rate = decode_wav(raw)
-        return np.asarray(samples, dtype=np.float64), rate
-    from cdc_2025_spark.multimodal.flac import (  # noqa: PLC0415
-        decode_flac_info,
+    """(mono float64 samples, rate) — the shared audio dispatch
+    (media.decode_audio_payload), so this kernel and the
+    chunk-feature kernel can never decode the same payload
+    differently."""
+    from cdc_2025_spark.multimodal.media import (  # noqa: PLC0415
+        decode_audio_payload,
     )
 
-    info = decode_flac_info(raw)
-    arr = np.asarray(info["samples"], dtype=np.float64) / float(
-        1 << (info["bits"] - 1)
-    )
-    if info["channels"] > 1:
-        arr = arr.reshape(-1, info["channels"]).mean(axis=1)
-    return arr, info["sample_rate"]
+    return decode_audio_payload(raw)
 
 
 def fingerprint_samples(
@@ -75,8 +62,18 @@ def fingerprint_samples(
     frame has no predecessor and emits no hash."""
     import numpy as np  # noqa: PLC0415
 
-    if n_bands < 2:
-        raise ValueError(f"need n_bands >= 2, got {n_bands}")
+    if not 2 <= n_bands <= 64:
+        raise ValueError(
+            f"need 2 <= n_bands <= 64, got {n_bands}"
+        )
+    f_hi = 0.45 * rate  # 90% of Nyquist
+    if f_lo >= f_hi:
+        # descending band edges would yield all-empty bands and an
+        # all-zero fingerprint that pairs unrelated clips — refuse
+        raise ValueError(
+            f"f_lo {f_lo} >= 0.45 * rate ({f_hi}); sample rate too "
+            "low for the requested band floor"
+        )
     x = np.asarray(samples, dtype=np.float64)
     frame_len = max(int(rate * frame_ms) // 1000, 2)
     n_frames = len(x) // frame_len
@@ -85,7 +82,6 @@ def fingerprint_samples(
     frames = x[: n_frames * frame_len].reshape(n_frames, frame_len)
     spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
     freqs = np.fft.rfftfreq(frame_len, d=1.0 / rate)
-    f_hi = 0.45 * rate  # 90% of Nyquist
     edges = np.geomspace(f_lo, f_hi, n_bands + 1)
     # band b sums bins in [edges[b], edges[b+1])
     e = np.zeros((n_frames, n_bands))

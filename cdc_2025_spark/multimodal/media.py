@@ -1115,6 +1115,32 @@ def decode_wav(payload: bytes):
     return raw, sample_rate
 
 
+def decode_audio_payload(raw: bytes):
+    """(mono float64 samples in [-1, 1], sample_rate) for a WAV or
+    FLAC payload — the ONE audio decode dispatch both the
+    chunk-feature kernel and the fingerprint kernel (multimodal/afp)
+    go through: WAV via decode_wav, FLAC via decode_flac_info with
+    bit-depth normalization, multichannel downmixed to the channel
+    mean (the standard loudness convention, and it keeps a stereo
+    encode of a mono pattern feature-identical to the mono twin)."""
+    import numpy as np  # noqa: PLC0415
+
+    if raw[:4] == b"RIFF":
+        samples, rate = decode_wav(raw)
+        return np.asarray(samples, dtype=np.float64), rate
+    from cdc_2025_spark.multimodal.flac import (  # noqa: PLC0415
+        decode_flac_info,
+    )
+
+    info = decode_flac_info(raw)
+    arr = np.asarray(info["samples"], dtype=np.float64) / float(
+        1 << (info["bits"] - 1)
+    )
+    if info["channels"] > 1:
+        arr = arr.reshape(-1, info["channels"]).mean(axis=1)
+    return arr, info["sample_rate"]
+
+
 def extract_audio_chunk_features(
     media: DataFrame, chunk_ms: int = 1000
 ) -> DataFrame:
@@ -1169,27 +1195,7 @@ def extract_audio_chunk_features(
             nonlocal cache_key, cache_val
             key = hashlib.md5(raw).digest()
             if key != cache_key:
-                if raw[:4] == b"RIFF":
-                    cache_val = decode_wav(raw)
-                else:
-                    from cdc_2025_spark.multimodal.flac import (  # noqa: PLC0415
-                        decode_flac_info,
-                    )
-
-                    info = decode_flac_info(raw)
-                    arr = np.asarray(
-                        info["samples"], dtype=np.float64
-                    ) / float(1 << (info["bits"] - 1))
-                    if info["channels"] > 1:
-                        # features score the MONO downmix (mean of
-                        # channels per interchannel sample) — the
-                        # standard loudness convention, and it keeps
-                        # a stereo FLAC of a mono pattern
-                        # feature-identical to the mono twin
-                        arr = arr.reshape(
-                            -1, info["channels"]
-                        ).mean(axis=1)
-                    cache_val = (arr, info["sample_rate"])
+                cache_val = decode_audio_payload(raw)
                 cache_key = key
             return cache_val
 

@@ -127,3 +127,14 @@ def test_validates_band_count():
 
     with pytest.raises(ValueError, match="n_bands"):
         fingerprint_samples([0.0] * 4000, RATE, n_bands=1)
+
+
+def test_validates_rate_and_band_bounds():
+    import pytest
+
+    # sample rate too low for the band floor: descending edges would
+    # make an all-zero fingerprint that pairs unrelated clips
+    with pytest.raises(ValueError, match="sample rate too low"):
+        fingerprint_samples([0.0] * 4000, 600)
+    with pytest.raises(ValueError, match="n_bands"):
+        fingerprint_samples([0.0] * 4000, RATE, n_bands=65)
