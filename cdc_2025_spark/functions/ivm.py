@@ -107,8 +107,12 @@ def apply_delta(
 ) -> DataFrame:
     """state + delta -> new state: one delta groupBy, one key-equi
     full-outer merge, groups at n == 0 dropped. Raises ValueError if
-    the delta carries an unknown op code (fail loud, never absorb a
-    malformed change silently)."""
+    the delta carries an unknown op code, and raises at evaluation
+    time if any merged group count goes NEGATIVE (a delta that
+    retracts rows never present in the state — an over-retraction
+    silently diverges from recompute, so it must fail loud like the
+    bad-op check does; the guard is an in-plan raise_error, not an
+    extra per-batch action)."""
     # materialize the delta aggregation ONCE: the bad-op check below
     # is an action, and without the checkpoint the same groupBy would
     # re-execute inside the returned plan — doubling the per-batch
@@ -145,7 +149,27 @@ def apply_delta(
                 + F.coalesce(F.col(f"c.{col}"), F.lit(0))
             ).alias(col)
         )
-    return merged.select(*out_cols).filter(F.col("ivm_n") > 0)
+    # the filter doubles as the over-retraction tripwire: evaluated
+    # for every merged row, so a negative count can never be pruned
+    # away silently (a bare guard column would fall to Catalyst's
+    # column pruning and never run)
+    return merged.select(*out_cols).filter(
+        F.when(
+            F.col("ivm_n") < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "IVM over-retraction: merged ivm_n = "
+                    ),
+                    F.col("ivm_n").cast("string"),
+                    F.lit(
+                        " < 0 — the delta retracts rows never "
+                        "present in the state"
+                    ),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.col("ivm_n") > 0)
+    )
 
 
 def readout(state: DataFrame, keys: list[str]) -> DataFrame:

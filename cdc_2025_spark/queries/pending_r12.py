@@ -1523,8 +1523,18 @@ def stats_chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dows",
         F.round(chi2, 4).alias("chi2"),
         (r1 * c1).cast("long").alias("dof"),
+        # NULLIF guard: a single-type (or single-dow) table has
+        # min(r-1, c-1) = 0 — Cramér's V is undefined, and an
+        # unguarded division yields Infinity/NULL differently
+        # across engines; NULL identically instead
         F.round(
-            F.sqrt(chi2 / (F.col("n_d") * F.least(r1, c1))), 6
+            F.sqrt(
+                chi2
+                / F.nullif(
+                    F.col("n_d") * F.least(r1, c1), F.lit(0.0)
+                )
+            ),
+            6,
         ).alias("cramers_v"),
         F.round("mi", 6).alias("mi_nats"),
     )
@@ -1559,7 +1569,8 @@ SELECT CAST(n_d AS BIGINT) AS n_events, n_types, n_dows,
        ROUND(chi2_obs + n_d, 4) AS chi2,
        (n_types - 1) * (n_dows - 1) AS dof,
        ROUND(SQRT((chi2_obs + n_d)
-                  / (n_d * LEAST(n_types - 1, n_dows - 1))), 6)
+                  / NULLIF(n_d * LEAST(n_types - 1, n_dows - 1),
+                           0)), 6)
          AS cramers_v,
        ROUND(mi, 6) AS mi_nats
 FROM agg
@@ -2736,6 +2747,13 @@ def forecast_conformal_interval_audit(
     exchangeable — the audit is the honesty check every 'calibrated
     uncertainty' claim owes).
 
+    Small-sample convention: when the conformal rank k exceeds n_cal
+    (too few calibration residuals for the 1-alpha level) the split-
+    conformal interval is (-inf, +inf) — the type stays IN the audit
+    with q_hat NULL and coverage 1.0, rather than silently vanishing.
+    The most data-starved types are exactly the ones a calibration
+    audit must keep visible.
+
     Determinism: the count series makes every residual an exact
     integer (a mean-based series puts single order statistics on
     ROUND half-boundaries where the engines disagree — measured, not
@@ -2778,10 +2796,12 @@ def forecast_conformal_interval_audit(
         F.count("*").over(Window.partitionBy("event_type")),
     )
     k = F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - CONFORMAL_ALPHA))
-    qhat = (
-        ranked.filter(F.col("rk") == k)
-        .select("event_type", F.col("r").alias("q_hat"),
-                F.col("n_cal"))
+    # one row per type with a calibration half: q_hat is NULL when
+    # the conformal rank exceeds n_cal (k > n_cal -> no rk matches),
+    # i.e. the interval is infinite — the type must stay visible
+    qhat = ranked.groupBy("event_type").agg(
+        F.max("n_cal").cast("long").alias("n_cal"),
+        F.max(F.when(F.col("rk") == k, F.col("r"))).alias("q_hat"),
     )
     cov = (
         test.join(qhat, "event_type")
@@ -2792,7 +2812,10 @@ def forecast_conformal_interval_audit(
             F.max("q_hat").cast("long").alias("q_hat"),
             F.round(
                 F.avg(
-                    (F.col("r") <= F.col("q_hat")).cast("double")
+                    F.when(F.col("q_hat").isNull(), F.lit(1.0))
+                    .otherwise(
+                        (F.col("r") <= F.col("q_hat")).cast("double")
+                    )
                 ),
                 4,
             ).alias("coverage"),
@@ -2824,15 +2847,20 @@ ranked AS (
   FROM resid WHERE half = 0
 ),
 qhat AS (
-  SELECT event_type, r AS q_hat, n_cal
+  SELECT event_type,
+         CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+         MAX(CASE WHEN rk = CEIL((n_cal + 1)
+                                 * {1.0 - CONFORMAL_ALPHA})
+                  THEN r END) AS q_hat
   FROM ranked
-  WHERE rk = CEIL((n_cal + 1) * {1.0 - CONFORMAL_ALPHA})
+  GROUP BY event_type
 )
 SELECT t.event_type,
        CAST(MAX(q.n_cal) AS BIGINT) AS n_cal,
        CAST(COUNT(*) AS BIGINT) AS n_test,
        CAST(MAX(q.q_hat) AS BIGINT) AS q_hat,
-       ROUND(AVG(CASE WHEN t.r <= q.q_hat
+       ROUND(AVG(CASE WHEN q.q_hat IS NULL THEN 1.0
+                      WHEN t.r <= q.q_hat
                       THEN 1.0 ELSE 0.0 END), 4) AS coverage
 FROM (SELECT event_type, r FROM resid WHERE half = 1) t
 JOIN qhat q ON t.event_type = q.event_type

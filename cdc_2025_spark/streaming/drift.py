@@ -600,10 +600,20 @@ def streaming_quantile_monitor(
     """Per-key streaming quantile monitor (p50/p90/p99 of the value
     distribution) over a DETERMINISTIC bottom-K reservoir: each row's
     priority is md5 of its unique id, the state keeps the K smallest
-    (priority, id, value) triples — a uniform without-replacement
-    K-sample whose membership is a pure function of the ids seen, so
-    the merge is order-independent, restarts are idempotent, and
-    engine == python replay is EXACT (the batch
+    (priority, id, value) triples KEYED BY ID — a uniform
+    without-replacement K-sample whose membership is a pure function
+    of the SET of ids seen: a redelivered/duplicate event_id can
+    never occupy two slots (an in-reservoir duplicate dedupes
+    against the id key; a duplicate of an already-EVICTED id
+    re-sorts above the kth priority — which only ever decreases —
+    and truncates straight back out). Merges are therefore
+    order-independent and restart-idempotent for sample membership
+    and quantiles. ``n_seen`` counts first deliveries: a duplicate
+    of an id still in the reservoir is detected and NOT recounted;
+    a duplicate of an evicted id is indistinguishable from a new id
+    under bounded state and over-counts by one (the documented
+    at-least-once caveat — exact unique counting is the HLL
+    monitor's job). Engine == python replay is EXACT (the batch
     functions/reservoir.bottomk_sample construction lifted into
     applyInPandasWithState). Quantiles are percentile_disc over the
     sample (error O(1/sqrt(K)) — k=256 gives ~6% rank error at p50,
@@ -628,19 +638,23 @@ def streaming_quantile_monitor(
 
         if state.exists:
             prios, ids, vals, n_seen = state.get
-            triples = list(zip(prios, ids, vals))
+            by_id = {
+                i: (p, i, v) for p, i, v in zip(prios, ids, vals)
+            }
         else:
-            triples, n_seen = [], 0
+            by_id, n_seen = {}, 0
         for pdf in pdfs:
             for eid, v in zip(pdf[id_col], pdf[value_col]):
                 if pd.isna(eid) or pd.isna(v):
                     continue
+                i = int(eid)
+                if i in by_id:
+                    # redelivered id: one slot per id, first
+                    # delivery wins, n_seen not recounted
+                    continue
                 n_seen += 1
-                triples.append(
-                    (_q_priority(int(eid)), int(eid), float(v))
-                )
-        triples.sort()
-        triples = triples[:k]
+                by_id[i] = (_q_priority(i), i, float(v))
+        triples = sorted(by_id.values())[:k]
         state.update(
             (
                 [p for p, _, _ in triples],
@@ -689,13 +703,16 @@ def quantile_replay(
 ) -> tuple[int, int, float, float, float]:
     """Plain-python replay over one key's (id, value) rows — exact
     model of the monitor's final row (shared _q_priority /
-    _disc_quantile)."""
-    triples = sorted(
-        (_q_priority(i), i, float(v)) for i, v in rows
-    )[:k]
+    _disc_quantile). Mirrors the reservoir's id-keyed dedupe:
+    first delivery of an id wins, duplicates don't occupy slots."""
+    by_id: dict = {}
+    for i, v in rows:
+        if i not in by_id:
+            by_id[i] = (_q_priority(i), i, float(v))
+    triples = sorted(by_id.values())[:k]
     sv = sorted(v for _, _, v in triples)
     return (
-        len(rows),
+        len(by_id),
         len(sv),
         _disc_quantile(sv, 0.5),
         _disc_quantile(sv, 0.9),

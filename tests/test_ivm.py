@@ -229,3 +229,29 @@ def test_null_group_key_merges_as_one_group(spark):
     assert len(rows) == 1
     assert rows[0]["grp"] is None
     assert (rows[0]["ivm_n"], rows[0]["ivm_sum"]) == (3, 65.0)
+
+
+def test_over_retraction_raises(spark):
+    """A delta that retracts rows never present in the state (merged
+    ivm_n < 0) must fail loud at evaluation, not silently diverge
+    from recompute — same posture as the bad-op refusal."""
+    from pyspark.errors import PySparkRuntimeError
+    from py4j.protocol import Py4JJavaError
+
+    state = agg_state(_facts(spark, [(1, "a", 10.0)]), KEYS, "v")
+    # two deletes against a group holding one row
+    delta = _delta(
+        spark, [("D", "a", 10.0, None), ("D", "a", 10.0, None)]
+    )
+    out = apply_delta(state, delta, KEYS)
+    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)) as ei:
+        out.collect()
+    assert "over-retraction" in str(ei.value)
+
+
+def test_retraction_to_exact_zero_still_drops_group(spark):
+    """The tripwire must not fire on the legal boundary: retracting a
+    group to exactly n == 0 drops it (no error, no 0/0 row)."""
+    state = agg_state(_facts(spark, [(1, "a", 10.0)]), KEYS, "v")
+    delta = _delta(spark, [("D", "a", 10.0, None)])
+    assert apply_delta(state, delta, KEYS).collect() == []

@@ -724,8 +724,10 @@ def test_kruskal_wallis_matches_textbook_form(spark):
 def test_conformal_qhat_matches_python_rank_rule(spark):
     """q_hat per type equals the ceil((n+1)*0.9)-th smallest
     calibration residual computed from a python replay of the same
-    count series; coverage in [0, 1]; rows only for types where the
-    conformal rank exists (k <= n_cal)."""
+    count series; coverage in [0, 1]; types whose conformal rank
+    exceeds n_cal stay VISIBLE with q_hat NULL and coverage 1.0
+    (the infinite-interval convention — data-starved types must not
+    vanish from a calibration audit)."""
     import math
     from collections import defaultdict
 
@@ -761,10 +763,16 @@ def test_conformal_qhat_matches_python_rank_rule(spark):
     for t, rs in cal.items():
         rs.sort()
         k = math.ceil((len(rs) + 1) * 0.9)
-        if k <= len(rs) and test.get(t):
+        if not test.get(t):
+            continue
+        if k <= len(rs):
             q = rs[k - 1]
             cov = sum(1 for r in test[t] if r <= q) / len(test[t])
-            want[t] = (len(rs), len(test[t]), q, cov)
+        else:
+            # infinite-interval convention: rank beyond n_cal ->
+            # q_hat NULL, every test point covered
+            q, cov = None, 1.0
+        want[t] = (len(rs), len(test[t]), q, cov)
     got = {
         r["event_type"]: (
             r["n_cal"], r["n_test"], r["q_hat"], r["coverage"]
@@ -781,3 +789,111 @@ def test_conformal_qhat_matches_python_rank_rule(spark):
         # coverage landing exactly on a 4dp half-boundary
         assert got[t][3] == pytest.approx(cov, abs=1e-4), t
         assert 0.0 <= got[t][3] <= 1.0
+
+
+def test_conformal_small_sample_types_stay_visible(spark, tmp_path):
+    """A type whose conformal rank exceeds n_cal (k > n_cal) must
+    appear in the audit with q_hat NULL and coverage 1.0 — the
+    split-conformal infinite-interval convention — in BOTH the
+    engine and the DuckDB oracle (they must agree on the row)."""
+    import datetime
+
+    import pandas as pd
+
+    monday = datetime.date(1970, 1, 5)
+    rows = []
+
+    def add(day, etype, n):
+        for i in range(n):
+            rows.append(
+                {
+                    "event_type": etype,
+                    "ts": datetime.datetime(
+                        day.year, day.month, day.day, 12, 0, i
+                    ),
+                }
+            )
+
+    # type 'tiny': counts on D and D+1, residuals on D+7 (parity 0,
+    # calibration -> n_cal = 1) and D+8 (parity 1, test); with
+    # alpha=0.1, k = ceil(2 * 0.9) = 2 > 1 -> q_hat NULL
+    d0 = monday + datetime.timedelta(days=1)
+    add(d0, "tiny", 3)
+    add(d0 + datetime.timedelta(days=1), "tiny", 5)
+    add(d0 + datetime.timedelta(days=7), "tiny", 4)
+    add(d0 + datetime.timedelta(days=8), "tiny", 2)
+    # type 'big': a 41-day run -> ~17 calibration residuals, so the
+    # conformal rank exists and the normal branch coexists
+    for j in range(41):
+        add(d0 + datetime.timedelta(days=j), "big", 1 + (j * 3) % 5)
+    pdf = pd.DataFrame(rows)
+    path = tmp_path / "events.parquet"
+    pdf.to_parquet(path)
+
+    got = {
+        r["event_type"]: r
+        for r in pending_r12.forecast_conformal_interval_audit(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {"tiny", "big"}
+    assert got["tiny"]["n_cal"] == 1
+    assert got["tiny"]["q_hat"] is None
+    assert got["tiny"]["coverage"] == 1.0
+    assert got["big"]["q_hat"] is not None
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{path}'"
+    )
+    res = con.execute(pending_r12.CONFORMAL_ORACLE)
+    cols = [d[0] for d in res.description]
+    oracle = {row[cols.index("event_type")]: row for row in res.fetchall()}
+    con.close()
+    assert set(oracle) == {"tiny", "big"}
+    trow = oracle["tiny"]
+    assert trow[cols.index("q_hat")] is None
+    assert float(trow[cols.index("coverage")]) == 1.0
+    for t in ("tiny", "big"):
+        srow, orow = got[t], oracle[t]
+        for c in ("n_cal", "n_test", "q_hat"):
+            assert srow[c] == orow[cols.index(c)], (t, c)
+        assert float(srow["coverage"]) == pytest.approx(
+            float(orow[cols.index("coverage")]), abs=1e-4
+        ), t
+
+
+def test_chi2_degenerate_single_type_yields_null_v(spark, tmp_path):
+    """A single-event-type corpus has dof 0: Cramér's V must be NULL
+    in BOTH engines (an unguarded division yields Infinity in one
+    and NULL in the other — exactly the hash-flip the NULLIF guard
+    prevents)."""
+    import datetime
+
+    import pandas as pd
+
+    rows = [
+        {
+            "event_type": "only",
+            "ts": datetime.datetime(2024, 1, 1 + d, 12, 0, i),
+        }
+        for d in range(7)
+        for i in range(3 + d)
+    ]
+    path = tmp_path / "events.parquet"
+    pd.DataFrame(rows).to_parquet(path)
+
+    got = pending_r12.stats_chi2_type_dow(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert got[0]["n_types"] == 1
+    assert got[0]["dof"] == 0
+    assert got[0]["cramers_v"] is None
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    res = con.execute(pending_r12.CHI2_ORACLE)
+    cols = [d[0] for d in res.description]
+    orow = res.fetchall()[0]
+    con.close()
+    assert orow[cols.index("dof")] == 0
+    assert orow[cols.index("cramers_v")] is None

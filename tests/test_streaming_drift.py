@@ -769,3 +769,55 @@ def test_quantile_monitor_validates_k():
 
     with pytest.raises(ValueError, match="k must be"):
         streaming_quantile_monitor(None, k=0)
+
+
+def test_quantile_monitor_dedupes_redelivered_ids(spark, tmp_path):
+    """At-least-once delivery: the SAME event_id redelivered — within
+    a batch and across batches — must not occupy two reservoir slots
+    or double-increment n_seen. The final row must equal both the
+    replay over the duplicated stream and the replay over the
+    exactly-once stream (membership is a pure function of the id
+    set)."""
+    clean = [(i, float((i * 13) % 97)) for i in range(40)]
+    dup_in_batch = [(5, clean[5][1]), (7, clean[7][1])]
+    batches = [
+        [("a", e, v) for e, v in clean[:20] + dup_in_batch],
+        # cross-batch redelivery of ids 0..9 (still in reservoir:
+        # 40 ids < k=64, nothing evicted) plus the new tail
+        [("a", e, v) for e, v in clean[20:] + clean[:10]],
+    ]
+    src = str(tmp_path / "src_qdup")
+    _write_idval_batches(src, batches)
+    stream = (
+        spark.readStream.schema(
+            "event_type string, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_quantile_monitor(stream, k=64)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("quant_dup")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_qdup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = spark.sql(
+        "select * from quant_dup order by n_seen desc limit 1"
+    ).collect()[0]
+    duplicated = clean[:20] + dup_in_batch + clean[20:] + clean[:10]
+    want_dup = quantile_replay(duplicated, 64)
+    want_clean = quantile_replay(clean, 64)
+    assert want_dup == want_clean  # replay itself dedupes
+    got = (
+        final["n_seen"],
+        final["sample_n"],
+        final["q50"],
+        final["q90"],
+        final["q99"],
+    )
+    assert got == want_clean
+    assert final["n_seen"] == 40  # not 52
