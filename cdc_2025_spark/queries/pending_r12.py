@@ -2392,6 +2392,12 @@ JOIN zero z ON p.n_name = z.n_name
 # Spearman rank correlation with exact tie midranks, per segment
 # ---------------------------------------------------------------------------
 
+# range buckets per marginal for the two-level distributed rank —
+# within-bucket window partitions hold ~|distinct|/SPEARMAN_BUCKETS
+# values; raise with corpus size (a knob, not a correctness input:
+# any bucketing yields the same exact midranks)
+SPEARMAN_BUCKETS = 1024
+
 
 def stats_spearman_price_quantity(
     spark: SparkSession, sf_dir: str
@@ -2400,16 +2406,139 @@ def stats_spearman_price_quantity(
     l_quantity per l_returnflag segment — the monotone-association
     twin of the registered Pearson query, robust to the price scale.
     Ties get exact MIDRANKS (mean rank of the tie group:
-    RANK() + (tie_count - 1)/2 — quantity is integer-valued, so tie
-    groups are large and the midrank correction is not optional),
-    then rho = Pearson corr of the two rank columns.
+    cum_smaller + (tie_count + 1)/2 — quantity is integer-valued, so
+    tie groups are large and the midrank correction is not
+    optional), then rho = Pearson corr of the two rank columns.
 
-    Determinism: ranks are exact rationals from integer RANK/COUNT;
-    the final corr is one float aggregate rounded 4dp.
+    BUCKETED-RANK form (the 100 TB path): the corpus collapses in
+    ONE (segment, px, qty) groupBy with map-side partials; exact
+    midranks come from a TWO-LEVEL cumulative count — value-grouped
+    marginals are range-bucketed (fixed-width on the per-segment
+    min/max, SPEARMAN_BUCKETS cells), the within-bucket cumulative
+    runs in a (segment, bucket) window whose partitions hold
+    ~|distinct|/buckets values, and the cross-bucket offset is a
+    window over the bounded bucket-total frame. NO corpus-sized
+    single-partition sort anywhere: a per-row rank window (or a
+    value-grouped window on a nearly-unique column like
+    l_extendedprice) sorts a whole segment inside one task — the
+    2.5x-at-10x ceiling SCALE.md documented. rho is the
+    count-weighted Pearson corr over the contingency frame,
+    algebraically identical to the per-row corr. Equality against
+    the per-row window form is pinned by tests/test_pending_r12.py
+    (``_spearman_exact_window_form`` is the twin kept for that pin).
 
-    Scale shape: two rank windows partitioned by segment (the
-    corpus shuffles once on l_returnflag), one grouped corr; output
-    is one row per flag."""
+    Determinism: bucket assignment only GROUPS values (floor of a
+    monotone map — equal values share a bucket, order is preserved),
+    so ranks are exact rationals from integer cumulative counts
+    regardless of bucket geometry; the final corr is one float
+    aggregate rounded 4dp.
+
+    Scale shape: one corpus-wide (segment, px, qty) groupBy shuffle;
+    per-marginal, one distinct-value shuffle + bounded windows; two
+    distributed joins back onto the contingency frame; output is one
+    row per flag. Skew note: buckets are equal-WIDTH, so a marginal
+    whose distinct values pile into one bucket re-creates a big
+    window partition — acceptable for price-like columns; swap the
+    bucket map for approx-quantile edges if a column needs it."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("px"),
+        F.col("l_quantity").alias("qty"),
+    )
+    cells = li.groupBy("l_returnflag", "px", "qty").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+    def marginal_ranks(col: str, out: str) -> DataFrame:
+        marg = cells.groupBy("l_returnflag", col).agg(
+            F.sum("cnt").alias("c")
+        )
+        rng = marg.groupBy("l_returnflag").agg(
+            F.min(col).cast("double").alias("mn"),
+            F.max(col).cast("double").alias("mx"),
+        )
+        nb = F.lit(SPEARMAN_BUCKETS)
+        b = F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.floor(
+                    (F.col(col) - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / nb)
+                ),
+                nb - 1,
+            ),
+        ).otherwise(F.lit(0))
+        bucketed = marg.join(F.broadcast(rng), "l_returnflag").select(
+            "l_returnflag", col, "c", b.cast("long").alias("b")
+        )
+        w_in = (
+            Window.partitionBy("l_returnflag", "b")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum_in = F.coalesce(F.sum("c").over(w_in), F.lit(0))
+        w_off = (
+            Window.partitionBy("l_returnflag")
+            .orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = (
+            bucketed.groupBy("l_returnflag", "b")
+            .agg(F.sum("c").alias("bt"))
+            .select(
+                "l_returnflag",
+                "b",
+                F.coalesce(F.sum("bt").over(w_off), F.lit(0)).alias(
+                    "boff"
+                ),
+            )
+        )
+        return (
+            bucketed.withColumn("cum_in", cum_in)
+            .join(F.broadcast(offsets), ["l_returnflag", "b"])
+            .select(
+                "l_returnflag",
+                col,
+                (
+                    F.col("boff")
+                    + F.col("cum_in")
+                    + (F.col("c") + 1) / 2.0
+                ).alias(out),
+            )
+        )
+
+    joined = cells.join(
+        marginal_ranks("px", "rx"), ["l_returnflag", "px"]
+    ).join(marginal_ranks("qty", "ry"), ["l_returnflag", "qty"])
+    cnt, rx, ry = F.col("cnt"), F.col("rx"), F.col("ry")
+    agg = joined.groupBy("l_returnflag").agg(
+        F.sum(cnt).alias("n"),
+        F.sum(cnt * rx).alias("sx"),
+        F.sum(cnt * ry).alias("sy"),
+        F.sum(cnt * rx * ry).alias("sxy"),
+        F.sum(cnt * rx * rx).alias("sxx"),
+        F.sum(cnt * ry * ry).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    rho = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return agg.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        F.round(rho, 4).alias("spearman_rho"),
+    ).orderBy("l_returnflag")
+
+
+def _spearman_exact_window_form(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-row rank-window Spearman — the textbook form the grouped
+    path above must equal exactly (midrank identity: RANK() +
+    (ties - 1)/2 == cum_smaller + (ties + 1)/2). Kept as the
+    equality pin's reference; NOT the registered path (each segment
+    sorts inside one window task — corpus-sized at scale)."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").alias("px"),

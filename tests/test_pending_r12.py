@@ -897,3 +897,29 @@ def test_chi2_degenerate_single_type_yields_null_v(spark, tmp_path):
     con.close()
     assert orow[cols.index("dof")] == 0
     assert orow[cols.index("cramers_v")] is None
+
+
+def test_spearman_grouped_equals_exact_window_form(spark):
+    """The registered value-grouped Spearman (bounded windows over
+    distinct-value frames + weighted corr) must equal the per-row
+    rank-window textbook form — same n, same rho to float noise —
+    at both test scales."""
+    for sf_dir in ("/root/testdata/sf0.001", SF_DIR):
+        fast = {
+            r["l_returnflag"]: r
+            for r in pending_r12.stats_spearman_price_quantity(
+                spark, sf_dir
+            ).collect()
+        }
+        exact = {
+            r["l_returnflag"]: r
+            for r in pending_r12._spearman_exact_window_form(
+                spark, sf_dir
+            ).collect()
+        }
+        assert set(fast) == set(exact) and len(fast) >= 2
+        for flag in fast:
+            assert fast[flag]["n"] == exact[flag]["n"], flag
+            assert fast[flag]["spearman_rho"] == pytest.approx(
+                exact[flag]["spearman_rho"], abs=2e-4
+            ), flag
