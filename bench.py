@@ -166,6 +166,31 @@ HEADLINE = [
     "events_trend_mann_kendall",
     "stats_hhi_supplier_concentration",
     "multimodal_video_neardup",
+    # Round-12 registrations: the temporal-anomaly & structure family
+    # (queries/pending_r12.py; staged-measurement sf0.1 costs in the
+    # module docstring) and the audio near-dup (generated WAV/FLAC
+    # melody corpus, sf-independent).
+    "events_ewma_anomaly",
+    "events_stl_residual_outliers",
+    "events_binseg_changepoints",
+    "graph_label_propagation_communities",
+    "embed_jl_distortion_audit",
+    "stats_runs_test_daily_revenue",
+    "forecast_seasonal_naive_backtest",
+    "stats_bootstrap_ci_mean",
+    "survival_km_reorder",
+    "stats_gini_customer_spend",
+    "stats_chi2_type_dow",
+    "graph_kcore_trade_network",
+    "stats_bh_fdr_trend_screen",
+    "eval_isotonic_calibration",
+    "stats_fano_burstiness",
+    "stats_theil_decomposition",
+    "stats_spearman_price_quantity",
+    "stats_kruskal_wallis_segments",
+    "ivm_incremental_event_stats",
+    "forecast_conformal_interval_audit",
+    "multimodal_audio_neardup",
 ]
 
 

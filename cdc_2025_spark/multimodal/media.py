@@ -1043,6 +1043,27 @@ def make_wav(
     )
 
 
+def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
+    """RIFF/WAVE PCM-16 encode of ARBITRARY integer samples — the
+    sink-side twin of ``decode_wav`` (``make_wav`` only builds
+    sines). Used to produce cross-container lossless twins: the same
+    samples through this and ``flac.encode_flac`` decode identically,
+    so downstream perceptual fingerprints match by construction."""
+    data = b"".join(
+        _struct.pack("<h", int(v)) for v in samples
+    )
+    fmt = _struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return (
+        _struct.pack(
+            "<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE"
+        )
+        + _struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + _struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
 def decode_wav(payload: bytes):
     """REAL decode kernel for RIFF/WAVE: walks the chunk list (no
     fixed offsets — extra chunks like LIST are skipped), returns

@@ -31,6 +31,7 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
     multimodal,
     pending_r10,
     pending_r11,
+    pending_r12,
     relational,
     resilience_star,
     similarity,
@@ -53,71 +54,60 @@ pending_r10.register_all()
 # ACF, Benford, Mann-Kendall, HHI) — see queries/pending_r11.py.
 pending_r11.register_all()
 
-# Round-11 window (the driver oracle-checks the FIRST 50 registry
-# entries per round, insertion order):
+# Round-12 registrations: the twenty temporal-anomaly & structure
+# queries staged through r11 with full DuckDB oracles and both-SF
+# parity tests (EWMA, STL, binseg, label propagation, JL audit, runs
+# test, seasonal-naive backtest, bootstrap CI, Kaplan-Meier, Gini,
+# chi2, k-core, BH-FDR, isotonic, Fano, Theil, Spearman,
+# Kruskal-Wallis, IVM, conformal) — see queries/pending_r12.py.
+pending_r12.register_all()
+
+# Round-12 window (the driver oracle-checks the FIRST 50 registry
+# entries per round, insertion order), composed mechanically from
+# tools/compose_window.py (registry 210 -> derived horizon 5; zero
+# r7/r8 rows expire after r12, so the fill is pure oldest-green):
 #
-#   1. _NEW_R11: the twelve round-11 registrations (all oracle-backed)
-#      plus the video near-dup registration (rows-only by design:
-#      container decode has no SQL twin; accuracy pinned against a
-#      python set model in tests/test_avi.py) — never-checked, so the
-#      freshness guard requires them to LEAD the window.
-#   2. _CHANGED_R11: plan changes from the r10 post-close perf session,
-#      each re-verified parity-green locally at sf0.001 + sf0.01:
-#      text_winnowing_fingerprints (zero-shuffle array rewrite),
-#      text_ngram_novelty (owner-carrying aggregate, join-back
-#      eliminated), sim_lsh_auto_pairs (rows-only; expr-built planes +
-#      per-bucket numpy re-rank), graph_pagerank_trade_network
-#      (FLIPPED rows-only -> oracle-backed via an unrolled 10-iteration
-#      power-iteration CTE — its standing r8 driver row predates the
-#      oracle, so this slot makes the flip driver-visible), and
-#      llm_prep_full_ledger (shared minhash pair index, fused stages).
-#      dedup_minhash_lsh_pairs and sim_lsh_bucketed_pairs also changed
-#      (shared index / expr planes) but are r7-green and sit in the
-#      fill below anyway.
-#   3. _FILL_R11: the oldest-green ORACLE-BACKED queries — all 28
-#      r7-greens not refreshed in the r10 window (at 189 registered
-#      queries the derived horizon is 4 rounds, so r7 rows expire at
-#      r12) plus the 4 oldest r8-greens, CORRECTNESS file order —
-#      computed mechanically from the CORRECTNESS history.
-_NEW_R11 = [
-    *pending_r11.PENDING_ORDER,
-    "multimodal_video_neardup",
+#   1. _NEW_R12: the twenty round-12 registrations (all oracle-backed)
+#      plus the audio near-dup registration (rows-only by design:
+#      audio decode has no SQL twin; accuracy pinned against a python
+#      set model in tests/test_afp.py) — never-checked, so the
+#      freshness guard requires them to LEAD the window. Three of the
+#      twenty changed after staging and were re-verified parity-green
+#      at sf0.001 + sf0.01 before registration: stats_spearman (two-
+#      level bucketed distributed ranks), forecast_conformal (small-
+#      sample types visible with q_hat NULL), stats_chi2 (NULLIF dof
+#      guard) — all inside the lead block anyway.
+#   2. _FILL_R12: the oldest-green ORACLE-BACKED queries — all 27
+#      r8-greens, then the 2 oldest r9-greens, CORRECTNESS file
+#      order — the tool's emitted list verbatim.
+_NEW_R12 = [
+    "multimodal_audio_neardup",
+    *pending_r12.PENDING_ORDER,
 ]
 
-_CHANGED_R11 = [
-    "text_winnowing_fingerprints",
-    "text_ngram_novelty",
-    "sim_lsh_auto_pairs",
-    "graph_pagerank_trade_network",
-    "llm_prep_full_ledger",
-]
-
-_FILL_R11 = [
-    # newest green r7, CORRECTNESS_r07 file order (all 28)
-    "q22_dormant_rich_customers", "skewjoin_salted_event_types",
-    "window_top3_orders_per_customer", "window_running_spend",
-    "asof_last_signup_before_purchase", "q12_priority_by_linestatus",
-    "text_tfidf_top_terms", "sql_api_lateral_explode",
-    "window_ntile_spend_quartiles", "dedup_simhash_pairs",
-    "dedup_minhash_lsh_pairs", "sim_lsh_bucketed_pairs",
-    "interevent_timing_stats", "window_event_gaps",
-    "window_sessionize_events", "q16_supplier_count_by_parttype",
-    "window_cumulative_distribution", "window_mom_revenue_change",
-    "window_trailing7d_customer_spend", "timeseries_gap_fill",
-    "stats_robust_outliers", "text_top_terms",
-    "events_user_type_entropy", "stats_approx_percentiles",
-    "text_fingerprints", "dedup_ngram_jaccard_pairs",
-    "dedup_jaccard_clusters", "stats_corr_price_quantity",
-    # newest green r8, CORRECTNESS_r08 file order (oldest 4 not in
-    # the changed list above)
-    "stats_source_length_drift", "sample_language_temperature",
-    "text_quality_percentile_filter", "text_perplexity_buckets",
+_FILL_R12 = [
+    # newest green r8, compose_window.py order (all 27)
+    "stats_analyze_lineitem", "sketch_kmv_distinct_overlap",
+    "stats_join_skew_advisor", "stats_equidepth_histogram",
+    "stats_join_cardinality_estimate", "mine_frequent_event_sets",
+    "mine_association_rules", "events_markov_transitions",
+    "dedup_containment_pairs", "sim_hard_negatives",
+    "dedup_minhash_bbit_estimates", "dedup_source_overlap_matrix",
+    "dedup_snapshot_diff", "graph_triangle_stats",
+    "sample_dsir_importance", "sample_reservoir_bottomk",
+    "quality_expectations_audit", "text_bm25_search",
+    "text_bigram_perplexity", "text_vocab_coverage",
+    "text_clean_normalize", "text_pmi_collocations",
+    "text_quality_yield_curve", "corpus_datacard",
+    "text_trigram_stupid_backoff", "text_blocklist_filter",
+    "timeseries_seasonal_decompose",
+    # newest green r9, oldest 2
+    "stats_moments_by_segment", "stats_percentiles_order_value",
 ]
 
 _VERIFY_FIRST = [
-    *_NEW_R11,
-    *_CHANGED_R11,
-    *_FILL_R11,
+    *_NEW_R12,
+    *_FILL_R12,
 ]
 
 

@@ -447,3 +447,130 @@ def multimodal_video_neardup(
         F.col("n_shared").cast("int").alias("n_shared"),
         "containment",
     )
+
+
+@query("multimodal_audio_neardup")
+def multimodal_audio_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio near-duplicate pairs over a decoded WAV/FLAC corpus —
+    the audio leg of the perceptual near-dup triad (image aHash,
+    video frame-hash containment, this): Haitsma-Kalker band-energy
+    sign hashes per 64 ms frame (multimodal/afp.py, 17 log-spaced
+    bands -> 16-bit frame hashes, one Arrow-batched mapInPandas
+    stage), then the SAME distinct-hash containment equi-join the
+    video family uses (phash.video_neardup_pairs consumes the
+    fingerprint frame verbatim) — catches exact re-uploads, prefix
+    truncations, lossless container swaps, and volume-rescaled
+    re-encodes with NO all-pairs stage.
+
+    rows-only by design (audio decode has no SQL twin). Accuracy is
+    pinned in test_afp.py: engine pairs == a python set model over
+    the same fingerprints, and each planted duplicate class pairs at
+    containment 1.0 with max spurious containment measured at 0.18
+    (16-bit hashes — the 8-bit default collides too readily for a
+    0.5 threshold on short clips).
+
+    Corpus (generated, deterministic — the testdata lake has no
+    media table; ``sf_dir`` unused, the video query's posture): 6
+    melodies of DISTINCT interval contours (zigzag, falling,
+    narrow-wide, octave-leap, linear-rise, high-low) as 16-bit FLAC,
+    plus 5 planted duplicates: two 3-note prefix truncations (the
+    re-upload-of-a-clip case), one exact byte duplicate, one WAV
+    container twin (same samples through encode_wav_pcm16 — decodes
+    identically, fingerprints identically by construction), and one
+    x128-amplified 24-bit FLAC re-encode (power-of-two scaling is
+    exact in float64, so every sign bit survives). Expected: exactly
+    5 pairs — (0,6) (1,7) (2,8) (3,9) (4,10) — each at containment
+    1.0. Scale shape: samples never shuffle; all pairing runs on the
+    (media_id, ahash) frame — one distinct, one equi-join on the
+    hash, grouped counts."""
+    import math
+
+    from cdc_2025_spark.multimodal.afp import audio_fingerprints
+    from cdc_2025_spark.multimodal.flac import encode_flac
+    from cdc_2025_spark.multimodal.media import encode_wav_pcm16
+    from cdc_2025_spark.multimodal.phash import video_neardup_pairs
+
+    rate = 8000
+
+    def melody(notes, ms=200, amp=0.25):
+        xs = []
+        n = rate * ms // 1000
+        for f in notes:
+            for i in range(n):
+                xs.append(
+                    int(amp * 32767 * math.sin(2 * math.pi * f * i / rate))
+                )
+        return xs
+
+    def build() -> DataFrame:
+        rows = [
+            (i, bytearray(encode_flac(melody(m), sample_rate=rate)))
+            for i, m in enumerate(AUDIO_NEARDUP_MELODIES)
+        ]
+        rows += [
+            (
+                6 + j,
+                bytearray(
+                    encode_flac(
+                        melody(AUDIO_NEARDUP_MELODIES[j][:3]),
+                        sample_rate=rate,
+                    )
+                ),
+            )
+            for j in range(2)
+        ]
+        rows.append((8, bytearray(rows[2][1])))  # exact byte dup
+        rows.append(
+            (
+                9,
+                bytearray(
+                    encode_wav_pcm16(
+                        melody(AUDIO_NEARDUP_MELODIES[3]), rate
+                    )
+                ),
+            )
+        )
+        rows.append(
+            (
+                10,
+                bytearray(
+                    encode_flac(
+                        [
+                            v * 128
+                            for v in melody(AUDIO_NEARDUP_MELODIES[4])
+                        ],
+                        sample_rate=rate,
+                        bits=24,
+                    )
+                ),
+            )
+        )
+        return spark.createDataFrame(
+            rows, "media_id long, payload binary"
+        ).repartition(4)
+
+    clips = _media_input(spark, "neardup_audio", build)
+    pairs = video_neardup_pairs(
+        audio_fingerprints(clips, n_bands=17), threshold=0.5
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("n_shared").cast("int").alias("n_shared"),
+        "containment",
+    )
+
+
+# distinct interval CONTOURS (one shuffled pattern shares band-
+# derivative shapes across melodies and pairs spuriously at a 0.5
+# containment threshold — measured, not hypothetical)
+AUDIO_NEARDUP_MELODIES = [
+    (320.0, 640.0, 480.0, 960.0, 400.0),     # up-down zigzag, low
+    (1640.0, 1230.0, 820.0, 615.0, 410.0),   # strictly falling
+    (500.0, 505.0, 1500.0, 495.0, 1490.0),   # narrow-wide alternation
+    (360.0, 2880.0, 370.0, 2900.0, 350.0),   # extreme octave leaps
+    (700.0, 840.0, 980.0, 1120.0, 1260.0),   # slow linear rise
+    (2200.0, 330.0, 2400.0, 310.0, 2600.0),  # high-low alternation
+]

@@ -138,3 +138,67 @@ def test_validates_rate_and_band_bounds():
         fingerprint_samples([0.0] * 4000, 600)
     with pytest.raises(ValueError, match="n_bands"):
         fingerprint_samples([0.0] * 4000, RATE, n_bands=65)
+
+
+def test_registered_audio_neardup_matches_set_model(spark):
+    """The registered multimodal_audio_neardup query: engine pairs ==
+    a python set model over the same fingerprints, exactly the 5
+    planted duplicate classes at containment 1.0 — prefix truncation
+    x2, exact byte dup, WAV container twin, x128 24-bit re-encode —
+    and max spurious cross-melody containment stays under the 0.5
+    threshold with real margin."""
+    from cdc_2025_spark.multimodal.flac import encode_flac as ef
+    from cdc_2025_spark.multimodal.media import encode_wav_pcm16
+    from cdc_2025_spark.queries.multimodal import (
+        AUDIO_NEARDUP_MELODIES,
+        multimodal_audio_neardup,
+    )
+    import math as m
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_shared"], r["containment"])
+        for r in multimodal_audio_neardup(spark, "unused").collect()
+    }
+
+    rate = 8000
+
+    def melody(notes, ms=200, amp=0.25):
+        n = rate * ms // 1000
+        return [
+            int(amp * 32767 * m.sin(2 * m.pi * f * i / rate))
+            for f in notes
+            for i in range(n)
+        ]
+
+    clips = {
+        i: ef(melody(mel), sample_rate=rate)
+        for i, mel in enumerate(AUDIO_NEARDUP_MELODIES)
+    }
+    clips[6] = ef(melody(AUDIO_NEARDUP_MELODIES[0][:3]), sample_rate=rate)
+    clips[7] = ef(melody(AUDIO_NEARDUP_MELODIES[1][:3]), sample_rate=rate)
+    clips[8] = clips[2]
+    clips[9] = encode_wav_pcm16(melody(AUDIO_NEARDUP_MELODIES[3]), rate)
+    clips[10] = ef(
+        [v * 128 for v in melody(AUDIO_NEARDUP_MELODIES[4])],
+        sample_rate=rate,
+        bits=24,
+    )
+    sets = {}
+    for i, p in clips.items():
+        s, r = _decode_audio(p)
+        sets[i] = set(fingerprint_samples(s, r, n_bands=17))
+    want = {}
+    spurious_max = 0.0
+    for a in range(11):
+        for b in range(a + 1, 11):
+            small = min(len(sets[a]), len(sets[b]))
+            shared = len(sets[a] & sets[b])
+            c = shared / small if small else 0.0
+            if c >= 0.5:
+                want[(a, b)] = (shared, c)
+            else:
+                spurious_max = max(spurious_max, c)
+    assert got == want
+    assert set(want) == {(0, 6), (1, 7), (2, 8), (3, 9), (4, 10)}
+    assert all(c == 1.0 for _, c in want.values())
+    assert spurious_max < 0.25  # real margin under the threshold
