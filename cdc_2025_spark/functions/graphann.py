@@ -219,6 +219,7 @@ def knn_graph_blocked(
     id_col: str = "vec_id",
     vec_col: str = "emb",
     n_rows: int | None = None,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """The SCALE builder: k-NN graph via quantizer cells. The corpus
     is clustered into ~n/cell_target k-means cells (the session-style
@@ -239,7 +240,16 @@ def knn_graph_blocked(
     beyond driver comfort, train a two-level quantizer (cluster the
     centroids; same kernel) before collecting.
 
-    Ties and determinism match the other builders: (cos desc, id)."""
+    Ties and determinism match the other builders: (cos desc, id).
+
+    ``train_fraction`` < 1 trains the quantizer on a DETERMINISTIC
+    hash sample of the corpus (pmod(xxhash64(id), 1000) bucket) —
+    the standard coarse-quantizer posture (faiss trains IVF cells on
+    a sample, never the corpus): cell GEOMETRY needs only the
+    density shape, while ASSIGNMENT still scans every vector, so
+    recall moves marginally and the Lloyd-train term of the cold
+    build drops by ~1/fraction. Falls back to the full corpus when
+    the sample would undershoot the cell count."""
     import numpy as np
 
     from cdc_2025_spark.functions.kmeans import lloyd_kmeans
@@ -248,13 +258,27 @@ def knn_graph_blocked(
         raise ValueError(f"k must be >= 1, got {k}")
     if n_assign < 1:
         raise ValueError(f"n_assign must be >= 1, got {n_assign}")
+    if not 0.0 < train_fraction <= 1.0:
+        raise ValueError(
+            f"train_fraction must be in (0, 1], got {train_fraction}"
+        )
     cap = max_degree if max_degree is not None else 2 * k
     # callers that already counted the corpus (e.g. for a budget
     # gate) pass n_rows to avoid a second full scan
     n = n_rows if n_rows is not None else emb.count()
     n_cells = max(2, -(-n // cell_target))
+    train = emb
+    if train_fraction < 1.0:
+        # ~10x the cell count is plenty to place cell centers; the
+        # guard keeps degenerate (tiny corpus, aggressive fraction)
+        # configs on the exact path
+        if int(n * train_fraction) >= 10 * n_cells:
+            train = emb.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(1000))
+                < F.lit(int(train_fraction * 1000))
+            )
     cents = lloyd_kmeans(
-        emb,
+        train,
         k=n_cells,
         n_iter=kmeans_iter,
         id_col=id_col,

