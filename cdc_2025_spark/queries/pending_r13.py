@@ -166,13 +166,19 @@ def eval_brier_decomposition(
 ) -> DataFrame:
     """Brier score with the Murphy (1973) decomposition over
     BRIER_BINS fixed probability bins: brier = reliability -
-    resolution + uncertainty + within-bin variance. Reliability
-    (calibration error mass) and resolution (how much the forecast
-    separates outcomes) say WHY a probability forecaster scores what
-    it scores — round 11's calibration bins show the curve, this is
-    its scalar accounting. The within-bin variance term makes the
-    identity EXACT for the raw (unbinned) Brier score instead of
-    pretending binning is free.
+    resolution + uncertainty + within_bin_var - 2 * within_bin_cov.
+    Reliability (calibration error mass) and resolution (how much
+    the forecast separates outcomes) say WHY a probability
+    forecaster scores what it scores — round 11's calibration bins
+    show the curve, this is its scalar accounting. The two
+    within-bin terms make the identity EXACT for the raw (unbinned)
+    Brier score instead of pretending binning is free: classical
+    Murphy assumes the forecast is CONSTANT inside a bin, and with
+    continuous scores the residual is exactly the within-bin
+    forecast variance minus twice the within-bin forecast-outcome
+    covariance (expand (p - o) around the bin means; the cross
+    terms with the bin-mean gap vanish, the p-o covariance does
+    not).
 
     Determinism: one grouped pass collects per-bin integer counts
     and rational sums; every output term rounds 6dp after the final
@@ -215,6 +221,11 @@ def eval_brier_decomposition(
         F.sum(
             F.col("spp") - F.col("sp") * F.col("sp") / F.col("n")
         ).alias("wbv_num"),
+        # within-bin forecast-outcome covariance mass:
+        # sum_k (spo_k - sp_k*so_k/n_k)
+        F.sum(
+            F.col("spo") - F.col("sp") * F.col("so") / F.col("n")
+        ).alias("wbc_num"),
     )
     n = F.col("n_docs").cast("double")
     obar = F.col("n_pos") / n
@@ -227,6 +238,7 @@ def eval_brier_decomposition(
     res = F.col("res_sq") / n - obar * obar
     unc = obar * (1 - obar)
     wbv = F.col("wbv_num") / n
+    wbc = F.col("wbc_num") / n
     return tot.select(
         "n_docs",
         "n_pos",
@@ -235,6 +247,7 @@ def eval_brier_decomposition(
         F.round(res, 6).alias("resolution"),
         F.round(unc, 6).alias("uncertainty"),
         F.round(wbv, 6).alias("within_bin_var"),
+        F.round(wbc, 6).alias("within_bin_cov"),
     )
 
 
@@ -259,7 +272,8 @@ tot AS (
          SUM((sp / n - so * 1.0 / n) * (sp / n - so * 1.0 / n) * n)
            AS rel_num,
          SUM((so * 1.0 / n) * (so * 1.0 / n) * n) AS res_sq,
-         SUM(spp - sp * sp / n) AS wbv_num
+         SUM(spp - sp * sp / n) AS wbv_num,
+         SUM(spo - sp * so / n) AS wbc_num
   FROM b
 )
 SELECT n_docs, n_pos,
@@ -270,7 +284,8 @@ SELECT n_docs, n_pos,
          AS resolution,
        ROUND((n_pos * 1.0 / n_docs)
              * (1 - n_pos * 1.0 / n_docs), 6) AS uncertainty,
-       ROUND(wbv_num / n_docs, 6) AS within_bin_var
+       ROUND(wbv_num / n_docs, 6) AS within_bin_var,
+       ROUND(wbc_num / n_docs, 6) AS within_bin_cov
 FROM tot
 """
 
@@ -1328,8 +1343,14 @@ def graph_degree_assortativity(
     with small nations), positive = core-core assortment; the
     single-number summary of the trade network's mixing pattern.
 
-    Determinism: degrees are integers; one corr aggregate; r rounds
-    6dp.
+    Determinism: degrees are integers; r folds from explicit moment
+    sums with a NULLIF-guarded denominator — a REGULAR graph (all
+    degrees equal, e.g. the complete trade graph larger corpora
+    produce) has zero degree variance, where Spark's ANSI corr
+    throws DIVIDE_BY_ZERO and DuckDB's CORR returns NULL; the
+    explicit form yields NULL identically in both engines (the
+    mixing pattern of a regular graph is genuinely undefined).
+    r rounds 6dp.
 
     Scale shape: degree table joins onto the edge frame twice by
     key (broadcast at this V; hash join at web scale); one
@@ -1352,9 +1373,25 @@ def graph_degree_assortativity(
             "dst",
         )
     )
-    return e.agg(
-        F.count("*").cast("long").alias("n_directed_edges"),
-        F.round(F.corr("ds", "dd"), 6).alias("assortativity"),
+    agg = e.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("ds").cast("double")).alias("sx"),
+        F.sum(F.col("dd").cast("double")).alias("sy"),
+        F.sum((F.col("ds") * F.col("dd")).cast("double")).alias("sxy"),
+        F.sum((F.col("ds") * F.col("ds")).cast("double")).alias("sxx"),
+        F.sum((F.col("dd") * F.col("dd")).cast("double")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias(
+            "assortativity"
+        ),
     )
 
 
@@ -1364,11 +1401,27 @@ deg AS (
   SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
   FROM und GROUP BY src
 )
-SELECT CAST(COUNT(*) AS BIGINT) AS n_directed_edges,
-       ROUND(CORR(ds.degree, dd.degree), 6) AS assortativity
-FROM und u
-JOIN deg ds ON ds.node = u.src
-JOIN deg dd ON dd.node = u.dst
+,
+e AS (
+  SELECT ds.degree AS x, dd.degree AS y
+  FROM und u
+  JOIN deg ds ON ds.node = u.src
+  JOIN deg dd ON dd.node = u.dst
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(x AS DOUBLE)) AS sx, SUM(CAST(y AS DOUBLE)) AS sy,
+         SUM(CAST(x * y AS DOUBLE)) AS sxy,
+         SUM(CAST(x * x AS DOUBLE)) AS sxx,
+         SUM(CAST(y * y AS DOUBLE)) AS syy
+  FROM e
+)
+SELECT n AS n_directed_edges,
+       ROUND((n * sxy - sx * sy)
+             / NULLIF(SQRT((n * sxx - sx * sx)
+                           * (n * syy - sy * sy)), 0.0), 6)
+         AS assortativity
+FROM agg
 """
 
 # ---------------------------------------------------------------------------
@@ -1474,14 +1527,17 @@ g AS (
          CAST(COUNT(*) AS BIGINT) AS tot
   FROM obs GROUP BY dur
 ),
-na AS (
+risked AS (
   SELECT dur, d,
          SUM(tot) OVER () - SUM(tot) OVER (ORDER BY dur
-             ROWS UNBOUNDED PRECEDING) + tot AS n_risk,
-         SUM(d * 1.0 / (SUM(tot) OVER () - SUM(tot) OVER (ORDER BY dur
-             ROWS UNBOUNDED PRECEDING) + tot))
-           OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS cum_hazard
+             ROWS UNBOUNDED PRECEDING) + tot AS n_risk
   FROM g
+),
+na AS (
+  SELECT dur, d, n_risk,
+         SUM(d * 1.0 / n_risk)
+           OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS cum_hazard
+  FROM risked
 )
 SELECT dur AS duration_days, CAST(n_risk AS BIGINT) AS n_risk,
        d AS n_events,

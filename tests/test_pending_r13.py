@@ -139,6 +139,7 @@ def test_brier_murphy_identity(spark):
         - got["resolution"]
         + got["uncertainty"]
         + got["within_bin_var"]
+        - 2 * got["within_bin_cov"]
     )
     assert lhs == pytest.approx(rhs, abs=5e-6)
     rows = pending_r13._scored_docs(spark, SF_DIR).collect()
@@ -379,7 +380,11 @@ def test_periodogram_total_power_bounded(spark):
 
 def test_simpson_identities(spark):
     """gini_simpson == 1 - simpson_l and inv_simpson == 1/simpson_l
-    per source; 1 <= inv_simpson <= n_types."""
+    per source; inv_simpson >= 1 and stays within the small-sample
+    inflation envelope of the type count (the UNBIASED n(n-1)
+    estimator's 1/L may exceed n_types by up to ~n_types/n_tokens
+    relative — the biased sum(p^2) version is capped, the unbiased
+    one trades the cap for zero bias)."""
     for r in pending_r13.text_simpson_diversity_sources(
         spark, SF_DIR
     ).collect():
@@ -389,4 +394,5 @@ def test_simpson_identities(spark):
         assert r["inv_simpson"] == pytest.approx(
             1 / r["simpson_l"], rel=1e-3
         )
-        assert 1.0 <= r["inv_simpson"] <= r["n_types"]
+        envelope = r["n_types"] * (1 + 2 * r["n_types"] / r["n_tokens"])
+        assert 1.0 <= r["inv_simpson"] <= envelope
