@@ -320,3 +320,32 @@ def test_registered_config_recall_and_hop_batch_monotone(spark, sf_dir):
         truth.setdefault(r["qid"], set()).add(r["vec_id"])
     recalls = [len(ann[q] & truth[q]) / 10 for q in truth]
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_train_fraction_validation_and_fallback(spark, corpus):
+    """train_fraction outside (0, 1] raises; a fraction whose sample
+    would undershoot 10x the cell count falls back to full-corpus
+    training (same graph as the default)."""
+    import pytest
+
+    from cdc_2025_spark.functions.graphann import knn_graph_blocked
+
+    with pytest.raises(ValueError, match="train_fraction"):
+        knn_graph_blocked(corpus, k=4, train_fraction=0.0)
+    with pytest.raises(ValueError, match="train_fraction"):
+        knn_graph_blocked(corpus, k=4, train_fraction=1.5)
+    # 200-vector fixture, cell_target=64 -> ~4 cells; frac 0.05 gives
+    # a 10-row sample < 10*4 -> fallback to the exact full-train path
+    base = sorted(
+        (r["src"], r["dst"])
+        for r in knn_graph_blocked(
+            corpus, k=4, cell_target=64
+        ).collect()
+    )
+    fb = sorted(
+        (r["src"], r["dst"])
+        for r in knn_graph_blocked(
+            corpus, k=4, cell_target=64, train_fraction=0.05
+        ).collect()
+    )
+    assert base == fb
