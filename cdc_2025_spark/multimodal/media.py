@@ -350,7 +350,12 @@ def make_png_variant(
     - (16, 2) RGB16: the 8-bit pattern scaled x257 (v<<8|v), which
       round(v*255/65535) maps back EXACTLY — decodes pixel-identical
       to make_png of the same (w, h, seed);
-    - (16, 0) gray16: the gray formula x257, replicated."""
+    - (16, 0) gray16: the gray formula x257, replicated;
+    - (1/2/4, 0) sub-byte gray: the gray formula quantized to the
+      top ``depth`` bits (decodes to sample * 255/(2^d - 1),
+      replicated) — samples pack MSB-first, rows pad to a byte;
+    - (1/2/4, 3) sub-byte palette: idx(x,y) = (x+y+seed) % 2^d over
+      the 16-entry PLTE formula truncated to 2^d entries."""
     import zlib  # noqa: PLC0415
 
     def gray(x: int, y: int) -> int:
@@ -395,6 +400,37 @@ def make_png_variant(
                     samples = (gray(x, y),)
                 for v in samples:
                     raw += bytes((v, v))  # v*257 big-endian
+    elif depth in (1, 2, 4) and color_type in (0, 3):
+        if color_type == 3:
+            plte = bytes(
+                v
+                for i in range(1 << depth)
+                for v in (
+                    (i * 16 + 3) % 256,
+                    (i * 31 + 7) % 256,
+                    (i * 5 + 11) % 256,
+                )
+            )
+            plte_chunk = _png_chunk(b"PLTE", plte)
+        for y in range(height):
+            raw.append(0)
+            bits = []
+            for x in range(width):
+                s = (
+                    (x + y + seed) % (1 << depth)
+                    if color_type == 3
+                    else gray(x, y) >> (8 - depth)
+                )
+                bits += [
+                    (s >> (depth - 1 - k)) & 1 for k in range(depth)
+                ]
+            while len(bits) % 8:
+                bits.append(0)
+            for i in range(0, len(bits), 8):
+                b = 0
+                for bit in bits[i : i + 8]:
+                    b = (b << 1) | bit
+                raw.append(b)
     else:
         raise ValueError(
             f"no variant builder for depth={depth}, "
@@ -498,17 +534,35 @@ _PNG_BPP = {
 }
 
 
+def _png_subbyte_samples(raw, offset, width, height, depth):
+    """Unfilter + bit-unpack one (sub-)image of a 1/2/4-bit PNG:
+    rows are ceil(width*depth/8) bytes, the filter distance is ONE
+    BYTE (the spec's rule for sub-byte depths), samples pack
+    MSB-first within each byte and rows pad to a byte boundary.
+    Returns ((height, width) uint8 sample array, bytes consumed)."""
+    import numpy as np  # noqa: PLC0415
+
+    row_bytes = (width * depth + 7) // 8
+    rows, used = _png_unfilter(raw, offset, row_bytes, height, 1)
+    bits = np.unpackbits(rows, axis=1)[:, : width * depth]
+    groups = bits.reshape(height, width, depth).astype(np.uint8)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (groups * weights).sum(axis=2).astype(np.uint8), used
+
+
 def decode_png(payload: bytes):
     """REAL decode kernel for PNG (stdlib zlib inflate + per-scanline
     unfilter, filters 0-4 incl. Paeth): returns an (height, width, 3)
     uint8 RGB array. Supports 8-bit color types 0 (grayscale,
     replicated), 2 (RGB), 3 (palette via PLTE), 4 (gray+alpha, alpha
-    dropped), 6 (RGBA, alpha dropped) and 16-bit types 0/2 (samples
-    scaled round(v*255/65535), the spec's display conversion), each
-    non-interlaced AND Adam7-interlaced (the seven reduced images
-    unfilter independently and scatter into place, per spec) — the
-    shapes a training-data lake actually stores; exotic ones (1/2/4
-    bit depths, 16-bit alpha types) raise loudly rather than decode
+    dropped), 6 (RGBA, alpha dropped), 16-bit types 0/2 (samples
+    scaled round(v*255/65535), the spec's display conversion), and
+    SUB-BYTE depths 1/2/4 for types 0 (gray, scaled by the exact
+    255/(2^d - 1) display factor) and 3 (palette) — the scanned-
+    document / icon shapes — each non-interlaced AND
+    Adam7-interlaced (the seven reduced images unfilter
+    independently and scatter into place, per spec); the remaining
+    exotics (16-bit alpha types) raise loudly rather than decode
     wrongly. Dependency-free (struct + zlib + numpy)."""
     import zlib  # noqa: PLC0415
 
@@ -535,17 +589,45 @@ def decode_png(payload: bytes):
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
     width, height, depth, ctype_i, _comp, _filt, interlace = ihdr
+    subbyte = depth in (1, 2, 4) and ctype_i in (0, 3)
     bpp = _PNG_BPP.get((depth, ctype_i))
-    if bpp is None or interlace not in (0, 1):
+    if (bpp is None and not subbyte) or interlace not in (0, 1):
         raise NotImplementedError(
             f"unsupported PNG shape (depth={depth}, "
             f"color_type={ctype_i}, interlace={interlace}); supported:"
-            " 8-bit types 0/2/3/4/6 and 16-bit types 0/2,"
-            " interlace 0/1"
+            " 8-bit types 0/2/3/4/6, 16-bit types 0/2, 1/2/4-bit"
+            " types 0/3, interlace 0/1"
         )
     if ctype_i == 3 and plte is None:
         raise ValueError("palette PNG without a PLTE chunk")
     raw = zlib.decompress(bytes(idat))
+    if subbyte:
+        if interlace == 0:
+            samples, used = _png_subbyte_samples(
+                raw, 0, width, height, depth
+            )
+        else:
+            samples = np.zeros((height, width), dtype=np.uint8)
+            used = 0
+            for x0, y0, dx, dy, pw, ph in _adam7_passes(width, height):
+                sub, n = _png_subbyte_samples(raw, used, pw, ph, depth)
+                used += n
+                samples[y0::dy, x0::dx] = sub
+        if used != len(raw):
+            raise ValueError("IDAT length does not match dimensions")
+        if ctype_i == 0:
+            # exact display scaling: 255/(2^d - 1) is integral for
+            # d in {1, 2, 4} (255, 85, 17)
+            v8 = (samples * (255 // ((1 << depth) - 1))).astype(
+                np.uint8
+            )
+            return np.repeat(v8[:, :, None], 3, axis=2).copy()
+        if int(samples.max()) >= len(plte):
+            raise ValueError(
+                f"palette index {int(samples.max())} out of range "
+                f"({len(plte)} entries)"
+            )
+        return plte[samples].copy()
     if interlace == 0:
         out, used = _png_unfilter(raw, 0, width, height, bpp)
         if used != len(raw):
@@ -600,6 +682,8 @@ def make_real_media(
     n_flac_stereo: int = 0,
     n_jpeg12: int = 0,
     n_png16: int = 0,
+    n_png_lowdepth: int = 0,
+    n_g711: int = 0,
 ) -> DataFrame:
     """Media rows with REAL payloads: uncompressed 24-bit BMPs,
     zlib-compressed PNGs, baseline JPEGs (Huffman + DCT,
@@ -690,6 +774,50 @@ def make_real_media(
                     )
                 ),
                 (w, h, 0, "jpeg12"),
+            )
+        )
+    for i in range(n_png_lowdepth):
+        # sub-byte PNGs (1/2/4-bit, alternating gray/palette) — the
+        # scanned-document / icon shapes, decoded through the
+        # bit-unpack path (exact display scaling 255/(2^d - 1))
+        w, h = 32 + (i % 4) * 8, 24 + (i % 3) * 8
+        depth = (1, 2, 4)[i % 3]
+        ctype = 0 if i % 2 == 0 else 3
+        rows.append(
+            (
+                n_images + n_audio + n_png + n_jpeg + n_flac
+                + n_avi + n_flac_stereo + n_jpeg12 + n_png16 + i,
+                "image",
+                bytearray(
+                    make_png_variant(
+                        w, h, seed=i, color_type=ctype, depth=depth
+                    )
+                ),
+                (w, h, 0, f"png{depth}"),
+            )
+        )
+    for i in range(n_g711):
+        # G.711 telephony WAVs (alternating mu-law / A-law) of the
+        # SAME sines as the PCM rows — lossy segment quantization,
+        # so features are tolerance-close to audio_wav, not equal
+        import math as _math  # noqa: PLC0415
+
+        dur = 500 * (1 + i % 4)
+        sr, freq = 8000, 220.0 * (1 + i % 3)
+        amp = 0.25 + 0.1 * (i % 5)
+        xs = [
+            int(amp * 32767 * _math.sin(2 * _math.pi * freq * t / sr))
+            for t in range(sr * dur // 1000)
+        ]
+        law = "mulaw" if i % 2 == 0 else "alaw"
+        rows.append(
+            (
+                n_images + n_audio + n_png + n_jpeg + n_flac
+                + n_avi + n_flac_stereo + n_jpeg12 + n_png16
+                + n_png_lowdepth + i,
+                "audio",
+                bytearray(encode_wav_g711(xs, sr, law)),
+                (0, 0, dur, f"g711_{law}"),
             )
         )
     for i in range(n_audio):
@@ -1064,13 +1192,120 @@ def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
     )
 
 
+def _mulaw_decode_np(codes):
+    """G.711 mu-law code bytes -> int32 linear samples (ITU-T G.711
+    segment expansion: bias 0x84, 8 exponent segments, 4 mantissa
+    bits; max magnitude 32124 on the 16-bit scale)."""
+    import numpy as np  # noqa: PLC0415
+
+    u = (~codes.astype(np.int32)) & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    mag = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return np.where(sign != 0, -mag, mag)
+
+
+def _mulaw_encode_np(lin):
+    """int linear samples (16-bit scale) -> G.711 mu-law codes —
+    the exact inverse on G.711's code points (all 256 codes
+    round-trip encode(decode(c)) == c, pinned in tests)."""
+    import numpy as np  # noqa: PLC0415
+
+    x = np.asarray(lin, dtype=np.int32)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    # exponent = position of the highest set bit above bit 7
+    exponent = np.zeros_like(mag)
+    for e in range(7, 0, -1):
+        exponent = np.where(
+            (mag >> (e + 7)) & 1 == 1,
+            np.maximum(exponent, e),
+            exponent,
+        )
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    return (
+        (~(sign | (exponent << 4) | mantissa)) & 0xFF
+    ).astype(np.uint8)
+
+
+def _alaw_decode_np(codes):
+    """G.711 A-law code bytes -> int32 linear samples (ITU-T G.711:
+    XOR 0x55, 7 chord segments; max magnitude 32256 on the 16-bit
+    scale)."""
+    import numpy as np  # noqa: PLC0415
+
+    a = codes.astype(np.int32) ^ 0x55
+    sign = a & 0x80
+    exponent = (a >> 4) & 0x07
+    mantissa = a & 0x0F
+    mag = np.where(
+        exponent == 0,
+        (mantissa << 4) + 8,
+        ((mantissa << 4) + 0x108) << np.maximum(exponent - 1, 0),
+    )
+    return np.where(sign != 0, mag, -mag)
+
+
+def _alaw_encode_np(lin):
+    """int linear samples (16-bit scale) -> G.711 A-law codes (the
+    inverse on code points; note A-law's sign convention: the 0x80
+    bit marks POSITIVE, the reverse of mu-law)."""
+    import numpy as np  # noqa: PLC0415
+
+    x = np.asarray(lin, dtype=np.int32)
+    sign = np.where(x >= 0, 0x80, 0)
+    mag = np.minimum(np.where(x >= 0, x, -x), 32767)
+    exponent = np.zeros_like(mag)
+    for e in range(7, 0, -1):
+        exponent = np.where(
+            mag >= (0x100 << (e - 1)),
+            np.maximum(exponent, e),
+            exponent,
+        )
+    mantissa = np.where(
+        exponent == 0, mag >> 4, (mag >> (exponent + 3)) & 0x0F
+    )
+    return ((sign | (exponent << 4) | mantissa) ^ 0x55).astype(
+        "uint8"
+    )
+
+
+def encode_wav_g711(samples, sample_rate: int = 8000, law: str = "mulaw") -> bytes:
+    """RIFF/WAVE G.711 encode of integer samples (16-bit scale):
+    ``law`` in {'mulaw', 'alaw'} writes format 7 / 6 with the exact
+    ITU segment compression — the telephony-corpus ingest twin of
+    ``decode_wav``'s G.711 branch."""
+    import numpy as np  # noqa: PLC0415
+
+    if law == "mulaw":
+        codes, fmt_code = _mulaw_encode_np(samples), 7
+    elif law == "alaw":
+        codes, fmt_code = _alaw_encode_np(samples), 6
+    else:
+        raise ValueError(f"law must be 'mulaw' or 'alaw', got {law!r}")
+    data = codes.tobytes()
+    fmt = _struct.pack(
+        "<HHIIHH", fmt_code, 1, sample_rate, sample_rate, 1, 8
+    )
+    return (
+        _struct.pack(
+            "<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE"
+        )
+        + _struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + _struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
 def decode_wav(payload: bytes):
     """REAL decode kernel for RIFF/WAVE: walks the chunk list (no
     fixed offsets — extra chunks like LIST are skipped), returns
     (mono float64 samples in [-1, 1], sample_rate). Stereo is
     averaged to mono. Handles PCM s16 (the default everywhere),
     packed 24-bit PCM (the studio-export depth), UNSIGNED 8-bit PCM
-    (the spec's 8-bit convention), IEEE float32 (format 3), and
+    (the spec's 8-bit convention), IEEE float32 (format 3), G.711
+    A-law (format 6) and mu-law (format 7) — the telephony codecs,
+    decoded through the exact ITU segment expansion — and
     WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappers of any of those — the
     SubFormat GUID's leading u16 is the real format code. Other
     formats/depths raise. Dependency-free (struct + numpy only)."""
@@ -1124,11 +1359,23 @@ def decode_wav(payload: bytes):
             np.frombuffer(data, dtype=np.uint8).astype(np.float64)
             - 128.0
         ) / 128.0
+    elif audio_format in (6, 7):  # G.711 A-law / mu-law
+        if bits != 8:
+            raise NotImplementedError(
+                f"G.711 is 8-bit by definition (bits={bits})"
+            )
+        codes = np.frombuffer(data, dtype=np.uint8)
+        lin = (
+            _alaw_decode_np(codes)
+            if audio_format == 6
+            else _mulaw_decode_np(codes)
+        )
+        raw = lin.astype(np.float64) / 32768.0
     else:
         raise NotImplementedError(
             f"unsupported WAV (format={audio_format}, bits={bits}); "
-            "supported: PCM 8/16/24-bit, IEEE float32, EXTENSIBLE "
-            "wrappers of those"
+            "supported: PCM 8/16/24-bit, IEEE float32, G.711 "
+            "A-law/mu-law, EXTENSIBLE wrappers of those"
         )
     if channels > 1:
         raw = raw[: len(raw) - len(raw) % channels]

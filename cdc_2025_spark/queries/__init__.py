@@ -77,12 +77,22 @@ pending_r12.register_all()
 #      level bucketed distributed ranks), forecast_conformal (small-
 #      sample types visible with q_hat NULL), stats_chi2 (NULLIF dof
 #      guard) — all inside the lead block anyway.
-#   2. _FILL_R12: the oldest-green ORACLE-BACKED queries — all 27
-#      r8-greens, then the 2 oldest r9-greens, CORRECTNESS file
-#      order — the tool's emitted list verbatim.
+#   2. _CHANGED_R12: multimodal_feature_rollup grew two kind rows
+#      this round (image_png_lowdepth through the new sub-byte PNG
+#      decode path; audio_g711 through the new ITU mu-law/A-law
+#      branch of decode_wav) — a changed output on a rows-only
+#      query, so it re-enters the window for a fresh driver row.
+#   3. _FILL_R12: the oldest-green ORACLE-BACKED queries — all 27
+#      r8-greens, then the oldest r9-green, CORRECTNESS file order —
+#      the tool's emitted list with the last slot ceded to the
+#      changed re-check above.
 _NEW_R12 = [
     "multimodal_audio_neardup",
     *pending_r12.PENDING_ORDER,
+]
+
+_CHANGED_R12 = [
+    "multimodal_feature_rollup",
 ]
 
 _FILL_R12 = [
@@ -101,12 +111,13 @@ _FILL_R12 = [
     "text_quality_yield_curve", "corpus_datacard",
     "text_trigram_stupid_backoff", "text_blocklist_filter",
     "timeseries_seasonal_decompose",
-    # newest green r9, oldest 2
-    "stats_moments_by_segment", "stats_percentiles_order_value",
+    # newest green r9, oldest 1 (slot 50 ceded to _CHANGED_R12)
+    "stats_moments_by_segment",
 ]
 
 _VERIFY_FIRST = [
     *_NEW_R12,
+    *_CHANGED_R12,
     *_FILL_R12,
 ]
 

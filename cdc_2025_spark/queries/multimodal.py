@@ -30,6 +30,7 @@ _PNG16_BAND = 1500
 _JPEG_BAND = 2000
 _JPEG12_BAND = 2500
 _AVI_BAND = 3000
+_PNGLOW_BAND = 3500
 
 # Session-level memo for the generated media corpora (the _CENT_CACHE
 # posture): payloads are deterministic and sf-independent, but
@@ -120,6 +121,16 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "real_png16",
         lambda: make_real_media(spark, n_images=0, n_audio=0, n_png16=8),
     )
+    # sub-byte PNGs (1/2/4-bit gray + palette — the scanned-document
+    # shapes): ride the same dispatch-on-magic-bytes union; their
+    # patterns are depth-quantized, so the row gets its own kind
+    # instead of a BMP-equality pin
+    real_png_low = _media_input(
+        spark, "real_png_low",
+        lambda: make_real_media(
+            spark, n_images=0, n_audio=0, n_png_lowdepth=6
+        ),
+    )
 
     img = extract_image_features(images).agg(
         F.lit("image").alias("kind"),
@@ -197,6 +208,11 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "media_id", F.col("media_id") + _PNG16_BAND
             )
         )
+        .unionByName(
+            real_png_low.withColumn(
+                "media_id", F.col("media_id") + _PNGLOW_BAND
+            )
+        )
         # spread the 40 container payloads across tasks so the
         # pure-Python baseline-JPEG decode (the documented slow path)
         # keeps per-image parallelism — coalescing this union was
@@ -214,7 +230,8 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_container = (
         extract_image_features(containers)
         .groupBy(
-            F.when(F.col("media_id") >= _JPEG12_BAND, "image_jpeg12")
+            F.when(F.col("media_id") >= _PNGLOW_BAND, "image_png_lowdepth")
+            .when(F.col("media_id") >= _JPEG12_BAND, "image_jpeg12")
             .when(F.col("media_id") >= _JPEG_BAND, "image_jpeg")
             .when(F.col("media_id") >= _PNG16_BAND, "image_png16")
             .when(F.col("media_id") >= _PNG_BAND, "image_png")
@@ -281,6 +298,22 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("rms"), 4).alias("avg_metric"),
         F.round(F.max("peak"), 4).alias("max_metric"),
     )
+    # audio_g711: the telephony codecs (mu-law/A-law, ITU segment
+    # expansion in decode_wav) over the SAME sines as audio_wav —
+    # lossy, so metrics are tolerance-close to audio_wav, not equal
+    # (pinned in test_multimodal.py)
+    real_g711 = _media_input(
+        spark, "real_g711",
+        lambda: make_real_media(
+            spark, n_images=0, n_audio=0, n_g711=8
+        ).coalesce(2),
+    )
+    g711 = extract_audio_chunk_features(real_g711, chunk_ms=500).agg(
+        F.lit("audio_g711").alias("kind"),
+        F.count("*").alias("n_rows"),
+        F.round(F.avg("rms"), 4).alias("avg_metric"),
+        F.round(F.max("peak"), 4).alias("max_metric"),
+    )
     return (
         img.unionByName(aud)
         .unionByName(vid_union)
@@ -289,6 +322,7 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(wav)
         .unionByName(flac)
         .unionByName(flac_st)
+        .unionByName(g711)
     )
 
 

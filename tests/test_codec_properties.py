@@ -131,3 +131,110 @@ def test_wav_pcm_roundtrip_bounds(n, seed, bits, ext):
     assert sr == 8000
     step = 1.0 / (32767 if bits == 16 else 8388607)
     assert float(np.abs(s).max()) <= amp + step
+
+
+@given(
+    wh=st.tuples(
+        st.integers(min_value=1, max_value=40),
+        st.integers(min_value=1, max_value=25),
+    ),
+    seed=st.integers(min_value=0, max_value=1000),
+    depth=st.sampled_from([1, 2, 4]),
+    ctype=st.sampled_from([0, 3]),
+)
+@settings(max_examples=25, deadline=None)
+def test_png_subbyte_decodes_exact(wh, seed, depth, ctype):
+    """1/2/4-bit gray and palette PNGs decode pixel-exact against
+    the pattern formula at ARBITRARY widths (bit rows pad to byte
+    boundaries — the off-by-one surface)."""
+    import numpy as np
+
+    from cdc_2025_spark.multimodal.media import (
+        decode_png,
+        make_png_variant,
+    )
+
+    w, h = wh
+    img = decode_png(
+        make_png_variant(w, h, seed=seed, color_type=ctype, depth=depth)
+    )
+    assert img.shape == (h, w, 3)
+    if ctype == 0:
+        scale = 255 // ((1 << depth) - 1)
+        want = np.array(
+            [
+                [
+                    (((x * 13 + y * 17 + seed * 3) % 256) >> (8 - depth))
+                    * scale
+                    for x in range(w)
+                ]
+                for y in range(h)
+            ],
+            dtype=np.uint8,
+        )
+        assert (img == want[:, :, None]).all()
+    else:
+        plte = [
+            [(i * 16 + 3) % 256, (i * 31 + 7) % 256, (i * 5 + 11) % 256]
+            for i in range(1 << depth)
+        ]
+        want = np.array(
+            [
+                [plte[(x + y + seed) % (1 << depth)] for x in range(w)]
+                for y in range(h)
+            ],
+            dtype=np.uint8,
+        )
+        assert (img == want).all()
+
+
+def test_png_subbyte_adam7_scatter():
+    """A hand-packed Adam7-interlaced 4-bit gray PNG decodes
+    identically to its non-interlaced twin — each reduced image's
+    bit rows pad independently, the sub-byte analogue of the 8-bit
+    interlace pin."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from cdc_2025_spark.multimodal.media import (
+        _adam7_passes,
+        _png_chunk,
+        _PNG_SIG,
+        decode_png,
+        make_png_variant,
+    )
+
+    w, h, seed, depth = 13, 9, 4, 4
+
+    def sample(x, y):
+        return ((x * 13 + y * 17 + seed * 3) % 256) >> (8 - depth)
+
+    raw = bytearray()
+    for x0, y0, dx, dy, pw, ph in _adam7_passes(w, h):
+        for ry in range(ph):
+            raw.append(0)  # filter 0
+            bits = []
+            for rx in range(pw):
+                s = sample(x0 + rx * dx, y0 + ry * dy)
+                bits += [(s >> (depth - 1 - k)) & 1 for k in range(depth)]
+            while len(bits) % 8:
+                bits.append(0)
+            for i in range(0, len(bits), 8):
+                b = 0
+                for bit in bits[i : i + 8]:
+                    b = (b << 1) | bit
+                raw.append(b)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 1)
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = decode_png(png)
+    want = decode_png(
+        make_png_variant(w, h, seed=seed, color_type=0, depth=depth)
+    )
+    assert (got == want).all()

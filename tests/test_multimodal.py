@@ -461,8 +461,10 @@ def test_feature_rollup_includes_real_kernels(spark):
     rows = {r["kind"]: r for r in out.collect()}
     assert set(rows) == {
         "image", "audio", "video", "image_bmp", "image_png",
-        "image_png16", "image_jpeg", "image_jpeg12", "image_resized",
-        "audio_wav", "audio_flac", "audio_flac_stereo", "video_mjpeg",
+        "image_png16", "image_jpeg", "image_jpeg12",
+        "image_png_lowdepth", "image_resized",
+        "audio_wav", "audio_flac", "audio_flac_stereo", "audio_g711",
+        "video_mjpeg",
     }
     # 16-bit PNGs of the pattern x257 decode EXACTLY to the 8-bit
     # twins: every metric identical to image_png
@@ -527,6 +529,21 @@ def test_feature_rollup_includes_real_kernels(spark):
     )
     assert 0.0 < rows["audio_flac_stereo"]["avg_metric"] < 1.0
     assert 0.0 < rows["audio_flac_stereo"]["max_metric"] <= 1.0
+    # G.711 rows carry the SAME sines as the PCM rows through the
+    # mu-law/A-law segment expansion: lossy (metrics tolerance-close
+    # to audio_wav, never equal) but within the codec's ~1% step
+    assert rows["audio_g711"]["n_rows"] == rows["audio_wav"]["n_rows"]
+    assert abs(
+        rows["audio_g711"]["avg_metric"] - rows["audio_wav"]["avg_metric"]
+    ) < 0.005
+    assert abs(
+        rows["audio_g711"]["max_metric"] - rows["audio_wav"]["max_metric"]
+    ) < 0.02
+    # sub-byte PNGs (1/2/4-bit gray + palette): 6 rows through the
+    # bit-unpack decode path, non-degenerate spread metrics
+    assert rows["image_png_lowdepth"]["n_rows"] == 6
+    assert 0.0 < rows["image_png_lowdepth"]["avg_metric"] <= 1.0
+    assert rows["image_png_lowdepth"]["max_metric"] == 1.0  # 1-bit gray hits 255
 
 
 def test_video_frame_sampling_cardinality(spark):
