@@ -1,6 +1,6 @@
 """FLAC (Free Lossless Audio Codec) — real, dependency-free encode +
 decode kernels for the subset a training-data lake actually stores:
-16/24-bit mono and stereo streams (independent, left/side,
+8/12/16/20/24-bit mono and stereo streams (independent, left/side,
 right/side, and mid/side channel decorrelation — the side channel
 carrying its spec-mandated extra sample bit), CONSTANT / VERBATIM /
 FIXED(0-4) / LPC subframes, Rice-coded residuals with partitioning,
@@ -351,9 +351,9 @@ def _utf8_coded_number(n: int) -> bytes:
 
 def _pack_sample(v: int, bits: int) -> bytes:
     """Little-endian signed sample bytes — the layout FLAC's
-    STREAMINFO MD5 is defined over (bits//8 bytes per sample,
-    channels interleaved)."""
-    return v.to_bytes(bits // 8, "little", signed=True)
+    STREAMINFO MD5 is defined over (ceil(bits/8) bytes per sample,
+    LSB-aligned, channels interleaved)."""
+    return v.to_bytes((bits + 7) // 8, "little", signed=True)
 
 
 # frame-header channel-assignment codes (spec table)
@@ -362,8 +362,8 @@ _CH_LEFT_SIDE = 8
 _CH_RIGHT_SIDE = 9
 _CH_MID_SIDE = 10
 
-_SS_CODES = {16: 0b100, 24: 0b110}
-_SS_BITS = {0b100: 16, 0b110: 24}
+_SS_CODES = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110}
+_SS_BITS = {c: b for b, c in _SS_CODES.items()}
 
 
 def encode_flac(
@@ -402,9 +402,10 @@ def encode_flac(
             f"FLAC allows 1-8 channels (channels={channels}); >2 "
             "channels code independently per spec"
         )
-    if bits not in (16, 24):
+    if bits not in _SS_CODES:
         raise NotImplementedError(
-            f"only 16/24-bit encode supported (bits={bits})"
+            f"supported encode depths: {sorted(_SS_CODES)} "
+            f"(bits={bits})"
         )
     if stereo_mode not in (
         "auto", "independent", "mid-side", "left-side", "right-side"
@@ -615,7 +616,7 @@ def decode_flac(payload: bytes, verify_md5: bool = True):
 
 def decode_flac_info(payload: bytes, verify_md5: bool = True) -> dict:
     """FLAC bytes -> dict(samples, sample_rate, channels, bits).
-    Supports the lake subset: 16/24-bit, mono + stereo (independent,
+    Supports the lake subset: 8/12/16/20/24-bit, mono + stereo (independent,
     left/side, right/side, mid/side channel assignments), CONSTANT /
     VERBATIM / FIXED(0-4) / LPC subframes, both Rice methods, any
     partition order, wasted bits, CRC-8/CRC-16 verification,
@@ -646,10 +647,10 @@ def decode_flac_info(payload: bytes, verify_md5: bool = True) -> dict:
     bits = ((tail >> 36) & 0x1F) + 1
     total = tail & ((1 << 36) - 1)  # interchannel samples
     md5_expect = streaminfo[18:34]
-    if not 1 <= channels <= 8 or bits not in (16, 24):
+    if not 1 <= channels <= 8 or bits not in _SS_CODES:
         raise NotImplementedError(
-            f"only 16/24-bit mono/stereo supported "
-            f"(channels={channels}, bits={bits})"
+            f"supported: 1-8 channels at depths "
+            f"{sorted(_SS_CODES)} (channels={channels}, bits={bits})"
         )
 
     out: list[int] = []

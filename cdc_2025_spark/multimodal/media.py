@@ -351,6 +351,9 @@ def make_png_variant(
       round(v*255/65535) maps back EXACTLY — decodes pixel-identical
       to make_png of the same (w, h, seed);
     - (16, 0) gray16: the gray formula x257, replicated;
+    - (16, 4)/(16, 6) gray+alpha16/RGBA16: the same patterns x257
+      with alpha (x+y+seed)%256 x257 (dropped by decode — equal to
+      their alpha-free twins);
     - (1/2/4, 0) sub-byte gray: the gray formula quantized to the
       top ``depth`` bits (decodes to sample * 255/(2^d - 1),
       replicated) — samples pack MSB-first, rows pad to a byte;
@@ -386,18 +389,20 @@ def make_png_variant(
         for y in range(height):
             raw.append(0)
             raw += bytes((x + y + seed) % 16 for x in range(width))
-    elif (depth, color_type) in ((16, 2), (16, 0)):
+    elif (depth, color_type) in ((16, 2), (16, 0), (16, 4), (16, 6)):
         for y in range(height):
             raw.append(0)
             for x in range(width):
-                if color_type == 2:
-                    samples = (
+                if color_type in (2, 6):
+                    samples = [
                         gray(x, y),
                         (x * 5 + y * 11 + seed * 2) % 256,
                         (x * 7 + y * 3 + seed) % 256,
-                    )
+                    ]
                 else:
-                    samples = (gray(x, y),)
+                    samples = [gray(x, y)]
+                if color_type in (4, 6):
+                    samples.append((x + y + seed) % 256)  # alpha
                 for v in samples:
                     raw += bytes((v, v))  # v*257 big-endian
     elif depth in (1, 2, 4) and color_type in (0, 3):
@@ -530,7 +535,7 @@ def _adam7_passes(width: int, height: int):
 # channels just double the stride)
 _PNG_BPP = {
     (8, 0): 1, (8, 2): 3, (8, 3): 1, (8, 4): 2, (8, 6): 4,
-    (16, 0): 2, (16, 2): 6,
+    (16, 0): 2, (16, 2): 6, (16, 4): 4, (16, 6): 8,
 }
 
 
@@ -555,15 +560,15 @@ def decode_png(payload: bytes):
     unfilter, filters 0-4 incl. Paeth): returns an (height, width, 3)
     uint8 RGB array. Supports 8-bit color types 0 (grayscale,
     replicated), 2 (RGB), 3 (palette via PLTE), 4 (gray+alpha, alpha
-    dropped), 6 (RGBA, alpha dropped), 16-bit types 0/2 (samples
-    scaled round(v*255/65535), the spec's display conversion), and
+    dropped), 6 (RGBA, alpha dropped), 16-bit types 0/2/4/6 (samples
+    scaled round(v*255/65535), the spec's display conversion; alpha
+    dropped like the 8-bit types), and
     SUB-BYTE depths 1/2/4 for types 0 (gray, scaled by the exact
     255/(2^d - 1) display factor) and 3 (palette) — the scanned-
     document / icon shapes — each non-interlaced AND
     Adam7-interlaced (the seven reduced images unfilter
-    independently and scatter into place, per spec); the remaining
-    exotics (16-bit alpha types) raise loudly rather than decode
-    wrongly. Dependency-free (struct + zlib + numpy)."""
+    independently and scatter into place, per spec); anything outside
+    those shapes raises loudly rather than decoding wrongly. Dependency-free (struct + zlib + numpy)."""
     import zlib  # noqa: PLC0415
 
     import numpy as np  # noqa: PLC0415
@@ -652,6 +657,10 @@ def decode_png(payload: bytes):
         img = v8  # (h, w, channels)
         if ctype_i == 0:
             return np.repeat(img, 3, axis=2).copy()
+        if ctype_i == 4:  # gray+alpha: alpha dropped like 8-bit
+            return np.repeat(img[:, :, :1], 3, axis=2).copy()
+        if ctype_i == 6:  # RGBA: alpha dropped like 8-bit
+            return img[:, :, :3].copy()
         return img.copy()
     if ctype_i == 2:
         return img.copy()

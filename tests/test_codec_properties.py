@@ -238,3 +238,75 @@ def test_png_subbyte_adam7_scatter():
         make_png_variant(w, h, seed=seed, color_type=0, depth=depth)
     )
     assert (got == want).all()
+
+
+@given(
+    wh=st.tuples(
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=1, max_value=16),
+    ),
+    seed=st.integers(min_value=0, max_value=500),
+    ctype=st.sampled_from([4, 6]),
+)
+@settings(max_examples=12, deadline=None)
+def test_png_16bit_alpha_types_equal_alpha_free_twins(wh, seed, ctype):
+    """16-bit gray+alpha / RGBA decode pixel-identical to their
+    alpha-free twins (alpha dropped, samples x257 map back exactly)."""
+    from cdc_2025_spark.multimodal.media import (
+        decode_png,
+        make_png_variant,
+    )
+
+    w, h = wh
+    base_ct = 0 if ctype == 4 else 2
+    base = decode_png(
+        make_png_variant(w, h, seed=seed, color_type=base_ct, depth=16)
+    )
+    with_alpha = decode_png(
+        make_png_variant(w, h, seed=seed, color_type=ctype, depth=16)
+    )
+    assert (base == with_alpha).all()
+
+
+@given(
+    bits=st.sampled_from([8, 12, 16, 20, 24]),
+    stereo=st.booleans(),
+    seed=st.integers(min_value=0, max_value=300),
+)
+@settings(max_examples=10, deadline=None)
+def test_flac_all_depths_roundtrip_md5(bits, stereo, seed):
+    """FLAC encode->decode is bit-exact with a verified STREAMINFO
+    MD5 at every spec sample depth the encoder writes (8/12/16/20/24),
+    mono and stereo (auto per-frame channel assignment); the MD5
+    packing is ceil(bits/8)-byte LSB-aligned per spec."""
+    import math
+
+    from cdc_2025_spark.multimodal.flac import (
+        decode_flac_info,
+        encode_flac,
+    )
+
+    full = (1 << (bits - 1)) - 1
+    n = 600
+    if stereo:
+        xs = []
+        for i in range(n):
+            xs.append(
+                int(0.3 * full * math.sin(2 * math.pi * (300 + seed) * i / 8000))
+            )
+            xs.append(
+                int(0.3 * full * math.sin(2 * math.pi * (450 + seed) * i / 8000))
+            )
+        p = encode_flac(
+            xs, sample_rate=8000, bits=bits, channels=2,
+            stereo_mode="auto",
+        )
+    else:
+        xs = [
+            int(0.4 * full * math.sin(2 * math.pi * (220 + seed) * i / 8000))
+            for i in range(n)
+        ]
+        p = encode_flac(xs, sample_rate=8000, bits=bits)
+    info = decode_flac_info(p)
+    assert info["samples"] == xs
+    assert info["bits"] == bits

@@ -287,20 +287,20 @@ def test_unsupported_depths_and_channels_still_fail_loud():
     with pytest.raises(NotImplementedError, match="channels"):
         encode_flac([1, 2, 3], channels=9)
     with pytest.raises(NotImplementedError, match="bits"):
-        encode_flac([1, 2], bits=20)
+        encode_flac([1, 2], bits=32)  # 8/12/16/20/24 now real paths
     with pytest.raises(ValueError, match="stereo_mode"):
         encode_flac([1, 2], channels=2, stereo_mode="surround")
     with pytest.raises(ValueError, match="interleave"):
         encode_flac([1, 2, 3], channels=2)
     with pytest.raises(ValueError, match="s24 range"):
         encode_flac([1 << 23], bits=24)
-    # a 20-bit STREAMINFO (hand-packed) must refuse at decode
+    # a 32-bit STREAMINFO (hand-packed) must refuse at decode
     enc = bytearray(encode_flac([1, 2, 3, 4] * 100))
     # STREAMINFO tail starts at byte 8 (4 fLaC + 4 block header) + 10
     tail = int.from_bytes(enc[18:26], "big")
-    tail = (tail & ~(0x1F << 36)) | ((20 - 1) << 36)
+    tail = (tail & ~(0x1F << 36)) | ((32 - 1) << 36)
     enc[18:26] = tail.to_bytes(8, "big")
-    with pytest.raises(NotImplementedError, match="16/24-bit"):
+    with pytest.raises(NotImplementedError, match="depths"):
         decode_flac(bytes(enc))
 
 
