@@ -1825,6 +1825,310 @@ ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# Pairwise effect sizes (Cohen's d / Hedges' g) between segments
+# ---------------------------------------------------------------------------
+
+
+def stats_effect_sizes_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohen's d and Hedges' g for every ordered pair of market
+    segments on order value — the EFFECT-SIZE layer the test family
+    (Welch, ANOVA, Kruskal-Wallis) deliberately lacks: at corpus
+    scale every difference is "significant", and d is what says
+    whether it is LARGE. Hedges' g applies the small-sample
+    correction factor (1 - 3/(4*df - 1)); at these n it barely moves
+    d, which is itself the visible sanity check.
+
+    Determinism: per-segment moments fold in one grouped pass; the
+    5x5 pair frame is bounded; d/g round 6dp.
+
+    Scale shape: ONE grouped moment pass over the corpus; the pair
+    join runs on the 5-row moment table; output is one row per
+    ordered pair (a < b)."""
+    o = read_table(spark, sf_dir, "orders").join(
+        read_table(spark, sf_dir, "customer"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select("c_mktsegment", F.col("o_totalprice").alias("v"))
+    g = o.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.avg("v").alias("m"),
+        F.var_samp("v").alias("s2"),
+    )
+    a = g.select(
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("n").alias("na"),
+        F.col("m").alias("ma"),
+        F.col("s2").alias("va"),
+    )
+    b = g.select(
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("n").alias("nb"),
+        F.col("m").alias("mb"),
+        F.col("s2").alias("vb"),
+    )
+    p = a.join(b, F.col("seg_a") < F.col("seg_b"))
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    pooled = F.sqrt(
+        ((na - 1) * F.col("va") + (nb - 1) * F.col("vb"))
+        / (na + nb - 2)
+    )
+    d = (F.col("ma") - F.col("mb")) / pooled
+    corr = 1 - 3 / (4 * (na + nb - 2) - 1)
+    return p.select(
+        "seg_a",
+        "seg_b",
+        (F.col("na") + F.col("nb")).cast("long").alias("n_total"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * corr, 6).alias("hedges_g"),
+    ).orderBy("seg_a", "seg_b")
+
+
+EFFECT_ORACLE = """
+WITH o AS (
+  SELECT c_mktsegment, o_totalprice AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+g AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+         AVG(v) AS m, VAR_SAMP(v) AS s2
+  FROM o GROUP BY c_mktsegment
+)
+SELECT a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+       a.n + b.n AS n_total,
+       ROUND((a.m - b.m) / SQRT(((a.n - 1) * a.s2 + (b.n - 1) * b.s2)
+             / (a.n + b.n - 2)), 6) AS cohens_d,
+       ROUND((a.m - b.m) / SQRT(((a.n - 1) * a.s2 + (b.n - 1) * b.s2)
+             / (a.n + b.n - 2))
+             * (1 - 3.0 / (4 * (a.n + b.n - 2) - 1)), 6) AS hedges_g
+FROM g a JOIN g b ON a.c_mktsegment < b.c_mktsegment
+ORDER BY seg_a, seg_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# PPS systematic sampling (probability proportional to size)
+# ---------------------------------------------------------------------------
+
+PPS_K = 200
+PPS_BUCKETS = 256
+
+
+def sample_pps_systematic_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sample of PPS_K
+    documents weighted by n_chars (Madow 1949): lay the docs on a
+    doc_id-ordered line where each occupies an interval equal to its
+    weight, then select the doc containing position (i + 0.5) * T/K
+    for i = 0..K-1 — deterministic (no RNG), every doc's inclusion
+    probability proportional to its size, and big docs can never be
+    missed (the property Poisson/bernoulli size-sampling lacks). The
+    curation rationale: token-weighted corpus quotas should sample
+    documents proportional to the tokens they contribute.
+
+    The cumulative weight line is built with the Spearman query's
+    TWO-LEVEL form: doc_id range-buckets -> within-bucket cumulative
+    windows (partitions hold ~n/PPS_BUCKETS docs) + bucket-offset
+    windows over the bounded bucket frame — NO corpus-sized
+    single-partition cumsum. Selection is then a broadcast join of
+    the K target positions against interval containment.
+
+    Determinism: weights and cumulative sums are integer-exact;
+    positions are exact rationals compared against integer interval
+    ends (T odd makes every 2*pos_numerator odd, never equal to an
+    even 2*boundary — ties impossible by parity, but the >=/< pair
+    is still the documented convention).
+
+    Scale shape: one groupBy-free scan with two bounded windows and
+    a K-row broadcast; output is K rows (doc_id, weight, position
+    index)."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
+    ).select("doc_id", F.col("n_chars").cast("long").alias("w"))
+    rng = docs.agg(
+        F.min("doc_id").alias("mn"),
+        F.max("doc_id").alias("mx"),
+        F.sum("w").alias("t"),
+    )
+    nb = F.lit(PPS_BUCKETS)
+    b = F.when(
+        F.col("mx") > F.col("mn"),
+        F.least(
+            F.floor(
+                (F.col("doc_id") - F.col("mn"))
+                / ((F.col("mx") - F.col("mn") + 1) / nb)
+            ),
+            nb - 1,
+        ),
+    ).otherwise(F.lit(0))
+    bucketed = docs.crossJoin(F.broadcast(rng)).select(
+        "doc_id", "w", "t", b.cast("long").alias("b")
+    )
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_in = F.coalesce(F.sum("w").over(w_in), F.lit(0))
+    w_off = (
+        Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy("b")
+        .agg(F.sum("w").alias("bw"))
+        .select(
+            "b",
+            F.coalesce(F.sum("bw").over(w_off), F.lit(0)).alias(
+                "boff"
+            ),
+        )
+    )
+    lined = (
+        bucketed.withColumn("cum_in", cum_in)
+        .join(F.broadcast(offsets), "b")
+        .select(
+            "doc_id",
+            "w",
+            "t",
+            (F.col("boff") + F.col("cum_in")).alias("lo"),
+            (F.col("boff") + F.col("cum_in") + F.col("w")).alias(
+                "hi"
+            ),
+        )
+    )
+    ks = spark.range(PPS_K).select(F.col("id").alias("k"))
+    # position_k = (k + 0.5) * T / K; compare 2*pos*K vs 2*bound*K
+    # in exact integer arithmetic: (2k + 1) * T vs 2 * K * bound
+    sel = lined.crossJoin(F.broadcast(ks)).filter(
+        ((2 * F.col("k") + 1) * F.col("t") >= 2 * PPS_K * F.col("lo"))
+        & ((2 * F.col("k") + 1) * F.col("t") < 2 * PPS_K * F.col("hi"))
+    )
+    return sel.select(
+        F.col("k").cast("long").alias("slot"),
+        "doc_id",
+        F.col("w").alias("n_chars"),
+    ).orderBy("slot")
+
+
+PPS_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+tot AS (SELECT SUM(w) AS t FROM docs),
+lined AS (
+  SELECT doc_id, w,
+         SUM(w) OVER (ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) - w AS lo,
+         SUM(w) OVER (ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS hi
+  FROM docs
+),
+ks AS (SELECT i AS k FROM generate_series(0, {PPS_K - 1}) g(i))
+SELECT CAST(k AS BIGINT) AS slot, doc_id, w AS n_chars
+FROM lined CROSS JOIN tot CROSS JOIN ks
+WHERE (2 * k + 1) * t >= 2 * {PPS_K} * lo
+  AND (2 * k + 1) * t <  2 * {PPS_K} * hi
+ORDER BY slot
+"""
+
+
+# ---------------------------------------------------------------------------
+# MCC + Cohen's kappa at the median-score decision threshold
+# ---------------------------------------------------------------------------
+
+
+def eval_mcc_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient and Cohen's kappa for the
+    quality score thresholded at its median (predict positive when
+    score >= disc-median) against the is-English label — the two
+    chance-corrected single-number summaries accuracy is not: MCC is
+    the phi coefficient of the confusion matrix (balanced even at
+    99:1 skew), kappa subtracts marginal-agreement chance. Completes
+    the eval rung beside AUC (ranking), AP (imbalance), Brier
+    (probability) with the HARD-DECISION view.
+
+    Determinism: the threshold is percentile_disc (an actual score
+    value); confusion counts are integers; both statistics fold in
+    closed form, rounded 6dp.
+
+    Scale shape: one disc-percentile aggregate (broadcast scalar),
+    one conditional-count pass; output is one row."""
+    s = _scored_docs(spark, sf_dir)
+    thr = s.agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY score)"
+        ).alias("thr")
+    )
+    j = s.crossJoin(F.broadcast(thr))
+    pred = (F.col("score") >= F.col("thr")).cast("long")
+    y = F.col("label").cast("long")
+    c = j.agg(
+        F.sum(pred * y).cast("long").alias("tp"),
+        F.sum(pred * (1 - y)).cast("long").alias("fp"),
+        F.sum((1 - pred) * y).cast("long").alias("fn"),
+        F.sum((1 - pred) * (1 - y)).cast("long").alias("tn"),
+    )
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    fn, tn = F.col("fn").cast("double"), F.col("tn").cast("double")
+    n = tp + fp + fn + tn
+    mcc = (tp * tn - fp * fn) / F.nullif(
+        F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)),
+        F.lit(0.0),
+    )
+    po = (tp + tn) / n
+    pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (n * n)
+    kappa = (po - pe) / F.nullif(1 - pe, F.lit(0.0))
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(mcc, 6).alias("mcc"),
+        F.round(kappa, 6).alias("kappa"),
+    )
+
+
+MCC_ORACLE = f"""
+WITH s AS (
+  SELECT (n_chars % {SCORE_MOD}) / {SCORE_MOD}.0 AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+  FROM documents
+  WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+),
+thr AS (SELECT quantile_disc(score, 0.5) AS thr FROM s),
+c AS (
+  SELECT
+    CAST(SUM(CASE WHEN score >= thr AND label = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN score >= thr AND label = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN score < thr AND label = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN score < thr AND label = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS tn
+  FROM s CROSS JOIN thr
+)
+SELECT tp, fp, fn, tn,
+       ROUND((tp * tn - fp * fn * 1.0)
+             / NULLIF(SQRT((tp + fp * 1.0) * (tp + fn) * (tn + fp)
+                           * (tn + fn)), 0.0), 6) AS mcc,
+       ROUND(((tp + tn * 1.0) / (tp + fp + fn + tn)
+              - ((tp + fp * 1.0) * (tp + fn)
+                 + (fn + tn * 1.0) * (fp + tn))
+                / ((tp + fp + fn + tn * 1.0)
+                   * (tp + fp + fn + tn)))
+             / NULLIF(1 - ((tp + fp * 1.0) * (tp + fn)
+                           + (fn + tn * 1.0) * (fp + tn))
+                      / ((tp + fp + fn + tn * 1.0)
+                         * (tp + fp + fn + tn)), 0.0), 6) AS kappa
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registration hook for round 13
 # ---------------------------------------------------------------------------
 
@@ -1846,6 +2150,9 @@ PENDING_ORDER = [
     "privacy_ldiversity_audit",
     "text_simpson_diversity_sources",
     "text_sentence_stats_sources",
+    "stats_effect_sizes_segments",
+    "sample_pps_systematic_docs",
+    "eval_mcc_kappa",
 ]
 
 _PENDING = {
@@ -1902,6 +2209,15 @@ _PENDING = {
         text_sentence_stats_sources,
         SENTENCE_ORACLE,
     ),
+    "stats_effect_sizes_segments": (
+        stats_effect_sizes_segments,
+        EFFECT_ORACLE,
+    ),
+    "sample_pps_systematic_docs": (
+        sample_pps_systematic_docs,
+        PPS_ORACLE,
+    ),
+    "eval_mcc_kappa": (eval_mcc_kappa, MCC_ORACLE),
 }
 
 
