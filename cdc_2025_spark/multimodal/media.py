@@ -917,7 +917,7 @@ def make_real_media(
 
 
 def _decode_image_bytes(payload: bytes) -> list[float]:
-    """Image decode kernel. BMP, PNG, and JPEG payloads take REAL
+    """Image decode kernel. BMP, PNG, JPEG, and GIF payloads take REAL
     paths: header parse + pixel decode (stdlib zlib inflate +
     unfilter for PNG; Huffman entropy decode + dequant + IDCT for
     baseline AND progressive JPEG — spectral selection, successive
@@ -942,6 +942,14 @@ def _decode_image_bytes(payload: bytes) -> list[float]:
         rgb = decode_png(payload)
     elif payload[:3] == b"\xff\xd8\xff":
         rgb = decode_jpeg(payload)
+    elif payload[:6] in (b"GIF89a", b"GIF87a"):
+        from cdc_2025_spark.multimodal.gif import (  # noqa: PLC0415
+            decode_gif,
+        )
+
+        # still-image view of a GIF: frame 0 (animation frames are
+        # the video kernel's job)
+        rgb = decode_gif(payload)["frames"][0]
     if rgb is not None:
         import numpy as np  # noqa: PLC0415
 

@@ -110,16 +110,19 @@ def video_frame_hashes(
     payload_col: str = "payload",
 ) -> DataFrame:
     """(media_id, frame_no, ahash): 64-bit aHash of every DECODED
-    container frame of each MJPEG-AVI video row — the video leg of
-    the perceptual-hash family (multimodal/avi.py parse + baseline-
-    JPEG decode + ahash64_from_rgb). One Arrow-batched mapInPandas
-    stage; 12 bytes out per frame, pixels never leave the task."""
+    container frame of each video row — the video leg of the
+    perceptual-hash family. Dispatches on magic bytes: RIFF/AVI
+    payloads through multimodal/avi.py (MJPEG / DIB frame decode),
+    GIF payloads through multimodal/gif.py (LZW frames — animated
+    GIFs are videos too). One Arrow-batched mapInPandas stage;
+    12 bytes out per frame, pixels never leave the task."""
     import pandas as pd  # noqa: PLC0415
 
     from cdc_2025_spark.multimodal.avi import (  # noqa: PLC0415
         decode_avi_frame,
         parse_avi,
     )
+    from cdc_2025_spark.multimodal.gif import decode_gif  # noqa: PLC0415
 
     src = media.select(id_col, payload_col)
 
@@ -127,7 +130,16 @@ def video_frame_hashes(
         for pdf in batches:
             ids, nos, hs = [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                meta = parse_avi(bytes(payload))
+                raw = bytes(payload)
+                if raw[:6] in (b"GIF89a", b"GIF87a"):
+                    for f, frame in enumerate(
+                        decode_gif(raw)["frames"]
+                    ):
+                        ids.append(int(mid))
+                        nos.append(f)
+                        hs.append(ahash64_from_rgb(frame))
+                    continue
+                meta = parse_avi(raw)
                 for f in range(meta["n_frames"]):
                     ids.append(int(mid))
                     nos.append(f)

@@ -1,0 +1,185 @@
+"""GIF codec (multimodal/gif.py): LZW round-trips including
+table-reset regimes, pixel-exact frame decodes against the pattern
+formula, interlace, animation delays, the palette-PNG
+cross-container twin, and the lake integration through both the
+image-feature and video-frame-hash kernels."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from cdc_2025_spark.multimodal.gif import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    encode_gif,
+    make_gif,
+)
+
+_PLTE16 = [
+    ((i * 16 + 3) % 256, (i * 31 + 7) % 256, (i * 5 + 11) % 256)
+    for i in range(16)
+]
+
+
+def _pattern(w, h, seed, n_colors=16):
+    return np.array(
+        [
+            [_PLTE16[(x + y + seed) % n_colors] for x in range(w)]
+            for y in range(h)
+        ],
+        dtype=np.uint8,
+    )
+
+
+@pytest.mark.parametrize("mcs", [2, 4, 8])
+def test_lzw_roundtrip_with_table_resets(mcs):
+    """20k random symbols force multiple 4096-entry table fills, so
+    the mid-stream CLEAR/reset path is exercised, not just the happy
+    path."""
+    rng = random.Random(5)
+    px = [rng.randrange(1 << mcs) for _ in range(20000)]
+    assert _lzw_decode(_lzw_encode(px, mcs), mcs) == px
+
+
+def test_lzw_kwkwk_case():
+    """The code-equals-next-entry (KwKwK) case decodes per spec."""
+    px = [1, 1, 1, 1, 1, 1, 1]  # forces cScSc immediately
+    assert _lzw_decode(_lzw_encode(px, 2), 2) == px
+
+
+def test_single_frame_pixel_exact():
+    info = decode_gif(make_gif(37, 23, seed=5))
+    assert (info["width"], info["height"]) == (37, 23)
+    assert len(info["frames"]) == 1
+    assert (info["frames"][0] == _pattern(37, 23, 5)).all()
+
+
+def test_interlaced_equals_progressive():
+    a = decode_gif(make_gif(37, 23, seed=5))["frames"][0]
+    b = decode_gif(make_gif(37, 23, seed=5, interlace=True))["frames"][0]
+    assert (a == b).all()
+
+
+def test_animation_frames_and_delays():
+    info = decode_gif(make_gif(20, 14, n_frames=5, seed=2))
+    assert len(info["frames"]) == 5
+    assert info["delays_cs"] == [4] * 5
+    for f, frame in enumerate(info["frames"]):
+        assert (frame == _pattern(20, 14, 2 + f)).all(), f
+
+
+def test_gif_equals_palette_png_twin():
+    """The same palette pattern through GIF and palette-PNG decodes
+    pixel-identically — the cross-container twin every perceptual
+    pipeline relies on (byte dedup can never pair these)."""
+    from cdc_2025_spark.multimodal.media import (
+        decode_png,
+        make_png_variant,
+    )
+
+    g = decode_gif(make_gif(37, 23, seed=5))["frames"][0]
+    p = decode_png(make_png_variant(37, 23, seed=5, color_type=3, depth=8))
+    assert (g == p).all()
+
+
+def test_refusals_fail_loud():
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"PNG...")
+    with pytest.raises(ValueError, match="palette"):
+        encode_gif([[0]], [(0, 0, 0)] * 300, 1, 1)
+    with pytest.raises(ValueError, match="pixels"):
+        encode_gif([[0, 1]], _PLTE16, 1, 1)
+    # partial-screen frame: hand-edit the descriptor of a valid GIF
+    g = bytearray(make_gif(10, 10, seed=1))
+    at = g.index(b"\x2c")
+    g[at + 5 : at + 7] = (6).to_bytes(2, "little")  # fw 10 -> 6
+    with pytest.raises(NotImplementedError, match="compositing"):
+        decode_gif(bytes(g))
+
+
+def test_image_feature_kernel_routes_gif(spark):
+    """Lake integration: the image feature kernel dispatches GIF
+    payloads to the real decoder, and the GIF twin of a palette-PNG
+    corpus yields IDENTICAL features."""
+    from cdc_2025_spark.multimodal.media import (
+        extract_image_features,
+        make_png_variant,
+    )
+
+    rows_gif = [
+        (i, "image", bytearray(make_gif(24 + i, 16 + i, seed=i)))
+        for i in range(4)
+    ]
+    rows_png = [
+        (
+            i,
+            "image",
+            bytearray(
+                make_png_variant(
+                    24 + i, 16 + i, seed=i, color_type=3, depth=8
+                )
+            ),
+        )
+        for i in range(4)
+    ]
+    schema = "media_id long, kind string, payload binary"
+    fg = {
+        r["media_id"]: r["features"]
+        for r in extract_image_features(
+            spark.createDataFrame(rows_gif, schema)
+        ).collect()
+    }
+    fp = {
+        r["media_id"]: r["features"]
+        for r in extract_image_features(
+            spark.createDataFrame(rows_png, schema)
+        ).collect()
+    }
+    assert set(fg) == set(fp) == {0, 1, 2, 3}
+    for k in fg:
+        assert fg[k] == pytest.approx(fp[k], abs=1e-12), k
+
+
+def test_video_hash_kernel_routes_gif_and_pairs(spark):
+    """Animated GIFs ride the video near-dup leg: frame hashes equal
+    the python model, and a prefix-truncated animation pairs with
+    its full clip at containment 1.0 through the SAME containment
+    join the AVI/audio legs use."""
+    from cdc_2025_spark.multimodal.phash import (
+        ahash64_from_rgb,
+        video_frame_hashes,
+        video_neardup_pairs,
+    )
+
+    full = make_gif(24, 18, n_frames=6, seed=3)
+    prefix = make_gif(24, 18, n_frames=3, seed=3)
+    other = make_gif(24, 18, n_frames=6, seed=9)
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(full)),
+            (1, bytearray(prefix)),
+            (2, bytearray(other)),
+        ],
+        "media_id long, payload binary",
+    ).repartition(3)
+    fh = video_frame_hashes(media)
+    rows = fh.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["media_id"], []).append(
+            (r["frame_no"], r["ahash"])
+        )
+    for mid, payload in ((0, full), (1, prefix), (2, other)):
+        frames = decode_gif(payload)["frames"]
+        want = [(f, ahash64_from_rgb(fr)) for f, fr in enumerate(frames)]
+        assert sorted(got[mid]) == want, mid
+    pairs = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in video_neardup_pairs(fh, threshold=0.5).collect()
+    }
+    assert pairs.get((0, 1)) == 1.0
+    assert (0, 2) not in pairs and (1, 2) not in pairs
