@@ -77,15 +77,17 @@ pending_r12.register_all()
 #      level bucketed distributed ranks), forecast_conformal (small-
 #      sample types visible with q_hat NULL), stats_chi2 (NULLIF dof
 #      guard) — all inside the lead block anyway.
-#   2. _CHANGED_R12: multimodal_feature_rollup grew two kind rows
-#      this round (image_png_lowdepth through the new sub-byte PNG
-#      decode path; audio_g711 through the new ITU mu-law/A-law
-#      branch of decode_wav) — a changed output on a rows-only
-#      query, so it re-enters the window for a fresh driver row.
+#   2. _CHANGED_R12: two rows-only queries changed output this round
+#      and re-enter the window for fresh driver rows —
+#      multimodal_feature_rollup grew two kind rows
+#      (image_png_lowdepth through the new sub-byte PNG decode path;
+#      audio_g711 through the new ITU mu-law/A-law branch of
+#      decode_wav), and multimodal_video_neardup grew the
+#      cross-family GIF trio (animated GIF + prefix + DIB-AVI of its
+#      decoded frames: 7 -> 10 pinned pairs, test_avi.py).
 #   3. _FILL_R12: the oldest-green ORACLE-BACKED queries — all 27
-#      r8-greens, then the oldest r9-green, CORRECTNESS file order —
-#      the tool's emitted list with the last slot ceded to the
-#      changed re-check above.
+#      r8-greens, CORRECTNESS file order — the tool's emitted list
+#      with the last two slots ceded to the changed re-checks.
 _NEW_R12 = [
     "multimodal_audio_neardup",
     *pending_r12.PENDING_ORDER,
@@ -93,6 +95,7 @@ _NEW_R12 = [
 
 _CHANGED_R12 = [
     "multimodal_feature_rollup",
+    "multimodal_video_neardup",
 ]
 
 _FILL_R12 = [
@@ -111,8 +114,6 @@ _FILL_R12 = [
     "text_quality_yield_curve", "corpus_datacard",
     "text_trigram_stupid_backoff", "text_blocklist_filter",
     "timeseries_seasonal_decompose",
-    # newest green r9, oldest 1 (slot 50 ceded to _CHANGED_R12)
-    "stats_moments_by_segment",
 ]
 
 _VERIFY_FIRST = [

@@ -415,14 +415,18 @@ def multimodal_video_neardup(
     table; ``sf_dir`` unused, the phash query's posture): 8 base
     videos of distinct seeds (4-6 frames), 3 prefix truncations
     (seeds 0-2, 3 frames — the re-upload-of-a-clip case), 2 exact
-    byte-duplicates (seeds 3-4), and 1 CROSS-CODEC re-encode (video
+    byte-duplicates (seeds 3-4), 1 CROSS-CODEC re-encode (video
     0's decoded frames stored as uncompressed DIB — byte-different
-    container, pixel-identical frames). Expected: exactly 7 near-dup
-    pairs, each at containment 1.0 (the DIB re-encode pairs with its
-    MJPEG original AND with the original's prefix truncation). Scale
-    shape: pixels never shuffle; all pairing runs on the (media_id,
-    ahash) frame — one distinct, one equi-join on the hash, grouped
-    counts."""
+    container, pixel-identical frames), and a CROSS-FAMILY trio: a
+    6-frame animated GIF (multimodal/gif.py LZW frames), its 3-frame
+    prefix truncation, and a DIB-AVI re-encode of the GIF's decoded
+    frames — a RIFF container and an LZW container pairing on
+    pixel-identical frames, the strongest "byte dedup can never see
+    this" case. Expected: exactly 10 near-dup pairs, each at
+    containment 1.0 (7 as before + GIF/prefix + GIF/DIB-AVI +
+    prefix/DIB-AVI). Scale shape: pixels never shuffle; all pairing
+    runs on the (media_id, ahash) frame — one distinct, one
+    equi-join on the hash, grouped counts."""
     from cdc_2025_spark.multimodal.avi import (
         decode_avi_frame,
         encode_dib_avi,
@@ -466,6 +470,25 @@ def multimodal_video_neardup(
                     )
                 ),
             )
+        ]
+        # cross-FAMILY trio: animated GIF + its prefix + a DIB-AVI
+        # of the GIF's decoded frames (RIFF vs LZW containers,
+        # pixel-identical frames)
+        from cdc_2025_spark.multimodal.gif import (  # noqa: PLC0415
+            decode_gif,
+            make_gif,
+        )
+
+        gif_full = make_gif(40, 32, n_frames=6, seed=100)
+        rows += [
+            (14, bytearray(gif_full)),
+            (15, bytearray(make_gif(40, 32, n_frames=3, seed=100))),
+            (
+                16,
+                bytearray(
+                    encode_dib_avi(decode_gif(gif_full)["frames"])
+                ),
+            ),
         ]
         return spark.createDataFrame(
             rows, "media_id long, payload binary"

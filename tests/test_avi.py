@@ -248,10 +248,14 @@ def test_idx1_partial_entry_fails_loud():
 
 def test_registered_video_neardup_query(spark):
     """The driver-registered query must produce exactly its documented
-    pairs: the 3 prefix truncations, 2 exact duplicates, and the
+    pairs: the 3 prefix truncations, 2 exact duplicates, the
     cross-codec DIB re-encode of video 0 (pairing with the original
-    AND the original's prefix truncation), each at containment 1.0,
-    and nothing else (distinct base seeds never pair)."""
+    AND the original's prefix truncation), and the cross-FAMILY GIF
+    trio (animated GIF / its prefix / a DIB-AVI of its decoded
+    frames — RIFF and LZW containers pairing on pixel-identical
+    frames), each at containment 1.0, and nothing else (distinct
+    base seeds never pair; GIF patterns never pair with MJPEG
+    patterns)."""
     from cdc_2025_spark.queries.multimodal import (
         multimodal_video_neardup,
     )
@@ -268,6 +272,9 @@ def test_registered_video_neardup_query(spark):
         (3, 11, 1.0),
         (4, 12, 1.0),
         (8, 13, 1.0),
+        (14, 15, 1.0),
+        (14, 16, 1.0),
+        (15, 16, 1.0),
     ]
 
 
