@@ -82,6 +82,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_2025_spark.io import read_table
+from cdc_2025_spark.functions.ranks import bucketed_midranks
 from cdc_2025_spark.queries.pending_r10 import SCORE_MOD
 
 # ---------------------------------------------------------------------------
@@ -2453,58 +2454,13 @@ def stats_spearman_price_quantity(
         marg = cells.groupBy("l_returnflag", col).agg(
             F.sum("cnt").alias("c")
         )
-        rng = marg.groupBy("l_returnflag").agg(
-            F.min(col).cast("double").alias("mn"),
-            F.max(col).cast("double").alias("mx"),
-        )
-        nb = F.lit(SPEARMAN_BUCKETS)
-        b = F.when(
-            F.col("mx") > F.col("mn"),
-            F.least(
-                F.floor(
-                    (F.col(col) - F.col("mn"))
-                    / ((F.col("mx") - F.col("mn")) / nb)
-                ),
-                nb - 1,
-            ),
-        ).otherwise(F.lit(0))
-        bucketed = marg.join(F.broadcast(rng), "l_returnflag").select(
-            "l_returnflag", col, "c", b.cast("long").alias("b")
-        )
-        w_in = (
-            Window.partitionBy("l_returnflag", "b")
-            .orderBy(col)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        cum_in = F.coalesce(F.sum("c").over(w_in), F.lit(0))
-        w_off = (
-            Window.partitionBy("l_returnflag")
-            .orderBy("b")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        offsets = (
-            bucketed.groupBy("l_returnflag", "b")
-            .agg(F.sum("c").alias("bt"))
-            .select(
-                "l_returnflag",
-                "b",
-                F.coalesce(F.sum("bt").over(w_off), F.lit(0)).alias(
-                    "boff"
-                ),
-            )
-        )
-        return (
-            bucketed.withColumn("cum_in", cum_in)
-            .join(F.broadcast(offsets), ["l_returnflag", "b"])
-            .select(
-                "l_returnflag",
-                col,
-                (
-                    F.col("boff")
-                    + F.col("cum_in")
-                    + (F.col("c") + 1) / 2.0
-                ).alias(out),
-            )
+        return bucketed_midranks(
+            marg,
+            col,
+            "c",
+            out,
+            group_cols=("l_returnflag",),
+            n_buckets=SPEARMAN_BUCKETS,
         )
 
     joined = cells.join(
@@ -2613,10 +2569,10 @@ def stats_kruskal_wallis_segments(
     Determinism: midranks are exact rationals (RANK + ties/2); H is
     one float aggregate over the 5-row group frame; p is 6dp-rounded.
 
-    Scale shape: one global rank window over orders (the exact-rank
-    price, documented at the Spearman query — value-grouped midranks
-    are the web-scale twin), one 5-row group collapse, one final
-    row."""
+    Scale shape: one (segment, v) contingency groupBy; GLOBAL exact
+    midranks via the shared two-level bucketed form
+    (functions/ranks.py — no unpartitioned corpus-sized rank
+    window); one 5-row group collapse, one final row."""
     o = read_table(spark, sf_dir, "orders").select(
         "o_custkey", F.col("o_totalprice").alias("v")
     )
@@ -2626,24 +2582,29 @@ def stats_kruskal_wallis_segments(
     j = o.join(cust, o.o_custkey == cust.c_custkey).select(
         "c_mktsegment", "v"
     )
-    w_all = Window.orderBy("v")
-    r = (
-        F.rank().over(w_all)
-        + (F.count("*").over(Window.partitionBy("v")) - 1) / 2.0
+    # value-grouped two-level midranks (functions/ranks.py): ONE
+    # (segment, v) contingency groupBy, GLOBAL ranks from bounded
+    # bucket windows, rank mass joined back on v — no unpartitioned
+    # corpus-sized rank window (the exact-Spearman rewrite's shape)
+    cells = j.groupBy("c_mktsegment", "v").agg(
+        F.count("*").cast("long").alias("cnt")
     )
-    ranked = j.select("c_mktsegment", F.col("v"), r.alias("r"))
-    groups = ranked.groupBy("c_mktsegment").agg(
-        F.count("*").cast("long").alias("ng"),
-        F.avg("r").alias("rbar"),
-    )
-    ties = (
-        ranked.groupBy("v")
-        .agg(F.count("*").alias("t"))
+    marg = cells.groupBy("v").agg(F.sum("cnt").alias("c"))
+    ranks = bucketed_midranks(marg, "v", "c", "r")
+    groups = (
+        cells.join(ranks, "v")
+        .groupBy("c_mktsegment")
         .agg(
-            F.sum(
-                F.col("t") * F.col("t") * F.col("t") - F.col("t")
-            ).alias("tie_sum")
+            F.sum("cnt").cast("long").alias("ng"),
+            (
+                F.sum(F.col("cnt") * F.col("r")) / F.sum("cnt")
+            ).alias("rbar"),
         )
+    )
+    ties = marg.agg(
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie_sum")
     )
     n_tot = Window.partitionBy()
     hstat = (
