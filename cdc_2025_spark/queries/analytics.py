@@ -1444,20 +1444,31 @@ def stats_equidepth_histogram(
     if mode == "kll":
         return _equidepth_kll(li)
     cnt = li.groupBy("v").agg(F.count("*").alias("c"))
-    w_cum = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # rows_below via the shared two-level bucketed rank
+    # (functions/ranks.py): the previous unpartitioned cumulative
+    # window held EVERY distinct price in one task — fine on a
+    # ties-replica 10x (distinct constant), a ceiling when distinct
+    # values grow with the corpus. cum_smaller = midrank - (c+1)/2,
+    # an exact integer-backed rational. The 1-row total broadcasts;
+    # AQE exchange reuse serves both subtrees from one groupBy
+    # shuffle.
+    from cdc_2025_spark.functions.ranks import (  # noqa: PLC0415
+        bucketed_midranks,
     )
-    # total as an unbounded window over the SAME sorted frame — one
-    # WindowExec computes both, so the corpus aggregate is the only
-    # pass over the data (a separate total aggregate would re-scan)
-    w_all = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = cnt.select(
-        "v",
-        "c",
-        F.sum("c").over(w_all).alias("total"),
-        (F.sum("c").over(w_cum) - F.col("c")).alias("rows_below"),
+
+    total = cnt.agg(F.sum("c").alias("total"))
+    ranked = (
+        bucketed_midranks(cnt, "v", "c", "r")
+        .join(cnt, "v")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "v",
+            "c",
+            "total",
+            (F.col("r") - (F.col("c") + 1) / 2.0)
+            .cast("long")
+            .alias("rows_below"),
+        )
     ).select(
         "v",
         "c",
