@@ -39,6 +39,18 @@ Until then tests/test_pending_r13.py runs each query against its
 oracle with the same normalization the driver applies, at
 sf0.001 + sf0.01.
 
+Pre-registration sf0.1 wall times (min-of-2, idle local[32], for
+the round-13 bench.py HEADLINE additions): average precision 0.16 s,
+Brier decomposition 0.22 s, gains/lift deciles 0.25 s, Theil-Sen
+0.33 s, partial corr 0.12 s, Welch t 0.23 s, winsorized/trimmed
+0.31 s, ANOVA/Brown-Forsythe 0.32 s, periodogram 0.27 s, Brown DES
+backtest 0.42 s, local clustering 0.70 s, link prediction 0.75 s,
+assortativity 0.69 s, Nelson-Aalen 0.43 s, l-diversity 0.14 s,
+Simpson diversity 0.21 s, sentence stats 0.15 s, effect sizes
+0.26 s, PPS systematic 0.41 s, MCC/kappa 0.20 s — 6.6 s combined;
+every frame past the first collapse is bounded (score moduli, day
+calendars, 25-node graph, 5-segment moments, bucket totals).
+
 Engine-parity rules inherited from the registry docstring: integer
 frames exact; disc percentiles over 4dp-rounded values for medians;
 float aggregates rounded 4-6dp AFTER the final aggregate; the
