@@ -42,7 +42,16 @@ def bucketed_midranks(
     Returns (group_cols..., value_col, out_col) where out_col is the
     exact midrank of the value within its group:
     cum_smaller + (weight + 1)/2 — identical to
-    RANK() + (ties - 1)/2 over the underlying rows."""
+    RANK() + (ties - 1)/2 over the underlying rows.
+
+    CALLER CONTRACT: ``marg`` fans out to three subtrees here (range
+    agg, bucket assignment, bucket totals), so the caller must pass
+    a frame whose recomputation is cheap — in practice, one derived
+    from a lazily localCheckpoint-ed corpus collapse (un-pinned, each
+    reference re-expands the collapse lineage into its own corpus
+    scan: measured 6 parquet scans in the equi-depth plan, NO
+    adaptive exchange reuse). The helper does not checkpoint
+    internally so a caller-pinned input is not materialized twice."""
     gc = list(group_cols)
     rng_agg = (
         marg.groupBy(*gc).agg(

@@ -1443,7 +1443,14 @@ def stats_equidepth_histogram(
     )
     if mode == "kll":
         return _equidepth_kll(li)
-    cnt = li.groupBy("v").agg(F.count("*").alias("c"))
+    # ONE corpus collapse, materialized: cnt feeds the rank helper,
+    # the total, and the join-back — un-checkpointed, each reference
+    # re-scans the corpus (no adaptive exchange reuse, measured)
+    cnt = (
+        li.groupBy("v")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     # rows_below via the shared two-level bucketed rank
     # (functions/ranks.py): the previous unpartitioned cumulative
     # window held EVERY distinct price in one task — fine on a

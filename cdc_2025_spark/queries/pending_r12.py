@@ -2446,8 +2446,13 @@ def stats_spearman_price_quantity(
         F.col("l_extendedprice").alias("px"),
         F.col("l_quantity").alias("qty"),
     )
-    cells = li.groupBy("l_returnflag", "px", "qty").agg(
-        F.count("*").cast("long").alias("cnt")
+    # the contingency collapse is THE corpus pass — materialized so
+    # the two marginal-rank subtrees and the final join read its
+    # blocks instead of re-scanning (the ranks-helper lesson)
+    cells = (
+        li.groupBy("l_returnflag", "px", "qty")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
 
     def marginal_ranks(col: str, out: str) -> DataFrame:
@@ -2586,8 +2591,10 @@ def stats_kruskal_wallis_segments(
     # (segment, v) contingency groupBy, GLOBAL ranks from bounded
     # bucket windows, rank mass joined back on v — no unpartitioned
     # corpus-sized rank window (the exact-Spearman rewrite's shape)
-    cells = j.groupBy("c_mktsegment", "v").agg(
-        F.count("*").cast("long").alias("cnt")
+    cells = (
+        j.groupBy("c_mktsegment", "v")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     marg = cells.groupBy("v").agg(F.sum("cnt").alias("c"))
     ranks = bucketed_midranks(marg, "v", "c", "r")

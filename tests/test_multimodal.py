@@ -280,8 +280,9 @@ def test_png_decoder_all_filter_types():
 def test_png_decoder_rgba_and_rejects_exotic():
     """RGBA (color type 6) decodes with alpha dropped; 16-bit RGB now
     DECODES (round(v*255/65535) sample scaling — an all-zero stream
-    is an all-black image); sub-byte depths raise NotImplementedError
-    rather than decoding wrongly."""
+    is an all-black image); sub-byte gray now DECODES through the
+    bit-unpack path (r12); only genuinely-undefined shapes (a
+    sub-byte RGB, illegal per spec) still refuse."""
     import struct
     import zlib
 
@@ -323,11 +324,23 @@ def test_png_decoder_rgba_and_rejects_exotic():
     assert decode_png(wide).sum() == 0  # all-black, shape (2, 2, 3)
     assert decode_png(wide).shape == (2, 2, 3)
 
-    bad_ihdr = struct.pack(">IIBBBBB", 2, 2, 1, 0, 0, 0, 0)  # 1-bit
+    # 1-bit gray is now a real decode path (was a refusal through
+    # r11): a one-byte all-zero row per scanline -> all-black 2x2
+    ok_ihdr = struct.pack(">IIBBBBB", 2, 2, 1, 0, 0, 0, 0)
+    ok = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ok_ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\0" * 4))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png(ok).shape == (2, 2, 3)
+    assert decode_png(ok).sum() == 0
+    # sub-byte RGB is illegal per spec and still refuses
+    bad_ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
     bad = (
         _PNG_SIG
         + _png_chunk(b"IHDR", bad_ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"\0" * 4))
+        + _png_chunk(b"IDAT", zlib.compress(b"\0" * 8))
         + _png_chunk(b"IEND", b"")
     )
     with _pytest.raises(NotImplementedError):
@@ -1096,9 +1109,12 @@ class TestPngVariants:
             make_png_variant,
         )
 
-        # sub-byte depth refuses
+        # sub-byte RGB (illegal per spec) refuses; sub-byte GRAY is
+        # a real r12 decode path, so the guard is type-, not
+        # depth-shaped now
         bad = bytearray(make_png_variant(8, 8, 0, color_type=0))
-        bad[24] = 4  # IHDR depth byte
+        bad[24] = 4  # IHDR depth byte: 4-bit...
+        bad[25] = 2  # ...RGB — an illegal combination
         with pytest.raises(NotImplementedError):
             decode_png(bytes(bad))
         # palette without PLTE refuses: build then strip the chunk
@@ -1111,7 +1127,7 @@ class TestPngVariants:
         with pytest.raises(ValueError, match="PLTE"):
             decode_png(bytes(p))
         with pytest.raises(ValueError, match="no variant"):
-            make_png_variant(8, 8, 0, color_type=6, depth=16)
+            make_png_variant(8, 8, 0, color_type=2, depth=4)
 
 
 class TestWavVariants:
@@ -1151,8 +1167,15 @@ class TestWavVariants:
             make_wav(8000, 100, bits=12)
         p = bytearray(make_wav(8000, 100))
         i = bytes(p).index(b"fmt ")
-        struct.pack_into("<H", p, i + 8, 7)  # mu-law
-        with pytest.raises(NotImplementedError, match="format=7"):
+        # mu-law is a REAL r12 path but only at its spec 8-bit width:
+        # a hand-flipped format-7 header still claiming 16 bits
+        # refuses on the width
+        struct.pack_into("<H", p, i + 8, 7)
+        with pytest.raises(NotImplementedError, match="8-bit"):
+            decode_wav(bytes(p))
+        # ADPCM (format 2) stays genuinely unsupported
+        struct.pack_into("<H", p, i + 8, 2)
+        with pytest.raises(NotImplementedError, match="format=2"):
             decode_wav(bytes(p))
         # truncated EXTENSIBLE fmt chunk fails loud
         e = bytearray(make_wav(8000, 100, extensible=True))

@@ -95,16 +95,13 @@ def test_pending_outputs_driver_sortable(spark, name):
     assert not bad, f"{name}: container columns {bad}"
 
 
-def test_pending_registered_and_leading_r11_window():
-    """Round-11 opened the window: every pending query is registered
-    (register_all in queries/__init__.py), oracle-backed, and LEADS
-    the first-50 verification window in PENDING_ORDER."""
+def test_pending_registered_and_oracle_backed():
+    """Round-11 opened its window (the leading-position requirement
+    has since been superseded by the round-12 window): every
+    pending_r11 query stays registered and oracle-backed."""
     from cdc_2025_spark.queries import ORACLES, QUERIES
 
-    names = list(QUERIES)
-    assert names[: len(pending_r11.PENDING_ORDER)] == (
-        pending_r11.PENDING_ORDER
-    )
+    assert set(pending_r11.PENDING_ORDER) <= set(QUERIES)
     assert all(n in ORACLES for n in pending_r11.PENDING_ORDER)
 
 

@@ -516,24 +516,40 @@ def test_analyze_reads_only_statted_columns(spark, sf_dir):
 
 
 def test_equidepth_plan_single_scan_distinct_frame(spark, sf_dir):
-    """Equi-depth histogram must read the corpus ONCE (grouped count
-    onto the distinct-value frame), never ntile/rank rows directly:
-    exactly one parquet scan pruned to the one column, the grouped
-    count below the window (rank work on distinct values, not
-    rows), and the 1-row total riding a broadcast."""
+    """Equi-depth histogram must read the corpus ONCE: the grouped
+    count onto the distinct-value frame is lazily localCheckpoint-ed
+    (one materialized collapse; the r12 bucketed-rank shape), so the
+    final plan holds ZERO parquet scans — every subtree reads the
+    checkpoint's blocks (Scan ExistingRDD) — rank work runs on
+    distinct values through bounded windows, and the only joins are
+    broadcast (bucket offsets, the 1-row total); the COLLAPSE plan
+    itself is pruned to the one column."""
     spark.catalog.clearCache()
     p = plan_of(spark, sf_dir, "stats_equidepth_histogram")
     import re as _re
 
     scans = _re.findall(r"\(\d+\) Scan parquet", p)
-    assert len(scans) == 1, scans
-    read = next(l for l in p.splitlines() if "ReadSchema" in l)
-    assert "l_extendedprice" in read and "l_orderkey" not in read
-    # the window's input is the aggregated distinct frame: a
-    # HashAggregate (grouped count) must appear below the Window,
-    # and there is no join at all — total rides the same window
+    assert len(scans) == 0, scans  # corpus behind ONE checkpoint
+    assert "Scan ExistingRDD" in p
     assert "HashAggregate" in p and "Window" in p
-    assert "Join" not in p
+    assert "SortMergeJoin" not in p  # broadcast-only joins
+    # the checkpointed collapse reads only the price column: pin the
+    # pruning on the collapse plan itself
+    from cdc_2025_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull())
+        .select(F.col("l_extendedprice").alias("v"))
+    )
+    cp = li.groupBy("v").agg(F.count("*").alias("c"))._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    read = next(l for l in cp.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" in read and "l_orderkey" not in read
 
 
 def test_join_cardinality_plan_never_joins_fact_rows(spark, sf_dir):
