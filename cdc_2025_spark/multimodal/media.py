@@ -917,7 +917,7 @@ def make_real_media(
 
 
 def _decode_image_bytes(payload: bytes) -> list[float]:
-    """Image decode kernel. BMP, PNG, JPEG, and GIF payloads take REAL
+    """Image decode kernel. BMP, PNG, JPEG, GIF, and TIFF payloads take REAL
     paths: header parse + pixel decode (stdlib zlib inflate +
     unfilter for PNG; Huffman entropy decode + dequant + IDCT for
     baseline AND progressive JPEG — spectral selection, successive
@@ -950,6 +950,12 @@ def _decode_image_bytes(payload: bytes) -> list[float]:
         # still-image view of a GIF: frame 0 (animation frames are
         # the video kernel's job)
         rgb = decode_gif(payload)["frames"][0]
+    elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from cdc_2025_spark.multimodal.tiff import (  # noqa: PLC0415
+            decode_tiff,
+        )
+
+        rgb = decode_tiff(payload)
     if rgb is not None:
         import numpy as np  # noqa: PLC0415
 

@@ -1,0 +1,397 @@
+"""TIFF (baseline TIFF 6.0) — real, dependency-free encode + decode
+kernels for the lake subset: both byte orders (II little / MM big),
+8-bit grayscale (BlackIsZero AND WhiteIsZero), 8-bit RGB, and 8-bit
+palette images, uncompressed or PackBits (the spec's RLE), assembled
+from any strip layout. The scanned-document format: archives and
+document dumps are full of single-strip uncompressed TIFFs and
+multi-strip PackBits faxes re-saved at 8 bits.
+
+Deliberate refusals (fail loud, never decode wrongly): LZW/JPEG/
+Deflate-compressed TIFF, sub-byte and 16-bit depths, tiled layout,
+planar configuration 2 — each raises with the offending tag value.
+
+Scale posture: like every media kernel here, decode runs inside
+Arrow-batched ``mapInPandas`` tasks; payload bytes never shuffle.
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+
+# tag ids (TIFF 6.0 baseline)
+_T_WIDTH = 256
+_T_HEIGHT = 257
+_T_BITS = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_STRIP_OFFSETS = 273
+_T_SPP = 277
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_COUNTS = 279
+_T_PLANAR = 284
+_T_COLORMAP = 320
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    """Apple PackBits RLE (TIFF 6.0 §9): n in 0..127 -> copy n+1
+    literal bytes; n in -127..-1 -> repeat next byte 1-n times;
+    -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        n = data[i]
+        i += 1
+        if n < 128:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) < expect:
+        raise ValueError(
+            f"PackBits strip decoded {len(out)} of {expect} bytes"
+        )
+    return bytes(out[:expect])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encode: runs of >= 3 equal bytes as replicate
+    packets, everything else as literal packets (both capped at
+    128)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find run length at i
+        j = i
+        while j < n - 1 and data[j] == data[j + 1] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        # literal: until the next >=3 run or 128 bytes
+        j = i
+        while j < n and j - i < 128:
+            if (
+                j + 2 < n
+                and data[j] == data[j + 1] == data[j + 2]
+            ):
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes):
+    """Decode the FIRST IFD of a TIFF into an (height, width, 3)
+    uint8 RGB array. Handles II and MM byte orders, photometric 0
+    (WhiteIsZero — inverted per spec), 1 (BlackIsZero), 2 (RGB) and
+    3 (palette via ColorMap's 16-bit channels >> 8), compression 1
+    (none) and 32773 (PackBits), any strip layout (RowsPerStrip
+    defaults to the full image), inline and offset tag values.
+    Everything else refuses loudly."""
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = _struct.unpack_from(e + "I", payload, 4)
+    (n_tags,) = _struct.unpack_from(e + "H", payload, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for i in range(n_tags):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, cnt = _struct.unpack_from(e + "HHI", payload, base)
+        size = _TYPE_SIZES.get(typ)
+        if size is None:
+            continue  # unknown type: skip per spec
+        total = size * cnt
+        if total <= 4:
+            voff = base + 8
+        else:
+            (voff,) = _struct.unpack_from(e + "I", payload, base + 8)
+        if typ == 3:
+            vals = list(
+                _struct.unpack_from(e + f"{cnt}H", payload, voff)
+            )
+        elif typ == 4:
+            vals = list(
+                _struct.unpack_from(e + f"{cnt}I", payload, voff)
+            )
+        elif typ in (1, 2):
+            vals = list(payload[voff : voff + cnt])
+        else:  # RATIONAL: numerators only (unused here)
+            vals = [
+                _struct.unpack_from(e + "I", payload, voff + 8 * k)[0]
+                for k in range(cnt)
+            ]
+        tags[tag] = vals
+
+    def one(tag: int, default=None):
+        if tag in tags:
+            return tags[tag][0]
+        if default is not None:
+            return default
+        raise ValueError(f"TIFF missing required tag {tag}")
+
+    width, height = one(_T_WIDTH), one(_T_HEIGHT)
+    spp = one(_T_SPP, default=1)
+    bits = tags.get(_T_BITS, [8])
+    comp = one(_T_COMPRESSION, default=1)
+    photo = one(_T_PHOTOMETRIC)
+    planar = one(_T_PLANAR, default=1)
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(
+            f"only 8-bit samples supported (BitsPerSample={bits})"
+        )
+    if comp not in (1, 32773):
+        raise NotImplementedError(
+            f"unsupported TIFF compression {comp}; supported: "
+            "1 (none), 32773 (PackBits)"
+        )
+    if planar != 1:
+        raise NotImplementedError(
+            f"planar configuration {planar} not supported (chunky only)"
+        )
+    if photo not in (0, 1, 2, 3):
+        raise NotImplementedError(
+            f"photometric {photo} not supported (0/1/2/3 only)"
+        )
+    if photo == 2 and spp < 3:
+        raise ValueError("RGB photometric with SamplesPerPixel < 3")
+    offsets = tags.get(_T_STRIP_OFFSETS)
+    counts = tags.get(_T_STRIP_COUNTS)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strip offsets/counts missing or uneven")
+    rps = one(_T_ROWS_PER_STRIP, default=height)
+    row_bytes = width * spp
+    raw = bytearray()
+    rows_left = height
+    for s, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip_rows = min(rps, rows_left)
+        rows_left -= strip_rows
+        expect = strip_rows * row_bytes
+        chunk = payload[off : off + cnt]
+        if comp == 32773:
+            raw += _packbits_decode(chunk, expect)
+        else:
+            if len(chunk) < expect:
+                raise ValueError(
+                    f"strip {s} holds {len(chunk)} of {expect} bytes"
+                )
+            raw += chunk[:expect]
+    px = np.frombuffer(bytes(raw), dtype=np.uint8, count=height * row_bytes)
+    px = px.reshape(height, width, spp)
+    if photo == 2:
+        return px[:, :, :3].copy()  # extra samples (alpha) dropped
+    idx = px[:, :, 0]
+    if photo == 3:
+        cmap = tags.get(_T_COLORMAP)
+        if not cmap:
+            raise ValueError("palette TIFF without a ColorMap")
+        n = len(cmap) // 3
+        if int(idx.max()) >= n:
+            raise ValueError(
+                f"palette index {int(idx.max())} out of range ({n})"
+            )
+        table = (
+            np.asarray(cmap, dtype=np.uint32)
+            .reshape(3, n)
+            .T
+            >> 8
+        ).astype(np.uint8)  # 16-bit channels -> 8-bit per spec
+        return table[idx].copy()
+    g = (255 - idx) if photo == 0 else idx  # WhiteIsZero inverts
+    return np.repeat(g[:, :, None], 3, axis=2).astype(np.uint8).copy()
+
+
+def encode_tiff(
+    rgb=None,
+    gray=None,
+    palette=None,
+    indices=None,
+    compression: int = 1,
+    rows_per_strip: int | None = None,
+    big_endian: bool = False,
+    white_is_zero: bool = False,
+) -> bytes:
+    """Build a baseline TIFF: pass exactly one of ``rgb`` ((h, w, 3)
+    uint8), ``gray`` ((h, w) uint8), or ``palette`` (list of (r,g,b))
+    + ``indices`` ((h, w) ints). ``compression``: 1 (none) or 32773
+    (PackBits). Multi-strip when ``rows_per_strip`` is set — the
+    layout archival scanners emit."""
+    import numpy as np  # noqa: PLC0415
+
+    e = ">" if big_endian else "<"
+    modes = sum(x is not None for x in (rgb, gray, palette))
+    if modes != 1:
+        raise ValueError("pass exactly one of rgb / gray / palette")
+    if compression not in (1, 32773):
+        raise ValueError(f"compression must be 1 or 32773, got {compression}")
+    if rgb is not None:
+        arr = np.asarray(rgb, dtype=np.uint8)
+        h, w, spp = arr.shape
+        photo = 2
+        data = arr.tobytes()
+    elif gray is not None:
+        arr = np.asarray(gray, dtype=np.uint8)
+        h, w = arr.shape
+        spp = 1
+        photo = 0 if white_is_zero else 1
+        data = ((255 - arr) if white_is_zero else arr).tobytes()
+    else:
+        if indices is None:
+            raise ValueError("palette mode needs indices")
+        arr = np.asarray(indices, dtype=np.uint8)
+        h, w = arr.shape
+        spp = 1
+        photo = 3
+        if not 2 <= len(palette) <= 256:
+            raise ValueError("palette must hold 2..256 colors")
+        if int(arr.max()) >= len(palette):
+            raise ValueError("palette index out of range")
+        data = arr.tobytes()
+    rps = rows_per_strip or h
+    row_bytes = w * spp
+    strips = []
+    for y0 in range(0, h, rps):
+        strip = data[y0 * row_bytes : min(y0 + rps, h) * row_bytes]
+        if compression == 32773:
+            strip = _packbits_encode(strip)
+        strips.append(strip)
+
+    entries = []  # (tag, type, count, values)
+    entries.append((_T_WIDTH, 4, 1, [w]))
+    entries.append((_T_HEIGHT, 4, 1, [h]))
+    entries.append((_T_BITS, 3, spp, [8] * spp))
+    entries.append((_T_COMPRESSION, 3, 1, [compression]))
+    entries.append((_T_PHOTOMETRIC, 3, 1, [photo]))
+    entries.append((_T_STRIP_OFFSETS, 4, len(strips), None))  # fixed later
+    entries.append((_T_SPP, 3, 1, [spp]))
+    entries.append((_T_ROWS_PER_STRIP, 4, 1, [rps]))
+    entries.append(
+        (_T_STRIP_COUNTS, 4, len(strips), [len(s) for s in strips])
+    )
+    cmap_vals = None
+    if photo == 3:
+        n = len(palette)
+        cmap_vals = (
+            [r << 8 for r, _, _ in palette] + [0] * (0)
+            + [g << 8 for _, g, _ in palette]
+            + [b << 8 for _, _, b in palette]
+        )
+        entries.append((_T_COLORMAP, 3, 3 * n, cmap_vals))
+    entries.sort(key=lambda t: t[0])
+
+    # layout: header(8) + IFD + overflow values + strip data
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    overflow_off = ifd_off + ifd_size
+    overflow = bytearray()
+
+    def value_bytes(typ, vals):
+        fmt = {3: "H", 4: "I"}[typ]
+        return b"".join(_struct.pack(e + fmt, v) for v in vals)
+
+    # first pass: compute overflow sizes (strip offsets resolved after)
+    sizes = {}
+    for tag, typ, cnt, vals in entries:
+        sizes[tag] = _TYPE_SIZES[typ] * cnt
+    data_off = overflow_off + sum(s for s in sizes.values() if s > 4)
+    strip_offsets = []
+    pos = data_off
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+
+    ifd = bytearray()
+    ifd += _struct.pack(e + "H", len(entries))
+    for tag, typ, cnt, vals in entries:
+        if tag == _T_STRIP_OFFSETS:
+            vals = strip_offsets
+        vb = value_bytes(typ, vals)
+        ifd += _struct.pack(e + "HHI", tag, typ, cnt)
+        if len(vb) <= 4:
+            ifd += vb.ljust(4, b"\x00")
+        else:
+            ifd += _struct.pack(e + "I", overflow_off + len(overflow))
+            overflow += vb
+    ifd += _struct.pack(e + "I", 0)  # no next IFD
+
+    header = (b"MM\x00*" if big_endian else b"II*\x00") + _struct.pack(
+        e + "I", ifd_off
+    )
+    return header + bytes(ifd) + bytes(overflow) + b"".join(strips)
+
+
+def make_tiff(
+    width: int,
+    height: int,
+    seed: int = 0,
+    mode: str = "gray",
+    compression: int = 1,
+    rows_per_strip: int | None = None,
+    big_endian: bool = False,
+) -> bytes:
+    """Deterministic seeded-pattern TIFF twins of the other builders:
+    ``gray`` uses the PNG gray formula (decodes equal to the gray-PNG
+    twin), ``rgb`` the BMP pattern (decodes equal to the BMP twin),
+    ``palette`` the shared 16-entry table + (x+y+seed)%16 indices
+    (decodes equal to the palette-PNG/GIF twins)."""
+    import numpy as np  # noqa: PLC0415
+
+    if mode == "gray":
+        g = np.fromfunction(
+            lambda y, x: (x * 13 + y * 17 + seed * 3) % 256,
+            (height, width),
+        ).astype(np.uint8)
+        return encode_tiff(
+            gray=g,
+            compression=compression,
+            rows_per_strip=rows_per_strip,
+            big_endian=big_endian,
+        )
+    if mode == "rgb":
+        r = np.fromfunction(
+            lambda y, x: (x * 13 + y * 17 + seed * 3) % 256,
+            (height, width),
+        )
+        g = np.fromfunction(
+            lambda y, x: (x * 5 + y * 11 + seed * 2) % 256,
+            (height, width),
+        )
+        b = np.fromfunction(
+            lambda y, x: (x * 7 + y * 3 + seed) % 256,
+            (height, width),
+        )
+        return encode_tiff(
+            rgb=np.stack([r, g, b], axis=2).astype(np.uint8),
+            compression=compression,
+            rows_per_strip=rows_per_strip,
+            big_endian=big_endian,
+        )
+    if mode == "palette":
+        plte = [
+            ((i * 16 + 3) % 256, (i * 31 + 7) % 256, (i * 5 + 11) % 256)
+            for i in range(16)
+        ]
+        idx = np.fromfunction(
+            lambda y, x: (x + y + seed) % 16, (height, width)
+        ).astype(np.uint8)
+        return encode_tiff(
+            palette=plte,
+            indices=idx,
+            compression=compression,
+            rows_per_strip=rows_per_strip,
+            big_endian=big_endian,
+        )
+    raise ValueError(f"unknown mode {mode!r}")
