@@ -693,6 +693,8 @@ def make_real_media(
     n_png16: int = 0,
     n_png_lowdepth: int = 0,
     n_g711: int = 0,
+    n_tiff: int = 0,
+    n_gif: int = 0,
 ) -> DataFrame:
     """Media rows with REAL payloads: uncompressed 24-bit BMPs,
     zlib-compressed PNGs, baseline JPEGs (Huffman + DCT,
@@ -803,6 +805,55 @@ def make_real_media(
                     )
                 ),
                 (w, h, 0, f"png{depth}"),
+            )
+        )
+    for i in range(n_tiff):
+        # baseline TIFFs of the SAME rgb pattern as BMP row i —
+        # lossless twins (alternating byte order / compression /
+        # strip layout so all decoder paths ride the rollup)
+        from cdc_2025_spark.multimodal.tiff import (  # noqa: PLC0415
+            make_tiff,
+        )
+
+        w, h = 32 + (i % 4) * 8, 24 + (i % 3) * 8
+        rows.append(
+            (
+                n_images + n_audio + n_png + n_jpeg + n_flac
+                + n_avi + n_flac_stereo + n_jpeg12 + n_png16
+                + n_png_lowdepth + n_g711 + i,
+                "image",
+                bytearray(
+                    make_tiff(
+                        w,
+                        h,
+                        seed=i,
+                        mode="rgb",
+                        compression=32773 if i % 2 else 1,
+                        rows_per_strip=7 if i % 3 == 2 else None,
+                        big_endian=bool(i % 2),
+                    )
+                ),
+                (w, h, 0, "tiff"),
+            )
+        )
+    for i in range(n_gif):
+        # single-frame GIFs of the shared palette pattern (the
+        # palette-PNG/GIF/TIFF twin family), interlace alternating
+        from cdc_2025_spark.multimodal.gif import (  # noqa: PLC0415
+            make_gif,
+        )
+
+        w, h = 32 + (i % 4) * 8, 24 + (i % 3) * 8
+        rows.append(
+            (
+                n_images + n_audio + n_png + n_jpeg + n_flac
+                + n_avi + n_flac_stereo + n_jpeg12 + n_png16
+                + n_png_lowdepth + n_g711 + n_tiff + i,
+                "image",
+                bytearray(
+                    make_gif(w, h, seed=i, interlace=bool(i % 2))
+                ),
+                (w, h, 0, "gif"),
             )
         )
     for i in range(n_g711):

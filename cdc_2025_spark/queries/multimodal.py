@@ -31,6 +31,8 @@ _JPEG_BAND = 2000
 _JPEG12_BAND = 2500
 _AVI_BAND = 3000
 _PNGLOW_BAND = 3500
+_TIFF_BAND = 4000
+_GIF_BAND = 4500
 
 # Session-level memo for the generated media corpora (the _CENT_CACHE
 # posture): payloads are deterministic and sf-independent, but
@@ -131,6 +133,19 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, n_images=0, n_audio=0, n_png_lowdepth=6
         ),
     )
+    # baseline TIFFs: lossless rgb twins of the BMP rows (both byte
+    # orders, none/PackBits, single/multi-strip) — image_tiff metrics
+    # must equal image_bmp EXACTLY
+    real_tiff = _media_input(
+        spark, "real_tiff",
+        lambda: make_real_media(spark, n_images=0, n_audio=0, n_tiff=8),
+    )
+    # single-frame GIFs of the shared palette pattern (LZW decode
+    # path; interlace alternating)
+    real_gif = _media_input(
+        spark, "real_gif",
+        lambda: make_real_media(spark, n_images=0, n_audio=0, n_gif=6),
+    )
 
     img = extract_image_features(images).agg(
         F.lit("image").alias("kind"),
@@ -213,6 +228,16 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "media_id", F.col("media_id") + _PNGLOW_BAND
             )
         )
+        .unionByName(
+            real_tiff.withColumn(
+                "media_id", F.col("media_id") + _TIFF_BAND
+            )
+        )
+        .unionByName(
+            real_gif.withColumn(
+                "media_id", F.col("media_id") + _GIF_BAND
+            )
+        )
         # spread the 40 container payloads across tasks so the
         # pure-Python baseline-JPEG decode (the documented slow path)
         # keeps per-image parallelism — coalescing this union was
@@ -230,7 +255,9 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_container = (
         extract_image_features(containers)
         .groupBy(
-            F.when(F.col("media_id") >= _PNGLOW_BAND, "image_png_lowdepth")
+            F.when(F.col("media_id") >= _GIF_BAND, "image_gif")
+            .when(F.col("media_id") >= _TIFF_BAND, "image_tiff")
+            .when(F.col("media_id") >= _PNGLOW_BAND, "image_png_lowdepth")
             .when(F.col("media_id") >= _JPEG12_BAND, "image_jpeg12")
             .when(F.col("media_id") >= _JPEG_BAND, "image_jpeg")
             .when(F.col("media_id") >= _PNG16_BAND, "image_png16")

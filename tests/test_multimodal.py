@@ -475,7 +475,8 @@ def test_feature_rollup_includes_real_kernels(spark):
     assert set(rows) == {
         "image", "audio", "video", "image_bmp", "image_png",
         "image_png16", "image_jpeg", "image_jpeg12",
-        "image_png_lowdepth", "image_resized",
+        "image_png_lowdepth", "image_tiff", "image_gif",
+        "image_resized",
         "audio_wav", "audio_flac", "audio_flac_stereo", "audio_g711",
         "video_mjpeg",
     }
@@ -557,6 +558,17 @@ def test_feature_rollup_includes_real_kernels(spark):
     assert rows["image_png_lowdepth"]["n_rows"] == 6
     assert 0.0 < rows["image_png_lowdepth"]["avg_metric"] <= 1.0
     assert rows["image_png_lowdepth"]["max_metric"] == 1.0  # 1-bit gray hits 255
+    # baseline TIFFs are LOSSLESS rgb twins of the BMP rows (both
+    # byte orders, none/PackBits, single/multi-strip): every metric
+    # identical to image_bmp
+    assert rows["image_tiff"]["n_rows"] == 8
+    assert rows["image_tiff"]["avg_metric"] == rows["image_bmp"]["avg_metric"]
+    assert rows["image_tiff"]["max_metric"] == rows["image_bmp"]["max_metric"]
+    # GIFs (LZW decode, interlace alternating): 6 palette-pattern
+    # rows with bounded non-degenerate metrics
+    assert rows["image_gif"]["n_rows"] == 6
+    assert 0.0 < rows["image_gif"]["avg_metric"] < 1.0
+    assert 0.0 < rows["image_gif"]["max_metric"] <= 1.0
 
 
 def test_video_frame_sampling_cardinality(spark):
