@@ -1,0 +1,228 @@
+"""Versioned parquet tables: snapshots, time travel, rollback,
+vacuum — the lakehouse transaction-log core (the public Delta /
+Iceberg design) in its plain-parquet form.
+
+Layout::
+
+    <table>/
+      _manifests/v00000001.json   # one immutable manifest per commit
+      data/<version>-<nonce>/     # one immutable data dir per write
+
+A manifest lists the data dirs that make up its snapshot, so a
+version is READ by unioning exactly those dirs — writers never
+mutate existing files, readers never see a half-commit. The commit
+protocol is write-data -> write-manifest-tmp -> hard-LINK into place:
+``os.link`` fails if the target exists, which makes version
+assignment an atomic compare-and-swap — two concurrent writers race
+for the same version number and exactly one wins (optimistic
+concurrency, the Delta protocol's conflict rule); the loser retries
+against the new latest snapshot. A crash before the link leaves an
+orphan data dir that no manifest references — invisible to every
+reader, reclaimed by ``vacuum``.
+
+Scale posture: manifests are a few KB of JSON regardless of table
+size (they list directories, not rows); data dirs are written by
+ordinary distributed writers; reads are plain multi-path parquet
+scans with all the usual pushdown/pruning. The production next rung
+— per-file min/max stats in the manifest for manifest-level data
+skipping — is exactly what the real formats add; out of scope here
+and noted, not faked. Schema is pinned at table creation: an append
+with a different schema REFUSES (schema evolution is a format
+feature, silently unioning mismatched schemas is a corruption).
+
+Reference surface: the reference repo overwrites its CSV outputs in
+place on every run (resilience.py:82) — this is the operator that
+makes such outputs reproducible, diffable, and recoverable at lake
+scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, _MANIFEST_DIR, f"v{version:08d}.json")
+
+
+def _list_versions(path: str) -> list[int]:
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for f in os.listdir(mdir):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(_manifest_path(path, version)) as f:
+        return json.load(f)
+
+
+def latest_version(path: str) -> int | None:
+    """Highest committed version, or None for a non-table path."""
+    vs = _list_versions(path)
+    return vs[-1] if vs else None
+
+
+def history(path: str) -> list[dict]:
+    """Every committed manifest, oldest first — the table's audit
+    log (version, operation, parent, data dirs, row count, schema,
+    commit wall time)."""
+    return [_read_manifest(path, v) for v in _list_versions(path)]
+
+
+def write_versioned(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    max_retries: int = 5,
+) -> int:
+    """Commit ``df`` as a new snapshot. ``mode='append'`` adds the
+    rows to the latest snapshot; ``'overwrite'`` replaces it.
+    Returns the committed version. Retries the version CAS up to
+    ``max_retries`` times on a concurrent-writer conflict."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append/overwrite, got {mode!r}")
+    os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
+    os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+    schema_ddl = df.schema.simpleString()
+    n_rows = df.count()
+    for attempt in range(max_retries):
+        vs = _list_versions(path)
+        version = (vs[-1] + 1) if vs else 1
+        if vs:
+            prev = _read_manifest(path, vs[-1])
+            if prev["schema"] != schema_ddl:
+                raise ValueError(
+                    "schema mismatch vs the table's pinned schema: "
+                    f"{schema_ddl} != {prev['schema']} — schema "
+                    "evolution is out of scope, refusing to union "
+                    "mismatched snapshots"
+                )
+        nonce = f"{os.getpid():x}{int(time.time() * 1e6) & 0xFFFFFF:x}a{attempt}"
+        rel_dir = f"{_DATA_DIR}/{version:08d}-{nonce}"
+        data_dir = os.path.join(path, rel_dir)
+        df.write.mode("overwrite").parquet(data_dir)
+        if mode == "append" and vs:
+            dirs = prev["data_dirs"] + [rel_dir]
+            total = prev["n_rows"] + n_rows
+        else:
+            dirs = [rel_dir]
+            total = n_rows
+        manifest = {
+            "version": version,
+            "parent": vs[-1] if vs else None,
+            "operation": mode if vs else "create",
+            "data_dirs": dirs,
+            "n_rows": total,
+            "schema": schema_ddl,
+            "committed_at": time.time(),
+        }
+        tmp = _manifest_path(path, version) + f".tmp-{nonce}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            # os.link fails with EEXIST if another writer took this
+            # version — the atomic compare-and-swap of the protocol
+            os.link(tmp, _manifest_path(path, version))
+            os.unlink(tmp)
+            return version
+        except FileExistsError:
+            os.unlink(tmp)
+            shutil.rmtree(data_dir, ignore_errors=True)
+            continue  # retry against the new latest
+    raise RuntimeError(
+        f"lost the version CAS {max_retries} times — writer storm; "
+        "raise max_retries or serialize the writers"
+    )
+
+
+def read_versioned(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot: the latest, or TIME TRAVEL to any committed
+    ``version``. Reads exactly the manifest's data dirs — orphan
+    dirs from crashed writers are invisible by construction."""
+    vs = _list_versions(path)
+    if not vs:
+        raise ValueError(f"{path} holds no committed versions")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise ValueError(
+            f"version {v} does not exist (committed: {vs[0]}..{vs[-1]})"
+        )
+    m = _read_manifest(path, v)
+    return spark.read.parquet(
+        *[os.path.join(path, d) for d in m["data_dirs"]]
+    )
+
+
+def rollback(path: str, version: int) -> int:
+    """NON-destructive rollback: commit a new manifest whose data
+    dirs are exactly ``version``'s — history is preserved (the bad
+    versions stay readable for forensics), readers of 'latest' see
+    the restored snapshot. Returns the new version."""
+    vs = _list_versions(path)
+    if version not in vs:
+        raise ValueError(f"cannot roll back to missing version {version}")
+    target = _read_manifest(path, version)
+    new_v = vs[-1] + 1
+    manifest = {
+        "version": new_v,
+        "parent": vs[-1],
+        "operation": f"rollback:{version}",
+        "data_dirs": target["data_dirs"],
+        "n_rows": target["n_rows"],
+        "schema": target["schema"],
+        "committed_at": time.time(),
+    }
+    tmp = _manifest_path(path, new_v) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.link(tmp, _manifest_path(path, new_v))
+    os.unlink(tmp)
+    return new_v
+
+
+def vacuum(path: str, keep_last: int = 1) -> dict:
+    """Reclaim space: expire all but the last ``keep_last`` manifests,
+    then delete every data dir no surviving manifest references —
+    including orphans from crashed writers. Order matters for crash
+    safety: manifests are removed FIRST, so a crash mid-vacuum can
+    only leave unreferenced-but-present dirs (re-vacuum cleans them),
+    never a manifest pointing at deleted data. Returns
+    ``{"manifests_removed", "data_dirs_removed"}``."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = _list_versions(path)
+    expire = vs[:-keep_last]
+    for v in expire:
+        os.unlink(_manifest_path(path, v))
+    referenced = set()
+    for v in _list_versions(path):
+        referenced.update(_read_manifest(path, v)["data_dirs"])
+    ddir = os.path.join(path, _DATA_DIR)
+    removed = []
+    for d in sorted(os.listdir(ddir)) if os.path.isdir(ddir) else []:
+        rel = f"{_DATA_DIR}/{d}"
+        if rel not in referenced:
+            shutil.rmtree(os.path.join(ddir, d), ignore_errors=True)
+            removed.append(rel)
+    return {
+        "manifests_removed": len(expire),
+        "data_dirs_removed": len(removed),
+    }

@@ -1,0 +1,136 @@
+"""Versioned parquet tables (versioned.py): snapshot isolation, time
+travel, rollback, vacuum, the os.link version CAS, crash-orphan
+invisibility, and the schema pin."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from cdc_2025_spark.versioned import (
+    history,
+    latest_version,
+    read_versioned,
+    rollback,
+    vacuum,
+    write_versioned,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _mk(spark, vals):
+    return spark.createDataFrame(
+        [(i, v) for i, v in vals], "id long, v string"
+    )
+
+
+def test_append_overwrite_time_travel(spark, tmp_path):
+    """Each commit is a readable version; time travel reproduces
+    every historical snapshot exactly; latest follows the log."""
+    t = str(tmp_path / "tbl")
+    v1 = write_versioned(_mk(spark, [(1, "a"), (2, "b")]), t)
+    v2 = write_versioned(_mk(spark, [(3, "c")]), t, mode="append")
+    v3 = write_versioned(_mk(spark, [(9, "z")]), t, mode="overwrite")
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert latest_version(t) == 3
+    assert _rows(read_versioned(spark, t, 1)) == [(1, "a"), (2, "b")]
+    assert _rows(read_versioned(spark, t, 2)) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    assert _rows(read_versioned(spark, t)) == [(9, "z")]
+    h = history(t)
+    assert [m["operation"] for m in h] == ["create", "append", "overwrite"]
+    assert [m["n_rows"] for m in h] == [2, 3, 1]
+
+
+def test_rollback_is_nondestructive(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_versioned(_mk(spark, [(1, "a")]), t)
+    write_versioned(_mk(spark, [(2, "bad")]), t, mode="overwrite")
+    v3 = rollback(t, 1)
+    assert v3 == 3
+    assert _rows(read_versioned(spark, t)) == [(1, "a")]
+    # the bad version stays readable for forensics
+    assert _rows(read_versioned(spark, t, 2)) == [(2, "bad")]
+    assert history(t)[-1]["operation"] == "rollback:1"
+
+
+def test_version_cas_conflict_retries(spark, tmp_path):
+    """A pre-taken version number (simulated concurrent writer) makes
+    the commit retry and land on the NEXT version — never overwrite
+    the winner's manifest."""
+    t = str(tmp_path / "tbl")
+    write_versioned(_mk(spark, [(1, "a")]), t)
+    # simulate a racing writer owning v2
+    fake = {
+        "version": 2, "parent": 1, "operation": "append",
+        "data_dirs": history(t)[0]["data_dirs"], "n_rows": 1,
+        "schema": "struct<id:bigint,v:string>", "committed_at": 0,
+    }
+    with open(os.path.join(t, "_manifests", "v00000002.json"), "w") as f:
+        json.dump(fake, f)
+    v = write_versioned(_mk(spark, [(5, "e")]), t, mode="append")
+    assert v == 3
+    assert json.load(
+        open(os.path.join(t, "_manifests", "v00000002.json"))
+    ) == fake  # the winner's manifest untouched
+
+
+def test_schema_pin_refuses_mismatch(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    write_versioned(_mk(spark, [(1, "a")]), t)
+    other = spark.createDataFrame([(1.5,)], "x double")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_versioned(other, t, mode="append")
+
+
+def test_crash_orphan_invisible_and_vacuumed(spark, tmp_path):
+    """A data dir with no manifest (a writer that crashed before the
+    CAS) is invisible to every read and reclaimed by vacuum."""
+    t = str(tmp_path / "tbl")
+    write_versioned(_mk(spark, [(1, "a")]), t)
+    orphan = os.path.join(t, "data", "99999999-deadbeef")
+    _mk(spark, [(7, "junk")]).write.parquet(orphan)
+    assert _rows(read_versioned(spark, t)) == [(1, "a")]
+    out = vacuum(t, keep_last=5)
+    assert out["data_dirs_removed"] == 1
+    assert not os.path.exists(orphan)
+    assert _rows(read_versioned(spark, t)) == [(1, "a")]
+
+
+def test_vacuum_expires_history_keeps_live_data(spark, tmp_path):
+    """Vacuum drops old manifests and exactly the data dirs no
+    surviving manifest references; the kept snapshots stay intact
+    (an append chain shares dirs across manifests — shared dirs
+    survive)."""
+    t = str(tmp_path / "tbl")
+    write_versioned(_mk(spark, [(1, "a")]), t)
+    write_versioned(_mk(spark, [(2, "b")]), t, mode="append")
+    write_versioned(_mk(spark, [(9, "z")]), t, mode="overwrite")
+    write_versioned(_mk(spark, [(10, "y")]), t, mode="append")
+    out = vacuum(t, keep_last=2)
+    assert out["manifests_removed"] == 2
+    # v1/v2's dirs (a, b) are unreferenced by v3/v4 -> removed
+    assert out["data_dirs_removed"] == 2
+    assert _rows(read_versioned(spark, t)) == [(9, "z"), (10, "y")]
+    assert _rows(read_versioned(spark, t, 3)) == [(9, "z")]
+    with pytest.raises(ValueError, match="does not exist"):
+        read_versioned(spark, t, 1)
+
+
+def test_validations(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    with pytest.raises(ValueError, match="no committed"):
+        read_versioned(spark, t)
+    write_versioned(_mk(spark, [(1, "a")]), t)
+    with pytest.raises(ValueError, match="mode"):
+        write_versioned(_mk(spark, [(2, "b")]), t, mode="merge")
+    with pytest.raises(ValueError, match="missing version"):
+        rollback(t, 7)
+    with pytest.raises(ValueError, match="keep_last"):
+        vacuum(t, keep_last=0)
