@@ -134,3 +134,84 @@ def test_validations(spark, tmp_path):
         rollback(t, 7)
     with pytest.raises(ValueError, match="keep_last"):
         vacuum(t, keep_last=0)
+
+
+def test_cdc_upsert_stream_into_versioned_table(spark, tmp_path):
+    """Integration: a CDC change stream maintained through
+    foreachBatch + apply_changes_batch, COMMITTED per microbatch as
+    a versioned snapshot — time travel reproduces every mid-stream
+    state, and a rollback undoes a bad batch without losing the
+    audit trail. The versioned table is the crash-safe store the
+    per-batch overwrite pattern lacks (a killed writer leaves an
+    invisible orphan, never a torn snapshot)."""
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_2025_spark.streaming.cdc import apply_changes_batch
+
+    src = str(tmp_path / "changes")
+    os.makedirs(src)
+    batches = [
+        [(1, "a", "I", 1.0), (2, "b", "I", 2.0)],
+        [(1, "a2", "U", 3.0), (3, "c", "I", 4.0)],
+        [(2, None, "D", 5.0)],
+    ]
+    for i, rows in enumerate(batches):
+        tbl = pa.table(
+            {
+                "k": pa.array([r[0] for r in rows], pa.int64()),
+                "val": pa.array([r[1] for r in rows], pa.string()),
+                "op": pa.array([r[2] for r in rows], pa.string()),
+                "op_ts": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        )
+        p = os.path.join(src, f"b{i:03d}.parquet")
+        pq.write_table(tbl, p)
+        t = _time.time() + i
+        os.utime(p, (t, t))
+
+    table = str(tmp_path / "snap")
+    stream = (
+        spark.readStream.schema(
+            "k long, val string, op string, op_ts double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def sink(batch_df, _bid):
+        if batch_df.isEmpty():
+            return
+        prev = (
+            read_versioned(spark, table)
+            if latest_version(table)
+            else None
+        )
+        nxt = apply_changes_batch(prev, batch_df, ["k"])
+        write_versioned(nxt, table, mode="overwrite")
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def snap(v=None):
+        return sorted(
+            (r["k"], r["val"])
+            for r in read_versioned(spark, table, v).collect()
+        )
+
+    assert latest_version(table) == 3
+    assert snap(1) == [(1, "a"), (2, "b")]
+    assert snap(2) == [(1, "a2"), (2, "b"), (3, "c")]
+    assert snap() == [(1, "a2"), (3, "c")]  # delete applied
+    # batch 3 was "bad": roll back to the v2 state, audit preserved
+    rollback(table, 2)
+    assert snap() == [(1, "a2"), (2, "b"), (3, "c")]
+    assert snap(3) == [(1, "a2"), (3, "c")]
+    assert history(table)[-1]["operation"] == "rollback:2"
