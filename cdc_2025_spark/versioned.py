@@ -226,3 +226,69 @@ def vacuum(path: str, keep_last: int = 1) -> dict:
         "manifests_removed": len(expire),
         "data_dirs_removed": len(removed),
     }
+
+
+def optimize_versioned(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    zorder_cols: list[str] | None = None,
+) -> int:
+    """Delta-OPTIMIZE for a versioned table: rewrite the LATEST
+    snapshot's (possibly fragmented, append-accumulated) data dirs
+    into one compacted — optionally Z-ordered — data dir, committed
+    as a NEW version whose rows are identical. Readers never block:
+    the rewrite happens beside the live table and lands through the
+    same manifest CAS as any write; time travel to pre-optimize
+    versions still works until ``vacuum`` reclaims them. Returns the
+    committed version."""
+    from cdc_2025_spark.layout import write_zordered
+
+    df = read_versioned(spark, path)
+    vs = _list_versions(path)
+    version = vs[-1] + 1
+    prev = _read_manifest(path, vs[-1])
+    total_bytes = 0
+    for d in prev["data_dirs"]:
+        full = os.path.join(path, d)
+        for root, _dirs, files in os.walk(full):
+            total_bytes += sum(
+                os.path.getsize(os.path.join(root, f)) for f in files
+            )
+    n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    nonce = f"{os.getpid():x}{int(time.time() * 1e6) & 0xFFFFFF:x}opt"
+    rel_dir = f"{_DATA_DIR}/{version:08d}-{nonce}"
+    data_dir = os.path.join(path, rel_dir)
+    if zorder_cols:
+        write_zordered(df, data_dir, zorder_cols, n_files=int(n_files))
+    else:
+        df.repartition(int(n_files)).write.mode("overwrite").parquet(
+            data_dir
+        )
+    manifest = {
+        "version": version,
+        "parent": vs[-1],
+        "operation": (
+            f"optimize:zorder:{','.join(zorder_cols)}"
+            if zorder_cols
+            else "optimize"
+        ),
+        "data_dirs": [rel_dir],
+        "n_rows": prev["n_rows"],
+        "schema": prev["schema"],
+        "committed_at": time.time(),
+    }
+    tmp = _manifest_path(path, version) + f".tmp-{nonce}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, _manifest_path(path, version))
+        os.unlink(tmp)
+    except FileExistsError:
+        os.unlink(tmp)
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise RuntimeError(
+            "optimize lost the version CAS to a concurrent writer — "
+            "re-run against the new snapshot"
+        )
+    return version

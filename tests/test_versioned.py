@@ -215,3 +215,47 @@ def test_cdc_upsert_stream_into_versioned_table(spark, tmp_path):
     assert snap() == [(1, "a2"), (2, "b"), (3, "c")]
     assert snap(3) == [(1, "a2"), (3, "c")]
     assert history(table)[-1]["operation"] == "rollback:2"
+
+
+def test_optimize_compacts_and_preserves_rows(spark, tmp_path):
+    """OPTIMIZE rewrites an append-fragmented table into one data dir
+    as a NEW version with identical rows; pre-optimize versions stay
+    time-travelable; vacuum then reclaims the fragments."""
+    from cdc_2025_spark.versioned import optimize_versioned
+
+    t = str(tmp_path / "tbl")
+    for i in range(5):
+        write_versioned(
+            _mk(spark, [(i * 10 + j, f"v{i}") for j in range(4)]),
+            t,
+            mode="append" if i else "overwrite",
+        )
+    before = _rows(read_versioned(spark, t))
+    assert len(history(t)[-1]["data_dirs"]) == 5  # fragmented
+    v = optimize_versioned(spark, t, target_file_mb=128)
+    assert v == 6
+    m = history(t)[-1]
+    assert m["operation"] == "optimize"
+    assert len(m["data_dirs"]) == 1
+    assert _rows(read_versioned(spark, t)) == before
+    assert _rows(read_versioned(spark, t, 5)) == before  # time travel
+    out = vacuum(t, keep_last=1)
+    assert out["data_dirs_removed"] == 5
+    assert _rows(read_versioned(spark, t)) == before
+
+
+def test_optimize_zorder_files_cluster(spark, tmp_path):
+    """OPTIMIZE ZORDER lays the rewrite out in Morton order: the
+    operation is recorded in the manifest and rows are preserved."""
+    from cdc_2025_spark.versioned import optimize_versioned
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100, float(i % 50)) for i in range(2000)],
+        "id long, a long, b double",
+    )
+    write_versioned(df, t)
+    v = optimize_versioned(spark, t, zorder_cols=["a", "b"])
+    m = history(t)[-1]
+    assert v == 2 and m["operation"] == "optimize:zorder:a,b"
+    assert _rows(read_versioned(spark, t)) == _rows(df)
