@@ -292,3 +292,54 @@ def optimize_versioned(
             "re-run against the new snapshot"
         )
     return version
+
+
+def diff_versions(
+    spark: SparkSession,
+    path: str,
+    v_old: int,
+    v_new: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Keyed semantic diff between two committed snapshots: one row
+    per changed key with change in ('added', 'removed', 'changed') —
+    the versioned-table form of the dedup family's snapshot diff,
+    and the audit primitive a rollback decision reads first
+    ("what exactly did version N change?").
+
+    Scale shape: one full-outer null-safe key join between the two
+    snapshot reads; change classification compares the non-key
+    columns as a struct (engine-side, no row materialization);
+    output is bounded by the churn, not the table."""
+    from pyspark.sql import functions as F
+
+    old = read_versioned(spark, path, v_old)
+    new = read_versioned(spark, path, v_new)
+    if old.schema != new.schema:
+        raise ValueError("snapshots disagree on schema")
+    rest = [c for c in old.columns if c not in key_cols]
+    # literal presence markers: a struct of NULL fields is NOT null
+    # in Spark, and key columns may legitimately be NULL — a lit(1)
+    # on each side is the only presence test that survives both
+    old = old.withColumn("_p", F.lit(1))
+    new = new.withColumn("_p", F.lit(1))
+    cond = None
+    for k in key_cols:
+        term = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = term if cond is None else cond & term
+    j = old.alias("o").join(new.alias("n"), cond, "full_outer")
+    o_rest = F.struct(*[F.col(f"o.{c}") for c in rest])
+    n_rest = F.struct(*[F.col(f"n.{c}") for c in rest])
+    change = (
+        F.when(F.col("o._p").isNull(), F.lit("added"))
+        .when(F.col("n._p").isNull(), F.lit("removed"))
+        .when(~o_rest.eqNullSafe(n_rest), F.lit("changed"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k)
+        for k in key_cols
+    ]
+    return (
+        j.select(*out_keys, change.alias("change"))
+        .filter(F.col("change").isNotNull())
+    )

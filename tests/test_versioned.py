@@ -259,3 +259,27 @@ def test_optimize_zorder_files_cluster(spark, tmp_path):
     m = history(t)[-1]
     assert v == 2 and m["operation"] == "optimize:zorder:a,b"
     assert _rows(read_versioned(spark, t)) == _rows(df)
+
+
+def test_diff_versions_classifies_churn(spark, tmp_path):
+    """diff_versions reports exactly the added/removed/changed keys
+    between two snapshots (unchanged keys absent), including NULL
+    keys through the null-safe join."""
+    from cdc_2025_spark.versioned import diff_versions
+
+    t = str(tmp_path / "tbl")
+    a = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "n")],
+        "id long, v string",
+    )
+    b = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d"), (None, "n")],
+        "id long, v string",
+    )
+    write_versioned(a, t)
+    write_versioned(b, t, mode="overwrite")
+    got = {
+        (r["id"], r["change"])
+        for r in diff_versions(spark, t, 1, 2, ["id"]).collect()
+    }
+    assert got == {(2, "changed"), (3, "removed"), (4, "added")}
