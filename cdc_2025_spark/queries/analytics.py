@@ -614,6 +614,12 @@ def sql_api_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# above this per-key frame size the plain unpartitioned NTILE's
+# single-task sort loses to the distributed two-level rank; below
+# it the fixed costs (checkpoint, extra shuffles) dominate
+NTILE_TWO_LEVEL_MIN = 1_000_000
+
+
 @query(
     "window_ntile_spend_quartiles",
     oracle="""
@@ -641,13 +647,22 @@ def window_ntile_spend_quartiles(
     member next to row_number/rank/dense_rank/percent_rank in
     window_ranking_variants), rolled up per quartile.
 
-    Scale note: the unpartitioned NTILE needs a global sort of the
-    per-customer aggregate — a CUSTOMER-cardinality frame, orders of
-    magnitude smaller than the fact table, which is the standard shape
-    for global-quantile assignments (same reasoning as
-    stats_percentiles_order_value). Deterministic via the unique
-    c_custkey tiebreak; spend is rounded BEFORE tiling so both engines
-    order identical doubles."""
+    Scale shape (r12 AUTO-SWITCH — the Spearman task's "auto-switch
+    or flagged path" rule): below NTILE_TWO_LEVEL_MIN customers the
+    plain unpartitioned NTILE runs (a single-task sort of a small
+    aggregate is cheaper than any distributed construction — the
+    0.25 s bench shape); above it, the exact total-order rank comes
+    from the shared two-level bucketed construction
+    (functions/ranks.py shape: spend-range buckets, within-bucket
+    row_number windows over bounded partitions, bucket offsets from
+    the bounded bucket-total frame) and NTILE's exact tile
+    arithmetic folds in closed form from that rank (first n%%4
+    tiles hold n//4 + 1 rows — the SQL-standard rule both engines
+    implement, so the oracle's real NTILE matches bit-for-bit,
+    verified exact at both test SFs). Deterministic via the unique
+    c_custkey tiebreak; spend is rounded BEFORE tiling so both
+    engines order identical doubles. Path equality is pinned in
+    tests/test_analytics_accuracy.py."""
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
     from pyspark.sql import Window
@@ -657,8 +672,70 @@ def window_ntile_spend_quartiles(
         .groupBy("c_custkey")
         .agg(F.round(F.sum("o_totalprice"), 4).alias("total_spend"))
     )
-    w = Window.orderBy(F.col("total_spend").desc(), "c_custkey")
-    tiled = spend.withColumn("quartile", F.ntile(4).over(w))
+    # switch on the CUSTOMER count (a parquet-metadata aggregate —
+    # no join executes), which upper-bounds the spend frame; the
+    # fast path then runs the original single-pass plan with no
+    # checkpoint and no extra action
+    if cust.count() < NTILE_TWO_LEVEL_MIN:
+        w = Window.orderBy(F.col("total_spend").desc(), "c_custkey")
+        tiled = spend.withColumn("quartile", F.ntile(4).over(w))
+        return tiled.groupBy("quartile").agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("total_spend"), 4).alias("quartile_spend"),
+            F.round(F.min("total_spend"), 4).alias("floor_spend"),
+        )
+    spend = spend.localCheckpoint(
+        eager=False
+    )  # ONE collapse, three readers on the distributed path
+    n_total = spend.count()
+    # two-level total-order rank over (spend DESC, custkey ASC):
+    # negate spend so ascending buckets give the descending order
+    key = (-F.col("total_spend")).alias("_k")
+    keyed = spend.select("c_custkey", "total_spend", key)
+    rng = keyed.agg(
+        F.min("_k").alias("_mn"), F.max("_k").alias("_mx")
+    )
+    nb = F.lit(1024)
+    b = F.when(
+        F.col("_mx") > F.col("_mn"),
+        F.least(
+            F.floor(
+                (F.col("_k") - F.col("_mn"))
+                / ((F.col("_mx") - F.col("_mn")) / nb)
+            ),
+            nb - 1,
+        ),
+    ).otherwise(F.lit(0))
+    bucketed = keyed.crossJoin(F.broadcast(rng)).select(
+        "c_custkey", "total_spend", "_k", b.cast("long").alias("_b")
+    )
+    w_in = Window.partitionBy("_b").orderBy("_k", "c_custkey")
+    w_off = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        bucketed.groupBy("_b")
+        .agg(F.count("*").alias("_bc"))
+        .select(
+            "_b",
+            F.coalesce(F.sum("_bc").over(w_off), F.lit(0)).alias(
+                "_boff"
+            ),
+        )
+    )
+    q, r = n_total // 4, n_total % 4
+    rn = F.col("_boff") + F.row_number().over(w_in)
+    # SQL-standard NTILE sizes: first r tiles hold q+1 rows
+    tile = F.when(
+        (F.lit(r) > 0) & (rn <= (q + 1) * r),
+        F.ceil(rn / F.lit(float(q + 1))),
+    ).otherwise(
+        F.lit(r) + F.ceil((rn - (q + 1) * r) / F.lit(float(max(q, 1))))
+    )
+    tiled = (
+        bucketed.join(F.broadcast(offsets), "_b")
+        .withColumn("quartile", tile.cast("int"))
+    )
     return tiled.groupBy("quartile").agg(
         F.count("*").alias("n_customers"),
         F.round(F.sum("total_spend"), 4).alias("quartile_spend"),

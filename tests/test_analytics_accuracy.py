@@ -739,3 +739,59 @@ def test_equidepth_kll_empty_input_matches_exact(spark, tmp_path):
     kll = stats_equidepth_histogram(spark, sf, mode="kll")
     assert exact.count() == 0 and kll.count() == 0
     assert kll.schema.simpleString() == exact.schema.simpleString()
+
+
+def test_ntile_two_level_equals_window_form(spark):
+    """The bucketed-rank + closed-form NTILE (the registered r12
+    rewrite) equals the plain unpartitioned NTILE(4) window over the
+    same (spend DESC, custkey) total order — per-quartile counts,
+    sums, and floors identical at both test scales."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cdc_2025_spark.io import read_table
+    from cdc_2025_spark.queries.analytics import (
+        window_ntile_spend_quartiles,
+    )
+
+    import cdc_2025_spark.queries.analytics as amod
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        # force the DISTRIBUTED branch (the auto-switch would pick
+        # the plain window at these frame sizes) so the pin covers
+        # the path the bench never exercises
+        orig = amod.NTILE_TWO_LEVEL_MIN
+        amod.NTILE_TWO_LEVEL_MIN = 0
+        try:
+            got = sorted(
+                tuple(r)
+                for r in window_ntile_spend_quartiles(spark, sf).collect()
+            )
+        finally:
+            amod.NTILE_TWO_LEVEL_MIN = orig
+        spend = (
+            read_table(spark, sf, "orders")
+            .join(
+                read_table(spark, sf, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_custkey")
+            .agg(
+                F.round(F.sum("o_totalprice"), 4).alias("total_spend")
+            )
+        )
+        w = Window.orderBy(F.col("total_spend").desc(), "c_custkey")
+        want = sorted(
+            tuple(r)
+            for r in spend.withColumn("quartile", F.ntile(4).over(w))
+            .groupBy("quartile")
+            .agg(
+                F.count("*").alias("n_customers"),
+                F.round(F.sum("total_spend"), 4).alias(
+                    "quartile_spend"
+                ),
+                F.round(F.min("total_spend"), 4).alias("floor_spend"),
+            )
+            .collect()
+        )
+        assert got == want, sf
