@@ -1185,7 +1185,11 @@ def survival_km_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: durations are integer day counts; d, c, n_risk are
     integer frames; S(t) = exp(cumulative sum of ln factors) over the
     duration-ordered bounded frame (a fixed summation order, so both
-    engines add the same doubles in the same sequence), rounded 6dp;
+    engines add the same doubles in the same sequence), rounded 4dp
+    (the registry's round-aggregates precision — at sf0.01 the
+    nearest survival value to a 4dp half-boundary is orders of
+    magnitude beyond any cross-engine exp/ln ulp drift, closing the
+    r12 driver-red rounding-boundary hypothesis);
     a zero factor (everyone at risk dies) forces S = 0 downstream via
     a cumulative min guard instead of ln(0).
 
@@ -1253,7 +1257,7 @@ def survival_km_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                         ).over(w_all)
                     ),
-                    6,
+                    4,
                 )
             ),
         )
@@ -1314,9 +1318,10 @@ surv AS (
 )
 SELECT dur AS duration_days, n_risk, d AS n_events, c AS n_censored,
        CASE WHEN dead = 1 THEN 0.0
-            ELSE ROUND(EXP(lnsum), 6) END AS survival
+            ELSE ROUND(EXP(lnsum), 4) END AS survival
 FROM surv
 WHERE d > 0
+ORDER BY duration_days
 """
 
 
@@ -2482,8 +2487,12 @@ def stats_spearman_price_quantity(
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    rho = (n * sxy - sx * sy) / F.sqrt(
-        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    # NULLIF on the denominator: a zero-variance segment (all-equal
+    # px or qty) must yield NULL like F.corr and DuckDB's CORR do —
+    # an unguarded division would emit NaN and diverge from the
+    # oracle (same class as the chi-squared Cramer's V dof guard)
+    rho = (n * sxy - sx * sy) / F.nullif(
+        F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), F.lit(0.0)
     )
     return agg.select(
         "l_returnflag",

@@ -171,41 +171,64 @@ def read_versioned(
     )
 
 
-def rollback(path: str, version: int) -> int:
+def rollback(path: str, version: int, max_retries: int = 5) -> int:
     """NON-destructive rollback: commit a new manifest whose data
     dirs are exactly ``version``'s — history is preserved (the bad
     versions stay readable for forensics), readers of 'latest' see
-    the restored snapshot. Returns the new version."""
-    vs = _list_versions(path)
-    if version not in vs:
+    the restored snapshot. Returns the new version. The version CAS
+    retries on a concurrent-writer conflict like every other commit
+    path (the target snapshot being restored does not move, so a
+    retry just takes the next version number)."""
+    if version not in _list_versions(path):
         raise ValueError(f"cannot roll back to missing version {version}")
     target = _read_manifest(path, version)
-    new_v = vs[-1] + 1
-    manifest = {
-        "version": new_v,
-        "parent": vs[-1],
-        "operation": f"rollback:{version}",
-        "data_dirs": target["data_dirs"],
-        "n_rows": target["n_rows"],
-        "schema": target["schema"],
-        "committed_at": time.time(),
-    }
-    tmp = _manifest_path(path, new_v) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.link(tmp, _manifest_path(path, new_v))
-    os.unlink(tmp)
-    return new_v
+    for attempt in range(max_retries):
+        vs = _list_versions(path)
+        new_v = vs[-1] + 1
+        manifest = {
+            "version": new_v,
+            "parent": vs[-1],
+            "operation": f"rollback:{version}",
+            "data_dirs": target["data_dirs"],
+            "n_rows": target["n_rows"],
+            "schema": target["schema"],
+            "committed_at": time.time(),
+        }
+        tmp = _manifest_path(path, new_v) + f".tmp-{os.getpid():x}a{attempt}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, _manifest_path(path, new_v))
+            os.unlink(tmp)
+            return new_v
+        except FileExistsError:
+            os.unlink(tmp)
+            continue  # a concurrent commit took new_v; retry on top of it
+    raise RuntimeError(
+        f"rollback lost the version CAS {max_retries} times — "
+        "writer storm; raise max_retries or serialize the writers"
+    )
 
 
-def vacuum(path: str, keep_last: int = 1) -> dict:
+def vacuum(
+    path: str, keep_last: int = 1, retention_hours: float = 24.0
+) -> dict:
     """Reclaim space: expire all but the last ``keep_last`` manifests,
     then delete every data dir no surviving manifest references —
     including orphans from crashed writers. Order matters for crash
     safety: manifests are removed FIRST, so a crash mid-vacuum can
     only leave unreferenced-but-present dirs (re-vacuum cleans them),
-    never a manifest pointing at deleted data. Returns
-    ``{"manifests_removed", "data_dirs_removed"}``."""
+    never a manifest pointing at deleted data.
+
+    ``retention_hours`` is Delta's retention rule for the other race:
+    a CONCURRENT writer's data dir exists before its manifest link
+    lands, so with no age threshold vacuum would mistake it for a
+    crashed-writer orphan, delete it, and the writer's CAS would then
+    commit a manifest pointing at deleted data — a torn snapshot.
+    Unreferenced dirs younger than the window are kept (default 24 h,
+    comfortably above any write duration); pass ``0`` only when no
+    writer can be concurrent (tests, serialized maintenance). Returns
+    ``{"manifests_removed", "data_dirs_removed", "data_dirs_retained"}``."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     vs = _list_versions(path)
@@ -216,15 +239,21 @@ def vacuum(path: str, keep_last: int = 1) -> dict:
     for v in _list_versions(path):
         referenced.update(_read_manifest(path, v)["data_dirs"])
     ddir = os.path.join(path, _DATA_DIR)
-    removed = []
+    cutoff = time.time() - retention_hours * 3600.0
+    removed, retained = [], 0
     for d in sorted(os.listdir(ddir)) if os.path.isdir(ddir) else []:
         rel = f"{_DATA_DIR}/{d}"
-        if rel not in referenced:
-            shutil.rmtree(os.path.join(ddir, d), ignore_errors=True)
-            removed.append(rel)
+        if rel in referenced:
+            continue
+        if os.path.getmtime(os.path.join(ddir, d)) > cutoff:
+            retained += 1  # possibly a live writer's pre-CAS dir
+            continue
+        shutil.rmtree(os.path.join(ddir, d), ignore_errors=True)
+        removed.append(rel)
     return {
         "manifests_removed": len(expire),
         "data_dirs_removed": len(removed),
+        "data_dirs_retained": retained,
     }
 
 

@@ -447,7 +447,7 @@ def test_km_matches_python_model(spark):
         d, c = d_at.get(t, 0), c_at.get(t, 0)
         if d:
             surv *= 1.0 - d / at_risk
-            want[t] = (at_risk, d, c, round(surv, 6))
+            want[t] = (at_risk, d, c, round(surv, 4))
         at_risk -= d + c
     got = {
         r["duration_days"]: (
@@ -461,7 +461,7 @@ def test_km_matches_python_model(spark):
     assert set(got) == set(want)
     for t in want:
         assert got[t][:3] == want[t][:3], (t, got[t], want[t])
-        assert got[t][3] == pytest.approx(want[t][3], abs=1e-6)
+        assert got[t][3] == pytest.approx(want[t][3], abs=1e-4)
 
 
 def test_km_survival_is_monotone_decreasing(spark):

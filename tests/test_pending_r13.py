@@ -328,7 +328,9 @@ def test_nelson_aalen_dominates_km(spark):
     hs = [na[d]["cum_hazard"] for d in sorted(na)]
     assert hs == sorted(hs)
     for d in na:
-        assert na[d]["survival_fh"] >= km[d] - 1e-9, d
+        # KM survival is emitted at 4dp (registry round-aggregates
+        # precision), so dominance holds up to half a rounding step
+        assert na[d]["survival_fh"] >= km[d] - 5.1e-5, d
 
 
 def test_welch_matches_python_model(spark):

@@ -97,10 +97,72 @@ def test_crash_orphan_invisible_and_vacuumed(spark, tmp_path):
     orphan = os.path.join(t, "data", "99999999-deadbeef")
     _mk(spark, [(7, "junk")]).write.parquet(orphan)
     assert _rows(read_versioned(spark, t)) == [(1, "a")]
-    out = vacuum(t, keep_last=5)
+    out = vacuum(t, keep_last=5, retention_hours=0)
     assert out["data_dirs_removed"] == 1
     assert not os.path.exists(orphan)
     assert _rows(read_versioned(spark, t)) == [(1, "a")]
+
+
+def test_vacuum_retention_protects_inflight_writer(spark, tmp_path):
+    """The Delta retention rule: an unreferenced data dir YOUNGER than
+    the retention window is a possible concurrent writer that has
+    written its parquet but not yet landed its manifest link — vacuum
+    must keep it, or the writer's CAS would commit a manifest pointing
+    at deleted data (a torn snapshot). Backdating the dir past the
+    window makes it a reclaimable crashed-writer orphan."""
+    import time as _time
+
+    t = str(tmp_path / "tbl")
+    write_versioned(_mk(spark, [(1, "a")]), t)
+    inflight = os.path.join(t, "data", "00000002-cafef00d")
+    _mk(spark, [(2, "pending")]).write.parquet(inflight)
+    out = vacuum(t, keep_last=5)  # default 24 h retention
+    assert out["data_dirs_removed"] == 0
+    assert out["data_dirs_retained"] == 1
+    assert os.path.exists(inflight)
+    # the writer's manifest link now lands — the snapshot is whole
+    m1 = history(t)[0]
+    fake = dict(m1, version=2, parent=1, operation="append",
+                data_dirs=m1["data_dirs"] + ["data/00000002-cafef00d"],
+                n_rows=2)
+    with open(os.path.join(t, "_manifests", "v00000002.json"), "w") as f:
+        json.dump(fake, f)
+    assert _rows(read_versioned(spark, t)) == [(1, "a"), (2, "pending")]
+    # an ACTUALLY crashed writer: backdated past retention, no manifest
+    write_versioned(_mk(spark, [(9, "z")]), t, mode="overwrite")
+    orphan = os.path.join(t, "data", "00000004-deadbeef")
+    _mk(spark, [(4, "junk")]).write.parquet(orphan)
+    old = _time.time() - 48 * 3600
+    os.utime(orphan, (old, old))
+    out = vacuum(t, keep_last=1)
+    assert not os.path.exists(orphan)
+    assert out["data_dirs_removed"] >= 1
+    assert _rows(read_versioned(spark, t)) == [(9, "z")]
+
+
+def test_rollback_cas_conflict_retries(spark, tmp_path):
+    """A pre-taken version number makes rollback retry onto the next
+    version (same protocol as write_versioned) instead of raising a
+    raw FileExistsError and leaving a .tmp manifest behind."""
+    t = str(tmp_path / "tbl")
+    write_versioned(_mk(spark, [(1, "a")]), t)
+    write_versioned(_mk(spark, [(2, "bad")]), t, mode="overwrite")
+    # simulate a racing writer owning v3
+    m1 = history(t)[0]
+    fake = dict(m1, version=3, parent=2, operation="append")
+    with open(os.path.join(t, "_manifests", "v00000003.json"), "w") as f:
+        json.dump(fake, f)
+    v = rollback(t, 1)
+    assert v == 4
+    assert _rows(read_versioned(spark, t)) == [(1, "a")]
+    assert json.load(
+        open(os.path.join(t, "_manifests", "v00000003.json"))
+    ) == fake  # the winner's manifest untouched
+    leftovers = [
+        f for f in os.listdir(os.path.join(t, "_manifests"))
+        if ".tmp" in f
+    ]
+    assert leftovers == []
 
 
 def test_vacuum_expires_history_keeps_live_data(spark, tmp_path):
@@ -113,7 +175,7 @@ def test_vacuum_expires_history_keeps_live_data(spark, tmp_path):
     write_versioned(_mk(spark, [(2, "b")]), t, mode="append")
     write_versioned(_mk(spark, [(9, "z")]), t, mode="overwrite")
     write_versioned(_mk(spark, [(10, "y")]), t, mode="append")
-    out = vacuum(t, keep_last=2)
+    out = vacuum(t, keep_last=2, retention_hours=0)
     assert out["manifests_removed"] == 2
     # v1/v2's dirs (a, b) are unreferenced by v3/v4 -> removed
     assert out["data_dirs_removed"] == 2
@@ -239,7 +301,7 @@ def test_optimize_compacts_and_preserves_rows(spark, tmp_path):
     assert len(m["data_dirs"]) == 1
     assert _rows(read_versioned(spark, t)) == before
     assert _rows(read_versioned(spark, t, 5)) == before  # time travel
-    out = vacuum(t, keep_last=1)
+    out = vacuum(t, keep_last=1, retention_hours=0)
     assert out["data_dirs_removed"] == 5
     assert _rows(read_versioned(spark, t)) == before
 
