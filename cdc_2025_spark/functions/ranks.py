@@ -1,24 +1,47 @@
-"""Distributed exact ranks without corpus-sized sorts.
+"""Distributed exact ranks and value-ordered cumulative sums without
+corpus-sized sorts.
 
-The problem: exact (mid)ranks over a nearly-unique column force a
-per-partition total sort — `Window.orderBy(v)` moves EVERYTHING into
-one task (Spark warns "No Partition Defined"), the single ceiling
-the r11 SCALE audit found in the rank family. The fix is a TWO-LEVEL
-cumulative count: collapse to the distinct-value frame, range-bucket
-the values (fixed width over min/max), run the within-bucket
+The problem: exact (mid)ranks or ECDF cumulatives over a nearly-unique
+column force a per-partition total sort — `Window.orderBy(v)` moves
+EVERYTHING into one task (Spark warns "No Partition Defined"), the
+single ceiling the r11 SCALE audit found in the rank family. The fix
+is a TWO-LEVEL cumulative: collapse to the distinct-value frame,
+bucket the values with a MONOTONE map, run the within-bucket
 cumulative in a (group, bucket) window whose partitions hold
-~|distinct|/n_buckets values, and add a bucket offset computed from
-a window over the bounded bucket-total frame. Bucket assignment is a
-floor of a monotone map, so equal values share a bucket and order is
-preserved — ranks are EXACT rationals regardless of bucket geometry
-(the knob moves wall time, never answers).
+~|distinct|/n_buckets values, and add a bucket offset computed from a
+window over the bounded bucket-total frame. Any monotone bucketing
+preserves value order and keeps equal values together, so the results
+are EXACT integers/rationals regardless of bucket geometry (the knob
+moves wall time, never answers).
 
-Shared by the registered Spearman (per-segment ranks),
-Kruskal-Wallis (global ranks), and available to any future rank
-consumer. Skew note: buckets are equal-WIDTH; a column whose distinct
-values pile into one bucket re-creates a big window partition —
-acceptable for price-like columns, swap in approx-quantile edges if
-a column needs it.
+Bucket geometry (``edges``):
+
+- ``"width"`` — fixed-width over [min, max]: one tiny range agg, zero
+  extra passes. Right for price-like columns whose distinct values
+  spread roughly evenly over their range. Pathology: a heavy-tailed
+  column (zipf counts with one huge outlier value) piles most
+  distinct values into bucket 0 and re-creates the big window
+  partition the helper exists to avoid.
+- ``"quantile"`` — approx-percentile edges over the DISTINCT-value
+  frame: each bucket holds ~|distinct|/n_buckets values by
+  construction, whatever the distribution. Costs one extra aggregate
+  on the bounded marginal frame plus an interpreted per-row edge
+  search; edge placement may vary run-to-run (sketch merges are
+  partition-order-sensitive) but monotonicity makes the answers
+  identical either way.
+- ``"auto"`` (default) — the NTILE-style cheap switch: one tiny
+  aggregate collects per-group (min, max, approx-median) of the
+  distinct values; if any group's median sits in the outer 5% of its
+  range (>half the distinct values crammed into <5% of the span —
+  width buckets would overload ~10x+), quantile edges are used,
+  otherwise the width map runs unchanged. TPC-H-like columns take
+  the width path, so registered consumers keep their plans; the
+  switch exists for the zipf-shaped column that would otherwise
+  silently re-grow a single-task window.
+
+Shared by the registered Spearman (per-segment ranks), Kruskal-Wallis
+(global ranks), the exact equi-depth histogram, the NTILE distributed
+branch, and the KS two-sample ECDF (``bucketed_cumsums``).
 """
 
 from __future__ import annotations
@@ -28,31 +51,86 @@ from pyspark.sql import functions as F
 
 DEFAULT_RANK_BUCKETS = 1024
 
+# a group's distinct-value median sitting inside the outer 5% of its
+# range means width buckets would overload >=10x — switch to quantile
+_AUTO_SKEW_EDGE = 0.05
 
-def bucketed_midranks(
+
+def _pick_edges_mode(
     marg: DataFrame,
     value_col: str,
-    weight_col: str,
-    out_col: str,
-    group_cols: tuple[str, ...] = (),
-    n_buckets: int = DEFAULT_RANK_BUCKETS,
-) -> DataFrame:
-    """``marg`` holds one row per (group_cols..., value) with
-    ``weight_col`` = how many underlying rows carry that value.
-    Returns (group_cols..., value_col, out_col) where out_col is the
-    exact midrank of the value within its group:
-    cum_smaller + (weight + 1)/2 — identical to
-    RANK() + (ties - 1)/2 over the underlying rows.
-
-    CALLER CONTRACT: ``marg`` fans out to three subtrees here (range
-    agg, bucket assignment, bucket totals), so the caller must pass
-    a frame whose recomputation is cheap — in practice, one derived
-    from a lazily localCheckpoint-ed corpus collapse (un-pinned, each
-    reference re-expands the collapse lineage into its own corpus
-    scan: measured 6 parquet scans in the equi-depth plan, NO
-    adaptive exchange reuse). The helper does not checkpoint
-    internally so a caller-pinned input is not materialized twice."""
+    group_cols: tuple[str, ...],
+    edges: str,
+) -> str:
+    """Resolve edges='auto' to 'width' or 'quantile' via one tiny
+    aggregate over the bounded distinct-value frame (the same
+    build-time-switch pattern the NTILE consumer uses with parquet
+    metadata). Collect size = number of groups (bounded: segments /
+    return flags), never the frame."""
+    if edges not in ("auto", "width", "quantile"):
+        raise ValueError(
+            f"edges must be auto/width/quantile, got {edges!r}"
+        )
+    if edges != "auto":
+        return edges
     gc = list(group_cols)
+    agg_cols = [
+        F.min(value_col).cast("double").alias("_mn"),
+        F.max(value_col).cast("double").alias("_mx"),
+        F.percentile_approx(F.col(value_col).cast("double"), 0.5)
+        .alias("_md"),
+    ]
+    stats = (
+        marg.groupBy(*gc).agg(*agg_cols) if gc else marg.agg(*agg_cols)
+    ).collect()
+    for r in stats:
+        span = (r["_mx"] or 0.0) - (r["_mn"] or 0.0)
+        if span <= 0.0 or r["_md"] is None:
+            continue
+        pos = (r["_md"] - r["_mn"]) / span
+        if pos < _AUTO_SKEW_EDGE or pos > 1.0 - _AUTO_SKEW_EDGE:
+            return "quantile"
+    return "width"
+
+
+def _with_bucket(
+    marg: DataFrame,
+    value_col: str,
+    keep_cols: list[str],
+    group_cols: tuple[str, ...],
+    n_buckets: int,
+    edges: str,
+) -> DataFrame:
+    """(keep_cols..., _b): assign each distinct value its bucket via a
+    monotone map — floor over [min, max] for width edges, count of
+    approx-percentile edges below the value for quantile edges. Equal
+    values always share a bucket; order is always preserved."""
+    gc = list(group_cols)
+    if edges == "quantile":
+        probs = [k / n_buckets for k in range(1, n_buckets)]
+        edge_agg = (
+            marg.groupBy(*gc).agg(
+                F.percentile_approx(
+                    F.col(value_col).cast("double"), probs
+                ).alias("_edges")
+            )
+            if gc
+            else marg.agg(
+                F.percentile_approx(
+                    F.col(value_col).cast("double"), probs
+                ).alias("_edges")
+            )
+        )
+        joined = (
+            marg.join(F.broadcast(edge_agg), gc)
+            if gc
+            else marg.crossJoin(F.broadcast(edge_agg))
+        )
+        v = F.col(value_col).cast("double")
+        b = F.size(F.filter(F.col("_edges"), lambda e: e < v))
+        return joined.select(
+            *keep_cols, b.cast("long").alias("_b")
+        )
     rng_agg = (
         marg.groupBy(*gc).agg(
             F.min(value_col).cast("double").alias("_mn"),
@@ -80,41 +158,113 @@ def bucketed_midranks(
         if gc
         else marg.crossJoin(F.broadcast(rng_agg))
     )
-    bucketed = joined.select(
-        *gc, value_col, weight_col, b.cast("long").alias("_b")
+    return joined.select(*keep_cols, b.cast("long").alias("_b"))
+
+
+def bucketed_cumsums(
+    marg: DataFrame,
+    value_col: str,
+    weight_cols: tuple[str, ...],
+    group_cols: tuple[str, ...] = (),
+    n_buckets: int = DEFAULT_RANK_BUCKETS,
+    edges: str = "auto",
+) -> DataFrame:
+    """``marg`` holds one row per (group_cols..., value) with one or
+    more weight columns. Returns (group_cols..., value_col,
+    weight_cols..., cum_<w>...) where ``cum_<w>`` is the INCLUSIVE
+    cumulative sum of ``w`` over the value-ordered frame within the
+    group — the ECDF / rank primitive — computed two-level so no
+    window partition exceeds ~|distinct|/n_buckets rows. All weights
+    share one bucket structure: the KS two-sample ECDF gets both
+    sides' cumulatives from a single pass.
+
+    CALLER CONTRACT: ``marg`` fans out to three subtrees here (edge
+    agg, bucket assignment, bucket totals), so the caller must pass a
+    frame whose recomputation is cheap — in practice, one derived
+    from a lazily localCheckpoint-ed corpus collapse (un-pinned, each
+    reference re-expands the collapse lineage into its own corpus
+    scan: measured 6 parquet scans in the equi-depth plan, NO
+    adaptive exchange reuse). The helper does not checkpoint
+    internally so a caller-pinned input is not materialized twice."""
+    gc = list(group_cols)
+    wc = list(weight_cols)
+    mode = _pick_edges_mode(marg, value_col, group_cols, edges)
+    bucketed = _with_bucket(
+        marg, value_col, [*gc, value_col, *wc], group_cols,
+        n_buckets, mode,
     )
     w_in = (
         Window.partitionBy(*gc, "_b")
         .orderBy(value_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum_in = F.coalesce(F.sum(weight_col).over(w_in), F.lit(0))
     w_off = (
         Window.partitionBy(*gc)
         .orderBy("_b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = (
-        bucketed.groupBy(*gc, "_b")
-        .agg(F.sum(weight_col).alias("_bw"))
-        .select(
-            *gc,
-            "_b",
-            F.coalesce(F.sum("_bw").over(w_off), F.lit(0)).alias(
-                "_boff"
-            ),
-        )
+    offsets = bucketed.groupBy(*gc, "_b").agg(
+        *[F.sum(w).alias(f"_bw_{w}") for w in wc]
     )
-    return (
-        bucketed.withColumn("_cum_in", cum_in)
-        .join(F.broadcast(offsets), [*gc, "_b"])
-        .select(
-            *gc,
-            value_col,
-            (
-                F.col("_boff")
-                + F.col("_cum_in")
-                + (F.col(weight_col) + 1) / 2.0
-            ).alias(out_col),
-        )
+    offsets = offsets.select(
+        *gc,
+        "_b",
+        *[
+            F.coalesce(F.sum(f"_bw_{w}").over(w_off), F.lit(0)).alias(
+                f"_boff_{w}"
+            )
+            for w in wc
+        ],
+    )
+    cum = bucketed.select(
+        *gc,
+        value_col,
+        *wc,
+        "_b",
+        *[F.sum(w).over(w_in).alias(f"_cin_{w}") for w in wc],
+    )
+    return cum.join(F.broadcast(offsets), [*gc, "_b"]).select(
+        *gc,
+        value_col,
+        *wc,
+        *[
+            (F.col(f"_boff_{w}") + F.col(f"_cin_{w}")).alias(f"cum_{w}")
+            for w in wc
+        ],
+    )
+
+
+def bucketed_midranks(
+    marg: DataFrame,
+    value_col: str,
+    weight_col: str,
+    out_col: str,
+    group_cols: tuple[str, ...] = (),
+    n_buckets: int = DEFAULT_RANK_BUCKETS,
+    edges: str = "auto",
+) -> DataFrame:
+    """``marg`` holds one row per (group_cols..., value) with
+    ``weight_col`` = how many underlying rows carry that value.
+    Returns (group_cols..., value_col, out_col) where out_col is the
+    exact midrank of the value within its group:
+    cum_smaller + (weight + 1)/2 — identical to
+    RANK() + (ties - 1)/2 over the underlying rows. Thin wrapper over
+    :func:`bucketed_cumsums` (midrank = cum_inclusive - (w - 1)/2;
+    weights are integer counts, so the double arithmetic is exact up
+    to 2^52). Same caller contract."""
+    cums = bucketed_cumsums(
+        marg,
+        value_col,
+        (weight_col,),
+        group_cols=group_cols,
+        n_buckets=n_buckets,
+        edges=edges,
+    )
+    return cums.select(
+        *group_cols,
+        value_col,
+        (
+            F.col(f"cum_{weight_col}")
+            - (F.col(weight_col) - 1) / 2.0
+        ).alias(out_col),
     )

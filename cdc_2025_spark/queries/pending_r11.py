@@ -27,9 +27,11 @@ round-11 bench.py HEADLINE additions): KS 0.64 s, PSI 0.73 s, CUSUM
 0.32 s, JS divergence 0.71 s, daily ACF 0.66 s, Benford 0.45 s,
 Mann-Kendall 0.70 s, HHI 0.34 s.
 The single-partition WindowExec warnings these emit are the
-documented bounded-frame windows (ECDF over pooled distinct values,
-CUSUM over calendar days, totals over n_bins rows) — never the
-corpus.
+documented bounded-frame windows (CUSUM over calendar days, totals
+over n_bins rows, the rank kernel's bucket-total offsets) — never
+the corpus. The KS ECDF moved onto functions/ranks.py
+bucketed_cumsums in r13, so its distinct-value frame no longer
+sorts in one task either.
 """
 
 from __future__ import annotations
@@ -55,13 +57,20 @@ def stats_ks_drift_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms of the Kolmogorov series 2*sum (-1)^(k-1) exp(-2 k^2
     lambda^2), the standard large-sample approximation).
 
-    Scale shape: ONE grouped count collapses both samples to the
-    pooled distinct-value frame (per-value counts per side,
-    integer-exact); the ECDF difference is a cumulative window over
-    that frame and the max a single aggregate — the corpus never
-    sorts, only its distinct values do. A domain whose distinct
-    values grow unboundedly would bucketize first (the equi-depth
-    sketch family); prices at 2 decimals are domain-bounded."""
+    Scale shape (r13 — the LAST rank-family residual closed): ONE
+    grouped count collapses both samples to the pooled distinct-value
+    frame (per-value counts per side, integer-exact), lazily
+    localCheckpoint-ed; BOTH sides' inclusive ECDF cumulatives come
+    from one pass of the shared two-level bucketed kernel
+    (functions/ranks.py bucketed_cumsums — no window partition
+    exceeds ~|distinct|/1024 values, where the previous unpartitioned
+    cumulative held EVERY distinct price in one task, the single
+    ceiling the r12 scale audit left open); sample totals are one
+    cheap aggregate on the checkpointed distinct frame and the max a
+    single aggregate — the corpus never sorts, and neither do its
+    distinct values."""
+    from cdc_2025_spark.functions.ranks import bucketed_cumsums
+
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
     seg = (
@@ -77,34 +86,32 @@ def stats_ks_drift_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_a"),
         )
     )
-    per_v = seg.groupBy("v").agg(
-        F.sum("is_a").alias("ca"),
-        F.sum(1 - F.col("is_a")).alias("cb"),
+    # ONE corpus collapse, materialized: feeds the cumsum kernel's
+    # three subtrees and the totals without re-running the join
+    per_v = (
+        seg.groupBy("v")
+        .agg(
+            F.sum("is_a").alias("ca"),
+            F.sum(1 - F.col("is_a")).alias("cb"),
+        )
+        .localCheckpoint(eager=False)
     )
-    w = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cums = bucketed_cumsums(per_v, "v", ("ca", "cb"))
+    totals = per_v.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
     )
-    # sample totals as whole-frame windows over the SAME
-    # single-partition distinct-value frame the cumulative window
-    # already requires — a separate seg.agg() subtree would
-    # re-execute the orders-customer join (the double-corpus-work
-    # pattern threshold_sweep was cured of this round)
-    w_all = Window.partitionBy()
-    ecdf = per_v.select(
-        F.sum("ca").over(w).alias("cum_a"),
-        F.sum("cb").over(w).alias("cum_b"),
-        F.sum("ca").over(w_all).alias("n_a"),
-        F.sum("cb").over(w_all).alias("n_b"),
-    )
-    tot = ecdf.agg(
-        F.max("n_a").alias("n_a"),
-        F.max("n_b").alias("n_b"),
-        F.max(
-            F.abs(
-                F.col("cum_a") / F.col("n_a")
-                - F.col("cum_b") / F.col("n_b")
-            )
-        ).alias("d"),
+    tot = (
+        cums.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(
+                F.abs(
+                    F.col("cum_ca") / F.col("n_a")
+                    - F.col("cum_cb") / F.col("n_b")
+                )
+            ).alias("d"),
+        )
     )
     lam = F.sqrt(
         F.col("n_a") * F.col("n_b") / (F.col("n_a") + F.col("n_b"))

@@ -1,0 +1,162 @@
+"""functions/ranks.py: the two-level bucketed rank/cumsum kernel —
+exactness on every edge geometry, the auto skew switch, and the
+bounded-partition guarantee on a pathologically skewed column (the
+r12 verdict's documented equal-width caveat, now closed)."""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_2025_spark.functions.ranks import (
+    _pick_edges_mode,
+    _with_bucket,
+    bucketed_cumsums,
+    bucketed_midranks,
+)
+
+N_BUCKETS = 8
+
+
+def _zipf_marg(spark):
+    """The pathological fixture: 400 distinct values packed into
+    [1, 400] plus one 1e9 outlier stretching the range — equal-width
+    buckets pile every non-outlier value into bucket 0."""
+    rows = [(float(v), (v % 7) + 1) for v in range(1, 401)]
+    rows.append((1e9, 3))
+    return spark.createDataFrame(rows, "v double, c long")
+
+
+def _uniform_marg(spark):
+    rows = [(float(v) * 2.5, (v % 5) + 1) for v in range(1, 401)]
+    return spark.createDataFrame(rows, "v double, c long")
+
+
+def _python_midranks(rows):
+    """cum_smaller + (w + 1)/2 over value-sorted (v, w) pairs."""
+    out, cum = {}, 0
+    for v, w in sorted(rows):
+        out[v] = cum + (w + 1) / 2.0
+        cum += w
+    return out
+
+
+def test_auto_switch_detects_skew_and_uniform(spark):
+    zipf = _zipf_marg(spark)
+    uni = _uniform_marg(spark)
+    assert _pick_edges_mode(zipf, "v", (), "auto") == "quantile"
+    assert _pick_edges_mode(uni, "v", (), "auto") == "width"
+    # explicit modes pass through untouched
+    assert _pick_edges_mode(zipf, "v", (), "width") == "width"
+    assert _pick_edges_mode(uni, "v", (), "quantile") == "quantile"
+
+
+def test_quantile_edges_bound_bucket_partitions(spark):
+    """THE scale pin: on the zipf fixture, width buckets overload one
+    partition with ~all distinct values; quantile edges keep every
+    bucket within a small multiple of |distinct|/n_buckets — the
+    window partitions stay bounded by construction."""
+    marg = _zipf_marg(spark)
+    n_distinct = marg.count()
+
+    def bucket_sizes(mode):
+        b = _with_bucket(marg, "v", ["v", "c"], (), N_BUCKETS, mode)
+        return {
+            r["_b"]: r["n"]
+            for r in b.groupBy("_b").count().withColumnRenamed(
+                "count", "n"
+            ).collect()
+        }
+
+    width = bucket_sizes("width")
+    quant = bucket_sizes("quantile")
+    assert max(width.values()) == n_distinct - 1  # the pathology
+    fair = n_distinct / N_BUCKETS
+    assert max(quant.values()) <= 2 * fair, quant
+    assert sum(quant.values()) == n_distinct
+
+
+def test_midranks_identical_across_edge_geometries(spark):
+    """Monotone bucketing cannot move an answer: width, quantile and
+    auto midranks all equal the python cum_smaller replay exactly."""
+    marg = _zipf_marg(spark)
+    want = _python_midranks(
+        [(r["v"], r["c"]) for r in marg.collect()]
+    )
+    for mode in ("width", "quantile", "auto"):
+        got = {
+            r["v"]: r["r"]
+            for r in bucketed_midranks(
+                marg, "v", "c", "r", n_buckets=N_BUCKETS, edges=mode
+            ).collect()
+        }
+        assert got == want, mode
+
+
+def test_cumsums_multi_weight_exact(spark):
+    """bucketed_cumsums: inclusive cumulatives for BOTH weights from
+    one pass equal a python fold, on both edge geometries (the KS
+    two-sample ECDF shape)."""
+    rows = [
+        (float(v), (v % 7) + 1, (v % 3)) for v in range(1, 301)
+    ] + [(1e9, 2, 5)]
+    marg = spark.createDataFrame(rows, "v double, ca long, cb long")
+    want_a, want_b, ca, cb = {}, {}, 0, 0
+    for v, a, b in sorted(rows):
+        ca += a
+        cb += b
+        want_a[v], want_b[v] = ca, cb
+    for mode in ("width", "quantile"):
+        got = {
+            r["v"]: (r["cum_ca"], r["cum_cb"])
+            for r in bucketed_cumsums(
+                marg,
+                "v",
+                ("ca", "cb"),
+                n_buckets=N_BUCKETS,
+                edges=mode,
+            ).collect()
+        }
+        assert {v: t[0] for v, t in got.items()} == want_a, mode
+        assert {v: t[1] for v, t in got.items()} == want_b, mode
+
+
+def test_grouped_auto_switch_per_worst_group(spark):
+    """Grouped frames switch on the WORST group: one skewed group
+    among uniform ones flips the whole frame to quantile edges (one
+    geometry per call keeps the plan single-shape), and grouped
+    midranks stay exact within every group."""
+    rows = [("u", float(v), 1) for v in range(1, 101)]
+    rows += [("z", float(v), 2) for v in range(1, 101)]
+    rows.append(("z", 1e9, 1))
+    marg = spark.createDataFrame(rows, "g string, v double, c long")
+    assert _pick_edges_mode(marg, "v", ("g",), "auto") == "quantile"
+    got = bucketed_midranks(
+        marg, "v", "c", "r", group_cols=("g",), n_buckets=N_BUCKETS
+    ).collect()
+    for g in ("u", "z"):
+        want = _python_midranks(
+            [(v, c) for gg, v, c in rows if gg == g]
+        )
+        have = {r["v"]: r["r"] for r in got if r["g"] == g}
+        assert have == want, g
+
+
+def test_degenerate_single_value_and_ties(spark):
+    """All-equal values: one bucket, midrank = (n + 1)/2 regardless
+    of geometry; ties share the midrank exactly."""
+    marg = spark.createDataFrame(
+        [(5.0, 9)], "v double, c long"
+    )
+    for mode in ("width", "quantile", "auto"):
+        got = bucketed_midranks(
+            marg, "v", "c", "r", n_buckets=N_BUCKETS, edges=mode
+        ).collect()
+        assert [(r["v"], r["r"]) for r in got] == [(5.0, 5.0)], mode
+
+
+def test_unknown_edges_mode_rejected(spark):
+    marg = _uniform_marg(spark)
+    with pytest.raises(Exception):
+        bucketed_midranks(
+            marg, "v", "c", "r", edges="nonsense"
+        ).collect()
