@@ -564,11 +564,21 @@ def multimodal_audio_neardup(
     container twin (same samples through encode_wav_pcm16 — decodes
     identically, fingerprints identically by construction), and one
     x128-amplified 24-bit FLAC re-encode (power-of-two scaling is
-    exact in float64, so every sign bit survives). Expected: exactly
-    5 pairs — (0,6) (1,7) (2,8) (3,9) (4,10) — each at containment
-    1.0. Scale shape: samples never shuffle; all pairing runs on the
-    (media_id, ahash) frame — one distinct, one equi-join on the
-    hash, grouped counts."""
+    exact in float64, so every sign bit survives); plus two r13
+    ADVERSARIAL CONTROLS bounding the claimed invariances instead of
+    just demonstrating them: a PITCHED negative (melody 5 shifted up
+    one equal-tempered semitone — pitch moves band energies across
+    the log-spaced band edges, so it must NOT pair; measured max
+    containment vs its base 0.364, the tightest sub-threshold margin
+    in the corpus) and a MILD-NOISE positive (melody 1 plus a
+    deterministic LCG dither at +/-10 LSB ~ 0.12% of amplitude — the
+    robustness H-K actually claims; it pairs with its base AND the
+    base's 3-note prefix, since shared content is shared content).
+    Expected: exactly 7 pairs — (0,6) (1,7) (2,8) (3,9) (4,10) at
+    containment 1.0, (1,12) at 0.8333 and (7,12) at 0.7143 — and no
+    pair involving the pitched clip 11. Scale shape: samples never
+    shuffle; all pairing runs on the (media_id, ahash) frame — one
+    distinct, one equi-join on the hash, grouped counts."""
     import math
 
     from cdc_2025_spark.multimodal.afp import audio_fingerprints
@@ -631,6 +641,37 @@ def multimodal_audio_neardup(
                 ),
             )
         )
+        # r13 controls: pitched NEGATIVE (one semitone up), mild-
+        # noise POSITIVE (deterministic LCG dither, fixed seed)
+        rows.append(
+            (
+                11,
+                bytearray(
+                    encode_flac(
+                        melody(
+                            tuple(
+                                f * 1.059463
+                                for f in AUDIO_NEARDUP_MELODIES[5]
+                            )
+                        ),
+                        sample_rate=rate,
+                    )
+                ),
+            )
+        )
+        rows.append(
+            (
+                12,
+                bytearray(
+                    encode_flac(
+                        _lcg_dither(
+                            melody(AUDIO_NEARDUP_MELODIES[1])
+                        ),
+                        sample_rate=rate,
+                    )
+                ),
+            )
+        )
         return spark.createDataFrame(
             rows, "media_id long, payload binary"
         ).repartition(4)
@@ -645,6 +686,19 @@ def multimodal_audio_neardup(
         F.col("n_shared").cast("int").alias("n_shared"),
         "containment",
     )
+
+
+def _lcg_dither(samples, span=21, offset=10, seed=12345):
+    """Deterministic +/-offset LSB dither (glibc LCG constants) —
+    the mild-noise positive control's noise source; a fixed seed
+    keeps the fingerprints, and therefore the driver rows, stable."""
+    out, state = [], seed
+    for v in samples:
+        state = (state * 1103515245 + 12345) & 0x7FFFFFFF
+        out.append(
+            max(-32768, min(32767, v + (state % span) - offset))
+        )
+    return out
 
 
 # distinct interval CONTOURS (one shuffled pattern shares band-

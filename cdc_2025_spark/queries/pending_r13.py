@@ -2141,6 +2141,97 @@ FROM c
 
 
 # ---------------------------------------------------------------------------
+# Versioned-table semantic diff: the lakehouse layer's driver surface
+# ---------------------------------------------------------------------------
+
+
+def versioned_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver surface for the versioned parquet table layer
+    (cdc_2025_spark/versioned.py): commit the customer dim as
+    snapshot v1, commit a DETERMINISTICALLY mutated copy as v2
+    (keys divisible by 7 removed; keys divisible by 5 but not 7 get
+    acctbal + 100; NONZERO keys divisible by 11 re-enter negated as
+    new rows — the testdata's custkeys start at 0, and -0 == 0 would
+    collide the "added" row back onto a removed key), then read the
+    churn back through ``diff_versions`` — the
+    added/removed/changed audit a rollback decision consults. The
+    oracle recomputes the expected churn classes straight from the
+    base table, so a hash-green row verifies the whole chain:
+    write_versioned's manifest CAS, time-travel reads of both
+    snapshots, and the null-safe full-outer diff classification.
+
+    The table lives in a fresh tmpdir per invocation (snapshots are
+    a few hundred KB at driver SFs; /tmp is ephemeral) — the
+    returned frame reads the committed snapshots lazily, exactly as
+    a production audit would.
+
+    Determinism: the mutation is pure modular arithmetic on the
+    unique key; counts and key sums are integer-exact; acctbal
+    round-trips parquet doubles bit-identically, so 'changed' rows
+    are exactly the +100 mutations.
+
+    Scale shape: snapshots are distributed parquet writes;
+    diff_versions is one null-safe full-outer join on the key (the
+    only shuffle) with struct comparison engine-side; output is
+    bounded by the churn classes, not the table."""
+    import tempfile
+
+    from cdc_2025_spark.versioned import diff_versions, write_versioned
+
+    key = F.col("c_custkey")
+    base = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").alias("bal")
+    )
+    mutated = (
+        base.filter(key % 7 != 0)
+        .withColumn(
+            "bal",
+            F.when(key % 5 == 0, F.col("bal") + 100.0).otherwise(
+                F.col("bal")
+            ),
+        )
+        .unionByName(
+            base.filter((key % 11 == 0) & (key != 0)).select(
+                (-key).alias("c_custkey"),
+                "c_mktsegment",
+                F.lit(0.0).alias("bal"),
+            )
+        )
+    )
+    table = tempfile.mkdtemp(prefix="cdc2025_versioned_diff_")
+    write_versioned(base, table)
+    write_versioned(mutated, table, mode="overwrite")
+    churn = diff_versions(spark, table, 1, 2, ["c_custkey"])
+    return (
+        churn.groupBy("change")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("c_custkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("change")
+    )
+
+
+VERSIONED_DIFF_ORACLE = """
+SELECT 'added' AS change,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(-c_custkey) AS BIGINT) AS key_sum
+FROM customer WHERE c_custkey % 11 = 0 AND c_custkey <> 0
+UNION ALL
+SELECT 'changed',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(c_custkey) AS BIGINT)
+FROM customer WHERE c_custkey % 7 <> 0 AND c_custkey % 5 = 0
+UNION ALL
+SELECT 'removed',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(c_custkey) AS BIGINT)
+FROM customer WHERE c_custkey % 7 = 0
+ORDER BY change
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registration hook for round 13
 # ---------------------------------------------------------------------------
 
@@ -2165,6 +2256,7 @@ PENDING_ORDER = [
     "stats_effect_sizes_segments",
     "sample_pps_systematic_docs",
     "eval_mcc_kappa",
+    "versioned_diff_audit",
 ]
 
 _PENDING = {
@@ -2230,6 +2322,10 @@ _PENDING = {
         PPS_ORACLE,
     ),
     "eval_mcc_kappa": (eval_mcc_kappa, MCC_ORACLE),
+    "versioned_diff_audit": (
+        versioned_diff_audit,
+        VERSIONED_DIFF_ORACLE,
+    ),
 }
 
 
