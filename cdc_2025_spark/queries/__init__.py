@@ -32,6 +32,7 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
     pending_r10,
     pending_r11,
     pending_r12,
+    pending_r13,
     relational,
     resilience_star,
     similarity,
@@ -62,64 +63,77 @@ pending_r11.register_all()
 # Kruskal-Wallis, IVM, conformal) — see queries/pending_r12.py.
 pending_r12.register_all()
 
-# Round-12 window (the driver oracle-checks the FIRST 50 registry
+# Round-13 registrations: the twenty evaluation-depth & robust-
+# statistics queries staged through r12 with full DuckDB oracles and
+# both-SF parity tests (average precision, Brier/Murphy decomposition,
+# lift/gains, Theil-Sen, partial correlation, Welch t, winsorized/
+# trimmed means, Brown-Forsythe, periodogram, Brown DES backtest,
+# local clustering, link prediction, assortativity, Nelson-Aalen,
+# l-diversity, Simpson diversity, sentence stats, effect sizes, PPS
+# systematic, MCC/kappa) plus the round-13-built versioned_diff_audit
+# (the lakehouse layer's driver surface) — see queries/pending_r13.py.
+pending_r13.register_all()
+
+# Round-13 window (the driver oracle-checks the FIRST 50 registry
 # entries per round, insertion order), composed mechanically from
-# tools/compose_window.py (registry 210 -> derived horizon 5; zero
-# r7/r8 rows expire after r12, so the fill is pure oldest-green):
+# tools/compose_window.py (registry 231 -> derived horizon 5; zero
+# rows expire after r13, so the fill is pure oldest-green):
 #
-#   1. _NEW_R12: the twenty round-12 registrations (all oracle-backed)
-#      plus the audio near-dup registration (rows-only by design:
-#      audio decode has no SQL twin; accuracy pinned against a python
-#      set model in tests/test_afp.py) — never-checked, so the
-#      freshness guard requires them to LEAD the window. Three of the
-#      twenty changed after staging and were re-verified parity-green
-#      at sf0.001 + sf0.01 before registration: stats_spearman (two-
-#      level bucketed distributed ranks), forecast_conformal (small-
-#      sample types visible with q_hat NULL), stats_chi2 (NULLIF dof
-#      guard) — all inside the lead block anyway.
-#   2. _CHANGED_R12: two rows-only queries changed output this round
-#      and re-enter the window for fresh driver rows —
-#      multimodal_feature_rollup grew two kind rows
-#      (image_png_lowdepth through the new sub-byte PNG decode path;
-#      audio_g711 through the new ITU mu-law/A-law branch of
-#      decode_wav), and multimodal_video_neardup grew the
-#      cross-family GIF trio (animated GIF + prefix + DIB-AVI of its
-#      decoded frames: 7 -> 10 pinned pairs, test_avi.py).
-#   3. _FILL_R12: the oldest-green ORACLE-BACKED queries — all 27
-#      r8-greens, CORRECTNESS file order — the tool's emitted list
-#      with the last two slots ceded to the changed re-checks.
-_NEW_R12 = [
+#   1. _NEW_R13: survival_km_reorder RE-LEADS — the repo's only red
+#      CORRECTNESS row (r12: rows/schema matched, hash did not;
+#      locally unreproducible). Both cheap hardenings from the r12
+#      verdict are applied (final ORDER BY in KM_ORACLE + survival at
+#      the registry's 4dp round-aggregates precision in both
+#      engines); with no green row ever, the freshness guard counts
+#      it never-checked, and the verdict's instruction is to lead
+#      the window with it. Then the twenty-one round-13
+#      registrations (20 staged eval/robust-stats queries +
+#      versioned_diff_audit, all oracle-backed, parity-green at
+#      sf0.001 + sf0.01).
+#   2. _CHANGED_R13: five green queries changed plan or output this
+#      round and re-enter for fresh driver rows — the KS drift ECDF
+#      migrated onto functions/ranks.py bucketed_cumsums (the last
+#      unpartitioned corpus-growing cumulative, r12 verdict task 3);
+#      spearman (NULLIF zero-variance guard + the midranks-as-
+#      cumsums wrapper), Kruskal-Wallis and the equi-depth histogram
+#      (same wrapper + the edges auto-switch) — values identical,
+#      plans not; and multimodal_audio_neardup's pinned corpus grew
+#      the two r13 adversarial controls (5 -> 7 pairs, rows-only).
+#   3. _FILL_R13: the oldest-green ORACLE-BACKED queries — 23
+#      r9-greens in compose_window.py's emitted order.
+_NEW_R13 = [
+    "survival_km_reorder",
+    *pending_r13.PENDING_ORDER,
+]
+
+_CHANGED_R13 = [
+    "stats_ks_drift_segments",
+    "stats_spearman_price_quantity",
+    "stats_kruskal_wallis_segments",
+    "stats_equidepth_histogram",
     "multimodal_audio_neardup",
-    *pending_r12.PENDING_ORDER,
 ]
 
-_CHANGED_R12 = [
-    "multimodal_feature_rollup",
-    "multimodal_video_neardup",
-]
-
-_FILL_R12 = [
-    # newest green r8, compose_window.py order (all 27)
-    "stats_analyze_lineitem", "sketch_kmv_distinct_overlap",
-    "stats_join_skew_advisor", "stats_equidepth_histogram",
-    "stats_join_cardinality_estimate", "mine_frequent_event_sets",
-    "mine_association_rules", "events_markov_transitions",
-    "dedup_containment_pairs", "sim_hard_negatives",
-    "dedup_minhash_bbit_estimates", "dedup_source_overlap_matrix",
-    "dedup_snapshot_diff", "graph_triangle_stats",
-    "sample_dsir_importance", "sample_reservoir_bottomk",
-    "quality_expectations_audit", "text_bm25_search",
-    "text_bigram_perplexity", "text_vocab_coverage",
-    "text_clean_normalize", "text_pmi_collocations",
-    "text_quality_yield_curve", "corpus_datacard",
-    "text_trigram_stupid_backoff", "text_blocklist_filter",
-    "timeseries_seasonal_decompose",
+_FILL_R13 = [
+    # oldest green (r9), compose_window.py order (first 23)
+    "stats_moments_by_segment", "stats_percentiles_order_value",
+    "agg_order_array_per_customer", "sample_stratified_by_segment",
+    "window_ranking_variants", "window_first_last_order",
+    "subquery_correlated_max_order", "subquery_in_top_nations",
+    "sample_hash_deterministic", "histogram_order_values",
+    "q10_returned_items", "q2ish_min_cost_supplier",
+    "sql_api_grouping_sets", "sample_train_val_test_split",
+    "sketch_cms_heavy_terms", "array_norm_stats_by_label",
+    "array_dimension_profile", "string_close_part_names",
+    "funnel_signup_purchase", "cohort_daily_retention",
+    "dedup_exact_vocab_groups", "dedup_prefix_jaccard_pairs",
+    "dedup_incremental_new_docs",
 ]
 
 _VERIFY_FIRST = [
-    *_NEW_R12,
-    *_CHANGED_R12,
-    *_FILL_R12,
+    *_NEW_R13,
+    *_CHANGED_R13,
+    *_FILL_R13,
 ]
 
 

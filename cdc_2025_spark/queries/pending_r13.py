@@ -28,16 +28,16 @@ round 10's k-anonymity, per-source Simpson lexical diversity
 (integer-exact sufficient statistics), and sentence-length profiles
 through an engine-portable splitter.
 
-NOT imported by queries/__init__.py on purpose (the
-pending_r10/r11/r12 posture): the freshness guard requires
-never-checked queries to LEAD a verification window, and the
-round-12 window is already composed. Registering is one call — add
-``pending_r13`` to the import list, call :func:`register_all`, and
-front-load :data:`PENDING_ORDER` in the round-13 ``_VERIFY_FIRST``.
+Registered by queries/__init__.py as the round-13 window's lead
+block (after the never-green survival_km_reorder re-lead), the
+pending_r10/r11/r12 posture: staged with full oracles + both-SF
+parity tests one round, registered the next.
+tests/test_pending_r13.py runs each query against its oracle with
+the same normalization the driver applies, at sf0.001 + sf0.01.
 
-Until then tests/test_pending_r13.py runs each query against its
-oracle with the same normalization the driver applies, at
-sf0.001 + sf0.01.
+The r13 close also added ``versioned_diff_audit`` — the lakehouse
+layer's driver surface (cdc_2025_spark/versioned.py through
+diff_versions, oracle-recomputed churn classes).
 
 Pre-registration sf0.1 wall times (min-of-2, idle local[32], for
 the round-13 bench.py HEADLINE additions): average precision 0.16 s,
@@ -1175,6 +1175,66 @@ def _und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BACKBONE_SQL = """
+wedges0 AS MATERIALIZED (
+  SELECT cn.src, sn.dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN (SELECT c_custkey, n_name AS src
+        FROM customer JOIN nation ON c_nationkey = n_nationkey) cn
+    ON o.o_custkey = cn.c_custkey
+  JOIN (SELECT s_suppkey, n_name AS dst
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey) sn
+    ON l.l_suppkey = sn.s_suppkey
+  GROUP BY 1, 2
+),
+thr AS (SELECT quantile_disc(w, 0.75) AS t FROM wedges0),
+strong AS (SELECT src, dst FROM wedges0, thr WHERE w >= t),
+und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM strong
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM strong
+  ) WHERE src <> dst
+)"""
+
+
+def _backbone_und_edges(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weight-thresholded undirected trade BACKBONE: keep directed
+    nation pairs whose lineitem count reaches the disc-75th
+    percentile of pair weights, then undirect/simple. Link
+    prediction needs NON-edges to score, and the full 25-nation
+    trade graph saturates to COMPLETE above sf0.001 (every nation
+    pair trades at least once) — on the backbone the non-edge
+    candidate set is non-trivial at every SF, and the disc
+    percentile of integer-valued counts is the verified
+    engine-parity threshold construction (no interpolation)."""
+    from cdc_2025_spark.queries.graph import trade_edges
+
+    e = trade_edges(spark, sf_dir)
+    thr = e.agg(
+        F.expr(
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY w)"
+        ).alias("t")
+    )
+    strong = (
+        e.crossJoin(F.broadcast(thr))
+        .filter(F.col("w") >= F.col("t"))
+        .select("src", "dst")
+    )
+    return (
+        strong.unionByName(
+            strong.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def graph_local_clustering(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1267,11 +1327,19 @@ def graph_link_prediction_scores(
     libm on integers (well inside 6dp agreement); pairs order by
     (src, dst).
 
+    Runs on the weight-thresholded trade BACKBONE
+    (:func:`_backbone_und_edges`): the full nation graph is complete
+    above sf0.001, leaving nothing to predict — the disc-75th-
+    percentile sparsification is the standard backbone-extraction
+    step a link-prediction screen runs first.
+
     Scale shape: the wedge join produces candidate pairs keyed by
     shared neighbors (degree-bounded fanout, the triangle query's
     shape); the existing-edge anti-join and degree joins are
     id-pair-sized; output is bounded by the candidate set."""
-    und = _und_edges(spark, sf_dir).localCheckpoint(eager=False)
+    und = _backbone_und_edges(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
     deg = und.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("long").alias("degree")
     )
@@ -1311,7 +1379,7 @@ def graph_link_prediction_scores(
 
 
 LINKPRED_ORACLE = f"""
-WITH {_UND_EDGES_SQL},
+WITH {_BACKBONE_SQL},
 deg AS (
   SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
   FROM und GROUP BY src

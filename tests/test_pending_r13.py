@@ -1,8 +1,8 @@
 """Round-13 registration queue (evaluation depth & robust statistics
 family): every pending query must already pass the exact
 driver-style oracle comparison so registration day is a rename, not
-a debug session — the test_pending_r10/r11/r12 posture. NOT imported
-by queries/__init__.py; pending queries are plain functions."""
+a debug session — the test_pending_r10/r11/r12 posture. Registered
+by queries/__init__.py since the r13 window opened."""
 
 from __future__ import annotations
 
@@ -95,13 +95,18 @@ def test_pending_outputs_driver_sortable(spark, name):
     assert not bad, f"{name}: container columns {bad}"
 
 
-def test_pending_module_not_registered():
-    """Importing pending_r13 must leave the live registry untouched
-    (the freshness guard requires new registrations to LEAD a
-    verification window — the round-12 window is already composed)."""
-    from cdc_2025_spark.queries import QUERIES
+def test_pending_registered_and_leading_r13_window():
+    """The round-13 window is OPEN: register_all() ran, and the
+    freshness guard's requirement — never-checked registrations LEAD
+    the window — holds (all 21 inside the first 22 registry entries,
+    behind the survival_km_reorder re-lead the r12 verdict
+    prescribed)."""
+    from cdc_2025_spark.queries import ORACLES, QUERIES
 
-    assert not (set(pending_r13.PENDING_ORDER) & set(QUERIES))
+    names = list(QUERIES)
+    assert names[0] == "survival_km_reorder"
+    assert set(pending_r13.PENDING_ORDER) == set(names[1:22])
+    assert all(n in ORACLES for n in pending_r13.PENDING_ORDER)
 
 
 def test_average_precision_matches_python_model(spark):
@@ -276,9 +281,12 @@ def test_local_clustering_matches_python_model(spark):
 
 
 def test_link_prediction_excludes_edges_and_scores(spark):
-    """Every predicted pair is a NON-edge with >= 1 common neighbor;
-    Jaccard and Adamic-Adar match a python model."""
-    und = pending_r13._und_edges(spark, SF_DIR).collect()
+    """Every predicted pair is a NON-edge of the weight-thresholded
+    BACKBONE with >= 1 common neighbor; Jaccard and Adamic-Adar
+    match a python model over the same backbone, and the candidate
+    set is non-empty (the full graph saturates to complete above
+    sf0.001 — the reason the backbone exists)."""
+    und = pending_r13._backbone_und_edges(spark, SF_DIR).collect()
     adj = {}
     for r in und:
         adj.setdefault(r["src"], set()).add(r["dst"])
@@ -302,6 +310,7 @@ def test_link_prediction_excludes_edges_and_scores(spark):
                 len(cn) / len(adj[u] | adj[v]),
                 sum(1 / math.log(len(adj[w])) for w in cn),
             )
+    assert want, "backbone left nothing to predict"
     assert set(got) == set(want)
     for k, (cn, jac, aa) in want.items():
         assert got[k]["common_neighbors"] == cn, k
