@@ -191,6 +191,31 @@ HEADLINE = [
     "ivm_incremental_event_stats",
     "forecast_conformal_interval_audit",
     "multimodal_audio_neardup",
+    # Round-13 registrations: the evaluation-depth & robust-stats
+    # family (queries/pending_r13.py; staged sf0.1 costs in the
+    # module docstring, ~6.6 s combined) plus the versioned-table
+    # diff audit (tmpdir snapshot commits, write-dominated).
+    "eval_average_precision",
+    "eval_brier_decomposition",
+    "eval_lift_gains_deciles",
+    "stats_theil_sen_daily_revenue",
+    "stats_partial_corr_price_qty",
+    "stats_welch_ttest_types",
+    "stats_winsorized_trimmed_spend",
+    "stats_anova_brownforsythe_segments",
+    "events_periodogram_daily",
+    "forecast_des_brown_backtest",
+    "graph_local_clustering",
+    "graph_link_prediction_scores",
+    "graph_degree_assortativity",
+    "survival_nelson_aalen_reorder",
+    "privacy_ldiversity_audit",
+    "text_simpson_diversity_sources",
+    "text_sentence_stats_sources",
+    "stats_effect_sizes_segments",
+    "sample_pps_systematic_docs",
+    "eval_mcc_kappa",
+    "versioned_diff_audit",
 ]
 
 
