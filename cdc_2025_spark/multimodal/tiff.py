@@ -6,9 +6,18 @@ from any strip layout. The scanned-document format: archives and
 document dumps are full of single-strip uncompressed TIFFs and
 multi-strip PackBits faxes re-saved at 8 bits.
 
-Deliberate refusals (fail loud, never decode wrongly): LZW/JPEG/
-Deflate-compressed TIFF, sub-byte and 16-bit depths, tiled layout,
-planar configuration 2 — each raises with the offending tag value.
+Round 13 added the two most common non-baseline compressions as
+real kernels: LZW (compression 5 — TIFF's MSB-first bit order and
+the spec's EarlyChange code-width rule, NOT the GIF variant) and
+Deflate (8 / legacy 32946, stdlib zlib), both composing with the
+horizontal-differencing Predictor 2 (tag 317) real LZW writers
+almost always set.
+
+Deliberate refusals (fail loud, never decode wrongly):
+JPEG-compressed TIFF (old 6 and new 7), CCITT fax codings,
+sub-byte and 16-bit depths, tiled layout, planar configuration 2,
+the floating-point predictor 3 — each raises with the offending
+tag value.
 
 Scale posture: like every media kernel here, decode runs inside
 Arrow-batched ``mapInPandas`` tasks; payload bytes never shuffle.
@@ -31,7 +40,139 @@ _T_STRIP_COUNTS = 279
 _T_PLANAR = 284
 _T_COLORMAP = 320
 
+_T_PREDICTOR = 317
+
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _lzw_decode_tiff(data: bytes, expect: int) -> bytes:
+    """TIFF LZW decompress (TIFF 6.0 §13) of one strip. Two spec'd
+    differences from the GIF variant (gif.py:_lzw_decode): codes are
+    packed MSB-FIRST, and the code width grows ONE CODE EARLY
+    (EarlyChange — the width bumps when the NEXT code to be assigned
+    is the last that fits, i.e. at table sizes 510/1022/2046+2).
+    Fixed 8-bit symbols: CLEAR = 256, EOI = 257."""
+    clear, eoi = 256, 257
+    code_size = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos, n = 0, len(data)
+    while len(out) < expect:
+        while nbits < code_size:
+            if pos >= n:
+                if len(out) < expect:
+                    raise ValueError(
+                        f"TIFF LZW strip decoded {len(out)} of "
+                        f"{expect} bytes"
+                    )
+                return bytes(out[:expect])
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - code_size)) & ((1 << code_size) - 1)
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            code_size = 9
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code > 255:
+                raise ValueError(f"TIFF LZW: bad first code {code}")
+            entry = table[code]
+        elif code < len(table) and (table[code] or code < clear):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"TIFF LZW: code {code} out of range")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            # EarlyChange: bump when ONE slot is left at this width
+            if len(table) == (1 << code_size) - 1 and code_size < 12:
+                code_size += 1
+        prev = entry
+    return bytes(out[:expect])
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """TIFF LZW compress — the exact inverse construction (MSB-first
+    packing, EarlyChange width rule, reset at the 4094-entry mark
+    per the spec's early convention)."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << size) | code
+        nbits += size
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    code_size = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = eoi + 1
+    emit(clear, code_size)
+    w = b""
+    for b in data:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], code_size)
+        table[wk] = next_code
+        next_code += 1
+        # EarlyChange mirror, shifted one code: the decoder learns
+        # the entry assigned at emission i only at code i+1 (it
+        # cannot pair the first code), so its table runs one entry
+        # behind this counter — it hits the (2^w - 1) early-change
+        # mark exactly when next_code reaches 2^w here
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code >= 4094:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(256)}
+            code_size = 9
+            next_code = eoi + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _undo_predictor2(raw: bytes, rows: int, width: int, spp: int) -> bytes:
+    """Horizontal differencing predictor (TIFF 6.0 §14): each sample
+    was stored as the delta to the same sample one pixel left;
+    invert with a per-row per-channel cumulative sum mod 256."""
+    import numpy as np  # noqa: PLC0415
+
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(rows, width, spp)
+    return (
+        np.cumsum(a, axis=1, dtype=np.uint32) % 256
+    ).astype(np.uint8).tobytes()
+
+
+def _apply_predictor2(raw: bytes, rows: int, width: int, spp: int) -> bytes:
+    import numpy as np  # noqa: PLC0415
+
+    a = (
+        np.frombuffer(raw, dtype=np.uint8)
+        .reshape(rows, width, spp)
+        .astype(np.int16)
+    )
+    d = a.copy()
+    d[:, 1:, :] = a[:, 1:, :] - a[:, :-1, :]
+    return (d % 256).astype(np.uint8).tobytes()
 
 
 def _packbits_decode(data: bytes, expect: int) -> bytes:
@@ -153,10 +294,20 @@ def decode_tiff(payload: bytes):
         raise NotImplementedError(
             f"only 8-bit samples supported (BitsPerSample={bits})"
         )
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"unsupported TIFF compression {comp}; supported: "
-            "1 (none), 32773 (PackBits)"
+            "1 (none), 5 (LZW), 8/32946 (Deflate), 32773 (PackBits)"
+        )
+    predictor = one(_T_PREDICTOR, default=1)
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF predictor {predictor} not supported (1/2 only)"
+        )
+    if predictor == 2 and comp in (1, 32773):
+        raise ValueError(
+            "predictor 2 with uncompressed/PackBits data is not a "
+            "layout this writer emits — refusing a likely-corrupt IFD"
         )
     if planar != 1:
         raise NotImplementedError(
@@ -182,13 +333,28 @@ def decode_tiff(payload: bytes):
         expect = strip_rows * row_bytes
         chunk = payload[off : off + cnt]
         if comp == 32773:
-            raw += _packbits_decode(chunk, expect)
+            strip = _packbits_decode(chunk, expect)
+        elif comp == 5:
+            strip = _lzw_decode_tiff(chunk, expect)
+        elif comp in (8, 32946):
+            import zlib  # noqa: PLC0415
+
+            strip = zlib.decompress(chunk)
+            if len(strip) < expect:
+                raise ValueError(
+                    f"Deflate strip {s} decoded {len(strip)} of "
+                    f"{expect} bytes"
+                )
+            strip = strip[:expect]
         else:
             if len(chunk) < expect:
                 raise ValueError(
                     f"strip {s} holds {len(chunk)} of {expect} bytes"
                 )
-            raw += chunk[:expect]
+            strip = chunk[:expect]
+        if predictor == 2:
+            strip = _undo_predictor2(strip, strip_rows, width, spp)
+        raw += strip
     px = np.frombuffer(bytes(raw), dtype=np.uint8, count=height * row_bytes)
     px = px.reshape(height, width, spp)
     if photo == 2:
@@ -223,20 +389,29 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     big_endian: bool = False,
     white_is_zero: bool = False,
+    predictor: int = 1,
 ) -> bytes:
-    """Build a baseline TIFF: pass exactly one of ``rgb`` ((h, w, 3)
-    uint8), ``gray`` ((h, w) uint8), or ``palette`` (list of (r,g,b))
-    + ``indices`` ((h, w) ints). ``compression``: 1 (none) or 32773
-    (PackBits). Multi-strip when ``rows_per_strip`` is set — the
-    layout archival scanners emit."""
+    """Build a TIFF: pass exactly one of ``rgb`` ((h, w, 3) uint8),
+    ``gray`` ((h, w) uint8), or ``palette`` (list of (r,g,b)) +
+    ``indices`` ((h, w) ints). ``compression``: 1 (none), 5 (LZW),
+    8 (Deflate) or 32773 (PackBits); ``predictor=2`` adds horizontal
+    differencing before LZW/Deflate (the layout real LZW writers
+    emit). Multi-strip when ``rows_per_strip`` is set — the layout
+    archival scanners emit."""
     import numpy as np  # noqa: PLC0415
 
     e = ">" if big_endian else "<"
     modes = sum(x is not None for x in (rgb, gray, palette))
     if modes != 1:
         raise ValueError("pass exactly one of rgb / gray / palette")
-    if compression not in (1, 32773):
-        raise ValueError(f"compression must be 1 or 32773, got {compression}")
+    if compression not in (1, 5, 8, 32773):
+        raise ValueError(
+            f"compression must be 1/5/8/32773, got {compression}"
+        )
+    if predictor not in (1, 2):
+        raise ValueError(f"predictor must be 1 or 2, got {predictor}")
+    if predictor == 2 and compression not in (5, 8):
+        raise ValueError("predictor 2 pairs with LZW/Deflate only")
     if rgb is not None:
         arr = np.asarray(rgb, dtype=np.uint8)
         h, w, spp = arr.shape
@@ -265,8 +440,17 @@ def encode_tiff(
     strips = []
     for y0 in range(0, h, rps):
         strip = data[y0 * row_bytes : min(y0 + rps, h) * row_bytes]
+        strip_rows = min(y0 + rps, h) - y0
+        if predictor == 2:
+            strip = _apply_predictor2(strip, strip_rows, w, spp)
         if compression == 32773:
             strip = _packbits_encode(strip)
+        elif compression == 5:
+            strip = _lzw_encode_tiff(strip)
+        elif compression == 8:
+            import zlib  # noqa: PLC0415
+
+            strip = zlib.compress(strip, 6)
         strips.append(strip)
 
     entries = []  # (tag, type, count, values)
@@ -281,6 +465,8 @@ def encode_tiff(
     entries.append(
         (_T_STRIP_COUNTS, 4, len(strips), [len(s) for s in strips])
     )
+    if predictor == 2:
+        entries.append((_T_PREDICTOR, 3, 1, [2]))
     cmap_vals = None
     if photo == 3:
         n = len(palette)
@@ -341,6 +527,7 @@ def make_tiff(
     compression: int = 1,
     rows_per_strip: int | None = None,
     big_endian: bool = False,
+    predictor: int = 1,
 ) -> bytes:
     """Deterministic seeded-pattern TIFF twins of the other builders:
     ``gray`` uses the PNG gray formula (decodes equal to the gray-PNG
@@ -359,6 +546,7 @@ def make_tiff(
             compression=compression,
             rows_per_strip=rows_per_strip,
             big_endian=big_endian,
+            predictor=predictor,
         )
     if mode == "rgb":
         r = np.fromfunction(
@@ -378,6 +566,7 @@ def make_tiff(
             compression=compression,
             rows_per_strip=rows_per_strip,
             big_endian=big_endian,
+            predictor=predictor,
         )
     if mode == "palette":
         plte = [
@@ -393,5 +582,6 @@ def make_tiff(
             compression=compression,
             rows_per_strip=rows_per_strip,
             big_endian=big_endian,
+            predictor=predictor,
         )
     raise ValueError(f"unknown mode {mode!r}")

@@ -23,12 +23,21 @@ reader, reclaimed by ``vacuum``.
 Scale posture: manifests are a few KB of JSON regardless of table
 size (they list directories, not rows); data dirs are written by
 ordinary distributed writers; reads are plain multi-path parquet
-scans with all the usual pushdown/pruning. The production next rung
-— per-file min/max stats in the manifest for manifest-level data
-skipping — is exactly what the real formats add; out of scope here
-and noted, not faked. Schema is pinned at table creation: an append
-with a different schema REFUSES (schema evolution is a format
-feature, silently unioning mismatched schemas is a corruption).
+scans with all the usual pushdown/pruning. Round 13 added the
+production next rung the real formats have: per-data-dir MIN/MAX
+column stats harvested from the parquet FOOTERS at commit time
+(no extra Spark job) and recorded in the manifest, so
+``read_versioned(..., predicates=[...])`` skips whole directories
+whose stats preclude a match BEFORE any scan is planned — on an
+append-accumulated table, a point or range read touches only the
+commits that can hold it (manifest-level data skipping, the
+Delta/Iceberg stats-pruning design in its plain-parquet form).
+Numeric and string stats only; columns without stats are always
+kept (safe), and the conjunctive predicates are ALSO applied as a
+plain filter so the returned frame is exact, not a superset.
+Schema is pinned at table creation: an append with a different
+schema REFUSES (schema evolution is a format feature, silently
+unioning mismatched schemas is a corruption).
 
 Reference surface: the reference repo overwrites its CSV outputs in
 place on every run (resilience.py:82) — this is the operator that
@@ -85,6 +94,104 @@ def history(path: str) -> list[dict]:
     return [_read_manifest(path, v) for v in _list_versions(path)]
 
 
+def _dir_stats(data_dir: str) -> dict:
+    """Per-column [min, max] over every parquet footer in a data
+    dir — read from file METADATA (pyarrow), no Spark job, no data
+    pages touched. Numeric and utf8 columns only (binary stats are
+    truncation-prone and date/ts objects are not JSON); a column
+    missing from any footer is dropped (no stats = never pruned =
+    always safe)."""
+    import pyarrow.parquet as pq
+
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    seen_files = 0
+    dropped: set[str] = set()
+    for root, _dirs, files in os.walk(data_dir):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            seen_files += 1
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            file_cols: set[str] = set()
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    st = col.statistics
+                    name = col.path_in_schema
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or name in dropped
+                    ):
+                        dropped.add(name)
+                        continue
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        try:
+                            mn, mx = mn.decode(), mx.decode()
+                        except UnicodeDecodeError:
+                            dropped.add(name)
+                            continue
+                    if not isinstance(mn, (int, float, str)) or (
+                        isinstance(mn, bool)
+                    ):
+                        dropped.add(name)
+                        continue
+                    file_cols.add(name)
+                    if name not in mins or mn < mins[name]:
+                        mins[name] = mn
+                    if name not in maxs or mx > maxs[name]:
+                        maxs[name] = mx
+            # a column absent from a file's footer has unknown range
+            for name in list(mins):
+                if name not in file_cols:
+                    dropped.add(name)
+    return {
+        name: [mins[name], maxs[name]]
+        for name in mins
+        if name not in dropped and seen_files > 0
+    }
+
+
+_OPS = ("==", "=", ">=", "<=", ">", "<")
+
+
+def _dir_may_match(stats: dict, predicates) -> bool:
+    """Conjunctive min/max pruning: False only when some predicate
+    is IMPOSSIBLE given the dir's stats; unknown columns or ops
+    never prune (skipping must be safe, not clever)."""
+    for col, op, val in predicates:
+        if op not in _OPS:
+            raise ValueError(f"unsupported predicate op {op!r}")
+        rng = stats.get(col)
+        if not rng:
+            continue
+        mn, mx = rng
+        if type(val) is bool or not isinstance(
+            val, (int, float, str)
+        ):
+            raise ValueError(
+                f"predicate value for {col!r} must be a number or "
+                f"string, got {type(val).__name__}"
+            )
+        if isinstance(val, str) != isinstance(mn, str):
+            continue  # type mismatch vs stats: keep (safe)
+        if op in ("==", "="):
+            if val < mn or val > mx:
+                return False
+        elif op == ">" and mx <= val:
+            return False
+        elif op == ">=" and mx < val:
+            return False
+        elif op == "<" and mn >= val:
+            return False
+        elif op == "<=" and mn > val:
+            return False
+    return True
+
+
 def write_versioned(
     df: DataFrame,
     path: str,
@@ -117,9 +224,11 @@ def write_versioned(
         rel_dir = f"{_DATA_DIR}/{version:08d}-{nonce}"
         data_dir = os.path.join(path, rel_dir)
         df.write.mode("overwrite").parquet(data_dir)
+        stats = {rel_dir: _dir_stats(data_dir)}
         if mode == "append" and vs:
             dirs = prev["data_dirs"] + [rel_dir]
             total = prev["n_rows"] + n_rows
+            stats = {**prev.get("dir_stats", {}), **stats}
         else:
             dirs = [rel_dir]
             total = n_rows
@@ -130,6 +239,7 @@ def write_versioned(
             "data_dirs": dirs,
             "n_rows": total,
             "schema": schema_ddl,
+            "dir_stats": stats,
             "committed_at": time.time(),
         }
         tmp = _manifest_path(path, version) + f".tmp-{nonce}"
@@ -152,11 +262,24 @@ def write_versioned(
 
 
 def read_versioned(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    predicates: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a snapshot: the latest, or TIME TRAVEL to any committed
     ``version``. Reads exactly the manifest's data dirs — orphan
-    dirs from crashed writers are invisible by construction."""
+    dirs from crashed writers are invisible by construction.
+
+    ``predicates`` — a conjunctive list of ``(column, op, value)``
+    with op in ==/=/>=/<=/>/< and a number or string value — turns
+    on MANIFEST-LEVEL DATA SKIPPING: data dirs whose committed
+    min/max stats preclude a match are dropped before any scan is
+    planned (dirs without stats for a column are always kept), and
+    the same predicates are applied as a plain filter so the result
+    is exactly the filtered snapshot, never a superset. On an
+    append-accumulated table a point read touches only the commits
+    that can hold the key."""
     vs = _list_versions(path)
     if not vs:
         raise ValueError(f"{path} holds no committed versions")
@@ -166,9 +289,31 @@ def read_versioned(
             f"version {v} does not exist (committed: {vs[0]}..{vs[-1]})"
         )
     m = _read_manifest(path, v)
-    return spark.read.parquet(
-        *[os.path.join(path, d) for d in m["data_dirs"]]
-    )
+    dirs = m["data_dirs"]
+    if predicates:
+        stats = m.get("dir_stats", {})
+        dirs = [
+            d
+            for d in dirs
+            if _dir_may_match(stats.get(d, {}), predicates)
+        ]
+    if not dirs:
+        from pyspark.sql.types import StructType  # noqa: PLC0415
+
+        return spark.createDataFrame(
+            [], StructType.fromDDL(m["schema"])
+        )
+    df = spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+    if predicates:
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        ops = {
+            "==": "__eq__", "=": "__eq__", ">=": "__ge__",
+            "<=": "__le__", ">": "__gt__", "<": "__lt__",
+        }
+        for col, op, val in predicates:
+            df = df.filter(getattr(F.col(col), ops[op])(F.lit(val)))
+    return df
 
 
 def rollback(path: str, version: int, max_retries: int = 5) -> int:
@@ -192,6 +337,7 @@ def rollback(path: str, version: int, max_retries: int = 5) -> int:
             "data_dirs": target["data_dirs"],
             "n_rows": target["n_rows"],
             "schema": target["schema"],
+            "dir_stats": target.get("dir_stats", {}),
             "committed_at": time.time(),
         }
         tmp = _manifest_path(path, new_v) + f".tmp-{os.getpid():x}a{attempt}"
@@ -305,6 +451,7 @@ def optimize_versioned(
         "data_dirs": [rel_dir],
         "n_rows": prev["n_rows"],
         "schema": prev["schema"],
+        "dir_stats": {rel_dir: _dir_stats(data_dir)},
         "committed_at": time.time(),
     }
     tmp = _manifest_path(path, version) + f".tmp-{nonce}"

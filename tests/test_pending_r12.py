@@ -95,16 +95,13 @@ def test_pending_outputs_driver_sortable(spark, name):
     assert not bad, f"{name}: container columns {bad}"
 
 
-def test_pending_registered_and_leading_r12_window():
-    """The round-12 window is OPEN: register_all() ran, and the
-    freshness guard's requirement — never-checked registrations LEAD
-    the window — holds (all 20 inside the first 21 registry entries,
-    behind the audio near-dup lead)."""
+def test_pending_registered_and_oracle_backed():
+    """Round-12 opened its window (the leading-position requirement
+    has since been superseded by the round-13 window): every
+    pending_r12 query stays registered and oracle-backed."""
     from cdc_2025_spark.queries import ORACLES, QUERIES
 
-    names = list(QUERIES)
-    assert set(pending_r12.PENDING_ORDER) <= set(names)
-    assert set(pending_r12.PENDING_ORDER) == set(names[1:21])
+    assert set(pending_r12.PENDING_ORDER) <= set(QUERIES)
     assert all(n in ORACLES for n in pending_r12.PENDING_ORDER)
 
 

@@ -81,21 +81,101 @@ def test_refusals_fail_loud():
             rgb=np.zeros((2, 2, 3), np.uint8),
         )
     with pytest.raises(ValueError, match="compression"):
-        encode_tiff(gray=np.zeros((2, 2), np.uint8), compression=5)
-    # LZW-compressed TIFF refuses at decode: flip the tag value
+        encode_tiff(gray=np.zeros((2, 2), np.uint8), compression=6)
+    with pytest.raises(ValueError, match="predictor"):
+        encode_tiff(
+            gray=np.zeros((2, 2), np.uint8),
+            compression=8,
+            predictor=3,
+        )
+    with pytest.raises(ValueError, match="pairs with"):
+        encode_tiff(gray=np.zeros((2, 2), np.uint8), predictor=2)
+    # JPEG-compressed TIFF refuses at decode: flip the tag value
     t = bytearray(make_tiff(8, 8, seed=1, mode="gray"))
-    # find the compression entry (tag 259, II order) and set value 5
+    # find the compression entry (tag 259, II order) and set value 7
     for i in range(8, len(t) - 12):
         tag, typ = struct.unpack_from("<HH", t, i)
         if tag == 259 and typ == 3:
-            struct.pack_into("<H", t, i + 8, 5)
+            struct.pack_into("<H", t, i + 8, 7)
             break
-    with pytest.raises(NotImplementedError, match="compression 5"):
+    with pytest.raises(NotImplementedError, match="compression 7"):
         decode_tiff(bytes(t))
     # truncated strip fails loud
     whole = make_tiff(16, 16, seed=2, mode="rgb")
     with pytest.raises(ValueError, match="strip"):
         decode_tiff(whole[:-40])
+
+
+@pytest.mark.parametrize("compression", [5, 8])
+@pytest.mark.parametrize("predictor", [1, 2])
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_lzw_deflate_roundtrip_all_modes(
+    compression, predictor, big_endian
+):
+    """LZW (MSB-first, EarlyChange) and Deflate strips, with and
+    without the horizontal-differencing predictor, both byte orders,
+    decode pixel-identical to their uncompressed twins in every
+    photometric mode and in multi-strip layout."""
+    for mode in ("gray", "rgb", "palette"):
+        base = decode_tiff(make_tiff(37, 23, seed=5, mode=mode))
+        for rps in (None, 7):
+            got = decode_tiff(
+                make_tiff(
+                    37,
+                    23,
+                    seed=5,
+                    mode=mode,
+                    compression=compression,
+                    rows_per_strip=rps,
+                    big_endian=big_endian,
+                    predictor=predictor,
+                )
+            )
+            assert np.array_equal(got, base), (mode, rps)
+
+
+def test_tiff_lzw_kernel_exact_across_width_bumps():
+    """The raw TIFF-LZW pair round-trips byte streams that cross
+    every code-width boundary (9->10->11->12) and the table-reset
+    mark — the EarlyChange alignment this kernel exists for — and
+    actually compresses structured rows."""
+    import random
+
+    from cdc_2025_spark.multimodal.tiff import (
+        _lzw_decode_tiff,
+        _lzw_encode_tiff,
+    )
+
+    rng = random.Random(7)
+    incompressible = bytes(rng.randrange(256) for _ in range(60000))
+    assert (
+        _lzw_decode_tiff(
+            _lzw_encode_tiff(incompressible), len(incompressible)
+        )
+        == incompressible
+    )
+    runs = bytes([1, 2, 3, 4] * 30000)  # deep table + reset
+    assert _lzw_decode_tiff(_lzw_encode_tiff(runs), len(runs)) == runs
+    g = np.fromfunction(
+        lambda y, x: (x * 13 + y * 17) % 256, (64, 64)
+    ).astype(np.uint8)
+    plain = encode_tiff(gray=g)
+    lzw = encode_tiff(gray=g, compression=5, predictor=2)
+    assert len(lzw) < len(plain) / 4
+
+
+def test_predictor2_requires_declared_tag():
+    """A predictor-2 payload decoded while IGNORING the tag would be
+    garbage — pin that the tag is honored by comparing against the
+    no-predictor encode of the same pixels (different bytes, equal
+    decode)."""
+    g = np.fromfunction(
+        lambda y, x: (x * 3 + y * 7) % 256, (11, 19)
+    ).astype(np.uint8)
+    a = encode_tiff(gray=g, compression=8)
+    b = encode_tiff(gray=g, compression=8, predictor=2)
+    assert a != b
+    assert np.array_equal(decode_tiff(a), decode_tiff(b))
 
 
 def test_image_feature_kernel_routes_tiff(spark):

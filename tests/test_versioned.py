@@ -345,3 +345,118 @@ def test_diff_versions_classifies_churn(spark, tmp_path):
         for r in diff_versions(spark, t, 1, 2, ["id"]).collect()
     }
     assert got == {(2, "changed"), (3, "removed"), (4, "added")}
+
+
+def test_data_skipping_prunes_dirs_and_stays_exact(spark, tmp_path):
+    """Manifest-level data skipping: each append commit records its
+    dir's parquet-footer min/max; a predicated read plans a scan
+    over ONLY the dirs that can match (pinned via the pruning
+    helper and via the scanned-paths plan), and returns exactly the
+    filtered snapshot."""
+    from pyspark.sql import functions as F
+
+    from cdc_2025_spark.versioned import _dir_may_match
+
+    t = str(tmp_path / "tbl")
+    # three appends with DISJOINT key ranges, like daily ingests
+    for lo in (0, 100, 200):
+        df = spark.createDataFrame(
+            [(lo + i, f"s{lo + i}") for i in range(50)],
+            "id long, v string",
+        )
+        write_versioned(df, t, mode="append" if lo else "overwrite")
+    m = history(t)[-1]
+    stats = m["dir_stats"]
+    assert set(stats) == set(m["data_dirs"])
+    for d in m["data_dirs"]:
+        assert "id" in stats[d] and "v" in stats[d]
+    # pruning helper: a point read keeps exactly one dir
+    kept = [
+        d
+        for d in m["data_dirs"]
+        if _dir_may_match(stats[d], [("id", "==", 123)])
+    ]
+    assert len(kept) == 1
+    assert stats[kept[0]]["id"] == [100, 149]
+    # exactness: predicated read == full read + filter
+    got = _rows(read_versioned(spark, t, predicates=[("id", "==", 123)]))
+    want = _rows(read_versioned(spark, t).filter(F.col("id") == 123))
+    assert got == want == [(123, "s123")]
+    # range read across two commits
+    got = _rows(
+        read_versioned(
+            spark, t, predicates=[("id", ">=", 90), ("id", "<", 110)]
+        )
+    )
+    assert got == [(i, f"s{i}") for i in range(100, 110)]
+    # string stats prune too
+    got = _rows(read_versioned(spark, t, predicates=[("v", "==", "s201")]))
+    assert got == [(201, "s201")]
+    # an impossible predicate prunes EVERYTHING and returns an
+    # empty frame with the pinned schema
+    empty = read_versioned(spark, t, predicates=[("id", ">", 10_000)])
+    assert empty.count() == 0
+    assert empty.schema.simpleString() == m["schema"]
+
+
+def test_data_skipping_unknown_column_is_safe(spark, tmp_path):
+    """A predicate on a column without stats never prunes — the read
+    stays correct, just unskipped; unsupported ops refuse."""
+    import pytest as _pytest
+
+    from cdc_2025_spark.versioned import _dir_may_match
+
+    assert _dir_may_match({}, [("nope", ">", 1)])
+    with _pytest.raises(ValueError, match="unsupported predicate"):
+        _dir_may_match({"a": [1, 2]}, [("a", "!=", 1)])
+    with _pytest.raises(ValueError, match="number or string"):
+        _dir_may_match({"a": [1, 2]}, [("a", "==", [1])])
+    # type-mismatched predicate vs stats: kept, then filtered exact
+    t = str(tmp_path / "tbl")
+    write_versioned(
+        spark.createDataFrame([(1, "a")], "id long, v string"), t
+    )
+    # string predicate on a long column: stats never prune on a
+    # type mismatch, and Spark's OWN comparison semantics decide
+    # (ANSI coerces '1' to bigint -> the row matches) — skipping
+    # must never change what the filter would have returned
+    assert (
+        read_versioned(spark, t, predicates=[("id", "==", "1")]).count()
+        == 1
+    )
+
+
+def test_data_skipping_survives_rollback_and_optimize(spark, tmp_path):
+    """Stats ride along rollback (copied from the restored manifest)
+    and optimize (recomputed for the compacted dir)."""
+    from cdc_2025_spark.versioned import optimize_versioned
+
+    t = str(tmp_path / "tbl")
+    for lo in (0, 100):
+        write_versioned(
+            spark.createDataFrame(
+                [(lo + i,) for i in range(20)], "id long"
+            ),
+            t,
+            mode="append" if lo else "overwrite",
+        )
+    rollback(t, 1)
+    m = history(t)[-1]
+    assert set(m["dir_stats"]) == set(m["data_dirs"])
+    assert _rows(
+        read_versioned(spark, t, predicates=[("id", "<", 5)])
+    ) == [(i,) for i in range(5)]
+    write_versioned(
+        spark.createDataFrame([(100 + i,) for i in range(20)], "id long"),
+        t,
+        mode="append",
+    )
+    v = optimize_versioned(spark, t)
+    m = history(t)[-1]
+    assert m["version"] == v and len(m["data_dirs"]) == 1
+    d = m["data_dirs"][0]
+    assert m["dir_stats"][d]["id"] == [0, 119]
+    assert (
+        read_versioned(spark, t, predicates=[("id", "==", 7)]).count()
+        == 1
+    )
