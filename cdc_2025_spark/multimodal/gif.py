@@ -1,15 +1,22 @@
 """GIF (GIF89a) — real, dependency-free encode + decode kernels for
-the lake subset: full-frame images over a global color table,
-single- and multi-frame (animation) streams with graphic-control
-delays, 4-pass row interlacing, and the variable-width LSB-first
-LZW codec the format is built on (Welch 1984; GIF89a spec app. F),
-including mid-stream CLEAR resets when the code table fills.
+the lake subset: single- and multi-frame (animation) streams with
+graphic-control delays, 4-pass row interlacing, and the
+variable-width LSB-first LZW codec the format is built on (Welch
+1984; GIF89a spec app. F), including mid-stream CLEAR resets when
+the code table fills.
 
-Deliberate refusals (fail loud, never decode wrongly): frames that
-cover only part of the logical screen and transparent-index frames
-both require inter-frame compositing state (disposal methods) —
-out of scope for independent-frame feature extraction; local color
-tables and sort flags are handled, 87a headers accepted.
+Round 13 closed the r12 compositing refusal: the decoder now keeps
+the FULL GIF89a compositing state — partial-screen frames paint
+their rect onto a persistent canvas initialized to the screen
+background color, a declared transparent index leaves covered
+canvas pixels untouched, and the disposal methods run per spec
+(leave / restore-to-background / restore-to-previous) — and the
+encoder writes the matching delta-frame form (per-frame rects,
+disposal, transparent index: how optimized animations are actually
+written). Decoded frames are canvas SNAPSHOTS, so downstream
+feature/near-dup kernels see what a viewer shows. Local color
+tables and sort flags are handled, 87a headers accepted; rects
+outside the logical screen fail loudly.
 
 Scale posture: like every media kernel here, decode runs inside
 Arrow-batched ``mapInPandas`` tasks — payload bytes never shuffle;
@@ -145,14 +152,30 @@ def encode_gif(
     height: int,
     delay_cs: int = 4,
     interlace: bool = False,
+    rects=None,
+    disposals=None,
+    transparent_idx: int | None = None,
 ) -> bytes:
     """Build a GIF89a: ``frames`` is a list of row-major palette-
-    index lists (each width*height, values < len(palette));
-    ``palette`` is a list of (r, g, b). Multi-frame streams get a
-    NETSCAPE loop block and per-frame graphic-control delays —
-    a REAL animated GIF any viewer plays."""
+    index lists; ``palette`` is a list of (r, g, b). Multi-frame
+    streams get a NETSCAPE loop block and per-frame graphic-control
+    delays — a REAL animated GIF any viewer plays.
+
+    Delta-frame form (how optimized animations are actually written):
+    ``rects`` gives each frame its descriptor (x0, y0, fw, fh) —
+    None entries mean full screen, and that frame's list holds
+    fw*fh pixels; ``disposals`` gives each frame its disposal method
+    (0/1 leave, 2 restore-to-background, 3 restore-to-previous);
+    ``transparent_idx`` marks one palette index as see-through
+    (those pixels leave the compositing canvas untouched)."""
     if not frames:
         raise ValueError("empty frame list")
+    if rects is None:
+        rects = [None] * len(frames)
+    if disposals is None:
+        disposals = [0] * len(frames)
+    if len(rects) != len(frames) or len(disposals) != len(frames):
+        raise ValueError("rects/disposals must match frames")
     n_colors = len(palette)
     if not 2 <= n_colors <= 256:
         raise ValueError(f"palette must hold 2..256 colors, got {n_colors}")
@@ -171,27 +194,40 @@ def encode_gif(
         # NETSCAPE2.0 infinite-loop application extension
         out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
     min_code = max(depth, 2)
-    for fr in frames:
-        if len(fr) != width * height:
+    for fr, rect, disp in zip(frames, rects, disposals):
+        x0, y0, fw, fh = rect or (0, 0, width, height)
+        if x0 + fw > width or y0 + fh > height:
+            raise ValueError("frame rect exceeds the logical screen")
+        if len(fr) != fw * fh:
             raise ValueError(
-                f"frame holds {len(fr)} pixels, need {width * height}"
+                f"frame holds {len(fr)} pixels, need {fw * fh}"
             )
         if max(fr) >= n_colors:
             raise ValueError("palette index out of range")
-        if len(frames) > 1:
+        need_gce = (
+            len(frames) > 1
+            or transparent_idx is not None
+            or disp != 0
+        )
+        if need_gce:
+            gflags = (disp & 7) << 2
+            tidx = 0
+            if transparent_idx is not None:
+                gflags |= 1
+                tidx = transparent_idx
             out += b"\x21\xf9\x04" + _struct.pack(
-                "<BHB", 0, delay_cs, 0
+                "<BHB", gflags, delay_cs, tidx
             ) + b"\x00"
         flags = 0x40 if interlace else 0
         out += b"\x2c" + _struct.pack(
-            "<HHHHB", 0, 0, width, height, flags
+            "<HHHHB", x0, y0, fw, fh, flags
         )
         px = fr
         if interlace:
             px = []
             for start, step in _GIF_INTERLACE:
-                for y in range(start, height, step):
-                    px.extend(fr[y * width : (y + 1) * width])
+                for y in range(start, fh, step):
+                    px.extend(fr[y * fw : (y + 1) * fw])
         out.append(min_code)
         data = _lzw_encode(px, min_code)
         for i in range(0, len(data), 255):
@@ -205,17 +241,24 @@ def encode_gif(
 
 def decode_gif(payload: bytes):
     """Decode every frame of a GIF into (height, width, 3) uint8 RGB
-    arrays; returns {"frames": [ndarray, ...], "delays_cs": [...],
-    "width": w, "height": h}. Full-frame images only (a frame whose
-    descriptor does not cover the logical screen, or that declares a
-    transparent index, needs compositing state — refused loudly);
-    interlaced frames are de-interlaced; local color tables override
-    the global one per spec."""
+    CANVAS SNAPSHOTS; returns {"frames": [ndarray, ...],
+    "delays_cs": [...], "width": w, "height": h}. Full GIF89a
+    compositing (r13 — the r12 refusal edge closed): partial-screen
+    frames paint their rect onto the persistent canvas, a declared
+    transparent index leaves covered canvas pixels untouched, and
+    the graphic-control disposal methods run per spec — 0/1 leave
+    the frame in place, 2 restores the rect to the background color,
+    3 restores the whole canvas to its pre-frame state. The canvas
+    initializes to the logical screen's background color (the
+    screen-descriptor index into the global table; black without
+    one). Interlaced frames are de-interlaced; local color tables
+    override the global one per spec; rects outside the screen, bad
+    palette indices and short pixel streams fail loudly."""
     import numpy as np  # noqa: PLC0415
 
     if payload[:6] not in _GIF_HEADERS:
         raise ValueError("not a GIF payload")
-    width, height, flags, _bg, _ar = _struct.unpack_from(
+    width, height, flags, bg_idx, _ar = _struct.unpack_from(
         "<HHBBB", payload, 6
     )
     pos = 13
@@ -226,9 +269,18 @@ def decode_gif(payload: bytes):
             payload, dtype=np.uint8, count=n * 3, offset=pos
         ).reshape(n, 3)
         pos += n * 3
+    bg_rgb = (
+        global_table[bg_idx]
+        if global_table is not None and bg_idx < len(global_table)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.tile(
+        np.asarray(bg_rgb, dtype=np.uint8), (height, width, 1)
+    )
     frames, delays = [], []
     delay = 0
     transparent = None
+    disposal = 0
     while pos < len(payload):
         b = payload[pos]
         if b == 0x3B:  # trailer
@@ -242,6 +294,7 @@ def decode_gif(payload: bytes):
                     "<BHB", payload, pos + 1
                 )
                 transparent = tidx if (gflags & 1) else None
+                disposal = (gflags >> 2) & 7
                 pos += 1 + size
             # skip (remaining) sub-blocks
             while payload[pos] != 0:
@@ -254,15 +307,10 @@ def decode_gif(payload: bytes):
             "<HHHHB", payload, pos + 1
         )
         pos += 10
-        if (x0, y0, fw, fh) != (0, 0, width, height):
-            raise NotImplementedError(
-                "partial-screen GIF frames need compositing state "
-                f"(frame at {x0},{y0} {fw}x{fh} vs screen "
-                f"{width}x{height})"
-            )
-        if transparent is not None:
-            raise NotImplementedError(
-                "transparent-index GIF frames need compositing state"
+        if x0 + fw > width or y0 + fh > height:
+            raise ValueError(
+                f"GIF frame rect {x0},{y0} {fw}x{fh} exceeds the "
+                f"{width}x{height} logical screen"
             )
         table = global_table
         if iflags & 0x80:
@@ -301,9 +349,24 @@ def decode_gif(payload: bytes):
                     de[y] = grid[src_row]
                     src_row += 1
             grid = de
-        frames.append(table[grid].astype(np.uint8).copy())
+        before = canvas.copy() if disposal == 3 else None
+        rgb = table[grid].astype(np.uint8)
+        region = canvas[y0 : y0 + fh, x0 : x0 + fw]
+        if transparent is not None:
+            opaque = grid != transparent
+            region[opaque] = rgb[opaque]
+        else:
+            region[:, :] = rgb
+        frames.append(canvas.copy())
         delays.append(delay)
+        # disposal prepares the canvas for the NEXT frame
+        if disposal == 2:
+            canvas[y0 : y0 + fh, x0 : x0 + fw] = bg_rgb
+        elif disposal == 3:
+            canvas = before
         delay = 0
+        transparent = None
+        disposal = 0
     if not frames:
         raise ValueError("GIF carries no image blocks")
     return {

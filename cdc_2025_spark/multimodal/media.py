@@ -1371,6 +1371,140 @@ def encode_wav_g711(samples, sample_rate: int = 8000, law: str = "mulaw") -> byt
     )
 
 
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+    449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+    1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+    3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+    9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+    22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_step(pred: int, index: int, code: int) -> tuple[int, int]:
+    """One IMA ADPCM update (IMA Digital Audio Focus Group 1992 /
+    the DVI reference algorithm): reconstruct the delta from the
+    4-bit code with shift-adds (no multiply — the fixed-point form
+    every implementation uses, so encoder and decoder stay in
+    lockstep), clamp the predictor, step the index."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if code & 1:
+        diff += step >> 2
+    if code & 2:
+        diff += step >> 1
+    if code & 4:
+        diff += step
+    if code & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[code & 7]))
+    return pred, index
+
+
+def encode_wav_ima_adpcm(
+    samples, sample_rate: int = 8000, block_samples: int = 505
+) -> bytes:
+    """Mono IMA/DVI ADPCM WAV (format 17) — the classic 4:1 voice
+    compression. Per-block layout (the spec's): a 4-byte header
+    (initial predictor int16, step index u8, reserved 0) carrying
+    the FIRST sample verbatim, then 4-bit codes two-per-byte, LOW
+    nibble first. The step index persists across blocks (each
+    header just snapshots it). ``block_samples`` must be odd so the
+    nibble count per block is even (505 is the canonical 256-byte
+    block)."""
+    if block_samples % 2 == 0 or block_samples < 3:
+        raise ValueError("block_samples must be odd and >= 3")
+    xs = [max(-32768, min(32767, int(v))) for v in samples]
+    if not xs:
+        raise ValueError("no samples")
+    index = 0
+    blocks = []
+    for b0 in range(0, len(xs), block_samples):
+        block = xs[b0 : b0 + block_samples]
+        pred = block[0]
+        blocks.append(_struct.pack("<hBB", pred, index, 0))
+        nibbles = []
+        for x in block[1:]:
+            step = _IMA_STEP_TABLE[index]
+            diff = x - pred
+            code = 0
+            if diff < 0:
+                code = 8
+                diff = -diff
+            if diff >= step:
+                code |= 4
+                diff -= step
+            if diff >= step >> 1:
+                code |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                code |= 1
+            pred, index = _ima_step(pred, index, code)
+            nibbles.append(code)
+        if len(nibbles) % 2:
+            nibbles.append(0)  # final short block pads one nibble
+        blocks.append(
+            bytes(
+                (nibbles[i] & 0xF) | ((nibbles[i + 1] & 0xF) << 4)
+                for i in range(0, len(nibbles), 2)
+            )
+        )
+    data = b"".join(blocks)
+    block_align = 4 + (block_samples - 1) // 2
+    fmt = _struct.pack(
+        "<HHIIHHHH",
+        17,
+        1,
+        sample_rate,
+        sample_rate * block_align // block_samples,
+        block_align,
+        4,
+        2,  # cbSize
+        block_samples,  # wSamplesPerBlock
+    )
+    # the fact chunk is REQUIRED for compressed formats (RIFF/WAVE
+    # spec): it carries the true sample count, which is how a
+    # decoder distinguishes the final block's pad nibble from data
+    fact = _struct.pack("<4sII", b"fact", 4, len(xs))
+    return (
+        _struct.pack(
+            "<4sI4s",
+            b"RIFF",
+            4 + 8 + len(fmt) + len(fact) + 8 + len(data),
+            b"WAVE",
+        )
+        + _struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + fact
+        + _struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
+def _ima_adpcm_decode(
+    data: bytes, block_align: int, samples_per_block: int
+):
+    """Decode mono IMA ADPCM blocks to int16 samples."""
+    out = []
+    for b0 in range(0, len(data) - 3, block_align):
+        block = data[b0 : b0 + block_align]
+        pred, index, _ = _struct.unpack_from("<hBB", block, 0)
+        if index > 88:
+            raise ValueError(f"IMA ADPCM step index {index} > 88")
+        out.append(pred)
+        produced = 1
+        for byte in block[4:]:
+            for code in (byte & 0xF, byte >> 4):
+                if produced >= samples_per_block:
+                    break
+                pred, index = _ima_step(pred, index, code)
+                out.append(pred)
+                produced += 1
+    return out
+
+
 def decode_wav(payload: bytes):
     """REAL decode kernel for RIFF/WAVE: walks the chunk list (no
     fixed offsets — extra chunks like LIST are skipped), returns
@@ -1379,7 +1513,9 @@ def decode_wav(payload: bytes):
     packed 24-bit PCM (the studio-export depth), UNSIGNED 8-bit PCM
     (the spec's 8-bit convention), IEEE float32 (format 3), G.711
     A-law (format 6) and mu-law (format 7) — the telephony codecs,
-    decoded through the exact ITU segment expansion — and
+    decoded through the exact ITU segment expansion — mono IMA/DVI
+    ADPCM (format 17, the classic 4:1 voice codec: block headers
+    carrying the first sample + low-nibble-first 4-bit codes) — and
     WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappers of any of those — the
     SubFormat GUID's leading u16 is the real format code. Other
     formats/depths raise. Dependency-free (struct + numpy only)."""
@@ -1387,7 +1523,7 @@ def decode_wav(payload: bytes):
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, fmt_body, data = 12, None, None, None
+    pos, fmt, fmt_body, data, fact_n = 12, None, None, None, None
     while pos + 8 <= len(payload):
         cid, size = _struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
@@ -1396,6 +1532,8 @@ def decode_wav(payload: bytes):
             fmt_body = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            (fact_n,) = _struct.unpack_from("<I", body, 0)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
@@ -1433,6 +1571,26 @@ def decode_wav(payload: bytes):
             np.frombuffer(data, dtype=np.uint8).astype(np.float64)
             - 128.0
         ) / 128.0
+    elif audio_format == 17:  # IMA/DVI ADPCM
+        if bits != 4:
+            raise NotImplementedError(
+                f"IMA ADPCM is 4-bit by definition (bits={bits})"
+            )
+        if channels != 1:
+            raise NotImplementedError(
+                "stereo IMA ADPCM (per-4-byte channel interleave) "
+                "not supported — mono only"
+            )
+        block_align = fmt[4]
+        if len(fmt_body) >= 20:
+            (spb,) = _struct.unpack_from("<H", fmt_body, 18)
+        else:
+            spb = (block_align - 4) * 2 + 1
+        lin = _ima_adpcm_decode(data, block_align, spb)
+        if fact_n is not None:
+            lin = lin[:fact_n]  # drop the final block's pad nibble
+        raw = np.asarray(lin, dtype=np.float64) / 32768.0
+        return raw, sample_rate  # mono by contract, no downmix
     elif audio_format in (6, 7):  # G.711 A-law / mu-law
         if bits != 8:
             raise NotImplementedError(
@@ -1449,7 +1607,7 @@ def decode_wav(payload: bytes):
         raise NotImplementedError(
             f"unsupported WAV (format={audio_format}, bits={bits}); "
             "supported: PCM 8/16/24-bit, IEEE float32, G.711 "
-            "A-law/mu-law, EXTENSIBLE wrappers of those"
+            "A-law/mu-law, mono IMA ADPCM, EXTENSIBLE wrappers"
         )
     if channels > 1:
         raw = raw[: len(raw) - len(raw) % channels]

@@ -87,6 +87,21 @@ def latest_version(path: str) -> int | None:
     return vs[-1] if vs else None
 
 
+def version_as_of(path: str, ts: float) -> int:
+    """TIME TRAVEL BY TIMESTAMP: the highest version committed at or
+    before unix time ``ts`` (Delta's timestampAsOf rule). Raises if
+    the table did not exist yet at ``ts``."""
+    best = None
+    for v in _list_versions(path):
+        if _read_manifest(path, v)["committed_at"] <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no version committed at or before ts={ts}"
+        )
+    return best
+
+
 def history(path: str) -> list[dict]:
     """Every committed manifest, oldest first — the table's audit
     log (version, operation, parent, data dirs, row count, schema,
@@ -192,16 +207,46 @@ def _dir_may_match(stats: dict, predicates) -> bool:
     return True
 
 
+def _merge_schemas(prev_ddl: str, new_ddl: str) -> str:
+    """ADDITIVE schema evolution (the Delta mergeSchema rule): every
+    column present in both snapshots must keep its exact type; new
+    columns append to the pinned schema (old rows read them as
+    NULL); a column may also be absent from the incoming frame
+    (written as missing, read back as NULL). Type changes and any
+    other reshaping REFUSE — silent coercion is a corruption."""
+    from pyspark.sql.types import StructType  # noqa: PLC0415
+
+    prev = StructType.fromDDL(prev_ddl)
+    new = StructType.fromDDL(new_ddl)
+    prev_types = {f.name: f.dataType for f in prev.fields}
+    for f in new.fields:
+        if f.name in prev_types and prev_types[f.name] != f.dataType:
+            raise ValueError(
+                f"schema evolution is ADDITIVE only: column "
+                f"{f.name!r} changes type "
+                f"{prev_types[f.name].simpleString()} -> "
+                f"{f.dataType.simpleString()}"
+            )
+    merged = list(prev.fields) + [
+        f for f in new.fields if f.name not in prev_types
+    ]
+    return StructType(merged).simpleString()
+
+
 def write_versioned(
     df: DataFrame,
     path: str,
     mode: str = "append",
     max_retries: int = 5,
+    merge_schema: bool = False,
 ) -> int:
     """Commit ``df`` as a new snapshot. ``mode='append'`` adds the
     rows to the latest snapshot; ``'overwrite'`` replaces it.
     Returns the committed version. Retries the version CAS up to
-    ``max_retries`` times on a concurrent-writer conflict."""
+    ``max_retries`` times on a concurrent-writer conflict.
+    ``merge_schema=True`` allows ADDITIVE schema evolution on
+    append (new columns; old rows read them as NULL — the Delta
+    mergeSchema rule); type changes always refuse."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append/overwrite, got {mode!r}")
     os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
@@ -211,15 +256,28 @@ def write_versioned(
     for attempt in range(max_retries):
         vs = _list_versions(path)
         version = (vs[-1] + 1) if vs else 1
+        evolved = False
+        commit_schema = schema_ddl
         if vs:
             prev = _read_manifest(path, vs[-1])
             if prev["schema"] != schema_ddl:
-                raise ValueError(
-                    "schema mismatch vs the table's pinned schema: "
-                    f"{schema_ddl} != {prev['schema']} — schema "
-                    "evolution is out of scope, refusing to union "
-                    "mismatched snapshots"
-                )
+                if not merge_schema:
+                    raise ValueError(
+                        "schema mismatch vs the table's pinned "
+                        f"schema: {schema_ddl} != {prev['schema']} "
+                        "— pass merge_schema=True for ADDITIVE "
+                        "evolution on append (or an explicit schema "
+                        "re-pin on overwrite); anything implicit "
+                        "refuses (silently unioning mismatched "
+                        "snapshots is a corruption)"
+                    )
+                if mode == "append":
+                    commit_schema = _merge_schemas(
+                        prev["schema"], schema_ddl
+                    )
+                    evolved = True
+                # overwrite + merge_schema: explicit re-pin; the new
+                # snapshot holds only the new dir, no merge needed
         nonce = f"{os.getpid():x}{int(time.time() * 1e6) & 0xFFFFFF:x}a{attempt}"
         rel_dir = f"{_DATA_DIR}/{version:08d}-{nonce}"
         data_dir = os.path.join(path, rel_dir)
@@ -238,7 +296,11 @@ def write_versioned(
             "operation": mode if vs else "create",
             "data_dirs": dirs,
             "n_rows": total,
-            "schema": schema_ddl,
+            "schema": commit_schema,
+            "schema_evolved": evolved or (
+                bool(vs) and mode == "append"
+                and prev.get("schema_evolved", False)
+            ),
             "dir_stats": stats,
             "committed_at": time.time(),
         }
@@ -303,7 +365,13 @@ def read_versioned(
         return spark.createDataFrame(
             [], StructType.fromDDL(m["schema"])
         )
-    df = spark.read.parquet(*[os.path.join(path, d) for d in dirs])
+    reader = spark.read
+    if m.get("schema_evolved"):
+        # dirs were written under different (additively evolved)
+        # schemas: merge footers so early dirs read the later
+        # columns as NULL
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*[os.path.join(path, d) for d in dirs])
     if predicates:
         from pyspark.sql import functions as F  # noqa: PLC0415
 

@@ -460,3 +460,93 @@ def test_data_skipping_survives_rollback_and_optimize(spark, tmp_path):
         read_versioned(spark, t, predicates=[("id", "==", 7)]).count()
         == 1
     )
+
+
+def test_schema_evolution_additive_and_time_travel(spark, tmp_path):
+    """merge_schema=True appends a NEW column (old rows read NULL —
+    the Delta mergeSchema rule), the pinned schema grows, time
+    travel to the pre-evolution version shows the old schema, a
+    frame MISSING an old column appends fine (reads back NULL), and
+    type changes refuse even with the flag."""
+    from cdc_2025_spark.versioned import _merge_schemas
+
+    t = str(tmp_path / "tbl")
+    write_versioned(_mk(spark, [(1, "a")]), t)
+    evolved = spark.createDataFrame(
+        [(2, "b", 3.5)], "id long, v string, score double"
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        write_versioned(evolved, t, mode="append")
+    write_versioned(evolved, t, mode="append", merge_schema=True)
+    got = {
+        r["id"]: (r["v"], r["score"])
+        for r in read_versioned(spark, t).collect()
+    }
+    assert got == {1: ("a", None), 2: ("b", 3.5)}
+    assert history(t)[-1]["schema"] == (
+        "struct<id:bigint,v:string,score:double>"
+    )
+    assert history(t)[-1]["schema_evolved"] is True
+    # time travel: v1 keeps its original two-column shape
+    assert read_versioned(spark, t, 1).columns == ["id", "v"]
+    # a later frame MISSING an old column still appends; the missing
+    # column reads back NULL for its rows
+    write_versioned(
+        spark.createDataFrame([(3, 9.9)], "id long, score double"),
+        t,
+        mode="append",
+        merge_schema=True,
+    )
+    rows = {
+        r["id"]: (r["v"], r["score"])
+        for r in read_versioned(spark, t).collect()
+    }
+    assert rows[3] == (None, 9.9)
+    # type change refuses even with the flag
+    bad = spark.createDataFrame([(4, 1)], "id long, v long")
+    with pytest.raises(ValueError, match="ADDITIVE only"):
+        write_versioned(bad, t, mode="append", merge_schema=True)
+    # the pure helper agrees
+    with pytest.raises(ValueError, match="ADDITIVE only"):
+        _merge_schemas("struct<a:bigint>", "struct<a:string>")
+    # overwrite with a new schema needs the explicit flag; with it,
+    # the schema re-pins and the evolved flag clears
+    repin = spark.createDataFrame([(1.5,)], "x double")
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        write_versioned(repin, t, mode="overwrite")
+    write_versioned(repin, t, mode="overwrite", merge_schema=True)
+    m = history(t)[-1]
+    assert m["schema"] == "struct<x:double>"
+    assert m["schema_evolved"] is False
+    assert _rows(read_versioned(spark, t)) == [(1.5,)]
+
+
+def test_version_as_of_timestamp(spark, tmp_path):
+    """Timestamp time travel resolves to the highest version
+    committed at or before ts (Delta's timestampAsOf rule)."""
+    import json as _json
+    import os as _os
+
+    from cdc_2025_spark.versioned import version_as_of
+
+    t = str(tmp_path / "tbl")
+    write_versioned(_mk(spark, [(1, "a")]), t)
+    write_versioned(_mk(spark, [(2, "b")]), t, mode="append")
+    write_versioned(_mk(spark, [(3, "c")]), t, mode="append")
+    # pin deterministic commit times into the manifests
+    for v, ts in ((1, 1000.0), (2, 2000.0), (3, 3000.0)):
+        mp = _os.path.join(t, "_manifests", f"v{v:08d}.json")
+        m = _json.load(open(mp))
+        m["committed_at"] = ts
+        tmp = mp + ".rewrite"
+        with open(tmp, "w") as f:
+            _json.dump(m, f)
+        _os.replace(tmp, mp)
+    with pytest.raises(ValueError, match="no version"):
+        version_as_of(t, 999.0)
+    assert version_as_of(t, 1000.0) == 1
+    assert version_as_of(t, 2500.0) == 2
+    assert version_as_of(t, 9e9) == 3
+    assert _rows(
+        read_versioned(spark, t, version_as_of(t, 2500.0))
+    ) == [(1, "a"), (2, "b")]
