@@ -7,17 +7,22 @@ document dumps are full of single-strip uncompressed TIFFs and
 multi-strip PackBits faxes re-saved at 8 bits.
 
 Round 13 added the two most common non-baseline compressions as
-real kernels: LZW (compression 5 — TIFF's MSB-first bit order and
+real kernels — LZW (compression 5 — TIFF's MSB-first bit order and
 the spec's EarlyChange code-width rule, NOT the GIF variant) and
 Deflate (8 / legacy 32946, stdlib zlib), both composing with the
 horizontal-differencing Predictor 2 (tag 317) real LZW writers
-almost always set.
+almost always set — plus the full depth ladder: 1/2/4-bit
+(MSB-first packed, byte-padded rows — the fax/scan depths; exact
+255/(2^d - 1) display scaling) for gray and palette, and 16-bit
+gray/RGB in file byte order (round(v*255/65535) display scaling —
+a x257-widened twin decodes pixel-identical to its 8-bit
+original).
 
 Deliberate refusals (fail loud, never decode wrongly):
-JPEG-compressed TIFF (old 6 and new 7), CCITT fax codings,
-sub-byte and 16-bit depths, tiled layout, planar configuration 2,
-the floating-point predictor 3 — each raises with the offending
-tag value.
+JPEG-compressed TIFF (old 6 and new 7), CCITT fax codings, tiled
+layout, planar configuration 2, the floating-point predictor 3,
+mixed per-sample depths, sub-byte multi-sample and 16-bit palette
+combinations — each raises with the offending tag value.
 
 Scale posture: like every media kernel here, decode runs inside
 Arrow-batched ``mapInPandas`` tasks; payload bytes never shuffle.
@@ -290,9 +295,23 @@ def decode_tiff(payload: bytes):
     comp = one(_T_COMPRESSION, default=1)
     photo = one(_T_PHOTOMETRIC)
     planar = one(_T_PLANAR, default=1)
-    if any(b != 8 for b in bits):
+    if len(set(bits)) != 1:
         raise NotImplementedError(
-            f"only 8-bit samples supported (BitsPerSample={bits})"
+            f"mixed BitsPerSample {bits} not supported"
+        )
+    depth = bits[0]
+    if depth not in (1, 2, 4, 8, 16):
+        raise NotImplementedError(
+            f"BitsPerSample {depth} not supported (1/2/4/8/16)"
+        )
+    if depth in (1, 2, 4) and spp != 1:
+        raise NotImplementedError(
+            "sub-byte depths support a single sample per pixel "
+            f"(spp={spp})"
+        )
+    if depth == 16 and photo == 3:
+        raise NotImplementedError(
+            "16-bit palette indices not supported"
         )
     if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
@@ -309,6 +328,10 @@ def decode_tiff(payload: bytes):
             "predictor 2 with uncompressed/PackBits data is not a "
             "layout this writer emits — refusing a likely-corrupt IFD"
         )
+    if predictor == 2 and depth != 8:
+        raise NotImplementedError(
+            "predictor 2 implemented for 8-bit samples only"
+        )
     if planar != 1:
         raise NotImplementedError(
             f"planar configuration {planar} not supported (chunky only)"
@@ -324,7 +347,8 @@ def decode_tiff(payload: bytes):
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF strip offsets/counts missing or uneven")
     rps = one(_T_ROWS_PER_STRIP, default=height)
-    row_bytes = width * spp
+    # rows pack MSB-first and pad to a byte boundary (TIFF 6.0 §4)
+    row_bytes = (width * spp * depth + 7) // 8
     raw = bytearray()
     rows_left = height
     for s, (off, cnt) in enumerate(zip(offsets, counts)):
@@ -355,8 +379,36 @@ def decode_tiff(payload: bytes):
         if predictor == 2:
             strip = _undo_predictor2(strip, strip_rows, width, spp)
         raw += strip
-    px = np.frombuffer(bytes(raw), dtype=np.uint8, count=height * row_bytes)
-    px = px.reshape(height, width, spp)
+    if depth == 8:
+        px = np.frombuffer(
+            bytes(raw), dtype=np.uint8, count=height * row_bytes
+        ).reshape(height, width, spp)
+    elif depth == 16:
+        a = np.frombuffer(
+            bytes(raw), dtype=np.dtype(e + "u2"),
+            count=height * width * spp,
+        ).reshape(height, width, spp)
+        # display scaling, the PNG 16-bit twin formula: round
+        # (v * 255 / 65535) — a x257-widened 8-bit image inverts
+        # exactly (65535 = 257 * 255)
+        px = np.round(a.astype(np.float64) * 255.0 / 65535.0).astype(
+            np.uint8
+        )
+    else:  # 1/2/4-bit: MSB-first unpack, row padding dropped
+        b = np.frombuffer(
+            bytes(raw), dtype=np.uint8, count=height * row_bytes
+        ).reshape(height, row_bytes)
+        shifts = np.arange(8 - depth, -1, -depth)
+        vals = (b[:, :, None] >> shifts[None, None, :]) & (
+            (1 << depth) - 1
+        )
+        plane = vals.reshape(height, -1)[:, :width].astype(np.uint8)
+        if photo != 3:
+            # exact display scaling: 255 / (2^d - 1) is integral
+            plane = (plane * (255 // ((1 << depth) - 1))).astype(
+                np.uint8
+            )
+        px = plane.reshape(height, width, 1)
     if photo == 2:
         return px[:, :, :3].copy()  # extra samples (alpha) dropped
     idx = px[:, :, 0]
@@ -390,14 +442,18 @@ def encode_tiff(
     big_endian: bool = False,
     white_is_zero: bool = False,
     predictor: int = 1,
+    bits: int = 8,
 ) -> bytes:
-    """Build a TIFF: pass exactly one of ``rgb`` ((h, w, 3) uint8),
-    ``gray`` ((h, w) uint8), or ``palette`` (list of (r,g,b)) +
+    """Build a TIFF: pass exactly one of ``rgb`` ((h, w, 3) ints),
+    ``gray`` ((h, w) ints), or ``palette`` (list of (r,g,b)) +
     ``indices`` ((h, w) ints). ``compression``: 1 (none), 5 (LZW),
     8 (Deflate) or 32773 (PackBits); ``predictor=2`` adds horizontal
-    differencing before LZW/Deflate (the layout real LZW writers
-    emit). Multi-strip when ``rows_per_strip`` is set — the layout
-    archival scanners emit."""
+    differencing before LZW/Deflate (8-bit samples only — the layout
+    real LZW writers emit). ``bits``: 1/2/4/8 for gray (values in
+    0..2^bits-1, MSB-first packed, rows byte-padded — the fax/scan
+    depths) and palette indices, 8/16 for gray/RGB (16-bit samples
+    in file byte order — the studio depth). Multi-strip when
+    ``rows_per_strip`` is set — the layout archival scanners emit."""
     import numpy as np  # noqa: PLC0415
 
     e = ">" if big_endian else "<"
@@ -412,31 +468,70 @@ def encode_tiff(
         raise ValueError(f"predictor must be 1 or 2, got {predictor}")
     if predictor == 2 and compression not in (5, 8):
         raise ValueError("predictor 2 pairs with LZW/Deflate only")
+    if predictor == 2 and bits != 8:
+        raise ValueError("predictor 2 pairs with 8-bit samples only")
+    if bits not in (1, 2, 4, 8, 16):
+        raise ValueError(f"bits must be 1/2/4/8/16, got {bits}")
+
+    def _pack_plane(plane: "np.ndarray") -> bytes:
+        """Pack an (h, w) integer plane at ``bits`` depth: MSB-first
+        within a byte, each row padded to a byte boundary."""
+        if bits == 8:
+            return plane.astype(np.uint8).tobytes()
+        if bits == 16:
+            return plane.astype(np.dtype(e + "u2")).tobytes()
+        if int(plane.max(initial=0)) >= (1 << bits):
+            raise ValueError(
+                f"sample {int(plane.max())} out of range for "
+                f"{bits}-bit depth"
+            )
+        hh, ww = plane.shape
+        per_byte = 8 // bits
+        padded_w = -(-ww // per_byte) * per_byte
+        padded = np.zeros((hh, padded_w), dtype=np.uint8)
+        padded[:, :ww] = plane
+        shifts = np.arange(8 - bits, -1, -bits)
+        groups = padded.reshape(hh, -1, per_byte)
+        return (
+            (groups << shifts[None, None, :]).sum(axis=2)
+            .astype(np.uint8)
+            .tobytes()
+        )
+
     if rgb is not None:
-        arr = np.asarray(rgb, dtype=np.uint8)
+        if bits not in (8, 16):
+            raise ValueError("RGB supports 8/16-bit samples only")
+        arr = np.asarray(rgb)
         h, w, spp = arr.shape
         photo = 2
-        data = arr.tobytes()
+        if bits == 8:
+            data = arr.astype(np.uint8).tobytes()
+        else:
+            data = arr.astype(np.dtype(e + "u2")).tobytes()
     elif gray is not None:
-        arr = np.asarray(gray, dtype=np.uint8)
+        arr = np.asarray(gray)
         h, w = arr.shape
         spp = 1
         photo = 0 if white_is_zero else 1
-        data = ((255 - arr) if white_is_zero else arr).tobytes()
+        full = 255 if bits == 8 else (1 << bits) - 1
+        plane = (full - arr) if white_is_zero else arr
+        data = _pack_plane(np.asarray(plane))
     else:
         if indices is None:
             raise ValueError("palette mode needs indices")
-        arr = np.asarray(indices, dtype=np.uint8)
+        if bits == 16:
+            raise ValueError("palette indices are at most 8-bit")
+        arr = np.asarray(indices)
         h, w = arr.shape
         spp = 1
         photo = 3
         if not 2 <= len(palette) <= 256:
             raise ValueError("palette must hold 2..256 colors")
-        if int(arr.max()) >= len(palette):
+        if int(arr.max()) >= min(len(palette), 1 << bits):
             raise ValueError("palette index out of range")
-        data = arr.tobytes()
+        data = _pack_plane(arr)
     rps = rows_per_strip or h
-    row_bytes = w * spp
+    row_bytes = (w * spp * bits + 7) // 8
     strips = []
     for y0 in range(0, h, rps):
         strip = data[y0 * row_bytes : min(y0 + rps, h) * row_bytes]
@@ -456,7 +551,7 @@ def encode_tiff(
     entries = []  # (tag, type, count, values)
     entries.append((_T_WIDTH, 4, 1, [w]))
     entries.append((_T_HEIGHT, 4, 1, [h]))
-    entries.append((_T_BITS, 3, spp, [8] * spp))
+    entries.append((_T_BITS, 3, spp, [bits] * spp))
     entries.append((_T_COMPRESSION, 3, 1, [compression]))
     entries.append((_T_PHOTOMETRIC, 3, 1, [photo]))
     entries.append((_T_STRIP_OFFSETS, 4, len(strips), None))  # fixed later

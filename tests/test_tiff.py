@@ -224,3 +224,112 @@ def test_image_feature_kernel_routes_tiff(spark):
     assert set(ft) == set(fb) == {0, 1, 2, 3}
     for k in ft:
         assert ft[k] == pytest.approx(fb[k], abs=1e-12), k
+
+
+@pytest.mark.parametrize("compression", [1, 5, 8, 32773])
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_16bit_x257_twin_decodes_identical(compression, big_endian):
+    """A 16-bit TIFF built by x257-widening an 8-bit image decodes
+    pixel-identical to the 8-bit original (65535 = 257 * 255, the
+    PNG 16-bit twin law), for gray and RGB, every compression, both
+    byte orders."""
+    g8 = np.fromfunction(
+        lambda y, x: (x * 13 + y * 17) % 256, (21, 33)
+    ).astype(np.uint16)
+    a = decode_tiff(
+        encode_tiff(gray=g8.astype(np.uint8), compression=compression,
+                    big_endian=big_endian)
+    )
+    b = decode_tiff(
+        encode_tiff(gray=g8 * 257, bits=16, compression=compression,
+                    big_endian=big_endian)
+    )
+    assert np.array_equal(a, b)
+    rgb8 = np.stack(
+        [(g8 * k) % 256 for k in (1, 5, 7)], axis=2
+    ).astype(np.uint16)
+    a = decode_tiff(
+        encode_tiff(rgb=rgb8.astype(np.uint8),
+                    compression=compression, big_endian=big_endian)
+    )
+    b = decode_tiff(
+        encode_tiff(rgb=rgb8 * 257, bits=16,
+                    compression=compression, big_endian=big_endian)
+    )
+    assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("bits", [1, 2, 4])
+@pytest.mark.parametrize("compression", [1, 32773, 5])
+def test_subbyte_gray_scaling_and_padding(bits, compression):
+    """1/2/4-bit grayscale: MSB-first packing with per-row byte
+    padding round-trips through decode at the exact 255/(2^d - 1)
+    display scaling — at an ODD width that forces pad bits — and
+    WhiteIsZero inverts in the depth domain."""
+    full = (1 << bits) - 1
+    w, h = 13, 7  # odd width: every row carries pad bits
+    plane = np.fromfunction(
+        lambda y, x: (x + y) % (full + 1), (h, w)
+    ).astype(np.uint8)
+    got = decode_tiff(
+        encode_tiff(gray=plane, bits=bits, compression=compression)
+    )
+    scale = 255 // full
+    want = np.repeat(
+        (plane * scale)[:, :, None], 3, axis=2
+    ).astype(np.uint8)
+    assert np.array_equal(got, want)
+    # WhiteIsZero is a STORAGE convention: the encoder stores
+    # (max - v), the decoder re-inverts — display output identical
+    inv = decode_tiff(
+        encode_tiff(gray=plane, bits=bits, compression=compression,
+                    white_is_zero=True)
+    )
+    assert np.array_equal(inv, want)
+
+
+def test_bilevel_fax_style_checkerboard():
+    """The classic scanned-document shape: 1-bit checkerboard,
+    PackBits, multi-strip — decodes to exact 0/255 pixels."""
+    w, h = 40, 16
+    board = np.fromfunction(
+        lambda y, x: ((x // 4 + y // 4) % 2), (h, w)
+    ).astype(np.uint8)
+    got = decode_tiff(
+        encode_tiff(
+            gray=board, bits=1, compression=32773, rows_per_strip=5
+        )
+    )
+    assert set(np.unique(got)) <= {0, 255}
+    assert np.array_equal(got[:, :, 0], board * 255)
+
+
+def test_4bit_palette_twin_of_8bit_palette():
+    """4-bit palette indices decode identical to the 8-bit palette
+    encode of the same indices (and thus to the GIF/PNG twins the
+    8-bit form is already pinned against)."""
+    plte = [
+        ((i * 16 + 3) % 256, (i * 31 + 7) % 256, (i * 5 + 11) % 256)
+        for i in range(16)
+    ]
+    idx = np.fromfunction(
+        lambda y, x: (x + y + 5) % 16, (11, 19)
+    ).astype(np.uint8)
+    a = decode_tiff(encode_tiff(palette=plte, indices=idx))
+    b = decode_tiff(encode_tiff(palette=plte, indices=idx, bits=4))
+    assert np.array_equal(a, b)
+
+
+def test_depth_refusals():
+    g = np.zeros((2, 2), np.uint8)
+    with pytest.raises(ValueError, match="bits must be"):
+        encode_tiff(gray=g, bits=12)
+    with pytest.raises(ValueError, match="8-bit samples only"):
+        encode_tiff(gray=g, bits=16, compression=5, predictor=2)
+    with pytest.raises(ValueError, match="at most 8-bit"):
+        encode_tiff(palette=[(0, 0, 0), (1, 1, 1)],
+                    indices=g, bits=16)
+    with pytest.raises(ValueError, match="8/16-bit"):
+        encode_tiff(rgb=np.zeros((2, 2, 3), np.uint8), bits=4)
+    with pytest.raises(ValueError, match="out of range"):
+        encode_tiff(gray=np.full((2, 2), 9, np.uint8), bits=2)
