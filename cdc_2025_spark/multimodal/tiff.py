@@ -18,11 +18,16 @@ gray/RGB in file byte order (round(v*255/65535) display scaling —
 a x257-widened twin decodes pixel-identical to its 8-bit
 original).
 
+The tiled layout (tags 322-325, zero-padded edge tiles) and
+PlanarConfiguration 2 (one strip sequence per sample) decode AND
+encode, composing with every depth/compression — both pinned
+pixel-identical to their strip/chunky twins.
+
 Deliberate refusals (fail loud, never decode wrongly):
-JPEG-compressed TIFF (old 6 and new 7), CCITT fax codings, tiled
-layout, planar configuration 2, the floating-point predictor 3,
-mixed per-sample depths, sub-byte multi-sample and 16-bit palette
-combinations — each raises with the offending tag value.
+JPEG-compressed TIFF (old 6 and new 7), CCITT fax codings, the
+floating-point predictor 3, mixed per-sample depths, sub-byte
+multi-sample, 16-bit palette, and tiled+planar-2 combinations —
+each raises with the offending tag value.
 
 Scale posture: like every media kernel here, decode runs inside
 Arrow-batched ``mapInPandas`` tasks; payload bytes never shuffle.
@@ -44,6 +49,10 @@ _T_ROWS_PER_STRIP = 278
 _T_STRIP_COUNTS = 279
 _T_PLANAR = 284
 _T_COLORMAP = 320
+_T_TILE_W = 322
+_T_TILE_L = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_COUNTS = 325
 
 _T_PREDICTOR = 317
 
@@ -332,9 +341,19 @@ def decode_tiff(payload: bytes):
         raise NotImplementedError(
             "predictor 2 implemented for 8-bit samples only"
         )
-    if planar != 1:
+    tiled = _T_TILE_OFFSETS in tags
+    if planar not in (1, 2):
         raise NotImplementedError(
-            f"planar configuration {planar} not supported (chunky only)"
+            f"planar configuration {planar} not supported"
+        )
+    if planar == 2 and (depth not in (8, 16) or spp < 2):
+        raise NotImplementedError(
+            "planar configuration 2 supported for multi-sample "
+            "8/16-bit images only"
+        )
+    if planar == 2 and tiled:
+        raise NotImplementedError(
+            "tiled + planar-2 TIFF not supported"
         )
     if photo not in (0, 1, 2, 3):
         raise NotImplementedError(
@@ -342,73 +361,147 @@ def decode_tiff(payload: bytes):
         )
     if photo == 2 and spp < 3:
         raise ValueError("RGB photometric with SamplesPerPixel < 3")
-    offsets = tags.get(_T_STRIP_OFFSETS)
-    counts = tags.get(_T_STRIP_COUNTS)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF strip offsets/counts missing or uneven")
-    rps = one(_T_ROWS_PER_STRIP, default=height)
-    # rows pack MSB-first and pad to a byte boundary (TIFF 6.0 §4)
-    row_bytes = (width * spp * depth + 7) // 8
-    raw = bytearray()
-    rows_left = height
-    for s, (off, cnt) in enumerate(zip(offsets, counts)):
-        strip_rows = min(rps, rows_left)
-        rows_left -= strip_rows
-        expect = strip_rows * row_bytes
-        chunk = payload[off : off + cnt]
+    def decompress(chunk: bytes, expect: int, label: str) -> bytes:
         if comp == 32773:
-            strip = _packbits_decode(chunk, expect)
-        elif comp == 5:
-            strip = _lzw_decode_tiff(chunk, expect)
-        elif comp in (8, 32946):
+            return _packbits_decode(chunk, expect)
+        if comp == 5:
+            return _lzw_decode_tiff(chunk, expect)
+        if comp in (8, 32946):
             import zlib  # noqa: PLC0415
 
-            strip = zlib.decompress(chunk)
-            if len(strip) < expect:
+            out = zlib.decompress(chunk)
+            if len(out) < expect:
                 raise ValueError(
-                    f"Deflate strip {s} decoded {len(strip)} of "
+                    f"Deflate {label} decoded {len(out)} of "
                     f"{expect} bytes"
                 )
-            strip = strip[:expect]
-        else:
-            if len(chunk) < expect:
-                raise ValueError(
-                    f"strip {s} holds {len(chunk)} of {expect} bytes"
-                )
-            strip = chunk[:expect]
-        if predictor == 2:
-            strip = _undo_predictor2(strip, strip_rows, width, spp)
-        raw += strip
-    if depth == 8:
-        px = np.frombuffer(
-            bytes(raw), dtype=np.uint8, count=height * row_bytes
-        ).reshape(height, width, spp)
-    elif depth == 16:
-        a = np.frombuffer(
-            bytes(raw), dtype=np.dtype(e + "u2"),
-            count=height * width * spp,
-        ).reshape(height, width, spp)
-        # display scaling, the PNG 16-bit twin formula: round
-        # (v * 255 / 65535) — a x257-widened 8-bit image inverts
-        # exactly (65535 = 257 * 255)
-        px = np.round(a.astype(np.float64) * 255.0 / 65535.0).astype(
-            np.uint8
-        )
-    else:  # 1/2/4-bit: MSB-first unpack, row padding dropped
+            return out[:expect]
+        if len(chunk) < expect:
+            raise ValueError(
+                f"{label} holds {len(chunk)} of {expect} bytes"
+            )
+        return chunk[:expect]
+
+    def unpack(raw: bytes, rows: int, cols: int, nspp: int):
+        """Bytes -> (rows, cols, nspp) NATIVE-domain sample grid
+        (uint8 for depths <= 8, uint16 for 16)."""
+        if depth == 8:
+            return np.frombuffer(
+                raw, dtype=np.uint8, count=rows * cols * nspp
+            ).reshape(rows, cols, nspp)
+        if depth == 16:
+            return np.frombuffer(
+                raw,
+                dtype=np.dtype(e + "u2"),
+                count=rows * cols * nspp,
+            ).reshape(rows, cols, nspp)
+        rb = (cols * depth + 7) // 8
         b = np.frombuffer(
-            bytes(raw), dtype=np.uint8, count=height * row_bytes
-        ).reshape(height, row_bytes)
+            raw, dtype=np.uint8, count=rows * rb
+        ).reshape(rows, rb)
         shifts = np.arange(8 - depth, -1, -depth)
         vals = (b[:, :, None] >> shifts[None, None, :]) & (
             (1 << depth) - 1
         )
-        plane = vals.reshape(height, -1)[:, :width].astype(np.uint8)
-        if photo != 3:
-            # exact display scaling: 255 / (2^d - 1) is integral
-            plane = (plane * (255 // ((1 << depth) - 1))).astype(
-                np.uint8
+        return (
+            vals.reshape(rows, -1)[:, :cols]
+            .astype(np.uint8)
+            .reshape(rows, cols, 1)
+        )
+
+    if tiled:
+        tw = one(_T_TILE_W)
+        tl = one(_T_TILE_L)
+        offsets = tags.get(_T_TILE_OFFSETS)
+        counts = tags.get(_T_TILE_COUNTS)
+        across = -(-width // tw)
+        down = -(-height // tl)
+        if not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF tile offsets/counts uneven")
+        if len(offsets) != across * down:
+            raise ValueError(
+                f"TIFF holds {len(offsets)} tiles, geometry needs "
+                f"{across * down}"
             )
-        px = plane.reshape(height, width, 1)
+        # tiles are FULL tw x tl even at edges (padded per spec)
+        tile_bytes = tl * ((tw * spp * depth + 7) // 8)
+        grid = np.zeros(
+            (down * tl, across * tw, spp),
+            dtype=np.uint16 if depth == 16 else np.uint8,
+        )
+        for t, (off, cnt) in enumerate(zip(offsets, counts)):
+            raw = decompress(
+                payload[off : off + cnt], tile_bytes, f"tile {t}"
+            )
+            if predictor == 2:
+                raw = _undo_predictor2(raw, tl, tw, spp)
+            ty, tx = divmod(t, across)
+            grid[
+                ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw
+            ] = unpack(raw, tl, tw, spp)
+        samples = grid[:height, :width]
+    else:
+        offsets = tags.get(_T_STRIP_OFFSETS)
+        counts = tags.get(_T_STRIP_COUNTS)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError(
+                "TIFF strip offsets/counts missing or uneven"
+            )
+        rps = one(_T_ROWS_PER_STRIP, default=height)
+        strips_per_plane = -(-height // rps)
+        n_planes = spp if planar == 2 else 1
+        plane_spp = 1 if planar == 2 else spp
+        if planar == 2 and len(offsets) != strips_per_plane * spp:
+            raise ValueError(
+                f"planar-2 TIFF holds {len(offsets)} strips, "
+                f"geometry needs {strips_per_plane * spp}"
+            )
+        # rows pack MSB-first and pad to a byte boundary (§4)
+        row_bytes = (width * plane_spp * depth + 7) // 8
+        planes = []
+        for pl in range(n_planes):
+            raw = bytearray()
+            rows_left = height
+            base = pl * strips_per_plane if planar == 2 else 0
+            n_strips = (
+                strips_per_plane if planar == 2 else len(offsets)
+            )
+            for si in range(n_strips):
+                off = offsets[base + si]
+                cnt = counts[base + si]
+                strip_rows = min(rps, rows_left)
+                rows_left -= strip_rows
+                expect = strip_rows * row_bytes
+                strip = decompress(
+                    payload[off : off + cnt],
+                    expect,
+                    f"strip {base + si}",
+                )
+                if predictor == 2:
+                    strip = _undo_predictor2(
+                        strip, strip_rows, width, plane_spp
+                    )
+                raw += strip
+            planes.append(
+                unpack(bytes(raw), height, width, plane_spp)
+            )
+        samples = (
+            np.concatenate(planes, axis=2)
+            if planar == 2
+            else planes[0]
+        )
+    if depth == 16:
+        # display scaling, the PNG 16-bit twin formula: round
+        # (v * 255 / 65535) — a x257-widened 8-bit image inverts
+        # exactly (65535 = 257 * 255)
+        px = np.round(
+            samples.astype(np.float64) * 255.0 / 65535.0
+        ).astype(np.uint8)
+    elif depth in (1, 2, 4) and photo != 3:
+        # exact display scaling: 255 / (2^d - 1) is integral
+        px = (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    else:
+        px = samples.astype(np.uint8)
     if photo == 2:
         return px[:, :, :3].copy()  # extra samples (alpha) dropped
     idx = px[:, :, 0]
@@ -443,6 +536,8 @@ def encode_tiff(
     white_is_zero: bool = False,
     predictor: int = 1,
     bits: int = 8,
+    tile_size: tuple[int, int] | None = None,
+    planar: int = 1,
 ) -> bytes:
     """Build a TIFF: pass exactly one of ``rgb`` ((h, w, 3) ints),
     ``gray`` ((h, w) ints), or ``palette`` (list of (r,g,b)) +
@@ -453,7 +548,11 @@ def encode_tiff(
     0..2^bits-1, MSB-first packed, rows byte-padded — the fax/scan
     depths) and palette indices, 8/16 for gray/RGB (16-bit samples
     in file byte order — the studio depth). Multi-strip when
-    ``rows_per_strip`` is set — the layout archival scanners emit."""
+    ``rows_per_strip`` is set — the layout archival scanners emit.
+    ``tile_size=(tw, tl)`` writes the TILED layout (tags 322-325;
+    edge tiles zero-padded to full size per spec) instead of
+    strips; ``planar=2`` stores each sample in its own strip
+    sequence (PlanarConfiguration 2, multi-sample 8/16-bit only)."""
     import numpy as np  # noqa: PLC0415
 
     e = ">" if big_endian else "<"
@@ -472,6 +571,16 @@ def encode_tiff(
         raise ValueError("predictor 2 pairs with 8-bit samples only")
     if bits not in (1, 2, 4, 8, 16):
         raise ValueError(f"bits must be 1/2/4/8/16, got {bits}")
+    if tile_size is not None and rows_per_strip is not None:
+        raise ValueError("pass tile_size OR rows_per_strip, not both")
+    if tile_size is not None and planar != 1:
+        raise ValueError("tiled + planar-2 not supported")
+    if planar not in (1, 2):
+        raise ValueError(f"planar must be 1 or 2, got {planar}")
+    if planar == 2 and (rgb is None or bits not in (8, 16)):
+        raise ValueError(
+            "planar 2 applies to multi-sample 8/16-bit images"
+        )
 
     def _pack_plane(plane: "np.ndarray") -> bytes:
         """Pack an (h, w) integer plane at ``bits`` depth: MSB-first
@@ -504,18 +613,16 @@ def encode_tiff(
         arr = np.asarray(rgb)
         h, w, spp = arr.shape
         photo = 2
-        if bits == 8:
-            data = arr.astype(np.uint8).tobytes()
-        else:
-            data = arr.astype(np.dtype(e + "u2")).tobytes()
+        sample_arr = arr
     elif gray is not None:
         arr = np.asarray(gray)
         h, w = arr.shape
         spp = 1
         photo = 0 if white_is_zero else 1
         full = 255 if bits == 8 else (1 << bits) - 1
-        plane = (full - arr) if white_is_zero else arr
-        data = _pack_plane(np.asarray(plane))
+        sample_arr = ((full - arr) if white_is_zero else arr)[
+            :, :, None
+        ]
     else:
         if indices is None:
             raise ValueError("palette mode needs indices")
@@ -529,24 +636,73 @@ def encode_tiff(
             raise ValueError("palette must hold 2..256 colors")
         if int(arr.max()) >= min(len(palette), 1 << bits):
             raise ValueError("palette index out of range")
-        data = _pack_plane(arr)
-    rps = rows_per_strip or h
-    row_bytes = (w * spp * bits + 7) // 8
-    strips = []
-    for y0 in range(0, h, rps):
-        strip = data[y0 * row_bytes : min(y0 + rps, h) * row_bytes]
-        strip_rows = min(y0 + rps, h) - y0
+        sample_arr = arr[:, :, None]
+
+    def pack_rows(block) -> bytes:
+        """(rows, cols, nspp) native-domain block -> packed bytes
+        (row-interleaved samples; sub-byte MSB-first padded rows)."""
+        if bits == 8:
+            return np.ascontiguousarray(block).astype(
+                np.uint8
+            ).tobytes()
+        if bits == 16:
+            return np.ascontiguousarray(block).astype(
+                np.dtype(e + "u2")
+            ).tobytes()
+        return _pack_plane(np.ascontiguousarray(block[:, :, 0]))
+
+    def compress_segment(raw: bytes, rows: int, cols: int, nspp: int):
         if predictor == 2:
-            strip = _apply_predictor2(strip, strip_rows, w, spp)
+            raw = _apply_predictor2(raw, rows, cols, nspp)
         if compression == 32773:
-            strip = _packbits_encode(strip)
-        elif compression == 5:
-            strip = _lzw_encode_tiff(strip)
-        elif compression == 8:
+            return _packbits_encode(raw)
+        if compression == 5:
+            return _lzw_encode_tiff(raw)
+        if compression == 8:
             import zlib  # noqa: PLC0415
 
-            strip = zlib.compress(strip, 6)
-        strips.append(strip)
+            return zlib.compress(raw, 6)
+        return raw
+
+    strips = []
+    if tile_size is not None:
+        tw, tl = tile_size
+        if tw <= 0 or tl <= 0:
+            raise ValueError("tile dimensions must be positive")
+        across, down = -(-w // tw), -(-h // tl)
+        padded = np.zeros(
+            (down * tl, across * tw, spp), dtype=sample_arr.dtype
+        )
+        padded[:h, :w] = sample_arr
+        for ty in range(down):
+            for tx in range(across):
+                block = padded[
+                    ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw
+                ]
+                strips.append(
+                    compress_segment(
+                        pack_rows(block), tl, tw, spp
+                    )
+                )
+    elif planar == 2:
+        rps = rows_per_strip or h
+        for c in range(spp):
+            for y0 in range(0, h, rps):
+                y1 = min(y0 + rps, h)
+                block = sample_arr[y0:y1, :, c : c + 1]
+                strips.append(
+                    compress_segment(
+                        pack_rows(block), y1 - y0, w, 1
+                    )
+                )
+    else:
+        rps = rows_per_strip or h
+        for y0 in range(0, h, rps):
+            y1 = min(y0 + rps, h)
+            block = sample_arr[y0:y1]
+            strips.append(
+                compress_segment(pack_rows(block), y1 - y0, w, spp)
+            )
 
     entries = []  # (tag, type, count, values)
     entries.append((_T_WIDTH, 4, 1, [w]))
@@ -554,12 +710,24 @@ def encode_tiff(
     entries.append((_T_BITS, 3, spp, [bits] * spp))
     entries.append((_T_COMPRESSION, 3, 1, [compression]))
     entries.append((_T_PHOTOMETRIC, 3, 1, [photo]))
-    entries.append((_T_STRIP_OFFSETS, 4, len(strips), None))  # fixed later
     entries.append((_T_SPP, 3, 1, [spp]))
-    entries.append((_T_ROWS_PER_STRIP, 4, 1, [rps]))
-    entries.append(
-        (_T_STRIP_COUNTS, 4, len(strips), [len(s) for s in strips])
-    )
+    if tile_size is not None:
+        offsets_tag = _T_TILE_OFFSETS
+        entries.append((_T_TILE_W, 4, 1, [tw]))
+        entries.append((_T_TILE_L, 4, 1, [tl]))
+        entries.append((offsets_tag, 4, len(strips), None))
+        entries.append(
+            (_T_TILE_COUNTS, 4, len(strips), [len(s) for s in strips])
+        )
+    else:
+        offsets_tag = _T_STRIP_OFFSETS
+        entries.append((offsets_tag, 4, len(strips), None))
+        entries.append((_T_ROWS_PER_STRIP, 4, 1, [rps]))
+        entries.append(
+            (_T_STRIP_COUNTS, 4, len(strips), [len(s) for s in strips])
+        )
+    if planar == 2:
+        entries.append((_T_PLANAR, 3, 1, [2]))
     if predictor == 2:
         entries.append((_T_PREDICTOR, 3, 1, [2]))
     cmap_vals = None
@@ -597,7 +765,7 @@ def encode_tiff(
     ifd = bytearray()
     ifd += _struct.pack(e + "H", len(entries))
     for tag, typ, cnt, vals in entries:
-        if tag == _T_STRIP_OFFSETS:
+        if tag == offsets_tag:
             vals = strip_offsets
         vb = value_bytes(typ, vals)
         ifd += _struct.pack(e + "HHI", tag, typ, cnt)

@@ -333,3 +333,89 @@ def test_depth_refusals():
         encode_tiff(rgb=np.zeros((2, 2, 3), np.uint8), bits=4)
     with pytest.raises(ValueError, match="out of range"):
         encode_tiff(gray=np.full((2, 2), 9, np.uint8), bits=2)
+
+
+@pytest.mark.parametrize("compression", [1, 5, 8, 32773])
+@pytest.mark.parametrize("bits", [1, 4, 8, 16])
+def test_tiled_layout_decodes_identical_to_strips(compression, bits):
+    """The TILED layout (tags 322-325, zero-padded edge tiles)
+    decodes pixel-identical to the strip encode of the same image —
+    at a tile size that does NOT divide the image, every depth,
+    every compression."""
+    full = (1 << bits) - 1 if bits < 8 else 255
+    g = np.fromfunction(
+        lambda y, x: (x * 3 + y * 7) % (full + 1), (21, 29)
+    ).astype(np.uint16 if bits == 16 else np.uint8)
+    if bits == 16:
+        g = g * 257
+    a = decode_tiff(encode_tiff(gray=g, bits=bits,
+                                compression=compression))
+    b = decode_tiff(
+        encode_tiff(gray=g, bits=bits, compression=compression,
+                    tile_size=(8, 6))
+    )
+    assert np.array_equal(a, b)
+
+
+def test_tiled_rgb_with_predictor():
+    rgb = np.fromfunction(
+        lambda y, x, c: (x * 13 + y * 17 + c * 31) % 256, (19, 23, 3)
+    ).astype(np.uint8)
+    a = decode_tiff(encode_tiff(rgb=rgb))
+    b = decode_tiff(
+        encode_tiff(rgb=rgb, compression=5, predictor=2,
+                    tile_size=(16, 16))
+    )
+    assert np.array_equal(a, b)
+    assert np.array_equal(a, rgb)
+
+
+@pytest.mark.parametrize("compression", [1, 5, 8, 32773])
+@pytest.mark.parametrize("bits", [8, 16])
+def test_planar2_decodes_identical_to_chunky(compression, bits):
+    """PlanarConfiguration 2 (one strip sequence per sample) decodes
+    pixel-identical to the chunky encode — multi-strip, both
+    depths, every compression, both byte orders."""
+    rgb = np.fromfunction(
+        lambda y, x, c: (x * 5 + y * 11 + c * 77) % 256, (17, 13, 3)
+    ).astype(np.uint16 if bits == 16 else np.uint8)
+    if bits == 16:
+        rgb = rgb * 257
+    for be in (False, True):
+        a = decode_tiff(
+            encode_tiff(rgb=rgb, bits=bits, compression=compression,
+                        big_endian=be)
+        )
+        b = decode_tiff(
+            encode_tiff(rgb=rgb, bits=bits, compression=compression,
+                        big_endian=be, planar=2, rows_per_strip=5)
+        )
+        assert np.array_equal(a, b), (compression, bits, be)
+
+
+def test_tile_planar_validation():
+    g = np.zeros((4, 4), np.uint8)
+    rgb = np.zeros((4, 4, 3), np.uint8)
+    with pytest.raises(ValueError, match="not both"):
+        encode_tiff(gray=g, tile_size=(2, 2), rows_per_strip=2)
+    with pytest.raises(ValueError, match="tiled \\+ planar"):
+        encode_tiff(rgb=rgb, tile_size=(2, 2), planar=2)
+    with pytest.raises(ValueError, match="multi-sample"):
+        encode_tiff(gray=g, planar=2)
+    with pytest.raises(ValueError, match="positive"):
+        encode_tiff(gray=g, tile_size=(0, 2))
+    # decode-side geometry checks fail loud on a truncated tile list
+    import struct
+
+    t = bytearray(
+        encode_tiff(gray=np.zeros((20, 20), np.uint8),
+                    tile_size=(8, 8))
+    )
+    # shrink TileWidth 8 -> 4 so geometry expects more tiles
+    for i in range(8, len(t) - 12):
+        tag, typ = struct.unpack_from("<HH", t, i)
+        if tag == 322 and typ == 4:
+            struct.pack_into("<I", t, i + 8, 4)
+            break
+    with pytest.raises(ValueError, match="geometry"):
+        decode_tiff(bytes(t))
