@@ -27,8 +27,13 @@ JS-divergence-driving terms between two sources (the WHY companion
 to round 11's pairwise JS matrix), the conditional entropy of the
 event-type Markov chain (how predictable the next action is given
 the current one), the rich-club coefficient curve of the trade
-graph, and Cronbach's alpha over the leading embedding dimensions
-(internal-consistency audit of a feature block).
+graph, Cronbach's alpha over the leading embedding dimensions
+(internal-consistency audit of a feature block), and the
+versioned-table DATA-SKIPPING audit (three banded snapshot commits,
+a predicated read whose manifest stats prune two of the three dirs
+before any scan, the answer oracle-recomputed from the base table —
+the r13 lakehouse rung driver-verified like the diff audit before
+it).
 
 NOT imported by queries/__init__.py on purpose (the
 pending_r10-r13 posture): the freshness guard requires
@@ -1914,6 +1919,90 @@ CRONBACH_ORACLE = _cronbach_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Versioned-table data-skipping audit
+# ---------------------------------------------------------------------------
+
+SKIP_LO, SKIP_HI = 2200.0, 2800.0
+
+
+def versioned_skipping_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver surface for MANIFEST-LEVEL DATA SKIPPING
+    (cdc_2025_spark/versioned.py): commit the customer dim as THREE
+    append snapshots split by disjoint acctbal bands (the
+    time-partitioned-ingest shape stats pruning exists for), then
+    run a banded read through ``read_versioned(predicates=...)`` —
+    one audit row reporting how many committed dirs the manifest
+    stats PRUNED before any scan was planned, plus the returned
+    rows' integer-exact count/key-sum, which the oracle recomputes
+    straight from the base table. A hash-green row verifies the
+    footer-harvested min/max stats, the conjunctive pruning rule,
+    AND that skipping never changes the answer.
+
+    Determinism: band assignment is a pure comparison on the stored
+    doubles; counts and key sums are integers; the pruning count is
+    a manifest fact (exactly one of the three bands intersects the
+    predicate range by construction).
+
+    Scale shape: three distributed snapshot writes; the predicated
+    read plans a scan over ONLY the surviving dirs; the audit
+    aggregate is one row."""
+    import tempfile
+
+    from cdc_2025_spark.versioned import (
+        _dir_may_match,
+        history,
+        read_versioned,
+        write_versioned,
+    )
+
+    bal = F.col("c_acctbal")
+    base = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    table = tempfile.mkdtemp(prefix="cdc2025_versioned_skip_")
+    bands = [
+        bal < SKIP_LO,
+        (bal >= SKIP_LO) & (bal < SKIP_HI),
+        bal >= SKIP_HI,
+    ]
+    for i, cond in enumerate(bands):
+        write_versioned(
+            base.filter(cond),
+            table,
+            mode="append" if i else "overwrite",
+        )
+    preds = [
+        ("c_acctbal", ">=", SKIP_LO),
+        ("c_acctbal", "<", SKIP_HI),
+    ]
+    m = history(table)[-1]
+    stats = m["dir_stats"]
+    pruned = sum(
+        0 if _dir_may_match(stats.get(d, {}), preds) else 1
+        for d in m["data_dirs"]
+    )
+    got = read_versioned(spark, table, predicates=preds)
+    return got.agg(
+        F.lit(len(m["data_dirs"])).cast("long").alias("n_dirs"),
+        F.lit(pruned).cast("long").alias("n_dirs_pruned"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+    )
+
+
+VERSIONED_SKIP_ORACLE = f"""
+SELECT CAST(3 AS BIGINT) AS n_dirs,
+       CAST(2 AS BIGINT) AS n_dirs_pruned,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM customer
+WHERE c_acctbal >= {SKIP_LO} AND c_acctbal < {SKIP_HI}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registration hook for round 14
 # ---------------------------------------------------------------------------
 
@@ -1935,6 +2024,7 @@ PENDING_ORDER = [
     "events_conditional_entropy",
     "graph_rich_club_coefficients",
     "stats_cronbach_alpha_embeddings",
+    "versioned_skipping_audit",
 ]
 
 _PENDING = {
@@ -1984,6 +2074,10 @@ _PENDING = {
     "stats_cronbach_alpha_embeddings": (
         stats_cronbach_alpha_embeddings,
         CRONBACH_ORACLE,
+    ),
+    "versioned_skipping_audit": (
+        versioned_skipping_audit,
+        VERSIONED_SKIP_ORACLE,
     ),
 }
 
