@@ -28,7 +28,12 @@ to round 11's pairwise JS matrix), the conditional entropy of the
 event-type Markov chain (how predictable the next action is given
 the current one), the rich-club coefficient curve of the trade
 graph, Cronbach's alpha over the leading embedding dimensions
-(internal-consistency audit of a feature block), and the
+(internal-consistency audit of a feature block), the Hurst
+exponent by classical rescaled-range analysis over daily order
+counts (the long-memory diagnostic beside the ACF/Ljung-Box views),
+a deterministic class-balanced downsample audit (md5-ranked
+within-class selection to the minority count — the WITHIN-label
+companion to the across-source mixture samplers), and the
 versioned-table DATA-SKIPPING audit (three banded snapshot commits,
 a predicated read whose manifest stats prune two of the three dirs
 before any scan, the answer oracle-recomputed from the base table —
@@ -1919,6 +1924,252 @@ CRONBACH_ORACLE = _cronbach_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Hurst exponent via rescaled-range analysis of daily order counts
+# ---------------------------------------------------------------------------
+
+HURST_WINDOWS = (16, 32, 64, 128)
+
+
+def stats_hurst_rs_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hurst exponent by classical rescaled-range analysis (Hurst
+    1951; Mandelbrot & Wallis 1969) over the daily order-count
+    series: for each window size n, the series cuts into FULL
+    n-day blocks, each block contributes R/S = (max cumulative
+    deviation - min cumulative deviation) / population std, and H
+    is the OLS slope of ln(mean R/S) on ln(n). H ~ 0.5 = memoryless,
+    > 0.5 = persistent (trends compound), < 0.5 = mean-reverting —
+    the long-memory diagnostic beside the registered ACF (linear,
+    short-lag) and Ljung-Box (whiteness) views.
+
+    Determinism: counts are integers; block assignment is integer
+    floor over the row_number index; cumulative windows run inside
+    <= 128-row block partitions; zero-variance blocks drop via a
+    NULLIF (both engines skip NULL in AVG); the final slope folds
+    from 4 (ln n, ln mean R/S) points.
+
+    Scale shape: one corpus groupBy to the calendar-bounded daily
+    frame; the index window and block cumulatives run there
+    (documented bounded); output is one row per window size."""
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count("*").cast("double").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("i"),
+        "x",
+    ).localCheckpoint(eager=False)
+    sizes = spark.createDataFrame(
+        [(n,) for n in HURST_WINDOWS], "n int"
+    )
+    blocked = idx.crossJoin(F.broadcast(sizes)).select(
+        "n", (F.col("i") / F.col("n")).cast("long").alias("b"),
+        "i", "x",
+    )
+    counts = blocked.groupBy("n", "b").agg(
+        F.count("*").alias("cnt"), F.avg("x").alias("m")
+    )
+    full = blocked.join(counts, ["n", "b"]).filter(
+        F.col("cnt") == F.col("n")
+    )
+    w_blk = (
+        Window.partitionBy("n", "b")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = full.withColumn(
+        "cum", F.sum(F.col("x") - F.col("m")).over(w_blk)
+    )
+    per_block = dev.groupBy("n", "b").agg(
+        (
+            (F.max("cum") - F.min("cum"))
+            / F.nullif(
+                F.sqrt(
+                    F.avg(
+                        (F.col("x") - F.col("m"))
+                        * (F.col("x") - F.col("m"))
+                    )
+                ),
+                F.lit(0.0),
+            )
+        ).alias("rs")
+    )
+    per_size = per_block.groupBy("n").agg(
+        F.count("rs").cast("long").alias("n_blocks"),
+        F.avg("rs").alias("avg_rs"),
+    )
+    pts = per_size.select(
+        "n",
+        "n_blocks",
+        "avg_rs",
+        F.log(F.col("n").cast("double")).alias("lx"),
+        F.log("avg_rs").alias("ly"),
+    )
+    w_all = Window.partitionBy()
+    fit = pts.select(
+        "n",
+        "n_blocks",
+        "avg_rs",
+        (
+            (
+                F.count("*").over(w_all)
+                * F.sum(F.col("lx") * F.col("ly")).over(w_all)
+                - F.sum("lx").over(w_all) * F.sum("ly").over(w_all)
+            )
+            / (
+                F.count("*").over(w_all)
+                * F.sum(F.col("lx") * F.col("lx")).over(w_all)
+                - F.sum("lx").over(w_all) * F.sum("lx").over(w_all)
+            )
+        ).alias("h"),
+    )
+    return fit.select(
+        F.col("n").alias("window_n"),
+        "n_blocks",
+        F.round("avg_rs", 6).alias("avg_rs"),
+        F.round("h", 6).alias("hurst"),
+    ).orderBy("window_n")
+
+
+HURST_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS i, x FROM daily
+),
+blocked AS (
+  SELECT n.n, CAST(FLOOR(i / n.n) AS BIGINT) AS b, i, x
+  FROM idx, unnest([{", ".join(str(n) for n in HURST_WINDOWS)}])
+    AS n(n)
+),
+counts AS (
+  SELECT n, b, COUNT(*) AS cnt, AVG(x) AS m
+  FROM blocked GROUP BY 1, 2
+),
+dev AS (
+  SELECT bl.n, bl.b, bl.x, c.m,
+         SUM(bl.x - c.m) OVER (PARTITION BY bl.n, bl.b ORDER BY bl.i
+                               ROWS UNBOUNDED PRECEDING) AS cum
+  FROM blocked bl JOIN counts c ON bl.n = c.n AND bl.b = c.b
+  WHERE c.cnt = bl.n
+),
+per_block AS (
+  SELECT n, b,
+         (MAX(cum) - MIN(cum))
+           / NULLIF(SQRT(AVG((x - m) * (x - m))), 0.0)
+           AS rs
+  FROM dev GROUP BY 1, 2
+),
+per_size AS (
+  SELECT n, CAST(COUNT(rs) AS BIGINT) AS n_blocks,
+         AVG(rs) AS avg_rs
+  FROM per_block GROUP BY 1
+),
+pts AS (
+  SELECT n, n_blocks, avg_rs,
+         LN(CAST(n AS DOUBLE)) AS lx, LN(avg_rs) AS ly
+  FROM per_size
+),
+fit AS (
+  SELECT n, n_blocks, avg_rs,
+         (COUNT(*) OVER () * SUM(lx * ly) OVER ()
+          - SUM(lx) OVER () * SUM(ly) OVER ())
+         / (COUNT(*) OVER () * SUM(lx * lx) OVER ()
+            - SUM(lx) OVER () * SUM(lx) OVER ()) AS h
+  FROM pts
+)
+SELECT CAST(n AS INTEGER) AS window_n, n_blocks,
+       ROUND(avg_rs, 6) AS avg_rs, ROUND(h, 6) AS hurst
+FROM fit
+ORDER BY window_n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic class-balanced downsample of documents by language
+# ---------------------------------------------------------------------------
+
+
+def sample_balanced_downsample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Class-balanced downsample audit: every language class keeps
+    exactly the MINORITY class's count of documents, selected by a
+    deterministic md5(doc_id) rank within the class — the standard
+    imbalance fix before training a classifier on the corpus (the
+    registered temperature/mixture samplers reweight ACROSS sources;
+    this equalizes WITHIN a label). One row per class: size before,
+    size after (= the global minimum), and the integer-exact key sum
+    of the kept rows, which pins the exact selected SET, not just
+    its size.
+
+    Determinism: md5 of the decimal doc_id string is identical in
+    both engines; the doc_id tiebreak makes the within-class order
+    total.
+
+    Scale shape: one grouped count for class sizes (broadcast), one
+    class-partitioned rank window (classes bound the partitions),
+    map-side keep decision; output is |classes| rows."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    n_min = docs.groupBy("lang").count().agg(
+        F.min("count").alias("n_min")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.withColumn(
+        "rn", F.row_number().over(w)
+    ).crossJoin(F.broadcast(n_min))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_before"),
+            F.sum(
+                (F.col("rn") <= F.col("n_min")).cast("long")
+            ).cast("long").alias("n_after"),
+            F.sum(
+                F.when(
+                    F.col("rn") <= F.col("n_min"), F.col("doc_id")
+                )
+            ).cast("long").alias("kept_key_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+BALANCED_ORACLE = """
+WITH ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rn
+  FROM documents
+),
+nm AS (
+  SELECT MIN(c) AS n_min
+  FROM (SELECT COUNT(*) AS c FROM documents GROUP BY lang)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_before,
+       CAST(SUM(CASE WHEN rn <= n_min THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_after,
+       CAST(SUM(CASE WHEN rn <= n_min THEN doc_id END)
+            AS BIGINT) AS kept_key_sum
+FROM ranked, nm
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # Versioned-table data-skipping audit
 # ---------------------------------------------------------------------------
 
@@ -2024,6 +2275,8 @@ PENDING_ORDER = [
     "events_conditional_entropy",
     "graph_rich_club_coefficients",
     "stats_cronbach_alpha_embeddings",
+    "stats_hurst_rs_daily",
+    "sample_balanced_downsample",
     "versioned_skipping_audit",
 ]
 
@@ -2074,6 +2327,11 @@ _PENDING = {
     "stats_cronbach_alpha_embeddings": (
         stats_cronbach_alpha_embeddings,
         CRONBACH_ORACLE,
+    ),
+    "stats_hurst_rs_daily": (stats_hurst_rs_daily, HURST_ORACLE),
+    "sample_balanced_downsample": (
+        sample_balanced_downsample,
+        BALANCED_ORACLE,
     ),
     "versioned_skipping_audit": (
         versioned_skipping_audit,

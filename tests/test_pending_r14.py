@@ -654,3 +654,91 @@ def test_two_proportion_pooled_z(spark):
     assert got["rate_even"] == pytest.approx(p1, abs=1e-6)
     assert got["rate_odd"] == pytest.approx(p2, abs=1e-6)
     assert got["z_score"] == pytest.approx(z, abs=2e-6)
+
+
+def test_hurst_matches_python_rs_replay(spark):
+    """Per-window mean R/S and the fitted H equal a plain python
+    rescaled-range replay; H lands in (0, 1)."""
+    from pyspark.sql import functions as F
+
+    from cdc_2025_spark.io import read_table
+
+    daily = sorted(
+        (r["day"], r["x"])
+        for r in read_table(spark, SF_DIR, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count("*").cast("double").alias("x"))
+        .collect()
+    )
+    xs = [x for _, x in daily]
+    pts = []
+    want_rs = {}
+    for n in pending_r14.HURST_WINDOWS:
+        rss = []
+        for b0 in range(0, len(xs) - n + 1, n):
+            blk = xs[b0 : b0 + n]
+            m = sum(blk) / n
+            cum, mx, mn = 0.0, -1e18, 1e18
+            for v in blk:
+                cum += v - m
+                mx, mn = max(mx, cum), min(mn, cum)
+            sd = math.sqrt(sum((v - m) ** 2 for v in blk) / n)
+            if sd > 0:
+                rss.append((mx - mn) / sd)
+        want_rs[n] = (len(rss), sum(rss) / len(rss))
+        pts.append((math.log(n), math.log(sum(rss) / len(rss))))
+    k = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    h = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    got = {
+        r["window_n"]: r
+        for r in pending_r14.stats_hurst_rs_daily(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(pending_r14.HURST_WINDOWS)
+    for n, (nb, rs) in want_rs.items():
+        assert got[n]["n_blocks"] == nb
+        assert got[n]["avg_rs"] == pytest.approx(rs, abs=2e-5)
+        assert got[n]["hurst"] == pytest.approx(h, abs=2e-5)
+    assert 0.0 < h < 1.0
+
+
+def test_balanced_downsample_matches_python_md5(spark):
+    """Every class keeps exactly the global minimum count, selected
+    by the md5(doc_id) rank — the kept SET (via its key sum) equals
+    a python replay."""
+    import hashlib
+    from collections import defaultdict
+
+    from cdc_2025_spark.io import read_table
+
+    docs = [
+        (r["doc_id"], r["lang"])
+        for r in read_table(spark, SF_DIR, "documents").collect()
+    ]
+    by_lang = defaultdict(list)
+    for did, lang in docs:
+        by_lang[lang].append(did)
+    n_min = min(len(v) for v in by_lang.values())
+    got = {
+        r["lang"]: r
+        for r in pending_r14.sample_balanced_downsample(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(by_lang)
+    for lang, ids in by_lang.items():
+        kept = sorted(
+            ids,
+            key=lambda d: (
+                hashlib.md5(str(d).encode()).hexdigest(),
+                d,
+            ),
+        )[:n_min]
+        assert got[lang]["n_before"] == len(ids)
+        assert got[lang]["n_after"] == n_min
+        assert got[lang]["kept_key_sum"] == sum(kept)
