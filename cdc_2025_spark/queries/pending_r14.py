@@ -51,6 +51,21 @@ Until then tests/test_pending_r14.py runs each query against its
 oracle with the same normalization the driver applies, at
 sf0.001 + sf0.01.
 
+Pre-registration sf0.1 wall times (min-of-2, warm idle local[32],
+for the round-14 bench.py HEADLINE additions): NDCG 0.45 s, ECE/MCE
+0.29 s, KS separation 1.10 s, Mann-Whitney 0.80 s, Kendall tau
+0.40 s, OLS trend 0.41 s, Jarque-Bera 0.21 s, Grubbs 0.39 s,
+Ljung-Box 0.56 s, two-proportion z 0.18 s, Neyman 0.17 s,
+t-closeness 0.65 s, Yule K 0.20 s, JS shift terms 0.48 s,
+conditional entropy 0.38 s, rich club 1.03 s, Cronbach alpha
+0.34 s, Hurst R/S 0.84 s, balanced downsample 0.21 s, versioned
+skipping audit 0.78 s — 9.87 s combined. 10x spot checks (SCALE.md
+r13 staged section): Hurst 1.29 -> 1.20 s on the value-perturbed
+orders replica (calendar-bounded daily frame), Kendall 0.43 ->
+0.58 s, KS separation 0.92 -> 0.79 s and Yule K 0.20 -> 0.24 s on
+the 10x documents replica (score-mod / vocab-bounded frames) —
+every post-collapse frame is bounded by construction.
+
 Engine-parity rules inherited from the registry docstring: integer
 frames exact; float aggregates rounded 4-6dp AFTER the final
 aggregate; the A&S 26.2.17 normal-tail polynomial for p-values;
