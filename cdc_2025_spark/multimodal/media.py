@@ -1405,60 +1405,103 @@ def _ima_step(pred: int, index: int, code: int) -> tuple[int, int]:
     return pred, index
 
 
+def _ima_encode_codes(xs, index: int):
+    """Greedy IMA quantization of xs[1:] against the running
+    predictor/index state; returns (nibbles, final_index)."""
+    pred = xs[0]
+    nibbles = []
+    for x in xs[1:]:
+        step = _IMA_STEP_TABLE[index]
+        diff = x - pred
+        code = 0
+        if diff < 0:
+            code = 8
+            diff = -diff
+        if diff >= step:
+            code |= 4
+            diff -= step
+        if diff >= step >> 1:
+            code |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            code |= 1
+        pred, index = _ima_step(pred, index, code)
+        nibbles.append(code)
+    return nibbles, index
+
+
+def _pack_nibbles(nibbles) -> bytes:
+    return bytes(
+        (nibbles[i] & 0xF) | ((nibbles[i + 1] & 0xF) << 4)
+        for i in range(0, len(nibbles), 2)
+    )
+
+
 def encode_wav_ima_adpcm(
-    samples, sample_rate: int = 8000, block_samples: int = 505
+    samples,
+    sample_rate: int = 8000,
+    block_samples: int = 505,
+    right=None,
 ) -> bytes:
-    """Mono IMA/DVI ADPCM WAV (format 17) — the classic 4:1 voice
-    compression. Per-block layout (the spec's): a 4-byte header
-    (initial predictor int16, step index u8, reserved 0) carrying
-    the FIRST sample verbatim, then 4-bit codes two-per-byte, LOW
-    nibble first. The step index persists across blocks (each
-    header just snapshots it). ``block_samples`` must be odd so the
-    nibble count per block is even (505 is the canonical 256-byte
-    block)."""
-    if block_samples % 2 == 0 or block_samples < 3:
+    """IMA/DVI ADPCM WAV (format 17) — the classic 4:1 voice
+    compression. Per-block layout (the spec's): a 4-byte header per
+    channel (initial predictor int16, step index u8, reserved 0)
+    carrying the FIRST sample verbatim, then 4-bit codes, LOW nibble
+    first — mono packs them two-per-byte; STEREO (pass ``right``)
+    alternates 4-BYTE GROUPS of 8 left codes and 8 right codes. The
+    step indices persist across blocks. ``block_samples`` must be
+    odd for mono (even nibble count) and ``1 + 8k`` for stereo (the
+    8-frame group quantum)."""
+    stereo = right is not None
+    if stereo:
+        if len(right) != len(samples):
+            raise ValueError("stereo channels must be equal length")
+        if (block_samples - 1) % 8 != 0 or block_samples < 9:
+            raise ValueError(
+                "stereo block_samples must be 1 + 8k (k >= 1)"
+            )
+    elif block_samples % 2 == 0 or block_samples < 3:
         raise ValueError("block_samples must be odd and >= 3")
     xs = [max(-32768, min(32767, int(v))) for v in samples]
+    ys = (
+        [max(-32768, min(32767, int(v))) for v in right]
+        if stereo
+        else None
+    )
     if not xs:
         raise ValueError("no samples")
-    index = 0
+    idx_l = idx_r = 0
     blocks = []
     for b0 in range(0, len(xs), block_samples):
-        block = xs[b0 : b0 + block_samples]
-        pred = block[0]
-        blocks.append(_struct.pack("<hBB", pred, index, 0))
-        nibbles = []
-        for x in block[1:]:
-            step = _IMA_STEP_TABLE[index]
-            diff = x - pred
-            code = 0
-            if diff < 0:
-                code = 8
-                diff = -diff
-            if diff >= step:
-                code |= 4
-                diff -= step
-            if diff >= step >> 1:
-                code |= 2
-                diff -= step >> 1
-            if diff >= step >> 2:
-                code |= 1
-            pred, index = _ima_step(pred, index, code)
-            nibbles.append(code)
-        if len(nibbles) % 2:
-            nibbles.append(0)  # final short block pads one nibble
-        blocks.append(
-            bytes(
-                (nibbles[i] & 0xF) | ((nibbles[i + 1] & 0xF) << 4)
-                for i in range(0, len(nibbles), 2)
-            )
-        )
+        bl = xs[b0 : b0 + block_samples]
+        if not stereo:
+            blocks.append(_struct.pack("<hBB", bl[0], idx_l, 0))
+            nibbles, idx_l = _ima_encode_codes(bl, idx_l)
+            if len(nibbles) % 2:
+                nibbles.append(0)  # final short block pads
+            blocks.append(_pack_nibbles(nibbles))
+            continue
+        br = ys[b0 : b0 + block_samples]
+        blocks.append(_struct.pack("<hBB", bl[0], idx_l, 0))
+        blocks.append(_struct.pack("<hBB", br[0], idx_r, 0))
+        nl, idx_l = _ima_encode_codes(bl, idx_l)
+        nr, idx_r = _ima_encode_codes(br, idx_r)
+        pad = (-len(nl)) % 8
+        nl += [0] * pad
+        nr += [0] * pad
+        for g in range(0, len(nl), 8):
+            blocks.append(_pack_nibbles(nl[g : g + 8]))
+            blocks.append(_pack_nibbles(nr[g : g + 8]))
     data = b"".join(blocks)
-    block_align = 4 + (block_samples - 1) // 2
+    channels = 2 if stereo else 1
+    if stereo:
+        block_align = 8 + (block_samples - 1)  # 2 hdrs + k*8 bytes
+    else:
+        block_align = 4 + (block_samples - 1) // 2
     fmt = _struct.pack(
         "<HHIIHHHH",
         17,
-        1,
+        channels,
         sample_rate,
         sample_rate * block_align // block_samples,
         block_align,
@@ -1503,6 +1546,46 @@ def _ima_adpcm_decode(
                 out.append(pred)
                 produced += 1
     return out
+
+
+def _ima_adpcm_decode_stereo(
+    data: bytes, block_align: int, samples_per_block: int
+):
+    """Decode STEREO IMA ADPCM blocks to per-channel int16 lists.
+    The spec's interleave: two 4-byte headers (left then right),
+    then alternating 4-BYTE GROUPS — 8 nibbles of left, 8 nibbles
+    of right — so each 8-byte stride carries 8 sample frames."""
+    left: list[int] = []
+    right: list[int] = []
+    for b0 in range(0, len(data) - 7, block_align):
+        block = data[b0 : b0 + block_align]
+        pl, il, _ = _struct.unpack_from("<hBB", block, 0)
+        pr, ir, _ = _struct.unpack_from("<hBB", block, 4)
+        if il > 88 or ir > 88:
+            raise ValueError("IMA ADPCM step index > 88")
+        left.append(pl)
+        right.append(pr)
+        prod_l = prod_r = 1
+        pos = 8
+        while pos + 8 <= len(block) and (
+            prod_l < samples_per_block or prod_r < samples_per_block
+        ):
+            for byte in block[pos : pos + 4]:
+                for code in (byte & 0xF, byte >> 4):
+                    if prod_l >= samples_per_block:
+                        break
+                    pl, il = _ima_step(pl, il, code)
+                    left.append(pl)
+                    prod_l += 1
+            for byte in block[pos + 4 : pos + 8]:
+                for code in (byte & 0xF, byte >> 4):
+                    if prod_r >= samples_per_block:
+                        break
+                    pr, ir = _ima_step(pr, ir, code)
+                    right.append(pr)
+                    prod_r += 1
+            pos += 8
+    return left, right
 
 
 def decode_wav(payload: bytes):
@@ -1576,21 +1659,30 @@ def decode_wav(payload: bytes):
             raise NotImplementedError(
                 f"IMA ADPCM is 4-bit by definition (bits={bits})"
             )
-        if channels != 1:
+        if channels not in (1, 2):
             raise NotImplementedError(
-                "stereo IMA ADPCM (per-4-byte channel interleave) "
-                "not supported — mono only"
+                f"IMA ADPCM supports mono/stereo (channels={channels})"
             )
         block_align = fmt[4]
         if len(fmt_body) >= 20:
             (spb,) = _struct.unpack_from("<H", fmt_body, 18)
         else:
-            spb = (block_align - 4) * 2 + 1
+            spb = (block_align - 4 * channels) * 2 // channels + 1
+        if channels == 2:
+            lf, rt = _ima_adpcm_decode_stereo(data, block_align, spb)
+            if fact_n is not None:
+                lf, rt = lf[:fact_n], rt[:fact_n]
+            # channel-mean downmix, the pipeline's standard
+            raw = (
+                np.asarray(lf, dtype=np.float64)
+                + np.asarray(rt, dtype=np.float64)
+            ) / (2.0 * 32768.0)
+            return raw, sample_rate
         lin = _ima_adpcm_decode(data, block_align, spb)
         if fact_n is not None:
             lin = lin[:fact_n]  # drop the final block's pad nibble
         raw = np.asarray(lin, dtype=np.float64) / 32768.0
-        return raw, sample_rate  # mono by contract, no downmix
+        return raw, sample_rate  # mono decoded in place, no downmix
     elif audio_format in (6, 7):  # G.711 A-law / mu-law
         if bits != 8:
             raise NotImplementedError(

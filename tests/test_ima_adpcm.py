@@ -96,13 +96,52 @@ def test_dispatch_and_refusals():
     assert r == RATE and len(s) == 1000
     with pytest.raises(ValueError, match="odd"):
         encode_wav_ima_adpcm(xs, RATE, block_samples=8)
-    # stereo ADPCM refuses: flip the channel count in the fmt chunk
+    # >2 channels refuses
+    t = bytearray(payload)
+    struct.pack_into("<H", t, 12 + 8 + 2, 3)
+    with pytest.raises(NotImplementedError, match="mono/stereo"):
+        decode_wav(bytes(t))
+    # a MONO payload mislabeled stereo hits the stereo geometry
+    # checks and fails loudly instead of decoding garbage
     t = bytearray(payload)
     struct.pack_into("<H", t, 12 + 8 + 2, 2)
-    with pytest.raises(NotImplementedError, match="mono only"):
+    with pytest.raises(ValueError):
         decode_wav(bytes(t))
     # wrong bit width refuses
     t = bytearray(payload)
     struct.pack_into("<H", t, 12 + 8 + 14, 8)
     with pytest.raises(NotImplementedError, match="4-bit"):
         decode_wav(bytes(t))
+
+
+def test_stereo_interleave_roundtrip_and_downmix():
+    """Stereo ADPCM (two block headers + alternating 8-nibble
+    channel groups) decodes to the channel MEAN within quantization
+    error of the source mean; encoding the SAME signal on both
+    channels downmixes to the mono decode exactly (identical
+    per-channel code streams)."""
+    xs = _sine()
+    payload = encode_wav_ima_adpcm(
+        xs, RATE, block_samples=505, right=xs
+    )
+    got, rate = decode_wav(payload)
+    assert rate == RATE and len(got) == len(xs)
+    mono, _ = decode_wav(encode_wav_ima_adpcm(xs, RATE))
+    assert np.allclose(got, mono)  # both channels carry one stream
+    # genuinely different channels: mean tracks the source mean
+    ys = _sine(freq=660.0)
+    payload = encode_wav_ima_adpcm(
+        xs, RATE, block_samples=505, right=ys
+    )
+    got, _ = decode_wav(payload)
+    ref = (np.array(xs) + np.array(ys)) / (2 * 32768.0)
+    err = got - ref
+    snr = 10 * math.log10(
+        float((ref**2).mean()) / float((err**2).mean())
+    )
+    assert snr > 20.0, snr
+    with pytest.raises(ValueError, match="equal length"):
+        encode_wav_ima_adpcm(xs, RATE, right=xs[:-1])
+    with pytest.raises(ValueError, match=r"1 \+ 8k"):
+        encode_wav_ima_adpcm(xs, RATE, block_samples=505 + 1,
+                             right=xs)
