@@ -1316,7 +1316,8 @@ surv AS (
            OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS lnsum
   FROM kf
 )
-SELECT dur AS duration_days, n_risk, d AS n_events, c AS n_censored,
+SELECT dur AS duration_days, CAST(n_risk AS BIGINT) AS n_risk,
+       d AS n_events, c AS n_censored,
        CASE WHEN dead = 1 THEN 0.0
             ELSE ROUND(EXP(lnsum), 4) END AS survival
 FROM surv

@@ -733,7 +733,7 @@ def range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "skewjoin_salted_event_types",
     oracle="""
-    SELECT event_type, type_weight,
+    SELECT event_type, CAST(type_weight AS DOUBLE) AS type_weight,
            CAST(COUNT(*) AS BIGINT) AS n,
            ROUND(SUM(value * type_weight), 4) AS weighted_value
     FROM events JOIN (

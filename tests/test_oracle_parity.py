@@ -94,6 +94,47 @@ def test_oracle_match(spark, duck, name):
     assert not mismatches, f"{name}: value mismatches {mismatches}"
 
 
+# Oracle output types the driver's value-hash layer demonstrably
+# handles (every hash-green oracle across r7-r13 emits only these).
+# HUGEINT and DECIMAL are deliberately absent: DuckDB types
+# SUM(BIGINT) as HUGEINT (int128), which the driver hashes differently
+# from int64 even when every value is equal — `survival_km_reorder`
+# was hash-red for two rounds on exactly this (the only HUGEINT-typed
+# oracle column in the registry was the only red row).
+DRIVER_SAFE_ORACLE_TYPES = {
+    "BIGINT",
+    "INTEGER",
+    "SMALLINT",
+    "TINYINT",
+    "DOUBLE",
+    "FLOAT",
+    "VARCHAR",
+    "DATE",
+    "BOOLEAN",
+    "TIMESTAMP",
+}
+
+
+def test_oracle_output_types_driver_safe(duck):
+    """Registry-wide guard: no oracle may emit a column type outside
+    the driver-safe set.  ``con.sql(q).types`` binds without
+    executing, so this sweeps all ~230 oracles in well under a
+    second.  Fix pattern: ``CAST(expr AS BIGINT)`` (windowed SUMs) or
+    ``CAST(expr AS DOUBLE)`` (AVG over DECIMAL) in the final SELECT.
+    """
+    offenders = []
+    for name in sorted(ORACLES):
+        rel = duck.sql(ORACLES[name])
+        for col, typ in zip(rel.columns, rel.types):
+            base = str(typ).split("(")[0]
+            if base not in DRIVER_SAFE_ORACLE_TYPES:
+                offenders.append(f"{name}.{col}: {typ}")
+    assert not offenders, (
+        "driver-unsafe oracle output types (the value hash is "
+        f"type-sensitive — CAST them): {offenders}"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_driver_sortable_output_types(spark, name):
     """The driver canonicalizes EVERY registered query (including
