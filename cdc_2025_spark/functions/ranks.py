@@ -106,6 +106,12 @@ def _with_bucket(
     approx-percentile edges below the value for quantile edges. Equal
     values always share a bucket; order is always preserved."""
     gc = list(group_cols)
+    if n_buckets <= 1:
+        # single bucket: quantile mode would build an EMPTY probs
+        # list (percentile_approx rejects it) — the width path
+        # degenerates cleanly to bucket 0 for every row, so route
+        # there regardless of requested edges
+        edges = "width"
     if edges == "quantile":
         probs = [k / n_buckets for k in range(1, n_buckets)]
         edge_agg = (

@@ -2212,6 +2212,34 @@ FROM c
 # Versioned-table semantic diff: the lakehouse layer's driver surface
 # ---------------------------------------------------------------------------
 
+# Session-level memo for scratch versioned tables (the trade_edges /
+# _MEDIA_CACHE posture): repeated driver/bench invocations of the
+# versioned audit queries reuse ONE committed table per (session,
+# sf_dir, kind) instead of accumulating tmpdir copies in /tmp
+# (ADVICE r13); every created dir is also atexit-registered so no
+# copy outlives the process.
+from weakref import WeakKeyDictionary as _WeakKeyDictionary  # noqa: E402
+
+_VERSIONED_TABLE_CACHE: _WeakKeyDictionary = _WeakKeyDictionary()
+
+
+def memo_versioned_table(spark, sf_dir, kind, builder):
+    """Return the path of a committed scratch versioned table, built
+    at most once per (session, sf_dir, kind) by ``builder(path)``."""
+    import atexit
+    import shutil
+    import tempfile
+
+    per_session = _VERSIONED_TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, kind)
+    path = per_session.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix=f"cdc2025_{kind}_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        builder(path)
+        per_session[key] = path
+    return path
+
 
 def versioned_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver surface for the versioned parquet table layer
@@ -2228,10 +2256,10 @@ def versioned_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_versioned's manifest CAS, time-travel reads of both
     snapshots, and the null-safe full-outer diff classification.
 
-    The table lives in a fresh tmpdir per invocation (snapshots are
-    a few hundred KB at driver SFs; /tmp is ephemeral) — the
-    returned frame reads the committed snapshots lazily, exactly as
-    a production audit would.
+    The table lives in a session-memoized tmpdir (snapshots are a
+    few hundred KB at driver SFs; built once per session, removed at
+    exit) — the returned frame reads the committed snapshots lazily,
+    exactly as a production audit would.
 
     Determinism: the mutation is pure modular arithmetic on the
     unique key; counts and key sums are integer-exact; acctbal
@@ -2242,8 +2270,6 @@ def versioned_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff_versions is one null-safe full-outer join on the key (the
     only shuffle) with struct comparison engine-side; output is
     bounded by the churn classes, not the table."""
-    import tempfile
-
     from cdc_2025_spark.versioned import diff_versions, write_versioned
 
     key = F.col("c_custkey")
@@ -2266,9 +2292,13 @@ def versioned_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    table = tempfile.mkdtemp(prefix="cdc2025_versioned_diff_")
-    write_versioned(base, table)
-    write_versioned(mutated, table, mode="overwrite")
+    def _build(path: str) -> None:
+        write_versioned(base, path)
+        write_versioned(mutated, path, mode="overwrite")
+
+    table = memo_versioned_table(
+        spark, sf_dir, "versioned_diff", _build
+    )
     churn = diff_versions(spark, table, 1, 2, ["c_custkey"])
     return (
         churn.groupBy("change")

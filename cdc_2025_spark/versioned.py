@@ -90,10 +90,19 @@ def latest_version(path: str) -> int | None:
 def version_as_of(path: str, ts: float) -> int:
     """TIME TRAVEL BY TIMESTAMP: the highest version committed at or
     before unix time ``ts`` (Delta's timestampAsOf rule). Raises if
-    the table did not exist yet at ``ts``."""
+    the table did not exist yet at ``ts``.
+
+    Each manifest's EFFECTIVE timestamp is clamped to
+    ``max(own committed_at, parent's effective)`` while scanning —
+    Delta's monotonic-timestamp adjustment. A CAS-retried commit (or
+    clock skew between concurrent writers) can land a higher version
+    with an earlier wall clock; without the clamp, timestamp
+    resolution would disagree with version order."""
     best = None
+    eff = float("-inf")
     for v in _list_versions(path):
-        if _read_manifest(path, v)["committed_at"] <= ts:
+        eff = max(eff, _read_manifest(path, v)["committed_at"])
+        if eff <= ts:
             best = v
     if best is None:
         raise ValueError(
@@ -359,19 +368,22 @@ def read_versioned(
             for d in dirs
             if _dir_may_match(stats.get(d, {}), predicates)
         ]
-    if not dirs:
-        from pyspark.sql.types import StructType  # noqa: PLC0415
+    from pyspark.sql.types import StructType  # noqa: PLC0415
 
-        return spark.createDataFrame(
-            [], StructType.fromDDL(m["schema"])
-        )
-    reader = spark.read
-    if m.get("schema_evolved"):
-        # dirs were written under different (additively evolved)
-        # schemas: merge footers so early dirs read the later
-        # columns as NULL
-        reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(*[os.path.join(path, d) for d in dirs])
+    schema = StructType.fromDDL(m["schema"])
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    # Always read with the MANIFEST's schema, never footer sampling:
+    # dirs written before an additive evolution lack the new columns
+    # (they surface as NULL), and which dirs survive stats-pruning
+    # must never change the result schema — a predicate on an evolved
+    # column over only pre-evolution dirs returns the filtered
+    # (empty) frame instead of UNRESOLVED_COLUMN, and a rolled-back
+    # evolved snapshot reads all its columns regardless of any
+    # manifest flag.
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(path, d) for d in dirs]
+    )
     if predicates:
         from pyspark.sql import functions as F  # noqa: PLC0415
 
@@ -405,6 +417,13 @@ def rollback(path: str, version: int, max_retries: int = 5) -> int:
             "data_dirs": target["data_dirs"],
             "n_rows": target["n_rows"],
             "schema": target["schema"],
+            # carry the evolution marker: without it, appends on top
+            # of the rollback would propagate schema_evolved=False
+            # via prev.get() even though the restored dirs span two
+            # physical schemas (reads no longer depend on the flag —
+            # read_versioned pins the manifest schema — but the
+            # history must stay truthful)
+            "schema_evolved": target.get("schema_evolved", False),
             "dir_stats": target.get("dir_stats", {}),
             "committed_at": time.time(),
         }
@@ -519,6 +538,9 @@ def optimize_versioned(
         "data_dirs": [rel_dir],
         "n_rows": prev["n_rows"],
         "schema": prev["schema"],
+        # compaction rewrites every row under the manifest schema, so
+        # the new snapshot's single dir is physically uniform again
+        "schema_evolved": False,
         "dir_stats": {rel_dir: _dir_stats(data_dir)},
         "committed_at": time.time(),
     }

@@ -160,3 +160,33 @@ def test_unknown_edges_mode_rejected(spark):
         bucketed_midranks(
             marg, "v", "c", "r", edges="nonsense"
         ).collect()
+
+
+def test_single_bucket_routes_to_width_path(spark):
+    """ADVICE r13 (low): n_buckets=1 in quantile mode used to build
+    an EMPTY percentile list and crash; it now short-circuits to the
+    width path (every value in bucket 0) and stays exact in every
+    edges mode, for cumsums and midranks, grouped and global."""
+    marg = _uniform_marg(spark)
+    expect = _python_midranks(
+        [(r["v"], r["c"]) for r in marg.collect()]
+    )
+    for mode in ("quantile", "width", "auto"):
+        got = {
+            r["v"]: r["r"]
+            for r in bucketed_midranks(
+                marg, "v", "c", "r", n_buckets=1, edges=mode
+            ).collect()
+        }
+        assert got == expect, mode
+    # grouped cumsums with a single bucket stay exact too
+    g = marg.selectExpr("CAST(v AS INT) % 2 AS g", "v", "c")
+    rows = bucketed_cumsums(
+        g, "v", ("c",), group_cols=("g",), n_buckets=1,
+        edges="quantile",
+    ).collect()
+    by_g = {}
+    for r in sorted(rows, key=lambda r: (r["g"], r["v"])):
+        by_g.setdefault(r["g"], 0)
+        by_g[r["g"]] += r["c"]
+        assert r["cum_c"] == by_g[r["g"]]

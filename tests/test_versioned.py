@@ -550,3 +550,96 @@ def test_version_as_of_timestamp(spark, tmp_path):
     assert _rows(
         read_versioned(spark, t, version_as_of(t, 2500.0))
     ) == [(1, "a"), (2, "b")]
+
+
+def test_rollback_after_evolution_keeps_evolved_columns(spark, tmp_path):
+    """ADVICE r13 (high): rolling back TO an evolved snapshot must
+    read all its columns. Reads are pinned to the manifest schema
+    (never footer sampling), and the rollback manifest carries the
+    schema_evolved marker so subsequent appends stay truthful."""
+    t = str(tmp_path / "tbl")
+    write_versioned(_mk(spark, [(1, "a")]), t)
+    write_versioned(
+        spark.createDataFrame(
+            [(2, "b", 3.5)], "id long, v string, score double"
+        ),
+        t,
+        mode="append",
+        merge_schema=True,
+    )  # v2, evolved
+    write_versioned(_mk(spark, [(9, "z")]), t, mode="overwrite",
+                    merge_schema=True)  # v3: bad overwrite to undo
+    v4 = rollback(t, 2)
+    got = read_versioned(spark, t)
+    assert got.columns == ["id", "v", "score"]
+    rows = {r["id"]: (r["v"], r["score"]) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 3.5)}
+    assert history(t)[-1]["schema_evolved"] is True
+    # appends on top of the rollback keep reading the evolved shape
+    write_versioned(
+        spark.createDataFrame(
+            [(3, "c", 7.0)], "id long, v string, score double"
+        ),
+        t,
+        mode="append",
+    )
+    rows = {
+        r["id"]: (r["v"], r["score"])
+        for r in read_versioned(spark, t).collect()
+    }
+    assert rows == {1: ("a", None), 2: ("b", 3.5), 3: ("c", 7.0)}
+    assert v4 == 4
+
+
+def test_predicate_on_evolved_column_prunes_safely(spark, tmp_path):
+    """ADVICE r13 (medium): a predicate on an evolved column must
+    never raise UNRESOLVED_COLUMN when stats-pruning leaves only
+    pre-evolution dirs — the manifest schema makes the column NULL
+    there, so the filtered frame (possibly empty) comes back."""
+    t = str(tmp_path / "tbl")
+    write_versioned(
+        spark.createDataFrame([(1, 10)], "a long, b long"), t
+    )
+    write_versioned(
+        spark.createDataFrame([(2, 20, 5)], "a long, b long, c long"),
+        t,
+        mode="append",
+        merge_schema=True,
+    )
+    # c > 100 excludes the evolved dir by stats; only the dir LACKING
+    # column c survives pruning — pre-fix this raised AnalysisException
+    got = read_versioned(spark, t, predicates=[("c", ">", 100)])
+    assert got.columns == ["a", "b", "c"]
+    assert got.count() == 0
+    # and a satisfiable evolved-column predicate returns the row
+    got2 = read_versioned(spark, t, predicates=[("c", ">", 1)])
+    assert _rows(got2) == [(2, 20, 5)]
+
+
+def test_version_as_of_clamps_nonmonotone_timestamps(spark, tmp_path):
+    """ADVICE r13 (low): a CAS-retried/clock-skewed commit can land a
+    higher version with an EARLIER wall clock; effective timestamps
+    are clamped to max(own, parent's) — Delta's monotonic adjustment
+    — so timestamp resolution agrees with version order."""
+    from cdc_2025_spark.versioned import version_as_of
+
+    t = str(tmp_path / "tbl")
+    for i in range(3):
+        write_versioned(
+            _mk(spark, [(i, "x")]), t, mode="append" if i else "overwrite"
+        )
+    # v2 committed with a LATER clock than v3 (skew)
+    for v, ts in ((1, 1000.0), (2, 2000.0), (3, 1500.0)):
+        mp = os.path.join(t, "_manifests", f"v{v:08d}.json")
+        m = json.load(open(mp))
+        m["committed_at"] = ts
+        tmp = mp + ".rewrite"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, mp)
+    # v3's effective ts clamps to 2000.0 (= v2's), so ts=2000 must
+    # resolve to the HIGHEST version at that instant, and no ts may
+    # resolve versions out of order
+    assert version_as_of(t, 1999.0) == 1
+    assert version_as_of(t, 2000.0) == 3
+    assert version_as_of(t, 9e9) == 3
