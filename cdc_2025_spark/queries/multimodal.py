@@ -1,10 +1,12 @@
-"""Driver-visible multimodal query: runs the image/audio/video stub
+"""Driver-visible multimodal queries: run the image/audio/video
 kernels (multimodal/media.py) end to end under the driver.
 
-Rows-only by design — the decode stages are mapInPandas kernels, not
-SQL — but fully deterministic: synthetic payloads are sha256-seeded,
-and every output metric is an order-insensitive aggregate, so the
-driver's repeated runs hash identically.
+The decode stages are mapInPandas kernels, not SQL — but the corpora
+are deterministic pinned fixtures (sha256-seeded synthetic payloads,
+spec-exact container encoders), so the rollup and the three near-dup
+queries carry literal VALUES-table oracles holding the exact outputs
+their kernel tests already pin: the driver checks them hash-green,
+not rows-only, without pretending the decoders have a SQL twin.
 """
 
 from __future__ import annotations
@@ -55,7 +57,40 @@ def _media_input(spark: SparkSession, key: str, build) -> DataFrame:
     return frame
 
 
-@query("multimodal_feature_rollup")
+# The media corpora are deterministic pinned fixtures (sha256-seeded
+# synthetic payloads + spec-exact container encoders), so the rollup's
+# per-kind metrics are literal constants — the VALUES oracle upgrades
+# the driver row from rows-only to hash-checked without pretending the
+# decode kernels have a SQL twin (the literals are the outputs the
+# kernel tests already pin; float literals are shortest-roundtrip
+# reprs, hence bit-exact doubles on both engines).
+_FEATURE_ROLLUP_ORACLE = """
+SELECT kind, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(avg_metric AS DOUBLE) AS avg_metric,
+       CAST(max_metric AS DOUBLE) AS max_metric
+FROM (VALUES
+  ('audio', 122, 0.5524, 1.0),
+  ('audio_flac', 20, 0.3005, 0.65),
+  ('audio_flac_stereo', 20, 0.2125, 0.6193),
+  ('audio_g711', 20, 0.3006, 0.6366),
+  ('audio_wav', 20, 0.3005, 0.65),
+  ('image', 64, 0.4545, 256.0),
+  ('image_bmp', 8, 0.1696, 0.9451),
+  ('image_gif', 6, 0.19, 0.7124),
+  ('image_jpeg', 8, 0.1719, 0.9843),
+  ('image_jpeg12', 8, 0.1719, 0.9843),
+  ('image_png', 8, 0.1696, 0.9451),
+  ('image_png16', 8, 0.1696, 0.9451),
+  ('image_png_lowdepth', 6, 0.2462, 1.0),
+  ('image_resized', 8, 16.0, 0.9359),
+  ('image_tiff', 8, 0.1696, 0.9451),
+  ('video', 236, 9.161, 236.0),
+  ('video_mjpeg', 19, 1.2632, 19.0)
+) AS t(kind, n_rows, avg_metric, max_metric)
+"""
+
+
+@query("multimodal_feature_rollup", oracle=_FEATURE_ROLLUP_ORACLE)
 def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-kind rollup over all three media pipelines (image features,
     audio chunk loudness, video frame samples): one row per kind with
@@ -353,7 +388,21 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_phash_neardup")
+# Deterministic pinned corpus → literal pair-table oracle (the
+# rollup's posture): 4 exact dups + 4 perturbed + 4 cross-container
+# PNG twins, exactly the set test_multimodal.py asserts.
+_PHASH_NEARDUP_ORACLE = """
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(hamming AS INTEGER) AS hamming
+FROM (VALUES
+  (0, 16, 0), (1, 17, 0), (2, 18, 0), (3, 19, 0),
+  (4, 20, 0), (5, 21, 0), (6, 22, 0), (7, 23, 1),
+  (8, 24, 0), (9, 25, 0), (10, 26, 0), (11, 27, 0)
+) AS t(id_a, id_b, hamming)
+"""
+
+
+@query("multimodal_phash_neardup", oracle=_PHASH_NEARDUP_ORACLE)
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-duplicate pairs over a decoded image
     corpus — the multimodal twin of text simhash dedup: 64-bit aHash
@@ -362,7 +411,8 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup/simhash.py:hamming_pairs, bit_count verify — no recall
     loss at d <= 3).
 
-    rows-only by design (binary decode has no SQL twin). Accuracy is
+    Hash-checked via a literal pair-table oracle (the decode has no
+    SQL twin, but the corpus is a pinned fixture). Accuracy is
     pinned in test_multimodal.py: brute-force Hamming equality over
     the collected fingerprints (banding recall/precision 1.0), exact
     byte-duplicates at distance 0, pixel-perturbed near-duplicates
@@ -418,7 +468,29 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_video_neardup")
+# Same posture as the rollup: the corpus is a deterministic pinned
+# fixture and the 10 pair rows are the exact set test_avi.py asserts,
+# so the driver row is hash-checked against the literal pair table.
+_VIDEO_NEARDUP_ORACLE = """
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(n_shared AS INTEGER) AS n_shared,
+       CAST(containment AS DOUBLE) AS containment
+FROM (VALUES
+  (0, 8, 3, 1.0),
+  (0, 13, 3, 1.0),
+  (1, 9, 3, 1.0),
+  (2, 10, 1, 1.0),
+  (3, 11, 4, 1.0),
+  (4, 12, 3, 1.0),
+  (8, 13, 3, 1.0),
+  (14, 15, 3, 1.0),
+  (14, 16, 6, 1.0),
+  (15, 16, 3, 1.0)
+) AS t(id_a, id_b, n_shared, containment)
+"""
+
+
+@query("multimodal_video_neardup", oracle=_VIDEO_NEARDUP_ORACLE)
 def multimodal_video_neardup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -432,8 +504,9 @@ def multimodal_video_neardup(
     with NO all-pairs stage (frames only meet on equal hashes, the
     shared-shingle fanout shape).
 
-    rows-only by design (container decode has no SQL twin). Accuracy
-    is pinned in test_avi.py: engine pairs == a python set model over
+    Hash-checked via a literal pair-table oracle (the container
+    decode has no SQL twin, but the corpus is a pinned fixture).
+    Accuracy is pinned in test_avi.py: engine pairs == a python set model over
     the same frame hashes, prefix twins at containment 1.0, disjoint
     seeds pair-free, and frame hashes byte-identical to still-JPEG
     decodes of the same pattern.
@@ -533,7 +606,26 @@ def multimodal_video_neardup(
     )
 
 
-@query("multimodal_audio_neardup")
+# The 7 pair rows below are the exact set test_afp.py asserts
+# (including the two adversarial-control bounds); containment values
+# are the shortest-roundtrip reprs of Spark's ROUND(x, 4) doubles.
+_AUDIO_NEARDUP_ORACLE = """
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(n_shared AS INTEGER) AS n_shared,
+       CAST(containment AS DOUBLE) AS containment
+FROM (VALUES
+  (0, 6, 7, 1.0),
+  (1, 7, 7, 1.0),
+  (1, 12, 10, 0.8333),
+  (2, 8, 12, 1.0),
+  (3, 9, 11, 1.0),
+  (4, 10, 14, 1.0),
+  (7, 12, 5, 0.7143)
+) AS t(id_a, id_b, n_shared, containment)
+"""
+
+
+@query("multimodal_audio_neardup", oracle=_AUDIO_NEARDUP_ORACLE)
 def multimodal_audio_neardup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -548,7 +640,8 @@ def multimodal_audio_neardup(
     truncations, lossless container swaps, and volume-rescaled
     re-encodes with NO all-pairs stage.
 
-    rows-only by design (audio decode has no SQL twin). Accuracy is
+    Hash-checked via a literal pair-table oracle (the audio decode
+    has no SQL twin, but the corpus is a pinned fixture). Accuracy is
     pinned in test_afp.py: engine pairs == a python set model over
     the same fingerprints, and each planted duplicate class pairs at
     containment 1.0 with max spurious containment measured at 0.18
