@@ -33,6 +33,7 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
     pending_r11,
     pending_r12,
     pending_r13,
+    pending_r14,
     relational,
     resilience_star,
     similarity,
@@ -74,66 +75,79 @@ pending_r12.register_all()
 # (the lakehouse layer's driver surface) — see queries/pending_r13.py.
 pending_r13.register_all()
 
-# Round-13 window (the driver oracle-checks the FIRST 50 registry
+# Round-14 registrations: the twenty ranking-quality & long-memory
+# diagnostics staged through r13 with full DuckDB oracles and both-SF
+# parity tests (NDCG@100, ECE/MCE, KS score separation, Mann-Whitney
+# U, Kendall tau-b, OLS trend + t-test, Jarque-Bera, Grubbs ESD,
+# Ljung-Box, two-proportion z, Neyman allocation, t-closeness,
+# Yule's K, JS term drivers, conditional entropy, rich club, Cronbach
+# alpha, Hurst R/S, balanced downsample) plus versioned_skipping_audit
+# (the data-skipping layer's driver proof) — see
+# queries/pending_r14.py.
+pending_r14.register_all()
+
+# Round-14 window (the driver oracle-checks the FIRST 50 registry
 # entries per round, insertion order), composed mechanically from
-# tools/compose_window.py (registry 231 -> derived horizon 5; zero
-# rows expire after r13, so the fill is pure oldest-green):
+# tools/compose_window.py 27 (registry 251 -> derived horizon 6; the
+# one would-be-stale row, multimodal_phash_neardup, sits in _CHANGED):
 #
-#   1. _NEW_R13: survival_km_reorder RE-LEADS — the repo's only red
-#      CORRECTNESS row (r12: rows/schema matched, hash did not;
-#      locally unreproducible). Both cheap hardenings from the r12
-#      verdict are applied (final ORDER BY in KM_ORACLE + survival at
-#      the registry's 4dp round-aggregates precision in both
-#      engines); with no green row ever, the freshness guard counts
-#      it never-checked, and the verdict's instruction is to lead
-#      the window with it. Then the twenty-one round-13
-#      registrations (20 staged eval/robust-stats queries +
-#      versioned_diff_audit, all oracle-backed, parity-green at
-#      sf0.001 + sf0.01).
-#   2. _CHANGED_R13: five green queries changed plan or output this
-#      round and re-enter for fresh driver rows — the KS drift ECDF
-#      migrated onto functions/ranks.py bucketed_cumsums (the last
-#      unpartitioned corpus-growing cumulative, r12 verdict task 3);
-#      spearman (NULLIF zero-variance guard + the midranks-as-
-#      cumsums wrapper), Kruskal-Wallis and the equi-depth histogram
-#      (same wrapper + the edges auto-switch) — values identical,
-#      plans not; and multimodal_audio_neardup's pinned corpus grew
-#      the two r13 adversarial controls (5 -> 7 pairs, rows-only).
-#   3. _FILL_R13: the oldest-green ORACLE-BACKED queries — 23
-#      r9-greens in compose_window.py's emitted order.
-_NEW_R13 = [
+#   1. _NEW_R14: survival_km_reorder RE-LEADS a third time — r13
+#      root-caused the two-round hash-red to the ORACLE's typing
+#      (DuckDB SUM(BIGINT) widened n_risk to HUGEINT; the driver's
+#      value hash is type-sensitive), fixed this round with the same
+#      CAST(... AS BIGINT) the green Nelson-Aalen sibling carries,
+#      and a registry-wide oracle-type guard test now rejects any
+#      driver-unsafe output type at staging time. Then the twenty
+#      round-14 registrations (19 staged ranking-quality/long-memory
+#      queries + versioned_skipping_audit, all oracle-backed,
+#      parity-green at sf0.001 + sf0.01).
+#   2. _CHANGED_R14: six green queries changed oracle or plan this
+#      round and re-enter for fresh driver rows — the four
+#      deterministic multimodal queries graduated from rows-only to
+#      literal VALUES-table oracles (feature rollup + phash/video/
+#      audio near-dup; outputs unchanged, oracle status not),
+#      skewjoin's oracle weight column cast DECIMAL(3,1) -> DOUBLE
+#      (the type-guard's one other hit), and versioned_diff_audit
+#      now session-memoizes its scratch table (ADVICE r13) while
+#      read_versioned pins the manifest schema.
+#   3. _FILL_R14: the oldest-green ORACLE-BACKED queries — 23
+#      r9-greens in compose_window.py's emitted order (phash, the
+#      list's head, already re-enters via _CHANGED).
+_NEW_R14 = [
     "survival_km_reorder",
-    *pending_r13.PENDING_ORDER,
+    *pending_r14.PENDING_ORDER,
 ]
 
-_CHANGED_R13 = [
-    "stats_ks_drift_segments",
-    "stats_spearman_price_quantity",
-    "stats_kruskal_wallis_segments",
-    "stats_equidepth_histogram",
+_CHANGED_R14 = [
+    "multimodal_feature_rollup",
+    "multimodal_phash_neardup",
+    "multimodal_video_neardup",
     "multimodal_audio_neardup",
+    "skewjoin_salted_event_types",
+    "versioned_diff_audit",
 ]
 
-_FILL_R13 = [
-    # oldest green (r9), compose_window.py order (first 23)
-    "stats_moments_by_segment", "stats_percentiles_order_value",
-    "agg_order_array_per_customer", "sample_stratified_by_segment",
-    "window_ranking_variants", "window_first_last_order",
-    "subquery_correlated_max_order", "subquery_in_top_nations",
-    "sample_hash_deterministic", "histogram_order_values",
-    "q10_returned_items", "q2ish_min_cost_supplier",
-    "sql_api_grouping_sets", "sample_train_val_test_split",
-    "sketch_cms_heavy_terms", "array_norm_stats_by_label",
-    "array_dimension_profile", "string_close_part_names",
-    "funnel_signup_purchase", "cohort_daily_retention",
-    "dedup_exact_vocab_groups", "dedup_prefix_jaccard_pairs",
-    "dedup_incremental_new_docs",
+_FILL_R14 = [
+    # oldest green (r9), compose_window.py order (first 23 after
+    # skipping the _CHANGED member at the head)
+    "dedup_incremental_bloom_prefilter", "sim_topk_bruteforce",
+    "sim_pairs_above_threshold", "dedup_repeated_spans",
+    "graph_bfs_trade_hops", "text_decontamination_overlap",
+    "sample_weighted_by_tokens", "text_pack_sequences",
+    "llm_corpus_prep", "sample_domain_mixture_weights",
+    "decontam_embedding_crosssplit", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_regional_volume",
+    "join_outer_customer_orders", "join_semi_customers_with_purchases",
+    "join_anti_customers_without_orders", "agg_rollup_nation_segment",
+    "agg_cube_status_priority", "agg_distinct_users_per_type",
+    "setop_nations_customers_vs_suppliers", "setop_except_nations",
+    "setop_union_all_keys",
 ]
 
 _VERIFY_FIRST = [
-    *_NEW_R13,
-    *_CHANGED_R13,
-    *_FILL_R13,
+    *_NEW_R14,
+    *_CHANGED_R14,
+    *_FILL_R14,
 ]
 
 

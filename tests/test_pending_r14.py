@@ -95,13 +95,18 @@ def test_pending_outputs_driver_sortable(spark, name):
     assert not bad, f"{name}: container columns {bad}"
 
 
-def test_pending_module_not_registered():
-    """Importing pending_r14 must leave the live registry untouched
-    (the freshness guard requires new registrations to LEAD a
-    verification window — the round-13 window is already composed)."""
-    from cdc_2025_spark.queries import QUERIES
+def test_pending_registered_and_leading_r14_window():
+    """The round-14 window is OPEN: register_all() ran, and the
+    freshness guard's requirement — never-checked registrations LEAD
+    the window — holds (all 20 inside the first 21 registry entries,
+    behind the survival_km_reorder re-lead the r13 verdict
+    prescribed)."""
+    from cdc_2025_spark.queries import ORACLES, QUERIES
 
-    assert not (set(pending_r14.PENDING_ORDER) & set(QUERIES))
+    names = list(QUERIES)
+    assert names[0] == "survival_km_reorder"
+    assert set(pending_r14.PENDING_ORDER) == set(names[1:21])
+    assert all(n in ORACLES for n in pending_r14.PENDING_ORDER)
 
 
 def _scored_rows(spark):
