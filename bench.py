@@ -216,6 +216,31 @@ HEADLINE = [
     "sample_pps_systematic_docs",
     "eval_mcc_kappa",
     "versioned_diff_audit",
+    # Round-14 registrations: the ranking-quality & long-memory
+    # family (queries/pending_r14.py; staged sf0.1 costs in the
+    # module docstring, 9.87 s combined pre-registration) plus the
+    # versioned-table data-skipping audit (snapshot commits,
+    # write-dominated, session-memoized table).
+    "eval_ndcg_at_k",
+    "eval_ece_mce",
+    "eval_score_ks_separation",
+    "stats_mann_whitney_u",
+    "stats_kendall_tau_daily",
+    "stats_ols_daily_trend",
+    "stats_jarque_bera_normality",
+    "stats_grubbs_extreme_outlier",
+    "stats_ljung_box_daily",
+    "stats_two_proportion_ztest",
+    "sample_neyman_allocation",
+    "privacy_t_closeness_audit",
+    "text_yule_k_richness",
+    "text_js_shift_terms",
+    "events_conditional_entropy",
+    "graph_rich_club_coefficients",
+    "stats_cronbach_alpha_embeddings",
+    "stats_hurst_rs_daily",
+    "sample_balanced_downsample",
+    "versioned_skipping_audit",
 ]
 
 

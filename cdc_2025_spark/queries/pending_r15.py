@@ -1,0 +1,1371 @@
+"""Round-15 registration queue: the REGRESSION-DIAGNOSTIC &
+RANK-AGREEMENT family — the inferential layer above round 14's
+trend/normality rung, plus the lexical-estimation and link-analysis
+gaps the corpus/graph audits still had:
+
+Residual diagnostics on the daily-revenue OLS fit (the round-14
+trend line, now interrogated instead of trusted): Durbin-Watson
+first-order autocorrelation, the Breusch-Pagan heteroskedasticity
+LM test, and a Chow structural-break F at the series midpoint —
+the three standard "is this regression believable" checks. Beside
+them, three distribution-free trend/randomness tests on the same
+bounded daily frame: Cox-Stuart paired-halves sign test, the
+Bartels rank von Neumann ratio, and Mood's median test of the
+order-value distribution across segments (the median-based scale
+companion to round 13's Brown-Forsythe).
+
+Rank agreement: Kendall's W concordance of the five market
+segments ranking the order years by revenue (do all customer
+segments agree which years were good?), Friedman's blocked rank
+test over the same (year x segment) revenue design (the
+nonparametric repeated-measures ANOVA), Cochran's Q over per-
+(user, day) event-type indicator blocks (the k-related-binaries
+member), and two ranking-comparison metrics for the eval family:
+MRR of the first relevant document per source and the rank-biased
+overlap (Webber et al. TOIS 2010) between the quality-score and
+length rankings at p = 1/2 (dyadic, hence exact per-depth terms).
+
+Lexical estimation: Honoré's R and Sichel's S (the hapax/dis
+frequency-spectrum richness pair next to round 14's Yule K),
+Good-Turing unseen mass + Chao1 vocabulary estimate per language,
+ARI/Coleman-Liau readability indices per source (pure
+count-arithmetic, no syllable heuristics), and Dunning's G2
+log-likelihood keyness of the focus source against the rest of
+the corpus (the WHY list for source drift, the term-level
+companion to the JS drivers).
+
+Link analysis on the thresholded trade backbone: Katz centrality
+via 4 unrolled integer path-count iterations with dyadic
+attenuation alpha = 1/8 (every term exact in both engines — no
+float iteration drift), HITS hub/authority scores via 2 unrolled
+integer power iterations normalized once at the end, and the
+directed backbone's reciprocity/density scalars. Plus Kish's
+design effect of order-value weights per segment (the
+survey-design health check beside Neyman allocation), and the
+versioned-table OPTIMIZE audit: three fragmented appends compacted
+by optimize_versioned into one dir, the rewritten snapshot's
+rows/key-sum oracle-recomputed from the base table (the r14
+skipping-audit posture for the compaction layer).
+
+NOT imported by queries/__init__.py on purpose (the
+pending_r10-r14 posture): the freshness guard requires
+never-checked queries to LEAD a verification window, and the
+round-14 window is already composed. Registering is one call — add
+``pending_r15`` to the import list, call :func:`register_all`, and
+front-load :data:`PENDING_ORDER` in the round-15 ``_VERIFY_FIRST``.
+
+Until then tests/test_pending_r15.py runs each query against its
+oracle at DRIVER STRENGTH (exact values, type-family match, and the
+oracle-type safety sweep) at sf0.001 + sf0.01.
+
+Engine-parity rules inherited from the registry docstring: integer
+frames exact; float aggregates rounded 4-6dp AFTER the final
+aggregate; the A&S 26.2.17 normal-tail polynomial for p-values;
+Wilson-Hilferty for chi-square tails at df > 2 (df = 1 is exact:
+2*Q(sqrt(x)); df = 2 is exp(-x/2)); DuckDB SUM(int) cast to BIGINT
+(the r14 oracle-type guard enforces this registry-wide); every
+argmax/topk orders by doubles both engines computed with the
+IDENTICAL operation sequence, with an integer or lexical tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_2025_spark.io import read_table
+from cdc_2025_spark.queries.pending_r13 import (
+    _BACKBONE_SQL,
+    memo_versioned_table,
+)
+from cdc_2025_spark.queries.pending_r14 import (
+    _ans_sql,
+    _normal_two_sided,
+    _scored_docs_with_id,
+    _SCORED_SQL,
+)
+
+# ---------------------------------------------------------------------------
+# shared: the day-indexed daily-revenue frame + its OLS residuals
+# ---------------------------------------------------------------------------
+
+
+def _daily_revenue_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(i, t, y): day-ordered index, integer day offset from the min
+    day, and 4dp-rounded daily revenue — the residual family's shared
+    bounded frame (calendar-bounded at any corpus size, the r14
+    OLS/Ljung-Box posture)."""
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    w = Window.orderBy("day")
+    return daily.crossJoin(F.broadcast(d0)).select(
+        F.row_number().over(w).alias("i"),
+        F.datediff("day", "d0").cast("double").alias("t"),
+        "y",
+    )
+
+
+_DAILY_IDX_SQL = """
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         ROUND(SUM(o_totalprice), 4) AS y
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) AS i,
+         CAST(day - (SELECT MIN(day) FROM daily) AS DOUBLE) AS t,
+         y
+  FROM daily
+)"""
+
+
+def _ols_residuals(idx: DataFrame) -> DataFrame:
+    """(i, t, e): OLS residuals of y on t via the closed-form moment
+    fit — the identical operation sequence the oracle mirrors, so
+    both engines produce bit-equal residual doubles."""
+    m = idx.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+    )
+    fit = m.select(
+        "n",
+        (
+            (F.col("sty") - F.col("st") * F.col("sy") / F.col("n"))
+            / (F.col("stt") - F.col("st") * F.col("st") / F.col("n"))
+        ).alias("slope"),
+        "st",
+        "sy",
+    ).select(
+        "n",
+        "slope",
+        (F.col("sy") / F.col("n") - F.col("slope") * F.col("st") / F.col("n"))
+        .alias("intercept"),
+    )
+    return idx.crossJoin(F.broadcast(fit)).select(
+        "i",
+        "t",
+        (
+            F.col("y")
+            - (F.col("intercept") + F.col("slope") * F.col("t"))
+        ).alias("e"),
+    )
+
+
+_RESID_SQL = f"""
+{_DAILY_IDX_SQL},
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(t) AS st, SUM(y) AS sy,
+         SUM(t * t) AS stt, SUM(t * y) AS sty
+  FROM idx
+),
+fit AS (
+  SELECT n, slope, sy / n - slope * st / n AS intercept
+  FROM (SELECT n, st, sy,
+               (sty - st * sy / n) / (stt - st * st / n) AS slope
+        FROM m)
+),
+resid AS (
+  SELECT i, t, y - (intercept + slope * t) AS e FROM idx, fit
+)"""
+
+
+def _wh_upper_sql(qcol: str, df: float) -> str:
+    """Wilson-Hilferty chi2 upper tail through the A&S polynomial —
+    the registered Kruskal-Wallis/Ljung-Box oracle convention."""
+    z = (
+        f"((POW({qcol} / {df}, 1.0 / 3.0)"
+        f" - (1.0 - 2.0 / (9.0 * {df})))"
+        f" / SQRT(2.0 / (9.0 * {df})))"
+    )
+    za = f"ABS({z})"
+    return (
+        f"(CASE WHEN {z} > 0 THEN {_ans_sql(za)} / 2.0"
+        f" ELSE 1.0 - {_ans_sql(za)} / 2.0 END)"
+    )
+
+
+def _wh_upper(q: F.Column, df: float) -> F.Column:
+    """Spark twin of :func:`_wh_upper_sql` (identical op sequence)."""
+    z = (
+        F.pow(q / F.lit(df), F.lit(1.0 / 3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * F.lit(df)))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * F.lit(df)))
+    half = _normal_two_sided(F.abs(z)) / F.lit(2.0)
+    return F.when(z > 0, half).otherwise(F.lit(1.0) - half)
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson autocorrelation of the OLS residuals
+# ---------------------------------------------------------------------------
+
+
+def stats_durbin_watson_residuals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Durbin-Watson statistic (Durbin & Watson 1950) of the daily-
+    revenue OLS residuals: DW = sum_t (e_t - e_{t-1})^2 / sum e^2,
+    with the implied first-order autocorrelation rho_hat = 1 - DW/2 —
+    the standard "are the residuals serially independent" check on
+    the round-14 trend line (DW near 2 = independent; near 0 =
+    momentum the OLS standard errors understate).
+
+    Determinism: residuals come from the closed-form moment fit both
+    engines compute with the identical operation sequence; the lag
+    pairing is an index window over the bounded daily frame.
+
+    Scale shape: one corpus groupBy to the calendar-bounded daily
+    frame; one moment aggregate broadcasts the fit; the lag runs on
+    the bounded frame; output is one row."""
+    resid = _ols_residuals(
+        _daily_revenue_indexed(spark, sf_dir)
+    ).localCheckpoint(eager=False)
+    w = Window.orderBy("i")
+    lagged = resid.select(
+        "e", F.lag("e").over(w).alias("e_prev")
+    )
+    agg = lagged.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(
+            F.when(
+                F.col("e_prev").isNotNull(),
+                (F.col("e") - F.col("e_prev"))
+                * (F.col("e") - F.col("e_prev")),
+            )
+        ).alias("num"),
+        F.sum(F.col("e") * F.col("e")).alias("den"),
+    )
+    dw = F.col("num") / F.col("den")
+    return agg.select(
+        "n_days",
+        F.round(dw, 6).alias("dw_stat"),
+        F.round(F.lit(1.0) - dw / F.lit(2.0), 6).alias("rho_hat"),
+    )
+
+
+DW_ORACLE = f"""
+WITH {_RESID_SQL},
+lagged AS (
+  SELECT e, LAG(e) OVER (ORDER BY i) AS e_prev FROM resid
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(CASE WHEN e_prev IS NOT NULL
+                  THEN (e - e_prev) * (e - e_prev) END) AS num,
+         SUM(e * e) AS den
+  FROM lagged
+)
+SELECT n_days,
+       ROUND(num / den, 6) AS dw_stat,
+       ROUND(1.0 - (num / den) / 2.0, 6) AS rho_hat
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Breusch-Pagan heteroskedasticity LM test
+# ---------------------------------------------------------------------------
+
+
+def stats_breusch_pagan_hetero(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Breusch-Pagan LM test (Breusch & Pagan 1979, Koenker
+    studentized form) for heteroskedasticity of the daily-revenue
+    OLS residuals: regress e^2 on the day index, LM = n * R^2 of
+    the auxiliary fit, p from the exact chi2(1) tail 2*Q(sqrt(LM))
+    through the A&S polynomial — does the revenue noise grow with
+    time (variance drift the trend line's inference ignores)?
+
+    Determinism: the auxiliary R^2 is closed-form moment arithmetic
+    over the shared residual frame; the chi2(1) tail is exact (no
+    Wilson-Hilferty approximation needed at df = 1).
+
+    Scale shape: the residual frame is calendar-bounded; two moment
+    aggregates; output is one row."""
+    resid = _ols_residuals(_daily_revenue_indexed(spark, sf_dir))
+    u = resid.select(
+        "t", (F.col("e") * F.col("e")).alias("u")
+    )
+    m = u.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("u").alias("su"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("u")).alias("stu"),
+        F.sum(F.col("u") * F.col("u")).alias("suu"),
+    )
+    n, st, su = F.col("n"), F.col("st"), F.col("su")
+    stt, stu, suu = F.col("stt"), F.col("stu"), F.col("suu")
+    sxx = stt - st * st / n
+    sxu = stu - st * su / n
+    suu_c = suu - su * su / n
+    lm = n * (sxu * sxu / (sxx * suu_c))
+    return m.select(
+        n.cast("long").alias("n_days"),
+        F.round(lm, 6).alias("lm_stat"),
+        F.round(_normal_two_sided(F.sqrt(lm)), 6).alias("p_value"),
+    )
+
+
+BP_ORACLE = f"""
+WITH {_RESID_SQL},
+aux AS (SELECT t, e * e AS u FROM resid),
+m2 AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(t) AS st, SUM(u) AS su,
+         SUM(t * t) AS stt, SUM(t * u) AS stu, SUM(u * u) AS suu
+  FROM aux
+),
+lm AS (
+  SELECT n,
+         n * (((stu - st * su / n) * (stu - st * su / n))
+              / ((stt - st * st / n) * (suu - su * su / n))) AS lm
+  FROM m2
+),
+zz AS (SELECT n, lm, SQRT(lm) AS za FROM lm)
+SELECT CAST(n AS BIGINT) AS n_days,
+       ROUND(lm, 6) AS lm_stat,
+       ROUND({_ans_sql('za')}, 6) AS p_value
+FROM zz
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chow structural-break F at the series midpoint
+# ---------------------------------------------------------------------------
+
+
+def stats_chow_structural_break(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chow test (Chow 1960) for a structural break of the daily-
+    revenue trend at the series midpoint: fit the OLS line on the
+    full series and on each half, F = ((SSR_pooled - SSR_1 - SSR_2)
+    / 2) / ((SSR_1 + SSR_2) / (n - 4)) — did the revenue process
+    CHANGE mid-sample, or is one line enough? (The formal companion
+    to round 12's binary-segmentation changepoints: binseg finds
+    where, Chow says whether the split is statistically real.)
+
+    Determinism: each SSR is closed-form moment arithmetic
+    (SSR = Syy - Sxy^2/Sxx) over halves assigned by the integer
+    row-number midpoint; no iterative fitting.
+
+    Scale shape: one corpus groupBy to the calendar-bounded daily
+    frame; one grouped moment aggregate over the 2-row half frame
+    plus one pooled; output is one row."""
+    idx = _daily_revenue_indexed(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    nn = idx.agg(F.count("*").alias("nn"))
+    halves = idx.crossJoin(F.broadcast(nn)).select(
+        (F.col("i") <= F.col("nn") / 2).cast("int").alias("h"),
+        "t",
+        "y",
+    )
+
+    def _moments(df: DataFrame, keys: list[str]) -> DataFrame:
+        g = df.groupBy(*keys) if keys else df.groupBy()
+        return g.agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum("t").alias("st"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("t") * F.col("t")).alias("stt"),
+            F.sum(F.col("t") * F.col("y")).alias("sty"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+
+    ssr = (
+        (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+        - (
+            (F.col("sty") - F.col("st") * F.col("sy") / F.col("n"))
+            * (F.col("sty") - F.col("st") * F.col("sy") / F.col("n"))
+        )
+        / (F.col("stt") - F.col("st") * F.col("st") / F.col("n"))
+    )
+    per_half = (
+        _moments(halves, ["h"])
+        .select("h", F.col("n").alias("nh"), ssr.alias("ssr_h"))
+        .agg(
+            F.sum(F.when(F.col("h") == 1, F.col("nh"))).alias("n1"),
+            F.sum(F.when(F.col("h") == 0, F.col("nh"))).alias("n2"),
+            F.sum("ssr_h").alias("ssr_sum"),
+        )
+    )
+    pooled = _moments(halves, []).select(ssr.alias("ssr_pooled"))
+    joined = per_half.crossJoin(F.broadcast(pooled))
+    f_stat = (
+        (F.col("ssr_pooled") - F.col("ssr_sum")) / F.lit(2.0)
+    ) / (
+        F.col("ssr_sum") / (F.col("n1") + F.col("n2") - F.lit(4.0))
+    )
+    return joined.select(
+        F.col("n1").cast("long").alias("n_first"),
+        F.col("n2").cast("long").alias("n_second"),
+        F.round("ssr_pooled", 4).alias("ssr_pooled"),
+        F.round("ssr_sum", 4).alias("ssr_split"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )
+
+
+CHOW_ORACLE = f"""
+WITH {_DAILY_IDX_SQL},
+halves AS (
+  SELECT CASE WHEN i <= (SELECT COUNT(*) FROM idx) / 2.0
+              THEN 1 ELSE 0 END AS h, t, y
+  FROM idx
+),
+mh AS (
+  SELECT h, CAST(COUNT(*) AS DOUBLE) AS n, SUM(t) AS st,
+         SUM(y) AS sy, SUM(t * t) AS stt, SUM(t * y) AS sty,
+         SUM(y * y) AS syy
+  FROM halves GROUP BY h
+),
+sh AS (
+  SELECT h, n,
+         (syy - sy * sy / n)
+           - ((sty - st * sy / n) * (sty - st * sy / n))
+             / (stt - st * st / n) AS ssr_h
+  FROM mh
+),
+agg AS (
+  SELECT SUM(CASE WHEN h = 1 THEN n END) AS n1,
+         SUM(CASE WHEN h = 0 THEN n END) AS n2,
+         SUM(ssr_h) AS ssr_sum
+  FROM sh
+),
+mp AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(t) AS st, SUM(y) AS sy,
+         SUM(t * t) AS stt, SUM(t * y) AS sty, SUM(y * y) AS syy
+  FROM halves
+),
+sp AS (
+  SELECT (syy - sy * sy / n)
+           - ((sty - st * sy / n) * (sty - st * sy / n))
+             / (stt - st * st / n) AS ssr_pooled
+  FROM mp
+)
+SELECT CAST(n1 AS BIGINT) AS n_first,
+       CAST(n2 AS BIGINT) AS n_second,
+       ROUND(ssr_pooled, 4) AS ssr_pooled,
+       ROUND(ssr_sum, 4) AS ssr_split,
+       ROUND(((ssr_pooled - ssr_sum) / 2.0)
+             / (ssr_sum / (n1 + n2 - 4.0)), 6) AS f_stat
+FROM agg, sp
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cox-Stuart paired-halves trend sign test
+# ---------------------------------------------------------------------------
+
+
+def stats_cox_stuart_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cox-Stuart sign test (Cox & Stuart 1955) for monotone trend
+    in daily revenue: pair day i with day i + ceil(n/2), count
+    upward vs downward pairs (ties dropped), z with continuity
+    correction, two-sided p via A&S — the assumption-free trend
+    check beside Mann-Kendall (all pairs) and the OLS t (parametric):
+    three tests, three robustness levels, one daily frame.
+
+    Determinism: the pairing is an integer index self-join; signs
+    compare 4dp-rounded daily revenues; counts are integers.
+
+    Scale shape: the index self-join runs on the calendar-bounded
+    daily frame (one bounded shuffle); output is one row."""
+    idx = _daily_revenue_indexed(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    nn = idx.agg(F.count("*").alias("nn"))
+    lagged = idx.crossJoin(F.broadcast(nn)).select(
+        "i", "y", F.ceil(F.col("nn") / 2).alias("m")
+    )
+    a = lagged.select("i", "y", "m")
+    b = lagged.select(
+        F.col("i").alias("j"), F.col("y").alias("y2")
+    )
+    pairs = a.join(b, F.col("j") == F.col("i") + F.col("m"))
+    agg = pairs.agg(
+        F.sum((F.col("y2") > F.col("y")).cast("long")).alias("plus"),
+        F.sum((F.col("y2") < F.col("y")).cast("long")).alias("minus"),
+    )
+    n_eff = (F.col("plus") + F.col("minus")).cast("double")
+    z = (
+        F.abs(F.col("plus") - n_eff / F.lit(2.0)) - F.lit(0.5)
+    ) / F.sqrt(n_eff / F.lit(4.0))
+    return agg.select(
+        (F.col("plus") + F.col("minus")).cast("long").alias("n_pairs"),
+        F.col("plus").cast("long").alias("n_up"),
+        F.col("minus").cast("long").alias("n_down"),
+        F.round(z, 6).alias("z_stat"),
+        F.round(_normal_two_sided(z), 6).alias("p_value"),
+    )
+
+
+COX_STUART_ORACLE = f"""
+WITH {_DAILY_IDX_SQL},
+pairs AS (
+  SELECT a.y AS y1, b.y AS y2
+  FROM idx a
+  JOIN idx b
+    ON b.i = a.i + CAST(CEIL((SELECT COUNT(*) FROM idx) / 2.0)
+                        AS BIGINT)
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN y2 > y1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS plus,
+         CAST(SUM(CASE WHEN y2 < y1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS minus
+  FROM pairs
+),
+zz AS (
+  SELECT plus, minus,
+         (ABS(plus - (plus + minus) / 2.0) - 0.5)
+           / SQRT((plus + minus) / 4.0) AS za
+  FROM agg
+)
+SELECT CAST(plus + minus AS BIGINT) AS n_pairs,
+       plus AS n_up, minus AS n_down,
+       ROUND(za, 6) AS z_stat,
+       ROUND({_ans_sql('za')}, 6) AS p_value
+FROM zz
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bartels rank von Neumann randomness ratio
+# ---------------------------------------------------------------------------
+
+
+def stats_bartels_vonneumann_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bartels rank version of the von Neumann ratio (Bartels JASA
+    1982): RVN = sum (R_t - R_{t+1})^2 / sum (R_t - (n+1)/2)^2 over
+    MIDRANKS of the daily revenue series; E[RVN] = 2, exact-variance
+    normal approximation, two-sided p — the rank-robust randomness
+    test beside the runs test (signs only) and Ljung-Box
+    (parametric ACF): small RVN = momentum, large = oscillation.
+
+    Determinism: midranks are RANK() + (ties - 1)/2 over the
+    4dp-rounded bounded daily frame (identical in both engines);
+    the variance is a closed rational in n.
+
+    Scale shape: the rank window runs on the calendar-bounded daily
+    frame (documented bound, the Ljung-Box posture); output is one
+    row."""
+    idx = _daily_revenue_indexed(spark, sf_dir)
+    wv = Window.orderBy("y")
+    wt = Window.partitionBy("y")
+    ranked = idx.select(
+        "i",
+        (
+            F.rank().over(wv)
+            + (F.count("*").over(wt) - F.lit(1)) / F.lit(2.0)
+        ).alias("r"),
+    ).localCheckpoint(eager=False)
+    wlag = Window.orderBy("i")
+    lagged = ranked.select(
+        "r", F.lead("r").over(wlag).alias("r_next")
+    )
+    agg = lagged.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(
+            F.when(
+                F.col("r_next").isNotNull(),
+                (F.col("r") - F.col("r_next"))
+                * (F.col("r") - F.col("r_next")),
+            )
+        ).alias("num"),
+    )
+    nn = F.col("n")
+    rvn_den_frame = ranked.crossJoin(
+        F.broadcast(agg.select("n"))
+    ).agg(
+        F.sum(
+            (F.col("r") - (F.col("n") + 1) / F.lit(2.0))
+            * (F.col("r") - (F.col("n") + 1) / F.lit(2.0))
+        ).alias("den")
+    )
+    joined = agg.crossJoin(F.broadcast(rvn_den_frame))
+    rvn = F.col("num") / F.col("den")
+    var = (
+        F.lit(4.0)
+        * (nn - 2)
+        * (F.lit(5.0) * nn * nn - F.lit(2.0) * nn - F.lit(9.0))
+        / (
+            F.lit(5.0)
+            * nn
+            * (nn + 1)
+            * (nn - 1)
+            * (nn - 1)
+        )
+    )
+    z = (rvn - F.lit(2.0)) / F.sqrt(var)
+    return joined.select(
+        nn.cast("long").alias("n_days"),
+        F.round(rvn, 6).alias("rvn_stat"),
+        F.round(z, 6).alias("z_stat"),
+        F.round(_normal_two_sided(F.abs(z)), 6).alias("p_value"),
+    )
+
+
+BARTELS_ORACLE = f"""
+WITH {_DAILY_IDX_SQL},
+ranked AS (
+  SELECT i,
+         RANK() OVER (ORDER BY y)
+           + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS r
+  FROM idx
+),
+lagged AS (
+  SELECT r, LEAD(r) OVER (ORDER BY i) AS r_next FROM ranked
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(CASE WHEN r_next IS NOT NULL
+                  THEN (r - r_next) * (r - r_next) END) AS num
+  FROM lagged
+),
+den AS (
+  SELECT SUM((r - (n + 1) / 2.0) * (r - (n + 1) / 2.0)) AS den
+  FROM ranked, agg GROUP BY n
+),
+zz AS (
+  SELECT n, num / den AS rvn,
+         (num / den - 2.0)
+           / SQRT(4.0 * (n - 2) * (5.0 * n * n - 2.0 * n - 9.0)
+                  / (5.0 * n * (n + 1) * (n - 1) * (n - 1))) AS z
+  FROM agg, den
+),
+zf AS (SELECT n, rvn, z, ABS(z) AS za FROM zz)
+SELECT CAST(n AS BIGINT) AS n_days,
+       ROUND(rvn, 6) AS rvn_stat,
+       ROUND(z, 6) AS z_stat,
+       ROUND({_ans_sql('za')}, 6) AS p_value
+FROM zf
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mood's median test of order values across segments
+# ---------------------------------------------------------------------------
+
+
+def stats_mood_median_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mood's median test of the order-value distribution across the
+    five market segments: count orders above / not-above the POOLED
+    discrete median per segment, Pearson chi2 over the 2 x k table,
+    Wilson-Hilferty chi2(k-1) upper tail — the coarsest, most
+    outlier-proof location test in the family (Brown-Forsythe asks
+    about spread, Kruskal-Wallis about full ranks, this one only
+    about which side of the shared median each order falls).
+
+    Determinism: the pooled median is percentile_disc (an actual
+    data value, no interpolation — the backbone-threshold
+    convention); cell counts are integers; chi2 is one closed fold.
+
+    Scale shape: one broadcast scalar (the median), ONE grouped
+    aggregate to the k-row segment frame (map-side partials), one
+    fold; output is one row."""
+    ords = (
+        read_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_mktsegment"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_mktsegment", "o_totalprice")
+    )
+    med = ords.agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("med")
+    )
+    cells = (
+        ords.crossJoin(F.broadcast(med))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice") > F.col("med")).cast("long")
+            ).alias("above"),
+            F.sum(
+                (F.col("o_totalprice") <= F.col("med")).cast("long")
+            ).alias("notabove"),
+        )
+    )
+    w_all = Window.partitionBy()
+    enriched = (
+        cells.withColumn(
+            "ta", F.sum("above").over(w_all).cast("double")
+        )
+        .withColumn(
+            "tn", F.sum("notabove").over(w_all).cast("double")
+        )
+        .withColumn("k", F.count("*").over(w_all))
+    )
+    n = F.col("ta") + F.col("tn")
+    rt = (F.col("above") + F.col("notabove")).cast("double")
+    ea = rt * F.col("ta") / n
+    en = rt * F.col("tn") / n
+    chi2 = F.sum(
+        (F.col("above") - ea) * (F.col("above") - ea) / ea
+        + (F.col("notabove") - en) * (F.col("notabove") - en) / en
+    )
+    agg = enriched.groupBy("k", "ta", "tn").agg(chi2.alias("chi2"))
+    return agg.select(
+        F.col("k").cast("long").alias("k_segments"),
+        (F.col("ta") + F.col("tn")).cast("long").alias("n_orders"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            _wh_upper(F.col("chi2"), 4.0), 6
+        ).alias("p_value"),
+    )
+
+
+MOOD_ORACLE = f"""
+WITH ords AS (
+  SELECT c_mktsegment, o_totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+med AS (SELECT quantile_disc(o_totalprice, 0.5) AS med FROM ords),
+cells AS (
+  SELECT c_mktsegment,
+         CAST(SUM(CASE WHEN o_totalprice > med THEN 1 ELSE 0 END)
+              AS BIGINT) AS above,
+         CAST(SUM(CASE WHEN o_totalprice <= med THEN 1 ELSE 0 END)
+              AS BIGINT) AS notabove
+  FROM ords, med GROUP BY c_mktsegment
+),
+tot AS (
+  SELECT CAST(SUM(above) AS DOUBLE) AS ta,
+         CAST(SUM(notabove) AS DOUBLE) AS tn,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM cells
+),
+chi AS (
+  SELECT k, ta, tn,
+         SUM((above - (above + notabove) * ta / (ta + tn))
+             * (above - (above + notabove) * ta / (ta + tn))
+             / ((above + notabove) * ta / (ta + tn))
+           + (notabove - (above + notabove) * tn / (ta + tn))
+             * (notabove - (above + notabove) * tn / (ta + tn))
+             / ((above + notabove) * tn / (ta + tn))) AS chi2
+  FROM cells, tot GROUP BY k, ta, tn
+)
+SELECT CAST(k AS BIGINT) AS k_segments,
+       CAST(ta + tn AS BIGINT) AS n_orders,
+       ROUND(chi2, 6) AS chi2,
+       ROUND({_wh_upper_sql('chi2', 4.0)}, 6) AS p_value
+FROM chi
+"""
+
+
+# ---------------------------------------------------------------------------
+# Kendall's W concordance: segments ranking the order years
+# ---------------------------------------------------------------------------
+
+
+def _segment_year_ranks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(seg, yr, r): each segment-judge's midrank of each order year
+    by 4dp-rounded yearly revenue — the shared blocked-rank frame of
+    the two rank-agreement tests (bounded: |segments| x |years|)."""
+    cells = (
+        read_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_mktsegment"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+    )
+    wv = Window.partitionBy("seg").orderBy("rev")
+    wt = Window.partitionBy("seg", "rev")
+    return cells.select(
+        "seg",
+        "yr",
+        (
+            F.rank().over(wv)
+            + (F.count("*").over(wt) - F.lit(1)) / F.lit(2.0)
+        ).alias("r"),
+    )
+
+
+_SEG_YEAR_RANKS_SQL = """
+cells AS (
+  SELECT c_mktsegment AS seg,
+         CAST(year(o_orderdate) AS INTEGER) AS yr,
+         ROUND(SUM(o_totalprice), 4) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+ranks AS (
+  SELECT seg, yr,
+         RANK() OVER (PARTITION BY seg ORDER BY rev)
+           + (COUNT(*) OVER (PARTITION BY seg, rev) - 1) / 2.0 AS r
+  FROM cells
+)"""
+
+
+def stats_kendalls_w_concordance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kendall's coefficient of concordance W (Kendall & Babington
+    Smith 1939) of the five market segments ranking the order years
+    by revenue: W = 12 S / (m^2 (n^3 - n)) with S the sum of squared
+    deviations of per-year rank sums from their mean — do all
+    customer segments agree which years were good? chi2 = m (n-1) W
+    with the Wilson-Hilferty chi2(n-1) tail.
+
+    Determinism: ranks are midranks over 4dp-rounded yearly revenue
+    (both engines rank identical rounded doubles); S and W are
+    closed rationals of the bounded rank frame.
+
+    Scale shape: one corpus groupBy to the |segments| x |years| cell
+    frame; rank windows partition per segment (bounded); output is
+    one row."""
+    ranks = _segment_year_ranks(spark, sf_dir)
+    per_year = ranks.groupBy("yr").agg(
+        F.sum("r").alias("rsum"),
+        F.count("*").cast("double").alias("m"),
+    )
+    agg = per_year.agg(
+        F.count("*").cast("double").alias("n"),
+        F.max("m").alias("m"),
+        F.sum("rsum").alias("tot"),
+        F.sum(F.col("rsum") * F.col("rsum")).alias("tot2"),
+    )
+    n, m = F.col("n"), F.col("m")
+    s = F.col("tot2") - F.col("tot") * F.col("tot") / n
+    w_stat = F.lit(12.0) * s / (m * m * (n * n * n - n))
+    chi2 = m * (n - 1) * w_stat
+    return agg.select(
+        m.cast("long").alias("m_judges"),
+        n.cast("long").alias("n_years"),
+        F.round(w_stat, 6).alias("kendalls_w"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(_wh_upper(chi2, 6.0), 6).alias("p_value"),
+    )
+
+
+KENDALL_W_ORACLE = f"""
+WITH {_SEG_YEAR_RANKS_SQL},
+per_year AS (
+  SELECT yr, SUM(r) AS rsum, CAST(COUNT(*) AS DOUBLE) AS m
+  FROM ranks GROUP BY yr
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, MAX(m) AS m,
+         SUM(rsum) AS tot, SUM(rsum * rsum) AS tot2
+  FROM per_year
+),
+wstat AS (
+  SELECT n, m,
+         12.0 * (tot2 - tot * tot / n)
+           / (m * m * (n * n * n - n)) AS w
+  FROM agg
+),
+chi AS (SELECT n, m, w, m * (n - 1) * w AS chi2 FROM wstat)
+SELECT CAST(m AS BIGINT) AS m_judges,
+       CAST(n AS BIGINT) AS n_years,
+       ROUND(w, 6) AS kendalls_w,
+       ROUND(chi2, 6) AS chi2,
+       ROUND({_wh_upper_sql('chi2', 6.0)}, 6) AS p_value
+FROM chi
+"""
+
+
+# ---------------------------------------------------------------------------
+# Friedman blocked rank test over the (year x segment) design
+# ---------------------------------------------------------------------------
+
+
+def stats_friedman_blocked_ranks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Friedman's blocked rank test (Friedman 1937) over the same
+    (year x segment) revenue design, TRANSPOSED from Kendall's W:
+    years are the blocks, segments the treatments — does any segment
+    systematically out-earn the others within years? chi2_F =
+    12/(b k (k+1)) * sum_j R_j^2 - 3 b (k+1), Wilson-Hilferty
+    chi2(k-1) tail. (W and Friedman are the same design read both
+    ways: W asks if judges agree, Friedman if treatments differ.)
+
+    Determinism: midranks within each year block over 4dp-rounded
+    revenue; rank sums are the only inputs to the closed form.
+
+    Scale shape: the same bounded cell frame as Kendall's W with the
+    rank window partitioned per year; output is one row."""
+    cells = (
+        read_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_mktsegment"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+    )
+    wv = Window.partitionBy("yr").orderBy("rev")
+    wt = Window.partitionBy("yr", "rev")
+    ranks = cells.select(
+        "yr",
+        "seg",
+        (
+            F.rank().over(wv)
+            + (F.count("*").over(wt) - F.lit(1)) / F.lit(2.0)
+        ).alias("r"),
+    )
+    per_seg = ranks.groupBy("seg").agg(
+        F.sum("r").alias("rsum"),
+        F.count("*").cast("double").alias("b"),
+    )
+    agg = per_seg.agg(
+        F.count("*").cast("double").alias("k"),
+        F.max("b").alias("b"),
+        F.sum(F.col("rsum") * F.col("rsum")).alias("r2"),
+    )
+    k, b = F.col("k"), F.col("b")
+    chi2 = (
+        F.lit(12.0) / (b * k * (k + 1)) * F.col("r2")
+        - F.lit(3.0) * b * (k + 1)
+    )
+    return agg.select(
+        b.cast("long").alias("n_blocks"),
+        k.cast("long").alias("k_treatments"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(_wh_upper(chi2, 4.0), 6).alias("p_value"),
+    )
+
+
+FRIEDMAN_ORACLE = f"""
+WITH cells AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+         c_mktsegment AS seg,
+         ROUND(SUM(o_totalprice), 4) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+ranks AS (
+  SELECT yr, seg,
+         RANK() OVER (PARTITION BY yr ORDER BY rev)
+           + (COUNT(*) OVER (PARTITION BY yr, rev) - 1) / 2.0 AS r
+  FROM cells
+),
+per_seg AS (
+  SELECT seg, SUM(r) AS rsum, CAST(COUNT(*) AS DOUBLE) AS b
+  FROM ranks GROUP BY seg
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k, MAX(b) AS b,
+         SUM(rsum * rsum) AS r2
+  FROM per_seg
+),
+chi AS (
+  SELECT b, k,
+         12.0 / (b * k * (k + 1)) * r2 - 3.0 * b * (k + 1) AS chi2
+  FROM agg
+)
+SELECT CAST(b AS BIGINT) AS n_blocks,
+       CAST(k AS BIGINT) AS k_treatments,
+       ROUND(chi2, 6) AS chi2,
+       ROUND({_wh_upper_sql('chi2', 4.0)}, 6) AS p_value
+FROM chi
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q over per-(user, day) event-type indicators
+# ---------------------------------------------------------------------------
+
+
+def stats_cochran_q_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran's Q test (Cochran 1950) over (user, day) blocks and
+    the five event types as related binary treatments: did the user
+    perform each type that day? Q = (k-1) (k * sum_j C_j^2 -
+    (sum C)^2) / (k * sum_i R_i - sum_i R_i^2), Wilson-Hilferty
+    chi2(k-1) tail — are some action types systematically more
+    prevalent per user-day, accounting for how active each user-day
+    is? (The k-related-binaries member of the blocked family:
+    Friedman ranks values, Cochran's Q crosses presence bits.)
+
+    Blocks where every type is present (or none) cancel from BOTH
+    numerator deviations and denominator, so the sparse per-day
+    indicator design stays non-degenerate where the all-history
+    version saturates.
+
+    Determinism: indicators, row/column totals and the closed form
+    are all integer arithmetic until two final rationals.
+
+    Scale shape: ONE (user, day, type) distinct collapse, a grouped
+    fold to per-block totals and a k-row column frame; output is
+    one row."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+    )
+    pres = ev.distinct()
+    k_frame = pres.agg(
+        F.countDistinct("event_type").cast("double").alias("k")
+    )
+    rows_tot = (
+        pres.groupBy("user_id", "day")
+        .agg(F.count("*").cast("long").alias("ri"))
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum("ri").alias("sr"),
+            F.sum(F.col("ri") * F.col("ri")).alias("sr2"),
+        )
+    )
+    cols_tot = (
+        pres.groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("cj"))
+        .agg(
+            F.sum("cj").alias("sc"),
+            F.sum(F.col("cj") * F.col("cj")).alias("sc2"),
+        )
+    )
+    joined = (
+        rows_tot.crossJoin(F.broadcast(cols_tot))
+        .crossJoin(F.broadcast(k_frame))
+    )
+    k = F.col("k")
+    q = (
+        (k - 1)
+        * (k * F.col("sc2") - F.col("sc") * F.col("sc"))
+        / (k * F.col("sr") - F.col("sr2"))
+    )
+    return joined.select(
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        k.cast("long").alias("k_types"),
+        F.round(q, 6).alias("q_stat"),
+        F.round(_wh_upper(q, 4.0), 6).alias("p_value"),
+    )
+
+
+COCHRAN_ORACLE = f"""
+WITH pres AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+  FROM events
+),
+kf AS (
+  SELECT CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS k FROM pres
+),
+rt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(ri) AS BIGINT) AS sr,
+         CAST(SUM(ri * ri) AS BIGINT) AS sr2
+  FROM (SELECT user_id, day, COUNT(*) AS ri
+        FROM pres GROUP BY 1, 2)
+),
+ct AS (
+  SELECT CAST(SUM(cj) AS BIGINT) AS sc,
+         CAST(SUM(cj * cj) AS BIGINT) AS sc2
+  FROM (SELECT event_type, COUNT(*) AS cj
+        FROM pres GROUP BY 1)
+),
+q AS (
+  SELECT n_blocks, k,
+         (k - 1) * (k * sc2 - sc * sc * 1.0)
+           / (k * sr - sr2) AS q
+  FROM rt, ct, kf
+)
+SELECT n_blocks,
+       CAST(k AS BIGINT) AS k_types,
+       ROUND(q, 6) AS q_stat,
+       ROUND({_wh_upper_sql('q', 4.0)}, 6) AS p_value
+FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
+# MRR of the first relevant document per source
+# ---------------------------------------------------------------------------
+
+
+def eval_mrr_first_relevant(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source reciprocal rank of the first relevant (is-English)
+    document under the deterministic quality-score ranking, plus the
+    source's doc count — the navigational-retrieval metric next to
+    NDCG (graded head quality) and AP (full-ranking quality): MRR
+    only cares how deep the user digs before the FIRST hit. The
+    driver row set is per-source (the mean is one trivial fold away
+    and hides the per-source story).
+
+    Determinism: the (score DESC, doc_id ASC) tiebreak makes each
+    source's ranking a total order; the first-relevant rank is an
+    integer; rr is one exact rational.
+
+    Scale shape: rank windows partition per source; the first-hit
+    collapse is a grouped MIN (map-side partials); output is
+    |sources| rows."""
+    scored = _scored_docs_with_id(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    ranked = scored.join(docs, "doc_id").select(
+        "source",
+        "label",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.col("score").desc(), "doc_id"
+            )
+        )
+        .alias("rn"),
+    )
+    firsts = (
+        ranked.filter(F.col("label") == 1)
+        .groupBy("source")
+        .agg(F.min("rn").alias("first_rel"))
+    )
+    counts = ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return (
+        counts.join(firsts, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("first_rel"), F.lit(0))
+            .cast("long")
+            .alias("first_rel_rank"),
+            F.round(
+                F.when(
+                    F.col("first_rel").isNotNull(),
+                    F.lit(1.0) / F.col("first_rel"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("reciprocal_rank"),
+        )
+    )
+
+
+MRR_ORACLE = f"""
+WITH {_SCORED_SQL},
+ranked AS (
+  SELECT d.source, s.label,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY s.score DESC, s.doc_id) AS rn
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+),
+firsts AS (
+  SELECT source, MIN(rn) AS first_rel
+  FROM ranked WHERE label = 1 GROUP BY source
+),
+counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM ranked GROUP BY source
+)
+SELECT c.source, c.n_docs,
+       CAST(COALESCE(f.first_rel, 0) AS BIGINT) AS first_rel_rank,
+       ROUND(CASE WHEN f.first_rel IS NOT NULL
+                  THEN 1.0 / f.first_rel ELSE 0.0 END, 6)
+         AS reciprocal_rank
+FROM counts c LEFT JOIN firsts f ON c.source = f.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap between the quality and length rankings
+# ---------------------------------------------------------------------------
+
+RBO_K = 64
+RBO_P_NUM = 1  # p = 1/2: dyadic, so every p^(d-1) term is exact
+RBO_P_DEN = 2
+
+
+def eval_rank_biased_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rank-biased overlap at depth 64 (Webber, Moffat & Zobel TOIS
+    2010) between two document rankings: by the deterministic
+    quality score and by raw length (n_chars) — how much does the
+    head of "best" agree with the head of "longest"? RBO_K = (1-p)
+    * sum_{d=1..K} p^(d-1) * |A_d n B_d| / d at p = 1/2 (top-heavy;
+    dyadic so the per-depth weights are exact doubles in both
+    engines).
+
+    Determinism: both rankings are total orders (doc_id tiebreak);
+    the agreement-at-depth counts are integers from the joined
+    top-K rank pairs; each summand is an exact p^(d-1) times one
+    rational.
+
+    Scale shape: two TakeOrderedAndProject top-Ks (K rows each cross
+    the wire, never the corpus); the depth grid is a 64-row
+    broadcast; output is one row."""
+    scored = _scored_docs_with_id(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    top_a = (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(RBO_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+            .alias("ra"),
+        )
+    )
+    top_b = (
+        docs.orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(RBO_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("n_chars").desc(), "doc_id"))
+            .alias("rb"),
+        )
+    )
+    both = top_a.join(top_b, "doc_id").select(
+        F.greatest("ra", "rb").alias("mx")
+    )
+    grid = spark.range(1, RBO_K + 1).select(
+        F.col("id").alias("d")
+    )
+    agree = (
+        grid.join(
+            F.broadcast(both), F.col("mx") <= F.col("d"), "left"
+        )
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(F.col("mx").isNotNull(), 1).otherwise(0)
+            ).alias("a_d")
+        )
+    )
+    p = float(RBO_P_NUM) / RBO_P_DEN
+    terms = agree.select(
+        "d",
+        "a_d",
+        (
+            F.pow(F.lit(p), F.col("d") - 1)
+            * F.col("a_d")
+            / F.col("d")
+        ).alias("term"),
+    )
+    final_agree = agree.filter(F.col("d") == RBO_K).select(
+        F.col("a_d").cast("long").alias("n_agree_at_k")
+    )
+    rbo = terms.agg(
+        F.round(
+            (1 - F.lit(p)) * F.sum("term"), 6
+        ).alias("rbo")
+    )
+    return (
+        rbo.crossJoin(F.broadcast(final_agree))
+        .select(
+            F.lit(RBO_K).cast("int").alias("k"),
+            "n_agree_at_k",
+            "rbo",
+        )
+    )
+
+
+RBO_ORACLE = f"""
+WITH {_SCORED_SQL},
+top_a AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS ra
+  FROM scored QUALIFY ra <= {RBO_K}
+),
+top_b AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rb
+  FROM documents QUALIFY rb <= {RBO_K}
+),
+both_r AS (
+  SELECT GREATEST(a.ra, b.rb) AS mx
+  FROM top_a a JOIN top_b b ON a.doc_id = b.doc_id
+),
+agree AS (
+  SELECT d, CAST(SUM(CASE WHEN mx IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS a_d
+  FROM unnest(generate_series(1, {RBO_K})) AS g(d)
+  LEFT JOIN both_r ON mx <= d
+  GROUP BY d
+),
+rbo AS (
+  SELECT ROUND((1 - {RBO_P_NUM}.0 / {RBO_P_DEN})
+               * SUM(POW({RBO_P_NUM}.0 / {RBO_P_DEN}, d - 1)
+                     * a_d / d), 6) AS rbo
+  FROM agree
+)
+SELECT CAST({RBO_K} AS INTEGER) AS k,
+       (SELECT a_d FROM agree WHERE d = {RBO_K}) AS n_agree_at_k,
+       rbo
+FROM rbo
+"""
+
+
+_PENDING = {
+    "stats_durbin_watson_residuals": (
+        stats_durbin_watson_residuals, DW_ORACLE,
+    ),
+    "stats_breusch_pagan_hetero": (
+        stats_breusch_pagan_hetero, BP_ORACLE,
+    ),
+    "stats_chow_structural_break": (
+        stats_chow_structural_break, CHOW_ORACLE,
+    ),
+    "stats_cox_stuart_trend": (
+        stats_cox_stuart_trend, COX_STUART_ORACLE,
+    ),
+    "stats_bartels_vonneumann_rank": (
+        stats_bartels_vonneumann_rank, BARTELS_ORACLE,
+    ),
+    "stats_mood_median_test": (
+        stats_mood_median_test, MOOD_ORACLE,
+    ),
+    "stats_kendalls_w_concordance": (
+        stats_kendalls_w_concordance, KENDALL_W_ORACLE,
+    ),
+    "stats_friedman_blocked_ranks": (
+        stats_friedman_blocked_ranks, FRIEDMAN_ORACLE,
+    ),
+    "stats_cochran_q_event_types": (
+        stats_cochran_q_event_types, COCHRAN_ORACLE,
+    ),
+    "eval_mrr_first_relevant": (
+        eval_mrr_first_relevant, MRR_ORACLE,
+    ),
+    "eval_rank_biased_overlap": (
+        eval_rank_biased_overlap, RBO_ORACLE,
+    ),
+}
