@@ -1334,6 +1334,922 @@ FROM rbo
 """
 
 
+# ---------------------------------------------------------------------------
+# shared: the (source, token, count) term-frequency frame
+# ---------------------------------------------------------------------------
+
+
+def _source_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, tok, c): whitespace term frequencies per source —
+    the round-14 Yule-K tokenization, shared by the three lexical
+    queries below (vocab-bounded after the grouped count)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+_SOURCE_TF_SQL = """
+toks AS (
+  SELECT source, tok
+  FROM (SELECT source,
+               unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                 AS tok
+        FROM documents)
+  WHERE tok <> ''
+),
+tf AS (
+  SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Honoré's R and Sichel's S lexical richness per source
+# ---------------------------------------------------------------------------
+
+
+def text_honore_sichel_hapax(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Honoré's R (1979) and Sichel's S (1975) per source: R =
+    100 ln(N) / (1 - V1/V) from the hapax share, S = V2/V from the
+    dis-legomena share — the frequency-spectrum richness pair next
+    to round 14's Yule K (K weights the repeated head, R/S the
+    singleton tail; template-generated text starves the tail, so a
+    LOW R flags boilerplate even when K looks natural).
+
+    Determinism: N, V, V1, V2 are exact integers per source; two
+    rationals and one ln.
+
+    Scale shape: one (source, token) grouped count (map-side
+    partials, vocab-bounded), one grouped fold to |sources| rows."""
+    tf = _source_tf(spark, sf_dir)
+    agg = tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).alias("v1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("v2"),
+    )
+    r = (
+        F.lit(100.0)
+        * F.log(F.col("n_tokens").cast("double"))
+        / (
+            F.lit(1.0)
+            - F.col("v1") / F.col("n_types").cast("double")
+        )
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.col("v1").cast("long").alias("v1_hapax"),
+        F.col("v2").cast("long").alias("v2_dis"),
+        F.round(r, 4).alias("honore_r"),
+        F.round(
+            F.col("v2") / F.col("n_types").cast("double"), 6
+        ).alias("sichel_s"),
+    )
+
+
+HONORE_ORACLE = f"""
+WITH {_SOURCE_TF_SQL},
+agg AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v2
+  FROM tf GROUP BY source
+)
+SELECT source, n_tokens, n_types,
+       v1 AS v1_hapax, v2 AS v2_dis,
+       ROUND(100.0 * LN(CAST(n_tokens AS DOUBLE))
+             / (1.0 - v1 / CAST(n_types AS DOUBLE)), 4)
+         AS honore_r,
+       ROUND(v2 / CAST(n_types AS DOUBLE), 6) AS sichel_s
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing unseen mass + Chao1 vocabulary estimate per language
+# ---------------------------------------------------------------------------
+
+
+def text_good_turing_chao1(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Good-Turing unseen probability mass (Good 1953) and the Chao1
+    vocabulary-size estimate (Chao 1984) per language: p0 = V1/N
+    (the chance the NEXT token is a new type), coverage = 1 - p0,
+    Chao1 = V + V1^2/(2 V2) — how much vocabulary has the crawl NOT
+    seen yet, per language? The collection-planning companion to
+    Heaps' law (Heaps fits growth so far, Chao1 bounds the
+    asymptote).
+
+    Determinism: the four sufficient statistics are exact integers
+    per language; the estimators are single rationals (the bias-
+    corrected V1(V1-1)/(2(V2+1)) form is used when V2 = 0, the
+    standard Chao1 fallback).
+
+    Scale shape: one (lang, token) grouped count (map-side partials,
+    vocab-bounded), one grouped fold to |languages| rows."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    tf = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = tf.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).alias("v1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("v2"),
+    )
+    v, v1, v2 = F.col("n_types"), F.col("v1"), F.col("v2")
+    chao1 = F.when(
+        v2 > 0,
+        v + v1.cast("double") * v1 / (F.lit(2.0) * v2),
+    ).otherwise(
+        v + v1.cast("double") * (v1 - 1) / F.lit(2.0)
+    )
+    p0 = v1 / F.col("n_tokens").cast("double")
+    return agg.select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        v1.cast("long").alias("v1_hapax"),
+        v2.cast("long").alias("v2_dis"),
+        F.round(p0, 6).alias("unseen_mass"),
+        F.round(F.lit(1.0) - p0, 6).alias("coverage"),
+        F.round(chao1, 4).alias("chao1_vocab"),
+    )
+
+
+GOOD_TURING_ORACLE = """
+WITH toks AS (
+  SELECT lang, tok
+  FROM (SELECT lang,
+               unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                 AS tok
+        FROM documents WHERE lang IS NOT NULL)
+  WHERE tok <> ''
+),
+tf AS (
+  SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+),
+agg AS (
+  SELECT lang,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+              AS BIGINT) AS v2
+  FROM tf GROUP BY lang
+)
+SELECT lang, n_tokens, n_types,
+       v1 AS v1_hapax, v2 AS v2_dis,
+       ROUND(v1 / CAST(n_tokens AS DOUBLE), 6) AS unseen_mass,
+       ROUND(1.0 - v1 / CAST(n_tokens AS DOUBLE), 6) AS coverage,
+       ROUND(CASE WHEN v2 > 0
+                  THEN n_types + CAST(v1 AS DOUBLE) * v1 / (2.0 * v2)
+                  ELSE n_types + CAST(v1 AS DOUBLE) * (v1 - 1) / 2.0
+             END, 4) AS chao1_vocab
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# ARI / Coleman-Liau readability per source
+# ---------------------------------------------------------------------------
+
+
+def text_readability_indices(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Automated Readability Index (Senter & Smith 1967) and
+    Coleman-Liau (1975) per source — the two standard indices that
+    need NO syllable heuristic (pure character/word/sentence
+    counts, hence engine-exact): ARI = 4.71 C/W + 0.5 W/S - 21.43,
+    CLI = 0.0588 L - 0.296 S100 - 15.8 with L = letters per 100
+    words, S100 = sentences per 100 words. A corpus-mixture
+    fingerprint: boilerplate sources sit tightly clustered,
+    natural-text sources spread.
+
+    Word chars count the non-whitespace characters of the tokens
+    themselves; sentences count terminal periods with a floor of
+    one per document (both as pure length/replace arithmetic — no
+    regex dialect in play).
+
+    Determinism: all three counts are exact integers per source;
+    two closed-form rationals.
+
+    Scale shape: one pass over documents computing per-doc counts
+    (map-side), one grouped fold to |sources| rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower("text")), r"\s+"),
+                lambda t: t != "",
+            )
+        ).cast("long").alias("words"),
+        (
+            F.length(F.trim("text"))
+            - (
+                F.length(F.trim("text"))
+                - F.length(F.replace(F.trim("text"), F.lit(" ")))
+            )
+        ).cast("long").alias("chars"),
+        F.greatest(
+            F.length("text") - F.length(F.replace("text", F.lit("."))),
+            F.lit(1),
+        ).cast("long").alias("sents"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("n_words"),
+        F.sum("chars").cast("long").alias("n_chars_in_words"),
+        F.sum("sents").cast("long").alias("n_sentences"),
+    )
+    c = F.col("n_chars_in_words").cast("double")
+    w = F.col("n_words").cast("double")
+    s = F.col("n_sentences").cast("double")
+    ari = F.lit(4.71) * (c / w) + F.lit(0.5) * (w / s) - F.lit(21.43)
+    cli = (
+        F.lit(0.0588) * (F.lit(100.0) * c / w)
+        - F.lit(0.296) * (F.lit(100.0) * s / w)
+        - F.lit(15.8)
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_sentences",
+        F.round(ari, 4).alias("ari"),
+        F.round(cli, 4).alias("coleman_liau"),
+    )
+
+
+READABILITY_ORACLE = """
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(list_filter(
+           string_split_regex(trim(lower(text)), '\\s+'),
+           t -> t <> '')) AS BIGINT) AS words,
+         CAST(length(replace(trim(text), ' ', '')) AS BIGINT)
+           AS chars,
+         CAST(GREATEST(length(text)
+                       - length(replace(text, '.', '')), 1)
+              AS BIGINT) AS sents
+  FROM documents
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(words) AS BIGINT) AS n_words,
+         CAST(SUM(chars) AS BIGINT) AS n_chars_in_words,
+         CAST(SUM(sents) AS BIGINT) AS n_sentences
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, n_words, n_sentences,
+       ROUND(4.71 * (n_chars_in_words * 1.0 / n_words)
+             + 0.5 * (n_words * 1.0 / n_sentences) - 21.43, 4)
+         AS ari,
+       ROUND(0.0588 * (100.0 * n_chars_in_words / n_words)
+             - 0.296 * (100.0 * n_sentences / n_words) - 15.8, 4)
+         AS coleman_liau
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dunning G2 keyness of the focus source vs the rest of the corpus
+# ---------------------------------------------------------------------------
+
+KEYNESS_FOCUS = "src0"
+KEYNESS_TOP = 20
+KEYNESS_MIN_FOCUS = 2
+
+
+def text_g2_keyness_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dunning's log-likelihood keyness (Dunning CL 1993) of the
+    focus source against the rest of the corpus: G2 = 2 (a ln(a/E1)
+    + b ln(b/E2)) per term with expecteds from the pooled rate, top
+    20 OVERUSED terms (a/A > b/B) by (G2 DESC, term ASC) with a
+    minimum focus count of 2 — WHICH words make src0 read
+    differently (the term-level explanation next to the JS shift
+    drivers, on the classical significance scale instead of the
+    divergence scale).
+
+    Determinism: a, b, A, B are exact integers; G2 is the identical
+    ln/multiply sequence in both engines (the KM-oracle LN/EXP
+    parity precedent); the top-k orders by those bit-equal doubles
+    with the term tiebreak.
+
+    Scale shape: one (source-flag, token) grouped count (map-side
+    partials, vocab-bounded); two scalar totals broadcast; the
+    top-k is a TakeOrderedAndProject."""
+    docs = read_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            (F.col("source") == KEYNESS_FOCUS).alias("focus"),
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(
+            F.sum(F.col("focus").cast("long")).alias("a"),
+            F.sum((~F.col("focus")).cast("long")).alias("b"),
+        )
+    )
+    totals = tf.agg(
+        F.sum("a").cast("double").alias("ta"),
+        F.sum("b").cast("double").alias("tb"),
+    )
+    t = tf.crossJoin(F.broadcast(totals))
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    ta, tb = F.col("ta"), F.col("tb")
+    e1 = ta * (a + b) / (ta + tb)
+    e2 = tb * (a + b) / (ta + tb)
+    g2 = F.lit(2.0) * (
+        F.when(a > 0, a * F.log(a / e1)).otherwise(F.lit(0.0))
+        + F.when(b > 0, b * F.log(b / e2)).otherwise(F.lit(0.0))
+    )
+    return (
+        t.filter(
+            (F.col("a") >= KEYNESS_MIN_FOCUS)
+            & (a / ta > b / tb)
+        )
+        .select(
+            F.col("tok").alias("term"),
+            F.col("a").cast("long").alias("focus_count"),
+            F.col("b").cast("long").alias("rest_count"),
+            F.round(g2, 6).alias("g2"),
+        )
+        .orderBy(F.col("g2").desc(), "term")
+        .limit(KEYNESS_TOP)
+    )
+
+
+KEYNESS_ORACLE = f"""
+WITH toks AS (
+  SELECT source = '{KEYNESS_FOCUS}' AS focus, tok
+  FROM (SELECT source,
+               unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                 AS tok
+        FROM documents)
+  WHERE tok <> ''
+),
+tf AS (
+  SELECT tok,
+         CAST(SUM(CASE WHEN focus THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN focus THEN 0 ELSE 1 END)
+              AS BIGINT) AS b
+  FROM toks GROUP BY tok
+),
+tot AS (
+  SELECT CAST(SUM(a) AS DOUBLE) AS ta,
+         CAST(SUM(b) AS DOUBLE) AS tb
+  FROM tf
+),
+g AS (
+  SELECT tok, a, b,
+         2.0 * (CASE WHEN a > 0
+                     THEN a * LN(a / (ta * (a + b) / (ta + tb)))
+                     ELSE 0.0 END
+              + CASE WHEN b > 0
+                     THEN b * LN(b / (tb * (a + b) / (ta + tb)))
+                     ELSE 0.0 END) AS g2
+  FROM tf, tot
+  WHERE a >= {KEYNESS_MIN_FOCUS} AND a / ta > b / tb
+)
+SELECT tok AS term, a AS focus_count, b AS rest_count,
+       ROUND(g2, 6) AS g2
+FROM g
+ORDER BY g2 DESC, term
+LIMIT {KEYNESS_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Kish design effect of order-value weights per segment
+# ---------------------------------------------------------------------------
+
+
+def sample_kish_design_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kish's design effect (Kish 1965) of order-value weights per
+    market segment: deff = n * sum(w^2) / (sum w)^2 and the
+    effective sample size n_eff = n / deff — how much estimation
+    power a value-weighted sample of each segment's orders actually
+    carries (deff = 1 means equal weights; heavy-tailed order
+    values push n_eff far below n). The survey-design health check
+    beside the registered Neyman allocation (Neyman says how to
+    stratify, Kish says what the weights already cost).
+
+    Determinism: one grouped moment fold per segment (n, sum w,
+    sum w^2), two closed-form rationals.
+
+    Scale shape: ONE grouped aggregate (map-side partials) to the
+    |segments|-row frame; output is |segments| rows."""
+    ords = (
+        read_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_mktsegment"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_mktsegment", F.col("o_totalprice").alias("w"))
+    )
+    agg = ords.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("w")).alias("sw2"),
+    )
+    n = F.col("n_orders").cast("double")
+    deff = n * F.col("sw2") / (F.col("sw") * F.col("sw"))
+    return agg.select(
+        F.col("c_mktsegment").alias("segment"),
+        "n_orders",
+        F.round(deff, 6).alias("deff"),
+        F.round(n / deff, 4).alias("n_eff"),
+    )
+
+
+KISH_ORACLE = """
+WITH agg AS (
+  SELECT c_mktsegment AS segment,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(o_totalprice) AS sw,
+         SUM(o_totalprice * o_totalprice) AS sw2
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1
+)
+SELECT segment, n_orders,
+       ROUND(n_orders * sw2 / (sw * sw), 6) AS deff,
+       ROUND(n_orders / (n_orders * sw2 / (sw * sw)), 4) AS n_eff
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# shared: the directed trade backbone
+# ---------------------------------------------------------------------------
+
+
+def _backbone_dir_edges(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DIRECTED weight-thresholded trade backbone (src, dst): keep
+    directed nation pairs whose lineitem count reaches the disc-75th
+    percentile, drop self-loops — the directed twin of round 13's
+    _backbone_und_edges (HITS and reciprocity are meaningless on a
+    symmetrized graph, and the full trade graph saturates to
+    complete above sf0.001)."""
+    from cdc_2025_spark.queries.graph import trade_edges
+
+    e = trade_edges(spark, sf_dir)
+    thr = e.agg(
+        F.expr(
+            "percentile_disc(0.75) WITHIN GROUP (ORDER BY w)"
+        ).alias("t")
+    )
+    return (
+        e.crossJoin(F.broadcast(thr))
+        .filter((F.col("w") >= F.col("t")) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+    )
+
+
+# _BACKBONE_SQL provides wedges0/thr/strong/und; the directed edge
+# set is `strong` minus self-loops:
+_DIR_SQL = f"""
+{_BACKBONE_SQL},
+dir_e AS (SELECT src, dst FROM strong WHERE src <> dst)"""
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality: 4 unrolled integer path-count iterations
+# ---------------------------------------------------------------------------
+
+
+def graph_katz_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Katz centrality (Katz 1953) on the undirected trade backbone
+    via four unrolled path-count iterations at attenuation alpha =
+    1/8: katz(v) = sum_{k=1..4} alpha^k * |paths of length k ending
+    at v| — the influence measure that, unlike degree, credits a
+    nation for trading with well-connected partners. alpha is DYADIC
+    and the path counts are integers, so katz_scaled = 8^3 p1 +
+    8^2 p2 + 8 p3 + p4 is exact BIGINT arithmetic in both engines
+    (no float iteration drift, the same trick as the RBO weights)
+    and katz = katz_scaled / 8^4 is one exact dyadic division.
+
+    Determinism: integer path counts; the division is exact.
+
+    Scale shape: the backbone is |nations|^2-bounded; each unrolled
+    iteration is one bounded equi-join + grouped sum; output is
+    |nations| rows."""
+    from cdc_2025_spark.queries.pending_r13 import _backbone_und_edges
+
+    und = _backbone_und_edges(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    p1 = und.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("p1")
+    )
+
+    def _next(prev: DataFrame, col: str, out: str) -> DataFrame:
+        return (
+            und.join(
+                prev.withColumnRenamed("node", "dst"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(col).cast("long").alias(out))
+        )
+
+    p2 = _next(p1.select("node", "p1"), "p1", "p2")
+    p3 = _next(p2, "p2", "p3")
+    p4 = _next(p3, "p3", "p4")
+    out = (
+        p1.join(p2, "node").join(p3, "node").join(p4, "node")
+    )
+    scaled = (
+        F.lit(512) * F.col("p1")
+        + F.lit(64) * F.col("p2")
+        + F.lit(8) * F.col("p3")
+        + F.col("p4")
+    ).cast("long")
+    return out.select(
+        "node",
+        F.col("p1").cast("long").alias("degree"),
+        scaled.alias("katz_scaled"),
+        F.round(scaled / F.lit(4096.0), 6).alias("katz"),
+    )
+
+
+KATZ_ORACLE = f"""
+WITH {_BACKBONE_SQL},
+p1 AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS p
+  FROM und GROUP BY src
+),
+p2 AS (
+  SELECT e.src AS node, CAST(SUM(p1.p) AS BIGINT) AS p
+  FROM und e JOIN p1 ON p1.node = e.dst GROUP BY e.src
+),
+p3 AS (
+  SELECT e.src AS node, CAST(SUM(p2.p) AS BIGINT) AS p
+  FROM und e JOIN p2 ON p2.node = e.dst GROUP BY e.src
+),
+p4 AS (
+  SELECT e.src AS node, CAST(SUM(p3.p) AS BIGINT) AS p
+  FROM und e JOIN p3 ON p3.node = e.dst GROUP BY e.src
+)
+SELECT p1.node, p1.p AS degree,
+       CAST(512 * p1.p + 64 * p2.p + 8 * p3.p + p4.p AS BIGINT)
+         AS katz_scaled,
+       ROUND((512 * p1.p + 64 * p2.p + 8 * p3.p + p4.p)
+             / 4096.0, 6) AS katz
+FROM p1 JOIN p2 ON p1.node = p2.node
+JOIN p3 ON p1.node = p3.node
+JOIN p4 ON p1.node = p4.node
+"""
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities: 2 unrolled integer power iterations
+# ---------------------------------------------------------------------------
+
+
+def graph_hits_hubs_authorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HITS (Kleinberg JACM 1999) on the DIRECTED trade backbone via
+    two unrolled integer power iterations normalized once at the
+    end: a1 = indegree, h1 = A a1, a2 = A^T h1, h2 = A a2 — which
+    nations are the big BUYERS-from-good-sellers (hubs: customer
+    side) and the big SELLERS-to-good-buyers (authorities: supplier
+    side)? Per-iteration normalization is a scalar, so dividing
+    once by the final max yields the same ranking as the textbook
+    normalized iteration while keeping every intermediate an exact
+    integer in both engines.
+
+    Determinism: integer iterates; the final normalization divides
+    two exact integers.
+
+    Scale shape: the backbone is bounded; each iteration is one
+    bounded equi-join + grouped sum; output is |nations| rows."""
+    dir_e = _backbone_dir_edges(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    nodes = (
+        dir_e.select(F.col("src").alias("node"))
+        .unionByName(dir_e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    a1 = dir_e.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("long").alias("a1")
+    )
+    h1 = (
+        dir_e.join(a1.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum("a1").cast("long").alias("h1"))
+    )
+    a2 = (
+        dir_e.join(h1.withColumnRenamed("node", "src"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("h1").cast("long").alias("a2"))
+    )
+    h2 = (
+        dir_e.join(a2.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum("a2").cast("long").alias("h2"))
+    )
+    scores = (
+        nodes.join(a2, "node", "left")
+        .join(h2, "node", "left")
+        .select(
+            "node",
+            F.coalesce("a2", F.lit(0)).cast("long").alias("auth_raw"),
+            F.coalesce("h2", F.lit(0)).cast("long").alias("hub_raw"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    mx = scores.agg(
+        F.max("auth_raw").cast("double").alias("ma"),
+        F.max("hub_raw").cast("double").alias("mh"),
+    )
+    return scores.crossJoin(F.broadcast(mx)).select(
+        "node",
+        "auth_raw",
+        "hub_raw",
+        F.round(F.col("auth_raw") / F.col("ma"), 6).alias("authority"),
+        F.round(F.col("hub_raw") / F.col("mh"), 6).alias("hub"),
+    )
+
+
+HITS_ORACLE = f"""
+WITH {_DIR_SQL},
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM dir_e
+    UNION ALL SELECT dst FROM dir_e
+  )
+),
+a1 AS (
+  SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS a1
+  FROM dir_e GROUP BY dst
+),
+h1 AS (
+  SELECT e.src AS node, CAST(SUM(a1.a1) AS BIGINT) AS h1
+  FROM dir_e e JOIN a1 ON a1.node = e.dst GROUP BY e.src
+),
+a2 AS (
+  SELECT e.dst AS node, CAST(SUM(h1.h1) AS BIGINT) AS a2
+  FROM dir_e e JOIN h1 ON h1.node = e.src GROUP BY e.dst
+),
+h2 AS (
+  SELECT e.src AS node, CAST(SUM(a2.a2) AS BIGINT) AS h2
+  FROM dir_e e JOIN a2 ON a2.node = e.dst GROUP BY e.src
+),
+scores AS (
+  SELECT n.node,
+         CAST(COALESCE(a2.a2, 0) AS BIGINT) AS auth_raw,
+         CAST(COALESCE(h2.h2, 0) AS BIGINT) AS hub_raw
+  FROM nodes n
+  LEFT JOIN a2 ON a2.node = n.node
+  LEFT JOIN h2 ON h2.node = n.node
+),
+mx AS (
+  SELECT CAST(MAX(auth_raw) AS DOUBLE) AS ma,
+         CAST(MAX(hub_raw) AS DOUBLE) AS mh
+  FROM scores
+)
+SELECT node, auth_raw, hub_raw,
+       ROUND(auth_raw / ma, 6) AS authority,
+       ROUND(hub_raw / mh, 6) AS hub
+FROM scores, mx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reciprocity & density of the directed trade backbone
+# ---------------------------------------------------------------------------
+
+
+def graph_reciprocity_density(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reciprocity and density of the directed trade backbone: what
+    share of strong trade relationships flow BOTH ways (nation A
+    buys heavily from B and B from A), and how full is the strong
+    graph overall? reciprocity = |mutual directed edges| / |E|,
+    density = |E| / (n (n-1)) — the two scalars that contextualize
+    every other backbone statistic (a near-1 reciprocity makes the
+    directed HITS scores collapse toward symmetry; a near-1 density
+    says the threshold is too low).
+
+    Determinism: all counts are integers; two rationals.
+
+    Scale shape: one self-join of the bounded edge frame on the
+    reversed key; output is one row."""
+    dir_e = _backbone_dir_edges(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    rev = dir_e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    mutual = dir_e.intersect(rev).agg(
+        F.count("*").cast("long").alias("n_mutual")
+    )
+    nodes = (
+        dir_e.select(F.col("src").alias("node"))
+        .unionByName(dir_e.select(F.col("dst").alias("node")))
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+    edges = dir_e.agg(F.count("*").cast("long").alias("n_edges"))
+    out = edges.crossJoin(F.broadcast(mutual)).crossJoin(
+        F.broadcast(nodes)
+    )
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_mutual",
+        F.round(
+            F.col("n_mutual") / F.col("n_edges").cast("double"), 6
+        ).alias("reciprocity"),
+        F.round(
+            F.col("n_edges")
+            / (
+                F.col("n_nodes").cast("double")
+                * (F.col("n_nodes") - 1)
+            ),
+            6,
+        ).alias("density"),
+    )
+
+
+RECIPROCITY_ORACLE = f"""
+WITH {_DIR_SQL},
+mutual AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_mutual
+  FROM (SELECT src, dst FROM dir_e
+        INTERSECT
+        SELECT dst AS src, src AS dst FROM dir_e)
+),
+nodes AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM (SELECT DISTINCT node FROM (
+          SELECT src AS node FROM dir_e
+          UNION ALL SELECT dst FROM dir_e))
+),
+edges AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM dir_e)
+SELECT n_nodes, n_edges, n_mutual,
+       ROUND(n_mutual * 1.0 / n_edges, 6) AS reciprocity,
+       ROUND(n_edges * 1.0 / (n_nodes * (n_nodes - 1)), 6)
+         AS density
+FROM edges, mutual, nodes
+"""
+
+
+# ---------------------------------------------------------------------------
+# Versioned-table OPTIMIZE audit
+# ---------------------------------------------------------------------------
+
+
+def versioned_optimize_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver surface for the COMPACTION layer
+    (cdc_2025_spark/versioned.py optimize_versioned): commit the
+    customer dim as THREE fragmented append snapshots (split by
+    custkey mod 3 — the small-files shape OPTIMIZE exists for),
+    compact with optimize_versioned, then audit: the pre-optimize
+    snapshot holds 3 data dirs, the optimized one exactly 1, and
+    the rewritten snapshot's row count / integer key sum / 4dp
+    balance sum are oracle-recomputed from the base table — a
+    hash-green row verifies the rewrite loses nothing and the
+    manifest lineage stays intact (parent, version numbering).
+    The r14 skipping-audit posture, one layer up.
+
+    The table is session-memoized (built + optimized once per
+    (session, sf_dir), removed at process exit).
+
+    Determinism: the split is modular arithmetic on the unique key;
+    manifest facts (dir counts, version) are structural; sums are
+    integer/4dp-exact.
+
+    Scale shape: three distributed snapshot writes + one compaction
+    rewrite; the audit reads manifests (no scan) plus one aggregate
+    over the optimized snapshot."""
+    from cdc_2025_spark.versioned import (
+        history,
+        optimize_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    key = F.col("c_custkey")
+    base = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+
+    def _build(path: str) -> None:
+        for i in range(3):
+            write_versioned(
+                base.filter(key % 3 == i),
+                path,
+                mode="append" if i else "overwrite",
+            )
+        optimize_versioned(spark, path)
+
+    table = memo_versioned_table(
+        spark, sf_dir, "versioned_opt", _build
+    )
+    hist = history(table)
+    pre, post = hist[-2], hist[-1]
+    got = read_versioned(spark, table)
+    return got.agg(
+        F.lit(post["version"]).cast("long").alias("final_version"),
+        F.lit(len(pre["data_dirs"])).cast("long").alias("n_dirs_before"),
+        F.lit(len(post["data_dirs"])).cast("long").alias("n_dirs_after"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+        F.round(F.sum("c_acctbal"), 4).alias("bal_sum"),
+    )
+
+
+VERSIONED_OPT_ORACLE = """
+SELECT CAST(4 AS BIGINT) AS final_version,
+       CAST(3 AS BIGINT) AS n_dirs_before,
+       CAST(1 AS BIGINT) AS n_dirs_after,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       ROUND(SUM(c_acctbal), 4) AS bal_sum
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registration hook for round 15
+# ---------------------------------------------------------------------------
+
+PENDING_ORDER = [
+    "stats_durbin_watson_residuals",
+    "stats_breusch_pagan_hetero",
+    "stats_chow_structural_break",
+    "stats_cox_stuart_trend",
+    "stats_bartels_vonneumann_rank",
+    "stats_mood_median_test",
+    "stats_kendalls_w_concordance",
+    "stats_friedman_blocked_ranks",
+    "stats_cochran_q_event_types",
+    "eval_mrr_first_relevant",
+    "eval_rank_biased_overlap",
+    "text_honore_sichel_hapax",
+    "text_good_turing_chao1",
+    "text_readability_indices",
+    "text_g2_keyness_sources",
+    "sample_kish_design_effect",
+    "graph_katz_centrality",
+    "graph_hits_hubs_authorities",
+    "graph_reciprocity_density",
+    "versioned_optimize_audit",
+]
+
 _PENDING = {
     "stats_durbin_watson_residuals": (
         stats_durbin_watson_residuals, DW_ORACLE,
@@ -1368,4 +2284,45 @@ _PENDING = {
     "eval_rank_biased_overlap": (
         eval_rank_biased_overlap, RBO_ORACLE,
     ),
+    "text_honore_sichel_hapax": (
+        text_honore_sichel_hapax, HONORE_ORACLE,
+    ),
+    "text_good_turing_chao1": (
+        text_good_turing_chao1, GOOD_TURING_ORACLE,
+    ),
+    "text_readability_indices": (
+        text_readability_indices, READABILITY_ORACLE,
+    ),
+    "text_g2_keyness_sources": (
+        text_g2_keyness_sources, KEYNESS_ORACLE,
+    ),
+    "sample_kish_design_effect": (
+        sample_kish_design_effect, KISH_ORACLE,
+    ),
+    "graph_katz_centrality": (
+        graph_katz_centrality, KATZ_ORACLE,
+    ),
+    "graph_hits_hubs_authorities": (
+        graph_hits_hubs_authorities, HITS_ORACLE,
+    ),
+    "graph_reciprocity_density": (
+        graph_reciprocity_density, RECIPROCITY_ORACLE,
+    ),
+    "versioned_optimize_audit": (
+        versioned_optimize_audit, VERSIONED_OPT_ORACLE,
+    ),
 }
+
+
+def register_all() -> None:
+    """Register every round-15 staged query + oracle in the live
+    registry (call from queries/__init__.py when the round-15
+    window opens)."""
+    from cdc_2025_spark.queries.registry import ORACLES, QUERIES
+
+    for name in PENDING_ORDER:
+        fn, oracle = _PENDING[name]
+        if name not in QUERIES:
+            QUERIES[name] = fn
+            if oracle is not None:
+                ORACLES[name] = " ".join(oracle.split())
