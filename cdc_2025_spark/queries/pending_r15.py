@@ -56,7 +56,25 @@ front-load :data:`PENDING_ORDER` in the round-15 ``_VERIFY_FIRST``.
 
 Until then tests/test_pending_r15.py runs each query against its
 oracle at DRIVER STRENGTH (exact values, type-family match, and the
-oracle-type safety sweep) at sf0.001 + sf0.01.
+oracle-type safety sweep) at sf0.001 + sf0.01, plus an independent
+python/numpy model pin per statistic.
+
+Pre-registration sf0.1 wall times (min-of-2, warm idle local[32],
+for the round-15 bench.py HEADLINE additions): Durbin-Watson
+1.46 s, Breusch-Pagan 1.01 s, Chow 0.89 s, Cox-Stuart 0.89 s,
+Bartels 0.76 s, Mood 1.20 s, Kendall W 0.41 s, Friedman 0.39 s,
+Cochran Q 0.33 s, MRR 0.35 s, RBO 0.37 s, Honore/Sichel 0.35 s,
+Good-Turing 0.37 s, readability 0.22 s, G2 keyness 0.47 s, Kish
+0.27 s, Katz 0.71 s, HITS 0.71 s, reciprocity 0.36 s, optimize
+audit 0.13 s (session-memoized table) — 11.66 s combined. 10x spot
+checks (SCALE.md r14 staged section): DW 1.46 -> 1.16 s and
+Breusch-Pagan 1.01 -> 0.96 s on the value-perturbed orders replica
+(calendar-bounded daily frame), Mood 1.20 -> 1.72 s on the 10x
+orders/customer replica (scan-bound; the frame after the groupBy is
+|segments| rows), G2 keyness 0.47 -> 0.64 s and Honore 0.35 ->
+0.37 s on the 10x documents replica (vocab-bounded term frames) —
+every post-collapse frame is bounded by construction (calendar
+days, |segments|, vocab, the 25-node backbone, RBO's top-64).
 
 Engine-parity rules inherited from the registry docstring: integer
 frames exact; float aggregates rounded 4-6dp AFTER the final
