@@ -41,11 +41,15 @@ float iteration drift), HITS hub/authority scores via 2 unrolled
 integer power iterations normalized once at the end, and the
 directed backbone's reciprocity/density scalars. Plus Kish's
 design effect of order-value weights per segment (the
-survey-design health check beside Neyman allocation), and the
-versioned-table OPTIMIZE audit: three fragmented appends compacted
-by optimize_versioned into one dir, the rewritten snapshot's
-rows/key-sum oracle-recomputed from the base table (the r14
-skipping-audit posture for the compaction layer).
+survey-design health check beside Neyman allocation), and TWO
+versioned-table layer audits: the OPTIMIZE audit (three fragmented
+appends compacted by optimize_versioned into one dir, the rewritten
+snapshot's rows/key-sum oracle-recomputed from the base table) and
+the DML audit (dir-level copy-on-write DELETE + UPDATE landed this
+round in versioned.py — exactly one band dir rewritten per
+statement with the rest carried verbatim by the manifest-stats
+proof, NULL-predicate rows kept, history preserved) — the r14
+skipping-audit posture for the compaction and DML layers.
 
 NOT imported by queries/__init__.py on purpose (the
 pending_r10-r14 posture): the freshness guard requires
@@ -66,7 +70,8 @@ Bartels 0.76 s, Mood 1.20 s, Kendall W 0.41 s, Friedman 0.39 s,
 Cochran Q 0.33 s, MRR 0.35 s, RBO 0.37 s, Honore/Sichel 0.35 s,
 Good-Turing 0.37 s, readability 0.22 s, G2 keyness 0.47 s, Kish
 0.27 s, Katz 0.71 s, HITS 0.71 s, reciprocity 0.36 s, optimize
-audit 0.13 s (session-memoized table) — 11.66 s combined. 10x spot
+audit 0.13 s and DML audit 0.18 s (session-memoized tables) —
+11.84 s combined. 10x spot
 checks (SCALE.md r14 staged section): DW 1.46 -> 1.16 s and
 Breusch-Pagan 1.01 -> 0.96 s on the value-perturbed orders replica
 (calendar-bounded daily frame), Mood 1.20 -> 1.72 s on the 10x
@@ -2242,6 +2247,114 @@ FROM customer
 
 
 # ---------------------------------------------------------------------------
+# Versioned-table DELETE/UPDATE (dir-level copy-on-write) audit
+# ---------------------------------------------------------------------------
+
+DML_LO, DML_HI = 2200.0, 2800.0
+
+
+def versioned_dml_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver surface for the DML layer
+    (cdc_2025_spark/versioned.py delete_versioned /
+    update_versioned): commit the customer dim as THREE banded
+    append snapshots (the skipping audit's acctbal bands), then run
+    a dir-level copy-on-write DELETE of the top band followed by an
+    UPDATE (+500) of the bottom band, and audit the result — the
+    structural facts (exactly ONE dir rewritten and the rest carried
+    verbatim by the manifest-stats proof, for BOTH statements; final
+    version 5 = 3 appends + delete + update) plus the surviving
+    rows' count / integer key sum / 4dp balance sum, which the
+    oracle recomputes straight from the base table. A hash-green row
+    verifies the predicate semantics (NULL rows kept), the stats
+    pruning that decides what gets rewritten, the n_rows accounting,
+    and that time-travel history survives DML.
+
+    The table is session-memoized (built + mutated once per
+    (session, sf_dir), removed at process exit).
+
+    Determinism: band membership is a pure comparison on stored
+    doubles; dir counts are manifest facts; sums are integer /
+    4dp-rounded.
+
+    Scale shape: three snapshot writes + two CoW rewrites that each
+    touch ONE band dir (the whole point — DML cost scales with the
+    matched bands, not the table); the audit is one aggregate over
+    the final snapshot."""
+    from cdc_2025_spark.versioned import (
+        delete_versioned,
+        read_versioned,
+        update_versioned,
+        write_versioned,
+    )
+
+    bal = F.col("c_acctbal")
+    base = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    bands = [
+        bal < DML_LO,
+        (bal >= DML_LO) & (bal < DML_HI),
+        bal >= DML_HI,
+    ]
+    facts = {}
+
+    def _build(path: str) -> None:
+        for i, cond in enumerate(bands):
+            write_versioned(
+                base.filter(cond),
+                path,
+                mode="append" if i else "overwrite",
+            )
+        facts["del"] = delete_versioned(
+            spark, path, [("c_acctbal", ">=", DML_HI)]
+        )
+        facts["upd"] = update_versioned(
+            spark,
+            path,
+            {"c_acctbal": "c_acctbal + 500"},
+            [("c_acctbal", "<", DML_LO)],
+        )
+
+    table = memo_versioned_table(
+        spark, sf_dir, "versioned_dml", _build
+    )
+    from cdc_2025_spark.versioned import history
+
+    hist = history(table)
+    d = next(
+        m for m in hist if m["operation"].startswith("delete:")
+    )
+    u = next(
+        m for m in hist if m["operation"].startswith("update:")
+    )
+    got = read_versioned(spark, table)
+    return got.agg(
+        F.lit(hist[-1]["version"]).cast("long").alias("final_version"),
+        F.lit(len(d["data_dirs"])).cast("long").alias("dirs_after_delete"),
+        F.lit(len(u["data_dirs"])).cast("long").alias("dirs_after_update"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+        F.round(F.sum("c_acctbal"), 4).alias("bal_sum"),
+    )
+
+
+VERSIONED_DML_ORACLE = f"""
+SELECT CAST(5 AS BIGINT) AS final_version,
+       CAST(2 AS BIGINT) AS dirs_after_delete,
+       CAST(2 AS BIGINT) AS dirs_after_update,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       ROUND(SUM(CASE WHEN c_acctbal < {DML_LO}
+                      THEN c_acctbal + 500
+                      ELSE c_acctbal END), 4) AS bal_sum
+FROM customer
+WHERE c_acctbal < {DML_HI}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registration hook for round 15
 # ---------------------------------------------------------------------------
 
@@ -2266,6 +2379,7 @@ PENDING_ORDER = [
     "graph_hits_hubs_authorities",
     "graph_reciprocity_density",
     "versioned_optimize_audit",
+    "versioned_dml_audit",
 ]
 
 _PENDING = {
@@ -2328,6 +2442,9 @@ _PENDING = {
     ),
     "versioned_optimize_audit": (
         versioned_optimize_audit, VERSIONED_OPT_ORACLE,
+    ),
+    "versioned_dml_audit": (
+        versioned_dml_audit, VERSIONED_DML_ORACLE,
     ),
 }
 

@@ -609,3 +609,218 @@ def diff_versions(
         j.select(*out_keys, change.alias("change"))
         .filter(F.col("change").isNotNull())
     )
+
+
+def _commit_manifest(
+    path: str, manifest: dict, version: int, nonce: str
+) -> bool:
+    """One CAS attempt: link the manifest into place. True on win."""
+    tmp = _manifest_path(path, version) + f".tmp-{nonce}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, _manifest_path(path, version))
+        os.unlink(tmp)
+        return True
+    except FileExistsError:
+        os.unlink(tmp)
+        return False
+
+
+def _predicate_column(predicates):
+    """Conjunctive (col, op, val) predicates as one Spark boolean
+    column — the read_versioned filter in reusable form."""
+    from pyspark.sql import functions as F
+
+    ops = {
+        "==": "__eq__", "=": "__eq__", ">=": "__ge__",
+        "<=": "__le__", ">": "__gt__", "<": "__lt__",
+    }
+    cond = None
+    for col, op, val in predicates:
+        term = getattr(F.col(col), ops[op])(F.lit(val))
+        cond = term if cond is None else cond & term
+    return cond
+
+
+def _cow_rewrite(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple],
+    transform,
+    operation: str,
+    max_retries: int = 5,
+) -> dict:
+    """Shared dir-level COPY-ON-WRITE engine for DELETE/UPDATE (the
+    Delta file-level rewrite design at this format's dir
+    granularity): data dirs whose committed min/max stats PRECLUDE
+    any predicate match are carried into the new snapshot UNTOUCHED
+    — never read, never rewritten — and only the dirs that may hold
+    matching rows pass through ``transform(df, cond)`` into one new
+    compacted dir. Commits through the same manifest CAS as every
+    write; a lost race re-derives everything from the new latest."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if not predicates:
+        raise ValueError(
+            "DELETE/UPDATE requires predicates — a full-table "
+            "rewrite should be an explicit overwrite"
+        )
+    for attempt in range(max_retries):
+        vs = _list_versions(path)
+        if not vs:
+            raise ValueError(f"{path} holds no committed versions")
+        m = _read_manifest(path, vs[-1])
+        version = vs[-1] + 1
+        schema = StructType.fromDDL(m["schema"])
+        stats = m.get("dir_stats", {})
+        touched = [
+            d
+            for d in m["data_dirs"]
+            if _dir_may_match(stats.get(d, {}), predicates)
+        ]
+        kept = [d for d in m["data_dirs"] if d not in touched]
+        if not touched:
+            return {
+                "version": vs[-1],
+                "rows_changed": 0,
+                "dirs_rewritten": 0,
+                "dirs_kept": len(kept),
+            }
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(path, d) for d in touched]
+        )
+        cond = _predicate_column(predicates)
+        # rows where the predicate is NULL are NOT matched (the SQL
+        # DELETE/UPDATE rule) — coalesce to False before branching
+        matched = F.coalesce(cond, F.lit(False))
+        n_before = df.count()
+        out, n_changed = transform(df, matched)
+        if n_changed == 0:
+            # stats were conservative: the touched dirs hold no
+            # actual match — a no-op, NOT a rewrite (returning the
+            # survivors-only dir here would have to rewrite
+            # n_before unchanged rows for nothing)
+            return {
+                "version": vs[-1],
+                "rows_changed": 0,
+                "dirs_rewritten": 0,
+                "dirs_kept": len(m["data_dirs"]),
+            }
+        nonce = (
+            f"{os.getpid():x}"
+            f"{int(time.time() * 1e6) & 0xFFFFFF:x}c{attempt}"
+        )
+        rel_dir = f"{_DATA_DIR}/{version:08d}-{nonce}"
+        data_dir = os.path.join(path, rel_dir)
+        n_out = 0
+        if out is not None:
+            out.write.mode("overwrite").parquet(data_dir)
+            n_out = (
+                spark.read.schema(schema).parquet(data_dir).count()
+            )
+        new_dirs = kept + ([rel_dir] if n_out else [])
+        new_stats = {
+            d: s for d, s in stats.items() if d in kept
+        }
+        if n_out:
+            new_stats[rel_dir] = _dir_stats(data_dir)
+        manifest = {
+            "version": version,
+            "parent": vs[-1],
+            "operation": operation,
+            "data_dirs": new_dirs,
+            "n_rows": m["n_rows"] - n_before + n_out,
+            "schema": m["schema"],
+            "schema_evolved": m.get("schema_evolved", False),
+            "dir_stats": new_stats,
+            "committed_at": time.time(),
+        }
+        if _commit_manifest(path, manifest, version, nonce):
+            return {
+                "version": version,
+                "rows_changed": n_changed,
+                "dirs_rewritten": len(touched),
+                "dirs_kept": len(kept),
+            }
+        shutil.rmtree(data_dir, ignore_errors=True)
+    raise RuntimeError(
+        f"{operation} lost the version CAS {max_retries} times — "
+        "writer storm; raise max_retries or serialize the writers"
+    )
+
+
+def delete_versioned(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple],
+    max_retries: int = 5,
+) -> dict:
+    """Delta-style DELETE with dir-level copy-on-write: remove every
+    row matching the conjunctive ``predicates`` (the
+    ``read_versioned`` ``(column, op, value)`` form) by committing a
+    NEW snapshot in which untouched dirs are carried over verbatim
+    (manifest stats prove they hold no match — zero read, zero
+    rewrite) and the touched dirs are rewritten without the matching
+    rows. Rows where the predicate evaluates NULL are KEPT (the SQL
+    rule). History is preserved: time travel to the pre-delete
+    snapshot still sees the rows until ``vacuum`` reclaims them.
+    Returns {version, rows_changed, dirs_rewritten, dirs_kept}."""
+    def _transform(df, matched):
+        n = df.filter(matched).count()
+        return df.filter(~matched), n
+
+    return _cow_rewrite(
+        spark,
+        path,
+        predicates,
+        _transform,
+        f"delete:{predicates!r}",
+        max_retries,
+    )
+
+
+def update_versioned(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict[str, str],
+    predicates: list[tuple],
+    max_retries: int = 5,
+) -> dict:
+    """Delta-style UPDATE with dir-level copy-on-write: for every
+    row matching ``predicates``, assign each ``set_exprs`` column
+    its SQL expression (evaluated against the row, then cast back to
+    the column's pinned type — an UPDATE can never mutate the
+    schema); untouched dirs are carried over verbatim via the same
+    stats proof as DELETE. Rows where the predicate evaluates NULL
+    are left unchanged (the SQL rule). Returns {version,
+    rows_changed, dirs_rewritten, dirs_kept}."""
+    from pyspark.sql import functions as F
+
+    def _transform(df, matched):
+        n = df.filter(matched).count()
+        types = dict(df.dtypes)
+        unknown = [c for c in set_exprs if c not in types]
+        if unknown:
+            raise ValueError(
+                f"UPDATE sets unknown columns {unknown}"
+            )
+        out = df
+        for col, expr in set_exprs.items():
+            out = out.withColumn(
+                col,
+                F.when(
+                    matched, F.expr(expr).cast(types[col])
+                ).otherwise(F.col(col)),
+            )
+        return out, n
+
+    return _cow_rewrite(
+        spark,
+        path,
+        predicates,
+        _transform,
+        f"update:{sorted(set_exprs)}:{predicates!r}",
+        max_retries,
+    )

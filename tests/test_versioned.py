@@ -643,3 +643,149 @@ def test_version_as_of_clamps_nonmonotone_timestamps(spark, tmp_path):
     assert version_as_of(t, 1999.0) == 1
     assert version_as_of(t, 2000.0) == 3
     assert version_as_of(t, 9e9) == 3
+
+
+def _bal_table(spark, tmp_path):
+    """Three banded snapshots of (id, bal): ids 0-9 / 10-19 / 20-29
+    with bal = id * 10.0 — disjoint id ranges so stats pruning has
+    something to prove."""
+    t = str(tmp_path / "tbl")
+    for lo in (0, 10, 20):
+        df = spark.createDataFrame(
+            [(i, i * 10.0) for i in range(lo, lo + 10)],
+            "id long, bal double",
+        )
+        write_versioned(
+            df, t, mode="append" if lo else "overwrite"
+        )
+    return t
+
+
+def test_delete_versioned_dir_level_cow(spark, tmp_path):
+    """DELETE rewrites ONLY the dirs whose stats may match: ids
+    12-17 live in the middle band, so the first and last dirs are
+    carried over verbatim (same dir names in the new manifest), the
+    matching rows are gone, history still has them."""
+    from cdc_2025_spark.versioned import delete_versioned
+
+    t = _bal_table(spark, tmp_path)
+    before = history(t)[-1]
+    out = delete_versioned(
+        spark, t, [("id", ">=", 12), ("id", "<=", 17)]
+    )
+    assert out["rows_changed"] == 6
+    assert out["dirs_rewritten"] == 1
+    assert out["dirs_kept"] == 2
+    after = history(t)[-1]
+    assert after["operation"].startswith("delete:")
+    assert after["n_rows"] == 24
+    # untouched dirs carried verbatim
+    kept = set(before["data_dirs"]) & set(after["data_dirs"])
+    assert len(kept) == 2
+    got = sorted(
+        r["id"] for r in read_versioned(spark, t).collect()
+    )
+    assert got == [i for i in range(30) if not 12 <= i <= 17]
+    # time travel: the pre-delete snapshot still holds all 30
+    assert read_versioned(spark, t, 3).count() == 30
+    # stats pruning still works on the rewritten table
+    one = read_versioned(spark, t, predicates=[("id", "==", 5)])
+    assert [r["id"] for r in one.collect()] == [5]
+
+
+def test_delete_versioned_noop_when_stats_conservative(
+    spark, tmp_path
+):
+    """A predicate that touches a dir by stats but matches no actual
+    row must be a NO-OP (no new version, no rows lost) — the
+    survivors-rewrite bug trap."""
+    from cdc_2025_spark.versioned import delete_versioned
+
+    t = _bal_table(spark, tmp_path)
+    # bal = id * 10, so (id >= 14) & (bal < 100) is impossible but
+    # the conjunctive min/max check cannot see cross-column logic
+    out = delete_versioned(
+        spark, t, [("id", ">=", 14), ("bal", "<", 100.0)]
+    )
+    assert out["rows_changed"] == 0
+    assert latest_version(t) == 3
+    assert read_versioned(spark, t).count() == 30
+
+
+def test_delete_versioned_null_predicate_rows_kept(spark, tmp_path):
+    """Rows where the predicate evaluates NULL are KEPT (the SQL
+    DELETE rule), not silently dropped by Spark's filter."""
+    from cdc_2025_spark.versioned import delete_versioned
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 50.0)], "id long, bal double"
+    )
+    write_versioned(df, t)
+    out = delete_versioned(spark, t, [("bal", ">", 10.0)])
+    assert out["rows_changed"] == 1
+    got = sorted(
+        (r["id"], r["bal"])
+        for r in read_versioned(spark, t).collect()
+    )
+    assert got == [(1, 5.0), (2, None)]
+
+
+def test_update_versioned_dir_level_cow(spark, tmp_path):
+    """UPDATE applies SQL set-expressions to matching rows only,
+    keeps the pinned schema (expr cast back), carries untouched dirs
+    verbatim, and leaves NULL-predicate rows unchanged."""
+    from cdc_2025_spark.versioned import update_versioned
+
+    t = _bal_table(spark, tmp_path)
+    before = history(t)[-1]
+    out = update_versioned(
+        spark,
+        t,
+        {"bal": "bal + 1000"},
+        [("id", ">=", 25)],
+    )
+    assert out["rows_changed"] == 5
+    assert out["dirs_rewritten"] == 1
+    assert out["dirs_kept"] == 2
+    after = history(t)[-1]
+    assert after["operation"].startswith("update:")
+    assert after["n_rows"] == 30
+    assert len(
+        set(before["data_dirs"]) & set(after["data_dirs"])
+    ) == 2
+    got = {
+        r["id"]: r["bal"]
+        for r in read_versioned(spark, t).collect()
+    }
+    for i in range(30):
+        assert got[i] == i * 10.0 + (1000.0 if i >= 25 else 0.0)
+    # schema stays pinned
+    assert after["schema"] == before["schema"]
+    # unknown set column refuses
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_versioned(
+            spark, t, {"nope": "1"}, [("id", ">=", 0)]
+        )
+
+
+def test_update_versioned_stats_refresh(spark, tmp_path):
+    """The rewritten dir's stats reflect the UPDATED values, so
+    subsequent predicate reads prune correctly against them."""
+    from cdc_2025_spark.versioned import update_versioned
+
+    t = _bal_table(spark, tmp_path)
+    update_versioned(
+        spark, t, {"bal": "bal * 0"}, [("id", ">=", 20)]
+    )
+    # every surviving bal >= 200 is gone; a stats-pruned read agrees
+    got = read_versioned(
+        spark, t, predicates=[("bal", ">=", 200.0)]
+    )
+    assert got.count() == 0
+    m = history(t)[-1]
+    new_dir = [
+        d for d in m["data_dirs"] if d in m["dir_stats"]
+        and m["dir_stats"][d].get("bal") == [0.0, 0.0]
+    ]
+    assert new_dir, m["dir_stats"]
