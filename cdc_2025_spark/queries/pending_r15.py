@@ -48,8 +48,10 @@ snapshot's rows/key-sum oracle-recomputed from the base table) and
 the DML audit (dir-level copy-on-write DELETE + UPDATE landed this
 round in versioned.py — exactly one band dir rewritten per
 statement with the rest carried verbatim by the manifest-stats
-proof, NULL-predicate rows kept, history preserved) — the r14
-skipping-audit posture for the compaction and DML layers.
+proof, NULL-predicate rows kept, history preserved), and the MERGE
+audit (merge_versioned upsert: replace-on-match + insert-on-miss
+with key-bounding-box dir pruning) — the r14 skipping-audit
+posture for the compaction and DML/MERGE layers.
 
 NOT imported by queries/__init__.py on purpose (the
 pending_r10-r14 posture): the freshness guard requires
@@ -70,8 +72,8 @@ Bartels 0.76 s, Mood 1.20 s, Kendall W 0.41 s, Friedman 0.39 s,
 Cochran Q 0.33 s, MRR 0.35 s, RBO 0.37 s, Honore/Sichel 0.35 s,
 Good-Turing 0.37 s, readability 0.22 s, G2 keyness 0.47 s, Kish
 0.27 s, Katz 0.71 s, HITS 0.71 s, reciprocity 0.36 s, optimize
-audit 0.13 s and DML audit 0.18 s (session-memoized tables) —
-11.84 s combined. 10x spot
+audit 0.13 s, DML audit 0.18 s and MERGE audit 0.14 s
+(session-memoized tables) — 11.98 s combined. 10x spot
 checks (SCALE.md r14 staged section): DW 1.46 -> 1.16 s and
 Breusch-Pagan 1.01 -> 0.96 s on the value-perturbed orders replica
 (calendar-bounded daily frame), Mood 1.20 -> 1.72 s on the 10x
@@ -2355,6 +2357,116 @@ WHERE c_acctbal < {DML_HI}
 
 
 # ---------------------------------------------------------------------------
+# Versioned-table MERGE (upsert) audit
+# ---------------------------------------------------------------------------
+
+MERGE_INSERTS = 5
+
+
+def versioned_merge_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver surface for the MERGE layer
+    (cdc_2025_spark/versioned.py merge_versioned): commit the
+    customer dim as THREE custkey-banded append snapshots, then
+    MERGE a deterministic source — every top-band key divisible by
+    10 re-enters with acctbal + 1000 (the update leg) plus
+    MERGE_INSERTS brand-new keys above the key range (the insert
+    leg) — and audit the result: the source's key bounding box
+    intersects ONLY the top band dir, so exactly one dir is
+    rewritten and two carry over verbatim (final snapshot = 3 dirs,
+    version 4), and the merged rows' count / key sum / 4dp balance
+    sum are oracle-recomputed from the base table. A hash-green row
+    verifies upsert semantics (replace-on-match, insert-on-miss),
+    the key-box stats pruning, and the n_rows accounting.
+
+    The table is session-memoized (built + merged once per
+    (session, sf_dir), removed at process exit).
+
+    Determinism: band boundaries are integer floor arithmetic on
+    the row count; update membership is modular arithmetic on the
+    unique key; inserts are fixed literals.
+
+    Scale shape: three snapshot writes + one CoW merge that touches
+    ONE band dir (merge cost scales with the key-box overlap, not
+    the table); the audit is one aggregate over the final
+    snapshot."""
+    from cdc_2025_spark.versioned import (
+        history,
+        merge_versioned,
+        read_versioned,
+        write_versioned,
+    )
+
+    key = F.col("c_custkey")
+    base = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+
+    def _build(path: str) -> None:
+        n = base.count()
+        third, two_thirds = n // 3, (2 * n) // 3
+        bands = [
+            key < third,
+            (key >= third) & (key < two_thirds),
+            key >= two_thirds,
+        ]
+        for i, cond in enumerate(bands):
+            write_versioned(
+                base.filter(cond),
+                path,
+                mode="append" if i else "overwrite",
+            )
+        updates = base.filter(
+            (key >= two_thirds) & (key % 10 == 0)
+        ).select(
+            "c_custkey",
+            (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        )
+        inserts = spark.range(1, MERGE_INSERTS + 1).select(
+            (F.col("id") + n).cast("long").alias("c_custkey"),
+            F.lit(123.45).alias("c_acctbal"),
+        )
+        merge_versioned(
+            spark, path, updates.unionByName(inserts), ["c_custkey"]
+        )
+
+    table = memo_versioned_table(
+        spark, sf_dir, "versioned_merge", _build
+    )
+    hist = history(table)
+    got = read_versioned(spark, table)
+    return got.agg(
+        F.lit(hist[-1]["version"]).cast("long").alias("final_version"),
+        F.lit(len(hist[-1]["data_dirs"])).cast("long").alias("n_dirs_final"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+        F.round(F.sum("c_acctbal"), 4).alias("bal_sum"),
+    )
+
+
+VERSIONED_MERGE_ORACLE = f"""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+merged AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey >= FLOOR(2 * n / 3.0)
+                   AND c_custkey % 10 = 0
+              THEN c_acctbal + 1000.0 ELSE c_acctbal END AS bal
+  FROM customer, nn
+  UNION ALL
+  SELECT n + i AS c_custkey, 123.45 AS bal
+  FROM nn, unnest(generate_series(1, {MERGE_INSERTS})) AS g(i)
+)
+SELECT CAST(4 AS BIGINT) AS final_version,
+       CAST(3 AS BIGINT) AS n_dirs_final,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       ROUND(SUM(bal), 4) AS bal_sum
+FROM merged
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registration hook for round 15
 # ---------------------------------------------------------------------------
 
@@ -2380,6 +2492,7 @@ PENDING_ORDER = [
     "graph_reciprocity_density",
     "versioned_optimize_audit",
     "versioned_dml_audit",
+    "versioned_merge_audit",
 ]
 
 _PENDING = {
@@ -2445,6 +2558,9 @@ _PENDING = {
     ),
     "versioned_dml_audit": (
         versioned_dml_audit, VERSIONED_DML_ORACLE,
+    ),
+    "versioned_merge_audit": (
+        versioned_merge_audit, VERSIONED_MERGE_ORACLE,
     ),
 }
 

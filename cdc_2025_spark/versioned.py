@@ -824,3 +824,140 @@ def update_versioned(
         f"update:{sorted(set_exprs)}:{predicates!r}",
         max_retries,
     )
+
+
+def merge_versioned(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    max_retries: int = 5,
+) -> dict:
+    """Delta-style MERGE (upsert) with dir-level copy-on-write:
+    every target row whose key matches a source row is REPLACED by
+    that source row, and source rows with no target match are
+    INSERTED — the apply-changes semantics of the CDC family, as a
+    committed snapshot. The manifest's per-dir key-column stats
+    prove which dirs cannot intersect the source's key bounding box;
+    those are carried over verbatim, and one new dir holds the
+    touched dirs' unmatched survivors plus the entire source.
+    Duplicate keys WITHIN the source refuse (Delta's
+    multiple-source-rows-matched error — last-writer-wins needs an
+    order the caller did not give). Returns {version, rows_matched,
+    rows_inserted, dirs_rewritten, dirs_kept}."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if not key_cols:
+        raise ValueError("MERGE requires key columns")
+    dup = (
+        source.groupBy(*key_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            "MERGE source holds duplicate keys "
+            f"(e.g. {tuple(dup[0])[:-1]}) — dedup the source first "
+            "(multiple source rows matched, the Delta error)"
+        )
+    for attempt in range(max_retries):
+        vs = _list_versions(path)
+        if not vs:
+            raise ValueError(f"{path} holds no committed versions")
+        m = _read_manifest(path, vs[-1])
+        version = vs[-1] + 1
+        schema = StructType.fromDDL(m["schema"])
+        want = {f.name: f.dataType for f in schema.fields}
+        have = {f.name: f.dataType for f in source.schema.fields}
+        if want != have:
+            raise ValueError(
+                "MERGE source schema must match the table's pinned "
+                f"schema: {source.schema.simpleString()} != "
+                f"{m['schema']}"
+            )
+        src = source.select(*[f.name for f in schema.fields])
+        bounds = src.agg(
+            *[
+                f
+                for k in key_cols
+                for f in (
+                    F.min(k).alias(f"_mn_{k}"),
+                    F.max(k).alias(f"_mx_{k}"),
+                )
+            ]
+        ).collect()[0]
+        box = []
+        for k in key_cols:
+            mn, mx = bounds[f"_mn_{k}"], bounds[f"_mx_{k}"]
+            if mn is None:
+                continue  # all-NULL key col: no stats pruning
+            if isinstance(mn, (int, float, str)) and not isinstance(
+                mn, bool
+            ):
+                box.extend([(k, ">=", mn), (k, "<=", mx)])
+        stats = m.get("dir_stats", {})
+        touched = [
+            d
+            for d in m["data_dirs"]
+            if _dir_may_match(stats.get(d, {}), box)
+        ]
+        kept = [d for d in m["data_dirs"] if d not in touched]
+        n_matched = 0
+        n_touched_rows = 0
+        n_src_matched = 0
+        if touched:
+            tgt = spark.read.schema(schema).parquet(
+                *[os.path.join(path, d) for d in touched]
+            )
+            n_touched_rows = tgt.count()
+            src_keys = src.select(*key_cols).distinct()
+            n_matched = tgt.join(
+                src_keys, key_cols, "left_semi"
+            ).count()
+            n_src_matched = src.join(
+                tgt.select(*key_cols).distinct(),
+                key_cols,
+                "left_semi",
+            ).count()
+            survivors = tgt.join(src_keys, key_cols, "left_anti")
+            out = survivors.unionByName(src)
+        else:
+            out = src
+        n_src = src.count()
+        nonce = (
+            f"{os.getpid():x}"
+            f"{int(time.time() * 1e6) & 0xFFFFFF:x}m{attempt}"
+        )
+        rel_dir = f"{_DATA_DIR}/{version:08d}-{nonce}"
+        data_dir = os.path.join(path, rel_dir)
+        out.write.mode("overwrite").parquet(data_dir)
+        n_out = spark.read.schema(schema).parquet(data_dir).count()
+        new_stats = {d: s for d, s in stats.items() if d in kept}
+        new_stats[rel_dir] = _dir_stats(data_dir)
+        manifest = {
+            "version": version,
+            "parent": vs[-1],
+            "operation": f"merge:{key_cols}",
+            "data_dirs": kept + [rel_dir],
+            "n_rows": m["n_rows"] - n_touched_rows + n_out,
+            "schema": m["schema"],
+            "schema_evolved": m.get("schema_evolved", False),
+            "dir_stats": new_stats,
+            "committed_at": time.time(),
+        }
+        if _commit_manifest(path, manifest, version, nonce):
+            return {
+                "version": version,
+                "rows_matched": n_matched,
+                "rows_inserted": n_src - n_src_matched,
+                "dirs_rewritten": len(touched),
+                "dirs_kept": len(kept),
+            }
+        shutil.rmtree(data_dir, ignore_errors=True)
+    raise RuntimeError(
+        f"merge lost the version CAS {max_retries} times — "
+        "writer storm; raise max_retries or serialize the writers"
+    )

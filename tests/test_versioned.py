@@ -789,3 +789,72 @@ def test_update_versioned_stats_refresh(spark, tmp_path):
         and m["dir_stats"][d].get("bal") == [0.0, 0.0]
     ]
     assert new_dir, m["dir_stats"]
+
+
+def test_merge_versioned_upsert_dir_level_cow(spark, tmp_path):
+    """MERGE replaces matched keys with source rows, inserts the
+    rest, rewrites only the dirs whose key stats intersect the
+    source's key box, and preserves history."""
+    from cdc_2025_spark.versioned import merge_versioned
+
+    t = _bal_table(spark, tmp_path)  # ids 0-29 in three band dirs
+    before = history(t)[-1]
+    src = spark.createDataFrame(
+        [(12, -1.0), (17, -2.0), (31, 310.0)], "id long, bal double"
+    )
+    out = merge_versioned(spark, t, src, ["id"])
+    assert out["rows_matched"] == 2
+    assert out["rows_inserted"] == 1
+    # source key box [12, 31] intersects the middle and top band
+    # dirs; the 0-9 dir is carried verbatim
+    assert out["dirs_rewritten"] == 2
+    assert out["dirs_kept"] == 1
+    after = history(t)[-1]
+    assert after["operation"] == "merge:['id']"
+    assert after["n_rows"] == 31
+    assert len(
+        set(before["data_dirs"]) & set(after["data_dirs"])
+    ) == 1
+    got = {
+        r["id"]: r["bal"]
+        for r in read_versioned(spark, t).collect()
+    }
+    assert got[12] == -1.0 and got[17] == -2.0 and got[31] == 310.0
+    assert got[5] == 50.0 and got[25] == 250.0
+    assert len(got) == 31
+    # pre-merge snapshot untouched
+    assert read_versioned(spark, t, 3).count() == 30
+
+
+def test_merge_versioned_insert_only_appends(spark, tmp_path):
+    """A source whose key box misses every dir appends without
+    rewriting anything."""
+    from cdc_2025_spark.versioned import merge_versioned
+
+    t = _bal_table(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(100, 1.0), (101, 2.0)], "id long, bal double"
+    )
+    out = merge_versioned(spark, t, src, ["id"])
+    assert out["rows_matched"] == 0
+    assert out["rows_inserted"] == 2
+    assert out["dirs_rewritten"] == 0
+    assert out["dirs_kept"] == 3
+    assert read_versioned(spark, t).count() == 32
+
+
+def test_merge_versioned_refusals(spark, tmp_path):
+    """Duplicate source keys and schema drift refuse loudly."""
+    from cdc_2025_spark.versioned import merge_versioned
+
+    t = _bal_table(spark, tmp_path)
+    dup = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0)], "id long, bal double"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_versioned(spark, t, dup, ["id"])
+    drift = spark.createDataFrame([(1, "x")], "id long, bal string")
+    with pytest.raises(ValueError, match="pinned schema"):
+        merge_versioned(spark, t, drift, ["id"])
+    with pytest.raises(ValueError, match="key columns"):
+        merge_versioned(spark, t, dup.limit(1), [])
