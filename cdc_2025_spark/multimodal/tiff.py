@@ -23,11 +23,19 @@ PlanarConfiguration 2 (one strip sequence per sample) decode AND
 encode, composing with every depth/compression — both pinned
 pixel-identical to their strip/chunky twins.
 
+Round 14 added CCITT Group 4 (compression 4 — the T.6 MMR fax
+coding scanned-document archives actually use) as a real
+encode+decode kernel for 1-bit single-sample images, per strip
+with the spec's fresh all-white reference line
+(multimodal/ccitt.py; spec-pinned code words + exact round trips
+in test_ccitt.py).
+
 Deliberate refusals (fail loud, never decode wrongly):
-JPEG-compressed TIFF (old 6 and new 7), CCITT fax codings, the
+JPEG-compressed TIFF (old 6 and new 7), CCITT Group 3 (T.4 —
+the 1D/EOL flavor; G4 is the one archives use), the
 floating-point predictor 3, mixed per-sample depths, sub-byte
-multi-sample, 16-bit palette, and tiled+planar-2 combinations —
-each raises with the offending tag value.
+multi-sample, 16-bit palette, tiled G4, and tiled+planar-2
+combinations — each raises with the offending tag value.
 
 Scale posture: like every media kernel here, decode runs inside
 Arrow-batched ``mapInPandas`` tasks; payload bytes never shuffle.
@@ -322,10 +330,16 @@ def decode_tiff(payload: bytes):
         raise NotImplementedError(
             "16-bit palette indices not supported"
         )
-    if comp not in (1, 5, 8, 32773, 32946):
+    if comp not in (1, 4, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"unsupported TIFF compression {comp}; supported: "
-            "1 (none), 5 (LZW), 8/32946 (Deflate), 32773 (PackBits)"
+            "1 (none), 4 (CCITT G4), 5 (LZW), 8/32946 (Deflate), "
+            "32773 (PackBits)"
+        )
+    if comp == 4 and (depth != 1 or spp != 1):
+        raise NotImplementedError(
+            "CCITT G4 applies to 1-bit single-sample images "
+            f"(depth={depth}, spp={spp})"
         )
     predictor = one(_T_PREDICTOR, default=1)
     if predictor not in (1, 2):
@@ -355,6 +369,8 @@ def decode_tiff(payload: bytes):
         raise NotImplementedError(
             "tiled + planar-2 TIFF not supported"
         )
+    if comp == 4 and tiled:
+        raise NotImplementedError("tiled CCITT G4 not supported")
     if photo not in (0, 1, 2, 3):
         raise NotImplementedError(
             f"photometric {photo} not supported (0/1/2/3 only)"
@@ -362,6 +378,20 @@ def decode_tiff(payload: bytes):
     if photo == 2 and spp < 3:
         raise ValueError("RGB photometric with SamplesPerPixel < 3")
     def decompress(chunk: bytes, expect: int, label: str) -> bytes:
+        if comp == 4:
+            from cdc_2025_spark.multimodal.ccitt import (  # noqa: PLC0415
+                decode_g4,
+            )
+
+            rb = (width + 7) // 8
+            if expect % rb:
+                raise ValueError(
+                    f"G4 {label} expects {expect} bytes, not a "
+                    f"multiple of the {rb}-byte row"
+                )
+            rows = expect // rb
+            bits_arr = decode_g4(bytes(chunk), width, rows)
+            return np.packbits(bits_arr, axis=1).tobytes()
         if comp == 32773:
             return _packbits_decode(chunk, expect)
         if comp == 5:
@@ -541,8 +571,9 @@ def encode_tiff(
 ) -> bytes:
     """Build a TIFF: pass exactly one of ``rgb`` ((h, w, 3) ints),
     ``gray`` ((h, w) ints), or ``palette`` (list of (r,g,b)) +
-    ``indices`` ((h, w) ints). ``compression``: 1 (none), 5 (LZW),
-    8 (Deflate) or 32773 (PackBits); ``predictor=2`` adds horizontal
+    ``indices`` ((h, w) ints). ``compression``: 1 (none), 4
+    (CCITT G4 — 1-bit gray only, the fax/scanned-document coding),
+    5 (LZW), 8 (Deflate) or 32773 (PackBits); ``predictor=2`` adds horizontal
     differencing before LZW/Deflate (8-bit samples only — the layout
     real LZW writers emit). ``bits``: 1/2/4/8 for gray (values in
     0..2^bits-1, MSB-first packed, rows byte-padded — the fax/scan
@@ -559,10 +590,16 @@ def encode_tiff(
     modes = sum(x is not None for x in (rgb, gray, palette))
     if modes != 1:
         raise ValueError("pass exactly one of rgb / gray / palette")
-    if compression not in (1, 5, 8, 32773):
+    if compression not in (1, 4, 5, 8, 32773):
         raise ValueError(
-            f"compression must be 1/5/8/32773, got {compression}"
+            f"compression must be 1/4/5/8/32773, got {compression}"
         )
+    if compression == 4 and (bits != 1 or gray is None):
+        raise ValueError(
+            "CCITT G4 (compression 4) applies to 1-bit gray images"
+        )
+    if compression == 4 and tile_size is not None:
+        raise ValueError("tiled CCITT G4 not supported")
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2, got {predictor}")
     if predictor == 2 and compression not in (5, 8):
@@ -654,6 +691,17 @@ def encode_tiff(
     def compress_segment(raw: bytes, rows: int, cols: int, nspp: int):
         if predictor == 2:
             raw = _apply_predictor2(raw, rows, cols, nspp)
+        if compression == 4:
+            from cdc_2025_spark.multimodal.ccitt import (  # noqa: PLC0415
+                encode_g4,
+            )
+
+            rb = (cols + 7) // 8
+            b = np.frombuffer(
+                raw, dtype=np.uint8, count=rows * rb
+            ).reshape(rows, rb)
+            bits_arr = np.unpackbits(b, axis=1)[:, :cols]
+            return encode_g4(bits_arr)
         if compression == 32773:
             return _packbits_encode(raw)
         if compression == 5:

@@ -1,0 +1,168 @@
+"""CCITT Group 4 (T.6 MMR) codec (multimodal/ccitt.py) and its TIFF
+compression-4 integration: spec-pinned code words, exact round
+trips on every structural shape (line art, noise, chained-makeup
+long runs, zero-length white openings), and refusal edges."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cdc_2025_spark.multimodal.ccitt import (
+    _BLACK_TERM,
+    _EOL,
+    _MODE_H,
+    _MODE_P,
+    _MODE_V0,
+    _MODE_VL,
+    _MODE_VR,
+    _WHITE_MAKEUP,
+    _WHITE_TERM,
+    decode_g4,
+    encode_g4,
+)
+from cdc_2025_spark.multimodal.tiff import decode_tiff, encode_tiff
+
+
+def test_spec_pinned_code_words():
+    """Spot values straight from the public T.4/T.6 tables — the
+    guard against a transcription error that a shared-table round
+    trip could never catch."""
+    assert _WHITE_TERM[0] == "00110101"
+    assert _WHITE_TERM[1] == "000111"
+    assert _WHITE_TERM[63] == "00110100"
+    assert _BLACK_TERM[0] == "0000110111"
+    assert _BLACK_TERM[1] == "010"
+    assert _BLACK_TERM[2] == "11"
+    assert _BLACK_TERM[63] == "000001100111"
+    assert _WHITE_MAKEUP[0] == "11011"  # run 64
+    assert _WHITE_MAKEUP[26] == "010011011"  # run 1728
+    assert _MODE_V0 == "1"
+    assert _MODE_VR[1] == "011"
+    assert _MODE_VL[1] == "010"
+    assert _MODE_H == "001"
+    assert _MODE_P == "0001"
+    assert _EOL == "000000000001"
+
+
+def _lcg_bits(h, w, seed=123456789):
+    x = seed
+    out = np.zeros((h, w), np.uint8)
+    for i in range(h):
+        for j in range(w):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            out[i, j] = (x >> 7) & 1
+    return out
+
+
+@pytest.mark.parametrize(
+    "name,arr",
+    [
+        ("all_white", np.zeros((10, 40), np.uint8)),
+        ("all_black", np.ones((10, 40), np.uint8)),
+        (
+            "checker",
+            (np.indices((12, 33)).sum(0) % 2).astype(np.uint8),
+        ),
+        ("rand_w1", _lcg_bits(23, 1)),
+        ("rand_w7", _lcg_bits(23, 7)),
+        ("rand_w64", _lcg_bits(23, 64)),
+        ("rand_w129", _lcg_bits(23, 129)),
+    ],
+)
+def test_g4_roundtrip_exact(name, arr):
+    enc = encode_g4(arr)
+    assert (decode_g4(enc, arr.shape[1], arr.shape[0]) == arr).all()
+
+
+def test_g4_black_opening_and_vertical_tracking():
+    """A line opening in black exercises the zero-length-white-run
+    convention; a drifting vertical edge exercises every V code."""
+    arr = np.zeros((16, 30), np.uint8)
+    arr[:, 0] = 1  # every line opens black
+    for i in range(16):
+        c = 5 + [0, 1, 2, 3, 2, 1, 0, -1][i % 8]
+        arr[i, c : c + 4] = 1
+    enc = encode_g4(arr)
+    assert (decode_g4(enc, 30, 16) == arr).all()
+
+
+def test_g4_chained_makeup_long_runs():
+    """Runs beyond 2623 need chained 2560-makeups (T.4 extension)."""
+    arr = np.zeros((3, 6000), np.uint8)
+    arr[1, 100:5900] = 1
+    enc = encode_g4(arr)
+    assert (decode_g4(enc, 6000, 3) == arr).all()
+    # and the whole 3-line block fits in a handful of bytes
+    assert len(enc) < 40
+
+
+def test_g4_line_art_beats_raw():
+    """The codec's reason to exist: document-like content comes out
+    far smaller than the packed raster."""
+    arr = np.zeros((64, 512), np.uint8)
+    arr[10:12, :] = 1
+    arr[:, 100:103] = 1
+    arr[30:50, 200:210] = 1
+    raw = 64 * ((512 + 7) // 8)
+    assert len(encode_g4(arr)) < raw / 8
+
+
+def test_g4_decode_refusals():
+    arr = np.zeros((4, 16), np.uint8)
+    arr[1, 3:9] = 1
+    enc = encode_g4(arr)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_g4(enc[:2], 16, 4)
+    with pytest.raises(ValueError):
+        decode_g4(enc, 16, 40)  # more lines than the stream holds
+    with pytest.raises(ValueError, match="0/1"):
+        encode_g4(np.full((2, 2), 7, np.uint8))
+    with pytest.raises(ValueError, match="\\(h, w\\)"):
+        encode_g4(np.zeros(5, np.uint8))
+
+
+def _doc(h=40, w=73):
+    doc = np.ones((h, w), np.uint8)  # 1 = white at depth 1
+    for i in range(h):
+        for j in range(w):
+            if (i * 5 + j * 11) % 29 < 3:
+                doc[i, j] = 0  # ink
+    return doc
+
+
+@pytest.mark.parametrize("rps", [None, 7])
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_tiff_g4_decodes_identical_to_uncompressed(rps, big_endian):
+    """compression 4 composes with strip layout and byte order, and
+    the decoded pixels equal the uncompressed encoding's exactly."""
+    doc = _doc()
+    t4 = encode_tiff(
+        gray=doc,
+        bits=1,
+        compression=4,
+        white_is_zero=True,
+        rows_per_strip=rps,
+        big_endian=big_endian,
+    )
+    t1 = encode_tiff(
+        gray=doc, bits=1, compression=1, white_is_zero=True
+    )
+    assert (decode_tiff(t4) == decode_tiff(t1)).all()
+
+
+def test_tiff_g4_refusals():
+    doc = _doc(8, 8)
+    with pytest.raises(ValueError, match="1-bit gray"):
+        encode_tiff(gray=doc, bits=4, compression=4)
+    with pytest.raises(ValueError, match="1-bit gray"):
+        encode_tiff(
+            rgb=np.zeros((4, 4, 3), np.uint8), compression=4
+        )
+    with pytest.raises(ValueError, match="tiled"):
+        encode_tiff(
+            gray=doc,
+            bits=1,
+            compression=4,
+            tile_size=(8, 8),
+        )
