@@ -175,6 +175,9 @@ class _BitReader:
     def exhausted(self) -> bool:
         return self._pos >= self._n
 
+    def align_byte(self) -> None:
+        self._pos = (self._pos + 7) & ~7
+
     def next_bit(self) -> str:
         if self._pos >= self._n:
             raise ValueError("CCITT G4 stream truncated")
@@ -349,4 +352,57 @@ def decode_g4(data: bytes, width: int, height: int):
             row[start:end] = 1
         out[y] = row
         ref = _changes(row)
+    return out
+
+
+def encode_mh(bits) -> bytes:
+    """TIFF compression 2 (CCITT "modified Huffman" RLE): each row
+    coded independently as alternating white/black MH run lengths
+    starting white, BYTE-ALIGNED at the start of every row (the
+    TIFF flavor: no EOL codes, no 2D modes)."""
+    import numpy as np  # noqa: PLC0415
+
+    arr = np.asarray(bits, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("encode_mh wants an (h, w) bit array")
+    if ((arr != 0) & (arr != 1)).any():
+        raise ValueError("encode_mh wants 0/1 samples")
+    h, w = arr.shape
+    out = bytearray()
+    for y in range(h):
+        row_w = _BitWriter()
+        pos, color = 0, 0
+        changes = _changes(arr[y])
+        ci = 0
+        while pos < w:
+            nxt = changes[ci] if ci < len(changes) else w
+            nxt = min(nxt, w)
+            _emit_run(row_w, nxt - pos, color)
+            pos = nxt
+            color ^= 1
+            ci += 1
+        out += row_w.tobytes()  # byte-aligns each row
+    return bytes(out)
+
+
+def decode_mh(data: bytes, width: int, height: int):
+    """Decode TIFF compression-2 (MH RLE) data: byte-aligned rows of
+    alternating white/black runs starting white."""
+    import numpy as np  # noqa: PLC0415
+
+    out = np.zeros((height, width), dtype=np.uint8)
+    r = _BitReader(data)
+    for y in range(height):
+        r.align_byte()  # rows are byte-aligned: skip fill bits
+        pos, color = 0, 0
+        while pos < width:
+            run = _read_run(r, color)
+            if pos + run > width:
+                raise ValueError(
+                    f"MH run overflows row width at line {y}"
+                )
+            if color:
+                out[y, pos : pos + run] = 1
+            pos += run
+            color ^= 1
     return out

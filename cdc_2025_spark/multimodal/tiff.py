@@ -24,15 +24,17 @@ encode, composing with every depth/compression — both pinned
 pixel-identical to their strip/chunky twins.
 
 Round 14 added CCITT Group 4 (compression 4 — the T.6 MMR fax
-coding scanned-document archives actually use) as a real
-encode+decode kernel for 1-bit single-sample images, per strip
+coding scanned-document archives actually use) and CCITT modified
+Huffman (compression 2 — the byte-aligned 1D RLE flavor) as real
+encode+decode kernels for 1-bit single-sample images, per strip
 with the spec's fresh all-white reference line
 (multimodal/ccitt.py; spec-pinned code words + exact round trips
 in test_ccitt.py).
 
 Deliberate refusals (fail loud, never decode wrongly):
-JPEG-compressed TIFF (old 6 and new 7), CCITT Group 3 (T.4 —
-the 1D/EOL flavor; G4 is the one archives use), the
+JPEG-compressed TIFF (old 6 and new 7), CCITT Group 3 with EOLs
+(compression 3, T.4 — MH without EOLs and G4 are the flavors
+archives use), the
 floating-point predictor 3, mixed per-sample depths, sub-byte
 multi-sample, 16-bit palette, tiled G4, and tiled+planar-2
 combinations — each raises with the offending tag value.
@@ -330,16 +332,16 @@ def decode_tiff(payload: bytes):
         raise NotImplementedError(
             "16-bit palette indices not supported"
         )
-    if comp not in (1, 4, 5, 8, 32773, 32946):
+    if comp not in (1, 2, 4, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"unsupported TIFF compression {comp}; supported: "
-            "1 (none), 4 (CCITT G4), 5 (LZW), 8/32946 (Deflate), "
-            "32773 (PackBits)"
+            "1 (none), 2 (CCITT MH), 4 (CCITT G4), 5 (LZW), "
+            "8/32946 (Deflate), 32773 (PackBits)"
         )
-    if comp == 4 and (depth != 1 or spp != 1):
+    if comp in (2, 4) and (depth != 1 or spp != 1):
         raise NotImplementedError(
-            "CCITT G4 applies to 1-bit single-sample images "
-            f"(depth={depth}, spp={spp})"
+            f"CCITT compression {comp} applies to 1-bit "
+            f"single-sample images (depth={depth}, spp={spp})"
         )
     predictor = one(_T_PREDICTOR, default=1)
     if predictor not in (1, 2):
@@ -369,8 +371,8 @@ def decode_tiff(payload: bytes):
         raise NotImplementedError(
             "tiled + planar-2 TIFF not supported"
         )
-    if comp == 4 and tiled:
-        raise NotImplementedError("tiled CCITT G4 not supported")
+    if comp in (2, 4) and tiled:
+        raise NotImplementedError("tiled CCITT coding not supported")
     if photo not in (0, 1, 2, 3):
         raise NotImplementedError(
             f"photometric {photo} not supported (0/1/2/3 only)"
@@ -378,19 +380,21 @@ def decode_tiff(payload: bytes):
     if photo == 2 and spp < 3:
         raise ValueError("RGB photometric with SamplesPerPixel < 3")
     def decompress(chunk: bytes, expect: int, label: str) -> bytes:
-        if comp == 4:
+        if comp in (2, 4):
             from cdc_2025_spark.multimodal.ccitt import (  # noqa: PLC0415
                 decode_g4,
+                decode_mh,
             )
 
             rb = (width + 7) // 8
             if expect % rb:
                 raise ValueError(
-                    f"G4 {label} expects {expect} bytes, not a "
+                    f"CCITT {label} expects {expect} bytes, not a "
                     f"multiple of the {rb}-byte row"
                 )
             rows = expect // rb
-            bits_arr = decode_g4(bytes(chunk), width, rows)
+            dec = decode_g4 if comp == 4 else decode_mh
+            bits_arr = dec(bytes(chunk), width, rows)
             return np.packbits(bits_arr, axis=1).tobytes()
         if comp == 32773:
             return _packbits_decode(chunk, expect)
@@ -571,9 +575,10 @@ def encode_tiff(
 ) -> bytes:
     """Build a TIFF: pass exactly one of ``rgb`` ((h, w, 3) ints),
     ``gray`` ((h, w) ints), or ``palette`` (list of (r,g,b)) +
-    ``indices`` ((h, w) ints). ``compression``: 1 (none), 4
-    (CCITT G4 — 1-bit gray only, the fax/scanned-document coding),
-    5 (LZW), 8 (Deflate) or 32773 (PackBits); ``predictor=2`` adds horizontal
+    ``indices`` ((h, w) ints). ``compression``: 1 (none), 2
+    (CCITT MH 1D RLE) or 4 (CCITT G4 2D) — both 1-bit gray only,
+    the fax/scanned-document codings — 5 (LZW), 8 (Deflate) or
+    32773 (PackBits); ``predictor=2`` adds horizontal
     differencing before LZW/Deflate (8-bit samples only — the layout
     real LZW writers emit). ``bits``: 1/2/4/8 for gray (values in
     0..2^bits-1, MSB-first packed, rows byte-padded — the fax/scan
@@ -590,16 +595,17 @@ def encode_tiff(
     modes = sum(x is not None for x in (rgb, gray, palette))
     if modes != 1:
         raise ValueError("pass exactly one of rgb / gray / palette")
-    if compression not in (1, 4, 5, 8, 32773):
+    if compression not in (1, 2, 4, 5, 8, 32773):
         raise ValueError(
-            f"compression must be 1/4/5/8/32773, got {compression}"
+            f"compression must be 1/2/4/5/8/32773, got {compression}"
         )
-    if compression == 4 and (bits != 1 or gray is None):
+    if compression in (2, 4) and (bits != 1 or gray is None):
         raise ValueError(
-            "CCITT G4 (compression 4) applies to 1-bit gray images"
+            f"CCITT compression {compression} applies to 1-bit "
+            "gray images"
         )
-    if compression == 4 and tile_size is not None:
-        raise ValueError("tiled CCITT G4 not supported")
+    if compression in (2, 4) and tile_size is not None:
+        raise ValueError("tiled CCITT coding not supported")
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2, got {predictor}")
     if predictor == 2 and compression not in (5, 8):
@@ -691,9 +697,10 @@ def encode_tiff(
     def compress_segment(raw: bytes, rows: int, cols: int, nspp: int):
         if predictor == 2:
             raw = _apply_predictor2(raw, rows, cols, nspp)
-        if compression == 4:
+        if compression in (2, 4):
             from cdc_2025_spark.multimodal.ccitt import (  # noqa: PLC0415
                 encode_g4,
+                encode_mh,
             )
 
             rb = (cols + 7) // 8
@@ -701,7 +708,8 @@ def encode_tiff(
                 raw, dtype=np.uint8, count=rows * rb
             ).reshape(rows, rb)
             bits_arr = np.unpackbits(b, axis=1)[:, :cols]
-            return encode_g4(bits_arr)
+            enc = encode_g4 if compression == 4 else encode_mh
+            return enc(bits_arr)
         if compression == 32773:
             return _packbits_encode(raw)
         if compression == 5:

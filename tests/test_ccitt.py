@@ -166,3 +166,37 @@ def test_tiff_g4_refusals():
             compression=4,
             tile_size=(8, 8),
         )
+
+
+def test_mh_roundtrip_and_tiff_compression2():
+    """The 1D modified-Huffman flavor (TIFF compression 2):
+    byte-aligned rows of alternating runs starting white; decodes
+    pixel-identical to the uncompressed encoding."""
+    from cdc_2025_spark.multimodal.ccitt import decode_mh, encode_mh
+
+    for arr in (
+        np.zeros((5, 33), np.uint8),
+        np.ones((5, 33), np.uint8),
+        (np.indices((7, 20)).sum(0) % 2).astype(np.uint8),
+        _lcg_bits(11, 61, seed=99),
+    ):
+        enc = encode_mh(arr)
+        assert (
+            decode_mh(enc, arr.shape[1], arr.shape[0]) == arr
+        ).all()
+    # black opening = zero-length white run
+    b = np.zeros((3, 9), np.uint8)
+    b[:, 0] = 1
+    assert (decode_mh(encode_mh(b), 9, 3) == b).all()
+    doc = _doc()
+    t2 = encode_tiff(
+        gray=doc,
+        bits=1,
+        compression=2,
+        white_is_zero=True,
+        rows_per_strip=11,
+    )
+    t1 = encode_tiff(
+        gray=doc, bits=1, compression=1, white_is_zero=True
+    )
+    assert (decode_tiff(t2) == decode_tiff(t1)).all()
