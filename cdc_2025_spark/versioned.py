@@ -287,6 +287,10 @@ def write_versioned(
                     evolved = True
                 # overwrite + merge_schema: explicit re-pin; the new
                 # snapshot holds only the new dir, no merge needed
+        if vs:
+            _check_constraints(
+                df, prev.get("constraints", {}), "the incoming frame"
+            )
         nonce = f"{os.getpid():x}{int(time.time() * 1e6) & 0xFFFFFF:x}a{attempt}"
         rel_dir = f"{_DATA_DIR}/{version:08d}-{nonce}"
         data_dir = os.path.join(path, rel_dir)
@@ -309,6 +313,9 @@ def write_versioned(
             "schema_evolved": evolved or (
                 bool(vs) and mode == "append"
                 and prev.get("schema_evolved", False)
+            ),
+            "constraints": (
+                prev.get("constraints", {}) if vs else {}
             ),
             "dir_stats": stats,
             "committed_at": time.time(),
@@ -424,6 +431,7 @@ def rollback(path: str, version: int, max_retries: int = 5) -> int:
             # read_versioned pins the manifest schema — but the
             # history must stay truthful)
             "schema_evolved": target.get("schema_evolved", False),
+            "constraints": target.get("constraints", {}),
             "dir_stats": target.get("dir_stats", {}),
             "committed_at": time.time(),
         }
@@ -541,6 +549,7 @@ def optimize_versioned(
         # compaction rewrites every row under the manifest schema, so
         # the new snapshot's single dir is physically uniform again
         "schema_evolved": False,
+        "constraints": prev.get("constraints", {}),
         "dir_stats": {rel_dir: _dir_stats(data_dir)},
         "committed_at": time.time(),
     }
@@ -697,6 +706,12 @@ def _cow_rewrite(
         matched = F.coalesce(cond, F.lit(False))
         n_before = df.count()
         out, n_changed = transform(df, matched)
+        if out is not None and not operation.startswith("delete:"):
+            # an UPDATE can push rows outside a CHECK; a DELETE
+            # cannot (its survivors already complied)
+            _check_constraints(
+                out, m.get("constraints", {}), "the rewritten rows"
+            )
         if n_changed == 0:
             # stats were conservative: the touched dirs hold no
             # actual match — a no-op, NOT a rewrite (returning the
@@ -734,6 +749,7 @@ def _cow_rewrite(
             "n_rows": m["n_rows"] - n_before + n_out,
             "schema": m["schema"],
             "schema_evolved": m.get("schema_evolved", False),
+            "constraints": m.get("constraints", {}),
             "dir_stats": new_stats,
             "committed_at": time.time(),
         }
@@ -749,6 +765,96 @@ def _cow_rewrite(
         f"{operation} lost the version CAS {max_retries} times — "
         "writer storm; raise max_retries or serialize the writers"
     )
+
+
+def _check_constraints(
+    df: DataFrame, constraints: dict, what: str
+) -> None:
+    """SQL CHECK semantics: a row violates only when the expression
+    is FALSE (NULL/unknown passes). Refuses the whole commit with
+    the constraint name and a violation count — partial writes are
+    not a thing this format does."""
+    if not constraints:
+        return
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    for name, expr in constraints.items():
+        bad = df.filter(
+            ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+        ).count()
+        if bad:
+            raise ValueError(
+                f"CHECK constraint {name!r} ({expr}) violated by "
+                f"{bad} row(s) in {what} — commit refused"
+            )
+
+
+def add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """Delta-style ADD CONSTRAINT: validate the CURRENT snapshot
+    satisfies the SQL boolean ``expr`` (existing data must comply,
+    the Delta rule), then commit a metadata-only manifest carrying
+    it; every subsequent write/update/merge refuses rows that
+    violate it. Returns the new version."""
+    vs = _list_versions(path)
+    if not vs:
+        raise ValueError(f"{path} holds no committed versions")
+    m = _read_manifest(path, vs[-1])
+    cons = dict(m.get("constraints", {}))
+    if name in cons:
+        raise ValueError(f"constraint {name!r} already exists")
+    _check_constraints(
+        read_versioned(spark, path), {name: expr},
+        "the existing snapshot",
+    )
+    cons[name] = expr
+    return _commit_metadata(
+        path, m, f"add_constraint:{name}", constraints=cons
+    )
+
+
+def drop_constraint(path: str, name: str) -> int:
+    """Remove a CHECK constraint via a metadata-only commit."""
+    vs = _list_versions(path)
+    if not vs:
+        raise ValueError(f"{path} holds no committed versions")
+    m = _read_manifest(path, vs[-1])
+    cons = dict(m.get("constraints", {}))
+    if name not in cons:
+        raise ValueError(f"no constraint named {name!r}")
+    del cons[name]
+    return _commit_metadata(
+        path, m, f"drop_constraint:{name}", constraints=cons
+    )
+
+
+def _commit_metadata(
+    path: str, prev: dict, operation: str, **overrides
+) -> int:
+    """Commit a data-free manifest: same dirs/rows/schema as
+    ``prev`` with metadata fields replaced. CAS-retried."""
+    for attempt in range(5):
+        vs = _list_versions(path)
+        cur = _read_manifest(path, vs[-1])
+        version = vs[-1] + 1
+        manifest = {
+            "version": version,
+            "parent": vs[-1],
+            "operation": operation,
+            "data_dirs": cur["data_dirs"],
+            "n_rows": cur["n_rows"],
+            "schema": cur["schema"],
+            "schema_evolved": cur.get("schema_evolved", False),
+            "dir_stats": cur.get("dir_stats", {}),
+            "constraints": cur.get("constraints", {}),
+            "committed_at": time.time(),
+        }
+        manifest.update(overrides)
+        nonce = f"{os.getpid():x}{int(time.time() * 1e6) & 0xFFFFFF:x}md{attempt}"
+        if _commit_manifest(path, manifest, version, nonce):
+            return version
+    raise RuntimeError("metadata commit lost the version CAS 5 times")
 
 
 def delete_versioned(
@@ -879,6 +985,9 @@ def merge_versioned(
                 f"{m['schema']}"
             )
         src = source.select(*[f.name for f in schema.fields])
+        _check_constraints(
+            src, m.get("constraints", {}), "the MERGE source"
+        )
         bounds = src.agg(
             *[
                 f
@@ -945,6 +1054,7 @@ def merge_versioned(
             "n_rows": m["n_rows"] - n_touched_rows + n_out,
             "schema": m["schema"],
             "schema_evolved": m.get("schema_evolved", False),
+            "constraints": m.get("constraints", {}),
             "dir_stats": new_stats,
             "committed_at": time.time(),
         }

@@ -858,3 +858,69 @@ def test_merge_versioned_refusals(spark, tmp_path):
         merge_versioned(spark, t, drift, ["id"])
     with pytest.raises(ValueError, match="key columns"):
         merge_versioned(spark, t, dup.limit(1), [])
+
+
+def test_check_constraints_enforced_everywhere(spark, tmp_path):
+    """Delta-style CHECK constraints: existing data validated at ADD
+    time, every write path refuses violating rows (append, update,
+    merge), NULL evaluates as pass (the SQL rule), constraints ride
+    rollback/optimize commits, and DROP lifts the gate."""
+    from cdc_2025_spark.versioned import (
+        add_constraint,
+        drop_constraint,
+        merge_versioned,
+        optimize_versioned,
+        update_versioned,
+    )
+
+    t = _bal_table(spark, tmp_path)  # bal = id * 10, ids 0..29
+    v = add_constraint(spark, t, "bal_nonneg", "bal >= 0")
+    assert history(t)[-1]["operation"] == "add_constraint:bal_nonneg"
+    assert history(t)[-1]["constraints"] == {"bal_nonneg": "bal >= 0"}
+    assert v == 4
+    # adding a constraint the existing data violates refuses
+    with pytest.raises(ValueError, match="violated by 30"):
+        add_constraint(spark, t, "impossible", "bal < 0")
+    # append of a violating frame refuses; a complying one commits
+    bad = spark.createDataFrame([(99, -5.0)], "id long, bal double")
+    with pytest.raises(ValueError, match="bal_nonneg"):
+        write_versioned(bad, t, mode="append")
+    write_versioned(
+        spark.createDataFrame([(99, 5.0)], "id long, bal double"),
+        t,
+        mode="append",
+    )
+    # NULL passes (SQL CHECK: only FALSE violates)
+    write_versioned(
+        spark.createDataFrame([(98, None)], "id long, bal double"),
+        t,
+        mode="append",
+    )
+    # UPDATE that would push rows below zero refuses
+    with pytest.raises(ValueError, match="bal_nonneg"):
+        update_versioned(
+            spark, t, {"bal": "bal - 1000"}, [("id", "<", 10)]
+        )
+    # MERGE with a violating source refuses
+    with pytest.raises(ValueError, match="MERGE source"):
+        merge_versioned(
+            spark,
+            t,
+            spark.createDataFrame(
+                [(1, -1.0)], "id long, bal double"
+            ),
+            ["id"],
+        )
+    # constraints ride rollback and optimize commits
+    rollback(t, 4)
+    assert history(t)[-1]["constraints"] == {"bal_nonneg": "bal >= 0"}
+    optimize_versioned(spark, t)
+    assert history(t)[-1]["constraints"] == {"bal_nonneg": "bal >= 0"}
+    # DROP lifts the gate
+    drop_constraint(t, "bal_nonneg")
+    write_versioned(bad, t, mode="append")
+    with pytest.raises(ValueError, match="no constraint"):
+        drop_constraint(t, "bal_nonneg")
+    with pytest.raises(ValueError, match="already exists"):
+        add_constraint(spark, t, "x", "bal IS NOT NULL OR bal IS NULL")
+        add_constraint(spark, t, "x", "TRUE")
