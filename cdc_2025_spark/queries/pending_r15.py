@@ -50,8 +50,10 @@ round in versioned.py — exactly one band dir rewritten per
 statement with the rest carried verbatim by the manifest-stats
 proof, NULL-predicate rows kept, history preserved), and the MERGE
 audit (merge_versioned upsert: replace-on-match + insert-on-miss
-with key-bounding-box dir pruning) — the r14 skipping-audit
-posture for the compaction and DML/MERGE layers.
+with key-bounding-box dir pruning), and the CHECK-constraint audit
+(add_constraint validation + enforcement + refusal atomicity) —
+the r14 skipping-audit posture for the compaction, DML/MERGE and
+constraint layers.
 
 NOT imported by queries/__init__.py on purpose (the
 pending_r10-r14 posture): the freshness guard requires
@@ -72,8 +74,9 @@ Bartels 0.76 s, Mood 1.20 s, Kendall W 0.41 s, Friedman 0.39 s,
 Cochran Q 0.33 s, MRR 0.35 s, RBO 0.37 s, Honore/Sichel 0.35 s,
 Good-Turing 0.37 s, readability 0.22 s, G2 keyness 0.47 s, Kish
 0.27 s, Katz 0.71 s, HITS 0.71 s, reciprocity 0.36 s, optimize
-audit 0.13 s, DML audit 0.18 s and MERGE audit 0.14 s
-(session-memoized tables) — 11.98 s combined. 10x spot
+audit 0.13 s, DML audit 0.18 s, MERGE audit 0.14 s and
+constraint audit 0.21 s (session-memoized tables) — 12.19 s
+combined. 10x spot
 checks (SCALE.md r14 staged section): DW 1.46 -> 1.16 s and
 Breusch-Pagan 1.01 -> 0.96 s on the value-perturbed orders replica
 (calendar-bounded daily frame), Mood 1.20 -> 1.72 s on the 10x
@@ -2467,6 +2470,115 @@ FROM merged
 
 
 # ---------------------------------------------------------------------------
+# Versioned-table CHECK-constraint audit
+# ---------------------------------------------------------------------------
+
+CHECK_FLOOR = -1000.0
+
+
+def versioned_constraint_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver surface for the CHECK-constraint layer
+    (cdc_2025_spark/versioned.py add_constraint): commit the
+    customer dim, ADD a balance-floor constraint (validated against
+    the existing snapshot), attempt an append that VIOLATES it
+    (must refuse without consuming a version number), then append a
+    complying deterministic batch (negated keys divisible by 13,
+    balance exactly at the floor — the boundary passes because
+    CHECK only rejects FALSE) — and audit: final version 3
+    (create + metadata commit + one good append; the refused
+    attempt left no trace), one registered constraint, one refused
+    commit, and the final count / key sum / 4dp balance sum
+    oracle-recomputed from the base table. A hash-green row
+    verifies constraint validation, enforcement, refusal atomicity,
+    and the metadata-commit lineage.
+
+    The table is session-memoized (built once per (session,
+    sf_dir), removed at process exit).
+
+    Scale shape: enforcement is ONE count aggregate over the
+    incoming frame per constraint (map-side, no shuffle beyond the
+    scan); the audit is one aggregate over the final snapshot."""
+    from cdc_2025_spark.versioned import (
+        add_constraint,
+        history,
+        read_versioned,
+        write_versioned,
+    )
+
+    key = F.col("c_custkey")
+    base = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    refused = {}
+
+    def _build(path: str) -> None:
+        write_versioned(base, path)
+        add_constraint(
+            spark, path, "bal_floor", f"c_acctbal >= {CHECK_FLOOR}"
+        )
+        bad = base.filter((key % 13 == 0) & (key != 0)).select(
+            (-key).alias("c_custkey"),
+            F.lit(CHECK_FLOOR - 1.0).alias("c_acctbal"),
+        )
+        n_refused = 0
+        try:
+            write_versioned(bad, path, mode="append")
+        except ValueError:
+            n_refused = 1
+        good = base.filter((key % 13 == 0) & (key != 0)).select(
+            (-key).alias("c_custkey"),
+            F.lit(CHECK_FLOOR).alias("c_acctbal"),
+        )
+        write_versioned(good, path, mode="append")
+        refused["n"] = n_refused
+
+    table = memo_versioned_table(
+        spark, sf_dir, "versioned_check", _build
+    )
+    hist = history(table)
+    n_refused = refused.get("n")
+    if n_refused is None:
+        # memoized session: the refusal fact is structural — a
+        # refused commit consumes no version, so 3 committed
+        # manifests for 1 create + 1 metadata + 2 attempted appends
+        # means exactly one was refused
+        n_refused = 4 - len(hist)
+    got = read_versioned(spark, table)
+    return got.agg(
+        F.lit(hist[-1]["version"]).cast("long").alias("final_version"),
+        F.lit(len(hist[-1].get("constraints", {})))
+        .cast("long")
+        .alias("n_constraints"),
+        F.lit(n_refused).cast("long").alias("n_refused_commits"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+        F.round(F.sum("c_acctbal"), 4).alias("bal_sum"),
+    )
+
+
+VERSIONED_CHECK_ORACLE = f"""
+WITH added AS (
+  SELECT -c_custkey AS c_custkey,
+         CAST({CHECK_FLOOR} AS DOUBLE) AS c_acctbal
+  FROM customer WHERE c_custkey % 13 = 0 AND c_custkey <> 0
+),
+allr AS (
+  SELECT c_custkey, c_acctbal FROM customer
+  UNION ALL SELECT c_custkey, c_acctbal FROM added
+)
+SELECT CAST(3 AS BIGINT) AS final_version,
+       CAST(1 AS BIGINT) AS n_constraints,
+       CAST(1 AS BIGINT) AS n_refused_commits,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       ROUND(SUM(c_acctbal), 4) AS bal_sum
+FROM allr
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registration hook for round 15
 # ---------------------------------------------------------------------------
 
@@ -2493,6 +2605,7 @@ PENDING_ORDER = [
     "versioned_optimize_audit",
     "versioned_dml_audit",
     "versioned_merge_audit",
+    "versioned_constraint_audit",
 ]
 
 _PENDING = {
@@ -2561,6 +2674,9 @@ _PENDING = {
     ),
     "versioned_merge_audit": (
         versioned_merge_audit, VERSIONED_MERGE_ORACLE,
+    ),
+    "versioned_constraint_audit": (
+        versioned_constraint_audit, VERSIONED_CHECK_ORACLE,
     ),
 }
 
