@@ -13,7 +13,14 @@ column-name-sorted, order-insensitive value hash at sf0.01):
   aggregation in BOTH engines, so summation-order noise (~1e-12 rel)
   cannot flip the hash;
 - DuckDB's SUM(integer) returns HUGEINT — oracles cast to BIGINT;
-  DuckDB's year()/month() return BIGINT — oracles cast to INTEGER.
+  DuckDB's year()/month() return BIGINT — oracles cast to INTEGER;
+  decimal literals (VALUES (0.83)) type as DECIMAL — cast to DOUBLE.
+  The driver's value hash is TYPE-SENSITIVE (int128 != int64 even at
+  equal values — the survival_km_reorder r12/r13 lesson), so every
+  oracle output column must land in the driver-safe type set;
+  tests/test_oracle_parity.py::test_oracle_output_types_driver_safe
+  guards the whole registry and tools/window_check.py flags it at
+  rehearsal time.
 """
 
 from __future__ import annotations
