@@ -763,3 +763,139 @@ def test_versioned_optimize_audit_structure(spark):
     assert sorted(map(tuple, pre.collect())) == sorted(
         map(tuple, post.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# wave-2 model pins
+# ---------------------------------------------------------------------------
+
+
+def _daily_counts(duck):
+    rows = duck.execute(
+        """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+           FROM events GROUP BY 1 ORDER BY day"""
+    ).fetchall()
+    return [float(x) for _, x in rows]
+
+
+def test_pacf_matches_python_model(spark, duck):
+    import numpy as np
+
+    x = np.array(_daily_counts(duck))
+    e = x - x.mean()
+    ss = float((e * e).sum())
+    rho = [
+        float((e[:-k] * e[k:]).sum()) / ss for k in (1, 2, 3)
+    ]
+    r1, r2, r3 = rho
+    phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    phi21 = r1 - phi22 * r1
+    phi33 = (r3 - phi21 * r2 - phi22 * r1) / (
+        1 - phi21 * r1 - phi22 * r2
+    )
+    row = pending_r15.stats_pacf_daily(spark, SF_DIR).collect()[0]
+    assert row["n_days"] == len(x)
+    assert abs(row["pacf1"] - r1) < 1e-6
+    assert abs(row["pacf2"] - phi22) < 1e-6
+    assert abs(row["pacf3"] - phi33) < 1e-6
+
+
+def test_theils_u_matches_python_model(spark, duck):
+    import numpy as np
+
+    rows = duck.execute(
+        """SELECT CAST(o_orderdate AS DATE) AS day,
+                  ROUND(SUM(o_totalprice), 4) AS y
+           FROM orders GROUP BY 1 ORDER BY day"""
+    ).fetchall()
+    y = np.array([float(v) for _, v in rows])
+    yy, nv, sv = y[7:], y[6:-1], y[:-7]
+    mse_s = float(((yy - sv) ** 2).mean())
+    mse_n = float(((yy - nv) ** 2).mean())
+    row = pending_r15.forecast_theils_u(spark, SF_DIR).collect()[0]
+    assert row["n_days"] == len(yy)
+    assert abs(row["theils_u2"] - math.sqrt(mse_s / mse_n)) < 1e-5
+    assert row["rmse_snaive"] > 0 and row["rmse_naive"] > 0
+
+
+def test_page_hinkley_matches_python_model(spark, duck):
+    x = _daily_counts(duck)
+    mu = sum(x) / len(x)
+    cum, mx, best, best_day = 0.0, 0.0, -1.0, None
+    days = duck.execute(
+        """SELECT CAST(ts AS DATE) AS day FROM events
+           GROUP BY 1 ORDER BY day"""
+    ).fetchall()
+    for (day,), v in zip(days, x):
+        cum += v - mu
+        mx = max(mx, cum)
+        dd = mx - cum
+        if dd > best:
+            best, best_day = dd, day
+    row = pending_r15.events_page_hinkley(spark, SF_DIR).collect()[0]
+    assert abs(row["ph_stat"] - best) < 1e-6
+    assert row["alarm_day"] == str(best_day)
+
+
+def test_runs_updown_matches_python_model(spark, duck):
+    rows = duck.execute(
+        """SELECT CAST(o_orderdate AS DATE) AS day,
+                  ROUND(SUM(o_totalprice), 4) AS y
+           FROM orders GROUP BY 1 ORDER BY day"""
+    ).fetchall()
+    y = [float(v) for _, v in rows]
+    signs = [
+        1 if b > a else -1
+        for a, b in zip(y, y[1:])
+        if b != a
+    ]
+    n = len(signs)
+    r = 1 + sum(
+        1 for a, b in zip(signs, signs[1:]) if a != b
+    )
+    row = pending_r15.stats_runs_updown_daily(
+        spark, SF_DIR
+    ).collect()[0]
+    assert (row["n_moves"], row["n_runs"]) == (n, r)
+    er = (2 * n - 1) / 3
+    assert abs(row["expected_runs"] - er) < 1e-6
+
+
+def test_markov_stationary_matches_python_model(spark, duck):
+    rows = duck.execute(
+        """WITH seq AS (
+             SELECT event_type AS f,
+                    LEAD(event_type) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                    ) AS t
+             FROM events)
+           SELECT f, t, COUNT(*) FROM seq
+           WHERE t IS NOT NULL GROUP BY 1, 2"""
+    ).fetchall()
+    types = sorted({f for f, _, _ in rows} | {t for _, t, _ in rows})
+    out_tot = defaultdict(float)
+    for f, _, c in rows:
+        out_tot[f] += c
+    p = {(f, t): c / out_tot[f] for f, t, c in rows}
+    pi = dict.fromkeys(types, 1.0 / len(types))
+    for _ in range(pending_r15.MARKOV_ITERS):
+        nxt = dict.fromkeys(types, 0.0)
+        for (f, t), pv in p.items():
+            nxt[t] += pi[f] * pv
+        pi = nxt
+    got = {
+        r["event_type"]: r
+        for r in pending_r15.events_markov_stationary(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(types)
+    for t in types:
+        assert abs(got[t]["p_stationary"] - pi[t]) < 1e-5
+    # a probability vector, and it should be near the empirical
+    # long-run shares if the chain mixes (loose sanity band)
+    assert abs(sum(r["p_stationary"] for r in got.values()) - 1.0) < 1e-4
+    for t in types:
+        assert (
+            abs(got[t]["p_stationary"] - got[t]["p_empirical"]) < 0.2
+        )
