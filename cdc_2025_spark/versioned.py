@@ -248,6 +248,7 @@ def write_versioned(
     mode: str = "append",
     max_retries: int = 5,
     merge_schema: bool = False,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot. ``mode='append'`` adds the
     rows to the latest snapshot; ``'overwrite'`` replaces it.
@@ -255,7 +256,15 @@ def write_versioned(
     ``max_retries`` times on a concurrent-writer conflict.
     ``merge_schema=True`` allows ADDITIVE schema evolution on
     append (new columns; old rows read them as NULL — the Delta
-    mergeSchema rule); type changes always refuse."""
+    mergeSchema rule); type changes always refuse.
+
+    ``txn=(app_id, version)`` makes the commit IDEMPOTENT per
+    application (Delta's txnAppId/txnVersion): the manifest records
+    the highest committed txn version per app, and a write whose
+    txn version is <= the recorded one is SKIPPED (returns the
+    current table version, commits nothing) — exactly-once
+    semantics for a replayed Structured Streaming foreachBatch
+    (pass (query_name, batch_id))."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append/overwrite, got {mode!r}")
     os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
@@ -287,6 +296,11 @@ def write_versioned(
                     evolved = True
                 # overwrite + merge_schema: explicit re-pin; the new
                 # snapshot holds only the new dir, no merge needed
+        if txn is not None and vs:
+            app_id, txn_v = txn
+            seen = prev.get("txns", {}).get(app_id)
+            if seen is not None and txn_v <= seen:
+                return vs[-1]  # replayed batch: idempotent skip
         if vs:
             _check_constraints(
                 df, prev.get("constraints", {}), "the incoming frame"
@@ -317,6 +331,12 @@ def write_versioned(
             "constraints": (
                 prev.get("constraints", {}) if vs else {}
             ),
+            "txns": {
+                **(prev.get("txns", {}) if vs else {}),
+                **(
+                    {txn[0]: txn[1]} if txn is not None else {}
+                ),
+            },
             "dir_stats": stats,
             "committed_at": time.time(),
         }
@@ -432,6 +452,7 @@ def rollback(path: str, version: int, max_retries: int = 5) -> int:
             # history must stay truthful)
             "schema_evolved": target.get("schema_evolved", False),
             "constraints": target.get("constraints", {}),
+            "txns": target.get("txns", {}),
             "dir_stats": target.get("dir_stats", {}),
             "committed_at": time.time(),
         }
@@ -550,6 +571,7 @@ def optimize_versioned(
         # the new snapshot's single dir is physically uniform again
         "schema_evolved": False,
         "constraints": prev.get("constraints", {}),
+        "txns": prev.get("txns", {}),
         "dir_stats": {rel_dir: _dir_stats(data_dir)},
         "committed_at": time.time(),
     }
@@ -750,6 +772,7 @@ def _cow_rewrite(
             "schema": m["schema"],
             "schema_evolved": m.get("schema_evolved", False),
             "constraints": m.get("constraints", {}),
+            "txns": m.get("txns", {}),
             "dir_stats": new_stats,
             "committed_at": time.time(),
         }
@@ -848,6 +871,7 @@ def _commit_metadata(
             "schema_evolved": cur.get("schema_evolved", False),
             "dir_stats": cur.get("dir_stats", {}),
             "constraints": cur.get("constraints", {}),
+            "txns": cur.get("txns", {}),
             "committed_at": time.time(),
         }
         manifest.update(overrides)
@@ -938,6 +962,7 @@ def merge_versioned(
     source: DataFrame,
     key_cols: list[str],
     max_retries: int = 5,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Delta-style MERGE (upsert) with dir-level copy-on-write:
     every target row whose key matches a source row is REPLACED by
@@ -949,8 +974,11 @@ def merge_versioned(
     touched dirs' unmatched survivors plus the entire source.
     Duplicate keys WITHIN the source refuse (Delta's
     multiple-source-rows-matched error — last-writer-wins needs an
-    order the caller did not give). Returns {version, rows_matched,
-    rows_inserted, dirs_rewritten, dirs_kept}."""
+    order the caller did not give). ``txn=(app_id, version)`` makes
+    the merge idempotent per application exactly like
+    write_versioned (a replayed foreachBatch merge is skipped, with
+    ``skipped_txn: True`` in the result). Returns {version,
+    rows_matched, rows_inserted, dirs_rewritten, dirs_kept}."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
@@ -974,6 +1002,18 @@ def merge_versioned(
         if not vs:
             raise ValueError(f"{path} holds no committed versions")
         m = _read_manifest(path, vs[-1])
+        if txn is not None:
+            app_id, txn_v = txn
+            seen = m.get("txns", {}).get(app_id)
+            if seen is not None and txn_v <= seen:
+                return {
+                    "version": vs[-1],
+                    "rows_matched": 0,
+                    "rows_inserted": 0,
+                    "dirs_rewritten": 0,
+                    "dirs_kept": len(m["data_dirs"]),
+                    "skipped_txn": True,
+                }
         version = vs[-1] + 1
         schema = StructType.fromDDL(m["schema"])
         want = {f.name: f.dataType for f in schema.fields}
@@ -1055,6 +1095,10 @@ def merge_versioned(
             "schema": m["schema"],
             "schema_evolved": m.get("schema_evolved", False),
             "constraints": m.get("constraints", {}),
+            "txns": {
+                **m.get("txns", {}),
+                **({txn[0]: txn[1]} if txn is not None else {}),
+            },
             "dir_stats": new_stats,
             "committed_at": time.time(),
         }

@@ -1030,3 +1030,59 @@ def test_dml_cas_conflict_retries(spark, tmp_path):
         r["id"] for r in read_versioned(spark, t).collect()
     )
     assert got == [i for i in range(30) if not 25 <= i < 28]
+
+
+def test_txn_idempotent_writes_and_merge(spark, tmp_path):
+    """Delta's txnAppId/txnVersion: a replayed (app, batch) write or
+    merge is SKIPPED (no new version, no duplicate rows) — the
+    exactly-once contract a Structured Streaming foreachBatch sink
+    needs under microbatch replay; txn watermarks ride optimize and
+    rollback commits."""
+    from cdc_2025_spark.versioned import (
+        merge_versioned,
+        optimize_versioned,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_versioned(_mk(spark, [(1, "a")]), t)
+    b0 = _mk(spark, [(2, "b")])
+    v = write_versioned(b0, t, mode="append", txn=("q1", 0))
+    assert v == 2
+    # exact replay: skipped, version unchanged, rows unchanged
+    assert write_versioned(b0, t, mode="append", txn=("q1", 0)) == 2
+    assert read_versioned(spark, t).count() == 2
+    # an OLDER txn version is also skipped; a newer one commits
+    assert (
+        write_versioned(
+            _mk(spark, [(9, "x")]), t, mode="append", txn=("q1", -1)
+        )
+        == 2
+    )
+    v = write_versioned(
+        _mk(spark, [(3, "c")]), t, mode="append", txn=("q1", 1)
+    )
+    assert v == 3 and read_versioned(spark, t).count() == 3
+    # independent apps do not interfere
+    v = write_versioned(
+        _mk(spark, [(4, "d")]), t, mode="append", txn=("q2", 0)
+    )
+    assert v == 4
+    assert history(t)[-1]["txns"] == {"q1": 1, "q2": 0}
+    # merge honors the same watermark
+    src = _mk(spark, [(1, "a9"), (5, "e")])
+    out = merge_versioned(spark, t, src, ["id"], txn=("q1", 1))
+    assert out.get("skipped_txn") is True
+    assert read_versioned(spark, t).count() == 4
+    out = merge_versioned(spark, t, src, ["id"], txn=("q1", 2))
+    assert out["rows_matched"] == 1 and out["rows_inserted"] == 1
+    assert history(t)[-1]["txns"] == {"q1": 2, "q2": 0}
+    # watermarks ride optimize and rollback
+    optimize_versioned(spark, t)
+    assert history(t)[-1]["txns"] == {"q1": 2, "q2": 0}
+    rollback(t, 4)
+    assert history(t)[-1]["txns"] == {"q1": 1, "q2": 0}
+    # after rollback, the rolled-back txn watermark governs again
+    v = write_versioned(
+        _mk(spark, [(6, "f")]), t, mode="append", txn=("q1", 2)
+    )
+    assert history(t)[-1]["txns"]["q1"] == 2
