@@ -446,3 +446,34 @@ def scd2_as_of(history: DataFrame, ts) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).drop("is_current")
+
+
+def versioned_sink(
+    path: str, query_name: str, mode: str = "append"
+):
+    """EXACTLY-ONCE foreachBatch sink into a versioned table: each
+    microbatch commits as one snapshot with the idempotent-writer
+    transaction ``(query_name, batch_id)`` (the Delta
+    txnAppId/txnVersion contract), so a REPLAYED microbatch — the
+    normal failure mode of foreachBatch, whose work is otherwise
+    only at-least-once — is skipped instead of double-committed.
+
+    Usage::
+
+        stream.writeStream.foreachBatch(
+            versioned_sink(table_path, "my_query")
+        ).start()
+
+    Composes with everything the table layer enforces per commit:
+    schema pin, CHECK constraints, manifest stats for later
+    predicate skipping, time travel to any microbatch boundary."""
+    from cdc_2025_spark.versioned import write_versioned
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        write_versioned(
+            batch, path, mode=mode, txn=(query_name, int(batch_id))
+        )
+
+    return _sink

@@ -1255,3 +1255,58 @@ def test_kafka_reader_option_surface():
     for bad in [(None, "t"), ("b", None), ("", ""), (None, None)]:
         with pytest.raises(ValueError, match="kafka"):
             kafka_reader_options(*bad)
+
+
+def test_versioned_sink_exactly_once_under_replay(spark, tmpdir):
+    """foreachBatch into a versioned table via versioned_sink: each
+    microbatch commits one snapshot with the (query, batch_id)
+    idempotent txn, so manually re-invoking the sink with an
+    already-committed batch_id (the replay failure mode) changes
+    NOTHING — no new version, no duplicate rows — while a genuinely
+    new batch id commits."""
+    from cdc_2025_spark.streaming.cdc import versioned_sink
+    from cdc_2025_spark.versioned import (
+        history,
+        latest_version,
+        read_versioned,
+    )
+
+    src = os.path.join(tmpdir, "rows")
+    os.makedirs(src)
+    b1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    table = os.path.join(tmpdir, "vtbl")
+    sink = versioned_sink(table, "q_sink")
+    q = (
+        spark.readStream.schema(b1.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation", os.path.join(tmpdir, "ckpt_vs")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert read_versioned(spark, table).count() == 2
+    v_after = latest_version(table)
+    committed_batches = history(table)[-1]["txns"]["q_sink"]
+    # REPLAY: re-invoke the sink with the committed batch id
+    sink(b1, committed_batches)
+    assert latest_version(table) == v_after
+    assert read_versioned(spark, table).count() == 2
+    # an older batch id is also skipped
+    sink(b1, committed_batches - 1)
+    assert latest_version(table) == v_after
+    # a genuinely new batch id commits
+    sink(
+        spark.createDataFrame([(3, "c")], "id long, v string"),
+        committed_batches + 1,
+    )
+    assert latest_version(table) == v_after + 1
+    assert read_versioned(spark, table).count() == 3
+    # empty batches are a no-op (no version burned)
+    sink(b1.limit(0), committed_batches + 2)
+    assert latest_version(table) == v_after + 1
