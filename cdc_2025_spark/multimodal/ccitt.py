@@ -327,7 +327,9 @@ def decode_g4(data: bytes, width: int, height: int):
             elif kind == "v":
                 b1, _b2 = _b1_b2(ref, a0, color, width)
                 a1 = b1 + d
-                if a1 < 0 or a1 > width:
+                if a1 < 0 or a1 > width or a1 <= a0:
+                    # a1 <= a0 never occurs in a valid stream and
+                    # would stall the line loop forever
                     raise ValueError("CCITT G4 vertical out of range")
                 trans.append(a1)
                 a0 = a1
@@ -338,9 +340,12 @@ def decode_g4(data: bytes, width: int, height: int):
                 run2 = _read_run(r, color ^ 1)
                 a1 = a0s + run1
                 a2 = a1 + run2
-                if a2 > width:
+                if a2 > width or (a0 >= 0 and a2 <= a0):
+                    # zero-advance horizontals (both runs 0 past the
+                    # line opening) would stall the loop forever
                     raise ValueError(
-                        "CCITT G4 horizontal runs exceed width"
+                        "CCITT G4 horizontal runs exceed width "
+                        "or fail to advance"
                     )
                 trans.extend((a1, a2))
                 a0 = a2

@@ -813,27 +813,54 @@ def _check_constraints(
 
 
 def add_constraint(
-    spark: SparkSession, path: str, name: str, expr: str
+    spark: SparkSession, path: str, name: str, expr: str,
+    max_retries: int = 5,
 ) -> int:
     """Delta-style ADD CONSTRAINT: validate the CURRENT snapshot
     satisfies the SQL boolean ``expr`` (existing data must comply,
     the Delta rule), then commit a metadata-only manifest carrying
     it; every subsequent write/update/merge refuses rows that
-    violate it. Returns the new version."""
-    vs = _list_versions(path)
-    if not vs:
-        raise ValueError(f"{path} holds no committed versions")
-    m = _read_manifest(path, vs[-1])
-    cons = dict(m.get("constraints", {}))
-    if name in cons:
-        raise ValueError(f"constraint {name!r} already exists")
-    _check_constraints(
-        read_versioned(spark, path), {name: expr},
-        "the existing snapshot",
-    )
-    cons[name] = expr
-    return _commit_metadata(
-        path, m, f"add_constraint:{name}", constraints=cons
+    violate it. Returns the new version.
+
+    Validate-and-commit runs inside the CAS loop: a lost race means
+    a concurrent writer landed NEW data between validation and
+    commit, so the retry RE-VALIDATES against the new latest —
+    the constraint can never apply to rows it never saw."""
+    for _attempt in range(max_retries):
+        vs = _list_versions(path)
+        if not vs:
+            raise ValueError(f"{path} holds no committed versions")
+        m = _read_manifest(path, vs[-1])
+        cons = dict(m.get("constraints", {}))
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        _check_constraints(
+            read_versioned(spark, path, vs[-1]), {name: expr},
+            "the existing snapshot",
+        )
+        cons[name] = expr
+        version = vs[-1] + 1
+        manifest = {
+            "version": version,
+            "parent": vs[-1],
+            "operation": f"add_constraint:{name}",
+            "data_dirs": m["data_dirs"],
+            "n_rows": m["n_rows"],
+            "schema": m["schema"],
+            "schema_evolved": m.get("schema_evolved", False),
+            "constraints": cons,
+            "txns": m.get("txns", {}),
+            "dir_stats": m.get("dir_stats", {}),
+            "committed_at": time.time(),
+        }
+        nonce = (
+            f"{os.getpid():x}"
+            f"{int(time.time() * 1e6) & 0xFFFFFF:x}ac{_attempt}"
+        )
+        if _commit_manifest(path, manifest, version, nonce):
+            return version
+    raise RuntimeError(
+        f"add_constraint lost the version CAS {max_retries} times"
     )
 
 

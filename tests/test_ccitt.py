@@ -200,3 +200,24 @@ def test_mh_roundtrip_and_tiff_compression2():
         gray=doc, bits=1, compression=1, white_is_zero=True
     )
     assert (decode_tiff(t2) == decode_tiff(t1)).all()
+
+
+def test_g4_corrupt_stream_never_stalls():
+    """Adversarial bytes must raise, not loop: an all-VL1 stream
+    (code '010' repeated) makes a1 <= a0 immediately, and an
+    all-zero-run horizontal stream never advances — both are
+    invalid-code or stall territory and must fail loud."""
+    # '010' x many = 0b0100 1001 0010 0100 ... craft 8 bytes
+    stalling_vertical = bytes([0b01001001, 0b00100100] * 4)
+    with pytest.raises(ValueError):
+        decode_g4(stalling_vertical, 16, 4)
+    # horizontal mode '001' + white-0 '00110101' + black-0
+    # '0000110111' repeated: zero-advance after the line opening
+    bits = ("001" + "00110101" + "0000110111") * 8
+    pad = (-len(bits)) % 8
+    data = bytes(
+        int((bits + "0" * pad)[i : i + 8], 2)
+        for i in range(0, len(bits + "0" * pad), 8)
+    )
+    with pytest.raises(ValueError):
+        decode_g4(data, 16, 4)
