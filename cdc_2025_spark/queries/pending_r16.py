@@ -1,0 +1,951 @@
+"""Round-16 registration seeds: the ORDERED-ALTERNATIVES &
+INEQUALITY family started during round 14 so the round-15 session
+opens with a ready queue (the pending_r13->r15 staging posture).
+
+- Jonckheere-Terpstra ordered-trend test of order value across the
+  five priority levels — the k-sample member of the rank family
+  with an ORDERED alternative (Kruskal-Wallis asks "any
+  difference?", JT asks "does value move WITH urgency?"), computed
+  entirely from the shared two-level bucketed-cumsum kernel: one
+  pass yields every group's cumulative on a common value grid, and
+  all C(5,2) pairwise Mann-Whitney U's fold from that frame — no
+  pairwise row join anywhere.
+- McNemar's paired test of per-user error incidence between the
+  first and second half of the observation month (the paired
+  binary member beside Cochran's Q).
+- One-sample Kolmogorov-Smirnov of the deterministic quality score
+  against U[0,1] — the score is a rational in [0,1), so the
+  uniformity gap D is the eval family's calibration-free sanity
+  check (two-sample KS tests drift BETWEEN cohorts; this tests the
+  score's own distribution against its design target).
+- Cliff's delta ordinal effect size of the quality score by the
+  is-English label (delta = 2U/(n1 n2) - 1 from the same
+  midrank-U construction as Mann-Whitney — the effect size that
+  p-value lacks).
+- Atkinson(1/2) and Hoover inequality indices of customer spend
+  (the welfare-theoretic and Robin-Hood members beside the
+  registered Gini/Theil; epsilon = 1/2 uses sqrt, exact-enough
+  under the 6dp round-after-aggregate rule).
+- Quintile spend shares + the Palma-style top/bottom ratio (disc
+  percentile boundaries — the verified engine-parity threshold
+  construction).
+- Goodman-Kruskal gamma between order priority and the order-value
+  quartile (concordance on the bounded 5x4 contingency — ordinal
+  association where chi2/Cramer's V sees only identity).
+- Mean per-document type-token ratio per source (the bounded
+  per-doc TTR average — the lexical-diversity view Heaps/Yule/
+  Honore do not cover at document granularity).
+
+NOT imported by queries/__init__.py (the staging posture); each
+query carries a full DuckDB oracle and is exercised at driver
+strength by tests/test_pending_r16.py at sf0.001 + sf0.01.
+
+Engine-parity rules inherited from the registry docstring (see
+pending_r15's header for the full list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_2025_spark.io import read_table
+from cdc_2025_spark.queries.pending_r14 import (
+    _ans_sql,
+    _normal_two_sided,
+    _scored_docs_with_id,
+    _SCORED_SQL,
+)
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra ordered trend across order priorities
+# ---------------------------------------------------------------------------
+
+
+def stats_jonckheere_terpstra(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jonckheere-Terpstra test (Jonckheere 1954, Terpstra 1952) of
+    order value across the five priority levels in their natural
+    order (1-URGENT < ... < 5-LOW): JT = sum_{i<j} U_ij with U_ij
+    the Mann-Whitney count of (x in level_i) < (y in level_j) pairs
+    (ties at 1/2), null mean (N^2 - sum n_i^2)/4 and the no-tie
+    normal variance, two-sided p via A&S — do later (less urgent)
+    priorities carry systematically different order values, with
+    the ORDER of the levels as part of the hypothesis?
+
+    Scale shape — the kernel showcase: ONE grouped count collapses
+    the corpus to the (value, level) distinct frame, ONE window
+    cumsum pass over the value-ordered frame yields every level's
+    cumulative simultaneously, and all C(5,2) pairwise U's fold
+    from that bounded frame: U_ij = sum_v c_j(v) * (cum_i(v) -
+    c_i(v)) + c_i(v) * c_j(v) / 2 — no pairwise row join at any
+    scale. (The frame is |distinct values| rows; the ordered
+    cumulative window follows the registered equi-depth/KS posture,
+    documented bounded here by the 4dp price domain.)
+
+    Determinism: counts are integers; U folds are exact until the
+    final rationals; the variance is a closed rational in the
+    level sizes."""
+    lv = F.col("o_orderpriority")
+    marg = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.round(F.col("o_totalprice"), 4).alias("v"), lv.alias("g")
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .groupBy("v")
+        .pivot(
+            "g",
+            [
+                "1-URGENT",
+                "2-HIGH",
+                "3-MEDIUM",
+                "4-NOT SPECIFIED",
+                "5-LOW",
+            ],
+        )
+        .sum("c")
+        .na.fill(0)
+        .select(
+            "v",
+            *[
+                F.col(f"`{g}`").alias(f"c{i + 1}")
+                for i, g in enumerate(
+                    [
+                        "1-URGENT",
+                        "2-HIGH",
+                        "3-MEDIUM",
+                        "4-NOT SPECIFIED",
+                        "5-LOW",
+                    ]
+                )
+            ],
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = marg.select(
+        "v",
+        *[F.col(f"c{i}") for i in range(1, 6)],
+        *[
+            F.sum(f"c{i}").over(w).alias(f"cum{i}")
+            for i in range(1, 6)
+        ],
+    )
+    jt_terms = None
+    for i in range(1, 6):
+        for j in range(i + 1, 6):
+            ci, cj = F.col(f"c{i}"), F.col(f"c{j}")
+            cumi = F.col(f"cum{i}")
+            term = cj * (cumi - ci) + ci * cj / F.lit(2.0)
+            jt_terms = term if jt_terms is None else jt_terms + term
+    agg = cum.agg(
+        F.sum(jt_terms).alias("jt"),
+        *[
+            F.sum(f"c{i}").cast("double").alias(f"n{i}")
+            for i in range(1, 6)
+        ],
+    )
+    n_tot = sum((F.col(f"n{i}") for i in range(1, 6)), F.lit(0.0))
+    sum_sq = sum(
+        (F.col(f"n{i}") * F.col(f"n{i}") for i in range(1, 6)),
+        F.lit(0.0),
+    )
+    sum_cu = sum(
+        (
+            F.col(f"n{i}") * F.col(f"n{i}") * (2 * F.col(f"n{i}") + 3)
+            for i in range(1, 6)
+        ),
+        F.lit(0.0),
+    )
+    mean = (n_tot * n_tot - sum_sq) / F.lit(4.0)
+    var = (
+        n_tot * n_tot * (2 * n_tot + 3) - sum_cu
+    ) / F.lit(72.0)
+    z = (F.col("jt") - mean) / F.sqrt(var)
+    return agg.select(
+        n_tot.cast("long").alias("n_orders"),
+        F.round(F.col("jt"), 2).alias("jt_stat"),
+        F.round(mean, 2).alias("jt_mean"),
+        F.round(z, 6).alias("z_stat"),
+        F.round(_normal_two_sided(F.abs(z)), 6).alias("p_value"),
+    )
+
+
+JT_ORACLE = f"""
+WITH marg AS (
+  SELECT ROUND(o_totalprice, 4) AS v,
+         SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS c2,
+         SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS c3,
+         SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS c4,
+         SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS c5
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT v, c1, c2, c3, c4, c5,
+         SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+         SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2,
+         SUM(c3) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum3,
+         SUM(c4) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum4
+  FROM marg
+),
+agg AS (
+  SELECT SUM(  c2 * (cum1 - c1) + c1 * c2 / 2.0
+             + c3 * (cum1 - c1) + c1 * c3 / 2.0
+             + c4 * (cum1 - c1) + c1 * c4 / 2.0
+             + c5 * (cum1 - c1) + c1 * c5 / 2.0
+             + c3 * (cum2 - c2) + c2 * c3 / 2.0
+             + c4 * (cum2 - c2) + c2 * c4 / 2.0
+             + c5 * (cum2 - c2) + c2 * c5 / 2.0
+             + c4 * (cum3 - c3) + c3 * c4 / 2.0
+             + c5 * (cum3 - c3) + c3 * c5 / 2.0
+             + c5 * (cum4 - c4) + c4 * c5 / 2.0) AS jt,
+         CAST(SUM(c1) AS DOUBLE) AS n1,
+         CAST(SUM(c2) AS DOUBLE) AS n2,
+         CAST(SUM(c3) AS DOUBLE) AS n3,
+         CAST(SUM(c4) AS DOUBLE) AS n4,
+         CAST(SUM(c5) AS DOUBLE) AS n5
+  FROM cum
+),
+st AS (
+  SELECT jt, n1 + n2 + n3 + n4 + n5 AS n,
+         n1*n1 + n2*n2 + n3*n3 + n4*n4 + n5*n5 AS ss,
+         n1*n1*(2*n1+3) + n2*n2*(2*n2+3) + n3*n3*(2*n3+3)
+           + n4*n4*(2*n4+3) + n5*n5*(2*n5+3) AS sc
+  FROM agg
+),
+zz AS (
+  SELECT n, jt, (n * n - ss) / 4.0 AS mean,
+         (jt - (n * n - ss) / 4.0)
+           / SQRT((n * n * (2 * n + 3) - sc) / 72.0) AS z
+  FROM st
+),
+zf AS (SELECT n, jt, mean, z, ABS(z) AS za FROM zz)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       ROUND(jt, 2) AS jt_stat,
+       ROUND(mean, 2) AS jt_mean,
+       ROUND(z, 6) AS z_stat,
+       ROUND({_ans_sql('za')}, 6) AS p_value
+FROM zf
+"""
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired test: per-user error incidence, half-month halves
+# ---------------------------------------------------------------------------
+
+
+def stats_mcnemar_paired(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """McNemar's test (McNemar 1947, continuity-corrected) of
+    error incidence between the MORNING and AFTERNOON halves of
+    each (user, day) block: b = blocks with an error only before
+    noon, c = only after; chi2 = (|b - c| - 1)^2 / (b + c), p from
+    the exact chi2(1) tail — does the error experience shift within
+    the day, pairing each user-day with itself? (The paired
+    companion to the two-proportion z, which treats cohorts as
+    independent; a month-half pairing saturates — every active
+    user errors in both halves — so the user-DAY block is the
+    non-degenerate design, the Cochran's Q lesson.)
+
+    Determinism: the AM/PM split is hour(ts) < 12; the 2x2 cell
+    counts are integers; the statistic is one rational (NULL if no
+    discordant blocks exist — reported, not divided-by-zero).
+
+    Scale shape: one (user, day, half) presence collapse
+    (distinct), a per-block fold to the 2x2, one scalar row out."""
+    ev = read_table(spark, sf_dir, "events")
+    flags = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            (F.hour("ts") < 12).alias("am"),
+        )
+        .distinct()
+        .groupBy("user_id", "day")
+        .agg(
+            F.max(F.col("am").cast("int")).alias("e"),
+            F.max((~F.col("am")).cast("int")).alias("l"),
+        )
+    )
+    blocks = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    cells = blocks.join(flags, ["user_id", "day"], "left").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(
+            ((F.col("e") == 1) & (F.col("l") == 0)).cast("long")
+        ).alias("b"),
+        F.sum(
+            ((F.col("e") == 0) & (F.col("l") == 1)).cast("long")
+        ).alias("c"),
+        F.sum(
+            ((F.col("e") == 1) & (F.col("l") == 1)).cast("long")
+        ).alias("both"),
+    )
+    b, c = F.col("b").cast("double"), F.col("c").cast("double")
+    chi2 = F.when(
+        b + c > 0,
+        (F.abs(b - c) - 1) * (F.abs(b - c) - 1) / (b + c),
+    )
+    return cells.select(
+        "n_blocks",
+        F.coalesce(F.col("b"), F.lit(0)).cast("long").alias("only_am"),
+        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("only_pm"),
+        F.coalesce(F.col("both"), F.lit(0)).cast("long").alias("both_halves"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(
+            _normal_two_sided(F.sqrt(chi2)), 6
+        ).alias("p_value"),
+    )
+
+
+MCNEMAR_ORACLE = f"""
+WITH flags AS (
+  SELECT user_id, day,
+         MAX(CASE WHEN am THEN 1 ELSE 0 END) AS e,
+         MAX(CASE WHEN am THEN 0 ELSE 1 END) AS l
+  FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+               hour(ts) < 12 AS am
+        FROM events WHERE event_type = 'error')
+  GROUP BY 1, 2
+),
+blocks AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+cells AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(CASE WHEN e = 1 AND l = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN e = 0 AND l = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN e = 1 AND l = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_both
+  FROM blocks bl
+  LEFT JOIN flags f ON f.user_id = bl.user_id AND f.day = bl.day
+),
+zz AS (
+  SELECT n_blocks, b, c, n_both,
+         CASE WHEN b + c > 0
+              THEN (ABS(b - c * 1.0) - 1) * (ABS(b - c * 1.0) - 1)
+                   / (b + c) END AS chi2
+  FROM cells
+),
+zf AS (SELECT *, SQRT(chi2) AS za FROM zz)
+SELECT n_blocks, b AS only_am, c AS only_pm,
+       n_both AS both_halves,
+       ROUND(chi2, 6) AS chi2,
+       ROUND({_ans_sql('za')}, 6) AS p_value
+FROM zf
+"""
+
+
+# ---------------------------------------------------------------------------
+# One-sample KS: the quality score against U[0,1]
+# ---------------------------------------------------------------------------
+
+
+def eval_ks_uniformity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-sample Kolmogorov-Smirnov of the deterministic quality
+    score against its U[0,1] design target: D = max over distinct
+    scores of max(|ECDF(v) - v|, |ECDF(v-) - v|) (both one-sided
+    gaps — the supremum of a step function against a continuous CDF
+    is attained at a jump, on either side of it), with the
+    asymptotic sqrt(n)*D statistic. The eval family's sanity check
+    that the score actually fills its range (a clumped score makes
+    every threshold metric misleading).
+
+    Determinism: ECDF from integer counts on the distinct-score
+    frame (SCORE_MOD values); the uniform CDF of a rational score
+    is the score itself.
+
+    Scale shape: one grouped count to the SCORE_MOD-bounded
+    distinct frame, one ordered cumsum window over it (bounded by
+    construction), one max fold."""
+    scored = _scored_docs_with_id(spark, sf_dir)
+    marg = scored.groupBy("score").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n_frame = marg.agg(F.sum("c").cast("double").alias("n"))
+    ecdf = marg.crossJoin(F.broadcast(n_frame)).select(
+        "score",
+        "n",
+        (F.sum("c").over(w) / F.col("n")).alias("ecdf"),
+        ((F.sum("c").over(w) - F.col("c")) / F.col("n")).alias(
+            "ecdf_before"
+        ),
+    )
+    gap = F.greatest(
+        F.abs(F.col("ecdf") - F.col("score")),
+        F.abs(F.col("ecdf_before") - F.col("score")),
+    )
+    agg = ecdf.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.max(gap).alias("ks_d"),
+        F.max("n").alias("nd"),
+    )
+    return agg.select(
+        "n_docs",
+        F.round("ks_d", 6).alias("ks_d"),
+        F.round(
+            F.sqrt(F.col("nd")) * F.col("ks_d"), 6
+        ).alias("sqrt_n_d"),
+    )
+
+
+KS_UNIFORM_ORACLE = f"""
+WITH {_SCORED_SQL},
+marg AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS c
+  FROM scored GROUP BY score
+),
+n_f AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM marg),
+ecdf AS (
+  SELECT score, n,
+         SUM(c) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+           / n AS ecdf,
+         (SUM(c) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+           - c) / n AS ecdf_before
+  FROM marg, n_f
+),
+agg AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+         MAX(GREATEST(ABS(ecdf - score),
+                      ABS(ecdf_before - score))) AS ks_d,
+         MAX(n) AS nd
+  FROM ecdf
+)
+SELECT n_docs, ROUND(ks_d, 6) AS ks_d,
+       ROUND(SQRT(nd) * ks_d, 6) AS sqrt_n_d
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cliff's delta: ordinal effect size of score by label
+# ---------------------------------------------------------------------------
+
+
+def eval_cliffs_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cliff's delta (Cliff 1993) of the quality score between the
+    English and non-English documents: delta = P(x_en > x_other) -
+    P(x_en < x_other) = 2U/(n1 n0) - 1 from the same distinct-score
+    cumulative construction as Mann-Whitney — the scale-free effect
+    size the U test's p-value lacks (|d| < 0.147 negligible, < 0.33
+    small, < 0.474 medium per Romano et al. 2006, reported as the
+    band).
+
+    Determinism: integer counts on the bounded distinct-score
+    frame; one rational.
+
+    Scale shape: one grouped count, one bounded cumsum window, one
+    fold — the Jonckheere construction at k = 2."""
+    scored = _scored_docs_with_id(spark, sf_dir)
+    marg = (
+        scored.groupBy("score")
+        .agg(
+            F.sum("label").cast("long").alias("c1"),
+            F.sum(1 - F.col("label")).cast("long").alias("c0"),
+        )
+    )
+    w = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = marg.select(
+        "c1",
+        "c0",
+        F.sum("c0").over(w).alias("cum0"),
+    )
+    agg = cum.agg(
+        F.sum(
+            F.col("c1")
+            * (F.col("cum0") - F.col("c0"))
+            + F.col("c1") * F.col("c0") / F.lit(2.0)
+        ).alias("u"),
+        F.sum("c1").cast("double").alias("n1"),
+        F.sum("c0").cast("double").alias("n0"),
+    )
+    delta = F.lit(2.0) * F.col("u") / (F.col("n1") * F.col("n0")) - 1
+    band = (
+        F.when(F.abs(delta) < 0.147, "negligible")
+        .when(F.abs(delta) < 0.33, "small")
+        .when(F.abs(delta) < 0.474, "medium")
+        .otherwise("large")
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n_positive"),
+        F.col("n0").cast("long").alias("n_negative"),
+        F.round(
+            F.col("u") / (F.col("n1") * F.col("n0")), 6
+        ).alias("auc_u"),
+        F.round(delta, 6).alias("cliffs_delta"),
+        band.alias("magnitude"),
+    )
+
+
+CLIFFS_ORACLE = f"""
+WITH {_SCORED_SQL},
+marg AS (
+  SELECT score,
+         CAST(SUM(label) AS BIGINT) AS c1,
+         CAST(SUM(1 - label) AS BIGINT) AS c0
+  FROM scored GROUP BY score
+),
+cum AS (
+  SELECT c1, c0,
+         SUM(c0) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+           AS cum0
+  FROM marg
+),
+agg AS (
+  SELECT SUM(c1 * (cum0 - c0) + c1 * c0 / 2.0) AS u,
+         CAST(SUM(c1) AS DOUBLE) AS n1,
+         CAST(SUM(c0) AS DOUBLE) AS n0
+  FROM cum
+),
+d AS (
+  SELECT n1, n0, u, 2.0 * u / (n1 * n0) - 1 AS delta FROM agg
+)
+SELECT CAST(n1 AS BIGINT) AS n_positive,
+       CAST(n0 AS BIGINT) AS n_negative,
+       ROUND(u / (n1 * n0), 6) AS auc_u,
+       ROUND(delta, 6) AS cliffs_delta,
+       CASE WHEN ABS(delta) < 0.147 THEN 'negligible'
+            WHEN ABS(delta) < 0.33 THEN 'small'
+            WHEN ABS(delta) < 0.474 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# Atkinson + Hoover inequality of customer spend
+# ---------------------------------------------------------------------------
+
+
+def stats_atkinson_hoover(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Atkinson index at epsilon = 1/2 (Atkinson 1970) and the
+    Hoover/Robin-Hood index of per-customer total spend: A(1/2) =
+    1 - (mean sqrt(y))^2 / mean(y) and H = sum|y - ybar| /
+    (2 sum y) — the welfare-theoretic and redistribution-share
+    members of the inequality family beside the registered
+    Gini/Lorenz and Theil views (each answers a different policy
+    question from the same spend distribution).
+
+    Determinism: per-customer totals are 4dp-rounded; the index
+    arithmetic is closed-form moment folds (sqrt sums land within
+    the 6dp round-after-aggregate band).
+
+    Scale shape: one orders groupBy to the per-customer frame
+    (map-side partials), two moment folds; output is one row."""
+    spend = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    m = spend.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.sqrt("y")).alias("sr"),
+    )
+    mean_y = F.col("sy") / F.col("n")
+    atkinson = F.lit(1.0) - (
+        (F.col("sr") / F.col("n")) * (F.col("sr") / F.col("n"))
+    ) / mean_y
+    dev = spend.crossJoin(F.broadcast(m)).agg(
+        F.sum(
+            F.abs(F.col("y") - F.col("sy") / F.col("n"))
+        ).alias("sad"),
+        F.max("n").cast("long").alias("n_customers"),
+        F.max("sy").alias("sy2"),
+    )
+    hoover = F.col("sad") / (F.lit(2.0) * F.col("sy2"))
+    out = m.select(
+        F.round(atkinson, 6).alias("atkinson_half"),
+    ).crossJoin(
+        dev.select(
+            "n_customers", F.round(hoover, 6).alias("hoover")
+        )
+    )
+    return out.select("n_customers", "atkinson_half", "hoover")
+
+
+ATKINSON_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS y
+  FROM orders GROUP BY 1
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(y) AS sy,
+         SUM(SQRT(y)) AS sr
+  FROM spend
+),
+dev AS (
+  SELECT SUM(ABS(y - sy / n)) AS sad
+  FROM spend, m GROUP BY n, sy
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       ROUND(1.0 - ((sr / n) * (sr / n)) / (sy / n), 6)
+         AS atkinson_half,
+       ROUND(sad / (2.0 * sy), 6) AS hoover
+FROM m, dev
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quintile spend shares + Palma-style ratio
+# ---------------------------------------------------------------------------
+
+
+def stats_quintile_shares(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spend share of each customer-spend quintile (disc-percentile
+    boundaries — the verified engine-parity threshold construction)
+    plus the Palma-style ratio of the top quintile's share to the
+    bottom two quintiles' — the distribution table behind the
+    Atkinson/Hoover/Gini scalars (policy reads shares, not
+    indices).
+
+    Determinism: NTILE over the per-customer frame ordered by
+    (4dp-rounded spend, custkey) — the unique tiebreak makes the
+    assignment a total order; shares are sum ratios.
+
+    Scale shape: the NTILE window runs on the per-customer frame
+    (bounded by |customers|, the registered window_ntile posture);
+    output is 5 rows plus the ratio embedded per row."""
+    spend = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("y"))
+    )
+    w = Window.orderBy("y", "o_custkey")
+    q = spend.select(
+        "y", F.ntile(5).over(w).alias("quintile")
+    )
+    tot = q.agg(F.sum("y").alias("ty"))
+    shares = (
+        q.groupBy("quintile")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.sum("y"), 4).alias("spend"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("quintile").cast("int").alias("quintile"),
+            "n_customers",
+            "spend",
+            F.round(F.col("spend") / F.col("ty"), 6).alias("share"),
+        )
+    )
+    palma = (
+        shares.agg(
+            (
+                F.sum(F.when(F.col("quintile") == 5, F.col("share")))
+                / F.sum(
+                    F.when(F.col("quintile") <= 2, F.col("share"))
+                )
+            ).alias("p")
+        )
+    )
+    return shares.crossJoin(F.broadcast(palma)).select(
+        "quintile",
+        "n_customers",
+        "spend",
+        "share",
+        F.round("p", 4).alias("palma_ratio"),
+    )
+
+
+QUINTILE_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS y
+  FROM orders GROUP BY 1
+),
+q AS (
+  SELECT y, NTILE(5) OVER (ORDER BY y, o_custkey) AS quintile
+  FROM spend
+),
+tot AS (SELECT SUM(y) AS ty FROM q),
+shares AS (
+  SELECT CAST(quintile AS INTEGER) AS quintile,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         ROUND(SUM(y), 4) AS spend,
+         ROUND(SUM(y) / (SELECT ty FROM tot), 6) AS share
+  FROM q GROUP BY quintile
+),
+palma AS (
+  SELECT SUM(CASE WHEN quintile = 5 THEN share END)
+           / SUM(CASE WHEN quintile <= 2 THEN share END) AS p
+  FROM shares
+)
+SELECT quintile, n_customers, spend, share,
+       ROUND(p, 4) AS palma_ratio
+FROM shares, palma
+"""
+
+
+# ---------------------------------------------------------------------------
+# Goodman-Kruskal gamma: priority x value-quartile concordance
+# ---------------------------------------------------------------------------
+
+
+def stats_goodman_kruskal_gamma(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Goodman-Kruskal gamma (1954) between order priority (ordinal
+    1-URGENT..5-LOW) and the order-value quartile: gamma =
+    (C - D)/(C + D) over concordant/discordant pairs, computed from
+    the bounded 5x4 contingency table (C = sum over cells of
+    count * total strictly-southeast; D = northeast) — ordinal
+    association where chi2 / Cramer's V sees only identity. The
+    pair-level view of the same hypothesis Jonckheere-Terpstra
+    tests.
+
+    Determinism: the quartile is NTILE over (4dp value, orderkey) —
+    a total order; cell counts and the C/D folds are exact
+    integers.
+
+    Scale shape: one NTILE window on the orders frame, one grouped
+    count to the 20-cell table, and the C/D folds are a 20x20
+    bounded self-join; output is one row."""
+    pr_rank = F.element_at(
+        F.split(F.col("o_orderpriority"), "-"), 1
+    ).cast("int")
+    w = Window.orderBy(
+        F.round(F.col("o_totalprice"), 4), "o_orderkey"
+    )
+    cells = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            pr_rank.alias("r"),
+            F.ntile(4).over(w).alias("q"),
+        )
+        .groupBy("r", "q")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    a = cells.select(
+        F.col("r").alias("r1"), F.col("q").alias("q1"),
+        F.col("c").alias("ca"),
+    )
+    b = cells.select(
+        F.col("r").alias("r2"), F.col("q").alias("q2"),
+        F.col("c").alias("cb"),
+    )
+    pairs = a.crossJoin(b)
+    conc = F.sum(
+        F.when(
+            (F.col("r2") > F.col("r1")) & (F.col("q2") > F.col("q1")),
+            F.col("ca") * F.col("cb"),
+        )
+    )
+    disc = F.sum(
+        F.when(
+            (F.col("r2") > F.col("r1")) & (F.col("q2") < F.col("q1")),
+            F.col("ca") * F.col("cb"),
+        )
+    )
+    agg = pairs.agg(
+        conc.alias("concordant"), disc.alias("discordant")
+    )
+    g = (F.col("concordant") - F.col("discordant")) / (
+        F.col("concordant") + F.col("discordant")
+    ).cast("double")
+    return agg.select(
+        F.col("concordant").cast("long").alias("concordant"),
+        F.col("discordant").cast("long").alias("discordant"),
+        F.round(g, 6).alias("gamma"),
+    )
+
+
+GAMMA_ORACLE = """
+WITH ranked AS (
+  SELECT CAST(string_split(o_orderpriority, '-')[1] AS INTEGER) AS r,
+         NTILE(4) OVER (ORDER BY ROUND(o_totalprice, 4),
+                        o_orderkey) AS q
+  FROM orders
+),
+cells AS (
+  SELECT r, q, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ranked GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.c AS ca, b.c AS cb, a.r AS r1, a.q AS q1,
+         b.r AS r2, b.q AS q2
+  FROM cells a, cells b
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN r2 > r1 AND q2 > q1
+                       THEN ca * cb ELSE 0 END) AS BIGINT)
+           AS concordant,
+         CAST(SUM(CASE WHEN r2 > r1 AND q2 < q1
+                       THEN ca * cb ELSE 0 END) AS BIGINT)
+           AS discordant
+  FROM pairs
+)
+SELECT concordant, discordant,
+       ROUND((concordant - discordant) * 1.0
+             / (concordant + discordant), 6) AS gamma
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mean per-document type-token ratio per source
+# ---------------------------------------------------------------------------
+
+
+def text_mean_doc_ttr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mean per-document type-token ratio per source (plus the
+    pooled-corpus TTR for contrast): TTR_doc = |types| / |tokens|
+    within each document, averaged per source — the
+    document-granular lexical diversity the corpus-level estimators
+    (Heaps, Yule K, Honore R) wash out (a source of many short
+    repetitive docs and one of few long rich docs can share a
+    corpus TTR while their doc means differ wildly).
+
+    Determinism: per-doc counts are integers; the mean is a fold
+    over the bounded per-doc frame, 6dp-rounded.
+
+    Scale shape: one (doc, token) grouped count (map-side), a
+    per-doc fold, a per-source mean; output is |sources| rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower("text")), r"\s+")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per_doc = (
+        toks.groupBy("source", "doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("source", "doc_id")
+        .agg(
+            F.count("*").cast("double").alias("types"),
+            F.sum("c").cast("double").alias("tokens"),
+        )
+    )
+    pooled = (
+        toks.groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("source")
+        .agg(
+            (F.count("*") / F.sum("c")).alias("pooled_ttr")
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(
+                F.avg(F.col("types") / F.col("tokens")), 6
+            ).alias("mean_doc_ttr"),
+        )
+        .join(
+            pooled.select(
+                "source", F.round("pooled_ttr", 6).alias("pooled_ttr")
+            ),
+            "source",
+        )
+    )
+
+
+TTR_ORACLE = """
+WITH toks AS (
+  SELECT source, doc_id, tok
+  FROM (SELECT source, doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                 AS tok
+        FROM documents)
+  WHERE tok <> ''
+),
+per_doc AS (
+  SELECT source, doc_id,
+         CAST(COUNT(*) AS DOUBLE) AS types,
+         CAST(SUM(c) AS DOUBLE) AS tokens
+  FROM (SELECT source, doc_id, tok, COUNT(*) AS c
+        FROM toks GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+pooled AS (
+  SELECT source,
+         COUNT(*) * 1.0 / SUM(c) AS pooled_ttr
+  FROM (SELECT source, tok, COUNT(*) AS c
+        FROM toks GROUP BY 1, 2)
+  GROUP BY source
+)
+SELECT p.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(types / tokens), 6) AS mean_doc_ttr,
+       ROUND(MAX(pl.pooled_ttr), 6) AS pooled_ttr
+FROM per_doc p JOIN pooled pl ON p.source = pl.source
+GROUP BY p.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registration seeds for round 16
+# ---------------------------------------------------------------------------
+
+PENDING_ORDER = [
+    "stats_jonckheere_terpstra",
+    "stats_mcnemar_paired",
+    "eval_ks_uniformity",
+    "eval_cliffs_delta",
+    "stats_atkinson_hoover",
+    "stats_quintile_shares",
+    "stats_goodman_kruskal_gamma",
+    "text_mean_doc_ttr",
+]
+
+_PENDING = {
+    "stats_jonckheere_terpstra": (
+        stats_jonckheere_terpstra, JT_ORACLE,
+    ),
+    "stats_mcnemar_paired": (stats_mcnemar_paired, MCNEMAR_ORACLE),
+    "eval_ks_uniformity": (eval_ks_uniformity, KS_UNIFORM_ORACLE),
+    "eval_cliffs_delta": (eval_cliffs_delta, CLIFFS_ORACLE),
+    "stats_atkinson_hoover": (
+        stats_atkinson_hoover, ATKINSON_ORACLE,
+    ),
+    "stats_quintile_shares": (
+        stats_quintile_shares, QUINTILE_ORACLE,
+    ),
+    "stats_goodman_kruskal_gamma": (
+        stats_goodman_kruskal_gamma, GAMMA_ORACLE,
+    ),
+    "text_mean_doc_ttr": (text_mean_doc_ttr, TTR_ORACLE),
+}
+
+
+def register_all() -> None:
+    """Register every round-16 seed query + oracle in the live
+    registry (call from queries/__init__.py when the round-16
+    window opens)."""
+    from cdc_2025_spark.queries.registry import ORACLES, QUERIES
+
+    for name in PENDING_ORDER:
+        fn, oracle = _PENDING[name]
+        if name not in QUERIES:
+            QUERIES[name] = fn
+            if oracle is not None:
+                ORACLES[name] = " ".join(oracle.split())

@@ -1,0 +1,309 @@
+"""Round-16 registration seeds (ordered-alternatives & inequality
+family): driver-strength oracle comparison (exact values,
+numeric-type-family match, oracle-output-type safety) plus python
+model pins, so the round-15 session opens with a pre-verified queue.
+NOT imported by queries/__init__.py; pending queries are plain
+functions."""
+
+from __future__ import annotations
+
+import math
+import os
+from collections import defaultdict
+
+import duckdb
+import pytest
+
+from cdc_2025_spark.queries import pending_r16
+from cdc_2025_spark.schemas import TABLE_NAMES
+
+SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_TEST_SF_DIR", "/root/testdata/sf0.001"
+)
+
+DRIVER_SAFE_ORACLE_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+    "VARCHAR", "DATE", "BOOLEAN", "TIMESTAMP",
+}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def _same(a, b):
+    if a is None or b is None:
+        return a is b
+    num_a = isinstance(a, (int, float)) and not isinstance(a, bool)
+    num_b = isinstance(b, (int, float)) and not isinstance(b, bool)
+    if num_a and num_b:
+        if isinstance(a, float) != isinstance(b, float):
+            return False
+        return a == b
+    return a == b
+
+
+@pytest.mark.parametrize("name", pending_r16.PENDING_ORDER)
+def test_pending_oracle_match(spark, duck, name):
+    fn, oracle = pending_r16._PENDING[name]
+    sdf = fn(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(oracle)
+    duck_cols = list(rel.columns)
+    duck_types = [str(t) for t in rel.types]
+    duck_rows = rel.fetchall()
+    unsafe = [
+        f"{c}:{t}"
+        for c, t in zip(duck_cols, duck_types)
+        if t.split("(")[0] not in DRIVER_SAFE_ORACLE_TYPES
+    ]
+    assert not unsafe, f"{name}: driver-unsafe oracle types {unsafe}"
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows)
+    s_norm = _normalize(spark_rows, spark_cols)
+    d_norm = _normalize(duck_rows, duck_cols)
+    mismatches = [
+        (i, sr, dr)
+        for i, (sr, dr) in enumerate(zip(s_norm, d_norm))
+        if not all(_same(a, b) for a, b in zip(sr, dr))
+    ][:3]
+    assert not mismatches, f"{name}: value mismatches {mismatches}"
+
+
+@pytest.mark.parametrize("name", pending_r16.PENDING_ORDER)
+def test_pending_outputs_driver_sortable(spark, name):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    fn, _ = pending_r16._PENDING[name]
+    df = fn(spark, SF_DIR)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{name}: container columns {bad}"
+
+
+def test_pending_module_not_registered():
+    from cdc_2025_spark.queries import QUERIES
+
+    assert not (set(pending_r16.PENDING_ORDER) & set(QUERIES))
+
+
+def test_jonckheere_matches_pairwise_python_model(spark, duck):
+    """The cumsum-kernel JT equals the O(n^2) literal pairwise fold
+    over the same (value, level) rows — the construction identity
+    the scale shape depends on."""
+    rows = duck.execute(
+        """SELECT o_orderpriority, ROUND(o_totalprice, 4)
+           FROM orders"""
+    ).fetchall()
+    levels = sorted({r[0] for r in rows})
+    by_level = {g: [v for gg, v in rows if gg == g] for g in levels}
+    jt = 0.0
+    for i, gi in enumerate(levels):
+        for gj in levels[i + 1 :]:
+            for x in by_level[gi]:
+                for y in by_level[gj]:
+                    if x < y:
+                        jt += 1.0
+                    elif x == y:
+                        jt += 0.5
+    row = pending_r16.stats_jonckheere_terpstra(
+        spark, SF_DIR
+    ).collect()[0]
+    assert row["n_orders"] == len(rows)
+    assert abs(row["jt_stat"] - jt) < 1e-2
+    n = len(rows)
+    ss = sum(len(v) ** 2 for v in by_level.values())
+    assert abs(row["jt_mean"] - (n * n - ss) / 4.0) < 1e-2
+
+
+def test_mcnemar_matches_python_model(spark, duck):
+    rows = duck.execute(
+        """SELECT DISTINCT user_id, CAST(ts AS DATE),
+                  hour(ts) < 12
+           FROM events WHERE event_type = 'error'"""
+    ).fetchall()
+    blocks = defaultdict(lambda: [0, 0])
+    for u, d, am in rows:
+        blocks[(u, d)][0 if am else 1] = 1
+    b = sum(1 for e, l in blocks.values() if e and not l)
+    c = sum(1 for e, l in blocks.values() if l and not e)
+    row = pending_r16.stats_mcnemar_paired(
+        spark, SF_DIR
+    ).collect()[0]
+    assert (row["only_am"], row["only_pm"]) == (b, c)
+    if b + c:
+        chi2 = (abs(b - c) - 1) ** 2 / (b + c)
+        assert abs(row["chi2"] - chi2) < 1e-6
+    # the user-day design must be non-degenerate at every SF
+    assert b + c > 0
+
+
+def test_ks_uniformity_matches_python_model(spark, duck):
+    from cdc_2025_spark.queries.pending_r10 import SCORE_MOD
+
+    vals = [
+        v
+        for (v,) in duck.execute(
+            f"""SELECT (n_chars % {SCORE_MOD}) * 1.0 / {SCORE_MOD}
+                FROM documents
+                WHERE n_chars IS NOT NULL AND lang IS NOT NULL"""
+        ).fetchall()
+    ]
+    vals.sort()
+    n = len(vals)
+    d = 0.0
+    seen = 0
+    from itertools import groupby
+
+    for v, grp in groupby(vals):
+        k = len(list(grp))
+        d = max(d, abs(seen / n - v), abs((seen + k) / n - v))
+        seen += k
+    row = pending_r16.eval_ks_uniformity(spark, SF_DIR).collect()[0]
+    assert row["n_docs"] == n
+    assert abs(row["ks_d"] - d) < 1e-6
+
+
+def test_cliffs_delta_matches_python_model(spark, duck):
+    from cdc_2025_spark.queries.pending_r10 import SCORE_MOD
+
+    rows = duck.execute(
+        f"""SELECT (n_chars % {SCORE_MOD}) * 1.0 / {SCORE_MOD},
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+            FROM documents
+            WHERE n_chars IS NOT NULL AND lang IS NOT NULL"""
+    ).fetchall()
+    pos = [v for v, l in rows if l]
+    neg = [v for v, l in rows if not l]
+    gt = sum(1 for x in pos for y in neg if x > y)
+    lt = sum(1 for x in pos for y in neg if x < y)
+    delta = (gt - lt) / (len(pos) * len(neg))
+    row = pending_r16.eval_cliffs_delta(spark, SF_DIR).collect()[0]
+    assert (row["n_positive"], row["n_negative"]) == (
+        len(pos),
+        len(neg),
+    )
+    assert abs(row["cliffs_delta"] - delta) < 1e-6
+    assert -1.0 <= row["cliffs_delta"] <= 1.0
+
+
+def test_atkinson_hoover_matches_python_model(spark, duck):
+    ys = [
+        float(y)
+        for (y,) in duck.execute(
+            """SELECT ROUND(SUM(o_totalprice), 4)
+               FROM orders GROUP BY o_custkey"""
+        ).fetchall()
+    ]
+    n = len(ys)
+    mean = sum(ys) / n
+    atk = 1 - (sum(math.sqrt(y) for y in ys) / n) ** 2 / mean
+    hoo = sum(abs(y - mean) for y in ys) / (2 * sum(ys))
+    row = pending_r16.stats_atkinson_hoover(
+        spark, SF_DIR
+    ).collect()[0]
+    assert row["n_customers"] == n
+    assert abs(row["atkinson_half"] - atk) < 1e-5
+    assert abs(row["hoover"] - hoo) < 1e-5
+    assert 0.0 <= row["atkinson_half"] < 1.0
+    assert 0.0 <= row["hoover"] < 1.0
+
+
+def test_quintile_shares_sum_to_one_and_monotone(spark):
+    rows = pending_r16.stats_quintile_shares(
+        spark, SF_DIR
+    ).collect()
+    assert sorted(r["quintile"] for r in rows) == [1, 2, 3, 4, 5]
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    by_q = {r["quintile"]: r for r in rows}
+    shares = [by_q[q]["share"] for q in range(1, 6)]
+    assert shares == sorted(shares)  # spend-ordered quintiles
+    assert all(
+        r["palma_ratio"] == rows[0]["palma_ratio"] for r in rows
+    )
+    assert by_q[5]["share"] / (
+        by_q[1]["share"] + by_q[2]["share"]
+    ) == pytest.approx(rows[0]["palma_ratio"], abs=5e-4)
+
+
+def test_gamma_matches_python_model(spark, duck):
+    rows = duck.execute(
+        """SELECT CAST(string_split(o_orderpriority, '-')[1]
+                       AS INTEGER),
+                  NTILE(4) OVER (ORDER BY ROUND(o_totalprice, 4),
+                                 o_orderkey)
+           FROM orders"""
+    ).fetchall()
+    cells = defaultdict(int)
+    for r, q in rows:
+        cells[(r, q)] += 1
+    conc = disc = 0
+    for (r1, q1), ca in cells.items():
+        for (r2, q2), cb in cells.items():
+            if r2 > r1 and q2 > q1:
+                conc += ca * cb
+            elif r2 > r1 and q2 < q1:
+                disc += ca * cb
+    row = pending_r16.stats_goodman_kruskal_gamma(
+        spark, SF_DIR
+    ).collect()[0]
+    assert (row["concordant"], row["discordant"]) == (conc, disc)
+    assert abs(
+        row["gamma"] - (conc - disc) / (conc + disc)
+    ) < 1e-6
+
+
+def test_mean_doc_ttr_matches_python_model(spark, duck):
+    import re
+
+    rows = duck.execute(
+        "SELECT source, doc_id, text FROM documents"
+    ).fetchall()
+    per_src = defaultdict(list)
+    for src, _did, text in rows:
+        toks = [
+            t
+            for t in re.split(r"\s+", text.strip().lower())
+            if t
+        ]
+        per_src[src].append(len(set(toks)) / len(toks))
+    got = {
+        r["source"]: r
+        for r in pending_r16.text_mean_doc_ttr(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(per_src)
+    for src, ttrs in per_src.items():
+        assert got[src]["n_docs"] == len(ttrs)
+        assert abs(
+            got[src]["mean_doc_ttr"] - sum(ttrs) / len(ttrs)
+        ) < 1e-5
+        # pooled TTR <= mean doc TTR (types dedupe across docs)
+        assert got[src]["pooled_ttr"] <= got[src]["mean_doc_ttr"]
