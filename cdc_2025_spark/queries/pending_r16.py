@@ -38,7 +38,17 @@ opens with a ready queue (the pending_r13->r15 staging posture).
 
 NOT imported by queries/__init__.py (the staging posture); each
 query carries a full DuckDB oracle and is exercised at driver
-strength by tests/test_pending_r16.py at sf0.001 + sf0.01.
+strength by tests/test_pending_r16.py at sf0.001 + sf0.01, with a
+python model pin per statistic (the JT pin is the literal O(n^2)
+pairwise fold — the construction identity the kernel shape
+replaces).
+
+Pre-registration sf0.1 wall times (min-of-2, warm idle local[32]):
+JT 0.68 s, McNemar 0.34 s, KS uniformity 0.46 s, Cliff's delta
+0.29 s, Atkinson/Hoover 0.55 s, quintile shares 0.56 s, gamma
+0.57 s, mean-doc TTR 0.40 s — 3.85 s combined; every post-collapse
+frame bounded (distinct 4dp values, user-days, SCORE_MOD scores,
+5x4 cells, per-doc folds).
 
 Engine-parity rules inherited from the registry docstring (see
 pending_r15's header for the full list).
