@@ -2313,19 +2313,22 @@ def versioned_dml_audit(
         (bal >= DML_LO) & (bal < DML_HI),
         bal >= DML_HI,
     ]
-    facts = {}
-
     def _build(path: str) -> None:
+        # audit facts are NEVER captured from these return values:
+        # under memoization _build runs once per session, so the
+        # manifest history() is the only correct source (the
+        # constraint audit's refused-commit reconstruction models
+        # the same rule)
         for i, cond in enumerate(bands):
             write_versioned(
                 base.filter(cond),
                 path,
                 mode="append" if i else "overwrite",
             )
-        facts["del"] = delete_versioned(
+        delete_versioned(
             spark, path, [("c_acctbal", ">=", DML_HI)]
         )
-        facts["upd"] = update_versioned(
+        update_versioned(
             spark,
             path,
             {"c_acctbal": "c_acctbal + 500"},

@@ -59,6 +59,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cdc_2025_spark.functions.ranks import bucketed_cumsums
 from cdc_2025_spark.io import read_table
 from cdc_2025_spark.queries.pending_r14 import (
     _ans_sql,
@@ -85,18 +86,22 @@ def stats_jonckheere_terpstra(
     the ORDER of the levels as part of the hypothesis?
 
     Scale shape — the kernel showcase: ONE grouped count collapses
-    the corpus to the (value, level) distinct frame, ONE window
-    cumsum pass over the value-ordered frame yields every level's
-    cumulative simultaneously, and all C(5,2) pairwise U's fold
-    from that bounded frame: U_ij = sum_v c_j(v) * (cum_i(v) -
-    c_i(v)) + c_i(v) * c_j(v) / 2 — no pairwise row join at any
-    scale. (The frame is |distinct values| rows; the ordered
-    cumulative window follows the registered equi-depth/KS posture,
-    documented bounded here by the 4dp price domain.)
+    the corpus to the (value, level) distinct frame
+    (localCheckpoint-ed: the kernel fans its input to three
+    subtrees), the five levels' cumulatives all come from ONE
+    :func:`bucketed_cumsums` pass (the shared two-level kernel — no
+    window partition exceeds ~|distinct|/1024 rows; totalprice at
+    4dp is effectively one distinct value per order, so a raw
+    ``Window.orderBy(v)`` here would be the single-task corpus sort
+    the r11 audit banned), and all C(5,2) pairwise U's fold from
+    that bounded frame: U_ij = sum_v c_j(v) * (cum_i(v) - c_i(v)) +
+    c_i(v) * c_j(v) / 2 — no pairwise row join at any scale.
 
     Determinism: counts are integers; U folds are exact until the
     final rationals; the variance is a closed rational in the
-    level sizes."""
+    level sizes (the kernel's monotone bucketing keeps the
+    cumulative exact — bucket geometry moves wall time, never
+    answers)."""
     lv = F.col("o_orderpriority")
     marg = (
         read_table(spark, sf_dir, "orders")
@@ -132,23 +137,16 @@ def stats_jonckheere_terpstra(
                 )
             ],
         )
+        .localCheckpoint(eager=False)
     )
-    w = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = marg.select(
-        "v",
-        *[F.col(f"c{i}") for i in range(1, 6)],
-        *[
-            F.sum(f"c{i}").over(w).alias(f"cum{i}")
-            for i in range(1, 6)
-        ],
+    cum = bucketed_cumsums(
+        marg, "v", tuple(f"c{i}" for i in range(1, 6))
     )
     jt_terms = None
     for i in range(1, 6):
         for j in range(i + 1, 6):
             ci, cj = F.col(f"c{i}"), F.col(f"c{j}")
-            cumi = F.col(f"cum{i}")
+            cumi = F.col(f"cum_c{i}")
             term = cj * (cumi - ci) + ci * cj / F.lit(2.0)
             jt_terms = term if jt_terms is None else jt_terms + term
     agg = cum.agg(
@@ -632,28 +630,64 @@ def stats_quintile_shares(
     Atkinson/Hoover/Gini scalars (policy reads shares, not
     indices).
 
-    Determinism: NTILE over the per-customer frame ordered by
-    (4dp-rounded spend, custkey) — the unique tiebreak makes the
-    assignment a total order; shares are sum ratios.
+    Determinism: quintile boundaries are DISC-percentile edges
+    (smallest value whose cumulative count reaches k*n/5, decided
+    in exact integer arithmetic 5*cum >= k*n) and every customer is
+    assigned by RANGE COMPARISON against the four broadcast edges —
+    ties always share a quintile (the defensible rule for a share
+    table), and the oracle mirrors the identical cumulative
+    construction so the convention matches by definition.
 
-    Scale shape: the NTILE window runs on the per-customer frame
-    (bounded by |customers|, the registered window_ntile posture);
-    output is 5 rows plus the ratio embedded per row."""
+    Scale shape: one grouped count to the distinct-spend frame
+    (localCheckpoint-ed), cumulative counts via the two-level
+    bucketed kernel (an unpartitioned NTILE window here would be a
+    single-task sort over O(|customers|) rows — O(corpus) at 100x,
+    the r14 verdict flag), a 1-row broadcast edge frame, and the
+    shares fold straight off the (value, count) marginal; output is
+    5 rows plus the ratio embedded per row."""
     spend = (
         read_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 4).alias("y"))
     )
-    w = Window.orderBy("y", "o_custkey")
-    q = spend.select(
-        "y", F.ntile(5).over(w).alias("quintile")
+    marg = (
+        spend.groupBy("y")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    tot = q.agg(F.sum("y").alias("ty"))
+    cum = bucketed_cumsums(marg, "y", ("c",))
+    nf = marg.agg(F.sum("c").cast("long").alias("n"))
+    edges = (
+        cum.crossJoin(F.broadcast(nf))
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        5 * F.col("cum_c") >= k * F.col("n"),
+                        F.col("y"),
+                    )
+                ).alias(f"e{k}")
+                for k in (1, 2, 3, 4)
+            ]
+        )
+    )
+    q = marg.crossJoin(F.broadcast(edges)).select(
+        "y",
+        "c",
+        (
+            1
+            + (F.col("y") > F.col("e1")).cast("int")
+            + (F.col("y") > F.col("e2")).cast("int")
+            + (F.col("y") > F.col("e3")).cast("int")
+            + (F.col("y") > F.col("e4")).cast("int")
+        ).alias("quintile"),
+    )
+    tot = q.agg(F.sum(F.col("y") * F.col("c")).alias("ty"))
     shares = (
         q.groupBy("quintile")
         .agg(
-            F.count("*").cast("long").alias("n_customers"),
-            F.round(F.sum("y"), 4).alias("spend"),
+            F.sum("c").cast("long").alias("n_customers"),
+            F.round(F.sum(F.col("y") * F.col("c")), 4).alias("spend"),
         )
         .crossJoin(F.broadcast(tot))
         .select(
@@ -687,16 +721,35 @@ WITH spend AS (
   SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS y
   FROM orders GROUP BY 1
 ),
-q AS (
-  SELECT y, NTILE(5) OVER (ORDER BY y, o_custkey) AS quintile
-  FROM spend
+marg AS (
+  SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM spend GROUP BY 1
 ),
-tot AS (SELECT SUM(y) AS ty FROM q),
+cum AS (
+  SELECT y, c,
+         SUM(c) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) AS cc
+  FROM marg
+),
+nf AS (SELECT SUM(c) AS n FROM marg),
+edges AS (
+  SELECT MIN(CASE WHEN 5 * cc >= 1 * n THEN y END) AS e1,
+         MIN(CASE WHEN 5 * cc >= 2 * n THEN y END) AS e2,
+         MIN(CASE WHEN 5 * cc >= 3 * n THEN y END) AS e3,
+         MIN(CASE WHEN 5 * cc >= 4 * n THEN y END) AS e4
+  FROM cum, nf
+),
+q AS (
+  SELECT y, c,
+         1 + CAST(y > e1 AS INTEGER) + CAST(y > e2 AS INTEGER)
+           + CAST(y > e3 AS INTEGER) + CAST(y > e4 AS INTEGER)
+           AS quintile
+  FROM marg, edges
+),
+tot AS (SELECT SUM(y * c) AS ty FROM q),
 shares AS (
   SELECT CAST(quintile AS INTEGER) AS quintile,
-         CAST(COUNT(*) AS BIGINT) AS n_customers,
-         ROUND(SUM(y), 4) AS spend,
-         ROUND(SUM(y) / (SELECT ty FROM tot), 6) AS share
+         CAST(SUM(c) AS BIGINT) AS n_customers,
+         ROUND(SUM(y * c), 4) AS spend,
+         ROUND(SUM(y * c) / (SELECT ty FROM tot), 6) AS share
   FROM q GROUP BY quintile
 ),
 palma AS (
@@ -727,27 +780,70 @@ def stats_goodman_kruskal_gamma(
     pair-level view of the same hypothesis Jonckheere-Terpstra
     tests.
 
-    Determinism: the quartile is NTILE over (4dp value, orderkey) —
-    a total order; cell counts and the C/D folds are exact
-    integers.
+    Determinism: quartile boundaries are DISC-percentile edges over
+    the distinct 4dp-value frame (smallest value whose cumulative
+    count reaches k*n/4, decided in exact integer arithmetic
+    4*cum >= k*n), assignment by range comparison against the three
+    broadcast edges — equal values always share a quartile, and the
+    oracle mirrors the identical cumulative construction; cell
+    counts and the C/D folds are exact integers.
 
-    Scale shape: one NTILE window on the orders frame, one grouped
-    count to the 20-cell table, and the C/D folds are a 20x20
-    bounded self-join; output is one row."""
+    Scale shape: one grouped count collapses orders to the
+    (priority, value) distinct frame, its value marginal feeds the
+    two-level bucketed kernel for the cumulative (an unpartitioned
+    NTILE window on the full orders frame would be a single-task
+    corpus sort — the r14 verdict flag), quartiles assign by range
+    against a 1-row broadcast edge frame, then one grouped count to
+    the 20-cell table whose C/D folds are a bounded 20x20
+    self-join; output is one row."""
     pr_rank = F.element_at(
         F.split(F.col("o_orderpriority"), "-"), 1
     ).cast("int")
-    w = Window.orderBy(
-        F.round(F.col("o_totalprice"), 4), "o_orderkey"
-    )
-    cells = (
+    rv = (
         read_table(spark, sf_dir, "orders")
         .select(
             pr_rank.alias("r"),
-            F.ntile(4).over(w).alias("q"),
+            F.round(F.col("o_totalprice"), 4).alias("v"),
+        )
+        .groupBy("r", "v")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    marg = (
+        rv.groupBy("v")
+        .agg(F.sum("c").cast("long").alias("cv"))
+        .localCheckpoint(eager=False)
+    )
+    cum = bucketed_cumsums(marg, "v", ("cv",))
+    nf = marg.agg(F.sum("cv").cast("long").alias("n"))
+    edges = (
+        cum.crossJoin(F.broadcast(nf))
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        4 * F.col("cum_cv") >= k * F.col("n"),
+                        F.col("v"),
+                    )
+                ).alias(f"e{k}")
+                for k in (1, 2, 3)
+            ]
+        )
+    )
+    cells = (
+        rv.crossJoin(F.broadcast(edges))
+        .select(
+            "r",
+            (
+                1
+                + (F.col("v") > F.col("e1")).cast("int")
+                + (F.col("v") > F.col("e2")).cast("int")
+                + (F.col("v") > F.col("e3")).cast("int")
+            ).alias("q"),
+            "c",
         )
         .groupBy("r", "q")
-        .agg(F.count("*").cast("long").alias("c"))
+        .agg(F.sum("c").cast("long").alias("c"))
         .localCheckpoint(eager=False)
     )
     a = cells.select(
@@ -785,15 +881,30 @@ def stats_goodman_kruskal_gamma(
 
 
 GAMMA_ORACLE = """
-WITH ranked AS (
+WITH rv AS (
   SELECT CAST(string_split(o_orderpriority, '-')[1] AS INTEGER) AS r,
-         NTILE(4) OVER (ORDER BY ROUND(o_totalprice, 4),
-                        o_orderkey) AS q
-  FROM orders
+         ROUND(o_totalprice, 4) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+),
+marg AS (SELECT v, SUM(c) AS cv FROM rv GROUP BY 1),
+cum AS (
+  SELECT v, SUM(cv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc
+  FROM marg
+),
+nf AS (SELECT SUM(cv) AS n FROM marg),
+edges AS (
+  SELECT MIN(CASE WHEN 4 * cc >= 1 * n THEN v END) AS e1,
+         MIN(CASE WHEN 4 * cc >= 2 * n THEN v END) AS e2,
+         MIN(CASE WHEN 4 * cc >= 3 * n THEN v END) AS e3
+  FROM cum, nf
 ),
 cells AS (
-  SELECT r, q, CAST(COUNT(*) AS BIGINT) AS c
-  FROM ranked GROUP BY 1, 2
+  SELECT r,
+         1 + CAST(v > e1 AS INTEGER) + CAST(v > e2 AS INTEGER)
+           + CAST(v > e3 AS INTEGER) AS q,
+         CAST(SUM(c) AS BIGINT) AS c
+  FROM rv, edges GROUP BY 1, 2
 ),
 pairs AS (
   SELECT a.c AS ca, b.c AS cb, a.r AS r1, a.q AS q1,

@@ -757,6 +757,12 @@ def _cow_rewrite(
             n_out = (
                 spark.read.schema(schema).parquet(data_dir).count()
             )
+            if n_out == 0:
+                # a DELETE emptied every touched dir: the manifest
+                # will not reference this dir, so remove it now
+                # instead of leaving an orphan for the >=24h vacuum
+                # sweep (r14 ADVICE)
+                shutil.rmtree(data_dir, ignore_errors=True)
         new_dirs = kept + ([rel_dir] if n_out else [])
         new_stats = {
             d: s for d, s in stats.items() if d in kept

@@ -94,25 +94,15 @@ def test_oracle_match(spark, duck, name):
     assert not mismatches, f"{name}: value mismatches {mismatches}"
 
 
-# Oracle output types the driver's value-hash layer demonstrably
-# handles (every hash-green oracle across r7-r13 emits only these).
-# HUGEINT and DECIMAL are deliberately absent: DuckDB types
-# SUM(BIGINT) as HUGEINT (int128), which the driver hashes differently
-# from int64 even when every value is equal — `survival_km_reorder`
-# was hash-red for two rounds on exactly this (the only HUGEINT-typed
-# oracle column in the registry was the only red row).
-DRIVER_SAFE_ORACLE_TYPES = {
-    "BIGINT",
-    "INTEGER",
-    "SMALLINT",
-    "TINYINT",
-    "DOUBLE",
-    "FLOAT",
-    "VARCHAR",
-    "DATE",
-    "BOOLEAN",
-    "TIMESTAMP",
-}
+# The driver-safe type set lives in queries/driver_model.py (single
+# source shared with tools/window_check.py and the pending-queue
+# tests — r14 ADVICE) — HUGEINT and DECIMAL are deliberately absent:
+# DuckDB types SUM(BIGINT) as HUGEINT (int128), which the driver
+# hashes differently from int64 even when every value is equal —
+# `survival_km_reorder` was hash-red for two rounds on exactly this.
+from cdc_2025_spark.queries.driver_model import (  # noqa: E402
+    DRIVER_SAFE_ORACLE_TYPES,
+)
 
 
 def test_oracle_output_types_driver_safe(duck):

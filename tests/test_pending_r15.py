@@ -21,17 +21,12 @@ import duckdb
 import pytest
 
 from cdc_2025_spark.queries import pending_r15
+from cdc_2025_spark.queries.driver_model import compare_frames
 from cdc_2025_spark.schemas import TABLE_NAMES
 
 SF_DIR = os.environ.get(
     "SPARK_GRAFT_ORACLE_TEST_SF_DIR", "/root/testdata/sf0.001"
 )
-
-DRIVER_SAFE_ORACLE_TYPES = {
-    "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
-    "VARCHAR", "DATE", "BOOLEAN", "TIMESTAMP",
-}
-
 
 @pytest.fixture(scope="module")
 def duck():
@@ -44,36 +39,6 @@ def duck():
     con.close()
 
 
-def _normalize(rows, columns):
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float) and math.isnan(v):
-                v = "NaN"
-            vals.append(v)
-        out.append(tuple(vals))
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return out
-
-
-def _same(a, b):
-    """Driver-strength equality: exact value AND same numeric type
-    family (int vs float cross-type equality is a FAIL — the
-    survival_km_reorder lesson)."""
-    if a is None or b is None:
-        return a is b
-    num_a = isinstance(a, (int, float)) and not isinstance(a, bool)
-    num_b = isinstance(b, (int, float)) and not isinstance(b, bool)
-    if num_a and num_b:
-        if isinstance(a, float) != isinstance(b, float):
-            return False
-        return a == b
-    return a == b
-
-
 @pytest.mark.parametrize("name", pending_r15.PENDING_ORDER)
 def test_pending_oracle_match(spark, duck, name):
     fn, oracle = pending_r15._PENDING[name]
@@ -81,29 +46,14 @@ def test_pending_oracle_match(spark, duck, name):
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
     rel = duck.sql(oracle)
-    duck_cols = list(rel.columns)
-    duck_types = [str(t) for t in rel.types]
-    duck_rows = rel.fetchall()
-    unsafe = [
-        f"{c}:{t}"
-        for c, t in zip(duck_cols, duck_types)
-        if t.split("(")[0] not in DRIVER_SAFE_ORACLE_TYPES
-    ]
-    assert not unsafe, f"{name}: driver-unsafe oracle types {unsafe}"
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    failure = compare_frames(
+        spark_cols,
+        spark_rows,
+        list(rel.columns),
+        [str(t) for t in rel.types],
+        rel.fetchall(),
     )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
-    )
-    s_norm = _normalize(spark_rows, spark_cols)
-    d_norm = _normalize(duck_rows, duck_cols)
-    mismatches = [
-        (i, sr, dr)
-        for i, (sr, dr) in enumerate(zip(s_norm, d_norm))
-        if not all(_same(a, b) for a, b in zip(sr, dr))
-    ][:3]
-    assert not mismatches, f"{name}: value mismatches {mismatches}"
+    assert failure is None, f"{name}: {failure}"
 
 
 @pytest.mark.parametrize("name", pending_r15.PENDING_ORDER)

@@ -15,17 +15,12 @@ import duckdb
 import pytest
 
 from cdc_2025_spark.queries import pending_r16
+from cdc_2025_spark.queries.driver_model import compare_frames
 from cdc_2025_spark.schemas import TABLE_NAMES
 
 SF_DIR = os.environ.get(
     "SPARK_GRAFT_ORACLE_TEST_SF_DIR", "/root/testdata/sf0.001"
 )
-
-DRIVER_SAFE_ORACLE_TYPES = {
-    "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
-    "VARCHAR", "DATE", "BOOLEAN", "TIMESTAMP",
-}
-
 
 @pytest.fixture(scope="module")
 def duck():
@@ -38,33 +33,6 @@ def duck():
     con.close()
 
 
-def _normalize(rows, columns):
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float) and math.isnan(v):
-                v = "NaN"
-            vals.append(v)
-        out.append(tuple(vals))
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return out
-
-
-def _same(a, b):
-    if a is None or b is None:
-        return a is b
-    num_a = isinstance(a, (int, float)) and not isinstance(a, bool)
-    num_b = isinstance(b, (int, float)) and not isinstance(b, bool)
-    if num_a and num_b:
-        if isinstance(a, float) != isinstance(b, float):
-            return False
-        return a == b
-    return a == b
-
-
 @pytest.mark.parametrize("name", pending_r16.PENDING_ORDER)
 def test_pending_oracle_match(spark, duck, name):
     fn, oracle = pending_r16._PENDING[name]
@@ -72,25 +40,14 @@ def test_pending_oracle_match(spark, duck, name):
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
     rel = duck.sql(oracle)
-    duck_cols = list(rel.columns)
-    duck_types = [str(t) for t in rel.types]
-    duck_rows = rel.fetchall()
-    unsafe = [
-        f"{c}:{t}"
-        for c, t in zip(duck_cols, duck_types)
-        if t.split("(")[0] not in DRIVER_SAFE_ORACLE_TYPES
-    ]
-    assert not unsafe, f"{name}: driver-unsafe oracle types {unsafe}"
-    assert sorted(spark_cols) == sorted(duck_cols)
-    assert len(spark_rows) == len(duck_rows)
-    s_norm = _normalize(spark_rows, spark_cols)
-    d_norm = _normalize(duck_rows, duck_cols)
-    mismatches = [
-        (i, sr, dr)
-        for i, (sr, dr) in enumerate(zip(s_norm, d_norm))
-        if not all(_same(a, b) for a, b in zip(sr, dr))
-    ][:3]
-    assert not mismatches, f"{name}: value mismatches {mismatches}"
+    failure = compare_frames(
+        spark_cols,
+        spark_rows,
+        list(rel.columns),
+        [str(t) for t in rel.types],
+        rel.fetchall(),
+    )
+    assert failure is None, f"{name}: {failure}"
 
 
 @pytest.mark.parametrize("name", pending_r16.PENDING_ORDER)
@@ -235,20 +192,55 @@ def test_atkinson_hoover_matches_python_model(spark, duck):
     assert 0.0 <= row["hoover"] < 1.0
 
 
-def test_quintile_shares_sum_to_one_and_monotone(spark):
+def _disc_edges(values, k):
+    """Smallest value whose cumulative count reaches i*n/k, for
+    i = 1..k-1 — the exact integer-arithmetic disc-percentile rule
+    both engines implement (k*cum >= i*n)."""
+    vals = sorted(values)
+    n = len(vals)
+    edges = []
+    for i in range(1, k):
+        seen = 0
+        for v, grp in __import__("itertools").groupby(vals):
+            seen += len(list(grp))
+            if k * seen >= i * n:
+                edges.append(v)
+                break
+    return edges
+
+
+def test_quintile_shares_match_python_edge_model(spark, duck):
+    ys = [
+        float(y)
+        for (y,) in duck.execute(
+            """SELECT ROUND(SUM(o_totalprice), 4)
+               FROM orders GROUP BY o_custkey"""
+        ).fetchall()
+    ]
+    e = _disc_edges(ys, 5)
+    by_q = defaultdict(list)
+    for y in ys:
+        q = 1 + sum(y > ek for ek in e)
+        by_q[q].append(y)
     rows = pending_r16.stats_quintile_shares(
         spark, SF_DIR
     ).collect()
-    assert sorted(r["quintile"] for r in rows) == [1, 2, 3, 4, 5]
+    got = {r["quintile"]: r for r in rows}
+    assert sorted(got) == sorted(by_q)
+    tot = sum(ys)
+    for q, vals in by_q.items():
+        assert got[q]["n_customers"] == len(vals)
+        assert got[q]["share"] == pytest.approx(
+            sum(vals) / tot, abs=1e-5
+        )
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
-    by_q = {r["quintile"]: r for r in rows}
-    shares = [by_q[q]["share"] for q in range(1, 6)]
+    shares = [got[q]["share"] for q in sorted(got)]
     assert shares == sorted(shares)  # spend-ordered quintiles
     assert all(
         r["palma_ratio"] == rows[0]["palma_ratio"] for r in rows
     )
-    assert by_q[5]["share"] / (
-        by_q[1]["share"] + by_q[2]["share"]
+    assert got[5]["share"] / (
+        got[1]["share"] + got[2]["share"]
     ) == pytest.approx(rows[0]["palma_ratio"], abs=5e-4)
 
 
@@ -256,12 +248,13 @@ def test_gamma_matches_python_model(spark, duck):
     rows = duck.execute(
         """SELECT CAST(string_split(o_orderpriority, '-')[1]
                        AS INTEGER),
-                  NTILE(4) OVER (ORDER BY ROUND(o_totalprice, 4),
-                                 o_orderkey)
+                  ROUND(o_totalprice, 4)
            FROM orders"""
     ).fetchall()
+    e = _disc_edges([v for _, v in rows], 4)
     cells = defaultdict(int)
-    for r, q in rows:
+    for r, v in rows:
+        q = 1 + sum(v > ek for ek in e)
         cells[(r, q)] += 1
     conc = disc = 0
     for (r1, q1), ca in cells.items():

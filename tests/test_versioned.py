@@ -693,6 +693,42 @@ def test_delete_versioned_dir_level_cow(spark, tmp_path):
     assert [r["id"] for r in one.collect()] == [5]
 
 
+def test_delete_versioned_emptying_dir_leaves_no_orphan(
+    spark, tmp_path
+):
+    """A DELETE that empties EVERY touched dir must not leave an
+    unreferenced parquet dir on disk waiting for the vacuum sweep
+    (r15 ADVICE): the survivor write is cleaned up immediately when
+    it counts 0 rows, and the new manifest references only the kept
+    dirs."""
+    from cdc_2025_spark.versioned import delete_versioned
+
+    t = _bal_table(spark, tmp_path)
+    out = delete_versioned(
+        spark, t, [("id", ">=", 10), ("id", "<=", 19)]
+    )
+    assert out["rows_changed"] == 10
+    assert out["dirs_rewritten"] == 1
+    assert out["dirs_kept"] == 2
+    after = history(t)[-1]
+    assert after["n_rows"] == 20
+    assert len(after["data_dirs"]) == 2
+    # every dir on disk is referenced by SOME manifest version
+    referenced = set()
+    for m in history(t):
+        referenced.update(m["data_dirs"])
+    on_disk = {
+        f"data/{d}" for d in os.listdir(os.path.join(t, "data"))
+    }
+    assert on_disk <= referenced, (
+        f"orphan data dirs: {sorted(on_disk - referenced)}"
+    )
+    got = sorted(
+        r["id"] for r in read_versioned(spark, t).collect()
+    )
+    assert got == [i for i in range(30) if not 10 <= i <= 19]
+
+
 def test_delete_versioned_noop_when_stats_conservative(
     spark, tmp_path
 ):

@@ -12,7 +12,6 @@ Usage: python tools/window_check.py [n] [--sf DIR]
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
@@ -24,60 +23,11 @@ sys.path.insert(
 import duckdb  # noqa: E402
 
 from cdc_2025_spark.queries import ORACLES, QUERIES  # noqa: E402
+from cdc_2025_spark.queries.driver_model import (  # noqa: E402
+    compare_frames,
+)
 from cdc_2025_spark.schemas import TABLE_NAMES  # noqa: E402
 from cdc_2025_spark.session import get_spark  # noqa: E402
-
-# Oracle output types the driver's hash layer demonstrably handles
-# (every hash-green oracle across r7-r13 emits only these).  HUGEINT
-# and DECIMAL are explicitly NOT here: DuckDB's SUM(BIGINT) returns
-# HUGEINT and the driver hashes int128 differently from int64.
-SAFE_ORACLE_TYPES = {
-    "BIGINT",
-    "INTEGER",
-    "SMALLINT",
-    "TINYINT",
-    "DOUBLE",
-    "FLOAT",
-    "VARCHAR",
-    "DATE",
-    "BOOLEAN",
-    "TIMESTAMP",
-}
-
-
-def _norm_val(v):
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
-    return v
-
-
-def _normalize(rows, columns):
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = []
-    for row in rows:
-        out.append(tuple(_norm_val(row[i]) for i in order))
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return out
-
-
-def _same(a, b):
-    """Driver-strength equality: exact value AND same type family.
-
-    int vs float cross-type equality (5 == 5.0) is a FAIL here — the
-    driver hashes typed values, so a Spark BIGINT next to an oracle
-    DOUBLE mismatches even when numerically equal.
-    """
-    if a is None or b is None:
-        return a is b
-    num_a = isinstance(a, (int, float)) and not isinstance(a, bool)
-    num_b = isinstance(b, (int, float)) and not isinstance(b, bool)
-    if num_a and num_b:
-        if isinstance(a, float) != isinstance(b, float):
-            return False
-        return a == b
-    if type(a) is not type(b):
-        return str(a) == str(b)
-    return a == b
 
 
 def main() -> None:
@@ -122,37 +72,11 @@ def main() -> None:
             print(f"FAIL {name}: oracle raised {exc!r}")
             n_fail += 1
             continue
-        unsafe = [
-            f"{c}:{t}"
-            for c, t in zip(dcols, dtypes)
-            if t.split("(")[0] not in SAFE_ORACLE_TYPES
-        ]
-        if unsafe:
-            print(
-                f"FAIL {name}: oracle emits driver-unsafe "
-                f"column types {unsafe} (CAST them)"
-            )
-            n_fail += 1
-            continue
-        if sorted(cols) != sorted(dcols):
-            print(f"FAIL {name}: schema {cols} vs {dcols}")
-            n_fail += 1
-            continue
-        if len(srows) != len(drows):
-            print(
-                f"FAIL {name}: rows {len(srows)} vs {len(drows)}"
-            )
-            n_fail += 1
-            continue
-        s_norm = _normalize(srows, cols)
-        d_norm = _normalize(drows, dcols)
-        bad = [
-            (sr, dr)
-            for sr, dr in zip(s_norm, d_norm)
-            if not all(_same(a, b) for a, b in zip(sr, dr))
-        ][:2]
-        if bad:
-            print(f"FAIL {name}: value mismatches {bad}")
+        failure = compare_frames(
+            cols, srows, dcols, dtypes, drows, max_examples=2
+        )
+        if failure:
+            print(f"FAIL {name}: {failure}")
             n_fail += 1
             continue
         print(
