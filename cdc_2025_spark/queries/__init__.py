@@ -41,6 +41,7 @@ from cdc_2025_spark.queries import (  # noqa: E402,F401
     pending_r12,
     pending_r13,
     pending_r14,
+    pending_r15,
     relational,
     resilience_star,
     similarity,
@@ -93,68 +94,63 @@ pending_r13.register_all()
 # queries/pending_r14.py.
 pending_r14.register_all()
 
-# Round-14 window (the driver oracle-checks the FIRST 50 registry
+# Round-15 registrations: the twenty-eight regression-diagnostic,
+# rank-agreement, lexical-estimator, link-analysis and lakehouse-
+# layer queries staged through r14 with full DuckDB oracles and
+# both-SF driver-strength parity tests (Durbin-Watson,
+# Breusch-Pagan, Chow, Cox-Stuart, Bartels-von Neumann, Mood's
+# median, Kendall's W, Friedman, Cochran's Q, MRR, RBO, Honore/
+# Sichel, Good-Turing/Chao1, readability, G2 keyness, Kish design
+# effect, Katz centrality, HITS, reciprocity, PACF, Theil's U,
+# Page-Hinkley, runs up/down, Markov stationary) plus the four
+# lakehouse DML-layer audits (optimize/DML/merge/constraints — the
+# r14-built copy-on-write layer's driver proof) — see
+# queries/pending_r15.py.
+pending_r15.register_all()
+
+# Round-15 window (the driver oracle-checks the FIRST 50 registry
 # entries per round, insertion order), composed mechanically from
-# tools/compose_window.py 27 (registry 251 -> derived horizon 6; the
-# one would-be-stale row, multimodal_phash_neardup, sits in _CHANGED):
+# tools/compose_window.py 28 (registry 279 -> derived horizon 6;
+# the one would-be-stale row, text_chunk_documents, heads the fill):
 #
-#   1. _NEW_R14: survival_km_reorder RE-LEADS a third time — r13
-#      root-caused the two-round hash-red to the ORACLE's typing
-#      (DuckDB SUM(BIGINT) widened n_risk to HUGEINT; the driver's
-#      value hash is type-sensitive), fixed this round with the same
-#      CAST(... AS BIGINT) the green Nelson-Aalen sibling carries,
-#      and a registry-wide oracle-type guard test now rejects any
-#      driver-unsafe output type at staging time. Then the twenty
-#      round-14 registrations (19 staged ranking-quality/long-memory
-#      queries + versioned_skipping_audit, all oracle-backed,
-#      parity-green at sf0.001 + sf0.01).
-#   2. _CHANGED_R14: six green queries changed oracle or plan this
-#      round and re-enter for fresh driver rows — the four
-#      deterministic multimodal queries graduated from rows-only to
-#      literal VALUES-table oracles (feature rollup + phash/video/
-#      audio near-dup; outputs unchanged, oracle status not),
-#      skewjoin's oracle weight column cast DECIMAL(3,1) -> DOUBLE
-#      (the type-guard's one other hit), and versioned_diff_audit
-#      now session-memoizes its scratch table (ADVICE r13) while
-#      read_versioned pins the manifest schema.
-#   3. _FILL_R14: the oldest-green ORACLE-BACKED queries — 23
-#      r9-greens in compose_window.py's emitted order (phash, the
-#      list's head, already re-enters via _CHANGED).
-_NEW_R14 = [
-    "survival_km_reorder",
-    *pending_r14.PENDING_ORDER,
+#   1. _NEW_R15: the twenty-eight round-15 registrations, all
+#      oracle-backed, parity-green at sf0.001 + sf0.01 under the
+#      driver-strength comparator (now hoisted into
+#      queries/driver_model.py and shared with the rehearsal tool
+#      and the registry-wide type guard — r14 ADVICE).
+#   2. _CHANGED_R15: empty — no registered query changed plan,
+#      output, or oracle this round (the _cow_rewrite empty-dir fix
+#      and the dml-audit facts-dict removal touch only the newly
+#      registering DML audits; the staged r16 global-window rewires
+#      are pre-registration).
+#   3. _FILL_R15: the oldest-green ORACLE-BACKED queries — the one
+#      r9-green stale-risk row plus 21 r10-greens in
+#      compose_window.py's emitted order.
+_NEW_R15 = [
+    *pending_r15.PENDING_ORDER,
 ]
 
-_CHANGED_R14 = [
-    "multimodal_feature_rollup",
-    "multimodal_phash_neardup",
-    "multimodal_video_neardup",
-    "multimodal_audio_neardup",
-    "skewjoin_salted_event_types",
-    "versioned_diff_audit",
-]
+_CHANGED_R15: list[str] = []
 
-_FILL_R14 = [
-    # oldest green (r9), compose_window.py order (first 23 after
-    # skipping the _CHANGED member at the head)
-    "dedup_incremental_bloom_prefilter", "sim_topk_bruteforce",
-    "sim_pairs_above_threshold", "dedup_repeated_spans",
-    "graph_bfs_trade_hops", "text_decontamination_overlap",
-    "sample_weighted_by_tokens", "text_pack_sequences",
-    "llm_corpus_prep", "sample_domain_mixture_weights",
-    "decontam_embedding_crosssplit", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_regional_volume",
-    "join_outer_customer_orders", "join_semi_customers_with_purchases",
-    "join_anti_customers_without_orders", "agg_rollup_nation_segment",
-    "agg_cube_status_priority", "agg_distinct_users_per_type",
-    "setop_nations_customers_vs_suppliers", "setop_except_nations",
-    "setop_union_all_keys",
+_FILL_R15 = [
+    # compose_window.py 28 emitted order (first 22)
+    "text_chunk_documents", "dedup_embedding_neardup",
+    "sim_knn_label_spread", "dedup_embedding_neardup_lsh",
+    "dedup_remove_repeated_spans", "dedup_pipeline_accounting",
+    "dedup_cluster_canonical_docs", "sample_leakage_free_split",
+    "sample_topk_weighted_per_source", "pivot_user_event_matrix",
+    "unpivot_lineitem_measures", "scalar_dates_monthly_revenue",
+    "scalar_strings_part_brands", "scalar_json_props_extract",
+    "topk_customers_by_spend", "merge_into_customer_balances",
+    "resilience_nation_revenue", "shock_sim_nation_revenue",
+    "forecast_nation_revenue", "text_token_stats",
+    "text_quality_scores", "text_lang_id_confusion",
 ]
 
 _VERIFY_FIRST = [
-    *_NEW_R14,
-    *_CHANGED_R14,
-    *_FILL_R14,
+    *_NEW_R15,
+    *_CHANGED_R15,
+    *_FILL_R15,
 ]
 
 

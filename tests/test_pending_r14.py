@@ -95,17 +95,13 @@ def test_pending_outputs_driver_sortable(spark, name):
     assert not bad, f"{name}: container columns {bad}"
 
 
-def test_pending_registered_and_leading_r14_window():
-    """The round-14 window is OPEN: register_all() ran, and the
-    freshness guard's requirement — never-checked registrations LEAD
-    the window — holds (all 20 inside the first 21 registry entries,
-    behind the survival_km_reorder re-lead the r13 verdict
-    prescribed)."""
+def test_pending_registered_and_oracle_backed():
+    """Round-14 opened its window (the leading-position requirement
+    has since been superseded by the round-15 window): every
+    pending_r14 query stays registered and oracle-backed."""
     from cdc_2025_spark.queries import ORACLES, QUERIES
 
-    names = list(QUERIES)
-    assert names[0] == "survival_km_reorder"
-    assert set(pending_r14.PENDING_ORDER) == set(names[1:21])
+    assert set(pending_r14.PENDING_ORDER) <= set(QUERIES)
     assert all(n in ORACLES for n in pending_r14.PENDING_ORDER)
 
 

@@ -70,13 +70,16 @@ def test_pending_outputs_driver_sortable(spark, name):
     assert not bad, f"{name}: container columns {bad}"
 
 
-def test_pending_module_not_registered():
-    """Importing pending_r15 must leave the live registry untouched
-    (the freshness guard requires new registrations to LEAD a
-    verification window — the round-14 window is already composed)."""
-    from cdc_2025_spark.queries import QUERIES
+def test_pending_registered_and_leading_r15_window():
+    """The round-15 window is OPEN: register_all() ran, and the
+    freshness guard's requirement — never-checked registrations LEAD
+    the window — holds (all 28 are the first 28 registry entries;
+    no re-lead this round: CORRECTNESS_r14 was 50/50 green)."""
+    from cdc_2025_spark.queries import ORACLES, QUERIES
 
-    assert not (set(pending_r15.PENDING_ORDER) & set(QUERIES))
+    names = list(QUERIES)
+    assert set(pending_r15.PENDING_ORDER) == set(names[:28])
+    assert all(n in ORACLES for n in pending_r15.PENDING_ORDER)
 
 
 # ---------------------------------------------------------------------------
