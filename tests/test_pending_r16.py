@@ -64,6 +64,35 @@ def test_pending_outputs_driver_sortable(spark, name):
     assert not bad, f"{name}: container columns {bad}"
 
 
+def test_versioned_sink_audit_replay_facts(spark):
+    """The sink audit's manifest facts: exactly 3 committed versions
+    (create + 2 appends) despite 4 non-empty sink invocations (one
+    replayed batch id) and 1 empty batch; the recorded txn ledger
+    holds the highest delivered batch id."""
+    from cdc_2025_spark.queries.pending_r13 import (
+        memo_versioned_table,
+    )
+    from cdc_2025_spark.versioned import history
+
+    # the query memoizes per (session, sf_dir, kind) — running it
+    # first guarantees the table exists, then the manifest is
+    # inspected directly
+    row = pending_r16.versioned_sink_audit(spark, SF_DIR).collect()[0]
+    table = memo_versioned_table(
+        spark, SF_DIR, "versioned_sink", lambda p: None
+    )
+    hist = history(table)
+    assert [m["version"] for m in hist] == [1, 2, 3]
+    assert hist[0]["operation"] == "create"
+    assert all(m["operation"] == "append" for m in hist[1:])
+    assert hist[-1]["txns"] == {"audit_stream": 2}
+    # per-version txn ledger grows monotonically
+    assert hist[0]["txns"] == {"audit_stream": 0}
+    assert hist[1]["txns"] == {"audit_stream": 1}
+    assert row["n_versions"] == 3
+    assert row["last_txn_version"] == 2
+
+
 def test_pending_module_not_registered():
     from cdc_2025_spark.queries import QUERIES
 
