@@ -28,7 +28,12 @@ empty bin borrows from an independently hash-chosen random non-empty
 bin — the Shrivastava'17 scheme, whose estimator variance matches
 fresh minwise hashes as |set|/k grows). The banding and verification
 stages are UNCHANGED by the swap; signature-accuracy parity on long
-docs is pinned in tests/test_dedup.py.
+docs is pinned in tests/test_dedup.py. ``family="oph_md5"`` is the
+same OPH construction with every hash derived from md5 (shingle
+value from the two hex halves, donor choice from md5 of "i_j") so
+the ENTIRE pipeline reproduces in DuckDB SQL — the md5_km posture:
+oracle-checkable, ~2x the per-shingle hash cost, xxhash64 stays the
+scale default.
 
 The hash family is deterministic (fixed seeds), so results are stable
 across runs and cluster layouts. With J the true Jaccard,
@@ -76,7 +81,7 @@ def shingle_sets(
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     if family in ("xxhash64", "oph"):  # oph shares the long-key sets
         hashed = F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
-    elif family == "md5_km":
+    elif family in ("md5_km", "oph_md5"):  # both ride the hex keys
         hashed = F.transform(
             shingles(text_col, k), lambda s: F.substring(F.md5(s), 1, 16)
         )
@@ -129,11 +134,11 @@ def _check_seed(family: str, seed: int) -> None:
     a caller varying seed with that family would get byte-identical
     output, which is exactly the kind of silent surprise that corrupts
     an A/B of 'independent' dedup runs. Fail loudly instead."""
-    if family == "md5_km" and seed != 42:
+    if family in ("md5_km", "oph_md5") and seed != 42:
         raise ValueError(
-            "family='md5_km' is seed-free (Kirsch-Mitzenmacher over "
-            "fixed md5 halves); varying seed has no effect — use "
-            "family='xxhash64' for seeded signature families"
+            f"family={family!r} is seed-free (derived from fixed md5 "
+            "halves); varying seed has no effect — use "
+            "family='xxhash64'/'oph' for seeded signature families"
         )
 
 
@@ -179,8 +184,8 @@ def _signature_wide(
     if sets is None:
         sets = shingle_sets(docs, id_col, text_col, k, family=family)
     ex = sets.select("id", F.explode("sh").alias("h"))
-    if family == "oph":
-        return _oph_wide(ex, n_hashes, seed)
+    if family in ("oph", "oph_md5"):
+        return _oph_wide(ex, n_hashes, seed, family=family)
     if family == "md5_km":
         # hex -> (hi, lo) ONCE per exploded row, not once per
         # aggregate: 2 conv calls instead of 256
@@ -198,7 +203,9 @@ def _signature_wide(
     )
 
 
-def _oph_wide(ex: DataFrame, n_hashes: int, seed: int) -> DataFrame:
+def _oph_wide(
+    ex: DataFrame, n_hashes: int, seed: int, family: str = "oph"
+) -> DataFrame:
     """One-permutation hashing + optimal densification signature
     columns (id, _s0.._s{n-1}) from exploded hashed shingles ``ex``.
 
@@ -212,23 +219,57 @@ def _oph_wide(ex: DataFrame, n_hashes: int, seed: int) -> DataFrame:
     Empty bins take OPTIMAL densification (Shrivastava, ICML'17):
     each empty bin i borrows the value of an INDEPENDENTLY chosen
     random non-empty bin — selected here as
-    argmin_{j non-empty} xxhash64(i, j, seed), which picks a uniform
-    random non-empty donor per empty bin, deterministically. (The
-    older NIPS'14 rotation scheme reuses one donor direction for runs
-    of empty bins, correlating them; independent choices are what
+    argmin_{j non-empty} hash2(i, j), which picks a uniform random
+    non-empty donor per empty bin, deterministically. (The older
+    NIPS'14 rotation scheme reuses one donor direction for runs of
+    empty bins, correlating them; independent choices are what
     restores fresh-minhash variance.) The densification lambdas are
     interpreted per element, but only run per DOC (not per shingle),
     and in the long-document regime OPH targets, empty bins are rare
     (P[empty] = (1-1/k)^|set| ~ e^-8 at |set|=8k).
+
+    Families: ``oph`` (default) rehashes with seeded xxhash64 — the
+    cheapest per-shingle path, Spark-only. ``oph_md5`` derives BOTH
+    the shingle value (hi * (2^31 - 1) + lo over the two md5 halves —
+    max (2^32-1)*2^31 < 2^63, ANSI-exact) and the donor hash (first
+    15 md5 hex chars of "i_j" — 60 bits, BIGINT-positive) from md5,
+    so every stage reproduces in DuckDB SQL and the full OPH pipeline
+    becomes oracle-checkable (the md5_km posture; seed-free).
 
     Estimator: P[sig_a[i] == sig_b[i]] -> J for J the true Jaccard;
     accuracy parity vs the independent family on long docs is pinned
     in tests/test_dedup.py. Banding/verification are unchanged —
     buckets hash the same _s{i} longs."""
     kb = F.lit(n_hashes).cast("long")
-    # one seeded rehash drives BOTH bin assignment and in-bin order
-    # (the "one permutation"); pmod keeps it non-negative
-    v = F.xxhash64("h", F.lit(seed))
+    # one rehash drives BOTH bin assignment and in-bin order (the
+    # "one permutation"); pmod keeps it non-negative
+    if family == "oph_md5":
+        v = (
+            F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
+            * F.lit(2147483647)
+            + F.conv(F.substring("h", 9, 8), 16, 10).cast("long")
+        )
+
+        def _hash2(i, j):
+            return F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_", i.cast("string"), j.cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+
+    else:
+        v = F.xxhash64("h", F.lit(seed))
+
+        def _hash2(i, j):
+            return F.xxhash64(i, j, F.lit(seed))
     binned = (
         ex.select("id", v.alias("v"), F.pmod(v, kb).alias("bin"))
         .groupBy("id", "bin")
@@ -251,11 +292,11 @@ def _oph_wide(ex: DataFrame, n_hashes: int, seed: int) -> DataFrame:
             F.struct(
                 F.lit(2**63 - 1).alias("h"), F.lit(-1).cast("long").alias("j")
             ),
+            # strict < keeps the FIRST (lowest-j) donor on a hash tie
+            # — nonempty is ascending, so this mirrors ORDER BY h, j
             lambda acc, j: F.when(
-                F.xxhash64(i, j, F.lit(seed)) < acc["h"],
-                F.struct(
-                    F.xxhash64(i, j, F.lit(seed)).alias("h"), j.alias("j")
-                ),
+                _hash2(i, j) < acc["h"],
+                F.struct(_hash2(i, j).alias("h"), j.alias("j")),
             ).otherwise(acc),
         )["j"],
     )
@@ -351,7 +392,10 @@ def lsh_candidates(
 
     def _bucket(j: int):
         cols = [F.col(f"_s{j * r + i}") for i in range(r)]
-        if family == "md5_km":
+        if family in ("md5_km", "oph_md5"):
+            # comma-joined signature string: DuckDB's array_to_string
+            # reproduces it byte-for-byte (the oracle needs bucket
+            # equality, not the value)
             return F.concat_ws(",", *cols)
         return F.xxhash64(*cols)
 

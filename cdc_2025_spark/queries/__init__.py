@@ -118,22 +118,29 @@ pending_r15.register_all()
 #      driver-strength comparator (now hoisted into
 #      queries/driver_model.py and shared with the rehearsal tool
 #      and the registry-wide type guard — r14 ADVICE).
-#   2. _CHANGED_R15: empty — no registered query changed plan,
-#      output, or oracle this round (the _cow_rewrite empty-dir fix
-#      and the dml-audit facts-dict removal touch only the newly
-#      registering DML audits; the staged r16 global-window rewires
-#      are pre-registration).
+#   2. _CHANGED_R15: two rows-only queries converted to full-pipeline
+#      DuckDB oracles this round and re-enter for their first
+#      hash-checked driver rows — sim_lsh_auto_pairs (the oracle
+#      re-derives the auto geometry from the corpus count in SQL and
+#      dispatches to a literal hyperplane pipeline baked per
+#      driver-visible geometry) and dedup_minhash_oph_pairs (new
+#      oph_md5 family: OPH binning + optimal densification with every
+#      hash derived from md5, the md5_km precedent — xxhash64 stays
+#      the library scale default).
 #   3. _FILL_R15: the oldest-green ORACLE-BACKED queries — the one
-#      r9-green stale-risk row plus 21 r10-greens in
+#      r9-green stale-risk row plus 19 r10-greens in
 #      compose_window.py's emitted order.
 _NEW_R15 = [
     *pending_r15.PENDING_ORDER,
 ]
 
-_CHANGED_R15: list[str] = []
+_CHANGED_R15 = [
+    "sim_lsh_auto_pairs",
+    "dedup_minhash_oph_pairs",
+]
 
 _FILL_R15 = [
-    # compose_window.py 28 emitted order (first 22)
+    # compose_window.py 28 emitted order (first 20)
     "text_chunk_documents", "dedup_embedding_neardup",
     "sim_knn_label_spread", "dedup_embedding_neardup_lsh",
     "dedup_remove_repeated_spans", "dedup_pipeline_accounting",
@@ -144,7 +151,6 @@ _FILL_R15 = [
     "topk_customers_by_spend", "merge_into_customer_balances",
     "resilience_nation_revenue", "shock_sim_nation_revenue",
     "forecast_nation_revenue", "text_token_stats",
-    "text_quality_scores", "text_lang_id_confusion",
 ]
 
 _VERIFY_FIRST = [

@@ -565,30 +565,127 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
-@query("dedup_minhash_oph_pairs")
+def _minhash_oph_oracle(
+    k: int, threshold: float, n_hashes: int = 128, n_bands: int = 16
+) -> str:
+    """DuckDB SQL mirroring the FULL oph_md5 OPH+LSH pipeline:
+    k-shingles -> 16-hex md5 keys -> one 63-bit shingle value
+    hi*(2^31-1)+lo -> pmod binning into n_hashes bins -> per-bin min
+    -> OPTIMAL densification (each empty bin i borrows from the
+    non-empty bin j minimizing the 60-bit md5 hash of "i_j",
+    lowest-j tiebreak — Shrivastava ICML'17) -> banded bucket
+    strings -> candidate pairs -> exact Jaccard verification. Every
+    stage is integer/string exact, so the candidate set reproduces
+    bit-for-bit; only the final Jaccard divides two exact integer
+    counts in both engines."""
+    r = n_hashes // n_bands
+    sig_cols = ",\n             ".join(
+        f"MIN(CASE WHEN bin = {i} THEN val END) AS _s{i}"
+        for i in range(n_hashes)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, array_to_string([{cols}], ',')"
+        " AS bucket FROM sig".format(
+            j=j, cols=", ".join(f"_s{j * r + i}" for i in range(r))
+        )
+        for j in range(n_bands)
+    )
+    return f"""
+    WITH ws AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) <= {k}
+               THEN [substr(md5(array_to_string(w, ' ')), 1, 16)]
+               ELSE [substr(md5(array_to_string(w[i:i+{k - 1}], ' ')), 1, 16)
+                     for i in range(1, len(w) - {k} + 2)]
+               END) AS s
+      FROM ws
+    ), hv AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(hx, 1, 8)) AS BIGINT) * 2147483647
+               + CAST(('0x' || substr(hx, 9, 8)) AS BIGINT) AS v
+      FROM (SELECT doc_id, unnest(s) AS hx FROM sh)
+    ), binned AS (
+      SELECT doc_id, v % {n_hashes} AS bin, MIN(v) AS mh
+      FROM hv GROUP BY 1, 2
+    ), grid AS (
+      SELECT d.doc_id, g.bin
+      FROM (SELECT DISTINCT doc_id FROM binned) d
+      CROSS JOIN (SELECT unnest(generate_series(0, {n_hashes - 1}))
+                  AS bin) g
+    ), filled AS (
+      SELECT grid.doc_id, grid.bin, binned.mh
+      FROM grid LEFT JOIN binned USING (doc_id, bin)
+    ), donor AS (
+      SELECT f.doc_id, f.bin, b.mh,
+             ROW_NUMBER() OVER (
+               PARTITION BY f.doc_id, f.bin
+               ORDER BY CAST(('0x' || substr(md5(
+                   CAST(f.bin AS VARCHAR) || '_'
+                     || CAST(b.bin AS VARCHAR)), 1, 15)) AS BIGINT),
+                 b.bin
+             ) AS rn
+      FROM filled f JOIN binned b USING (doc_id)
+      WHERE f.mh IS NULL
+    ), sigv AS (
+      SELECT doc_id, bin, mh AS val FROM filled WHERE mh IS NOT NULL
+      UNION ALL
+      SELECT doc_id, bin, mh AS val FROM donor WHERE rn = 1
+    ), sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM sigv GROUP BY doc_id
+    ), bands AS (
+      {band_selects}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket
+       AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT id_a, id_b,
+             len(list_intersect(sa.s, sb.s)) * 1.0
+               / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+               AS jaccard
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard
+    FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+@query(
+    "dedup_minhash_oph_pairs",
+    oracle=_minhash_oph_oracle(JACCARD_K, JACCARD_THRESHOLD),
+)
 def dedup_minhash_oph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_minhash_lsh_pairs with the one-permutation-hashing
-    signature family (dedup/minhash.py family="oph": a single
-    xxhash64 per shingle bucketed into 128 bins, empty bins filled by
-    optimal rotation densification, Shrivastava ICML'17) — the
-    long-document scale path: 1 hash per shingle instead of 128 (or
-    the md5_km family's 2 md5 halves + 128 affine combinations).
+    signature family (dedup/minhash.py family="oph_md5": ONE hash
+    per shingle bucketed into 128 bins, empty bins filled by optimal
+    densification, Shrivastava ICML'17) — the long-document scale
+    path: 1 hash per shingle instead of 128 (or the md5_km family's
+    2 md5 halves + 128 affine combinations).
 
-    Registered rows-only by design: the oph signature derives from
-    xxhash64, which has no DuckDB twin, so the candidate set cannot be
-    oracle-mirrored (the md5_km registration above is the
-    hash-matched one). Correctness is pinned instead by (a) the
-    exact-Jaccard verification stage every candidate passes (precision
-    1.0 by construction — identical banding + verify code to the
-    registered md5_km query, only the signature family swaps), and
-    (b) tests/test_dedup.py pinning oph signature accuracy >= the
-    independent 128-hash family's on long docs plus recall on the
-    fixture corpus. Exact duplicates (J=1) collide in every band
-    under any family, so the documents table's seeded dup groups
-    guarantee non-empty output."""
+    Hash-matched end to end against a DuckDB oracle (previously
+    rows-only — converted r15 via the md5_km precedent): the oph_md5
+    family derives the shingle value AND the densification donor
+    choice from md5, so the oracle reproduces the whole pipeline —
+    binning, per-bin mins, optimal densification, banding, candidate
+    join, exact-Jaccard verify — bit-for-bit (_minhash_oph_oracle).
+    The seeded-xxhash64 ``oph`` family stays the library's
+    long-document scale default; the two are construction-identical
+    (only the hash source swaps) and tests/test_dedup.py pins oph
+    signature accuracy >= the independent 128-hash family's on long
+    docs plus recall on the fixture corpus. Exact duplicates (J=1)
+    collide in every band under any family, so the documents table's
+    seeded dup groups guarantee non-empty output."""
     docs = read_table(spark, sf_dir, "documents")
     out = minhash_lsh_pairs(
-        docs, k=JACCARD_K, threshold=JACCARD_THRESHOLD, family="oph"
+        docs, k=JACCARD_K, threshold=JACCARD_THRESHOLD, family="oph_md5"
     )
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 

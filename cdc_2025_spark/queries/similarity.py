@@ -424,7 +424,10 @@ LSH_DIM, LSH_PLANES, LSH_BANDS = 64, 16, 4
 
 
 def lsh_candidate_sql(
-    n_planes: int = LSH_PLANES, n_bands: int = LSH_BANDS
+    n_planes: int = LSH_PLANES,
+    n_bands: int = LSH_BANDS,
+    suffix: str = "",
+    guard_sql: str | None = None,
 ) -> str:
     """DuckDB CTE block ``e, sig, bands, cand`` mirroring
     ``lsh_pairs``' candidate generation 1:1 — shared by the
@@ -440,8 +443,15 @@ def lsh_candidate_sql(
     proj ~ 0 must not flip between engines. Banding, the
     bucket-equality candidate join, and DISTINCT mirror the Spark
     plan exactly, so both engines produce the SAME candidate set even
-    where the geometry's recall is < 1."""
+    where the geometry's recall is < 1.
+
+    ``suffix`` renames the emitted CTEs (``e{suffix}``, ``sig{suffix}``,
+    ...) so several geometries can coexist in one statement;
+    ``guard_sql`` is an optional scalar-boolean SQL expression ANDed
+    into the base scan so a non-matching geometry branch reads zero
+    rows (the sim_lsh_auto_pairs dispatch)."""
     rpb = n_planes // n_bands
+    s = suffix
     sign_cols = []
     for p in range(n_planes):
         plane = _hyperplane(LSH_DIM, p)
@@ -452,26 +462,28 @@ def lsh_candidate_sql(
             f"(CASE WHEN 0.0 + {terms} >= 0 THEN '1' ELSE '0' END) AS b{p}"
         )
     band_selects = "\n      UNION ALL ".join(
-        "SELECT vec_id, {i} AS band, {bits} AS bucket FROM sig".format(
+        "SELECT vec_id, {i} AS band, {bits} AS bucket FROM sig{s}".format(
             i=i,
             bits="||".join(f"b{i * rpb + j}" for j in range(rpb)),
+            s=s,
         )
         for i in range(n_bands)
     )
     sign_sql = ",\n             ".join(sign_cols)
-    return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-               FROM embeddings),
-    sig AS (
+    guard = f"WHERE {guard_sql}" if guard_sql else ""
+    return f"""e{s} AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings {guard}),
+    sig{s} AS (
       SELECT vec_id,
              {sign_sql}
-      FROM e
+      FROM e{s}
     ),
-    bands AS (
+    bands{s} AS (
       {band_selects}
     ),
-    cand AS (
+    cand{s} AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM bands a JOIN bands b
+      FROM bands{s} a JOIN bands{s} b
         ON a.band = b.band AND a.bucket = b.bucket
        AND a.vec_id < b.vec_id
     )"""
@@ -811,8 +823,69 @@ def lsh_pairs_auto(
 
 SIM_LSH_AUTO_RECALL = 0.9
 
+# The geometries lsh_auto_geometry derives for the driver-visible
+# corpora: 500 embeddings (sf0.001 AND sf0.01) -> 2 bits x 5 bands;
+# 2000 (sf0.1) -> 4 bits x 14 bands. The auto oracle bakes a literal
+# sign pipeline per geometry and DISPATCHES in SQL by re-deriving the
+# geometry from the corpus count with the same formula — so the
+# oracle stays an independent recomputation (formula + hyperplanes +
+# banding + verify), not a per-SF answer key. A corpus whose derived
+# geometry is not baked matches no branch -> empty result -> loud
+# row-count red (never a silent pass); tests pin that every testdata
+# corpus derives a baked geometry.
+_LSH_AUTO_BAKED = [(10, 5), (56, 14)]
 
-@query("sim_lsh_auto_pairs")
+
+def _lsh_auto_oracle() -> str:
+    """Full-pipeline oracle for the AUTO-geometry LSH query: re-derive
+    (bits, bands) from the corpus count in SQL (mirroring
+    lsh_auto_geometry: bits = max(1, ceil(log2(max(n/target, 2)))),
+    p = 1 - acos(threshold)/pi, bands = max(1,
+    ceil(ln(1-recall)/ln(1-p^bits)))), then run the literal
+    hyperplane pipeline baked for that geometry (see
+    lsh_candidate_sql — each branch's base scan is guarded so only
+    the matching geometry reads rows), and exact-cosine verify at
+    the shared threshold."""
+    thr = PAIR_THRESHOLD
+    bits_sql = (
+        "(SELECT GREATEST(1.0, CEIL(LOG2(GREATEST("
+        f"CAST(COUNT(*) AS DOUBLE) / {LSH_TARGET_BUCKET}, 2.0)))) "
+        "FROM embeddings)"
+    )
+    branches = []
+    cands = []
+    for idx, (planes, bands) in enumerate(_LSH_AUTO_BAKED):
+        bits = planes // bands
+        bands_sql = (
+            f"GREATEST(1.0, CEIL(LN(1.0 - {SIM_LSH_AUTO_RECALL}) / "
+            f"LN(1.0 - POWER(1.0 - ACOS({thr}) / PI(), {bits}.0))))"
+        )
+        guard = f"{bits_sql} = {bits}.0 AND {bands_sql} = {bands}.0"
+        branches.append(
+            lsh_candidate_sql(
+                planes, bands, suffix=f"_g{idx}", guard_sql=guard
+            )
+        )
+        cands.append(f"SELECT id_a, id_b FROM cand_g{idx}")
+    branch_sql = ",\n    ".join(branches)
+    cand_union = "\n      UNION ALL ".join(cands)
+    return f"""
+    WITH {branch_sql},
+    cand_auto AS (
+      {cand_union}
+    ),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings)
+    SELECT id_a, id_b,
+           ROUND(list_cosine_similarity(ea.emb, eb.emb), 4) AS cos
+    FROM cand_auto
+    JOIN ev ea ON ea.vec_id = id_a
+    JOIN ev eb ON eb.vec_id = id_b
+    WHERE list_cosine_similarity(ea.emb, eb.emb) >= {thr}
+    """
+
+
+@query("sim_lsh_auto_pairs", oracle=_lsh_auto_oracle())
 def sim_lsh_auto_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sim_lsh_bucketed_pairs with the geometry DERIVED instead of
     pinned: lsh_auto_geometry states (corpus_count, threshold=0.4,
@@ -820,19 +893,20 @@ def sim_lsh_auto_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizing path a 100 TB deployment uses instead of hand-tuning the
     16/4 the fixed-geometry query registers.
 
-    Registered rows-only by design: the geometry (and with it the
-    candidate set) is a function of the corpus count, so there is no
-    fixed-literal hyperplane oracle to mirror — correctness is pinned
-    instead by (a) the exact-cosine verification stage every candidate
-    passes (precision 1.0 by construction — the Arrow-batched numpy
-    re-rank; tests pin its 4dp cosines and threshold decisions equal
-    to the fold path over the FULL candidate set at both test SFs),
-    (b) test_similarity.py reproducing both measured smoke-geometry
-    configs through lsh_auto_geometry, and (c) a fixture test that at
-    a parameterization deriving exactly 16/4 the output equals
-    sim_lsh_bucketed_pairs row for row. The corpus count is one
-    metadata-only parquet count at plan construction (deployments
-    pass the known count — see lsh_pairs_auto)."""
+    Hash-matched end to end against a DuckDB oracle (previously
+    rows-only — converted r15): the oracle re-derives the geometry
+    from the corpus count with the same closed-form formula in SQL,
+    dispatches to a literal hyperplane pipeline baked per
+    driver-visible geometry (a corpus deriving an unbaked geometry
+    matches no branch and fails loudly on row count), and
+    exact-cosine verifies at the shared threshold — see
+    _lsh_auto_oracle. The numpy re-rank's 4dp cosines are pinned
+    equal to the JVM fold path (and so to the oracle's
+    list_cosine_similarity) over the full candidate set at both test
+    SFs in test_similarity.py; lsh_auto_geometry itself reproduces
+    both measured smoke-geometry configs there. The corpus count is
+    one metadata-only parquet count at plan construction
+    (deployments pass the known count — see lsh_pairs_auto)."""
     return lsh_pairs_auto(
         spark,
         sf_dir,

@@ -223,6 +223,78 @@ def test_oph_banding_and_verification_unchanged(docs):
     assert truth and len(got) / len(truth) >= 0.5
 
 
+def test_oph_md5_signature_matches_python_model(spark):
+    """The oracle-checkable oph_md5 family equals an independent
+    python fold of the same construction — md5 shingle keys, 63-bit
+    value hi*(2^31-1)+lo, mod-128 binning, per-bin min, optimal
+    densification with the 60-bit md5("i_j") donor hash and lowest-j
+    tiebreak — so the Spark plan and the DuckDB oracle cannot share
+    a common bug."""
+    import hashlib
+    import re
+
+    from cdc_2025_spark.dedup.minhash import minhash_signatures
+
+    n = 128
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta iota"),
+        (2, "one two"),  # shorter than k: single whole-doc shingle
+        (3, " ".join(f"w{i % 700}" for i in range(1500))),  # long doc
+    ]
+
+    def py_sig(text: str) -> list[int]:
+        w = re.split(r"\s+", text.strip().lower())
+        k = 5
+        if len(w) <= k:
+            keys = [" ".join(w)]
+        else:
+            keys = [" ".join(w[i : i + k]) for i in range(len(w) - k + 1)]
+        hexes = {
+            hashlib.md5(s.encode()).hexdigest()[:16] for s in keys
+        }
+        bins: dict[int, int] = {}
+        for hx in hexes:
+            v = int(hx[:8], 16) * 2147483647 + int(hx[8:16], 16)
+            b = v % n
+            bins[b] = min(bins.get(b, v), v)
+        sig = []
+        nonempty = sorted(bins)
+        for i in range(n):
+            if i in bins:
+                sig.append(bins[i])
+                continue
+            donor = min(
+                nonempty,
+                key=lambda j: (
+                    int(
+                        hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:15],
+                        16,
+                    ),
+                    j,
+                ),
+            )
+            sig.append(bins[donor])
+        return sig
+
+    docs_df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: list(r["signature"])
+        for r in minhash_signatures(docs_df, family="oph_md5").collect()
+    }
+    for did, text in rows:
+        assert got[did] == py_sig(text), f"doc {did}"
+
+
+def test_oph_md5_seed_is_rejected(docs):
+    import pytest
+
+    from cdc_2025_spark.dedup.minhash import minhash_signatures
+
+    with pytest.raises(ValueError, match="seed-free"):
+        minhash_signatures(docs, family="oph_md5", seed=7)
+
+
 def test_md5_km_seed_is_rejected(docs):
     """md5_km signatures are seed-free; a non-default seed must raise
     instead of silently returning identical output."""

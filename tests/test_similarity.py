@@ -70,6 +70,40 @@ def test_lsh_subset_and_recall(spark, sf_dir):
         assert recall >= 0.3, f"recall {recall:.2f} of {len(exact)}"
 
 
+def test_lsh_auto_baked_geometries_cover_all_testdata():
+    """The auto-LSH oracle bakes one literal sign pipeline per
+    geometry in _LSH_AUTO_BAKED and dispatches by re-deriving the
+    geometry from the corpus count in SQL. A regenerated corpus whose
+    derived geometry is not baked would make the oracle return ZERO
+    rows (a loud driver red, never a silent pass) — this guard fails
+    FIRST, in tests, for every driver-visible SF."""
+    import duckdb
+
+    from cdc_2025_spark.queries.similarity import (
+        _LSH_AUTO_BAKED,
+        LSH_TARGET_BUCKET,
+        PAIR_THRESHOLD,
+        SIM_LSH_AUTO_RECALL,
+        lsh_auto_geometry,
+    )
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        cnt = duckdb.sql(
+            "SELECT COUNT(*) FROM "
+            f"'/root/testdata/{sf}/embeddings.parquet'"
+        ).fetchone()[0]
+        geo = lsh_auto_geometry(
+            cnt,
+            PAIR_THRESHOLD,
+            SIM_LSH_AUTO_RECALL,
+            LSH_TARGET_BUCKET,
+        )
+        assert geo in _LSH_AUTO_BAKED, (
+            f"{sf}: derived geometry {geo} not baked in the "
+            "sim_lsh_auto_pairs oracle — add it to _LSH_AUTO_BAKED"
+        )
+
+
 def test_lsh_auto_geometry_matches_measured_configs():
     """The codified sizing rule must reproduce the scale smoke's two
     measured-good configs at their operating points: 16/4 at the 2k
