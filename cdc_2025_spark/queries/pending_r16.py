@@ -36,6 +36,34 @@ opens with a ready queue (the pending_r13->r15 staging posture).
   per-doc TTR average — the lexical-diversity view Heaps/Yule/
   Honore do not cover at document granularity).
 
+Grown to 20 during round 15 (the verdict's "surface a real 100 TB
+user hits" directive):
+
+- versioned_sink_audit — the exactly-once streaming sink's driver
+  proof (replayed batch id skipped, empty batch never commits).
+- stats_somers_d — asymmetric ordinal association beside gamma,
+  from the shared 5x4 contingency.
+- stats_cochran_armitage — 2xk ordered-proportions trend test
+  (fulfilled share vs priority score).
+- quality_column_profile — per-column rows/nulls/EXACT distincts of
+  the orders table in one scan (the ingestion-gate audit).
+- text_term_burstiness — Church-Gale VMR over per-doc counts for
+  >= 20%-df terms.
+- eval_spearman_footrule — L1 rank agreement (price vs size
+  rankings) on exact kernel midranks.
+- er_name_edit_blocking — blocked Levenshtein catalog ER (distinct
+  names, head-noun blocks, integer DP identical in both engines).
+- stats_wilcoxon_signed_rank — paired AM/PM value shift per
+  (user, day) block on kernel midranks of |d|.
+- stats_logrank_segments — two-segment survival comparison on the
+  KM observation construction (O-E and hypergeometric variance).
+- asof_forward_first_error — FORWARD as-of (first error after each
+  purchase) via one reverse-ordered conditional running MIN.
+- versioned_vacuum_audit / versioned_evolution_audit — vacuum
+  reclaim (manifests expired, unreferenced dirs physically gone,
+  surviving snapshot exact) and additive schema evolution (old rows
+  read NULL, manifest records the merge).
+
 NOT imported by queries/__init__.py (the staging posture); each
 query carries a full DuckDB oracle and is exercised at driver
 strength by tests/test_pending_r16.py at sf0.001 + sf0.01, with a
@@ -768,34 +796,17 @@ FROM shares, palma
 # ---------------------------------------------------------------------------
 
 
-def stats_goodman_kruskal_gamma(
+def _priority_quartile_cells(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Goodman-Kruskal gamma (1954) between order priority (ordinal
-    1-URGENT..5-LOW) and the order-value quartile: gamma =
-    (C - D)/(C + D) over concordant/discordant pairs, computed from
-    the bounded 5x4 contingency table (C = sum over cells of
-    count * total strictly-southeast; D = northeast) — ordinal
-    association where chi2 / Cramer's V sees only identity. The
-    pair-level view of the same hypothesis Jonckheere-Terpstra
-    tests.
-
-    Determinism: quartile boundaries are DISC-percentile edges over
-    the distinct 4dp-value frame (smallest value whose cumulative
-    count reaches k*n/4, decided in exact integer arithmetic
-    4*cum >= k*n), assignment by range comparison against the three
-    broadcast edges — equal values always share a quartile, and the
-    oracle mirrors the identical cumulative construction; cell
-    counts and the C/D folds are exact integers.
-
-    Scale shape: one grouped count collapses orders to the
-    (priority, value) distinct frame, its value marginal feeds the
-    two-level bucketed kernel for the cumulative (an unpartitioned
-    NTILE window on the full orders frame would be a single-task
-    corpus sort — the r14 verdict flag), quartiles assign by range
-    against a 1-row broadcast edge frame, then one grouped count to
-    the 20-cell table whose C/D folds are a bounded 20x20
-    self-join; output is one row."""
+    """The bounded 5x4 (priority rank, order-value quartile)
+    contingency table shared by Goodman-Kruskal gamma and Somers' D:
+    one grouped count collapses orders to the (priority, value)
+    distinct frame, the value marginal's cumulative comes from the
+    two-level bucketed kernel, quartile boundaries are
+    disc-percentile edges decided in exact integer arithmetic
+    (4*cum >= k*n) and assignment is by range comparison against the
+    three broadcast edges — no unpartitioned window anywhere."""
     pr_rank = F.element_at(
         F.split(F.col("o_orderpriority"), "-"), 1
     ).cast("int")
@@ -830,7 +841,7 @@ def stats_goodman_kruskal_gamma(
             ]
         )
     )
-    cells = (
+    return (
         rv.crossJoin(F.broadcast(edges))
         .select(
             "r",
@@ -846,6 +857,68 @@ def stats_goodman_kruskal_gamma(
         .agg(F.sum("c").cast("long").alias("c"))
         .localCheckpoint(eager=False)
     )
+
+
+# the oracle-side twin of _priority_quartile_cells: CTE chain ending
+# in ``cells (r, q, c)`` — embeddable after WITH in the gamma and
+# Somers' D oracles
+_PQ_CELLS_SQL = """rv AS (
+  SELECT CAST(string_split(o_orderpriority, '-')[1] AS INTEGER) AS r,
+         ROUND(o_totalprice, 4) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+),
+marg AS (SELECT v, SUM(c) AS cv FROM rv GROUP BY 1),
+cum AS (
+  SELECT v, SUM(cv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc
+  FROM marg
+),
+nf AS (SELECT SUM(cv) AS n FROM marg),
+edges AS (
+  SELECT MIN(CASE WHEN 4 * cc >= 1 * n THEN v END) AS e1,
+         MIN(CASE WHEN 4 * cc >= 2 * n THEN v END) AS e2,
+         MIN(CASE WHEN 4 * cc >= 3 * n THEN v END) AS e3
+  FROM cum, nf
+),
+cells AS (
+  SELECT r,
+         1 + CAST(v > e1 AS INTEGER) + CAST(v > e2 AS INTEGER)
+           + CAST(v > e3 AS INTEGER) AS q,
+         CAST(SUM(c) AS BIGINT) AS c
+  FROM rv, edges GROUP BY 1, 2
+)"""
+
+
+def stats_goodman_kruskal_gamma(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Goodman-Kruskal gamma (1954) between order priority (ordinal
+    1-URGENT..5-LOW) and the order-value quartile: gamma =
+    (C - D)/(C + D) over concordant/discordant pairs, computed from
+    the bounded 5x4 contingency table (C = sum over cells of
+    count * total strictly-southeast; D = northeast) — ordinal
+    association where chi2 / Cramer's V sees only identity. The
+    pair-level view of the same hypothesis Jonckheere-Terpstra
+    tests.
+
+    Determinism: quartile boundaries are DISC-percentile edges over
+    the distinct 4dp-value frame (smallest value whose cumulative
+    count reaches k*n/4, decided in exact integer arithmetic
+    4*cum >= k*n), assignment by range comparison against the three
+    broadcast edges — equal values always share a quartile, and the
+    oracle mirrors the identical cumulative construction; cell
+    counts and the C/D folds are exact integers.
+
+    Scale shape: one grouped count collapses orders to the
+    (priority, value) distinct frame, its value marginal feeds the
+    two-level bucketed kernel for the cumulative (an unpartitioned
+    NTILE window on the full orders frame would be a single-task
+    corpus sort — the r14 verdict flag), quartiles assign by range
+    against a 1-row broadcast edge frame, then one grouped count to
+    the 20-cell table whose C/D folds are a bounded 20x20
+    self-join; output is one row. The cell construction is shared
+    with stats_somers_d (_priority_quartile_cells)."""
+    cells = _priority_quartile_cells(spark, sf_dir)
     a = cells.select(
         F.col("r").alias("r1"), F.col("q").alias("q1"),
         F.col("c").alias("ca"),
@@ -880,32 +953,8 @@ def stats_goodman_kruskal_gamma(
     )
 
 
-GAMMA_ORACLE = """
-WITH rv AS (
-  SELECT CAST(string_split(o_orderpriority, '-')[1] AS INTEGER) AS r,
-         ROUND(o_totalprice, 4) AS v,
-         CAST(COUNT(*) AS BIGINT) AS c
-  FROM orders GROUP BY 1, 2
-),
-marg AS (SELECT v, SUM(c) AS cv FROM rv GROUP BY 1),
-cum AS (
-  SELECT v, SUM(cv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cc
-  FROM marg
-),
-nf AS (SELECT SUM(cv) AS n FROM marg),
-edges AS (
-  SELECT MIN(CASE WHEN 4 * cc >= 1 * n THEN v END) AS e1,
-         MIN(CASE WHEN 4 * cc >= 2 * n THEN v END) AS e2,
-         MIN(CASE WHEN 4 * cc >= 3 * n THEN v END) AS e3
-  FROM cum, nf
-),
-cells AS (
-  SELECT r,
-         1 + CAST(v > e1 AS INTEGER) + CAST(v > e2 AS INTEGER)
-           + CAST(v > e3 AS INTEGER) AS q,
-         CAST(SUM(c) AS BIGINT) AS c
-  FROM rv, edges GROUP BY 1, 2
-),
+GAMMA_ORACLE = f"""
+WITH {_PQ_CELLS_SQL},
 pairs AS (
   SELECT a.c AS ca, b.c AS cb, a.r AS r1, a.q AS q1,
          b.r AS r2, b.q AS q2
@@ -924,6 +973,290 @@ SELECT concordant, discordant,
        ROUND((concordant - discordant) * 1.0
              / (concordant + discordant), 6) AS gamma
 FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Somers' D: asymmetric ordinal association (beside gamma)
+# ---------------------------------------------------------------------------
+
+
+def stats_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Somers' D (Somers 1962) between order priority (X) and the
+    order-value quartile (Y), both directions: d_yx =
+    (C - D)/(C + D + T_y) treats Y as the response (pairs tied only
+    on Y count against association), d_xy the reverse — the
+    asymmetric refinements of the gamma this queue registers beside
+    (gamma ignores ALL ties, so it overstates association whenever
+    one margin is coarse; D is what an ordinal-response model
+    reports). Computed from the same bounded 5x4 contingency as
+    gamma (shared _priority_quartile_cells).
+
+    Determinism: cell counts, C, D and both tie folds are exact
+    integers from the bounded 20x20 cell self-join; the two ratios
+    are single rationals rounded after the fold.
+
+    Scale shape: identical to gamma — the corpus collapses to the
+    20-cell table (kernel-bucketed quartile edges, range-comparison
+    assignment), everything after is O(1)."""
+    cells = _priority_quartile_cells(spark, sf_dir)
+    a = cells.select(
+        F.col("r").alias("r1"), F.col("q").alias("q1"),
+        F.col("c").alias("ca"),
+    )
+    b = cells.select(
+        F.col("r").alias("r2"), F.col("q").alias("q2"),
+        F.col("c").alias("cb"),
+    )
+    pairs = a.crossJoin(b)
+    r1, q1 = F.col("r1"), F.col("q1")
+    r2, q2 = F.col("r2"), F.col("q2")
+    w = F.col("ca") * F.col("cb")
+    agg = pairs.agg(
+        F.sum(
+            F.when((r2 > r1) & (q2 > q1), w)
+        ).alias("concordant"),
+        F.sum(
+            F.when((r2 > r1) & (q2 < q1), w)
+        ).alias("discordant"),
+        # pairs tied on X only / on Y only: count each unordered
+        # pair once (r2 > r1 / q2 > q1 picks one orientation; the
+        # same-cell diagonal contributes C(c,2) pairs tied on BOTH,
+        # which neither fold wants)
+        F.sum(
+            F.when((r2 == r1) & (q2 > q1), w)
+        ).alias("ties_x_only"),
+        F.sum(
+            F.when((q2 == q1) & (r2 > r1), w)
+        ).alias("ties_y_only"),
+    )
+    c_, d_ = F.col("concordant"), F.col("discordant")
+    tx, ty = F.col("ties_x_only"), F.col("ties_y_only")
+    return agg.select(
+        c_.cast("long").alias("concordant"),
+        d_.cast("long").alias("discordant"),
+        tx.cast("long").alias("ties_x_only"),
+        ty.cast("long").alias("ties_y_only"),
+        F.round((c_ - d_) / (c_ + d_ + ty).cast("double"), 6).alias(
+            "somers_d_yx"
+        ),
+        F.round((c_ - d_) / (c_ + d_ + tx).cast("double"), 6).alias(
+            "somers_d_xy"
+        ),
+    )
+
+
+SOMERS_ORACLE = f"""
+WITH {_PQ_CELLS_SQL},
+pairs AS (
+  SELECT a.c AS ca, b.c AS cb, a.r AS r1, a.q AS q1,
+         b.r AS r2, b.q AS q2
+  FROM cells a, cells b
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN r2 > r1 AND q2 > q1
+                       THEN ca * cb ELSE 0 END) AS BIGINT) AS c_,
+         CAST(SUM(CASE WHEN r2 > r1 AND q2 < q1
+                       THEN ca * cb ELSE 0 END) AS BIGINT) AS d_,
+         CAST(SUM(CASE WHEN r2 = r1 AND q2 > q1
+                       THEN ca * cb ELSE 0 END) AS BIGINT) AS tx,
+         CAST(SUM(CASE WHEN q2 = q1 AND r2 > r1
+                       THEN ca * cb ELSE 0 END) AS BIGINT) AS ty
+  FROM pairs
+)
+SELECT c_ AS concordant, d_ AS discordant,
+       tx AS ties_x_only, ty AS ties_y_only,
+       ROUND((c_ - d_) * 1.0 / (c_ + d_ + ty), 6) AS somers_d_yx,
+       ROUND((c_ - d_) * 1.0 / (c_ + d_ + tx), 6) AS somers_d_xy
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage trend test: proportion of 'F' status across
+# ordered priorities
+# ---------------------------------------------------------------------------
+
+
+def stats_cochran_armitage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cochran-Armitage test for trend (Cochran 1954, Armitage 1955)
+    of the fulfilled-status ('F') proportion across the five order
+    priorities with their natural integer scores 1..5: T =
+    sum_i s_i (r_i - n_i R/N), Var T = (R/N)(1 - R/N)
+    (sum n_i s_i^2 - (sum n_i s_i)^2 / N), z = T/sqrt(Var), two-sided
+    p via A&S — the 2xk ORDERED-proportions member of this queue's
+    ordered-alternatives family (chi2 asks "any difference in
+    proportions?"; CA asks "do they MOVE with urgency?").
+
+    Determinism: the 5-row contingency (r_i, n_i) is integer-exact;
+    T and both variance folds are closed rationals in the counts.
+
+    Scale shape: one grouped count to five rows; everything after is
+    O(1) on the driver plan (no window, no join)."""
+    pr_rank = F.element_at(
+        F.split(F.col("o_orderpriority"), "-"), 1
+    ).cast("int")
+    lev = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(pr_rank.alias("s"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                (F.col("o_orderstatus") == "F").cast("long")
+            ).alias("r"),
+        )
+    )
+    agg = lev.agg(
+        F.sum("n").cast("double").alias("nn"),
+        F.sum("r").cast("double").alias("rr"),
+        F.sum(F.col("s") * F.col("r")).cast("double").alias("sr"),
+        F.sum(F.col("s") * F.col("n")).cast("double").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n"))
+        .cast("double")
+        .alias("ssn"),
+    )
+    p = F.col("rr") / F.col("nn")
+    t = F.col("sr") - p * F.col("sn")
+    var = p * (1 - p) * (
+        F.col("ssn") - F.col("sn") * F.col("sn") / F.col("nn")
+    )
+    z = t / F.sqrt(var)
+    return agg.select(
+        F.col("nn").cast("long").alias("n_orders"),
+        F.col("rr").cast("long").alias("n_fulfilled"),
+        F.round(t, 4).alias("trend_stat"),
+        F.round(z, 6).alias("z_stat"),
+        F.round(_normal_two_sided(F.abs(z)), 6).alias("p_value"),
+    )
+
+
+COCHRAN_ARMITAGE_ORACLE = f"""
+WITH lev AS (
+  SELECT CAST(string_split(o_orderpriority, '-')[1] AS INTEGER) AS s,
+         COUNT(*) AS n,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS r
+  FROM orders GROUP BY 1
+),
+agg AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS nn,
+         CAST(SUM(r) AS DOUBLE) AS rr,
+         CAST(SUM(s * r) AS DOUBLE) AS sr,
+         CAST(SUM(s * n) AS DOUBLE) AS sn,
+         CAST(SUM(s * s * n) AS DOUBLE) AS ssn
+  FROM lev
+),
+st AS (
+  SELECT nn, rr,
+         sr - (rr / nn) * sn AS t,
+         (rr / nn) * (1 - rr / nn) * (ssn - sn * sn / nn) AS var
+  FROM agg
+),
+zz AS (SELECT nn, rr, t, t / SQRT(var) AS z FROM st),
+zf AS (SELECT nn, rr, t, z, ABS(z) AS za FROM zz)
+SELECT CAST(nn AS BIGINT) AS n_orders,
+       CAST(rr AS BIGINT) AS n_fulfilled,
+       ROUND(t, 4) AS trend_stat,
+       ROUND(z, 6) AS z_stat,
+       ROUND({_ans_sql('za')}, 6) AS p_value
+FROM zf
+"""
+
+
+# ---------------------------------------------------------------------------
+# Column-level data profiling: the quality-audit surface
+# ---------------------------------------------------------------------------
+
+
+def quality_column_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-column profile of the orders table — row count, null
+    count, EXACT distinct count — the data-quality audit every
+    100 TB ingestion gate runs before accepting a drop (schema drift
+    shows as distinct-count cliffs, upstream breakage as null
+    spikes). Exact distincts, not approx: the approx twin
+    (agg_approx_distinct_users) is Spark-impl-specific and
+    rows-only; this one is engine-portable and hash-checked.
+
+    Determinism: all counts are exact integers; double-typed columns
+    count distinct by bit equality, identical for parquet
+    round-tripped values in both engines.
+
+    Scale shape: ONE scan computes every metric (count + per-column
+    null sums + per-column exact count-distincts in a single
+    aggregate — Spark plans multi-distinct aggregates with one
+    expand, not one scan per column), then a 6-row stack unpivots
+    driver-side; output is bounded by the column count."""
+    o = read_table(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}")
+        )
+        aggs.append(
+            F.count_distinct(F.col(c)).cast("long").alias(f"dist_{c}")
+        )
+    one = o.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', null_{c}, dist_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_expr}) "
+            "AS (column_name, n_null, n_distinct)"
+        ),
+        "n_rows",
+    ).select("column_name", "n_rows", "n_null", "n_distinct")
+
+
+COLUMN_PROFILE_ORACLE = """
+WITH one AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS null_o_orderkey,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+           AS dist_o_orderkey,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS null_o_custkey,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS dist_o_custkey,
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS null_o_orderstatus,
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+           AS dist_o_orderstatus,
+         CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS null_o_totalprice,
+         CAST(COUNT(DISTINCT o_totalprice) AS BIGINT)
+           AS dist_o_totalprice,
+         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS null_o_orderdate,
+         CAST(COUNT(DISTINCT o_orderdate) AS BIGINT)
+           AS dist_o_orderdate,
+         CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0
+                  END) AS BIGINT) AS null_o_orderpriority,
+         CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+           AS dist_o_orderpriority
+  FROM orders
+)
+SELECT t.column_name, one.n_rows, t.n_null, t.n_distinct
+FROM one, LATERAL (
+  VALUES ('o_orderkey', null_o_orderkey, dist_o_orderkey),
+         ('o_custkey', null_o_custkey, dist_o_custkey),
+         ('o_orderstatus', null_o_orderstatus, dist_o_orderstatus),
+         ('o_totalprice', null_o_totalprice, dist_o_totalprice),
+         ('o_orderdate', null_o_orderdate, dist_o_orderdate),
+         ('o_orderpriority', null_o_orderpriority,
+          dist_o_orderpriority)
+) AS t(column_name, n_null, n_distinct)
 """
 
 
@@ -1028,6 +1361,713 @@ GROUP BY p.source
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
+# Term burstiness: Church-Gale variance-to-mean over documents
+# ---------------------------------------------------------------------------
+
+BURSTINESS_DF_PCT = 20  # keep terms present in >= 20% of documents
+
+
+def text_term_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Church-Gale term burstiness (Church & Gale 1995): for every
+    term appearing in >= 20% of documents, the variance-to-mean
+    ratio (VMR) of its per-document count over ALL documents
+    (absent docs count zero). VMR = 1 is Poisson scatter; bursty
+    function-of-content terms run VMR >> 1 while grammatical glue
+    sits near 1 — the corpus-linguistics diagnostic beside the
+    registered Zipf/Heaps/Yule laws, and a dispersion feature
+    quality filters consume.
+
+    Determinism: per-doc counts, df, tf and the squared-count sum
+    are exact integers; the df floor is decided in integer
+    arithmetic (100*df >= pct*n_docs); VMR = (n*sq - tf^2)/(n*tf)
+    divides two exact integers (both < 2^63 at any plausible SF).
+
+    Scale shape: one explode + (doc, term) grouped count (map-side
+    partials), one term-level rollup, one broadcast scalar for
+    n_docs; the df floor bounds the output."""
+    docs = read_table(spark, sf_dir, "documents")
+    n_frame = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    per = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("k"))
+    )
+    term = per.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("k").cast("long").alias("tf"),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("sq"),
+    )
+    out = (
+        term.crossJoin(F.broadcast(n_frame))
+        .filter(
+            100 * F.col("df") >= BURSTINESS_DF_PCT * F.col("n_docs")
+        )
+        .select(
+            "term",
+            "df",
+            "tf",
+            F.round(
+                (
+                    F.col("n_docs") * F.col("sq")
+                    - F.col("tf") * F.col("tf")
+                ).cast("double")
+                / (F.col("n_docs") * F.col("tf")).cast("double"),
+                6,
+            ).alias("vmr"),
+        )
+    )
+    return out
+
+
+BURSTINESS_ORACLE = f"""
+WITH nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents),
+per AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS k
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                 AS term
+        FROM documents)
+  GROUP BY 1, 2
+),
+term AS (
+  SELECT term,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(k) AS BIGINT) AS tf,
+         CAST(SUM(k * k) AS BIGINT) AS sq
+  FROM per GROUP BY 1
+)
+SELECT term, df, tf,
+       ROUND(CAST(n_docs * sq - tf * tf AS DOUBLE)
+             / CAST(n_docs * tf AS DOUBLE), 6) AS vmr
+FROM term, nf
+WHERE 100 * df >= {BURSTINESS_DF_PCT} * n_docs
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spearman footrule distance between two attribute rankings
+# ---------------------------------------------------------------------------
+
+
+def eval_spearman_footrule(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman footrule (the L1 rank-agreement metric; Diaconis &
+    Graham 1977) between the retail-price ranking and the size
+    ranking of the parts catalog: F = sum_i |rank_price(i) -
+    rank_size(i)| with midranks on ties, normalized by n^2/2 (the
+    permutation maximum) — the rank-agreement member beside the
+    registered Spearman rho (L2) and Kendall tau (inversions); L1 is
+    what ranking-merge literature (rank aggregation) optimizes.
+
+    Determinism: midranks are exact .5-grid rationals from the
+    two-level kernel; every |diff| and partial sum is an exact
+    multiple of 0.5 far below 2^52, so the global sum is
+    order-independent and bit-exact in both engines; only the
+    normalized ratio is rounded.
+
+    Scale shape: two grouped counts to the distinct-value frames
+    (localCheckpoint-ed), two bucketed-midrank kernel passes, two
+    value-keyed joins back to the parts frame, one fold; no
+    unpartitioned window (the oracle uses plain cumsums — its frames
+    are oracle-side only)."""
+    from cdc_2025_spark.functions.ranks import bucketed_midranks
+
+    parts = read_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round("p_retailprice", 4).alias("vp"),
+        F.col("p_size").cast("long").alias("vs"),
+    )
+    marg_p = (
+        parts.groupBy("vp")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    marg_s = (
+        parts.groupBy("vs")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    rp = bucketed_midranks(marg_p, "vp", "c", "r_price")
+    rs = bucketed_midranks(marg_s, "vs", "c", "r_size")
+    joined = parts.join(rp, "vp").join(rs, "vs")
+    agg = joined.agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum(F.abs(F.col("r_price") - F.col("r_size"))).alias(
+            "footrule_sum"
+        ),
+    )
+    return agg.select(
+        "n_parts",
+        "footrule_sum",
+        F.round(
+            F.col("footrule_sum")
+            / (F.col("n_parts") * F.col("n_parts") / F.lit(2.0)),
+            6,
+        ).alias("footrule_norm"),
+    )
+
+
+FOOTRULE_ORACLE = """
+WITH parts AS (
+  SELECT p_partkey, ROUND(p_retailprice, 4) AS vp,
+         CAST(p_size AS BIGINT) AS vs
+  FROM part
+),
+mp AS (SELECT vp, CAST(COUNT(*) AS BIGINT) AS c
+       FROM parts GROUP BY 1),
+ms AS (SELECT vs, CAST(COUNT(*) AS BIGINT) AS c
+       FROM parts GROUP BY 1),
+rp AS (
+  SELECT vp,
+         SUM(c) OVER (ORDER BY vp ROWS UNBOUNDED PRECEDING)
+           - (c - 1) / 2.0 AS r_price
+  FROM mp
+),
+rs AS (
+  SELECT vs,
+         SUM(c) OVER (ORDER BY vs ROWS UNBOUNDED PRECEDING)
+           - (c - 1) / 2.0 AS r_size
+  FROM ms
+),
+joined AS (
+  SELECT ABS(r_price - r_size) AS d
+  FROM parts JOIN rp USING (vp) JOIN rs USING (vs)
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         SUM(d) AS footrule_sum
+  FROM joined
+)
+SELECT n_parts, footrule_sum,
+       ROUND(footrule_sum / (n_parts * n_parts / 2.0), 6)
+         AS footrule_norm
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Blocked edit-distance entity resolution over part names
+# ---------------------------------------------------------------------------
+
+ER_EDIT_MAX_DIST = 4
+
+
+def er_name_edit_blocking(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Blocked edit-distance matching over the parts catalog: names
+    collapse to the distinct-name frame with part counts, BLOCK on
+    the final token (the head noun — the standard ER blocking-key
+    move that bounds the pair space), and only within-block pairs
+    pay a Levenshtein evaluation; pairs within distance 4 survive —
+    catalog-normalization ER where the exact-key and phonetic
+    families miss close variants ('small bolt' ~ 'red bolt').
+
+    Determinism: Levenshtein is the classic integer DP, identical in
+    both engines; blocks, counts and the pair join are exact; output
+    fully ordered by the unique (name_a, name_b) pair.
+
+    Scale shape: the corpus collapses to the distinct-name frame
+    FIRST (grouped count — at 100x the name domain grows far slower
+    than rows), the block join is bounded by the largest block (the
+    pigeonhole posture of the simhash/SNM family), and no pair
+    outside a shared block is ever scored."""
+    names = (
+        read_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.count("*").cast("long").alias("n_parts"))
+        .withColumn(
+            "block", F.element_at(F.split(F.col("name"), " "), -1)
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = names.select(
+        "block",
+        F.col("name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+    )
+    b = names.select(
+        "block",
+        F.col("name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+    )
+    pairs = (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b")
+        )
+        .filter(F.col("edit_dist") <= ER_EDIT_MAX_DIST)
+    )
+    return pairs.select(
+        "name_a",
+        "name_b",
+        F.col("edit_dist").cast("int").alias("edit_dist"),
+        "n_parts_a",
+        "n_parts_b",
+    )
+
+
+ER_EDIT_ORACLE = f"""
+WITH names AS (
+  SELECT p_name AS name,
+         CAST(COUNT(*) AS BIGINT) AS n_parts,
+         string_split(p_name, ' ')[-1] AS block
+  FROM part GROUP BY 1
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS edit_dist,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM names a JOIN names b
+  ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= {ER_EDIT_MAX_DIST}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank: paired AM/PM value shift per (user, day)
+# ---------------------------------------------------------------------------
+
+
+def stats_wilcoxon_signed_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon 1945) of the within-day
+    value shift: each (user, day) block with events in BOTH halves
+    of the day contributes d = mean PM value - mean AM value
+    (4dp-rounded per half, the round-after-aggregate rule); zero
+    differences drop (the classical convention, reported), |d| gets
+    midranks from the shared two-level kernel, W+ sums the ranks of
+    positive shifts, and the tie-corrected normal approximation
+    gives the two-sided p — the PAIRED rank member beside
+    Mann-Whitney (independent samples) and McNemar (paired binary):
+    does the day's second half shift the value level, pairing each
+    user-day with itself?
+
+    Determinism: the block design is the non-degenerate (user, day,
+    AM/PM) granularity (the Cochran-Q lesson); block means round 4dp
+    so both engines rank identical doubles; counts, W+ (a sum of
+    exact .5-grid midranks times integer counts) and the tie fold
+    are exact; only z and p round.
+
+    Scale shape: one (user, day) grouped collapse (the corpus
+    shuffles once), one grouped count to the bounded distinct-|d|
+    frame (localCheckpoint-ed) feeding the bucketed midrank kernel,
+    one fold."""
+    from cdc_2025_spark.functions.ranks import bucketed_midranks
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    blocks = (
+        ev.groupBy(
+            "user_id", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.round(
+                F.avg(F.when(F.hour("ts") < 12, F.col("value"))), 4
+            ).alias("am"),
+            F.round(
+                F.avg(F.when(F.hour("ts") >= 12, F.col("value"))), 4
+            ).alias("pm"),
+        )
+        .filter(F.col("am").isNotNull() & F.col("pm").isNotNull())
+        .select((F.col("pm") - F.col("am")).alias("d"))
+    )
+    marked = blocks.select(
+        F.abs(F.col("d")).alias("ad"),
+        (F.col("d") > 0).cast("long").alias("pos"),
+        (F.col("d") == 0).cast("long").alias("zero"),
+    )
+    marg = (
+        marked.filter(F.col("zero") == 0)
+        .groupBy("ad")
+        .agg(
+            F.sum("pos").cast("long").alias("cpos"),
+            F.count("*").cast("long").alias("tot"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ranked = bucketed_midranks(marg, "ad", "tot", "r").join(marg, "ad")
+    zeros = marked.agg(F.sum("zero").cast("long").alias("n_zero"))
+    agg = ranked.agg(
+        F.sum("tot").cast("double").alias("n"),
+        F.sum(F.col("cpos") * F.col("r")).alias("w_plus"),
+        F.sum(
+            F.col("tot") * F.col("tot") * F.col("tot") - F.col("tot")
+        ).cast("double").alias("ties"),
+    ).crossJoin(F.broadcast(zeros))
+    n = F.col("n")
+    mean = n * (n + 1) / F.lit(4.0)
+    var = n * (n + 1) * (2 * n + 1) / F.lit(24.0) - F.col(
+        "ties"
+    ) / F.lit(48.0)
+    z = (F.col("w_plus") - mean) / F.sqrt(var)
+    return agg.select(
+        n.cast("long").alias("n_blocks"),
+        "n_zero",
+        F.col("w_plus").alias("w_plus"),
+        F.round(z, 6).alias("z_stat"),
+        F.round(_normal_two_sided(F.abs(z)), 6).alias("p_value"),
+    )
+
+
+WILCOXON_ORACLE = f"""
+WITH blocks AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         ROUND(AVG(CASE WHEN hour(ts) < 12 THEN value END), 4)
+           AS am,
+         ROUND(AVG(CASE WHEN hour(ts) >= 12 THEN value END), 4)
+           AS pm
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+diffs AS (
+  SELECT pm - am AS d FROM blocks
+  WHERE am IS NOT NULL AND pm IS NOT NULL
+),
+zeros AS (
+  SELECT CAST(SUM(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_zero
+  FROM diffs
+),
+marg AS (
+  SELECT ABS(d) AS ad,
+         CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cpos,
+         CAST(COUNT(*) AS BIGINT) AS tot
+  FROM diffs WHERE d <> 0 GROUP BY 1
+),
+ranked AS (
+  SELECT ad, cpos, tot,
+         SUM(tot) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING)
+           - (tot - 1) / 2.0 AS r
+  FROM marg
+),
+agg AS (
+  SELECT CAST(SUM(tot) AS DOUBLE) AS n,
+         SUM(cpos * r) AS w_plus,
+         CAST(SUM(tot * tot * tot - tot) AS DOUBLE) AS ties
+  FROM ranked
+),
+st AS (
+  SELECT n, w_plus, ties,
+         (w_plus - n * (n + 1) / 4.0)
+           / SQRT(n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0)
+           AS z
+  FROM agg
+),
+zf AS (SELECT n, w_plus, z, ABS(z) AS za FROM st)
+SELECT CAST(n AS BIGINT) AS n_blocks,
+       (SELECT n_zero FROM zeros) AS n_zero,
+       w_plus,
+       ROUND(z, 6) AS z_stat,
+       ROUND({_ans_sql('za')}, 6) AS p_value
+FROM zf
+"""
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test: reorder-delay survival, BUILDING vs MACHINERY
+# ---------------------------------------------------------------------------
+
+LOGRANK_SEG_A = "BUILDING"
+LOGRANK_SEG_B = "MACHINERY"
+
+
+def stats_logrank_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Log-rank test (Mantel 1966) comparing the time-to-reorder
+    survival curves of the BUILDING and MACHINERY customer
+    segments: the registered Kaplan-Meier observation construction
+    (consecutive-order gaps as events, last-order-to-corpus-end as
+    right-censored) split by segment; at each event time t,
+    O - E accumulates d_A(t) - d(t) n_A(t)/n(t) and the
+    hypergeometric variance d (n_A/n)(n_B/n)(n-d)/(n-1), giving the
+    standard z / chi2(1) — the survival family's two-sample test
+    beside the registered KM curve and Nelson-Aalen hazard (curves
+    describe; log-rank decides).
+
+    Determinism: durations are integer day counts; d/c/at-risk
+    counts are exact integers on the duration-ordered bounded frame;
+    E and V are sums of rationals over that bounded frame, rounded
+    4-6dp after the final fold (the round-after-aggregate rule).
+
+    Scale shape: ONE custkey-partitioned window derives the delays
+    (corpus shuffles once on o_custkey, the registered KM posture);
+    the duration frame is calendar-bounded (distinct integer day
+    gaps), so its ordered window follows the registered KM/equidepth
+    posture; output is one row."""
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .join(
+            read_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(
+            F.col("c_mktsegment").isin(LOGRANK_SEG_A, LOGRANK_SEG_B)
+        )
+        .select(
+            "o_custkey",
+            F.to_date("o_orderdate").alias("day"),
+            (F.col("c_mktsegment") == LOGRANK_SEG_A)
+            .cast("long")
+            .alias("is_a"),
+        )
+    )
+    w_cust = Window.partitionBy("o_custkey").orderBy("day")
+    base = o.withColumn("nxt", F.lead("day").over(w_cust))
+    gmax = o.agg(F.max("day").alias("gmax"))
+    events = base.filter(F.col("nxt").isNotNull()).select(
+        F.datediff("nxt", "day").alias("dur"),
+        "is_a",
+        F.lit(1).alias("event"),
+    )
+    censored = (
+        base.filter(F.col("nxt").isNull())
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            F.datediff("gmax", "day").alias("dur"),
+            "is_a",
+            F.lit(0).alias("event"),
+        )
+    )
+    obs = events.unionByName(censored)
+    g = obs.groupBy("dur").agg(
+        F.sum(F.col("event") * F.col("is_a"))
+        .cast("long")
+        .alias("da"),
+        F.sum(F.col("event") * (1 - F.col("is_a")))
+        .cast("long")
+        .alias("db"),
+        F.sum("is_a").cast("long").alias("ta"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("tb"),
+    )
+    w_all = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    risk = g.select(
+        "dur",
+        "da",
+        "db",
+        (
+            F.sum("ta").over(w_tot)
+            - F.sum("ta").over(w_all)
+            + F.col("ta")
+        ).alias("na"),
+        (
+            F.sum("tb").over(w_tot)
+            - F.sum("tb").over(w_all)
+            + F.col("tb")
+        ).alias("nb"),
+    )
+    d = (F.col("da") + F.col("db")).cast("double")
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    n = na + nb
+    at_event = risk.filter((F.col("da") + F.col("db")) > 0)
+    agg = at_event.agg(
+        F.sum("da").cast("double").alias("oa"),
+        F.sum(d * na / n).alias("ea"),
+        F.sum(
+            F.when(
+                n > 1,
+                d * (na / n) * (nb / n) * (n - d) / (n - 1),
+            ).otherwise(F.lit(0.0))
+        ).alias("v"),
+    )
+    z = (F.col("oa") - F.col("ea")) / F.sqrt(F.col("v"))
+    return agg.select(
+        F.col("oa").cast("long").alias("observed_a"),
+        F.round(F.col("ea"), 4).alias("expected_a"),
+        F.round(z * z, 6).alias("chi2"),
+        F.round(
+            _normal_two_sided(F.abs(z)), 6
+        ).alias("p_value"),
+    )
+
+
+LOGRANK_ORACLE = f"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+         CASE WHEN c_mktsegment = '{LOGRANK_SEG_A}' THEN 1 ELSE 0
+           END AS is_a
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('{LOGRANK_SEG_A}', '{LOGRANK_SEG_B}')
+),
+base AS (
+  SELECT day, is_a,
+         LEAD(day) OVER (PARTITION BY o_custkey ORDER BY day)
+           AS nxt
+  FROM o
+),
+gmax AS (SELECT MAX(day) AS gm FROM o),
+obs AS (
+  SELECT datediff('day', day, nxt) AS dur, is_a, 1 AS event
+  FROM base WHERE nxt IS NOT NULL
+  UNION ALL
+  SELECT datediff('day', day, gm) AS dur, is_a, 0 AS event
+  FROM base, gmax WHERE nxt IS NULL
+),
+g AS (
+  SELECT dur,
+         CAST(SUM(event * is_a) AS BIGINT) AS da,
+         CAST(SUM(event * (1 - is_a)) AS BIGINT) AS db,
+         CAST(SUM(is_a) AS BIGINT) AS ta,
+         CAST(SUM(1 - is_a) AS BIGINT) AS tb
+  FROM obs GROUP BY dur
+),
+risk AS (
+  SELECT dur, da, db,
+         SUM(ta) OVER () - SUM(ta) OVER (ORDER BY dur
+           ROWS UNBOUNDED PRECEDING) + ta AS na,
+         SUM(tb) OVER () - SUM(tb) OVER (ORDER BY dur
+           ROWS UNBOUNDED PRECEDING) + tb AS nb
+  FROM g
+),
+at_event AS (
+  SELECT CAST(da AS DOUBLE) AS da, CAST(db AS DOUBLE) AS db,
+         CAST(na AS DOUBLE) AS na, CAST(nb AS DOUBLE) AS nb
+  FROM risk WHERE da + db > 0
+),
+agg AS (
+  SELECT SUM(da) AS oa,
+         SUM((da + db) * na / (na + nb)) AS ea,
+         SUM(CASE WHEN na + nb > 1
+             THEN (da + db) * (na / (na + nb)) * (nb / (na + nb))
+                  * (na + nb - da - db) / (na + nb - 1)
+             ELSE 0.0 END) AS v
+  FROM at_event
+),
+zz AS (SELECT oa, ea, (oa - ea) / SQRT(v) AS z FROM agg),
+zf AS (SELECT oa, ea, z, ABS(z) AS za FROM zz)
+SELECT CAST(oa AS BIGINT) AS observed_a,
+       ROUND(ea, 4) AS expected_a,
+       ROUND(z * z, 6) AS chi2,
+       ROUND({_ans_sql('za')}, 6) AS p_value
+FROM zf
+"""
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of: first error after each purchase, per user timeline
+# ---------------------------------------------------------------------------
+
+
+def asof_forward_first_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FORWARD as-of join on the event timeline: for every purchase,
+    the FIRST error event of the same user strictly later in the
+    (ts, event_id) total order — the time-to-failure companion of
+    the registered BACKWARD as-of (asof_last_signup_before_purchase
+    attributes; this one measures what happens next). Expressed as
+    one running conditional MIN over the user's timeline in reverse
+    order — the union-free as-of construction both engines window
+    identically — then folded to the incident summary a reliability
+    dashboard reads.
+
+    Determinism: timestamps compare as exact integer microseconds;
+    the (ts DESC, event_id DESC) frame is a total order (event_id
+    unique), so ties at the same microsecond are deterministic; gap
+    sums are exact BIGINT micros divided once at the end.
+
+    Scale shape: ONE user-partitioned window (the corpus shuffles
+    once, on user_id — the KM/sessionize posture); the fold is one
+    aggregate; output is one row."""
+    # parquet timestamps read back TIMESTAMP_NTZ (Spark 4 inference),
+    # which unix_micros rejects; the session pins UTC so the ltz cast
+    # is value-preserving (the windows.py gap idiom)
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("tsu"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("tsu").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.withColumn(
+        "next_err",
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("tsu"))
+        ).over(w),
+    )
+    purchases = marked.filter(F.col("event_type") == "purchase")
+    agg = purchases.agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.sum(F.col("next_err").isNotNull().cast("long")).alias(
+            "n_matched"
+        ),
+        F.sum(F.col("next_err") - F.col("tsu"))
+        .cast("long")
+        .alias("gap_us"),
+        F.min(F.col("next_err") - F.col("tsu"))
+        .cast("long")
+        .alias("min_gap_us"),
+    )
+    return agg.select(
+        "n_purchases",
+        "n_matched",
+        F.round(
+            F.col("gap_us").cast("double")
+            / F.col("n_matched")
+            / F.lit(1e6),
+            4,
+        ).alias("avg_gap_sec"),
+        F.round(
+            F.col("min_gap_us").cast("double") / F.lit(1e6), 6
+        ).alias("min_gap_sec"),
+    )
+
+
+ASOF_FORWARD_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, event_type, tsu,
+         MIN(CASE WHEN event_type = 'error' THEN tsu END) OVER (
+           PARTITION BY user_id
+           ORDER BY tsu DESC, event_id DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS next_err
+  FROM ev
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         CAST(SUM(CASE WHEN next_err IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_matched,
+         CAST(SUM(next_err - tsu) AS BIGINT) AS gap_us,
+         CAST(MIN(next_err - tsu) AS BIGINT) AS min_gap_us
+  FROM marked WHERE event_type = 'purchase'
+)
+SELECT n_purchases, n_matched,
+       ROUND(CAST(gap_us AS DOUBLE) / n_matched / 1e6, 4)
+         AS avg_gap_sec,
+       ROUND(CAST(min_gap_us AS DOUBLE) / 1e6, 6) AS min_gap_sec
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exactly-once streaming sink audit: the versioned_sink driver proof
 # ---------------------------------------------------------------------------
 
@@ -1112,6 +2152,183 @@ WHERE o_orderkey % 4 IN (0, 1, 2)
 """
 
 
+# ---------------------------------------------------------------------------
+# Vacuum audit: retention-window space reclaim, reader-safe
+# ---------------------------------------------------------------------------
+
+VAC_HI = 5000.0
+
+
+def versioned_vacuum_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver surface for ``vacuum`` (versioned.py): commit the
+    customer dim as three banded appends (3 data dirs), OVERWRITE
+    with only the high-balance band (v4, 1 dir), then
+    vacuum(keep_last=1, retention_hours=0) — the serialized-
+    maintenance setting. The audit reads back what a user can still
+    observe: exactly one manifest remains (at version 4), exactly
+    one data dir survives on disk (the three expired appends'
+    dirs are physically gone — counted via the filesystem, not the
+    return value, so memoized re-invocations re-derive every fact),
+    and the surviving snapshot still answers exactly. The oracle
+    recomputes the band from the base table and pins the structural
+    facts as literals, so a hash-green row verifies the reclaim
+    removed precisely the unreferenced dirs and nothing a reader
+    needs.
+
+    Determinism: band membership is a pure predicate on acctbal;
+    counts and key sums are integer-exact; balances round after the
+    final aggregate.
+
+    Scale shape: vacuum is manifest arithmetic + dir unlinks (no
+    data read); the audit read scans one dir; output is one row."""
+    import os as _os
+
+    from cdc_2025_spark.queries.pending_r13 import (
+        memo_versioned_table,
+    )
+    from cdc_2025_spark.versioned import (
+        history,
+        read_versioned,
+        vacuum,
+        write_versioned,
+    )
+
+    base = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    bal = F.col("c_acctbal")
+    bands = [bal < 0, (bal >= 0) & (bal < VAC_HI), bal >= VAC_HI]
+
+    def _build(path: str) -> None:
+        for i, cond in enumerate(bands):
+            write_versioned(
+                base.filter(cond),
+                path,
+                mode="append" if i else "overwrite",
+            )
+        write_versioned(
+            base.filter(bal >= VAC_HI), path, mode="overwrite"
+        )
+        vacuum(path, keep_last=1, retention_hours=0.0)
+
+    table = memo_versioned_table(
+        spark, sf_dir, "versioned_vacuum", _build
+    )
+    hist = history(table)
+    dirs_on_disk = len(
+        [
+            d
+            for d in _os.listdir(_os.path.join(table, "data"))
+            if _os.path.isdir(_os.path.join(table, "data", d))
+        ]
+    )
+    got = read_versioned(spark, table)
+    return got.agg(
+        F.lit(len(hist)).cast("long").alias("versions_left"),
+        F.lit(hist[-1]["version"]).cast("long").alias("latest_version"),
+        F.lit(dirs_on_disk).cast("long").alias("dirs_on_disk"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+        F.round(F.sum("c_acctbal"), 4).alias("bal_sum"),
+    )
+
+
+VACUUM_AUDIT_ORACLE = f"""
+SELECT CAST(1 AS BIGINT) AS versions_left,
+       CAST(4 AS BIGINT) AS latest_version,
+       CAST(1 AS BIGINT) AS dirs_on_disk,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       ROUND(SUM(c_acctbal), 4) AS bal_sum
+FROM customer WHERE c_acctbal >= {VAC_HI}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution audit: additive append, old rows read NULL
+# ---------------------------------------------------------------------------
+
+
+def versioned_evolution_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver surface for ADDITIVE schema evolution (versioned.py
+    merge_schema): commit the even-keyed customers as (c_custkey,
+    c_acctbal), append the odd-keyed customers WITH an extra
+    c_nationkey column under merge_schema=True, then read the merged
+    table back — old rows must surface NULL for the new column (the
+    Delta mergeSchema rule), new rows their values, and the manifest
+    must record the evolution. The oracle recomputes every fact from
+    the base table (nation sums over odd keys only, null count =
+    even-key count), so a hash-green row verifies the schema merge,
+    the manifest pin, and the NULL-filling read path end to end.
+
+    Determinism: parity is a pure predicate on the unique key;
+    counts/sums integer-exact; balances round after the aggregate.
+
+    Scale shape: two distributed snapshot writes + one merged-schema
+    read (schema supplied from the manifest — no per-file inference);
+    output is one row."""
+    from cdc_2025_spark.queries.pending_r13 import (
+        memo_versioned_table,
+    )
+    from cdc_2025_spark.versioned import (
+        history,
+        read_versioned,
+        write_versioned,
+    )
+
+    base = read_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    even = base.filter(key % 2 == 0).select("c_custkey", "c_acctbal")
+    odd = base.filter(key % 2 == 1).select(
+        "c_custkey",
+        "c_acctbal",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+    )
+
+    def _build(path: str) -> None:
+        write_versioned(even, path)
+        write_versioned(
+            odd, path, mode="append", merge_schema=True
+        )
+
+    table = memo_versioned_table(
+        spark, sf_dir, "versioned_evolution", _build
+    )
+    hist = history(table)
+    got = read_versioned(spark, table)
+    return got.agg(
+        F.lit(len(hist)).cast("long").alias("n_versions"),
+        F.lit(bool(hist[-1]["schema_evolved"])).alias(
+            "schema_evolved"
+        ),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(
+            F.col("c_nationkey").isNull().cast("long")
+        ).alias("n_null_nation"),
+        F.sum("c_nationkey").cast("long").alias("nation_sum"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+        F.round(F.sum("c_acctbal"), 4).alias("bal_sum"),
+    )
+
+
+EVOLUTION_AUDIT_ORACLE = """
+SELECT CAST(2 AS BIGINT) AS n_versions,
+       TRUE AS schema_evolved,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_nation,
+       CAST(SUM(CASE WHEN c_custkey % 2 = 1 THEN c_nationkey END)
+            AS BIGINT) AS nation_sum,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+       ROUND(SUM(c_acctbal), 4) AS bal_sum
+FROM customer
+"""
+
+
 PENDING_ORDER = [
     "stats_jonckheere_terpstra",
     "stats_mcnemar_paired",
@@ -1122,6 +2339,17 @@ PENDING_ORDER = [
     "stats_goodman_kruskal_gamma",
     "text_mean_doc_ttr",
     "versioned_sink_audit",
+    "stats_somers_d",
+    "stats_cochran_armitage",
+    "quality_column_profile",
+    "text_term_burstiness",
+    "eval_spearman_footrule",
+    "er_name_edit_blocking",
+    "stats_wilcoxon_signed_rank",
+    "stats_logrank_segments",
+    "asof_forward_first_error",
+    "versioned_vacuum_audit",
+    "versioned_evolution_audit",
 ]
 
 _PENDING = {
@@ -1143,6 +2371,37 @@ _PENDING = {
     "text_mean_doc_ttr": (text_mean_doc_ttr, TTR_ORACLE),
     "versioned_sink_audit": (
         versioned_sink_audit, SINK_AUDIT_ORACLE,
+    ),
+    "stats_somers_d": (stats_somers_d, SOMERS_ORACLE),
+    "stats_cochran_armitage": (
+        stats_cochran_armitage, COCHRAN_ARMITAGE_ORACLE,
+    ),
+    "quality_column_profile": (
+        quality_column_profile, COLUMN_PROFILE_ORACLE,
+    ),
+    "text_term_burstiness": (
+        text_term_burstiness, BURSTINESS_ORACLE,
+    ),
+    "eval_spearman_footrule": (
+        eval_spearman_footrule, FOOTRULE_ORACLE,
+    ),
+    "er_name_edit_blocking": (
+        er_name_edit_blocking, ER_EDIT_ORACLE,
+    ),
+    "stats_wilcoxon_signed_rank": (
+        stats_wilcoxon_signed_rank, WILCOXON_ORACLE,
+    ),
+    "stats_logrank_segments": (
+        stats_logrank_segments, LOGRANK_ORACLE,
+    ),
+    "asof_forward_first_error": (
+        asof_forward_first_error, ASOF_FORWARD_ORACLE,
+    ),
+    "versioned_vacuum_audit": (
+        versioned_vacuum_audit, VACUUM_AUDIT_ORACLE,
+    ),
+    "versioned_evolution_audit": (
+        versioned_evolution_audit, EVOLUTION_AUDIT_ORACLE,
     ),
 }
 

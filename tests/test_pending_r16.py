@@ -93,6 +93,341 @@ def test_versioned_sink_audit_replay_facts(spark):
     assert row["last_txn_version"] == 2
 
 
+def test_somers_d_matches_python_model(spark, duck):
+    """Both Somers' D directions equal the literal pair fold over
+    the (priority, quartile) assignments the edge model derives."""
+    rows = duck.execute(
+        """SELECT CAST(string_split(o_orderpriority, '-')[1]
+                       AS INTEGER),
+                  ROUND(o_totalprice, 4)
+           FROM orders"""
+    ).fetchall()
+    e = _disc_edges([v for _, v in rows], 4)
+    cells = defaultdict(int)
+    for r, v in rows:
+        cells[(r, 1 + sum(v > ek for ek in e))] += 1
+    conc = disc = tx = ty = 0
+    for (r1, q1), ca in cells.items():
+        for (r2, q2), cb in cells.items():
+            if r2 > r1 and q2 > q1:
+                conc += ca * cb
+            elif r2 > r1 and q2 < q1:
+                disc += ca * cb
+            elif r2 == r1 and q2 > q1:
+                tx += ca * cb
+            elif q2 == q1 and r2 > r1:
+                ty += ca * cb
+    row = pending_r16.stats_somers_d(spark, SF_DIR).collect()[0]
+    assert (row["concordant"], row["discordant"]) == (conc, disc)
+    assert (row["ties_x_only"], row["ties_y_only"]) == (tx, ty)
+    assert row["somers_d_yx"] == pytest.approx(
+        (conc - disc) / (conc + disc + ty), abs=1e-6
+    )
+    assert row["somers_d_xy"] == pytest.approx(
+        (conc - disc) / (conc + disc + tx), abs=1e-6
+    )
+
+
+def test_cochran_armitage_matches_python_model(spark, duck):
+    rows = duck.execute(
+        """SELECT CAST(string_split(o_orderpriority, '-')[1]
+                       AS INTEGER) AS s,
+                  COUNT(*) AS n,
+                  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
+                      END) AS r
+           FROM orders GROUP BY 1"""
+    ).fetchall()
+    nn = sum(n for _, n, _ in rows)
+    rr = sum(int(r) for _, _, r in rows)
+    p = rr / nn
+    t = sum(s * int(r) for s, _, r in rows) - p * sum(
+        s * n for s, n, _ in rows
+    )
+    var = (
+        p
+        * (1 - p)
+        * (
+            sum(s * s * n for s, n, _ in rows)
+            - sum(s * n for s, n, _ in rows) ** 2 / nn
+        )
+    )
+    row = pending_r16.stats_cochran_armitage(
+        spark, SF_DIR
+    ).collect()[0]
+    assert row["n_orders"] == nn and row["n_fulfilled"] == rr
+    assert row["trend_stat"] == pytest.approx(t, abs=1e-3)
+    assert row["z_stat"] == pytest.approx(
+        t / math.sqrt(var), abs=1e-5
+    )
+
+
+def test_column_profile_matches_duckdb_recount(spark, duck):
+    rows = pending_r16.quality_column_profile(
+        spark, SF_DIR
+    ).collect()
+    got = {r["column_name"]: r for r in rows}
+    assert len(got) == 6
+    for col in got:
+        n_rows, n_null, n_dist = duck.execute(
+            f"SELECT COUNT(*), SUM(CASE WHEN {col} IS NULL THEN 1 "
+            f"ELSE 0 END), COUNT(DISTINCT {col}) FROM orders"
+        ).fetchone()
+        assert got[col]["n_rows"] == n_rows
+        assert got[col]["n_null"] == int(n_null)
+        assert got[col]["n_distinct"] == n_dist
+
+
+def test_burstiness_matches_python_model(spark, duck):
+    import re as _re
+
+    texts = [
+        t
+        for (t,) in duck.execute(
+            "SELECT text FROM documents"
+        ).fetchall()
+    ]
+    n = len(texts)
+    per = defaultdict(lambda: defaultdict(int))
+    for i, t in enumerate(texts):
+        for w in _re.split(r"\s+", t.strip().lower()):
+            per[w][i] += 1
+    rows = pending_r16.text_term_burstiness(
+        spark, SF_DIR
+    ).collect()
+    assert rows, "df floor left no terms — fixture degenerate"
+    for r in rows:
+        ks = per[r["term"]]
+        df, tf = len(ks), sum(ks.values())
+        sq = sum(k * k for k in ks.values())
+        assert (r["df"], r["tf"]) == (df, tf)
+        assert 100 * df >= pending_r16.BURSTINESS_DF_PCT * n
+        mean = tf / n
+        var = sq / n - mean * mean
+        assert r["vmr"] == pytest.approx(var / mean, abs=1e-5)
+        assert r["vmr"] >= 0.0
+
+
+def test_footrule_matches_python_model(spark, duck):
+    rows = duck.execute(
+        """SELECT ROUND(p_retailprice, 4), CAST(p_size AS BIGINT)
+           FROM part"""
+    ).fetchall()
+
+    def midranks(vals):
+        from itertools import groupby
+
+        out = {}
+        seen = 0
+        for v, grp in groupby(sorted(vals)):
+            k = len(list(grp))
+            out[v] = seen + (k + 1) / 2.0
+            seen += k
+        return out
+
+    rp = midranks([p for p, _ in rows])
+    rs = midranks([s for _, s in rows])
+    f = sum(abs(rp[p] - rs[s]) for p, s in rows)
+    row = pending_r16.eval_spearman_footrule(
+        spark, SF_DIR
+    ).collect()[0]
+    assert row["n_parts"] == len(rows)
+    assert row["footrule_sum"] == f  # exact .5-grid sum
+    assert row["footrule_norm"] == pytest.approx(
+        f / (len(rows) ** 2 / 2.0), abs=1e-6
+    )
+
+
+def test_er_edit_blocking_matches_python_model(spark, duck):
+    import itertools
+
+    names = duck.execute(
+        "SELECT p_name, COUNT(*) FROM part GROUP BY 1"
+    ).fetchall()
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1,
+                    prev + (ca != cb),
+                )
+        return dp[-1]
+
+    want = {}
+    for (na, ca), (nb, cb) in itertools.combinations(
+        sorted(names), 2
+    ):
+        if na.split(" ")[-1] != nb.split(" ")[-1]:
+            continue
+        d = lev(na, nb)
+        if d <= pending_r16.ER_EDIT_MAX_DIST:
+            want[(na, nb)] = (d, ca, cb)
+    got = {
+        (r["name_a"], r["name_b"]): (
+            r["edit_dist"], r["n_parts_a"], r["n_parts_b"],
+        )
+        for r in pending_r16.er_name_edit_blocking(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == want and want  # nonempty and exactly the model
+
+
+def test_wilcoxon_matches_python_model(spark, duck):
+    rows = duck.execute(
+        """SELECT ROUND(AVG(CASE WHEN hour(ts) < 12 THEN value END),
+                        4) AS am,
+                  ROUND(AVG(CASE WHEN hour(ts) >= 12 THEN value END),
+                        4) AS pm
+           FROM events WHERE value IS NOT NULL
+           GROUP BY user_id, CAST(ts AS DATE)"""
+    ).fetchall()
+    ds = [pm - am for am, pm in rows if am is not None and pm is not None]
+    nz = [d for d in ds if d != 0]
+    from itertools import groupby
+
+    ranks = {}
+    seen = 0
+    for v, grp in groupby(sorted(abs(d) for d in nz)):
+        k = len(list(grp))
+        ranks[v] = seen + (k + 1) / 2.0
+        seen += k
+    w_plus = sum(ranks[abs(d)] for d in nz if d > 0)
+    n = len(nz)
+    row = pending_r16.stats_wilcoxon_signed_rank(
+        spark, SF_DIR
+    ).collect()[0]
+    assert row["n_blocks"] == n
+    assert row["n_zero"] == len(ds) - n
+    assert row["w_plus"] == w_plus
+    assert n >= 20  # non-degenerate paired design at every SF
+
+
+def test_logrank_matches_python_model(spark, duck):
+    rows = duck.execute(
+        """SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+                  CASE WHEN c_mktsegment = 'BUILDING' THEN 1
+                       ELSE 0 END AS is_a
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+           ORDER BY o_custkey, day"""
+    ).fetchall()
+    gmax = max(d for _, d, _ in rows)
+    by_cust = defaultdict(list)
+    seg = {}
+    for ck, d, a in rows:
+        by_cust[ck].append(d)
+        seg[ck] = a
+    obs = []
+    for ck, days in by_cust.items():
+        for d1, d2 in zip(days, days[1:]):
+            obs.append(((d2 - d1).days, seg[ck], 1))
+        obs.append(((gmax - days[-1]).days, seg[ck], 0))
+    times = sorted({t for t, _, e in obs if e == 1})
+    oa = ea = v = 0.0
+    for t in times:
+        na = sum(1 for tt, a, _ in obs if tt >= t and a == 1)
+        nb = sum(1 for tt, a, _ in obs if tt >= t and a == 0)
+        da = sum(
+            1 for tt, a, e in obs if tt == t and a == 1 and e == 1
+        )
+        db = sum(
+            1 for tt, a, e in obs if tt == t and a == 0 and e == 1
+        )
+        d, n = da + db, na + nb
+        oa += da
+        ea += d * na / n
+        if n > 1:
+            v += d * (na / n) * (nb / n) * (n - d) / (n - 1)
+    row = pending_r16.stats_logrank_segments(
+        spark, SF_DIR
+    ).collect()[0]
+    assert row["observed_a"] == int(oa)
+    assert row["expected_a"] == pytest.approx(ea, abs=1e-3)
+    z = (oa - ea) / math.sqrt(v)
+    assert row["chi2"] == pytest.approx(z * z, abs=1e-4)
+
+
+def test_asof_forward_matches_python_model(spark, duck):
+    rows = duck.execute(
+        """SELECT user_id, event_id, event_type, epoch_us(ts)
+           FROM events ORDER BY user_id, 4, event_id"""
+    ).fetchall()
+    by_user = defaultdict(list)
+    for u, eid, et, tsu in rows:
+        by_user[u].append((tsu, eid, et))
+    n_p = n_m = 0
+    gaps = []
+    for u, evs in by_user.items():
+        # scan the (ts, event_id) total order backwards, tracking
+        # the min later error ts
+        nxt = None
+        for tsu, eid, et in sorted(evs, reverse=True):
+            if et == "purchase":
+                n_p += 1
+                if nxt is not None:
+                    n_m += 1
+                    gaps.append(nxt - tsu)
+            if et == "error":
+                nxt = tsu if nxt is None else min(nxt, tsu)
+    row = pending_r16.asof_forward_first_error(
+        spark, SF_DIR
+    ).collect()[0]
+    assert (row["n_purchases"], row["n_matched"]) == (n_p, n_m)
+    assert row["avg_gap_sec"] == pytest.approx(
+        sum(gaps) / n_m / 1e6, abs=1e-3
+    )
+    assert row["min_gap_sec"] == pytest.approx(
+        min(gaps) / 1e6, abs=1e-6
+    )
+    assert n_m >= 10  # design non-degenerate at every SF
+
+
+def test_vacuum_audit_disk_matches_manifests(spark):
+    """After the audit runs, every data dir on disk is referenced by
+    the single surviving manifest — the reclaim left no orphans and
+    removed nothing referenced."""
+    import json
+    import os
+
+    from cdc_2025_spark.queries.pending_r13 import (
+        memo_versioned_table,
+    )
+
+    row = pending_r16.versioned_vacuum_audit(
+        spark, SF_DIR
+    ).collect()[0]
+    assert (
+        row["versions_left"],
+        row["latest_version"],
+        row["dirs_on_disk"],
+    ) == (1, 4, 1)
+    table = memo_versioned_table(
+        spark, SF_DIR, "versioned_vacuum", lambda p: None
+    )
+    manifests = sorted(os.listdir(os.path.join(table, "_manifests")))
+    assert len(manifests) == 1
+    m = json.load(
+        open(os.path.join(table, "_manifests", manifests[0]))
+    )
+    on_disk = {
+        f"data/{d}" for d in os.listdir(os.path.join(table, "data"))
+    }
+    assert on_disk == set(m["data_dirs"])
+
+
+def test_evolution_audit_null_fill(spark):
+    row = pending_r16.versioned_evolution_audit(
+        spark, SF_DIR
+    ).collect()[0]
+    assert row["schema_evolved"] is True
+    assert row["n_versions"] == 2
+    # old (even-key) rows read NULL for the evolved column
+    assert row["n_null_nation"] * 2 == row["n_rows"]
+
+
 def test_pending_module_not_registered():
     from cdc_2025_spark.queries import QUERIES
 
