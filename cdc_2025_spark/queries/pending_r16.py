@@ -71,12 +71,26 @@ python model pin per statistic (the JT pin is the literal O(n^2)
 pairwise fold — the construction identity the kernel shape
 replaces).
 
-Pre-registration sf0.1 wall times (min-of-2, warm idle local[32]):
-JT 0.68 s, McNemar 0.34 s, KS uniformity 0.46 s, Cliff's delta
-0.29 s, Atkinson/Hoover 0.55 s, quintile shares 0.56 s, gamma
-0.57 s, mean-doc TTR 0.40 s — 3.85 s combined; every post-collapse
-frame bounded (distinct 4dp values, user-days, SCORE_MOD scores,
-5x4 cells, per-doc folds).
+Pre-registration wall times (min-of-2, warm idle local[32]), after
+the r15 global-window rewires (JT onto bucketed_cumsums; quintile/
+gamma onto kernel-derived disc-percentile edges) — sf0.1 then the
+10x mixed replica (.scale symlink dir), ratio in parentheses:
+JT 2.71/2.65 s (1.0x — the single-task cumsum this rewire removed
+would have scaled with the corpus), gamma 1.98/2.70 (1.4x),
+quintile 1.65/2.52 (1.5x), Somers 1.93/2.59 (1.3x),
+Cochran-Armitage 0.25/0.25 (1.0x), column profile 0.93/1.33 (1.4x),
+burstiness 0.49/0.68 (1.4x; the 10x dedup-smoke documents replica
+is value-perturbed and its df floor strands no term — rows-only
+there, 30 rows at every driver SF), footrule 0.95/0.99 (1.0x),
+er-edit 0.26/0.25 (1.0x — distinct-name collapse), Wilcoxon
+1.19/1.48 (1.2x), log-rank 0.81/1.53 (1.9x), forward as-of
+0.23/0.16 (1.0x). McNemar 0.34 s, KS uniformity 0.46 s, Cliff's
+delta 0.29 s, mean-doc TTR 0.40 s at sf0.1 (unchanged plans, r14
+measurements); the four versioned audits build session-memoized
+scratch tables (wall = one-time table build + an O(dirs) audit
+read). Every post-collapse frame bounded (distinct 4dp values,
+user-days, SCORE_MOD scores, 5x4 cells, per-doc folds, calendar
+day-gaps, head-noun blocks).
 
 Engine-parity rules inherited from the registry docstring (see
 pending_r15's header for the full list).
