@@ -241,6 +241,43 @@ HEADLINE = [
     "stats_hurst_rs_daily",
     "sample_balanced_downsample",
     "versioned_skipping_audit",
+    # Round-15 registrations: the regression-diagnostic, rank-
+    # agreement, lexical-estimator and link-analysis family
+    # (queries/pending_r15.py; staged sf0.1 costs in the module
+    # docstring) plus the four lakehouse DML-layer audits
+    # (write-dominated, session-memoized tables) and the two r15
+    # rows-only -> oracle conversions (plans unchanged; tracked for
+    # wall-time history like every registered family).
+    "stats_durbin_watson_residuals",
+    "stats_breusch_pagan_hetero",
+    "stats_chow_structural_break",
+    "stats_cox_stuart_trend",
+    "stats_bartels_vonneumann_rank",
+    "stats_mood_median_test",
+    "stats_kendalls_w_concordance",
+    "stats_friedman_blocked_ranks",
+    "stats_cochran_q_event_types",
+    "eval_mrr_first_relevant",
+    "eval_rank_biased_overlap",
+    "text_honore_sichel_hapax",
+    "text_good_turing_chao1",
+    "text_readability_indices",
+    "text_g2_keyness_sources",
+    "sample_kish_design_effect",
+    "graph_katz_centrality",
+    "graph_hits_hubs_authorities",
+    "graph_reciprocity_density",
+    "versioned_optimize_audit",
+    "versioned_dml_audit",
+    "versioned_merge_audit",
+    "versioned_constraint_audit",
+    "stats_pacf_daily",
+    "forecast_theils_u",
+    "events_page_hinkley",
+    "stats_runs_updown_daily",
+    "events_markov_stationary",
+    # (sim_lsh_auto_pairs / dedup_minhash_oph_pairs — the two r15
+    # rows-only -> oracle conversions — were already tracked above)
 ]
 
 
