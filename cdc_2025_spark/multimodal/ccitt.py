@@ -247,6 +247,58 @@ def _b1_b2(ref: list[int], a0: int, color: int, w: int):
     return min(b1, w), min(b2, w)
 
 
+def _code_line_2d(out: _BitWriter, cur, ref, w: int) -> None:
+    """Emit one line's T.4/T.6 two-dimensional coding (vertical /
+    horizontal / pass modes) of transition list ``cur`` against
+    reference transitions ``ref`` — shared by G4 (every line) and
+    G3-2D (lines whose tag bit says 2D)."""
+    a0, color, ci = -1, 0, 0
+    while a0 < w:
+        # a1: first coding transition right of a0 flipping to
+        # the opposite of the current color
+        while cur[ci] <= a0 or (ci & 1) != color:
+            if cur[ci] >= w:
+                break
+            ci += 1
+        while (ci & 1) != color:
+            ci += 1
+        a1 = min(cur[ci], w)
+        a2 = min(cur[ci + 1], w) if ci + 1 < len(cur) else w
+        b1, b2 = _b1_b2(ref, a0, color, w)
+        if b2 < a1:
+            out.write(_MODE_P)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            d = a1 - b1
+            if d == 0:
+                out.write(_MODE_V0)
+            elif d > 0:
+                out.write(_MODE_VR[d])
+            else:
+                out.write(_MODE_VL[-d])
+            a0 = a1
+            color ^= 1
+        else:
+            out.write(_MODE_H)
+            a0s = a0 if a0 > 0 else 0
+            _emit_run(out, a1 - a0s, color)
+            _emit_run(out, a2 - a1, color ^ 1)
+            a0 = a2
+
+
+def _code_line_1d(out: _BitWriter, cur, w: int) -> None:
+    """Emit one line as alternating white/black MH runs starting
+    white (the T.4 one-dimensional coding; no byte alignment —
+    that is the TIFF compression-2 flavor's addition)."""
+    pos, color, ci = 0, 0, 0
+    while pos < w:
+        nxt = min(cur[ci], w) if ci < len(cur) else w
+        _emit_run(out, nxt - pos, color)
+        pos = nxt
+        color ^= 1
+        ci += 1
+
+
 def encode_g4(bits, width: int | None = None) -> bytes:
     """Encode an (h, w) 0/1 array as a CCITT G4 (T.6 MMR) block:
     pure 2D coding, EOFB-terminated, zero-padded to a byte."""
@@ -264,42 +316,83 @@ def encode_g4(bits, width: int | None = None) -> bytes:
     ref = [w, w, w]  # imaginary all-white reference line
     for y in range(h):
         cur = _changes(arr[y])
-        a0, color, ci = -1, 0, 0
-        while a0 < w:
-            # a1: first coding transition right of a0 flipping to
-            # the opposite of the current color
-            while cur[ci] <= a0 or (ci & 1) != color:
-                if cur[ci] >= w:
-                    break
-                ci += 1
-            while (ci & 1) != color:
-                ci += 1
-            a1 = min(cur[ci], w)
-            a2 = min(cur[ci + 1], w) if ci + 1 < len(cur) else w
-            b1, b2 = _b1_b2(ref, a0, color, w)
-            if b2 < a1:
-                out.write(_MODE_P)
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                d = a1 - b1
-                if d == 0:
-                    out.write(_MODE_V0)
-                elif d > 0:
-                    out.write(_MODE_VR[d])
-                else:
-                    out.write(_MODE_VL[-d])
-                a0 = a1
-                color ^= 1
-            else:
-                out.write(_MODE_H)
-                a0s = a0 if a0 > 0 else 0
-                _emit_run(out, a1 - a0s, color)
-                _emit_run(out, a2 - a1, color ^ 1)
-                a0 = a2
+        _code_line_2d(out, cur, ref, w)
         ref = cur
     out.write(_EOL)
     out.write(_EOL)  # EOFB
     return out.tobytes()
+
+
+def _decode_line_2d(r: _BitReader, ref, width: int, y: int, what: str):
+    """Decode one two-dimensionally-coded line against reference
+    transitions ``ref`` into a uint8 row — shared by G4 and G3-2D.
+    An EOL mid-line is a stream error (G4 sees it only as EOFB; G3
+    emits EOLs only BEFORE lines)."""
+    import numpy as np  # noqa: PLC0415
+
+    trans: list[int] = []
+    a0, color = -1, 0
+    while a0 < width:
+        kind, d = r.read_code(_MODE_DEC, "mode")
+        if kind == "eol":
+            raise ValueError(
+                f"premature EOL inside {what} line {y}"
+            )
+        if kind == "p":
+            _b1, b2 = _b1_b2(ref, a0, color, width)
+            a0 = b2
+        elif kind == "v":
+            b1, _b2 = _b1_b2(ref, a0, color, width)
+            a1 = b1 + d
+            if a1 < 0 or a1 > width or a1 <= a0:
+                # a1 <= a0 never occurs in a valid stream and
+                # would stall the line loop forever
+                raise ValueError(f"{what} vertical out of range")
+            trans.append(a1)
+            a0 = a1
+            color ^= 1
+        else:  # horizontal
+            a0s = a0 if a0 > 0 else 0
+            run1 = _read_run(r, color)
+            run2 = _read_run(r, color ^ 1)
+            a1 = a0s + run1
+            a2 = a1 + run2
+            if a2 > width or (a0 >= 0 and a2 <= a0):
+                # zero-advance horizontals (both runs 0 past the
+                # line opening) would stall the loop forever
+                raise ValueError(
+                    f"{what} horizontal runs exceed width "
+                    "or fail to advance"
+                )
+            trans.extend((a1, a2))
+            a0 = a2
+    trans = [t for t in trans if t < width]
+    row = np.zeros(width, dtype=np.uint8)
+    for i in range(0, len(trans), 2):
+        start = trans[i]
+        end = trans[i + 1] if i + 1 < len(trans) else width
+        row[start:end] = 1
+    return row
+
+
+def _decode_line_1d(r: _BitReader, width: int, y: int, what: str):
+    """Decode one one-dimensionally-coded line (alternating MH runs
+    starting white) into a uint8 row."""
+    import numpy as np  # noqa: PLC0415
+
+    row = np.zeros(width, dtype=np.uint8)
+    pos, color = 0, 0
+    while pos < width:
+        run = _read_run(r, color)
+        if pos + run > width:
+            raise ValueError(
+                f"{what} run overflows row width at line {y}"
+            )
+        if color:
+            row[pos : pos + run] = 1
+        pos += run
+        color ^= 1
+    return row
 
 
 def decode_g4(data: bytes, width: int, height: int):
@@ -312,49 +405,7 @@ def decode_g4(data: bytes, width: int, height: int):
     out = np.zeros((height, width), dtype=np.uint8)
     ref = [width, width, width]
     for y in range(height):
-        trans: list[int] = []
-        a0, color = -1, 0
-        while a0 < width:
-            kind, d = r.read_code(_MODE_DEC, "mode")
-            if kind == "eol":
-                raise ValueError(
-                    "premature EOFB inside CCITT G4 strip "
-                    f"(line {y})"
-                )
-            if kind == "p":
-                _b1, b2 = _b1_b2(ref, a0, color, width)
-                a0 = b2
-            elif kind == "v":
-                b1, _b2 = _b1_b2(ref, a0, color, width)
-                a1 = b1 + d
-                if a1 < 0 or a1 > width or a1 <= a0:
-                    # a1 <= a0 never occurs in a valid stream and
-                    # would stall the line loop forever
-                    raise ValueError("CCITT G4 vertical out of range")
-                trans.append(a1)
-                a0 = a1
-                color ^= 1
-            else:  # horizontal
-                a0s = a0 if a0 > 0 else 0
-                run1 = _read_run(r, color)
-                run2 = _read_run(r, color ^ 1)
-                a1 = a0s + run1
-                a2 = a1 + run2
-                if a2 > width or (a0 >= 0 and a2 <= a0):
-                    # zero-advance horizontals (both runs 0 past the
-                    # line opening) would stall the loop forever
-                    raise ValueError(
-                        "CCITT G4 horizontal runs exceed width "
-                        "or fail to advance"
-                    )
-                trans.extend((a1, a2))
-                a0 = a2
-        trans = [t for t in trans if t < width]
-        row = np.zeros(width, dtype=np.uint8)
-        for i in range(0, len(trans), 2):
-            start = trans[i]
-            end = trans[i + 1] if i + 1 < len(trans) else width
-            row[start:end] = 1
+        row = _decode_line_2d(r, ref, width, y, "CCITT G4 strip")
         out[y] = row
         ref = _changes(row)
     return out
@@ -388,6 +439,92 @@ def encode_mh(bits) -> bytes:
             ci += 1
         out += row_w.tobytes()  # byte-aligns each row
     return bytes(out)
+
+
+def _expect_eol(r: _BitReader, y: int) -> None:
+    """Consume one T.4 EOL (eleven-plus zeros then a one). Fill bits
+    are extra leading zeros, so any number >= 11 is accepted; a one
+    arriving earlier means the stream is not at an EOL boundary."""
+    zeros = 0
+    while True:
+        if r.exhausted():
+            raise ValueError(
+                f"CCITT G3 stream truncated before line {y}'s EOL"
+            )
+        if r.next_bit() == "1":
+            break
+        zeros += 1
+    if zeros < 11:
+        raise ValueError(
+            f"CCITT G3 expected EOL before line {y}, saw a 1 after "
+            f"{zeros} zeros"
+        )
+
+
+def encode_g3(bits, two_d: bool = False, k: int = 2) -> bytes:
+    """Encode an (h, w) 0/1 array as CCITT Group 3 (ITU-T T.4, TIFF
+    compression 3): an EOL precedes every line, lines are MH
+    one-dimensional by default; ``two_d=True`` writes the T.4 2D
+    flavor (T4Options bit 0) — each EOL carries a tag bit, every
+    ``k``-th line is coded 1D and the rest two-dimensionally against
+    the previous line (K=2 is the standard-resolution fax rule).
+    Ends with an RTC (six EOLs)."""
+    import numpy as np  # noqa: PLC0415
+
+    arr = np.asarray(bits, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("encode_g3 wants an (h, w) bit array")
+    if ((arr != 0) & (arr != 1)).any():
+        raise ValueError("encode_g3 wants 0/1 samples")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    h, w = arr.shape
+    out = _BitWriter()
+    ref = None
+    for y in range(h):
+        out.write(_EOL)
+        one_d = (not two_d) or (y % k == 0)
+        if two_d:
+            out.write("1" if one_d else "0")
+        cur = _changes(arr[y])
+        if one_d:
+            _code_line_1d(out, cur, w)
+        else:
+            _code_line_2d(out, cur, ref, w)
+        ref = cur
+    for _ in range(6):  # RTC
+        out.write(_EOL)
+        if two_d:
+            out.write("1")
+    return out.tobytes()
+
+
+def decode_g3(
+    data: bytes, width: int, height: int, two_d: bool = False
+):
+    """Decode a CCITT Group 3 (T.4) block into an (height, width)
+    uint8 0/1 array: each line opens with an EOL (arbitrary zero
+    fill bits tolerated before it); in the 2D flavor the EOL's tag
+    bit selects 1D or 2D coding for the following line. Stops after
+    ``height`` lines (the RTC is not required); truncation or
+    invalid codes raise."""
+    import numpy as np  # noqa: PLC0415
+
+    r = _BitReader(data)
+    out = np.zeros((height, width), dtype=np.uint8)
+    ref = [width, width, width]
+    for y in range(height):
+        _expect_eol(r, y)
+        one_d = True
+        if two_d:
+            one_d = r.next_bit() == "1"
+        if one_d:
+            row = _decode_line_1d(r, width, y, "CCITT G3 1D")
+        else:
+            row = _decode_line_2d(r, ref, width, y, "CCITT G3 2D")
+        out[y] = row
+        ref = _changes(row)
+    return out
 
 
 def decode_mh(data: bytes, width: int, height: int):

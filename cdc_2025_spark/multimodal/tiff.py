@@ -31,12 +31,14 @@ with the spec's fresh all-white reference line
 (multimodal/ccitt.py; spec-pinned code words + exact round trips
 in test_ccitt.py).
 
+CCITT Group 3 (compression 3, T.4 with EOLs — 1D and 2D flavors
+via T4Options bit 0, fill bits tolerated) decodes and encodes too
+(round 15; uncompressed-mode T4Options bit 1 refuses).
+
 Deliberate refusals (fail loud, never decode wrongly):
-JPEG-compressed TIFF (old 6 and new 7), CCITT Group 3 with EOLs
-(compression 3, T.4 — MH without EOLs and G4 are the flavors
-archives use), the
+JPEG-compressed TIFF (old 6 and new 7), T.4 uncompressed mode, the
 floating-point predictor 3, mixed per-sample depths, sub-byte
-multi-sample, 16-bit palette, tiled G4, and tiled+planar-2
+multi-sample, 16-bit palette, tiled CCITT, and tiled+planar-2
 combinations — each raises with the offending tag value.
 
 Scale posture: like every media kernel here, decode runs inside
@@ -65,6 +67,7 @@ _T_TILE_OFFSETS = 324
 _T_TILE_COUNTS = 325
 
 _T_PREDICTOR = 317
+_T_T4OPTIONS = 292
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
@@ -332,16 +335,21 @@ def decode_tiff(payload: bytes):
         raise NotImplementedError(
             "16-bit palette indices not supported"
         )
-    if comp not in (1, 2, 4, 5, 8, 32773, 32946):
+    if comp not in (1, 2, 3, 4, 5, 8, 32773, 32946):
         raise NotImplementedError(
             f"unsupported TIFF compression {comp}; supported: "
-            "1 (none), 2 (CCITT MH), 4 (CCITT G4), 5 (LZW), "
-            "8/32946 (Deflate), 32773 (PackBits)"
+            "1 (none), 2 (CCITT MH), 3 (CCITT G3), 4 (CCITT G4), "
+            "5 (LZW), 8/32946 (Deflate), 32773 (PackBits)"
         )
-    if comp in (2, 4) and (depth != 1 or spp != 1):
+    if comp in (2, 3, 4) and (depth != 1 or spp != 1):
         raise NotImplementedError(
             f"CCITT compression {comp} applies to 1-bit "
             f"single-sample images (depth={depth}, spp={spp})"
+        )
+    t4opts = one(_T_T4OPTIONS, default=0)
+    if comp == 3 and t4opts & 2:
+        raise NotImplementedError(
+            "T.4 uncompressed mode (T4Options bit 1) not supported"
         )
     predictor = one(_T_PREDICTOR, default=1)
     if predictor not in (1, 2):
@@ -371,7 +379,7 @@ def decode_tiff(payload: bytes):
         raise NotImplementedError(
             "tiled + planar-2 TIFF not supported"
         )
-    if comp in (2, 4) and tiled:
+    if comp in (2, 3, 4) and tiled:
         raise NotImplementedError("tiled CCITT coding not supported")
     if photo not in (0, 1, 2, 3):
         raise NotImplementedError(
@@ -380,8 +388,9 @@ def decode_tiff(payload: bytes):
     if photo == 2 and spp < 3:
         raise ValueError("RGB photometric with SamplesPerPixel < 3")
     def decompress(chunk: bytes, expect: int, label: str) -> bytes:
-        if comp in (2, 4):
+        if comp in (2, 3, 4):
             from cdc_2025_spark.multimodal.ccitt import (  # noqa: PLC0415
+                decode_g3,
                 decode_g4,
                 decode_mh,
             )
@@ -393,8 +402,14 @@ def decode_tiff(payload: bytes):
                     f"multiple of the {rb}-byte row"
                 )
             rows = expect // rb
-            dec = decode_g4 if comp == 4 else decode_mh
-            bits_arr = dec(bytes(chunk), width, rows)
+            if comp == 3:
+                bits_arr = decode_g3(
+                    bytes(chunk), width, rows,
+                    two_d=bool(t4opts & 1),
+                )
+            else:
+                dec = decode_g4 if comp == 4 else decode_mh
+                bits_arr = dec(bytes(chunk), width, rows)
             return np.packbits(bits_arr, axis=1).tobytes()
         if comp == 32773:
             return _packbits_decode(chunk, expect)
@@ -572,11 +587,14 @@ def encode_tiff(
     bits: int = 8,
     tile_size: tuple[int, int] | None = None,
     planar: int = 1,
+    t4_two_d: bool = False,
 ) -> bytes:
     """Build a TIFF: pass exactly one of ``rgb`` ((h, w, 3) ints),
     ``gray`` ((h, w) ints), or ``palette`` (list of (r,g,b)) +
     ``indices`` ((h, w) ints). ``compression``: 1 (none), 2
-    (CCITT MH 1D RLE) or 4 (CCITT G4 2D) — both 1-bit gray only,
+    (CCITT MH 1D RLE), 3 (CCITT G3/T.4 with EOLs; ``t4_two_d``
+    selects the 2D flavor, recorded in T4Options) or 4 (CCITT G4
+    2D) — all 1-bit gray only,
     the fax/scanned-document codings — 5 (LZW), 8 (Deflate) or
     32773 (PackBits); ``predictor=2`` adds horizontal
     differencing before LZW/Deflate (8-bit samples only — the layout
@@ -595,17 +613,19 @@ def encode_tiff(
     modes = sum(x is not None for x in (rgb, gray, palette))
     if modes != 1:
         raise ValueError("pass exactly one of rgb / gray / palette")
-    if compression not in (1, 2, 4, 5, 8, 32773):
+    if compression not in (1, 2, 3, 4, 5, 8, 32773):
         raise ValueError(
-            f"compression must be 1/2/4/5/8/32773, got {compression}"
+            f"compression must be 1/2/3/4/5/8/32773, got {compression}"
         )
-    if compression in (2, 4) and (bits != 1 or gray is None):
+    if compression in (2, 3, 4) and (bits != 1 or gray is None):
         raise ValueError(
             f"CCITT compression {compression} applies to 1-bit "
             "gray images"
         )
-    if compression in (2, 4) and tile_size is not None:
+    if compression in (2, 3, 4) and tile_size is not None:
         raise ValueError("tiled CCITT coding not supported")
+    if t4_two_d and compression != 3:
+        raise ValueError("t4_two_d applies to compression 3 only")
     if predictor not in (1, 2):
         raise ValueError(f"predictor must be 1 or 2, got {predictor}")
     if predictor == 2 and compression not in (5, 8):
@@ -697,8 +717,9 @@ def encode_tiff(
     def compress_segment(raw: bytes, rows: int, cols: int, nspp: int):
         if predictor == 2:
             raw = _apply_predictor2(raw, rows, cols, nspp)
-        if compression in (2, 4):
+        if compression in (2, 3, 4):
             from cdc_2025_spark.multimodal.ccitt import (  # noqa: PLC0415
+                encode_g3,
                 encode_g4,
                 encode_mh,
             )
@@ -708,6 +729,8 @@ def encode_tiff(
                 raw, dtype=np.uint8, count=rows * rb
             ).reshape(rows, rb)
             bits_arr = np.unpackbits(b, axis=1)[:, :cols]
+            if compression == 3:
+                return encode_g3(bits_arr, two_d=t4_two_d)
             enc = encode_g4 if compression == 4 else encode_mh
             return enc(bits_arr)
         if compression == 32773:
@@ -765,6 +788,10 @@ def encode_tiff(
     entries.append((_T_HEIGHT, 4, 1, [h]))
     entries.append((_T_BITS, 3, spp, [bits] * spp))
     entries.append((_T_COMPRESSION, 3, 1, [compression]))
+    if compression == 3:
+        entries.append(
+            (_T_T4OPTIONS, 4, 1, [1 if t4_two_d else 0])
+        )
     entries.append((_T_PHOTOMETRIC, 3, 1, [photo]))
     entries.append((_T_SPP, 3, 1, [spp]))
     if tile_size is not None:

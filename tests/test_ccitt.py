@@ -221,3 +221,118 @@ def test_g4_corrupt_stream_never_stalls():
     )
     with pytest.raises(ValueError):
         decode_g4(data, 16, 4)
+
+
+@pytest.mark.parametrize("two_d", [False, True])
+@pytest.mark.parametrize(
+    "name, arr",
+    [
+        ("all_white", np.zeros((10, 40), np.uint8)),
+        ("all_black", np.ones((10, 40), np.uint8)),
+        (
+            "checker",
+            (np.indices((12, 33)).sum(0) % 2).astype(np.uint8),
+        ),
+        ("rand_w1", _lcg_bits(23, 1)),
+        ("rand_w7", _lcg_bits(23, 7)),
+        ("rand_w64", _lcg_bits(23, 64)),
+        ("rand_w129", _lcg_bits(23, 129)),
+        ("rand_w2600", _lcg_bits(4, 2600)),  # extended makeups
+    ],
+)
+def test_g3_roundtrip_exact(two_d, name, arr):
+    from cdc_2025_spark.multimodal.ccitt import decode_g3, encode_g3
+
+    enc = encode_g3(arr, two_d=two_d)
+    got = decode_g3(enc, arr.shape[1], arr.shape[0], two_d=two_d)
+    assert (got == arr).all()
+
+
+def test_g3_k_parameter_roundtrips():
+    from cdc_2025_spark.multimodal.ccitt import decode_g3, encode_g3
+
+    arr = _lcg_bits(12, 50)
+    for k in (1, 2, 4, 12):
+        enc = encode_g3(arr, two_d=True, k=k)
+        assert (decode_g3(enc, 50, 12, two_d=True) == arr).all()
+
+
+def test_g3_fill_bits_before_eol_tolerated():
+    """T4Options bit 2 writers pad zeros before each EOL so it lands
+    byte-aligned; the decoder must absorb any number of leading
+    zeros (they just extend the >= 11-zero run)."""
+    from cdc_2025_spark.multimodal.ccitt import decode_g3, encode_g3
+
+    arr = _lcg_bits(6, 31)
+    enc = encode_g3(arr)
+    # a leading zero byte acts as 8 fill bits before the first EOL
+    assert (decode_g3(b"\x00" + enc, 31, 6) == arr).all()
+
+
+def test_g3_decode_refusals():
+    from cdc_2025_spark.multimodal.ccitt import decode_g3, encode_g3
+
+    arr = np.zeros((4, 16), np.uint8)
+    arr[1, 3:9] = 1
+    enc = encode_g3(arr)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_g3(enc[:1], 16, 4)
+    with pytest.raises(ValueError):
+        decode_g3(enc, 16, 40)  # more lines than the stream holds
+    # a stream that opens with data instead of an EOL: flip the
+    # leading EOL's terminating 1 into run data
+    with pytest.raises(ValueError, match="EOL"):
+        decode_g3(b"\xff" + enc, 16, 4)
+    with pytest.raises(ValueError, match="0/1"):
+        encode_g3(np.full((2, 2), 7, np.uint8))
+    with pytest.raises(ValueError, match="k must be"):
+        encode_g3(arr, two_d=True, k=0)
+
+
+def test_g3_1d_flavor_has_no_tag_bits():
+    """The 1D stream must not be decodable as 2D and vice versa on a
+    line whose coding differs — the flavors are distinct bit
+    layouts, so the T4Options dispatch in the TIFF reader matters."""
+    from cdc_2025_spark.multimodal.ccitt import decode_g3, encode_g3
+
+    arr = _lcg_bits(9, 40)
+    enc1 = encode_g3(arr, two_d=False)
+    enc2 = encode_g3(arr, two_d=True)
+    assert enc1 != enc2
+
+
+@pytest.mark.parametrize("two_d", [False, True])
+@pytest.mark.parametrize("rps", [None, 7])
+def test_tiff_g3_decodes_identical_to_uncompressed(two_d, rps):
+    from cdc_2025_spark.multimodal.tiff import decode_tiff, encode_tiff
+
+    doc = _doc()
+    plain = decode_tiff(
+        encode_tiff(gray=doc, bits=1, rows_per_strip=rps)
+    )
+    g3 = decode_tiff(
+        encode_tiff(
+            gray=doc,
+            bits=1,
+            compression=3,
+            t4_two_d=two_d,
+            rows_per_strip=rps,
+        )
+    )
+    assert np.array_equal(np.asarray(plain), np.asarray(g3))
+
+
+def test_tiff_g3_uncompressed_mode_refused():
+    import struct
+
+    from cdc_2025_spark.multimodal.tiff import decode_tiff, encode_tiff
+
+    t = bytearray(encode_tiff(gray=_doc(), bits=1, compression=3))
+    off = struct.unpack_from("<I", t, 4)[0]
+    n = struct.unpack_from("<H", t, off)[0]
+    for i in range(n):
+        e = off + 2 + 12 * i
+        if struct.unpack_from("<H", t, e)[0] == 292:
+            struct.pack_into("<I", t, e + 8, 2)  # bit 1: uncompressed
+    with pytest.raises(NotImplementedError, match="uncompressed"):
+        decode_tiff(bytes(t))
