@@ -33,12 +33,16 @@ in test_ccitt.py).
 
 CCITT Group 3 (compression 3, T.4 with EOLs — 1D and 2D flavors
 via T4Options bit 0, fill bits tolerated) decodes and encodes too
-(round 15; uncompressed-mode T4Options bit 1 refuses).
+(round 15; uncompressed-mode T4Options bit 1 refuses). All three
+fax codings also compose with the TILED layout (each tile is an
+independent fax bitstream at tile geometry with its own all-white
+reference, per TIFF §15 / T.6-in-TIFF practice) — pinned
+pixel-identical to the strip twin in tests.
 
 Deliberate refusals (fail loud, never decode wrongly):
 JPEG-compressed TIFF (old 6 and new 7), T.4 uncompressed mode, the
 floating-point predictor 3, mixed per-sample depths, sub-byte
-multi-sample, 16-bit palette, tiled CCITT, and tiled+planar-2
+multi-sample, 16-bit palette, and tiled+planar-2
 combinations — each raises with the offending tag value.
 
 Scale posture: like every media kernel here, decode runs inside
@@ -379,15 +383,21 @@ def decode_tiff(payload: bytes):
         raise NotImplementedError(
             "tiled + planar-2 TIFF not supported"
         )
-    if comp in (2, 3, 4) and tiled:
-        raise NotImplementedError("tiled CCITT coding not supported")
+    # tiled CCITT (comp 2/3/4): each tile is an independent fax
+    # bitstream at TILE geometry — decompress() takes per-chunk cols
     if photo not in (0, 1, 2, 3):
         raise NotImplementedError(
             f"photometric {photo} not supported (0/1/2/3 only)"
         )
     if photo == 2 and spp < 3:
         raise ValueError("RGB photometric with SamplesPerPixel < 3")
-    def decompress(chunk: bytes, expect: int, label: str) -> bytes:
+    def decompress(
+        chunk: bytes, expect: int, label: str, cols: int | None = None
+    ) -> bytes:
+        # cols: coded row width of THIS chunk (tile width for tiled
+        # layouts; defaults to the image width for strips)
+        if cols is None:
+            cols = width
         if comp in (2, 3, 4):
             from cdc_2025_spark.multimodal.ccitt import (  # noqa: PLC0415
                 decode_g3,
@@ -395,7 +405,7 @@ def decode_tiff(payload: bytes):
                 decode_mh,
             )
 
-            rb = (width + 7) // 8
+            rb = (cols + 7) // 8
             if expect % rb:
                 raise ValueError(
                     f"CCITT {label} expects {expect} bytes, not a "
@@ -404,12 +414,12 @@ def decode_tiff(payload: bytes):
             rows = expect // rb
             if comp == 3:
                 bits_arr = decode_g3(
-                    bytes(chunk), width, rows,
+                    bytes(chunk), cols, rows,
                     two_d=bool(t4opts & 1),
                 )
             else:
                 dec = decode_g4 if comp == 4 else decode_mh
-                bits_arr = dec(bytes(chunk), width, rows)
+                bits_arr = dec(bytes(chunk), cols, rows)
             return np.packbits(bits_arr, axis=1).tobytes()
         if comp == 32773:
             return _packbits_decode(chunk, expect)
@@ -480,7 +490,10 @@ def decode_tiff(payload: bytes):
         )
         for t, (off, cnt) in enumerate(zip(offsets, counts)):
             raw = decompress(
-                payload[off : off + cnt], tile_bytes, f"tile {t}"
+                payload[off : off + cnt],
+                tile_bytes,
+                f"tile {t}",
+                cols=tw,
             )
             if predictor == 2:
                 raw = _undo_predictor2(raw, tl, tw, spp)
@@ -622,8 +635,6 @@ def encode_tiff(
             f"CCITT compression {compression} applies to 1-bit "
             "gray images"
         )
-    if compression in (2, 3, 4) and tile_size is not None:
-        raise ValueError("tiled CCITT coding not supported")
     if t4_two_d and compression != 3:
         raise ValueError("t4_two_d applies to compression 3 only")
     if predictor not in (1, 2):

@@ -419,3 +419,32 @@ def test_tile_planar_validation():
             break
     with pytest.raises(ValueError, match="geometry"):
         decode_tiff(bytes(t))
+
+
+@pytest.mark.parametrize("compression", [2, 3, 4])
+def test_tiled_ccitt_decodes_identical_to_strips(compression):
+    """Tiled CCITT (round 15): each tile is an independent fax
+    bitstream at TILE geometry with its own all-white reference —
+    MH/G3/G4 tile layouts decode pixel-identical to the strip twin
+    at a tile size that does NOT divide the image, including a
+    tile narrower than a byte-row multiple."""
+    g = np.full((45, 75), 1, np.uint8)
+    for r in range(3, 45, 7):
+        g[r, 2:70] = 0
+    g[:, 25] = 0
+    g[20:24, :] = 0
+    strip = decode_tiff(
+        encode_tiff(gray=g, bits=1, compression=compression)
+    )
+    for ts in [(32, 16), (17, 23), (80, 64)]:
+        tiled = decode_tiff(
+            encode_tiff(gray=g, bits=1, compression=compression,
+                        tile_size=ts)
+        )
+        assert np.array_equal(strip, tiled), (compression, ts)
+    if compression == 3:
+        two_d = decode_tiff(
+            encode_tiff(gray=g, bits=1, compression=3,
+                        tile_size=(17, 23), t4_two_d=True)
+        )
+        assert np.array_equal(strip, two_d)
