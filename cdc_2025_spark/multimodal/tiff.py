@@ -39,10 +39,21 @@ independent fax bitstream at tile geometry with its own all-white
 reference, per TIFF §15 / T.6-in-TIFF practice) — pinned
 pixel-identical to the strip twin in tests.
 
+New-style JPEG-in-TIFF (compression 7, TIFF TechNote 2) decodes
+and encodes (round 15): every strip/tile is an independent
+complete-or-abbreviated JPEG stream handed to the in-repo T.81
+kernel (multimodal/jpeg.py), with the JPEGTables tag (347) table-
+specification stream spliced in front of abbreviated streams;
+``jpeg_tables=True`` writes that hoisted layout, photometric 6
+(YCbCr) is recorded for color per libtiff practice. Decoded pixels
+are pinned identical to decode_jpeg of the same per-segment
+streams in tests.
+
 Deliberate refusals (fail loud, never decode wrongly):
-JPEG-compressed TIFF (old 6 and new 7), T.4 uncompressed mode, the
-floating-point predictor 3, mixed per-sample depths, sub-byte
-multi-sample, 16-bit palette, and tiled+planar-2
+old-style JPEG-in-TIFF (compression 6 — the deprecated TIFF 6.0
+§22 layout), T.4 uncompressed mode, the floating-point predictor
+3, mixed per-sample depths, sub-byte multi-sample, 16-bit palette,
+JPEG with palette/planar-2/predictor layouts, and tiled+planar-2
 combinations — each raises with the offending tag value.
 
 Scale posture: like every media kernel here, decode runs inside
@@ -73,7 +84,10 @@ _T_TILE_COUNTS = 325
 _T_PREDICTOR = 317
 _T_T4OPTIONS = 292
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+_T_JPEGTABLES = 347
+_T_YCBCR_SUB = 530
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 
 
 def _lzw_decode_tiff(data: bytes, expect: int) -> bytes:
@@ -261,6 +275,114 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _split_jpeg_tables(stream: bytes):
+    """Split a complete JPEG stream into (tables, abbreviated): the
+    DQT/DHT segments move into a standalone table-specification
+    stream (SOI + tables + EOI — the TIFF JPEGTables tag 347
+    payload, TIFF TechNote 2) and the abbreviated image stream keeps
+    everything else. Entropy-coded data from SOS onward is copied
+    verbatim."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    tables = bytearray()
+    rest = bytearray(stream[:2])
+    pos = 2
+    while pos + 4 <= len(stream):
+        if stream[pos] != 0xFF:
+            raise ValueError("JPEG marker stream desynced")
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data follows verbatim
+            rest += stream[pos:]
+            break
+        (seglen,) = _struct.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos : pos + 2 + seglen]
+        (tables if marker in (0xDB, 0xC4) else rest).extend(seg)
+        pos += 2 + seglen
+    else:
+        raise ValueError("JPEG stream ended before SOS")
+    return (
+        b"\xff\xd8" + bytes(tables) + b"\xff\xd9",
+        bytes(rest),
+    )
+
+
+def _decode_tiff_jpeg(payload: bytes, tags: dict, width: int,
+                      height: int):
+    """Decode a new-style JPEG-in-TIFF (compression 7) pixel grid:
+    each strip/tile is an independent complete-or-abbreviated JPEG
+    stream; an abbreviated stream is spliced with the JPEGTables
+    (tag 347) table-specification stream before decode. Returns the
+    assembled (height, width, 3) uint8 RGB array (photometric
+    inversion is the caller's)."""
+    import numpy as np  # noqa: PLC0415
+
+    from cdc_2025_spark.multimodal.jpeg import (  # noqa: PLC0415
+        decode_jpeg,
+    )
+
+    tb = None
+    if _T_JPEGTABLES in tags:
+        tb = bytes(tags[_T_JPEGTABLES])
+        if (len(tb) < 4 or tb[:2] != b"\xff\xd8"
+                or tb[-2:] != b"\xff\xd9"):
+            raise ValueError(
+                "JPEGTables stream missing SOI/EOI framing"
+            )
+
+    def seg(chunk: bytes, rows: int, cols: int, label: str):
+        if chunk[:2] != b"\xff\xd8":
+            raise ValueError(f"{label} is not a JPEG stream")
+        if tb is not None:
+            chunk = chunk[:2] + tb[2:-2] + chunk[2:]
+        px = decode_jpeg(chunk)
+        if px.shape[0] != rows or px.shape[1] != cols:
+            raise ValueError(
+                f"{label} JPEG decodes {px.shape[1]}x{px.shape[0]}"
+                f", geometry needs {cols}x{rows}"
+            )
+        return px
+
+    if _T_TILE_OFFSETS in tags:
+        tw = tags[_T_TILE_W][0]
+        tl = tags[_T_TILE_L][0]
+        offsets = tags[_T_TILE_OFFSETS]
+        counts = tags.get(_T_TILE_COUNTS)
+        across, down = -(-width // tw), -(-height // tl)
+        if not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF tile offsets/counts uneven")
+        if len(offsets) != across * down:
+            raise ValueError(
+                f"TIFF holds {len(offsets)} tiles, geometry needs "
+                f"{across * down}"
+            )
+        grid = np.zeros((down * tl, across * tw, 3), np.uint8)
+        for t, (off, cnt) in enumerate(zip(offsets, counts)):
+            ty, tx = divmod(t, across)
+            grid[
+                ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw
+            ] = seg(payload[off : off + cnt], tl, tw, f"tile {t}")
+        return grid[:height, :width].copy()
+    offsets = tags.get(_T_STRIP_OFFSETS)
+    counts = tags.get(_T_STRIP_COUNTS)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF strip offsets/counts missing or uneven")
+    rps = tags.get(_T_ROWS_PER_STRIP, [height])[0]
+    if len(offsets) != -(-height // rps):
+        raise ValueError(
+            f"TIFF holds {len(offsets)} strips, geometry needs "
+            f"{-(-height // rps)}"
+        )
+    grid = np.zeros((height, width, 3), np.uint8)
+    rows_left = height
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        rows = min(rps, rows_left)
+        grid[si * rps : si * rps + rows] = seg(
+            payload[off : off + cnt], rows, width, f"strip {si}"
+        )
+        rows_left -= rows
+    return grid
+
+
 def decode_tiff(payload: bytes):
     """Decode the FIRST IFD of a TIFF into an (height, width, 3)
     uint8 RGB array. Handles II and MM byte orders, photometric 0
@@ -299,7 +421,7 @@ def decode_tiff(payload: bytes):
             vals = list(
                 _struct.unpack_from(e + f"{cnt}I", payload, voff)
             )
-        elif typ in (1, 2):
+        elif typ in (1, 2, 7):
             vals = list(payload[voff : voff + cnt])
         else:  # RATIONAL: numerators only (unused here)
             vals = [
@@ -339,11 +461,17 @@ def decode_tiff(payload: bytes):
         raise NotImplementedError(
             "16-bit palette indices not supported"
         )
-    if comp not in (1, 2, 3, 4, 5, 8, 32773, 32946):
+    if comp == 6:
+        raise NotImplementedError(
+            "old-style JPEG-in-TIFF (compression 6) not supported "
+            "— the deprecated TIFF 6.0 §22 layout; new-style "
+            "(compression 7) decodes"
+        )
+    if comp not in (1, 2, 3, 4, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(
             f"unsupported TIFF compression {comp}; supported: "
             "1 (none), 2 (CCITT MH), 3 (CCITT G3), 4 (CCITT G4), "
-            "5 (LZW), 8/32946 (Deflate), 32773 (PackBits)"
+            "5 (LZW), 7 (JPEG), 8/32946 (Deflate), 32773 (PackBits)"
         )
     if comp in (2, 3, 4) and (depth != 1 or spp != 1):
         raise NotImplementedError(
@@ -385,12 +513,29 @@ def decode_tiff(payload: bytes):
         )
     # tiled CCITT (comp 2/3/4): each tile is an independent fax
     # bitstream at TILE geometry — decompress() takes per-chunk cols
-    if photo not in (0, 1, 2, 3):
+    if photo == 6 and comp != 7:
         raise NotImplementedError(
-            f"photometric {photo} not supported (0/1/2/3 only)"
+            "photometric 6 (YCbCr) supported only under JPEG "
+            "compression (7)"
+        )
+    if photo not in (0, 1, 2, 3, 6):
+        raise NotImplementedError(
+            f"photometric {photo} not supported (0/1/2/3/6 only)"
         )
     if photo == 2 and spp < 3:
         raise ValueError("RGB photometric with SamplesPerPixel < 3")
+    if comp == 7:
+        if depth != 8:
+            raise NotImplementedError(
+                f"JPEG-in-TIFF supports 8-bit samples (depth={depth})"
+            )
+        if planar == 2 or photo == 3 or predictor != 1:
+            raise NotImplementedError(
+                "JPEG-in-TIFF with planar-2 / palette / predictor "
+                "layouts not supported"
+            )
+        rgb = _decode_tiff_jpeg(payload, tags, width, height)
+        return (255 - rgb) if photo == 0 else rgb
     def decompress(
         chunk: bytes, expect: int, label: str, cols: int | None = None
     ) -> bytes:
@@ -601,6 +746,8 @@ def encode_tiff(
     tile_size: tuple[int, int] | None = None,
     planar: int = 1,
     t4_two_d: bool = False,
+    jpeg_quality: int = 88,
+    jpeg_tables: bool = False,
 ) -> bytes:
     """Build a TIFF: pass exactly one of ``rgb`` ((h, w, 3) ints),
     ``gray`` ((h, w) ints), or ``palette`` (list of (r,g,b)) +
@@ -626,15 +773,24 @@ def encode_tiff(
     modes = sum(x is not None for x in (rgb, gray, palette))
     if modes != 1:
         raise ValueError("pass exactly one of rgb / gray / palette")
-    if compression not in (1, 2, 3, 4, 5, 8, 32773):
+    if compression not in (1, 2, 3, 4, 5, 7, 8, 32773):
         raise ValueError(
-            f"compression must be 1/2/3/4/5/8/32773, got {compression}"
+            f"compression must be 1/2/3/4/5/7/8/32773, "
+            f"got {compression}"
         )
     if compression in (2, 3, 4) and (bits != 1 or gray is None):
         raise ValueError(
             f"CCITT compression {compression} applies to 1-bit "
             "gray images"
         )
+    if compression == 7 and (bits != 8 or palette is not None
+                             or planar != 1):
+        raise ValueError(
+            "JPEG compression (7) applies to 8-bit chunky "
+            "gray/RGB images"
+        )
+    if jpeg_tables and compression != 7:
+        raise ValueError("jpeg_tables applies to compression 7 only")
     if t4_two_d and compression != 3:
         raise ValueError("t4_two_d applies to compression 3 only")
     if predictor not in (1, 2):
@@ -725,7 +881,19 @@ def encode_tiff(
             ).tobytes()
         return _pack_plane(np.ascontiguousarray(block[:, :, 0]))
 
-    def compress_segment(raw: bytes, rows: int, cols: int, nspp: int):
+    def compress_segment(raw: bytes, rows: int, cols: int, nspp: int,
+                         block=None):
+        if compression == 7:
+            from cdc_2025_spark.multimodal.jpeg import (  # noqa: PLC0415
+                encode_jpeg,
+            )
+
+            px = np.ascontiguousarray(block).astype(np.uint8)
+            if px.shape[2] == 1:  # gray -> replicated RGB, Y == gray
+                px = np.repeat(px, 3, axis=2)
+            return encode_jpeg(
+                px, subsampling="4:4:4", quality=jpeg_quality
+            )
         if predictor == 2:
             raw = _apply_predictor2(raw, rows, cols, nspp)
         if compression in (2, 3, 4):
@@ -771,7 +939,7 @@ def encode_tiff(
                 ]
                 strips.append(
                     compress_segment(
-                        pack_rows(block), tl, tw, spp
+                        pack_rows(block), tl, tw, spp, block=block
                     )
                 )
     elif planar == 2:
@@ -782,7 +950,7 @@ def encode_tiff(
                 block = sample_arr[y0:y1, :, c : c + 1]
                 strips.append(
                     compress_segment(
-                        pack_rows(block), y1 - y0, w, 1
+                        pack_rows(block), y1 - y0, w, 1, block=block
                     )
                 )
     else:
@@ -791,8 +959,25 @@ def encode_tiff(
             y1 = min(y0 + rps, h)
             block = sample_arr[y0:y1]
             strips.append(
-                compress_segment(pack_rows(block), y1 - y0, w, spp)
+                compress_segment(pack_rows(block), y1 - y0, w, spp,
+                                 block=block)
             )
+
+    jpegtables_stream = None
+    if jpeg_tables:
+        # abbreviated layout (TechNote 2): hoist the shared DQT/DHT
+        # segments into one JPEGTables stream, strips keep the rest
+        abbrs = []
+        for s in strips:
+            t, a = _split_jpeg_tables(s)
+            if jpegtables_stream is None:
+                jpegtables_stream = t
+            elif t != jpegtables_stream:
+                raise ValueError("per-segment JPEG tables diverge")
+            abbrs.append(a)
+        strips = abbrs
+    if compression == 7 and photo == 2:
+        photo = 6  # encode_jpeg codes YCbCr (JFIF) — record it
 
     entries = []  # (tag, type, count, values)
     entries.append((_T_WIDTH, 4, 1, [w]))
@@ -805,6 +990,13 @@ def encode_tiff(
         )
     entries.append((_T_PHOTOMETRIC, 3, 1, [photo]))
     entries.append((_T_SPP, 3, 1, [spp]))
+    if photo == 6:
+        entries.append((_T_YCBCR_SUB, 3, 2, [1, 1]))  # 4:4:4
+    if jpegtables_stream is not None:
+        entries.append(
+            (_T_JPEGTABLES, 7, len(jpegtables_stream),
+             list(jpegtables_stream))
+        )
     if tile_size is not None:
         offsets_tag = _T_TILE_OFFSETS
         entries.append((_T_TILE_W, 4, 1, [tw]))
@@ -842,6 +1034,8 @@ def encode_tiff(
     overflow = bytearray()
 
     def value_bytes(typ, vals):
+        if typ == 7:
+            return bytes(vals)
         fmt = {3: "H", 4: "I"}[typ]
         return b"".join(_struct.pack(e + fmt, v) for v in vals)
 

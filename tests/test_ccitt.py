@@ -159,13 +159,13 @@ def test_tiff_g4_refusals():
         encode_tiff(
             rgb=np.zeros((4, 4, 3), np.uint8), compression=4
         )
-    with pytest.raises(ValueError, match="tiled"):
-        encode_tiff(
-            gray=doc,
-            bits=1,
-            compression=4,
-            tile_size=(8, 8),
-        )
+    # tiled G4 works since round 15 — pixel-identical to strips
+    tiled = decode_tiff(
+        encode_tiff(gray=doc, bits=1, compression=4,
+                    tile_size=(8, 8))
+    )
+    strip = decode_tiff(encode_tiff(gray=doc, bits=1, compression=4))
+    assert np.array_equal(tiled, strip)
 
 
 def test_mh_roundtrip_and_tiff_compression2():

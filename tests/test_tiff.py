@@ -90,15 +90,16 @@ def test_refusals_fail_loud():
         )
     with pytest.raises(ValueError, match="pairs with"):
         encode_tiff(gray=np.zeros((2, 2), np.uint8), predictor=2)
-    # JPEG-compressed TIFF refuses at decode: flip the tag value
+    # unknown compression refuses at decode: flip the tag value
+    # (7 decodes since round 15 — use JBIG, 34661)
     t = bytearray(make_tiff(8, 8, seed=1, mode="gray"))
-    # find the compression entry (tag 259, II order) and set value 7
+    # find the compression entry (tag 259, II order)
     for i in range(8, len(t) - 12):
         tag, typ = struct.unpack_from("<HH", t, i)
         if tag == 259 and typ == 3:
-            struct.pack_into("<H", t, i + 8, 7)
+            struct.pack_into("<H", t, i + 8, 34661)
             break
-    with pytest.raises(NotImplementedError, match="compression 7"):
+    with pytest.raises(NotImplementedError, match="compression 34661"):
         decode_tiff(bytes(t))
     # truncated strip fails loud
     whole = make_tiff(16, 16, seed=2, mode="rgb")
@@ -448,3 +449,106 @@ def test_tiled_ccitt_decodes_identical_to_strips(compression):
                         tile_size=(17, 23), t4_two_d=True)
         )
         assert np.array_equal(strip, two_d)
+
+
+def _jpeg_ref(block):
+    from cdc_2025_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    return decode_jpeg(
+        encode_jpeg(block, subsampling="4:4:4", quality=88)
+    )
+
+
+def test_jpeg_in_tiff_strip_parity():
+    """New-style JPEG-in-TIFF (compression 7): each strip is an
+    independent JPEG stream — the decoded grid equals decode_jpeg
+    of the per-strip encodes, single- and multi-strip."""
+    rng = np.random.default_rng(3)
+    rgb = (
+        np.fromfunction(
+            lambda y, x, c: (x * 5 + y * 9 + c * 40) % 256,
+            (37, 53, 3),
+        )
+        + rng.integers(0, 30, (37, 53, 3))
+    ).astype(np.uint8)
+    one = decode_tiff(encode_tiff(rgb=rgb, compression=7))
+    assert np.array_equal(one, _jpeg_ref(rgb))
+    multi = decode_tiff(
+        encode_tiff(rgb=rgb, compression=7, rows_per_strip=10)
+    )
+    exp = np.vstack(
+        [_jpeg_ref(rgb[y : y + 10]) for y in range(0, 37, 10)]
+    )
+    assert np.array_equal(multi, exp)
+
+
+def test_jpeg_in_tiff_jpegtables_and_tiles():
+    """The abbreviated JPEGTables (tag 347) layout decodes
+    identical to inline tables and is smaller; the tiled layout
+    assembles per-tile JPEG decodes with zero-padded edge tiles
+    cropped away."""
+    rng = np.random.default_rng(5)
+    rgb = (
+        np.fromfunction(
+            lambda y, x, c: (x * 7 + y * 3 + c * 55) % 256,
+            (37, 53, 3),
+        )
+        + rng.integers(0, 25, (37, 53, 3))
+    ).astype(np.uint8)
+    inline = encode_tiff(rgb=rgb, compression=7, rows_per_strip=10)
+    hoisted = encode_tiff(
+        rgb=rgb, compression=7, rows_per_strip=10, jpeg_tables=True
+    )
+    assert len(hoisted) < len(inline)
+    assert np.array_equal(decode_tiff(hoisted), decode_tiff(inline))
+
+    tiled = decode_tiff(
+        encode_tiff(rgb=rgb, compression=7, tile_size=(16, 16))
+    )
+    pad = np.zeros((48, 64, 3), np.uint8)
+    pad[:37, :53] = rgb
+    exp = np.zeros((48, 64, 3), np.uint8)
+    for ty in range(3):
+        for tx in range(4):
+            blk = pad[
+                ty * 16 : (ty + 1) * 16, tx * 16 : (tx + 1) * 16
+            ]
+            exp[
+                ty * 16 : (ty + 1) * 16, tx * 16 : (tx + 1) * 16
+            ] = _jpeg_ref(blk)
+    assert np.array_equal(tiled, exp[:37, :53])
+
+
+def test_jpeg_in_tiff_gray_and_refusals():
+    rng = np.random.default_rng(9)
+    g = rng.integers(0, 256, (29, 31)).astype(np.uint8)
+    for wiz in (False, True):
+        out = decode_tiff(
+            encode_tiff(gray=g, compression=7, white_is_zero=wiz)
+        )
+        assert (out[:, :, 0] == out[:, :, 1]).all()
+        err = np.abs(
+            out[:, :, 0].astype(int) - g.astype(int)
+        ).mean()
+        assert err < 6.0, (wiz, err)
+    with pytest.raises(ValueError, match="8-bit chunky"):
+        encode_tiff(gray=g, compression=7, bits=4)
+    with pytest.raises(ValueError, match="8-bit chunky"):
+        encode_tiff(
+            palette=[(0, 0, 0), (9, 9, 9)],
+            indices=np.zeros((4, 4), np.uint8),
+            compression=7,
+        )
+    with pytest.raises(ValueError, match="compression 7 only"):
+        encode_tiff(gray=g, jpeg_tables=True)
+    # old-style JPEG (6) keeps refusing loudly
+    import struct
+
+    t = bytearray(encode_tiff(gray=g, compression=7))
+    for i in range(8, len(t) - 12):
+        tag, typ = struct.unpack_from("<HH", t, i)
+        if tag == 259 and typ == 3:
+            struct.pack_into("<H", t, i + 8, 6)
+            break
+    with pytest.raises(NotImplementedError, match="old-style"):
+        decode_tiff(bytes(t))
