@@ -1,6 +1,6 @@
 """FLAC (Free Lossless Audio Codec) — real, dependency-free encode +
 decode kernels for the subset a training-data lake actually stores:
-8/12/16/20/24-bit mono and stereo streams (independent, left/side,
+8/12/16/20/24/32-bit mono and stereo streams (independent, left/side,
 right/side, and mid/side channel decorrelation — the side channel
 carrying its spec-mandated extra sample bit), CONSTANT / VERBATIM /
 FIXED(0-4) / LPC subframes, Rice-coded residuals with partitioning,
@@ -362,7 +362,9 @@ _CH_LEFT_SIDE = 8
 _CH_RIGHT_SIDE = 9
 _CH_MID_SIDE = 10
 
-_SS_CODES = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110}
+# 0b111 = 32-bit: reserved in the classic spec, defined by RFC 9639
+_SS_CODES = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110,
+             32: 0b111}
 _SS_BITS = {c: b for b, c in _SS_CODES.items()}
 
 
@@ -616,7 +618,8 @@ def decode_flac(payload: bytes, verify_md5: bool = True):
 
 def decode_flac_info(payload: bytes, verify_md5: bool = True) -> dict:
     """FLAC bytes -> dict(samples, sample_rate, channels, bits).
-    Supports the lake subset: 8/12/16/20/24-bit, mono + stereo (independent,
+    Supports the lake subset: 8/12/16/20/24/32-bit (32 per RFC 9639's
+    0b111 sample-size code), mono + stereo (independent,
     left/side, right/side, mid/side channel assignments), CONSTANT /
     VERBATIM / FIXED(0-4) / LPC subframes, both Rice methods, any
     partition order, wasted bits, CRC-8/CRC-16 verification,

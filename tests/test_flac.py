@@ -287,18 +287,19 @@ def test_unsupported_depths_and_channels_still_fail_loud():
     with pytest.raises(NotImplementedError, match="channels"):
         encode_flac([1, 2, 3], channels=9)
     with pytest.raises(NotImplementedError, match="bits"):
-        encode_flac([1, 2], bits=32)  # 8/12/16/20/24 now real paths
+        encode_flac([1, 2], bits=28)  # 8/12/16/20/24/32 real paths
     with pytest.raises(ValueError, match="stereo_mode"):
         encode_flac([1, 2], channels=2, stereo_mode="surround")
     with pytest.raises(ValueError, match="interleave"):
         encode_flac([1, 2, 3], channels=2)
     with pytest.raises(ValueError, match="s24 range"):
         encode_flac([1 << 23], bits=24)
-    # a 32-bit STREAMINFO (hand-packed) must refuse at decode
+    # a 28-bit STREAMINFO (hand-packed) must refuse at decode
+    # (32 decodes since round 15 — RFC 9639 sample-size code 0b111)
     enc = bytearray(encode_flac([1, 2, 3, 4] * 100))
     # STREAMINFO tail starts at byte 8 (4 fLaC + 4 block header) + 10
     tail = int.from_bytes(enc[18:26], "big")
-    tail = (tail & ~(0x1F << 36)) | ((32 - 1) << 36)
+    tail = (tail & ~(0x1F << 36)) | ((28 - 1) << 36)
     enc[18:26] = tail.to_bytes(8, "big")
     with pytest.raises(NotImplementedError, match="depths"):
         decode_flac(bytes(enc))
@@ -384,3 +385,41 @@ class TestMultichannel:
         assert len(rows) == 2
         for r in rows:
             assert 0.0 < r["rms"] <= r["peak"] <= 1.0
+
+
+def test_32bit_roundtrip_all_modes():
+    """32-bit depth (RFC 9639 sample-size code 0b111, reserved in
+    the classic spec): full-scale mono round-trips under every
+    predictor, stereo under every channel assignment — the side
+    channel there carries 33-bit values, exercising the arbitrary-
+    width signed reader/writer — and a smooth ramp still
+    compresses below raw."""
+    import numpy as np
+
+    from cdc_2025_spark.multimodal.flac import (
+        decode_flac_info,
+        encode_flac,
+    )
+
+    rng = np.random.default_rng(11)
+    lo, hi = -(1 << 31), (1 << 31) - 1
+    mono = [int(v) for v in rng.integers(lo, hi, 300, np.int64)]
+    mono += [lo, hi, 0, -1, 1]
+    for pred in ("fixed", "lpc", "verbatim"):
+        info = decode_flac_info(
+            encode_flac(mono, bits=32, predictor=pred)
+        )
+        assert info["bits"] == 32 and info["samples"] == mono, pred
+    st = [int(v) for v in rng.integers(lo, hi, 400, np.int64)]
+    st[:4] = [lo, hi, hi, lo]  # max-magnitude side values
+    for mode in (
+        "independent", "mid-side", "left-side", "right-side", "auto"
+    ):
+        info = decode_flac_info(
+            encode_flac(st, bits=32, channels=2, stereo_mode=mode)
+        )
+        assert info["samples"] == st, mode
+    ramp = [1_000_000 * i + 500 * (i % 7) for i in range(2000)]
+    assert len(encode_flac(ramp, bits=32)) < 2000 * 4
+    with pytest.raises(ValueError, match="range"):
+        encode_flac([1 << 31], bits=32)
