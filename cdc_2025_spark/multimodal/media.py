@@ -1442,60 +1442,75 @@ def encode_wav_ima_adpcm(
     sample_rate: int = 8000,
     block_samples: int = 505,
     right=None,
+    multi=None,
 ) -> bytes:
     """IMA/DVI ADPCM WAV (format 17) — the classic 4:1 voice
     compression. Per-block layout (the spec's): a 4-byte header per
     channel (initial predictor int16, step index u8, reserved 0)
     carrying the FIRST sample verbatim, then 4-bit codes, LOW nibble
-    first — mono packs them two-per-byte; STEREO (pass ``right``)
-    alternates 4-BYTE GROUPS of 8 left codes and 8 right codes. The
-    step indices persist across blocks. ``block_samples`` must be
-    odd for mono (even nibble count) and ``1 + 8k`` for stereo (the
-    8-frame group quantum)."""
-    stereo = right is not None
-    if stereo:
-        if len(right) != len(samples):
-            raise ValueError("stereo channels must be equal length")
+    first — mono packs them two-per-byte; multichannel (pass
+    ``right`` for stereo, or ``multi`` = the full list of N >= 2
+    equal-length channel lists) cycles 4-BYTE GROUPS of 8 codes per
+    channel in channel order. The step indices persist across
+    blocks. ``block_samples`` must be odd for mono (even nibble
+    count) and ``1 + 8k`` for multichannel (the 8-frame group
+    quantum)."""
+    if multi is not None:
+        if right is not None:
+            raise ValueError("pass right OR multi, not both")
+        chans = [list(c) for c in multi]
+        if len(chans) < 2:
+            raise ValueError("multi needs >= 2 channel lists")
+    elif right is not None:
+        chans = [list(samples), list(right)]
+    else:
+        chans = None
+    if chans is not None:
+        if any(len(c) != len(chans[0]) for c in chans):
+            raise ValueError("channels must be equal length")
         if (block_samples - 1) % 8 != 0 or block_samples < 9:
             raise ValueError(
-                "stereo block_samples must be 1 + 8k (k >= 1)"
+                "multichannel block_samples must be 1 + 8k (k >= 1)"
             )
     elif block_samples % 2 == 0 or block_samples < 3:
         raise ValueError("block_samples must be odd and >= 3")
-    xs = [max(-32768, min(32767, int(v))) for v in samples]
-    ys = (
-        [max(-32768, min(32767, int(v))) for v in right]
-        if stereo
-        else None
-    )
+    xs = [max(-32768, min(32767, int(v)))
+          for v in (chans[0] if chans else samples)]
     if not xs:
         raise ValueError("no samples")
-    idx_l = idx_r = 0
+    if chans:
+        chans = [
+            [max(-32768, min(32767, int(v))) for v in c]
+            for c in chans
+        ]
+    idx = [0] * (len(chans) if chans else 1)
     blocks = []
     for b0 in range(0, len(xs), block_samples):
-        bl = xs[b0 : b0 + block_samples]
-        if not stereo:
-            blocks.append(_struct.pack("<hBB", bl[0], idx_l, 0))
-            nibbles, idx_l = _ima_encode_codes(bl, idx_l)
+        if not chans:
+            bl = xs[b0 : b0 + block_samples]
+            blocks.append(_struct.pack("<hBB", bl[0], idx[0], 0))
+            nibbles, idx[0] = _ima_encode_codes(bl, idx[0])
             if len(nibbles) % 2:
                 nibbles.append(0)  # final short block pads
             blocks.append(_pack_nibbles(nibbles))
             continue
-        br = ys[b0 : b0 + block_samples]
-        blocks.append(_struct.pack("<hBB", bl[0], idx_l, 0))
-        blocks.append(_struct.pack("<hBB", br[0], idx_r, 0))
-        nl, idx_l = _ima_encode_codes(bl, idx_l)
-        nr, idx_r = _ima_encode_codes(br, idx_r)
-        pad = (-len(nl)) % 8
-        nl += [0] * pad
-        nr += [0] * pad
-        for g in range(0, len(nl), 8):
-            blocks.append(_pack_nibbles(nl[g : g + 8]))
-            blocks.append(_pack_nibbles(nr[g : g + 8]))
+        codes = []
+        for ci, ch in enumerate(chans):
+            bl = ch[b0 : b0 + block_samples]
+            blocks.append(_struct.pack("<hBB", bl[0], idx[ci], 0))
+            nc, idx[ci] = _ima_encode_codes(bl, idx[ci])
+            nc += [0] * ((-len(nc)) % 8)
+            codes.append(nc)
+        for g in range(0, len(codes[0]), 8):
+            for nc in codes:
+                blocks.append(_pack_nibbles(nc[g : g + 8]))
     data = b"".join(blocks)
-    channels = 2 if stereo else 1
-    if stereo:
-        block_align = 8 + (block_samples - 1)  # 2 hdrs + k*8 bytes
+    channels = len(chans) if chans else 1
+    if chans:
+        # N hdrs + k groups x (4 bytes x N channels)
+        block_align = 4 * channels + (
+            (block_samples - 1) // 2
+        ) * channels
     else:
         block_align = 4 + (block_samples - 1) // 2
     fmt = _struct.pack(
@@ -1551,41 +1566,51 @@ def _ima_adpcm_decode(
 def _ima_adpcm_decode_stereo(
     data: bytes, block_align: int, samples_per_block: int
 ):
-    """Decode STEREO IMA ADPCM blocks to per-channel int16 lists.
-    The spec's interleave: two 4-byte headers (left then right),
-    then alternating 4-BYTE GROUPS — 8 nibbles of left, 8 nibbles
-    of right — so each 8-byte stride carries 8 sample frames."""
-    left: list[int] = []
-    right: list[int] = []
-    for b0 in range(0, len(data) - 7, block_align):
+    """Decode STEREO IMA ADPCM blocks to per-channel int16 lists
+    (thin wrapper over the N-channel kernel)."""
+    lf, rt = _ima_adpcm_decode_multi(
+        data, block_align, samples_per_block, 2
+    )
+    return lf, rt
+
+
+def _ima_adpcm_decode_multi(
+    data: bytes, block_align: int, samples_per_block: int,
+    channels: int,
+):
+    """Decode N-channel IMA ADPCM blocks to per-channel int16
+    lists. The spec's interleave: N 4-byte headers (channel order),
+    then 4-BYTE GROUPS of 8 nibbles cycling the channels — each
+    4*N-byte stride carries 8 sample frames."""
+    chans: list[list[int]] = [[] for _ in range(channels)]
+    hdr = 4 * channels
+    for b0 in range(0, len(data) - hdr + 1, block_align):
         block = data[b0 : b0 + block_align]
-        pl, il, _ = _struct.unpack_from("<hBB", block, 0)
-        pr, ir, _ = _struct.unpack_from("<hBB", block, 4)
-        if il > 88 or ir > 88:
-            raise ValueError("IMA ADPCM step index > 88")
-        left.append(pl)
-        right.append(pr)
-        prod_l = prod_r = 1
-        pos = 8
-        while pos + 8 <= len(block) and (
-            prod_l < samples_per_block or prod_r < samples_per_block
+        preds, idxs, prods = [], [], []
+        for ci in range(channels):
+            p, ix, _ = _struct.unpack_from("<hBB", block, 4 * ci)
+            if ix > 88:
+                raise ValueError(f"IMA ADPCM step index {ix} > 88")
+            preds.append(p)
+            idxs.append(ix)
+            chans[ci].append(p)
+            prods.append(1)
+        pos = hdr
+        while pos + 4 * channels <= len(block) and any(
+            n < samples_per_block for n in prods
         ):
-            for byte in block[pos : pos + 4]:
-                for code in (byte & 0xF, byte >> 4):
-                    if prod_l >= samples_per_block:
-                        break
-                    pl, il = _ima_step(pl, il, code)
-                    left.append(pl)
-                    prod_l += 1
-            for byte in block[pos + 4 : pos + 8]:
-                for code in (byte & 0xF, byte >> 4):
-                    if prod_r >= samples_per_block:
-                        break
-                    pr, ir = _ima_step(pr, ir, code)
-                    right.append(pr)
-                    prod_r += 1
-            pos += 8
-    return left, right
+            for ci in range(channels):
+                p, ix = preds[ci], idxs[ci]
+                for byte in block[pos : pos + 4]:
+                    for code in (byte & 0xF, byte >> 4):
+                        if prods[ci] >= samples_per_block:
+                            break
+                        p, ix = _ima_step(p, ix, code)
+                        chans[ci].append(p)
+                        prods[ci] += 1
+                preds[ci], idxs[ci] = p, ix
+                pos += 4
+    return chans
 
 
 def decode_wav(payload: bytes):
@@ -1596,7 +1621,7 @@ def decode_wav(payload: bytes):
     packed 24-bit PCM (the studio-export depth), UNSIGNED 8-bit PCM
     (the spec's 8-bit convention), IEEE float32 (format 3), G.711
     A-law (format 6) and mu-law (format 7) — the telephony codecs,
-    decoded through the exact ITU segment expansion — mono IMA/DVI
+    decoded through the exact ITU segment expansion — 1-8-channel IMA/DVI
     ADPCM (format 17, the classic 4:1 voice codec: block headers
     carrying the first sample + low-nibble-first 4-bit codes) — and
     WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappers of any of those — the
@@ -1659,24 +1684,27 @@ def decode_wav(payload: bytes):
             raise NotImplementedError(
                 f"IMA ADPCM is 4-bit by definition (bits={bits})"
             )
-        if channels not in (1, 2):
+        if not 1 <= channels <= 8:
             raise NotImplementedError(
-                f"IMA ADPCM supports mono/stereo (channels={channels})"
+                f"IMA ADPCM supports 1-8 channels "
+                f"(channels={channels})"
             )
         block_align = fmt[4]
         if len(fmt_body) >= 20:
             (spb,) = _struct.unpack_from("<H", fmt_body, 18)
         else:
             spb = (block_align - 4 * channels) * 2 // channels + 1
-        if channels == 2:
-            lf, rt = _ima_adpcm_decode_stereo(data, block_align, spb)
+        if channels >= 2:
+            chans = _ima_adpcm_decode_multi(
+                data, block_align, spb, channels
+            )
             if fact_n is not None:
-                lf, rt = lf[:fact_n], rt[:fact_n]
+                chans = [c[:fact_n] for c in chans]
             # channel-mean downmix, the pipeline's standard
-            raw = (
-                np.asarray(lf, dtype=np.float64)
-                + np.asarray(rt, dtype=np.float64)
-            ) / (2.0 * 32768.0)
+            raw = np.mean(
+                [np.asarray(c, dtype=np.float64) for c in chans],
+                axis=0,
+            ) / 32768.0
             return raw, sample_rate
         lin = _ima_adpcm_decode(data, block_align, spb)
         if fact_n is not None:
@@ -1699,7 +1727,7 @@ def decode_wav(payload: bytes):
         raise NotImplementedError(
             f"unsupported WAV (format={audio_format}, bits={bits}); "
             "supported: PCM 8/16/24-bit, IEEE float32, G.711 "
-            "A-law/mu-law, mono IMA ADPCM, EXTENSIBLE wrappers"
+            "A-law/mu-law, 1-8-channel IMA ADPCM, EXTENSIBLE wrappers"
         )
     if channels > 1:
         raw = raw[: len(raw) - len(raw) % channels]

@@ -96,10 +96,16 @@ def test_dispatch_and_refusals():
     assert r == RATE and len(s) == 1000
     with pytest.raises(ValueError, match="odd"):
         encode_wav_ima_adpcm(xs, RATE, block_samples=8)
-    # >2 channels refuses
+    # >8 channels refuses (1-8 are real paths since round 15)
+    t = bytearray(payload)
+    struct.pack_into("<H", t, 12 + 8 + 2, 9)
+    with pytest.raises(NotImplementedError, match="1-8 channels"):
+        decode_wav(bytes(t))
+    # a MONO payload mislabeled 3-channel hits the per-channel
+    # state checks and fails loudly instead of decoding garbage
     t = bytearray(payload)
     struct.pack_into("<H", t, 12 + 8 + 2, 3)
-    with pytest.raises(NotImplementedError, match="mono/stereo"):
+    with pytest.raises(ValueError):
         decode_wav(bytes(t))
     # a MONO payload mislabeled stereo hits the stereo geometry
     # checks and fails loudly instead of decoding garbage
@@ -145,3 +151,94 @@ def test_stereo_interleave_roundtrip_and_downmix():
     with pytest.raises(ValueError, match=r"1 \+ 8k"):
         encode_wav_ima_adpcm(xs, RATE, block_samples=505 + 1,
                              right=xs)
+
+
+def test_multichannel_layout_and_fidelity():
+    """N-channel IMA ADPCM (round 15): ``multi=[ch0, ch1]`` is
+    byte-identical to the stereo ``right=`` path (the generalized
+    group interleave degrades to the pinned stereo layout), and a
+    4-channel encode decodes each channel at the SAME noise floor
+    the stereo kernel shows for the same tone — the per-channel
+    state machines are independent by construction."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from cdc_2025_spark.multimodal.media import (
+        _ima_adpcm_decode_multi,
+        decode_wav,
+        encode_wav_ima_adpcm,
+    )
+
+    def tone(f, n=2000, amp=9000):
+        return [
+            int(amp * math.sin(2 * math.pi * f * i / 8000.0))
+            for i in range(n)
+        ]
+
+    def datachunk(p):
+        pos = 12
+        while pos < len(p):
+            cid = p[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", p, pos + 4)
+            if cid == b"data":
+                return p[pos + 8 : pos + 8 + ln]
+            pos += 8 + ln + (ln & 1)
+        raise AssertionError("no data chunk")
+
+    freqs = [300, 500, 700, 900]
+    # stereo regression: right= and multi= must agree byte-for-byte
+    l, r = tone(440), tone(660)
+    assert encode_wav_ima_adpcm(
+        l, 8000, block_samples=505, right=r
+    ) == encode_wav_ima_adpcm(l, 8000, block_samples=505,
+                              multi=[l, r])
+
+    # per-frequency stereo noise floor (the pinned kernel)
+    floor = {}
+    for f in freqs:
+        p = encode_wav_ima_adpcm(
+            tone(440), 8000, block_samples=505, right=tone(f)
+        )
+        d = _ima_adpcm_decode_multi(datachunk(p), 8 + 504, 505, 2)
+        floor[f] = np.abs(
+            np.asarray(d[1][:2000], float)
+            - np.asarray(tone(f), float)
+        ).mean()
+
+    chs = [tone(f) for f in freqs]
+    p4 = encode_wav_ima_adpcm(
+        chs[0], 8000, block_samples=249, multi=chs
+    )
+    d4 = _ima_adpcm_decode_multi(
+        datachunk(p4), 16 + 124 * 4, 249, 4
+    )
+    for f, c, src in zip(freqs, d4, chs):
+        err = np.abs(
+            np.asarray(c[:2000], float) - np.asarray(src, float)
+        ).mean()
+        assert err < 1.5 * floor[f] + 20, (f, err, floor[f])
+    # decode_wav downmix == channel mean, fact-truncated
+    mono, sr = decode_wav(p4)
+    exp = np.mean(
+        [np.asarray(c[:2000], float) for c in d4], axis=0
+    ) / 32768.0
+    assert sr == 8000 and np.allclose(mono, exp)
+
+    # odd channel counts and a short tail block round-trip lengths
+    for n_ch in (3, 5, 8):
+        chans = [tone(200 + 100 * k, n=777) for k in range(n_ch)]
+        m, _ = decode_wav(
+            encode_wav_ima_adpcm(
+                chans[0], 8000, block_samples=97, multi=chans
+            )
+        )
+        assert len(m) == 777, (n_ch, len(m))
+
+    with pytest.raises(ValueError, match="not both"):
+        encode_wav_ima_adpcm(l, 8000, right=r, multi=[l, r])
+    with pytest.raises(ValueError, match=">= 2"):
+        encode_wav_ima_adpcm(l, 8000, multi=[l])
+    with pytest.raises(ValueError, match="equal length"):
+        encode_wav_ima_adpcm(l, 8000, multi=[l, r[:-1]])
