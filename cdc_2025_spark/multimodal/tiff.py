@@ -49,12 +49,22 @@ specification stream spliced in front of abbreviated streams;
 are pinned identical to decode_jpeg of the same per-segment
 streams in tests.
 
+Float TIFF (SampleFormat 3, 32-bit IEEE samples — the
+scientific/HDR layout) decodes and encodes (round 15), composing
+with uncompressed/LZW/Deflate, strips and tiles, and the
+floating-point horizontal-differencing predictor 3 (TIFF TechNote
+3 / libtiff fpDiff: per row, big-endian float bytes regrouped into
+four significance planes then byte-differenced). Display mapping
+is the linear [0, 1] clamp times 255 — a v/255-quantized image
+inverts exactly, pinned in tests.
+
 Deliberate refusals (fail loud, never decode wrongly):
 old-style JPEG-in-TIFF (compression 6 — the deprecated TIFF 6.0
-§22 layout), T.4 uncompressed mode, the floating-point predictor
-3, mixed per-sample depths, sub-byte multi-sample, 16-bit palette,
-JPEG with palette/planar-2/predictor layouts, and tiled+planar-2
-combinations — each raises with the offending tag value.
+§22 layout), T.4 uncompressed mode, signed-integer SampleFormat 2,
+mixed per-sample depths or formats, sub-byte multi-sample, 16-bit
+palette, 32-bit integer samples, JPEG or float with
+palette/planar-2 layouts, and tiled+planar-2 combinations — each
+raises with the offending tag value.
 
 Scale posture: like every media kernel here, decode runs inside
 Arrow-batched ``mapInPandas`` tasks; payload bytes never shuffle.
@@ -84,6 +94,7 @@ _T_TILE_COUNTS = 325
 _T_PREDICTOR = 317
 _T_T4OPTIONS = 292
 
+_T_SAMPLEFORMAT = 339
 _T_JPEGTABLES = 347
 _T_YCBCR_SUB = 530
 
@@ -218,6 +229,51 @@ def _apply_predictor2(raw: bytes, rows: int, width: int, spp: int) -> bytes:
     d = a.copy()
     d[:, 1:, :] = a[:, 1:, :] - a[:, :-1, :]
     return (d % 256).astype(np.uint8).tobytes()
+
+
+def _apply_predictor3(raw: bytes, rows: int, width: int, spp: int,
+                      e: str) -> bytes:
+    """Floating-point horizontal differencing (predictor 3, TIFF
+    TechNote 3, libtiff's fpDiff): per row, the float32 samples are
+    rewritten as BIG-ENDIAN bytes split into four significance
+    planes (all MSBs first, then the next byte, ...), then the
+    whole rearranged row is byte-differenced like predictor 2.
+    ``raw`` holds file-byte-order (``e``) float32 samples."""
+    import numpy as np  # noqa: PLC0415
+
+    n = width * spp
+    vals = np.frombuffer(
+        raw, dtype=np.dtype(e + "f4"), count=rows * n
+    ).reshape(rows, n)
+    be = np.ascontiguousarray(
+        vals.astype(">f4")
+    ).view(np.uint8).reshape(rows, n, 4)
+    shuffled = be.transpose(0, 2, 1).reshape(rows, 4 * n)
+    out = shuffled.copy()
+    out[:, 1:] = (
+        shuffled[:, 1:].astype(np.int16)
+        - shuffled[:, :-1].astype(np.int16)
+    ).astype(np.uint8)
+    return out.tobytes()
+
+
+def _undo_predictor3(raw: bytes, rows: int, width: int, spp: int,
+                     e: str) -> bytes:
+    """Inverse of :func:`_apply_predictor3`: byte-accumulate each
+    row, regroup the four significance planes into big-endian
+    float32s, and return file-byte-order (``e``) sample bytes."""
+    import numpy as np  # noqa: PLC0415
+
+    n = width * spp
+    b = np.frombuffer(
+        raw, dtype=np.uint8, count=rows * 4 * n
+    ).reshape(rows, 4 * n)
+    acc = np.cumsum(b.astype(np.uint64), axis=1).astype(np.uint8)
+    be = acc.reshape(rows, 4, n).transpose(0, 2, 1)
+    vals = np.ascontiguousarray(be).reshape(rows, n, 4).view(
+        ">f4"
+    )[:, :, 0]
+    return vals.astype(np.dtype(e + "f4")).tobytes()
 
 
 def _packbits_decode(data: bytes, expect: int) -> bytes:
@@ -448,9 +504,31 @@ def decode_tiff(payload: bytes):
             f"mixed BitsPerSample {bits} not supported"
         )
     depth = bits[0]
-    if depth not in (1, 2, 4, 8, 16):
+    sfmts = tags.get(_T_SAMPLEFORMAT, [1])
+    if len(set(sfmts)) != 1:
         raise NotImplementedError(
-            f"BitsPerSample {depth} not supported (1/2/4/8/16)"
+            f"mixed SampleFormat {sfmts} not supported"
+        )
+    sfmt = sfmts[0]
+    if sfmt not in (1, 3):
+        raise NotImplementedError(
+            f"SampleFormat {sfmt} not supported (1 unsigned / "
+            "3 IEEE float only)"
+        )
+    if sfmt == 3 and depth != 32:
+        raise NotImplementedError(
+            f"float SampleFormat supports 32-bit samples "
+            f"(depth={depth})"
+        )
+    if sfmt == 1 and depth == 32:
+        raise NotImplementedError(
+            "32-bit integer samples not supported (float32 via "
+            "SampleFormat 3 is)"
+        )
+    if depth not in (1, 2, 4, 8, 16, 32):
+        raise NotImplementedError(
+            f"BitsPerSample {depth} not supported (1/2/4/8/16, "
+            "32 float)"
         )
     if depth in (1, 2, 4) and spp != 1:
         raise NotImplementedError(
@@ -484,9 +562,9 @@ def decode_tiff(payload: bytes):
             "T.4 uncompressed mode (T4Options bit 1) not supported"
         )
     predictor = one(_T_PREDICTOR, default=1)
-    if predictor not in (1, 2):
+    if predictor not in (1, 2, 3):
         raise NotImplementedError(
-            f"TIFF predictor {predictor} not supported (1/2 only)"
+            f"TIFF predictor {predictor} not supported (1/2/3 only)"
         )
     if predictor == 2 and comp in (1, 32773):
         raise ValueError(
@@ -497,6 +575,22 @@ def decode_tiff(payload: bytes):
         raise NotImplementedError(
             "predictor 2 implemented for 8-bit samples only"
         )
+    if predictor == 3 and sfmt != 3:
+        raise ValueError(
+            "predictor 3 (floating-point differencing) applies to "
+            "SampleFormat 3 data only"
+        )
+    if sfmt == 3:
+        if comp not in (1, 5, 8, 32946):
+            raise NotImplementedError(
+                f"float TIFF with compression {comp} not supported "
+                "(1/5/8/32946 only)"
+            )
+        if planar == 2 or photo == 3:
+            raise NotImplementedError(
+                "float TIFF with planar-2/palette layouts "
+                "not supported"
+            )
     tiled = _T_TILE_OFFSETS in tags
     if planar not in (1, 2):
         raise NotImplementedError(
@@ -599,6 +693,12 @@ def decode_tiff(payload: bytes):
                 dtype=np.dtype(e + "u2"),
                 count=rows * cols * nspp,
             ).reshape(rows, cols, nspp)
+        if depth == 32:  # float32 (SampleFormat 3, guarded above)
+            return np.frombuffer(
+                raw,
+                dtype=np.dtype(e + "f4"),
+                count=rows * cols * nspp,
+            ).reshape(rows, cols, nspp)
         rb = (cols * depth + 7) // 8
         b = np.frombuffer(
             raw, dtype=np.uint8, count=rows * rb
@@ -631,7 +731,9 @@ def decode_tiff(payload: bytes):
         tile_bytes = tl * ((tw * spp * depth + 7) // 8)
         grid = np.zeros(
             (down * tl, across * tw, spp),
-            dtype=np.uint16 if depth == 16 else np.uint8,
+            dtype=np.float32
+            if depth == 32
+            else (np.uint16 if depth == 16 else np.uint8),
         )
         for t, (off, cnt) in enumerate(zip(offsets, counts)):
             raw = decompress(
@@ -642,6 +744,8 @@ def decode_tiff(payload: bytes):
             )
             if predictor == 2:
                 raw = _undo_predictor2(raw, tl, tw, spp)
+            elif predictor == 3:
+                raw = _undo_predictor3(raw, tl, tw, spp, e)
             ty, tx = divmod(t, across)
             grid[
                 ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw
@@ -688,6 +792,10 @@ def decode_tiff(payload: bytes):
                     strip = _undo_predictor2(
                         strip, strip_rows, width, plane_spp
                     )
+                elif predictor == 3:
+                    strip = _undo_predictor3(
+                        strip, strip_rows, width, plane_spp, e
+                    )
                 raw += strip
             planes.append(
                 unpack(bytes(raw), height, width, plane_spp)
@@ -697,7 +805,14 @@ def decode_tiff(payload: bytes):
             if planar == 2
             else planes[0]
         )
-    if depth == 16:
+    if depth == 32:
+        # float display convention: linear [0, 1] clamp -> 8-bit
+        # (the HDR-preview mapping; round(v * 255) inverts a v/255
+        # quantized image exactly)
+        px = np.round(
+            np.clip(samples.astype(np.float64), 0.0, 1.0) * 255.0
+        ).astype(np.uint8)
+    elif depth == 16:
         # display scaling, the PNG 16-bit twin formula: round
         # (v * 255 / 65535) — a x257-widened 8-bit image inverts
         # exactly (65535 = 257 * 255)
@@ -748,6 +863,7 @@ def encode_tiff(
     t4_two_d: bool = False,
     jpeg_quality: int = 88,
     jpeg_tables: bool = False,
+    sample_format: int = 1,
 ) -> bytes:
     """Build a TIFF: pass exactly one of ``rgb`` ((h, w, 3) ints),
     ``gray`` ((h, w) ints), or ``palette`` (list of (r,g,b)) +
@@ -793,14 +909,41 @@ def encode_tiff(
         raise ValueError("jpeg_tables applies to compression 7 only")
     if t4_two_d and compression != 3:
         raise ValueError("t4_two_d applies to compression 3 only")
-    if predictor not in (1, 2):
-        raise ValueError(f"predictor must be 1 or 2, got {predictor}")
+    if predictor not in (1, 2, 3):
+        raise ValueError(
+            f"predictor must be 1, 2 or 3, got {predictor}"
+        )
     if predictor == 2 and compression not in (5, 8):
         raise ValueError("predictor 2 pairs with LZW/Deflate only")
     if predictor == 2 and bits != 8:
         raise ValueError("predictor 2 pairs with 8-bit samples only")
-    if bits not in (1, 2, 4, 8, 16):
-        raise ValueError(f"bits must be 1/2/4/8/16, got {bits}")
+    if sample_format not in (1, 3):
+        raise ValueError(
+            f"sample_format must be 1 (unsigned) or 3 (IEEE "
+            f"float), got {sample_format}"
+        )
+    if (sample_format == 3) != (bits == 32):
+        raise ValueError(
+            "float samples are 32-bit: pass sample_format=3 with "
+            "bits=32 (and only then)"
+        )
+    if sample_format == 3 and (
+        palette is not None or planar != 1 or white_is_zero
+        or compression not in (1, 5, 8)
+    ):
+        raise ValueError(
+            "float TIFF supports chunky gray/RGB with "
+            "uncompressed/LZW/Deflate only"
+        )
+    if predictor == 3 and (
+        sample_format != 3 or compression not in (5, 8)
+    ):
+        raise ValueError(
+            "predictor 3 pairs with float samples under "
+            "LZW/Deflate only"
+        )
+    if bits not in (1, 2, 4, 8, 16, 32):
+        raise ValueError(f"bits must be 1/2/4/8/16/32, got {bits}")
     if tile_size is not None and rows_per_strip is not None:
         raise ValueError("pass tile_size OR rows_per_strip, not both")
     if tile_size is not None and planar != 1:
@@ -838,8 +981,10 @@ def encode_tiff(
         )
 
     if rgb is not None:
-        if bits not in (8, 16):
-            raise ValueError("RGB supports 8/16-bit samples only")
+        if bits not in (8, 16, 32):
+            raise ValueError(
+                "RGB supports 8/16-bit (or 32-bit float) samples"
+            )
         arr = np.asarray(rgb)
         h, w, spp = arr.shape
         photo = 2
@@ -879,6 +1024,10 @@ def encode_tiff(
             return np.ascontiguousarray(block).astype(
                 np.dtype(e + "u2")
             ).tobytes()
+        if bits == 32:  # float32 (sample_format 3, guarded above)
+            return np.ascontiguousarray(block).astype(
+                np.dtype(e + "f4")
+            ).tobytes()
         return _pack_plane(np.ascontiguousarray(block[:, :, 0]))
 
     def compress_segment(raw: bytes, rows: int, cols: int, nspp: int,
@@ -896,6 +1045,8 @@ def encode_tiff(
             )
         if predictor == 2:
             raw = _apply_predictor2(raw, rows, cols, nspp)
+        elif predictor == 3:
+            raw = _apply_predictor3(raw, rows, cols, nspp, e)
         if compression in (2, 3, 4):
             from cdc_2025_spark.multimodal.ccitt import (  # noqa: PLC0415
                 encode_g3,
@@ -1014,8 +1165,10 @@ def encode_tiff(
         )
     if planar == 2:
         entries.append((_T_PLANAR, 3, 1, [2]))
-    if predictor == 2:
-        entries.append((_T_PREDICTOR, 3, 1, [2]))
+    if predictor in (2, 3):
+        entries.append((_T_PREDICTOR, 3, 1, [predictor]))
+    if sample_format == 3:
+        entries.append((_T_SAMPLEFORMAT, 3, spp, [3] * spp))
     cmap_vals = None
     if photo == 3:
         n = len(palette)

@@ -552,3 +552,86 @@ def test_jpeg_in_tiff_gray_and_refusals():
             break
     with pytest.raises(NotImplementedError, match="old-style"):
         decode_tiff(bytes(t))
+
+
+def test_float_tiff_samples_and_predictor3():
+    """Float TIFF (SampleFormat 3, round 15): 32-bit IEEE samples
+    across both byte orders, uncompressed/LZW/Deflate, strips and
+    tiles, and the floating-point predictor 3 (TechNote 3 byte-
+    plane shuffle + differencing). Display mapping is the linear
+    [0, 1] clamp x 255, so a v/255-quantized image inverts
+    EXACTLY; out-of-range values clamp; predictor 3 must earn its
+    keep on smooth data."""
+    rng = np.random.default_rng(6)
+    gf = rng.random((23, 31)).astype(np.float32)
+    rf = rng.random((19, 27, 3)).astype(np.float32)
+
+    def disp(a):
+        return np.round(
+            np.clip(a.astype(np.float64), 0, 1) * 255
+        ).astype(np.uint8)
+
+    for be in (False, True):
+        for comp, pred in [(1, 1), (5, 1), (8, 1), (5, 3), (8, 3)]:
+            g = decode_tiff(
+                encode_tiff(gray=gf, bits=32, sample_format=3,
+                            compression=comp, predictor=pred,
+                            big_endian=be, rows_per_strip=7)
+            )
+            assert np.array_equal(
+                g, np.repeat(disp(gf)[:, :, None], 3, axis=2)
+            ), ("gray", be, comp, pred)
+            r = decode_tiff(
+                encode_tiff(rgb=rf, bits=32, sample_format=3,
+                            compression=comp, predictor=pred,
+                            big_endian=be)
+            )
+            assert np.array_equal(r, disp(rf)), (be, comp, pred)
+    tiled = decode_tiff(
+        encode_tiff(rgb=rf, bits=32, sample_format=3, compression=8,
+                    predictor=3, tile_size=(8, 8))
+    )
+    assert np.array_equal(tiled, disp(rf))
+    g2 = gf.copy()
+    g2[0, 0], g2[0, 1] = 2.5, -1.0
+    out = decode_tiff(
+        encode_tiff(gray=g2, bits=32, sample_format=3)
+    )
+    assert out[0, 0, 0] == 255 and out[0, 1, 0] == 0
+    grad = np.linspace(0, 1, 64 * 64, dtype=np.float32).reshape(
+        64, 64
+    )
+    plain = len(encode_tiff(gray=grad, bits=32, sample_format=3,
+                            compression=8))
+    pred = len(encode_tiff(gray=grad, bits=32, sample_format=3,
+                           compression=8, predictor=3))
+    assert pred < 0.5 * plain, (plain, pred)
+    q = rng.integers(0, 256, (11, 13)).astype(np.float32) / 255.0
+    out = decode_tiff(
+        encode_tiff(gray=q, bits=32, sample_format=3,
+                    compression=5, predictor=3)
+    )
+    assert np.array_equal(
+        out[:, :, 0].astype(np.float64),
+        np.round(q.astype(np.float64) * 255),
+    )
+    # refusals: float needs bits=32+sample_format=3 together,
+    # predictor 3 needs float under LZW/Deflate, signed ints refuse
+    with pytest.raises(ValueError, match="sample_format=3"):
+        encode_tiff(gray=gf, bits=32)
+    with pytest.raises(ValueError, match="sample_format=3"):
+        encode_tiff(gray=np.zeros((2, 2), np.uint8),
+                    sample_format=3)
+    with pytest.raises(ValueError, match="predictor 3"):
+        encode_tiff(gray=gf, bits=32, sample_format=3,
+                    compression=1, predictor=3)
+    import struct
+
+    t = bytearray(encode_tiff(gray=gf, bits=32, sample_format=3))
+    for i in range(8, len(t) - 12):
+        tag, typ = struct.unpack_from("<HH", t, i)
+        if tag == 339 and typ == 3:
+            struct.pack_into("<H", t, i + 8, 2)  # signed int
+            break
+    with pytest.raises(NotImplementedError, match="SampleFormat 2"):
+        decode_tiff(bytes(t))
