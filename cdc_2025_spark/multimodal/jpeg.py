@@ -23,9 +23,12 @@ coefficient accumulation, EOB runs, bitplane refinement with
 correction bits; its own encoders for exact-equality testing).
 Restart intervals (DRI/RSTn — byte-aligned markers every N MCUs,
 DC-predictor reset, cycle-number validation) decode AND encode in
-both kernels since round 10. Arithmetic coding, hierarchical, and
-12-bit raise loudly instead of decoding wrongly — the same
-fail-loud-on-exotic contract the PNG kernel uses.
+both kernels since round 10. Lossless (SOF3) dispatches to the
+jpeg_lossless sibling since round 15 (seven Annex H predictors,
+mod-2^16 difference coding, 2-16 bit precision, point transform
+— bit-exact round trips). Arithmetic coding, hierarchical, and
+12-bit PROGRESSIVE raise loudly instead of decoding wrongly — the
+same fail-loud-on-exotic contract the PNG kernel uses.
 
 Scale notes: the per-coefficient entropy decode is pure-Python and
 therefore the slow path of the decode kernel; it exists to make the
@@ -671,18 +674,26 @@ def decode_jpeg(payload: bytes):
     sampling, restart intervals (DRI/RSTn), 12-bit extended
     sequential (SOF1 — decoded at native depth then mapped to uint8
     via the rounding shift (v + 8) >> 4; use decode_jpeg_native for
-    the raw 0..4095 samples), and — via the sibling kernel —
+    the raw 0..4095 samples), and — via the sibling kernels —
     progressive scans (spectral selection AND successive
-    approximation). Arithmetic coding, hierarchical, and 12-bit
-    PROGRESSIVE raise NotImplementedError — fail loud, never decode
-    wrongly."""
+    approximation) and lossless SOF3 (1/3-component mapped onto
+    the RGB contract at any precision; other component counts
+    point to decode_jpeg_lossless). Arithmetic coding,
+    hierarchical, and 12-bit PROGRESSIVE raise NotImplementedError
+    — fail loud, never decode wrongly."""
     import numpy as np  # noqa: PLC0415
 
     arr, prec = decode_jpeg_native(payload)
     if prec == 8:
-        return arr
-    return np.minimum(
-        (arr.astype(np.int32) + 8) >> 4, 255
+        return arr.astype(np.uint8, copy=False)
+    if prec > 8:  # rounding shift, the (v + 8) >> 4 rule generalized
+        half = 1 << (prec - 9)
+        return np.minimum(
+            (arr.astype(np.int32) + half) >> (prec - 8), 255
+        ).astype(np.uint8)
+    # prec < 8 (lossless SOF3 only): exact 255/(2^P - 1) scaling
+    return np.round(
+        arr.astype(np.float64) * 255.0 / ((1 << prec) - 1)
     ).astype(np.uint8)
 
 
@@ -752,12 +763,27 @@ def decode_jpeg_native(payload: bytes):
             )
 
             return decode_jpeg_progressive(payload), 8
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC3:  # SOF3: lossless — sibling kernel
+            from cdc_2025_spark.multimodal.jpeg_lossless import (  # noqa: PLC0415
+                decode_jpeg_lossless,
+            )
+
+            arr, lprec, _pt = decode_jpeg_lossless(payload)
+            if arr.shape[2] == 1:
+                arr = np.repeat(arr, 3, axis=2)
+            elif arr.shape[2] != 3:
+                raise NotImplementedError(
+                    f"{arr.shape[2]}-component lossless JPEG has no "
+                    "RGB mapping — use decode_jpeg_lossless"
+                )
+            return arr, lprec
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X}); only "
-                "baseline sequential and progressive Huffman (spectral "
-                "selection and successive approximation) are supported"
+                "baseline sequential, progressive Huffman (spectral "
+                "selection and successive approximation), and lossless "
+                "(SOF3) are supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = _struct.unpack_from(">H", body, 0)
