@@ -1437,6 +1437,201 @@ def _pack_nibbles(nibbles) -> bytes:
     )
 
 
+# Microsoft ADPCM (WAVE format 2) — the OTHER classic 4-bit WAV
+# codec: second-order linear prediction with seven standard
+# coefficient pairs and a multiplicative delta adaptation (the
+# published format tables every implementation ships)
+_MS_COEF1 = [256, 512, 0, 192, 240, 460, 392]
+_MS_COEF2 = [0, -256, 0, 64, 0, -208, -232]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _ms_adpcm_encode_channel(block, pred_idx: int, delta0: int):
+    """Encode one channel's block samples with coefficient set
+    ``pred_idx``: returns (nibbles for samples[2:], total squared
+    error). The first two samples are stored verbatim in the block
+    header; the encoder mirrors the decoder's clamp/adapt state so
+    the streams stay synchronized."""
+    c1, c2 = _MS_COEF1[pred_idx], _MS_COEF2[pred_idx]
+    s2, s1 = block[0], block[1]
+    delta = delta0
+    nibbles = []
+    err_total = 0
+    for x in block[2:]:
+        pred = (s1 * c1 + s2 * c2) >> 8
+        err = x - pred
+        n = int(err / delta)  # C-style truncation toward zero
+        n = max(-8, min(7, n))
+        rec = max(-32768, min(32767, pred + n * delta))
+        nibbles.append(n & 0xF)
+        err_total += (x - rec) * (x - rec)
+        delta = max(16, (_MS_ADAPT[n & 0xF] * delta) >> 8)
+        s2, s1 = s1, rec
+    return nibbles, err_total
+
+
+def encode_wav_ms_adpcm(
+    samples,
+    sample_rate: int = 8000,
+    block_samples: int = 500,
+    right=None,
+) -> bytes:
+    """Microsoft ADPCM WAV (format 2). Per-block layout (the
+    published format): one predictor-index byte per channel, then
+    per channel an int16 initial delta, int16 sample1 (t-1) and
+    int16 sample2 (t-2) — the block's first two output samples,
+    emitted sample2 first — then 4-bit codes, HIGH nibble first
+    (stereo alternates left-high/right-low per sample frame). The
+    encoder tries all seven standard coefficient pairs per
+    block/channel and keeps the least-squared-error one.
+    ``block_samples`` must be even and >= 4; the final short block
+    pads with its last sample and the REQUIRED fact chunk truncates
+    on decode."""
+    stereo = right is not None
+    if block_samples % 2 or block_samples < 4:
+        raise ValueError("block_samples must be even and >= 4")
+    xs = [max(-32768, min(32767, int(v))) for v in samples]
+    if len(xs) < 2:
+        raise ValueError("MS ADPCM needs at least 2 samples")
+    if stereo:
+        if len(right) != len(samples):
+            raise ValueError("stereo channels must be equal length")
+        ys = [max(-32768, min(32767, int(v))) for v in right]
+    n_true = len(xs)
+    blocks = []
+    for b0 in range(0, n_true, block_samples):
+        chans = [xs[b0 : b0 + block_samples]]
+        if stereo:
+            chans.append(ys[b0 : b0 + block_samples])
+        for c in chans:  # pad the final short block
+            while len(c) < block_samples:
+                c.append(c[-1])
+        per = []
+        for c in chans:
+            # initial delta from the block's own step sizes (any
+            # header-stored value round-trips; this one adapts the
+            # quantizer to the content)
+            d0 = max(
+                16,
+                sum(abs(c[i] - c[i - 1]) for i in range(1, len(c)))
+                // (4 * max(1, len(c) - 1)),
+            )
+            best = None
+            for pi in range(7):
+                nib, err = _ms_adpcm_encode_channel(c, pi, d0)
+                if best is None or err < best[2]:
+                    best = (pi, nib, err, d0)
+            per.append(best)
+        hdr = bytes(b[0] for b in per)
+        hdr += b"".join(_struct.pack("<h", b[3]) for b in per)
+        hdr += b"".join(_struct.pack("<h", c[1]) for c in chans)
+        hdr += b"".join(_struct.pack("<h", c[0]) for c in chans)
+        if stereo:
+            nl, nr = per[0][1], per[1][1]
+            body = bytes(
+                ((a & 0xF) << 4) | (b & 0xF)
+                for a, b in zip(nl, nr)
+            )
+        else:
+            nib = per[0][1]
+            body = bytes(
+                ((nib[i] & 0xF) << 4) | (nib[i + 1] & 0xF)
+                for i in range(0, len(nib), 2)
+            )
+        blocks.append(hdr + body)
+    data = b"".join(blocks)
+    channels = 2 if stereo else 1
+    block_align = 7 * channels + (block_samples - 2) * channels // 2
+    fmt = _struct.pack(
+        "<HHIIHHHHH",
+        2,
+        channels,
+        sample_rate,
+        sample_rate * block_align // block_samples,
+        block_align,
+        4,
+        32,  # cbSize: spb + numcoef + 7 coef pairs
+        block_samples,
+        7,
+    ) + b"".join(
+        _struct.pack("<hh", _MS_COEF1[i], _MS_COEF2[i])
+        for i in range(7)
+    )
+    fact = _struct.pack("<4sII", b"fact", 4, n_true)
+    return (
+        _struct.pack(
+            "<4sI4s",
+            b"RIFF",
+            4 + 8 + len(fmt) + len(fact) + 8 + len(data),
+            b"WAVE",
+        )
+        + _struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + fact
+        + _struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
+def _ms_adpcm_decode(
+    data: bytes, block_align: int, samples_per_block: int,
+    channels: int, coef1, coef2,
+):
+    """Decode MS ADPCM blocks to per-channel int16 lists."""
+    chans: list[list[int]] = [[] for _ in range(channels)]
+    hdr = 7 * channels
+    for b0 in range(0, len(data) - hdr + 1, block_align):
+        block = data[b0 : b0 + block_align]
+        preds = list(block[:channels])
+        if any(p >= len(coef1) for p in preds):
+            raise ValueError(
+                f"MS ADPCM predictor index {max(preds)} out of "
+                f"range ({len(coef1)} coefficient pairs)"
+            )
+        off = channels
+        deltas = [
+            _struct.unpack_from("<h", block, off + 2 * c)[0]
+            for c in range(channels)
+        ]
+        off += 2 * channels
+        s1 = [
+            _struct.unpack_from("<h", block, off + 2 * c)[0]
+            for c in range(channels)
+        ]
+        off += 2 * channels
+        s2 = [
+            _struct.unpack_from("<h", block, off + 2 * c)[0]
+            for c in range(channels)
+        ]
+        off += 2 * channels
+        for c in range(channels):
+            chans[c].append(s2[c])
+            chans[c].append(s1[c])
+        produced = 2
+        ch = 0
+        for byte in block[off:]:
+            for n in (byte >> 4, byte & 0xF):
+                if produced >= samples_per_block and ch == 0:
+                    break
+                c = ch
+                sn = n - 16 if n >= 8 else n  # signed 4-bit
+                pred = (
+                    s1[c] * coef1[preds[c]] + s2[c] * coef2[preds[c]]
+                ) >> 8
+                rec = max(
+                    -32768, min(32767, pred + sn * deltas[c])
+                )
+                chans[c].append(rec)
+                deltas[c] = max(
+                    16, (_MS_ADAPT[n] * deltas[c]) >> 8
+                )
+                s2[c], s1[c] = s1[c], rec
+                ch += 1
+                if ch == channels:
+                    ch = 0
+                    produced += 1
+    return chans
+
+
 def encode_wav_ima_adpcm(
     samples,
     sample_rate: int = 8000,
@@ -1621,7 +1816,10 @@ def decode_wav(payload: bytes):
     packed 24-bit PCM (the studio-export depth), UNSIGNED 8-bit PCM
     (the spec's 8-bit convention), IEEE float32 (format 3), G.711
     A-law (format 6) and mu-law (format 7) — the telephony codecs,
-    decoded through the exact ITU segment expansion — 1-8-channel IMA/DVI
+    decoded through the exact ITU segment expansion — Microsoft ADPCM
+    (format 2: second-order prediction over the seven published
+    coefficient pairs, multiplicative delta adaptation, mono/stereo
+    with the high-nibble-left interleave) — 1-8-channel IMA/DVI
     ADPCM (format 17, the classic 4:1 voice codec: block headers
     carrying the first sample + low-nibble-first 4-bit codes) — and
     WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrappers of any of those — the
@@ -1679,6 +1877,42 @@ def decode_wav(payload: bytes):
             np.frombuffer(data, dtype=np.uint8).astype(np.float64)
             - 128.0
         ) / 128.0
+    elif audio_format == 2:  # Microsoft ADPCM
+        if bits != 4:
+            raise NotImplementedError(
+                f"MS ADPCM is 4-bit by definition (bits={bits})"
+            )
+        if channels not in (1, 2):
+            raise NotImplementedError(
+                f"MS ADPCM supports mono/stereo (channels={channels})"
+            )
+        block_align = fmt[4]
+        if len(fmt_body) >= 22:
+            spb, ncoef = _struct.unpack_from("<HH", fmt_body, 18)
+            if len(fmt_body) < 22 + 4 * ncoef or ncoef < 1:
+                raise ValueError(
+                    "MS ADPCM fmt chunk coefficient table truncated"
+                )
+            coef1, coef2 = [], []
+            for i in range(ncoef):
+                a, b = _struct.unpack_from(
+                    "<hh", fmt_body, 22 + 4 * i
+                )
+                coef1.append(a)
+                coef2.append(b)
+        else:
+            spb = (block_align - 7 * channels) * 2 // channels + 2
+            coef1, coef2 = _MS_COEF1, _MS_COEF2
+        chans = _ms_adpcm_decode(
+            data, block_align, spb, channels, coef1, coef2
+        )
+        if fact_n is not None:
+            chans = [c[:fact_n] for c in chans]
+        raw = np.mean(
+            [np.asarray(c, dtype=np.float64) for c in chans],
+            axis=0,
+        ) / 32768.0
+        return raw, sample_rate
     elif audio_format == 17:  # IMA/DVI ADPCM
         if bits != 4:
             raise NotImplementedError(
@@ -1727,7 +1961,8 @@ def decode_wav(payload: bytes):
         raise NotImplementedError(
             f"unsupported WAV (format={audio_format}, bits={bits}); "
             "supported: PCM 8/16/24-bit, IEEE float32, G.711 "
-            "A-law/mu-law, 1-8-channel IMA ADPCM, EXTENSIBLE wrappers"
+            "A-law/mu-law, MS ADPCM, 1-8-channel IMA ADPCM, EXTENSIBLE "
+            "wrappers"
         )
     if channels > 1:
         raw = raw[: len(raw) - len(raw) % channels]
