@@ -1185,9 +1185,16 @@ class TestWavVariants:
         struct.pack_into("<H", p, i + 8, 7)
         with pytest.raises(NotImplementedError, match="8-bit"):
             decode_wav(bytes(p))
-        # ADPCM (format 2) stays genuinely unsupported
+        # MS ADPCM (format 2) is a real path since round 15, but a
+        # PCM payload mislabeled format 2 still claims 16 bits and
+        # refuses on the spec width
         struct.pack_into("<H", p, i + 8, 2)
-        with pytest.raises(NotImplementedError, match="format=2"):
+        with pytest.raises(NotImplementedError, match="4-bit"):
+            decode_wav(bytes(p))
+        # a genuinely unsupported compressed format (MP3, 0x55)
+        # refuses with its tag
+        struct.pack_into("<H", p, i + 8, 0x55)
+        with pytest.raises(NotImplementedError, match="format=85"):
             decode_wav(bytes(p))
         # truncated EXTENSIBLE fmt chunk fails loud
         e = bytearray(make_wav(8000, 100, extensible=True))
