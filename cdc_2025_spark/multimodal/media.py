@@ -1970,9 +1970,219 @@ def decode_wav(payload: bytes):
     return raw, sample_rate
 
 
+def _f80_pack(rate: int) -> bytes:
+    """Integer -> 80-bit IEEE extended (the AIFF COMM sample-rate
+    field): 15-bit exponent biased 16383, 64-bit mantissa with the
+    explicit integer bit."""
+    if rate <= 0:
+        raise ValueError(f"sample rate must be positive, got {rate}")
+    e = rate.bit_length() - 1
+    mant = rate << (63 - e)
+    return _struct.pack(">HQ", 16383 + e, mant)
+
+
+def _f80_unpack(b: bytes) -> int:
+    """80-bit IEEE extended -> nearest int (sample rates are
+    integers in practice)."""
+    se, mant = _struct.unpack(">HQ", b[:10])
+    if se & 0x8000:
+        raise ValueError("negative AIFF sample rate")
+    e = (se & 0x7FFF) - 16383
+    if not -10 <= e <= 40:
+        raise ValueError(f"implausible AIFF sample-rate exponent {e}")
+    shift = 63 - e
+    if shift >= 0:
+        return (mant + (1 << (shift - 1) if shift else 0)) >> shift
+    return mant << (-shift)
+
+
+def encode_au(
+    samples, sample_rate: int = 8000, encoding: int = 3,
+    channels: int = 1,
+) -> bytes:
+    """Sun/NeXT AU (.snd): big-endian header (magic, data offset,
+    size, encoding, rate, channels) + big-endian data. Encodings:
+    1 G.711 mu-law, 2 signed 8-bit PCM, 3 signed 16-bit PCM,
+    27 G.711 A-law. ``samples`` are channel-interleaved int16
+    (8-bit modes take the high byte)."""
+    import numpy as np  # noqa: PLC0415
+
+    xs = np.asarray(
+        [max(-32768, min(32767, int(v))) for v in samples],
+        dtype=np.int64,
+    )
+    if len(xs) % max(channels, 1):
+        raise ValueError(
+            f"{len(xs)} samples do not interleave {channels} channels"
+        )
+    if encoding == 1:
+        data = _mulaw_encode_np(xs.astype(np.int32)).tobytes()
+    elif encoding == 27:
+        data = _alaw_encode_np(xs.astype(np.int32)).tobytes()
+    elif encoding == 2:
+        data = (xs >> 8).astype(np.int8).tobytes()
+    elif encoding == 3:
+        data = xs.astype(">i2").tobytes()
+    else:
+        raise NotImplementedError(
+            f"AU encoding {encoding} not supported (1/2/3/27)"
+        )
+    hdr = _struct.pack(
+        ">4sIIIII", b".snd", 24, len(data), encoding,
+        sample_rate, channels,
+    )
+    return hdr + data
+
+
+def decode_au(payload: bytes):
+    """AU bytes -> (mono float64 samples in [-1, 1], sample_rate);
+    multichannel downmixed to the channel mean. Supports encodings
+    1 (mu-law), 2 (signed 8-bit), 3 (signed 16-bit BE) and
+    27 (A-law); everything else refuses loudly."""
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:4] != b".snd":
+        raise ValueError("not an AU payload")
+    _m, off, size, enc, rate, channels = _struct.unpack_from(
+        ">4sIIIII", payload, 0
+    )
+    if off < 24 or off > len(payload):
+        raise ValueError(f"AU data offset {off} out of range")
+    if channels < 1 or channels > 16:
+        raise ValueError(f"AU channel count {channels} out of range")
+    data = payload[off:]
+    if size != 0xFFFFFFFF:
+        if size > len(data):
+            raise ValueError(
+                f"AU header promises {size} data bytes, "
+                f"{len(data)} present"
+            )
+        data = data[:size]
+    if enc == 1:
+        lin = _mulaw_decode_np(np.frombuffer(data, np.uint8))
+        raw = lin.astype(np.float64) / 32768.0
+    elif enc == 27:
+        lin = _alaw_decode_np(np.frombuffer(data, np.uint8))
+        raw = lin.astype(np.float64) / 32768.0
+    elif enc == 2:
+        raw = np.frombuffer(data, np.int8).astype(np.float64) / 128.0
+    elif enc == 3:
+        n2 = len(data) // 2
+        raw = np.frombuffer(
+            data, dtype=">i2", count=n2
+        ).astype(np.float64) / 32768.0
+    else:
+        raise NotImplementedError(
+            f"AU encoding {enc} not supported "
+            "(1 mu-law / 2 pcm8 / 3 pcm16 / 27 A-law)"
+        )
+    if channels > 1:
+        raw = raw[: len(raw) - len(raw) % channels]
+        raw = raw.reshape(-1, channels).mean(axis=1)
+    return raw, rate
+
+
+def encode_aiff(
+    samples, sample_rate: int = 8000, bits: int = 16,
+    channels: int = 1,
+) -> bytes:
+    """AIFF: FORM/AIFF with COMM (channels, frames, sampleSize, the
+    80-bit extended sample rate) and SSND (offset/blockSize 0 +
+    big-endian SIGNED samples — AIFF's 8-bit convention is signed,
+    unlike WAV's unsigned). ``samples`` are channel-interleaved
+    int16; 8-bit mode takes the high byte."""
+    import numpy as np  # noqa: PLC0415
+
+    if bits not in (8, 16):
+        raise NotImplementedError(
+            f"AIFF sample size {bits} not supported (8/16)"
+        )
+    xs = np.asarray(
+        [max(-32768, min(32767, int(v))) for v in samples],
+        dtype=np.int64,
+    )
+    if len(xs) % max(channels, 1):
+        raise ValueError(
+            f"{len(xs)} samples do not interleave {channels} channels"
+        )
+    data = (
+        (xs >> 8).astype(np.int8).tobytes()
+        if bits == 8
+        else xs.astype(">i2").tobytes()
+    )
+    comm = _struct.pack(
+        ">HIH", channels, len(xs) // channels, bits
+    ) + _f80_pack(sample_rate)
+    ssnd = _struct.pack(">II", 0, 0) + data
+    out = b"FORM" + b"\x00\x00\x00\x00" + b"AIFF"
+    for cid, body in ((b"COMM", comm), (b"SSND", ssnd)):
+        out += cid + _struct.pack(">I", len(body)) + body
+        if len(body) & 1:
+            out += b"\x00"  # chunks are word-aligned
+    return out[:4] + _struct.pack(">I", len(out) - 8) + out[8:]
+
+
+def decode_aiff(payload: bytes):
+    """AIFF bytes -> (mono float64 samples in [-1, 1], sample_rate);
+    multichannel downmixed to the channel mean. Signed 8-bit and
+    16-bit PCM; AIFC compressed variants and other depths refuse
+    loudly."""
+    import numpy as np  # noqa: PLC0415
+
+    if payload[:4] != b"FORM" or payload[8:12] not in (
+        b"AIFF", b"AIFC",
+    ):
+        raise ValueError("not an AIFF payload")
+    if payload[8:12] == b"AIFC":
+        raise NotImplementedError(
+            "AIFC (compressed AIFF) not supported"
+        )
+    pos, comm, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = _struct.unpack_from(">I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            if len(body) < 8:
+                raise ValueError("AIFF SSND chunk truncated")
+            (off2, _blk) = _struct.unpack_from(">II", body, 0)
+            data = body[8 + off2 :]
+        pos += 8 + size + (size & 1)
+    if comm is None or data is None:
+        raise ValueError("missing AIFF COMM/SSND chunk")
+    channels, frames, bits = _struct.unpack_from(">HIH", comm, 0)
+    rate = _f80_unpack(comm[8:18])
+    if channels < 1 or channels > 16:
+        raise ValueError(f"AIFF channel count {channels} invalid")
+    if bits == 16:
+        want = frames * channels
+        raw = np.frombuffer(
+            data, dtype=">i2", count=min(want, len(data) // 2)
+        ).astype(np.float64) / 32768.0
+    elif bits == 8:
+        want = frames * channels
+        raw = np.frombuffer(
+            data, dtype=np.int8, count=min(want, len(data))
+        ).astype(np.float64) / 128.0
+    else:
+        raise NotImplementedError(
+            f"AIFF sample size {bits} not supported (8/16)"
+        )
+    if len(raw) < frames * channels:
+        raise ValueError(
+            f"AIFF promises {frames} frames, data holds "
+            f"{len(raw) // channels}"
+        )
+    if channels > 1:
+        raw = raw.reshape(-1, channels).mean(axis=1)
+    return raw, rate
+
+
 def decode_audio_payload(raw: bytes):
-    """(mono float64 samples in [-1, 1], sample_rate) for a WAV or
-    FLAC payload — the ONE audio decode dispatch both the
+    """(mono float64 samples in [-1, 1], sample_rate) for a WAV,
+    AU (.snd), AIFF, or FLAC payload — the ONE audio decode dispatch both the
     chunk-feature kernel and the fingerprint kernel (multimodal/afp)
     go through: WAV via decode_wav, FLAC via decode_flac_info with
     bit-depth normalization, multichannel downmixed to the channel
@@ -1983,6 +2193,10 @@ def decode_audio_payload(raw: bytes):
     if raw[:4] == b"RIFF":
         samples, rate = decode_wav(raw)
         return np.asarray(samples, dtype=np.float64), rate
+    if raw[:4] == b".snd":
+        return decode_au(raw)
+    if raw[:4] == b"FORM":
+        return decode_aiff(raw)
     from cdc_2025_spark.multimodal.flac import (  # noqa: PLC0415
         decode_flac_info,
     )
@@ -2008,7 +2222,9 @@ def extract_audio_chunk_features(
     (decode_wav: chunk boundaries from the actual sample rate), and
     FLAC payloads take the REAL compressed path (decode_flac: LPC +
     Rice + CRC verification, multimodal/flac.py — lossless, so a
-    FLAC twin of a WAV yields IDENTICAL features); other payloads
+    FLAC twin of a WAV yields IDENTICAL features); AU (.snd) and
+    AIFF containers dispatch through the same decode (r15 — their
+    PCM16 twins of a WAV are feature-identical); other payloads
     take the stub path (raw unsigned 8-bit PCM cycled over chunks)
     so the plumbing stays testable without further codecs.
     """
@@ -2058,7 +2274,7 @@ def extract_audio_chunk_features(
             rms, peak = [], []
             for p, i in zip(pdf["payload"], pdf["chunk_idx"]):
                 raw = bytes(p)
-                if raw[:4] in (b"RIFF", b"fLaC"):
+                if raw[:4] in (b"RIFF", b"fLaC", b".snd", b"FORM"):
                     pcm, sr = decoded(raw)
                     spc = sr * chunk_ms // 1000
                     samples = pcm[int(i) * spc : (int(i) + 1) * spc]
