@@ -471,18 +471,27 @@ def beam_search(
             # Search state (frontier / seen / new_nodes) is bounded by
             # contract — O(|queries| * beam * degree^wave) ids, never
             # corpus-sized — so it BROADCASTS against the partitioned
-            # edge/vector frames: per wave the only exchange left is
-            # the tiny distinct, not a shuffle of the graph. This is
-            # the 100 TB shape (the graph never moves; the beam rides
-            # to it) and it is also what keeps the local per-round
-            # floor at ~job latency instead of 6+ shuffles.
+            # edge/vector frames: per ROUND the only exchange left is
+            # one distinct before scoring, not a shuffle of the graph.
+            # This is the 100 TB shape (the graph never moves; the
+            # beam rides to it) and it is also what keeps the local
+            # per-round floor at ~job latency instead of 6+ shuffles.
+            #
+            # Waves carry DUPLICATE (qid, node) rows deliberately
+            # (r15 optimization): a per-wave distinct cost one
+            # exchange-stage per wave for a multiplicity-only cleanup
+            # — reachability is decided by the per-wave anti-join
+            # against the accumulated seen set (set semantics,
+            # duplicate-insensitive), so deferring the dedup to one
+            # distinct per round reaches the IDENTICAL node set while
+            # cutting the round from 3 exchanges to 1. Duplicate
+            # multiplicity stays bounded by degree^wave per contract.
             frontier = (
                 edges.join(F.broadcast(frontier), "node")
                 .select("qid", F.col("dst").alias("node"))
-                .distinct()
                 .join(F.broadcast(seen), ["qid", "node"], "anti")
             )
-            # waves are pairwise disjoint (each anti-joins the
+            # waves are pairwise disjoint AS SETS (each anti-joins the
             # accumulated seen set), so plain union suffices
             new_nodes = (
                 frontier
@@ -491,7 +500,7 @@ def beam_search(
             )
             seen = seen.unionByName(frontier)
         scored = (
-            v.join(F.broadcast(new_nodes), "node")
+            v.join(F.broadcast(new_nodes.distinct()), "node")
             .join(F.broadcast(q), "qid")
             .select(
                 "qid", "node", cosine("_qvec", "_nvec").alias("cos")

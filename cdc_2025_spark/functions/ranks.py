@@ -61,18 +61,26 @@ def _pick_edges_mode(
     value_col: str,
     group_cols: tuple[str, ...],
     edges: str,
-) -> str:
+):
     """Resolve edges='auto' to 'width' or 'quantile' via one tiny
     aggregate over the bounded distinct-value frame (the same
     build-time-switch pattern the NTILE consumer uses with parquet
     metadata). Collect size = number of groups (bounded: segments /
-    return flags), never the frame."""
+    return flags), never the frame.
+
+    Returns ``(mode, stats_rows)``: the probe already paid for the
+    per-group (min, max), so the width path reuses them as LITERAL
+    bounds instead of re-aggregating in-plan (r15 optimization — one
+    aggregate + one broadcast join removed per kernel call; bucket
+    geometry only GROUPS values, so identical-vs-recomputed bounds
+    cannot change any answer). stats_rows is None when no probe ran
+    (caller pinned the mode explicitly)."""
     if edges not in ("auto", "width", "quantile"):
         raise ValueError(
             f"edges must be auto/width/quantile, got {edges!r}"
         )
     if edges != "auto":
-        return edges
+        return edges, None
     gc = list(group_cols)
     agg_cols = [
         F.min(value_col).cast("double").alias("_mn"),
@@ -89,8 +97,8 @@ def _pick_edges_mode(
             continue
         pos = (r["_md"] - r["_mn"]) / span
         if pos < _AUTO_SKEW_EDGE or pos > 1.0 - _AUTO_SKEW_EDGE:
-            return "quantile"
-    return "width"
+            return "quantile", stats
+    return "width", stats
 
 
 def _with_bucket(
@@ -100,11 +108,19 @@ def _with_bucket(
     group_cols: tuple[str, ...],
     n_buckets: int,
     edges: str,
+    stats_rows=None,
 ) -> DataFrame:
     """(keep_cols..., _b): assign each distinct value its bucket via a
     monotone map — floor over [min, max] for width edges, count of
     approx-percentile edges below the value for quantile edges. Equal
-    values always share a bucket; order is always preserved."""
+    values always share a bucket; order is always preserved.
+
+    ``stats_rows`` (from the auto-mode probe) carries per-group
+    (min, max) already collected: the width path inlines them as
+    literals — same bounds, zero extra plan nodes — instead of the
+    in-plan range aggregate + broadcast join. Inner-join semantics
+    are preserved exactly (a NULL group key never joins, so the
+    literal path filters those rows the same way)."""
     gc = list(group_cols)
     if n_buckets <= 1:
         # single bucket: quantile mode would build an EMPTY probs
@@ -137,6 +153,56 @@ def _with_bucket(
         return joined.select(
             *keep_cols, b.cast("long").alias("_b")
         )
+    nb = F.lit(n_buckets)
+
+    def _width_bucket(mn, mx):
+        return F.when(
+            mx > mn,
+            F.least(
+                F.floor((F.col(value_col) - mn) / ((mx - mn) / nb)),
+                nb - 1,
+            ),
+        ).otherwise(F.lit(0))
+
+    if stats_rows is not None and len(gc) <= 1:
+        # literal-bounds fast path: the probe's collected (min, max)
+        # become plan literals. gc==() is one global row; gc==(g,) is
+        # a bounded map keyed by the group value. (Multi-column
+        # groups keep the in-plan join below — no current caller.)
+        if not gc:
+            r = stats_rows[0]
+            mn, mx = r["_mn"], r["_mx"]
+            if mn is None or mx is None:
+                # empty frame: bucket expression is never evaluated
+                mn = mx = 0.0
+            b = _width_bucket(F.lit(float(mn)), F.lit(float(mx)))
+            return marg.select(*keep_cols, b.cast("long").alias("_b"))
+        g = gc[0]
+        pairs_mn, pairs_mx, ok = [], [], True
+        for r in stats_rows:
+            gv = r[g]
+            if gv is None or r["_mn"] is None or r["_mx"] is None:
+                # NULL group keys never survive the inner join on the
+                # in-plan path; the literal path filters them below.
+                # A NULL min/max under a non-null key cannot happen
+                # (the group has rows), but fall back if it does.
+                if gv is None:
+                    continue
+                ok = False
+                break
+            pairs_mn.append((gv, float(r["_mn"])))
+            pairs_mx.append((gv, float(r["_mx"])))
+        if ok:
+            mn_map = F.create_map(
+                *[F.lit(x) for kv in pairs_mn for x in kv]
+            )
+            mx_map = F.create_map(
+                *[F.lit(x) for kv in pairs_mx for x in kv]
+            )
+            b = _width_bucket(mn_map[F.col(g)], mx_map[F.col(g)])
+            return marg.filter(F.col(g).isNotNull()).select(
+                *keep_cols, b.cast("long").alias("_b")
+            )
     rng_agg = (
         marg.groupBy(*gc).agg(
             F.min(value_col).cast("double").alias("_mn"),
@@ -148,7 +214,6 @@ def _with_bucket(
             F.max(value_col).cast("double").alias("_mx"),
         )
     )
-    nb = F.lit(n_buckets)
     b = F.when(
         F.col("_mx") > F.col("_mn"),
         F.least(
@@ -194,10 +259,12 @@ def bucketed_cumsums(
     internally so a caller-pinned input is not materialized twice."""
     gc = list(group_cols)
     wc = list(weight_cols)
-    mode = _pick_edges_mode(marg, value_col, group_cols, edges)
+    mode, stats_rows = _pick_edges_mode(
+        marg, value_col, group_cols, edges
+    )
     bucketed = _with_bucket(
         marg, value_col, [*gc, value_col, *wc], group_cols,
-        n_buckets, mode,
+        n_buckets, mode, stats_rows=stats_rows if mode == "width" else None,
     )
     w_in = (
         Window.partitionBy(*gc, "_b")

@@ -197,9 +197,48 @@ from weakref import WeakKeyDictionary as _WeakKeyDictionary  # noqa: E402
 
 _TABLE_HANDLES = _WeakKeyDictionary()
 
+# Scan-spread support (r15 optimization, guide §2 "make partitioning
+# scale-adaptive"): Spark's vectorized parquet reader cannot split a
+# row group across tasks, so a table written as ONE row group scans as
+# ONE task no matter how many cores the session has — and every narrow
+# per-row expression after the scan (tokenize/shingle/md5/unpack) runs
+# single-threaded until the first exchange. The testdata tables are
+# exactly that shape (one file, one row group). ``spread_key`` callers
+# ask for a hash-repartition on the table's unique key to the session
+# parallelism — but ONLY when the file layout actually starves the
+# scan (row groups < cores). At 100 TB the same table arrives as
+# thousands of row groups, the guard is false, and no corpus-sized
+# shuffle is ever added: the knob adapts to layout instead of pinning
+# either regime. Deterministic hash partitioning (not round-robin):
+# no sort-before-repartition pass, stable under task retry.
+_ROW_GROUP_CACHE: dict[str, int] = {}
+
+
+def _scan_row_groups(path: str) -> int:
+    """Total parquet row groups under ``path`` (file or directory) —
+    the scan's maximum task parallelism. Footer-only reads, memoized
+    per absolute path (testdata is immutable)."""
+    key = os.path.abspath(path)
+    if key in _ROW_GROUP_CACHE:
+        return _ROW_GROUP_CACHE[key]
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(glob.glob(os.path.join(key, "*.parquet")))
+        if os.path.isdir(key)
+        else [key]
+    )
+    n = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    _ROW_GROUP_CACHE[key] = n
+    return n
+
 
 def read_table(
-    spark: SparkSession, sf_dir: str, name: str, use_cache: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    use_cache: bool = True,
+    spread_key: str | None = None,
 ) -> DataFrame:
     """Read one star-schema table from a testdata scale-factor dir.
 
@@ -210,13 +249,24 @@ def read_table(
 
     ``use_cache=False`` forces a fresh source resolution (only needed
     if the files under ``sf_dir`` changed in place).
+
+    ``spread_key``: hash-repartition the scan on this (unique-key)
+    column to the session's default parallelism — but only when the
+    parquet layout would otherwise starve the scan (fewer row groups
+    than cores; see ``_scan_row_groups``). For callers whose dominant
+    cost is narrow per-row compute directly on the scanned rows.
     """
     if name not in STAR_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    key = (os.path.abspath(sf_dir), name)
+    key = (os.path.abspath(sf_dir), name, spread_key)
     handles = _TABLE_HANDLES.setdefault(spark, {})
     if use_cache and key in handles:
         return handles[key]
+    if not use_cache:
+        # files changed in place: every spread variant of this table
+        # is stale, not just the requested one
+        for stale in [k for k in handles if k[:2] == key[:2]]:
+            del handles[stale]
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -229,6 +279,12 @@ def read_table(
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(path)
+    if spread_key is not None and _scan_row_groups(
+        path
+    ) < spark.sparkContext.defaultParallelism:
+        df = df.repartition(
+            spark.sparkContext.defaultParallelism, spread_key
+        )
     # always refresh: a use_cache=False caller is telling us the
     # files changed, so the stale handle must not survive for the
     # default-path callers either

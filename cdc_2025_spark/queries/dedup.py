@@ -1856,7 +1856,13 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from cdc_2025_spark.functions.text import shingles
 
-    docs = read_table(spark, sf_dir, "documents")
+    # spread_key (r15 optimization): the shingle construction is the
+    # dominant per-row cost and would otherwise run inside the
+    # single-row-group scan task — one core regardless of session
+    # size. Layout-guarded repartition parallelizes it (io.read_table)
+    # and disappears at real scale where the scan has row-group
+    # parallelism of its own.
+    docs = read_table(spark, sf_dir, "documents", spread_key="doc_id")
     # shingle sets materialize once (lazy localCheckpoint) and feed
     # both branches; per-doc totals are just the set size — no
     # shuffle — and only the df aggregate sees the explode. Gram-less

@@ -840,7 +840,11 @@ def llm_prep_full_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         remove_repeated_spans_frame,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    # spread_key (r15 optimization): stages 1+2 (tokenize + vocab_key
+    # md5) are narrow per-row compute straight off the scan — without
+    # the layout-guarded repartition they run inside the single-row-
+    # group scan task on one core (no-op at real scale; io.read_table)
+    docs = read_table(spark, sf_dir, "documents", spread_key="doc_id")
     train = docs.filter(F.col("doc_id") >= EVAL_MAX_ID).select(
         "doc_id", "text"
     )
@@ -1057,7 +1061,9 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio engine-exact; per-doc sums round to 4dp after aggregation
     (the registry determinism rule).
     """
-    docs = read_table(spark, sf_dir, "documents")
+    # spread_key: the explode+md5 featurization is the per-row cost —
+    # layout-guarded repartition parallelizes it (io.read_table)
+    docs = read_table(spark, sf_dir, "documents", spread_key="doc_id")
     tok = docs.select(
         "doc_id",
         F.explode(

@@ -478,7 +478,9 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from cdc_2025_spark.functions.text import tokens
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(
+        spark, sf_dir, "documents", spread_key="doc_id"
+    )
     tok = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
     )
@@ -573,7 +575,9 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort."""
     from cdc_2025_spark.functions.text import tokens
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(
+        spark, sf_dir, "documents", spread_key="doc_id"
+    )
     base = docs.select(
         "doc_id",
         F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))).alias("t"),
@@ -957,10 +961,12 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def perplexity_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_bigrams, avg_nll, perplexity) — the reusable
     corpus-LM scorer behind text_bigram_perplexity and the CCNet
-    bucket partitioner."""
+    bucket partitioner. spread_key parallelizes the tokenize+explode
+    past the single-row-group local scan (layout-guarded, a no-op at
+    real scale — io.read_table)."""
     from cdc_2025_spark.functions.text import tokens
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread_key="doc_id")
     toks = docs.select(
         "doc_id",
         F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "tok"),
@@ -1145,7 +1151,9 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale."""
     from cdc_2025_spark.functions.text import tokens
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(
+        spark, sf_dir, "documents", spread_key="doc_id"
+    )
     tf = (
         docs.filter(F.length(F.trim("text")) > 0)
         .select(
@@ -1292,7 +1300,9 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject."""
     from cdc_2025_spark.functions.text import tokens
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(
+        spark, sf_dir, "documents", spread_key="doc_id"
+    )
     tokd = docs.select(
         "doc_id",
         F.explode(
@@ -1922,7 +1932,11 @@ def text_trigram_stupid_backoff(
     """
     from cdc_2025_spark.functions.text import tokens
 
-    docs = read_table(spark, sf_dir, "documents")
+    # spread_key: the tokenize+posexplode is the per-row cost and the
+    # downstream window partitions by doc_id anyway, so the layout-
+    # guarded repartition both parallelizes the explode AND supplies
+    # the window's partitioning (no extra exchange; io.read_table)
+    docs = read_table(spark, sf_dir, "documents", spread_key="doc_id")
     bucket = (
         F.conv(
             F.substring(

@@ -43,11 +43,11 @@ def _python_midranks(rows):
 def test_auto_switch_detects_skew_and_uniform(spark):
     zipf = _zipf_marg(spark)
     uni = _uniform_marg(spark)
-    assert _pick_edges_mode(zipf, "v", (), "auto") == "quantile"
-    assert _pick_edges_mode(uni, "v", (), "auto") == "width"
+    assert _pick_edges_mode(zipf, "v", (), "auto")[0] == "quantile"
+    assert _pick_edges_mode(uni, "v", (), "auto")[0] == "width"
     # explicit modes pass through untouched
-    assert _pick_edges_mode(zipf, "v", (), "width") == "width"
-    assert _pick_edges_mode(uni, "v", (), "quantile") == "quantile"
+    assert _pick_edges_mode(zipf, "v", (), "width") == ("width", None)
+    assert _pick_edges_mode(uni, "v", (), "quantile") == ("quantile", None)
 
 
 def test_quantile_edges_bound_bucket_partitions(spark):
@@ -129,7 +129,7 @@ def test_grouped_auto_switch_per_worst_group(spark):
     rows += [("z", float(v), 2) for v in range(1, 101)]
     rows.append(("z", 1e9, 1))
     marg = spark.createDataFrame(rows, "g string, v double, c long")
-    assert _pick_edges_mode(marg, "v", ("g",), "auto") == "quantile"
+    assert _pick_edges_mode(marg, "v", ("g",), "auto")[0] == "quantile"
     got = bucketed_midranks(
         marg, "v", "c", "r", group_cols=("g",), n_buckets=N_BUCKETS
     ).collect()
@@ -190,3 +190,42 @@ def test_single_bucket_routes_to_width_path(spark):
         by_g.setdefault(r["g"], 0)
         by_g[r["g"]] += r["c"]
         assert r["cum_c"] == by_g[r["g"]]
+
+
+def test_literal_bounds_path_matches_inplan_join(spark):
+    """r15 optimization pin: the width path with probe-collected
+    literal bounds must reproduce the in-plan range-aggregate +
+    broadcast-join form EXACTLY — including dropping NULL group keys
+    the way an inner join does, both global and grouped."""
+    rows = [
+        ("a", float(v), (v % 7) + 1) for v in range(1, 101)
+    ] + [("b", float(v) * 3.5, (v % 5) + 1) for v in range(1, 81)]
+    rows.append((None, 42.0, 2))  # NULL group: inner join drops it
+    marg = spark.createDataFrame(rows, "g string, v double, c long")
+
+    def as_map(df):
+        return {
+            (r["g"], r["v"]): r["_b"]
+            for r in df.select("g", "v", "_b").collect()
+        }
+
+    mode, stats = _pick_edges_mode(marg, "v", ("g",), "auto")
+    assert mode == "width" and stats is not None
+    lit = _with_bucket(
+        marg, "v", ["g", "v", "c"], ("g",), N_BUCKETS, mode,
+        stats_rows=stats,
+    )
+    inplan = _with_bucket(
+        marg, "v", ["g", "v", "c"], ("g",), N_BUCKETS, mode,
+    )
+    assert as_map(lit) == as_map(inplan)
+    assert all(k[0] is not None for k in as_map(lit))
+
+    # global (no group) twin
+    gmode, gstats = _pick_edges_mode(marg, "v", (), "auto")
+    glit = _with_bucket(
+        marg, "v", ["g", "v", "c"], (), N_BUCKETS, gmode,
+        stats_rows=gstats,
+    )
+    ginp = _with_bucket(marg, "v", ["g", "v", "c"], (), N_BUCKETS, gmode)
+    assert as_map(glit) == as_map(ginp)

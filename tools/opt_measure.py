@@ -1,11 +1,12 @@
 """Per-query deep timing for the optimization round: separates query
 CONSTRUCTION wall (python + any eager actions during build: iterative
 components, centroid collects, session-index builds) from the timed
-action (count, matching bench.py methodology), min-of-2.
+action (count, matching bench.py methodology). Reports per-run
+build/act pairs plus min(build+act) over runs (default 4 — this
+sandbox shows multi-second interference stalls, so min-of-2 is not
+stable).
 
-Usage: python tools/opt_measure.py <query> [<query> ...]
-Prints one JSON line per query:
-  {"name":..., "build1":..., "act1":..., "build2":..., "act2":...}
+Usage: [N_RUNS=4] python tools/opt_measure.py <query> [<query> ...]
 """
 import json
 import os
@@ -21,6 +22,7 @@ from cdc_2025_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     names = sys.argv[1:]
+    n_runs = int(os.environ.get("N_RUNS", "4"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="opt-measure")
     spark.sparkContext.setLogLevel("ERROR")
@@ -29,17 +31,22 @@ def main() -> None:
     for t in ("orders", "customer", "events", "documents", "embeddings"):
         read_table(spark, sf_dir, t).count()
     for name in names:
-        rec = {"name": name}
-        for run in (1, 2):
+        runs = []
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             t1 = time.perf_counter()
             df.count()
             t2 = time.perf_counter()
-            rec[f"build{run}"] = round(t1 - t0, 3)
-            rec[f"act{run}"] = round(t2 - t1, 3)
+            runs.append((round(t1 - t0, 3), round(t2 - t1, 3)))
         spark.catalog.clearCache()
-        print(json.dumps(rec), flush=True)
+        best = min(b + a for b, a in runs)
+        print(
+            json.dumps(
+                {"name": name, "min_total": round(best, 3), "runs": runs}
+            ),
+            flush=True,
+        )
     spark.stop()
 
 
