@@ -177,16 +177,27 @@ def exploded_spans_with_pos(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, pos, span) rows — ``exploded_spans`` keeping each
     span's 0-based start-token position, the occurrence coordinate
     span-removal needs (a repeated span is excised at every occurrence
-    EXCEPT its global first, so occurrences must be addressable)."""
+    EXCEPT its global first, so occurrences must be addressable).
+
+    ``toks``: an already-built (id_col, pos, tok) frame — callers
+    that also need the token stream for other subtrees (span removal:
+    the kept-token anti-join and the per-doc totals) pass their
+    checkpointed copy so the corpus is tokenized ONCE instead of once
+    per subtree (r16; the span construction itself is unchanged)."""
     if k < 1:
         raise ValueError(f"span width k must be >= 1, got {k}")
-    toks = docs.select(
-        id_col, F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "tok")
-    )
+    if toks is None:
+        toks = docs.select(
+            id_col,
+            F.posexplode(tokens(F.lower(F.col(text_col)))).alias(
+                "pos", "tok"
+            ),
+        )
     if k == 1:
         # no leads to wait on: every token is its own span
         return toks.select(id_col, "pos", F.col("tok").alias("span"))

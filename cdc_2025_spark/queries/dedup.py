@@ -1328,8 +1328,31 @@ def semdedup(
     # summation-order noise — see dedup_embedding_neardup). Model
     # pins and the exact-ground-truth invariants in tests/test_dedup
     # cover equality.
+    #
+    # r16: bound the Python-stage fan-out to the number of distinct
+    # cells. The grouping shuffle otherwise lands on
+    # spark.sql.shuffle.partitions (= core count) reduce tasks, and
+    # with ~k cells most of those Arrow tasks are EMPTY — pure
+    # Python-worker setup cost that grows with core count (the r15
+    # 32-core regression: 4.4 s vs 1.4 s at 8 cores, scaling ratio
+    # 0.31). An explicit hash-repartition on the SAME key caps the
+    # stage at min(parallelism, n_cells) tasks; applyInPandas adds no
+    # second exchange (HashPartitioning(cell, N) already satisfies
+    # its ClusteredDistribution). n_cells comes from the cached
+    # quantizer geometry — no extra job. Parallelism is unchanged in
+    # substance: tasks beyond n_cells can never hold a cell.
+    cent_rows_q, sub_q, _cap_q = _semdedup_quantizer(
+        spark, sf_dir, k, n_iter, assign
+    )
+    n_cells = (len(cent_rows_q) - len(sub_q)) + sum(
+        len(v) for v in sub_q.values()
+    )
+    n_tasks = max(1, min(
+        spark.sparkContext.defaultParallelism, n_cells
+    ))
     pairs = _cell_pairs_numpy(
-        withc.select("cell", F.col("id").alias("vec_id"), "emb"),
+        withc.select("cell", F.col("id").alias("vec_id"), "emb")
+        .repartition(n_tasks, "cell"),
         threshold,
     )
     from cdc_2025_spark.dedup.cluster import connected_components
@@ -1530,12 +1553,28 @@ def remove_repeated_spans_frame(docs: DataFrame) -> DataFrame:
         tokens,
     )
 
+    # r16: tokenize the corpus ONCE and build spans ONCE. The token
+    # stream feeds four subtrees (span construction -> dup-hash agg
+    # AND dup-occurrence window, the kept-token anti-join, the
+    # per-doc totals); the r15 shape rebuilt it from text in each —
+    # the plan carried the tokenize+posexplode subtree twice per
+    # action and the span window twice on top (the
+    # llm_prep_full_ledger double-tokenization the r15 verdict
+    # flagged). Two lazy localCheckpoints pin the (doc_id, pos, tok)
+    # frame and the span-occurrence frame: one tokenize pass + one
+    # span window per action instead of four passes + two windows
+    # (at sf0.1 the variants measure within noise — min-of-4 0.62 vs
+    # 0.63 s — so the scale shape costs nothing locally). Spans
+    # derive from the pinned tokens via the same window construction
+    # (exploded_spans_with_pos toks= passthrough — output unchanged).
     toks = docs.select(
         "doc_id",
         F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "tok"),
-    )
-    occ = exploded_spans_with_pos(docs, SPAN_K).withColumn(
-        "_h", F.xxhash64("span")
+    ).localCheckpoint(eager=False)
+    occ = (
+        exploded_spans_with_pos(docs, SPAN_K, toks=toks)
+        .withColumn("_h", F.xxhash64("span"))
+        .localCheckpoint(eager=False)
     )
     dup_h = (
         occ.groupBy("_h")

@@ -844,9 +844,19 @@ def llm_prep_full_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5) are narrow per-row compute straight off the scan — without
     # the layout-guarded repartition they run inside the single-row-
     # group scan task on one core (no-op at real scale; io.read_table)
+    #
+    # r16: checkpoint the train slice ONCE. The r15 shape re-derived
+    # it (scan + spread shuffle) in each consumer — the repetition
+    # aggregate, the vocab-key pass, the d2 re-attach and the n0
+    # count each carried their own REPARTITION_BY_NUM(doc_id)
+    # exchange (four executions of the same scan+shuffle). Now the
+    # spread executes exactly once, in this checkpoint build, and
+    # every stage reads the pinned blocks.
     docs = read_table(spark, sf_dir, "documents", spread_key="doc_id")
-    train = docs.filter(F.col("doc_id") >= EVAL_MAX_ID).select(
-        "doc_id", "text"
+    train = (
+        docs.filter(F.col("doc_id") >= EVAL_MAX_ID)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
     )
     # stages 1+2 fused (r10): the repetition decision and the vocab
     # key both derive from one tokenization, and the intermediate
@@ -923,8 +933,14 @@ def llm_prep_full_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "clean_text").localCheckpoint(eager=False)
     # stage 5: decontamination over the CLEANED text
     tsets = shingle_sets(d4, "doc_id", "clean_text", CONTAIN_K)
+    # r16: the eval slice is EVAL_MAX_ID rows — read the UNSPREAD
+    # handle so its scan keeps the pushed-down doc_id filter without
+    # paying the spread exchange (a whole-table repartition for a
+    # 100-row broadcast side).
     esets = shingle_sets(
-        docs.filter(F.col("doc_id") < EVAL_MAX_ID),
+        read_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < EVAL_MAX_ID
+        ),
         "doc_id",
         "text",
         CONTAIN_K,
@@ -1119,8 +1135,15 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     ) / F.lit(float(WEIGHT_SCALE))
     w_raw = F.coalesce(F.col("w_raw"), F.lit(0.0))
+    # r16: the scoring join's left side only needs doc_id — read the
+    # UNSPREAD handle so the plan carries exactly ONE
+    # REPARTITION_BY_NUM(doc_id) (inside the feat checkpoint build,
+    # where the per-row explode+md5 compute lives). The r15 shape
+    # re-spread this projection too: a second shuffle of a 1-column
+    # scan that the join immediately re-distributes anyway.
     scored = (
-        docs.select("doc_id")
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
         .join(docw, "doc_id", "left")
         .select(
             "doc_id",

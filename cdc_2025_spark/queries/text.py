@@ -488,8 +488,14 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df derives from tf, not from a second corpus pass: tf rows are
     # unique per (doc, term), so count-per-term == distinct-doc count,
     # and the aggregate rides tf's existing shuffle output
+    # (checkpointing tf was measured SLOWER at sf0.1 — the
+    # materialization job costs more than the saved recompute)
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    # r16: the corpus count reads the UNSPREAD handle — an
+    # aggregate-only scan gains nothing from the spread exchange
+    n_docs = read_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs")
+    )
     idf = (
         df.crossJoin(F.broadcast(n_docs))
         .select(
@@ -966,6 +972,16 @@ def perplexity_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     real scale — io.read_table)."""
     from cdc_2025_spark.functions.text import tokens
 
+    # r16: the final join's doc_id-only scan reads the UNSPREAD
+    # handle (below), so the plan carries the
+    # REPARTITION_BY_NUM(doc_id) exchange only where the per-row
+    # tokenize compute lives (the bigram checkpoint build and the
+    # vocab count) instead of re-shuffling a 1-column projection too
+    # — part of the r15 32-core regression on this query.
+    # (Checkpointing the token frame to also share the tokenize
+    # between the bigram build and the vocab count was measured
+    # SLOWER at sf0.1: the extra materialization job costs more than
+    # the saved recompute.)
     docs = read_table(spark, sf_dir, "documents", spread_key="doc_id")
     toks = docs.select(
         "doc_id",
@@ -1009,7 +1025,8 @@ def perplexity_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.avg("nll")), 4).alias("perplexity"),
     )
     return (
-        docs.select("doc_id")
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
         .join(agg, "doc_id", "left")
         .select(
             "doc_id",
@@ -1168,7 +1185,6 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("tf").desc(), "term"))
         .alias("rnk"),
     )
-    tot = tf.agg(F.sum("tf").alias("total"))
     grid = spark.createDataFrame(
         [(v,) for v in VOCAB_COVERAGE_GRID], "vocab_size int"
     )
@@ -1177,13 +1193,18 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0)
         )
     )
+    # r16: the corpus-total divisor folds into the final aggregate —
+    # every vocab_size group contains EVERY ranked term row, so
+    # SUM(tf) per group IS the corpus token total (integer sum, exact
+    # in any order). The r15 shape computed it as a separate
+    # aggregate subtree, which re-executed the whole tokenize+spread
+    # pass per action (tf is not pinned) and broadcast one number.
     return (
         ranked.crossJoin(F.broadcast(grid))
-        .crossJoin(F.broadcast(tot))
-        .groupBy("vocab_size", "total")
+        .groupBy("vocab_size")
         .agg(
             covered.cast("long").alias("covered_tokens"),
-            F.round(covered / F.col("total"), 4).alias("coverage"),
+            F.round(covered / F.sum("tf"), 4).alias("coverage"),
         )
         .select("vocab_size", "covered_tokens", "coverage")
     )
@@ -1303,12 +1324,17 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(
         spark, sf_dir, "documents", spread_key="doc_id"
     )
+    # r16: the distinct-terms postings feed TWO subtrees (the df
+    # aggregate and the broadcast-filtered self-join input) —
+    # checkpoint them so the tokenize+array_distinct+explode+spread
+    # executes once per action instead of twice; the corpus count
+    # reads the UNSPREAD handle (aggregate-only scan).
     tokd = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(tokens(F.lower(F.trim(F.col("text")))))
         ).alias("term"),
-    )
+    ).localCheckpoint(eager=False)
     cx = (
         tokd.groupBy("term")
         .agg(F.count("*").alias("df"))
@@ -1321,7 +1347,9 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = tokf.select(
         "doc_id", F.col("term").alias("t2"), F.col("df").alias("df2")
     )
-    n = docs.agg(F.count("*").alias("n_docs"))
+    n = read_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs")
+    )
     pairs = (
         a.join(b, "doc_id")
         .filter(F.col("t1") < F.col("t2"))
@@ -2059,8 +2087,17 @@ def text_trigram_stupid_backoff(
             ).alias("pct_backoff"),
         )
     )
+    # r16: the eval-doc list only needs doc_id + the md5 split bit —
+    # read the UNSPREAD handle so the one spread exchange in this
+    # plan is the grams-checkpoint build (where the tokenize+window
+    # compute lives), not a re-shuffle of a 1-column projection (the
+    # r15 both-core-counts regression on this query).
+    d_eval = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", (bucket < 5).alias("is_train"))
+    )
     return (
-        d.filter(~F.col("is_train"))
+        d_eval.filter(~F.col("is_train"))
         .select("doc_id")
         .join(pd, "doc_id", "left")
         .select(

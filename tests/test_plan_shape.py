@@ -287,7 +287,11 @@ def test_span_removal_plan_has_no_cross_product(spark, sf_dir):
     p = plan_of(spark, sf_dir, "dedup_remove_repeated_spans")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    assert "xxhash64" in p  # 8-byte shuffle key, not the span string
+    # 8-byte shuffle key, not the span string: since r16 the
+    # xxhash64("span") expression is computed once inside the span
+    # checkpoint build, so the visible plan shuffles on the pinned
+    # _h long column instead of recomputing the hash inline
+    assert "hashpartitioning(_h#" in p
 
 
 def test_semdedup_pair_join_is_cell_keyed(spark, sf_dir):

@@ -1,8 +1,9 @@
 """Capture .explain('formatted') output for a list of registered
-queries into plans/r15/<name>_<tag>.txt (judge-facing evidence for
-OPTIMIZATION_r15.md plan claims). Driver-side only: nothing executes.
+queries into plans/$PLANS_ROUND/<name>_<tag>.txt (judge-facing
+evidence for the OPTIMIZATION_rNN.md plan claims). Driver-side only:
+nothing executes.
 
-Usage: python tools/capture_plans.py <tag> <query> [<query> ...]
+Usage: [PLANS_ROUND=r16] python tools/capture_plans.py <tag> <query> [<query> ...]
 """
 import os
 import sys
@@ -18,7 +19,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r15",
+        "plans", os.environ.get("PLANS_ROUND", "r16"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="capture-plans")
