@@ -63,6 +63,31 @@ FRAME_SAMPLE_SCHEMA = StructType(
 )
 
 
+def _parallel_payloads(tasks: list) -> list[bytes]:
+    """Evaluate ``[(fn, kwargs), ...] -> [payload, ...]`` on a
+    driver-local process pool — the fixture-generation analogue of
+    guide §2.6 (overlap independent work): the heavyweight encoders
+    (FLAC LPC+Rice costs ~1 s of pure Python PER CLIP) otherwise
+    serialize a cold session's corpus build on one core. Every
+    builder is a pure function of its kwargs, so the bytes are
+    identical to sequential evaluation in order; any pool failure
+    (restricted sandbox, no fork) falls back to the sequential loop.
+    Generation is a local-fixture concern only — at real scale media
+    arrives in the lake and none of this code runs."""
+    import concurrent.futures as _cf
+    import os as _os
+
+    if len(tasks) < 2:
+        return [fn(**kw) for fn, kw in tasks]
+    try:
+        workers = min(len(tasks), _os.cpu_count() or 1)
+        with _cf.ProcessPoolExecutor(max_workers=workers) as ex:
+            futs = [ex.submit(fn, **kw) for fn, kw in tasks]
+            return [f.result() for f in futs]
+    except Exception:
+        return [fn(**kw) for fn, kw in tasks]
+
+
 def make_synthetic_media(
     spark: SparkSession, n: int = 64, kind: str = "image"
 ) -> DataFrame:
@@ -896,50 +921,66 @@ def make_real_media(
                 (0, 0, dur, "pcm_s16le"),
             )
         )
-    for i in range(n_flac):
+    if n_flac:
         from cdc_2025_spark.multimodal.flac import make_flac  # noqa: PLC0415
 
-        dur = 500 * (1 + i % 4)
-        flac = make_flac(
-            sample_rate=8000,
-            duration_ms=dur,
-            freq_hz=220.0 * (1 + i % 3),
-            amplitude=0.25 + 0.1 * (i % 5),
-            predictor="lpc" if i % 2 else "fixed",
-        )
-        rows.append(
-            (
-                n_images + n_audio + n_png + n_jpeg + i,
-                "audio",
-                bytearray(flac),
-                (0, 0, dur, "flac"),
+        # r16: FLAC encode (LPC + Rice, pure Python) is the corpus
+        # build's dominant cost — encode the clips on a process pool
+        # (_parallel_payloads; byte-identical, pure function of kwargs)
+        flac_kw = [
+            dict(
+                sample_rate=8000,
+                duration_ms=500 * (1 + i % 4),
+                freq_hz=220.0 * (1 + i % 3),
+                amplitude=0.25 + 0.1 * (i % 5),
+                predictor="lpc" if i % 2 else "fixed",
             )
-        )
-    for i in range(n_flac_stereo):
+            for i in range(n_flac)
+        ]
+        for i, flac in enumerate(
+            _parallel_payloads([(make_flac, kw) for kw in flac_kw])
+        ):
+            rows.append(
+                (
+                    n_images + n_audio + n_png + n_jpeg + i,
+                    "audio",
+                    bytearray(flac),
+                    (0, 0, flac_kw[i]["duration_ms"], "flac"),
+                )
+            )
+    if n_flac_stereo:
         from cdc_2025_spark.multimodal.flac import make_flac  # noqa: PLC0415
 
-        dur = 500 * (1 + i % 4)
         # stereo + alternating 16/24-bit: the two capability axes the
         # r10 guards rejected, now real decode paths (left channel is
         # the mono twin's sine, right a fifth up; auto per-frame
-        # channel assignment)
-        flac = make_flac(
-            sample_rate=8000,
-            duration_ms=dur,
-            freq_hz=220.0 * (1 + i % 3),
-            amplitude=0.25 + 0.1 * (i % 5),
-            predictor="lpc" if i % 2 else "fixed",
-            channels=2,
-            bits=24 if i % 2 else 16,
-        )
-        rows.append(
-            (
-                n_images + n_audio + n_png + n_jpeg + n_flac + n_avi + i,
-                "audio",
-                bytearray(flac),
-                (0, 0, dur, "flac_stereo"),
+        # channel assignment). r16: pool-encoded like the mono clips
+        # (stereo/24-bit LPC is the single most expensive fixture —
+        # ~7 s sequential for 8 clips).
+        st_kw = [
+            dict(
+                sample_rate=8000,
+                duration_ms=500 * (1 + i % 4),
+                freq_hz=220.0 * (1 + i % 3),
+                amplitude=0.25 + 0.1 * (i % 5),
+                predictor="lpc" if i % 2 else "fixed",
+                channels=2,
+                bits=24 if i % 2 else 16,
             )
-        )
+            for i in range(n_flac_stereo)
+        ]
+        for i, flac in enumerate(
+            _parallel_payloads([(make_flac, kw) for kw in st_kw])
+        ):
+            rows.append(
+                (
+                    n_images + n_audio + n_png + n_jpeg + n_flac
+                    + n_avi + i,
+                    "audio",
+                    bytearray(flac),
+                    (0, 0, st_kw[i]["duration_ms"], "flac_stereo"),
+                )
+            )
     for i in range(n_avi):
         from cdc_2025_spark.multimodal.avi import (  # noqa: PLC0415
             AVI_DEFAULT_FPS,
