@@ -56,6 +56,74 @@ DEFAULT_RANK_BUCKETS = 1024
 _AUTO_SKEW_EDGE = 0.05
 
 
+def _decide_mode(stats) -> str:
+    """'width' unless some group's distinct-value median sits in the
+    outer 5% of its range (the NTILE-style skew switch)."""
+    for r in stats:
+        span = (r["_mx"] or 0.0) - (r["_mn"] or 0.0)
+        if span <= 0.0 or r["_md"] is None:
+            continue
+        pos = (r["_md"] - r["_mn"]) / span
+        if pos < _AUTO_SKEW_EDGE or pos > 1.0 - _AUTO_SKEW_EDGE:
+            return "quantile"
+    return "width"
+
+
+def _probe_aggs(value_col: str):
+    return [
+        F.min(value_col).cast("double").alias("_mn"),
+        F.max(value_col).cast("double").alias("_mx"),
+        F.percentile_approx(F.col(value_col).cast("double"), 0.5)
+        .alias("_md"),
+    ]
+
+
+def probe_edges_modes(
+    margs: list[tuple[DataFrame, str, tuple[str, ...]]],
+) -> list[tuple[str, list]]:
+    """Resolve edges='auto' for SEVERAL marginals with ONE collect
+    job: the per-marginal probe aggregates are tagged, unioned and
+    submitted together, so a caller invoking the rank kernel more
+    than once (Spearman's two marginals) pays one driver round trip
+    and Spark overlaps the aggregate subtrees inside a single job
+    (guide §1/§2.6) instead of running the probes sequentially.
+
+    ``margs``: (marg, value_col, group_cols) per kernel call — all
+    entries must share the same group-column list (the fused rows
+    carry those columns by name). Returns [(mode, stats_rows), ...]
+    aligned with the input; pass each pair to
+    ``bucketed_midranks``/``bucketed_cumsums`` via ``probe=``.
+    Identical decisions and identical literal bounds to the per-call
+    probe: min/max of a group are union-invariant, and the
+    approx-median only ever toggles the width/quantile MODE — bucket
+    geometry, never answers (the module contract)."""
+    if not margs:
+        return []
+    gc = list(margs[0][2])
+    parts = []
+    for i, (marg, value_col, group_cols) in enumerate(margs):
+        if list(group_cols) != gc:
+            raise ValueError(
+                "probe_edges_modes requires identical group_cols; "
+                f"got {gc} vs {list(group_cols)}"
+            )
+        sel = [F.lit(i).alias("_probe_tag")] + [
+            F.col(g) for g in gc
+        ] + [F.col(value_col).cast("double").alias("_pv")]
+        parts.append(marg.select(*sel))
+    fused = parts[0]
+    for p in parts[1:]:
+        fused = fused.unionByName(p)
+    stats = fused.groupBy("_probe_tag", *gc).agg(
+        *_probe_aggs("_pv")
+    ).collect()
+    out = []
+    for i in range(len(margs)):
+        rows = [r for r in stats if r["_probe_tag"] == i]
+        out.append((_decide_mode(rows), rows))
+    return out
+
+
 def _pick_edges_mode(
     marg: DataFrame,
     value_col: str,
@@ -82,23 +150,11 @@ def _pick_edges_mode(
     if edges != "auto":
         return edges, None
     gc = list(group_cols)
-    agg_cols = [
-        F.min(value_col).cast("double").alias("_mn"),
-        F.max(value_col).cast("double").alias("_mx"),
-        F.percentile_approx(F.col(value_col).cast("double"), 0.5)
-        .alias("_md"),
-    ]
+    agg_cols = _probe_aggs(value_col)
     stats = (
         marg.groupBy(*gc).agg(*agg_cols) if gc else marg.agg(*agg_cols)
     ).collect()
-    for r in stats:
-        span = (r["_mx"] or 0.0) - (r["_mn"] or 0.0)
-        if span <= 0.0 or r["_md"] is None:
-            continue
-        pos = (r["_md"] - r["_mn"]) / span
-        if pos < _AUTO_SKEW_EDGE or pos > 1.0 - _AUTO_SKEW_EDGE:
-            return "quantile", stats
-    return "width", stats
+    return _decide_mode(stats), stats
 
 
 def _with_bucket(
@@ -239,6 +295,7 @@ def bucketed_cumsums(
     group_cols: tuple[str, ...] = (),
     n_buckets: int = DEFAULT_RANK_BUCKETS,
     edges: str = "auto",
+    probe: tuple[str, list] | None = None,
 ) -> DataFrame:
     """``marg`` holds one row per (group_cols..., value) with one or
     more weight columns. Returns (group_cols..., value_col,
@@ -259,13 +316,31 @@ def bucketed_cumsums(
     internally so a caller-pinned input is not materialized twice."""
     gc = list(group_cols)
     wc = list(weight_cols)
-    mode, stats_rows = _pick_edges_mode(
-        marg, value_col, group_cols, edges
-    )
+    # ``probe``: a (mode, stats_rows) pair from probe_edges_modes —
+    # callers invoking the kernel several times fuse their probe
+    # collects into one job and pass the results here (edges must
+    # stay 'auto'; an explicit mode never probed)
+    if probe is not None:
+        if edges != "auto":
+            raise ValueError("probe= requires edges='auto'")
+        mode, stats_rows = probe
+    else:
+        mode, stats_rows = _pick_edges_mode(
+            marg, value_col, group_cols, edges
+        )
     bucketed = _with_bucket(
         marg, value_col, [*gc, value_col, *wc], group_cols,
         n_buckets, mode, stats_rows=stats_rows if mode == "width" else None,
     )
+    # r16: pin the bucketed distinct-value frame — it feeds TWO
+    # subtrees (the within-bucket cumulative window and the
+    # bucket-total offsets aggregate), and adaptive exchange reuse
+    # does not unify them (measured: the whole marg subtree, scans
+    # included, executed once per consumer — 2x per kernel call,
+    # e.g. 4 marg executions in the Spearman plan). The frame is
+    # marginal-sized (one row per distinct value), so the
+    # materialization is bounded by |distinct|, never corpus-sized.
+    bucketed = bucketed.localCheckpoint(eager=False)
     w_in = (
         Window.partitionBy(*gc, "_b")
         .orderBy(value_col)
@@ -315,6 +390,7 @@ def bucketed_midranks(
     group_cols: tuple[str, ...] = (),
     n_buckets: int = DEFAULT_RANK_BUCKETS,
     edges: str = "auto",
+    probe: tuple[str, list] | None = None,
 ) -> DataFrame:
     """``marg`` holds one row per (group_cols..., value) with
     ``weight_col`` = how many underlying rows carry that value.
@@ -332,6 +408,7 @@ def bucketed_midranks(
         group_cols=group_cols,
         n_buckets=n_buckets,
         edges=edges,
+        probe=probe,
     )
     return cums.select(
         *group_cols,

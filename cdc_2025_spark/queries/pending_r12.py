@@ -2461,10 +2461,28 @@ def stats_spearman_price_quantity(
         .localCheckpoint(eager=False)
     )
 
-    def marginal_ranks(col: str, out: str) -> DataFrame:
-        marg = cells.groupBy("l_returnflag", col).agg(
-            F.sum("cnt").alias("c")
-        )
+    # r16: ONE probe job for BOTH marginals. Each bucketed_midranks
+    # call otherwise collects its own edges='auto' probe — two
+    # sequential driver round trips over the same checkpointed cells
+    # frame; probe_edges_modes unions the tagged probe aggregates
+    # into a single collected job (identical min/max literals,
+    # identical mode decision — functions/ranks.py).
+    from cdc_2025_spark.functions.ranks import probe_edges_modes
+
+    marg_px = cells.groupBy("l_returnflag", "px").agg(
+        F.sum("cnt").alias("c")
+    )
+    marg_qty = cells.groupBy("l_returnflag", "qty").agg(
+        F.sum("cnt").alias("c")
+    )
+    probes = probe_edges_modes(
+        [
+            (marg_px, "px", ("l_returnflag",)),
+            (marg_qty, "qty", ("l_returnflag",)),
+        ]
+    )
+
+    def marginal_ranks(marg, col: str, out: str, probe) -> DataFrame:
         return bucketed_midranks(
             marg,
             col,
@@ -2472,11 +2490,16 @@ def stats_spearman_price_quantity(
             out,
             group_cols=("l_returnflag",),
             n_buckets=SPEARMAN_BUCKETS,
+            probe=probe,
         )
 
     joined = cells.join(
-        marginal_ranks("px", "rx"), ["l_returnflag", "px"]
-    ).join(marginal_ranks("qty", "ry"), ["l_returnflag", "qty"])
+        marginal_ranks(marg_px, "px", "rx", probes[0]),
+        ["l_returnflag", "px"],
+    ).join(
+        marginal_ranks(marg_qty, "qty", "ry", probes[1]),
+        ["l_returnflag", "qty"],
+    )
     cnt, rx, ry = F.col("cnt"), F.col("rx"), F.col("ry")
     agg = joined.groupBy("l_returnflag").agg(
         F.sum(cnt).alias("n"),

@@ -1510,8 +1510,13 @@ def eval_spearman_footrule(
         .agg(F.count("*").cast("long").alias("c"))
         .localCheckpoint(eager=False)
     )
-    rp = bucketed_midranks(marg_p, "vp", "c", "r_price")
-    rs = bucketed_midranks(marg_s, "vs", "c", "r_size")
+    # r16: one fused probe job for both marginals (the spearman
+    # move — functions/ranks.py probe_edges_modes)
+    from cdc_2025_spark.functions.ranks import probe_edges_modes
+
+    probes = probe_edges_modes([(marg_p, "vp", ()), (marg_s, "vs", ())])
+    rp = bucketed_midranks(marg_p, "vp", "c", "r_price", probe=probes[0])
+    rs = bucketed_midranks(marg_s, "vs", "c", "r_size", probe=probes[1])
     joined = parts.join(rp, "vp").join(rs, "vs")
     agg = joined.agg(
         F.count("*").cast("long").alias("n_parts"),
