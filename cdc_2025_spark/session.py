@@ -70,13 +70,18 @@ def get_spark(
         # overhead, zero effect on results; production clusters
         # disable it for exactly this reason. (r15 optimization §1)
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
-        # Let the planner pick shuffled-hash join when its size checks
-        # pass instead of always sort-merge (optimization guide §3.1):
-        # skips the per-partition sorts for mid-size joins. Measured
-        # ~5-20% on the join-heavy stats/text queries locally; on a
-        # cluster the AQE OOM guards still apply. Sort-merge remains
-        # the fallback whenever the build side could not fit.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # preferSortMergeJoin=false was tried in r15 (guide §3.1) and
+        # REVERTED in r16: a controlled A/B (same session protocol,
+        # min-of-5 at 32 cores, plan pair committed at
+        # plans/r16/text_trigram_stupid_backoff_{smj,shj}.txt showing
+        # the 2 SortMergeJoin -> 2 ShuffledHashJoin flip) measured NO
+        # reproducible win on any flipped query (trigram 1.56 s SMJ
+        # vs 1.74 s SHJ; every other candidate within noise), and the
+        # r15 advisor's risk note stands: the planner's SHJ choice is
+        # plan-time only — a misestimated/skewed build side has no
+        # runtime sort-merge fallback and can OOM an executor at
+        # scale. Default (sort-merge preferred, AQE may still pick
+        # SHJ where it proves safe at runtime) is the right posture.
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
