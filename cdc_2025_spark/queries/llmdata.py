@@ -858,15 +858,19 @@ def llm_prep_full_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .localCheckpoint(eager=False)
     )
-    # stages 1+2 fused (r10): the repetition decision and the vocab
-    # key both derive from one tokenization, and the intermediate
-    # full-text survivor frame (old d1) is never needed — the vocab
-    # canon computes over an id+key frame semi-joined to the
-    # repetition survivors, and the pipeline re-attaches text ONCE
-    # at d2. The ledger counts ride the id-only frames (surv1 /
-    # canon are subsets of train's doc_ids, so their counts equal
-    # the old joined-frame counts) instead of re-reading
-    # checkpointed full-text frames.
+    # stages 1+2 fused (r10, tightened r16): ONE tokenization pass
+    # feeds the repetition decision AND the vocab key. uni's
+    # (doc_id, tok) groups ARE the distinct token set vocab_key
+    # sorts — md5(array_join(array_sort(collect_list(tok)), " "))
+    # over them is literally vocab_key's
+    # md5(array_join(array_sort(array_distinct(split(...))), " "))
+    # with the distinct done by the aggregation, so the r15 shape's
+    # second tokenize+md5 pass over the train text (plus its
+    # surv1 semi-join) collapses into the stats aggregate. The
+    # ledger counts ride the id-only frames (surv1 / canon are
+    # subsets of train's doc_ids, so their counts equal the old
+    # joined-frame counts) instead of re-reading checkpointed
+    # full-text frames.
     uni = (
         train.select(
             "doc_id",
@@ -877,30 +881,38 @@ def llm_prep_full_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "tok")
         .count()
     )
+    # NULL-text docs never reach uni (split(NULL) explodes to no
+    # rows) — same exclusion the old vocab_key pass produced via its
+    # NULL key and the surv1 semi-join.
     stats = uni.groupBy("doc_id").agg(
         F.sum("count").alias("n_tokens"),
         F.max("count").alias("top_c"),
-    )
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list("tok")), " ")
+        ).alias("key"),
+    ).localCheckpoint(eager=False)
     surv1 = stats.filter(
         ~(PREP_REP_FACTOR * F.col("top_c") > F.col("n_tokens"))
-    ).select("doc_id").localCheckpoint(eager=False)
+    ).select("doc_id")
     # stage 2: exact vocab dedup (min-id canonical) among stage-1
-    # survivors — keys ride an (doc_id, key) frame, never full text
+    # survivors — keys ride the pinned stats frame, never full text
     canon = (
-        train.select("doc_id", vocab_key("text").alias("key"))
-        .join(surv1, "doc_id", "left_semi")
+        stats.filter(
+            ~(PREP_REP_FACTOR * F.col("top_c") > F.col("n_tokens"))
+        )
         .groupBy("key")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
         .localCheckpoint(eager=False)
     )
-    # lazy localCheckpoints: every stage frame feeds BOTH its count
-    # branch and the next stage — without them each of the six
-    # ledger counts re-executes the whole upstream chain (the
-    # semdedup/bigram posture; blocks release when the plan is GC'd)
-    d2 = train.join(canon, "doc_id", "left_semi").localCheckpoint(
-        eager=False
-    )
+    # lazy localCheckpoints: every stage frame that feeds BOTH a
+    # count branch and the next stage is pinned — without them each
+    # of the six ledger counts re-executes the whole upstream chain
+    # (the semdedup/bigram posture; blocks release when the plan is
+    # GC'd). d2 is NOT pinned (r16): its only consumer is d3, so the
+    # r15 checkpoint paid a full-text materialization barrier to
+    # save zero recomputation.
+    d2 = train.join(canon, "doc_id", "left_semi")
     # stage 3: MinHash+LSH near-dup dedup (md5_km family so the
     # oracle reproduces the identical candidate set). Pairs come from
     # the session-shared FULL-corpus index restricted to the stage-2
