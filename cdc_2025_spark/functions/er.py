@@ -48,6 +48,7 @@ def blocked_candidate_pairs(
     snm_window: int = 10,
     keep_order: bool = False,
     distinct: bool = True,
+    order_band: float | None = None,
 ) -> DataFrame:
     """Candidate id pairs (id_a < id_b) sharing at least one block
     key. NULL block-key values never form a block (a missing zip
@@ -79,7 +80,23 @@ def blocked_candidate_pairs(
     edges never change connectivity) — dedup AFTER a selective gate
     is strictly cheaper than before it.
 
-    ``max_block=None`` (default) keeps full pairing everywhere."""
+    ``max_block=None`` (default) keeps full pairing everywhere.
+
+    ``order_band`` (requires ``snm_order``) prunes the SMALL-block
+    quadratic self-join for gates that threshold the order attribute:
+    rows join on (block key, floor(order / order_band)) with the
+    right side fanned to its three adjacent bands, so a pair is
+    emitted iff its band ids differ by at most 1 — a strict SUPERSET
+    of every pair with ``|Δorder| <= order_band`` (|x-y| <= w implies
+    |floor(x/w)-floor(y/w)| <= 1), each emitted exactly ONCE (the
+    left row's single band matches at most one of the right row's
+    three). Pairs whose orders differ by MORE than ``order_band`` may
+    be omitted, and NULL-order rows never pair — callers must apply a
+    gate at least as strict as ``|Δorder| <= order_band`` (a NULL
+    order fails any such gate), which makes the post-gate match set
+    identical to the unbanded kernel's while the join emits
+    O(rows-per-band²) instead of O(block²) candidates. The oversized-
+    block SNM branch is unaffected (already O(m·window))."""
     if not block_keys:
         raise ValueError("at least one blocking key is required")
     if max_block is not None and snm_order is None:
@@ -95,6 +112,12 @@ def blocked_candidate_pairs(
         raise ValueError(
             "keep_order requires snm_order (the attribute to carry)"
         )
+    if order_band is not None and snm_order is None:
+        raise ValueError(
+            "order_band requires snm_order (the banded attribute)"
+        )
+    if order_band is not None and not order_band > 0:
+        raise ValueError(f"order_band must be > 0, got {order_band}")
     pair_cols = ["id_a", "id_b"] + (
         ["ord_a", "ord_b"] if keep_order else []
     )
@@ -118,12 +141,27 @@ def blocked_candidate_pairs(
         if keep_order:
             a_cols.append(F.col("_ord").alias("ord_a"))
             b_cols.append(F.col("_ord").alias("ord_b"))
-        pairs = (
-            small.select(*a_cols)
-            .join(small.select(*b_cols), "_bk")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select(*pair_cols)
-        )
+        if order_band is not None:
+            band = F.floor(F.col("_ord") / F.lit(float(order_band)))
+            a_side = small.select(*a_cols, band.alias("_band"))
+            b_side = small.select(
+                *b_cols,
+                F.explode(
+                    F.array(band - 1, band, band + 1)
+                ).alias("_band"),
+            )
+            pairs = (
+                a_side.join(b_side, ["_bk", "_band"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select(*pair_cols)
+            )
+        else:
+            pairs = (
+                small.select(*a_cols)
+                .join(small.select(*b_cols), "_bk")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select(*pair_cols)
+            )
         if big is not None:
             # neighbors within the SNM window via lead() over the
             # SAME (block, order, id) window — the rank and all its

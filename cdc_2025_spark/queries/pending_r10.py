@@ -112,6 +112,14 @@ def er_customer_golden_records(
         snm_window=ER_SNM_WINDOW,
         keep_order=True,
         distinct=False,
+        # r16: the gate below thresholds |Δacctbal| at ER_BAL_EPS, so
+        # banding the block self-joins at that width prunes the
+        # candidate stream from O(block²) to the gated neighborhood
+        # (~2M -> ~50k pairs at sf0.1) with an IDENTICAL post-gate
+        # match set — see blocked_candidate_pairs' order_band
+        # contract (superset + exactly-once emission; NULL balances
+        # fail the abs() gate either way).
+        order_band=ER_BAL_EPS,
     )
     matched = cand.filter(
         F.abs(F.col("ord_a") - F.col("ord_b")) <= ER_BAL_EPS

@@ -222,3 +222,63 @@ def test_snm_pairing_in_oversized_blocks_matches_model(spark):
         blocked_candidate_pairs(
             df, "id", [F.col("blk")], max_block=10
         )
+
+
+def test_order_band_post_gate_set_identical(spark):
+    """order_band prunes the small-block self-join to adjacent
+    floor(order/band) bands. Contract: after a |Δorder| <= band gate
+    the match set is IDENTICAL to the unbanded kernel's — including
+    NULL orders (never pair banded; pair-then-fail-the-gate unbanded)
+    and values sitting exactly on band boundaries. Each surviving
+    pair must also be emitted exactly once (distinct=False)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from cdc_2025_spark.functions.er import blocked_candidate_pairs
+
+    rows = []
+    vals = [0.0, 1.9, 2.0, 2.1, 3.9999, 4.0, 6.0, -2.0, -0.01, None]
+    for i, v in enumerate(vals):
+        rows.append((i, "blk", v))
+    rows.append((99, "other", 2.5))
+    rows.append((98, "other", 4.49))
+    df = spark.createDataFrame(rows, "id long, blk string, v double")
+    eps = 2.0
+
+    def gated(extra):
+        cand = blocked_candidate_pairs(
+            df,
+            "id",
+            [F.col("blk")],
+            snm_order=F.col("v"),
+            keep_order=True,
+            distinct=False,
+            **extra,
+        ).filter(F.abs(F.col("ord_a") - F.col("ord_b")) <= eps)
+        got = [
+            (r["id_a"], r["id_b"]) for r in cand.collect()
+        ]
+        assert len(got) == len(set(got)), "duplicate pair emitted"
+        return set(got)
+
+    plain = gated({})
+    banded = gated({"order_band": eps})
+    assert banded == plain and plain
+    # cross-check vs an exhaustive python model
+    want = set()
+    for (ia, ba, va), (ib, bb, vb) in itertools.combinations(rows, 2):
+        if ba == bb and va is not None and vb is not None and abs(va - vb) <= eps:
+            want.add((min(ia, ib), max(ia, ib)))
+    assert plain == want
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="order_band"):
+        blocked_candidate_pairs(
+            df, "id", [F.col("blk")], snm_order=F.col("v"), order_band=0.0
+        )
+    with pt.raises(ValueError, match="snm_order"):
+        blocked_candidate_pairs(
+            df, "id", [F.col("blk")], order_band=1.0
+        )
