@@ -1542,37 +1542,26 @@ def dedup_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_spans_frame(docs)
 
 
-def remove_repeated_spans_frame(docs: DataFrame) -> DataFrame:
-    """Span removal over an arbitrary (doc_id, text) frame — the
-    reusable kernel behind ``dedup_remove_repeated_spans`` and the
-    full-chain prep ledger (queries/llmdata.py), where the span
-    stage runs over upstream survivors rather than the raw table.
-    Returns (doc_id, n_tokens, n_removed, clean_text)."""
-    from cdc_2025_spark.functions.text import (
-        exploded_spans_with_pos,
-        tokens,
-    )
+def repeated_span_kept_tokens(toks: DataFrame) -> DataFrame:
+    """The span-removal core over a PINNED (doc_id, pos, tok) stream:
+    the kept rows after excising every non-first global occurrence of
+    a cross-doc repeated SPAN_K-span. Callers aggregate this stream
+    into whatever stage output they need (clean_text rebuild for the
+    standalone query, shingle grams for the ledger's decontamination)
+    without re-deriving the dup-span decision.
 
-    # r16: tokenize the corpus ONCE and build spans ONCE. The token
-    # stream feeds four subtrees (span construction -> dup-hash agg
-    # AND dup-occurrence window, the kept-token anti-join, the
-    # per-doc totals); the r15 shape rebuilt it from text in each —
-    # the plan carried the tokenize+posexplode subtree twice per
-    # action and the span window twice on top (the
-    # llm_prep_full_ledger double-tokenization the r15 verdict
-    # flagged). Two lazy localCheckpoints pin the (doc_id, pos, tok)
-    # frame and the span-occurrence frame: one tokenize pass + one
-    # span window per action instead of four passes + two windows
-    # (at sf0.1 the variants measure within noise — min-of-4 0.62 vs
-    # 0.63 s — so the scale shape costs nothing locally). Spans
-    # derive from the pinned tokens via the same window construction
-    # (exploded_spans_with_pos toks= passthrough — output unchanged).
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "tok"),
-    ).localCheckpoint(eager=False)
+    ``toks`` must equal posexplode(tokens(lower(text))) over the
+    caller's docs (functions/text.tokens) and should be
+    localCheckpoint'd: it feeds the span construction, the dup
+    window, and the anti-join."""
+    from cdc_2025_spark.functions.text import exploded_spans_with_pos
+
+    # build spans ONCE from the pinned tokens (r16). The span stream
+    # feeds two subtrees (dup-hash agg AND dup-occurrence window);
+    # without its own pin the window would re-run the span
+    # construction.
     occ = (
-        exploded_spans_with_pos(docs, SPAN_K, toks=toks)
+        exploded_spans_with_pos(None, SPAN_K, toks=toks)
         .withColumn("_h", F.xxhash64("span"))
         .localCheckpoint(eager=False)
     )
@@ -1595,11 +1584,40 @@ def remove_repeated_spans_frame(docs: DataFrame) -> DataFrame:
             F.sequence(F.col("pos"), F.col("pos") + F.lit(SPAN_K - 1))
         ).alias("cpos"),
     ).distinct()
-    kept = toks.join(
+    return toks.join(
         cov,
         (toks.doc_id == cov.c_doc) & (toks.pos == cov.cpos),
         "left_anti",
     )
+
+
+def remove_repeated_spans_frame(
+    docs: DataFrame | None, toks: DataFrame | None = None
+) -> DataFrame:
+    """Span removal over an arbitrary (doc_id, text) frame — the
+    reusable kernel behind ``dedup_remove_repeated_spans`` and the
+    full-chain prep ledger (queries/llmdata.py), where the span
+    stage runs over upstream survivors rather than the raw table.
+    Returns (doc_id, n_tokens, n_removed, clean_text).
+
+    ``toks``: an already-built (doc_id, pos, tok) stream — callers
+    that tokenized the corpus for an upstream stage pass it so the
+    kernel skips its own tokenize pass; it must equal
+    posexplode(tokens(lower(text))) over the same docs
+    (functions/text.tokens). ``docs`` is consumed ONLY to build the
+    stream, so it may be None when ``toks`` is given."""
+    from cdc_2025_spark.functions.text import tokens
+
+    if toks is None:
+        toks = docs.select(
+            "doc_id",
+            F.posexplode(tokens(F.lower(F.col("text")))).alias(
+                "pos", "tok"
+            ),
+        )
+    # one tokenize pass feeds the span core AND the per-doc totals
+    toks = toks.localCheckpoint(eager=False)
+    kept = repeated_span_kept_tokens(toks)
     agg = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
         F.concat_ws(

@@ -835,52 +835,48 @@ def llm_prep_full_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     on raw text would attribute drops to text that no longer
     exists downstream."""
     from cdc_2025_spark.dedup.cluster import connected_components
-    from cdc_2025_spark.dedup.exact import vocab_key
     from cdc_2025_spark.queries.dedup import (
-        remove_repeated_spans_frame,
+        repeated_span_kept_tokens,
     )
 
-    # spread_key (r15 optimization): stages 1+2 (tokenize + vocab_key
-    # md5) are narrow per-row compute straight off the scan — without
-    # the layout-guarded repartition they run inside the single-row-
-    # group scan task on one core (no-op at real scale; io.read_table)
+    # spread_key (r15 optimization): tokenization is narrow per-row
+    # compute straight off the scan — without the layout-guarded
+    # repartition it runs inside the single-row-group scan task on
+    # one core (no-op at real scale; io.read_table)
     #
-    # r16: checkpoint the train slice ONCE. The r15 shape re-derived
-    # it (scan + spread shuffle) in each consumer — the repetition
-    # aggregate, the vocab-key pass, the d2 re-attach and the n0
-    # count each carried their own REPARTITION_BY_NUM(doc_id)
-    # exchange (four executions of the same scan+shuffle). Now the
-    # spread executes exactly once, in this checkpoint build, and
-    # every stage reads the pinned blocks.
+    # r16: the train corpus is tokenized EXACTLY ONCE, position-
+    # carrying, and pinned — this is the only full-text pass in the
+    # whole ledger. It feeds stage 1 (repetition stats + vocab key:
+    # position-insensitive aggregates), and stage 4's span-removal
+    # kernel consumes the same pinned stream semi-joined to the
+    # stage-3 survivor ids (tokens(lower(text)) in the kernel IS
+    # split(trim(lower(text)), "\\s+") — functions/text.tokens), so
+    # the r15 shape's second tokenize of the survivors disappears.
+    # The spread exchange executes once, inside this checkpoint
+    # build.
     docs = read_table(spark, sf_dir, "documents", spread_key="doc_id")
-    train = (
+    toks = (
         docs.filter(F.col("doc_id") >= EVAL_MAX_ID)
-        .select("doc_id", "text")
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("pos", "tok"),
+        )
         .localCheckpoint(eager=False)
     )
-    # stages 1+2 fused (r10, tightened r16): ONE tokenization pass
-    # feeds the repetition decision AND the vocab key. uni's
-    # (doc_id, tok) groups ARE the distinct token set vocab_key
-    # sorts — md5(array_join(array_sort(collect_list(tok)), " "))
-    # over them is literally vocab_key's
+    # stages 1+2 fused (r10, tightened r16): the (doc_id, tok)
+    # groups ARE the distinct token set vocab_key sorts —
+    # md5(array_join(array_sort(collect_list(tok)), " ")) over them
+    # is literally vocab_key's
     # md5(array_join(array_sort(array_distinct(split(...))), " "))
     # with the distinct done by the aggregation, so the r15 shape's
     # second tokenize+md5 pass over the train text (plus its
     # surv1 semi-join) collapses into the stats aggregate. The
-    # ledger counts ride the id-only frames (surv1 / canon are
-    # subsets of train's doc_ids, so their counts equal the old
-    # joined-frame counts) instead of re-reading checkpointed
-    # full-text frames.
-    uni = (
-        train.select(
-            "doc_id",
-            F.explode(
-                F.split(F.trim(F.lower("text")), r"\s+")
-            ).alias("tok"),
-        )
-        .groupBy("doc_id", "tok")
-        .count()
-    )
+    # ledger counts ride id-only frames (surv1 / canon are subsets
+    # of train's doc_ids, so their counts equal the old joined-frame
+    # counts) instead of re-reading checkpointed full-text frames.
+    uni = toks.groupBy("doc_id", "tok").count()
     # NULL-text docs never reach uni (split(NULL) explodes to no
     # rows) — same exclusion the old vocab_key pass produced via its
     # NULL key and the surv1 semi-join.
@@ -909,10 +905,11 @@ def llm_prep_full_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count branch and the next stage is pinned — without them each
     # of the six ledger counts re-executes the whole upstream chain
     # (the semdedup/bigram posture; blocks release when the plan is
-    # GC'd). d2 is NOT pinned (r16): its only consumer is d3, so the
-    # r15 checkpoint paid a full-text materialization barrier to
-    # save zero recomputation.
-    d2 = train.join(canon, "doc_id", "left_semi")
+    # GC'd). Stage frames are ID-ONLY from here down (r16): the old
+    # d2/d3 carried full text through two checkpoint barriers just
+    # so stage 4 could re-tokenize it — the span kernel now rides
+    # the pinned token stream directly, so no full-text frame exists
+    # past the scan.
     # stage 3: MinHash+LSH near-dup dedup (md5_km family so the
     # oracle reproduces the identical candidate set). Pairs come from
     # the session-shared FULL-corpus index restricted to the stage-2
@@ -931,20 +928,66 @@ def llm_prep_full_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     cc = connected_components(pairs)
-    d3 = d2.join(
+    # the old d3 (train semi-joined to canon, anti-joined to the CC
+    # dups) carried exactly canon's ids minus the dups — train's
+    # doc_ids are unique and canon ⊆ train — so the id-only frame
+    # below has the same rows the old full-text d3 counted
+    d3 = canon.join(
         cc.filter(F.col("id") != F.col("comp")).select(
             F.col("id").alias("doc_id")
         ),
         "doc_id",
         "left_anti",
     ).localCheckpoint(eager=False)
-    # stage 4: span removal + rebuild; emptied docs dropped
-    cleaned = remove_repeated_spans_frame(d3)
-    d4 = cleaned.filter(
-        F.col("n_tokens") - F.col("n_removed") > 0
-    ).select("doc_id", "clean_text").localCheckpoint(eager=False)
-    # stage 5: decontamination over the CLEANED text
-    tsets = shingle_sets(d4, "doc_id", "clean_text", CONTAIN_K)
+    # stage 4: span removal; emptied docs dropped. The kernel core
+    # consumes the ONE pinned token stream restricted to the stage-3
+    # survivors — its internal tokenize is skipped, and the
+    # (doc_id, pos, tok) rows are identical to tokenizing the
+    # survivors' text (same split expression, same rows). The
+    # clean_text string is NEVER BUILT in this query (r16): its only
+    # consumer was stage 5's shingle pass, which now derives the
+    # same k-grams from the kept stream directly — the old shape
+    # paid an interpreted collect_list+array_sort+transform rebuild
+    # per doc and then an interpreted slice-per-index re-shingle of
+    # the rebuilt string.
+    ktoks = toks.join(d3, "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
+    kept = repeated_span_kept_tokens(ktoks)
+    # stage 5: decontamination over the CLEANED token stream, one
+    # window pass. Equivalence to shingle_sets(clean_text)
+    # (functions/text.shingles): tokens(lower(clean_text)) == the
+    # kept toks in pos order (clean_text is their space-join; no tok
+    # is empty or contains whitespace — blank docs die at the
+    # repetition filter, split-on-\s+ emits no interior empties).
+    # Docs with n >= k kept tokens yield the n-k+1 sliding k-grams —
+    # a row's gram is full exactly when its (k-1)-lead exists. Docs
+    # with n < k yield the single whole-doc join: at the FIRST row
+    # the (k-1)-lead is null iff n < k, and concat_ws SKIPS null
+    # leads, so that row's s is precisely the n available tokens
+    # joined. n == k gives the same string through either branch.
+    # distinct() reproduces array_distinct + explode. The pin holds
+    # the compact (doc_id, hashed shingle) pairs — the kept TOKEN
+    # stream itself is never materialized (the r16 intermediate
+    # shape checkpointed it: 1.7-2.6 s of barrier for rows only the
+    # window below ever read).
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(wo) for i in range(1, CONTAIN_K)]
+    sel = kept.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
+        leads[-1].alias("_lk"),
+        F.row_number().over(wo).alias("_rn"),
+    )
+    trs = (
+        sel.filter(
+            F.col("_lk").isNotNull()
+            | ((F.col("_rn") == 1) & F.col("_lk").isNull())
+        )
+        .select("doc_id", F.xxhash64("s").alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     # r16: the eval slice is EVAL_MAX_ID rows — read the UNSPREAD
     # handle so its scan keeps the pushed-down doc_id filter without
     # paying the spread exchange (a whole-table repartition for a
@@ -962,9 +1005,6 @@ def llm_prep_full_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("sh").alias("esize"),
         F.explode("sh").alias("shingle"),
     )
-    trs = tsets.select(
-        F.col("id").alias("doc_id"), F.explode("sh").alias("shingle")
-    )
     contam = (
         F.broadcast(ev)
         .join(trs, "shingle")
@@ -974,13 +1014,25 @@ def llm_prep_full_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    n0 = train.agg(F.count("*").alias("n0"))
+    # n0 counts the raw train slice off the UNSPREAD handle (a count
+    # needs no spread exchange; NULL-text docs count here exactly as
+    # the old pinned train frame counted them)
+    n0 = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") >= EVAL_MAX_ID)
+        .agg(F.count("*").alias("n0"))
+    )
     # surv1/canon doc_ids are subsets of train's, so their counts
     # equal the old full-text joined-frame counts
     n1 = surv1.agg(F.count("*").alias("n1"))
     n2 = canon.agg(F.count("*").alias("n2"))
     n3 = d3.agg(F.count("*").alias("n3"))
-    n4 = d4.agg(F.count("*").alias("n4"))
+    # n4 = survivors with >= 1 kept token — exactly the docs the old
+    # cleaned.filter(n_tokens - n_removed > 0) frame counted: every
+    # such doc emits >= 1 trs row (grams if n >= k, else the rn==1
+    # whole-doc row), and hash collisions cannot erase a doc's last
+    # row (distinct is per (doc_id, shingle))
+    n4 = trs.agg(F.countDistinct("doc_id").alias("n4"))
     nc = contam.agg(F.count("*").alias("nc"))
     return (
         n0.crossJoin(n1)

@@ -1484,3 +1484,56 @@ def test_shared_minhash_pairs_cache_posture(spark, sf_dir):
         .collect()
     }
     assert via_index == direct
+
+
+def test_ledger_gram_window_matches_shingle_sets(spark):
+    """The full-ledger decontam grams (one window pass over the kept
+    token stream, whole-doc row when the (k-1)-lead is null at rn=1)
+    must equal shingle_sets() over the rebuilt clean_text — the r16
+    restructure's contract. Fixture hits every branch: n > k, n == k,
+    n < k (1 and 2 tokens), duplicated shingles within a doc, and
+    multi-space text (split-on-\\s+)."""
+    from pyspark.sql import Window
+
+    from cdc_2025_spark.dedup.minhash import shingle_sets
+    from cdc_2025_spark.functions.text import tokens
+
+    k = 3
+    rows = [
+        (1, "a b c d e a b c"),       # n > k, repeated gram
+        (2, "x  y   z"),              # n == k, multi-space
+        (3, "solo"),                  # n == 1
+        (4, "two toks"),              # n == 2
+        (5, "p q r s"),               # n == k + 1
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col("text")))).alias(
+            "pos", "tok"
+        ),
+    )
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(wo) for i in range(1, k)]
+    sel = toks.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("tok"), *leads).alias("s"),
+        leads[-1].alias("_lk"),
+        F.row_number().over(wo).alias("_rn"),
+    )
+    got = {
+        (r["doc_id"], r["shingle"])
+        for r in sel.filter(
+            F.col("_lk").isNotNull()
+            | ((F.col("_rn") == 1) & F.col("_lk").isNull())
+        )
+        .select("doc_id", F.xxhash64("s").alias("shingle"))
+        .distinct()
+        .collect()
+    }
+    want = {
+        (r["id"], sh)
+        for r in shingle_sets(docs, "doc_id", "text", k).collect()
+        for sh in r["sh"]
+    }
+    assert got == want
