@@ -657,23 +657,31 @@ def lsh_pairs(
     # codegen bails and the interpreted fallback is SLOWER than the
     # higher-order-lambda form below. Keep zip_with/aggregate, whose
     # fold order also matches the oracle's left-associated sum.
-    # Built as ONE F.expr string per plane, not nested F.array(F.lit
-    # ...) Columns: at the auto geometry (56 planes x 64 dims) the
-    # Column form spends ~3s of DRIVER py4j round trips constructing
-    # the plan — the expr string parses to the IDENTICAL expression
-    # tree (same fold order, same double literals via repr round-trip,
-    # pinned by the sim_lsh_bucketed_pairs oracle hash) in ~1/10th.
-    signs = []
-    for p in range(n_planes):
-        plane = _hyperplane(dim, p)
-        arr = ", ".join(f"{v!r}D" for v in plane)
-        proj = F.expr(
-            f"aggregate(zip_with(emb, array({arr}), (x, y) -> x * y), "
-            "0.0D, (acc, v) -> acc + v)"
-        )
-        signs.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
+    # Built as ONE F.expr string for ALL planes (r16), not one
+    # aggregate tree per plane: transform over a literal
+    # array<array<double>> of the hyperplanes evaluates the SAME
+    # per-plane left-associated fold (same double literals via repr
+    # round-trip — the arithmetic the sim_lsh_bucketed_pairs oracle
+    # mirrors term for term is untouched), but the expression tree
+    # carries one aggregate/zip_with/CASE subtree instead of
+    # n_planes copies. At the auto geometry (56 planes x 64 dims)
+    # the per-plane form spent ~0.6 s of driver construction and
+    # ~0.6 s of catalyst per action on a 3600-node tree; the r15
+    # per-plane expr-string form was itself ~10x over nested
+    # F.array(F.lit...) Columns.
+    planes_sql = ", ".join(
+        "array("
+        + ", ".join(f"{v!r}D" for v in _hyperplane(dim, p))
+        + ")"
+        for p in range(n_planes)
+    )
     sig = emb.withColumn(
-        "bits", F.array(*signs)
+        "bits",
+        F.expr(
+            f"transform(array({planes_sql}), p -> CASE WHEN "
+            "aggregate(zip_with(emb, p, (x, y) -> x * y), 0.0D, "
+            "(acc, v) -> acc + v) >= 0 THEN 1 ELSE 0 END)"
+        ),
     )
     bk_expr = F.explode(
         F.array(
