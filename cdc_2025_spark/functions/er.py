@@ -121,23 +121,70 @@ def blocked_candidate_pairs(
     pair_cols = ["id_a", "id_b"] + (
         ["ord_a", "ord_b"] if keep_order else []
     )
-    out = None
-    for key in block_keys:
-        cols = [key.alias("_bk"), F.col(id_col).alias("_id")]
+    # r16: when every blocking key shares one data type, ALL keys
+    # ride ONE tagged frame — a single explode emits (key index,
+    # block value) rows, so the size aggregate, the small-block
+    # self-join and the SNM window each run ONCE partitioned by
+    # (_kt, _bk) instead of once per key (two sequential
+    # exchange+sort window stages collapse into one for the
+    # two-key ER query; pair multisets are identical because the
+    # key tag keeps blocks from different keys apart exactly as the
+    # per-key loop did). Heterogeneous key types keep the per-key
+    # loop — a common cast could merge distinct block values.
+    key_types = df.select(
+        *[k.alias(f"_bk{i}") for i, k in enumerate(block_keys)]
+    ).schema
+    fused = len({f.dataType for f in key_types.fields}) == 1
+    groups: list[tuple[list, list[str]]]
+    if fused:
+        cols = [
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("_kt"), k.alias("_bk")
+                        )
+                        for i, k in enumerate(block_keys)
+                    ]
+                )
+            ).alias("_k"),
+            F.col(id_col).alias("_id"),
+        ]
         if snm_order is not None:
             cols.append(snm_order.alias("_ord"))
-        keyed = df.select(*cols).filter(F.col("_bk").isNotNull())
+        tagged = (
+            df.select(*cols)
+            .withColumn("_kt", F.col("_k._kt"))
+            .withColumn("_bk", F.col("_k._bk"))
+            .drop("_k")
+            .filter(F.col("_bk").isNotNull())
+        )
+        groups = [(["_kt", "_bk"], tagged)]
+    else:
+        groups = []
+        for key in block_keys:
+            cols = [key.alias("_bk"), F.col(id_col).alias("_id")]
+            if snm_order is not None:
+                cols.append(snm_order.alias("_ord"))
+            groups.append(
+                (
+                    ["_bk"],
+                    df.select(*cols).filter(F.col("_bk").isNotNull()),
+                )
+            )
+    out = None
+    for gb, keyed in groups:
         if max_block is not None:
-            sizes = keyed.groupBy("_bk").agg(
+            sizes = keyed.groupBy(*gb).agg(
                 F.count("*").alias("_bs")
             )
-            keyed = keyed.join(sizes, "_bk")
+            keyed = keyed.join(sizes, gb)
             small = keyed.filter(F.col("_bs") <= max_block)
             big = keyed.filter(F.col("_bs") > max_block)
         else:
             small, big = keyed, None
-        a_cols = [F.col("_bk"), F.col("_id").alias("id_a")]
-        b_cols = [F.col("_bk"), F.col("_id").alias("id_b")]
+        a_cols = [*[F.col(g) for g in gb], F.col("_id").alias("id_a")]
+        b_cols = [*[F.col(g) for g in gb], F.col("_id").alias("id_b")]
         if keep_order:
             a_cols.append(F.col("_ord").alias("ord_a"))
             b_cols.append(F.col("_ord").alias("ord_b"))
@@ -151,14 +198,14 @@ def blocked_candidate_pairs(
                 ).alias("_band"),
             )
             pairs = (
-                a_side.join(b_side, ["_bk", "_band"])
+                a_side.join(b_side, [*gb, "_band"])
                 .filter(F.col("id_a") < F.col("id_b"))
                 .select(*pair_cols)
             )
         else:
             pairs = (
                 small.select(*a_cols)
-                .join(small.select(*b_cols), "_bk")
+                .join(small.select(*b_cols), gb)
                 .filter(F.col("id_a") < F.col("id_b"))
                 .select(*pair_cols)
             )
@@ -166,7 +213,7 @@ def blocked_candidate_pairs(
             # neighbors within the SNM window via lead() over the
             # SAME (block, order, id) window — the rank and all its
             # forward neighbors come out of one exchange
-            wspec = Window.partitionBy("_bk").orderBy("_ord", "_id")
+            wspec = Window.partitionBy(*gb).orderBy("_ord", "_id")
             nbrs = F.array(
                 *[
                     F.struct(
