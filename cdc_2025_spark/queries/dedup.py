@@ -1089,6 +1089,11 @@ SEMDEDUP_CLUSTERS = 8
 # 100 TB caveat the r7 docstring named without enforcing.
 SEMDEDUP_CELL_CAP_FACTOR = 4
 
+# target numpy pair-ops per Arrow task in the within-cell pair stage
+# (matches the numpy kernel's chunk size): sizes the applyInPandas
+# fan-out by WORK, so tiny corpora run one worker and big ones scale
+_SEMDEDUP_PAIRS_PER_TASK = 2_000_000
+
 _SEM_CACHE: _WeakKeyDictionary = _WeakKeyDictionary()
 
 
@@ -1347,8 +1352,20 @@ def semdedup(
     n_cells = (len(cent_rows_q) - len(sub_q)) + sum(
         len(v) for v in sub_q.values()
     )
+    # r16 refinement: ALSO bound the fan-out by estimated pair WORK,
+    # not just cell count — at fixture scale 8 cells of ~250 vectors
+    # are ~8 Arrow worker spins for ~500k total numpy pair-ops, so
+    # one task is strictly faster; the estimate (corpus size derived
+    # from the quantizer's own cap, times the per-cell cap — an
+    # upper bound on sum |cell|², the exact pair space) grows the
+    # task count linearly with real work at scale. No extra job:
+    # every input comes from the cached quantizer geometry.
+    n_est = max(1, (_cap_q * k) // SEMDEDUP_CELL_CAP_FACTOR)
+    est_pairs = n_est * _cap_q
     n_tasks = max(1, min(
-        spark.sparkContext.defaultParallelism, n_cells
+        spark.sparkContext.defaultParallelism,
+        n_cells,
+        -(-est_pairs // _SEMDEDUP_PAIRS_PER_TASK),
     ))
     pairs = _cell_pairs_numpy(
         withc.select("cell", F.col("id").alias("vec_id"), "emb")
