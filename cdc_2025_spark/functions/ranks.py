@@ -296,10 +296,11 @@ def bucketed_cumsums(
     n_buckets: int = DEFAULT_RANK_BUCKETS,
     edges: str = "auto",
     probe: tuple[str, list] | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """``marg`` holds one row per (group_cols..., value) with one or
     more weight columns. Returns (group_cols..., value_col,
-    weight_cols..., cum_<w>...) where ``cum_<w>`` is the INCLUSIVE
+    weight_cols..., carry_cols..., cum_<w>...) where ``cum_<w>`` is the INCLUSIVE
     cumulative sum of ``w`` over the value-ordered frame within the
     group — the ECDF / rank primitive — computed two-level so no
     window partition exceeds ~|distinct|/n_buckets rows. All weights
@@ -316,6 +317,17 @@ def bucketed_cumsums(
     internally so a caller-pinned input is not materialized twice."""
     gc = list(group_cols)
     wc = list(weight_cols)
+    # ``carry_cols``: extra marg columns to carry THROUGH the kernel
+    # unchanged (r16) — consumers previously re-joined marg onto the
+    # rank output just to recover columns the kernel had dropped,
+    # one full distinct-value-frame exchange join per call (the
+    # equi-depth/MWU/signed-rank shape). Rows are never aggregated
+    # on the carried path (bucket assignment, within-bucket window
+    # and the offset join are all row-preserving), so carrying is
+    # exactly the old 1:1 join-back.
+    cc = [
+        c for c in carry_cols if c not in (*gc, value_col, *wc)
+    ]
     # ``probe``: a (mode, stats_rows) pair from probe_edges_modes —
     # callers invoking the kernel several times fuse their probe
     # collects into one job and pass the results here (edges must
@@ -329,7 +341,7 @@ def bucketed_cumsums(
             marg, value_col, group_cols, edges
         )
     bucketed = _with_bucket(
-        marg, value_col, [*gc, value_col, *wc], group_cols,
+        marg, value_col, [*gc, value_col, *wc, *cc], group_cols,
         n_buckets, mode, stats_rows=stats_rows if mode == "width" else None,
     )
     # r16: pin the bucketed distinct-value frame — it feeds TWO
@@ -368,6 +380,7 @@ def bucketed_cumsums(
         *gc,
         value_col,
         *wc,
+        *cc,
         "_b",
         *[F.sum(w).over(w_in).alias(f"_cin_{w}") for w in wc],
     )
@@ -375,6 +388,7 @@ def bucketed_cumsums(
         *gc,
         value_col,
         *wc,
+        *cc,
         *[
             (F.col(f"_boff_{w}") + F.col(f"_cin_{w}")).alias(f"cum_{w}")
             for w in wc
@@ -391,6 +405,7 @@ def bucketed_midranks(
     n_buckets: int = DEFAULT_RANK_BUCKETS,
     edges: str = "auto",
     probe: tuple[str, list] | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """``marg`` holds one row per (group_cols..., value) with
     ``weight_col`` = how many underlying rows carry that value.
@@ -409,10 +424,12 @@ def bucketed_midranks(
         n_buckets=n_buckets,
         edges=edges,
         probe=probe,
+        carry_cols=carry_cols,
     )
     return cums.select(
         *group_cols,
         value_col,
+        *[c for c in carry_cols if c != value_col],
         (
             F.col(f"cum_{weight_col}")
             - (F.col(weight_col) - 1) / 2.0

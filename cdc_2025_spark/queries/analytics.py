@@ -1541,9 +1541,11 @@ def stats_equidepth_histogram(
     )
 
     total = cnt.agg(F.sum("c").alias("total"))
+    # carry_cols keeps the per-value count in the kernel output —
+    # the r15 shape re-joined cnt onto the ranks just to get "c"
+    # back, one full distinct-value exchange join per action (r16)
     ranked = (
-        bucketed_midranks(cnt, "v", "c", "r")
-        .join(cnt, "v")
+        bucketed_midranks(cnt, "v", "c", "r", carry_cols=("c",))
         .crossJoin(F.broadcast(total))
         .select(
             "v",

@@ -458,7 +458,11 @@ def stats_mann_whitney_u(
         )
         .localCheckpoint(eager=False)
     )
-    ranked = bucketed_midranks(marg, "v", "tot", "r").join(marg, "v")
+    # carry_cols replaces the old re-join of marg onto the ranks
+    # (one distinct-value exchange join removed per action — r16)
+    ranked = bucketed_midranks(
+        marg, "v", "tot", "r", carry_cols=("ca", "cb", "tot")
+    )
     agg = ranked.agg(
         F.sum("ca").cast("double").alias("na"),
         F.sum("cb").cast("double").alias("nb"),

@@ -1716,7 +1716,11 @@ def stats_wilcoxon_signed_rank(
         )
         .localCheckpoint(eager=False)
     )
-    ranked = bucketed_midranks(marg, "ad", "tot", "r").join(marg, "ad")
+    # carry_cols replaces the old re-join of marg onto the ranks
+    # (one distinct-value exchange join removed per action — r16)
+    ranked = bucketed_midranks(
+        marg, "ad", "tot", "r", carry_cols=("cpos", "tot")
+    )
     zeros = marked.agg(F.sum("zero").cast("long").alias("n_zero"))
     agg = ranked.agg(
         F.sum("tot").cast("double").alias("n"),
