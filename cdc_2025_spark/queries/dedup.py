@@ -1728,20 +1728,33 @@ def dedup_pipeline_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer)."""
     docs = read_table(spark, sf_dir, "documents")
     groups1 = exact_dup_groups(docs, "doc_id", vocab_key("text"))
-    surv1 = docs.join(
-        groups1.select(F.col("canonical_id").alias("doc_id")),
-        "doc_id",
-        "left_semi",
+    # id-only survivor frame, pinned (r16): canonical ids are
+    # distinct (one per content-key group, each doc in exactly one
+    # group), so the stage-1 survivor COUNT is the group count and
+    # the full-text semi-join the old shape carried existed only to
+    # be re-counted. Pairs come from the session-shared FULL-corpus
+    # index restricted to the survivors — same (k, threshold,
+    # family), and every pipeline stage is subset-stable
+    # (pairs(S) == pairs(full) ∩ S×S, the _shared_minhash_pairs
+    # contract the full-chain ledger already rides), so the
+    # signature/banding pipeline no longer re-runs over the
+    # survivors on every invocation.
+    canon = (
+        groups1.select(F.col("canonical_id").alias("doc_id"))
+        .localCheckpoint(eager=False)
     )
-    pairs = minhash_lsh_pairs(
-        surv1, k=JACCARD_K, threshold=JACCARD_THRESHOLD, family="md5_km"
-    ).select("id_a", "id_b")
+    pairs = (
+        _shared_minhash_pairs(spark, sf_dir)
+        .join(canon.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi")
+        .join(canon.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
+        .select("id_a", "id_b")
+    )
     from cdc_2025_spark.dedup.cluster import connected_components
 
     cc = connected_components(pairs)
     dropped2 = cc.filter(F.col("id") != F.col("comp"))
     n0 = docs.agg(F.count("*").alias("n0"))
-    n1 = surv1.agg(F.count("*").alias("n1"))
+    n1 = canon.agg(F.count("*").alias("n1"))
     nd2 = dropped2.agg(F.count("*").alias("nd2"))
     return (
         n0.crossJoin(n1)
