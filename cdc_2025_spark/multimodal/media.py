@@ -88,11 +88,33 @@ def _parallel_payloads(tasks: list) -> list[bytes]:
         return [fn(**kw) for fn, kw in tasks]
 
 
+def _media_frame(
+    spark: SparkSession, rows: list, n_slices: int | None
+) -> DataFrame:
+    """rows -> MEDIA_SCHEMA frame; with ``n_slices``, parallelize into
+    that many partitions instead of createDataFrame's
+    defaultParallelism local-relation slicing (identical rows)."""
+    if n_slices is None:
+        return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), MEDIA_SCHEMA
+    )
+
+
 def make_synthetic_media(
-    spark: SparkSession, n: int = 64, kind: str = "image"
+    spark: SparkSession,
+    n: int = 64,
+    kind: str = "image",
+    n_slices: int | None = None,
 ) -> DataFrame:
     """Deterministic fake media rows (payload = seeded bytes) for
-    exercising the pipeline without real codecs."""
+    exercising the pipeline without real codecs.
+
+    ``n_slices``: partition count for the local relation —
+    createDataFrame otherwise slices these few-dozen-row frames into
+    defaultParallelism partitions, and a union of several such frames
+    schedules hundreds of near-empty tasks for its first
+    materialization (the r16 media-cache lesson)."""
     rows = []
     for i in range(n):
         payload = hashlib.sha256(f"media-{kind}-{i}".encode()).digest() * 8
@@ -104,7 +126,7 @@ def make_synthetic_media(
                 (64 + i % 16, 48 + i % 9, 1000 * (1 + i % 7), "fake"),
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return _media_frame(spark, rows, n_slices)
 
 
 def make_bmp(width: int, height: int, seed: int = 0) -> bytes:
@@ -720,6 +742,7 @@ def make_real_media(
     n_g711: int = 0,
     n_tiff: int = 0,
     n_gif: int = 0,
+    n_slices: int | None = None,
 ) -> DataFrame:
     """Media rows with REAL payloads: uncompressed 24-bit BMPs,
     zlib-compressed PNGs, baseline JPEGs (Huffman + DCT,
@@ -1005,7 +1028,7 @@ def make_real_media(
                 (w, h, n_frames * 1000 // AVI_DEFAULT_FPS, "mjpeg_avi"),
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return _media_frame(spark, rows, n_slices)
 
 
 def _decode_image_bytes(payload: bytes) -> list[float]:

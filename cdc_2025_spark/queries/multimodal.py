@@ -47,13 +47,84 @@ from weakref import WeakKeyDictionary as _WeakKeyDictionary  # noqa: E402
 
 _MEDIA_CACHE: _WeakKeyDictionary = _WeakKeyDictionary()
 
+# All fixture corpora the rollup family reads, built as ONE tagged
+# union pinned by a single job (r16): each lazy localCheckpoint
+# compiles (and under AQE executes) its own shuffle stage at
+# construction, so 15 per-key pins cost 15 sequential ~0.4 s driver
+# round trips cold — the rollup's measured cold floor. One union,
+# one repartition, one pin; per-key frames are filters over the
+# pinned blocks (identical rows, zero extra jobs). Keys outside this
+# registry (the neardup corpora) keep the per-key path.
+_MEDIA_BUILDS = {
+    "images": lambda spark: make_synthetic_media(spark, n=64, kind="image", n_slices=1),
+    "audio": lambda spark: make_synthetic_media(spark, n=32, kind="audio", n_slices=1),
+    "video": lambda spark: make_synthetic_media(spark, n=16, kind="video", n_slices=1),
+    "real": lambda spark: make_real_media(spark, n_images=8, n_audio=8, n_slices=1),
+    "real_png": lambda spark: make_real_media(
+        spark, n_images=0, n_audio=0, n_png=8
+    , n_slices=1),
+    "real_jpeg": lambda spark: make_real_media(
+        spark, n_images=0, n_audio=0, n_jpeg=8
+    , n_slices=1),
+    "real_jpeg12": lambda spark: make_real_media(
+        spark, n_images=0, n_audio=0, n_jpeg12=8
+    , n_slices=1),
+    "real_png16": lambda spark: make_real_media(
+        spark, n_images=0, n_audio=0, n_png16=8
+    , n_slices=1),
+    "real_png_low": lambda spark: make_real_media(
+        spark, n_images=0, n_audio=0, n_png_lowdepth=6
+    , n_slices=1),
+    "real_tiff": lambda spark: make_real_media(
+        spark, n_images=0, n_audio=0, n_tiff=8
+    , n_slices=1),
+    "real_gif": lambda spark: make_real_media(
+        spark, n_images=0, n_audio=0, n_gif=6
+    , n_slices=1),
+    "real_avi": lambda spark: make_real_media(
+        spark, n_images=0, n_audio=0, n_avi=6
+    , n_slices=1),
+    "real_flac": lambda spark: make_real_media(
+        spark, n_images=0, n_audio=0, n_flac=8
+    , n_slices=1),
+    "real_flac_stereo": lambda spark: make_real_media(
+        spark, n_images=0, n_audio=0, n_flac_stereo=8
+    , n_slices=1),
+    "real_g711": lambda spark: make_real_media(
+        spark, n_images=0, n_audio=0, n_g711=8
+    , n_slices=1),
+}
 
-def _media_input(spark: SparkSession, key: str, build) -> DataFrame:
+
+def _media_input(spark: SparkSession, key: str, build=None) -> DataFrame:
     per_session = _MEDIA_CACHE.setdefault(spark, {})
     frame = per_session.get(key)
-    if frame is None:
-        frame = build().localCheckpoint(eager=False)
-        per_session[key] = frame
+    if frame is not None:
+        return frame
+    if key in _MEDIA_BUILDS:
+        tagged = [
+            b(spark).select(F.lit(k).alias("_src"), "*")
+            for k, b in _MEDIA_BUILDS.items()
+        ]
+        union = tagged[0]
+        for t in tagged[1:]:
+            union = union.unionByName(t)
+        # two partitions keep each downstream mapInPandas branch to a
+        # worker pair (the few-dozen-row frames otherwise fan every
+        # branch to defaultParallelism mostly-empty Python tasks);
+        # repartition, NOT coalesce — the narrow coalesce over the
+        # local relation measured ~2 s/materialization vs ~0.5 s for
+        # the round-robin exchange. Results are partition-insensitive
+        # (per-row decodes into aggregates / pair sets). At real
+        # corpus sizes inputs arrive pre-partitioned; no reshape.
+        union = union.repartition(2).localCheckpoint(eager=False)
+        for k in _MEDIA_BUILDS:
+            per_session[k] = union.filter(
+                F.col("_src") == k
+            ).drop("_src")
+        return per_session[key]
+    frame = build().localCheckpoint(eager=False)
+    per_session[key] = frame
     return frame
 
 
@@ -111,76 +182,48 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is unused: media rows are generated, not read, since the testdata
     lake has no media table.
     """
-    # coalesce(2): createDataFrame spreads these few-dozen-row local
-    # frames over defaultParallelism partitions, so every mapInPandas
-    # branch otherwise launches 32 (mostly empty) Python-worker tasks
-    # — at 6 branches that is the rollup's measured fixed cost, not
-    # the kernels (<0.1 s of decode). Two partitions keep a branch
-    # pair of workers busy while preserving cross-branch concurrency.
-    # At real corpus sizes the inputs arrive pre-partitioned and no
-    # coalesce applies.
-    images = _media_input(
-        spark, "images",
-        lambda: make_synthetic_media(spark, n=64, kind="image").coalesce(2),
-    )
-    audio = _media_input(
-        spark, "audio",
-        lambda: make_synthetic_media(spark, n=32, kind="audio").coalesce(2),
-    )
-    video = _media_input(
-        spark, "video",
-        lambda: make_synthetic_media(spark, n=16, kind="video").coalesce(2),
-    )
-    real = _media_input(
-        spark, "real",
-        lambda: make_real_media(spark, n_images=8, n_audio=8).coalesce(2),
-    )
-    real_png = _media_input(
-        spark, "real_png",
-        lambda: make_real_media(spark, n_images=0, n_audio=0, n_png=8),
-    )
-    real_jpeg = _media_input(
-        spark, "real_jpeg",
-        lambda: make_real_media(spark, n_images=0, n_audio=0, n_jpeg=8),
-    )
+    # repartition(2): createDataFrame spreads these few-dozen-row
+    # local frames over defaultParallelism partitions, so every
+    # mapInPandas branch otherwise launches 32 (mostly empty)
+    # Python-worker tasks — at 6 branches that is the rollup's
+    # measured fixed cost, not the kernels (<0.1 s of decode). Two
+    # partitions keep a branch pair of workers busy while preserving
+    # cross-branch concurrency. repartition, NOT coalesce (r16):
+    # coalesce(2) over the local relation measured ~2 s per
+    # materialization where the round-robin exchange costs ~0.5 s —
+    # the narrow coalesce drags the whole 32-slice local scan into
+    # two tasks and re-serializes the payload rows task-side, and at
+    # these row counts the tiny shuffle is strictly cheaper. Results
+    # are partition-insensitive (per-row decodes into aggregates /
+    # pair sets). At real corpus sizes the inputs arrive
+    # pre-partitioned and no reshape applies.
+    images = _media_input(spark, "images")
+    audio = _media_input(spark, "audio")
+    video = _media_input(spark, "video")
+    real = _media_input(spark, "real")
+    real_png = _media_input(spark, "real_png")
+    real_jpeg = _media_input(spark, "real_jpeg")
     # 12-bit extended-sequential (SOF1) twins of the same patterns —
     # the decode kernel dispatches on magic bytes and maps 12-bit
     # samples to the uint8 view, so this rides the SAME mapInPandas
     # stage as the other containers
-    real_jpeg12 = _media_input(
-        spark, "real_jpeg12",
-        lambda: make_real_media(spark, n_images=0, n_audio=0, n_jpeg12=8),
-    )
+    real_jpeg12 = _media_input(spark, "real_jpeg12")
     # 16-bit-depth PNGs of the same pattern x257: the sample-depth
     # conversion maps back exactly, so this row must equal image_png
     # (and image_bmp) EXACTLY — the lossless cross-depth pin
-    real_png16 = _media_input(
-        spark, "real_png16",
-        lambda: make_real_media(spark, n_images=0, n_audio=0, n_png16=8),
-    )
+    real_png16 = _media_input(spark, "real_png16")
     # sub-byte PNGs (1/2/4-bit gray + palette — the scanned-document
     # shapes): ride the same dispatch-on-magic-bytes union; their
     # patterns are depth-quantized, so the row gets its own kind
     # instead of a BMP-equality pin
-    real_png_low = _media_input(
-        spark, "real_png_low",
-        lambda: make_real_media(
-            spark, n_images=0, n_audio=0, n_png_lowdepth=6
-        ),
-    )
+    real_png_low = _media_input(spark, "real_png_low")
     # baseline TIFFs: lossless rgb twins of the BMP rows (both byte
     # orders, none/PackBits, single/multi-strip) — image_tiff metrics
     # must equal image_bmp EXACTLY
-    real_tiff = _media_input(
-        spark, "real_tiff",
-        lambda: make_real_media(spark, n_images=0, n_audio=0, n_tiff=8),
-    )
+    real_tiff = _media_input(spark, "real_tiff")
     # single-frame GIFs of the shared palette pattern (LZW decode
     # path; interlace alternating)
-    real_gif = _media_input(
-        spark, "real_gif",
-        lambda: make_real_media(spark, n_images=0, n_audio=0, n_gif=6),
-    )
+    real_gif = _media_input(spark, "real_gif")
 
     img = extract_image_features(images).agg(
         F.lit("image").alias("kind"),
@@ -202,12 +245,7 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dispatches per payload on magic bytes, so a second
     # sample_video_frames branch would only buy another Python-worker
     # stage setup (the rollup's measured fixed cost).
-    real_avi = _media_input(
-        spark, "real_avi",
-        lambda: make_real_media(
-            spark, n_images=0, n_audio=0, n_avi=6
-        ).coalesce(2),
-    )
+    real_avi = _media_input(spark, "real_avi")
     # one cadence for the union: 250 ms (the AVI rows' 4 fps frame
     # interval, so every container frame is sampled exactly once);
     # the stub rows just sample twice as densely as before — their
@@ -330,12 +368,7 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # WAV row i, so this row's metrics must equal audio_wav's EXACTLY
     # (pinned in test_multimodal.py) — the BMP/PNG container-twin
     # story for audio.
-    real_flac = _media_input(
-        spark, "real_flac",
-        lambda: make_real_media(
-            spark, n_images=0, n_audio=0, n_flac=8
-        ).coalesce(2),
-    )
+    real_flac = _media_input(spark, "real_flac")
     flac = extract_audio_chunk_features(real_flac, chunk_ms=500).agg(
         F.lit("audio_flac").alias("kind"),
         F.count("*").alias("n_rows"),
@@ -346,12 +379,7 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SAME chunk kernel (channel assignments incl. mid/side with
     # the side channel's extra sample bit; features score the mono
     # downmix, normalized by the actual bit depth).
-    real_flac_st = _media_input(
-        spark, "real_flac_stereo",
-        lambda: make_real_media(
-            spark, n_images=0, n_audio=0, n_flac_stereo=8
-        ).coalesce(2),
-    )
+    real_flac_st = _media_input(spark, "real_flac_stereo")
     flac_st = extract_audio_chunk_features(
         real_flac_st, chunk_ms=500
     ).agg(
@@ -364,12 +392,7 @@ def multimodal_feature_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expansion in decode_wav) over the SAME sines as audio_wav —
     # lossy, so metrics are tolerance-close to audio_wav, not equal
     # (pinned in test_multimodal.py)
-    real_g711 = _media_input(
-        spark, "real_g711",
-        lambda: make_real_media(
-            spark, n_images=0, n_audio=0, n_g711=8
-        ).coalesce(2),
-    )
+    real_g711 = _media_input(spark, "real_g711")
     g711 = extract_audio_chunk_features(real_g711, chunk_ms=500).agg(
         F.lit("audio_g711").alias("kind"),
         F.count("*").alias("n_rows"),
