@@ -108,55 +108,74 @@ pending_r14.register_all()
 # queries/pending_r15.py.
 pending_r15.register_all()
 
-# Round-15 window (the driver oracle-checks the FIRST 50 registry
+# Round-16 window (the driver oracle-checks the FIRST 50 registry
 # entries per round, insertion order), composed mechanically from
-# tools/compose_window.py 28 (registry 279 -> derived horizon 6;
-# the one would-be-stale row, text_chunk_documents, heads the fill):
+# tools/compose_window.py 20 (registry 279 -> derived horizon 6;
+# never-checked: 0; ALL 30 would-be-stale rows fill the tail):
 #
-#   1. _NEW_R15: the twenty-eight round-15 registrations, all
-#      oracle-backed, parity-green at sf0.001 + sf0.01 under the
-#      driver-strength comparator (now hoisted into
-#      queries/driver_model.py and shared with the rehearsal tool
-#      and the registry-wide type guard — r14 ADVICE).
-#   2. _CHANGED_R15: two rows-only queries converted to full-pipeline
-#      DuckDB oracles this round and re-enter for their first
-#      hash-checked driver rows — sim_lsh_auto_pairs (the oracle
-#      re-derives the auto geometry from the corpus count in SQL and
-#      dispatches to a literal hyperplane pipeline baked per
-#      driver-visible geometry) and dedup_minhash_oph_pairs (new
-#      oph_md5 family: OPH binning + optimal densification with every
-#      hash derived from md5, the md5_km precedent — xxhash64 stays
-#      the library scale default).
-#   3. _FILL_R15: the oldest-green ORACLE-BACKED queries — the one
-#      r9-green stale-risk row plus 19 r10-greens in
-#      compose_window.py's emitted order.
-_NEW_R15 = [
-    *pending_r15.PENDING_ORDER,
-]
-
-_CHANGED_R15 = [
+#   1. _CHANGED_R16: the twenty queries whose physical plans this
+#      optimization round changed — the driver re-hashes exactly
+#      what moved.
+#   2. _FILL_R16: every query whose newest green row would expire
+#      under the derived horizon if left out, in the tool's
+#      oldest-green order.
+_CHANGED_R16 = [
+    # r16 (optimization round 2): every entry's PLAN changed this
+    # round — single-tokenize full ledger + split span kernel,
+    # shared-index pipeline accounting, rank-kernel probe fusion /
+    # bucketed pin / carry_cols, LSH plane-matrix signatures, media
+    # corpus union pin, spread-exchange fixes — so the driver
+    # re-hashes exactly what moved. (Three more d436ba6-touched
+    # text queries — pmi_collocations, vocab_coverage, ngram_novelty
+    # — did not fit the 50-slot window after the 30 expiring fills;
+    # they were oracle-verified in-session at sf0.001+sf0.01 and
+    # rotate in next round.)
+    "llm_prep_full_ledger",
+    "dedup_pipeline_accounting",
+    "dedup_remove_repeated_spans",
+    "stats_equidepth_histogram",
+    "stats_mann_whitney_u",
+    "stats_spearman_price_quantity",
+    "stats_kruskal_wallis_segments",
+    "stats_ks_drift_segments",
+    "sim_lsh_bucketed_pairs",
     "sim_lsh_auto_pairs",
-    "dedup_minhash_oph_pairs",
+    "dedup_embedding_neardup_lsh",
+    "multimodal_feature_rollup",
+    "multimodal_audio_neardup",
+    "multimodal_phash_neardup",
+    "multimodal_video_neardup",
+    "text_perplexity_buckets",
+    "text_bigram_perplexity",
+    "sample_dsir_importance",
+    "text_trigram_stupid_backoff",
+    "text_tfidf_top_terms",
 ]
 
-_FILL_R15 = [
-    # compose_window.py 28 emitted order (first 20)
-    "text_chunk_documents", "dedup_embedding_neardup",
-    "sim_knn_label_spread", "dedup_embedding_neardup_lsh",
-    "dedup_remove_repeated_spans", "dedup_pipeline_accounting",
-    "dedup_cluster_canonical_docs", "sample_leakage_free_split",
-    "sample_topk_weighted_per_source", "pivot_user_event_matrix",
-    "unpivot_lineitem_measures", "scalar_dates_monthly_revenue",
-    "scalar_strings_part_brands", "scalar_json_props_extract",
-    "topk_customers_by_spend", "merge_into_customer_balances",
-    "resilience_nation_revenue", "shock_sim_nation_revenue",
-    "forecast_nation_revenue", "text_token_stats",
+_FILL_R16 = [
+    # compose_window.py: ALL 30 queries whose newest green row would
+    # expire under the derived horizon if left out of this window,
+    # in its emitted oldest-green order
+    "text_quality_scores", "text_lang_id_confusion",
+    "text_punct_and_bpe", "text_repetition_scores",
+    "text_doc_entropy", "text_pii_scrub",
+    "q4_order_priority", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share",
+    "q14_promo_revenue", "q15_top_supplier",
+    "q18_large_orders", "q19_bracketed_revenue",
+    "q9_product_profit", "q20_promo_heavy_suppliers",
+    "q21_sole_late_suppliers", "q11ish_part_value_share",
+    "q13_customer_order_distribution", "q17_small_quantity_revenue",
+    "range_join_event_windows", "text_url_canonical_dedup",
+    "cdc_scd2_user_state_history", "cdc_scd2_state_asof",
+    "er_customer_golden_records", "privacy_kanon_events",
+    "sample_weighted_reservoir_docs", "eval_quality_auc",
+    "eval_quality_threshold_sweep", "stream_late_data_audit",
 ]
 
 _VERIFY_FIRST = [
-    *_NEW_R15,
-    *_CHANGED_R15,
-    *_FILL_R15,
+    *_CHANGED_R16,
+    *_FILL_R16,
 ]
 
 
